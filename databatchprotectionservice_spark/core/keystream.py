@@ -1,0 +1,229 @@
+"""Pluggable per-value encryptors.
+
+Mirrors the reference's ``DBPSEncryptor`` interface
+(``src/processing/encryptors/dbps_encryptor.h:42-118``): a pluggable
+scalar-batch cipher with block and per-value entry points, designed so a
+real crypto provider can replace the placeholder
+(``dbps_encryptor.h:87-109``).
+
+The placeholder ``KeystreamXorEncryptor`` reproduces the *structure* of the
+reference's ``BasicXorEncryptor`` (``basic_xor_encryptor.cpp:32-46``): a
+key-seeded rolling keystream XORed per byte, with the stream restarting at
+every element. The reference seeds from ``std::hash<std::string>`` which is
+implementation-defined, so byte-exact ciphertext parity is impossible by
+construction (SURVEY §2.4); we instead document a deterministic seed
+(FNV-1a 64) and verify round-trip, exactly as the reference's own tests do
+(``encryption_sequencer_test.cpp:260``).
+
+Because the keystream restarts per element, the stream bytes depend only on
+(key, position-within-element) — so a whole Arrow batch is encrypted with
+one vectorized numpy XOR against a cached keystream table instead of a
+per-byte loop. This is what makes the Spark UDF fast.
+
+``AesSivEncryptor`` is the real-crypto drop-in (deterministic AES-SIV via
+the ``cryptography`` package), slotting into the same interface the way
+Protegrity's library would replace the XOR stub.
+"""
+
+from __future__ import annotations
+
+import abc
+import functools
+
+import numpy as np
+
+from .errors import DBPSInvalidInputError
+
+_MASK64 = (1 << 64) - 1
+
+
+def fnv1a64(data: bytes) -> int:
+    """FNV-1a 64-bit hash — the documented, portable seed for the keystream
+    (replaces the reference's implementation-defined ``std::hash``)."""
+    h = 0xCBF29CE484222325
+    for b in data:
+        h = ((h ^ b) * 0x100000001B3) & _MASK64
+    return h
+
+
+def _keystream_step(k: int) -> int:
+    """One keystream state update. Mirrors the reference's update
+    ``key_hash = (key_hash << 1) | (key_hash >> 31)`` applied to a 64-bit
+    state (``basic_xor_encryptor.cpp:42-45``) — including its quirk of
+    OR-ing a 31-bit right shift into a 64-bit left shift (documented in
+    SURVEY §2.4); the stream byte is ``k & 0xFF``."""
+    return ((k << 1) & _MASK64) | (k >> 31)
+
+
+class Encryptor(abc.ABC):
+    """Pluggable cipher contract (mirrors ``dbps_encryptor.h:42-118``).
+
+    ``encrypt_block``/``decrypt_block`` operate on whole byte blobs (used
+    for level bytes and the per-block fallback mode). The values variants
+    operate element-wise on a typed batch.
+    """
+
+    def __init__(self, key_id: str):
+        if not key_id:
+            raise DBPSInvalidInputError("key_id must be non-empty")
+        self.key_id = key_id
+
+    @abc.abstractmethod
+    def encrypt_block(self, data: bytes) -> bytes: ...
+
+    @abc.abstractmethod
+    def decrypt_block(self, data: bytes) -> bytes: ...
+
+    @abc.abstractmethod
+    def encrypt_elements(
+        self, flat: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Encrypt a batch of elements stored as a flat uint8 array with
+        int64 offsets (Arrow layout: element i is
+        ``flat[offsets[i]:offsets[i+1]]``). Returns ``(new_flat,
+        new_offsets)``; offsets are unchanged for length-preserving
+        ciphers."""
+
+    @abc.abstractmethod
+    def decrypt_elements(
+        self, flat: np.ndarray, offsets: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]: ...
+
+    @property
+    @abc.abstractmethod
+    def length_preserving(self) -> bool: ...
+
+
+class KeystreamXorEncryptor(Encryptor):
+    """Seeded rolling-keystream XOR, restarting per element (parity
+    placeholder; see module docstring). Length-preserving and
+    self-inverse."""
+
+    _MAX_CACHED = 1 << 20  # cache keystream prefixes up to 1 MiB
+
+    def __init__(self, key_id: str):
+        super().__init__(key_id)
+        self._seed = fnv1a64(key_id.encode("utf-8"))
+
+    @property
+    def length_preserving(self) -> bool:
+        return True
+
+    def _keystream(self, n: int) -> np.ndarray:
+        if n <= self._MAX_CACHED:
+            # round up to a power of two so the cache converges quickly
+            size = 1 << max(4, (n - 1).bit_length())
+            return _cached_keystream(self._seed, size)[:n]
+        return _gen_keystream(self._seed, n)
+
+    # -- block mode ----------------------------------------------------
+    def encrypt_block(self, data: bytes) -> bytes:
+        if len(data) == 0:
+            return b""
+        buf = np.frombuffer(data, dtype=np.uint8)
+        return (buf ^ self._keystream(len(buf))).tobytes()
+
+    decrypt_block = encrypt_block  # XOR is self-inverse
+
+    # -- per-value mode ------------------------------------------------
+    def _xor_elements(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+        if flat.size == 0:
+            return flat.copy()
+        lengths = np.diff(offsets)
+        max_len = int(lengths.max()) if lengths.size else 0
+        ks = self._keystream(max_len)
+        # position of every byte within its element, fully vectorized
+        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            offsets[:-1], lengths
+        )
+        return flat ^ ks[pos]
+
+    def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+        return self._xor_elements(flat, offsets), offsets
+
+    decrypt_elements = encrypt_elements
+
+
+def _gen_keystream(seed: int, n: int) -> np.ndarray:
+    out = np.empty(n, dtype=np.uint8)
+    k = seed
+    for i in range(n):
+        out[i] = k & 0xFF
+        k = _keystream_step(k)
+    return out
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_keystream(seed: int, size: int) -> np.ndarray:
+    ks = _gen_keystream(seed, size)
+    ks.setflags(write=False)
+    return ks
+
+
+class AesSivEncryptor(Encryptor):
+    """Deterministic authenticated encryption (AES-SIV, RFC 5297) — the
+    real-crypto implementation slot. Deterministic so Spark task retries
+    produce identical ciphertext (the UDF can be marked deterministic).
+    NOT length-preserving: adds a 16-byte synthetic IV per element."""
+
+    _OVERHEAD = 16
+
+    def __init__(self, key_id: str):
+        super().__init__(key_id)
+        try:
+            from cryptography.hazmat.primitives.ciphers.aead import AESSIV
+        except ImportError as e:  # pragma: no cover - gated dependency
+            raise DBPSInvalidInputError(
+                "AES-SIV requires the 'cryptography' package"
+            ) from e
+        import hashlib
+
+        # derive a 32-byte AES-SIV key from the key id (stand-in for a KMS
+        # lookup; the reference likewise maps key_id -> key material)
+        self._aead = AESSIV(hashlib.sha256(b"dbps-key:" + key_id.encode()).digest())
+
+    @property
+    def length_preserving(self) -> bool:
+        return False
+
+    def encrypt_block(self, data: bytes) -> bytes:
+        return self._aead.encrypt(data, [b"block"])
+
+    def decrypt_block(self, data: bytes) -> bytes:
+        return self._aead.decrypt(data, [b"block"])
+
+    def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+        out, new_offsets = [], np.empty_like(offsets)
+        new_offsets[0] = 0
+        raw = flat.tobytes()
+        for i in range(len(offsets) - 1):
+            ct = self._aead.encrypt(raw[offsets[i] : offsets[i + 1]], [b"value"])
+            out.append(ct)
+            new_offsets[i + 1] = new_offsets[i] + len(ct)
+        joined = b"".join(out)
+        return np.frombuffer(joined, dtype=np.uint8), new_offsets
+
+    def decrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+        out, new_offsets = [], np.empty_like(offsets)
+        new_offsets[0] = 0
+        raw = flat.tobytes()
+        for i in range(len(offsets) - 1):
+            pt = self._aead.decrypt(raw[offsets[i] : offsets[i + 1]], [b"value"])
+            out.append(pt)
+            new_offsets[i + 1] = new_offsets[i] + len(pt)
+        joined = b"".join(out)
+        return np.frombuffer(joined, dtype=np.uint8), new_offsets
+
+
+ENCRYPTORS = {
+    "keystream_xor": KeystreamXorEncryptor,
+    "aes_siv": AesSivEncryptor,
+}
+
+
+def make_encryptor(name: str, key_id: str) -> Encryptor:
+    try:
+        cls = ENCRYPTORS[name]
+    except KeyError:
+        raise DBPSInvalidInputError(f"unknown encryptor: {name!r}") from None
+    return cls(key_id)
