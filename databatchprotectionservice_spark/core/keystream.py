@@ -193,11 +193,16 @@ class AesSivEncryptor(Encryptor):
         return self._aead.decrypt(data, [b"block"])
 
     def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+        # zero-length elements pass through unchanged: they represent null
+        # slots (whose payload Spark drops) or empty strings — there is no
+        # plaintext to protect and SIV ciphertext is never empty, so the
+        # mapping stays unambiguous.
         out, new_offsets = [], np.empty_like(offsets)
         new_offsets[0] = 0
         raw = flat.tobytes()
         for i in range(len(offsets) - 1):
-            ct = self._aead.encrypt(raw[offsets[i] : offsets[i + 1]], [b"value"])
+            pt = raw[offsets[i] : offsets[i + 1]]
+            ct = self._aead.encrypt(pt, [b"value"]) if pt else b""
             out.append(ct)
             new_offsets[i + 1] = new_offsets[i] + len(ct)
         joined = b"".join(out)
@@ -208,7 +213,8 @@ class AesSivEncryptor(Encryptor):
         new_offsets[0] = 0
         raw = flat.tobytes()
         for i in range(len(offsets) - 1):
-            pt = self._aead.decrypt(raw[offsets[i] : offsets[i + 1]], [b"value"])
+            ct = raw[offsets[i] : offsets[i + 1]]
+            pt = self._aead.decrypt(ct, [b"value"]) if ct else b""
             out.append(pt)
             new_offsets[i + 1] = new_offsets[i] + len(pt)
         joined = b"".join(out)

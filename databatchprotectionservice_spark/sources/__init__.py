@@ -1,0 +1,3 @@
+from .catalog import TABLES, load_table, register_all
+
+__all__ = ["TABLES", "load_table", "register_all"]
