@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (protect -> unprotect -> verify
+aggregate) on sf0.001. ``queries()`` / ``oracle_sql()`` expose every
+operator registered in
+``databatchprotectionservice_spark.plans.registry`` — the engine's full
+query surface with DuckDB oracles for the SQL-expressible ones.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from databatchprotectionservice_spark.plans import registry  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    # make sure executor python workers can import the package
+    repo = os.path.dirname(os.path.abspath(__file__))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{repo}{os.pathsep}{existing}" if existing else repo
+        )
+    from databatchprotectionservice_spark.operators.protection import (
+        protect_roundtrip_lineitem,
+    )
+
+    return protect_roundtrip_lineitem(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return registry.all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent ANSI SQL for each SQL-expressible query."""
+    return registry.all_oracles()

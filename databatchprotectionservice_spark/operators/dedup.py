@@ -1,0 +1,275 @@
+"""Deduplication operators over the ``documents`` table.
+
+Four families, all first-class for LLM-training-data pipelines:
+
+* **exact** — hash-groupBy on a canonical fingerprint; one shuffle on the
+  hash, fully scalable.
+* **MinHash + LSH** — word-3-gram shingles -> 8 min-hashes (salted md5,
+  lexicographic min is a valid min-hash family under the hash order) ->
+  4 bands of 2 rows -> band-bucket join produces candidate pairs ->
+  exact Jaccard verification. At 100 TB the only shuffle is the band
+  bucket exchange, whose fan-in is bounded by collision rate, and the
+  quadratic verification runs only within buckets.
+* **SimHash** — 16-bit sign-of-weighted-sum signature per document via an
+  explode/aggregate (maps to two shuffles on doc_id; the signature is a
+  compact sortable dedup key).
+* **n-gram Jaccard** — the exact quadratic baseline (for verification and
+  small tables; the LSH path is the scale path).
+
+Everything is built-in Spark SQL expressions (split/transform/md5/
+array_intersect) — no Python in the hot path — and each query has an
+exactly-equivalent DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.registry import load, prep, register
+
+N_HASHES = 8
+N_BANDS = 4  # 2 rows per band
+JACCARD_THRESHOLD = 0.8
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """documents -> (doc_id, sg) with sg = distinct word-3-gram shingles."""
+    words = F.split(F.trim("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    return docs.select("doc_id", F.array_distinct(grams).alias("sg"))
+
+
+_SHINGLE_ORACLE = """
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+2], ' ')
+                                  for i in range(1, greatest(len(w) - 2, 1) + 1)]) AS sg
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+"""
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sg, h0..h7): salted-md5 min-hash signature."""
+    df = shingled(docs)
+    for h in range(N_HASHES):
+        df = df.withColumn(
+            f"h{h}",
+            F.array_min(
+                F.transform(F.col("sg"), lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)))
+            ),
+        )
+    return df
+
+
+def _signature_oracle() -> str:
+    sig_cols = ",\n                   ".join(
+        f"list_aggregate(list_transform(sg, s -> md5('{h}|' || s)), 'min') AS h{h}"
+        for h in range(N_HASHES)
+    )
+    return f"""
+            SELECT doc_id, sg,
+                   {sig_cols}
+            FROM ({_SHINGLE_ORACLE})
+    """
+
+
+def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash)."""
+    bands = F.array(
+        *[
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+
+
+@register(
+    "dedup_exact_stats",
+    oracle="""
+        SELECT
+            count(*) AS n_docs,
+            count(DISTINCT text) AS n_distinct_text,
+            count(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp,
+            count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
+        FROM documents
+    """,
+    description="exact dedup via canonical-fingerprint hash aggregate",
+)
+def dedup_exact_stats(spark, sf_dir):
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim("text")))
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text").alias("n_distinct_text"),
+        F.countDistinct(fp).alias("n_distinct_fp"),
+        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_exact_dups"),
+    )
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+        WITH sigs AS ({_signature_oracle()}),
+        bands AS (
+            SELECT doc_id, b.band_idx, b.band_hash
+            FROM sigs, LATERAL (
+                SELECT * FROM (VALUES
+                    (0, md5(h0 || h1)),
+                    (1, md5(h2 || h3)),
+                    (2, md5(h4 || h5)),
+                    (3, md5(h6 || h7))
+                ) AS t(band_idx, band_hash)
+            ) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(len(list_intersect(sa.sg, sb.sg)) * 1.0
+                     / len(list_distinct(sa.sg || sb.sg)), 4) AS jaccard
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b
+        WHERE len(list_intersect(sa.sg, sb.sg)) * 1.0
+              / len(list_distinct(sa.sg || sb.sg)) >= {JACCARD_THRESHOLD}
+    """,
+    description="MinHash-LSH near-dup detection with exact Jaccard verify",
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs).cache()
+    cand = lsh_candidate_pairs(sigs)
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    jac = F.size(F.array_intersect("sg_a", "sg_b")) * F.lit(1.0) / F.size(
+        F.array_union("sg_a", "sg_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+        WITH sh AS ({_SHINGLE_ORACLE})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(len(list_intersect(a.sg, b.sg)) * 1.0
+                     / len(list_distinct(a.sg || b.sg)), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+              / len(list_distinct(a.sg || b.sg)) >= 0.5
+    """,
+    description="exact pairwise n-gram Jaccard (quadratic verification baseline)",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = shingled(docs)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    jac = F.size(F.array_intersect("sg_a", "sg_b")) * F.lit(1.0) / F.size(
+        F.array_union("sg_a", "sg_b")
+    )
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+# 16-bit SimHash: per word w, h16(w) = first 4 md5 hex digits as an int;
+# signature bit b is set when sum over words of (bit_b(h16)*2 - 1) > 0.
+_HEX_TO_INT_SPARK = (
+    "(locate(substr(md5(word), 1, 1), '0123456789abcdef') - 1) * 4096"
+    " + (locate(substr(md5(word), 2, 1), '0123456789abcdef') - 1) * 256"
+    " + (locate(substr(md5(word), 3, 1), '0123456789abcdef') - 1) * 16"
+    " + (locate(substr(md5(word), 4, 1), '0123456789abcdef') - 1)"
+)
+_HEX_TO_INT_DUCK = (
+    "(strpos('0123456789abcdef', substr(md5(word), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(word), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(word), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(word), 4, 1)) - 1)"
+)
+
+
+def _simhash_bits_sql(h16_expr: str, acc: str) -> str:
+    """SUM-aggregate expressions for the 16 sign counters."""
+    return ", ".join(
+        f"sum(((({h16_expr}) // {1 << b}) % 2) * 2 - 1) AS {acc}{b}"
+        for b in range(16)
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+        WITH wordhash AS (
+            SELECT doc_id, ({_HEX_TO_INT_DUCK}) AS h16
+            FROM (
+                SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+                FROM documents
+            )
+        ),
+        counters AS (
+            SELECT doc_id,
+                   {", ".join(f"sum(((h16 // {1 << b}) % 2) * 2 - 1) AS c{b}" for b in range(16))}
+            FROM wordhash GROUP BY doc_id
+        )
+        SELECT doc_id,
+               {" + ".join(f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(16))} AS simhash
+        FROM counters
+    """,
+    description="16-bit SimHash signature per document",
+)
+def dedup_simhash(spark, sf_dir):
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+    )
+    h16 = F.expr(_HEX_TO_INT_SPARK)
+    counters = words.select("doc_id", h16.alias("h16")).groupBy("doc_id").agg(
+        *[
+            F.sum(((F.col("h16") / (1 << b)).cast("long") % 2) * 2 - 1).alias(f"c{b}")
+            for b in range(16)
+        ]
+    )
+    simhash = sum(
+        [F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(16)],
+        start=F.lit(0),
+    )
+    return counters.select("doc_id", simhash.cast("long").alias("simhash"))

@@ -1,0 +1,141 @@
+"""Protection pipeline queries — the reference's core capability as
+DataFrame operators.
+
+The oracle cannot run our cipher, but it can verify the two properties the
+reference itself tests (``encryption_sequencer_test.cpp:260``,
+``dbpa_remote_testapp.cpp:339-581``):
+
+1. **Round-trip identity** — any aggregate over ``unprotect(protect(col))``
+   must equal the same aggregate over the raw column. The Spark side runs
+   the real cipher both ways; the oracle aggregates the raw table.
+2. **Ciphertext shape** — the keystream cipher is length-preserving and the
+   cell layout is ``[1-byte tag][ciphertext]``, so ciphertext sizes are
+   exactly computable in SQL: ``octet_length(value) + 1``.
+
+Both hold per-row with no floating arithmetic, so hash-equality is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.protect import protect_column, unprotect_column
+from ..plans.registry import load, load_events, prep, register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "protect_roundtrip_lineitem",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            count(*) AS n,
+            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
+            sum(l_orderkey) AS sum_orderkey,
+            min(l_returnflag) AS min_flag
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="protect+unprotect 3 lineitem columns, aggregate must equal raw",
+)
+def protect_roundtrip_lineitem(spark, sf_dir):
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey"
+    )
+    df = protect_column(li, "l_extendedprice", "key_price")
+    df = protect_column(df, "l_orderkey", "key_ok")
+    df = protect_column(df, "l_returnflag", "key_flag")
+    df = unprotect_column(df, "l_extendedprice", T.DoubleType(), "key_price")
+    df = unprotect_column(df, "l_orderkey", T.LongType(), "key_ok")
+    df = unprotect_column(df, "l_returnflag", T.StringType(), "key_flag")
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
+        F.sum("l_orderkey").alias("sum_orderkey"),
+        F.min("l_returnflag").alias("min_flag"),
+    )
+
+
+@register(
+    "protect_roundtrip_customer",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            count(*) AS n,
+            sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal,
+            min(c_name) AS min_name,
+            max(c_name) AS max_name
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    description="protect+unprotect PII-like customer columns (string + double)",
+)
+def protect_roundtrip_customer(spark, sf_dir):
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    df = protect_column(c, "c_name", "key_name")
+    df = protect_column(df, "c_acctbal", "key_bal")
+    df = unprotect_column(df, "c_name", T.StringType(), "key_name")
+    df = unprotect_column(df, "c_acctbal", T.DoubleType(), "key_bal")
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+        F.min("c_name").alias("min_name"),
+        F.max("c_name").alias("max_name"),
+    )
+
+
+@register(
+    "protect_roundtrip_events_aes",
+    oracle="""
+        SELECT
+            event_type,
+            count(*) AS n,
+            sum(user_id) AS sum_user,
+            sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events
+        GROUP BY event_type
+    """,
+    description="round-trip with the AES-SIV (real crypto) encryptor",
+)
+def protect_roundtrip_events_aes(spark, sf_dir):
+    prep(spark)
+    e = load_events(spark, sf_dir).select("event_type", "user_id", "value")
+    df = protect_column(e, "user_id", "key_uid", encryptor="aes_siv")
+    df = protect_column(df, "value", "key_val", encryptor="aes_siv")
+    df = unprotect_column(df, "user_id", T.LongType(), "key_uid", encryptor="aes_siv")
+    df = unprotect_column(df, "value", T.DoubleType(), "key_val", encryptor="aes_siv")
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("user_id").alias("sum_user"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+    )
+
+
+@register(
+    "protect_ciphertext_shape",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            count(*) AS n,
+            sum(octet_length(encode(c_name)) + 1) AS ct_name_bytes,
+            sum(9) AS ct_bal_bytes
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    description="ciphertext sizes are exactly predictable: [tag] + keystream(len-preserving)",
+)
+def protect_ciphertext_shape(spark, sf_dir):
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    df = protect_column(c, "c_name", "key_name")
+    df = protect_column(df, "c_acctbal", "key_bal")
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("c_name")).alias("ct_name_bytes"),
+        F.sum(F.length("c_acctbal")).alias("ct_bal_bytes"),
+    )

@@ -1,0 +1,211 @@
+"""Similarity search over the ``embeddings`` table (64-dim float vectors).
+
+Two paths, matching how ANN is deployed at scale:
+
+* **Brute-force cosine top-k** — correctness baseline. The query set is
+  tiny and broadcast; the scan side computes dot products with built-in
+  higher-order functions (``zip_with`` + ``aggregate``) entirely in the
+  JVM, then a per-query window takes top-k. At 100 TB this is one pass
+  over the vectors with no shuffle except the final per-query top-k
+  (bounded rows via TakeOrdered).
+* **LSH-bucketed (sign-random-projection) search** — the scale path: each
+  vector is assigned an 8-bit bucket from the signs of 8 fixed dimensions;
+  search only touches the query's bucket (a pushed-down equality filter).
+  This is the IVF-style trade of recall for a ~256x candidate reduction.
+
+All float math is double-widened and written with the same reduction shape
+in Spark and DuckDB so the oracle hash-matches at round(4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window
+
+from ..plans.registry import load, prep, register
+
+N_QUERIES = 5
+TOP_K = 3
+BUCKET_BITS = 8
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+_DUCK_COS = """
+    list_aggregate(list_transform(range(1, 65),
+        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, 65),
+        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, 65),
+        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')))
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
+                   {_DUCK_COS} AS cos
+            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings) c
+            WHERE c.vec_id <> q.query_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, label,
+                   round(cos, 4) AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, label, cosine, rk
+        FROM ranked WHERE rk <= {TOP_K}
+    """,
+    description="brute-force cosine top-k (broadcast queries, JVM-side math)",
+)
+def similarity_bruteforce_topk(spark, sf_dir):
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        "label",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "label",
+            F.round("cos", 4).alias("cosine"),
+            "rk",
+        )
+    )
+
+
+def bucket_column(col):
+    """Sign-random-projection bucket from the signs of the first 8 dims."""
+    bits = [
+        F.when(F.element_at(col, i + 1) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(BUCKET_BITS)
+    ]
+    return sum(bits[1:], start=bits[0])
+
+
+_DUCK_BUCKET = " + ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(BUCKET_BITS)
+)
+
+
+@register(
+    "similarity_lsh_buckets",
+    oracle=f"""
+        SELECT ({_DUCK_BUCKET}) AS bucket,
+               count(*) AS n_vectors,
+               sum(label) AS sum_label
+        FROM embeddings
+        GROUP BY 1
+    """,
+    description="sign-LSH bucket histogram (the IVF-style coarse quantizer)",
+)
+def similarity_lsh_buckets(spark, sf_dir):
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select(bucket_column(F.col("embedding")).alias("bucket"), "label")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("label").alias("sum_label"))
+    )
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+        WITH tagged AS (
+            SELECT vec_id, label, embedding, ({_DUCK_BUCKET}) AS bucket
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe, bucket FROM tagged
+            WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, c.vec_id AS neighbor_id,
+                   {_DUCK_COS} AS cos
+            FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged) c
+              ON q.bucket = c.bucket AND c.vec_id <> q.query_id
+        )
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+        FROM (
+            SELECT query_id, neighbor_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    description="LSH-bucketed approximate top-k (searches 1/256 of the data)",
+)
+def similarity_lsh_topk(spark, sf_dir):
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        "vec_id", "label", "embedding", bucket_column(F.col("embedding")).alias("bucket")
+    )
+    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        "bucket",
+    )
+    c = tagged.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )

@@ -1,0 +1,213 @@
+"""Text analysis operators over the ``documents`` table.
+
+LLM-training-data pipeline primitives: token counting (whitespace + a
+BPE-ish regex lexer), quality scoring, n-gram language identification, and
+document fingerprinting (exact hash + min-of-shingle-hash winnowing).
+
+All of it is **built-in Spark SQL functions only** — ``split`` /
+``regexp_extract_all`` / ``transform`` / ``aggregate`` / ``md5`` — so the
+whole stage runs inside whole-stage codegen with zero Python; at 100 TB
+these are embarrassingly parallel scans with a final low-cardinality
+aggregate. Every expression is written to evaluate identically in DuckDB
+(the oracle): integer arithmetic and string hashing where possible,
+``round(x, 4)`` where a float ratio is unavoidable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.registry import load, prep, register
+
+# language marker words (scored by whole-word regex match count). The
+# synthetic corpus is vocabulary-uniform, so the interesting property is
+# determinism, not linguistic accuracy; markers are standard stopwords.
+LANG_MARKERS = {
+    "en": r"\b(the|of|and|a)\b",
+    "fr": r"\b(le|la|les|et|une)\b",
+    "es": r"\b(el|los|las|una|y)\b",
+    "de": r"\b(der|die|das|und|ein)\b",
+}
+CJK_PATTERN = "[一-鿿]"
+
+#: BPE-ish lexer: runs of letters | runs of digits | single non-space symbol
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def _tokens(col):
+    """Whitespace token count, empty-safe (identical CASE in the oracle)."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+        SELECT
+            source,
+            count(*) AS n_docs,
+            sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
+            sum(length(text)) AS sum_chars,
+            sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpe_tokens,
+            max(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS max_tokens
+        FROM documents
+        GROUP BY source
+    """,
+    description="token counting (whitespace + BPE-ish lexer) per source",
+)
+def text_token_stats(spark, sf_dir):
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(_tokens(F.col("text"))).alias("sum_tokens"),
+        F.sum(F.length("text")).alias("sum_chars"),
+        F.sum(bpe).alias("sum_bpe_tokens"),
+        F.max(_tokens(F.col("text"))).alias("max_tokens"),
+    )
+
+
+@register(
+    "text_quality_scores",
+    oracle="""
+        SELECT
+            doc_id,
+            n_tokens,
+            round(alpha_ratio, 4) AS alpha_ratio,
+            round(0.5 * least(n_tokens / 50.0, 1.0) + 0.5 * alpha_ratio, 4) AS quality
+        FROM (
+            SELECT
+                doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+                length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                    / greatest(length(text), 1) AS alpha_ratio
+            FROM documents
+        )
+    """,
+    description="per-document quality score (length + alphabetic ratio)",
+)
+def text_quality_scores(spark, sf_dir):
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    n_tokens = _tokens(F.col("text")).alias("n_tokens")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    base = d.select("doc_id", n_tokens, alpha_ratio.alias("alpha_ratio"))
+    quality = (
+        F.lit(0.5) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.5) * F.col("alpha_ratio")
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        F.round("alpha_ratio", 4).alias("alpha_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+def _marker_count(col, pattern: str):
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pattern), 0))
+
+
+def language_guess_column(col):
+    """Deterministic n-gram/stopword language guess with a fixed tie-break
+    order (zh > en > fr > es > de)."""
+    s = {lang: _marker_count(col, pat) for lang, pat in LANG_MARKERS.items()}
+    cjk = F.size(F.regexp_extract_all(col, F.lit(CJK_PATTERN), 0))
+    return (
+        F.when(cjk > 0, F.lit("zh"))
+        .when(
+            (s["en"] >= s["fr"]) & (s["en"] >= s["es"]) & (s["en"] >= s["de"]),
+            F.lit("en"),
+        )
+        .when((s["fr"] >= s["es"]) & (s["fr"] >= s["de"]), F.lit("fr"))
+        .when(s["es"] >= s["de"], F.lit("es"))
+        .otherwise(F.lit("de"))
+    )
+
+
+_LANG_ORACLE_SCORES = """
+            SELECT
+                doc_id,
+                lang,
+                len(regexp_extract_all(lower(text), '\\b(the|of|and|a)\\b')) AS s_en,
+                len(regexp_extract_all(lower(text), '\\b(le|la|les|et|une)\\b')) AS s_fr,
+                len(regexp_extract_all(lower(text), '\\b(el|los|las|una|y)\\b')) AS s_es,
+                len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ein)\\b')) AS s_de,
+                len(regexp_extract_all(text, '[一-鿿]')) AS s_zh
+            FROM documents
+"""
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+        SELECT lang_guess, count(*) AS n_docs,
+               sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS n_match_label
+        FROM (
+            SELECT doc_id, lang,
+                   CASE WHEN s_zh > 0 THEN 'zh'
+                        WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+                        WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+                        WHEN s_es >= s_de THEN 'es'
+                        ELSE 'de' END AS lang_guess
+            FROM ({_LANG_ORACLE_SCORES})
+        )
+        GROUP BY lang_guess
+    """,
+    description="n-gram heuristic language ID, grouped by guess",
+)
+def text_language_id(spark, sf_dir):
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    guessed = d.select(
+        "doc_id", "lang", language_guess_column(F.col("text")).alias("lang_guess")
+    )
+    return guessed.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang_guess") == F.col("lang"), 1).otherwise(0)
+        ).alias("n_match_label"),
+    )
+
+
+@register(
+    "text_fingerprints",
+    oracle="""
+        SELECT
+            doc_id,
+            md5(lower(trim(text))) AS exact_fp,
+            list_aggregate(
+                list_transform(
+                    [array_to_string(w[i:i+4], ' ')
+                     for i in range(1, greatest(len(w) - 4, 1) + 1)],
+                    g -> md5(g)
+                ), 'min') AS winnow_fp
+        FROM (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            , text FROM documents
+        )
+    """,
+    description="exact md5 fingerprint + min-of-5-gram-hash winnowing fingerprint",
+)
+def text_fingerprints(spark, sf_dir):
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
+        F.array_min(F.transform(grams, F.md5)).alias("winnow_fp"),
+    )

@@ -1,0 +1,106 @@
+"""Query registry — the single source of truth for the engine's query
+surface.
+
+Every operator the engine claims is registered here as a named query with
+(a) a Spark implementation ``(spark, sf_dir) -> DataFrame`` and (b) where
+SQL-expressible, an equivalent ANSI-SQL oracle string for DuckDB. The
+driver's correctness gate runs both sides at sf=0.01 and compares
+row-count + schema + order-insensitive value hashes, so every registered
+pair must agree on column NAMES and exact VALUES:
+
+* monetary aggregates go through ``DECIMAL(18,2)`` casts (exact, engine
+  independent) instead of floating sums;
+* unavoidable floating outputs are ``round(x, 4)`` on identically-written
+  expression trees (IEEE ops are bit-deterministic when the expression
+  shape matches);
+* timestamps are emitted as dates or formatted strings, never raw
+  timestamps, to sidestep timezone/precision representation differences.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark_fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    description: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: str | None = None, description: str = ""):
+    """Decorator: register a query implementation with its oracle SQL."""
+
+    def deco(fn):
+        REGISTRY[name] = QuerySpec(name, fn, oracle, description)
+        return fn
+
+    return deco
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(table_path(sf_dir, name))
+
+
+def prep(spark: SparkSession) -> None:
+    """Session settings the oracle comparison depends on; applied at query
+    time because the driver owns the SparkSession."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table with its TIMESTAMP(NANOS) column surfaced as a
+    proper timestamp (micros). Spark reads nanos as long (no nanos type);
+    DuckDB reads them natively — truncation to micros keeps both equal."""
+    from pyspark.sql import functions as F
+
+    e = load(spark, sf_dir, "events")
+    if dict(e.dtypes).get("ts") == "bigint":
+        # integer division: nanos exceed 2^53, float division would drift
+        e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return e
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _ensure_loaded()
+    return {name: spec.spark_fn for name, spec in REGISTRY.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _ensure_loaded()
+    return {
+        name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle
+    }
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from ..operators import (  # noqa: F401
+        dedup,
+        protection,
+        relational,
+        similarity,
+        textops,
+    )
+
+    _LOADED = True
