@@ -107,23 +107,39 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     "dedup_exact_stats",
     oracle="""
         SELECT
-            count(*) AS n_docs,
-            count(DISTINCT text) AS n_distinct_text,
-            count(DISTINCT md5(lower(trim(text)))) AS n_distinct_fp,
-            count(*) - count(DISTINCT md5(lower(trim(text)))) AS n_exact_dups
-        FROM documents
+            sum(cnt) AS n_docs,
+            count(*) AS n_distinct_text,
+            count(DISTINCT fp) AS n_distinct_fp,
+            sum(cnt) - count(DISTINCT fp) AS n_exact_dups
+        FROM (
+            SELECT md5(text) AS h_text, md5(lower(trim(text))) AS fp,
+                   count(*) AS cnt
+            FROM documents
+            GROUP BY 1, 2
+        )
     """,
     description="exact dedup via canonical-fingerprint hash aggregate",
 )
 def dedup_exact_stats(spark, sf_dir):
+    """Two-level aggregate: group on (md5(text), canonical fp) first, so
+    the only shuffle carries 16-byte digests — never document text — and
+    the naive plan's 3x Expand (one copy per DISTINCT) disappears. At
+    100 TB the first level map-side combines to ~n_distinct rows."""
     prep(spark)
     d = load(spark, sf_dir, "documents")
-    fp = F.md5(F.lower(F.trim("text")))
-    return d.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("text").alias("n_distinct_text"),
-        F.countDistinct(fp).alias("n_distinct_fp"),
-        (F.count(F.lit(1)) - F.countDistinct(fp)).alias("n_exact_dups"),
+    g = (
+        d.select(
+            F.md5("text").alias("h_text"),
+            F.md5(F.lower(F.trim("text"))).alias("fp"),
+        )
+        .groupBy("h_text", "fp")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return g.agg(
+        F.sum("cnt").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_distinct_text"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+        (F.sum("cnt") - F.countDistinct("fp")).alias("n_exact_dups"),
     )
 
 
@@ -273,3 +289,83 @@ def dedup_simhash(spark, sf_dir):
         start=F.lit(0),
     )
     return counters.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection
+# ---------------------------------------------------------------------------
+
+from .similarity import _DUCK_BUCKET, _DUCK_COS  # noqa: E402
+
+# the synthetic embeddings are near-orthogonal (max in-bucket cosine
+# ~0.49 at sf0.1), so "near-dup" here means the top ~1% most-similar
+# candidate pairs rather than the ~1.0 of a corpus with true duplicates
+COSINE_DUP_THRESHOLD = 0.35
+
+_EMB_COS_ORACLE = (
+    """
+        WITH tagged AS (
+            SELECT vec_id, embedding, ("""
+    + _DUCK_BUCKET
+    + """) AS bucket
+            FROM embeddings
+        )
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+               round("""
+    + _DUCK_COS
+    + """, 4) AS cosine
+        FROM (SELECT vec_id, embedding AS qe, bucket FROM tagged) a
+        JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged) b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ("""
+    + _DUCK_COS
+    + f""") >= {COSINE_DUP_THRESHOLD}
+    """
+)
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=_EMB_COS_ORACLE,
+    description="embedding-cosine near-dup: sign-LSH bucket candidates, "
+    "exact cosine verify (the MinHash-LSH pattern on dense vectors)",
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Near-duplicate vectors: candidate pairs only form inside a sign-LSH
+    bucket (~256x pair reduction), then exact cosine filters. The only
+    shuffle is the bucket exchange; within-bucket pairing is quadratic in
+    bucket size, which concentration keeps small at scale — the dense-
+    vector analogue of MinHash-LSH banding."""
+    from .similarity import _norm, bucket_column, cosine_prenormed
+
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    tagged = emb.select(
+        "vec_id",
+        "embedding",
+        bucket_column(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
+    )
+    a = tagged.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("norm_a"),
+        "bucket",
+    )
+    b = tagged.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("norm_b"),
+        "bucket",
+    )
+    return (
+        a.join(b, (a.bucket == b.bucket) & (F.col("vec_a") < F.col("vec_b")))
+        .withColumn(
+            "cos",
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("norm_a"), F.col("norm_b")
+            ),
+        )
+        .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
+        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+    )

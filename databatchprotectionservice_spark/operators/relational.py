@@ -527,3 +527,289 @@ def join_outer_order_fill(spark, sf_dir):
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# As-of / range joins — custom operators Spark lacks natively, expressed as
+# compositions of built-in ops (SURVEY §2.2 "custom operators" plan)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_join_last_event",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+               count(*) AS n_purchases,
+               count(c.ts) AS n_matched,
+               sum(epoch_us(c.ts)) AS sum_matched_epoch,
+               sum(CAST(c.value AS DECIMAL(18,2))) AS sum_click_value
+        FROM purchases p ASOF LEFT JOIN clicks c
+          ON p.user_id = c.user_id AND c.ts <= p.ts
+        GROUP BY 1
+    """,
+    description="as-of join: latest click at-or-before each purchase, "
+    "via the union+window composition (one shuffle on the key)",
+)
+def asof_join_last_event(spark, sf_dir):
+    """As-of join without a quadratic or per-key-loop plan: union both
+    sides, one window sorted by (ts, side) per key, ``last(..,
+    ignorenulls)`` carries the most recent click value forward onto each
+    purchase row. Exactly one shuffle (the window partition on user_id) —
+    the strategy that survives 100 TB, unlike a range self-join.
+
+    Clicks are first deduplicated to one row per (user_id, ts) so the
+    at-or-before pick is deterministic under timestamp ties."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("value"))
+        .select(
+            "user_id",
+            F.col("ts").alias("t"),
+            "value",
+            F.lit(1).alias("is_click"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(None).cast("double").alias("value"),
+        F.lit(0).alias("is_click"),
+    )
+    # clicks sort before purchases at equal t, so <= matches include ties
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc(), F.col("is_click").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        clicks.unionByName(purchases)
+        .withColumn("click_value", F.last("value", ignorenulls=True).over(w))
+        .withColumn(
+            "click_ts",
+            F.last(
+                F.when(F.col("is_click") == 1, F.col("t")), ignorenulls=True
+            ).over(w),
+        )
+        .filter(F.col("is_click") == 0)
+    )
+    return joined.groupBy(
+        F.date_format("t", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.count("click_ts").alias("n_matched"),
+        F.sum(F.unix_micros("click_ts")).alias("sum_matched_epoch"),
+        F.sum(F.col("click_value").cast(DEC)).alias("sum_click_value"),
+    )
+
+
+@register(
+    "range_join_click_attribution",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT strftime(p.ts, '%Y-%m-%d') AS day,
+               count(*) AS n_pairs,
+               count(DISTINCT p.user_id) AS n_users,
+               sum(CAST(c.value AS DECIMAL(18,2))) AS sum_click_value
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+        GROUP BY 1
+    """,
+    description="range join: clicks within the hour before each purchase "
+    "(equi-key + range predicate, stays a hash join)",
+)
+def range_join_click_attribution(spark, sf_dir):
+    prep(spark)
+    ev = load_events(spark, sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("value").alias("c_value")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    joined = purchases.join(
+        clicks,
+        (clicks.user_id == purchases.p_user)
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )
+    return joined.groupBy(
+        F.date_format("p_ts", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("p_user").alias("n_users"),
+        F.sum(F.col("c_value").cast(DEC)).alias("sum_click_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouping sets / rollup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    oracle="""
+        SELECT r.r_name AS region, n.n_name AS nation,
+               count(*) AS n_customers,
+               sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+        FROM customer c
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY ROLLUP(r.r_name, n.n_name)
+    """,
+    description="ROLLUP grouping sets over region/nation hierarchy",
+)
+def rollup_revenue(spark, sf_dir):
+    prep(spark)
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    ).join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Additional TPC-H-style queries (q12/q14/q18 analogues on this schema)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_priority_shipping",
+    oracle="""
+        SELECT l.l_returnflag,
+               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS high_line_count,
+               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS low_line_count
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY 1
+    """,
+    description="TPC-H q12 analogue: conditional counts after an equi-join",
+)
+def q12_priority_shipping(spark, sf_dir):
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_discount_share",
+    oracle="""
+        SELECT round(
+            CAST(sum(CASE WHEN l_discount > 0.05
+                 THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))
+                 ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+            / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE)
+            * 100.0, 4) AS discounted_share_pct
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+    """,
+    description="TPC-H q14 analogue: conditional-revenue share ratio",
+)
+def q14_discount_share(spark, sf_dir):
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC)
+    zero = F.lit(0).cast(DEC)
+    agg = li.agg(
+        F.sum(F.when(F.col("l_discount") > 0.05, rev).otherwise(zero)).alias("d"),
+        F.sum(rev).alias("t"),
+    )
+    return agg.select(
+        F.round(
+            F.col("d").cast("double") / F.col("t").cast("double") * 100.0, 4
+        ).alias("discounted_share_pct")
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    oracle="""
+        SELECT c.c_name, o.o_orderkey,
+               strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+               CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice,
+               CAST(t.sum_qty AS DECIMAL(18,2)) AS sum_qty
+        FROM (
+            SELECT l_orderkey, sum(l_quantity) AS sum_qty
+            FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
+        ) t
+        JOIN orders o ON o.o_orderkey = t.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+    """,
+    description="TPC-H q18 analogue: HAVING subquery + join + top-k",
+)
+def q18_large_volume_customers(spark, sf_dir):
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    t = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        t.join(o, o.o_orderkey == t.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            F.col("sum_qty").cast(DEC).alias("sum_qty"),
+        )
+    )

@@ -51,6 +51,13 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_prenormed(a, b, norm_a, norm_b):
+    """Cosine with the norms precomputed per vector (n evaluations)
+    instead of per pair (n^2) — identical float ops and order to
+    :func:`cosine`, so results stay bit-equal to the oracle."""
+    return _dot(a, b) / (norm_a * norm_b)
+
+
 _DUCK_COS = """
     list_aggregate(list_transform(range(1, 65),
         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')
@@ -90,11 +97,14 @@ def similarity_bruteforce_topk(spark, sf_dir):
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"),
     )
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cnorm"),
         "label",
     )
     scored = (
@@ -104,7 +114,9 @@ def similarity_bruteforce_topk(spark, sf_dir):
             "query_id",
             "neighbor_id",
             "label",
-            cosine(F.col("qe"), F.col("ce")).alias("cos"),
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -188,20 +200,34 @@ def similarity_lsh_topk(spark, sf_dir):
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     tagged = emb.select(
-        "vec_id", "label", "embedding", bucket_column(F.col("embedding")).alias("bucket")
+        "vec_id",
+        "label",
+        "embedding",
+        bucket_column(F.col("embedding")).alias("bucket"),
+        _norm(F.col("embedding")).alias("nrm"),
     )
     q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnorm"),
         "bucket",
     )
     c = tagged.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce"), "bucket"
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cnorm"),
+        "bucket",
     )
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qe"), F.col("ce")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
