@@ -38,16 +38,24 @@ HEADLINE = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
+    "q12_priority_shipping",
+    "q18_large_volume_customers",
     "window_top_orders_per_customer",
     "events_hourly_rollup",
+    "asof_join_last_event",
+    "range_join_click_attribution",
+    "rollup_revenue",
     "dedup_exact_stats",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
     "text_token_stats",
     "text_quality_scores",
     "text_fingerprints",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
 ]
 
 

@@ -97,6 +97,7 @@ def _ensure_loaded() -> None:
         return
     from ..operators import (  # noqa: F401
         dedup,
+        multimodal,
         protection,
         relational,
         similarity,

@@ -1,0 +1,139 @@
+"""Multimodal binary-column operators: schema, batch plumbing, cardinality."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from databatchprotectionservice_spark.operators.multimodal import (
+    FRAME_BYTES,
+    decode_media,
+    extract_features,
+    media_table,
+    resize_media,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark, sf_dir):
+    return media_table(spark, sf_dir).cache()
+
+
+def test_media_table_schema(media):
+    fields = dict(media.dtypes)
+    assert fields["payload"] == "binary"
+    assert fields["meta"] == "struct<n_bytes:int,checksum:string>"
+    row = media.first()
+    assert row.meta.n_bytes == len(row.payload)
+
+
+def test_decode_fake_is_deterministic(media):
+    a = {r.doc_id: (r.width, r.height) for r in decode_media(media).collect()}
+    b = {r.doc_id: (r.width, r.height) for r in decode_media(media).collect()}
+    assert a == b
+    assert all(16 <= w < 256 and 16 <= h < 256 for w, h in a.values())
+
+
+def test_decode_real_is_stubbed(media):
+    with pytest.raises(NotImplementedError):
+        decode_media(media, mode="real")
+
+
+def test_decode_matches_reference_sha(media):
+    """The fake decoder's dimensions follow the documented sha256 rule."""
+    src = {r.doc_id: r.payload for r in media.limit(20).collect()}
+    decoded = {
+        r.doc_id: (r.width, r.height)
+        for r in decode_media(media).collect()
+        if r.doc_id in src
+    }
+    for doc_id, payload in src.items():
+        d = hashlib.sha256(payload).digest()
+        assert decoded[doc_id] == (16 + d[0] % 240, 16 + d[1] % 240)
+
+
+def test_resize_caps_max_dimension(media):
+    resized = resize_media(decode_media(media), max_dim=64).collect()
+    assert resized
+    for r in resized:
+        assert max(r.width, r.height) <= 64
+
+
+def test_features_match_python_reference(media):
+    feats = {r.doc_id: r for r in extract_features(media).collect()}
+    for row in media.limit(30).collect():
+        p = bytes(row.payload)
+        f = feats[row.doc_id]
+        assert f.n_bytes == len(p)
+        assert f.n_alpha == sum(1 for b in p if 0x41 <= b <= 0x5A or 0x61 <= b <= 0x7A)
+        assert f.n_digit == sum(1 for b in p if 0x30 <= b <= 0x39)
+        assert f.n_space == sum(1 for b in p if b == 0x20 or 0x09 <= b <= 0x0D)
+        assert f.n_other == f.n_bytes - f.n_alpha - f.n_digit - f.n_space
+
+
+def test_frame_sample_cardinality_and_reassembly(media):
+    frames = sample_frames(media).cache()
+    per_doc = (
+        frames.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.octet_length("frame")).alias("total"),
+        )
+        .collect()
+    )
+    sizes = {r.doc_id: len(r.payload) for r in media.collect()}
+    for r in per_doc:
+        expect_frames = (sizes[r.doc_id] + FRAME_BYTES - 1) // FRAME_BYTES
+        assert r.n == expect_frames
+        assert r.total == sizes[r.doc_id]
+    # reassembling ordered frames restores the payload bit-exactly
+    doc_id = per_doc[0].doc_id
+    got = b"".join(
+        bytes(r.frame)
+        for r in frames.filter(F.col("doc_id") == doc_id)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    src = dict(
+        media.filter(F.col("doc_id") == doc_id)
+        .select("doc_id", "payload")
+        .collect()
+    )
+    assert got == bytes(src[doc_id])
+    frames.unpersist()
+
+
+def test_frame_sample_stride(media):
+    strided = sample_frames(media, stride=2)
+    idxs = [
+        r.frame_idx
+        for r in strided.filter(F.col("doc_id") == media.first().doc_id).collect()
+    ]
+    assert idxs and all(i % 2 == 0 for i in idxs)
+
+
+def test_empty_and_multibatch_plumbing(spark):
+    """Empty payloads and >1 Arrow batch per partition both flow through."""
+    import pandas as pd
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(40),
+                "media_type": ["media/t"] * 40,
+                "payload": [b"" if i % 5 == 0 else bytes([i]) * i for i in range(40)],
+            }
+        )
+        df = spark.createDataFrame(pdf).repartition(2)
+        feats = {r.doc_id: r for r in extract_features(df).collect()}
+        assert len(feats) == 40
+        assert feats[0].n_bytes == 0 and feats[0].n_other == 0
+        assert feats[13].n_bytes == 13
+        frames = sample_frames(df).collect()
+        # empty payloads contribute zero frames
+        assert {r.doc_id for r in frames} == {i for i in range(40) if i % 5 != 0}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
