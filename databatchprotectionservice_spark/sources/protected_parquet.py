@@ -1,0 +1,131 @@
+"""Protected Parquet sink/source — persist datasets with encrypted columns.
+
+The reference splices encrypted page bytes back into Parquet files and
+relies on out-of-band ``encryption_metadata`` to decrypt them later
+(``encryption_sequencer.cpp:152-155``, ``dbpa_interface.h:141-149``). The
+Spark-native equivalent: protected columns are written as ordinary
+``binary`` Parquet columns (so any Parquet reader can still scan the
+file, prune, and push down predicates on the unprotected columns), and the
+decrypt-side configuration — original logical type, key id, encryptor,
+engine version — travels in a JSON sidecar ``_dbps_protection.json``
+next to the data, the file-level analogue of the per-column
+``column_encryption_metadata`` handed to the agent's ``init``.
+
+Writes are plain ``df.write.parquet`` — fully parallel, any partitioning
+— and reads are plain scans plus the vectorized unprotect UDF, so both
+paths keep Spark's whole-stage codegen and scale properties.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from ..core.errors import DBPSInvalidInputError
+from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+from ..functions.protect import protect_column, unprotect_column
+
+SIDECAR_NAME = "_dbps_protection.json"
+
+
+def _sidecar_path(path: str) -> str:
+    return os.path.join(path, SIDECAR_NAME)
+
+
+def write_protected(
+    df: DataFrame,
+    path: str,
+    columns: dict[str, str],
+    encryptor: str = "keystream_xor",
+    mode: str = "error",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Protect ``columns`` (name -> key_id) and write Parquet + sidecar.
+
+    ``partition_by`` columns may not be protected (their values become
+    directory names — protecting them would leak layout while breaking
+    partition pruning).
+    """
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise DBPSInvalidInputError(f"columns not in DataFrame: {missing}")
+    overlap = set(columns) & set(partition_by or [])
+    if overlap:
+        raise DBPSInvalidInputError(
+            f"cannot protect partition columns: {sorted(overlap)}"
+        )
+    col_meta = {}
+    out = df
+    for name, key_id in columns.items():
+        original_type = out.schema[name].dataType
+        out = protect_column(out, name, key_id, encryptor)
+        col_meta[name] = {
+            "key_id": key_id,
+            "original_type": original_type.json(),
+            "encryptor": encryptor,
+        }
+    writer = out.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+    sidecar = {
+        DBPS_VERSION_KEY: DBPS_VERSION,
+        "columns": col_meta,
+    }
+    with open(_sidecar_path(path), "w") as f:
+        json.dump(sidecar, f, indent=2, sort_keys=True)
+
+
+def read_protection_metadata(path: str) -> dict:
+    """Load and validate the sidecar (version check mirrors the decrypt
+    sequencer's ``encryption_sequencer.cpp:335-346``)."""
+    sidecar_path = _sidecar_path(path)
+    if not os.path.exists(sidecar_path):
+        raise DBPSInvalidInputError(
+            f"no {SIDECAR_NAME} found at {path!r}; not a protected dataset"
+        )
+    with open(sidecar_path) as f:
+        meta = json.load(f)
+    version = meta.get(DBPS_VERSION_KEY)
+    if version is None or not str(version).startswith(DBPS_VERSION):
+        raise DBPSInvalidInputError(
+            f"unsupported {DBPS_VERSION_KEY}: {version!r}"
+        )
+    if not isinstance(meta.get("columns"), dict):
+        raise DBPSInvalidInputError("sidecar missing 'columns' map")
+    return meta
+
+
+def read_protected(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+    keep_protected: list[str] | None = None,
+) -> DataFrame:
+    """Read a protected dataset, unprotecting its columns.
+
+    ``columns`` restricts which protected columns to unprotect (default
+    all); ``keep_protected`` names columns to leave as ciphertext (e.g.
+    when the reader's role may not see them — they stay opaque binary).
+    """
+    meta = read_protection_metadata(path)
+    df = spark.read.parquet(path)
+    keep = set(keep_protected or [])
+    targets = meta["columns"] if columns is None else {
+        c: meta["columns"][c] for c in columns
+    }
+    for name, cfg in targets.items():
+        if name in keep:
+            continue
+        if name not in df.columns:
+            raise DBPSInvalidInputError(
+                f"sidecar column {name!r} missing from dataset at {path!r}"
+            )
+        original_type = T._parse_datatype_json_string(cfg["original_type"])
+        df = unprotect_column(
+            df, name, original_type, cfg["key_id"], cfg["encryptor"]
+        )
+    return df
