@@ -101,6 +101,7 @@ def _ensure_loaded() -> None:
         protection,
         relational,
         similarity,
+        streamops,
         textops,
     )
 

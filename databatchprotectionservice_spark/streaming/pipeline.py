@@ -1,0 +1,190 @@
+"""Structured Streaming operators.
+
+The reference is strictly request/response (SURVEY §2.2: no streaming),
+so this module is part of the engine's 100 TB-pipeline extension surface:
+the same protect/unprotect UDFs run unchanged on unbounded inputs
+(stateless column maps never need state stores), plus the two stateful
+shapes every event pipeline needs — watermarked tumbling-window rollups
+and custom sessionization via ``applyInPandasWithState``.
+
+Scale notes: protect-on-stream is per-batch embarrassingly parallel;
+the rollup's only shuffle is the keyed window aggregation whose state is
+bounded by (keys x windows within watermark); sessionization state is one
+small record per active key, evicted on gap timeout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos (legacy parquet NANOS)
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """``readStream`` over the events parquet path (directory, glob, or a
+    single file) with the nanos column surfaced as a proper timestamp
+    (mirrors ``registry.load_events``)."""
+    import os
+
+    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "maxFilesPerTrigger", 1
+    )
+    if os.path.isfile(path):
+        # FileStreamSource requires a directory (or glob) path; a single
+        # file becomes a one-alternative glob so basePath inference lands
+        # on the parent directory
+        head, tail = os.path.split(path)
+        path = os.path.join(head, "{" + tail + "}")
+    stream = reader.parquet(path)
+    return stream.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def protect_stream(
+    stream_df: DataFrame, columns: dict[str, str], encryptor: str = "keystream_xor"
+) -> DataFrame:
+    """Protect columns of a streaming DataFrame — the vectorized UDFs are
+    stateless maps, so they compose with any streaming plan untouched."""
+    from ..functions.protect import protect_column
+
+    out = stream_df
+    for name, key_id in columns.items():
+        out = protect_column(out, name, key_id, encryptor)
+    return out
+
+
+def windowed_event_rollup(
+    stream_df: DataFrame,
+    window_duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window rollup: the streaming form of the
+    batch ``events_hourly_rollup`` query. Late rows beyond the watermark
+    are dropped and window state is evicted — bounded memory at any
+    scale."""
+    return (
+        stream_df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window_duration), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+_SESSION_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+# state: [session_start_us, last_ts_us, n_events]
+_SESSION_STATE = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: int):
+    """Build the ``applyInPandasWithState`` function: splits each user's
+    event stream into sessions separated by > ``gap_seconds`` of
+    inactivity. Closed sessions are emitted as soon as the gap is
+    observed; the trailing open session lives in state and flushes when
+    the event-time watermark passes its gap deadline — deterministic
+    (watermark-driven, not wall-clock) and bounded: one state record per
+    active key."""
+    gap_us = gap_seconds * 1_000_000
+
+    def sessionize(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us = pd.concat(
+            [pdf["ts"] for pdf in batches]
+        ).astype("datetime64[us]").astype("int64").sort_values()
+        if state.exists:
+            start_us, last_us, n = state.get
+        else:
+            start_us = last_us = int(ts_us.iloc[0])
+            n = 0
+        out = {"user_id": [], "session_start": [], "session_end": [], "n_events": []}
+        for t in ts_us:
+            t = int(t)
+            if n and t - last_us > gap_us:
+                out["user_id"].append(user_id)
+                out["session_start"].append(pd.Timestamp(start_us, unit="us"))
+                out["session_end"].append(pd.Timestamp(last_us, unit="us"))
+                out["n_events"].append(n)
+                start_us, n = t, 0
+            last_us = t
+            n += 1
+        state.update((start_us, last_us, n))
+        # flush the open session once event time passes last_ts + gap
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        yield pd.DataFrame(out)
+
+    return sessionize
+
+
+def sessionize_stream(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Custom stateful operator: per-user session windows with a gap
+    timeout — the shape Spark's built-in aggregations can't express
+    (session identity depends on the previous row's time)."""
+    return (
+        stream_df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=_SESSION_OUTPUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

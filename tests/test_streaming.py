@@ -1,0 +1,172 @@
+"""Structured Streaming: protect-on-stream, windowed rollup, sessionization.
+
+Each test runs the streaming plan to completion with an availableNow-style
+trigger into a memory sink and compares against the equivalent batch
+computation on the same data — the streaming analogue of the DuckDB
+oracle discipline.
+"""
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from databatchprotectionservice_spark.functions.protect import unprotect_column
+from databatchprotectionservice_spark.streaming import (
+    protect_stream,
+    read_events_stream,
+    sessionize_stream,
+    windowed_event_rollup,
+)
+
+
+def _run_stream(df, name: str, timeout_s: int = 120):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    return q
+
+
+def _batch_events(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def test_protect_on_stream_roundtrips(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir + "/events.parquet")
+    protected = protect_stream(stream, {"user_id": "kuid", "props": "kp"})
+    q = _run_stream(protected, "prot_stream")
+    try:
+        got = spark.table("prot_stream")
+        assert dict(got.dtypes)["user_id"] == "binary"
+        back = unprotect_column(got, "user_id", T.LongType(), "kuid")
+        back = unprotect_column(back, "props", T.StringType(), "kp")
+        expect = _batch_events(spark, sf_dir)
+        assert back.count() == expect.count()
+        assert (
+            back.agg(F.sum("user_id"), F.min("props"), F.max("props")).collect()
+            == expect.agg(F.sum("user_id"), F.min("props"), F.max("props")).collect()
+        )
+    finally:
+        q.stop()
+
+
+def test_windowed_rollup_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir + "/events.parquet")
+    q = _run_stream(windowed_event_rollup(stream), "rollup_stream")
+    try:
+        got = {
+            (r.hour_bucket, r.event_type): (r.n, r.sum_value)
+            for r in spark.table("rollup_stream").collect()
+        }
+        expect = {
+            (r.hour_bucket, r.event_type): (r.n, r.sum_value)
+            for r in _batch_events(spark, sf_dir)
+            .groupBy(
+                F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00").alias(
+                    "hour_bucket"
+                ),
+                "event_type",
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("sum_value"),
+            )
+            .collect()
+        }
+        # with availableNow + watermark, every window that is strictly
+        # older than (max ts - watermark) must have been finalized; spot
+        # check full equality on the finalized subset and that nothing
+        # emitted disagrees with batch
+        assert got
+        for k, v in got.items():
+            assert expect[k] == v
+    finally:
+        q.stop()
+
+
+@pytest.fixture()
+def session_events(spark, tmp_path):
+    """Two users, known session structure, written as a tiny parquet."""
+    base = 1_700_000_000  # s
+    rows = [(1, base + off) for off in (0, 10, 20, 4000, 4010)]
+    # user 1: session of 3 closed by the 4000s gap; open session of 2
+    rows += [(2, base + off) for off in (0, 5, 9, 12)]
+    # user 2: one burst of 4, flushed by the event-time timeout
+    df = spark.createDataFrame(rows, "user_id long, ts_s long").select(
+        "user_id", F.timestamp_seconds("ts_s").alias("ts")
+    )
+    path = str(tmp_path / "sess_events")
+    df.coalesce(1).write.parquet(path)
+    return path
+
+
+def test_sessionize_stream_emits_closed_sessions(spark, session_events):
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(
+        session_events
+    )
+    name = f"sess_{int(time.time() * 1000)}"
+    q = _run_stream(sessionize_stream(stream, gap_seconds=60), name)
+    try:
+        rows = {
+            (r.user_id, r.n_events, (r.session_end - r.session_start).total_seconds())
+            for r in spark.table(name).collect()
+        }
+        # user 1's first session closes in-batch on the observed gap;
+        # user 2's burst (deadline base+12+60 < final watermark base+4010)
+        # flushes via event-time timeout; user 1's trailing session
+        # (deadline base+4070 > watermark) stays open in state
+        assert rows == {(1, 3, 20.0), (2, 4, 12.0)}
+    finally:
+        q.stop()
+
+
+def test_sessionizer_function_splits_correctly():
+    """Drive the state function directly: gap handling + state carryover."""
+    import pandas as pd
+
+    from databatchprotectionservice_spark.streaming.pipeline import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_at_ms = ms
+
+    fn = make_sessionizer(gap_seconds=60)
+    state = FakeState()
+    ts = pd.Series(
+        pd.to_datetime(
+            [0, 10, 20, 4000, 4010, 8000], unit="s"
+        )
+    )
+    out = pd.concat(list(fn((7,), iter([pd.DataFrame({"ts": ts})]), state)))
+    # sessions: [0..20](3), [4000..4010](2); [8000..] stays open in state
+    assert list(out["n_events"]) == [3, 2]
+    assert state.exists and state.get[2] == 1
+    # timed-out state flushes the open session
+    state.hasTimedOut = True
+    flushed = pd.concat(list(fn((7,), iter([]), state)))
+    assert list(flushed["n_events"]) == [1]
+    assert not state.exists
