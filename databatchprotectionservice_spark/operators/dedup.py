@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -52,16 +52,28 @@ _SHINGLE_ORACLE = """
 
 
 def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, sg, h0..h7): salted-md5 min-hash signature."""
-    df = shingled(docs)
-    for h in range(N_HASHES):
-        df = df.withColumn(
-            f"h{h}",
-            F.array_min(
-                F.transform(F.col("sg"), lambda s, h=h: F.md5(F.concat(F.lit(f"{h}|"), s)))
-            ),
-        )
-    return df
+    """(doc_id, h0..h7): salted-md5 min-hash signature.
+
+    Shape matters at scale: shingles are *exploded* to rows and the 8
+    min-hashes computed as ``min(md5(salt||gram))`` aggregates — md5 and
+    min run inside whole-stage codegen with map-side partial aggregation
+    (8 hashes x shingles collapse to 8 values per doc before the one
+    shuffle). The alternative — 8 interpreted higher-order ``transform``
+    passes over materialized shingle arrays — is CodegenFallback and
+    re-walks each array 8 times. Duplicate shingles don't need
+    dedup first: min() is insensitive to multiplicity."""
+    words = F.split(F.trim("text"), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
+    return exploded.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("gram")))).alias(f"h{h}")
+            for h in range(N_HASHES)
+        ]
+    )
 
 
 def _signature_oracle() -> str:
@@ -126,7 +138,7 @@ def dedup_exact_stats(spark, sf_dir):
     the naive plan's 3x Expand (one copy per DISTINCT) disappears. At
     100 TB the first level map-side combines to ~n_distinct rows."""
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     g = (
         d.select(
             F.md5("text").alias("h_text"),
@@ -178,11 +190,13 @@ def dedup_exact_stats(spark, sf_dir):
 )
 def dedup_minhash_lsh(spark, sf_dir):
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
-    sigs = minhash_signatures(docs).cache()
-    cand = lsh_candidate_pairs(sigs)
-    sa = sigs.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
-    sb = sigs.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    docs = load_spread(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    # exact-Jaccard verification only touches candidate docs; the shingle
+    # arrays are built once per joined side and never shuffled globally
+    sh = shingled(docs)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
     jac = F.size(F.array_intersect("sg_a", "sg_b")) * F.lit(1.0) / F.size(
         F.array_union("sg_a", "sg_b")
     )
@@ -210,7 +224,7 @@ def dedup_minhash_lsh(spark, sf_dir):
 )
 def dedup_ngram_jaccard(spark, sf_dir):
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     sh = shingled(docs)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
@@ -272,7 +286,7 @@ def _simhash_bits_sql(h16_expr: str, acc: str) -> str:
 )
 def dedup_simhash(spark, sf_dir):
     prep(spark)
-    docs = load(spark, sf_dir, "documents")
+    docs = load_spread(spark, sf_dir, "documents")
     words = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
@@ -339,7 +353,7 @@ def dedup_embedding_cosine(spark, sf_dir):
     from .similarity import _norm, bucket_column, cosine_prenormed
 
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     tagged = emb.select(
         "vec_id",
         "embedding",

@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 FRAME_BYTES = 256  # fake "frame" stride for the video-style sampler
 
@@ -38,7 +38,7 @@ def media_table(spark, sf_dir: str) -> DataFrame:
     encoding of ``text`` — an opaque blob as far as every operator below
     is concerned, but one whose properties SQL oracles can recompute.
     """
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
         F.concat(F.lit("media/"), F.col("source")).alias("media_type"),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 N_QUERIES = 5
 TOP_K = 3
@@ -95,7 +95,7 @@ _DUCK_COS = """
 )
 def similarity_bruteforce_topk(spark, sf_dir):
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -161,7 +161,7 @@ _DUCK_BUCKET = " + ".join(
 )
 def similarity_lsh_buckets(spark, sf_dir):
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     return (
         emb.select(bucket_column(F.col("embedding")).alias("bucket"), "label")
         .groupBy("bucket")
@@ -198,7 +198,7 @@ def similarity_lsh_buckets(spark, sf_dir):
 )
 def similarity_lsh_topk(spark, sf_dir):
     prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
+    emb = load_spread(spark, sf_dir, "embeddings")
     tagged = emb.select(
         "vec_id",
         "label",

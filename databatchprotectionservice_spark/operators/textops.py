@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 # language marker words (scored by whole-word regex match count). The
 # synthetic corpus is vocabulary-uniform, so the interesting property is
@@ -61,7 +61,7 @@ def _tokens(col):
 )
 def text_token_stats(spark, sf_dir):
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(BPE_PATTERN), 0))
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -94,7 +94,7 @@ def text_token_stats(spark, sf_dir):
 )
 def text_quality_scores(spark, sf_dir):
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     n_tokens = _tokens(F.col("text")).alias("n_tokens")
     alpha_ratio = (
         F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
@@ -167,7 +167,7 @@ _LANG_ORACLE_SCORES = """
 )
 def text_language_id(spark, sf_dir):
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     guessed = d.select(
         "doc_id", "lang", language_guess_column(F.col("text")).alias("lang_guess")
     )
@@ -200,7 +200,7 @@ def text_language_id(spark, sf_dir):
 )
 def text_fingerprints(spark, sf_dir):
     prep(spark)
-    d = load(spark, sf_dir, "documents")
+    d = load_spread(spark, sf_dir, "documents")
     words = F.split(F.trim("text"), r"\s+")
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1))),

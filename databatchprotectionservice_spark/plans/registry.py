@@ -55,6 +55,22 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
+def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a table and guarantee at least core-count partitions.
+
+    Small single-file tables scan as ONE partition, serializing every
+    downstream per-row stage onto one core. For compute-heavy operators
+    (shingling, hashing, vector math) a round-robin repartition of a few
+    MB buys full parallelism. Guarded so a table that already has enough
+    partitions (the 100 TB case — thousands of files) is left untouched:
+    no shuffle is ever added at scale."""
+    df = load(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 def prep(spark: SparkSession) -> None:
     """Session settings the oracle comparison depends on; applied at query
     time because the driver owns the SparkSession."""
