@@ -131,11 +131,18 @@ class KeystreamXorEncryptor(Encryptor):
             return flat.copy()
         lengths = np.diff(offsets)
         max_len = int(lengths.max()) if lengths.size else 0
+        min_len = int(lengths.min()) if lengths.size else 0
         ks = self._keystream(max_len)
-        # position of every byte within its element, fully vectorized
-        pos = np.arange(flat.size, dtype=np.int64) - np.repeat(
-            offsets[:-1], lengths
-        )
+        if max_len == min_len:
+            # uniform width (every fixed-size type): broadcast against the
+            # keystream row — no per-byte position array, memory-bandwidth
+            return (flat.reshape(-1, max_len) ^ ks).reshape(-1)
+        # variable width: position of every byte within its element.
+        # int32 halves the gather/index memory traffic (an Arrow batch is
+        # always < 2^31 bytes)
+        starts32 = offsets[:-1].astype(np.int32, copy=False)
+        pos = np.arange(flat.size, dtype=np.int32)
+        pos -= np.repeat(starts32, lengths)
         return flat ^ ks[pos]
 
     def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
@@ -145,12 +152,26 @@ class KeystreamXorEncryptor(Encryptor):
 
 
 def _gen_keystream(seed: int, n: int) -> np.ndarray:
-    out = np.empty(n, dtype=np.uint8)
+    """Generate n stream bytes. The state update saturates into a short
+    cycle (empirically entered within ~64 steps with a 32-step period for
+    every seed), so the stream is materialized as prefix + tiled cycle —
+    byte-identical to stepping the recurrence n times, but O(cycle)
+    Python work instead of O(n), which is what lets multi-MB per-block
+    payloads run at memory bandwidth."""
+    prefix: list[int] = []
+    seen: dict[int, int] = {}
     k = seed
-    for i in range(n):
-        out[i] = k & 0xFF
+    while k not in seen and len(prefix) < n:
+        seen[k] = len(prefix)
+        prefix.append(k & 0xFF)
         k = _keystream_step(k)
-    return out
+    if len(prefix) >= n:
+        return np.array(prefix[:n], dtype=np.uint8)
+    start = seen[k]
+    head = np.array(prefix[:start], dtype=np.uint8)
+    cycle = np.array(prefix[start:], dtype=np.uint8)
+    reps = -((start - n) // len(cycle))  # ceil((n - start) / len(cycle))
+    return np.concatenate([head, np.tile(cycle, reps)])[:n]
 
 
 @functools.lru_cache(maxsize=64)

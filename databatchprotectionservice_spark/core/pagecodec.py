@@ -31,6 +31,7 @@ from . import compression as comp
 from .errors import DBPSInvalidInputError, DBPSUnsupportedError
 from .keystream import Encryptor, make_encryptor
 from .types import CompressionCodec, Encoding, PhysicalType
+from . import wire
 from .wire import (
     join_with_length_prefix,
     read_value_list,
@@ -361,25 +362,8 @@ def reinterpret_value_bytes(
 
     flat = np.frombuffer(value_bytes, dtype=np.uint8)
     if datatype == PhysicalType.BYTE_ARRAY:
-        # walk [u32 len][bytes] records to build offsets
-        offsets = np.empty(num_elements + 1, dtype=np.int64)
-        offsets[0] = 0
-        pos = 0
-        parts = []
-        for i in range(num_elements):
-            if pos + 4 > len(value_bytes):
-                raise DBPSInvalidInputError("truncated BYTE_ARRAY length prefix")
-            n = int.from_bytes(value_bytes[pos : pos + 4], "little")
-            pos += 4
-            if pos + n > len(value_bytes):
-                raise DBPSInvalidInputError("truncated BYTE_ARRAY value")
-            parts.append(flat[pos : pos + n])
-            offsets[i + 1] = offsets[i] + n
-            pos += n
-        if pos != len(value_bytes):
-            raise DBPSInvalidInputError("trailing bytes after BYTE_ARRAY values")
-        packed = (
-            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+        packed, offsets = wire.parse_length_prefixed(
+            flat, num_elements, what="BYTE_ARRAY values"
         )
         return packed, offsets, None
 

@@ -35,6 +35,47 @@ _U32 = struct.Struct("<I")
 U32_MAX = (1 << 32) - 1
 
 
+def parse_length_prefixed(
+    body: bytes | np.ndarray, count: int, what: str = "value list"
+) -> tuple[np.ndarray, np.ndarray]:
+    """Parse ``count`` back-to-back ``[u32 len][bytes]`` records into the
+    Arrow-style (flat uint8, int64 offsets) pair.
+
+    The record starts are data-dependent (each depends on every previous
+    length), so the length walk is inherently sequential — but it is the
+    ONLY sequential part: payload extraction is one vectorized masked
+    copy instead of per-element slicing + concatenate, which is what
+    keeps multi-MB string batches off the Python hot path."""
+    buf = (
+        np.frombuffer(body, dtype=np.uint8)
+        if not isinstance(body, np.ndarray)
+        else body
+    )
+    raw = buf.tobytes()
+    size = len(raw)
+    lengths = np.empty(count, dtype=np.int64)
+    pos = 0
+    for i in range(count):
+        if pos + 4 > size:
+            raise DBPSInvalidInputError(f"truncated {what} length prefix")
+        (n,) = _U32.unpack_from(raw, pos)
+        pos += 4 + n
+        lengths[i] = n
+    if pos != size:
+        if pos > size:
+            raise DBPSInvalidInputError(f"truncated {what} element")
+        raise DBPSInvalidInputError(f"trailing bytes after {what}")
+    offsets = np.empty(count + 1, dtype=np.int64)
+    offsets[0] = 0
+    np.cumsum(lengths, out=offsets[1:])
+    # drop the 4 header bytes before each record in one masked copy
+    header_starts = offsets[:-1] + 4 * np.arange(count, dtype=np.int64)
+    keep = np.ones(size, dtype=bool)
+    for j in range(4):
+        keep[header_starts + j] = False
+    return buf[keep], offsets
+
+
 def write_value_list(
     flat: np.ndarray, offsets: np.ndarray, fixed_size: int | None
 ) -> bytes:
@@ -96,24 +137,8 @@ def read_value_list(data: bytes) -> tuple[np.ndarray, np.ndarray, int | None]:
         return flat, offsets, size
     if tag == TAG_VARIABLE:
         body = np.frombuffer(data, dtype=np.uint8, offset=5)
-        offsets = np.empty(count + 1, dtype=np.int64)
-        offsets[0] = 0
-        parts = []
-        pos = 0
-        for i in range(count):
-            if pos + 4 > body.size:
-                raise DBPSInvalidInputError("truncated variable value list")
-            (n,) = _U32.unpack_from(body, pos)
-            pos += 4
-            if pos + n > body.size:
-                raise DBPSInvalidInputError("truncated variable element")
-            parts.append(body[pos : pos + n])
-            offsets[i + 1] = offsets[i] + n
-            pos += n
-        if pos != body.size:
-            raise DBPSInvalidInputError("trailing bytes after variable value list")
-        flat = (
-            np.concatenate(parts) if parts else np.empty(0, dtype=np.uint8)
+        flat, offsets = parse_length_prefixed(
+            body, count, what="variable value list"
         )
         return flat, offsets, None
     raise DBPSInvalidInputError(f"unknown value-list tag: {tag:#x}")
