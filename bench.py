@@ -74,6 +74,9 @@ def main() -> None:
     # pay one-time session startup costs
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
+    # two passes, min per query: the first pass eats codegen/Python-worker
+    # warmup and the min damps background-load noise on the shared rig
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -81,16 +84,19 @@ def main() -> None:
         if fn is None:
             timings[name] = -1.0
             continue
-        t0 = time.time()
+        best = -1.0
         try:
-            fn(spark, sf_dir).collect()
-            dt = time.time() - t0
+            for _ in range(runs):
+                t0 = time.time()
+                fn(spark, sf_dir).collect()
+                dt = time.time() - t0
+                best = dt if best < 0 else min(best, dt)
         except Exception as e:  # noqa: BLE001 - report, don't die mid-bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
-            dt = -1.0
-        timings[name] = round(dt, 3)
-        if dt > 0:
-            total += dt
+            best = -1.0
+        timings[name] = round(best, 3)
+        if best > 0:
+            total += best
 
     print(
         json.dumps(

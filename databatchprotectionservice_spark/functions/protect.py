@@ -59,7 +59,18 @@ _SPARK_TO_PHYSICAL: dict[str, tuple[PhysicalType, np.dtype | None, pa.DataType]]
 }
 
 
+DECIMAL_WIDTH = 16  # decimal128 backing, the FIXED_LEN_BYTE_ARRAY analogue
+
+
 def _physical_for(spark_type: T.DataType):
+    if isinstance(spark_type, T.DecimalType):
+        # Spark decimals are Parquet FIXED_LEN_BYTE_ARRAY-backed; protect
+        # them as 16-byte fixed cells over the Arrow decimal128 buffer
+        return (
+            PhysicalType.FIXED_LEN_BYTE_ARRAY,
+            np.dtype("<i8"),  # unused marker; decimal takes the raw path
+            pa.decimal128(spark_type.precision, spark_type.scale),
+        )
     entry = _SPARK_TO_PHYSICAL.get(spark_type.typeName())
     if entry is None:
         raise DBPSInvalidInputError(
@@ -101,6 +112,22 @@ def _fixed_as_flat_offsets(arr: pa.Array, dtype: np.dtype, pa_type: pa.DataType)
     flat = np_vals.view(np.uint8).reshape(-1)
     width = dtype.itemsize
     offsets = np.arange(len(arr) + 1, dtype=np.int64) * width
+    return flat, offsets
+
+
+def _decimal_as_flat_offsets(arr: pa.Array, pa_type: pa.DataType):
+    """Decimal128 array -> (flat uint8 over the 16-byte value buffer,
+    uniform offsets). Null slots zero-filled like the other fixed paths."""
+    import decimal
+
+    arr = arr.cast(pa_type)
+    if arr.null_count:
+        arr = arr.fill_null(decimal.Decimal(0))
+    buf = arr.buffers()[1]
+    flat = np.frombuffer(buf, dtype=np.uint8)[
+        arr.offset * DECIMAL_WIDTH : (arr.offset + len(arr)) * DECIMAL_WIDTH
+    ]
+    offsets = np.arange(len(arr) + 1, dtype=np.int64) * DECIMAL_WIDTH
     return flat, offsets
 
 
@@ -180,7 +207,9 @@ def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
     def _protect(arr: pa.Array) -> pa.Array:
         arr = _compact(arr)
         enc = make_encryptor(encryptor_name, key_id)
-        if dtype is None:
+        if pa.types.is_decimal(pa_type):
+            flat, offsets = _decimal_as_flat_offsets(arr, pa_type)
+        elif dtype is None:
             flat, offsets = _array_as_flat_offsets(arr)
         else:
             flat, offsets = _fixed_as_flat_offsets(arr, dtype, pa_type)
@@ -220,7 +249,7 @@ def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str
             return out
         # fixed-width: null cells carry no payload through Spark, so rebuild
         # the dense value buffer from the validity mask
-        width = dtype.itemsize
+        width = DECIMAL_WIDTH if pa.types.is_decimal(pa_type) else dtype.itemsize
         lengths = np.diff(offsets)
         valid_mask = np.asarray(arr.is_valid())
         if not np.all(lengths[valid_mask] == width):
@@ -234,6 +263,10 @@ def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str
                 + np.arange(width, dtype=np.int64)[None, :]
             ).ravel()
             full[valid_mask] = flat[src].reshape(-1, width)
+        if pa.types.is_decimal(pa_type):
+            return pa.Array.from_buffers(
+                pa_type, n, [validity, pa.py_buffer(full.tobytes())]
+            )
         vals = np.frombuffer(full.tobytes(), dtype=dtype)
         if type_name == "boolean":
             return _with_validity(pa.array(vals.astype(bool)), validity, n)

@@ -139,3 +139,35 @@ def protect_ciphertext_shape(spark, sf_dir):
         F.sum(F.length("c_name")).alias("ct_name_bytes"),
         F.sum(F.length("c_acctbal")).alias("ct_bal_bytes"),
     )
+
+
+@register(
+    "protect_roundtrip_decimal",
+    oracle="""
+        SELECT
+            l_returnflag,
+            count(*) AS n,
+            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
+            min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_dec,
+            max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_dec
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    description="protect+unprotect a DECIMAL column (FIXED_LEN_BYTE_ARRAY "
+    "backing, 16-byte decimal128 cells)",
+)
+def protect_roundtrip_decimal(spark, sf_dir):
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
+    )
+    dec_type = T.DecimalType(12, 2)
+    df = protect_column(li, "price_dec", "key_dec")
+    df = unprotect_column(df, "price_dec", dec_type, "key_dec")
+    return df.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("price_dec").cast("decimal(12,2)").alias("sum_dec"),
+        F.min("price_dec").alias("min_dec"),
+        F.max("price_dec").alias("max_dec"),
+    )

@@ -171,3 +171,46 @@ def test_unsupported_type_rejected(spark):
     df = spark.range(3).select(F.array(F.col("id")).alias("a"))
     with pytest.raises(DBPSInvalidInputError):
         protect_column(df, "a", "key_A")
+
+
+def test_decimal_roundtrip_with_nulls(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from databatchprotectionservice_spark.functions.protect import (
+        protect_column,
+        unprotect_column,
+    )
+
+    rows = [(Decimal("12345.67"),), (None,), (Decimal("-0.01"),), (Decimal("0"),)]
+    df = spark.createDataFrame(rows, T.StructType(
+        [T.StructField("d", T.DecimalType(12, 2))]
+    ))
+    prot = protect_column(df, "d", "kd")
+    assert dict(prot.dtypes)["d"] == "binary"
+    cells = [r.d for r in prot.collect()]
+    assert cells[1] is None  # null stays null
+    assert all(c is not None and len(c) == 17 for i, c in enumerate(cells) if i != 1)
+    back = unprotect_column(prot, "d", T.DecimalType(12, 2), "kd")
+    assert [r.d for r in back.collect()] == [r[0] for r in rows]
+
+
+def test_decimal_roundtrip_aes(spark):
+    from decimal import Decimal
+
+    from pyspark.sql import types as T
+
+    from databatchprotectionservice_spark.functions.protect import (
+        protect_column,
+        unprotect_column,
+    )
+
+    rows = [(Decimal("99999999.99"),), (Decimal("-99999999.99"),)]
+    df = spark.createDataFrame(rows, T.StructType(
+        [T.StructField("d", T.DecimalType(10, 2))]
+    ))
+    prot = protect_column(df, "d", "kd", encryptor="aes_siv")
+    back = unprotect_column(prot, "d", T.DecimalType(10, 2), "kd", encryptor="aes_siv")
+    assert [r.d for r in back.collect()] == [r[0] for r in rows]
