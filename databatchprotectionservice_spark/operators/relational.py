@@ -813,3 +813,74 @@ def q18_large_volume_customers(spark, sf_dir):
             F.col("sum_qty").cast(DEC).alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-aware aggregation + spark.sql surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "skew_salted_heavy_hitters",
+    oracle="""
+        SELECT user_id, count(*) AS n_events,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM events
+        GROUP BY user_id
+        ORDER BY n_events DESC, user_id
+        LIMIT 10
+    """,
+    description="salted two-phase aggregation: skewed keys pre-combined "
+    "on (key, salt) before the final per-key exchange",
+)
+def skew_salted_heavy_hitters(spark, sf_dir):
+    """Heavy-hitter counting with explicit salt: phase 1 aggregates on
+    (user_id, salt16) so one hot user's rows split across 16 reducers;
+    phase 2 combines the 16 partials per user. Same result as a direct
+    groupBy, but the first exchange is skew-free by construction —
+    the manual form of what AQE skew handling does for joins. The final
+    top-k is a TakeOrdered, not a global sort."""
+    e = load_events(spark, sf_dir)
+    salted = e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+    phase1 = salted.groupBy("user_id", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast(DEC)).alias("pv"),
+    )
+    phase2 = phase1.groupBy("user_id").agg(
+        F.sum("pn").alias("n_events"),
+        F.sum("pv").cast(DEC).alias("sum_value"),
+    )
+    return phase2.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
+
+
+@register(
+    "sql_q1_via_views",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    description="the SQL-text interface: spark.sql over registered views",
+)
+def sql_q1_via_views(spark, sf_dir):
+    """Queries are also expressible as ANSI SQL text over the catalog's
+    temp views — same Catalyst plan as the DataFrame form."""
+    from ..sources.catalog import load_table
+
+    prep(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
