@@ -42,13 +42,22 @@ def write_protected(
     encryptor: str = "keystream_xor",
     mode: str = "error",
     partition_by: list[str] | None = None,
+    data_format: str = "parquet",
 ) -> None:
-    """Protect ``columns`` (name -> key_id) and write Parquet + sidecar.
+    """Protect ``columns`` (name -> key_id) and write data + sidecar.
+
+    ``data_format`` is ``parquet`` (ciphertext as native binary), or
+    ``json``/``csv`` — text formats can't carry binary, so ciphertext
+    cells travel base64-encoded, exactly like the reference's JSON
+    transport (``json_request.cpp:123-144``); the sidecar records the
+    encoding so reads reverse it.
 
     ``partition_by`` columns may not be protected (their values become
     directory names — protecting them would leak layout while breaking
     partition pruning).
     """
+    if data_format not in ("parquet", "json", "csv"):
+        raise DBPSInvalidInputError(f"unsupported format: {data_format!r}")
     missing = [c for c in columns if c not in df.columns]
     if missing:
         raise DBPSInvalidInputError(f"columns not in DataFrame: {missing}")
@@ -57,11 +66,16 @@ def write_protected(
         raise DBPSInvalidInputError(
             f"cannot protect partition columns: {sorted(overlap)}"
         )
+    from pyspark.sql import functions as F
+
+    base64_cells = data_format != "parquet"
     col_meta = {}
     out = df
     for name, key_id in columns.items():
         original_type = out.schema[name].dataType
         out = protect_column(out, name, key_id, encryptor)
+        if base64_cells:
+            out = out.withColumn(name, F.base64(F.col(name)))
         col_meta[name] = {
             "key_id": key_id,
             "original_type": original_type.json(),
@@ -70,9 +84,13 @@ def write_protected(
     writer = out.write.mode(mode)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
-    writer.parquet(path)
+    if data_format == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, data_format)(path)
     sidecar = {
         DBPS_VERSION_KEY: DBPS_VERSION,
+        "format": data_format,
+        "cell_encoding": "base64" if base64_cells else "binary",
         "columns": col_meta,
     }
     with open(_sidecar_path(path), "w") as f:
@@ -111,8 +129,15 @@ def read_protected(
     all); ``keep_protected`` names columns to leave as ciphertext (e.g.
     when the reader's role may not see them — they stay opaque binary).
     """
+    from pyspark.sql import functions as F
+
     meta = read_protection_metadata(path)
-    df = spark.read.parquet(path)
+    data_format = meta.get("format", "parquet")
+    base64_cells = meta.get("cell_encoding") == "base64"
+    reader = spark.read
+    if data_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = getattr(reader, data_format)(path)
     keep = set(keep_protected or [])
     targets = meta["columns"] if columns is None else {
         c: meta["columns"][c] for c in columns
@@ -124,6 +149,8 @@ def read_protected(
             raise DBPSInvalidInputError(
                 f"sidecar column {name!r} missing from dataset at {path!r}"
             )
+        if base64_cells:
+            df = df.withColumn(name, F.unbase64(F.col(name)))
         original_type = T._parse_datatype_json_string(cfg["original_type"])
         df = unprotect_column(
             df, name, original_type, cfg["key_id"], cfg["encryptor"]

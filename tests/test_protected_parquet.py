@@ -116,3 +116,37 @@ def test_aes_siv_roundtrip(spark, customer, tmp_path):
     back = read_protected(spark, path)
     cols = ["c_custkey", "c_name"]
     assert _rows(back, cols) == _rows(customer, cols)
+
+
+@pytest.mark.parametrize("fmt", ["json", "csv"])
+def test_text_format_roundtrip_base64_cells(spark, customer, tmp_path, fmt):
+    """Text formats carry ciphertext base64-encoded (reference JSON
+    transport parity); values and types still round-trip."""
+    path = str(tmp_path / f"prot_{fmt}")
+    write_protected(
+        customer.select("c_custkey", "c_name"),
+        path,
+        {"c_name": "k1"},
+        mode="overwrite",
+        data_format=fmt,
+    )
+    import json as _json
+    import os
+
+    meta = _json.load(open(os.path.join(path, "_dbps_protection.json")))
+    assert meta["cell_encoding"] == "base64"
+    back = read_protected(spark, path)
+    assert dict(back.dtypes)["c_name"] == "string"
+    got = sorted((int(r.c_custkey), r.c_name) for r in back.collect())
+    want = sorted(
+        (r.c_custkey, r.c_name)
+        for r in customer.select("c_custkey", "c_name").collect()
+    )
+    assert got == want
+
+
+def test_unknown_format_rejected(customer, tmp_path):
+    with pytest.raises(DBPSInvalidInputError):
+        write_protected(
+            customer, str(tmp_path / "bad"), {"c_name": "k"}, data_format="xml"
+        )
