@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_embedding_cosine",
+    "dedup_connected_clusters",
     "similarity_bruteforce_topk",
     "similarity_lsh_topk",
     "text_token_stats",

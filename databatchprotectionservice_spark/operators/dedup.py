@@ -383,3 +383,105 @@ def dedup_embedding_cosine(spark, sf_dir):
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
         .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-duplicate clustering: connected components over candidate pairs
+# ---------------------------------------------------------------------------
+
+_CC_ORACLE = f"""
+        WITH RECURSIVE sigs AS ({_signature_oracle()}),
+        bands AS (
+            SELECT doc_id, b.band_idx, b.band_hash
+            FROM sigs, LATERAL (
+                SELECT * FROM (VALUES
+                    (0, md5(h0 || h1)),
+                    (1, md5(h2 || h3)),
+                    (2, md5(h4 || h5)),
+                    (3, md5(h6 || h7))
+                ) AS t(band_idx, band_hash)
+            ) b
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        und AS (
+            SELECT doc_a AS a, doc_b AS b FROM cand
+            UNION
+            SELECT doc_b, doc_a FROM cand
+        ),
+        closure(a, b) AS (
+            SELECT a, b FROM und
+            UNION
+            SELECT c.a, u.b FROM closure c JOIN und u ON c.b = u.a
+        )
+        SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+        FROM closure GROUP BY a
+"""
+
+
+@register(
+    "dedup_connected_clusters",
+    oracle=_CC_ORACLE,
+    description="iterative min-label propagation: connected components "
+    "over LSH candidate pairs (recursive-CTE oracle)",
+)
+def dedup_connected_clusters(spark, sf_dir):
+    """Cluster near-duplicate candidates into components, assigning each
+    doc the minimum doc_id of its component — the 'keep one per cluster'
+    primitive of a dedup pipeline.
+
+    Iterative min-label propagation: each round, every node takes the min
+    of its own and its neighbors' labels; converge when a round changes
+    nothing. Rounds are bounded by component diameter (LSH near-dup
+    clusters are tiny), and each round is one join + one aggregate, both
+    on the (small) edge set — the standard large-scale connected-
+    components shape, no driver-side per-node work."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    und = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    und = und.cache()
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("rep", F.col("node"))
+    )
+    for _ in range(20):
+        neighbor_min = (
+            und.join(labels, und.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("rep").alias("nrep"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
+                ).alias("rep"),
+            )
+        )
+        new_labels = new_labels.cache()
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.rep") != F.col("o.rep"))
+            .count()
+        )
+        labels.unpersist() if hasattr(labels, "unpersist") else None
+        labels = new_labels
+        if changed == 0:
+            break
+    und.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
+    )
