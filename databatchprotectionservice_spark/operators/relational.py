@@ -884,3 +884,72 @@ def sql_q1_via_views(spark, sf_dir):
         GROUP BY l_returnflag, l_linestatus
         """
     )
+
+
+@register(
+    "cube_order_stats",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n,
+               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        FROM orders
+        GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    description="CUBE grouping sets (all 4 combinations)",
+)
+def cube_order_stats(spark, sf_dir):
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"),
+    )
+
+
+@register(
+    "median_order_value",
+    oracle="""
+        WITH ranked AS (
+            SELECT o_orderpriority,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+                   row_number() OVER (PARTITION BY o_orderpriority
+                                      ORDER BY o_totalprice, o_orderkey) AS rk,
+                   count(*) OVER (PARTITION BY o_orderpriority) AS cnt
+            FROM orders
+        )
+        SELECT o_orderpriority,
+               min(cnt) AS n_orders,
+               min(price) AS median_price
+        FROM ranked
+        WHERE rk = (cnt + 1) // 2
+        GROUP BY o_orderpriority
+    """,
+    description="exact distributed median via rank selection (no "
+    "interpolation-semantics drift between engines)",
+)
+def median_order_value(spark, sf_dir):
+    """Exact median without relying on percentile interpolation semantics
+    (which differ subtly across engines): rank within each group and pick
+    the lower-middle element deterministically. One shuffle (the window
+    partition); at scale the rank selection is the textbook distributed
+    exact-quantile when approx_percentile's error bound isn't acceptable."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderpriority")
+    ranked = o.select(
+        "o_orderpriority",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("cnt"),
+    )
+    return (
+        ranked.filter(F.col("rk") == ((F.col("cnt") + 1) / 2).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.min("cnt").alias("n_orders"),
+            F.min("price").alias("median_price"),
+        )
+    )
