@@ -188,3 +188,58 @@ def sessionize_stream(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def write_protected_stream(
+    stream_df: DataFrame,
+    path: str,
+    columns: dict[str, str],
+    checkpoint: str,
+    encryptor: str = "keystream_xor",
+    trigger_available_now: bool = True,
+):
+    """Protect columns of a stream and write it as a protected parquet
+    dataset (same sidecar contract as the batch
+    ``sources.protected_parquet.write_protected``, so ``read_protected``
+    opens the result). Returns the StreamingQuery; caller awaits it.
+
+    Scale shape: the protect UDFs are stateless maps, so the stream plan
+    is source -> ArrowEvalPython -> file sink with no state store; file
+    commits happen per micro-batch via the normal streaming file-sink
+    log."""
+    import json
+    import os
+
+    from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+
+    out = stream_df
+    col_meta = {}
+    for name, key_id in columns.items():
+        original_type = out.schema[name].dataType
+        from ..functions.protect import protect_column
+
+        out = protect_column(out, name, key_id, encryptor)
+        col_meta[name] = {
+            "key_id": key_id,
+            "original_type": original_type.json(),
+            "encryptor": encryptor,
+        }
+    writer = (
+        out.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    query = writer.start()
+    os.makedirs(path, exist_ok=True)
+    sidecar = {
+        DBPS_VERSION_KEY: DBPS_VERSION,
+        "format": "parquet",
+        "cell_encoding": "binary",
+        "columns": col_meta,
+    }
+    with open(os.path.join(path, "_dbps_protection.json"), "w") as f:
+        json.dump(sidecar, f, indent=2, sort_keys=True)
+    return query

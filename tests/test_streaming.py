@@ -170,3 +170,32 @@ def test_sessionizer_function_splits_correctly():
     flushed = pd.concat(list(fn((7,), iter([]), state)))
     assert list(flushed["n_events"]) == [1]
     assert not state.exists
+
+
+def test_write_protected_stream_readable_by_batch(spark, sf_dir, tmp_path):
+    """Stream -> protect -> parquet files; the batch read_protected
+    opens the result and restores the original values."""
+    from databatchprotectionservice_spark.sources.protected_parquet import (
+        read_protected,
+    )
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        write_protected_stream,
+    )
+
+    stream = read_events_stream(spark, sf_dir + "/events.parquet")
+    out = str(tmp_path / "prot_stream_out")
+    q = write_protected_stream(
+        stream,
+        out,
+        {"user_id": "kuid", "props": "kp"},
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    q.stop()
+    back = read_protected(spark, out)
+    expect = _batch_events(spark, sf_dir)
+    assert back.count() == expect.count()
+    assert (
+        back.agg(F.sum("user_id"), F.min("props")).collect()
+        == expect.agg(F.sum("user_id"), F.min("props")).collect()
+    )
