@@ -485,3 +485,43 @@ def dedup_connected_clusters(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
     )
+
+
+@register(
+    "dedup_keep_one",
+    oracle="""
+        SELECT source,
+               count(*) AS n_kept,
+               sum(octet_length(encode(text))) AS kept_bytes
+        FROM (
+            SELECT d.source, d.text
+            FROM documents d
+            JOIN (
+                SELECT md5(lower(trim(text))) AS fp, min(doc_id) AS keep_id
+                FROM documents GROUP BY 1
+            ) k ON d.doc_id = k.keep_id
+        )
+        GROUP BY source
+    """,
+    description="dedup materialization: keep min-doc_id per canonical "
+    "fingerprint, report surviving corpus per source",
+)
+def dedup_keep_one(spark, sf_dir):
+    """The actual dedup operator (not just detection): one survivor per
+    canonical fingerprint. Shuffle inventory: one groupBy on the 16-byte
+    fp (map-side combined to one row per distinct), one join back on
+    doc_id — both scale-linear; the documents' text never shuffles in the
+    groupBy, only in the final survivor join."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    keepers = (
+        d.select("doc_id", F.md5(F.lower(F.trim("text"))).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+        .select("keep_id")
+    )
+    kept = d.join(keepers, d.doc_id == keepers.keep_id)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("kept_bytes"),
+    )
