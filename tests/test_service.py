@@ -270,3 +270,74 @@ def test_remote_agent_token_cached(server, remote_agent):
     tok1 = remote_agent._token
     remote_agent.encrypt(page, attrs)
     assert remote_agent._token is tok1  # cached, not re-fetched
+
+
+# -- json_request_test parity edges (json_request_test.cpp:155-895) ------
+
+
+def test_invalid_base64_value_treated_as_missing():
+    body = _encrypt_request_body("!!!not-base64!!!", {})
+    req = EncryptJsonRequest.parse(json.dumps(body))
+    assert "data_batch.value" in req.get_validation_error()
+
+
+def test_invalid_datatype_length_string():
+    body = _encrypt_request_body("QUJD", {})
+    body["data_batch"]["datatype_info"]["length"] = "not-an-int"
+    req = EncryptJsonRequest.parse(json.dumps(body))
+    assert "invalid integer value" in req.get_validation_error()
+
+
+def test_valid_datatype_length_parses():
+    body = _encrypt_request_body("QUJD", {})
+    body["data_batch"]["datatype_info"]["length"] = 8
+    req = EncryptJsonRequest.parse(json.dumps(body))
+    assert req.datatype_length == 8 and req.is_valid()
+
+
+def test_unknown_datatype_reported_missing():
+    body = _encrypt_request_body("QUJD", {})
+    body["data_batch"]["datatype_info"]["datatype"] = "UNDEFINED_TYPE"
+    req = EncryptJsonRequest.parse(json.dumps(body))
+    assert "data_batch.datatype_info.datatype" in req.get_validation_error()
+
+
+def test_application_context_object_is_json_string():
+    body = _encrypt_request_body("QUJD", {})
+    body["application_context"] = {"column_schema": {"table": "users"}}
+    req = EncryptJsonRequest.parse(json.dumps(body))
+    assert json.loads(req.application_context)["column_schema"]["table"] == "users"
+
+
+def test_statusz_requires_and_accepts_token(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(server.url + "/statusz", timeout=10)
+    assert ei.value.code == 401
+    _, tok = _post(server.url + "/token", {"client_id": "client1", "api_key": "key1"})
+    req = urllib.request.Request(
+        server.url + "/statusz",
+        headers={"Authorization": f"Bearer {tok['token']}"},
+    )
+    with urllib.request.urlopen(req, timeout=10) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read())["enable_credential_check"] is True
+
+
+def test_decrypt_wrong_version_over_http(server):
+    import base64
+
+    page, attrs = _page_and_attrs()
+    _, tok = _post(server.url + "/token", {"client_id": "client1", "api_key": "key1"})
+    body = _encrypt_request_body(base64.b64encode(page).decode(), attrs)
+    _, enc = _post(server.url + "/encrypt", body, tok["token"])
+    dec_body = _encrypt_request_body("", attrs)
+    del dec_body["data_batch"]["value"]
+    dec_body["data_batch_encrypted"]["value"] = enc["data_batch_encrypted"]["value"]
+    dec_body["encryption_metadata"] = dict(
+        enc["encryption_metadata"], dbps_agent_version="v9.99"
+    )
+    status, doc = _post(server.url + "/decrypt", dec_body, tok["token"])
+    assert status == 400
+    assert "dbps_agent_version" in doc["error_string"]
