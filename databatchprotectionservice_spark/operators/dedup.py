@@ -455,30 +455,29 @@ def dedup_connected_clusters(spark, sf_dir):
         .distinct()
         .withColumn("rep", F.col("node"))
     )
+    cached_prev = None
     for _ in range(20):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src")
             .agg(F.min("rep").alias("nrep"))
         )
+        # the convergence flag rides along with the label update — no
+        # extra old-vs-new join, one action per round
+        merged = F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep")))
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep"))
-                ).alias("rep"),
+                merged.alias("new_rep"),
+                (merged < F.col("rep")).alias("changed"),
             )
-        )
-        new_labels = new_labels.cache()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.rep") != F.col("o.rep"))
-            .count()
-        )
-        labels.unpersist() if hasattr(labels, "unpersist") else None
-        labels = new_labels
+        ).cache()
+        changed = new_labels.filter("changed").count()
+        if cached_prev is not None:
+            cached_prev.unpersist()
+        cached_prev = new_labels
+        labels = new_labels.select("node", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
     und.unpersist()
