@@ -1,8 +1,10 @@
 from .pipeline import (
+    dedup_stream,
     protect_stream,
     read_events_stream,
     sessionize_stream,
     windowed_event_rollup,
+    write_protected_stream,
 )
 
 __all__ = [
@@ -10,4 +12,6 @@ __all__ = [
     "protect_stream",
     "windowed_event_rollup",
     "sessionize_stream",
+    "dedup_stream",
+    "write_protected_stream",
 ]

@@ -243,3 +243,19 @@ def write_protected_stream(
     with open(os.path.join(path, "_dbps_protection.json"), "w") as f:
         json.dump(sidecar, f, indent=2, sort_keys=True)
     return query
+
+
+def dedup_stream(
+    stream_df: DataFrame,
+    keys: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact dedup: drop duplicate ``keys`` arriving within the
+    watermark horizon (``dropDuplicatesWithinWatermark``). State is one
+    entry per distinct key seen inside the horizon and is evicted as the
+    watermark advances — bounded memory on an unbounded stream, the
+    streaming counterpart of the batch ``dedup_exact_stats`` family."""
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -199,3 +199,33 @@ def test_write_protected_stream_readable_by_batch(spark, sf_dir, tmp_path):
         back.agg(F.sum("user_id"), F.min("props")).collect()
         == expect.agg(F.sum("user_id"), F.min("props")).collect()
     )
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Duplicate keys within the watermark horizon are dropped; the
+    result matches batch dropDuplicates on the same data."""
+    from databatchprotectionservice_spark.streaming.pipeline import dedup_stream
+
+    base = 1_700_000_000
+    rows = [
+        (1, "a", base),
+        (1, "a", base + 10),      # dup of key (1,'a') within horizon
+        (2, "b", base + 20),
+        (1, "a", base + 30),      # another dup
+        (3, "c", base + 40),
+        (2, "b", base + 50),      # dup
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, ts_s long").select(
+        "k", "v", F.timestamp_seconds("ts_s").alias("ts")
+    )
+    path = str(tmp_path / "dedup_events")
+    df.coalesce(1).write.parquet(path)
+    stream = spark.readStream.schema("k long, v string, ts timestamp").parquet(path)
+    q = _run_stream(
+        dedup_stream(stream, ["k", "v"], watermark="1 hour"), "dedup_stream_t"
+    )
+    try:
+        got = sorted((r.k, r.v) for r in spark.table("dedup_stream_t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
