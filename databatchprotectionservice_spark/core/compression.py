@@ -87,5 +87,6 @@ def decompress(
         return pa.decompress(
             data, decompressed_size=uncompressed_size, codec=name, asbytes=True
         )
-    except pa.ArrowException as e:
+    except (pa.ArrowException, OSError, ValueError) as e:
+        # pyarrow surfaces corrupt-stream errors as OSError
         raise DBPSInvalidInputError(f"decompression failed: {e}") from e

@@ -65,11 +65,15 @@ class CompressionCodec(enum.IntEnum):
     UNCOMPRESSED = 0
     SNAPPY = 1
     GZIP = 2
-    LZO = 3
-    BROTLI = 4
+    BROTLI = 3
+    ZSTD = 4
     LZ4 = 5
-    ZSTD = 6
-    LZ4_RAW = 7
+    LZ4_FRAME = 6
+    LZO = 7
+    BZ2 = 8
+    LZ4_HADOOP = 9
+    # not in the reference enum; pyarrow's raw-block LZ4 used internally
+    LZ4_RAW = 10
 
 
 class Encoding(enum.IntEnum):
@@ -86,6 +90,8 @@ class Encoding(enum.IntEnum):
     DELTA_BYTE_ARRAY = 7
     RLE_DICTIONARY = 8
     BYTE_STREAM_SPLIT = 9
+    UNDEFINED = 10
+    UNKNOWN = 11
 
 
 _TYPE_NAMES = {t.name: t for t in PhysicalType}
