@@ -235,3 +235,121 @@ def similarity_lsh_topk(spark, sf_dir):
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN: k-means coarse quantizer + probed search
+# ---------------------------------------------------------------------------
+
+IVF_K = 16
+IVF_ITERS = 2
+IVF_PROBES = 2
+
+
+def _assign_udf(centroids):
+    """Arrow-vectorized nearest-centroid assignment. ``centroids`` is a
+    (K, dim) numpy array broadcast by closure — exactly how IVF deploys:
+    train small, broadcast, assign at scan speed."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def assign(embs):
+        # (module-level `from __future__ import annotations` would turn
+        # pd.Series hints into strings pandas_udf can't resolve)
+        x = np.stack(embs.to_numpy())  # (n, dim) float32
+        # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; argmin over c
+        d = (
+            -2.0 * (x.astype(np.float64) @ centroids.T)
+            + (centroids * centroids).sum(axis=1)[None, :]
+        )
+        return pd.Series(np.argmin(d, axis=1).astype(np.int32))
+
+    return assign
+
+
+def train_ivf_centroids(spark, emb_df, k: int = IVF_K, iters: int = IVF_ITERS):
+    """Deterministic Lloyd's: init = the k lowest vec_ids, then ``iters``
+    rounds of assign + per-dimension mean. Centroid recompute uses
+    posexplode + groupBy (cluster, dim) — fully distributed; only the
+    (k x dim) centroid table ever reaches the driver."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    init = (
+        emb_df.filter(F.col("vec_id") < k)
+        .orderBy("vec_id")
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.array([r.embedding for r in init], dtype=np.float64)
+    for _ in range(iters):
+        assigned = emb_df.select(
+            "vec_id",
+            "embedding",
+            _assign_udf(centroids)(F.col("embedding")).alias("cluster"),
+        )
+        dim_means = (
+            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
+            .groupBy("cluster", "dim")
+            .agg(F.avg("v").alias("m"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in dim_means:
+            new_c[r.cluster][r.dim] = r.m
+        centroids = new_c
+    return centroids
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=None,  # k-means training isn't reasonably SQL-expressible;
+    # the driver records the rows-only check and the pytest suite verifies
+    # against a numpy reference implementation
+    description="IVF ANN: deterministic k-means coarse quantizer, "
+    "2-probe search (the FAISS-style scale path)",
+)
+def similarity_ivf_topk(spark, sf_dir):
+    import numpy as np
+
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    centroids = train_ivf_centroids(spark, emb)
+    assigned = emb.select(
+        "vec_id",
+        "embedding",
+        _norm(F.col("embedding")).alias("nrm"),
+        _assign_udf(centroids)(F.col("embedding")).alias("cluster"),
+    )
+    # queries probe their IVF_PROBES nearest centroids
+    queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
+    probe_rows = []
+    for q in queries:
+        x = np.asarray(q.embedding, dtype=np.float64)
+        d = ((centroids - x) ** 2).sum(axis=1)
+        for c in np.argsort(d)[:IVF_PROBES]:
+            probe_rows.append((q.vec_id, q.embedding, q.nrm, int(c)))
+    probes = spark.createDataFrame(
+        probe_rows, "query_id long, qe array<float>, qnorm double, cluster int"
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            cosine_prenormed(
+                F.col("qe"), F.col("embedding"), F.col("qnorm"), F.col("nrm")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+    )

@@ -114,6 +114,7 @@ def _ensure_loaded() -> None:
     from ..operators import (  # noqa: F401
         dedup,
         multimodal,
+        pii,
         protection,
         relational,
         similarity,
