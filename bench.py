@@ -55,6 +55,7 @@ HEADLINE = [
     "text_token_stats",
     "text_quality_scores",
     "text_fingerprints",
+    "pii_detect_documents",
     "multimodal_feature_extract",
     "multimodal_frame_sample",
 ]
