@@ -259,3 +259,35 @@ def dedup_stream(
     return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_stream_click_attribution(
+    purchases: DataFrame,
+    clicks: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the clicks of
+    the same user in the preceding ``attribution_window`` (the streaming
+    form of ``range_join_click_attribution``).
+
+    Both sides carry watermarks, so join state is bounded: a buffered
+    click can be evicted once the watermark passes
+    ``click.ts + attribution_window``; Spark derives that bound from the
+    interval condition."""
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    ).withWatermark("p_ts", watermark)
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"),
+    ).withWatermark("c_ts", watermark)
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
+        & (F.col("c_ts") < F.col("p_ts")),
+    )

@@ -229,3 +229,40 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
         assert got == [(1, "a"), (2, "b"), (3, "c")]
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        stream_stream_click_attribution,
+    )
+
+    src = read_events_stream(spark, sf_dir + "/events.parquet")
+    purchases = src.filter(F.col("event_type") == "purchase")
+    clicks = src.filter(F.col("event_type") == "click")
+    joined = stream_stream_click_attribution(purchases, clicks)
+    q = _run_stream(joined, "ss_join")
+    try:
+        got = spark.table("ss_join")
+        e = _batch_events(spark, sf_dir)
+        bp = e.filter(F.col("event_type") == "purchase").select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        bc = e.filter(F.col("event_type") == "click").select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("value").alias("c_value"),
+        )
+        want = bp.join(
+            bc,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") < F.col("p_ts")),
+        )
+        assert got.count() == want.count()
+        assert (
+            got.agg(F.sum("c_value"), F.count(F.lit(1))).collect()
+            == want.agg(F.sum("c_value"), F.count(F.lit(1))).collect()
+        )
+    finally:
+        q.stop()
