@@ -30,6 +30,9 @@ from ..plans.registry import load, load_spread, prep, register
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 JACCARD_THRESHOLD = 0.8
+#: below this many candidate edges, connected components run as
+#: driver-side union-find (one collect) instead of iterative joins
+CC_DRIVER_EDGE_LIMIT = 5_000_000
 
 
 def shingled(docs: DataFrame) -> DataFrame:
@@ -435,12 +438,17 @@ def dedup_connected_clusters(spark, sf_dir):
     doc the minimum doc_id of its component — the 'keep one per cluster'
     primitive of a dedup pipeline.
 
-    Iterative min-label propagation: each round, every node takes the min
-    of its own and its neighbors' labels; converge when a round changes
-    nothing. Rounds are bounded by component diameter (LSH near-dup
-    clusters are tiny), and each round is one join + one aggregate, both
-    on the (small) edge set — the standard large-scale connected-
-    components shape, no driver-side per-node work."""
+    Hybrid strategy (what a production dedup system does):
+
+    * LSH candidate edges are SPARSE by construction (bounded by band
+      collision rate), so up to ``CC_DRIVER_EDGE_LIMIT`` edges the
+      component structure is solved with an O(E a(E)) driver-side
+      union-find — one collect, one broadcast join back.
+    * Above the limit, distributed min-label propagation: each round is
+      one join + one min-aggregate over the edge set, rounds bounded by
+      component diameter — the standard Pregel-style CC shape.
+
+    Both paths produce identical (node, min-id-of-component) output."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
     cand = lsh_candidate_pairs(minhash_signatures(docs))
@@ -450,6 +458,31 @@ def dedup_connected_clusters(spark, sf_dir):
         cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     und = und.cache()
+    edges = [(r.src, r.dst) for r in und.collect()] if (
+        und.limit(CC_DRIVER_EDGE_LIMIT + 1).count() <= CC_DRIVER_EDGE_LIMIT
+    ) else None
+    if edges is not None:
+        und.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:
+                parent[x], x = root, parent[x]
+            return root
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative IS the min id
+                lo, hi = min(ra, rb), max(ra, rb)
+                parent[hi] = lo
+        rows = [(n, find(n)) for n in parent]
+        return spark.createDataFrame(rows, "doc_id long, cluster_rep long")
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
