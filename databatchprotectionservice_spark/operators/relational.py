@@ -953,3 +953,59 @@ def median_order_value(spark, sf_dir):
             F.min("price").alias("median_price"),
         )
     )
+
+
+@register(
+    "timeseries_multi_rollup",
+    oracle="""
+        SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+               CASE WHEN GROUPING(hr) = 1 THEN NULL
+                    ELSE strftime(hr, '%Y-%m-%d %H:00') END AS hour,
+               event_type,
+               count(*) AS n,
+               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        FROM (
+            SELECT ts, event_type, value,
+                   date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
+            FROM events
+        )
+        GROUP BY GROUPING SETS (
+            (strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d'), event_type),
+            (strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d'), hr, event_type)
+        )
+    """,
+    description="hypertable-style multi-resolution rollup: day + hour "
+    "aggregates in one pass via GROUPING SETS",
+)
+def timeseries_multi_rollup(spark, sf_dir):
+    """Continuous-aggregate shape: one scan produces both the hourly and
+    daily materializations (grouping sets expand map-side, so the fact
+    rows are read once). At scale this is the pattern for maintaining
+    multiple rollup resolutions without N passes."""
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_trunc("hour", "ts").alias("hr"),
+        "event_type",
+        "value",
+    )
+    grouped = e.groupingSets(
+        [["day", "event_type"], ["day", "hr", "event_type"]],
+        "day",
+        "hr",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        # grouping() must be computed inside the aggregate
+        F.grouping("hr").alias("g_hr"),
+    )
+    return grouped.select(
+        "day",
+        F.when(
+            F.col("g_hr") == 1, F.lit(None).cast("string")
+        ).otherwise(F.date_format("hr", "yyyy-MM-dd HH:00")).alias("hour"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
