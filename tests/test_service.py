@@ -341,3 +341,67 @@ def test_decrypt_wrong_version_over_http(server):
     status, doc = _post(server.url + "/decrypt", dec_body, tok["token"])
     assert status == 400
     assert "dbps_agent_version" in doc["error_string"]
+
+
+# -- dbpa_remote_testapp parity: float + fixed-len over HTTP -------------
+
+
+def _remote_agent_for(server, datatype, length=None):
+    agent = RemoteProtectionAgent()
+    agent.init(
+        connection_config={
+            "server_url": server.url,
+            "credentials": {"client_id": "client1", "api_key": "key1"},
+        },
+        column_name="col",
+        column_key_id="K1",
+        datatype=datatype,
+        datatype_length=length,
+        compression_type=CompressionCodec.UNCOMPRESSED,
+        user_id="u1",
+    )
+    return agent
+
+
+def test_remote_agent_float_integrity(server):
+    """Float batch round-trips bit-exactly (dbpa_remote_testapp.cpp:424-581)."""
+    from tests.pagebuilders import build_v1_page
+
+    values = [0.0, -0.0, 1.5, -2.25, 3.4e38, 1.4e-45, float("inf")]
+    page, attrs = build_v1_page(
+        values, PhysicalType.FLOAT, CompressionCodec.UNCOMPRESSED
+    )
+    agent = _remote_agent_for(server, PhysicalType.FLOAT)
+    attrs = dict(attrs, page_encoding="PLAIN")
+    enc = agent.encrypt(page, attrs)
+    assert enc.success, enc.error_message
+    agent.column_encryption_metadata = enc.encryption_metadata
+    dec = agent.decrypt(enc.ciphertext, attrs)
+    assert dec.success and dec.plaintext == page
+
+
+def test_remote_agent_fixed_len(server):
+    """FIXED_LEN_BYTE_ARRAY(8) round-trip (dbpa_remote_testapp.cpp:601-)."""
+    from tests.pagebuilders import build_v1_page
+
+    values = [b"12345678", b"abcdefgh", b"\x00" * 8, b"\xff" * 8]
+    page, attrs = build_v1_page(
+        values,
+        PhysicalType.FIXED_LEN_BYTE_ARRAY,
+        CompressionCodec.UNCOMPRESSED,
+        length=8,
+    )
+    agent = _remote_agent_for(server, PhysicalType.FIXED_LEN_BYTE_ARRAY, length=8)
+    attrs = dict(attrs, page_encoding="PLAIN")
+    enc = agent.encrypt(page, attrs)
+    assert enc.success, enc.error_message
+    agent.column_encryption_metadata = enc.encryption_metadata
+    dec = agent.decrypt(enc.ciphertext, attrs)
+    assert dec.success and dec.plaintext == page
+
+
+def test_remote_agent_empty_payload_rejected(server):
+    """Empty payloads error cleanly (dbpa_remote_testapp.cpp:772-816)."""
+    agent = _remote_agent_for(server, PhysicalType.BYTE_ARRAY)
+    res = agent.encrypt(b"", {"page_encoding": "PLAIN"})
+    assert not res.success
