@@ -1009,3 +1009,73 @@ def timeseries_multi_rollup(spark, sf_dir):
         "n",
         "sum_value",
     )
+
+
+@register(
+    "window_function_battery",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               rank() OVER w AS rk,
+               dense_rank() OVER w AS drk,
+               ntile(4) OVER w AS quartile,
+               CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
+               CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS next_price,
+               CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price
+        FROM orders
+        WHERE o_custkey < 20
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    description="window battery: rank/dense_rank/ntile/lag/lead/first_value",
+)
+def window_function_battery(spark, sf_dir):
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") < 20)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_totalprice").cast(DEC).alias("price"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_totalprice", 1).over(w).cast(DEC).alias("prev_price"),
+        F.lead("o_totalprice", 1).over(w).cast(DEC).alias("next_price"),
+        F.first("o_totalprice").over(w).cast(DEC).alias("first_price"),
+    )
+
+
+@register(
+    "string_function_battery",
+    oracle="""
+        SELECT p_brand,
+               count(*) AS n,
+               min(reverse(p_name)) AS min_rev,
+               max(lpad(CAST(p_size AS VARCHAR), 4, '0')) AS max_padded,
+               min(replace(p_type, ' ', '_')) AS min_replaced,
+               sum(levenshtein(p_brand, substr(p_name, 1, 8))) AS sum_lev,
+               min(split_part(p_type, ' ', 1)) AS min_first_word,
+               max(repeat(substr(p_brand, 1, 2), 2)) AS max_rep
+        FROM part
+        GROUP BY p_brand
+    """,
+    description="string battery: reverse/lpad/replace/levenshtein/"
+    "split_part/repeat",
+)
+def string_function_battery(spark, sf_dir):
+    prep(spark)
+    p = load(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.reverse("p_name")).alias("min_rev"),
+        F.max(F.lpad(F.col("p_size").cast("string"), 4, "0")).alias("max_padded"),
+        F.min(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("min_replaced"),
+        F.sum(F.levenshtein(F.col("p_brand"), F.substring("p_name", 1, 8))).alias("sum_lev"),
+        F.min(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("min_first_word"),
+        F.max(F.repeat(F.substring("p_brand", 1, 2), 2)).alias("max_rep"),
+    )
