@@ -1,0 +1,179 @@
+"""User-defined function surface: UDTF, grouped-agg UDAF, grouped-map.
+
+SURVEY §2.2 calls the UDF surface "the centerpiece" of the reference
+(its ``DBPSEncryptor`` is a pluggable scalar-batch UDF). The scalar
+Arrow UDFs live in ``functions/protect.py``; this module exercises the
+remaining Spark Python-UD* shapes so the engine's extension surface is
+complete:
+
+* **UDTF** — a table function exploding word n-grams (one row -> many).
+* **grouped-agg pandas UDF (UDAF)** — interquartile sum per group.
+* **grouped-map applyInPandas** — per-group cumulative totals.
+
+Every query keeps the Python math in exact integers so the DuckDB oracle
+hash-matches (no float-summation-order hazards).
+"""
+
+# NB: no `from __future__ import annotations` — pandas_udf infers the
+# GROUPED_AGG eval type from real (non-stringified) type hints
+import pandas as pd
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans.registry import load_spread, prep, register
+
+
+# ---------------------------------------------------------------------------
+# UDTF: n-gram exploder
+# ---------------------------------------------------------------------------
+
+
+def make_shingle_udtf():
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="gram: string")
+    class ShingleUDTF:
+        """Emit every word-3-gram of the input text (one row per gram —
+        the table-function shape; scalar UDFs can't change cardinality).
+        Mirrors ``dedup.shingled`` exactly (incl. whole-string fallback
+        for short docs) so SQL oracles can recount it."""
+
+        def eval(self, text: str):
+            words = (text or "").strip().split()
+            n = max(len(words) - 2, 1)
+            for i in range(n):
+                yield (" ".join(words[i : i + 3]),)
+
+    return ShingleUDTF
+
+
+@register(
+    "udtf_shingle_counts",
+    oracle="""
+        SELECT source,
+               count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct_grams
+        FROM (
+            SELECT d.source,
+                   array_to_string(w[i:i+2], ' ') AS gram
+            FROM (
+                SELECT source,
+                       regexp_split_to_array(trim(text), '\\s+') AS w
+                FROM documents
+            ) d, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)
+        )
+        GROUP BY source
+    """,
+    description="Python UDTF (table function): word-3-gram explosion",
+)
+def udtf_shingle_counts(spark, sf_dir):
+    prep(spark)
+    shingle = make_shingle_udtf()
+    spark.udtf.register("shingles3", shingle)
+    d = load_spread(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("udtf_docs")
+    return spark.sql(
+        """
+        SELECT source,
+               count(*) AS n_grams,
+               count(DISTINCT gram) AS n_distinct_grams
+        FROM udtf_docs, LATERAL shingles3(text)
+        GROUP BY source
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-agg pandas UDF (UDAF): interquartile sum
+# ---------------------------------------------------------------------------
+
+
+def make_iqr_sum_udaf():
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def iqr_sum(v: pd.Series) -> int:
+        # Series -> scalar signature marks this as a grouped aggregate;
+        # sum of the sorted middle half [n//4, 3n//4) — exact integers
+        s = v.sort_values().reset_index(drop=True)
+        n = len(s)
+        return int(s.iloc[n // 4 : (3 * n) // 4].sum())
+
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
+        # Spark disallows mixing pandas and JVM aggregates in one agg,
+        # so the row count is a pandas aggregate too
+        return len(v)
+
+    return iqr_sum, n_rows
+
+
+@register(
+    "udaf_iqr_chars",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN rk > cnt // 4 AND rk <= (3 * cnt) // 4
+                        THEN n_chars ELSE 0 END) AS iqr_chars
+        FROM (
+            SELECT source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY n_chars, doc_id) AS rk,
+                   count(*) OVER (PARTITION BY source) AS cnt
+            FROM documents
+        )
+        GROUP BY source
+    """,
+    description="grouped-agg pandas UDF (UDAF): interquartile char sum",
+)
+def udaf_iqr_chars(spark, sf_dir):
+    """Custom aggregate the built-ins can't express directly: the sum of
+    the middle-half of each group's sorted values. Ties are harmless for
+    the SUM (any n//4..3n//4 slice of equal values sums the same), so the
+    pandas sort and the oracle's row_number pick identical totals."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    iqr_sum, n_rows = make_iqr_sum_udaf()
+    return d.groupBy("source").agg(
+        n_rows(F.col("n_chars")).alias("n_docs"),
+        iqr_sum(F.col("n_chars")).alias("iqr_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# grouped-map applyInPandas: per-group cumulative totals
+# ---------------------------------------------------------------------------
+
+_CUM_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+        T.StructField("cum_chars", T.LongType()),
+    ]
+)
+
+
+def _cumulate(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+    pdf["cum_chars"] = pdf["n_chars"].cumsum()
+    return pdf[["source", "doc_id", "n_chars", "cum_chars"]]
+
+
+@register(
+    "grouped_map_cumulative_chars",
+    oracle="""
+        SELECT source, doc_id, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+        FROM documents
+    """,
+    description="grouped-map applyInPandas: per-source cumulative totals",
+)
+def grouped_map_cumulative_chars(spark, sf_dir):
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+    return d.groupBy("source").applyInPandas(_cumulate, _CUM_SCHEMA)

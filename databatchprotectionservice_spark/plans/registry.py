@@ -120,6 +120,7 @@ def _ensure_loaded() -> None:
         similarity,
         streamops,
         textops,
+        udx,
     )
 
     _LOADED = True
