@@ -214,3 +214,58 @@ def test_decimal_roundtrip_aes(spark):
     prot = protect_column(df, "d", "kd", encryptor="aes_siv")
     back = unprotect_column(prot, "d", T.DecimalType(10, 2), "kd", encryptor="aes_siv")
     assert [r.d for r in back.collect()] == [r[0] for r in rows]
+
+
+def test_sliced_arrow_arrays_roundtrip():
+    """The UDF internals must handle pa.Array slices (arr.offset != 0):
+    Spark normally hands zero-offset batches, but the _compact guard
+    covers the general case."""
+    import numpy as np
+    import pyarrow as pa
+
+    from databatchprotectionservice_spark.functions.protect import (
+        _array_as_flat_offsets,
+        _compact,
+        _fixed_as_flat_offsets,
+    )
+
+    full = pa.array(["alpha", "beta", None, "gamma", "delta"], pa.large_string())
+    sliced = full.slice(1, 3)  # ["beta", None, "gamma"] with offset 1
+    assert sliced.offset == 1
+    compacted = _compact(sliced)
+    assert compacted.offset == 0
+    flat, offsets = _array_as_flat_offsets(compacted)
+    assert bytes(flat[offsets[0] : offsets[1]]) == b"beta"
+    assert offsets[1] == offsets[2]  # null -> zero-length
+    assert bytes(flat[offsets[2] : offsets[3]]) == b"gamma"
+
+    ints = pa.array([10, 20, 30, 40], pa.int64()).slice(2, 2)
+    flat, offsets = _fixed_as_flat_offsets(
+        _compact(ints), np.dtype("<i8"), pa.int64()
+    )
+    assert np.frombuffer(flat.tobytes(), dtype="<i8").tolist() == [30, 40]
+
+
+def test_small_arrow_batches_roundtrip(spark):
+    """Force many small Arrow batches through the protect UDFs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from databatchprotectionservice_spark.functions.protect import (
+        protect_column,
+        unprotect_column,
+    )
+
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "13")
+    try:
+        df = spark.range(0, 500).select(
+            F.col("id"),
+            F.concat(F.lit("v"), F.col("id").cast("string")).alias("s"),
+        )
+        prot = protect_column(protect_column(df, "s", "k1"), "id", "k2")
+        back = unprotect_column(prot, "s", T.StringType(), "k1")
+        back = unprotect_column(back, "id", T.LongType(), "k2")
+        rows = sorted((r.id, r.s) for r in back.collect())
+        assert rows == [(i, f"v{i}") for i in range(500)]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
