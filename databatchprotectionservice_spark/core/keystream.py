@@ -76,17 +76,25 @@ class Encryptor(abc.ABC):
 
     @abc.abstractmethod
     def encrypt_elements(
-        self, flat: np.ndarray, offsets: np.ndarray
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Encrypt a batch of elements stored as a flat uint8 array with
         int64 offsets (Arrow layout: element i is
         ``flat[offsets[i]:offsets[i+1]]``). Returns ``(new_flat,
         new_offsets)``; offsets are unchanged for length-preserving
-        ciphers."""
+        ciphers. ``uniform_width`` is an optional caller guarantee that
+        every element is exactly that many bytes (fixed-width types),
+        letting implementations skip the per-element length scan."""
 
     @abc.abstractmethod
     def decrypt_elements(
-        self, flat: np.ndarray, offsets: np.ndarray
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,
     ) -> tuple[np.ndarray, np.ndarray]: ...
 
     @property
@@ -126,27 +134,41 @@ class KeystreamXorEncryptor(Encryptor):
     decrypt_block = encrypt_block  # XOR is self-inverse
 
     # -- per-value mode ------------------------------------------------
-    def _xor_elements(self, flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    def _xor_elements(
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,
+    ) -> np.ndarray:
         if flat.size == 0:
             return flat.copy()
-        lengths = np.diff(offsets)
-        max_len = int(lengths.max()) if lengths.size else 0
-        min_len = int(lengths.min()) if lengths.size else 0
-        ks = self._keystream(max_len)
-        if max_len == min_len:
+        if uniform_width is None:
+            lengths = np.diff(offsets)
+            max_len = int(lengths.max()) if lengths.size else 0
+            min_len = int(lengths.min()) if lengths.size else 0
+            if max_len == min_len:
+                uniform_width = max_len
+        if uniform_width is not None:
             # uniform width (every fixed-size type): broadcast against the
             # keystream row — no per-byte position array, memory-bandwidth
-            return (flat.reshape(-1, max_len) ^ ks).reshape(-1)
+            ks = self._keystream(uniform_width)
+            return (flat.reshape(-1, uniform_width) ^ ks).reshape(-1)
         # variable width: position of every byte within its element.
         # int32 halves the gather/index memory traffic (an Arrow batch is
         # always < 2^31 bytes)
+        ks = self._keystream(max_len)
         starts32 = offsets[:-1].astype(np.int32, copy=False)
         pos = np.arange(flat.size, dtype=np.int32)
         pos -= np.repeat(starts32, lengths)
         return flat ^ ks[pos]
 
-    def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
-        return self._xor_elements(flat, offsets), offsets
+    def encrypt_elements(
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,
+    ):
+        return self._xor_elements(flat, offsets, uniform_width), offsets
 
     decrypt_elements = encrypt_elements
 
@@ -213,7 +235,12 @@ class AesSivEncryptor(Encryptor):
     def decrypt_block(self, data: bytes) -> bytes:
         return self._aead.decrypt(data, [b"block"])
 
-    def encrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+    def encrypt_elements(
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,  # unused: SIV is per-element anyway
+    ):
         # zero-length elements pass through unchanged: they represent null
         # slots (whose payload Spark drops) or empty strings — there is no
         # plaintext to protect and SIV ciphertext is never empty, so the
@@ -229,7 +256,12 @@ class AesSivEncryptor(Encryptor):
         joined = b"".join(out)
         return np.frombuffer(joined, dtype=np.uint8), new_offsets
 
-    def decrypt_elements(self, flat: np.ndarray, offsets: np.ndarray):
+    def decrypt_elements(
+        self,
+        flat: np.ndarray,
+        offsets: np.ndarray,
+        uniform_width: int | None = None,  # unused
+    ):
         out, new_offsets = [], np.empty_like(offsets)
         new_offsets[0] = 0
         raw = flat.tobytes()

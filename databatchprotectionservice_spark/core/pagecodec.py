@@ -474,7 +474,9 @@ class PageProtector:
                 self.datatype_length,
                 self.encoding,
             )
-            enc_flat, enc_offsets = self._encryptor.encrypt_elements(flat, offsets)
+            enc_flat, enc_offsets = self._encryptor.encrypt_elements(
+                flat, offsets, uniform_width=fixed
+            )
             if self._encryptor.length_preserving:
                 enc_fixed = fixed
             else:

@@ -1079,3 +1079,36 @@ def string_function_battery(spark, sf_dir):
         F.min(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("min_first_word"),
         F.max(F.repeat(F.substring("p_brand", 1, 2), 2)).alias("max_rep"),
     )
+
+
+@register(
+    "map_function_battery",
+    oracle="""
+        SELECT event_type,
+               key,
+               count(*) AS n,
+               sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_val,
+               min(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
+               max(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
+        FROM (
+            SELECT event_type, props, unnest(json_keys(props)) AS key
+            FROM events
+        )
+        GROUP BY event_type, key
+    """,
+    description="map functions: from_json to MAP, explode entries, "
+    "aggregate per (group, key)",
+)
+def map_function_battery(spark, sf_dir):
+    prep(spark)
+    e = load_events(spark, sf_dir)
+    m = F.from_json("props", "map<string,string>")
+    exploded = e.select(
+        "event_type", F.explode(m).alias("key", "val")
+    )
+    return exploded.groupBy("event_type", "key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("val").cast("bigint")).alias("sum_val"),
+        F.min(F.col("val").cast("bigint")).alias("min_val"),
+        F.max(F.col("val").cast("bigint")).alias("max_val"),
+    )
