@@ -1,0 +1,87 @@
+"""Physical-plan shape assertions — the optimizer properties SCALE.md
+claims, pinned as tests so perf regressions fail loudly.
+
+Checks run against the executed/final AQE plan at sf0.001.
+"""
+
+import pytest
+
+from databatchprotectionservice_spark.plans.registry import all_queries
+
+
+def _plan(df) -> str:
+    df.collect()  # materialize so AQE settles on the final plan
+    return df._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan =="
+    )[0]
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return all_queries()
+
+
+def test_q6_filter_pushed_to_scan(spark, sf_dir, queries):
+    plan = _plan(queries["q6_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters: [" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200]
+
+
+def test_q1_scan_prunes_columns(spark, sf_dir, queries):
+    plan = _plan(queries["q1_pricing_summary"](spark, sf_dir))
+    # only the 7 needed columns reach the scan, not the full lineitem row
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    assert "l_partkey" not in read_schema
+    assert "l_extendedprice" in read_schema
+
+
+def test_q5_dimensions_broadcast(spark, sf_dir, queries):
+    plan = _plan(queries["q5_local_supplier_volume"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_protect_roundtrip_single_python_pass(spark, sf_dir, queries):
+    """All six protect/unprotect UDFs fuse into ONE ArrowEvalPython."""
+    plan = _plan(queries["protect_roundtrip_lineitem"](spark, sf_dir))
+    assert plan.count("ArrowEvalPython") == 1
+
+
+def test_protect_adds_no_exchange_before_aggregate(spark, sf_dir, queries):
+    """protect/unprotect are map-only: the only exchange is the final
+    groupBy's."""
+    plan = _plan(queries["protect_roundtrip_customer"](spark, sf_dir))
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges <= 1
+
+
+def test_dedup_exact_shuffles_digests_not_text(spark, sf_dir, queries):
+    plan = _plan(queries["dedup_exact_stats"](spark, sf_dir))
+    exchange_lines = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert exchange_lines
+    # shuffle keys are the md5 digests; the raw text column never appears
+    # (h_text# is the digest alias — only bare text# would be the column)
+    import re
+
+    assert not any(re.search(r"(?<!h_)text#", line) for line in exchange_lines)
+
+
+def test_topk_uses_take_ordered(spark, sf_dir, queries):
+    plan = _plan(queries["topk_expensive_parts"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_asof_join_single_window_shuffle(spark, sf_dir, queries):
+    """The union+window as-of join shuffles once on the key (plus the
+    final small aggregate exchange)."""
+    plan = _plan(queries["asof_join_last_event"](spark, sf_dir))
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges <= 3  # window partition + pre-dedup agg + final agg
+    assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
