@@ -54,7 +54,10 @@ def compress(data: bytes, codec: CompressionCodec) -> bytes:
     if codec == CompressionCodec.UNCOMPRESSED:
         return data
     if codec == CompressionCodec.GZIP:
-        return zlib.compress(data)
+        # Parquet GZIP pages are RFC-1952 gzip members (magic 1f8b), not
+        # zlib-framed (789c) — wbits=31 emits the gzip container.
+        co = zlib.compressobj(wbits=31)
+        return co.compress(data) + co.flush()
     name = _PYARROW_CODECS.get(codec)
     if name is None:
         raise DBPSUnsupportedError(f"unsupported compression codec: {codec.name}")
@@ -70,7 +73,8 @@ def decompress(
         return data
     if codec == CompressionCodec.GZIP:
         try:
-            return zlib.decompress(data)
+            # wbits=47 auto-detects both gzip (1f8b) and zlib (789c) framing
+            return zlib.decompress(data, wbits=47)
         except zlib.error as e:
             raise DBPSInvalidInputError(f"gzip decompression failed: {e}") from e
     name = _PYARROW_CODECS.get(codec)

@@ -233,7 +233,15 @@ class AesSivEncryptor(Encryptor):
         return self._aead.encrypt(data, [b"block"])
 
     def decrypt_block(self, data: bytes) -> bytes:
-        return self._aead.decrypt(data, [b"block"])
+        from cryptography.exceptions import InvalidTag
+
+        try:
+            return self._aead.decrypt(data, [b"block"])
+        except InvalidTag as e:
+            raise DBPSInvalidInputError(
+                "AES-SIV authentication failed: ciphertext tampered "
+                "or wrong key"
+            ) from e
 
     def encrypt_elements(
         self,
@@ -262,12 +270,22 @@ class AesSivEncryptor(Encryptor):
         offsets: np.ndarray,
         uniform_width: int | None = None,  # unused
     ):
+        from cryptography.exceptions import InvalidTag
+
         out, new_offsets = [], np.empty_like(offsets)
         new_offsets[0] = 0
         raw = flat.tobytes()
         for i in range(len(offsets) - 1):
             ct = raw[offsets[i] : offsets[i + 1]]
-            pt = self._aead.decrypt(ct, [b"value"]) if ct else b""
+            try:
+                pt = self._aead.decrypt(ct, [b"value"]) if ct else b""
+            except InvalidTag as e:
+                # surface as the engine's error type so agent.decrypt's
+                # never-raise contract holds (tamper/wrong-key detection)
+                raise DBPSInvalidInputError(
+                    "AES-SIV authentication failed: ciphertext tampered "
+                    "or wrong key"
+                ) from e
             out.append(pt)
             new_offsets[i + 1] = new_offsets[i] + len(pt)
         joined = b"".join(out)

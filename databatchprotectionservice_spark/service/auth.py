@@ -106,7 +106,9 @@ class ClientCredentialStore:
         self.credentials[client_id] = api_key
 
     def validate_credential(self, client_id: str, api_key: str) -> bool:
-        return self.credentials.get(client_id) == api_key
+        # constant-time compare: the /token endpoint must not leak key
+        # prefixes through comparison timing
+        return hmac.compare_digest(self.credentials.get(client_id, ""), api_key)
 
     def generate_jwt(self, client_id: str, api_key: str) -> tuple[str, int] | None:
         """(token, expires_at) or None on bad credentials

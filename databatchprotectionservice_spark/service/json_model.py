@@ -121,8 +121,16 @@ class JsonRequest:
             missing.append("data_batch.value_format.compression")
         if self.encoding is None:
             missing.append("data_batch.value_format.encoding")
+        if self.encrypted_compression is None:
+            missing.append("data_batch_encrypted.value_format.compression")
         if not self.key_id:
             missing.append("encryption.key_id")
+        if not self.user_id:
+            missing.append("access.user_id")
+        if not self.application_context:
+            missing.append("application_context")
+        if not self.reference_id:
+            missing.append("debug.reference_id")
         if self.datatype_length_str:
             missing.append("data_batch.datatype_info.length (invalid integer value)")
         return missing
@@ -135,9 +143,8 @@ class JsonRequest:
             return "Invalid JSON in request body"
         missing = self._missing_common()
         if missing:
-            return "Missing required field" + (
-                "s: " if len(missing) > 1 else ": "
-            ) + ", ".join(missing)
+            # reference wording is always plural (json_request.cpp:98)
+            return "Missing required fields: " + ", ".join(missing)
         return ""
 
 

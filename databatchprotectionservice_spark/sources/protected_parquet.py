@@ -32,7 +32,59 @@ SIDECAR_NAME = "_dbps_protection.json"
 
 
 def _sidecar_path(path: str) -> str:
+    if path.startswith("file://"):
+        path = path[len("file://"):]
     return os.path.join(path, SIDECAR_NAME)
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM gateway — makes the
+    sidecar work on any Spark-supported storage (hdfs://, s3a://, ...),
+    not just the local filesystem."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    conf = spark._jsc.hadoopConfiguration()
+    return jpath.getFileSystem(conf), jpath
+
+
+def _is_local(path: str) -> bool:
+    scheme = path.split("://", 1)[0] if "://" in path else ""
+    return scheme in ("", "file")
+
+
+def _write_sidecar(spark: SparkSession | None, path: str, payload: str) -> None:
+    if spark is None or _is_local(path):
+        with open(_sidecar_path(path), "w") as f:
+            f.write(payload)
+        return
+    fs, base = _hadoop_fs(spark, path)
+    out = fs.create(spark._jvm.org.apache.hadoop.fs.Path(base, SIDECAR_NAME), True)
+    try:
+        out.write(bytearray(payload.encode("utf-8")))
+    finally:
+        out.close()
+
+
+def _read_sidecar(spark: SparkSession | None, path: str) -> str | None:
+    """Sidecar text, or None if absent."""
+    if spark is None or _is_local(path):
+        sp = _sidecar_path(path)
+        if not os.path.exists(sp):
+            return None
+        with open(sp) as f:
+            return f.read()
+    fs, base = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(base, SIDECAR_NAME)
+    if not fs.exists(jpath):
+        return None
+    stream = fs.open(jpath)
+    try:
+        # FSDataInputStream is a java.io.InputStream; readAllBytes (Java 9+)
+        # drains it fully regardless of FS block size
+        data = stream.readAllBytes()
+    finally:
+        stream.close()
+    return bytes(data).decode("utf-8")
 
 
 def write_protected(
@@ -93,20 +145,20 @@ def write_protected(
         "cell_encoding": "base64" if base64_cells else "binary",
         "columns": col_meta,
     }
-    with open(_sidecar_path(path), "w") as f:
-        json.dump(sidecar, f, indent=2, sort_keys=True)
+    _write_sidecar(
+        df.sparkSession, path, json.dumps(sidecar, indent=2, sort_keys=True)
+    )
 
 
-def read_protection_metadata(path: str) -> dict:
+def read_protection_metadata(path: str, spark: SparkSession | None = None) -> dict:
     """Load and validate the sidecar (version check mirrors the decrypt
     sequencer's ``encryption_sequencer.cpp:335-346``)."""
-    sidecar_path = _sidecar_path(path)
-    if not os.path.exists(sidecar_path):
+    text = _read_sidecar(spark, path)
+    if text is None:
         raise DBPSInvalidInputError(
             f"no {SIDECAR_NAME} found at {path!r}; not a protected dataset"
         )
-    with open(sidecar_path) as f:
-        meta = json.load(f)
+    meta = json.loads(text)
     version = meta.get(DBPS_VERSION_KEY)
     if version is None or not str(version).startswith(DBPS_VERSION):
         raise DBPSInvalidInputError(
@@ -131,7 +183,7 @@ def read_protected(
     """
     from pyspark.sql import functions as F
 
-    meta = read_protection_metadata(path)
+    meta = read_protection_metadata(path, spark)
     data_format = meta.get("format", "parquet")
     base64_cells = meta.get("cell_encoding") == "base64"
     reader = spark.read
@@ -139,9 +191,16 @@ def read_protected(
         reader = reader.option("header", "true").option("inferSchema", "true")
     df = getattr(reader, data_format)(path)
     keep = set(keep_protected or [])
-    targets = meta["columns"] if columns is None else {
-        c: meta["columns"][c] for c in columns
-    }
+    if columns is None:
+        targets = meta["columns"]
+    else:
+        unknown = [c for c in columns if c not in meta["columns"]]
+        if unknown:
+            raise DBPSInvalidInputError(
+                f"columns not present in protection sidecar: {unknown!r} "
+                f"(sidecar has {sorted(meta['columns'])!r})"
+            )
+        targets = {c: meta["columns"][c] for c in columns}
     for name, cfg in targets.items():
         if name in keep:
             continue

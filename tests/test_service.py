@@ -115,6 +115,7 @@ def _encrypt_request_body(page_b64, attrs):
         "data_batch_encrypted": {"value_format": {"compression": "UNCOMPRESSED"}},
         "encryption": {"key_id": "EMAIL_KEY_001"},
         "access": {"user_id": "user123"},
+        "application_context": '{"user_id": "user123"}',
         "debug": {"reference_id": "ref-1"},
     }
 
@@ -219,6 +220,7 @@ def test_remote_agent_roundtrip(server, remote_agent):
         datatype_length=None,
         compression_type=CompressionCodec.UNCOMPRESSED,
         user_id="user123",
+        application_context='{"user_id": "user123"}',
     )
     enc = remote_agent.encrypt(page, attrs)
     assert enc.success, enc.error_message
@@ -265,6 +267,7 @@ def test_remote_agent_token_cached(server, remote_agent):
         datatype_length=None,
         compression_type=CompressionCodec.UNCOMPRESSED,
         user_id="u",
+        application_context='{"user_id": "u"}',
     )
     remote_agent.encrypt(page, attrs)
     tok1 = remote_agent._token
@@ -359,6 +362,7 @@ def _remote_agent_for(server, datatype, length=None):
         datatype_length=length,
         compression_type=CompressionCodec.UNCOMPRESSED,
         user_id="u1",
+        application_context='{"user_id": "u1"}',
     )
     return agent
 
