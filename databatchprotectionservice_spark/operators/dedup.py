@@ -122,10 +122,10 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     "dedup_exact_stats",
     oracle="""
         SELECT
-            sum(cnt) AS n_docs,
+            CAST(sum(cnt) AS BIGINT) AS n_docs,
             count(*) AS n_distinct_text,
             count(DISTINCT fp) AS n_distinct_fp,
-            sum(cnt) - count(DISTINCT fp) AS n_exact_dups
+            CAST(sum(cnt) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
         FROM (
             SELECT md5(text) AS h_text, md5(lower(trim(text))) AS fp,
                    count(*) AS cnt
@@ -151,10 +151,12 @@ def dedup_exact_stats(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return g.agg(
-        F.sum("cnt").alias("n_docs"),
+        F.sum("cnt").cast("bigint").alias("n_docs"),
         F.count(F.lit(1)).alias("n_distinct_text"),
         F.countDistinct("fp").alias("n_distinct_fp"),
-        (F.sum("cnt") - F.countDistinct("fp")).alias("n_exact_dups"),
+        (F.sum("cnt") - F.countDistinct("fp"))
+        .cast("bigint")
+        .alias("n_exact_dups"),
     )
 
 
@@ -524,7 +526,7 @@ def dedup_connected_clusters(spark, sf_dir):
     oracle="""
         SELECT source,
                count(*) AS n_kept,
-               sum(octet_length(encode(text))) AS kept_bytes
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS kept_bytes
         FROM (
             SELECT d.source, d.text
             FROM documents d
@@ -555,5 +557,7 @@ def dedup_keep_one(spark, sf_dir):
     kept = d.join(keepers, d.doc_id == keepers.keep_id)
     return kept.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_kept"),
-        F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("kept_bytes"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8")))
+        .cast("bigint")
+        .alias("kept_bytes"),
     )

@@ -236,7 +236,7 @@ def sample_frames(
     oracle="""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               sum(octet_length(encode(text))) AS total_bytes,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
                min(md5(text)) AS min_checksum,
                max(md5(text)) AS max_checksum
         FROM documents
@@ -249,7 +249,7 @@ def multimodal_payload_stats(spark, sf_dir):
     m = media_table(spark, sf_dir)
     return m.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum("meta.n_bytes").alias("total_bytes"),
+        F.sum("meta.n_bytes").cast("bigint").alias("total_bytes"),
         F.min("meta.checksum").alias("min_checksum"),
         F.max("meta.checksum").alias("max_checksum"),
     )
@@ -260,11 +260,14 @@ def multimodal_payload_stats(spark, sf_dir):
     oracle="""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               sum(octet_length(encode(text))) AS sum_bytes,
-               sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS sum_alpha,
-               sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS sum_digit,
-               sum(octet_length(encode(text))
-                   - octet_length(encode(regexp_replace(text, e'[ \\t\\n\\x0b\\f\\r]', '', 'g')))) AS sum_space
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+               CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
+                    AS BIGINT) AS sum_alpha,
+               CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
+                    AS BIGINT) AS sum_digit,
+               CAST(sum(octet_length(encode(text))
+                   - octet_length(encode(regexp_replace(text, e'[ \\t\\n\\x0b\\f\\r]', '', 'g'))))
+                    AS BIGINT) AS sum_space
         FROM documents
         GROUP BY 1
     """,
@@ -275,10 +278,10 @@ def multimodal_feature_extract(spark, sf_dir):
     feats = extract_features(media_table(spark, sf_dir))
     return feats.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_bytes").alias("sum_bytes"),
-        F.sum("n_alpha").alias("sum_alpha"),
-        F.sum("n_digit").alias("sum_digit"),
-        F.sum("n_space").alias("sum_space"),
+        F.sum("n_bytes").cast("bigint").alias("sum_bytes"),
+        F.sum("n_alpha").cast("bigint").alias("sum_alpha"),
+        F.sum("n_digit").cast("bigint").alias("sum_digit"),
+        F.sum("n_space").cast("bigint").alias("sum_space"),
     )
 
 
@@ -287,8 +290,9 @@ def multimodal_feature_extract(spark, sf_dir):
     oracle=f"""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               sum((octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES}) AS n_frames,
-               sum(octet_length(encode(text))) AS frame_bytes_total
+               CAST(sum((octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES})
+                    AS BIGINT) AS n_frames,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes_total
         FROM documents
         GROUP BY 1
     """,
@@ -303,8 +307,8 @@ def multimodal_frame_sample(spark, sf_dir):
     )
     return per_doc.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_media"),
-        F.sum("n_frames").alias("n_frames"),
-        F.sum("frame_bytes").alias("frame_bytes_total"),
+        F.sum("n_frames").cast("bigint").alias("n_frames"),
+        F.sum("frame_bytes").cast("bigint").alias("frame_bytes_total"),
     )
 
 

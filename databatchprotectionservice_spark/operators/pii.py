@@ -76,8 +76,10 @@ def auto_protect(
 
 
 def _duck_count(col: str, duck_re: str) -> str:
+    # CAST: DuckDB sum(int) is HUGEINT, which .df() lowers to float64 and
+    # breaks the driver's stringified hash against Spark's int64
     return (
-        f"sum(len(regexp_extract_all({col}, '{duck_re}')))"
+        f"CAST(sum(len(regexp_extract_all({col}, '{duck_re}'))) AS BIGINT)"
     )
 
 
@@ -100,9 +102,9 @@ def pii_detect_documents(spark, sf_dir):
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
     aggs = [
-        F.sum(
-            F.size(F.regexp_extract_all(F.col("text"), F.lit(spark_re), 0))
-        ).alias(name)
+        F.sum(F.size(F.regexp_extract_all(F.col("text"), F.lit(spark_re), 0)))
+        .cast("bigint")
+        .alias(name)
         for name, (spark_re, _) in PII_PATTERNS.items()
     ]
     return d.groupBy("source").agg(

@@ -22,6 +22,7 @@ from pyspark.sql import types as T
 
 from ..functions.protect import protect_column, unprotect_column
 from ..plans.registry import load, load_events, prep, register
+from .relational import dec_str
 
 DEC = "decimal(18,2)"
 
@@ -33,8 +34,9 @@ DEC = "decimal(18,2)"
             l_returnflag,
             l_linestatus,
             count(*) AS n,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price,
-            sum(l_orderkey) AS sum_orderkey,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_price,
+            CAST(sum(l_orderkey) AS BIGINT) AS sum_orderkey,
             min(l_returnflag) AS min_flag
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -54,8 +56,8 @@ def protect_roundtrip_lineitem(spark, sf_dir):
     df = unprotect_column(df, "l_returnflag", T.StringType(), "key_flag")
     return df.groupBy("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_price"),
-        F.sum("l_orderkey").alias("sum_orderkey"),
+        dec_str(F.sum(F.col("l_extendedprice").cast(DEC))).alias("sum_price"),
+        F.sum("l_orderkey").cast("bigint").alias("sum_orderkey"),
         F.min("l_returnflag").alias("min_flag"),
     )
 
@@ -95,8 +97,9 @@ def protect_roundtrip_customer(spark, sf_dir):
         SELECT
             event_type,
             count(*) AS n,
-            sum(user_id) AS sum_user,
-            sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            CAST(sum(user_id) AS BIGINT) AS sum_user,
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM events
         GROUP BY event_type
     """,
@@ -111,8 +114,8 @@ def protect_roundtrip_events_aes(spark, sf_dir):
     df = unprotect_column(df, "value", T.DoubleType(), "key_val", encryptor="aes_siv")
     return df.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("user_id").alias("sum_user"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        F.sum("user_id").cast("bigint").alias("sum_user"),
+        dec_str(F.sum(F.col("value").cast(DEC))).alias("sum_value"),
     )
 
 
@@ -122,8 +125,8 @@ def protect_roundtrip_events_aes(spark, sf_dir):
         SELECT
             c_mktsegment,
             count(*) AS n,
-            sum(octet_length(encode(c_name)) + 1) AS ct_name_bytes,
-            sum(9) AS ct_bal_bytes
+            CAST(sum(octet_length(encode(c_name)) + 1) AS BIGINT) AS ct_name_bytes,
+            CAST(sum(9) AS BIGINT) AS ct_bal_bytes
         FROM customer
         GROUP BY c_mktsegment
     """,
@@ -136,8 +139,8 @@ def protect_ciphertext_shape(spark, sf_dir):
     df = protect_column(df, "c_acctbal", "key_bal")
     return df.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.length("c_name")).alias("ct_name_bytes"),
-        F.sum(F.length("c_acctbal")).alias("ct_bal_bytes"),
+        F.sum(F.length("c_name")).cast("bigint").alias("ct_name_bytes"),
+        F.sum(F.length("c_acctbal")).cast("bigint").alias("ct_bal_bytes"),
     )
 
 

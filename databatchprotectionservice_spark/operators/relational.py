@@ -24,6 +24,19 @@ from ..plans.registry import load, load_events, prep, register
 DEC = "decimal(18,2)"
 
 
+def dec_str(col, scale: int = 2):
+    """Canonical decimal output: identical explicit scale, emitted as a
+    string on BOTH engine sides.
+
+    The driver's hasher compares ``str()`` over pandas frames, and DuckDB's
+    ``.df()`` lowers DECIMAL to float64 (``100.50`` -> ``"100.5"``) while
+    Spark keeps Decimal objects (``"100.50"``) — so raw decimal outputs
+    hash-mismatch on any trailing zero or NULL. Strings with a pinned
+    scale are engine-exact; the SQL twin is
+    ``CAST(CAST(x AS DECIMAL(38,s)) AS VARCHAR)``."""
+    return col.cast(f"decimal(38,{scale})").cast("string")
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: scan -> filter -> groupBy aggregate
 # ---------------------------------------------------------------------------
@@ -35,13 +48,17 @@ DEC = "decimal(18,2)"
         SELECT
             l_returnflag,
             l_linestatus,
-            sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l_discount AS DECIMAL(18,2))) AS sum_disc_price,
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l_discount AS DECIMAL(18,2))
-                * CAST(1 + l_tax AS DECIMAL(18,2))) AS sum_charge,
+            CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,2)))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS sum_disc_price,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                 * CAST(1 - l_discount AS DECIMAL(8,2))
+                 * CAST(1 + l_tax AS DECIMAL(8,2)))
+                 AS DECIMAL(38,6)) AS VARCHAR) AS sum_charge,
             count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -50,8 +67,13 @@ DEC = "decimal(18,2)"
     description="TPC-H Q1 adapted: pushed-down filter + hash aggregate",
 )
 def q1_pricing_summary(spark, sf_dir):
+    # the 1±x factors are DECIMAL(8,2) so the triple product stays inside
+    # DECIMAL(38) exact arithmetic in BOTH engines (DuckDB widens products
+    # by w1+w2 and falls out of decimal past 38 — which silently becomes
+    # DOUBLE and breaks hash equality)
     prep(spark)
     li = load(spark, sf_dir, "lineitem")
+    dec8 = "decimal(8,2)"
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
@@ -60,14 +82,23 @@ def q1_pricing_summary(spark, sf_dir):
             F.sum(F.col("l_extendedprice").cast(DEC)).alias("sum_base_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(dec8)
             ).alias("sum_disc_price"),
             F.sum(
                 F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount")).cast(DEC)
-                * (F.lit(1) + F.col("l_tax")).cast(DEC)
+                * (F.lit(1) - F.col("l_discount")).cast(dec8)
+                * (F.lit(1) + F.col("l_tax")).cast(dec8)
             ).alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            dec_str(F.col("sum_qty")).alias("sum_qty"),
+            dec_str(F.col("sum_base_price")).alias("sum_base_price"),
+            dec_str(F.col("sum_disc_price"), 4).alias("sum_disc_price"),
+            dec_str(F.col("sum_charge"), 6).alias("sum_charge"),
+            "count_order",
         )
     )
 
@@ -224,7 +255,9 @@ def q6_forecast_revenue(spark, sf_dir):
 @register(
     "window_top_orders_per_customer",
     oracle="""
-        SELECT o_custkey, o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice, rk
+        SELECT o_custkey, o_orderkey,
+               CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS totalprice,
+               rk
         FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (
@@ -251,7 +284,7 @@ def window_top_orders_per_customer(spark, sf_dir):
         .select(
             "o_custkey",
             "o_orderkey",
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
+            dec_str(F.col("o_totalprice")).alias("totalprice"),
             "rk",
         )
     )
@@ -263,11 +296,11 @@ def window_top_orders_per_customer(spark, sf_dir):
         SELECT o_custkey,
                CAST(o_orderdate AS DATE) AS orderdate,
                o_orderkey,
-               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
                    PARTITION BY o_custkey
                    ORDER BY o_orderdate, o_orderkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS DECIMAL(18,2)) AS running_total
+               ) AS DECIMAL(38,2)) AS VARCHAR) AS running_total
         FROM orders
         WHERE o_custkey < 100
     """,
@@ -287,7 +320,9 @@ def window_running_revenue(spark, sf_dir):
         "o_custkey",
         F.col("o_orderdate").cast("date").alias("orderdate"),
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast(DEC).alias("running_total"),
+        dec_str(F.sum(F.col("o_totalprice").cast(DEC)).over(w)).alias(
+            "running_total"
+        ),
     )
 
 
@@ -300,7 +335,7 @@ def window_running_revenue(spark, sf_dir):
     "topk_expensive_parts",
     oracle="""
         SELECT p_partkey, p_name, p_brand,
-               CAST(p_retailprice AS DECIMAL(18,2)) AS retailprice
+               CAST(CAST(p_retailprice AS DECIMAL(38,2)) AS VARCHAR) AS retailprice
         FROM part
         ORDER BY p_retailprice DESC, p_partkey
         LIMIT 15
@@ -317,7 +352,7 @@ def topk_expensive_parts(spark, sf_dir):
             "p_partkey",
             "p_name",
             "p_brand",
-            F.col("p_retailprice").cast(DEC).alias("retailprice"),
+            dec_str(F.col("p_retailprice")).alias("retailprice"),
         )
     )
 
@@ -386,8 +421,9 @@ def setop_active_customers(spark, sf_dir):
             min(upper(p_type)) AS min_type_upper,
             max(length(p_name)) AS max_name_len,
             min(substr(p_name, 1, 5)) AS min_name_prefix,
-            sum(CAST(round(p_retailprice, 1) AS DECIMAL(18,2))) AS sum_rounded,
-            sum(abs(p_size - 25)) AS sum_absdev,
+            CAST(CAST(sum(CAST(round(p_retailprice, 1) AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_rounded,
+            CAST(sum(abs(p_size - 25)) AS BIGINT) AS sum_absdev,
             min(concat(p_brand, ':', CAST(p_size AS VARCHAR))) AS min_brand_size
         FROM part
         GROUP BY p_brand
@@ -402,8 +438,10 @@ def scalar_function_battery(spark, sf_dir):
         F.min(F.upper("p_type")).alias("min_type_upper"),
         F.max(F.length("p_name")).alias("max_name_len"),
         F.min(F.substring("p_name", 1, 5)).alias("min_name_prefix"),
-        F.sum(F.round("p_retailprice", 1).cast(DEC)).alias("sum_rounded"),
-        F.sum(F.abs(F.col("p_size") - 25)).alias("sum_absdev"),
+        dec_str(F.sum(F.round("p_retailprice", 1).cast(DEC))).alias(
+            "sum_rounded"
+        ),
+        F.sum(F.abs(F.col("p_size") - 25)).cast("bigint").alias("sum_absdev"),
         F.min(
             F.concat(F.col("p_brand"), F.lit(":"), F.col("p_size").cast("string"))
         ).alias("min_brand_size"),
@@ -421,9 +459,11 @@ def scalar_function_battery(spark, sf_dir):
         SELECT
             event_type,
             count(*) AS n_events,
-            sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 AS BIGINT) AS sum_k,
             count(DISTINCT user_id) AS n_users,
-            sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM events
         GROUP BY event_type
     """,
@@ -434,9 +474,11 @@ def events_json_extract(spark, sf_dir):
     e = load_events(spark, sf_dir)
     return e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.get_json_object("props", "$.k").cast("int")).alias("sum_k"),
+        F.sum(F.get_json_object("props", "$.k").cast("int"))
+        .cast("bigint")
+        .alias("sum_k"),
         F.countDistinct("user_id").alias("n_users"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        dec_str(F.sum(F.col("value").cast(DEC))).alias("sum_value"),
     )
 
 
@@ -447,7 +489,8 @@ def events_json_extract(spark, sf_dir):
             strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00') AS hour_bucket,
             event_type,
             count(*) AS n,
-            sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+            CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM events
         WHERE event_type IN ('click', 'purchase')
         GROUP BY 1, 2
@@ -466,7 +509,7 @@ def events_hourly_rollup(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        dec_str(F.sum(F.col("value").cast(DEC))).alias("sum_value"),
     )
 
 
@@ -549,8 +592,9 @@ def join_outer_order_fill(spark, sf_dir):
         SELECT strftime(p.ts, '%Y-%m-%d') AS day,
                count(*) AS n_purchases,
                count(c.ts) AS n_matched,
-               sum(epoch_us(c.ts)) AS sum_matched_epoch,
-               sum(CAST(c.value AS DECIMAL(18,2))) AS sum_click_value
+               CAST(sum(epoch_us(c.ts)) AS BIGINT) AS sum_matched_epoch,
+               CAST(CAST(sum(CAST(c.value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_click_value
         FROM purchases p ASOF LEFT JOIN clicks c
           ON p.user_id = c.user_id AND c.ts <= p.ts
         GROUP BY 1
@@ -610,8 +654,12 @@ def asof_join_last_event(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_purchases"),
         F.count("click_ts").alias("n_matched"),
-        F.sum(F.unix_micros("click_ts")).alias("sum_matched_epoch"),
-        F.sum(F.col("click_value").cast(DEC)).alias("sum_click_value"),
+        F.sum(F.unix_micros("click_ts")).cast("bigint").alias(
+            "sum_matched_epoch"
+        ),
+        dec_str(F.sum(F.col("click_value").cast(DEC))).alias(
+            "sum_click_value"
+        ),
     )
 
 
@@ -629,7 +677,8 @@ def asof_join_last_event(spark, sf_dir):
         SELECT strftime(p.ts, '%Y-%m-%d') AS day,
                count(*) AS n_pairs,
                count(DISTINCT p.user_id) AS n_users,
-               sum(CAST(c.value AS DECIMAL(18,2))) AS sum_click_value
+               CAST(CAST(sum(CAST(c.value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_click_value
         FROM purchases p
         JOIN clicks c
           ON c.user_id = p.user_id
@@ -660,7 +709,7 @@ def range_join_click_attribution(spark, sf_dir):
     ).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.countDistinct("p_user").alias("n_users"),
-        F.sum(F.col("c_value").cast(DEC)).alias("sum_click_value"),
+        dec_str(F.sum(F.col("c_value").cast(DEC))).alias("sum_click_value"),
     )
 
 
@@ -674,7 +723,8 @@ def range_join_click_attribution(spark, sf_dir):
     oracle="""
         SELECT r.r_name AS region, n.n_name AS nation,
                count(*) AS n_customers,
-               sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS sum_acctbal
+               CAST(CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_acctbal
         FROM customer c
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         JOIN region r ON n.n_regionkey = r.r_regionkey
@@ -694,7 +744,7 @@ def rollup_revenue(spark, sf_dir):
         joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+            dec_str(F.sum(F.col("c_acctbal").cast(DEC))).alias("sum_acctbal"),
         )
     )
 
@@ -708,10 +758,10 @@ def rollup_revenue(spark, sf_dir):
     "q12_priority_shipping",
     oracle="""
         SELECT l.l_returnflag,
-               sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_line_count,
-               sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_line_count
+               CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
         FROM lineitem l
         JOIN orders o ON l.l_orderkey = o.o_orderkey
         WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -777,8 +827,8 @@ def q14_discount_share(spark, sf_dir):
     oracle="""
         SELECT c.c_name, o.o_orderkey,
                strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
-               CAST(o.o_totalprice AS DECIMAL(18,2)) AS totalprice,
-               CAST(t.sum_qty AS DECIMAL(18,2)) AS sum_qty
+               CAST(CAST(o.o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS totalprice,
+               CAST(CAST(t.sum_qty AS DECIMAL(38,2)) AS VARCHAR) AS sum_qty
         FROM (
             SELECT l_orderkey, sum(l_quantity) AS sum_qty
             FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150
@@ -809,8 +859,8 @@ def q18_large_volume_customers(spark, sf_dir):
             "c_name",
             "o_orderkey",
             F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
-            F.col("o_totalprice").cast(DEC).alias("totalprice"),
-            F.col("sum_qty").cast(DEC).alias("sum_qty"),
+            dec_str(F.col("o_totalprice")).alias("totalprice"),
+            dec_str(F.col("sum_qty")).alias("sum_qty"),
         )
     )
 
@@ -891,7 +941,8 @@ def sql_q1_via_views(spark, sf_dir):
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n,
-               sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+               CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_price
         FROM orders
         GROUP BY CUBE(o_orderstatus, o_orderpriority)
     """,
@@ -902,7 +953,7 @@ def cube_order_stats(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("o_totalprice").cast(DEC)).alias("sum_price"),
+        dec_str(F.sum(F.col("o_totalprice").cast(DEC))).alias("sum_price"),
     )
 
 
@@ -919,7 +970,7 @@ def cube_order_stats(spark, sf_dir):
         )
         SELECT o_orderpriority,
                min(cnt) AS n_orders,
-               min(price) AS median_price
+               CAST(CAST(min(price) AS DECIMAL(38,2)) AS VARCHAR) AS median_price
         FROM ranked
         WHERE rk = (cnt + 1) // 2
         GROUP BY o_orderpriority
@@ -950,7 +1001,7 @@ def median_order_value(spark, sf_dir):
         .groupBy("o_orderpriority")
         .agg(
             F.min("cnt").alias("n_orders"),
-            F.min("price").alias("median_price"),
+            dec_str(F.min("price")).alias("median_price"),
         )
     )
 
@@ -963,7 +1014,8 @@ def median_order_value(spark, sf_dir):
                     ELSE strftime(hr, '%Y-%m-%d %H:00') END AS hour,
                event_type,
                count(*) AS n,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM (
             SELECT ts, event_type, value,
                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr
@@ -996,7 +1048,7 @@ def timeseries_multi_rollup(spark, sf_dir):
         "event_type",
     ).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        dec_str(F.sum(F.col("value").cast(DEC))).alias("sum_value"),
         # grouping() must be computed inside the aggregate
         F.grouping("hr").alias("g_hr"),
     )
@@ -1015,13 +1067,13 @@ def timeseries_multi_rollup(spark, sf_dir):
     "window_function_battery",
     oracle="""
         SELECT o_custkey, o_orderkey,
-               CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               CAST(CAST(o_totalprice AS DECIMAL(38,2)) AS VARCHAR) AS price,
                rank() OVER w AS rk,
                dense_rank() OVER w AS drk,
                ntile(4) OVER w AS quartile,
-               CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS prev_price,
-               CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(18,2)) AS next_price,
-               CAST(first_value(o_totalprice) OVER w AS DECIMAL(18,2)) AS first_price
+               CAST(CAST(lag(o_totalprice, 1) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS prev_price,
+               CAST(CAST(lead(o_totalprice, 1) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS next_price,
+               CAST(CAST(first_value(o_totalprice) OVER w AS DECIMAL(38,2)) AS VARCHAR) AS first_price
         FROM orders
         WHERE o_custkey < 20
         WINDOW w AS (PARTITION BY o_custkey
@@ -1040,13 +1092,13 @@ def window_function_battery(spark, sf_dir):
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.col("o_totalprice").cast(DEC).alias("price"),
+        dec_str(F.col("o_totalprice")).alias("price"),
         F.rank().over(w).alias("rk"),
         F.dense_rank().over(w).alias("drk"),
         F.ntile(4).over(w).alias("quartile"),
-        F.lag("o_totalprice", 1).over(w).cast(DEC).alias("prev_price"),
-        F.lead("o_totalprice", 1).over(w).cast(DEC).alias("next_price"),
-        F.first("o_totalprice").over(w).cast(DEC).alias("first_price"),
+        dec_str(F.lag("o_totalprice", 1).over(w)).alias("prev_price"),
+        dec_str(F.lead("o_totalprice", 1).over(w)).alias("next_price"),
+        dec_str(F.first("o_totalprice").over(w)).alias("first_price"),
     )
 
 
@@ -1058,7 +1110,8 @@ def window_function_battery(spark, sf_dir):
                min(reverse(p_name)) AS min_rev,
                max(lpad(CAST(p_size AS VARCHAR), 4, '0')) AS max_padded,
                min(replace(p_type, ' ', '_')) AS min_replaced,
-               sum(levenshtein(p_brand, substr(p_name, 1, 8))) AS sum_lev,
+               CAST(sum(levenshtein(p_brand, substr(p_name, 1, 8)))
+                    AS BIGINT) AS sum_lev,
                min(split_part(p_type, ' ', 1)) AS min_first_word,
                max(repeat(substr(p_brand, 1, 2), 2)) AS max_rep
         FROM part
@@ -1075,7 +1128,9 @@ def string_function_battery(spark, sf_dir):
         F.min(F.reverse("p_name")).alias("min_rev"),
         F.max(F.lpad(F.col("p_size").cast("string"), 4, "0")).alias("max_padded"),
         F.min(F.replace(F.col("p_type"), F.lit(" "), F.lit("_"))).alias("min_replaced"),
-        F.sum(F.levenshtein(F.col("p_brand"), F.substring("p_name", 1, 8))).alias("sum_lev"),
+        F.sum(F.levenshtein(F.col("p_brand"), F.substring("p_name", 1, 8)))
+        .cast("bigint")
+        .alias("sum_lev"),
         F.min(F.split_part(F.col("p_type"), F.lit(" "), F.lit(1))).alias("min_first_word"),
         F.max(F.repeat(F.substring("p_brand", 1, 2), 2)).alias("max_rep"),
     )
@@ -1087,7 +1142,8 @@ def string_function_battery(spark, sf_dir):
         SELECT event_type,
                key,
                count(*) AS n,
-               sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS sum_val,
+               CAST(sum(CAST(json_extract_string(props, '$.' || key) AS BIGINT))
+                    AS BIGINT) AS sum_val,
                min(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS min_val,
                max(CAST(json_extract_string(props, '$.' || key) AS BIGINT)) AS max_val
         FROM (
@@ -1108,7 +1164,7 @@ def map_function_battery(spark, sf_dir):
     )
     return exploded.groupBy("event_type", "key").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("val").cast("bigint")).alias("sum_val"),
+        F.sum(F.col("val").cast("bigint")).cast("bigint").alias("sum_val"),
         F.min(F.col("val").cast("bigint")).alias("min_val"),
         F.max(F.col("val").cast("bigint")).alias("max_val"),
     )

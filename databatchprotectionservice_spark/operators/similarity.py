@@ -153,7 +153,7 @@ _DUCK_BUCKET = " + ".join(
     oracle=f"""
         SELECT ({_DUCK_BUCKET}) AS bucket,
                count(*) AS n_vectors,
-               sum(label) AS sum_label
+               CAST(sum(label) AS BIGINT) AS sum_label
         FROM embeddings
         GROUP BY 1
     """,
@@ -165,7 +165,10 @@ def similarity_lsh_buckets(spark, sf_dir):
     return (
         emb.select(bucket_column(F.col("embedding")).alias("bucket"), "label")
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_vectors"), F.sum("label").alias("sum_label"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum("label").cast("bigint").alias("sum_label"),
+        )
     )
 
 

@@ -7,6 +7,17 @@ deterministic — a window is emitted iff ``window.end <= final_watermark``
 where the final watermark is ``max(event_ts) - delay`` — so the DuckDB
 oracle states the same rule in SQL and the driver's hash compare applies
 to a *streaming* operator.
+
+``streaming_click_attribution`` is the stream-stream interval join
+(purchases ⋈ clicks within the preceding hour). Inner-join matches are
+emitted as soon as both sides are present — with an availableNow run
+over the full input the emitted set is exactly the batch join result,
+which the oracle states directly.
+
+Neither query materializes through the driver: the memory sink's
+driver-side buffer is exposed as a temp view and returned lazily; at
+scale the same plans write to a file sink instead (see
+``streaming.pipeline.write_protected_stream`` for the file-sink form).
 """
 
 from __future__ import annotations
@@ -16,8 +27,27 @@ import time
 from pyspark.sql import functions as F
 
 from ..plans.registry import prep, register, table_path
+from .relational import DEC, dec_str
 
 WATERMARK_DELAY_HOURS = 2
+
+
+def _run_to_memory_sink(df, name: str):
+    """Run a streaming DataFrame to completion (availableNow) into a
+    memory sink and return the sink table *lazily* — no driver-side
+    ``collect()``; the memory sink's temp view outlives the stopped
+    query for the life of the session."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(300)
+    finally:
+        q.stop()
 
 
 @register(
@@ -32,7 +62,8 @@ WATERMARK_DELAY_HOURS = 2
                         '%Y-%m-%d %H:00') AS hour_bucket,
                event_type,
                count(*) AS n,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM events, wm
         WHERE date_trunc('hour', CAST(ts AS TIMESTAMP)) + INTERVAL 1 HOUR
               <= wm.final_wm
@@ -50,22 +81,59 @@ def streaming_hourly_rollup(spark, sf_dir):
         stream, window_duration="1 hour", watermark=f"{WATERMARK_DELAY_HOURS} hours"
     )
     name = f"streaming_hourly_rollup_{time.time_ns()}"
-    q = (
-        rollup.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    try:
-        q.awaitTermination(300)
-    finally:
-        q.stop()
-    # materialize before the memory sink table goes away with the query
-    out = spark.table(name).select(
+    _run_to_memory_sink(rollup, name)
+    return spark.table(name).select(
         "hour_bucket",
         "event_type",
         "n",
-        F.col("sum_value").cast("decimal(18,2)").alias("sum_value"),
+        dec_str(F.col("sum_value")).alias("sum_value"),
     )
-    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@register(
+    "streaming_click_attribution",
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT p.user_id AS user_id,
+               strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+               strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+               CAST(CAST(c.value AS DECIMAL(38,2)) AS VARCHAR) AS click_value
+        FROM purchases p
+        JOIN clicks c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts < p.ts
+    """,
+    description="stream-stream interval join (purchase attributed to "
+    "prior-hour clicks); both sides watermarked so join state is bounded",
+)
+def streaming_click_attribution(spark, sf_dir):
+    from ..streaming import read_events_stream, stream_stream_click_attribution
+
+    prep(spark)
+    path = table_path(sf_dir, "events")
+    purchases = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, path).filter(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_click_attribution(
+        purchases, clicks, attribution_window="1 hour", watermark="2 hours"
+    )
+    out = joined.select(
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        dec_str(F.col("c_value").cast(DEC)).alias("click_value"),
+    )
+    name = f"streaming_click_attr_{time.time_ns()}"
+    _run_to_memory_sink(out, name)
+    return spark.table(name)

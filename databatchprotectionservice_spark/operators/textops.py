@@ -48,10 +48,10 @@ def _tokens(col):
         SELECT
             source,
             count(*) AS n_docs,
-            sum(CASE WHEN length(trim(text)) = 0 THEN 0
-                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS sum_tokens,
-            sum(length(text)) AS sum_chars,
-            sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS sum_bpe_tokens,
+            CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS BIGINT) AS sum_tokens,
+            CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+            CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS sum_bpe_tokens,
             max(CASE WHEN length(trim(text)) = 0 THEN 0
                      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END) AS max_tokens
         FROM documents
@@ -151,7 +151,8 @@ _LANG_ORACLE_SCORES = """
     "text_language_id",
     oracle=f"""
         SELECT lang_guess, count(*) AS n_docs,
-               sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END) AS n_match_label
+               CAST(sum(CASE WHEN lang_guess = lang THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_match_label
         FROM (
             SELECT doc_id, lang,
                    CASE WHEN s_zh > 0 THEN 'zh'

@@ -114,8 +114,8 @@ def make_iqr_sum_udaf():
     oracle="""
         SELECT source,
                count(*) AS n_docs,
-               sum(CASE WHEN rk > cnt // 4 AND rk <= (3 * cnt) // 4
-                        THEN n_chars ELSE 0 END) AS iqr_chars
+               CAST(sum(CASE WHEN rk > cnt // 4 AND rk <= (3 * cnt) // 4
+                        THEN n_chars ELSE 0 END) AS BIGINT) AS iqr_chars
         FROM (
             SELECT source, n_chars,
                    row_number() OVER (PARTITION BY source
@@ -165,8 +165,8 @@ def _cumulate(pdf: pd.DataFrame) -> pd.DataFrame:
     "grouped_map_cumulative_chars",
     oracle="""
         SELECT source, doc_id, n_chars,
-               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
-                                  ROWS UNBOUNDED PRECEDING) AS cum_chars
+               CAST(sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_chars
         FROM documents
     """,
     description="grouped-map applyInPandas: per-source cumulative totals",

