@@ -314,9 +314,36 @@ def multimodal_frame_sample(spark, sf_dir):
 
 @register(
     "multimodal_decode_resize",
-    oracle=None,  # dimensions come from the stubbed (fake) decoder; the
-    # sha256-derived widths are not SQL-expressible, so the driver records
-    # the weaker rows-only check for this one
+    # the fake decoder's dimensions are sha256-derived and therefore fully
+    # SQL-expressible: DuckDB's sha256(VARCHAR) hashes the UTF-8 bytes of
+    # the string — exactly the payload bytes Spark hashes — and bytes 0/1
+    # are the first two hex pairs of the digest string
+    oracle="""
+        WITH decoded AS (
+            SELECT concat('media/', source) AS media_type,
+                   16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 240
+                       AS w,
+                   16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 240
+                       AS h
+            FROM documents
+        ),
+        resized AS (
+            SELECT media_type,
+                   CAST(floor(w * least(1.0, 64.0 / CAST(greatest(w, h) AS DOUBLE)))
+                        AS INT) AS width,
+                   CAST(floor(h * least(1.0, 64.0 / CAST(greatest(w, h) AS DOUBLE)))
+                        AS INT) AS height
+            FROM decoded
+        )
+        SELECT media_type,
+               count(*) AS n_media,
+               CAST(sum(width) AS BIGINT) AS sum_width,
+               CAST(sum(height) AS BIGINT) AS sum_height,
+               max(width) AS max_width,
+               max(height) AS max_height
+        FROM resized
+        GROUP BY media_type
+    """,
     description="decode (stubbed) + proportional resize pipeline",
 )
 def multimodal_decode_resize(spark, sf_dir):

@@ -249,6 +249,105 @@ IVF_ITERS = 2
 IVF_PROBES = 2
 
 
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, 65), i -> "
+        f"CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _duck_sqdist(a: str, b: str) -> str:
+    return (
+        f"list_aggregate(list_transform(range(1, 65), i -> "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE))), 'sum')"
+    )
+
+
+def _duck_assign(src: str, cents: str, out: str) -> str:
+    """One Lloyd assignment round: nearest centroid by the same expanded
+    form Spark's arrow UDF uses (``-2 x.c + |c|^2``), ties to the lowest
+    cluster id (np.argmin picks the first minimum)."""
+    return f"""
+        {out} AS (
+            SELECT vec_id, emb, cluster FROM (
+                SELECT e.vec_id, e.emb, c.cluster,
+                       row_number() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY -2 * {_duck_dot("e.emb", "c.emb")}
+                                    + {_duck_dot("c.emb", "c.emb")},
+                                    c.cluster) AS rn
+                FROM e CROSS JOIN {cents} c
+            ) WHERE rn = 1
+        )"""
+
+
+def _duck_recenter(assigned: str, prev: str, out: str) -> str:
+    """Per-dimension mean recompute; a cluster that lost all members keeps
+    its previous centroid (Spark starts from ``centroids.copy()``)."""
+    return f"""
+        {out}_m AS (
+            SELECT cluster, i.i AS dim, avg(CAST(emb[i.i] AS DOUBLE)) AS m
+            FROM {assigned}, UNNEST(range(1, 65)) AS i(i)
+            GROUP BY cluster, i.i
+        ),
+        {out} AS (
+            SELECT p.cluster,
+                   coalesce(
+                       (SELECT list(m ORDER BY dim) FROM {out}_m
+                        WHERE {out}_m.cluster = p.cluster),
+                       list_transform(p.emb, x -> CAST(x AS DOUBLE))
+                   ) AS emb
+            FROM {prev} p
+        )"""
+
+
+_IVF_ORACLE = f"""
+    WITH e AS (
+        SELECT vec_id, embedding AS emb FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cluster,
+               list_transform(emb, x -> CAST(x AS DOUBLE)) AS emb
+        FROM e WHERE vec_id < {IVF_K}
+    ),
+    {_duck_assign("e", "c0", "a1")},
+    {_duck_recenter("a1", "c0", "c1")},
+    {_duck_assign("e", "c1", "a2")},
+    {_duck_recenter("a2", "c1", "c2")},
+    {_duck_assign("e", "c2", "a3")},
+    q AS (
+        SELECT vec_id AS query_id, emb AS qe FROM e
+        WHERE vec_id < {N_QUERIES}
+    ),
+    probes AS (
+        SELECT query_id, qe, cluster FROM (
+            SELECT q.query_id, q.qe, c.cluster,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_duck_sqdist("c.emb", "q.qe")}, c.cluster
+                   ) AS pr
+            FROM q CROSS JOIN c2 c
+        ) WHERE pr <= {IVF_PROBES}
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               {_duck_dot("p.qe", "a.emb")}
+               / (sqrt({_duck_dot("p.qe", "p.qe")})
+                  * sqrt({_duck_dot("a.emb", "a.emb")})) AS cos
+        FROM probes p JOIN a3 a
+          ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+    FROM (
+        SELECT query_id, neighbor_id, cos,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rk
+        FROM scored
+    ) WHERE rk <= {TOP_K}
+"""
+
+
 def _assign_udf(centroids):
     """Arrow-vectorized nearest-centroid assignment. ``centroids`` is a
     (K, dim) numpy array broadcast by closure — exactly how IVF deploys:
@@ -310,9 +409,10 @@ def train_ivf_centroids(spark, emb_df, k: int = IVF_K, iters: int = IVF_ITERS):
 
 @register(
     "similarity_ivf_topk",
-    oracle=None,  # k-means training isn't reasonably SQL-expressible;
-    # the driver records the rows-only check and the pytest suite verifies
-    # against a numpy reference implementation
+    oracle=_IVF_ORACLE,  # the full deterministic Lloyd's (init = k lowest
+    # vec_ids, 2 unrolled iterations, argmin ties to lowest cluster) stated
+    # in SQL; float-summation-order differences vs numpy only matter at
+    # exact assignment-boundary ties, which the synthetic data avoids
     description="IVF ANN: deterministic k-means coarse quantizer, "
     "2-probe search (the FAISS-style scale path)",
 )
@@ -322,12 +422,15 @@ def similarity_ivf_topk(spark, sf_dir):
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
     centroids = train_ivf_centroids(spark, emb)
+    # cache: this lineage (arrow-UDF assignment over the full table) is
+    # consumed three times — the query-row collect, the candidate join,
+    # and the final execute; without the cache each re-runs the UDF scan
     assigned = emb.select(
         "vec_id",
         "embedding",
         _norm(F.col("embedding")).alias("nrm"),
         _assign_udf(centroids)(F.col("embedding")).alias("cluster"),
-    )
+    ).cache()
     # queries probe their IVF_PROBES nearest centroids
     queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
     probe_rows = []
