@@ -194,21 +194,56 @@ def dedup_exact_stats(spark, sf_dir):
     description="MinHash-LSH near-dup detection with exact Jaccard verify",
 )
 def dedup_minhash_lsh(spark, sf_dir):
+    """Exact-Jaccard verification runs on *exploded* gram rows, all in
+    whole-stage codegen: |A∩B| is a count over (pair ⋈ grams_a ⋈ grams_b)
+    and |A∪B| = |A|+|B|−|A∩B| from precomputed per-doc sizes. The old
+    shape — joining full shingle arrays onto every candidate and walking
+    them with ``array_intersect``/``array_union`` — shuffled every doc's
+    materialized array and evaluated interpreted collection ops per pair.
+    Here the only gram rows that move are those of candidate docs
+    (broadcast semi-join filter), so verification cost scales with the
+    candidate set, not the corpus."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
-    # exact-Jaccard verification only touches candidate docs; the shingle
-    # arrays are built once per joined side and never shuffled globally
+    # cache: the candidate set is tiny (LSH collisions only) but its
+    # lineage is the whole signature pipeline — it feeds three consumers
+    # below (two broadcasts + the final join), so without the cache the
+    # corpus-wide explode+min-agg would run three times
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    # distinct gram rows + per-doc shingle count, computed row-local
+    # (array_distinct before explode — no shuffle)
     sh = shingled(docs)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
-    jac = F.size(F.array_intersect("sg_a", "sg_b")) * F.lit(1.0) / F.size(
-        F.array_union("sg_a", "sg_b")
+    g = sh.select(
+        "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
+    )
+    # candidate pairs are tiny relative to the corpus: broadcast them to
+    # prune the gram table before any wide join
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    # cached for the same reason: consumed as both join sides (ga, gb),
+    # and bounded by the candidate docs' grams, not the corpus
+    gc = g.join(F.broadcast(cand_docs), "doc_id").cache()
+    ga = gc.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+    )
+    gb = gc.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+    )
+    inter = (
+        F.broadcast(cand)
+        .join(ga, "doc_a")
+        .join(gb, ["doc_b", "gram"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )
