@@ -32,6 +32,7 @@ import functools
 
 import numpy as np
 
+from . import _native
 from .errors import DBPSInvalidInputError
 
 _MASK64 = (1 << 64) - 1
@@ -153,10 +154,14 @@ class KeystreamXorEncryptor(Encryptor):
             # keystream row — no per-byte position array, memory-bandwidth
             ks = self._keystream(uniform_width)
             return (flat.reshape(-1, uniform_width) ^ ks).reshape(-1)
+        ks = self._keystream(max_len)
+        if _native.LIB is not None:
+            # C fast path: per-element XOR at memory bandwidth, no
+            # position array at all
+            return _native.xor_elements(flat, offsets, ks)
         # variable width: position of every byte within its element.
         # int32 halves the gather/index memory traffic (an Arrow batch is
         # always < 2^31 bytes)
-        ks = self._keystream(max_len)
         starts32 = offsets[:-1].astype(np.int32, copy=False)
         pos = np.arange(flat.size, dtype=np.int32)
         pos -= np.repeat(starts32, lengths)

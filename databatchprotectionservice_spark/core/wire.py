@@ -26,6 +26,7 @@ import struct
 
 import numpy as np
 
+from . import _native
 from .errors import DBPSInvalidInputError
 
 TAG_VARIABLE = 0x00
@@ -51,6 +52,15 @@ def parse_length_prefixed(
         if not isinstance(body, np.ndarray)
         else body
     )
+    if _native.LIB is not None:
+        err, flat, offsets = _native.parse_plain(buf, count)
+        if err == 1:
+            raise DBPSInvalidInputError(f"truncated {what} length prefix")
+        if err == 2:
+            raise DBPSInvalidInputError(f"truncated {what} element")
+        if err == 3:
+            raise DBPSInvalidInputError(f"trailing bytes after {what}")
+        return flat, offsets
     raw = buf.tobytes()
     size = len(raw)
     lengths = np.empty(count, dtype=np.int64)
@@ -100,6 +110,9 @@ def write_value_list(
     lengths = np.diff(offsets)
     if lengths.size and int(lengths.max()) > U32_MAX:
         raise DBPSInvalidInputError("element length exceeds u32")
+    if _native.LIB is not None:
+        out = _native.write_interleaved(flat, offsets)
+        return bytes([TAG_VARIABLE]) + _U32.pack(count) + out.tobytes()
     # interleave [u32 len][bytes] per element with one vectorized scatter
     out = np.empty(4 * count + flat.size, dtype=np.uint8)
     starts = offsets[:-1] + 4 * np.arange(count, dtype=np.int64)
