@@ -31,8 +31,10 @@ N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
 JACCARD_THRESHOLD = 0.8
 #: below this many candidate edges, connected components run as
-#: driver-side union-find (one collect) instead of iterative joins
-CC_DRIVER_EDGE_LIMIT = 5_000_000
+#: driver-side union-find (one Arrow collect) instead of iterative joins.
+#: 1M edges ~= 16 MB as two int64 Arrow columns plus a ~24 MB Python
+#: parent dict — comfortably inside any driver heap (math in SCALE.md)
+CC_DRIVER_EDGE_LIMIT = 1_000_000
 
 
 def shingled(docs: DataFrame) -> DataFrame:
@@ -495,10 +497,15 @@ def dedup_connected_clusters(spark, sf_dir):
         cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     und = und.cache()
-    edges = [(r.src, r.dst) for r in und.collect()] if (
+    small = (
         und.limit(CC_DRIVER_EDGE_LIMIT + 1).count() <= CC_DRIVER_EDGE_LIMIT
-    ) else None
-    if edges is not None:
+    )
+    if small:
+        # Arrow transfer: two int64 columns, no per-edge Row objects
+        # (.tolist() yields plain ints for the union-find dict and the
+        # createDataFrame below)
+        pdf = und.toPandas()
+        edges = zip(pdf["src"].tolist(), pdf["dst"].tolist())
         und.unpersist()
         parent: dict = {}
 
