@@ -26,39 +26,10 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
-# The headline set: the protection core (the reference's actual workload),
-# the relational suite, and the 100TB-pipeline operators. Names must exist
-# in the registry; missing ones are reported rather than crashing the run.
-HEADLINE = [
-    "protect_roundtrip_lineitem",
-    "protect_roundtrip_customer",
-    "protect_roundtrip_events_aes",
-    "protect_ciphertext_shape",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q12_priority_shipping",
-    "q18_large_volume_customers",
-    "window_top_orders_per_customer",
-    "events_hourly_rollup",
-    "asof_join_last_event",
-    "range_join_click_attribution",
-    "rollup_revenue",
-    "dedup_exact_stats",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "dedup_connected_clusters",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_topk",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_fingerprints",
-    "pii_detect_documents",
-    "multimodal_feature_extract",
-    "multimodal_frame_sample",
-]
+# The headline set is the ENTIRE registry (VERDICT r1 item 9: a
+# regression in any registered operator must be visible in the bench),
+# in registry insertion order so timings are comparable across rounds.
+HEADLINE: list[str] | None = None  # resolved to entrymod.queries() keys
 
 
 def main() -> None:
@@ -71,6 +42,7 @@ def main() -> None:
 
     spark = get_spark(app_name="dbps-bench")
     qs = entrymod.queries()
+    headline = HEADLINE if HEADLINE is not None else list(qs)
 
     # warm the JVM / Python-worker pool so the first timed query doesn't
     # pay one-time session startup costs
@@ -81,7 +53,7 @@ def main() -> None:
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     total = 0.0
-    for name in HEADLINE:
+    for name in headline:
         fn = qs.get(name)
         if fn is None:
             timings[name] = -1.0

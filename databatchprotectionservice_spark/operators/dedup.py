@@ -262,20 +262,41 @@ def dedup_minhash_lsh(spark, sf_dir):
         WHERE len(list_intersect(a.sg, b.sg)) * 1.0
               / len(list_distinct(a.sg || b.sg)) >= 0.5
     """,
-    description="exact pairwise n-gram Jaccard (quadratic verification baseline)",
+    description="exact all-pairs n-gram Jaccard via inverted-index join "
+    "(every qualifying pair, no LSH approximation)",
 )
 def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact Jaccard over ALL document pairs — the verification baseline
+    for the LSH path — computed as an inverted-index self-join: a pair
+    can only have jaccard > 0 if it shares a gram, so joining the
+    exploded (doc_id, gram) table with itself on gram enumerates exactly
+    the candidate pairs, |A∩B| is a codegen count aggregate, and
+    |A∪B| = |A|+|B|−|A∩B|. Replaces a true cross join (n² array
+    intersections — 42.9 s at sf0.1) with work proportional to
+    Σ_gram df(gram)², the classic similarity-join bound."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
     sh = shingled(docs)
-    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
-    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
-    jac = F.size(F.array_intersect("sg_a", "sg_b")) * F.lit(1.0) / F.size(
-        F.array_union("sg_a", "sg_b")
+    g = sh.select(
+        "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
+    )
+    ga = g.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+    )
+    gb = g.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+    )
+    inter = (
+        ga.join(gb, "gram")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    jac = F.col("n_inter") * F.lit(1.0) / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
     )
     return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
-        .withColumn("jaccard", jac)
+        inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
         .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
     )

@@ -150,7 +150,8 @@ def protect_ciphertext_shape(spark, sf_dir):
         SELECT
             l_returnflag,
             count(*) AS n,
-            sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_dec,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_dec,
             min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_dec,
             max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_dec
         FROM lineitem
@@ -168,9 +169,14 @@ def protect_roundtrip_decimal(spark, sf_dir):
     dec_type = T.DecimalType(12, 2)
     df = protect_column(li, "price_dec", "key_dec")
     df = unprotect_column(df, "price_dec", dec_type, "key_dec")
+    from .relational import dec_str
+
     return df.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("price_dec").cast("decimal(12,2)").alias("sum_dec"),
+        # the per-value column is decimal(12,2); the SUM must widen (it
+        # overflows (12,2) from sf0.1 up) — string-emit at scale 2, the
+        # registry's canonical decimal output form
+        dec_str(F.sum("price_dec").cast("decimal(38,2)")).alias("sum_dec"),
         F.min("price_dec").alias("min_dec"),
         F.max("price_dec").alias("max_dec"),
     )

@@ -137,3 +137,97 @@ def streaming_click_attribution(spark, sf_dir):
     name = f"streaming_click_attr_{time.time_ns()}"
     _run_to_memory_sink(out, name)
     return spark.table(name)
+
+
+SESSION_GAP_SECONDS = 86_400  # matched to the events table's per-user density
+
+
+@register(
+    "streaming_sessionize",
+    # gaps-and-islands restated in SQL. Emission rule: a session is
+    # emitted either when the in-stream gap closes it, or when the final
+    # event-time watermark (max ts, delay 0) passes its timeout; the
+    # sessionizer sets timeouts at millisecond precision
+    # (``pipeline.py: make_sessionizer``), hence the //1000 arithmetic
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        flags AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL {SESSION_GAP_SECONDS} SECOND
+                        THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        ),
+        agg AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        ),
+        mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+        SELECT user_id,
+               strftime(session_start, '%Y-%m-%d %H:%M:%S.%f')
+                   AS session_start,
+               strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               n_events
+        FROM agg, mx
+        WHERE epoch_us(session_end) // 1000 + {SESSION_GAP_SECONDS} * 1000
+              < epoch_us(max_ts) // 1000
+    """,
+    description="custom stateful sessionization via applyInPandasWithState "
+    "(gap windows Spark's built-in aggs can't express)",
+)
+def streaming_sessionize(spark, sf_dir):
+    from ..streaming import read_events_stream
+    from ..streaming.pipeline import sessionize_stream
+
+    prep(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    sessions = sessionize_stream(
+        stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
+    )
+    name = f"streaming_sessionize_{time.time_ns()}"
+    _run_to_memory_sink(sessions, name)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+@register(
+    "streaming_dedup_keys",
+    # an availableNow run over one file is one micro-batch, so the
+    # watermark never evicts state mid-run and the emitted set is exactly
+    # the distinct key set (first occurrence kept per key)
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="streaming exact dedup via dropDuplicatesWithinWatermark "
+    "(bounded state on an unbounded stream)",
+)
+def streaming_dedup_keys(spark, sf_dir):
+    from ..streaming import read_events_stream
+    from ..streaming.pipeline import dedup_stream
+
+    prep(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    deduped = dedup_stream(stream, ["user_id", "event_type"], watermark="2 hours")
+    name = f"streaming_dedup_{time.time_ns()}"
+    _run_to_memory_sink(deduped.select("user_id", "event_type"), name)
+    return spark.table(name)
