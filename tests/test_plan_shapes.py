@@ -85,3 +85,24 @@ def test_asof_join_single_window_shuffle(spark, sf_dir, queries):
     )
     assert n_exchanges <= 3  # window partition + pre-dedup agg + final agg
     assert "SortMergeJoin" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_verification_no_cartesian_no_array_ops(spark, sf_dir, queries):
+    """LSH verification runs on exploded gram rows: candidate pruning is
+    a broadcast join, the Jaccard is a count aggregate, and no plan node
+    evaluates interpreted array_intersect/array_union per pair."""
+    plan = _plan(queries["dedup_minhash_lsh"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" not in plan
+    assert "array_union" not in plan
+    assert "BroadcastHashJoin" in plan  # candidate-doc pruning
+
+
+def test_ngram_jaccard_inverted_index_not_cross_join(spark, sf_dir, queries):
+    """Exact all-pairs Jaccard uses the inverted-index self-join: an
+    equi-join on gram, never an n^2 nested-loop over array columns."""
+    plan = _plan(queries["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "array_intersect" not in plan
