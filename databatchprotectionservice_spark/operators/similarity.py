@@ -247,6 +247,12 @@ def similarity_lsh_topk(spark, sf_dir):
 IVF_K = 16
 IVF_ITERS = 2
 IVF_PROBES = 2
+#: Lloyd's trains on the vectors with vec_id below this cap — a bounded,
+#: deterministic sample (~32 MB at dim 64) pulled to the driver once via
+#: Arrow, the FAISS deployment shape: train small and local, then
+#: broadcast centroids and assign/search distributed. At the test scale
+#: factors the cap exceeds the table, so training sees every vector.
+IVF_TRAIN_CAP = 131_072
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -266,7 +272,7 @@ def _duck_sqdist(a: str, b: str) -> str:
 
 def _duck_assign(src: str, cents: str, out: str) -> str:
     """One Lloyd assignment round: nearest centroid by the same expanded
-    form Spark's arrow UDF uses (``-2 x.c + |c|^2``), ties to the lowest
+    form the engine uses (``-2 x.c + |c|^2``), ties to the lowest
     cluster id (np.argmin picks the first minimum)."""
     return f"""
         {out} AS (
@@ -277,7 +283,7 @@ def _duck_assign(src: str, cents: str, out: str) -> str:
                            ORDER BY -2 * {_duck_dot("e.emb", "c.emb")}
                                     + {_duck_dot("c.emb", "c.emb")},
                                     c.cluster) AS rn
-                FROM e CROSS JOIN {cents} c
+                FROM {src} e CROSS JOIN {cents} c
             ) WHERE rn = 1
         )"""
 
@@ -306,14 +312,17 @@ _IVF_ORACLE = f"""
     WITH e AS (
         SELECT vec_id, embedding AS emb FROM embeddings
     ),
+    et AS (
+        SELECT vec_id, emb FROM e WHERE vec_id < {IVF_TRAIN_CAP}
+    ),
     c0 AS (
         SELECT vec_id AS cluster,
                list_transform(emb, x -> CAST(x AS DOUBLE)) AS emb
-        FROM e WHERE vec_id < {IVF_K}
+        FROM et WHERE vec_id < {IVF_K}
     ),
-    {_duck_assign("e", "c0", "a1")},
+    {_duck_assign("et", "c0", "a1")},
     {_duck_recenter("a1", "c0", "c1")},
-    {_duck_assign("e", "c1", "a2")},
+    {_duck_assign("et", "c1", "a2")},
     {_duck_recenter("a2", "c1", "c2")},
     {_duck_assign("e", "c2", "a3")},
     q AS (
@@ -373,36 +382,41 @@ def _assign_udf(centroids):
 
 
 def train_ivf_centroids(spark, emb_df, k: int = IVF_K, iters: int = IVF_ITERS):
-    """Deterministic Lloyd's: init = the k lowest vec_ids, then ``iters``
-    rounds of assign + per-dimension mean. Centroid recompute uses
-    posexplode + groupBy (cluster, dim) — fully distributed; only the
-    (k x dim) centroid table ever reaches the driver."""
+    """Deterministic Lloyd's on a bounded driver-side sample: init = the
+    k lowest vec_ids, then ``iters`` rounds of assign + per-dimension
+    mean, all in numpy. Training is the one part of IVF that should NOT
+    be distributed: the sample is capped (``IVF_TRAIN_CAP`` vectors,
+    ~32 MB over Arrow), the math is k x iters x sample FLOPs, and doing
+    it locally replaces 2 x (pandas-UDF scan + posexplode + groupBy +
+    collect) Spark rounds with zero jobs beyond the sample fetch.
+    Assignment of the full table and the probed search stay distributed
+    (the FAISS deployment shape). The nearest-centroid expression is the
+    same expanded ``-2 x.c + |c|^2`` the distributed ``_assign_udf``
+    uses, so the trained centroids are bit-compatible with the old
+    distributed trainer at any SF where the cap covers the table."""
     import numpy as np
 
     from pyspark.sql import functions as F
 
-    init = (
-        emb_df.filter(F.col("vec_id") < k)
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
+    pdf = (
+        emb_df.filter(F.col("vec_id") < IVF_TRAIN_CAP)
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
     )
-    centroids = np.array([r.embedding for r in init], dtype=np.float64)
+    x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    vec_ids = pdf["vec_id"].to_numpy()
+    centroids = x[vec_ids < k].copy()  # the k lowest vec_ids, in order
     for _ in range(iters):
-        assigned = emb_df.select(
-            "vec_id",
-            "embedding",
-            _assign_udf(centroids)(F.col("embedding")).alias("cluster"),
-        )
-        dim_means = (
-            assigned.select("cluster", F.posexplode("embedding").alias("dim", "v"))
-            .groupBy("cluster", "dim")
-            .agg(F.avg("v").alias("m"))
-            .collect()
-        )
-        new_c = centroids.copy()
-        for r in dim_means:
-            new_c[r.cluster][r.dim] = r.m
+        d = -2.0 * (x @ centroids.T) + (centroids * centroids).sum(axis=1)[
+            None, :
+        ]
+        a = np.argmin(d, axis=1)
+        new_c = centroids.copy()  # empty clusters keep their centroid
+        for c in range(k):
+            members = x[a == c]
+            if len(members):
+                new_c[c] = members.mean(axis=0)
         centroids = new_c
     return centroids
 
