@@ -30,24 +30,39 @@ from ..plans.registry import prep, register, table_path
 from .relational import DEC, dec_str
 
 WATERMARK_DELAY_HOURS = 2
+#: stateful-operator parallelism is pinned to spark.sql.shuffle.partitions
+#: at the first checkpoint; each state partition carries fixed state-store
+#: cost per micro-batch, so local runs right-size it down (measured ~2x
+#: on small batches). On a cluster, size it to the executor count BEFORE
+#: the first trigger — SCALE.md "Streaming".
+STREAM_STATE_PARTITIONS = 8
 
 
 def _run_to_memory_sink(df, name: str):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink and return the sink table *lazily* — no driver-side
     ``collect()``; the memory sink's temp view outlives the stopped
-    query for the life of the session."""
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    query for the life of the session. The shuffle-partition conf is
+    narrowed for the life of the (short, availableNow) run: these
+    queries start from a fresh checkpoint every call, so the state
+    partitioning is chosen here, not inherited."""
+    spark = df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
     try:
-        q.awaitTermination(300)
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 @register(
