@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.registry import load, load_spread, prep, register
+from .relational import round_ieee
 
 N_HASHES = 8
 N_BANDS = 4  # 2 rows per band
@@ -185,8 +186,9 @@ def dedup_exact_stats(spark, sf_dir):
              AND a.doc_id < b.doc_id
         )
         SELECT c.doc_a, c.doc_b,
-               round(len(list_intersect(sa.sg, sb.sg)) * 1.0
-                     / len(list_distinct(sa.sg || sb.sg)), 4) AS jaccard
+               floor(len(list_intersect(sa.sg, sb.sg)) * 1.0
+                     / len(list_distinct(sa.sg || sb.sg)) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
         FROM cand c
         JOIN sigs sa ON sa.doc_id = c.doc_a
         JOIN sigs sb ON sb.doc_id = c.doc_b
@@ -247,7 +249,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round_ieee(F.col("jaccard")).alias("jaccard"))
     )
 
 
@@ -256,8 +258,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     oracle=f"""
         WITH sh AS ({_SHINGLE_ORACLE})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               round(len(list_intersect(a.sg, b.sg)) * 1.0
-                     / len(list_distinct(a.sg || b.sg)), 4) AS jaccard
+               floor(len(list_intersect(a.sg, b.sg)) * 1.0
+                     / len(list_distinct(a.sg || b.sg)) * 10000.0 + 0.5)
+               / 10000.0 AS jaccard
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sg, b.sg)) * 1.0
               / len(list_distinct(a.sg || b.sg)) >= 0.5
@@ -298,7 +301,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return (
         inter.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("doc_a", "doc_b", round_ieee(F.col("jaccard")).alias("jaccard"))
     )
 
 
@@ -388,9 +391,9 @@ _EMB_COS_ORACLE = (
             FROM embeddings
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-               round("""
+               floor(("""
     + _DUCK_COS
-    + """, 4) AS cosine
+    + """) * 10000.0 + 0.5) / 10000.0 AS cosine
         FROM (SELECT vec_id, embedding AS qe, bucket FROM tagged) a
         JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged) b
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -444,7 +447,7 @@ def dedup_embedding_cosine(spark, sf_dir):
             ),
         )
         .filter(F.col("cos") >= COSINE_DUP_THRESHOLD)
-        .select("vec_a", "vec_b", F.round("cos", 4).alias("cosine"))
+        .select("vec_a", "vec_b", round_ieee(F.col("cos")).alias("cosine"))
     )
 
 

@@ -1,0 +1,79 @@
+"""Dataset-maintenance operators (compaction) surfaced in the registry.
+
+``compact_documents_roundtrip`` exercises the real maintenance path —
+write the documents table through ``sources.compaction.compact`` (sized
+output files, range-partitioned by ``doc_id``) and prove the rewrite
+changed NOTHING: the returned per-source aggregates are computed from
+the *compacted* copy, while the DuckDB oracle computes them from the
+original table. Hash equality == the multiset survived the rewrite.
+
+The final stats frame is materialized eagerly (bounded by the number of
+distinct sources — single digits) so the temp output can be removed
+before returning; no data-sized collect happens.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from ..plans.registry import load, prep, register
+from ..sources.compaction import compact
+
+COMPACT_TARGET_BYTES = 256 * 1024  # small target => several files even at sf0.01
+
+
+@register(
+    "compact_documents_roundtrip",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+               min(md5(text)) AS min_md5,
+               max(md5(text)) AS max_md5
+        FROM documents
+        GROUP BY source
+    """,
+    description="small-file compaction (sized, range-partitioned rewrite); "
+    "oracle proves the rewrite preserves the data multiset",
+)
+def compact_documents_roundtrip(spark, sf_dir):
+    prep(spark)
+    src = load(spark, sf_dir, "documents")
+    in_dir = tempfile.mkdtemp(prefix="dbps_compact_in_")
+    out_dir = tempfile.mkdtemp(prefix="dbps_compact_out_")
+    try:
+        # stage a copy (the testdata dir is read-only; a real deployment
+        # compacts in place between ingest and scan)
+        src.write.mode("overwrite").parquet(in_dir)
+        compact(
+            spark,
+            in_dir,
+            out_dir,
+            target_file_bytes=COMPACT_TARGET_BYTES,
+            sort_by=["doc_id"],
+            mode="overwrite",
+        )
+        stats = (
+            spark.read.parquet(out_dir)
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum(F.octet_length(F.encode("text", "UTF-8")))
+                .cast("bigint")
+                .alias("total_bytes"),
+                F.min(F.md5("text")).alias("min_md5"),
+                F.max(F.md5("text")).alias("max_md5"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(in_dir, ignore_errors=True)
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        stats,
+        "source string, n_docs bigint, total_bytes bigint, "
+        "min_md5 string, max_md5 string",
+    )

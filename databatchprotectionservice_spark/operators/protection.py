@@ -68,7 +68,8 @@ def protect_roundtrip_lineitem(spark, sf_dir):
         SELECT
             c_mktsegment,
             count(*) AS n,
-            sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_acctbal,
+            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_acctbal,
             min(c_name) AS min_name,
             max(c_name) AS max_name
         FROM customer
@@ -83,9 +84,11 @@ def protect_roundtrip_customer(spark, sf_dir):
     df = protect_column(df, "c_acctbal", "key_bal")
     df = unprotect_column(df, "c_name", T.StringType(), "key_name")
     df = unprotect_column(df, "c_acctbal", T.DoubleType(), "key_bal")
+    from .relational import dec_str
+
     return df.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("c_acctbal").cast(DEC)).alias("sum_acctbal"),
+        dec_str(F.sum(F.col("c_acctbal").cast(DEC))).alias("sum_acctbal"),
         F.min("c_name").alias("min_name"),
         F.max("c_name").alias("max_name"),
     )
@@ -152,8 +155,10 @@ def protect_ciphertext_shape(spark, sf_dir):
             count(*) AS n,
             CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)))
                  AS DECIMAL(38,2)) AS VARCHAR) AS sum_dec,
-            min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_dec,
-            max(CAST(l_extendedprice AS DECIMAL(12,2))) AS max_dec
+            CAST(CAST(min(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS min_dec,
+            CAST(CAST(max(CAST(l_extendedprice AS DECIMAL(12,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS max_dec
         FROM lineitem
         GROUP BY l_returnflag
     """,
@@ -177,6 +182,6 @@ def protect_roundtrip_decimal(spark, sf_dir):
         # overflows (12,2) from sf0.1 up) — string-emit at scale 2, the
         # registry's canonical decimal output form
         dec_str(F.sum("price_dec").cast("decimal(38,2)")).alias("sum_dec"),
-        F.min("price_dec").alias("min_dec"),
-        F.max("price_dec").alias("max_dec"),
+        dec_str(F.min("price_dec")).alias("min_dec"),
+        dec_str(F.max("price_dec")).alias("max_dec"),
     )

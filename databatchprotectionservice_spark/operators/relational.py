@@ -37,6 +37,25 @@ def dec_str(col, scale: int = 2):
     return col.cast(f"decimal(38,{scale})").cast("string")
 
 
+def round_ieee(col, digits: int = 4):
+    """Float rounding that is bit-identical across engines BY
+    CONSTRUCTION: ``floor(x * 10^d + 0.5) / 10^d`` in pure IEEE double
+    ops. Engine-native ``round`` differs at half boundaries — Spark
+    rounds the exact BigDecimal expansion of the double (HALF_UP) while
+    DuckDB rounds after a float multiply, so e.g. an ``x*10^4`` that
+    lands on ``….5`` only after the multiply flips the last digit
+    (observed: 0.8362 vs 0.8363 at sf0.1). The floor form runs the SAME
+    multiply/add/floor/divide on both sides, so identical input bits
+    give identical output bits. SQL twin: :func:`round_ieee_sql`."""
+    s = float(10**digits)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
+def round_ieee_sql(expr: str, digits: int = 4) -> str:
+    s = float(10**digits)
+    return f"floor(({expr}) * {s} + 0.5) / {s}"
+
+
 # ---------------------------------------------------------------------------
 # Q1-style pricing summary: scan -> filter -> groupBy aggregate
 # ---------------------------------------------------------------------------
@@ -111,20 +130,25 @@ def q1_pricing_summary(spark, sf_dir):
 @register(
     "q3_shipping_priority",
     oracle="""
-        SELECT
-            l.l_orderkey,
-            sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
-            CAST(o.o_orderdate AS DATE) AS orderdate
-        FROM customer c
-        JOIN orders o ON c.c_custkey = o.o_custkey
-        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-        WHERE c.c_mktsegment = 'BUILDING'
-          AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
-          AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
-        GROUP BY l.l_orderkey, o.o_orderdate
-        ORDER BY revenue DESC, orderdate, l_orderkey
-        LIMIT 10
+        SELECT l_orderkey,
+               CAST(CAST(revenue AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+               orderdate
+        FROM (
+            SELECT
+                l.l_orderkey,
+                sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue,
+                CAST(o.o_orderdate AS DATE) AS orderdate
+            FROM customer c
+            JOIN orders o ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            WHERE c.c_mktsegment = 'BUILDING'
+              AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+              AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+            GROUP BY l.l_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, orderdate, l_orderkey
+            LIMIT 10
+        )
     """,
     description="TPC-H Q3 adapted: broadcast dim join -> agg -> top-k",
 )
@@ -151,6 +175,9 @@ def q3_shipping_priority(spark, sf_dir):
         )
         .orderBy(F.desc("revenue"), "orderdate", "l_orderkey")
         .limit(10)
+        # string-emit AFTER the numeric sort (dec_str output sorts
+        # lexicographically, which would reorder the top-k)
+        .select("l_orderkey", dec_str(F.col("revenue"), 4).alias("revenue"), "orderdate")
     )
 
 
@@ -164,8 +191,9 @@ def q3_shipping_priority(spark, sf_dir):
     oracle="""
         SELECT
             n.n_name AS nation,
-            sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * CAST(1 - l.l_discount AS DECIMAL(18,2))) AS revenue
+            CAST(CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                          * CAST(1 - l.l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS revenue
         FROM customer c
         JOIN orders o ON c.c_custkey = o.o_custkey
         JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -202,9 +230,12 @@ def q5_local_supplier_volume(spark, sf_dir):
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast(DEC)
-                * (F.lit(1) - F.col("l_discount")).cast(DEC)
+            dec_str(
+                F.sum(
+                    F.col("l_extendedprice").cast(DEC)
+                    * (F.lit(1) - F.col("l_discount")).cast(DEC)
+                ),
+                4,
             ).alias("revenue")
         )
     )
@@ -219,8 +250,9 @@ def q5_local_supplier_volume(spark, sf_dir):
     "q6_forecast_revenue",
     oracle="""
         SELECT
-            sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST(l_discount AS DECIMAL(18,2))) AS revenue,
+            CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(18,2)))
+                 AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
             count(*) AS n_items
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -240,8 +272,12 @@ def q6_forecast_revenue(spark, sf_dir):
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
     ).agg(
-        F.sum(
-            F.col("l_extendedprice").cast(DEC) * F.col("l_discount").cast(DEC)
+        dec_str(
+            F.sum(
+                F.col("l_extendedprice").cast(DEC)
+                * F.col("l_discount").cast(DEC)
+            ),
+            4,
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
@@ -421,7 +457,8 @@ def setop_active_customers(spark, sf_dir):
             min(upper(p_type)) AS min_type_upper,
             max(length(p_name)) AS max_name_len,
             min(substr(p_name, 1, 5)) AS min_name_prefix,
-            CAST(CAST(sum(CAST(round(p_retailprice, 1) AS DECIMAL(18,2)))
+            CAST(CAST(sum(CAST(floor(p_retailprice * 10.0 + 0.5) / 10.0
+                              AS DECIMAL(18,2)))
                  AS DECIMAL(38,2)) AS VARCHAR) AS sum_rounded,
             CAST(sum(abs(p_size - 25)) AS BIGINT) AS sum_absdev,
             min(concat(p_brand, ':', CAST(p_size AS VARCHAR))) AS min_brand_size
@@ -438,7 +475,7 @@ def scalar_function_battery(spark, sf_dir):
         F.min(F.upper("p_type")).alias("min_type_upper"),
         F.max(F.length("p_name")).alias("max_name_len"),
         F.min(F.substring("p_name", 1, 5)).alias("min_name_prefix"),
-        dec_str(F.sum(F.round("p_retailprice", 1).cast(DEC))).alias(
+        dec_str(F.sum(round_ieee(F.col("p_retailprice"), 1).cast(DEC))).alias(
             "sum_rounded"
         ),
         F.sum(F.abs(F.col("p_size") - 25)).cast("bigint").alias("sum_absdev"),
@@ -791,12 +828,12 @@ def q12_priority_shipping(spark, sf_dir):
 @register(
     "q14_discount_share",
     oracle="""
-        SELECT round(
+        SELECT floor(
             CAST(sum(CASE WHEN l_discount > 0.05
                  THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))
                  ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
             / CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2))) AS DOUBLE)
-            * 100.0, 4) AS discounted_share_pct
+            * 100.0 * 10000.0 + 0.5) / 10000.0 AS discounted_share_pct
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
@@ -816,8 +853,8 @@ def q14_discount_share(spark, sf_dir):
         F.sum(rev).alias("t"),
     )
     return agg.select(
-        F.round(
-            F.col("d").cast("double") / F.col("t").cast("double") * 100.0, 4
+        round_ieee(
+            F.col("d").cast("double") / F.col("t").cast("double") * 100.0
         ).alias("discounted_share_pct")
     )
 
@@ -874,7 +911,8 @@ def q18_large_volume_customers(spark, sf_dir):
     "skew_salted_heavy_hitters",
     oracle="""
         SELECT user_id, count(*) AS n_events,
-               sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+               CAST(CAST(sum(CAST(value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
         FROM events
         GROUP BY user_id
         ORDER BY n_events DESC, user_id
@@ -898,7 +936,7 @@ def skew_salted_heavy_hitters(spark, sf_dir):
     )
     phase2 = phase1.groupBy("user_id").agg(
         F.sum("pn").alias("n_events"),
-        F.sum("pv").cast(DEC).alias("sum_value"),
+        dec_str(F.sum("pv")).alias("sum_value"),
     )
     return phase2.orderBy(F.desc("n_events"), F.asc("user_id")).limit(10)
 
@@ -908,7 +946,8 @@ def skew_salted_heavy_hitters(spark, sf_dir):
     oracle="""
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_base_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -927,7 +966,8 @@ def sql_q1_via_views(spark, sf_dir):
         """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS STRING) AS sum_base_price,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
+from .relational import round_ieee
 from ..plans.registry import load, load_spread, prep, register
 
 N_QUERIES = 5
@@ -83,7 +84,7 @@ _DUCK_COS = """
         ),
         ranked AS (
             SELECT query_id, neighbor_id, label,
-                   round(cos, 4) AS cosine,
+                   floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine,
                    row_number() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, neighbor_id) AS rk
             FROM scored
@@ -127,7 +128,7 @@ def similarity_bruteforce_topk(spark, sf_dir):
             "query_id",
             "neighbor_id",
             "label",
-            F.round("cos", 4).alias("cosine"),
+            round_ieee(F.col("cos")).alias("cosine"),
             "rk",
         )
     )
@@ -189,7 +190,7 @@ def similarity_lsh_buckets(spark, sf_dir):
             FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged) c
               ON q.bucket = c.bucket AND c.vec_id <> q.query_id
         )
-        SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+        SELECT query_id, neighbor_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rk
         FROM (
             SELECT query_id, neighbor_id, cos,
                    row_number() OVER (PARTITION BY query_id
@@ -236,7 +237,7 @@ def similarity_lsh_topk(spark, sf_dir):
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+        .select("query_id", "neighbor_id", round_ieee(F.col("cos")).alias("cosine"), "rk")
     )
 
 
@@ -347,7 +348,7 @@ _IVF_ORACLE = f"""
         FROM probes p JOIN a3 a
           ON a.cluster = p.cluster AND a.vec_id <> p.query_id
     )
-    SELECT query_id, neighbor_id, round(cos, 4) AS cosine, rk
+    SELECT query_id, neighbor_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rk
     FROM (
         SELECT query_id, neighbor_id, cos,
                row_number() OVER (PARTITION BY query_id
@@ -471,5 +472,5 @@ def similarity_ivf_topk(spark, sf_dir):
     return (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= TOP_K)
-        .select("query_id", "neighbor_id", F.round("cos", 4).alias("cosine"), "rk")
+        .select("query_id", "neighbor_id", round_ieee(F.col("cos")).alias("cosine"), "rk")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from .relational import round_ieee
 from ..plans.registry import load, load_spread, prep, register
 
 # language marker words (scored by whole-word regex match count). The
@@ -78,8 +79,8 @@ def text_token_stats(spark, sf_dir):
         SELECT
             doc_id,
             n_tokens,
-            round(alpha_ratio, 4) AS alpha_ratio,
-            round(0.5 * least(n_tokens / 50.0, 1.0) + 0.5 * alpha_ratio, 4) AS quality
+            floor(alpha_ratio * 10000.0 + 0.5) / 10000.0 AS alpha_ratio,
+            floor((0.5 * least(n_tokens / 50.0, 1.0) + 0.5 * alpha_ratio) * 10000.0 + 0.5) / 10000.0 AS quality
         FROM (
             SELECT
                 doc_id,
@@ -108,8 +109,8 @@ def text_quality_scores(spark, sf_dir):
     return base.select(
         "doc_id",
         "n_tokens",
-        F.round("alpha_ratio", 4).alias("alpha_ratio"),
-        F.round(quality, 4).alias("quality"),
+        round_ieee(F.col("alpha_ratio")).alias("alpha_ratio"),
+        round_ieee(quality).alias("quality"),
     )
 
 

@@ -113,6 +113,7 @@ def _ensure_loaded() -> None:
         return
     from ..operators import (  # noqa: F401
         dedup,
+        maintenance,
         multimodal,
         pii,
         protection,
