@@ -112,16 +112,19 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from ..operators import (  # noqa: F401
+        bucketing,
         dedup,
         maintenance,
         multimodal,
         pii,
         protection,
         relational,
+        sampling,
         similarity,
         streamops,
         textops,
         udx,
+        upsert,
     )
 
     _LOADED = True

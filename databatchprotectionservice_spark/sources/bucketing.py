@@ -13,6 +13,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _drop_stale(spark: SparkSession, table_name: str) -> None:
+    """Drop a prior table AND its orphaned warehouse directory: a fresh
+    metastore does not know about directories an earlier session left
+    behind, and ``saveAsTable`` refuses to reuse the location."""
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    jvm = spark.sparkContext._jvm
+    loc = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).rstrip("/")
+    hpath = jvm.org.apache.hadoop.fs.Path(f"{loc}/{table_name}")
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    if fs.exists(hpath):
+        fs.delete(hpath, True)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,
@@ -29,6 +44,8 @@ def write_bucketed(
     fits an executor's working memory at target scale; both sides of a
     co-located join must use the same cols + count.
     """
+    if mode == "overwrite" and path is None:
+        _drop_stale(df.sparkSession, table_name)
     writer = (
         df.write.mode(mode)
         .format("parquet")

@@ -106,3 +106,33 @@ def test_ngram_jaccard_inverted_index_not_cross_join(spark, sf_dir, queries):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "array_intersect" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, queries):
+    """Both join sides are bucketed+sorted on the key at write time, so
+    the fact-to-fact sort-merge join needs NO exchange: the only hash
+    exchange in the plan is the downstream groupBy (different key)."""
+    plan = _plan(queries["bucketed_join_no_shuffle"](spark, sf_dir))
+    assert "SortMergeJoin" in plan
+    n_hash_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_hash_exchanges == 1  # the aggregate, never the join
+
+
+def test_sample_split_is_map_only(spark, sf_dir, queries):
+    """The train/valid/test assignment is a pure function of doc_id —
+    no hash shuffle anywhere (the display ORDER BY is a range exchange)."""
+    plan = _plan(queries["sample_split_train_test"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_pack_sequences_single_window_shuffle(spark, sf_dir, queries):
+    """Sequence packing = one window shuffle on lang; the per-sequence
+    aggregate reuses that partitioning (lang, seq_id is a superset key
+    only after the window, so one more partial agg exchange is allowed)."""
+    plan = _plan(queries["pack_sequences_greedy"](spark, sf_dir))
+    n_hash_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_hash_exchanges <= 2
