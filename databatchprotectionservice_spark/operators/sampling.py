@@ -27,9 +27,16 @@ from ..plans.registry import load, prep, register
 
 # deterministic 0-99 bucket from the first 16 bits of md5(doc_id).
 # Spark: conv() parses the hex; DuckDB oracle: CAST('0x'||… AS INT).
-_BUCKET = F.conv(
-    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
-).cast("bigint") % 100
+# Built lazily — Column construction needs an active SparkContext, and
+# this module is imported by the registry before the driver's session
+# may exist.
+def _bucket():
+    return (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10
+        ).cast("bigint")
+        % 100
+    )
 
 _BUCKET_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100"
 
@@ -66,8 +73,8 @@ def sample_split_train_test(spark, sf_dir):
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     split = (
-        F.when(_BUCKET < TRAIN_PCT, F.lit("train"))
-        .when(_BUCKET < TRAIN_PCT + VALID_PCT, F.lit("valid"))
+        F.when(_bucket() < TRAIN_PCT, F.lit("train"))
+        .when(_bucket() < TRAIN_PCT + VALID_PCT, F.lit("valid"))
         .otherwise(F.lit("test"))
     )
     return docs.select("doc_id", split.alias("split")).orderBy("doc_id")
@@ -135,7 +142,7 @@ def mix_weighted_sources(spark, sf_dir):
     rate = F.lit(MIX_DEFAULT)
     for lang, pct in MIX_WEIGHTS.items():
         rate = F.when(F.col("lang") == lang, F.lit(pct)).otherwise(rate)
-    selected = (_BUCKET < rate).cast("int")
+    selected = (_bucket() < rate).cast("int")
     return (
         docs.withColumn("sel", selected)
         .groupBy("lang")

@@ -114,6 +114,8 @@ def _ensure_loaded() -> None:
     from ..operators import (  # noqa: F401
         bucketing,
         dedup,
+        incremental,
+        layout,
         maintenance,
         multimodal,
         pii,
