@@ -213,3 +213,98 @@ def text_fingerprints(spark, sf_dir):
         F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
         F.array_min(F.transform(grams, F.md5)).alias("winnow_fp"),
     )
+
+
+TFIDF_TOP_K = 3
+TFIDF_DOC_LIMIT = 100  # bound the emitted rows; df is corpus-wide
+
+
+@register(
+    "text_tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+                       AS term
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, count(*) AS tf
+            FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term,
+                   CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(df.df AS BIGINT) AS df,
+                   CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                       / CAST(df.df AS DOUBLE) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df,
+               floor(score * 10000.0 + 0.5) / 10000.0 AS score
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score DESC, term) AS rk
+            FROM scored
+        )
+        WHERE rk <= {TFIDF_TOP_K} AND doc_id < {TFIDF_DOC_LIMIT}
+        ORDER BY doc_id, score DESC, term
+    """,
+    description="per-document top TF-IDF terms (rational idf N/df — no "
+    "transcendental fn, so scores are bit-equal across engines); "
+    "corpus-wide document frequencies via explode + two aggregations",
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """TF-IDF with the rational idf variant (N/df instead of log(N/df)
+    — order-equivalent per fixed tf, and exactly reproducible across
+    engines since it stays in IEEE +,*,/). Shape: explode to (doc, term)
+    rows once; tf = count per (doc, term); df = distinct-doc count per
+    term (corpus-wide, computed BEFORE the output limit); broadcast-join
+    the tiny df/N sides back. At 100 TB the tok explode is the big
+    intermediate — it shuffles once to the (doc_id, term) grouping and
+    the df aggregate reuses the same exploded pass."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
+        ).alias("term"),
+    )
+    tok.cache()  # consumed by both tf and df aggregations
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tok.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    n_docs = d.count()
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.lit(float(n_docs))
+            / F.col("df").cast("double"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(
+            (F.col("rk") <= TFIDF_TOP_K)
+            & (F.col("doc_id") < TFIDF_DOC_LIMIT)
+        )
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            round_ieee(F.col("score")).alias("score"),
+        )
+        .orderBy("doc_id", F.desc("score"), "term")
+    )

@@ -119,9 +119,11 @@ def _ensure_loaded() -> None:
         maintenance,
         multimodal,
         pii,
+        profiling,
         protection,
         relational,
         sampling,
+        sessionize,
         similarity,
         streamops,
         textops,
