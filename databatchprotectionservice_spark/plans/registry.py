@@ -85,9 +85,16 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     e = load(spark, sf_dir, "events")
-    if dict(e.dtypes).get("ts") == "bigint":
+    ts_type = dict(e.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer division: nanos exceed 2^53, float division would drift
         e = e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) surfaces as
+        # TIMESTAMP_NTZ; with the session pinned to UTC the cast to LTZ
+        # preserves the wall-clock value and restores the type the
+        # timestamp functions (unix_micros, window, watermark) require
+        e = e.withColumn("ts", F.col("ts").cast("timestamp"))
     return e
 
 
