@@ -48,10 +48,16 @@ def main() -> None:
     # pay one-time session startup costs
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
 
-    # two passes, min per query: the first pass eats codegen/Python-worker
-    # warmup and the min damps background-load noise on the shared rig
-    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    # min-of-N per query: the first pass eats codegen/Python-worker
+    # warmup and the min damps background-load noise on the shared rig.
+    # N=3 (VERDICT r3 item 8: n=2 min couldn't separate an 11% rig-noise
+    # delta from a regression); all samples + the median go to
+    # BENCH_DETAIL.json so cross-round comparisons can use a robust
+    # statistic while the stdout `min` stays comparable with r1-r3.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
+    medians: dict[str, float] = {}
     total = 0.0
     for name in headline:
         fn = qs.get(name)
@@ -59,16 +65,22 @@ def main() -> None:
             timings[name] = -1.0
             continue
         best = -1.0
+        obs: list[float] = []
         try:
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
                 dt = time.time() - t0
+                obs.append(round(dt, 3))
                 best = dt if best < 0 else min(best, dt)
         except Exception as e:  # noqa: BLE001 - report, don't die mid-bench
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             best = -1.0
         timings[name] = round(best, 3)
+        samples[name] = obs
+        if obs:
+            mid = sorted(obs)
+            medians[name] = mid[len(mid) // 2]
         if best > 0:
             total += best
 
@@ -84,6 +96,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "samples": samples,
+        "medians": medians,
+        "runs": runs,
         "sf": sf,
     }
     try:
@@ -93,9 +108,13 @@ def main() -> None:
         print(f"bench: could not write BENCH_DETAIL.json: {e}", file=sys.stderr)
 
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
-    compact = dict(detail)
+    compact = {
+        k: v for k, v in detail.items() if k not in ("samples", "medians")
+    }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    by_speed = sorted(timings, key=lambda k: timings[k])  # fastest first
+    # fastest first, but FAILED queries (-1.0) sort last so truncation can
+    # never hide a failure from the driver-visible line
+    by_speed = sorted(timings, key=lambda k: (timings[k] < 0, timings[k]))
     omitted = 0
     line = json.dumps(compact, separators=(",", ":"))
     while len(line) > budget and omitted < len(by_speed):

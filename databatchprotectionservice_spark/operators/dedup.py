@@ -36,6 +36,12 @@ JACCARD_THRESHOLD = 0.8
 #: 1M edges ~= 16 MB as two int64 Arrow columns plus a ~24 MB Python
 #: parent dict — comfortably inside any driver heap (math in SCALE.md)
 CC_DRIVER_EDGE_LIMIT = 1_000_000
+#: exact-jaccard inverted-index join: grams appearing in more than this
+#: many documents are excluded from the self-join, bounding any single
+#: join bucket at CAP² pairs (the Σ df² guard for stop-grams at 100 TB).
+#: Chosen far above any df reachable at the oracle scales (≤5k docs), so
+#: test/driver results are bit-identical with or without the guard
+NGRAM_DF_CAP = 10_000
 
 
 def shingled(docs: DataFrame) -> DataFrame:
@@ -276,13 +282,34 @@ def dedup_ngram_jaccard(spark, sf_dir):
     the candidate pairs, |A∩B| is a codegen count aggregate, and
     |A∪B| = |A|+|B|−|A∩B|. Replaces a true cross join (n² array
     intersections — 42.9 s at sf0.1) with work proportional to
-    Σ_gram df(gram)², the classic similarity-join bound."""
+    Σ_gram df(gram)², the classic similarity-join bound.
+
+    The Σ df² bound has one failure mode at 100 TB: a stop-gram shared
+    by millions of documents makes one join bucket quadratic. The
+    document-frequency cap drops grams with df > ``NGRAM_DF_CAP`` from
+    the join, bounding any bucket at CAP² rows. Conservative semantics:
+    excluded grams only remove intersection evidence, never add it (a
+    pair's computed jaccard can only go down). The cap is far above any
+    possible df at the oracle's scales (≤5k documents), so the oracle's
+    plain set-jaccard SQL states identical results wherever the oracle
+    runs; at production scale the cap is the documented stop-gram
+    knob."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
     sh = shingled(docs)
     g = sh.select(
         "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
     )
+    # df guard: grams seen in more than NGRAM_DF_CAP docs are dropped
+    # before the self-join; the df aggregate and the join shuffle on the
+    # same key, so the exchange is shared
+    df_ok = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df_g"))
+        .filter(F.col("df_g") <= NGRAM_DF_CAP)
+        .select("gram")
+    )
+    g = g.join(df_ok, "gram")
     ga = g.select(
         F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
     )

@@ -24,27 +24,24 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos (legacy parquet NANOS)
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     """``readStream`` over the events parquet path (directory, glob, or a
-    single file) with the nanos column surfaced as a proper timestamp
-    (mirrors ``registry.load_events``)."""
+    single file) with the ``ts`` column surfaced as a proper timestamp.
+
+    Mirrors ``registry.load_events``'s type dispatch exactly: the schema
+    is probed from the parquet footers with a batch reader (footer-only,
+    no data scan) rather than hard-coded, so whichever of the three
+    encodings the data carries — legacy ``TIMESTAMP(NANOS)`` read as
+    bigint, ``TIMESTAMP(MICROS, isAdjustedToUTC=false)`` read as
+    TIMESTAMP_NTZ, or a plain UTC timestamp — the stream ends up with
+    the same TIMESTAMP column the watermark/window operators require."""
     import os
 
-    reader = spark.readStream.schema(EVENTS_SCHEMA).option(
-        "maxFilesPerTrigger", 1
-    )
+    from ..plans.registry import prep
+
+    prep(spark)  # UTC session tz (NTZ cast) + nanosAsLong (legacy files)
+    schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1)
     if os.path.isfile(path):
         # FileStreamSource requires a directory (or glob) path; a single
         # file becomes a one-alternative glob so basePath inference lands
@@ -52,9 +49,14 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
         head, tail = os.path.split(path)
         path = os.path.join(head, "{" + tail + "}")
     stream = reader.parquet(path)
-    return stream.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
-    )
+    ts_type = schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # integer division: nanos exceed 2^53, float division would drift
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(ts_type, T.TimestampNTZType):
+        # wall-clock-preserving under the UTC session tz pinned by prep()
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def protect_stream(

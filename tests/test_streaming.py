@@ -35,8 +35,11 @@ def _run_stream(df, name: str, timeout_s: int = 120):
 
 
 def _batch_events(spark, sf_dir):
-    e = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return e.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    """Batch twin of read_events_stream — same type dispatch, so the
+    comparison holds under any of the ts encodings the data may carry."""
+    from databatchprotectionservice_spark.plans.registry import load_events
+
+    return load_events(spark, sf_dir)
 
 
 def test_protect_on_stream_roundtrips(spark, sf_dir):
@@ -227,6 +230,63 @@ def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
     try:
         got = sorted((r.k, r.v) for r in spark.table("dedup_stream_t").collect())
         assert got == [(1, "a"), (2, "b"), (3, "c")]
+    finally:
+        q.stop()
+
+
+@pytest.mark.parametrize("encoding", ["nanos_long", "micros_ntz", "utc_ts"])
+def test_read_events_stream_ts_encodings(spark, tmp_path, encoding):
+    """Regression guard for the round-3 streaming bug: the stream reader
+    must dispatch on the REAL parquet ts encoding, not assume one. Writes
+    the same events under each encoding the testdata generator has used
+    (legacy TIMESTAMP(NANOS)-as-long, TIMESTAMP(MICROS) no-tz = the
+    current /root/testdata layout, and plain UTC timestamp) and checks the
+    watermarked rollup emits the exact batch answer every time."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from databatchprotectionservice_spark.streaming import (
+        read_events_stream as res,
+    )
+
+    base_us = 1_700_000_000_000_000
+    hours = [0, 0, 1, 2, 5, 5, 5, 9]  # max=9h, watermark 2h -> emit < 7h
+    ts_us = [base_us + h * 3_600_000_000 + i for i, h in enumerate(hours)]
+    n = len(ts_us)
+    cols = {
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    }
+    if encoding == "nanos_long":
+        cols["ts"] = pa.array([u * 1000 for u in ts_us], pa.timestamp("ns"))
+    elif encoding == "micros_ntz":
+        cols["ts"] = pa.array(ts_us, pa.timestamp("us"))
+    else:
+        cols["ts"] = pa.array(ts_us, pa.timestamp("us", tz="UTC"))
+    path = str(tmp_path / f"events_{encoding}")
+    import os
+
+    os.makedirs(path)
+    pq.write_table(pa.table(cols), os.path.join(path, "part-0.parquet"))
+
+    q = _run_stream(
+        windowed_event_rollup(res(spark, path)), f"enc_{encoding}"
+    )
+    try:
+        got = {
+            (r.hour_bucket, r.event_type): r.n
+            for r in spark.table(f"enc_{encoding}").collect()
+        }
+        # finalized windows: hours 0,1,2,5 (window end <= 7h watermark)
+        assert got == {
+            ("2023-11-14 22:00", "click"): 2,
+            ("2023-11-14 23:00", "click"): 1,
+            ("2023-11-15 00:00", "click"): 1,
+            ("2023-11-15 03:00", "click"): 3,
+        }
     finally:
         q.stop()
 
