@@ -3,7 +3,8 @@
 # src/scripts/performance_test.cpp:256-263) without CMake/network.
 # Header deps unavailable in this container are shimmed in shims/:
 #   tcb/span.hpp -> std::span (hence -std=c++20), minimal cxxopts.hpp,
-#   failing-stub snappy.h (SNAPPY scenarios 2/4/5 abort loudly).
+#   spec-compliant snappy.h (own implementation of the public block
+#   format, pyarrow-interop-verified) so SNAPPY scenarios 2/4/5 run.
 # nlohmann/json comes from the miniconda include tree already on disk.
 set -e
 cd "$(dirname "$0")"
