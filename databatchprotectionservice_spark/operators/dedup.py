@@ -297,9 +297,14 @@ def dedup_ngram_jaccard(spark, sf_dir):
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
     sh = shingled(docs)
+    # cached: the exploded gram table feeds three consumers — the df
+    # aggregate and both sides of the self-join — so without the cache
+    # the corpus-wide shingling (split + transform + array_distinct +
+    # explode) runs three times. Same justification as the two caches in
+    # dedup_minhash_lsh; the cached rows are (long, int, short string).
     g = sh.select(
         "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
-    )
+    ).cache()
     # df guard: grams seen in more than NGRAM_DF_CAP docs are dropped
     # before the self-join; the df aggregate and the join shuffle on the
     # same key, so the exchange is shared
