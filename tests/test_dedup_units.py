@@ -1,0 +1,209 @@
+"""Dedup operators vs independent pure-Python twins on crafted corpora.
+
+The registry's DuckDB oracles are strong but share an author with the
+Spark implementations — a shared misunderstanding would pass the
+oracle gate. These tests recompute expected results with hand-rolled
+Python (hashlib + sets) on tiny corpora written as real parquet
+`documents` tables, mirroring the reference's unit-matrix discipline
+(`/root/reference/src/processing/encryption_sequencer_test.cpp`-style
+known-answer tests, applied to the LLM-pipeline operator family).
+"""
+
+import hashlib
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.operators.dedup import (
+    dedup_exact_stats,
+    dedup_keep_one,
+    dedup_minhash_lsh,
+    dedup_ngram_jaccard,
+    dedup_simhash,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    N_BANDS,
+    N_HASHES,
+)
+
+TEXTS = [
+    # doc 0/1: exact duplicates
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox jumps over the lazy dog",
+    # doc 2: canonical dup of 0 (case + padding)
+    "  The Quick Brown Fox Jumps Over The Lazy Dog ",
+    # doc 3: near-dup of 0 (one word changed)
+    "the quick brown fox leaps over the lazy dog",
+    # doc 4: unrelated
+    "colorless green ideas sleep furiously in the data lake tonight",
+    # doc 5: short doc (< 3 words exercises the 1-gram fallback)
+    "hello world",
+    # doc 6: another unrelated
+    "parquet pages carry definition levels before the value stream",
+]
+SOURCES = ["web", "web", "web", "books", "books", "code", "code"]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dedup_corpus")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(TEXTS)), pa.int64()),
+            "text": pa.array(TEXTS),
+            "lang": pa.array(["en"] * len(TEXTS)),
+            "source": pa.array(SOURCES),
+            "n_chars": pa.array([len(t) for t in TEXTS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _grams(text: str) -> set[str]:
+    """Python twin of operators.dedup.shingled (distinct word 3-grams)."""
+    words = text.strip().split()
+    n = max(len(words) - 2, 1)
+    return {" ".join(words[i : i + 3]) for i in range(n)}
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_exact_stats_match_python_twin(spark, corpus_dir):
+    row = dedup_exact_stats(spark, corpus_dir).collect()[0]
+    fps = [_md5(t.strip().lower()) for t in TEXTS]
+    assert row.n_docs == len(TEXTS)
+    assert row.n_distinct_text == len(set(TEXTS))
+    assert row.n_distinct_fp == len(set(fps))
+    assert row.n_exact_dups == len(TEXTS) - len(set(fps))
+
+
+def test_keep_one_keeps_min_doc_id_per_fingerprint(spark, corpus_dir):
+    got = {
+        r.source: (r.n_kept, r.kept_bytes)
+        for r in dedup_keep_one(spark, corpus_dir).collect()
+    }
+    first_by_fp: dict[str, int] = {}
+    for i, t in enumerate(TEXTS):
+        fp = _md5(t.strip().lower())
+        if fp not in first_by_fp or i < first_by_fp[fp]:
+            first_by_fp[fp] = i
+    kept = sorted(first_by_fp.values())
+    expect: dict[str, tuple[int, int]] = {}
+    for i in kept:
+        n, b = expect.get(SOURCES[i], (0, 0))
+        expect[SOURCES[i]] = (n + 1, b + len(TEXTS[i].encode()))
+    assert got == expect
+    # docs 0,1,2 share a canonical fingerprint: only doc 0 survives
+    assert 0 in kept and 1 not in kept and 2 not in kept
+
+
+def test_simhash_matches_python_twin(spark, corpus_dir):
+    got = {r.doc_id: r.simhash for r in dedup_simhash(spark, corpus_dir).collect()}
+
+    def simhash(text: str) -> int:
+        counters = [0] * 16
+        for w in text.strip().split():
+            h16 = int(_md5(w)[:4], 16)
+            for b in range(16):
+                counters[b] += 1 if (h16 >> b) & 1 else -1
+        return sum(1 << b for b in range(16) if counters[b] > 0)
+
+    expect = {i: simhash(t) for i, t in enumerate(TEXTS)}
+    assert got == expect
+    # identical docs hash identically; near-dups differ in few bits
+    assert got[0] == got[1]
+    assert bin(got[0] ^ got[3]).count("1") <= 6
+
+
+def test_ngram_jaccard_matches_set_arithmetic(spark, corpus_dir):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_ngram_jaccard(spark, corpus_dir).collect()
+    }
+    expect = {}
+    gsets = [_grams(t) for t in TEXTS]
+    import math
+
+    for a in range(len(TEXTS)):
+        for b in range(a + 1, len(TEXTS)):
+            inter = len(gsets[a] & gsets[b])
+            union = len(gsets[a] | gsets[b])
+            j = inter / union if union else 0.0
+            if j >= 0.5:
+                expect[(a, b)] = math.floor(j * 10000.0 + 0.5) / 10000.0
+    assert got == expect
+    assert (0, 1) in got and got[(0, 1)] == 1.0  # exact dup pair
+    # the one-word near-dup shares 4 of 10 grams -> j=0.4, below 0.5
+    assert (0, 3) not in got
+    assert all((0, 4) != k for k in got)  # unrelated never pairs
+
+
+def test_minhash_signatures_match_python_twin(spark, corpus_dir):
+    from databatchprotectionservice_spark.plans.registry import load
+
+    docs = load(spark, corpus_dir, "documents")
+    got = {
+        r.doc_id: tuple(r[f"h{h}"] for h in range(N_HASHES))
+        for r in minhash_signatures(docs).collect()
+    }
+
+    def sig(text: str) -> tuple:
+        words = text.strip().split()
+        n = max(len(words) - 2, 1)
+        grams = [" ".join(words[i : i + 3]) for i in range(n)]
+        return tuple(
+            min(_md5(f"{h}|{g}") for g in grams) for h in range(N_HASHES)
+        )
+
+    expect = {i: sig(t) for i, t in enumerate(TEXTS)}
+    assert got == expect
+
+
+def test_lsh_candidates_match_python_twin(spark, corpus_dir):
+    from databatchprotectionservice_spark.plans.registry import load
+
+    docs = load(spark, corpus_dir, "documents")
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(minhash_signatures(docs)).collect()
+    }
+
+    def sig(text: str) -> list[str]:
+        words = text.strip().split()
+        n = max(len(words) - 2, 1)
+        grams = [" ".join(words[i : i + 3]) for i in range(n)]
+        return [min(_md5(f"{h}|{g}") for g in grams) for h in range(N_HASHES)]
+
+    sigs = [sig(t) for t in TEXTS]
+    bands = [
+        [_md5(s[2 * b] + s[2 * b + 1]) for b in range(N_BANDS)] for s in sigs
+    ]
+    expect = {
+        (a, b)
+        for a in range(len(TEXTS))
+        for b in range(a + 1, len(TEXTS))
+        if any(bands[a][k] == bands[b][k] for k in range(N_BANDS))
+    }
+    assert got == expect
+    assert (0, 1) in got  # exact dups always collide
+
+
+def test_minhash_lsh_query_end_to_end(spark, corpus_dir):
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup_minhash_lsh(spark, corpus_dir).collect()
+    }
+    # exact duplicates pass the 0.8 verification threshold with j=1.0;
+    # the one-word near-dup (jaccard 4/11 on these grams) must NOT
+    gsets = [_grams(t) for t in TEXTS]
+    j03 = len(gsets[0] & gsets[3]) / len(gsets[0] | gsets[3])
+    assert j03 < 0.8
+    assert got.get((0, 1)) == 1.0
+    assert (0, 3) not in got
+    for (a, b), j in got.items():
+        assert j >= 0.8 and a < b
