@@ -1,0 +1,181 @@
+"""Text-analysis operators vs independent pure-Python twins.
+
+Same rationale as test_dedup_units.py: the DuckDB oracles share an
+author with the Spark code, so these tests recompute expected results
+with `re` + `hashlib` on a crafted corpus that covers the edge cases —
+empty text, single-token text, digits/symbols for the BPE lexer, every
+language branch of the guesser including the CJK short-circuit and the
+tie-break order, and the short-document 5-gram fallback.
+"""
+
+import hashlib
+import math
+import os
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.operators.textops import (
+    text_fingerprints,
+    text_language_id,
+    text_quality_scores,
+    text_tfidf_top_terms,
+    text_token_stats,
+)
+
+DOCS = [
+    # (text, lang label, source)
+    ("the cat sat on the mat and purred", "en", "web"),
+    ("le chat et la souris dans les jardins", "fr", "web"),
+    ("el perro y los gatos en las casas", "es", "books"),
+    ("der hund und die katze das haus ein tag", "de", "books"),
+    ("数据 data lake", "zh", "web"),  # CJK chars short-circuit to zh
+    ("", "en", "code"),  # empty text: 0 tokens, ratio 0
+    ("x", "en", "code"),  # single token, no whitespace
+    ("a1b2 c3!? #tag 42", "en", "code"),  # BPE lexer: letters/digits/symbols
+    ("the the the of of and a le la", "en", "web"),  # en wins tie-break vs fr
+]
+TEXTS = [t for t, _, _ in DOCS]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("textops_corpus")
+    table = pa.table(
+        {
+            "doc_id": pa.array(range(len(DOCS)), pa.int64()),
+            "text": pa.array([t for t, _, _ in DOCS]),
+            "lang": pa.array([lang for _, lang, _ in DOCS]),
+            "source": pa.array([s for _, _, s in DOCS]),
+            "n_chars": pa.array([len(t) for t, _, _ in DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "documents.parquet"))
+    return str(d)
+
+
+def _ntokens(text: str) -> int:
+    t = text.strip()
+    return 0 if not t else len(re.split(r"\s+", t))
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def test_token_stats_match_python_twin(spark, corpus_dir):
+    got = {
+        r.source: (r.n_docs, r.sum_tokens, r.sum_chars, r.sum_bpe_tokens, r.max_tokens)
+        for r in text_token_stats(spark, corpus_dir).collect()
+    }
+    expect = {}
+    for text, _, source in DOCS:
+        bpe = len(re.findall(r"[a-z]+|[0-9]+|[^a-z0-9\s]", text.lower()))
+        n, st, sc, sb, mx = expect.get(source, (0, 0, 0, 0, 0))
+        expect[source] = (
+            n + 1,
+            st + _ntokens(text),
+            sc + len(text),
+            sb + bpe,
+            max(mx, _ntokens(text)),
+        )
+    assert got == expect
+
+
+def test_quality_scores_match_python_twin(spark, corpus_dir):
+    got = {
+        r.doc_id: (r.n_tokens, r.alpha_ratio, r.quality)
+        for r in text_quality_scores(spark, corpus_dir).collect()
+    }
+    expect = {}
+    for i, text in enumerate(TEXTS):
+        n = _ntokens(text)
+        alpha = len(re.sub("[^a-zA-Z]", "", text)) / max(len(text), 1)
+        q = 0.5 * min(n / 50.0, 1.0) + 0.5 * alpha
+        expect[i] = (n, _round4(alpha), _round4(q))
+    assert got == expect
+    assert expect[5] == (0, 0.0, 0.0)  # empty doc fully zeroed
+
+
+def test_language_id_matches_python_twin(spark, corpus_dir):
+    got = {
+        r.lang_guess: (r.n_docs, r.n_match_label)
+        for r in text_language_id(spark, corpus_dir).collect()
+    }
+    markers = {
+        "en": r"\b(the|of|and|a)\b",
+        "fr": r"\b(le|la|les|et|une)\b",
+        "es": r"\b(el|los|las|una|y)\b",
+        "de": r"\b(der|die|das|und|ein)\b",
+    }
+
+    def guess(text: str) -> str:
+        if re.search("[一-鿿]", text):
+            return "zh"
+        s = {k: len(re.findall(p, text.lower())) for k, p in markers.items()}
+        if s["en"] >= s["fr"] and s["en"] >= s["es"] and s["en"] >= s["de"]:
+            return "en"
+        if s["fr"] >= s["es"] and s["fr"] >= s["de"]:
+            return "fr"
+        if s["es"] >= s["de"]:
+            return "es"
+        return "de"
+
+    expect = {}
+    for text, lang, _ in DOCS:
+        g = guess(text)
+        n, m = expect.get(g, (0, 0))
+        expect[g] = (n + 1, m + (1 if g == lang else 0))
+    assert got == expect
+    # the crafted docs exercise every branch
+    assert guess(DOCS[4][0]) == "zh" and guess(DOCS[1][0]) == "fr"
+    assert guess(DOCS[2][0]) == "es" and guess(DOCS[3][0]) == "de"
+    assert guess(DOCS[8][0]) == "en"  # tie-break order favors en
+
+
+def test_fingerprints_match_python_twin(spark, corpus_dir):
+    got = {
+        r.doc_id: (r.exact_fp, r.winnow_fp)
+        for r in text_fingerprints(spark, corpus_dir).collect()
+    }
+
+    def md5(s: str) -> str:
+        return hashlib.md5(s.encode()).hexdigest()
+
+    expect = {}
+    for i, text in enumerate(TEXTS):
+        # mirror Spark: split('', '\\s+') yields [''], not []
+        words = re.split(r"\s+", text.strip())
+        n = max(len(words) - 4, 1)
+        grams = [" ".join(words[j : j + 5]) for j in range(n)]
+        expect[i] = (md5(text.strip().lower()), min(md5(g) for g in grams))
+    assert got == expect
+
+
+def test_tfidf_matches_python_twin(spark, corpus_dir):
+    got = [
+        (r.doc_id, r.term, r.tf, r.df, r.score)
+        for r in text_tfidf_top_terms(spark, corpus_dir).collect()
+    ]
+    tok = {
+        i: re.findall("[a-z]+", t.lower()) for i, t in enumerate(TEXTS)
+    }
+    n_docs = len(TEXTS)
+    df: dict[str, int] = {}
+    for terms in tok.values():
+        for t in set(terms):
+            df[t] = df.get(t, 0) + 1
+    expect = []
+    for i in sorted(tok):
+        tf: dict[str, int] = {}
+        for t in tok[i]:
+            tf[t] = tf.get(t, 0) + 1
+        scored = [
+            (t, c, df[t], c * float(n_docs) / df[t]) for t, c in tf.items()
+        ]
+        scored.sort(key=lambda x: (-x[3], x[0]))
+        for t, c, d, s in scored[:3]:
+            expect.append((i, t, c, d, _round4(s)))
+    assert got == expect
