@@ -1,0 +1,139 @@
+"""Similarity-search operators vs independent pure-Python twins.
+
+Crafted integer-valued embeddings make every dot product and norm-square
+exact in IEEE double regardless of summation order, so the Spark
+results must match the twin bit-for-bit (after the shared round-4),
+not just approximately. Covers the brute-force ranking with its
+neighbor_id tie-break, the sign-LSH bucket assignment, and the
+bucketed top-k's candidate restriction.
+"""
+
+import math
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.operators.similarity import (
+    BUCKET_BITS,
+    N_QUERIES,
+    TOP_K,
+    similarity_bruteforce_topk,
+    similarity_lsh_buckets,
+    similarity_lsh_topk,
+)
+
+DIM = 64
+N_VECS = 20
+
+
+def _make_vectors() -> list[list[float]]:
+    """Deterministic integer-valued vectors with controlled bucket bits."""
+    vecs = []
+    for i in range(N_VECS):
+        v = []
+        for j in range(DIM):
+            # first 8 dims control the LSH bucket: cluster i % 4 fixes the
+            # sign pattern so buckets repeat; remaining dims vary by (i, j)
+            if j < BUCKET_BITS:
+                sign = 1 if ((i % 4) >> (j % 4)) & 1 else -1
+                v.append(float(sign * (1 + (i + j) % 3)))
+            else:
+                v.append(float(((i * 7 + j * 3) % 5) - 2))
+        vecs.append(v)
+    return vecs
+
+
+VECS = _make_vectors()
+LABELS = [i % 3 for i in range(N_VECS)]
+
+
+@pytest.fixture(scope="module")
+def emb_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sim_corpus")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(N_VECS), pa.int64()),
+            "embedding": pa.array(VECS, pa.list_(pa.float32())),
+            "label": pa.array(LABELS, pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(d), "embeddings.parquet"))
+    return str(d)
+
+
+def _bucket(v: list[float]) -> int:
+    return sum(1 << i for i in range(BUCKET_BITS) if v[i] >= 0)
+
+
+def _cos(a: list[float], b: list[float]) -> float:
+    dot = sum(x * y for x, y in zip(a, b))
+    na = math.sqrt(sum(x * x for x in a))
+    nb = math.sqrt(sum(x * x for x in b))
+    return dot / (na * nb)
+
+
+def _round4(x: float) -> float:
+    return math.floor(x * 10000.0 + 0.5) / 10000.0
+
+
+def test_lsh_buckets_match_python_twin(spark, emb_dir):
+    got = {
+        r.bucket: (r.n_vectors, r.sum_label)
+        for r in similarity_lsh_buckets(spark, emb_dir).collect()
+    }
+    expect = {}
+    for v, lbl in zip(VECS, LABELS):
+        b = _bucket(v)
+        n, s = expect.get(b, (0, 0))
+        expect[b] = (n + 1, s + lbl)
+    assert got == expect
+    assert len(expect) == 4  # the 4 sign clusters land in 4 buckets
+
+
+def _rank(scored: list[tuple[int, float]]) -> list[tuple[int, float, int]]:
+    """(neighbor_id, cos) -> top-k with cos DESC, neighbor_id ASC order."""
+    s = sorted(scored, key=lambda x: (-x[1], x[0]))
+    return [(nid, c, rk + 1) for rk, (nid, c) in enumerate(s[:TOP_K])]
+
+
+def test_bruteforce_topk_matches_python_twin(spark, emb_dir):
+    got = [
+        (r.query_id, r.neighbor_id, r.label, r.cosine, r.rk)
+        for r in similarity_bruteforce_topk(spark, emb_dir)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    expect = []
+    for q in range(N_QUERIES):
+        scored = [
+            (n, _cos(VECS[q], VECS[n])) for n in range(N_VECS) if n != q
+        ]
+        for nid, c, rk in _rank(scored):
+            expect.append((q, nid, LABELS[nid], _round4(c), rk))
+    assert got == expect
+
+
+def test_lsh_topk_matches_python_twin_and_stays_in_bucket(spark, emb_dir):
+    got = [
+        (r.query_id, r.neighbor_id, r.cosine, r.rk)
+        for r in similarity_lsh_topk(spark, emb_dir)
+        .orderBy("query_id", "rk")
+        .collect()
+    ]
+    expect = []
+    for q in range(N_QUERIES):
+        qb = _bucket(VECS[q])
+        scored = [
+            (n, _cos(VECS[q], VECS[n]))
+            for n in range(N_VECS)
+            if n != q and _bucket(VECS[n]) == qb
+        ]
+        for nid, c, rk in _rank(scored):
+            expect.append((q, nid, _round4(c), rk))
+    assert got == expect
+    # the approximation really restricts candidates: every emitted
+    # neighbor shares its query's bucket
+    for q, nid, _, _ in got:
+        assert _bucket(VECS[nid]) == _bucket(VECS[q])
