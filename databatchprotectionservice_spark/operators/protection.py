@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.protect import protect_column, unprotect_column
-from ..plans.registry import load, load_events, prep, register
+from ..plans.registry import load_spread, prep, register
 from .relational import dec_str
 
 DEC = "decimal(18,2)"
@@ -45,7 +45,7 @@ DEC = "decimal(18,2)"
 )
 def protect_roundtrip_lineitem(spark, sf_dir):
     prep(spark)
-    li = load(spark, sf_dir, "lineitem").select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", "l_extendedprice", "l_orderkey"
     )
     df = protect_column(li, "l_extendedprice", "key_price")
@@ -79,7 +79,7 @@ def protect_roundtrip_lineitem(spark, sf_dir):
 )
 def protect_roundtrip_customer(spark, sf_dir):
     prep(spark)
-    c = load(spark, sf_dir, "customer")
+    c = load_spread(spark, sf_dir, "customer")
     df = protect_column(c, "c_name", "key_name")
     df = protect_column(df, "c_acctbal", "key_bal")
     df = unprotect_column(df, "c_name", T.StringType(), "key_name")
@@ -110,7 +110,11 @@ def protect_roundtrip_customer(spark, sf_dir):
 )
 def protect_roundtrip_events_aes(spark, sf_dir):
     prep(spark)
-    e = load_events(spark, sf_dir).select("event_type", "user_id", "value")
+    # ts is not referenced, so the events table loads directly (no
+    # timestamp-encoding dispatch needed) with the parallelism guard
+    e = load_spread(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
     df = protect_column(e, "user_id", "key_uid", encryptor="aes_siv")
     df = protect_column(df, "value", "key_val", encryptor="aes_siv")
     df = unprotect_column(df, "user_id", T.LongType(), "key_uid", encryptor="aes_siv")
@@ -137,7 +141,7 @@ def protect_roundtrip_events_aes(spark, sf_dir):
 )
 def protect_ciphertext_shape(spark, sf_dir):
     prep(spark)
-    c = load(spark, sf_dir, "customer")
+    c = load_spread(spark, sf_dir, "customer")
     df = protect_column(c, "c_name", "key_name")
     df = protect_column(df, "c_acctbal", "key_bal")
     return df.groupBy("c_mktsegment").agg(
@@ -167,7 +171,7 @@ def protect_ciphertext_shape(spark, sf_dir):
 )
 def protect_roundtrip_decimal(spark, sf_dir):
     prep(spark)
-    li = load(spark, sf_dir, "lineitem").select(
+    li = load_spread(spark, sf_dir, "lineitem").select(
         "l_returnflag",
         F.col("l_extendedprice").cast("decimal(12,2)").alias("price_dec"),
     )
