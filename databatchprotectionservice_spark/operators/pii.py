@@ -136,7 +136,7 @@ def pii_auto_protect_roundtrip(spark, sf_dir):
     from ..functions.protect import unprotect_column
 
     prep(spark)
-    c = load(spark, sf_dir, "customer").select(
+    c = load_spread(spark, sf_dir, "customer").select(
         "c_custkey",
         "c_name",
         F.concat(
