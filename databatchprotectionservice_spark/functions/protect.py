@@ -350,6 +350,61 @@ def _with_validity(arr: pa.Array, validity, n: int) -> pa.Array:
     return pa.Array.from_buffers(arr.type, n, [validity, *buffers[1:]])
 
 
+def _make_rotate_udf(
+    original_type: T.DataType,
+    old_key_id: str,
+    new_key_id: str,
+    old_encryptor: str,
+    new_encryptor: str,
+):
+    """One Arrow pass: strip tags -> decrypt(old) -> encrypt(new) -> re-tag.
+
+    Key rotation without the plaintext ever existing as a DataFrame
+    column: the decrypted bytes live only inside this UDF's Arrow batch
+    (executor memory) between the two cipher calls. The physical-type
+    tag is preserved, so rotated cells remain readable by the normal
+    unprotect path with the new key."""
+    phys, dtype, pa_type = _physical_for(original_type)
+    tag = int(phys)
+    if isinstance(original_type, T.DecimalType):
+        pt_width = DECIMAL_WIDTH
+    elif dtype is not None:
+        pt_width = dtype.itemsize
+    else:
+        pt_width = None
+    old_lp = make_encryptor(old_encryptor, "probe").length_preserving
+    new_lp = make_encryptor(new_encryptor, "probe").length_preserving
+    old_ct_width = pt_width if old_lp else None
+    new_ct_width = pt_width if new_lp else None
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(T.BinaryType())
+    def _rotate(arr: pa.Array) -> pa.Array:
+        arr = _compact(arr)
+        old = make_encryptor(old_encryptor, old_key_id)
+        new = make_encryptor(new_encryptor, new_key_id)
+        ct_flat, ct_offsets = _strip_tags(arr, tag)
+        # null slots carry zero-length payloads, so the uniform-width
+        # shortcut only holds on null-free batches (same rule as
+        # _make_unprotect_udf)
+        uw = old_ct_width if arr.null_count == 0 else None
+        flat, offsets = old.decrypt_elements(ct_flat, ct_offsets, uniform_width=uw)
+        new_uw = pt_width if arr.null_count == 0 else None
+        new_flat, new_offsets = new.encrypt_elements(
+            flat, offsets, uniform_width=new_uw
+        )
+        return _tag_and_wrap(
+            new_flat,
+            new_offsets,
+            tag,
+            _validity_buffer(arr),
+            uniform_width=new_ct_width if arr.null_count == 0 else None,
+        )
+
+    return _rotate
+
+
 # ---------------------------------------------------------------------------
 # public API
 # ---------------------------------------------------------------------------
@@ -378,6 +433,25 @@ def unprotect_column(
     type the column had before protection (the analogue of the reference
     agent's per-column ``datatype`` init parameter)."""
     udf = _make_unprotect_udf(original_type, key_id, encryptor)
+    return df.withColumn(column, udf(F.col(column)))
+
+
+def rotate_key_column(
+    df: DataFrame,
+    column: str,
+    original_type: T.DataType,
+    old_key_id: str,
+    new_key_id: str,
+    old_encryptor: str = "keystream_xor",
+    new_encryptor: str = "keystream_xor",
+) -> DataFrame:
+    """Re-encrypt a protected ``column`` under ``new_key_id`` (optionally
+    a different cipher) in one vectorized pass — the rotation primitive
+    for long-lived protected datasets. Plaintext never appears in the
+    plan; see :func:`_make_rotate_udf`."""
+    udf = _make_rotate_udf(
+        original_type, old_key_id, new_key_id, old_encryptor, new_encryptor
+    )
     return df.withColumn(column, udf(F.col(column)))
 
 

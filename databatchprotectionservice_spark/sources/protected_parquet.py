@@ -169,6 +169,84 @@ def read_protection_metadata(path: str, spark: SparkSession | None = None) -> di
     return meta
 
 
+def rotate_protected(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    new_keys: dict[str, str],
+    new_encryptor: str | None = None,
+    mode: str = "error",
+) -> dict:
+    """Key-rotate a protected dataset: re-encrypt the named columns under
+    new key ids (optionally a new cipher) and write a new dataset with an
+    updated sidecar. Returns the new sidecar dict.
+
+    The ciphertext is read RAW (never unprotected into the plan): each
+    named column goes through the single-pass rotate UDF, so plaintext
+    exists only inside the executor's Arrow batches between the two
+    cipher calls — the property a compliance-driven rotation needs.
+    Unnamed protected columns are copied through untouched and keep
+    their old keys in the new sidecar."""
+    from pyspark.sql import functions as F
+
+    from ..functions.protect import rotate_key_column
+
+    meta = read_protection_metadata(src_path, spark)
+    unknown = [c for c in new_keys if c not in meta["columns"]]
+    if unknown:
+        raise DBPSInvalidInputError(
+            f"columns not present in protection sidecar: {unknown!r} "
+            f"(sidecar has {sorted(meta['columns'])!r})"
+        )
+    data_format = meta.get("format", "parquet")
+    base64_cells = meta.get("cell_encoding") == "base64"
+    reader = spark.read
+    if data_format == "csv":
+        reader = reader.option("header", "true").option("inferSchema", "true")
+    df = getattr(reader, data_format)(src_path)
+    new_meta_cols = {}
+    for name, cfg in meta["columns"].items():
+        if name not in new_keys:
+            new_meta_cols[name] = dict(cfg)
+            continue
+        if name not in df.columns:
+            raise DBPSInvalidInputError(
+                f"sidecar column {name!r} missing from dataset at {src_path!r}"
+            )
+        enc_new = new_encryptor or cfg["encryptor"]
+        original_type = T._parse_datatype_json_string(cfg["original_type"])
+        if base64_cells:
+            df = df.withColumn(name, F.unbase64(F.col(name)))
+        df = rotate_key_column(
+            df,
+            name,
+            original_type,
+            cfg["key_id"],
+            new_keys[name],
+            old_encryptor=cfg["encryptor"],
+            new_encryptor=enc_new,
+        )
+        if base64_cells:
+            df = df.withColumn(name, F.base64(F.col(name)))
+        new_meta_cols[name] = {
+            "key_id": new_keys[name],
+            "original_type": cfg["original_type"],
+            "encryptor": enc_new,
+        }
+    writer = df.write.mode(mode)
+    if data_format == "csv":
+        writer = writer.option("header", "true")
+    getattr(writer, data_format)(dst_path)
+    sidecar = {
+        DBPS_VERSION_KEY: DBPS_VERSION,
+        "format": data_format,
+        "cell_encoding": "base64" if base64_cells else "binary",
+        "columns": new_meta_cols,
+    }
+    _write_sidecar(spark, dst_path, json.dumps(sidecar, indent=2, sort_keys=True))
+    return sidecar
+
+
 def read_protected(
     spark: SparkSession,
     path: str,
