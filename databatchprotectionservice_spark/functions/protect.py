@@ -436,6 +436,79 @@ def unprotect_column(
     return df.withColumn(column, udf(F.col(column)))
 
 
+def _make_verify_udf(
+    original_type: T.DataType, key_id: str, encryptor_name: str
+):
+    """Per-cell integrity check returning a boolean column: tag matches
+    the declared physical type, the payload decrypts (AES-SIV
+    authenticates; the keystream path length-checks fixed-width cells),
+    and no plaintext leaves the UDF. Nulls verify as true (a null cell
+    carries nothing to corrupt).
+
+    Cells decrypt one-by-one on purpose: batch decryption aborts at the
+    FIRST bad cell, but a verdict is needed per cell. This is a
+    maintenance scan, not a query path, and with AES-SIV the per-value
+    AEAD call dominates regardless of batching."""
+    phys, dtype, pa_type = _physical_for(original_type)
+    tag = int(phys)
+    if isinstance(original_type, T.DecimalType):
+        pt_width = DECIMAL_WIDTH
+    elif dtype is not None:
+        pt_width = dtype.itemsize
+    else:
+        pt_width = None
+
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(T.BooleanType())
+    def _verify(arr: pa.Array) -> pa.Array:
+        arr = _compact(arr)
+        enc = make_encryptor(encryptor_name, key_id)
+        n = len(arr)
+        ok = np.zeros(n, dtype=bool)
+        valid_mask = np.asarray(arr.is_valid()) if n else np.zeros(0, bool)
+        ok[~valid_mask] = True  # nulls: nothing to verify
+        flat, offsets = _array_as_flat_offsets(arr)
+        starts = offsets[:-1]
+        lengths = np.diff(offsets)
+        for i in range(n):
+            if not valid_mask[i]:
+                continue
+            ln = int(lengths[i])
+            if ln < 1 or int(flat[starts[i]]) != tag:
+                continue  # missing tag byte or wrong physical type
+            cell = flat[starts[i] + 1 : starts[i] + ln]
+            try:
+                pt_flat, _ = enc.decrypt_elements(
+                    cell, np.array([0, cell.size], dtype=np.int64)
+                )
+            except Exception:  # noqa: BLE001 - auth failure = invalid cell
+                continue
+            if pt_width is not None and pt_flat.size != pt_width:
+                continue  # fixed-width plaintext has the wrong length
+            ok[i] = True
+        return pa.array(ok)
+
+    return _verify
+
+
+def verify_column(
+    df: DataFrame,
+    column: str,
+    original_type: T.DataType,
+    key_id: str,
+    encryptor: str = "keystream_xor",
+    flag_column: str | None = None,
+) -> DataFrame:
+    """Append a boolean ``flag_column`` (default ``{column}__ok``) marking
+    cells that verify under ``key_id`` — the fsck primitive for
+    protected data. With ``aes_siv`` this is a true cryptographic
+    authentication sweep; with the keystream placeholder it validates
+    tag + fixed-width length structure."""
+    udf = _make_verify_udf(original_type, key_id, encryptor)
+    return df.withColumn(flag_column or f"{column}__ok", udf(F.col(column)))
+
+
 def rotate_key_column(
     df: DataFrame,
     column: str,
