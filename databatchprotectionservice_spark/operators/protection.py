@@ -189,3 +189,60 @@ def protect_roundtrip_decimal(spark, sf_dir):
         dec_str(F.min("price_dec")).alias("min_dec"),
         dec_str(F.max("price_dec")).alias("max_dec"),
     )
+
+
+@register(
+    "rotate_key_roundtrip_customer",
+    oracle="""
+        SELECT
+            c_mktsegment,
+            count(*) AS n,
+            CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2)))
+                 AS DECIMAL(38,2)) AS VARCHAR) AS sum_acctbal,
+            min(c_name) AS min_name,
+            CAST(count(DISTINCT c_name) AS BIGINT) AS n_names
+        FROM customer
+        GROUP BY c_mktsegment
+    """,
+    description="protect -> rotate key (keystream->aes_siv) -> verify "
+    "100% integrity -> unprotect with the NEW key; aggregate must equal "
+    "raw (round-trip identity through the full rotation lifecycle)",
+)
+def rotate_key_roundtrip_customer(spark, sf_dir):
+    """The rotation lifecycle as a judged query: data protected under v1
+    keystream keys is rotated to v2 AES-SIV keys in one pass
+    (plaintext never in the plan), the integrity scan must pass 100%
+    under the new keys, and unprotecting with the new keys restores the
+    original values exactly."""
+    from ..functions.protect import rotate_key_column, verify_column
+
+    prep(spark)
+    c = load_spread(spark, sf_dir, "customer")
+    df = protect_column(c, "c_name", "key_name_v1")
+    df = protect_column(df, "c_acctbal", "key_bal_v1")
+    df = rotate_key_column(
+        df, "c_name", T.StringType(), "key_name_v1", "key_name_v2",
+        new_encryptor="aes_siv",
+    )
+    df = rotate_key_column(
+        df, "c_acctbal", T.DoubleType(), "key_bal_v1", "key_bal_v2",
+        new_encryptor="aes_siv",
+    )
+    df = verify_column(
+        df, "c_name", T.StringType(), "key_name_v2", "aes_siv"
+    )
+    df = df.filter(F.col("c_name__ok"))  # drops nothing on intact data
+    df = unprotect_column(
+        df, "c_name", T.StringType(), "key_name_v2", encryptor="aes_siv"
+    )
+    df = unprotect_column(
+        df, "c_acctbal", T.DoubleType(), "key_bal_v2", encryptor="aes_siv"
+    )
+    from .relational import dec_str
+
+    return df.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_str(F.sum(F.col("c_acctbal").cast(DEC))).alias("sum_acctbal"),
+        F.min("c_name").alias("min_name"),
+        F.countDistinct("c_name").cast("bigint").alias("n_names"),
+    )
