@@ -175,3 +175,29 @@ def test_empty_elements_and_offsets_edge(encryptor):
     ct_flat, ct_offsets = enc.encrypt_elements(flat, offsets)
     pt_flat, pt_offsets = enc.decrypt_elements(ct_flat, ct_offsets)
     assert wire.arrow_to_bytes_list(pt_flat, pt_offsets) == [b"", b"", b""]
+
+
+@settings(max_examples=40, deadline=None)
+@given(values=element_lists, k1=keys, k2=keys)
+def test_rotation_identity_at_element_level(values, k1, k2):
+    """rotate = decrypt(old) . encrypt(new): for ANY element list and any
+    key pair, decrypt-with-new of rotate equals the original — the
+    element-level law behind functions.protect.rotate_key_column."""
+    old = make_encryptor("keystream_xor", k1)
+    new = make_encryptor("keystream_xor", k2)
+    flat, offsets = wire.bytes_list_to_arrow(values)
+    ct_flat, ct_offsets = old.encrypt_elements(flat, offsets)
+    # the rotation pass
+    pt_flat, pt_offsets = old.decrypt_elements(ct_flat, ct_offsets)
+    rot_flat, rot_offsets = new.encrypt_elements(pt_flat, pt_offsets)
+    # reads under the new key restore the original values
+    back_flat, back_offsets = new.decrypt_elements(rot_flat, rot_offsets)
+    assert wire.arrow_to_bytes_list(back_flat, back_offsets) == values
+    # and under the old key they do not (unless the keystreams collide)
+    if k1 != k2 and any(len(v) for v in values):
+        stale_flat, stale_offsets = old.decrypt_elements(rot_flat, rot_offsets)
+        stale = wire.arrow_to_bytes_list(stale_flat, stale_offsets)
+        ks1 = old.encrypt_block(b"\x00" * 64)
+        ks2 = new.encrypt_block(b"\x00" * 64)
+        if ks1 != ks2:
+            assert stale != values
