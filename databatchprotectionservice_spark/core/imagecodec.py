@@ -1,0 +1,179 @@
+"""Dependency-free image codecs: P6 PPM and 24-bit uncompressed BMP.
+
+This is the *real* decode path behind ``operators.multimodal.decode_media
+(mode="real")``.  No third-party media library ships in this environment,
+but both formats below are fully specified public formats decodable with
+pure numpy in ~50 lines each:
+
+* **PPM (P6)** — netpbm binary RGB: ASCII header ``P6 <w> <h> <maxval>``
+  (whitespace/comment tolerant) followed by a row-major RGB raster.
+* **BMP (24bpp BI_RGB)** — BITMAPFILEHEADER + BITMAPINFOHEADER, pixel rows
+  stored **bottom-up**, each row **BGR** and padded to a 4-byte boundary.
+  Decoding genuinely has to flip the rows, strip the stride padding and
+  swap BGR->RGB to recover the logical image.
+
+Both decoders return ``(width, height, pixels)`` with ``pixels`` a
+``(height, width, 3) uint8`` ndarray in row-major **RGB** order, so a
+re-serialized raster is byte-identical whichever container carried it —
+the property the ``multimodal_decode_real`` oracle checks end-to-end.
+
+Encoders are provided for fixture construction (and are themselves
+round-trip tested); they are not a Spark sink.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+class ImageFormatError(ValueError):
+    """Raised for malformed or unsupported image bytes."""
+
+
+# ---------------------------------------------------------------------------
+# PPM (P6)
+# ---------------------------------------------------------------------------
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> P6 bytes."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ImageFormatError("encode_ppm expects (h, w, 3) uint8")
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def _ppm_tokens(data: bytes, count: int) -> tuple[list[int], int]:
+    """Read ``count`` whitespace-separated ASCII integers after the magic,
+    skipping ``#`` comments, per the netpbm spec. Returns (values, offset
+    of the byte after the single whitespace that terminates the header)."""
+    vals: list[int] = []
+    i = 2  # past "P6"
+    n = len(data)
+    while len(vals) < count:
+        while i < n and data[i : i + 1].isspace():
+            i += 1
+        if i < n and data[i : i + 1] == b"#":
+            while i < n and data[i] != 0x0A:
+                i += 1
+            continue
+        j = i
+        while j < n and not data[j : j + 1].isspace():
+            j += 1
+        if j == i:
+            raise ImageFormatError("truncated PPM header")
+        try:
+            vals.append(int(data[i:j]))
+        except ValueError as exc:
+            raise ImageFormatError(f"bad PPM header token {data[i:j]!r}") from exc
+        i = j
+    # exactly ONE whitespace byte separates maxval from the raster
+    if i >= n or not data[i : i + 1].isspace():
+        raise ImageFormatError("PPM header not terminated")
+    return vals, i + 1
+
+
+def decode_ppm(data: bytes) -> tuple[int, int, np.ndarray]:
+    if data[:2] != b"P6":
+        raise ImageFormatError("not a P6 PPM")
+    (w, h, maxval), off = _ppm_tokens(data, 3)
+    if maxval != 255:
+        raise ImageFormatError(f"unsupported PPM maxval {maxval} (only 8-bit)")
+    if w <= 0 or h <= 0:
+        raise ImageFormatError(f"bad PPM dimensions {w}x{h}")
+    need = w * h * 3
+    raster = data[off : off + need]
+    if len(raster) != need:
+        raise ImageFormatError(
+            f"PPM raster truncated: need {need} bytes, have {len(raster)}"
+        )
+    return w, h, np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+
+
+# ---------------------------------------------------------------------------
+# BMP (24bpp, BI_RGB, bottom-up)
+# ---------------------------------------------------------------------------
+
+_BMP_HEADER = 14  # BITMAPFILEHEADER
+_DIB_HEADER = 40  # BITMAPINFOHEADER
+
+
+def _bmp_stride(w: int) -> int:
+    return (w * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> 24bpp BI_RGB BMP bytes (bottom-up, BGR,
+    4-byte row stride — the standard layout)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ImageFormatError("encode_bmp expects (h, w, 3) uint8")
+    stride = _bmp_stride(w)
+    img_size = stride * h
+    off = _BMP_HEADER + _DIB_HEADER
+    header = (
+        b"BM"
+        + (off + img_size).to_bytes(4, "little")  # file size
+        + b"\x00\x00\x00\x00"  # reserved
+        + off.to_bytes(4, "little")  # pixel data offset
+        + _DIB_HEADER.to_bytes(4, "little")
+        + w.to_bytes(4, "little")
+        + h.to_bytes(4, "little")  # positive height => bottom-up
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB (uncompressed)
+        + img_size.to_bytes(4, "little")
+        + (0).to_bytes(4, "little") * 4  # ppm resolution + palette counts
+    )
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = pixels[::-1, :, ::-1].reshape(h, w * 3)  # flip+BGR
+    return header + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
+    if data[:2] != b"BM":
+        raise ImageFormatError("not a BMP")
+    if len(data) < _BMP_HEADER + _DIB_HEADER:
+        raise ImageFormatError("BMP header truncated")
+    pix_off = int.from_bytes(data[10:14], "little")
+    dib_size = int.from_bytes(data[14:18], "little")
+    if dib_size < _DIB_HEADER:
+        raise ImageFormatError(f"unsupported DIB header size {dib_size}")
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    compression = int.from_bytes(data[30:34], "little")
+    if bpp != 24 or compression != 0:
+        raise ImageFormatError(
+            f"unsupported BMP variant: {bpp}bpp compression={compression}"
+        )
+    if w <= 0 or h == 0:
+        raise ImageFormatError(f"bad BMP dimensions {w}x{h}")
+    bottom_up = h > 0
+    h = abs(h)
+    stride = _bmp_stride(w)
+    raster = data[pix_off : pix_off + stride * h]
+    if len(raster) != stride * h:
+        raise ImageFormatError(
+            f"BMP raster truncated: need {stride * h} bytes, have {len(raster)}"
+        )
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)
+    rgb = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # strip pad, BGR->RGB
+    if bottom_up:
+        rgb = rgb[::-1]
+    return w, h, np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
+# dispatch
+# ---------------------------------------------------------------------------
+
+
+def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Sniff the magic bytes and decode. Raises ImageFormatError for
+    anything that is not a P6 PPM or a 24bpp BI_RGB BMP."""
+    if data[:2] == b"P6":
+        return decode_ppm(data)
+    if data[:2] == b"BM":
+        return decode_bmp(data)
+    raise ImageFormatError(f"unrecognized image magic {data[:2]!r}")

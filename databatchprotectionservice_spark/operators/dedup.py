@@ -42,6 +42,16 @@ CC_DRIVER_EDGE_LIMIT = 1_000_000
 #: Chosen far above any df reachable at the oracle scales (≤5k docs), so
 #: test/driver results are bit-identical with or without the guard
 NGRAM_DF_CAP = 10_000
+#: LSH band-bucket fan-in cap: a band bucket holding more than this many
+#: signatures is excluded from the candidate self-join, bounding any
+#: bucket's pair fan-out at CAP² (the same Σ df² guard NGRAM_DF_CAP
+#: gives the exact-jaccard path). A bucket that hot at 100 TB is a
+#: degenerate boilerplate cluster (e.g. millions of near-identical
+#: license headers) that would otherwise make the band exchange
+#: quadratic. Chosen far above any bucket reachable at oracle scale
+#: (max duplicate-text group is 2 at sf0.1), so test/driver results are
+#: bit-identical with or without the guard.
+LSH_BUCKET_CAP = 10_000
 
 
 def shingled(docs: DataFrame) -> DataFrame:
@@ -100,8 +110,22 @@ def _signature_oracle() -> str:
     """
 
 
-def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
-    """Band the signatures and self-join on (band_idx, band_hash)."""
+def lsh_candidate_pairs(
+    sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """Band the signatures and self-join on (band_idx, band_hash).
+
+    Hot-bucket guard: buckets larger than ``bucket_cap`` are dropped
+    before the self-join (standard LSH practice — such a bucket carries
+    no discriminating power and would produce a quadratic bucket in the
+    band exchange). The count is a window aggregate partitioned by the
+    join key itself, so the guard rides the exchange the self-join needs
+    anyway — no extra shuffle. Dropping a bucket only removes that ONE
+    band's votes; the other ``N_BANDS - 1`` bands still propose the
+    pair, so only pairs whose every shared band is degenerate are
+    affected."""
+    from pyspark.sql import Window
+
     bands = F.array(
         *[
             F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
@@ -110,6 +134,12 @@ def lsh_candidate_pairs(sigs: DataFrame) -> DataFrame:
     )
     banded = sigs.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    )
+    bucket = Window.partitionBy("band_idx", "band_hash")
+    banded = (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(bucket))
+        .filter(F.col("bsz") <= F.lit(bucket_cap))
+        .drop("bsz")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -302,6 +332,9 @@ def dedup_ngram_jaccard(spark, sf_dir):
     # the corpus-wide shingling (split + transform + array_distinct +
     # explode) runs three times. Same justification as the two caches in
     # dedup_minhash_lsh; the cached rows are (long, int, short string).
+    # Lifecycle: the cache lives until the session drops it — bench.py
+    # clears it between queries, and its min-of-N timings are therefore
+    # cache-warm by design (documented there).
     g = sh.select(
         "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
     ).cache()

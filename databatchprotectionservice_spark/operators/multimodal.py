@@ -6,13 +6,23 @@ frame-sample run as Arrow-batched ``mapInPandas`` stages so the payload
 never crosses the JVM<->Python boundary row-at-a-time and a stage can
 change cardinality (frame sampling is one->many).
 
-The container has no image/audio codecs, so the *decode* step is STUBBED:
-``decode_media(..., mode="fake")`` derives deterministic pseudo-dimensions
-from the payload bytes, and ``mode="real"`` raises ``NotImplementedError``
-(the seam where Pillow/ffmpeg would slot in). Everything around the stub —
-schema, partitioning, batch shapes, cardinality changes — is real and
-oracle-checked: the payloads here are the UTF-8 bytes of ``documents.text``
-so every byte-level result is independently computable in SQL by DuckDB.
+Two decode modes:
+
+* ``mode="fake"`` — deterministic pseudo-dimensions from a sha256 of the
+  payload; the oracle-checkable twin exercising identical mapInPandas
+  plumbing.
+* ``mode="real"`` — a genuine decoder (``core/imagecodec.py``) for the
+  two dependency-free public image formats: P6 PPM and 24bpp BI_RGB BMP
+  (header parse, bottom-up row flip, BGR->RGB, 4-byte stride strip).
+  Formats needing a third-party codec (JPEG/PNG/audio/video) raise
+  ``NotImplementedError`` — that is the seam where Pillow/ffmpeg slot in.
+
+Everything around decode — schema, partitioning, batch shapes,
+cardinality changes — is real and oracle-checked: the payloads here are
+the UTF-8 bytes of ``documents.text`` so every byte-level result is
+independently computable in SQL by DuckDB; ``multimodal_decode_real``
+additionally *containerizes* those bytes as real PPM/BMP files and
+checks the decoded raster's md5 end-to-end.
 """
 
 from __future__ import annotations
@@ -65,17 +75,67 @@ _DECODE_SCHEMA = T.StructType(
 )
 
 
+_DECODE_REAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("fmt", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("raster_md5", T.StringType()),
+    ]
+)
+
+
 def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
-    """Decode payloads to (width, height). ``mode="real"`` is the stub:
-    it raises ``NotImplementedError`` because no media codec ships in this
-    environment; ``mode="fake"`` derives deterministic dimensions from a
-    sha256 of the payload, exercising the identical mapInPandas plumbing
-    a real decoder would use."""
+    """Decode payloads to (width, height).
+
+    ``mode="fake"`` derives deterministic dimensions from a sha256 of the
+    payload — the oracle-checkable twin. ``mode="real"`` runs the genuine
+    PPM/BMP decoder in ``core/imagecodec.py`` over payloads that must be
+    actual image bytes, emitting the parsed dimensions plus the md5 of the
+    re-serialized row-major RGB raster (the round-trip proof). Formats the
+    environment has no codec for (JPEG/PNG/audio/video) surface as
+    ``NotImplementedError`` from the decode dispatch."""
     if mode == "real":
-        raise NotImplementedError(
-            "real media decode requires an image/audio codec (Pillow/ffmpeg) "
-            "not present in this environment; use mode='fake'"
-        )
+        from ..core.imagecodec import ImageFormatError, decode_image
+
+        def _decode_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                ids, fmts, ws, hs, md5s = [], [], [], [], []
+                for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                    if payload is None:
+                        continue
+                    magic = bytes(payload[:2])
+                    if magic not in (b"P6", b"BM"):
+                        raise NotImplementedError(
+                            f"no codec for media with magic {magic!r}: only "
+                            "PPM/BMP decode without third-party libraries "
+                            "(Pillow/ffmpeg would slot in here)"
+                        )
+                    try:
+                        w, h, pixels = decode_image(bytes(payload))
+                    except ImageFormatError as exc:
+                        raise ValueError(
+                            f"doc {doc_id}: undecodable payload: {exc}"
+                        ) from exc
+                    ids.append(doc_id)
+                    fmts.append("ppm" if magic == b"P6" else "bmp")
+                    ws.append(w)
+                    hs.append(h)
+                    md5s.append(hashlib.md5(pixels.tobytes()).hexdigest())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pd.Series(ids, dtype="int64"),
+                        "fmt": pd.Series(fmts, dtype="object"),
+                        "width": pd.Series(ws, dtype="int32"),
+                        "height": pd.Series(hs, dtype="int32"),
+                        "raster_md5": pd.Series(md5s, dtype="object"),
+                    }
+                )
+
+        return df.mapInPandas(_decode_real, _DECODE_REAL_SCHEMA)
     if mode != "fake":
         raise ValueError(f"unknown decode mode: {mode!r}")
 
@@ -356,4 +416,108 @@ def multimodal_decode_resize(spark, sf_dir):
         F.sum("height").alias("sum_height"),
         F.max("width").alias("max_width"),
         F.max("height").alias("max_height"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL decode — genuine PPM/BMP bytes through a genuine decoder
+# ---------------------------------------------------------------------------
+
+IMG_W = 32  # fixed raster width for the deterministic image fixtures
+_PAD = 0x20  # space — expressible as repeat(' ', n) on the DuckDB side
+
+_ENCODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+
+def image_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, payload) where payload is a REAL image file:
+    the UTF-8 text bytes laid out as a space-padded ``IMG_W``-wide RGB
+    raster, containerized as P6 PPM (even doc_id) or 24bpp bottom-up BMP
+    (odd doc_id). Deterministic by construction, so the decoded raster is
+    SQL-predictable: ``md5(text || repeat(' ', pad))``."""
+    import numpy as np
+
+    from ..core.imagecodec import encode_bmp, encode_ppm
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, payloads = [], []
+            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(raw) if raw is not None else b""
+                n_pix = (len(raw) + 2) // 3
+                h = max((n_pix + IMG_W - 1) // IMG_W, 1)
+                raster = raw.ljust(IMG_W * h * 3, bytes([_PAD]))
+                pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
+                    h, IMG_W, 3
+                )
+                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                ids.append(doc_id)
+                payloads.append(enc(pixels))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_encode, _ENCODE_SCHEMA)
+
+
+@register(
+    "multimodal_decode_real",
+    # the decoded row-major RGB raster equals the text bytes space-padded
+    # to w*h*3 — whichever container (PPM or bottom-up BGR BMP) carried it
+    # — so DuckDB recomputes every decoder output from first principles
+    oracle=f"""
+        WITH imgs AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   text,
+                   octet_length(encode(text)) AS nb
+            FROM documents
+        ),
+        decoded AS (
+            SELECT fmt, nb,
+                   {IMG_W} AS width,
+                   greatest(((nb + 2) // 3 + {IMG_W - 1}) // {IMG_W}, 1)
+                       AS height,
+                   text
+            FROM imgs
+        ),
+        hashed AS (
+            SELECT fmt, width, height,
+                   md5(text || repeat(' ',
+                       CAST(width * height * 3 - nb AS INT))) AS raster_md5
+            FROM decoded
+        )
+        SELECT fmt,
+               count(*) AS n_images,
+               CAST(sum(height) AS BIGINT) AS sum_height,
+               max(height) AS max_height,
+               min(raster_md5) AS min_raster_md5,
+               max(raster_md5) AS max_raster_md5
+        FROM hashed
+        GROUP BY fmt
+    """,
+    description="REAL image decode: PPM/BMP bytes -> header parse, row "
+    "flip, BGR->RGB, stride strip -> raster md5 round-trip",
+)
+def multimodal_decode_real(spark, sf_dir):
+    prep(spark)
+    decoded = decode_media(image_table(spark, sf_dir), mode="real")
+    return decoded.groupBy("fmt").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("height").cast("bigint").alias("sum_height"),
+        F.max("height").alias("max_height"),
+        F.min("raster_md5").alias("min_raster_md5"),
+        F.max("raster_md5").alias("max_raster_md5"),
     )

@@ -143,6 +143,7 @@ def write_protected(
         DBPS_VERSION_KEY: DBPS_VERSION,
         "format": data_format,
         "cell_encoding": "base64" if base64_cells else "binary",
+        "partition_by": list(partition_by or []),
         "columns": col_meta,
     }
     _write_sidecar(
@@ -233,7 +234,13 @@ def rotate_protected(
             "original_type": cfg["original_type"],
             "encryptor": enc_new,
         }
+    # preserve the source layout: the sidecar records partition_by at
+    # write time, so the rotated copy keeps directory-partition pruning
+    # (sidecars from engine versions before this field rotate flat)
+    part_cols = meta.get("partition_by") or []
     writer = df.write.mode(mode)
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     if data_format == "csv":
         writer = writer.option("header", "true")
     getattr(writer, data_format)(dst_path)
@@ -241,6 +248,7 @@ def rotate_protected(
         DBPS_VERSION_KEY: DBPS_VERSION,
         "format": data_format,
         "cell_encoding": "base64" if base64_cells else "binary",
+        "partition_by": part_cols,
         "columns": new_meta_cols,
     }
     _write_sidecar(spark, dst_path, json.dumps(sidecar, indent=2, sort_keys=True))
@@ -267,9 +275,16 @@ def verify_protected(
     if data_format == "csv":
         reader = reader.option("header", "true").option("inferSchema", "true")
     df = getattr(reader, data_format)(path)
-    targets = meta["columns"] if columns is None else {
-        c: meta["columns"][c] for c in columns
-    }
+    if columns is None:
+        targets = meta["columns"]
+    else:
+        unknown = [c for c in columns if c not in meta["columns"]]
+        if unknown:
+            raise DBPSInvalidInputError(
+                f"columns not present in protection sidecar: {unknown!r} "
+                f"(sidecar has {sorted(meta['columns'])!r})"
+            )
+        targets = {c: meta["columns"][c] for c in columns}
     aggs = []
     for name, cfg in targets.items():
         if name not in df.columns:

@@ -207,3 +207,31 @@ def test_minhash_lsh_query_end_to_end(spark, corpus_dir):
     assert (0, 3) not in got
     for (a, b), j in got.items():
         assert j >= 0.8 and a < b
+
+
+def test_lsh_hot_bucket_guard_bounds_fanout(spark):
+    """A degenerate band (every doc sharing one signature) is excluded
+    from the self-join when it exceeds bucket_cap; discriminating
+    buckets are untouched."""
+    n = 12
+    # identical text -> identical signatures -> every band bucket holds
+    # all n docs: with cap < n every bucket is dropped -> zero candidates
+    hot = spark.createDataFrame(
+        [(i, *(["x"] * N_HASHES)) for i in range(n)],
+        ["doc_id"] + [f"h{h}" for h in range(N_HASHES)],
+    )
+    assert lsh_candidate_pairs(hot, bucket_cap=n - 1).count() == 0
+    # at the default cap the same input produces all n*(n-1)/2 pairs
+    assert lsh_candidate_pairs(hot).count() == n * (n - 1) // 2
+    # mixed: one hot signature group (size n) + one small group (size 2)
+    # with cap below n, only the small group survives
+    mixed = spark.createDataFrame(
+        [(i, *(["x"] * N_HASHES)) for i in range(n)]
+        + [(100 + i, *(["y"] * N_HASHES)) for i in range(2)],
+        ["doc_id"] + [f"h{h}" for h in range(N_HASHES)],
+    )
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in lsh_candidate_pairs(mixed, bucket_cap=n - 1).collect()
+    }
+    assert got == {(100, 101)}

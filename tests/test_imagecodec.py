@@ -1,0 +1,114 @@
+"""Pure-python/numpy tests for core/imagecodec.py — no Spark needed."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from databatchprotectionservice_spark.core.imagecodec import (
+    ImageFormatError,
+    decode_bmp,
+    decode_image,
+    decode_ppm,
+    encode_bmp,
+    encode_ppm,
+)
+
+
+def _img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (7, 4), (2, 32), (5, 3)])
+def test_ppm_roundtrip(h, w):
+    px = _img(h, w, seed=h * 100 + w)
+    dw, dh, out = decode_ppm(encode_ppm(px))
+    assert (dw, dh) == (w, h)
+    np.testing.assert_array_equal(out, px)
+
+
+@pytest.mark.parametrize("h,w", [(1, 1), (3, 5), (7, 4), (2, 32), (5, 3)])
+def test_bmp_roundtrip(h, w):
+    # widths 1,3,5 exercise non-zero 4-byte stride padding
+    px = _img(h, w, seed=h * 100 + w)
+    dw, dh, out = decode_bmp(encode_bmp(px))
+    assert (dw, dh) == (w, h)
+    np.testing.assert_array_equal(out, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_containers_agree_on_raster(h, w, seed):
+    """The SAME pixels through either container decode to the SAME array
+    — the property the decode_real oracle relies on."""
+    px = _img(h, w, seed=seed)
+    _, _, from_ppm = decode_image(encode_ppm(px))
+    _, _, from_bmp = decode_image(encode_bmp(px))
+    np.testing.assert_array_equal(from_ppm, from_bmp)
+    np.testing.assert_array_equal(from_ppm, px)
+
+
+def test_ppm_comment_and_whitespace_header():
+    px = _img(2, 3)
+    raw = px.tobytes()
+    data = b"P6 # comment\n# another\n 3\t2 # dims\n255\n" + raw
+    w, h, out = decode_ppm(data)
+    assert (w, h) == (3, 2)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_bmp_topdown_negative_height():
+    """Negative biHeight means rows are stored top-down: flip the row
+    order of a bottom-up encoding and negate the height field."""
+    px = _img(3, 4)
+    data = bytearray(encode_bmp(px))
+    h = int.from_bytes(data[22:26], "little")
+    data[22:26] = (-h).to_bytes(4, "little", signed=True)
+    stride = ((4 * 3 + 3) & ~3) * 3
+    off = len(data) - stride
+    rows = np.frombuffer(bytes(data[off:]), dtype=np.uint8).reshape(3, -1)
+    data[off:] = rows[::-1].tobytes()
+    dw, dh, out = decode_bmp(bytes(data))
+    assert (dw, dh) == (4, 3)
+    np.testing.assert_array_equal(out, px)
+
+
+def test_errors():
+    with pytest.raises(ImageFormatError):
+        decode_image(b"\x89PNG\r\n")
+    with pytest.raises(ImageFormatError):
+        decode_ppm(b"P6\n3 2\n65535\n" + b"\x00" * 36)  # 16-bit maxval
+    with pytest.raises(ImageFormatError):
+        decode_ppm(b"P6\n3 2\n255\n" + b"\x00" * 5)  # truncated raster
+    with pytest.raises(ImageFormatError):
+        decode_bmp(b"BM" + b"\x00" * 10)  # truncated header
+    good = bytearray(encode_bmp(_img(2, 2)))
+    good[28:30] = (8).to_bytes(2, "little")  # 8bpp palette BMP
+    with pytest.raises(ImageFormatError):
+        decode_bmp(bytes(good))
+
+
+def test_raster_md5_matches_padded_text_bytes():
+    """End-to-end mirror of the multimodal_decode_real oracle identity:
+    text bytes space-padded to w*h*3, containerized, decoded, re-serialized
+    -> identical bytes."""
+    import hashlib
+
+    text = "hello multimodal é中"  # multi-byte utf-8 on purpose
+    raw = text.encode("utf-8")
+    w = 32
+    n_pix = (len(raw) + 2) // 3
+    h = max((n_pix + w - 1) // w, 1)
+    raster = raw.ljust(w * h * 3, b" ")
+    px = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3)
+    for enc in (encode_ppm, encode_bmp):
+        dw, dh, out = decode_image(enc(px))
+        assert (dw, dh) == (w, h)
+        assert hashlib.md5(out.tobytes()).hexdigest() == hashlib.md5(
+            raster
+        ).hexdigest()

@@ -119,3 +119,21 @@ def test_rotate_protected_dataset_updates_sidecar(spark, people, tmp_path):
     got = sorted(back.select("pid", "name", "balance").collect(), key=lambda r: r.pid)
     want = sorted(people.select("pid", "name", "balance").collect(), key=lambda r: r.pid)
     assert got == want
+
+
+def test_rotate_preserves_partition_layout(spark, people, tmp_path):
+    """A partition_by-written dataset stays directory-partitioned after
+    rotation (the sidecar records the layout)."""
+    import os
+
+    src = str(tmp_path / "part_src")
+    dst = str(tmp_path / "part_dst")
+    write_protected(
+        people, src, {"name": "key_A"}, partition_by=["pid"]
+    )
+    assert read_protection_metadata(src)["partition_by"] == ["pid"]
+    sidecar = rotate_protected(spark, src, dst, {"name": "key_B"})
+    assert sidecar["partition_by"] == ["pid"]
+    assert any(e.startswith("pid=") for e in os.listdir(dst))
+    got = read_protected(spark, dst)
+    assert _vals(got, "name") == _vals(people, "name")

@@ -105,3 +105,16 @@ def test_verify_protected_dataset_report(spark, people, tmp_path):
         "name": {"n_cells": 3, "n_valid": 3, "n_invalid": 0},
         "balance": {"n_cells": 3, "n_valid": 3, "n_invalid": 0},
     }
+
+
+def test_verify_unknown_column_rejected(spark, people, tmp_path):
+    """Naming a column absent from the sidecar is a typed input error
+    listing what the sidecar does have (not a bare KeyError)."""
+    from databatchprotectionservice_spark.core.errors import (
+        DBPSInvalidInputError,
+    )
+
+    path = str(tmp_path / "vp_unknown")
+    write_protected(people, path, {"name": "key_A"})
+    with pytest.raises(DBPSInvalidInputError, match="nope.*name"):
+        verify_protected(spark, path, columns=["nope"])
