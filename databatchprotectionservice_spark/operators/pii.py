@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import (
+    SPREAD_MIN_BYTES_LIGHT,
+    load,
+    load_spread,
+    prep,
+    register,
+)
 
 #: detector name -> (Spark regex, DuckDB regex) — kept in lockstep so the
 #: oracle counts the same matches. Patterns are deliberately simple and
@@ -136,7 +142,11 @@ def pii_auto_protect_roundtrip(spark, sf_dir):
     from ..functions.protect import unprotect_column
 
     prep(spark)
-    c = load_spread(spark, sf_dir, "customer").select(
+    # xor crypto over a ~300 KB scan: spreading measured 2x slower at
+    # bench scale, so this site only spreads past the light threshold
+    c = load_spread(
+        spark, sf_dir, "customer", min_bytes=SPREAD_MIN_BYTES_LIGHT
+    ).select(
         "c_custkey",
         "c_name",
         F.concat(

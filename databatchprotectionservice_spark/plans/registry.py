@@ -55,20 +55,52 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(table_path(sf_dir, name))
 
 
-def load_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+#: spread threshold for call sites whose per-row work is LIGHT (keystream
+#: XOR, simple column math): below this scan size the repartition's fixed
+#: cost (exchange + 32-task scheduling + Python-worker fan-out) exceeds
+#: the parallelism win — measured 2x slower at sf0.1 on the 300 KB
+#: customer scans. Heavy per-row call sites (AES-SIV, shingling, vector
+#: math) pass 0 and spread at any size: AES over the 2 MB events table
+#: already wins 0.82 s vs 1.25 s.
+SPREAD_MIN_BYTES_LIGHT = 16 << 20
+
+
+def _scan_bytes(spark: SparkSession, path: str) -> int | None:
+    """Total bytes under ``path`` via the Hadoop FS (works for any
+    Spark-supported scheme); None when the estimate is unavailable."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return int(fs.getContentSummary(jpath).getLength())
+    except Exception:  # noqa: BLE001 - estimate only, never fail the query
+        return None
+
+
+def load_spread(
+    spark: SparkSession, sf_dir: str, name: str, min_bytes: int = 0
+) -> DataFrame:
     """Load a table and guarantee at least core-count partitions.
 
     Small single-file tables scan as ONE partition, serializing every
     downstream per-row stage onto one core. For compute-heavy operators
     (shingling, hashing, vector math) a round-robin repartition of a few
-    MB buys full parallelism. Guarded so a table that already has enough
-    partitions (the 100 TB case — thousands of files) is left untouched:
-    no shuffle is ever added at scale."""
+    MB buys full parallelism. Two guards keep it from ever hurting:
+
+    * a table that already has enough partitions (the 100 TB case —
+      thousands of files) is left untouched: no shuffle at scale;
+    * a call site doing LIGHT per-row work passes ``min_bytes`` (usually
+      ``SPREAD_MIN_BYTES_LIGHT``) so sub-threshold scans skip the
+      repartition — its fixed cost outweighs the win there."""
     df = load(spark, sf_dir, name)
     target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
-    return df
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if min_bytes:
+        size = _scan_bytes(spark, table_path(sf_dir, name))
+        if size is not None and size < min_bytes:
+            return df
+    return df.repartition(target)
 
 
 def prep(spark: SparkSession) -> None:
