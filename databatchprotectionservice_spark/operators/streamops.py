@@ -31,14 +31,26 @@ from .relational import DEC, dec_str
 
 WATERMARK_DELAY_HOURS = 2
 #: stateful-operator parallelism is pinned to spark.sql.shuffle.partitions
-#: at the first checkpoint; each state partition carries fixed state-store
-#: cost per micro-batch, so local runs right-size it down (measured ~2x
-#: on small batches). On a cluster, size it to the executor count BEFORE
-#: the first trigger — SCALE.md "Streaming".
-STREAM_STATE_PARTITIONS = 8
+#: at the first checkpoint; the right count depends on WHERE the state
+#: work runs (sweep measured at sf0.1, min-of-3):
+#:
+#: * JVM stateful ops (window agg, stream-stream join, dedup) are
+#:   dominated by the fixed state-store commit cost per partition per
+#:   micro-batch -> few partitions win (rollup 1.38 s @8 -> 0.98 s @4;
+#:   click-join 2.26 @8 -> 1.97 @4; flat below 4).
+#: * Python stateful ops (applyInPandasWithState) are dominated by
+#:   Arrow transfer + per-group pandas compute -> more partitions win
+#:   (sessionize 3.2 s @8 -> 2.4 s @16; 1-partition serializes at 8 s).
+#:
+#: On a cluster, size BOTH to the executor count before the first
+#: trigger — SCALE.md "Streaming".
+STREAM_STATE_PARTITIONS_JVM = 4
+STREAM_STATE_PARTITIONS_PY = 16
 
 
-def _run_to_memory_sink(df, name: str):
+def _run_to_memory_sink(
+    df, name: str, state_partitions: int = STREAM_STATE_PARTITIONS_JVM
+):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink and return the sink table *lazily* — no driver-side
     ``collect()``; the memory sink's temp view outlives the stopped
@@ -48,7 +60,7 @@ def _run_to_memory_sink(df, name: str):
     partitioning is chosen here, not inherited."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS))
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         q = (
             df.writeStream.format("memory")
@@ -212,7 +224,9 @@ def streaming_sessionize(spark, sf_dir):
         stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
     )
     name = f"streaming_sessionize_{time.time_ns()}"
-    _run_to_memory_sink(sessions, name)
+    _run_to_memory_sink(
+        sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
+    )
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
