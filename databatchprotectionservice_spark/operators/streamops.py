@@ -240,6 +240,74 @@ def streaming_sessionize(spark, sf_dir):
 
 
 @register(
+    "streaming_session_window",
+    # same gaps-and-islands restatement as streaming_sessionize, but the
+    # emission rule is the built-in streaming aggregation's: a session is
+    # final once the watermark (max ts, delay 0, millisecond precision)
+    # passes its window end = last event + gap
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        flags AS (
+            SELECT user_id, ts,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w
+                                > INTERVAL {SESSION_GAP_SECONDS} SECOND
+                        THEN 1 ELSE 0 END AS ns
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flags
+        ),
+        agg AS (
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+        ),
+        mx AS (SELECT max(CAST(ts AS TIMESTAMP)) AS max_ts FROM events)
+        SELECT user_id,
+               strftime(session_start, '%Y-%m-%d %H:%M:%S.%f')
+                   AS session_start,
+               strftime(session_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+               n_events
+        FROM agg, mx
+        WHERE epoch_us(session_end)
+                  + CAST({SESSION_GAP_SECONDS} AS BIGINT) * 1000000
+              <= (epoch_us(max_ts) // 1000) * 1000
+    """,
+    description="gap sessionization via the BUILT-IN session_window "
+    "streaming aggregation (JVM-native scale path; the "
+    "applyInPandasWithState twin covers non-expressible session logic)",
+)
+def streaming_session_window(spark, sf_dir):
+    from ..streaming import read_events_stream, session_window_stream
+
+    prep(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    sessions = session_window_stream(
+        stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
+    )
+    name = f"streaming_session_window_{time.time_ns()}"
+    _run_to_memory_sink(sessions, name)
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+@register(
     "streaming_dedup_keys",
     # an availableNow run over one file is one micro-batch, so the
     # watermark never evicts state mid-run and the emitted set is exactly

@@ -2,6 +2,7 @@ from .pipeline import (
     dedup_stream,
     protect_stream,
     read_events_stream,
+    session_window_stream,
     sessionize_stream,
     stream_stream_click_attribution,
     windowed_event_rollup,
@@ -13,6 +14,7 @@ __all__ = [
     "protect_stream",
     "windowed_event_rollup",
     "sessionize_stream",
+    "session_window_stream",
     "dedup_stream",
     "stream_stream_click_attribution",
     "write_protected_stream",

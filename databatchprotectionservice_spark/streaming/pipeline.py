@@ -213,6 +213,41 @@ def sessionize_stream(
     )
 
 
+def session_window_stream(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap-based session windows via the BUILT-IN ``session_window``
+    aggregation — the JVM-native scale path for sessionization (state
+    merge, eviction, and emission all inside whole-stage-codegen'd
+    streaming aggregation; no Python in the loop). The custom
+    ``sessionize_stream`` remains the template for session logic the
+    built-in can't express (e.g. dynamic per-event gaps or session
+    payloads beyond aggregates).
+
+    Spark defines the window end as ``last_event + gap``; the select
+    subtracts the gap back so the output matches ``sessionize_stream``'s
+    (user_id, session_start, session_end=last event, n_events) shape."""
+    return (
+        stream_df.withWatermark("ts", watermark_delay)
+        .groupBy(
+            F.session_window("ts", f"{gap_seconds} seconds"),
+            F.col("user_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            (
+                F.col("session_window.end")
+                - F.expr(f"INTERVAL {gap_seconds} SECONDS")
+            ).alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 def write_protected_stream(
     stream_df: DataFrame,
     path: str,

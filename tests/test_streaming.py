@@ -131,6 +131,38 @@ def test_sessionize_stream_emits_closed_sessions(spark, session_events):
         q.stop()
 
 
+def test_session_window_stream_matches_custom_sessionizer(
+    spark, session_events
+):
+    """The JVM-native session_window path and the applyInPandasWithState
+    path emit the SAME closed sessions for the same gap + watermark."""
+    from databatchprotectionservice_spark.streaming import (
+        session_window_stream,
+    )
+
+    def run(builder, tag):
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp"
+        ).parquet(session_events)
+        name = f"{tag}_{int(time.time() * 1000)}"
+        q = _run_stream(builder(stream, gap_seconds=60), name)
+        try:
+            return {
+                (
+                    r.user_id,
+                    r.n_events,
+                    (r.session_end - r.session_start).total_seconds(),
+                )
+                for r in spark.table(name).collect()
+            }
+        finally:
+            q.stop()
+
+    got_builtin = run(session_window_stream, "sw")
+    got_custom = run(sessionize_stream, "sz")
+    assert got_builtin == got_custom == {(1, 3, 20.0), (2, 4, 12.0)}
+
+
 def test_sessionizer_function_splits_correctly():
     """Drive the state function directly: gap handling + state carryover."""
     import pandas as pd
