@@ -261,3 +261,115 @@ def rotate_key_roundtrip_customer(spark, sf_dir):
         F.min("c_name").alias("min_name"),
         F.countDistinct("c_name").cast("bigint").alias("n_names"),
     )
+
+
+@register(
+    "int96_page_roundtrip",
+    # the INT96 cells are built from (o_orderdate, o_orderkey) and fed
+    # through the REAL page-level encrypt->decrypt sequencer; the decoded
+    # values (not the inputs) feed this aggregate, so any corruption in
+    # the 12-byte codec or the cipher breaks the hash match. n_ok counts
+    # per-value byte-exact roundtrips and must equal n.
+    oracle="""
+        SELECT CAST(strftime(CAST(o_orderdate AS DATE), '%Y') AS INT) AS yr,
+               count(*) AS n,
+               count(*) AS n_ok,
+               min(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))
+                   AS min_date,
+               max(strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d'))
+                   AS max_date,
+               CAST(sum(o_orderkey % 86400) AS BIGINT) AS sum_sec
+        FROM orders
+        GROUP BY 1
+    """,
+    description="INT96 (legacy 12-byte timestamp) page-level "
+    "encrypt/decrypt roundtrip, distributed one page per Arrow batch",
+)
+def int96_page_roundtrip(spark, sf_dir):
+    """End-to-end INT96 coverage: Spark cannot WRITE INT96 (SURVEY §7
+    limitation), so the page is staged in-flight — each Arrow batch
+    becomes one DATA_PAGE_V1 of 12-byte INT96 cells (nanos-of-day int64
+    LE + Julian day uint32 LE, the parquet legacy layout;
+    ``parquet_types.h`` INT96, SURVEY §2.1 #15), runs the full AES-SIV
+    page sequencer, and is decoded back; the emitted rows are the
+    DECODED values. Scale shape: map-only until the final aggregate."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from ..core.pagecodec import PageAttributes, PageProtector
+    from ..core.types import PhysicalType
+    from ..plans.registry import load
+
+    prep(spark)
+    src = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("yr", T.IntegerType()),
+            T.StructField("date_str", T.StringType()),
+            T.StructField("sec", T.LongType()),
+            T.StructField("ok", T.BooleanType()),
+        ]
+    )
+    JULIAN_UNIX_EPOCH = 2_440_588
+
+    def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        protector = PageProtector(
+            "o_ordertime96",
+            "key_96",
+            PhysicalType.INT96,
+            encryptor_name="aes_siv",
+        )
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            days = (
+                pd.to_datetime(pdf["d"]).to_numpy().astype("datetime64[D]")
+            ).astype(np.int64)
+            keys = pdf["o_orderkey"].to_numpy(np.int64)
+            nanos = (keys % 86_400) * 1_000_000_000
+            julian = (days + JULIAN_UNIX_EPOCH).astype("<u4")
+            cells = np.empty((n, 12), dtype=np.uint8)
+            cells[:, :8] = nanos.astype("<i8").view(np.uint8).reshape(n, 8)
+            cells[:, 8:] = julian.view(np.uint8).reshape(n, 4)
+            page = cells.tobytes()
+            attrs = PageAttributes.from_string_map(
+                {
+                    "page_type": "DATA_PAGE_V1",
+                    "data_page_num_values": str(n),
+                    "data_page_max_definition_level": "0",
+                    "data_page_max_repetition_level": "0",
+                    "page_v1_definition_level_encoding": "RLE",
+                    "page_v1_repetition_level_encoding": "RLE",
+                }
+            )
+            ct, meta = protector.encrypt(page, attrs)
+            rt = protector.decrypt(ct, attrs, meta)
+            dec = np.frombuffer(rt, dtype=np.uint8).reshape(n, 12)
+            dec_nanos = dec[:, :8].copy().view("<i8").ravel()
+            dec_julian = dec[:, 8:].copy().view("<u4").ravel().astype(np.int64)
+            dec_days = dec_julian - JULIAN_UNIX_EPOCH
+            dec_dates = dec_days.astype("datetime64[D]")
+            ok = (dec_nanos == nanos) & (dec_days == days)
+            yield pd.DataFrame(
+                {
+                    "yr": dec_dates.astype("datetime64[Y]").astype(np.int64)
+                    + 1970,
+                    "date_str": np.datetime_as_string(dec_dates, unit="D"),
+                    "sec": dec_nanos // 1_000_000_000,
+                    "ok": ok,
+                }
+            )
+
+    rows = src.mapInPandas(_roundtrip, out_schema)
+    return rows.groupBy("yr").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("ok").cast("long")).cast("bigint").alias("n_ok"),
+        F.min("date_str").alias("min_date"),
+        F.max("date_str").alias("max_date"),
+        F.sum("sec").cast("bigint").alias("sum_sec"),
+    )
