@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Scale-trajectory probe: build a 10x replica of sf0.1 and compare
+per-query wall time, empirically checking SCALE.md's linear-scaling
+claims (VERDICT r4 item 5).
+
+Replication scheme (perf experiment ONLY — correctness stays pinned to
+the real driver testdata):
+
+* fact tables (events, documents, embeddings, lineitem, orders,
+  customer) are unioned 10x with all join/identity keys shifted by a
+  copy-specific offset, so per-key densities and join fan-outs stay
+  realistic instead of multiplying;
+* ``documents.text`` is character-rotated per copy (a..z alphabet
+  rotation) so the copies are NOT near-duplicates of each other —
+  replicated text would otherwise inflate LSH/minhash candidate
+  structure quadratically and measure a different workload;
+* dimension tables (region, nation, part, supplier) stay 1x — at
+  100 TB dims don't scale with facts;
+* events is written as a single file so the availableNow streaming
+  queries still run one micro-batch per run (same per-batch shape as
+  sf0.1, 10x the rows).
+
+Usage:  python scripts/scale_probe.py [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import string
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SRC = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DST = os.environ.get("SCALE_PROBE_DIR", "/tmp/dbps_scale_sf1")
+COPIES = int(os.environ.get("SCALE_PROBE_COPIES", "10"))
+KEY_OFFSET = 1_000_000_000
+
+#: key columns to shift per copy, per fact table (consistent across
+#: tables so joins keep their fan-out)
+FACTS = {
+    "events": ["user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+}
+DIMS = ["region", "nation", "part", "supplier"]
+
+QUERIES = [
+    "streaming_sessionize",
+    "streaming_session_window",
+    "streaming_click_attribution",
+    "streaming_hourly_rollup",
+    "similarity_ivf_topk",
+    "similarity_lsh_topk",
+    "protect_roundtrip_lineitem",
+    "setop_active_customers",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_exact_stats",
+    "dedup_embedding_cosine",
+    "text_tfidf_top_terms",
+    "q1_pricing_summary",
+]
+
+
+def build_replica(spark) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(DST):
+        shutil.rmtree(DST)
+    os.makedirs(DST)
+    for name in DIMS:
+        shutil.copy(
+            os.path.join(SRC, f"{name}.parquet"),
+            os.path.join(DST, f"{name}.parquet"),
+        )
+    for name, keys in FACTS.items():
+        base = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        parts = []
+        for i in range(COPIES):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * KEY_OFFSET))
+            if name == "documents" and i > 0:
+                # alphabet rotation: copies share no shingles with the
+                # original, so near-dup structure is not inflated
+                rot = string.ascii_lowercase[i:] + string.ascii_lowercase[:i]
+                df = df.withColumn(
+                    "text", F.translate("text", string.ascii_lowercase, rot)
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        writer = out.coalesce(1) if name == "events" else out
+        writer.write.mode("overwrite").parquet(
+            os.path.join(DST, f"{name}.parquet")
+        )
+        print(f"built {name}: {COPIES}x", flush=True)
+
+
+def main() -> None:
+    out_path = sys.argv[1] if len(sys.argv) > 1 else None
+    from databatchprotectionservice_spark.plans import get_spark
+
+    import __spark_entry__ as entrymod
+
+    spark = get_spark(app_name="dbps-scale-probe")
+    build_replica(spark)
+    qs = entrymod.queries()
+    base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
+    results = {}
+    for name in QUERIES:
+        obs = []
+        for _ in range(2):
+            t0 = time.time()
+            qs[name](spark, DST).collect()
+            obs.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
+        sf01 = base["queries"].get(name)
+        t = min(obs)
+        results[name] = {
+            "sf1_sec": t,
+            "sf01_sec": sf01,
+            "ratio": round(t / sf01, 2) if sf01 and sf01 > 0 else None,
+            "samples": obs,
+        }
+        print(f"{name}: sf1 {t}s  sf0.1 {sf01}s  "
+              f"ratio {results[name]['ratio']}", flush=True)
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(results, f, indent=1, sort_keys=True)
+
+
+if __name__ == "__main__":
+    main()
