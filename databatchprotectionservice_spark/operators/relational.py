@@ -435,12 +435,24 @@ def setop_active_customers(spark, sf_dir):
         )
 
     y1996, y1997 = year(1996), year(1997)
-    both = y1996.intersect(y1997).count()
-    only = y1996.exceptAll(y1997).distinct().count()
-    either = y1996.union(y1997).distinct().count()
-    return spark.createDataFrame(
-        [(both, only, either)], "both_years long, only_1996 long, either_year long"
+    # ONE lazy plan instead of three driver-side .count() actions: the
+    # three set-op branches share their scan+filter+distinct subtrees,
+    # so a single plan lets ReuseExchange compute each year's distinct
+    # set once, and the driver schedules one job, not three
+    both = y1996.intersect(y1997).agg(
+        F.count(F.lit(1)).alias("both_years")
     )
+    only = (
+        y1996.exceptAll(y1997)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("only_1996"))
+    )
+    either = (
+        y1996.union(y1997)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("either_year"))
+    )
+    return both.crossJoin(only).crossJoin(either)
 
 
 # ---------------------------------------------------------------------------
