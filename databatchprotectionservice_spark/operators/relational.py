@@ -582,11 +582,15 @@ def join_semi_anti_customers(spark, sf_dir):
     prep(spark)
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders").select("o_custkey")
-    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return spark.createDataFrame(
-        [(with_orders, without)], "with_orders long, without_orders long"
+    # one lazy plan (not two .count() actions): both branches share the
+    # scans, and the driver schedules a single job at collect time
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("with_orders")
     )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("without_orders")
+    )
+    return semi.crossJoin(anti)
 
 
 @register(
