@@ -275,12 +275,16 @@ def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
     return _protect
 
 
-def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
+def make_unprotect_kernel(
+    spark_type: T.DataType, key_id: str, encryptor_name: str
+):
+    """The plain ``pa.Array -> pa.Array`` decrypt kernel — shared by the
+    arrow_udf wrapper (`unprotect_column`) and non-UDF consumers like
+    the ``dbps_protected`` Python data source, which decrypts whole
+    Arrow record batches outside any Spark plan."""
     phys, dtype, pa_type = _physical_for(spark_type)
     tag = int(phys)
     type_name = spark_type.typeName()
-
-    from pyspark.sql.functions import arrow_udf
 
     if isinstance(spark_type, T.DecimalType):
         pt_width = DECIMAL_WIDTH
@@ -291,7 +295,6 @@ def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str
     length_preserving = make_encryptor(encryptor_name, "probe").length_preserving
     ct_width = pt_width if length_preserving else None
 
-    @arrow_udf(spark_type)
     def _unprotect(arr: pa.Array) -> pa.Array:
         arr = _compact(arr)
         enc = make_encryptor(encryptor_name, key_id)
@@ -341,6 +344,14 @@ def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str
         return _with_validity(pa.array(vals), validity, n).cast(pa_type)
 
     return _unprotect
+
+
+def _make_unprotect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
+    from pyspark.sql.functions import arrow_udf
+
+    return arrow_udf(spark_type)(
+        make_unprotect_kernel(spark_type, key_id, encryptor_name)
+    )
 
 
 def _with_validity(arr: pa.Array, validity, n: int) -> pa.Array:

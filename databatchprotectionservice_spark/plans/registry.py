@@ -152,6 +152,7 @@ _SCORE_FIRST: tuple[str, ...] = (
     "multimodal_decode_real",
     "streaming_session_window",
     "int96_page_roundtrip",
+    "datasource_protected_read",
     # 2 — last official verdict r3
     "map_function_battery",
     "dedup_exact_stats",
@@ -200,7 +201,6 @@ _SCORE_FIRST: tuple[str, ...] = (
     "udtf_shingle_counts",
     "udaf_iqr_chars",
     "grouped_map_cumulative_chars",
-    "merge_upsert_documents",
 )
 
 
@@ -229,6 +229,7 @@ def _ensure_loaded() -> None:
         return
     from ..operators import (  # noqa: F401
         bucketing,
+        datasource,
         dedup,
         incremental,
         layout,

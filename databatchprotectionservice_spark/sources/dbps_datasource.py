@@ -1,0 +1,167 @@
+"""``dbps_protected`` — a PySpark Python Data Source for protected
+datasets.
+
+The idiomatic Spark-4 surface for the sidecar contract
+(``sources/protected_parquet.py``): after one ``register_dbps_datasource
+(spark)`` call, a protected dataset opens like any other format —
+
+    spark.read.format("dbps_protected").load(path)
+
+— with the protected columns transparently decrypted to their original
+logical types (the reference's agent-``init`` + decrypt flow,
+``dbpa_interface.h:141-149``, as a declarative source instead of an
+imperative client).
+
+Scale shape: ``partitions()`` maps one input partition per parquet
+file, so a 10k-file dataset fans out across the cluster exactly like
+the native reader; ``read()`` decrypts whole Arrow record batches with
+the same vectorized kernel the UDF path uses (zero per-row Python).
+Schema is served from the sidecar + parquet footer only — planning
+reads no data pages.
+
+Current scope: parquet cell encoding, unpartitioned layout (the
+``rotate_protected`` default). Partitioned or base64 text datasets use
+``read_protected``, which handles both.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+from ..core.errors import DBPSInvalidInputError
+from .protected_parquet import SIDECAR_NAME
+
+FORMAT_NAME = "dbps_protected"
+
+
+def _load_sidecar(path: str) -> dict:
+    sp = os.path.join(path, SIDECAR_NAME)
+    if not os.path.exists(sp):
+        raise DBPSInvalidInputError(
+            f"no {SIDECAR_NAME} found at {path!r}; not a protected dataset"
+        )
+    with open(sp) as f:
+        return json.load(f)
+
+
+class _FileSplit(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class ProtectedParquetDataSource(DataSource):
+    """DataSource entry point; options: ``path`` (dataset directory)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return FORMAT_NAME
+
+    def _path(self) -> str:
+        path = self.options.get("path")
+        if not path:
+            raise DBPSInvalidInputError(
+                f"format('{FORMAT_NAME}') requires .load(<dataset path>)"
+            )
+        return path
+
+    def schema(self) -> T.StructType:
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        path = self._path()
+        meta = _load_sidecar(path)
+        if meta.get("format", "parquet") != "parquet":
+            raise DBPSInvalidInputError(
+                f"{FORMAT_NAME} reads parquet cell encoding; this dataset "
+                f"is {meta.get('format')!r} — use read_protected()"
+            )
+        if meta.get("partition_by"):
+            raise DBPSInvalidInputError(
+                f"{FORMAT_NAME} does not map partition directories; use "
+                "read_protected() for partitioned datasets"
+            )
+        files = _parquet_files(path)
+        if not files:
+            raise DBPSInvalidInputError(f"no parquet files under {path!r}")
+        # footer-only: planning never touches data pages
+        disk = from_arrow_schema(pq.read_schema(files[0]))
+        fields = []
+        for f in disk.fields:
+            cfg = meta["columns"].get(f.name)
+            if cfg is None:
+                fields.append(f)
+            else:
+                fields.append(
+                    T.StructField(
+                        f.name,
+                        T._parse_datatype_json_string(cfg["original_type"]),
+                        f.nullable,
+                    )
+                )
+        return T.StructType(fields)
+
+    def reader(self, schema: T.StructType) -> "ProtectedParquetReader":
+        return ProtectedParquetReader(self._path(), schema)
+
+
+def _parquet_files(path: str) -> list[str]:
+    return sorted(
+        os.path.join(path, n)
+        for n in os.listdir(path)
+        if n.endswith(".parquet") and not n.startswith(("_", "."))
+    )
+
+
+class ProtectedParquetReader(DataSourceReader):
+    def __init__(self, path: str, schema: T.StructType):
+        self._path = path
+        self._schema = schema
+        self._meta = _load_sidecar(path)
+
+    def partitions(self):  # one split per file — native-reader fan-out
+        return [_FileSplit(p) for p in _parquet_files(self._path)]
+
+    def read(self, partition: _FileSplit):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        from ..functions.protect import make_unprotect_kernel
+
+        kernels = {
+            name: (
+                make_unprotect_kernel(
+                    T._parse_datatype_json_string(cfg["original_type"]),
+                    cfg["key_id"],
+                    cfg["encryptor"],
+                ),
+                to_arrow_type(self._schema[name].dataType),
+            )
+            for name, cfg in self._meta["columns"].items()
+        }
+        pf = pq.ParquetFile(partition.path)
+        for batch in pf.iter_batches():
+            cols = []
+            for field in self._schema.fields:
+                arr = batch.column(field.name)
+                if isinstance(arr, pa.ChunkedArray):
+                    arr = arr.combine_chunks()
+                hit = kernels.get(field.name)
+                if hit is not None:
+                    kernel, arrow_type = hit
+                    arr = kernel(arr).cast(arrow_type)
+                cols.append(arr)
+            yield pa.RecordBatch.from_arrays(
+                cols, names=[f.name for f in self._schema.fields]
+            )
+
+
+def register_dbps_datasource(spark) -> None:
+    """Idempotent session registration of the ``dbps_protected`` format."""
+    spark.dataSource.register(ProtectedParquetDataSource)

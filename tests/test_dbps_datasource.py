@@ -1,0 +1,90 @@
+"""The dbps_protected Python data source: schema from sidecar,
+vectorized decrypt in the reader, file-per-partition fan-out."""
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+from pyspark.sql import types as T
+
+from databatchprotectionservice_spark.core.errors import DBPSInvalidInputError
+from databatchprotectionservice_spark.sources.dbps_datasource import (
+    ProtectedParquetDataSource,
+    register_dbps_datasource,
+)
+from databatchprotectionservice_spark.sources.protected_parquet import (
+    write_protected,
+)
+
+
+@pytest.fixture(scope="module")
+def people(spark):
+    rows = [
+        Row(pid=1, name="ada", balance=10.5, dec="12.34"),
+        Row(pid=2, name=None, balance=-3.25, dec=None),
+        Row(pid=3, name="grace", balance=None, dec="-0.01"),
+        Row(pid=4, name="", balance=0.0, dec="9999999999.99"),
+    ]
+    return spark.createDataFrame(rows).withColumn(
+        "dec", F.col("dec").cast(T.DecimalType(12, 2))
+    )
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _registered(spark):
+    register_dbps_datasource(spark)
+
+
+def _vals(df, column):
+    return sorted(
+        (r[0] for r in df.select(column).collect()),
+        key=lambda v: (v is None, str(v)),
+    )
+
+
+@pytest.mark.parametrize("encryptor", ["keystream_xor", "aes_siv"])
+def test_format_read_restores_values_and_types(
+    spark, people, tmp_path, encryptor
+):
+    path = str(tmp_path / f"ds_{encryptor}")
+    cols = {"name": "key_A", "balance": "key_B", "dec": "key_C"}
+    write_protected(people.repartition(3), path, cols, encryptor=encryptor)
+    got = spark.read.format("dbps_protected").load(path)
+    assert dict(got.dtypes) == dict(people.dtypes)
+    for c in ["pid", "name", "balance", "dec"]:
+        assert _vals(got, c) == _vals(people, c)
+
+
+def test_partitions_map_files(spark, people, tmp_path):
+    path = str(tmp_path / "ds_parts")
+    write_protected(people.repartition(3), path, {"name": "key_A"})
+    got = spark.read.format("dbps_protected").load(path)
+    # one input partition per parquet file => parallelism tracks layout
+    assert got.rdd.getNumPartitions() == 3
+
+
+def test_schema_is_footer_only_and_unprotected_cols_passthrough(
+    spark, people, tmp_path
+):
+    path = str(tmp_path / "ds_schema")
+    write_protected(people, path, {"dec": "key_C"})
+    schema = spark.read.format("dbps_protected").load(path).schema
+    assert schema["dec"].dataType == T.DecimalType(12, 2)
+    assert schema["balance"].dataType == T.DoubleType()
+
+
+def test_unprotected_dataset_rejected(spark, people, tmp_path):
+    path = str(tmp_path / "plain")
+    people.write.parquet(path)
+    ds = ProtectedParquetDataSource({"path": path})
+    with pytest.raises(DBPSInvalidInputError, match="not a protected"):
+        ds.schema()
+
+
+def test_partitioned_dataset_directed_to_read_protected(
+    spark, people, tmp_path
+):
+    path = str(tmp_path / "ds_partby")
+    write_protected(people, path, {"name": "key_A"}, partition_by=["pid"])
+    ds = ProtectedParquetDataSource({"path": path})
+    with pytest.raises(DBPSInvalidInputError, match="read_protected"):
+        ds.schema()

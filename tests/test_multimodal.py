@@ -36,9 +36,44 @@ def test_decode_fake_is_deterministic(media):
     assert all(16 <= w < 256 and 16 <= h < 256 for w, h in a.values())
 
 
-def test_decode_real_is_stubbed(media):
-    with pytest.raises(NotImplementedError):
-        decode_media(media, mode="real")
+def test_decode_real_requires_codec_for_unknown_formats(media):
+    """mode="real" decodes PPM/BMP; payloads in any OTHER format (here:
+    raw text bytes) surface NotImplementedError at execution — the seam
+    where Pillow/ffmpeg would slot in."""
+    with pytest.raises(Exception, match="no codec for media"):
+        decode_media(media, mode="real").collect()
+
+
+def test_decode_real_roundtrips_generated_images(spark, sf_dir):
+    """The real path end-to-end: text bytes -> PPM/BMP containers ->
+    real decoder -> raster md5 equals md5(text padded to the raster)."""
+    import numpy as np
+
+    from databatchprotectionservice_spark.operators.multimodal import (
+        IMG_W,
+        image_table,
+    )
+    from databatchprotectionservice_spark.plans.registry import load
+
+    docs = {
+        r.doc_id: r.text
+        for r in load(spark, sf_dir, "documents").limit(40).collect()
+    }
+    decoded = {
+        r.doc_id: r
+        for r in decode_media(image_table(spark, sf_dir), mode="real")
+        .filter(F.col("doc_id").isin(list(docs)))
+        .collect()
+    }
+    assert set(decoded) == set(docs)
+    for doc_id, text in docs.items():
+        r = decoded[doc_id]
+        raw = text.encode("utf-8")
+        h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
+        raster = raw.ljust(IMG_W * h * 3, b" ")
+        assert r.fmt == ("ppm" if doc_id % 2 == 0 else "bmp")
+        assert (r.width, r.height) == (IMG_W, h)
+        assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
 
 def test_decode_matches_reference_sha(media):
