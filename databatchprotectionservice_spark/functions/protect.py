@@ -239,7 +239,12 @@ def _strip_tags(arr: pa.Array, expected_tag: int):
     return ct_flat, ct_offsets
 
 
-def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
+def make_protect_kernel(
+    spark_type: T.DataType, key_id: str, encryptor_name: str
+):
+    """The plain ``pa.Array -> pa.Array`` encrypt kernel — shared by the
+    arrow_udf wrapper (`protect_column`) and non-UDF consumers like the
+    ``dbps_protected`` data source writer."""
     phys, dtype, pa_type = _physical_for(spark_type)
     tag = int(phys)
     # static per-column facts: plaintext element width (None = variable)
@@ -253,9 +258,6 @@ def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
     length_preserving = make_encryptor(encryptor_name, "probe").length_preserving
     ct_width = pt_width if length_preserving else None
 
-    from pyspark.sql.functions import arrow_udf
-
-    @arrow_udf(T.BinaryType())
     def _protect(arr: pa.Array) -> pa.Array:
         arr = _compact(arr)
         enc = make_encryptor(encryptor_name, key_id)
@@ -273,6 +275,14 @@ def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
         )
 
     return _protect
+
+
+def _make_protect_udf(spark_type: T.DataType, key_id: str, encryptor_name: str):
+    from pyspark.sql.functions import arrow_udf
+
+    return arrow_udf(T.BinaryType())(
+        make_protect_kernel(spark_type, key_id, encryptor_name)
+    )
 
 
 def make_unprotect_kernel(

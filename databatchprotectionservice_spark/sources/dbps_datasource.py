@@ -30,12 +30,37 @@ import json
 import os
 
 from pyspark.sql import types as T
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceArrowWriter,
+    DataSourceReader,
+    InputPartition,
+    WriterCommitMessage,
+)
 
 from ..core.errors import DBPSInvalidInputError
 from .protected_parquet import SIDECAR_NAME
 
 FORMAT_NAME = "dbps_protected"
+
+
+def parse_columns_option(spec: str) -> dict[str, str]:
+    """``"c_name:key_A,c_acctbal:key_B"`` -> {column: key_id} (data
+    source options are strings, so the column->key map travels encoded)."""
+    out: dict[str, str] = {}
+    for part in spec.split(","):
+        part = part.strip()
+        if not part:
+            continue
+        if ":" not in part:
+            raise DBPSInvalidInputError(
+                f"bad columns option entry {part!r}; want 'column:key_id'"
+            )
+        name, key_id = part.split(":", 1)
+        out[name.strip()] = key_id.strip()
+    if not out:
+        raise DBPSInvalidInputError("columns option names no columns")
+    return out
 
 
 def _load_sidecar(path: str) -> dict:
@@ -108,6 +133,49 @@ class ProtectedParquetDataSource(DataSource):
     def reader(self, schema: T.StructType) -> "ProtectedParquetReader":
         return ProtectedParquetReader(self._path(), schema)
 
+    def writer(self, schema: T.StructType, overwrite: bool):
+        path = self._path()
+        spec = self.options.get("columns")
+        if not spec:
+            raise DBPSInvalidInputError(
+                f"format('{FORMAT_NAME}') writes need .option('columns', "
+                "'col:key_id,...')"
+            )
+        columns = parse_columns_option(spec)
+        missing = [c for c in columns if c not in schema.fieldNames()]
+        if missing:
+            raise DBPSInvalidInputError(
+                f"columns not in DataFrame: {missing}"
+            )
+        encryptor = self.options.get("encryptor", "keystream_xor")
+        if os.path.isdir(path) and _parquet_files(path):
+            if overwrite:
+                for n in os.listdir(path):
+                    full = os.path.join(path, n)
+                    if os.path.isfile(full):
+                        os.remove(full)
+            else:
+                # append: the new files must decrypt under the EXISTING
+                # sidecar, so the column->key/encryptor config must match
+                meta = _load_sidecar(path)
+                want = {
+                    name: {
+                        "key_id": key_id,
+                        "original_type": schema[name].dataType.json(),
+                        "encryptor": encryptor,
+                    }
+                    for name, key_id in columns.items()
+                }
+                if meta.get("columns") != want:
+                    raise DBPSInvalidInputError(
+                        "append config mismatch: dataset sidecar protects "
+                        f"{sorted(meta.get('columns', {}))} but this write "
+                        f"declares {sorted(want)} (keys/types/encryptor "
+                        "must match exactly; use mode('overwrite') to "
+                        "replace the dataset)"
+                    )
+        return ProtectedParquetWriter(path, schema, columns, encryptor)
+
 
 def _parquet_files(path: str) -> list[str]:
     return sorted(
@@ -160,6 +228,101 @@ class ProtectedParquetReader(DataSourceReader):
             yield pa.RecordBatch.from_arrays(
                 cols, names=[f.name for f in self._schema.fields]
             )
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, filename: str):
+        self.filename = filename
+
+
+class ProtectedParquetWriter(DataSourceArrowWriter):
+    """Arrow-batch writer: encrypt the named columns with the shared
+    vectorized kernel and emit one parquet file per input partition
+    (native-writer fan-out); ``commit`` persists the sidecar once all
+    tasks report success, so readers never observe a dataset whose
+    sidecar predates its files."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        columns: dict[str, str],
+        encryptor: str,
+    ):
+        self._dst = path
+        self._schema = schema
+        self._columns = columns
+        self._encryptor = encryptor
+
+    def write(self, iterator) -> _Committed:
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pyspark import TaskContext
+
+        from ..functions.protect import make_protect_kernel
+
+        kernels = {
+            name: make_protect_kernel(
+                self._schema[name].dataType, key_id, self._encryptor
+            )
+            for name, key_id in self._columns.items()
+        }
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        os.makedirs(self._dst, exist_ok=True)
+        filename = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        out_path = os.path.join(self._dst, filename)
+        writer = None
+        try:
+            for batch in iterator:
+                cols, names = [], []
+                for i, field in enumerate(batch.schema):
+                    arr = batch.column(i)
+                    kernel = kernels.get(field.name)
+                    if kernel is not None:
+                        arr = kernel(arr)
+                    cols.append(arr)
+                    names.append(field.name)
+                out = pa.RecordBatch.from_arrays(cols, names=names)
+                if writer is None:
+                    writer = pq.ParquetWriter(out_path, out.schema)
+                writer.write_batch(out)
+        finally:
+            if writer is not None:
+                writer.close()
+        # an empty partition emits no file (matching the native writer's
+        # default); the commit message carries no filename to clean up
+        return _Committed(filename if writer is not None else "")
+
+    def commit(self, messages) -> None:
+        from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+
+        sidecar = {
+            DBPS_VERSION_KEY: DBPS_VERSION,
+            "format": "parquet",
+            "cell_encoding": "binary",
+            "partition_by": [],
+            "columns": {
+                name: {
+                    "key_id": key_id,
+                    "original_type": self._schema[name].dataType.json(),
+                    "encryptor": self._encryptor,
+                }
+                for name, key_id in self._columns.items()
+            },
+        }
+        with open(os.path.join(self._dst, SIDECAR_NAME), "w") as f:
+            json.dump(sidecar, f, indent=2, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        for m in messages:
+            if m is not None and m.filename:
+                full = os.path.join(self._dst, m.filename)
+                if os.path.exists(full):
+                    os.remove(full)
 
 
 def register_dbps_datasource(spark) -> None:

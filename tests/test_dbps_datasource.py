@@ -88,3 +88,75 @@ def test_partitioned_dataset_directed_to_read_protected(
     ds = ProtectedParquetDataSource({"path": path})
     with pytest.raises(DBPSInvalidInputError, match="read_protected"):
         ds.schema()
+
+
+def test_format_write_roundtrip_and_ciphertext_on_disk(
+    spark, people, tmp_path
+):
+    from databatchprotectionservice_spark.sources.protected_parquet import (
+        read_protected,
+    )
+
+    path = str(tmp_path / "dsw")
+    (
+        people.repartition(3)
+        .write.format("dbps_protected")
+        .mode("append")
+        .option("columns", "name:key_A,dec:key_C")
+        .option("encryptor", "aes_siv")
+        .save(path)
+    )
+    # both readers agree with the original
+    for got in (
+        spark.read.format("dbps_protected").load(path),
+        read_protected(spark, path),
+    ):
+        assert dict(got.dtypes) == dict(people.dtypes)
+        for c in ["pid", "name", "balance", "dec"]:
+            assert _vals(got, c) == _vals(people, c)
+    # protected columns are REALLY ciphertext on disk
+    raw = dict(spark.read.parquet(path).dtypes)
+    assert raw["name"] == "binary" and raw["dec"] == "binary"
+    assert raw["balance"] == "double"  # unprotected passthrough
+
+
+def test_format_write_append_validates_config(spark, people, tmp_path):
+    path = str(tmp_path / "dsw_append")
+    w = lambda df, cols: (
+        df.write.format("dbps_protected")
+        .mode("append")
+        .option("columns", cols)
+        .save(path)
+    )
+    w(people, "name:key_A")
+    w(people, "name:key_A")  # same config appends
+    got = spark.read.format("dbps_protected").load(path)
+    assert got.count() == 2 * people.count()
+    with pytest.raises(Exception, match="append config mismatch"):
+        w(people, "name:key_B")
+
+
+def test_format_write_overwrite_replaces(spark, people, tmp_path):
+    path = str(tmp_path / "dsw_over")
+    (
+        people.write.format("dbps_protected")
+        .mode("append")
+        .option("columns", "name:key_A")
+        .save(path)
+    )
+    (
+        people.limit(1)
+        .write.format("dbps_protected")
+        .mode("overwrite")
+        .option("columns", "name:key_Z")
+        .save(path)
+    )
+    got = spark.read.format("dbps_protected").load(path)
+    assert got.count() == 1
+
+
+def test_format_write_requires_columns_option(spark, people, tmp_path):
+    with pytest.raises(Exception, match="columns"):
+        people.write.format("dbps_protected").mode("append").save(
+            str(tmp_path / "dsw_nocols")
+        )
