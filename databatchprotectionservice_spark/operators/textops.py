@@ -308,3 +308,81 @@ def text_tfidf_top_terms(spark, sf_dir):
         )
         .orderBy("doc_id", F.desc("score"), "term")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG-style document chunking: overlapping word windows
+# ---------------------------------------------------------------------------
+
+CHUNK_WORDS = 32  # window size
+CHUNK_STRIDE = 24  # 8-word overlap between consecutive chunks
+
+
+@register(
+    "text_chunk_windows",
+    # chunk k covers words [k*S+1, k*S+W]; a doc of n words yields
+    # ceil((n-W)/S)+1 chunks (min 1) so every word is covered and the
+    # final chunk may run short — the standard RAG chunking contract
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id,
+                   regexp_split_to_array(trim(text), '\\s+') AS words
+            FROM documents
+        ),
+        n AS (
+            SELECT doc_id, words,
+                   greatest(CAST(ceil((len(words) - {CHUNK_WORDS}) * 1.0
+                                      / {CHUNK_STRIDE}) AS INT) + 1,
+                            1) AS n_chunks
+            FROM w
+        )
+        SELECT doc_id,
+               i - 1 AS chunk_idx,
+               len(words[(i - 1) * {CHUNK_STRIDE} + 1 :
+                         (i - 1) * {CHUNK_STRIDE} + {CHUNK_WORDS}])
+                   AS n_words,
+               md5(array_to_string(
+                   words[(i - 1) * {CHUNK_STRIDE} + 1 :
+                         (i - 1) * {CHUNK_STRIDE} + {CHUNK_WORDS}], ' '))
+                   AS chunk_md5
+        FROM n, UNNEST(range(1, n_chunks + 1)) AS t(i)
+    """,
+    description="RAG document chunking: overlapping word windows "
+    "(size 32, stride 24), pure codegen explode — no Python",
+)
+def text_chunk_windows(spark, sf_dir):
+    """Chunk every document into overlapping word windows — the
+    retrieval/training preprocessing shape. Pure built-in expressions:
+    split -> sequence -> posexplode -> slice/concat_ws/md5, all inside
+    whole-stage codegen; the only data movement is the explode's
+    row-count change (no shuffle until a consumer aggregates). At
+    100 TB this is a map-only stage that chunks each partition
+    independently."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    n_chunks = F.greatest(
+        F.ceil(
+            (F.size(words) - F.lit(CHUNK_WORDS))
+            * F.lit(1.0)
+            / F.lit(CHUNK_STRIDE)
+        ).cast("int")
+        + F.lit(1),
+        F.lit(1),
+    )
+    chunked = d.select(
+        "doc_id",
+        words.alias("words"),
+        F.posexplode(F.sequence(F.lit(1), n_chunks)).alias("pos", "i"),
+    )
+    chunk = F.slice(
+        F.col("words"),
+        (F.col("i") - 1) * CHUNK_STRIDE + 1,
+        CHUNK_WORDS,
+    )
+    return chunked.select(
+        "doc_id",
+        (F.col("i") - 1).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_words"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )

@@ -179,3 +179,43 @@ def test_tfidf_matches_python_twin(spark, corpus_dir):
         for t, c, d, s in scored[:3]:
             expect.append((i, t, c, d, _round4(s)))
     assert got == expect
+
+
+def test_chunk_windows_match_python_twin(spark, corpus_dir):
+    from databatchprotectionservice_spark.operators.textops import (
+        CHUNK_STRIDE,
+        CHUNK_WORDS,
+        text_chunk_windows,
+    )
+
+    got = {
+        (r.doc_id, r.chunk_idx): (r.n_words, r.chunk_md5)
+        for r in text_chunk_windows(spark, corpus_dir).collect()
+    }
+    import hashlib
+    import math
+
+    expect = {}
+    import re
+
+    for doc_id, text in enumerate(TEXTS):
+        # re.split matches Spark/DuckDB split semantics: empty text
+        # yields one empty word, not zero words
+        words = re.split(r"\s+", text.strip())
+        n = max(math.ceil((len(words) - CHUNK_WORDS) / CHUNK_STRIDE) + 1, 1)
+        for k in range(n):
+            chunk = words[k * CHUNK_STRIDE : k * CHUNK_STRIDE + CHUNK_WORDS]
+            expect[(doc_id, k)] = (
+                len(chunk),
+                hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+            )
+    assert got == expect
+    # every word of every doc is covered by at least one chunk
+    for doc_id, text in enumerate(TEXTS):
+        n_words = len(re.split(r"\s+", text.strip()))
+        covered = max(
+            k * CHUNK_STRIDE + CHUNK_WORDS
+            for (d, k) in expect
+            if d == doc_id
+        )
+        assert covered >= n_words
