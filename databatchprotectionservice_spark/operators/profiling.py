@@ -144,3 +144,59 @@ def pivot_user_event_matrix(spark, sf_dir):
     )
     total = sum(F.col(f"n_{t}") for t in EVENT_TYPES)
     return out.withColumn("n_any", total.cast("bigint")).orderBy("user_id")
+
+
+@register(
+    "sketch_accuracy_battery",
+    # approximate results can't be compared across engines, but their
+    # ERROR BOUNDS can: the query emits the exact values plus booleans
+    # asserting each sketch landed inside its documented bound, and the
+    # oracle recomputes the exact values and expects literal TRUE —
+    # sketches are deterministic for fixed input, so the flags are too
+    oracle="""
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users_exact,
+               count(*) AS n_events,
+               CAST(1 AS BOOLEAN) AS hll_within_5pct,
+               CAST(1 AS BOOLEAN) AS pctl_within_bound
+        FROM events
+        GROUP BY event_type
+    """,
+    description="sketch surface (HyperLogLog distinct, approximate "
+    "percentile) with oracle-checked error bounds",
+)
+def sketch_accuracy_battery(spark, sf_dir):
+    """Spark's sketch aggregates as first-class operators — at 100 TB
+    these replace their exact twins (`countDistinct` -> one-pass
+    mergeable HLL with no distinct shuffle; exact rank-median ->
+    `approx_percentile` t-digest). Correctness contract: each sketch's
+    estimate must land within its configured bound of the exact value
+    computed in the same pass."""
+    from ..plans.registry import load_events
+
+    e = load_events(spark, sf_dir)
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
+        F.count(F.lit(1)).alias("n_events"),
+        # rsd=0.02 -> 5% is > 2 sigma of the documented relative error
+        F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
+        F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
+        F.expr(
+            "percentile(value, 0.5)"
+        ).alias("p50_exact"),
+    )
+    return agg.select(
+        "event_type",
+        "n_users_exact",
+        "n_events",
+        (
+            F.abs(F.col("hll") - F.col("n_users_exact"))
+            <= F.col("n_users_exact") * 0.05
+        ).alias("hll_within_5pct"),
+        # t-digest with accuracy 10000 on ~25k values/group: the p50
+        # estimate must sit within 1% of the exact interpolated median
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact"))
+            <= F.abs(F.col("p50_exact")) * 0.01 + F.lit(1e-9)
+        ).alias("pctl_within_bound"),
+    )
