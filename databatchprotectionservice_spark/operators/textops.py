@@ -386,3 +386,88 @@ def text_chunk_windows(spark, sf_dir):
         F.size(chunk).cast("long").alias("n_words"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
     )
+
+
+@register(
+    "pipeline_training_prep",
+    # the full prep pipeline restated in SQL: quality gate -> language
+    # gate -> keep-one dedup (min doc_id per canonical fingerprint) ->
+    # per-source stats
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source, text,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                   END AS n_tokens,
+                   length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0
+                       / greatest(length(text), 1) AS alpha_ratio,
+                   lang
+            FROM documents
+        ),
+        gated AS (
+            SELECT *,
+                   0.5 * least(n_tokens / 50.0, 1.0) + 0.5 * alpha_ratio
+                       AS quality
+            FROM scored
+            WHERE lang = 'en'
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *,
+                       row_number() OVER (
+                           PARTITION BY md5(lower(trim(text)))
+                           ORDER BY doc_id) AS rn
+                FROM gated WHERE quality >= 0.5
+            ) WHERE rn = 1
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+        FROM kept
+        GROUP BY source
+    """,
+    description="end-to-end training-data prep: quality gate -> language "
+    "gate -> keep-one dedup -> per-source stats, one composed plan",
+)
+def pipeline_training_prep(spark, sf_dir):
+    """The composed shape everything else in this package exists for:
+    score -> filter -> dedup -> aggregate as ONE declarative plan, so
+    Catalyst pushes the language/quality gates into the scan and the
+    only shuffles are the dedup fingerprint exchange and the final
+    per-source aggregate. At 100 TB each stage is the operator already
+    audited individually (quality scoring: codegen expressions; dedup:
+    16-byte digest shuffle, not text)."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    n_tokens = _tokens(F.col("text")).alias("n_tokens")
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    scored = d.filter(F.col("lang") == "en").select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens,
+        alpha_ratio.alias("alpha_ratio"),
+    )
+    quality = (
+        F.lit(0.5) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.5) * F.col("alpha_ratio")
+    )
+    gated = scored.withColumn("quality", quality).filter(
+        F.col("quality") >= 0.5
+    )
+    w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
+    kept = (
+        gated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        round_ieee(F.avg("quality")).alias("avg_quality"),
+    )

@@ -155,6 +155,7 @@ _SCORE_FIRST: tuple[str, ...] = (
     "datasource_protected_read",
     "text_chunk_windows",
     "sketch_accuracy_battery",
+    "pipeline_training_prep",
     # 2 — last official verdict r3
     "map_function_battery",
     "dedup_exact_stats",
@@ -200,7 +201,6 @@ _SCORE_FIRST: tuple[str, ...] = (
     "text_language_id",
     "text_fingerprints",
     "text_tfidf_top_terms",
-    "udtf_shingle_counts",
 )
 
 
