@@ -175,16 +175,22 @@ def sketch_accuracy_battery(spark, sf_dir):
     from ..plans.registry import load_events
 
     e = load_events(spark, sf_dir)
-    agg = e.groupBy("event_type").agg(
+    # countDistinct plans through an Expand that multiplies every OTHER
+    # aggregate's input rows; fusing all five into one agg measured
+    # 2.2 s vs 0.43 s for two aggregates joined on the 5-row group key,
+    # so the distinct aggregate runs alone and the sketches share the
+    # second pass
+    exact = e.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("n_users_exact"),
         F.count(F.lit(1)).alias("n_events"),
+    )
+    sketches = e.groupBy("event_type").agg(
         # rsd=0.02 -> 5% is > 2 sigma of the documented relative error
         F.approx_count_distinct("user_id", rsd=0.02).alias("hll"),
         F.expr("approx_percentile(value, 0.5, 10000)").alias("p50_approx"),
-        F.expr(
-            "percentile(value, 0.5)"
-        ).alias("p50_exact"),
+        F.expr("percentile(value, 0.5)").alias("p50_exact"),
     )
+    agg = exact.join(sketches, "event_type")
     return agg.select(
         "event_type",
         "n_users_exact",
