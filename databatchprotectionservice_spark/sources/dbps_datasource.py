@@ -190,13 +190,94 @@ class ProtectedParquetReader(DataSourceReader):
         self._path = path
         self._schema = schema
         self._meta = _load_sidecar(path)
+        self._pushed: list = []
+
+    def pushFilters(self, filters):
+        """Push comparison filters on UNPROTECTED columns down to the
+        parquet scan (pyarrow evaluates them against row-group stats
+        and pages, so pruned data never reaches Python). Filters on
+        protected columns can never push — on disk those cells are
+        ciphertext, and comparing plaintext predicates against them
+        would be wrong — so they stay in Spark and run after decrypt."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        supported = (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+        )
+        protected = set(self._meta["columns"])
+        remaining = []
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr and len(attr) == 1 else None
+            if (
+                isinstance(f, supported)
+                and col is not None
+                and col not in protected
+            ):
+                self._pushed.append(f)
+            else:
+                remaining.append(f)
+        return remaining
+
+    def _arrow_filter(self):
+        """Pushed filters -> a pyarrow.compute expression (ANDed)."""
+        if not self._pushed:
+            return None
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        expr = None
+        for f in self._pushed:
+            col = pc.field(f.attribute[0])
+            if isinstance(f, EqualTo):
+                e = col == f.value
+            elif isinstance(f, GreaterThan):
+                e = col > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = col >= f.value
+            elif isinstance(f, LessThan):
+                e = col < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = col <= f.value
+            elif isinstance(f, In):
+                e = col.isin(list(f.value))
+            elif isinstance(f, IsNull):
+                e = col.is_null()
+            else:  # IsNotNull
+                e = ~col.is_null()
+            expr = e if expr is None else expr & e
+        return expr
 
     def partitions(self):  # one split per file — native-reader fan-out
         return [_FileSplit(p) for p in _parquet_files(self._path)]
 
     def read(self, partition: _FileSplit):
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         from pyspark.sql.pandas.types import to_arrow_type
 
@@ -213,8 +294,17 @@ class ProtectedParquetReader(DataSourceReader):
             )
             for name, cfg in self._meta["columns"].items()
         }
-        pf = pq.ParquetFile(partition.path)
-        for batch in pf.iter_batches():
+        import pyarrow.dataset as pads
+
+        # dataset scanner so pushed filters prune at row-group/page
+        # level INSIDE pyarrow — filtered rows never cross into Python
+        scanner = pads.dataset(partition.path, format="parquet").scanner(
+            columns=[f.name for f in self._schema.fields],
+            filter=self._arrow_filter(),
+        )
+        for batch in scanner.to_batches():
+            if batch.num_rows == 0:
+                continue
             cols = []
             for field in self._schema.fields:
                 arr = batch.column(field.name)
@@ -326,5 +416,10 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
 
 
 def register_dbps_datasource(spark) -> None:
-    """Idempotent session registration of the ``dbps_protected`` format."""
+    """Idempotent session registration of the ``dbps_protected`` format.
+
+    Also enables Python-data-source filter pushdown (off by default in
+    Spark 4.1) so the reader's ``pushFilters`` actually receives the
+    predicates on unprotected columns."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(ProtectedParquetDataSource)

@@ -160,3 +160,43 @@ def test_format_write_requires_columns_option(spark, people, tmp_path):
         people.write.format("dbps_protected").mode("append").save(
             str(tmp_path / "dsw_nocols")
         )
+
+
+def test_filter_pushdown_on_unprotected_column(spark, people, tmp_path):
+    """Comparison filters on unprotected columns reach the pyarrow scan
+    (visible as PushedFilters in the plan); results stay correct."""
+    path = str(tmp_path / "ds_pushdown")
+    write_protected(people.repartition(2), path, {"name": "key_A"})
+    got = (
+        spark.read.format("dbps_protected")
+        .load(path)
+        .filter((F.col("pid") > 1) & F.col("balance").isNotNull())
+    )
+    # fully pushed: the plan has NO Spark-side Filter node left —
+    # both predicates were accepted by pushFilters and evaluate inside
+    # the pyarrow scan (the Python BatchScan prints no PushedFilters
+    # label, so absence of Filter is the observable contract)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "BatchScan dbps_protected" in plan
+    assert "Filter " not in plan
+    rows = sorted(got.collect(), key=lambda r: r.pid)
+    assert [r.pid for r in rows] == [2, 4]
+    assert rows[1].name == ""  # decrypt still correct post-filter
+
+
+def test_filter_on_protected_column_stays_in_spark(spark, people, tmp_path):
+    """Predicates on protected columns cannot push down (on-disk cells
+    are ciphertext); they evaluate in Spark after decrypt, and results
+    match the plain dataset."""
+    path = str(tmp_path / "ds_nopush")
+    write_protected(people, path, {"name": "key_A"})
+    got = (
+        spark.read.format("dbps_protected")
+        .load(path)
+        .filter(F.col("name") == "grace")
+    )
+    # NOT pushed: a Spark-side Filter node remains to evaluate the
+    # predicate after decrypt
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " in plan
+    assert [r.pid for r in got.collect()] == [3]
