@@ -34,6 +34,7 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
     InputPartition,
     WriterCommitMessage,
 )
@@ -175,6 +176,34 @@ class ProtectedParquetDataSource(DataSource):
                         "replace the dataset)"
                     )
         return ProtectedParquetWriter(path, schema, columns, encryptor)
+
+    def streamWriter(self, schema: T.StructType, overwrite: bool):
+        """Streaming sink: ``df.writeStream.format("dbps_protected")``.
+        Append-only (streaming overwrite/complete modes don't fit a
+        protected dataset whose sidecar is immutable config)."""
+        if overwrite:
+            raise DBPSInvalidInputError(
+                f"{FORMAT_NAME} streaming sink is append-only"
+            )
+        path = self._path()
+        spec = self.options.get("columns")
+        if not spec:
+            raise DBPSInvalidInputError(
+                f"format('{FORMAT_NAME}') writes need .option('columns', "
+                "'col:key_id,...')"
+            )
+        columns = parse_columns_option(spec)
+        missing = [c for c in columns if c not in schema.fieldNames()]
+        if missing:
+            raise DBPSInvalidInputError(
+                f"columns not in DataFrame: {missing}"
+            )
+        return ProtectedParquetStreamWriter(
+            path,
+            schema,
+            columns,
+            self.options.get("encryptor", "keystream_xor"),
+        )
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -413,6 +442,35 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
                 full = os.path.join(self._dst, m.filename)
                 if os.path.exists(full):
                     os.remove(full)
+
+
+class ProtectedParquetStreamWriter(DataSourceStreamArrowWriter):
+    """Micro-batch streaming sink: each batch's partitions write
+    encrypted parquet files through the same Arrow path as the batch
+    writer; the sidecar is written at the FIRST successful commit (and
+    validated against on later ones), so a reader attaching mid-stream
+    always sees decryptable files."""
+
+    def __init__(
+        self,
+        path: str,
+        schema: T.StructType,
+        columns: dict[str, str],
+        encryptor: str,
+    ):
+        self._inner = ProtectedParquetWriter(path, schema, columns, encryptor)
+        self._dst = path
+
+    def write(self, iterator) -> _Committed:
+        return self._inner.write(iterator)
+
+    def commit(self, messages, batchId: int) -> None:
+        sp = os.path.join(self._dst, SIDECAR_NAME)
+        if not os.path.exists(sp):
+            self._inner.commit(messages)
+
+    def abort(self, messages, batchId: int) -> None:
+        self._inner.abort(messages)
 
 
 def register_dbps_datasource(spark) -> None:

@@ -200,3 +200,39 @@ def test_filter_on_protected_column_stays_in_spark(spark, people, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Filter " in plan
     assert [r.pid for r in got.collect()] == [3]
+
+
+def test_stream_sink_writes_decryptable_dataset(spark, people, tmp_path):
+    """df.writeStream.format('dbps_protected') protects on the fly;
+    the result opens with both readers and matches the batch input."""
+    import time as _time
+
+    from databatchprotectionservice_spark.sources.protected_parquet import (
+        read_protected,
+    )
+
+    src = str(tmp_path / "stream_src")
+    people.coalesce(1).write.parquet(src)
+    dst = str(tmp_path / "stream_dst")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(people.schema).parquet(src)
+    q = (
+        stream.writeStream.format("dbps_protected")
+        .option("columns", "name:key_A,dec:key_C")
+        .option("encryptor", "aes_siv")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start(dst)
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    for got in (
+        spark.read.format("dbps_protected").load(dst),
+        read_protected(spark, dst),
+    ):
+        for c in ["pid", "name", "balance", "dec"]:
+            assert _vals(got, c) == _vals(people, c)
+    raw = dict(spark.read.parquet(dst).dtypes)
+    assert raw["name"] == "binary" and raw["dec"] == "binary"
