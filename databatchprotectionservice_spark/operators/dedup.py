@@ -118,14 +118,21 @@ def lsh_candidate_pairs(
     Hot-bucket guard: buckets larger than ``bucket_cap`` are dropped
     before the self-join (standard LSH practice — such a bucket carries
     no discriminating power and would produce a quadratic bucket in the
-    band exchange). The count is a window aggregate partitioned by the
-    join key itself, so the guard rides the exchange the self-join needs
-    anyway — no extra shuffle. Dropping a bucket only removes that ONE
-    band's votes; the other ``N_BANDS - 1`` bands still propose the
-    pair, so only pairs whose every shared band is degenerate are
-    affected."""
-    from pyspark.sql import Window
+    band exchange). Dropping a bucket only removes that ONE band's
+    votes; the other ``N_BANDS - 1`` bands still propose the pair, so
+    only pairs whose every shared band is degenerate are affected.
 
+    Cost shape (the round-5 version computed the count as a window
+    aggregate inside the join subtree, which added a per-side sort AND
+    re-ran the whole corpus-wide signature pipeline on both sides of
+    the self-join — a measured 2.6x regression): ``banded`` is cached
+    once (4 short rows per doc — orders of magnitude smaller than the
+    corpus), hot buckets come from a map-side-combined
+    ``groupBy.count`` over the cache whose shuffle carries only
+    distinct (band_idx, band_hash) keys, and the guard is a broadcast
+    anti-join — hot buckets are by construction a tiny set (each one
+    needs > cap members). The signature pipeline therefore runs exactly
+    once, and the self-join's two exchanges read from memory."""
     bands = F.array(
         *[
             F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
@@ -134,15 +141,18 @@ def lsh_candidate_pairs(
     )
     banded = sigs.select(
         "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    ).cache()
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > F.lit(bucket_cap))
+        .select("band_idx", "band_hash")
     )
-    bucket = Window.partitionBy("band_idx", "band_hash")
-    banded = (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(bucket))
-        .filter(F.col("bsz") <= F.lit(bucket_cap))
-        .drop("bsz")
+    guarded = banded.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
+    a = guarded.alias("a")
+    b = guarded.alias("b")
     return (
         a.join(
             b,
@@ -579,23 +589,24 @@ def dedup_connected_clusters(spark, sf_dir):
     Both paths produce identical (node, min-id-of-component) output."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs))
+    # cached like in dedup_minhash_lsh: the candidate set is tiny but its
+    # lineage is the corpus-wide signature pipeline, and BOTH union
+    # branches below (plus the distributed fallback's per-round joins)
+    # consume it
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).cache()
     und = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
         cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
-    und = und.cache()
-    small = (
-        und.limit(CC_DRIVER_EDGE_LIMIT + 1).count() <= CC_DRIVER_EDGE_LIMIT
-    )
-    if small:
-        # Arrow transfer: two int64 columns, no per-edge Row objects
-        # (.tolist() yields plain ints for the union-find dict and the
-        # createDataFrame below)
-        pdf = und.toPandas()
-        edges = zip(pdf["src"].tolist(), pdf["dst"].tolist())
-        und.unpersist()
+    # ONE action decides the path AND fetches the edges: limit+1 rows via
+    # Arrow (two int64 columns). The round-5 shape (count, then a second
+    # toPandas job, then an unpersist that forced warm re-runs to rebuild
+    # the whole edge set) paid three jobs for what one covers.
+    head = und.limit(CC_DRIVER_EDGE_LIMIT + 1).toPandas()
+    if len(head) <= CC_DRIVER_EDGE_LIMIT:
+        # .tolist() yields plain ints for the union-find dict
+        edges = zip(head["src"].tolist(), head["dst"].tolist())
         parent: dict = {}
 
         def find(x):
@@ -614,8 +625,16 @@ def dedup_connected_clusters(spark, sf_dir):
                 # union by min so the representative IS the min id
                 lo, hi = min(ra, rb), max(ra, rb)
                 parent[hi] = lo
-        rows = [(n, find(n)) for n in parent]
-        return spark.createDataFrame(rows, "doc_id long, cluster_rep long")
+        import pandas as pd
+
+        # Arrow path (a local-list createDataFrame pickles through a
+        # 32-task RDD job — measured 1.7 s for one row; this is ~0.1 s)
+        out = pd.DataFrame(
+            [(n, find(n)) for n in parent],
+            columns=["doc_id", "cluster_rep"],
+        ).astype("int64")
+        return spark.createDataFrame(out)
+    und = und.cache()
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
