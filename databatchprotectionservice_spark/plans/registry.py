@@ -179,7 +179,8 @@ _SCORE_FIRST: tuple[str, ...] = (
     "udaf_iqr_chars",
     "grouped_map_cumulative_chars",
     "merge_upsert_documents",
-    # 2 — implementation changed after the r5 scoring ran
+    # 2 — new this round / implementation changed after the r5 scoring
+    "datasource_protected_partitioned",
     "datasource_protected_read",
     "dedup_minhash_lsh",
     "dedup_connected_clusters",
@@ -199,7 +200,6 @@ _SCORE_FIRST: tuple[str, ...] = (
     "similarity_lsh_buckets",
     "similarity_lsh_topk",
     "similarity_ivf_topk",
-    "dedup_embedding_cosine",
 )
 
 

@@ -19,15 +19,19 @@ the same vectorized kernel the UDF path uses (zero per-row Python).
 Schema is served from the sidecar + parquet footer only — planning
 reads no data pages.
 
-Current scope: parquet cell encoding, unpartitioned layout (the
-``rotate_protected`` default). Partitioned or base64 text datasets use
-``read_protected``, which handles both.
+Current scope: parquet cell encoding, flat OR hive-partitioned layout
+(``write_protected(partition_by=[...])`` output opens declaratively,
+with partition-value pruning happening at planning time — pruned
+directories are never listed into splits). Base64 text datasets use
+``read_protected``. The batch/stream writers emit the flat layout.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import re
+from urllib.parse import unquote
 
 from pyspark.sql import types as T
 from pyspark.sql.datasource import (
@@ -75,8 +79,65 @@ def _load_sidecar(path: str) -> dict:
 
 
 class _FileSplit(InputPartition):
-    def __init__(self, path: str):
+    def __init__(self, path: str, part_values: dict | None = None):
         self.path = path
+        #: hive partition column -> raw string value (None for the
+        #: __HIVE_DEFAULT_PARTITION__ null directory); empty for flat
+        self.part_values = part_values or {}
+
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _list_fragments(path: str) -> list[tuple[str, dict]]:
+    """All parquet files under ``path`` with the hive partition values
+    parsed from their directory segments: ``[(file, {col: str|None})]``.
+    Flat datasets yield empty dicts. Non-``key=value`` subdirectories
+    (and dot/underscore work files) are skipped, matching the native
+    reader's conventions."""
+    out: list[tuple[str, dict]] = []
+    for root, dirs, files in os.walk(path):
+        dirs[:] = sorted(
+            d for d in dirs if "=" in d or not d.startswith(("_", "."))
+        )
+        rel = os.path.relpath(root, path)
+        pvals: dict = {}
+        valid = True
+        if rel != ".":
+            for seg in rel.split(os.sep):
+                if "=" not in seg:
+                    valid = False
+                    break
+                k, v = seg.split("=", 1)
+                pvals[k] = None if v == _HIVE_NULL else unquote(v)
+        if not valid:
+            continue
+        for n in sorted(files):
+            if n.endswith(".parquet") and not n.startswith(("_", ".")):
+                out.append((os.path.join(root, n), pvals))
+    return sorted(out)
+
+
+def _partition_fields(
+    meta: dict, fragments: list[tuple[str, dict]]
+) -> list[T.StructField]:
+    """Typed partition columns, in sidecar ``partition_by`` order
+    (appended after the file columns, the native reader's convention).
+    Typing follows the native reader's inference narrowed to two cases:
+    all-integer directory values -> long, anything else -> string."""
+    fields = []
+    for col in meta.get("partition_by") or []:
+        seen = {vals.get(col) for _, vals in fragments}
+        non_null = [v for v in seen if v is not None]
+        all_int = bool(non_null) and all(
+            re.fullmatch(r"-?\d+", v) for v in non_null
+        )
+        fields.append(
+            T.StructField(
+                col, T.LongType() if all_int else T.StringType(), True
+            )
+        )
+    return fields
 
 
 class ProtectedParquetDataSource(DataSource):
@@ -106,16 +167,11 @@ class ProtectedParquetDataSource(DataSource):
                 f"{FORMAT_NAME} reads parquet cell encoding; this dataset "
                 f"is {meta.get('format')!r} — use read_protected()"
             )
-        if meta.get("partition_by"):
-            raise DBPSInvalidInputError(
-                f"{FORMAT_NAME} does not map partition directories; use "
-                "read_protected() for partitioned datasets"
-            )
-        files = _parquet_files(path)
-        if not files:
+        fragments = _list_fragments(path)
+        if not fragments:
             raise DBPSInvalidInputError(f"no parquet files under {path!r}")
         # footer-only: planning never touches data pages
-        disk = from_arrow_schema(pq.read_schema(files[0]))
+        disk = from_arrow_schema(pq.read_schema(fragments[0][0]))
         fields = []
         for f in disk.fields:
             cfg = meta["columns"].get(f.name)
@@ -129,6 +185,8 @@ class ProtectedParquetDataSource(DataSource):
                         f.nullable,
                     )
                 )
+        # hive partition columns come last, like the native reader
+        fields.extend(_partition_fields(meta, fragments))
         return T.StructType(fields)
 
     def reader(self, schema: T.StructType) -> "ProtectedParquetReader":
@@ -156,25 +214,7 @@ class ProtectedParquetDataSource(DataSource):
                     if os.path.isfile(full):
                         os.remove(full)
             else:
-                # append: the new files must decrypt under the EXISTING
-                # sidecar, so the column->key/encryptor config must match
-                meta = _load_sidecar(path)
-                want = {
-                    name: {
-                        "key_id": key_id,
-                        "original_type": schema[name].dataType.json(),
-                        "encryptor": encryptor,
-                    }
-                    for name, key_id in columns.items()
-                }
-                if meta.get("columns") != want:
-                    raise DBPSInvalidInputError(
-                        "append config mismatch: dataset sidecar protects "
-                        f"{sorted(meta.get('columns', {}))} but this write "
-                        f"declares {sorted(want)} (keys/types/encryptor "
-                        "must match exactly; use mode('overwrite') to "
-                        "replace the dataset)"
-                    )
+                _check_append_compatible(path, schema, columns, encryptor)
         return ProtectedParquetWriter(path, schema, columns, encryptor)
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
@@ -198,12 +238,19 @@ class ProtectedParquetDataSource(DataSource):
             raise DBPSInvalidInputError(
                 f"columns not in DataFrame: {missing}"
             )
-        return ProtectedParquetStreamWriter(
-            path,
-            schema,
-            columns,
-            self.options.get("encryptor", "keystream_xor"),
-        )
+        encryptor = self.options.get("encryptor", "keystream_xor")
+        # restarting a stream on an existing dataset with a different
+        # key/encryptor/schema would append files the sidecar decrypts
+        # wrongly (keystream XOR under the wrong key is silent garbage)
+        # — mirror the batch append validation up front. Gated on the
+        # sidecar EXISTING: Spark's commit runner re-instantiates this
+        # writer mid-first-commit, when task files are on disk but the
+        # sidecar isn't yet.
+        if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, SIDECAR_NAME)
+        ):
+            _check_append_compatible(path, schema, columns, encryptor)
+        return ProtectedParquetStreamWriter(path, schema, columns, encryptor)
 
 
 def _parquet_files(path: str) -> list[str]:
@@ -214,20 +261,86 @@ def _parquet_files(path: str) -> list[str]:
     )
 
 
+def _check_append_compatible(
+    path: str,
+    schema: T.StructType,
+    columns: dict[str, str],
+    encryptor: str,
+) -> None:
+    """Appended files must decrypt under the EXISTING sidecar and scan
+    under the existing footer schema, so both are validated up front:
+    the column->key/encryptor config must match exactly, and the
+    unprotected columns' on-disk types must equal the incoming ones
+    (a silent type drift would create a mixed-schema dataset that
+    misreads or fails at scan time)."""
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    meta = _load_sidecar(path)
+    if meta.get("partition_by"):
+        raise DBPSInvalidInputError(
+            f"{FORMAT_NAME} writes the flat layout; appending to a "
+            "hive-partitioned protected dataset would mix layouts — "
+            "use write_protected(partition_by=...) instead"
+        )
+    want = {
+        name: {
+            "key_id": key_id,
+            "original_type": schema[name].dataType.json(),
+            "encryptor": encryptor,
+        }
+        for name, key_id in columns.items()
+    }
+    if meta.get("columns") != want:
+        raise DBPSInvalidInputError(
+            "append config mismatch: dataset sidecar protects "
+            f"{sorted(meta.get('columns', {}))} but this write "
+            f"declares {sorted(want)} (keys/types/encryptor "
+            "must match exactly; use mode('overwrite') to "
+            "replace the dataset)"
+        )
+    files = _parquet_files(path)
+    if not files:  # config already validated; no footer to compare yet
+        return
+    disk = from_arrow_schema(pq.read_schema(files[0]))
+    disk_unprotected = {
+        f.name: f.dataType for f in disk.fields if f.name not in columns
+    }
+    incoming = {
+        f.name: f.dataType for f in schema.fields if f.name not in columns
+    }
+    if disk_unprotected != incoming:
+        drift = sorted(
+            (name, t.simpleString())
+            for name, t in (
+                set(disk_unprotected.items()) ^ set(incoming.items())
+            )
+        )
+        raise DBPSInvalidInputError(
+            "append schema mismatch on unprotected columns: "
+            f"{drift} (existing files vs this write)"
+        )
+
+
 class ProtectedParquetReader(DataSourceReader):
     def __init__(self, path: str, schema: T.StructType):
         self._path = path
         self._schema = schema
         self._meta = _load_sidecar(path)
-        self._pushed: list = []
+        self._part_cols = list(self._meta.get("partition_by") or [])
+        self._pushed: list = []  # -> pyarrow scanner filter
+        self._part_pushed: list = []  # -> split pruning at planning time
 
     def pushFilters(self, filters):
         """Push comparison filters on UNPROTECTED columns down to the
         parquet scan (pyarrow evaluates them against row-group stats
         and pages, so pruned data never reaches Python). Filters on
-        protected columns can never push — on disk those cells are
-        ciphertext, and comparing plaintext predicates against them
-        would be wrong — so they stay in Spark and run after decrypt."""
+        hive PARTITION columns prune whole splits at planning time —
+        pruned directories are never opened. Filters on protected
+        columns can never push — on disk those cells are ciphertext,
+        and comparing plaintext predicates against them would be
+        wrong — so they stay in Spark and run after decrypt."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -254,15 +367,57 @@ class ProtectedParquetReader(DataSourceReader):
         for f in filters:
             attr = getattr(f, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if (
-                isinstance(f, supported)
-                and col is not None
-                and col not in protected
-            ):
-                self._pushed.append(f)
-            else:
+            if not isinstance(f, supported) or col is None or col in protected:
                 remaining.append(f)
+            elif col in self._part_cols:
+                self._part_pushed.append(f)
+            else:
+                self._pushed.append(f)
         return remaining
+
+    def _part_value(self, col: str, raw: str | None):
+        """Directory string -> the typed value the schema declares."""
+        if raw is None:
+            return None
+        field_type = self._schema[col].dataType
+        return int(raw) if isinstance(field_type, T.LongType) else raw
+
+    def _split_survives(self, part_values: dict) -> bool:
+        """Evaluate the pushed partition filters against one split."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        for f in self._part_pushed:
+            v = self._part_value(f.attribute[0], part_values.get(f.attribute[0]))
+            if isinstance(f, IsNull):
+                ok = v is None
+            elif isinstance(f, IsNotNull):
+                ok = v is not None
+            elif v is None:
+                ok = False  # SQL comparisons with NULL never match
+            elif isinstance(f, EqualTo):
+                ok = v == f.value
+            elif isinstance(f, In):
+                ok = v in f.value
+            elif isinstance(f, GreaterThan):
+                ok = v > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                ok = v >= f.value
+            elif isinstance(f, LessThan):
+                ok = v < f.value
+            else:  # LessThanOrEqual
+                ok = v <= f.value
+            if not ok:
+                return False
+        return True
 
     def _arrow_filter(self):
         """Pushed filters -> a pyarrow.compute expression (ANDed)."""
@@ -302,8 +457,14 @@ class ProtectedParquetReader(DataSourceReader):
             expr = e if expr is None else expr & e
         return expr
 
-    def partitions(self):  # one split per file — native-reader fan-out
-        return [_FileSplit(p) for p in _parquet_files(self._path)]
+    def partitions(self):
+        """One split per surviving file — native-reader fan-out, with
+        partition pruning applied BEFORE any split exists."""
+        return [
+            _FileSplit(p, vals)
+            for p, vals in _list_fragments(self._path)
+            if self._split_survives(vals)
+        ]
 
     def read(self, partition: _FileSplit):
         import pyarrow as pa
@@ -325,10 +486,12 @@ class ProtectedParquetReader(DataSourceReader):
         }
         import pyarrow.dataset as pads
 
+        part_set = set(self._part_cols)
+        file_fields = [f for f in self._schema.fields if f.name not in part_set]
         # dataset scanner so pushed filters prune at row-group/page
         # level INSIDE pyarrow — filtered rows never cross into Python
         scanner = pads.dataset(partition.path, format="parquet").scanner(
-            columns=[f.name for f in self._schema.fields],
+            columns=[f.name for f in file_fields],
             filter=self._arrow_filter(),
         )
         for batch in scanner.to_batches():
@@ -336,13 +499,23 @@ class ProtectedParquetReader(DataSourceReader):
                 continue
             cols = []
             for field in self._schema.fields:
-                arr = batch.column(field.name)
-                if isinstance(arr, pa.ChunkedArray):
-                    arr = arr.combine_chunks()
-                hit = kernels.get(field.name)
-                if hit is not None:
-                    kernel, arrow_type = hit
-                    arr = kernel(arr).cast(arrow_type)
+                if field.name in part_set:
+                    # hive partition column: one constant per split
+                    v = self._part_value(
+                        field.name, partition.part_values.get(field.name)
+                    )
+                    arr = pa.array(
+                        [v] * batch.num_rows,
+                        type=to_arrow_type(field.dataType),
+                    )
+                else:
+                    arr = batch.column(field.name)
+                    if isinstance(arr, pa.ChunkedArray):
+                        arr = arr.combine_chunks()
+                    hit = kernels.get(field.name)
+                    if hit is not None:
+                        kernel, arrow_type = hit
+                        arr = kernel(arr).cast(arrow_type)
                 cols.append(arr)
             yield pa.RecordBatch.from_arrays(
                 cols, names=[f.name for f in self._schema.fields]
@@ -393,6 +566,13 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
         pid = ctx.partitionId() if ctx is not None else 0
         os.makedirs(self._dst, exist_ok=True)
         filename = f"part-{pid:05d}-{uuid.uuid4().hex}.parquet"
+        # task-commit protocol: write under a dot-prefixed in-progress
+        # name (invisible to _parquet_files / readers), rename into
+        # place only when the task finishes cleanly. A failed or
+        # speculative task therefore never leaves a readable
+        # valid-footer partial behind for a retry to duplicate — the
+        # failure path deletes its temp and re-raises.
+        tmp_path = os.path.join(self._dst, f".{filename}.inprogress")
         out_path = os.path.join(self._dst, filename)
         writer = None
         try:
@@ -407,11 +587,17 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
                     names.append(field.name)
                 out = pa.RecordBatch.from_arrays(cols, names=names)
                 if writer is None:
-                    writer = pq.ParquetWriter(out_path, out.schema)
+                    writer = pq.ParquetWriter(tmp_path, out.schema)
                 writer.write_batch(out)
-        finally:
+        except BaseException:
             if writer is not None:
                 writer.close()
+            if os.path.exists(tmp_path):
+                os.remove(tmp_path)
+            raise
+        if writer is not None:
+            writer.close()
+            os.replace(tmp_path, out_path)
         # an empty partition emits no file (matching the native writer's
         # default); the commit message carries no filename to clean up
         return _Committed(filename if writer is not None else "")
@@ -444,12 +630,22 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
                     os.remove(full)
 
 
+COMMITTED_BATCHES_NAME = "_dbps_committed_batches.json"
+
+
 class ProtectedParquetStreamWriter(DataSourceStreamArrowWriter):
     """Micro-batch streaming sink: each batch's partitions write
     encrypted parquet files through the same Arrow path as the batch
-    writer; the sidecar is written at the FIRST successful commit (and
-    validated against on later ones), so a reader attaching mid-stream
-    always sees decryptable files."""
+    writer; the sidecar is written at the FIRST successful commit (the
+    data source validates restarts against it up front), so a reader
+    attaching mid-stream always sees decryptable files.
+
+    Replay idempotency: Structured Streaming re-delivers a micro-batch
+    when a failure lands between sink commit and checkpoint advance.
+    Committed batch ids are recorded in ``_dbps_committed_batches.json``
+    (underscore-prefixed — invisible to readers); a replayed batch's
+    freshly written files are deleted instead of committed, so the
+    dataset holds each batch's rows exactly once."""
 
     def __init__(
         self,
@@ -464,10 +660,31 @@ class ProtectedParquetStreamWriter(DataSourceStreamArrowWriter):
     def write(self, iterator) -> _Committed:
         return self._inner.write(iterator)
 
+    def _committed_path(self) -> str:
+        return os.path.join(self._dst, COMMITTED_BATCHES_NAME)
+
+    def _committed_ids(self) -> set[int]:
+        cp = self._committed_path()
+        if not os.path.exists(cp):
+            return set()
+        with open(cp) as f:
+            return set(json.load(f).get("batch_ids", []))
+
     def commit(self, messages, batchId: int) -> None:
+        done = self._committed_ids()
+        if batchId in done:
+            # replayed micro-batch: its rows are already in the dataset
+            # — discard this attempt's files
+            self._inner.abort(messages)
+            return
         sp = os.path.join(self._dst, SIDECAR_NAME)
         if not os.path.exists(sp):
             self._inner.commit(messages)
+        done.add(batchId)
+        tmp = self._committed_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"batch_ids": sorted(done)}, f)
+        os.replace(tmp, self._committed_path())
 
     def abort(self, messages, batchId: int) -> None:
         self._inner.abort(messages)

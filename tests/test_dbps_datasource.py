@@ -80,14 +80,50 @@ def test_unprotected_dataset_rejected(spark, people, tmp_path):
         ds.schema()
 
 
-def test_partitioned_dataset_directed_to_read_protected(
+def test_partitioned_roundtrip_long_partition_column(
     spark, people, tmp_path
 ):
+    """A hive-partitioned protected dataset opens declaratively: values
+    round-trip, and the all-integer partition directory values surface
+    as a long column (appended last, the native reader's convention)."""
     path = str(tmp_path / "ds_partby")
     write_protected(people, path, {"name": "key_A"}, partition_by=["pid"])
-    ds = ProtectedParquetDataSource({"path": path})
-    with pytest.raises(DBPSInvalidInputError, match="read_protected"):
-        ds.schema()
+    got = spark.read.format("dbps_protected").load(path)
+    assert got.schema.fieldNames()[-1] == "pid"
+    assert dict(got.dtypes)["pid"] == "bigint"
+    for c in ["pid", "name", "balance", "dec"]:
+        assert _vals(got, c) == _vals(people, c)
+
+
+def test_partitioned_string_column_with_nulls(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k="us", v=1), Row(k="de", v=2), Row(k=None, v=3)]
+    )
+    path = str(tmp_path / "ds_partstr")
+    write_protected(df, path, {"v": "key_A"}, partition_by=["k"])
+    got = spark.read.format("dbps_protected").load(path)
+    assert dict(got.dtypes)["k"] == "string"
+    assert _vals(got, "k") == _vals(df, "k")
+    assert _vals(got, "v") == _vals(df, "v")
+
+
+def test_partition_pruning_prunes_splits(spark, people, tmp_path):
+    """A predicate on the partition column prunes directories at
+    planning time: the scan has exactly one split left and no
+    Spark-side Filter node remains."""
+    path = str(tmp_path / "ds_prune")
+    write_protected(people, path, {"name": "key_A"}, partition_by=["pid"])
+    got = (
+        spark.read.format("dbps_protected")
+        .load(path)
+        .filter(F.col("pid") == 2)
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " not in plan  # fully consumed by pushFilters
+    assert got.rdd.getNumPartitions() == 1  # 3 of 4 pid dirs pruned
+    rows = got.collect()
+    assert [r.pid for r in rows] == [2]
+    assert rows[0].name is None  # decrypt still correct post-prune
 
 
 def test_format_write_roundtrip_and_ciphertext_on_disk(
@@ -200,6 +236,104 @@ def test_filter_on_protected_column_stays_in_spark(spark, people, tmp_path):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "Filter " in plan
     assert [r.pid for r in got.collect()] == [3]
+
+
+def _people_batch(people):
+    import pyarrow as pa
+
+    return pa.RecordBatch.from_pandas(people.toPandas())
+
+
+def test_failed_write_task_leaves_no_readable_file(people, tmp_path):
+    """Task-commit protocol: a task that dies mid-write must leave
+    neither a readable parquet file (a retry would duplicate its rows)
+    nor its in-progress temp behind."""
+    import os
+
+    from databatchprotectionservice_spark.sources.dbps_datasource import (
+        ProtectedParquetWriter,
+    )
+
+    path = str(tmp_path / "dsw_fail")
+    w = ProtectedParquetWriter(
+        path, people.schema, {"name": "key_A"}, "keystream_xor"
+    )
+    batch = _people_batch(people)
+
+    def exploding():
+        yield batch
+        raise RuntimeError("executor died")
+
+    with pytest.raises(RuntimeError, match="executor died"):
+        w.write(exploding())
+    assert [n for n in os.listdir(path) if n.endswith(".parquet")] == []
+    assert [n for n in os.listdir(path) if "inprogress" in n] == []
+    # a clean task DOES publish its file
+    msg = w.write(iter([batch]))
+    assert msg.filename and os.path.exists(
+        os.path.join(path, msg.filename)
+    )
+
+
+def test_stream_replayed_batch_is_idempotent(spark, people, tmp_path):
+    """Replaying an already-committed micro-batch (failure between sink
+    commit and checkpoint advance) must not duplicate rows."""
+    import os
+
+    from databatchprotectionservice_spark.sources.dbps_datasource import (
+        ProtectedParquetStreamWriter,
+    )
+
+    path = str(tmp_path / "stream_replay")
+    w = ProtectedParquetStreamWriter(
+        path, people.schema, {"name": "key_A"}, "keystream_xor"
+    )
+    batch = _people_batch(people)
+    w.commit([w.write(iter([batch]))], batchId=0)
+    n_files = len([n for n in os.listdir(path) if n.endswith(".parquet")])
+    # replay of batch 0: its fresh file must be discarded, not kept
+    w.commit([w.write(iter([batch]))], batchId=0)
+    assert (
+        len([n for n in os.listdir(path) if n.endswith(".parquet")])
+        == n_files
+    )
+    w.commit([w.write(iter([batch]))], batchId=1)  # new batch appends
+    got = spark.read.format("dbps_protected").load(path)
+    assert got.count() == 2 * people.count()
+
+
+def test_stream_restart_validates_existing_sidecar(spark, people, tmp_path):
+    """Restarting a stream against an existing dataset with a different
+    key must be rejected up front (a mismatched keystream would append
+    files that silently decrypt to garbage)."""
+    path = str(tmp_path / "stream_badkey")
+    (
+        people.write.format("dbps_protected")
+        .mode("append")
+        .option("columns", "name:key_A")
+        .save(path)
+    )
+    ds = ProtectedParquetDataSource(
+        {"path": path, "columns": "name:key_B"}
+    )
+    with pytest.raises(DBPSInvalidInputError, match="append config"):
+        ds.streamWriter(people.schema, overwrite=False)
+
+
+def test_append_rejects_unprotected_schema_drift(spark, people, tmp_path):
+    """Appending a frame whose UNPROTECTED column types differ from the
+    on-disk footer must fail instead of creating a mixed-schema set."""
+    path = str(tmp_path / "dsw_drift")
+    w = lambda df: (
+        df.write.format("dbps_protected")
+        .mode("append")
+        .option("columns", "name:key_A")
+        .save(path)
+    )
+    w(people)
+    drifted = people.withColumn("balance", F.col("balance").cast("string"))
+    with pytest.raises(Exception, match="append schema mismatch"):
+        w(drifted)
 
 
 def test_stream_sink_writes_decryptable_dataset(spark, people, tmp_path):
