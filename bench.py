@@ -96,6 +96,15 @@ def main() -> None:
     # stdout line under a hard budget by dropping the FASTEST queries
     # first — the slow ones are the informative ones — and note how many
     # were omitted.  BENCH_DETAIL.json always has the complete dict.
+    # variance guardrail (VERDICT r5 item 6): min-of-N hid a regression
+    # whose median was 3x its min. Flag any query whose median/min ratio
+    # exceeds 1.5 so cross-round comparisons can't be fooled by a lucky
+    # fastest run.
+    variance_flags = {
+        name: round(medians[name] / timings[name], 2)
+        for name in medians
+        if timings[name] > 0 and medians[name] / timings[name] > 1.5
+    }
     detail = {
         "metric": "headline_queries_total_wall_clock",
         "value": round(total, 3),
@@ -103,6 +112,7 @@ def main() -> None:
         "queries": timings,
         "samples": samples,
         "medians": medians,
+        "variance_flags": variance_flags,
         "runs": runs,
         "sf": sf,
     }

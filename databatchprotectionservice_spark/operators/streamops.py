@@ -215,6 +215,15 @@ SESSION_GAP_SECONDS = 86_400  # matched to the events table's per-user density
     "(gap windows Spark's built-in aggs can't express)",
 )
 def streaming_sessionize(spark, sf_dir):
+    """Python-state sessionization — the CUSTOM-EMISSION escape hatch.
+
+    Prefer ``streaming_session_window`` (JVM-native ``session_window``,
+    same output, ~1.7x faster at sf0.1 and 2.2x vs 3.8x scaling at 10x
+    data): ``applyInPandasWithState`` pays per-group pandas overhead
+    that the built-in aggregation avoids entirely. Use THIS path only
+    when the session logic needs custom per-event state or emission
+    (e.g. mid-session alerts, per-session caps) that a gap-window
+    aggregate cannot express."""
     from ..streaming import read_events_stream
     from ..streaming.pipeline import sessionize_stream
 

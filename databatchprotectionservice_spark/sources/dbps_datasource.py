@@ -333,14 +333,20 @@ class ProtectedParquetReader(DataSourceReader):
         self._part_pushed: list = []  # -> split pruning at planning time
 
     def pushFilters(self, filters):
-        """Push comparison filters on UNPROTECTED columns down to the
-        parquet scan (pyarrow evaluates them against row-group stats
-        and pages, so pruned data never reaches Python). Filters on
-        hive PARTITION columns prune whole splits at planning time —
-        pruned directories are never opened. Filters on protected
-        columns can never push — on disk those cells are ciphertext,
-        and comparing plaintext predicates against them would be
-        wrong — so they stay in Spark and run after decrypt."""
+        """Push filters on UNPROTECTED columns down to the parquet scan
+        (pyarrow evaluates them against row-group stats and pages, so
+        pruned data never reaches Python): comparisons, IN, null tests,
+        string prefix/suffix/contains, and NOT of any of those. Filters
+        on hive PARTITION columns (comparison set) prune whole splits
+        at planning time — pruned directories are never opened.
+
+        Value filters on protected columns can never push — on disk
+        those cells are ciphertext, and comparing plaintext predicates
+        against them would be wrong — so they stay in Spark and run
+        after decrypt. The EXCEPTION is IsNull/IsNotNull: protection
+        preserves the null mask (null cells have no plaintext to
+        protect), so null tests on a protected column evaluate
+        correctly against the binary ciphertext column."""
         from pyspark.sql.datasource import (
             EqualTo,
             GreaterThan,
@@ -350,9 +356,10 @@ class ProtectedParquetReader(DataSourceReader):
             IsNull,
             LessThan,
             LessThanOrEqual,
+            Not,
         )
 
-        supported = (
+        part_supported = (
             EqualTo,
             GreaterThan,
             GreaterThanOrEqual,
@@ -365,15 +372,80 @@ class ProtectedParquetReader(DataSourceReader):
         protected = set(self._meta["columns"])
         remaining = []
         for f in filters:
-            attr = getattr(f, "attribute", None)
+            inner = f.child if isinstance(f, Not) else f
+            attr = getattr(inner, "attribute", None)
             col = attr[0] if attr and len(attr) == 1 else None
-            if not isinstance(f, supported) or col is None or col in protected:
-                remaining.append(f)
-            elif col in self._part_cols:
+            scan_ok = col is not None and self._to_arrow_expr(f) is not None
+            if scan_ok and col not in protected and col not in self._part_cols:
+                self._pushed.append(f)
+            elif (
+                scan_ok
+                and col in protected
+                and isinstance(inner, (IsNull, IsNotNull))
+            ):
+                self._pushed.append(f)  # null mask is protection-invariant
+            elif (
+                col in self._part_cols
+                and isinstance(f, part_supported)
+                and col is not None
+            ):
                 self._part_pushed.append(f)
             else:
-                self._pushed.append(f)
+                remaining.append(f)
         return remaining
+
+    def _to_arrow_expr(self, f):
+        """One pushed filter -> a pyarrow.compute expression, or None
+        if the filter type isn't translatable."""
+        import pyarrow.compute as pc
+        from pyspark.sql.datasource import (
+            EqualNullSafe,
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            In,
+            IsNotNull,
+            IsNull,
+            LessThan,
+            LessThanOrEqual,
+            Not,
+            StringContains,
+            StringEndsWith,
+            StringStartsWith,
+        )
+
+        if isinstance(f, Not):
+            inner = self._to_arrow_expr(f.child)
+            return None if inner is None else ~inner
+        attr = getattr(f, "attribute", None)
+        if not attr or len(attr) != 1:
+            return None
+        col = pc.field(attr[0])
+        if isinstance(f, EqualTo):
+            return col == f.value
+        if isinstance(f, EqualNullSafe):
+            return col.is_null() if f.value is None else col == f.value
+        if isinstance(f, GreaterThan):
+            return col > f.value
+        if isinstance(f, GreaterThanOrEqual):
+            return col >= f.value
+        if isinstance(f, LessThan):
+            return col < f.value
+        if isinstance(f, LessThanOrEqual):
+            return col <= f.value
+        if isinstance(f, In):
+            return col.isin(list(f.value))
+        if isinstance(f, IsNull):
+            return col.is_null()
+        if isinstance(f, IsNotNull):
+            return ~col.is_null()
+        if isinstance(f, StringStartsWith):
+            return pc.starts_with(col, f.value)
+        if isinstance(f, StringEndsWith):
+            return pc.ends_with(col, f.value)
+        if isinstance(f, StringContains):
+            return pc.match_substring(col, f.value)
+        return None
 
     def _part_value(self, col: str, raw: str | None):
         """Directory string -> the typed value the schema declares."""
@@ -421,39 +493,9 @@ class ProtectedParquetReader(DataSourceReader):
 
     def _arrow_filter(self):
         """Pushed filters -> a pyarrow.compute expression (ANDed)."""
-        if not self._pushed:
-            return None
-        import pyarrow.compute as pc
-        from pyspark.sql.datasource import (
-            EqualTo,
-            GreaterThan,
-            GreaterThanOrEqual,
-            In,
-            IsNotNull,
-            IsNull,
-            LessThan,
-            LessThanOrEqual,
-        )
-
         expr = None
         for f in self._pushed:
-            col = pc.field(f.attribute[0])
-            if isinstance(f, EqualTo):
-                e = col == f.value
-            elif isinstance(f, GreaterThan):
-                e = col > f.value
-            elif isinstance(f, GreaterThanOrEqual):
-                e = col >= f.value
-            elif isinstance(f, LessThan):
-                e = col < f.value
-            elif isinstance(f, LessThanOrEqual):
-                e = col <= f.value
-            elif isinstance(f, In):
-                e = col.isin(list(f.value))
-            elif isinstance(f, IsNull):
-                e = col.is_null()
-            else:  # IsNotNull
-                e = ~col.is_null()
+            e = self._to_arrow_expr(f)
             expr = e if expr is None else expr & e
         return expr
 

@@ -220,6 +220,48 @@ def test_filter_pushdown_on_unprotected_column(spark, people, tmp_path):
     assert rows[1].name == ""  # decrypt still correct post-filter
 
 
+def test_string_and_not_filters_push_down(spark, people, tmp_path):
+    """startswith / contains / NOT on unprotected string columns are
+    consumed by pushFilters and evaluate inside the pyarrow scan."""
+    path = str(tmp_path / "ds_pushstr")
+    write_protected(people.repartition(2), path, {"dec": "key_C"})
+    got = (
+        spark.read.format("dbps_protected")
+        .load(path)
+        .filter(
+            F.col("name").startswith("a")
+            | F.col("name").contains("race")
+        )
+    )
+    # OR of pushable leaves is not split by Spark, so test them alone
+    for pred, pids in [
+        (F.col("name").startswith("gr"), [3]),
+        (F.col("name").contains("da"), [1]),
+        (~F.col("name").endswith("ce"), [1, 4]),
+    ]:
+        got = spark.read.format("dbps_protected").load(path).filter(pred)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "Filter " not in plan, plan
+        assert sorted(r.pid for r in got.collect()) == pids
+
+
+def test_null_tests_push_down_even_on_protected_columns(
+    spark, people, tmp_path
+):
+    """IsNull/IsNotNull are protection-invariant (null mask is
+    preserved), so they push to the scan even for protected columns."""
+    path = str(tmp_path / "ds_pushnull")
+    write_protected(people, path, {"name": "key_A"})
+    got = (
+        spark.read.format("dbps_protected")
+        .load(path)
+        .filter(F.col("name").isNotNull())
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "Filter " not in plan, plan
+    assert sorted(r.pid for r in got.collect()) == [1, 3, 4]
+
+
 def test_filter_on_protected_column_stays_in_spark(spark, people, tmp_path):
     """Predicates on protected columns cannot push down (on-disk cells
     are ciphertext); they evaluate in Spark after decrypt, and results
