@@ -447,6 +447,172 @@ def dedup_simhash(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# 60-bit SimHash + hamming-band near-dup pairs (Manku et al., WWW'07)
+# ---------------------------------------------------------------------------
+# 60 bits (15 md5 hex digits per word) instead of 64: every constructed
+# value stays below 2^60, so BIGINT arithmetic is overflow-free in BOTH
+# engines and the signature is a sum of distinct powers of two (exact in
+# Spark and DuckDB alike). 16 bits is enough for a dedup KEY
+# (dedup_simhash above) but banding a 16-bit space is degenerate at
+# scale — each band would hold only 16 distinct values, so every bucket
+# goes quadratic. 60 bits gives 4 bands x 15 bits (32k values/band).
+
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4  # 15 bits per band
+HAMMING_MAX = 3  # pigeonhole: <= 3 differing bits -> >= 1 equal band
+
+
+def _hex_digit_terms(engine: str) -> str:
+    """h60 = int of the first 15 md5 hex digits, as a sum of per-digit
+    strpos/locate terms — the same construction both engines evaluate
+    exactly (the 16-bit simhash's proven pattern, widened)."""
+    terms = []
+    for i in range(15):
+        weight = 16 ** (15 - 1 - i)
+        if engine == "spark":
+            pos = f"locate(substr(md5(word), {i + 1}, 1), '0123456789abcdef')"
+        else:
+            pos = f"strpos('0123456789abcdef', substr(md5(word), {i + 1}, 1))"
+        terms.append(f"({pos} - 1) * CAST({weight} AS BIGINT)")
+    return " + ".join(terms)
+
+
+# bit extraction is SHIFTS only: h60 reaches 2^60, far past float53, so
+# any `/` (double division in both engines) would corrupt high bits
+def _bit_sql(engine: str, b: int) -> str:
+    return (
+        f"(shiftright(h60, {b}) % 2)"
+        if engine == "spark"
+        else f"((h60 >> {b}) % 2)"
+    )
+
+
+def _simhash60_counters_sql(engine: str) -> str:
+    return ", ".join(
+        f"sum({_bit_sql(engine, b)} * 2 - 1) AS c{b}"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+_SIMHASH60_VALUE_SQL = " + ".join(
+    f"(CASE WHEN c{b} > 0 THEN CAST({1 << b} AS BIGINT)"
+    " ELSE CAST(0 AS BIGINT) END)"
+    for b in range(SIMHASH_BITS)
+)
+
+
+def simhash60(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 60-bit sign-of-weighted-sum signature, all in
+    whole-stage codegen: one explode, 60 map-side-combined sum
+    aggregates (one shuffle on doc_id), then a pure projection."""
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    )
+    h60 = F.expr(_hex_digit_terms("spark")).cast("long")
+    counters = (
+        words.select("doc_id", h60.alias("h60"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.expr(f"{_bit_sql('spark', b)} * 2 - 1")).alias(
+                    f"c{b}"
+                )
+                for b in range(SIMHASH_BITS)
+            ]
+        )
+    )
+    return counters.select(
+        "doc_id", F.expr(_SIMHASH60_VALUE_SQL).alias("simhash")
+    )
+
+
+_SIMHASH60_ORACLE = f"""
+        SELECT doc_id, {_SIMHASH60_VALUE_SQL} AS simhash
+        FROM (
+            SELECT doc_id, {_simhash60_counters_sql("duck")}
+            FROM (
+                SELECT doc_id, ({_hex_digit_terms("duck")}) AS h60
+                FROM (
+                    SELECT doc_id,
+                           unnest(regexp_split_to_array(trim(text), '\\s+'))
+                               AS word
+                    FROM documents
+                )
+            )
+            GROUP BY doc_id
+        )
+"""
+
+
+@register(
+    "dedup_simhash_hamming_pairs",
+    oracle=f"""
+        WITH sigs AS ({_SIMHASH60_ORACLE})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.simhash, b.simhash)) AS hamming
+        FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
+    """,
+    description="near-dup pairs via 60-bit SimHash hamming banding "
+    "(Manku et al. WWW'07): 4x15-bit band buckets propose, exact "
+    "bit_count verifies",
+)
+def dedup_simhash_hamming_pairs(spark, sf_dir):
+    """All pairs within hamming distance <= 3 of each other's 60-bit
+    SimHash. Pigeonhole completeness: 3 differing bits touch at most 3
+    of the 4 bands, so every qualifying pair agrees on >= 1 band and is
+    proposed by the band self-join — the oracle's all-pairs scan and
+    this banded plan return IDENTICAL rows. At scale the only shuffle
+    is the (band_idx, band_value) exchange; within-bucket pairing is
+    quadratic only in bucket occupancy (32k values per band), the same
+    Σ bucket² bound as the MinHash path, with the same cache shape:
+    signatures are computed once and read back for banding and verify."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    # tiny frame (doc_id + one long per doc), three consumers below
+    sigs = simhash60(docs).cache()
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.expr(
+                f"shiftright(simhash, {band_width * b}) % {1 << band_width}"
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_val")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("h_a")
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("h_b")
+    )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", F.expr("bit_count(h_a ^ h_b)"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .select("doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-duplicate detection
 # ---------------------------------------------------------------------------
 

@@ -181,6 +181,7 @@ _SCORE_FIRST: tuple[str, ...] = (
     "merge_upsert_documents",
     # 2 — new this round / implementation changed after the r5 scoring
     "datasource_protected_partitioned",
+    "dedup_simhash_hamming_pairs",
     "datasource_protected_read",
     "dedup_minhash_lsh",
     "dedup_connected_clusters",
@@ -199,7 +200,6 @@ _SCORE_FIRST: tuple[str, ...] = (
     "similarity_bruteforce_topk",
     "similarity_lsh_buckets",
     "similarity_lsh_topk",
-    "similarity_ivf_topk",
 )
 
 

@@ -22,10 +22,13 @@ from databatchprotectionservice_spark.operators.dedup import (
     dedup_minhash_lsh,
     dedup_ngram_jaccard,
     dedup_simhash,
+    dedup_simhash_hamming_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
+    HAMMING_MAX,
     N_BANDS,
     N_HASHES,
+    SIMHASH_BITS,
 )
 
 TEXTS = [
@@ -207,6 +210,35 @@ def test_minhash_lsh_query_end_to_end(spark, corpus_dir):
     assert (0, 3) not in got
     for (a, b), j in got.items():
         assert j >= 0.8 and a < b
+
+
+def _simhash60_py(text: str) -> int:
+    """Independent pure-Python 60-bit SimHash twin."""
+    counters = [0] * SIMHASH_BITS
+    for word in text.strip().split():
+        h = int(hashlib.md5(word.encode()).hexdigest()[:15], 16)
+        for b in range(SIMHASH_BITS):
+            counters[b] += 1 if (h >> b) & 1 else -1
+    return sum(1 << b for b in range(SIMHASH_BITS) if counters[b] > 0)
+
+
+def test_simhash_hamming_pairs_vs_python_twin(spark, corpus_dir):
+    """The banded plan must return EXACTLY the all-pairs hamming<=K set
+    (pigeonhole: K=3 differing bits leave >= 1 of 4 bands equal)."""
+    sigs = [_simhash60_py(t) for t in TEXTS]
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a in range(len(TEXTS))
+        for b in range(a + 1, len(TEXTS))
+        if bin(sigs[a] ^ sigs[b]).count("1") <= HAMMING_MAX
+    }
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup_simhash_hamming_pairs(spark, corpus_dir).collect()
+    }
+    assert got == want
+    # the corpus guarantees at least the exact-duplicate pair at 0
+    assert got[(0, 1)] == 0
 
 
 def test_lsh_hot_bucket_guard_bounds_fanout(spark):
