@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .relational import round_ieee
+from .relational import round_ieee, round_ieee_sql
 from ..plans.registry import load, load_spread, prep, register
 
 # language marker words (scored by whole-word regex match count). The
@@ -470,4 +470,205 @@ def pipeline_training_prep(spark, sf_dir):
         F.count(F.lit(1)).alias("n_kept"),
         F.sum("n_tokens").cast("bigint").alias("total_tokens"),
         round_ieee(F.avg("quality")).alias("avg_quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Train/eval decontamination: n-gram overlap against a held-out eval set
+# ---------------------------------------------------------------------------
+
+#: word-n-gram width for contamination detection. Classic pipelines use
+#: 8-13 word grams; 8 keeps short synthetic docs representable while
+#: still requiring a verbatim 8-word run to count as contamination.
+DECON_NGRAM = 8
+#: eval split: every 20th doc_id is the held-out benchmark set (5%).
+DECON_EVAL_MOD = 20
+
+
+def _word_ngrams(col, n: int):
+    """Distinct word n-grams of ``col`` (same split/trim/concat shape as
+    :func:`..dedup.shingled`, generalized width). Documents shorter than
+    ``n`` words contribute one truncated gram (the whole document)."""
+    words = F.split(F.trim(col), r"\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+        )
+    )
+
+
+@register(
+    "decontaminate_ngram_overlap",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')
+                                  for i in range(1, greatest(len(w) - {DECON_NGRAM - 1}, 1) + 1)]) AS gs
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        eval_g AS (
+            SELECT DISTINCT gram FROM ex WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT e.doc_id, count(*) AS n_hit
+            FROM ex e JOIN eval_g USING (gram)
+            WHERE e.doc_id % {DECON_EVAL_MOD} <> 0
+            GROUP BY e.doc_id
+        )
+        SELECT h.doc_id,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(len(g.gs) AS BIGINT) AS n_grams,
+               {round_ieee_sql("h.n_hit * 1.0 / len(g.gs)")} AS contamination
+        FROM hits h JOIN grams g USING (doc_id)
+    """,
+    description="train/eval decontamination: flag training docs sharing a "
+    f"verbatim {DECON_NGRAM}-word run with the held-out eval split",
+)
+def decontaminate_ngram_overlap(spark, sf_dir):
+    """Benchmark decontamination, the step between raw dedup and training:
+    the eval split's distinct n-grams form a (small) probe set and every
+    training document sharing at least one verbatim n-gram is reported
+    with its overlap ratio.
+
+    100 TB shape: eval suites are tiny relative to the corpus (here 5%,
+    in production a fixed benchmark list), so the probe set is a
+    **broadcast** hash join — the corpus-side explode streams through it
+    map-side with NO shuffle of training grams; the only exchange is the
+    per-doc hit aggregate, map-side combined to at most one row per
+    contaminated doc. The gram explode is computed once per side off a
+    shared scan (Catalyst reuses the parquet scan; grams are distinct
+    per doc so ``count(*)`` counts distinct hit grams with no extra
+    dedup pass)."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    grams = d.select(
+        "doc_id", _word_ngrams(F.col("text"), DECON_NGRAM).alias("gs")
+    )
+    ex = grams.select("doc_id", F.explode("gs").alias("gram"))
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    eval_g = ex.filter(is_eval).select("gram").distinct()
+    hits = (
+        ex.filter(~is_eval)
+        .join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = grams.select("doc_id", F.size("gs").cast("long").alias("n_grams"))
+    return hits.join(totals, "doc_id").select(
+        "doc_id",
+        "n_hit",
+        "n_grams",
+        round_ieee(F.col("n_hit") * F.lit(1.0) / F.col("n_grams")).alias(
+            "contamination"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repetition scoring (Gopher-style repetitive-document detection)
+# ---------------------------------------------------------------------------
+
+#: a document whose single most frequent word-bigram accounts for more
+#: than this fraction of all its bigrams is flagged repetitive
+REP_TOP_BIGRAM_FRAC = 0.18
+#: ... or whose words are this fraction duplicates (1 - distinct/total)
+REP_DUP_WORD_FRAC = 0.60
+
+
+@register(
+    "text_repetition_scores",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        bg AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+1], ' ')
+                           for i in range(1, greatest(len(w) - 1, 1) + 1)]) AS gram
+            FROM toks
+        ),
+        bgc AS (
+            SELECT doc_id, gram, count(*) AS c FROM bg GROUP BY doc_id, gram
+        ),
+        bstats AS (
+            SELECT doc_id, max(c) AS top_cnt, CAST(sum(c) AS BIGINT) AS n_bigrams
+            FROM bgc GROUP BY doc_id
+        ),
+        wstats AS (
+            SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct
+            FROM toks
+        )
+        SELECT w.doc_id,
+               CAST(w.n_words AS BIGINT) AS n_words,
+               {round_ieee_sql("1.0 - w.n_distinct * 1.0 / w.n_words")} AS dup_word_frac,
+               CASE WHEN w.n_words < 2 THEN 0.0
+                    ELSE {round_ieee_sql("b.top_cnt * 1.0 / b.n_bigrams")}
+               END AS top_bigram_frac,
+               CAST(CASE WHEN (CASE WHEN w.n_words < 2 THEN 0.0
+                               ELSE {round_ieee_sql("b.top_cnt * 1.0 / b.n_bigrams")}
+                               END) > {REP_TOP_BIGRAM_FRAC}
+                          OR {round_ieee_sql("1.0 - w.n_distinct * 1.0 / w.n_words")} > {REP_DUP_WORD_FRAC}
+                         THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        FROM wstats w JOIN bstats b USING (doc_id)
+    """,
+    description="Gopher-style repetition scores: duplicate-word fraction "
+    "and top-bigram share, with a repetitive flag",
+)
+def text_repetition_scores(spark, sf_dir):
+    """Repetitive-document detection (the Gopher quality rules' repetition
+    family): per document, the duplicate-word fraction and the share of
+    bigrams taken by the single most frequent bigram; docs past either
+    threshold are flagged.
+
+    100 TB shape: duplicate-word fraction is pure codegen on the row
+    (``array_distinct``/``size``). The top-bigram share needs a per-doc
+    mode, computed by exploding bigrams and double-aggregating — both
+    aggregates are map-side combined and keyed by doc_id, so the shuffle
+    carries one row per (doc, distinct bigram), never the text."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    words = F.split(F.trim("text"), r"\s+")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+    )
+    wstats = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).alias("n_distinct"),
+    )
+    bstats = (
+        d.select("doc_id", F.explode(bigrams).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.max("c").alias("top_cnt"),
+            F.sum("c").cast("bigint").alias("n_bigrams"),
+        )
+    )
+    dup_word = round_ieee(
+        F.lit(1.0) - F.col("n_distinct") * F.lit(1.0) / F.col("n_words")
+    )
+    # a 0/1-word doc has one degenerate "bigram" (the whole text); score 0
+    top_bigram = F.when(F.col("n_words") < 2, F.lit(0.0)).otherwise(
+        round_ieee(F.col("top_cnt") * F.lit(1.0) / F.col("n_bigrams"))
+    )
+    return wstats.join(bstats, "doc_id").select(
+        "doc_id",
+        "n_words",
+        dup_word.alias("dup_word_frac"),
+        top_bigram.alias("top_bigram_frac"),
+        F.when(
+            (top_bigram > F.lit(REP_TOP_BIGRAM_FRAC))
+            | (dup_word > F.lit(REP_DUP_WORD_FRAC)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("repetitive"),
     )
