@@ -184,6 +184,7 @@ _SCORE_FIRST: tuple[str, ...] = (  # 83 registered; window = first 50
     "dedup_simhash_hamming_pairs",
     "decontaminate_ngram_overlap",
     "text_repetition_scores",
+    "similarity_quantized_topk",
     "datasource_protected_read",
     "dedup_minhash_lsh",
     "dedup_connected_clusters",

@@ -137,3 +137,49 @@ def test_lsh_topk_matches_python_twin_and_stays_in_bucket(spark, emb_dir):
     # neighbor shares its query's bucket
     for q, nid, _, _ in got:
         assert _bucket(VECS[nid]) == _bucket(VECS[q])
+
+
+def _quantize(v: list[float]) -> list[int]:
+    s = max(abs(x) for x in v)
+    if s == 0:
+        return [0] * len(v)
+    return [int(math.floor(x / s * 127.0 + 0.5)) for x in v]
+
+
+def test_quantized_topk_matches_python_twin(spark, emb_dir):
+    from databatchprotectionservice_spark.operators.similarity import (
+        similarity_quantized_topk,
+    )
+
+    got = {
+        (r.query_id, r.rk): (r.neighbor_id, r.qcosine)
+        for r in similarity_quantized_topk(spark, emb_dir).collect()
+    }
+    codes = [_quantize(v) for v in VECS]
+    norms = [sum(c * c for c in q) for q in codes]
+    expect = {}
+    for qid in range(N_QUERIES):
+        scored = []
+        for nid in range(N_VECS):
+            if nid == qid or norms[nid] == 0:
+                continue
+            dot = sum(a * b for a, b in zip(codes[qid], codes[nid]))
+            scored.append(
+                (nid, dot / (math.sqrt(norms[qid]) * math.sqrt(norms[nid])))
+            )
+        for nid, c, rk in _rank(scored):
+            expect[(qid, rk)] = (nid, _round4(c))
+    assert got == expect
+    # codes actually live in int8 range and the max element hits ±127
+    for q, v in zip(codes, VECS):
+        assert all(-127 <= c <= 127 for c in q)
+        if any(x != 0 for x in v):
+            assert max(abs(c) for c in q) == 127
+    # quantized ranking stays close to full precision: the true nearest
+    # neighbor of each query appears in the quantized top-k
+    for qid in range(N_QUERIES):
+        true_best = max(
+            (nid for nid in range(N_VECS) if nid != qid),
+            key=lambda nid: (_cos(VECS[qid], VECS[nid]), -nid),
+        )
+        assert true_best in {nid for (q, _), (nid, _) in got.items() if q == qid}
