@@ -77,3 +77,65 @@ def compact_documents_roundtrip(spark, sf_dir):
         "source string, n_docs bigint, total_bytes bigint, "
         "min_md5 string, max_md5 string",
     )
+
+
+@register(
+    "export_jsonl_roundtrip",
+    oracle="""
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               min(md5(text)) AS min_md5,
+               max(md5(text)) AS max_md5
+        FROM documents
+        GROUP BY source
+    """,
+    description="gzip-JSONL training-data delivery: export, schema-explicit "
+    "re-ingest; oracle proves the roundtrip is lossless",
+)
+def export_jsonl_roundtrip(spark, sf_dir):
+    """The delivery step of a training-data pipeline: the prepared corpus
+    leaves the warehouse as gzip JSONL (the de-facto interchange format
+    for LLM training corpora) and is re-ingested for verification. The
+    returned per-source aggregates are computed from the RE-READ JSONL
+    while the oracle computes them from the original parquet — hash
+    equality proves the export round-trips every row, text byte, and
+    null exactly.
+
+    100 TB shape: the export is a map-only ``df.write.json`` (one gzip
+    member per partition, no shuffle); the re-read passes an EXPLICIT
+    schema, skipping ``spark.read.json``'s inference pass — at scale
+    inference is a second full scan of the corpus. Stats are bounded by
+    the source cardinality; no data-sized collect."""
+    import shutil
+    import tempfile
+
+    prep(spark)
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out_dir = tempfile.mkdtemp(prefix="dbps_jsonl_")
+    try:
+        src.write.mode("overwrite").option("compression", "gzip").json(out_dir)
+        back = spark.read.schema(
+            "doc_id bigint, text string, lang string, source string"
+        ).json(out_dir)
+        stats = (
+            back.groupBy("source")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+                F.countDistinct("lang").cast("bigint").alias("n_langs"),
+                F.min(F.md5("text")).alias("min_md5"),
+                F.max(F.md5("text")).alias("max_md5"),
+            )
+            .collect()
+        )
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(
+        stats,
+        "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
+        "min_md5 string, max_md5 string",
+    )
