@@ -597,11 +597,17 @@ def similarity_quantized_topk(spark, sf_dir):
     # the cached code table IS the deployment model: int8 codes + int
     # norms resident in memory, float32 originals in cold storage; both
     # the probe collect and the scoring scan read it
+    # the nq>0 filter sits ABOVE the cache boundary on purpose: inside
+    # the cached subtree Catalyst pushes it below load_spread's
+    # round-robin exchange, which makes both UDFs evaluate twice per
+    # row (once under the exchange for the filter, once above for the
+    # output — verified in the formatted plan); filtering the cached
+    # table instead costs one in-memory predicate
     qn = (
         emb.select("vec_id", qi8(F.col("embedding")).alias("q"))
         .withColumn("nq", idot(F.col("q"), F.col("q")))
-        .filter(F.col("nq") > 0)
         .cache()
+        .filter(F.col("nq") > 0)
     )
     probes = qn.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -67,6 +67,13 @@ QUERIES = [
     "dedup_embedding_cosine",
     "text_tfidf_top_terms",
     "q1_pricing_summary",
+    # round-6 additions
+    "dedup_simhash_hamming_pairs",
+    "decontaminate_ngram_overlap",
+    "text_repetition_scores",
+    "similarity_quantized_topk",
+    "export_jsonl_roundtrip",
+    "datasource_protected_partitioned",
 ]
 
 
