@@ -136,3 +136,46 @@ def test_pack_sequences_single_window_shuffle(spark, sf_dir, queries):
         1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
     )
     assert n_hash_exchanges <= 2
+
+
+def test_quantized_single_quantize_pass_and_grouplimit(
+    spark, sf_dir, queries
+):
+    """The int8 code table is cached and quantized ONCE (the nq filter
+    must stay above the cache boundary — below it Catalyst pushes the
+    filter under the spread exchange and re-evaluates both UDFs per
+    row), and top-k shuffles at most k rows per partition via
+    WindowGroupLimit."""
+    plan = _plan(queries["similarity_quantized_topk"](spark, sf_dir))
+    assert plan.count("qi8(") == 1
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
+
+
+def test_decontaminate_broadcasts_probe_set_and_prunes(
+    spark, sf_dir, queries
+):
+    """Eval grams broadcast (training grams never shuffle through a
+    join exchange) and every documents scan reads only doc_id+text."""
+    plan = _plan(queries["decontaminate_ngram_overlap"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
+    for part in plan.split("ReadSchema:")[1:]:
+        schema = part.splitlines()[0]
+        assert "lang" not in schema and "n_chars" not in schema
+
+
+def test_repetition_text_never_shuffles(spark, sf_dir, queries):
+    """Both aggregates are map-side combined; no HASH exchange carries
+    the text column (the only text-bearing exchange is load_spread's
+    round-robin small-file spread, which no-ops at scale by its
+    partition-count guard)."""
+    plan = _plan(queries["text_repetition_scores"](spark, sf_dir))
+    hash_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) >= 2  # (doc_id, gram) then (doc_id)
+    for line in hash_exchanges:
+        assert "text" not in line
