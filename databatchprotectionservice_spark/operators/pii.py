@@ -166,3 +166,84 @@ def pii_auto_protect_roundtrip(spark, sf_dir):
         F.max("c_phone").alias("max_phone"),
         F.countDistinct("c_phone").alias("n_phones"),
     )
+
+
+@register(
+    "pii_redact_spans",
+    oracle=f"""
+        WITH seeded AS (
+            SELECT source, text ||
+                   CASE WHEN doc_id % 3 = 0
+                        THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                             || '@example.com or +1 (555) 010-'
+                             || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                        ELSE '' END AS txt
+            FROM documents
+        ),
+        red AS (
+            SELECT source, txt,
+                   regexp_replace(regexp_replace(txt,
+                       '{PII_PATTERNS["email"][1]}', '[EMAIL]', 'g'),
+                       '{PII_PATTERNS["phone"][1]}', '[PHONE]', 'g') AS redacted
+            FROM seeded
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(CASE WHEN redacted <> txt THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_redacted,
+               CAST(sum(length(txt) - length(redacted)) AS BIGINT)
+                   AS chars_removed,
+               min(md5(redacted)) AS min_md5,
+               max(md5(redacted)) AS max_md5
+        FROM red
+        GROUP BY source
+    """,
+    description="inline PII span redaction over free text (the masking "
+    "twin of column protection); md5 pins exact redacted content",
+)
+def pii_redact_spans(spark, sf_dir):
+    """Span-level redaction — the deployment shape for FREE TEXT, where
+    column protection can't apply because PII is embedded mid-sentence
+    (training corpora are scrubbed exactly this way). PII is seeded
+    deterministically (the synthetic corpus contains none), then every
+    email/phone span is masked in place by a chained ``regexp_replace``
+    — pure codegen, zero Python, and the oracle's md5 over the redacted
+    text pins byte equality, proving non-PII content is untouched.
+
+    100 TB shape: map-only scan -> per-source aggregate; the regexes
+    are anchored-alternation-free (no catastrophic backtracking) and
+    shared verbatim with the detection battery (PII_PATTERNS)."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" contact u"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or +1 (555) 010-"),
+                (1000 + F.col("doc_id") % 9000).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    base = d.select("source", seeded.alias("txt"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.col("txt"), PII_PATTERNS["email"][0], "[EMAIL]"
+        ),
+        PII_PATTERNS["phone"][0],
+        "[PHONE]",
+    )
+    red = base.select("source", "txt", redacted.alias("redacted"))
+    return red.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("redacted") != F.col("txt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_redacted"),
+        F.sum(F.length("txt") - F.length("redacted"))
+        .cast("bigint")
+        .alias("chars_removed"),
+        F.min(F.md5("redacted")).alias("min_md5"),
+        F.max(F.md5("redacted")).alias("max_md5"),
+    )
