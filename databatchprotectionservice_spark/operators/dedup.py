@@ -877,3 +877,139 @@ def dedup_keep_one(spark, sf_dir):
         .cast("bigint")
         .alias("kept_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental MinHash index update: dedup the DELTA against the corpus
+# ---------------------------------------------------------------------------
+
+DELTA_MOD = 10
+DELTA_REMAINDER = 7  # doc_id % 10 == 7 plays the "newly arrived" slice
+
+
+def _est_sql(prefix_a: str, prefix_b: str) -> str:
+    m = " + ".join(
+        f"(CASE WHEN {prefix_a}.h{i} = {prefix_b}.h{i} THEN 1 ELSE 0 END)"
+        for i in range(N_HASHES)
+    )
+    return f"floor(({m}) * 1.0 / {N_HASHES}.0 * 10000.0 + 0.5) / 10000.0"
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+        WITH sigs AS ({_signature_oracle()}),
+        bands AS (
+            SELECT doc_id, b.band_idx, b.band_hash
+            FROM sigs, LATERAL (
+                SELECT * FROM (VALUES
+                    (0, md5(h0 || h1)),
+                    (1, md5(h2 || h3)),
+                    (2, md5(h4 || h5)),
+                    (3, md5(h6 || h7))
+                ) AS t(band_idx, band_hash)
+            ) b
+        ),
+        delta AS (
+            SELECT * FROM bands
+            WHERE doc_id % {DELTA_MOD} = {DELTA_REMAINDER}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_new, b.doc_id AS doc_matched,
+                   CAST(count(DISTINCT a.band_idx) AS BIGINT)
+                       AS n_shared_bands
+            FROM delta a JOIN bands b
+              ON a.band_idx = b.band_idx
+             AND a.band_hash = b.band_hash
+             AND b.doc_id <> a.doc_id
+             AND (b.doc_id % {DELTA_MOD} <> {DELTA_REMAINDER}
+                  OR b.doc_id < a.doc_id)
+            GROUP BY 1, 2
+        )
+        SELECT p.doc_new, p.doc_matched, p.n_shared_bands,
+               {_est_sql("sa", "sb")} AS est_jaccard
+        FROM pairs p
+        JOIN sigs sa ON sa.doc_id = p.doc_new
+        JOIN sigs sb ON sb.doc_id = p.doc_matched
+    """,
+    description="incremental dedup: band-probe the NEW slice against the "
+    "full MinHash index (delta-sized cost, not corpus-squared)",
+)
+def dedup_incremental_minhash(spark, sf_dir):
+    """The deployment shape of minhash dedup at 100 TB: the corpus'
+    banded signature index is a PERSISTED table maintained across
+    ingest batches, and each new batch is deduped by probing its bands
+    against that index — never by re-running the corpus self-join. Here
+    the ~10% ``doc_id % 10 == 7`` slice plays the newly-arrived batch;
+    its bands join the full band table (base + earlier arrivals, the
+    ``b < a`` rule keeping delta-delta pairs unique), so the join's
+    left side is delta-sized. The estimated Jaccard is the classic
+    matching-minhash fraction — exact integer counting over the 8
+    signature columns, no float-order hazard.
+
+    At scale the band index is bucketed by (band_idx, band_hash), so
+    the delta probe shuffles ONLY the delta bands (the index side is
+    pre-partitioned) and the per-bucket fan-in cap (LSH_BUCKET_CAP,
+    same guard as lsh_candidate_pairs) bounds degenerate boilerplate
+    buckets."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    # cache: consumed by the band explode AND both est-jaccard joins
+    sigs = minhash_signatures(docs).cache()
+    bands_expr = F.array(
+        *[
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sigs.select(
+        "doc_id", F.posexplode(bands_expr).alias("band_idx", "band_hash")
+    )
+    is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REMAINDER
+    a = bands.filter(is_delta).alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("b.doc_id") != F.col("a.doc_id"))
+            & (
+                (F.col("b.doc_id") % DELTA_MOD != DELTA_REMAINDER)
+                | (F.col("b.doc_id") < F.col("a.doc_id"))
+            ),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_new"),
+            F.col("b.doc_id").alias("doc_matched"),
+        )
+        .agg(
+            F.countDistinct(F.col("a.band_idx"))
+            .cast("bigint")
+            .alias("n_shared_bands")
+        )
+    )
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_new"),
+        *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_matched"),
+        *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)],
+    )
+    matches = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    return (
+        pairs.join(sa, "doc_new")
+        .join(sb, "doc_matched")
+        .select(
+            "doc_new",
+            "doc_matched",
+            "n_shared_bands",
+            round_ieee(matches * F.lit(1.0) / F.lit(float(N_HASHES))).alias(
+                "est_jaccard"
+            ),
+        )
+    )

@@ -191,6 +191,7 @@ _SCORE_FIRST: tuple[str, ...] = (  # 83 registered; window = first 50
     "protect_roundtrip_events_aes",  # batch AES-SIV engine landed post-r5
     "export_jsonl_roundtrip",
     "pii_redact_spans",
+    "dedup_incremental_minhash",
     # 3 — fill from the r5-scored block
     "rotate_key_roundtrip_customer",
     "multimodal_decode_real",

@@ -267,3 +267,83 @@ def test_lsh_hot_bucket_guard_bounds_fanout(spark):
         for r in lsh_candidate_pairs(mixed, bucket_cap=n - 1).collect()
     }
     assert got == {(100, 101)}
+
+
+def test_incremental_minhash_matches_python_twin(spark, tmp_path_factory):
+    """Incremental probe on a corpus whose doc_ids straddle the delta
+    predicate: delta docs (id % 10 == 7) must pair with base matches
+    AND earlier delta matches (b < a), never with themselves, later
+    deltas, or base-base pairs."""
+    import math
+
+    from databatchprotectionservice_spark.operators.dedup import (
+        DELTA_MOD,
+        DELTA_REMAINDER,
+        dedup_incremental_minhash,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog"
+    texts = {
+        0: dup,  # base copy
+        7: dup,  # delta: matches base 0 (and is matched by 17)
+        17: dup,  # later delta: matches 0 and 7
+        3: "parquet pages carry definition levels before the value stream",
+        27: "colorless green ideas sleep furiously tonight",  # delta, unique
+        5: "totally different base content with no twin at all",
+    }
+    d = tmp_path_factory.mktemp("inc_corpus")
+    ids = sorted(texts)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([texts[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(texts[i]) for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    got = {
+        (r.doc_new, r.doc_matched): (r.n_shared_bands, r.est_jaccard)
+        for r in dedup_incremental_minhash(spark, str(d)).collect()
+    }
+
+    def sig(text):
+        words = text.strip().split()
+        n = max(len(words) - 2, 1)
+        grams = [" ".join(words[i : i + 3]) for i in range(n)]
+        return [min(_md5(f"{h}|{g}") for g in grams) for h in range(N_HASHES)]
+
+    sigs = {i: sig(t) for i, t in texts.items()}
+    bands = {
+        i: [_md5(s[2 * b] + s[2 * b + 1]) for b in range(N_BANDS)]
+        for i, s in sigs.items()
+    }
+    expect = {}
+    for a in ids:
+        if a % DELTA_MOD != DELTA_REMAINDER:
+            continue
+        for b in ids:
+            if b == a:
+                continue
+            if b % DELTA_MOD == DELTA_REMAINDER and b >= a:
+                continue
+            shared = sum(
+                1 for k in range(N_BANDS) if bands[a][k] == bands[b][k]
+            )
+            if shared:
+                m = sum(
+                    1
+                    for i in range(N_HASHES)
+                    if sigs[a][i] == sigs[b][i]
+                )
+                est = math.floor(m * 1.0 / N_HASHES * 10000.0 + 0.5) / 10000.0
+                expect[(a, b)] = (shared, est)
+    assert got == expect
+    # the structure the operator exists for, explicitly:
+    assert (7, 0) in got and (17, 0) in got and (17, 7) in got
+    assert got[(7, 0)] == (N_BANDS, 1.0)  # exact dup: all bands, est 1.0
+    assert (0, 7) not in got and (7, 17) not in got  # direction rules
+    assert not any(a == 27 for a, _ in got)  # unique delta matches nothing
