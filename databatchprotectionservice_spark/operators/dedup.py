@@ -1013,3 +1013,79 @@ def dedup_incremental_minhash(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "dedup_keep_best_quality",
+    oracle="""
+        WITH scored AS (
+            SELECT doc_id, source, text,
+                   md5(lower(trim(text))) AS fp,
+                   0.5 * least((CASE WHEN length(trim(text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                                END) / 50.0, 1.0)
+                   + 0.5 * (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                            * 1.0 / greatest(length(text), 1)) AS quality
+            FROM documents
+        ),
+        kept AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (
+                           PARTITION BY fp
+                           ORDER BY quality DESC, doc_id) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS kept_bytes,
+               floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+        FROM kept
+        GROUP BY source
+    """,
+    description="curation keep-one: the HIGHEST-quality survivor per "
+    "canonical fingerprint (ties to min doc_id), not the first-seen",
+)
+def dedup_keep_best_quality(spark, sf_dir):
+    """Quality-priority dedup materialization — what a curation pipeline
+    actually wants: among duplicates that differ in presentation (case,
+    padding, surrounding junk), keep the version scoring highest on the
+    quality model, falling back to min doc_id on exact ties. Same
+    shuffle inventory as ``dedup_keep_one`` (one exchange on the
+    16-byte fingerprint for the window, one final per-source
+    aggregate); the quality score is the codegen expression from
+    ``text_quality_scores``, computed row-local before the window so
+    nothing but (fp, quality, doc_id) decides survivorship."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    n_tokens = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
+        / F.greatest(F.length("text"), F.lit(1))
+    )
+    quality = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.5) * alpha_ratio
+    )
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        F.md5(F.lower(F.trim("text"))).alias("fp"),
+        quality.alias("quality"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.desc("quality"), F.asc("doc_id"))
+    kept = scored.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8")))
+        .cast("bigint")
+        .alias("kept_bytes"),
+        round_ieee(F.avg("quality")).alias("avg_quality"),
+    )

@@ -347,3 +347,51 @@ def test_incremental_minhash_matches_python_twin(spark, tmp_path_factory):
     assert got[(7, 0)] == (N_BANDS, 1.0)  # exact dup: all bands, est 1.0
     assert (0, 7) not in got and (7, 17) not in got  # direction rules
     assert not any(a == 27 for a, _ in got)  # unique delta matches nothing
+
+
+def test_keep_best_quality_matches_python_twin(spark, corpus_dir):
+    """Quality-priority survivorship: among canonical dups 0/1/2, the
+    padded mixed-case doc 2 scores lower alpha-ratio than 0/1, and the
+    0-vs-1 exact tie falls to min doc_id."""
+    import math
+    import re as _re
+
+    from databatchprotectionservice_spark.operators.dedup import (
+        dedup_keep_best_quality,
+    )
+
+    got = {
+        r.source: (r.n_kept, r.kept_bytes, r.avg_quality)
+        for r in dedup_keep_best_quality(spark, corpus_dir).collect()
+    }
+
+    def quality(t):
+        s = t.strip()
+        n = 0 if not s else len(_re.split(r"\s+", s))
+        alpha = len(_re.sub("[^a-zA-Z]", "", t)) / max(len(t), 1)
+        return 0.5 * min(n / 50.0, 1.0) + 0.5 * alpha
+
+    groups = {}
+    for i, t in enumerate(TEXTS):
+        groups.setdefault(_md5(t.strip().lower()), []).append(i)
+    survivors = [
+        min(ids, key=lambda i: (-quality(TEXTS[i]), i))
+        for ids in groups.values()
+    ]
+    expect = {}
+    for i in survivors:
+        n, b, qs = expect.get(SOURCES[i], (0, 0, []))
+        expect[SOURCES[i]] = (
+            n + 1,
+            b + len(TEXTS[i].encode()),
+            qs + [quality(TEXTS[i])],
+        )
+    expect = {
+        s: (n, b, math.floor(sum(qs) / len(qs) * 10000.0 + 0.5) / 10000.0)
+        for s, (n, b, qs) in expect.items()
+    }
+    assert got == expect
+    # doc 0 survives its group (exact tie with 1 -> min id; 2 scores
+    # lower than 0/1 because padding dilutes its alpha ratio)
+    assert quality(TEXTS[2]) < quality(TEXTS[0])
+    assert 0 in survivors and 1 not in survivors and 2 not in survivors
