@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.registry import load, prep, register
+from .relational import round_ieee
 
 # deterministic 0-99 bucket from the first 16 bits of md5(doc_id).
 # Spark: conv() parses the hex; DuckDB oracle: CAST('0x'||… AS INT).
@@ -203,4 +204,109 @@ def pack_sequences_greedy(spark, sf_dir):
             F.sum("n_chars").cast("bigint").alias("total_chars"),
         )
         .orderBy("lang", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seed-similarity domain selection (documents ⋈ embeddings)
+# ---------------------------------------------------------------------------
+
+SEED_VEC_ID = 0  # the "target domain" exemplar
+SEED_COS_MIN = 0.1  # keeps ~23% of the synthetic corpus
+CURATE_QUALITY_MIN = 0.5
+
+
+@register(
+    "curate_seed_similarity",
+    oracle=f"""
+        WITH seed AS (
+            SELECT embedding AS qe FROM embeddings
+            WHERE vec_id = {SEED_VEC_ID}
+        ),
+        joined AS (
+            SELECT d.source,
+                   CASE WHEN length(trim(d.text)) = 0 THEN 0
+                        ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                   END AS n_tokens,
+                   0.5 * least((CASE WHEN length(trim(d.text)) = 0 THEN 0
+                                ELSE len(regexp_split_to_array(trim(d.text), '\\s+'))
+                                END) / 50.0, 1.0)
+                   + 0.5 * (length(regexp_replace(d.text, '[^a-zA-Z]', '', 'g'))
+                            * 1.0 / greatest(length(d.text), 1)) AS quality,
+                   list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')
+                   / (sqrt(list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))
+                    * sqrt(list_aggregate(list_transform(range(1, 65),
+                       i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')))
+                       AS seed_cos
+            FROM documents d
+            JOIN (SELECT vec_id, embedding AS ce FROM embeddings) e
+              ON d.doc_id = e.vec_id
+            CROSS JOIN seed
+        )
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               floor(avg(seed_cos) * 10000.0 + 0.5) / 10000.0 AS avg_seed_cos,
+               floor(avg(quality) * 10000.0 + 0.5) / 10000.0 AS avg_quality
+        FROM joined
+        WHERE seed_cos >= {SEED_COS_MIN} AND quality >= {CURATE_QUALITY_MIN}
+        GROUP BY source
+    """,
+    description="seed-similarity domain selection (DSIR-style): keep docs "
+    "whose embedding is close to a target exemplar AND above a quality bar",
+)
+def curate_seed_similarity(spark, sf_dir):
+    """Targeted-domain curation — the selection step that picks training
+    docs RESEMBLING a seed domain (a hand-curated exemplar set; here its
+    centroid stands in as one seed vector) and passing the quality
+    model. The cross-modal shape: documents ⋈ embeddings on doc_id, the
+    seed broadcast to every row, cosine + quality as codegen-side
+    filters, then a per-source aggregate.
+
+    100 TB shape: the doc↔vector equi-join is the one real shuffle —
+    co-locate it for free by bucketing both tables on the id (the
+    bucketed-join machinery in ``operators/bucketing.py``); the seed
+    side is a 1-row broadcast however large the corpus; both filters
+    sit before the aggregate so survivors, not the corpus, cross the
+    final exchange."""
+    from .similarity import cosine
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents")
+    e = load(spark, sf_dir, "embeddings")
+    seed = e.filter(F.col("vec_id") == SEED_VEC_ID).select(
+        F.col("embedding").alias("qe")
+    )
+    n_tokens = F.when(
+        F.length(F.trim("text")) == 0, F.lit(0)
+    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
+    quality = (
+        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
+        + F.lit(0.5)
+        * (
+            F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+    )
+    joined = (
+        d.join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        .crossJoin(F.broadcast(seed))
+        .select(
+            "source",
+            n_tokens.alias("n_tokens"),
+            quality.alias("quality"),
+            cosine(F.col("qe"), F.col("embedding")).alias("seed_cos"),
+        )
+    )
+    kept = joined.filter(
+        (F.col("seed_cos") >= SEED_COS_MIN)
+        & (F.col("quality") >= CURATE_QUALITY_MIN)
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        round_ieee(F.avg("seed_cos")).alias("avg_seed_cos"),
+        round_ieee(F.avg("quality")).alias("avg_quality"),
     )

@@ -117,3 +117,25 @@ def test_repetition_matches_python_twin(spark, corpus_dir):
     assert got == expect
     assert got[6] == (5, 0.8, 1.0, 1)  # spam doc: fully repetitive
     assert got[7][3] == 0 and got[8][3] == 0  # degenerate docs not flagged
+
+
+def test_decontaminate_empty_eval_split_yields_empty(spark, tmp_path):
+    """A corpus with no eval docs (no doc_id % 20 == 0) has an empty
+    probe set: the operator must return zero rows, not error."""
+    docs = {1: "some training text here", 3: "other text entirely"}
+    d = str(tmp_path / "noeval")
+    os.makedirs(d)
+    ids = sorted(docs)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array([docs[i] for i in ids]),
+                "lang": pa.array(["en"] * len(ids)),
+                "source": pa.array(["s"] * len(ids)),
+                "n_chars": pa.array([len(docs[i]) for i in ids], pa.int64()),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    assert decontaminate_ngram_overlap(spark, d).count() == 0

@@ -201,3 +201,46 @@ def test_rotation_identity_at_element_level(values, k1, k2):
         ks2 = new.encrypt_block(b"\x00" * 64)
         if ks1 != ks2:
             assert stale != values
+
+
+# --- int8 scalar quantization (operators/similarity.py) -------------------
+
+finite_vecs = st.lists(
+    st.floats(
+        min_value=-1e6,
+        max_value=1e6,
+        allow_nan=False,
+        allow_infinity=False,
+        width=32,
+    ),
+    min_size=1,
+    max_size=64,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vec=finite_vecs)
+def test_int8_quantization_error_bound_and_range(vec):
+    """Numpy twin of the `qi8` kernel: codes stay in [-127, 127], the
+    max |x| element always maps to ±127, and dequantization error is
+    bounded by half a step (scale / 254) per element."""
+    import math
+
+    import numpy as np
+
+    x = np.asarray(vec, dtype=np.float32).astype(np.float64)
+    s = np.abs(x).max()
+    if s == 0:
+        codes = np.zeros(len(x), dtype=np.int32)
+    else:
+        codes = np.floor(x / s * 127.0 + 0.5).astype(np.int32)
+    assert codes.min() >= -127 and codes.max() <= 127
+    if s > 0:
+        assert np.abs(codes).max() == 127
+        # one reconstruction step is s/127; round-half-up => error <= half
+        recon = codes.astype(np.float64) * s / 127.0
+        step = s / 127.0
+        assert np.abs(recon - x).max() <= step / 2.0 + 1e-9 * s
+        # per-element twin of the scalar expression used in the oracle
+        for xi, ci in zip(x, codes):
+            assert ci == int(math.floor(xi / s * 127.0 + 0.5))

@@ -183,3 +183,78 @@ def test_quantized_topk_matches_python_twin(spark, emb_dir):
             key=lambda nid: (_cos(VECS[qid], VECS[nid]), -nid),
         )
         assert true_best in {nid for (q, _), (nid, _) in got.items() if q == qid}
+
+
+def test_curate_seed_similarity_matches_python_twin(spark, tmp_path_factory):
+    """documents ⋈ embeddings seed-selection vs a pure-Python twin:
+    docs survive iff cos(embedding, seed) >= 0.1 AND quality >= 0.5;
+    integer-valued vectors keep every float op exact."""
+    import re as _re
+
+    from databatchprotectionservice_spark.operators.sampling import (
+        CURATE_QUALITY_MIN,
+        SEED_COS_MIN,
+        SEED_VEC_ID,
+        curate_seed_similarity,
+    )
+
+    d = tmp_path_factory.mktemp("curate_corpus")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(N_VECS), pa.int64()),
+                "embedding": pa.array(VECS, pa.list_(pa.float32())),
+                "label": pa.array(LABELS, pa.int32()),
+            }
+        ),
+        os.path.join(str(d), "embeddings.parquet"),
+    )
+    # quality varies: short docs fail the length half of the score
+    texts = [
+        ("substantial " * 30 + f"doc {i}").strip() if i % 2 == 0 else f"tiny {i}"
+        for i in range(N_VECS)
+    ]
+    sources = ["web" if i % 3 == 0 else "books" for i in range(N_VECS)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(N_VECS), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * N_VECS),
+                "source": pa.array(sources),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        os.path.join(str(d), "documents.parquet"),
+    )
+    got = {
+        r.source: (r.n_kept, r.sum_tokens, r.avg_seed_cos, r.avg_quality)
+        for r in curate_seed_similarity(spark, str(d)).collect()
+    }
+
+    def quality(t):
+        s = t.strip()
+        n = 0 if not s else len(_re.split(r"\s+", s))
+        alpha = len(_re.sub("[^a-zA-Z]", "", t)) / max(len(t), 1)
+        return n, 0.5 * min(n / 50.0, 1.0) + 0.5 * alpha
+
+    expect = {}
+    for i in range(N_VECS):
+        c = _cos(VECS[SEED_VEC_ID], VECS[i])
+        n, q = quality(texts[i])
+        if c >= SEED_COS_MIN and q >= CURATE_QUALITY_MIN:
+            k, st, cs, qs = expect.get(sources[i], (0, 0, [], []))
+            expect[sources[i]] = (k + 1, st + n, cs + [c], qs + [q])
+    expect = {
+        s: (
+            k,
+            st,
+            _round4(sum(cs) / len(cs)),
+            _round4(sum(qs) / len(qs)),
+        )
+        for s, (k, st, cs, qs) in expect.items()
+    }
+    assert got == expect
+    assert got  # threshold keeps a non-empty subset on this corpus
+    total_kept = sum(v[0] for v in got.values())
+    assert 0 < total_kept < N_VECS  # ...and rejects some docs too
