@@ -1,9 +1,10 @@
-"""Dependency-free image codecs: P6 PPM and 24-bit uncompressed BMP.
+"""Dependency-free image codecs: P6 PPM, 24-bit uncompressed BMP, and
+8-bit non-interlaced PNG.
 
 This is the *real* decode path behind ``operators.multimodal.decode_media
 (mode="real")``.  No third-party media library ships in this environment,
-but both formats below are fully specified public formats decodable with
-pure numpy in ~50 lines each:
+but all three formats below are fully specified public formats decodable
+with the stdlib + numpy:
 
 * **PPM (P6)** — netpbm binary RGB: ASCII header ``P6 <w> <h> <maxval>``
   (whitespace/comment tolerant) followed by a row-major RGB raster.
@@ -11,8 +12,14 @@ pure numpy in ~50 lines each:
   stored **bottom-up**, each row **BGR** and padded to a 4-byte boundary.
   Decoding genuinely has to flip the rows, strip the stride padding and
   swap BGR->RGB to recover the logical image.
+* **PNG (8-bit, color type 2/6, non-interlaced)** — chunked container
+  with CRC-verified chunks; IDAT is zlib (stdlib) of per-scanline
+  filtered rows, so decode = inflate + unfilter (all five PNG filter
+  types: None/Sub/Up/Average/Paeth). RGBA (type 6) drops alpha to keep
+  the uniform RGB contract. Palette, 16-bit, and Adam7 raise with a
+  precise message at the documented seam.
 
-Both decoders return ``(width, height, pixels)`` with ``pixels`` a
+All decoders return ``(width, height, pixels)`` with ``pixels`` a
 ``(height, width, 3) uint8`` ndarray in row-major **RGB** order, so a
 re-serialized raster is byte-identical whichever container carried it —
 the property the ``multimodal_decode_real`` oracle checks end-to-end.
@@ -22,6 +29,9 @@ round-trip tested); they are not a Spark sink.
 """
 
 from __future__ import annotations
+
+import struct
+import zlib
 
 import numpy as np
 
@@ -165,15 +175,154 @@ def decode_bmp(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 # ---------------------------------------------------------------------------
+# PNG (8-bit, color type 2 RGB / 6 RGBA, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG bytes (color type 2, filter 0 rows)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ImageFormatError("encode_png expects (h, w, 3) uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    # one filter byte (0 = None) per scanline
+    raw = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 1:] = pixels.reshape(h, w * 3)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(
+    raw: np.ndarray, h: int, w: int, bpp: int
+) -> np.ndarray:
+    """Undo PNG scanline filtering. ``raw`` is (h, 1 + w*bpp) uint8 with
+    the filter byte in column 0. Filters None/Up are vectorized per
+    row; Sub is a cumulative sum with stride bpp; Average/Paeth carry a
+    left-neighbor dependency and run per pixel (PNG spec §6)."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.int32)
+        if ftype == 0:  # None
+            rec = line
+        elif ftype == 1:  # Sub: recon[x] = raw[x] + recon[x - bpp]
+            rec = line.reshape(w, bpp).cumsum(axis=0).reshape(stride)
+        elif ftype == 2:  # Up
+            rec = line + prev
+        elif ftype == 3:  # Average
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                rec[x] = line[x] + ((a + int(prev[x])) >> 1)
+                rec[x] &= 0xFF
+        elif ftype == 4:  # Paeth
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = rec[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                cc = int(prev[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                rec[x] = line[x] + pred
+                rec[x] &= 0xFF
+        else:
+            raise ImageFormatError(f"bad PNG filter type {ftype}")
+        prev = (rec & 0xFF).astype(np.uint8)
+        out[y] = prev
+    return out
+
+
+def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
+    if data[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ImageFormatError("not a PNG")
+    pos = len(_PNG_SIG)
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        if len(payload) != length or pos + 12 + length > len(data):
+            raise ImageFormatError(f"truncated PNG chunk {tag!r}")
+        (crc,) = struct.unpack(
+            ">I", data[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + payload) & 0xFFFFFFFF != crc:
+            raise ImageFormatError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ImageFormatError("PNG missing IHDR")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ImageFormatError(f"unsupported PNG bit depth {depth} (only 8)")
+    if color not in (2, 6):
+        raise ImageFormatError(
+            f"unsupported PNG color type {color} (only RGB=2 / RGBA=6)"
+        )
+    if interlace != 0:
+        raise ImageFormatError("unsupported interlaced (Adam7) PNG")
+    if comp != 0 or filt != 0:
+        raise ImageFormatError("non-standard PNG compression/filter method")
+    if w <= 0 or h <= 0:
+        raise ImageFormatError(f"bad PNG dimensions {w}x{h}")
+    bpp = 3 if color == 2 else 4
+    try:
+        plain = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ImageFormatError(f"PNG IDAT inflate failed: {exc}") from exc
+    need = h * (1 + w * bpp)
+    if len(plain) != need:
+        raise ImageFormatError(
+            f"PNG raster size mismatch: need {need} bytes, have {len(plain)}"
+        )
+    raw = np.frombuffer(plain, dtype=np.uint8).reshape(h, 1 + w * bpp)
+    rec = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    rgb = rec[:, :, :3]  # RGBA: alpha dropped for the uniform contract
+    return w, h, np.ascontiguousarray(rgb)
+
+
+# ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
 
 def decode_image(data: bytes) -> tuple[int, int, np.ndarray]:
     """Sniff the magic bytes and decode. Raises ImageFormatError for
-    anything that is not a P6 PPM or a 24bpp BI_RGB BMP."""
+    anything that is not a P6 PPM, a 24bpp BI_RGB BMP, or a supported
+    PNG."""
     if data[:2] == b"P6":
         return decode_ppm(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[: len(_PNG_SIG)] == _PNG_SIG:
+        return decode_png(data)
     raise ImageFormatError(f"unrecognized image magic {data[:2]!r}")

@@ -91,11 +91,11 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
 
     ``mode="fake"`` derives deterministic dimensions from a sha256 of the
     payload — the oracle-checkable twin. ``mode="real"`` runs the genuine
-    PPM/BMP decoder in ``core/imagecodec.py`` over payloads that must be
-    actual image bytes, emitting the parsed dimensions plus the md5 of the
-    re-serialized row-major RGB raster (the round-trip proof). Formats the
-    environment has no codec for (JPEG/PNG/audio/video) surface as
-    ``NotImplementedError`` from the decode dispatch."""
+    PPM/BMP/PNG decoder in ``core/imagecodec.py`` over payloads that must
+    be actual image bytes, emitting the parsed dimensions plus the md5 of
+    the re-serialized row-major RGB raster (the round-trip proof).
+    Formats the environment has no codec for (JPEG/audio/video) surface
+    as ``NotImplementedError`` from the decode dispatch."""
     if mode == "real":
         from ..core.imagecodec import ImageFormatError, decode_image
 
@@ -108,11 +108,11 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     if payload is None:
                         continue
                     magic = bytes(payload[:2])
-                    if magic not in (b"P6", b"BM"):
+                    if magic not in (b"P6", b"BM", b"\x89P"):
                         raise NotImplementedError(
                             f"no codec for media with magic {magic!r}: only "
-                            "PPM/BMP decode without third-party libraries "
-                            "(Pillow/ffmpeg would slot in here)"
+                            "PPM/BMP/PNG decode without third-party "
+                            "libraries (Pillow/ffmpeg would slot in here)"
                         )
                     try:
                         w, h, pixels = decode_image(bytes(payload))
@@ -121,7 +121,11 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             f"doc {doc_id}: undecodable payload: {exc}"
                         ) from exc
                     ids.append(doc_id)
-                    fmts.append("ppm" if magic == b"P6" else "bmp")
+                    fmts.append(
+                        "ppm"
+                        if magic == b"P6"
+                        else ("bmp" if magic == b"BM" else "png")
+                    )
                     ws.append(w)
                     hs.append(h)
                     md5s.append(hashlib.md5(pixels.tobytes()).hexdigest())
@@ -437,12 +441,13 @@ _ENCODE_SCHEMA = T.StructType(
 def image_table(spark, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload) where payload is a REAL image file:
     the UTF-8 text bytes laid out as a space-padded ``IMG_W``-wide RGB
-    raster, containerized as P6 PPM (even doc_id) or 24bpp bottom-up BMP
-    (odd doc_id). Deterministic by construction, so the decoded raster is
-    SQL-predictable: ``md5(text || repeat(' ', pad))``."""
+    raster, containerized as P6 PPM (doc_id % 3 == 0), 24bpp bottom-up
+    BMP (== 1), or zlib-compressed PNG (== 2). Deterministic by
+    construction, so the decoded raster is SQL-predictable:
+    ``md5(text || repeat(' ', pad))``."""
     import numpy as np
 
-    from ..core.imagecodec import encode_bmp, encode_ppm
+    from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -459,7 +464,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                 pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
                     h, IMG_W, 3
                 )
-                enc = encode_ppm if doc_id % 2 == 0 else encode_bmp
+                enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
                 ids.append(doc_id)
                 payloads.append(enc(pixels))
             yield pd.DataFrame(
@@ -475,12 +480,14 @@ def image_table(spark, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode_real",
     # the decoded row-major RGB raster equals the text bytes space-padded
-    # to w*h*3 — whichever container (PPM or bottom-up BGR BMP) carried it
-    # — so DuckDB recomputes every decoder output from first principles
+    # to w*h*3 — whichever container (PPM, bottom-up BGR BMP, or
+    # zlib-filtered PNG) carried it — so DuckDB recomputes every decoder
+    # output from first principles
     oracle=f"""
         WITH imgs AS (
             SELECT doc_id,
-                   CASE WHEN doc_id % 2 = 0 THEN 'ppm' ELSE 'bmp' END AS fmt,
+                   CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        ELSE 'png' END AS fmt,
                    text,
                    octet_length(encode(text)) AS nb
             FROM documents
@@ -508,8 +515,9 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         FROM hashed
         GROUP BY fmt
     """,
-    description="REAL image decode: PPM/BMP bytes -> header parse, row "
-    "flip, BGR->RGB, stride strip -> raster md5 round-trip",
+    description="REAL image decode: PPM/BMP/PNG bytes -> header parse, "
+    "row flip, BGR->RGB, stride strip, inflate+unfilter -> raster md5 "
+    "round-trip",
 )
 def multimodal_decode_real(spark, sf_dir):
     prep(spark)

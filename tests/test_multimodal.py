@@ -71,7 +71,7 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
         raw = text.encode("utf-8")
         h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
         raster = raw.ljust(IMG_W * h * 3, b" ")
-        assert r.fmt == ("ppm" if doc_id % 2 == 0 else "bmp")
+        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 3]
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
