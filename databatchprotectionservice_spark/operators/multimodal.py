@@ -12,16 +12,21 @@ Two decode modes:
   payload; the oracle-checkable twin exercising identical mapInPandas
   plumbing.
 * ``mode="real"`` — a genuine decoder (``core/imagecodec.py``) for the
-  two dependency-free public image formats: P6 PPM and 24bpp BI_RGB BMP
-  (header parse, bottom-up row flip, BGR->RGB, 4-byte stride strip).
-  Formats needing a third-party codec (JPEG/PNG/audio/video) raise
-  ``NotImplementedError`` — that is the seam where Pillow/ffmpeg slot in.
+  dependency-free public image formats: P6 PPM, 24bpp BI_RGB BMP
+  (header parse, bottom-up row flip, BGR->RGB, 4-byte stride strip),
+  and 8-bit non-interlaced PNG (CRC-checked chunks, zlib inflate, all
+  five scanline filters). Audio has its own real path:
+  ``core/audiocodec.py`` parses RIFF/WAVE PCM16 and
+  ``multimodal_audio_wav_stats`` checks exact integer sample
+  statistics end-to-end. Formats needing a third-party codec
+  (JPEG / compressed audio / video) raise ``NotImplementedError`` —
+  that is the seam where Pillow/ffmpeg slot in.
 
 Everything around decode — schema, partitioning, batch shapes,
 cardinality changes — is real and oracle-checked: the payloads here are
 the UTF-8 bytes of ``documents.text`` so every byte-level result is
 independently computable in SQL by DuckDB; ``multimodal_decode_real``
-additionally *containerizes* those bytes as real PPM/BMP files and
+additionally *containerizes* those bytes as real PPM/BMP/PNG files and
 checks the decoded raster's md5 end-to-end.
 """
 
@@ -528,4 +533,149 @@ def multimodal_decode_real(spark, sf_dir):
         F.max("height").alias("max_height"),
         F.min("raster_md5").alias("min_raster_md5"),
         F.max("raster_md5").alias("max_raster_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode — genuine WAV (RIFF PCM) bytes through a genuine parser
+# ---------------------------------------------------------------------------
+
+WAV_RATE = 8000
+_AUDIO_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+_AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("energy", T.LongType()),
+    ]
+)
+
+
+def audio_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, payload) where payload is a REAL
+    RIFF/WAVE PCM16 file carrying a deterministic sawtooth-ish signal:
+    ``greatest(n_chars, 1) * 4`` frames of
+    ``(doc_id * 31 + i * 17) % 65536 - 32768`` — closed-form, so every
+    decoded-sample statistic is SQL-predictable with EXACT integers."""
+    import numpy as np
+
+    from ..core.audiocodec import encode_wav
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, payloads = [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                n = max(int(n_chars or 0), 1) * 4
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                ids.append(doc_id)
+                srcs.append(source)
+                payloads.append(encode_wav(s, rate=WAV_RATE))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_synth, _AUDIO_TABLE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_wav_stats",
+    # the signal is closed-form, so DuckDB recomputes every decoded
+    # statistic from first principles — all EXACT integer math
+    oracle="""
+        WITH clips AS (
+            SELECT source,
+                   greatest(n_chars, 1) * 4 AS nf,
+                   list_aggregate(list_transform(
+                       range(0, greatest(n_chars, 1) * 4),
+                       i -> abs((doc_id * 31 + i * 17) % 65536 - 32768)),
+                       'max') AS peak,
+                   list_aggregate(list_transform(
+                       range(0, greatest(n_chars, 1) * 4),
+                       i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768
+                                 AS BIGINT)
+                            * ((doc_id * 31 + i * 17) % 65536 - 32768)),
+                       'sum') AS energy
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_clips,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(max(peak) AS BIGINT) AS max_peak,
+               CAST(sum(energy) AS BIGINT) AS total_energy
+        FROM clips
+        GROUP BY source
+    """,
+    description="REAL audio decode: RIFF/WAVE PCM16 chunk walk -> exact "
+    "integer sample stats (frames, peak, energy)",
+)
+def multimodal_audio_wav_stats(spark, sf_dir):
+    """WAV clips decoded by the genuine RIFF parser
+    (``core/audiocodec.py``): chunk walk, PCM/16-bit validation, frame
+    reshape — then per-clip statistics on the int16 samples in exact
+    int64 (peak, energy), aggregated per source. The oracle recomputes
+    everything from the closed-form signal, so a parser that misreads
+    one header field or drops one frame hash-mismatches.
+
+    100 TB shape: identical to the image path — payload bytes cross the
+    JVM<->Python boundary once per Arrow batch in each mapInPandas
+    stage, stats are map-only, and the only exchange is the final
+    per-source aggregate. Compressed codecs (MP3/AAC) raise at the
+    dispatch seam."""
+    import numpy as np
+
+    from ..core.audiocodec import AudioFormatError, decode_wav
+
+    prep(spark)
+    clips = audio_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, peaks, energies = [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                try:
+                    rate, ch, samples = decode_wav(bytes(payload))
+                except AudioFormatError as exc:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable audio: {exc}"
+                    ) from exc
+                s = samples.astype(np.int64)
+                srcs.append(source)
+                nfs.append(samples.shape[0])
+                peaks.append(int(np.abs(s).max()))
+                energies.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    decoded = clips.mapInPandas(_stats, _AUDIO_STATS_SCHEMA)
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.max("peak").cast("bigint").alias("max_peak"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
     )
