@@ -1224,3 +1224,52 @@ def map_function_battery(spark, sf_dir):
         F.min(F.col("val").cast("bigint")).alias("min_val"),
         F.max(F.col("val").cast("bigint")).alias("max_val"),
     )
+
+
+@register(
+    "q19_disjunctive_revenue",
+    oracle="""
+        SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(1 - l_discount AS DECIMAL(18,2)))
+                    AS DECIMAL(38,4)) AS VARCHAR) AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 20)
+           OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 10 AND 30
+               AND l.l_quantity BETWEEN 10 AND 35)
+           OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 25 AND 50
+               AND l.l_quantity BETWEEN 25 AND 50)
+    """,
+    description="TPC-H q19 analogue: OR-of-ANDs disjunctive predicate "
+    "across a join (Catalyst extracts the common subexpressions)",
+)
+def q19_disjunctive_revenue(spark, sf_dir):
+    """The disjunctive-predicate shape q19 exists to test: three
+    brand/size/quantity conjuncts OR'd across a lineitem ⋈ part join.
+    Catalyst factors the disjunction into join-side prefilters — each
+    side's scan keeps only rows satisfying SOME arm's single-side
+    conjuncts (``p_brand IN (...)``, quantity range union) BEFORE the
+    join, so the join input shrinks even though no single arm is
+    separable. part is dimension-sized: broadcast."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    kept = joined.filter(
+        arm("Brand#1", 1, 15, 1, 20)
+        | arm("Brand#2", 10, 30, 10, 35)
+        | arm("Brand#3", 25, 50, 25, 50)
+    )
+    rev = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1) - F.col("l_discount")
+    ).cast(DEC)
+    return kept.agg(
+        dec_str(F.sum(rev), 4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )

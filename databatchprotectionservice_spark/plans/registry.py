@@ -199,6 +199,7 @@ _SCORE_FIRST: tuple[str, ...] = (  # 89 registered; window = first 50
     "dedup_keep_best_quality",
     "curate_seed_similarity",
     "multimodal_audio_wav_stats",
+    "q19_disjunctive_revenue",
     # 3 — fill from the r5-scored block
     "rotate_key_roundtrip_customer",
     "multimodal_decode_real",

@@ -179,3 +179,24 @@ def test_repetition_text_never_shuffles(spark, sf_dir, queries):
     assert len(hash_exchanges) >= 2  # (doc_id, gram) then (doc_id)
     for line in hash_exchanges:
         assert "text" not in line
+
+
+def test_q19_disjunction_factored_to_both_scans(spark, sf_dir, queries):
+    """Catalyst extracts each side's disjunct union from the OR-of-ANDs
+    and pushes it into that side's parquet scan: the lineitem scan gets
+    the quantity-range union, the (broadcast) part scan gets the
+    brand/size union — so the join input shrinks even though no single
+    arm is separable."""
+    plan = _plan(queries["q19_disjunctive_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    lines = plan.splitlines()
+    # a lineitem-side prefilter mentioning ONLY quantity (no part cols)
+    assert any(
+        "Filter" in ln and "l_quantity" in ln and "p_brand" not in ln
+        for ln in lines
+    )
+    # a part-side prefilter mentioning ONLY brand/size (no lineitem cols)
+    assert any(
+        "Filter" in ln and "p_brand" in ln and "l_quantity" not in ln
+        for ln in lines
+    )
