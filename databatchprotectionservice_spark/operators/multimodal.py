@@ -15,12 +15,15 @@ Two decode modes:
   dependency-free public image formats: P6 PPM, 24bpp BI_RGB BMP
   (header parse, bottom-up row flip, BGR->RGB, 4-byte stride strip),
   and 8-bit non-interlaced PNG (CRC-checked chunks, zlib inflate, all
-  five scanline filters). Audio has its own real path:
-  ``core/audiocodec.py`` parses RIFF/WAVE PCM16 and
-  ``multimodal_audio_wav_stats`` checks exact integer sample
-  statistics end-to-end. Formats needing a third-party codec
-  (JPEG / compressed audio / video) raise ``NotImplementedError`` —
-  that is the seam where Pillow/ffmpeg slot in.
+  five scanline filters). Audio and video have their own real paths:
+  ``core/audiocodec.py`` parses RIFF/WAVE PCM16
+  (``multimodal_audio_wav_stats``: exact integer sample statistics)
+  and ``core/videocodec.py`` parses YUV4MPEG2 C444
+  (``multimodal_video_frame_stats``: frame sampling + exact raster
+  statistics). Formats needing a third-party codec (JPEG, compressed
+  audio MP3/AAC, compressed video H.264/VP9) raise
+  ``NotImplementedError`` — that is the seam where Pillow/ffmpeg
+  slot in.
 
 Everything around decode — schema, partitioning, batch shapes,
 cardinality changes — is real and oracle-checked: the payloads here are
@@ -678,4 +681,161 @@ def multimodal_audio_wav_stats(spark, sf_dir):
         F.sum("n_frames").cast("bigint").alias("total_frames"),
         F.max("peak").cast("bigint").alias("max_peak"),
         F.sum("energy").cast("bigint").alias("total_energy"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# REAL video decode — genuine Y4M (YUV4MPEG2) bytes through a genuine parser
+# ---------------------------------------------------------------------------
+
+VID_W, VID_H = 4, 2  # C444: frame raster = 4 * 2 * 3 = 24 bytes
+VID_SAMPLE_STRIDE = 2  # keep every 2nd frame
+_VIDEO_TABLE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+_VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_sampled", T.LongType()),
+        T.StructField("sampled_bytes_sum", T.LongType()),
+        T.StructField("max_byte", T.LongType()),
+    ]
+)
+
+
+def video_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, payload) where payload is a REAL
+    YUV4MPEG2 C444 clip of ``(n_chars % 7) + 2`` frames whose raster
+    bytes follow the closed form ``(doc_id*13 + f*7 + j*3) % 256`` —
+    every decoded statistic is SQL-predictable with exact integers."""
+    import numpy as np
+
+    from ..core.videocodec import encode_y4m
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    fb = VID_W * VID_H * 3
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, payloads = [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                nf = (int(n_chars or 0) % 7) + 2
+                f = np.arange(nf, dtype=np.int64)[:, None]
+                j = np.arange(fb, dtype=np.int64)[None, :]
+                raster = ((doc_id * 13 + f * 7 + j * 3) % 256).astype(
+                    np.uint8
+                )
+                frames = raster.reshape(nf, 3, VID_H, VID_W)
+                ids.append(doc_id)
+                srcs.append(source)
+                payloads.append(encode_y4m(frames))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_synth, _VIDEO_TABLE_SCHEMA)
+
+
+@register(
+    "multimodal_video_frame_stats",
+    # the raster is closed-form, so DuckDB recomputes the sampled-frame
+    # statistics from first principles — all EXACT integer math
+    oracle=f"""
+        WITH clips AS (
+            SELECT source,
+                   (n_chars % 7) + 2 AS nf,
+                   flatten(list_transform(
+                       list_filter(range(0, (n_chars % 7) + 2),
+                                   f -> f % {VID_SAMPLE_STRIDE} = 0),
+                       f -> list_transform(range(0, {VID_W * VID_H * 3}),
+                           j -> (doc_id * 13 + f * 7 + j * 3) % 256)))
+                       AS sampled
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_clips,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(sum((nf + 1) // {VID_SAMPLE_STRIDE}) AS BIGINT)
+                   AS total_sampled,
+               CAST(sum(list_aggregate(sampled, 'sum')) AS BIGINT)
+                   AS sampled_bytes_sum,
+               CAST(max(list_aggregate(sampled, 'max')) AS BIGINT)
+                   AS max_byte
+        FROM clips
+        GROUP BY source
+    """,
+    description="REAL video decode: YUV4MPEG2 C444 header parse + frame "
+    "slice -> every-2nd-frame sampling -> exact integer raster stats",
+)
+def multimodal_video_frame_stats(spark, sf_dir):
+    """Y4M clips decoded by the genuine parser (``core/videocodec.py``):
+    stream-header parse (W/H/F/C tags), per-frame FRAME-marker walk,
+    raster slice — then frame sampling (every ``VID_SAMPLE_STRIDE``-th
+    frame, the standard preprocessing step for video training data) and
+    integer statistics over the sampled rasters, aggregated per source.
+    The oracle recomputes everything from the closed-form signal: a
+    parser that misparses one header tag, misaligns one frame, or
+    samples the wrong frames hash-mismatches.
+
+    100 TB shape: same as image/audio — one mapInPandas stage per
+    direction, payload bytes cross the boundary once per Arrow batch,
+    frame sampling changes cardinality INSIDE the stage (no explode
+    shuffle), and the only exchange is the final per-source aggregate.
+    Compressed video (H.264/VP9/AV1) raises at the dispatch seam."""
+    import numpy as np
+
+    from ..core.videocodec import VideoFormatError, decode_y4m
+
+    prep(spark)
+    clips = video_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, nss, sums, maxs = [], [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                try:
+                    w, h, fps, frames = decode_y4m(bytes(payload))
+                except VideoFormatError as exc:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable video: {exc}"
+                    ) from exc
+                sampled = frames[::VID_SAMPLE_STRIDE]
+                s = sampled.astype(np.int64)
+                srcs.append(source)
+                nfs.append(frames.shape[0])
+                nss.append(sampled.shape[0])
+                sums.append(int(s.sum()))
+                maxs.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "n_sampled": pd.Series(nss, dtype="int64"),
+                    "sampled_bytes_sum": pd.Series(sums, dtype="int64"),
+                    "max_byte": pd.Series(maxs, dtype="int64"),
+                }
+            )
+
+    decoded = clips.mapInPandas(_stats, _VIDEO_STATS_SCHEMA)
+    return decoded.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("n_sampled").cast("bigint").alias("total_sampled"),
+        F.sum("sampled_bytes_sum").cast("bigint").alias("sampled_bytes_sum"),
+        F.max("max_byte").cast("bigint").alias("max_byte"),
     )

@@ -201,6 +201,7 @@ _SCORE_FIRST: tuple[str, ...] = (  # 93 registered; window = first 50
     "curate_seed_similarity",
     "multimodal_audio_wav_stats",
     "q19_disjunctive_revenue",
+    "multimodal_video_frame_stats",
     # 3 — fill from the r5-scored block
     "rotate_key_roundtrip_customer",
     "multimodal_decode_real",
