@@ -765,41 +765,53 @@ def dedup_connected_clusters(spark, sf_dir):
     ).unionByName(
         cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
+    return connected_components(spark, und)
+
+
+def connected_components(
+    spark, und: DataFrame, driver_edge_limit: int = CC_DRIVER_EDGE_LIMIT
+) -> DataFrame:
+    """(src, dst) undirected edge set (both directions present) ->
+    (doc_id, cluster_rep) with cluster_rep = min node id of the
+    component. Driver union-find below ``driver_edge_limit`` edges,
+    distributed min-label propagation above (``driver_edge_limit=0``
+    forces the distributed path — the shape that runs at 100 TB)."""
     # ONE action decides the path AND fetches the edges: limit+1 rows via
     # Arrow (two int64 columns). The round-5 shape (count, then a second
     # toPandas job, then an unpersist that forced warm re-runs to rebuild
     # the whole edge set) paid three jobs for what one covers.
-    head = und.limit(CC_DRIVER_EDGE_LIMIT + 1).toPandas()
-    if len(head) <= CC_DRIVER_EDGE_LIMIT:
-        # .tolist() yields plain ints for the union-find dict
-        edges = zip(head["src"].tolist(), head["dst"].tolist())
-        parent: dict = {}
+    if driver_edge_limit > 0:
+        head = und.limit(driver_edge_limit + 1).toPandas()
+        if len(head) <= driver_edge_limit:
+            # .tolist() yields plain ints for the union-find dict
+            edges = zip(head["src"].tolist(), head["dst"].tolist())
+            parent: dict = {}
 
-        def find(x):
-            root = x
-            while parent[root] != root:
-                root = parent[root]
-            while parent[x] != root:
-                parent[x], x = root, parent[x]
-            return root
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
 
-        for a, b in edges:
-            parent.setdefault(a, a)
-            parent.setdefault(b, b)
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                # union by min so the representative IS the min id
-                lo, hi = min(ra, rb), max(ra, rb)
-                parent[hi] = lo
-        import pandas as pd
+            for a, b in edges:
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # union by min so the representative IS the min id
+                    lo, hi = min(ra, rb), max(ra, rb)
+                    parent[hi] = lo
+            import pandas as pd
 
-        # Arrow path (a local-list createDataFrame pickles through a
-        # 32-task RDD job — measured 1.7 s for one row; this is ~0.1 s)
-        out = pd.DataFrame(
-            [(n, find(n)) for n in parent],
-            columns=["doc_id", "cluster_rep"],
-        ).astype("int64")
-        return spark.createDataFrame(out)
+            # Arrow path (a local-list createDataFrame pickles through a
+            # 32-task RDD job — measured 1.7 s for one row; ~0.1 s here)
+            out = pd.DataFrame(
+                [(n, find(n)) for n in parent],
+                columns=["doc_id", "cluster_rep"],
+            ).astype("int64")
+            return spark.createDataFrame(out)
     und = und.cache()
     labels = (
         und.select(F.col("src").alias("node"))
@@ -835,6 +847,33 @@ def dedup_connected_clusters(spark, sf_dir):
     return labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
     )
+
+
+@register(
+    "dedup_clusters_distributed",
+    oracle=_CC_ORACLE,
+    description="connected components via the DISTRIBUTED min-label "
+    "propagation branch (driver union-find disabled) — the exact shape "
+    "that runs above CC_DRIVER_EDGE_LIMIT at 100 TB",
+)
+def dedup_clusters_distributed(spark, sf_dir):
+    """Same contract as ``dedup_connected_clusters`` but with the driver
+    union-find path DISABLED (``driver_edge_limit=0``), so the Pregel-
+    style min-label loop — the branch every 100 TB run takes, where the
+    edge set exceeds any driver's memory — is itself oracle-verified,
+    not just unit-tested. Each round is one join + one min-aggregate
+    over the (cached) edge set; rounds are bounded by component
+    diameter; no edge or label collection ever reaches the driver
+    (``tests/test_plan_shapes.py`` pins the no-LocalTableScan plan)."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    und = cand.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        cand.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return connected_components(spark, und, driver_edge_limit=0)
 
 
 @register(
@@ -910,15 +949,24 @@ def _est_sql(prefix_a: str, prefix_b: str) -> str:
                 ) AS t(band_idx, band_hash)
             ) b
         ),
+        hot AS (
+            SELECT band_idx, band_hash FROM bands
+            GROUP BY 1, 2 HAVING count(*) > {LSH_BUCKET_CAP}
+        ),
+        guarded AS (
+            SELECT b.* FROM bands b
+            ANTI JOIN hot h ON b.band_idx = h.band_idx
+                           AND b.band_hash = h.band_hash
+        ),
         delta AS (
-            SELECT * FROM bands
+            SELECT * FROM guarded
             WHERE doc_id % {DELTA_MOD} = {DELTA_REMAINDER}
         ),
         pairs AS (
             SELECT a.doc_id AS doc_new, b.doc_id AS doc_matched,
                    CAST(count(DISTINCT a.band_idx) AS BIGINT)
                        AS n_shared_bands
-            FROM delta a JOIN bands b
+            FROM delta a JOIN guarded b
               ON a.band_idx = b.band_idx
              AND a.band_hash = b.band_hash
              AND b.doc_id <> a.doc_id
@@ -964,10 +1012,24 @@ def dedup_incremental_minhash(spark, sf_dir):
     )
     bands = sigs.select(
         "doc_id", F.posexplode(bands_expr).alias("band_idx", "band_hash")
+    ).cache()
+    # the same hot-bucket guard as lsh_candidate_pairs, applied to the
+    # INDEX side: a band bucket holding > LSH_BUCKET_CAP signatures is a
+    # degenerate boilerplate cluster that would make the delta probe
+    # quadratic in that bucket — drop it from both probe sides (mirrored
+    # in the oracle; unreachable at oracle scale, so results identical)
+    hot = (
+        bands.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > F.lit(LSH_BUCKET_CAP))
+        .select("band_idx", "band_hash")
+    )
+    guarded = bands.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
     )
     is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REMAINDER
-    a = bands.filter(is_delta).alias("a")
-    b = bands.alias("b")
+    a = guarded.filter(is_delta).alias("a")
+    b = guarded.alias("b")
     pairs = (
         a.join(
             b,

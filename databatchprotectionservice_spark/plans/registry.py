@@ -132,85 +132,52 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver's correctness sweep scores the FIRST 50 entries of
-# ``queries()`` in dict order (confirmed r1-r5: CORRECTNESS_r*.json
-# always equals the first 50 registry keys).  With 94 registered queries
+# ``queries()`` in dict order (confirmed r1-r6: CORRECTNESS_r*.json
+# always equals the first 50 registry keys).  With 95 registered queries
 # the window rotates each round so no query's latest official verdict
-# predates its latest implementation change.  Round-6 window, in
-# priority order:
-#   1. the 31-query block whose last official verdict is r4 (the
-#      relational/TPC-H/window/join/UDx block — it sat out the r5
-#      rotation);
-#   2. queries new in round 6 (partitioned data source, simhash hamming
-#      pairs, decontamination, repetition scores, quantized ANN, JSONL
-#      delivery, PII redaction, incremental minhash) plus queries whose
-#      implementation changed after the r5 scoring ran
-#      (datasource_protected_read: pushdown + streaming sink;
-#      minhash-LSH candidate generator; batch AES-SIV engine);
-#   3. fill from the r5-scored block in insertion order (entries pushed
-#      past position 50 by group 2 were r5-scored and unchanged).
-# Within each group insertion order is preserved so timings stay
-# comparable across rounds.
-_SCORE_FIRST: tuple[str, ...] = (  # 94 registered; window = first 50
+# predates its latest implementation change.  Round-7 window, in
+# priority order (exactly the rotation VERDICT r6 item 6 prescribed):
+#   1. sql_q1_via_views — last official verdict r4, the single most
+#      stale query (released from the r6 window to cover a
+#      changed-impl query; its implementation is unchanged since r4);
+#   2. the 43-query block whose last official verdict is r5 (the
+#      text/sample/streaming/similarity/multimodal/pii/protect block
+#      that sat out the r6 rotation), in prior insertion order so
+#      timings stay comparable;
+#   3. queries whose implementation changed in round 7: JPEG decode
+#      joins the multimodal_decode_real fixture rotation; Y4M C420
+#      joins multimodal_video_frame_stats; dedup_clusters_distributed
+#      (NEW — forces the Pregel CC branch); export_jsonl_roundtrip
+#      (shared-filesystem staging); dedup_incremental_minhash
+#      (hot-bucket guard); dedup_connected_clusters (shared
+#      connected_components refactor).
+# Queries scored green in r6 with unchanged implementations wait for
+# the r8 rotation.  tests/test_registry_order.py asserts this policy
+# mechanically: every query whose last green CORRECTNESS verdict is
+# >= 2 rounds stale, and every name in ``CHANGED_THIS_ROUND``, must
+# sit inside the first-50 window.
+
+#: Queries whose implementation (or fixture/oracle) changed this round.
+#: Updated per-round by hand; the freshness test fails if any entry is
+#: outside the scoring window, so a changed query can no longer ship
+#: without a current official verdict (ADVICE r6, medium).
+CHANGED_THIS_ROUND: frozenset[str] = frozenset(
+    {
+        "multimodal_decode_real",
+        "multimodal_video_frame_stats",
+        "dedup_clusters_distributed",
+        "export_jsonl_roundtrip",
+        "dedup_incremental_minhash",
+        "dedup_connected_clusters",
+    }
+)
+
+SCORE_WINDOW = 50  # entries the driver's sweep scores per round
+
+_SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
     # 1 — last official verdict r4
-    "bucketed_join_no_shuffle",
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "window_top_orders_per_customer",
-    "window_running_revenue",
-    "topk_expensive_parts",
-    "setop_active_customers",
-    "scalar_function_battery",
-    "events_json_extract",
-    "events_hourly_rollup",
-    "join_semi_anti_customers",
-    "join_outer_order_fill",
-    "asof_join_last_event",
-    "range_join_click_attribution",
-    "rollup_revenue",
-    "q12_priority_shipping",
-    "q14_discount_share",
-    "q18_large_volume_customers",
-    "skew_salted_heavy_hitters",
-    # sql_q1_via_views released to the unscored tail: same aggregate as
-    # q1_pricing_summary via the SQL-text interface, r5-judge-green,
-    # unchanged — the freed slot covers a changed-impl query instead
-    "cube_order_stats",
-    "median_order_value",
-    "timeseries_multi_rollup",
-    "window_function_battery",
-    "string_function_battery",
-    "udtf_shingle_counts",
-    "udaf_iqr_chars",
-    "grouped_map_cumulative_chars",
-    "merge_upsert_documents",
-    # 2 — new this round / implementation changed after the r5 scoring
-    "datasource_protected_partitioned",
-    "dedup_simhash_hamming_pairs",
-    "decontaminate_ngram_overlap",
-    "text_repetition_scores",
-    "similarity_quantized_topk",
-    "datasource_protected_read",
-    "dedup_minhash_lsh",
-    "dedup_connected_clusters",
-    "protect_roundtrip_events_aes",  # batch AES-SIV engine landed post-r5
-    "int96_page_roundtrip",  # same: its page sequencer runs AES-SIV
-    "multimodal_decode_real",  # r6: fixtures now rotate ppm/bmp/png
-    "rotate_key_roundtrip_customer",  # rotates INTO AES-SIV (batch kernel)
-    "export_jsonl_roundtrip",
-    "pii_redact_spans",
-    "dedup_incremental_minhash",
-    "dedup_keep_best_quality",
-    "curate_seed_similarity",
-    "multimodal_audio_wav_stats",
-    "q19_disjunctive_revenue",
-    "multimodal_video_frame_stats",
-    # 3 — fill from the r5-scored block
-    "streaming_session_window",
-    "text_chunk_windows",
-    "sketch_accuracy_battery",
-    "pipeline_training_prep",
+    "sql_q1_via_views",
+    # 2 — last official verdict r5, prior insertion order
     "map_function_battery",
     "dedup_exact_stats",
     "dedup_ngram_jaccard",
@@ -218,6 +185,49 @@ _SCORE_FIRST: tuple[str, ...] = (  # 94 registered; window = first 50
     "similarity_bruteforce_topk",
     "similarity_lsh_buckets",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine",
+    "dedup_keep_one",
+    "incremental_rollup_merge",
+    "zorder_locality_events",
+    "compact_documents_roundtrip",
+    "multimodal_payload_stats",
+    "multimodal_feature_extract",
+    "multimodal_frame_sample",
+    "multimodal_decode_resize",
+    "pii_detect_documents",
+    "pii_auto_protect_roundtrip",
+    "profile_documents",
+    "pivot_user_event_matrix",
+    "sketch_accuracy_battery",
+    "protect_roundtrip_lineitem",
+    "protect_roundtrip_customer",
+    "protect_ciphertext_shape",
+    "protect_roundtrip_decimal",
+    "sample_split_train_test",
+    "sample_quota_per_source",
+    "mix_weighted_sources",
+    "pack_sequences_greedy",
+    "sessionize_events_batch",
+    "streaming_hourly_rollup",
+    "streaming_click_attribution",
+    "streaming_sessionize",
+    "streaming_session_window",
+    "streaming_dedup_keys",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_language_id",
+    "text_fingerprints",
+    "text_tfidf_top_terms",
+    "text_chunk_windows",
+    "pipeline_training_prep",
+    # 3 — implementation changed in round 7
+    "multimodal_decode_real",
+    "multimodal_video_frame_stats",
+    "dedup_clusters_distributed",
+    "export_jsonl_roundtrip",
+    "dedup_incremental_minhash",
+    "dedup_connected_clusters",
 )
 
 

@@ -200,3 +200,16 @@ def test_q19_disjunction_factored_to_both_scans(spark, sf_dir, queries):
         "Filter" in ln and "p_brand" in ln and "l_quantity" not in ln
         for ln in lines
     )
+
+
+def test_distributed_cc_never_collects_to_driver(spark, sf_dir, queries):
+    """dedup_clusters_distributed forces the Pregel min-label branch:
+    the returned labels must come from distributed joins/aggregates, not
+    from a driver-side union-find round-tripped through createDataFrame
+    (which would show up as a LocalTableScan / ExistingRDD leaf)."""
+    df = queries["dedup_clusters_distributed"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LocalTableScan" not in plan
+    assert "Scan ExistingRDD" not in plan
+    # the min-label rounds are joins + partial-aggregated mins
+    assert "Join" in plan and "HashAggregate" in plan

@@ -25,3 +25,49 @@ def test_score_first_names_all_exist():
     registry._ensure_loaded()
     missing = [n for n in registry._SCORE_FIRST if n not in registry.REGISTRY]
     assert missing == []
+
+
+def _last_green_round() -> dict[str, int]:
+    """query -> latest round whose CORRECTNESS_r*.json shows it green."""
+    import glob
+    import json
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        for name, row in json.load(open(path)).items():
+            if row.get("hash_match") or row.get("rows_match"):
+                last[name] = max(last.get(name, 0), rnd)
+    return last
+
+
+def test_freshness_no_stale_query_outside_scoring_window():
+    """The ADVICE-r6 policy, mechanized: with the driver scoring only
+    the first ``SCORE_WINDOW`` registry entries per round, any query
+    whose last official green verdict is >= 2 rounds old MUST be inside
+    the window this round — otherwise a regression in the unscored tail
+    ships unverified for 3+ rounds."""
+    last = _last_green_round()
+    current_round = max(last.values()) + 1
+    window = set(registry._SCORE_FIRST[: registry.SCORE_WINDOW])
+    registry._ensure_loaded()
+    stale = [
+        n
+        for n in registry.REGISTRY
+        if last.get(n, 0) <= current_round - 2 and n not in window
+    ]
+    assert stale == [], (
+        f"queries with a verdict >= 2 rounds stale are outside the "
+        f"first-{registry.SCORE_WINDOW} scoring window: {stale}"
+    )
+
+
+def test_freshness_changed_queries_inside_scoring_window():
+    """Every query declared changed this round must carry a current
+    official verdict: CHANGED_THIS_ROUND must sit inside the window."""
+    window = set(registry._SCORE_FIRST[: registry.SCORE_WINDOW])
+    out = sorted(registry.CHANGED_THIS_ROUND - window)
+    assert out == [], f"changed-impl queries outside the window: {out}"
