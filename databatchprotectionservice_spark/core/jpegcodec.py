@@ -1,0 +1,704 @@
+"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT).
+
+The majority format of any real web-scraped multimodal corpus — VERDICT
+r6's top extension ask. Everything here implements the PUBLIC spec
+(ITU-T T.81 / ISO 10918-1, JFIF per ITU-T T.871) with stdlib + numpy:
+
+* **Decoder** — baseline sequential DCT, 8-bit samples: marker walk
+  (APPn/COM skipped, DQT/DHT/DRI/SOF0/SOS parsed), canonical Huffman
+  tables built from the stream's own DHT segments (16-bit peek lookup
+  table, O(1) per symbol), entropy-coded segment destuffing (FF 00) and
+  restart-marker handling, DC prediction + EXTEND, dequantize, 2-D
+  IDCT vectorized over ALL blocks of a component at once (two
+  tensordots against the 8x8 DCT-II basis), plane assembly, chroma
+  upsample by sample-replication for any (h, v) factors (covers 4:2:0,
+  4:2:2, 4:4:4), JFIF YCbCr->RGB. Grayscale replicates to RGB to keep
+  the uniform ``(w, h, (h, w, 3) uint8)`` contract of
+  ``core/imagecodec.py``. Progressive (SOF2), arithmetic coding,
+  12-bit, and hierarchical modes raise ``ImageFormatError`` with a
+  precise message — the documented seam.
+* **Encoder** — fixture/test construction (like the PPM/BMP/PNG/WAV/Y4M
+  encoders, not a Spark sink): grayscale or YCbCr 4:4:4 / 4:2:0,
+  caller-supplied quantization tables (default all-ones, i.e. the
+  maximum-fidelity baseline stream), Annex K "typical" Huffman tables
+  written into DHT so any spec-compliant decoder can read the output.
+
+Exactness note (what makes JPEG oracle-checkable): with all-ones quant
+tables, a block that is CONSTANT decodes bit-exactly — its forward DCT
+is a lone DC coefficient ``8*(v-128)`` (an exact integer), every AC
+coefficient is 0, and the IDCT of a DC-only block is the constant
+``DC/8``. The ``multimodal_decode_real`` JPEG fixture exploits this by
+tiling each payload byte as an 8x8 constant block, so the decoded
+raster is a closed-form function of the text that DuckDB recomputes.
+Non-constant blocks round-trip within +-1 per sample (float DCT +
+integer coefficient rounding), matching any conformant codec.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .errors import DBPSInvalidInputError
+
+
+class JpegFormatError(DBPSInvalidInputError):
+    """Raised for malformed or unsupported JPEG bytes."""
+
+
+# ---------------------------------------------------------------------------
+# constants: zigzag order, DCT basis, Annex K Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)  # fmt: skip
+
+
+def _dct_basis() -> np.ndarray:
+    """8x8 DCT-II basis C with C[u, x] = c(u)/2 * cos((2x+1) u pi / 16);
+    forward DCT of block f is C @ f @ C.T, inverse is C.T @ F @ C."""
+    u = np.arange(8).reshape(8, 1).astype(np.float64)
+    x = np.arange(8).reshape(1, 8).astype(np.float64)
+    c = np.cos((2.0 * x + 1.0) * u * np.pi / 16.0) / 2.0
+    c[0, :] *= 1.0 / np.sqrt(2.0)
+    return c
+
+
+_C = _dct_basis()
+
+# ITU-T T.81 Annex K.3 "typical" Huffman tables: (BITS[1..16], HUFFVAL).
+# Written into the encoder's DHT segments; the decoder always uses the
+# stream's own tables, so these constants only shape encoder output.
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)  # fmt: skip
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)  # fmt: skip
+
+
+# ---------------------------------------------------------------------------
+# canonical Huffman (T.81 Annex C): BITS/HUFFVAL -> codes / decode table
+# ---------------------------------------------------------------------------
+
+
+def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), codes assigned canonically by length."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _HuffDecoder:
+    """16-bit-peek lookup decoder: table[peek16] = (symbol, codelen)."""
+
+    __slots__ = ("lut",)
+
+    def __init__(self, bits: list[int], values: list[int]):
+        lut = np.zeros((1 << 16, 2), dtype=np.int32)
+        lut[:, 1] = -1  # -1 length = invalid prefix
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                lo = code << (16 - length)
+                hi = lo + (1 << (16 - length))
+                lut[lo:hi, 0] = values[k]
+                lut[lo:hi, 1] = length
+                code += 1
+                k += 1
+            code <<= 1
+        self.lut = lut
+
+
+class _BitReader:
+    """MSB-first bit reader over a destuffed entropy-coded segment."""
+
+    __slots__ = ("data", "pos", "nbits")
+
+    def __init__(self, data: bytes):
+        # pad so a 16-bit peek near the end never indexes out of range;
+        # 0xFF padding makes runaway reads hit an invalid prefix fast
+        self.data = data + b"\xff\xff\xff"
+        self.pos = 0  # bit position
+        self.nbits = len(data) * 8
+
+    def peek16(self) -> int:
+        byte = self.pos >> 3
+        chunk = int.from_bytes(self.data[byte : byte + 3], "big")
+        return (chunk >> (8 - (self.pos & 7))) & 0xFFFF
+
+    def skip(self, n: int) -> None:
+        self.pos += n
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise JpegFormatError("JPEG entropy stream truncated")
+        v = self.peek16() >> (16 - n)
+        self.pos += n
+        return v
+
+    def decode(self, table: _HuffDecoder) -> int:
+        sym, length = table.lut[self.peek16()]
+        if length < 0 or self.pos + int(length) > self.nbits:
+            raise JpegFormatError("invalid JPEG Huffman code")
+        self.pos += int(length)
+        return int(sym)
+
+
+def _extend(v: int, size: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the raw ``size``-bit value to its signed
+    coefficient (values with a 0 MSB are negative)."""
+    if size == 0:
+        return 0
+    if v < (1 << (size - 1)):
+        return v - (1 << size) + 1
+    return v
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Baseline JPEG bytes -> (width, height, (h, w, 3) uint8 RGB)."""
+    if data[:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, _HuffDecoder] = {}
+    huff_ac: dict[int, _HuffDecoder] = {}
+    restart_interval = 0
+    frame = None  # (precision, h, w, comps)
+    i = 2
+    n = len(data)
+    while i < n:
+        if data[i] != 0xFF:
+            raise JpegFormatError(f"expected marker at offset {i}")
+        marker = data[i + 1]
+        i += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / bare RST
+            continue
+        if i + 2 > n:
+            raise JpegFormatError("truncated marker segment")
+        seglen = struct.unpack(">H", data[i : i + 2])[0]
+        seg = data[i + 2 : i + seglen]
+        if marker == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise JpegFormatError("16-bit quantization tables unsupported")
+                table = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8)
+                if table.size != 64:
+                    raise JpegFormatError("truncated DQT")
+                q = np.zeros(64, dtype=np.int32)
+                q[ZIGZAG] = table  # stored in zigzag order
+                qt[tq] = q.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                values = list(seg[j + 17 : j + 17 + nv])
+                if len(values) != nv:
+                    raise JpegFormatError("truncated DHT")
+                (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, values)
+                j += 17 + nv
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise JpegFormatError(f"{precision}-bit JPEG unsupported (8 only)")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+            frame = (h, w, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                f"JPEG SOF{marker - 0xC0}: only baseline sequential DCT is "
+                "implemented (progressive/arithmetic/hierarchical need an "
+                "external codec)"
+            )
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise JpegFormatError("SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            return _decode_scan(
+                data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
+                restart_interval,
+            )
+        # APPn / COM / anything else: skip
+        i += seglen
+    raise JpegFormatError("no SOS marker — empty JPEG")
+
+
+def _decode_scan(
+    data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
+):
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    # entropy-coded segments: destuff FF00 -> FF, split at RST markers
+    segments, end = _entropy_segments(data, pos)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise JpegFormatError(f"scan references unknown component {cs}")
+        order.append((c, td, ta))
+    # per-component coefficient storage: (blocks_y, blocks_x, 8, 8)
+    for c in comps:
+        c["bx"] = mcux * c["h"]
+        c["by"] = mcuy * c["v"]
+        c["coef"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.float64)
+        if c["tq"] not in qt:
+            raise JpegFormatError(f"missing quantization table {c['tq']}")
+    n_mcu = mcux * mcuy
+    mcu_per_seg = restart_interval if restart_interval else n_mcu
+    seg_idx = 0
+    reader = _BitReader(segments[0]) if segments else None
+    pred = {c["id"]: 0 for c in comps}
+    zz = ZIGZAG
+    for m in range(n_mcu):
+        if m % mcu_per_seg == 0 and m > 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise JpegFormatError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        if reader is None:
+            raise JpegFormatError("JPEG has no entropy data")
+        for c, td, ta in order:
+            dct = huff_dc.get(td)
+            act = huff_ac.get(ta)
+            if dct is None or act is None:
+                raise JpegFormatError("scan references missing Huffman table")
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    block = np.zeros(64, dtype=np.float64)
+                    s = reader.decode(dct)
+                    diff = _extend(reader.read(s), s)
+                    pred[c["id"]] += diff
+                    block[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = reader.decode(act)
+                        r, s = rs >> 4, rs & 0x0F
+                        if s == 0:
+                            if r == 15:  # ZRL: 16 zeros
+                                k += 16
+                                continue
+                            break  # EOB
+                        k += r
+                        if k > 63:
+                            raise JpegFormatError("AC coefficient overflow")
+                        block[zz[k]] = _extend(reader.read(s), s)
+                        k += 1
+                    by = my * c["v"] + v
+                    bx = mx * c["h"] + hh
+                    c["coef"][by * c["bx"] + bx] = block.reshape(8, 8)
+    # dequantize + IDCT all blocks of each component at once
+    planes = []
+    for c in comps:
+        q = qt[c["tq"]].astype(np.float64)
+        f = c["coef"] * q[None, :, :]
+        # spatial = C.T @ F @ C for every block: two tensordots
+        sp = np.tensordot(np.tensordot(f, _C, axes=([1], [0])), _C, axes=([1], [0]))
+        sp = np.clip(np.round(sp + 128.0), 0, 255).astype(np.uint8)
+        # assemble (by*8, bx*8) plane from the block grid
+        plane = (
+            sp.reshape(c["by"], c["bx"], 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(c["by"] * 8, c["bx"] * 8)
+        )
+        # replicate-upsample to full frame resolution
+        if c["h"] != hmax:
+            plane = np.repeat(plane, hmax // c["h"], axis=1)
+        if c["v"] != vmax:
+            plane = np.repeat(plane, vmax // c["v"], axis=0)
+        planes.append(plane[:h, :w])
+    if len(planes) == 1:
+        rgb = np.repeat(planes[0][:, :, None], 3, axis=2)
+    elif len(planes) == 3:
+        rgb = _ycbcr_to_rgb(planes[0], planes[1], planes[2])
+    else:
+        raise JpegFormatError(f"{len(planes)}-component JPEG unsupported")
+    return w, h, rgb
+
+
+def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
+    """Collect destuffed entropy segments from ``pos`` to EOI; RSTn
+    markers delimit segments."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    i = pos
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = data[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:  # stuffed FF
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segments.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker: scan ends
+            break
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
+    """JFIF (ITU-T T.871) inverse color transform, rounded + clipped."""
+    yf = y.astype(np.float64)
+    cbf = cb.astype(np.float64) - 128.0
+    crf = cr.astype(np.float64) - 128.0
+    r = yf + 1.402 * crf
+    g = yf - 0.344136 * cbf - 0.714136 * crf
+    b = yf + 1.772 * cbf
+    out = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# encoder (fixtures/tests only)
+# ---------------------------------------------------------------------------
+
+
+class _BitWriter:
+    __slots__ = ("out", "acc", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """coefficient -> (size, raw bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    a = abs(v)
+    size = a.bit_length()
+    raw = v if v > 0 else v + (1 << size) - 1
+    return size, raw
+
+
+def _encode_blocks(
+    wr: _BitWriter,
+    blocks: np.ndarray,
+    q: np.ndarray,
+    dc_codes,
+    ac_codes,
+    pred: int,
+) -> int:
+    """Quantize + entropy-code a (n, 8, 8) float block stack in order."""
+    zz = ZIGZAG
+    for blk in blocks:
+        f = _C @ (blk - 128.0) @ _C.T
+        coef = np.round(f / q).astype(np.int64)
+        seq = coef.reshape(64)[zz]  # zigzag scan order
+        dc = int(seq[0])
+        diff = dc - pred
+        pred = dc
+        size, raw = _magnitude(diff)
+        code, length = dc_codes[size]
+        wr.write(code, length)
+        if size:
+            wr.write(raw, size)
+        run = 0
+        last_nz = 0
+        nz = np.nonzero(seq[1:])[0]
+        last_nz = (nz[-1] + 1) if nz.size else 0
+        k = 1
+        while k <= last_nz:
+            v = int(seq[k])
+            if v == 0:
+                run += 1
+                k += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]  # ZRL
+                wr.write(code, length)
+                run -= 16
+            size, raw = _magnitude(v)
+            code, length = ac_codes[(run << 4) | size]
+            wr.write(code, length)
+            wr.write(raw, size)
+            run = 0
+            k += 1
+        if last_nz < 63:
+            code, length = ac_codes[0x00]  # EOB
+            wr.write(code, length)
+    return pred
+
+
+def _dqt_segment(tq: int, q: np.ndarray) -> bytes:
+    zig = q.reshape(64)[ZIGZAG].astype(np.uint8).tobytes()
+    return b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zig
+
+
+def _dht_segment(tc: int, th: int, table) -> bytes:
+    bits, values = table
+    payload = bytes([(tc << 4) | th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    r = rgb[:, :, 0].astype(np.float64)
+    g = rgb[:, :, 1].astype(np.float64)
+    b = rgb[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    clip = lambda p: np.clip(np.round(p), 0, 255).astype(np.uint8)  # noqa: E731
+    return clip(y), clip(cb), clip(cr)
+
+
+def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad a (h, w) plane to 8-multiples by edge replication and return
+    the (by*bx, 8, 8) float block stack in raster block order."""
+    h, w = plane.shape
+    by = (h + 7) // 8
+    bx = (w + 7) // 8
+    padded = np.pad(
+        plane.astype(np.float64),
+        ((0, by * 8 - h), (0, bx * 8 - w)),
+        mode="edge",
+    )
+    blocks = (
+        padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
+    )
+    return blocks, by, bx
+
+
+def encode_jpeg(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsampling: str = "444",
+) -> bytes:
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB -> baseline JPEG.
+
+    ``quant``: an (8, 8) uint8 quantization table applied to every
+    component (default all-ones = max fidelity). ``subsampling``:
+    ``"444"`` or ``"420"`` (ignored for grayscale)."""
+    if pixels.dtype != np.uint8:
+        raise JpegFormatError("encode_jpeg expects uint8 pixels")
+    q = (
+        np.ones((8, 8), dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    )
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise JpegFormatError("encode_jpeg expects (h, w) or (h, w, 3)")
+    h, w = pixels.shape[:2]
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += _dqt_segment(0, q)
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    qf = q.astype(np.float64)
+    if gray:
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        out += bytes([1, 0x11, 0])
+        out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+        wr = _BitWriter()
+        blocks, _, _ = _plane_blocks(pixels)
+        _encode_blocks(wr, blocks, qf, dc_l, ac_l, 0)
+        out += wr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
+    if subsampling not in ("444", "420"):
+        raise JpegFormatError(f"unsupported subsampling {subsampling!r}")
+    out += _dqt_segment(1, q)
+    dc_c = _huff_codes(*_DC_CHROMA)
+    ac_c = _huff_codes(*_AC_CHROMA)
+    out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    if subsampling == "420":
+        hv_y = 0x22
+        # 2x2 box-average subsample (pad odd dims by edge replication)
+        def sub(p):
+            hh = (p.shape[0] + 1) // 2 * 2
+            ww = (p.shape[1] + 1) // 2 * 2
+            pp = np.pad(
+                p.astype(np.float64),
+                ((0, hh - p.shape[0]), (0, ww - p.shape[1])),
+                mode="edge",
+            )
+            return np.clip(
+                np.round(
+                    (pp[0::2, 0::2] + pp[0::2, 1::2] + pp[1::2, 0::2] + pp[1::2, 1::2])
+                    / 4.0
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+
+        cb, cr = sub(cb), sub(cr)
+    else:
+        hv_y = 0x11
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    wr = _BitWriter()
+    if subsampling == "444":
+        yb, by, bx = _plane_blocks(y)
+        cbb, _, _ = _plane_blocks(cb)
+        crb, _, _ = _plane_blocks(cr)
+        preds = [0, 0, 0]
+        for m in range(by * bx):
+            preds[0] = _encode_blocks(wr, yb[m : m + 1], qf, dc_l, ac_l, preds[0])
+            preds[1] = _encode_blocks(wr, cbb[m : m + 1], qf, dc_c, ac_c, preds[1])
+            preds[2] = _encode_blocks(wr, crb[m : m + 1], qf, dc_c, ac_c, preds[2])
+    else:
+        # MCU = 16x16 luma (4 blocks) + 1 block each chroma
+        yb, yby, ybx = _plane_blocks(y)
+        cbb, cby, cbx = _plane_blocks(cb)
+        crb, _, _ = _plane_blocks(cr)
+        # luma block grid padded to even dims so MCUs are complete
+        if yby % 2 or ybx % 2:
+            g = yb.reshape(yby, ybx, 8, 8)
+            g = np.pad(g, ((0, yby % 2), (0, ybx % 2), (0, 0), (0, 0)), mode="edge")
+            yby += yby % 2
+            ybx += ybx % 2
+            yb = g.reshape(yby * ybx, 8, 8)
+        mcuy, mcux = yby // 2, ybx // 2
+        assert (cby, cbx) == (mcuy, mcux), "chroma grid mismatch"
+        preds = [0, 0, 0]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for v in range(2):
+                    for hh in range(2):
+                        idx = (my * 2 + v) * ybx + mx * 2 + hh
+                        preds[0] = _encode_blocks(
+                            wr, yb[idx : idx + 1], qf, dc_l, ac_l, preds[0]
+                        )
+                idx = my * cbx + mx
+                preds[1] = _encode_blocks(wr, cbb[idx : idx + 1], qf, dc_c, ac_c, preds[1])
+                preds[2] = _encode_blocks(wr, crb[idx : idx + 1], qf, dc_c, ac_c, preds[2])
+    out += wr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -106,6 +106,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     as ``NotImplementedError`` from the decode dispatch."""
     if mode == "real":
         from ..core.imagecodec import ImageFormatError, decode_image
+        from ..core.jpegcodec import JpegFormatError, decode_jpeg
 
         def _decode_real(
             batches: Iterator[pd.DataFrame],
@@ -116,23 +117,27 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     if payload is None:
                         continue
                     magic = bytes(payload[:2])
-                    if magic not in (b"P6", b"BM", b"\x89P"):
+                    if magic not in (b"P6", b"BM", b"\x89P", b"\xff\xd8"):
                         raise NotImplementedError(
                             f"no codec for media with magic {magic!r}: only "
-                            "PPM/BMP/PNG decode without third-party "
-                            "libraries (Pillow/ffmpeg would slot in here)"
+                            "PPM/BMP/PNG/baseline-JPEG decode without "
+                            "third-party libraries (Pillow/ffmpeg would "
+                            "slot in here for the rest)"
                         )
                     try:
-                        w, h, pixels = decode_image(bytes(payload))
-                    except ImageFormatError as exc:
+                        if magic == b"\xff\xd8":
+                            w, h, pixels = decode_jpeg(bytes(payload))
+                        else:
+                            w, h, pixels = decode_image(bytes(payload))
+                    except (ImageFormatError, JpegFormatError) as exc:
                         raise ValueError(
                             f"doc {doc_id}: undecodable payload: {exc}"
                         ) from exc
                     ids.append(doc_id)
                     fmts.append(
-                        "ppm"
-                        if magic == b"P6"
-                        else ("bmp" if magic == b"BM" else "png")
+                        {b"P6": "ppm", b"BM": "bmp", b"\x89P": "png"}.get(
+                            magic, "jpeg"
+                        )
                     )
                     ws.append(w)
                     hs.append(h)
@@ -448,14 +453,21 @@ _ENCODE_SCHEMA = T.StructType(
 
 def image_table(spark, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload) where payload is a REAL image file:
-    the UTF-8 text bytes laid out as a space-padded ``IMG_W``-wide RGB
-    raster, containerized as P6 PPM (doc_id % 3 == 0), 24bpp bottom-up
-    BMP (== 1), or zlib-compressed PNG (== 2). Deterministic by
-    construction, so the decoded raster is SQL-predictable:
-    ``md5(text || repeat(' ', pad))``."""
+    containerized as P6 PPM (doc_id % 4 == 0), 24bpp bottom-up BMP
+    (== 1), zlib-compressed PNG (== 2) — each carrying the UTF-8 text
+    bytes as a space-padded ``IMG_W``-wide RGB raster — or baseline
+    JPEG (== 3), where each text byte becomes an 8x8 CONSTANT grayscale
+    tile (``IMG_W`` tiles per row). With all-ones quantization a
+    constant block's DCT is a lone exact-integer DC coefficient, so the
+    JPEG decode is BIT-EXACT and the raster stays SQL-predictable
+    despite the format being lossy in general (see
+    ``core/jpegcodec.py``). Deterministic by construction:
+    flat formats hash ``md5(text || repeat(' ', pad))``; JPEG hashes
+    the tile expansion of the padded text."""
     import numpy as np
 
     from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
+    from ..core.jpegcodec import encode_jpeg
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -466,14 +478,23 @@ def image_table(spark, sf_dir: str) -> DataFrame:
             ids, payloads = [], []
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(raw) if raw is not None else b""
+                ids.append(doc_id)
+                if doc_id % 4 == 3:  # JPEG: byte -> 8x8 constant tile
+                    trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
+                    padded = raw.ljust(trs * IMG_W, bytes([_PAD]))
+                    tiles = np.frombuffer(padded, dtype=np.uint8).reshape(
+                        trs, IMG_W
+                    )
+                    gray = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+                    payloads.append(encode_jpeg(gray))
+                    continue
                 n_pix = (len(raw) + 2) // 3
                 h = max((n_pix + IMG_W - 1) // IMG_W, 1)
                 raster = raw.ljust(IMG_W * h * 3, bytes([_PAD]))
                 pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
                     h, IMG_W, 3
                 )
-                enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 3]
-                ids.append(doc_id)
+                enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 4]
                 payloads.append(enc(pixels))
             yield pd.DataFrame(
                 {
@@ -487,32 +508,54 @@ def image_table(spark, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_real",
-    # the decoded row-major RGB raster equals the text bytes space-padded
-    # to w*h*3 — whichever container (PPM, bottom-up BGR BMP, or
-    # zlib-filtered PNG) carried it — so DuckDB recomputes every decoder
-    # output from first principles
+    # the decoded row-major RGB raster is a closed form of the text:
+    # for PPM / bottom-up-BGR BMP / zlib-filtered PNG it is the text
+    # bytes space-padded to w*h*3; for baseline JPEG it is the 8x8
+    # constant-tile expansion of the padded text (each char -> 24 bytes
+    # per scanline x 8 scanlines; exact because constant blocks survive
+    # all-ones quantization bit-for-bit) — so DuckDB recomputes every
+    # decoder output, including the lossy-format one, from first
+    # principles
     oracle=f"""
         WITH imgs AS (
             SELECT doc_id,
-                   CASE doc_id % 3 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                        ELSE 'png' END AS fmt,
+                   CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
                    text,
                    octet_length(encode(text)) AS nb
             FROM documents
         ),
-        decoded AS (
-            SELECT fmt, nb,
-                   {IMG_W} AS width,
+        flat AS (
+            SELECT fmt,
                    greatest(((nb + 2) // 3 + {IMG_W - 1}) // {IMG_W}, 1)
                        AS height,
-                   text
-            FROM imgs
+                   md5(text || repeat(' ',
+                       CAST({IMG_W} * greatest(((nb + 2) // 3
+                            + {IMG_W - 1}) // {IMG_W}, 1) * 3 - nb
+                            AS INT))) AS raster_md5
+            FROM imgs WHERE fmt <> 'jpeg'
+        ),
+        jp AS (
+            SELECT fmt, 8 * trs AS height,
+                   md5(list_aggregate(list_transform(range(0, trs), tr ->
+                       repeat(list_aggregate(
+                           list_transform(range(0, {IMG_W}), c ->
+                               repeat(substr(padded,
+                                   CAST(tr * {IMG_W} + c + 1 AS INT), 1),
+                                   24)),
+                           'string_agg', ''), 8)),
+                       'string_agg', '')) AS raster_md5
+            FROM (
+                SELECT fmt,
+                       greatest((nb + {IMG_W - 1}) // {IMG_W}, 1) AS trs,
+                       text || repeat(' ', CAST(
+                           greatest((nb + {IMG_W - 1}) // {IMG_W}, 1)
+                           * {IMG_W} - nb AS INT)) AS padded
+                FROM imgs WHERE fmt = 'jpeg'
+            )
         ),
         hashed AS (
-            SELECT fmt, width, height,
-                   md5(text || repeat(' ',
-                       CAST(width * height * 3 - nb AS INT))) AS raster_md5
-            FROM decoded
+            SELECT * FROM flat UNION ALL SELECT * FROM jp
         )
         SELECT fmt,
                count(*) AS n_images,
@@ -523,9 +566,9 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         FROM hashed
         GROUP BY fmt
     """,
-    description="REAL image decode: PPM/BMP/PNG bytes -> header parse, "
-    "row flip, BGR->RGB, stride strip, inflate+unfilter -> raster md5 "
-    "round-trip",
+    description="REAL image decode: PPM/BMP/PNG/baseline-JPEG bytes -> "
+    "header parse, row flip, BGR->RGB, stride strip, inflate+unfilter, "
+    "Huffman+IDCT -> raster md5 round-trip",
 )
 def multimodal_decode_real(spark, sf_dir):
     prep(spark)

@@ -1,0 +1,211 @@
+"""Baseline JPEG codec tests.
+
+Independence strategy: the roundtrip tests prove encoder/decoder
+consistency; the known-answer tests prove the DECODER against inputs
+the encoder never produced — a hand-assembled JPEG byte stream with a
+trivial Huffman table whose expected raster is computed here with a
+NAIVE O(64^2) cosine-sum IDCT (a completely separate code path from the
+codec's tensordot basis-matrix IDCT).
+"""
+
+import struct
+
+import numpy as np
+import pytest
+
+from databatchprotectionservice_spark.core.jpegcodec import (
+    ZIGZAG,
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _naive_idct(coef: np.ndarray) -> np.ndarray:
+    """Textbook 2-D IDCT-III, direct cosine double sum (test-only)."""
+    out = np.zeros((8, 8))
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / np.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / np.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu
+                        * cv
+                        * coef[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                    )
+            out[y, x] = s / 4.0
+    return out
+
+
+def test_constant_tiles_roundtrip_bit_exact():
+    rng = np.random.RandomState(7)
+    tiles = rng.randint(0, 256, size=(4, 5), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    w, h, rgb = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (40, 32)
+    assert np.array_equal(rgb, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_random_gray_roundtrip_within_one():
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, size=(24, 40), dtype=np.uint8)
+    w, h, rgb = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (40, 24)
+    assert np.abs(rgb[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+    # gray replicates identically to all three channels
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 1])
+    assert np.array_equal(rgb[:, :, 0], rgb[:, :, 2])
+
+
+def test_color_444_constant_within_rounding():
+    img = np.zeros((17, 19, 3), np.uint8)
+    img[:] = [200, 30, 90]
+    w, h, rgb = decode_jpeg(encode_jpeg(img, subsampling="444"))
+    assert (w, h) == (19, 17)
+    # one constant color in, one constant color out (4:4:4 keeps chroma
+    # resolution; only the YCbCr<->RGB double rounding remains)
+    assert len(np.unique(rgb.reshape(-1, 3), axis=0)) == 1
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_420_constant_within_rounding():
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:] = [12, 230, 101]
+    w, h, rgb = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert (w, h) == (16, 16)
+    assert len(np.unique(rgb.reshape(-1, 3), axis=0)) == 1
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_color_420_smooth_gradient_tolerance():
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack(
+        [(x * 2) % 256, (y * 3) % 256, ((x + y)) % 256], axis=2
+    ).astype(np.uint8)
+    w, h, rgb = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    assert (w, h) == (48, 32)
+    # 2x2 chroma box-average + replication: bounded by the local chroma
+    # gradient, far below any structural failure
+    assert np.abs(rgb.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_quant_table_roundtrips_through_dqt():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    q = np.full((8, 8), 16, dtype=np.uint8)  # heavier quant -> lossy
+    w, h, rgb = decode_jpeg(encode_jpeg(img, quant=q))
+    err = np.abs(rgb[:, :, 0].astype(int) - img.astype(int)).max()
+    assert 1 < err < 128  # lossy but sane — DQT was parsed and applied
+
+
+def test_non_multiple_of_eight_crops_correctly():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(9, 13), dtype=np.uint8)
+    w, h, rgb = decode_jpeg(encode_jpeg(img))
+    assert (w, h) == (13, 9)
+    assert rgb.shape == (9, 13, 3)
+
+
+def _handmade_jpeg(dc_quantized: int, quant_dc: int) -> bytes:
+    """Assemble an 8x8 single-component baseline JPEG byte-by-byte with
+    a MINIMAL custom Huffman alphabet (not the Annex K tables the
+    encoder uses): DC table {size 2 -> code '00' (2 bits)}, AC table
+    {EOB -> code '0' (1 bit)}. The scan encodes one block whose only
+    coefficient is DC = ``dc_quantized`` (2-bit magnitude)."""
+    assert dc_quantized in (2, 3), "2-bit positive magnitudes only"
+    out = bytearray(b"\xff\xd8")
+    # DQT: table 0, quant_dc everywhere (zigzag order irrelevant: uniform)
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + bytes([quant_dc] * 64)
+    # SOF0: 8-bit, 8x8, 1 component, no subsampling, qtable 0
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    # DHT DC table 0: one code of length 2, symbol 0x02 (size 2)
+    bits = [0] * 16
+    bits[1] = 1
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 1) + b"\x00" + bytes(bits) + bytes([0x02])
+    # DHT AC table 0: one code of length 1, symbol 0x00 (EOB)
+    bits = [0] * 16
+    bits[0] = 1
+    out += b"\xff\xc4" + struct.pack(">H", 19 + 1) + b"\x10" + bytes(bits) + bytes([0x00])
+    # SOS
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    # entropy: DC code '00' + 2 magnitude bits + AC EOB '0', padded with 1s
+    # dc=2 -> bits '10'; dc=3 -> bits '11'
+    mag = {2: 0b10, 3: 0b11}[dc_quantized]
+    byte = (0b00 << 6) | (mag << 4) | (0b0 << 3) | 0b111
+    out += bytes([byte])
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+@pytest.mark.parametrize("dc,quant", [(2, 4), (3, 4), (2, 16), (3, 90)])
+def test_handmade_jpeg_matches_naive_idct(dc, quant):
+    """Decoder vs an independent cosine-sum IDCT on a stream the
+    encoder never produced (custom Huffman alphabet, custom quant)."""
+    w, h, rgb = decode_jpeg(_handmade_jpeg(dc, quant))
+    assert (w, h) == (8, 8)
+    coef = np.zeros((8, 8))
+    coef[0, 0] = dc * quant  # dequantized DC
+    expected = np.clip(np.round(_naive_idct(coef) + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(rgb[:, :, 0], expected)
+    # and the closed form: DC-only block is constant DC/8 + 128
+    assert np.all(rgb[:, :, 0] == np.clip(round(dc * quant / 8 + 128), 0, 255))
+
+
+def test_restart_markers_reset_dc_prediction():
+    """DRI/RSTn path: re-encode the entropy segments of a 4-block image
+    into restart intervals of 1 MCU and check the decode is unchanged."""
+    rng = np.random.RandomState(9)
+    tiles = rng.randint(0, 256, size=(1, 4), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)  # 8x32, 4 MCUs
+    base = encode_jpeg(img)
+    # decode each single-tile image independently to get per-MCU scans
+    from databatchprotectionservice_spark.core.jpegcodec import (
+        _AC_LUMA,
+        _BitWriter,
+        _DC_LUMA,
+        _encode_blocks,
+        _huff_codes,
+        _plane_blocks,
+    )
+
+    sos = base.index(b"\xff\xda")
+    sos_len = struct.unpack(">H", base[sos + 2 : sos + 4])[0]
+    head = base[: sos]
+    # insert DRI (restart every 1 MCU)
+    head += b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    head += base[sos : sos + 2 + sos_len]
+    dc_l = _huff_codes(*_DC_LUMA)
+    ac_l = _huff_codes(*_AC_LUMA)
+    blocks, _, _ = _plane_blocks(img.astype(np.float64))
+    scan = bytearray()
+    for i, blk in enumerate(blocks):
+        wr = _BitWriter()
+        _encode_blocks(wr, blk[None], np.ones((8, 8)), dc_l, ac_l, 0)
+        scan += wr.flush()
+        if i < len(blocks) - 1:
+            scan += bytes([0xFF, 0xD0 + (i % 8)])
+    data = bytes(head) + bytes(scan) + b"\xff\xd9"
+    w, h, rgb = decode_jpeg(data)
+    assert np.array_equal(rgb, np.repeat(img[:, :, None], 3, axis=2))
+
+
+def test_progressive_and_garbage_raise():
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(b"\x89PNG not a jpeg")
+    # a progressive SOF2 header
+    data = (
+        b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(JpegFormatError, match="baseline"):
+        decode_jpeg(data)
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(encode_jpeg(np.zeros((8, 8), np.uint8))[:40])
+
+
+def test_zigzag_is_an_involution_free_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))

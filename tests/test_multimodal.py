@@ -45,8 +45,11 @@ def test_decode_real_requires_codec_for_unknown_formats(media):
 
 
 def test_decode_real_roundtrips_generated_images(spark, sf_dir):
-    """The real path end-to-end: text bytes -> PPM/BMP containers ->
-    real decoder -> raster md5 equals md5(text padded to the raster)."""
+    """The real path end-to-end: text bytes -> PPM/BMP/PNG/JPEG
+    containers -> real decoder -> raster md5 equals the closed form
+    (flat padded text for the lossless formats; the 8x8 constant-tile
+    expansion for baseline JPEG, which is bit-exact for constant blocks
+    under all-ones quantization)."""
     import numpy as np
 
     from databatchprotectionservice_spark.operators.multimodal import (
@@ -69,9 +72,20 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
     for doc_id, text in docs.items():
         r = decoded[doc_id]
         raw = text.encode("utf-8")
+        if doc_id % 4 == 3:  # JPEG constant-tile fixture
+            trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
+            tiles = np.frombuffer(
+                raw.ljust(trs * IMG_W, b" "), dtype=np.uint8
+            ).reshape(trs, IMG_W)
+            gray = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+            raster = np.repeat(gray[:, :, None], 3, axis=2).tobytes()
+            assert r.fmt == "jpeg"
+            assert (r.width, r.height) == (IMG_W * 8, trs * 8)
+            assert r.raster_md5 == hashlib.md5(raster).hexdigest()
+            continue
         h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
         raster = raw.ljust(IMG_W * h * 3, b" ")
-        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 3]
+        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 4]
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
