@@ -7,14 +7,24 @@ followed by frames, each an ASCII ``FRAME`` line plus a raw YUV raster.
 Fully specified, public, and decodable with pure numpy: parse the
 header parameters, then slice fixed-size frame rasters.
 
-Only ``C444`` (no chroma subsampling: one byte each of Y, U, V per
-pixel, plane-ordered) is implemented — its raster math is exact and
-byte-addressable, which keeps every downstream statistic integer-exact
-for the oracle. Subsampled layouts (C420 et al.) and compressed video
-(H.264/VP9/AV1) raise at the dispatch seam where ffmpeg would slot in.
+Supported colorspaces:
 
-The encoder exists for fixture construction and is round-trip tested;
-it is not a Spark sink.
+* ``C444`` — no chroma subsampling: one byte each of Y, U, V per
+  pixel, plane-ordered. Raster math is exact and byte-addressable.
+* ``C420`` (and its chroma-siting aliases ``C420jpeg`` / ``C420mpeg2``
+  / ``C420paldv``, which share the byte layout) — ffmpeg's DEFAULT
+  rawvideo output: full-res Y plane followed by half-res (w/2 x h/2)
+  U and V planes. The decoder upsamples chroma by 2x2 sample
+  REPLICATION, so every output byte is an exact copy of an input byte
+  and downstream statistics stay integer-exact for the oracle (each
+  chroma sample simply counts 4x).
+* ``C422`` — half-width chroma, same replication logic (2x1).
+
+Compressed video (H.264/VP9/AV1) raises at the dispatch seam where
+ffmpeg would slot in.
+
+The encoders exist for fixture construction and are round-trip tested;
+they are not a Spark sink.
 """
 
 from __future__ import annotations
@@ -44,9 +54,50 @@ def encode_y4m(
     return bytes(out)
 
 
+def encode_y4m_planar(
+    y: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    colorspace: str = "C420",
+    fps: tuple[int, int] = (25, 1),
+) -> bytes:
+    """Subsampled planar planes -> .y4m bytes. ``y`` is (n, h, w); ``u``
+    and ``v`` are (n, h//2, w//2) for C420* or (n, h, w//2) for C422."""
+    if y.dtype != np.uint8 or y.ndim != 3:
+        raise VideoFormatError("encode_y4m_planar expects (n, h, w) uint8 Y")
+    n, h, w = y.shape
+    base = colorspace[:4]
+    if base == "C420":
+        want = (n, h // 2, w // 2)
+    elif base == "C422":
+        want = (n, h, w // 2)
+    else:
+        raise VideoFormatError(f"encode_y4m_planar: unsupported {colorspace}")
+    if (
+        u.shape != want
+        or v.shape != want
+        or u.dtype != np.uint8
+        or v.dtype != np.uint8
+    ):
+        raise VideoFormatError(
+            f"chroma planes must be {want} uint8 for {colorspace}"
+        )
+    header = b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 %s\n" % (
+        w, h, fps[0], fps[1], colorspace.encode("ascii"),
+    )
+    out = bytearray(header)
+    for f in range(n):
+        out += b"FRAME\n"
+        out += y[f].tobytes() + u[f].tobytes() + v[f].tobytes()
+    return bytes(out)
+
+
 def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
     """.y4m bytes -> (width, height, (fps_num, fps_den), frames) with
-    frames a (n_frames, 3, h, w) uint8 planar ndarray."""
+    frames a (n_frames, 3, h, w) uint8 planar ndarray. For subsampled
+    colorspaces (C420*, C422) the chroma planes are upsampled to full
+    resolution by sample replication, so every emitted byte is an exact
+    copy of a stream byte."""
     nl = data.find(b"\n")
     if nl < 0 or not data.startswith(_MAGIC + b" "):
         raise VideoFormatError("not a YUV4MPEG2 stream")
@@ -71,12 +122,25 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
             raise VideoFormatError(f"bad Y4M header token {tok!r}") from exc
     if w is None or h is None or w <= 0 or h <= 0:
         raise VideoFormatError("Y4M header missing W/H")
-    if colorspace != "C444":
+    base = colorspace[:4]
+    if base == "C444":
+        cw, ch = w, h
+    elif base == "C420":  # covers C420, C420jpeg, C420mpeg2, C420paldv
+        if w % 2 or h % 2:
+            raise VideoFormatError(
+                f"C420 requires even dimensions, got {w}x{h}"
+            )
+        cw, ch = w // 2, h // 2
+    elif base == "C422":
+        if w % 2:
+            raise VideoFormatError(f"C422 requires even width, got {w}")
+        cw, ch = w // 2, h
+    else:
         raise VideoFormatError(
-            f"unsupported Y4M colorspace {colorspace} (only C444; "
-            "subsampled/compressed video needs an external codec)"
+            f"unsupported Y4M colorspace {colorspace} (C444/C420*/C422; "
+            "compressed video needs an external codec)"
         )
-    frame_bytes = w * h * 3
+    frame_bytes = w * h + 2 * cw * ch
     frames = []
     pos = nl + 1
     while pos < len(data):
@@ -89,9 +153,17 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
                 f"truncated frame: need {frame_bytes} bytes, "
                 f"have {len(raster)}"
             )
-        frames.append(
-            np.frombuffer(raster, dtype=np.uint8).reshape(3, h, w)
-        )
+        buf = np.frombuffer(raster, dtype=np.uint8)
+        if base == "C444":
+            frames.append(buf.reshape(3, h, w))
+        else:
+            yp = buf[: w * h].reshape(h, w)
+            up = buf[w * h : w * h + cw * ch].reshape(ch, cw)
+            vp = buf[w * h + cw * ch :].reshape(ch, cw)
+            # replication upsample: every byte an exact stream copy
+            up = np.repeat(np.repeat(up, h // ch, axis=0), w // cw, axis=1)
+            vp = np.repeat(np.repeat(vp, h // ch, axis=0), w // cw, axis=1)
+            frames.append(np.stack([yp, up, vp]))
         pos = fnl + 1 + frame_bytes
     if not frames:
         raise VideoFormatError("Y4M stream has no frames")

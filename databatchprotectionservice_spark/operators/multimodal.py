@@ -731,7 +731,7 @@ def multimodal_audio_wav_stats(spark, sf_dir):
 # REAL video decode — genuine Y4M (YUV4MPEG2) bytes through a genuine parser
 # ---------------------------------------------------------------------------
 
-VID_W, VID_H = 4, 2  # C444: frame raster = 4 * 2 * 3 = 24 bytes
+VID_W, VID_H = 4, 2  # C444 frame = 24 stream bytes; C420 frame = 12
 VID_SAMPLE_STRIDE = 2  # keep every 2nd frame
 _VIDEO_TABLE_SCHEMA = T.StructType(
     [
@@ -751,19 +751,29 @@ _VIDEO_STATS_SCHEMA = T.StructType(
 )
 
 
+#: C420 stream bytes per frame: full-res Y + two (w/2 x h/2) chroma planes
+VID_FB_420 = VID_W * VID_H + 2 * (VID_W // 2) * (VID_H // 2)
+
+
 def video_table(spark, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, source, payload) where payload is a REAL
-    YUV4MPEG2 C444 clip of ``(n_chars % 7) + 2`` frames whose raster
-    bytes follow the closed form ``(doc_id*13 + f*7 + j*3) % 256`` —
-    every decoded statistic is SQL-predictable with exact integers."""
+    YUV4MPEG2 clip of ``(n_chars % 7) + 2`` frames — C444 for even
+    doc_id, C420 (ffmpeg's default rawvideo layout) for odd — whose
+    STREAM bytes follow the closed form ``(doc_id*13 + f*7 + j*3) %
+    256`` over the frame's stream length (w*h*3 for C444,
+    w*h + 2*(w/2)*(h/2) for C420). Replication upsampling makes every
+    decoded byte an exact stream copy, so each decoded statistic stays
+    SQL-predictable with exact integers (a C420 chroma byte counts 4x
+    in plane sums)."""
     import numpy as np
 
-    from ..core.videocodec import encode_y4m
+    from ..core.videocodec import encode_y4m, encode_y4m_planar
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
     fb = VID_W * VID_H * 3
+    cw, ch = VID_W // 2, VID_H // 2
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -773,13 +783,29 @@ def video_table(spark, sf_dir: str) -> DataFrame:
             ):
                 nf = (int(n_chars or 0) % 7) + 2
                 f = np.arange(nf, dtype=np.int64)[:, None]
+                ids.append(doc_id)
+                srcs.append(source)
+                if doc_id % 2:  # C420
+                    j = np.arange(VID_FB_420, dtype=np.int64)[None, :]
+                    raster = ((doc_id * 13 + f * 7 + j * 3) % 256).astype(
+                        np.uint8
+                    )
+                    y = raster[:, : VID_W * VID_H].reshape(
+                        nf, VID_H, VID_W
+                    )
+                    u = raster[
+                        :, VID_W * VID_H : VID_W * VID_H + cw * ch
+                    ].reshape(nf, ch, cw)
+                    v = raster[:, VID_W * VID_H + cw * ch :].reshape(
+                        nf, ch, cw
+                    )
+                    payloads.append(encode_y4m_planar(y, u, v, "C420"))
+                    continue
                 j = np.arange(fb, dtype=np.int64)[None, :]
                 raster = ((doc_id * 13 + f * 7 + j * 3) % 256).astype(
                     np.uint8
                 )
                 frames = raster.reshape(nf, 3, VID_H, VID_W)
-                ids.append(doc_id)
-                srcs.append(source)
                 payloads.append(encode_y4m(frames))
             yield pd.DataFrame(
                 {
@@ -794,41 +820,63 @@ def video_table(spark, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_video_frame_stats",
-    # the raster is closed-form, so DuckDB recomputes the sampled-frame
-    # statistics from first principles — all EXACT integer math
+    # the stream is closed-form, so DuckDB recomputes the sampled-frame
+    # statistics from first principles — all EXACT integer math. For the
+    # C420 clips (odd doc_id) each chroma stream byte is replicated 2x2
+    # by the decoder's upsample, so it carries weight 4 in the sum and
+    # the frame's stream length is w*h + 2*(w/2)*(h/2); the max is
+    # weight-free because replication adds no new values.
     oracle=f"""
         WITH clips AS (
-            SELECT source,
+            SELECT source, doc_id,
                    (n_chars % 7) + 2 AS nf,
+                   CASE WHEN doc_id % 2 = 0 THEN {VID_W * VID_H * 3}
+                        ELSE {VID_FB_420} END AS fb
+            FROM documents
+        ),
+        vals AS (
+            SELECT source, nf,
                    flatten(list_transform(
-                       list_filter(range(0, (n_chars % 7) + 2),
+                       list_filter(range(0, nf),
                                    f -> f % {VID_SAMPLE_STRIDE} = 0),
-                       f -> list_transform(range(0, {VID_W * VID_H * 3}),
+                       f -> list_transform(range(0, fb),
+                           j -> ((doc_id * 13 + f * 7 + j * 3) % 256)
+                                * (CASE WHEN doc_id % 2 = 0
+                                        OR j < {VID_W * VID_H}
+                                   THEN 1 ELSE 4 END))))
+                       AS weighted,
+                   flatten(list_transform(
+                       list_filter(range(0, nf),
+                                   f -> f % {VID_SAMPLE_STRIDE} = 0),
+                       f -> list_transform(range(0, fb),
                            j -> (doc_id * 13 + f * 7 + j * 3) % 256)))
                        AS sampled
-            FROM documents
+            FROM clips
         )
         SELECT source,
                count(*) AS n_clips,
                CAST(sum(nf) AS BIGINT) AS total_frames,
                CAST(sum((nf + 1) // {VID_SAMPLE_STRIDE}) AS BIGINT)
                    AS total_sampled,
-               CAST(sum(list_aggregate(sampled, 'sum')) AS BIGINT)
+               CAST(sum(list_aggregate(weighted, 'sum')) AS BIGINT)
                    AS sampled_bytes_sum,
                CAST(max(list_aggregate(sampled, 'max')) AS BIGINT)
                    AS max_byte
-        FROM clips
+        FROM vals
         GROUP BY source
     """,
-    description="REAL video decode: YUV4MPEG2 C444 header parse + frame "
-    "slice -> every-2nd-frame sampling -> exact integer raster stats",
+    description="REAL video decode: YUV4MPEG2 C444 + C420 (replication "
+    "upsample) header parse + frame slice -> every-2nd-frame sampling "
+    "-> exact integer raster stats",
 )
 def multimodal_video_frame_stats(spark, sf_dir):
     """Y4M clips decoded by the genuine parser (``core/videocodec.py``):
     stream-header parse (W/H/F/C tags), per-frame FRAME-marker walk,
-    raster slice — then frame sampling (every ``VID_SAMPLE_STRIDE``-th
-    frame, the standard preprocessing step for video training data) and
-    integer statistics over the sampled rasters, aggregated per source.
+    raster slice, C420 chroma replication-upsample for the odd-doc_id
+    clips (ffmpeg's default rawvideo layout) — then frame sampling
+    (every ``VID_SAMPLE_STRIDE``-th frame, the standard preprocessing
+    step for video training data) and integer statistics over the
+    sampled rasters, aggregated per source.
     The oracle recomputes everything from the closed-form signal: a
     parser that misparses one header tag, misaligns one frame, or
     samples the wrong frames hash-mismatches.
