@@ -254,6 +254,29 @@ IVF_PROBES = 2
 #: broadcast centroids and assign/search distributed. At the test scale
 #: factors the cap exceeds the table, so training sees every vector.
 IVF_TRAIN_CAP = 131_072
+#: At or below this corpus size nlist is EXACTLY ``IVF_K`` — the regime
+#: the SQL oracle states (16 centroids, 2 unrolled Lloyd's rounds).
+#: Above it, nlist doubles with every corpus doubling (the FAISS sizing
+#: rule: nlist grows ~O(N) here rather than sqrt(N) because the probed
+#: scan per query costs IVF_PROBES * N / nlist — keeping cluster size
+#: ~constant keeps per-query search cost ~constant while index build
+#: stays one linear assignment pass). Trade-off, as FAISS documents:
+#: larger nlist = faster probes but lower recall at fixed nprobe; the
+#: cap bounds centroid-broadcast size (1024 * 64 doubles = 512 KB).
+IVF_NLIST_BASE_N = 4096
+IVF_NLIST_MAX = 1024
+
+
+def ivf_nlist(n_vectors: int) -> int:
+    """Corpus-size-adaptive cluster count (= IVF_K at oracle scales)."""
+    import math
+
+    if n_vectors <= IVF_NLIST_BASE_N:
+        return IVF_K
+    return min(
+        IVF_NLIST_MAX,
+        IVF_K * (1 << math.ceil(math.log2(n_vectors / IVF_NLIST_BASE_N))),
+    )
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -436,7 +459,11 @@ def similarity_ivf_topk(spark, sf_dir):
 
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
-    centroids = train_ivf_centroids(spark, emb)
+    # adaptive nlist (FAISS sizing): parquet-metadata count, then train.
+    # At oracle scales (<= IVF_NLIST_BASE_N vectors) this is exactly
+    # IVF_K, so the fixed 16-centroid SQL oracle stays the contract.
+    nlist = ivf_nlist(emb.count())
+    centroids = train_ivf_centroids(spark, emb, k=nlist)
     # cache: this lineage (arrow-UDF assignment over the full table) is
     # consumed three times — the query-row collect, the candidate join,
     # and the final execute; without the cache each re-runs the UDF scan

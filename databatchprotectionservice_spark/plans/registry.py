@@ -169,6 +169,7 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "export_jsonl_roundtrip",
         "dedup_incremental_minhash",
         "dedup_connected_clusters",
+        "similarity_ivf_topk",  # adaptive nlist (already in the window)
     }
 )
 
