@@ -14,12 +14,9 @@ before returning; no data-sized collect happens.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-
 from pyspark.sql import functions as F
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, prep, register, remove_path, scratch_path
 from ..sources.compaction import compact
 
 COMPACT_TARGET_BYTES = 256 * 1024  # small target => several files even at sf0.01
@@ -42,8 +39,8 @@ COMPACT_TARGET_BYTES = 256 * 1024  # small target => several files even at sf0.0
 def compact_documents_roundtrip(spark, sf_dir):
     prep(spark)
     src = load(spark, sf_dir, "documents")
-    in_dir = tempfile.mkdtemp(prefix="dbps_compact_in_")
-    out_dir = tempfile.mkdtemp(prefix="dbps_compact_out_")
+    in_dir = scratch_path("dbps_compact_in_")
+    out_dir = scratch_path("dbps_compact_out_")
     try:
         # stage a copy (the testdata dir is read-only; a real deployment
         # compacts in place between ingest and scan)
@@ -70,8 +67,8 @@ def compact_documents_roundtrip(spark, sf_dir):
             .collect()
         )
     finally:
-        shutil.rmtree(in_dir, ignore_errors=True)
-        shutil.rmtree(out_dir, ignore_errors=True)
+        remove_path(spark, in_dir)
+        remove_path(spark, out_dir)
     return spark.createDataFrame(
         stats,
         "source string, n_docs bigint, total_bytes bigint, "
@@ -107,15 +104,15 @@ def export_jsonl_roundtrip(spark, sf_dir):
     member per partition, no shuffle); the re-read passes an EXPLICIT
     schema, skipping ``spark.read.json``'s inference pass — at scale
     inference is a second full scan of the corpus. Stats are bounded by
-    the source cardinality; no data-sized collect."""
-    import shutil
-    import tempfile
-
+    the source cardinality; no data-sized collect. The export target is
+    ``scratch_path`` — on a cluster, ``$SPARK_GRAFT_SCRATCH`` names the
+    shared filesystem all executors write to; the driver-local tempdir
+    fallback is only correct in local mode (the test rig)."""
     prep(spark)
     src = load(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source"
     )
-    out_dir = tempfile.mkdtemp(prefix="dbps_jsonl_")
+    out_dir = scratch_path("dbps_jsonl_")
     try:
         src.write.mode("overwrite").option("compression", "gzip").json(out_dir)
         back = spark.read.schema(
@@ -133,7 +130,7 @@ def export_jsonl_roundtrip(spark, sf_dir):
             .collect()
         )
     finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+        remove_path(spark, out_dir)
     return spark.createDataFrame(
         stats,
         "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "

@@ -65,6 +65,39 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 SPREAD_MIN_BYTES_LIGHT = 16 << 20
 
 
+def scratch_path(prefix: str) -> str:
+    """Scratch location for intermediate datasets written and re-read by
+    executors (compaction copies, JSONL exports).
+
+    On a CLUSTER this must be a shared filesystem every executor can
+    reach: set ``$SPARK_GRAFT_SCRATCH`` to an HDFS/S3/NFS URI and each
+    call returns a fresh unique directory under it. Without the env var
+    (local mode — tests, the driver rig) it falls back to a driver-local
+    tempdir, which is only correct when driver and executors share one
+    machine. Pair with :func:`remove_path`, which deletes through the
+    Hadoop filesystem API so cleanup works for either scheme."""
+    import tempfile
+    import uuid
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        return root.rstrip("/") + f"/{prefix}{uuid.uuid4().hex}"
+    return tempfile.mkdtemp(prefix=prefix)
+
+
+def remove_path(spark: SparkSession, path: str) -> None:
+    """Recursive delete via the Hadoop FS API — scheme-agnostic (local
+    path, HDFS, S3A, ...), so scratch cleanup is correct on a cluster
+    where ``shutil`` could only ever see the driver's own disk."""
+    try:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(jpath, True)
+    except Exception:  # noqa: BLE001 - cleanup must never fail the query
+        pass
+
+
 def _scan_bytes(spark: SparkSession, path: str) -> int | None:
     """Total bytes under ``path`` via the Hadoop FS (works for any
     Spark-supported scheme); None when the estimate is unavailable."""
@@ -170,6 +203,7 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "dedup_incremental_minhash",
         "dedup_connected_clusters",
         "similarity_ivf_topk",  # adaptive nlist (already in the window)
+        "compact_documents_roundtrip",  # scratch_path/remove_path swap
     }
 )
 
