@@ -267,18 +267,31 @@ def curate_seed_similarity(spark, sf_dir):
 
     100 TB shape: the doc↔vector equi-join is the one real shuffle —
     co-locate it for free by bucketing both tables on the id (the
-    bucketed-join machinery in ``operators/bucketing.py``); the seed
-    side is a 1-row broadcast however large the corpus; both filters
-    sit before the aggregate so survivors, not the corpus, cross the
-    final exchange."""
-    from .similarity import cosine
-
+    bucketed-join machinery in ``operators/bucketing.py``;
+    ``tests/test_plan_shapes.py::test_curate_join_colocated_when_bucketed``
+    runs THIS exact pipeline over bucketed twins and pins the
+    Exchange-free sort-merge join — the only hash exchange left is the
+    final per-source aggregate); the seed side is a 1-row broadcast
+    however large the corpus; both filters sit before the aggregate so
+    survivors, not the corpus, cross the final exchange."""
     prep(spark)
     d = load(spark, sf_dir, "documents")
     e = load(spark, sf_dir, "embeddings")
     seed = e.filter(F.col("vec_id") == SEED_VEC_ID).select(
         F.col("embedding").alias("qe")
     )
+    return curate_pipeline(
+        d, e.select(F.col("vec_id").alias("doc_id"), "embedding"), seed
+    )
+
+
+def curate_pipeline(d, e_by_doc, seed):
+    """The curate dataflow on arbitrary inputs: ``d`` (doc_id, text,
+    source), ``e_by_doc`` (doc_id, embedding), ``seed`` (one row, qe).
+    Shared by the registered query (plain parquet scans) and the
+    bucketed-twin plan test (co-located scans)."""
+    from .similarity import cosine
+
     n_tokens = F.when(
         F.length(F.trim("text")) == 0, F.lit(0)
     ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
@@ -291,7 +304,7 @@ def curate_seed_similarity(spark, sf_dir):
         )
     )
     joined = (
-        d.join(e.select(F.col("vec_id").alias("doc_id"), "embedding"), "doc_id")
+        d.join(e_by_doc, "doc_id")
         .crossJoin(F.broadcast(seed))
         .select(
             "source",

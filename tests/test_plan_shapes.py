@@ -213,3 +213,70 @@ def test_distributed_cc_never_collects_to_driver(spark, sf_dir, queries):
     assert "Scan ExistingRDD" not in plan
     # the min-label rounds are joins + partial-aggregated mins
     assert "Join" in plan and "HashAggregate" in plan
+
+
+def test_curate_join_colocated_when_bucketed(spark, sf_dir):
+    """curate_seed_similarity's docstring claims the doc<->embedding
+    equi-join co-locates for free over tables bucketed on the id. Prove
+    it: run the EXACT curate pipeline over bucketed twins and pin the
+    Exchange-free sort-merge join — the only hash exchange left is the
+    final per-source aggregate."""
+    from pyspark.sql import functions as F
+
+    from databatchprotectionservice_spark.operators.sampling import (
+        SEED_VEC_ID,
+        curate_pipeline,
+    )
+    from databatchprotectionservice_spark.plans.registry import load
+    from databatchprotectionservice_spark.sources.bucketing import (
+        write_bucketed,
+    )
+
+    tag = "".join(c if c.isalnum() else "_" for c in sf_dir.strip("/"))
+    t_docs = f"dbps_bucketed_{tag}_curate_docs"
+    t_embs = f"dbps_bucketed_{tag}_curate_embs"
+    write_bucketed(
+        load(spark, sf_dir, "documents").select("doc_id", "text", "source"),
+        t_docs,
+        ["doc_id"],
+        num_buckets=8,
+        sort_cols=["doc_id"],
+    )
+    write_bucketed(
+        load(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").alias("doc_id"), "embedding"
+        ),
+        t_embs,
+        ["doc_id"],
+        num_buckets=8,
+        sort_cols=["doc_id"],
+    )
+    d = spark.table(t_docs)
+    e = spark.table(t_embs)
+    seed = (
+        load(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == SEED_VEC_ID)
+        .select(F.col("embedding").alias("qe"))
+    )
+    # at sf0.001 AQE would broadcast the tiny sides, hiding the layout
+    # property under test; at 100 TB neither side is broadcastable, so
+    # pin the at-scale shape by disabling the broadcast threshold
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bucketed = curate_pipeline(d, e, seed)
+        plan = _plan(bucketed)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan
+    n_hash_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_hash_exchanges == 1  # the aggregate, never the join
+    # and the bucketed result matches the plain-scan registered query
+    from databatchprotectionservice_spark.plans.registry import all_queries
+
+    expected = sorted(
+        map(tuple, all_queries()["curate_seed_similarity"](spark, sf_dir).collect())
+    )
+    assert sorted(map(tuple, bucketed.collect())) == expected
