@@ -56,12 +56,15 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 #: spread threshold for call sites whose per-row work is LIGHT (keystream
-#: XOR, simple column math): below this scan size the repartition's fixed
-#: cost (exchange + 32-task scheduling + Python-worker fan-out) exceeds
-#: the parallelism win — measured 2x slower at sf0.1 on the 300 KB
-#: customer scans. Heavy per-row call sites (AES-SIV, shingling, vector
-#: math) pass 0 and spread at any size: AES over the 2 MB events table
-#: already wins 0.82 s vs 1.25 s.
+#: XOR, batched AES-SIV, simple column math): below this scan size the
+#: repartition's fixed cost (exchange + 32-task scheduling +
+#: Python-worker fan-out) exceeds the parallelism win — measured 2x
+#: slower at sf0.1 on the 300 KB customer scans. Heavy per-row call
+#: sites (shingling, vector math, media codecs) pass 0 and spread at
+#: any size. AES-SIV moved from the heavy to the light class when the
+#: r6 BatchSIV kernel landed (100k int64s encrypt in ~22 ms single-core;
+#: the r7 re-measure put the un-spread events roundtrip at 0.62 s vs
+#: 0.96 s spread at sf0.1).
 SPREAD_MIN_BYTES_LIGHT = 16 << 20
 
 
@@ -182,8 +185,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      joins multimodal_video_frame_stats; dedup_clusters_distributed
 #      (NEW — forces the Pregel CC branch); export_jsonl_roundtrip
 #      (shared-filesystem staging); dedup_incremental_minhash
-#      (hot-bucket guard); dedup_connected_clusters (shared
-#      connected_components refactor).
+#      (hot-bucket guard); protect_roundtrip_events_aes (BatchSIV
+#      reclassified AES as light spread work — the scan no longer
+#      repartitions at sf0.1).
 # Queries scored green in r6 with unchanged implementations wait for
 # the r8 rotation.  tests/test_registry_order.py asserts this policy
 # mechanically: every query whose last green CORRECTNESS verdict is
@@ -201,9 +205,18 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "dedup_clusters_distributed",
         "export_jsonl_roundtrip",
         "dedup_incremental_minhash",
-        "dedup_connected_clusters",
         "similarity_ivf_topk",  # adaptive nlist (already in the window)
+        "protect_roundtrip_events_aes",  # spread-guard change (plan shape)
         "compact_documents_roundtrip",  # scratch_path/remove_path swap
+        # curate_seed_similarity and dedup_connected_clusters are
+        # deliberately NOT listed: their r7 changes are pure
+        # extract-function refactors (curate_pipeline /
+        # connected_components) with identical dataflows, re-verified
+        # hash-green via scripts/check_oracle.py after the change (and
+        # covered by the bucketed-twin plan test / the new
+        # dedup_clusters_distributed query, which exercises the shared
+        # helper's distributed branch under the driver gate); both were
+        # r6-driver-scored and rotate back in r8
     }
 )
 
@@ -262,7 +275,7 @@ _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
     "dedup_clusters_distributed",
     "export_jsonl_roundtrip",
     "dedup_incremental_minhash",
-    "dedup_connected_clusters",
+    "protect_roundtrip_events_aes",
 )
 
 
