@@ -82,6 +82,57 @@ void dbps_xor_elements(uint8_t* data, const int64_t* offsets, int64_t count,
         for (int64_t j = 0; j < len; j++) p[j] ^= ks[j];
     }
 }
+
+/* Undo PNG scanline filtering (spec filters 0-4) for a whole image.
+   raw: h rows of [filter byte][stride bytes]; out: h*stride recon.
+   The row above row 0 is all zeros, per spec. Returns 0 ok / 1 on an
+   unknown filter type (mirrors the numpy path's error). */
+int dbps_png_unfilter(const uint8_t* raw, int64_t h, int64_t stride,
+                      int64_t bpp, uint8_t* out) {
+    for (int64_t y = 0; y < h; y++) {
+        const uint8_t* src = raw + y * (stride + 1) + 1;
+        uint8_t f = raw[y * (stride + 1)];
+        uint8_t* rec = out + y * stride;
+        const uint8_t* prev = y ? out + (y - 1) * stride : 0;
+        int64_t x;
+        switch (f) {
+        case 0:
+            memcpy(rec, src, (size_t)stride);
+            break;
+        case 1:
+            for (x = 0; x < stride; x++)
+                rec[x] = (uint8_t)(src[x] + (x >= bpp ? rec[x - bpp] : 0));
+            break;
+        case 2:
+            for (x = 0; x < stride; x++)
+                rec[x] = (uint8_t)(src[x] + (prev ? prev[x] : 0));
+            break;
+        case 3:
+            for (x = 0; x < stride; x++) {
+                int a = x >= bpp ? rec[x - bpp] : 0;
+                int b = prev ? prev[x] : 0;
+                rec[x] = (uint8_t)(src[x] + ((a + b) >> 1));
+            }
+            break;
+        case 4:
+            for (x = 0; x < stride; x++) {
+                int a = x >= bpp ? rec[x - bpp] : 0;
+                int b = prev ? prev[x] : 0;
+                int c = (prev && x >= bpp) ? prev[x - bpp] : 0;
+                int p = a + b - c;
+                int pa = p > a ? p - a : a - p;
+                int pb = p > b ? p - b : b - p;
+                int pc = p > c ? p - c : c - p;
+                int pred = (pa <= pb && pa <= pc) ? a : (pb <= pc ? b : c);
+                rec[x] = (uint8_t)(src[x] + pred);
+            }
+            break;
+        default:
+            return 1;
+        }
+    }
+    return 0;
+}
 """
 
 _U8P = ctypes.POINTER(ctypes.c_uint8)
@@ -130,6 +181,10 @@ def _compile() -> ctypes.CDLL | None:
         ]
         lib.dbps_xor_elements.restype = None
         lib.dbps_xor_elements.argtypes = [_U8P, _I64P, ctypes.c_int64, _U8P]
+        lib.dbps_png_unfilter.restype = ctypes.c_int
+        lib.dbps_png_unfilter.argtypes = [
+            _U8P, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, _U8P,
+        ]
         return lib
     except OSError:
         return None
@@ -176,4 +231,16 @@ def xor_elements(
     out = np.array(flat, dtype=np.uint8, copy=True)
     offsets = np.ascontiguousarray(offsets, dtype=np.int64)
     LIB.dbps_xor_elements(_u8(out), _i64(offsets), len(offsets) - 1, _u8(ks))
+    return out
+
+
+def png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Whole-image PNG unfilter at C speed; returns the (h, stride)
+    reconstruction. Raises ValueError on an unknown filter type so the
+    caller maps it to its own error class."""
+    raw = np.ascontiguousarray(raw, dtype=np.uint8)
+    out = np.empty((h, stride), dtype=np.uint8)
+    err = LIB.dbps_png_unfilter(_u8(raw), h, stride, bpp, _u8(out))
+    if err:
+        raise ValueError("bad PNG filter type")
     return out

@@ -211,10 +211,23 @@ def _png_unfilter(
     raw: np.ndarray, h: int, w: int, bpp: int
 ) -> np.ndarray:
     """Undo PNG scanline filtering. ``raw`` is (h, 1 + w*bpp) uint8 with
-    the filter byte in column 0. Filters None/Up are vectorized per
-    row; Sub is a cumulative sum with stride bpp; Average/Paeth carry a
-    left-neighbor dependency and run per pixel (PNG spec §6)."""
+    the filter byte in column 0.
+
+    Fast path: the whole image unfilters through the ``core/_native``
+    C helper (the same optional-compiler mechanism as the page codecs).
+    Fallback: filters None/Up are vectorized per row, Sub is a strided
+    cumulative sum, and Average/Paeth — whose left-neighbor dependency
+    (PNG spec §6) forbids full vectorization — run as a per-PIXEL loop
+    over bpp-wide numpy lanes (all channels of a pixel at once), not
+    per byte: O(h*w) interpreter iterations instead of O(h*w*bpp)."""
+    from . import _native
+
     stride = w * bpp
+    if _native.LIB is not None:
+        try:
+            return _native.png_unfilter(raw, h, stride, bpp)
+        except ValueError as exc:
+            raise ImageFormatError(str(exc)) from exc
     out = np.zeros((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
     for y in range(h):
@@ -227,27 +240,33 @@ def _png_unfilter(
         elif ftype == 2:  # Up
             rec = line + prev
         elif ftype == 3:  # Average
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                rec[x] = line[x] + ((a + int(prev[x])) >> 1)
-                rec[x] &= 0xFF
+            line2 = line.reshape(w, bpp)
+            prev2 = prev.astype(np.int32).reshape(w, bpp)
+            rec2 = np.empty((w, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                a = (line2[i] + ((a + prev2[i]) >> 1)) & 0xFF
+                rec2[i] = a
+            rec = rec2.reshape(stride)
         elif ftype == 4:  # Paeth
-            rec = np.empty(stride, dtype=np.int32)
-            for x in range(stride):
-                a = rec[x - bpp] if x >= bpp else 0
-                b = int(prev[x])
-                cc = int(prev[x - bpp]) if x >= bpp else 0
+            line2 = line.reshape(w, bpp)
+            prev2 = prev.astype(np.int32).reshape(w, bpp)
+            rec2 = np.empty((w, bpp), dtype=np.int32)
+            a = np.zeros(bpp, dtype=np.int32)
+            cc = np.zeros(bpp, dtype=np.int32)
+            for i in range(w):
+                b = prev2[i]
                 p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                if pa <= pb and pa <= pc:
-                    pred = a
-                elif pb <= pc:
-                    pred = b
-                else:
-                    pred = cc
-                rec[x] = line[x] + pred
-                rec[x] &= 0xFF
+                pa = np.abs(p - a)
+                pb = np.abs(p - b)
+                pc = np.abs(p - cc)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc)
+                )
+                a = (line2[i] + pred) & 0xFF
+                rec2[i] = a
+                cc = b
+            rec = rec2.reshape(stride)
         else:
             raise ImageFormatError(f"bad PNG filter type {ftype}")
         prev = (rec & 0xFF).astype(np.uint8)

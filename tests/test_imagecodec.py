@@ -247,3 +247,33 @@ def test_png_errors():
         decode_image(mk(color=3))  # palette
     with pytest.raises(ImageFormatError, match="interlaced"):
         decode_image(mk(interlace=1))
+
+
+def test_png_unfilter_native_and_numpy_paths_agree():
+    """The C fast path and the bpp-laned numpy fallback must produce
+    identical reconstructions for every filter type (same guarantee the
+    page codecs pin for their native/numpy pairs)."""
+    import numpy as np
+
+    from databatchprotectionservice_spark.core import _native
+    from databatchprotectionservice_spark.core.imagecodec import (
+        _png_unfilter,
+    )
+
+    if _native.LIB is None:
+        import pytest
+
+        pytest.skip("no C compiler on this rig — numpy path already covered")
+    rng = np.random.RandomState(13)
+    for bpp in (3, 4):
+        w, h = 17, 11
+        stride = w * bpp
+        raw = rng.randint(0, 256, size=(h, 1 + stride), dtype=np.uint8)
+        raw[:, 0] = np.arange(h) % 5  # cycle through all filter types
+        native = _native.png_unfilter(raw, h, stride, bpp)
+        lib, _native.LIB = _native.LIB, None
+        try:
+            fallback = _png_unfilter(raw, h, w, bpp)
+        finally:
+            _native.LIB = lib
+        assert np.array_equal(native, fallback)
