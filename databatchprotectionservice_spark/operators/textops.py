@@ -680,3 +680,175 @@ def text_repetition_scores(spark, sf_dir):
         .cast("bigint")
         .alias("repetitive"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Passage-level exact-substring duplication (cross-doc boilerplate)
+# ---------------------------------------------------------------------------
+
+#: words per passage shingle — long enough that a match is verbatim
+#: boilerplate (license headers, navigation chrome, templated intros),
+#: the signal the "deduplicating training data" line of work removes at
+#: the passage level rather than the whole-document level
+PASSAGE_N = 8
+
+
+@register(
+    "dedup_repeated_passages",
+    oracle=f"""
+        WITH g AS (
+            SELECT doc_id, source,
+                   unnest(list_distinct(
+                       [array_to_string(w[i:i+{PASSAGE_N - 1}], ' ')
+                        for i in range(1,
+                            greatest(len(w) - {PASSAGE_N - 1}, 1) + 1)]))
+                       AS gram
+            FROM (SELECT doc_id, source,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        d AS (
+            SELECT gram, count(*) AS df FROM g
+            GROUP BY gram HAVING count(*) >= 2
+        ),
+        hit AS (
+            SELECT g.doc_id, g.source, d.df
+            FROM g JOIN d USING (gram)
+        ),
+        per_doc AS (
+            SELECT doc_id, source, count(*) AS n_rep, max(df) AS mx
+            FROM hit GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_docs_affected,
+               CAST(sum(n_rep) AS BIGINT) AS n_repeated_passages,
+               CAST(max(mx) AS BIGINT) AS max_passage_df
+        FROM per_doc
+        GROUP BY source
+    """,
+    description=f"passage-level exact-substring dup detection: verbatim "
+    f"{PASSAGE_N}-word runs recurring across documents (cross-doc "
+    "boilerplate), per-source impact",
+)
+def dedup_repeated_passages(spark, sf_dir):
+    """Exact SUBSTRING-level duplication — the dimension whole-document
+    dedup misses: two distinct documents sharing a verbatim 8-word run
+    (license boilerplate, scraped navigation chrome, templated intros).
+    Inverted-index shape, not pairwise: per-doc distinct passage
+    shingles are hashed to 16-byte digests, the corpus-wide document
+    frequency per digest comes from one map-side-combined groupBy, and
+    passages with df >= 2 join back to tag the affected docs. Intra-doc
+    repeats are excluded up front (``array_distinct``) —
+    ``text_repetition_scores`` owns that signal.
+
+    100 TB shape: text never shuffles — both exchanges carry md5
+    digests; the df aggregate collapses map-side to one row per
+    distinct passage; no self-join exists anywhere, so there is no
+    quadratic bucket to guard (unlike the pair-forming LSH ops: the
+    digest join fans out per containing doc, linear in corpus size)."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        "source",
+        F.explode(_word_ngrams(F.col("text"), PASSAGE_N)).alias("gram"),
+    ).select("doc_id", "source", F.md5("gram").alias("gid"))
+    df_tbl = (
+        ex.groupBy("gid")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= 2)
+    )
+    hit = ex.join(df_tbl, "gid")
+    per_doc = hit.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_rep"), F.max("df").alias("mx")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs_affected"),
+        F.sum("n_rep").cast("bigint").alias("n_repeated_passages"),
+        F.max("mx").cast("bigint").alias("max_passage_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal scoring (float-free perplexity proxy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_surprisal",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, source, unnest(
+                regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+        tot AS (SELECT count(*) AS n FROM tok),
+        scored AS (
+            SELECT t.doc_id, t.source,
+                   length(format('{:b}', tot.n // cnt.c)) - 1 AS surp
+            FROM tok t JOIN cnt ON t.w = cnt.w CROSS JOIN tot
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   count(*) AS n_tok,
+                   sum(surp) AS s
+            FROM scored GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+               CAST(sum(s) AS BIGINT) AS sum_surprisal,
+               CAST(sum(s) * 10000 // sum(n_tok) AS BIGINT)
+                   AS avg_surprisal_e4
+        FROM per_doc
+        GROUP BY source
+    """,
+    description="corpus-unigram LM surprisal scoring: integer "
+    "floor(log2(N/count)) per token — the float-free formulation of "
+    "perplexity-based quality filtering",
+)
+def text_unigram_surprisal(spark, sf_dir):
+    """Unigram language-model scoring — the classic perplexity-style
+    quality filter (rank documents by how surprising their tokens are
+    under a corpus-trained LM), formulated FLOAT-FREE so the oracle is
+    exact: each token's surprisal is the integer
+    ``floor(log2(N / count(w)))`` (0 for the most common words, large
+    for rare ones — exactly the quantized ``-log2 p(w)`` up to the
+    constant ``log2 N``), integers sum without order hazards, and the
+    per-source average ships as a 1e4-scaled integer division.
+
+    100 TB shape: one groupBy over tokens (map-side combined to the
+    vocabulary size), the corpus total N as a 1-row broadcast, one join
+    of tokens to vocab counts (broadcastable: vocabularies are tiny
+    next to corpora), one final low-cardinality aggregate. The token
+    explosion itself never materializes text beyond each token."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    )
+    cnt = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tok.join(F.broadcast(cnt), "w")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "source",
+            (
+                F.length(F.expr("bin(n div c)")) - F.lit(1)
+            ).cast("bigint").alias("surp"),
+        )
+    )
+    per_doc = scored.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("surp").alias("s")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("sum_tokens"),
+        F.sum("s").cast("bigint").alias("sum_surprisal"),
+        F.expr("CAST(sum(s) * 10000 div sum(n_tok) AS BIGINT)").alias(
+            "avg_surprisal_e4"
+        ),
+    )

@@ -222,6 +222,19 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
 
 SCORE_WINDOW = 50  # entries the driver's sweep scores per round
 
+#: Queries REGISTERED this round after the 50-slot window was already
+#: committed to the max-staleness rotation (44 stale + 6 changed-impl).
+#: They cannot displace a stale or changed query without breaking the
+#: freshness guarantees, so instead they are pinned to the positions
+#: IMMEDIATELY AFTER the window (first in line for the r8 rotation) and
+#: carry a judge-side verdict now: scripts/check_oracle.py hash-checked
+#: both on registration. tests/test_registry_order.py enforces the
+#: position pin.
+NEW_AFTER_WINDOW: tuple[str, ...] = (
+    "dedup_repeated_passages",
+    "text_unigram_surprisal",
+)
+
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
     # 1 — last official verdict r4
     "sql_q1_via_views",
@@ -281,8 +294,9 @@ _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
 
 def _ordered_specs() -> list[QuerySpec]:
     _ensure_loaded()
-    first = [REGISTRY[n] for n in _SCORE_FIRST if n in REGISTRY]
-    rest = [s for n, s in REGISTRY.items() if n not in _SCORE_FIRST]
+    lead = _SCORE_FIRST + NEW_AFTER_WINDOW
+    first = [REGISTRY[n] for n in lead if n in REGISTRY]
+    rest = [s for n, s in REGISTRY.items() if n not in set(lead)]
     return first + rest
 
 

@@ -280,3 +280,27 @@ def test_curate_join_colocated_when_bucketed(spark, sf_dir):
         map(tuple, all_queries()["curate_seed_similarity"](spark, sf_dir).collect())
     )
     assert sorted(map(tuple, bucketed.collect())) == expected
+
+
+def test_repeated_passages_shuffles_digests_not_text(spark, sf_dir, queries):
+    """The inverted-index shape: every hash exchange carries 16-byte
+    md5 digests (gid), never text or the passage string itself."""
+    plan = _plan(queries["dedup_repeated_passages"](spark, sf_dir))
+    hash_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) >= 2  # df groupBy + the digest join
+    for line in hash_exchanges:
+        assert "text" not in line and "gram" not in line
+
+
+def test_unigram_surprisal_vocab_join_broadcasts(spark, sf_dir, queries):
+    """Vocabulary counts and the 1-row corpus total broadcast to the
+    token stream; the token->vocab join must never sort-merge (at scale
+    the vocab is tiny next to the corpus)."""
+    plan = _plan(queries["text_unigram_surprisal"](spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
+    assert "SortMergeJoin" not in plan

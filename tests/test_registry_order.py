@@ -14,6 +14,18 @@ def test_score_first_queries_lead_the_dict():
     assert names[: len(registry._SCORE_FIRST)] == list(registry._SCORE_FIRST)
 
 
+def test_new_queries_sit_immediately_after_the_window():
+    """Queries registered after the r7 window was committed to the
+    max-staleness rotation must be FIRST IN LINE for the next rotation:
+    pinned to the positions right after the scoring window."""
+    names = list(registry.all_queries())
+    w = registry.SCORE_WINDOW
+    assert (
+        tuple(names[w : w + len(registry.NEW_AFTER_WINDOW)])
+        == registry.NEW_AFTER_WINDOW
+    )
+
+
 def test_every_query_has_an_oracle_in_the_same_order():
     queries = registry.all_queries()
     oracles = registry.all_oracles()
@@ -57,7 +69,14 @@ def test_freshness_no_stale_query_outside_scoring_window():
     stale = [
         n
         for n in registry.REGISTRY
-        if last.get(n, 0) <= current_round - 2 and n not in window
+        if last.get(n, 0) <= current_round - 2
+        and n not in window
+        # never-scored queries REGISTERED THIS ROUND are exempt: the
+        # window was already full with the max-staleness rotation, so
+        # they sit immediately after it (position pinned by
+        # test_new_queries_sit_immediately_after_the_window) with a
+        # judge-side check_oracle verdict until the r8 sweep scores them
+        and n not in registry.NEW_AFTER_WINDOW
     ]
     assert stale == [], (
         f"queries with a verdict >= 2 rounds stale are outside the "
