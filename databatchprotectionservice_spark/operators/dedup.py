@@ -812,13 +812,23 @@ def connected_components(
                 columns=["doc_id", "cluster_rep"],
             ).astype("int64")
             return spark.createDataFrame(out)
-    und = und.cache()
+    # Iterative lineage MUST be truncated, not just cached: caching
+    # keeps the full logical plan (the cache is only a physical-plan
+    # match), so each round's analysis/optimization re-walks a plan that
+    # doubles per iteration — measured 8.5 -> 9.8 -> 12.8 -> 48.8 s per
+    # round on a 1.8k-edge set before this change, pure driver-side
+    # planning. An EAGER localCheckpoint materializes the round's
+    # labels and resets the plan to a leaf: per-round cost becomes flat
+    # (~0.5 s at sf0.1). At cluster scale swap ``localCheckpoint`` (fast
+    # executor-local storage, not resilient to executor loss) for
+    # ``checkpoint`` into the reliable checkpoint dir — same lineage
+    # semantics, durable blocks.
+    und = und.localCheckpoint(eager=True)
     labels = (
         und.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("rep", F.col("node"))
     )
-    cached_prev = None
     for _ in range(20):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
@@ -826,7 +836,8 @@ def connected_components(
             .agg(F.min("rep").alias("nrep"))
         )
         # the convergence flag rides along with the label update — no
-        # extra old-vs-new join, one action per round
+        # extra old-vs-new join, one action per round (the eager
+        # checkpoint IS the materialization)
         merged = F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep")))
         new_labels = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
@@ -835,15 +846,11 @@ def connected_components(
                 merged.alias("new_rep"),
                 (merged < F.col("rep")).alias("changed"),
             )
-        ).cache()
+        ).localCheckpoint(eager=True)
         changed = new_labels.filter("changed").count()
-        if cached_prev is not None:
-            cached_prev.unpersist()
-        cached_prev = new_labels
         labels = new_labels.select("node", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
-    und.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
     )
@@ -867,7 +874,15 @@ def dedup_clusters_distributed(spark, sf_dir):
     (``tests/test_plan_shapes.py`` pins the no-LocalTableScan plan)."""
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
-    cand = lsh_candidate_pairs(minhash_signatures(docs)).cache()
+    # eager checkpoint BEFORE the two-branch union: a merely-cached cand
+    # would be cold when the union's single job runs both branches
+    # concurrently, and the cache-population race executes the whole
+    # corpus-wide signature pipeline twice (measured: und
+    # materialization cost ~2x the pipeline). The checkpointed RDD is
+    # read twice instead.
+    cand = lsh_candidate_pairs(minhash_signatures(docs)).localCheckpoint(
+        eager=True
+    )
     und = cand.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

@@ -74,6 +74,13 @@ QUERIES = [
     "similarity_quantized_topk",
     "export_jsonl_roundtrip",
     "datasource_protected_partitioned",
+    # round-7 additions
+    "dedup_clusters_distributed",
+    "dedup_repeated_passages",
+    "text_unigram_surprisal",
+    "multimodal_decode_real",
+    "multimodal_video_frame_stats",
+    "protect_roundtrip_events_aes",
 ]
 
 

