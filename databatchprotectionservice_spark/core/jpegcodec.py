@@ -163,25 +163,38 @@ def _huff_codes(bits: list[int], values: list[int]) -> dict[int, tuple[int, int]
 
 
 class _HuffDecoder:
-    """16-bit-peek lookup decoder: table[peek16] = (symbol, codelen)."""
+    """16-bit-peek lookup decoder: one flat Python list with
+    ``(length << 8) | symbol`` packed per peek value (scalar list
+    indexing beats a numpy fancy-row per symbol ~5x in the decode
+    loop). Length 0 marks an invalid prefix."""
 
     __slots__ = ("lut",)
 
+    #: (bits, values) -> built LUT. Real corpora overwhelmingly reuse
+    #: the Annex K tables, so building the 65k-entry list once per
+    #: distinct table (not once per image) matters: construction is
+    #: ~2 ms, a DC-only image decode is ~3 ms.
+    _cache: dict = {}
+
     def __init__(self, bits: list[int], values: list[int]):
-        lut = np.zeros((1 << 16, 2), dtype=np.int32)
-        lut[:, 1] = -1  # -1 length = invalid prefix
+        key = (tuple(bits), tuple(values))
+        cached = self._cache.get(key)
+        if cached is not None:
+            self.lut = cached
+            return
+        lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
         for length in range(1, 17):
             for _ in range(bits[length - 1]):
                 lo = code << (16 - length)
                 hi = lo + (1 << (16 - length))
-                lut[lo:hi, 0] = values[k]
-                lut[lo:hi, 1] = length
+                lut[lo:hi] = (length << 8) | values[k]
                 code += 1
                 k += 1
             code <<= 1
-        self.lut = lut
+        self.lut = lut.tolist()
+        self._cache[key] = self.lut
 
 
 class _BitReader:
@@ -214,11 +227,12 @@ class _BitReader:
         return v
 
     def decode(self, table: _HuffDecoder) -> int:
-        sym, length = table.lut[self.peek16()]
-        if length < 0 or self.pos + int(length) > self.nbits:
+        packed = table.lut[self.peek16()]
+        length = packed >> 8
+        if length == 0 or self.pos + length > self.nbits:
             raise JpegFormatError("invalid JPEG Huffman code")
-        self.pos += int(length)
-        return int(sym)
+        self.pos += length
+        return packed & 0xFF
 
 
 def _extend(v: int, size: int) -> int:
@@ -584,6 +598,69 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
         padded.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(by * bx, 8, 8)
     )
     return blocks, by, bx
+
+
+def encode_jpeg_gray_tiles(tiles: np.ndarray) -> bytes:
+    """Vectorized encoder for the constant-tile fixture shape: a
+    (rows, cols) uint8 grid where cell (r, c) is an 8x8 constant block.
+    Produces bytes IDENTICAL to ``encode_jpeg(np.repeat(np.repeat(
+    tiles, 8, 0), 8, 1))`` (pinned by test) but with the per-block DCT
+    + Huffman loop replaced by closed forms: a constant block's only
+    coefficient is DC = 8*(v - 128), so each block's entropy coding is
+    [DC size code][magnitude bits][EOB], assembled for ALL blocks at
+    once with numpy bit packing. ~10x faster fixture synthesis — the
+    general encoder stays the reference implementation."""
+    if tiles.dtype != np.uint8 or tiles.ndim != 2:
+        raise JpegFormatError("encode_jpeg_gray_tiles expects (r, c) uint8")
+    rows, cols = tiles.shape
+    h, w = rows * 8, cols * 8
+    dc = 8 * (tiles.reshape(-1).astype(np.int64) - 128)
+    diff = np.diff(dc, prepend=0)
+    mag = np.abs(diff)
+    # size = bit_length(|diff|): |diff| <= 1024 -> max size 11
+    size = np.zeros(diff.shape, dtype=np.int64)
+    nz = mag > 0
+    size[nz] = np.floor(np.log2(mag[nz])).astype(np.int64) + 1
+    raw = np.where(diff >= 0, diff, diff + (1 << size) - 1)
+    codes = _huff_codes(*_DC_LUMA)
+    code_arr = np.array([codes[s][0] for s in range(12)], dtype=np.int64)
+    len_arr = np.array([codes[s][1] for s in range(12)], dtype=np.int64)
+    eob_code, eob_len = _huff_codes(*_AC_LUMA)[0x00]
+    # per-block bit word: [dc code][raw magnitude][EOB], <= 26 bits
+    values = (
+        ((code_arr[size] << size | raw) << eob_len)
+        | eob_code
+    )
+    nbits = len_arr[size] + size + eob_len
+    offsets = np.concatenate([[0], np.cumsum(nbits)])
+    total = int(offsets[-1])
+    pad = (-total) % 8
+    bits = np.ones(total + pad, dtype=np.uint8)  # pad with 1s per spec
+    block_idx = np.repeat(np.arange(values.size), nbits)
+    k = np.arange(total) - offsets[block_idx]
+    bits[:total] = (values[block_idx] >> (nbits[block_idx] - 1 - k)) & 1
+    stream = np.packbits(bits)
+    # byte stuffing: 0x00 after every 0xFF
+    ff = stream == 0xFF
+    out_len = stream.size + int(ff.sum())
+    stuffed = np.zeros(out_len, dtype=np.uint8)
+    pos = np.arange(stream.size) + np.concatenate(
+        [[0], np.cumsum(ff[:-1].astype(np.int64))]
+    )
+    stuffed[pos] = stream
+    scan = stuffed.tobytes()
+    q = np.ones((8, 8), dtype=np.int32)
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += _dqt_segment(0, q)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
 
 
 def encode_jpeg(

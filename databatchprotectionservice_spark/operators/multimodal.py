@@ -467,7 +467,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
-    from ..core.jpegcodec import encode_jpeg
+    from ..core.jpegcodec import encode_jpeg_gray_tiles
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -485,8 +485,9 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                     tiles = np.frombuffer(padded, dtype=np.uint8).reshape(
                         trs, IMG_W
                     )
-                    gray = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
-                    payloads.append(encode_jpeg(gray))
+                    # byte-identical to encode_jpeg on the expanded
+                    # raster (parity-pinned), ~15x faster synthesis
+                    payloads.append(encode_jpeg_gray_tiles(tiles))
                     continue
                 n_pix = (len(raw) + 2) // 3
                 h = max((n_pix + IMG_W - 1) // IMG_W, 1)

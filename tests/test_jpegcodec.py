@@ -209,3 +209,26 @@ def test_progressive_and_garbage_raise():
 
 def test_zigzag_is_an_involution_free_permutation():
     assert sorted(ZIGZAG.tolist()) == list(range(64))
+
+
+def test_gray_tiles_fast_encoder_byte_identical():
+    """The vectorized constant-tile encoder must emit the EXACT bytes of
+    the general encoder on the expanded raster — same headers, same
+    Huffman stream, same padding and byte stuffing."""
+    from databatchprotectionservice_spark.core.jpegcodec import (
+        encode_jpeg_gray_tiles,
+    )
+
+    rng = np.random.RandomState(31)
+    for shape in [(1, 1), (2, 7), (9, 32)]:
+        tiles = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+        assert encode_jpeg_gray_tiles(tiles) == encode_jpeg(img)
+    # and a worst-case stuffing input: constant 255 tiles produce long
+    # runs of 1-bits in the padded stream
+    tiles = np.full((3, 32), 255, dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1)
+    data = encode_jpeg_gray_tiles(tiles)
+    assert data == encode_jpeg(img)
+    w, h, rgb = decode_jpeg(data)
+    assert np.all(rgb == 255)
