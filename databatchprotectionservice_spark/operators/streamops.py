@@ -169,14 +169,14 @@ def streaming_click_attribution(spark, sf_dir):
 SESSION_GAP_SECONDS = 86_400  # matched to the events table's per-user density
 
 
-@register(
-    "streaming_sessionize",
-    # gaps-and-islands restated in SQL. Emission rule: a session is
-    # emitted either when the in-stream gap closes it, or when the final
-    # event-time watermark (max ts, delay 0) passes its timeout; the
-    # sessionizer sets timeouts at millisecond precision
-    # (``pipeline.py: make_sessionizer``), hence the //1000 arithmetic
-    oracle=f"""
+# gaps-and-islands restated in SQL. Emission rule: a session is emitted
+# either when the in-stream gap closes it, or when the final event-time
+# watermark (max ts, delay 0) passes its timeout; both Python-state
+# sessionizers set timeouts/timers at millisecond precision
+# (``pipeline.py``), hence the //1000 arithmetic. Shared by the
+# applyInPandasWithState query and its transformWithState (state API v2)
+# twin — identical session semantics by construction.
+_SESSIONIZE_ORACLE = f"""
         WITH e AS (
             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
         ),
@@ -210,7 +210,12 @@ SESSION_GAP_SECONDS = 86_400  # matched to the events table's per-user density
         FROM agg, mx
         WHERE epoch_us(session_end) // 1000 + {SESSION_GAP_SECONDS} * 1000
               < epoch_us(max_ts) // 1000
-    """,
+"""
+
+
+@register(
+    "streaming_sessionize",
+    oracle=_SESSIONIZE_ORACLE,
     description="custom stateful sessionization via applyInPandasWithState "
     "(gap windows Spark's built-in aggs can't express)",
 )
@@ -233,6 +238,58 @@ def streaming_sessionize(spark, sf_dir):
         stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
     )
     name = f"streaming_sessionize_{time.time_ns()}"
+    _run_to_memory_sink(
+        sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
+    )
+    return spark.table(name).select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_end"
+        ),
+        "n_events",
+    )
+
+
+def streaming_sessionize_tws(spark, sf_dir):
+    """The MODERN custom-stateful surface: ``transformWithStateInPandas``
+    (state API v2 / SPIP transformWithState) — explicit named state
+    variables, register/delete/list event-time timers, and a
+    StatefulProcessor lifecycle, vs the legacy single-timeout
+    ``applyInPandasWithState``. Semantics are IDENTICAL to
+    ``streaming_sessionize`` (same ``_SESSIONIZE_ORACLE`` contract);
+    multiple state variables and timer multiplexing are where v2
+    matters at 100 TB — e.g. a session aggregate plus a distinct-page
+    ListState plus staged emission timers in one processor, which v1's
+    single state tuple + single timeout cannot express.
+
+    NOT in the query registry: Spark's TWS state-server protocol needs
+    the ``protobuf`` package, which this container does not ship (the
+    same dependency-seam class as Pillow/ffmpeg for media). The
+    processor raises the documented error where protobuf is missing;
+    ``tests/test_streaming.py`` runs the full pipeline when the
+    dependency exists and pins the seam message when it does not."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "transformWithStateInPandas requires the 'protobuf' package "
+            "(Spark's TWS state-server protocol); install protobuf to "
+            "use the state API v2 sessionizer — streaming_sessionize "
+            "(applyInPandasWithState) and streaming_session_window "
+            "(JVM session_window) cover the same semantics without it"
+        ) from exc
+    from ..streaming import read_events_stream
+    from ..streaming.pipeline import sessionize_stream_tws
+
+    prep(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    sessions = sessionize_stream_tws(
+        stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
+    )
+    name = f"streaming_sessionize_tws_{time.time_ns()}"
     _run_to_memory_sink(
         sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
     )

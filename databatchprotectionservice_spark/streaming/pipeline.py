@@ -213,6 +213,127 @@ def sessionize_stream(
     )
 
 
+def sessionize_stream_tws(
+    stream_df: DataFrame,
+    gap_seconds: int = 1800,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Gap sessionization via ``transformWithStateInPandas`` — Spark 4's
+    successor to ``applyInPandasWithState`` (SPIP: State API v2 /
+    ``transformWithState``): explicit named state variables
+    (``getValueState``), first-class event-time TIMERS
+    (register/delete/list) instead of a single per-key timeout, and an
+    object-oriented ``StatefulProcessor`` lifecycle (init /
+    handleInputRows / handleExpiredTimer / close). Same session
+    semantics and output as :func:`sessionize_stream`: closed sessions
+    emit as soon as the in-stream gap closes them; the trailing open
+    session lives in the value state and is flushed by an event-time
+    timer at ``last_event + gap`` (millisecond precision, matching the
+    legacy path's oracle arithmetic)."""
+    import numpy as np
+
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        StatefulProcessor,
+        StatefulProcessorHandle,
+        TimerValues,
+    )
+
+    gap_us = gap_seconds * 1_000_000
+    gap_ms = gap_seconds * 1000
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._session = handle.getValueState(
+                "session", "start_us long, last_us long, n long"
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues: TimerValues
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            parts = [
+                pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
+                for pdf in rows
+            ]
+            ts = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            if ts.size == 0:
+                return
+            ts.sort()
+            # same vectorized gaps-and-islands as make_sessionizer
+            breaks = np.flatnonzero(np.diff(ts) > gap_us) + 1
+            seg_start = ts[np.concatenate(([0], breaks))]
+            seg_end = ts[np.concatenate((breaks - 1, [ts.size - 1]))]
+            seg_n = np.diff(np.concatenate(([0], breaks, [ts.size])))
+            carried = self._session.get()
+            if carried is not None:
+                start_us, last_us, n = carried
+                if ts[0] - last_us <= gap_us:
+                    seg_start[0] = start_us
+                    seg_n[0] += n
+                else:
+                    seg_start = np.concatenate(([start_us], seg_start))
+                    seg_end = np.concatenate(([last_us], seg_end))
+                    seg_n = np.concatenate(([n], seg_n))
+            self._session.update(
+                (int(seg_start[-1]), int(seg_end[-1]), int(seg_n[-1]))
+            )
+            # v2 timers are explicit: drop any stale deadline, then arm
+            # the open session's flush at last_event + gap
+            for t in self._handle.listTimers():
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(int(seg_end[-1]) // 1000 + gap_ms)
+            if seg_start.size > 1:
+                yield pd.DataFrame(
+                    {
+                        "user_id": np.full(
+                            seg_start.size - 1, user_id, np.int64
+                        ),
+                        "session_start": seg_start[:-1].astype(
+                            "datetime64[us]"
+                        ),
+                        "session_end": seg_end[:-1].astype("datetime64[us]"),
+                        "n_events": seg_n[:-1],
+                    }
+                )
+
+        def handleExpiredTimer(
+            self,
+            key,
+            timerValues: TimerValues,
+            expiredTimerInfo: ExpiredTimerInfo,
+        ) -> Iterator[pd.DataFrame]:
+            (user_id,) = key
+            carried = self._session.get()
+            if carried is None:
+                return
+            start_us, last_us, n = carried
+            self._session.clear()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(last_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            SessionProcessor(),
+            outputStructType=_SESSION_OUTPUT,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
 def session_window_stream(
     stream_df: DataFrame,
     gap_seconds: int = 1800,
