@@ -51,6 +51,11 @@ class JpegFormatError(DBPSInvalidInputError):
 # constants: zigzag order, DCT basis, Annex K Huffman tables
 # ---------------------------------------------------------------------------
 
+#: corrupted-header allocation guard for the decoder: a mutated SOF can
+#: declare up to 65535x65535 px; cap total pixels so garbage headers
+#: raise instead of allocating gigabytes of coefficient storage
+DECODE_MAX_PIXELS = 1 << 26  # 67 Mpx — beyond any sane training image
+
 ZIGZAG = np.array(
     [
         0, 1, 8, 16, 9, 2, 3, 10,
@@ -220,6 +225,10 @@ class _BitReader:
     def read(self, n: int) -> int:
         if n == 0:
             return 0
+        if n > 16:
+            # legal baseline magnitudes are <= 11 (DC) / 10 (AC) bits; a
+            # larger size can only come from a corrupted DHT
+            raise JpegFormatError(f"corrupt JPEG magnitude size {n}")
         if self.pos + n > self.nbits:
             raise JpegFormatError("JPEG entropy stream truncated")
         v = self.peek16() >> (16 - n)
@@ -262,6 +271,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
     i = 2
     n = len(data)
     while i < n:
+        if i + 2 > n:
+            raise JpegFormatError("truncated JPEG: no EOI")
         if data[i] != 0xFF:
             raise JpegFormatError(f"expected marker at offset {i}")
         marker = data[i + 1]
@@ -273,6 +284,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         if i + 2 > n:
             raise JpegFormatError("truncated marker segment")
         seglen = struct.unpack(">H", data[i : i + 2])[0]
+        if seglen < 2 or i + seglen > n:
+            raise JpegFormatError("truncated JPEG marker segment")
         seg = data[i + 2 : i + seglen]
         if marker == 0xDB:  # DQT
             j = 0
@@ -292,6 +305,8 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0x0F
                 bits = list(seg[j + 1 : j + 17])
+                if len(bits) != 16:
+                    raise JpegFormatError("truncated DHT")
                 nv = sum(bits)
                 values = list(seg[j + 17 : j + 17 + nv])
                 if len(values) != nv:
@@ -299,17 +314,30 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 (huff_dc if tc == 0 else huff_ac)[th] = _HuffDecoder(bits, values)
                 j += 17 + nv
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise JpegFormatError("truncated DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+            if len(seg) < 6:
+                raise JpegFormatError("truncated SOF")
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise JpegFormatError(f"{precision}-bit JPEG unsupported (8 only)")
+            if not 1 <= nc <= 4 or len(seg) < 6 + 3 * nc:
+                raise JpegFormatError("bad SOF component list")
+            if h == 0 or w == 0 or h * w > DECODE_MAX_PIXELS:
+                raise JpegFormatError(
+                    f"JPEG dimensions {w}x{h} out of range (cap "
+                    f"{DECODE_MAX_PIXELS} px guards corrupted headers "
+                    "from becoming allocation bombs)"
+                )
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
-                comps.append(
-                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
-                )
+                hf, vf = hv >> 4, hv & 0x0F
+                if not (1 <= hf <= 4 and 1 <= vf <= 4):
+                    raise JpegFormatError(f"bad sampling factors {hf}x{vf}")
+                comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
@@ -320,7 +348,11 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
                 raise JpegFormatError("SOS before SOF")
+            if not seg:
+                raise JpegFormatError("truncated SOS")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise JpegFormatError("truncated SOS component list")
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]

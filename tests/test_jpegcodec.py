@@ -232,3 +232,40 @@ def test_gray_tiles_fast_encoder_byte_identical():
     assert data == encode_jpeg(img)
     w, h, rgb = decode_jpeg(data)
     assert np.all(rgb == 255)
+
+
+def test_decoder_never_crashes_on_mutated_streams():
+    """Robustness: random single-byte mutations of a valid JPEG must
+    either decode (mutations in pixel data) or raise JpegFormatError /
+    the documented dispatch errors — never hang, never escape with an
+    arbitrary exception. (A corrupted web corpus WILL hit this path.)"""
+    rng = np.random.RandomState(42)
+    tiles = rng.randint(0, 256, size=(2, 4), dtype=np.uint8)
+    base = bytearray(
+        encode_jpeg(np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1))
+    )
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            data[rng.randint(len(data))] = rng.randint(256)
+        try:
+            w, h, rgb = decode_jpeg(bytes(data))
+            assert rgb.dtype == np.uint8 and rgb.shape[2] == 3
+        except JpegFormatError:
+            pass
+        except (ValueError, IndexError, struct.error) as exc:
+            raise AssertionError(
+                f"trial {trial}: non-domain exception {type(exc).__name__}:"
+                f" {exc}"
+            ) from exc
+
+
+def test_decoder_never_crashes_on_truncations():
+    rng = np.random.RandomState(17)
+    tiles = rng.randint(0, 256, size=(2, 4), dtype=np.uint8)
+    base = encode_jpeg(np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1))
+    for cut in range(0, len(base), 7):
+        try:
+            decode_jpeg(base[:cut])
+        except JpegFormatError:
+            pass
