@@ -136,3 +136,113 @@ def export_jsonl_roundtrip(spark, sf_dir):
         "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
         "min_md5 string, max_md5 string",
     )
+
+
+_ROUNDTRIP_ORACLE = """
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               min(md5(text)) AS min_md5,
+               max(md5(text)) AS max_md5
+        FROM documents
+        GROUP BY source
+"""
+
+
+def _roundtrip_stats(spark, back):
+    """Per-source aggregates computed from a RE-READ export; hash
+    equality against the original-table oracle proves the format
+    round-trips every row, byte, and null. Stats are bounded by the
+    source cardinality; materialized eagerly so scratch can be removed."""
+    stats = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min(F.md5("text")).alias("min_md5"),
+            F.max(F.md5("text")).alias("max_md5"),
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        stats,
+        "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
+        "min_md5 string, max_md5 string",
+    )
+
+
+@register(
+    "export_csv_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="gzip-CSV delivery roundtrip: RFC-4180 quoting/escaping "
+    "(embedded quotes and newlines survive), explicit-schema multiLine "
+    "re-ingest; oracle proves losslessness",
+)
+def export_csv_roundtrip(spark, sf_dir):
+    """CSV delivery — still the most common interchange format at the
+    edges of a training-data pipeline. The trap CSV sets (and this
+    query proves handled): free text with embedded quotes, commas and
+    newlines must survive the round-trip, which requires RFC-4180
+    quoting with ``escape='\"'`` on write AND ``multiLine`` parsing on
+    read. Re-ingest passes an EXPLICIT schema (CSV inference is a
+    second full scan AND lossy on types).
+
+    100 TB shape: the write is map-only (one gzip member per
+    partition). Caveat worth knowing at scale: gzip+multiLine makes
+    each FILE the unit of read parallelism — parallelism equals file
+    count, set by the writer's partitioning. For a splittable delivery
+    use uncompressed CSV or stick to JSONL/parquet."""
+    prep(spark)
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out_dir = scratch_path("dbps_csv_")
+    try:
+        (
+            src.write.mode("overwrite")
+            .option("header", True)
+            .option("escape", '"')
+            .option("compression", "gzip")
+            .csv(out_dir)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id bigint, text string, lang string, source string"
+            )
+            .option("header", True)
+            .option("escape", '"')
+            .option("multiLine", True)
+            .csv(out_dir)
+        )
+        return _roundtrip_stats(spark, back)
+    finally:
+        remove_path(spark, out_dir)
+
+
+@register(
+    "export_orc_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="ORC columnar roundtrip (Spark's second native columnar "
+    "format): write + re-read + per-source aggregates prove losslessness",
+)
+def export_orc_roundtrip(spark, sf_dir):
+    """ORC — Spark's other first-class columnar format (Hive-ecosystem
+    interchange). Same lossless-roundtrip proof as the JSONL/CSV
+    deliveries; unlike the text formats ORC carries its own schema and
+    supports predicate pushdown, so at 100 TB it is a real storage
+    candidate, not just a delivery format (the engine's protected
+    datasets stay parquet — the page wire format is parquet-specific
+    by design)."""
+    prep(spark)
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out_dir = scratch_path("dbps_orc_")
+    try:
+        src.write.mode("overwrite").orc(out_dir)
+        back = spark.read.orc(out_dir)
+        return _roundtrip_stats(spark, back)
+    finally:
+        remove_path(spark, out_dir)

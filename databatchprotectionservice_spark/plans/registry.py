@@ -233,6 +233,8 @@ SCORE_WINDOW = 50  # entries the driver's sweep scores per round
 NEW_AFTER_WINDOW: tuple[str, ...] = (
     "dedup_repeated_passages",
     "text_unigram_surprisal",
+    "export_csv_roundtrip",
+    "export_orc_roundtrip",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
