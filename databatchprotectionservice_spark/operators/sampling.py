@@ -323,3 +323,128 @@ def curate_pipeline(d, e_by_doc, seed):
         round_ieee(F.avg("seed_cos")).alias("avg_seed_cos"),
         round_ieee(F.avg("quality")).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-balanced source mixing (integer-exact alpha = 0.5)
+# ---------------------------------------------------------------------------
+
+#: overall sampling budget as a fraction of the corpus (numerator /
+#: denominator — integer arithmetic end to end)
+TEMP_BUDGET_NUM, TEMP_BUDGET_DEN = 1, 2
+
+
+@register(
+    "mix_temperature_quota",
+    # floor(sqrt(n)) is engine-exact: sqrt is IEEE-correctly-rounded in
+    # both engines, and sqrt of a NON-square integer is irrational, so
+    # the rounded double can never land exactly on an integer — floor
+    # therefore agrees everywhere; every other step is integer math
+    oracle=f"""
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(floor(sqrt(CAST(count(*) AS DOUBLE))) AS BIGINT)
+                       AS w
+            FROM documents GROUP BY source
+        ),
+        tot AS (
+            SELECT sum(n_docs) AS n_total, sum(w) AS w_total
+            FROM per_source
+        ),
+        quotas AS (
+            SELECT p.source, p.n_docs, p.w,
+                   (t.n_total * {TEMP_BUDGET_NUM} // {TEMP_BUDGET_DEN})
+                       * p.w // t.w_total AS quota
+            FROM per_source p CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT d.source, d.n_chars,
+                   row_number() OVER (
+                       PARTITION BY d.source
+                       ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id
+                   ) AS rk
+            FROM documents d
+        )
+        SELECT q.source,
+               CAST(q.n_docs AS BIGINT) AS n_docs,
+               CAST(q.w AS BIGINT) AS weight,
+               CAST(q.quota AS BIGINT) AS quota,
+               CAST(count(r.n_chars) AS BIGINT) AS n_selected,
+               CAST(coalesce(sum(CASE WHEN r.rk <= q.quota
+                                      THEN r.n_chars END), 0) AS BIGINT)
+                   AS selected_chars
+        FROM quotas q
+        LEFT JOIN ranked r ON r.source = q.source AND r.rk <= q.quota
+        GROUP BY q.source, q.n_docs, q.w, q.quota
+    """,
+    description="temperature-balanced source mixing (alpha=0.5): quotas "
+    "proportional to floor(sqrt(n_docs)) flatten the source distribution "
+    "— integer-exact end to end, deterministic md5-ranked selection",
+)
+def mix_temperature_quota(spark, sf_dir):
+    """The GPT-3/Pile-style source-balancing step: instead of sampling
+    sources proportionally (head sources dominate) or uniformly (tail
+    sources repeat endlessly), quotas follow ``n^alpha`` with
+    ``alpha = 0.5`` — formulated INTEGER-EXACT as
+    ``floor(sqrt(n_docs))`` weights so the oracle can recompute every
+    quota without a float-order hazard (see the oracle note on why
+    floor-of-correctly-rounded-sqrt agrees across engines). Selection
+    within a source is the deterministic md5 rank — the same
+    hash-bucket idiom as ``sample_split_train_test``, so re-running the
+    pipeline selects the same documents.
+
+    100 TB shape: quotas come from one map-side-combined per-source
+    count (broadcastable — source cardinality is tiny), the rank is one
+    window per source partition, and the final aggregate is
+    low-cardinality. No data-sized collect; the only full-corpus
+    shuffle is the rank window's."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    ).withColumn(
+        "w", F.floor(F.sqrt(F.col("n_docs").cast("double"))).cast("bigint")
+    )
+    tot = per_source.agg(
+        F.sum("n_docs").alias("n_total"), F.sum("w").alias("w_total")
+    )
+    quotas = per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "w",
+        (
+            (F.col("n_total") * TEMP_BUDGET_NUM / TEMP_BUDGET_DEN).cast(
+                "bigint"
+            )
+            * F.col("w")
+            / F.col("w_total")
+        )
+        .cast("bigint")
+        .alias("quota"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = docs.select(
+        "source", "n_chars", F.row_number().over(w).alias("rk")
+    )
+    sel = ranked.alias("r").join(
+        F.broadcast(quotas).alias("q"),
+        (F.col("r.source") == F.col("q.source"))
+        & (F.col("r.rk") <= F.col("q.quota")),
+        "right",
+    )
+    return sel.groupBy(
+        F.col("q.source").alias("source"),
+        F.col("q.n_docs").cast("bigint").alias("n_docs"),
+        F.col("q.w").cast("bigint").alias("weight"),
+        F.col("q.quota").cast("bigint").alias("quota"),
+    ).agg(
+        F.count(F.col("r.n_chars")).cast("bigint").alias("n_selected"),
+        F.coalesce(
+            F.sum(F.when(F.col("r.rk") <= F.col("q.quota"), F.col("r.n_chars"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("selected_chars"),
+    )

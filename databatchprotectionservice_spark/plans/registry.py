@@ -235,6 +235,7 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "text_unigram_surprisal",
     "export_csv_roundtrip",
     "export_orc_roundtrip",
+    "mix_temperature_quota",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
