@@ -1273,3 +1273,68 @@ def q19_disjunctive_revenue(spark, sf_dir):
         dec_str(F.sum(rev), 4).alias("revenue"),
         F.count(F.lit(1)).alias("n_lines"),
     )
+
+
+Q17_BRAND = "Brand#4"
+
+
+@register(
+    "q17_small_quantity_revenue",
+    # the TPC-H q17 threshold (l_quantity < 0.2 * avg per part) restated
+    # EXACTLY: with whole-number quantities, qty < sum/(5*n) <=>
+    # 5*qty*n < sum in pure integer arithmetic — no float-order hazard
+    # in the correlated aggregate
+    oracle=f"""
+        SELECT count(*) AS n_items,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = '{Q17_BRAND}'
+          AND 5 * CAST(l_quantity AS BIGINT)
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = part.p_partkey)
+              < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+    """,
+    description="TPC-H q17 analogue: correlated scalar subquery over a "
+    "per-part aggregate, decorrelated by Catalyst into an aggregate join "
+    "(threshold restated in exact integers)",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """The CORRELATED-SCALAR-SUBQUERY shape (TPC-H q17: revenue from
+    small-quantity orders of one brand, 'small' meaning below 20% of
+    that part's average order quantity). Written as SQL text so
+    Catalyst's decorrelation pipeline runs end-to-end: the two
+    correlated aggregates over the same group are MERGED
+    (MergeScalarSubqueries) and rewritten into a single per-partkey
+    aggregate joined back — never a per-outer-row re-execution
+    (pinned in ``tests/test_plan_shapes.py``). The 0.2*avg threshold
+    is restated in exact integer arithmetic (see oracle comment), so
+    the filter decides identically in Spark and DuckDB.
+
+    100 TB shape: the per-partkey aggregate is one map-side-combined
+    groupBy over (partkey, qty); the brand filter prunes the part side
+    before its broadcast join; the decorrelated aggregate joins on
+    partkey — the same shuffle key as the main join, so AQE can reuse
+    the exchange."""
+    from ..sources.catalog import load_table
+
+    prep(spark)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        f"""
+        SELECT count(*) AS n_items,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS STRING) AS revenue
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND p_brand = '{Q17_BRAND}'
+          AND 5 * CAST(l_quantity AS BIGINT)
+              * (SELECT count(*) FROM lineitem l2
+                 WHERE l2.l_partkey = part.p_partkey)
+              < (SELECT CAST(sum(CAST(l2.l_quantity AS BIGINT)) AS BIGINT)
+                 FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
+        """
+    )

@@ -236,6 +236,7 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "export_csv_roundtrip",
     "export_orc_roundtrip",
     "mix_temperature_quota",
+    "q17_small_quantity_revenue",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50

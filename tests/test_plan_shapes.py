@@ -311,3 +311,20 @@ def test_unigram_surprisal_vocab_join_broadcasts(spark, sf_dir, queries):
     assert plan.count("BroadcastHashJoin") >= 1
     assert "BroadcastNestedLoopJoin" in plan  # the 1-row total
     assert "SortMergeJoin" not in plan
+
+
+def test_q17_subquery_decorrelates_to_aggregate_join(spark, sf_dir, queries):
+    """The correlated scalar subqueries must decorrelate: one merged
+    per-partkey aggregate joined back — never a per-outer-row subquery
+    re-execution (no nested-loop, no more than one lineitem aggregate
+    for the two correlated references)."""
+    df = queries["q17_small_quantity_revenue"](spark, sf_dir)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # MergeScalarSubqueries: count(*) and sum(qty) compute in ONE
+    # aggregate over l2 — the plan carries at most 2 HashAggregate
+    # PAIRS total (partial+final for the subquery agg and the outer
+    # count/sum), not one per correlated reference
+    n_aggs = plan.count("HashAggregate")
+    assert n_aggs <= 6, plan
