@@ -735,17 +735,21 @@ def dedup_repeated_passages(spark, sf_dir):
     dedup misses: two distinct documents sharing a verbatim 8-word run
     (license boilerplate, scraped navigation chrome, templated intros).
     Inverted-index shape, not pairwise: per-doc distinct passage
-    shingles are hashed to 16-byte digests, the corpus-wide document
-    frequency per digest comes from one map-side-combined groupBy, and
-    passages with df >= 2 join back to tag the affected docs. Intra-doc
-    repeats are excluded up front (``array_distinct``) —
-    ``text_repetition_scores`` owns that signal.
+    shingles hash to 16-byte digests, and the corpus-wide document
+    frequency per digest is a WINDOW count over the digest partition —
+    one shuffle tags every row with its passage's df, so the exploded
+    gram stream is scanned exactly ONCE (the groupBy-then-join-back
+    formulation evaluated the explode on both join sides: Spark's
+    ReuseExchange can't fire because the two sides project different
+    columns). Intra-doc repeats are excluded up front
+    (``array_distinct``) — ``text_repetition_scores`` owns that signal.
 
     100 TB shape: text never shuffles — both exchanges carry md5
-    digests; the df aggregate collapses map-side to one row per
-    distinct passage; no self-join exists anywhere, so there is no
-    quadratic bucket to guard (unlike the pair-forming LSH ops: the
-    digest join fans out per containing doc, linear in corpus size)."""
+    digests; no self-join exists anywhere, so there is no quadratic
+    bucket to guard (unlike the pair-forming LSH ops — df fan-out is
+    linear in corpus size)."""
+    from pyspark.sql.window import Window
+
     prep(spark)
     docs = load_spread(spark, sf_dir, "documents")
     ex = docs.select(
@@ -753,12 +757,9 @@ def dedup_repeated_passages(spark, sf_dir):
         "source",
         F.explode(_word_ngrams(F.col("text"), PASSAGE_N)).alias("gram"),
     ).select("doc_id", "source", F.md5("gram").alias("gid"))
-    df_tbl = (
-        ex.groupBy("gid")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") >= 2)
-    )
-    hit = ex.join(df_tbl, "gid")
+    hit = ex.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("gid"))
+    ).filter(F.col("df") >= 2)
     per_doc = hit.groupBy("doc_id", "source").agg(
         F.count(F.lit(1)).alias("n_rep"), F.max("df").alias("mx")
     )
