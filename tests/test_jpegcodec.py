@@ -269,3 +269,26 @@ def test_decoder_never_crashes_on_truncations():
             decode_jpeg(base[:cut])
         except JpegFormatError:
             pass
+
+
+def test_property_random_gray_images_roundtrip_within_one():
+    """Property over random shapes/content: all-ones quantization must
+    reconstruct ANY grayscale image within +-1 per sample (float DCT +
+    integer coefficient rounding is the only loss source)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        h=st.integers(1, 40),
+        w=st.integers(1, 40),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, seed):
+        img = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w), dtype=np.uint8
+        )
+        ww, hh, rgb = decode_jpeg(encode_jpeg(img))
+        assert (ww, hh) == (w, h)
+        assert np.abs(rgb[:, :, 0].astype(int) - img.astype(int)).max() <= 1
+
+    check()
