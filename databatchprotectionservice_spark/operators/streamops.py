@@ -394,3 +394,87 @@ def streaming_dedup_keys(spark, sf_dir):
     name = f"streaming_dedup_{time.time_ns()}"
     _run_to_memory_sink(deduped.select("user_id", "event_type"), name)
     return spark.table(name)
+
+
+@register(
+    "streaming_enrich_dimension",
+    # stateless stream-static inner join: with an availableNow run over
+    # the full input the enriched set is exactly the batch join, which
+    # the oracle states directly
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               e.event_type,
+               count(*) AS n,
+               CAST(CAST(sum(CAST(e.value AS DECIMAL(18,2)))
+                    AS DECIMAL(38,2)) AS VARCHAR) AS sum_value
+        FROM events e
+        JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY 1, 2
+    """,
+    description="stream-static dimension enrichment: events stream "
+    "broadcast-joined to the customer dim inside the micro-batch engine "
+    "(stateless, no state store); per-segment aggregates over the sink",
+)
+def streaming_enrich_dimension(spark, sf_dir):
+    """The most common production streaming shape: enrich an event
+    stream against a SLOWLY-CHANGING dimension table with a
+    stream-static join. Stateless by construction — the static side is
+    (re)read per micro-batch and broadcast, no state store, no
+    watermark needed — so it composes freely with the stateful
+    operators downstream. At 100 TB-of-stream scale the dimension stays
+    broadcast-sized (dims don't grow with facts) and each micro-batch
+    pays one map-side hash join; the dimension re-read per batch is the
+    mechanism that picks up dim updates between batches.
+
+    The aggregation runs INSIDE the stream in COMPLETE output mode (the
+    one output mode the surface didn't yet exercise): a running
+    global aggregate needs no watermark, its state is bounded by the
+    group cardinality (segments x event types), and the sink holds only
+    the aggregate rows — the enriched event stream itself never
+    materializes driver-side (an earlier append-mode formulation pushed
+    every enriched row through the memory sink: 5x worse at 10x data).
+
+    The driver gate proves exactness: an availableNow run over the full
+    input must produce byte-identical per-segment aggregates to the
+    batch join the oracle states."""
+    from ..plans.registry import load
+    from ..streaming import read_events_stream
+
+    prep(spark)
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    agg = (
+        stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value_dec"),
+        )
+    )
+    name = f"streaming_enrich_{time.time_ns()}"
+    spark_conf_old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS_JVM)
+    )
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", spark_conf_old)
+    return spark.table(name).select(
+        "segment",
+        "event_type",
+        "n",
+        dec_str(F.col("sum_value_dec")).alias("sum_value"),
+    )

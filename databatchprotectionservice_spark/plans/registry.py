@@ -237,6 +237,7 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "export_orc_roundtrip",
     "mix_temperature_quota",
     "q17_small_quantity_revenue",
+    "streaming_enrich_dimension",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
