@@ -189,7 +189,18 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      reclassified AES as light spread work — the scan no longer
 #      repartitions at sf0.1).
 # Queries scored green in r6 with unchanged implementations wait for
-# the r8 rotation.  tests/test_registry_order.py asserts this policy
+# the r8 rotation. R8 ROTATION PLAN (for whoever builds round 8): the
+# max-staleness set will be the 45-query r6-scored block that sat out
+# r7 (everything in CORRECTNESS_r06 minus the six changed-impl r7
+# window entries) plus the NEW_AFTER_WINDOW queries
+# (dedup_repeated_passages, text_unigram_surprisal,
+# export_csv_roundtrip, export_orc_roundtrip, mix_temperature_quota,
+# q17_small_quantity_revenue, streaming_enrich_dimension — judge-
+# verified this round, never driver-scored) and curate_seed_similarity
+# / dedup_connected_clusters (r7 refactors verified judge-side only);
+# that is ~54 candidates for 50 slots, so the four r6-scored queries
+# with the least churn slide to r9 — pick them explicitly and note it
+# here.  tests/test_registry_order.py asserts this policy
 # mechanically: every query whose last green CORRECTNESS verdict is
 # >= 2 rounds stale, and every name in ``CHANGED_THIS_ROUND``, must
 # sit inside the first-50 window.
