@@ -187,6 +187,10 @@ class _HuffDecoder:
         if cached is not None:
             self.lut = cached
             return
+        if len(self._cache) >= 64:
+            # a corpus of adversarial/odd encoders could mint unlimited
+            # distinct tables; 64 x ~512 KB bounds a long-lived worker
+            self._cache.clear()
         lut = np.zeros(1 << 16, dtype=np.int32)
         code = 0
         k = 0
