@@ -279,6 +279,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             raise JpegFormatError("truncated JPEG: no EOI")
         if data[i] != 0xFF:
             raise JpegFormatError(f"expected marker at offset {i}")
+        # T.81 B.1.1.2: any number of 0xFF FILL bytes may precede a
+        # marker code — skip them (some encoders/transcoders pad)
+        while i + 1 < n and data[i + 1] == 0xFF:
+            i += 1
+        if i + 2 > n:
+            raise JpegFormatError("truncated JPEG: no EOI")
         marker = data[i + 1]
         i += 2
         if marker == 0xD9:  # EOI
@@ -342,6 +348,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                 if not (1 <= hf <= 4 and 1 <= vf <= 4):
                     raise JpegFormatError(f"bad sampling factors {hf}x{vf}")
                 comps.append({"id": cid, "h": hf, "v": vf, "tq": tq})
+            # replication upsampling needs integer factor ratios; a
+            # legal-but-exotic 3:2 ratio would otherwise escape as a
+            # raw numpy broadcast error deep in plane assembly
+            hm = max(c["h"] for c in comps)
+            vm = max(c["v"] for c in comps)
+            for c in comps:
+                if hm % c["h"] or vm % c["v"]:
+                    raise JpegFormatError(
+                        f"non-integer sampling ratio {c['h']}x{c['v']} "
+                        f"vs {hm}x{vm} unsupported"
+                    )
             frame = (h, w, comps)
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
@@ -361,6 +378,17 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0x0F))
+            if ns != len(frame[2]):
+                # T.81 permits sequential files that split components
+                # over several scans; decoding only the first would
+                # SILENTLY return a wrong raster — raise the seam error
+                # instead (virtually all real baseline files are one
+                # interleaved scan)
+                raise JpegFormatError(
+                    f"multi-scan (non-interleaved) JPEG unsupported: the "
+                    f"scan covers {ns} of {len(frame[2])} components — "
+                    "an external codec (Pillow) slots in here"
+                )
             return _decode_scan(
                 data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,

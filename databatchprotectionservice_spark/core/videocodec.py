@@ -66,12 +66,13 @@ def encode_y4m_planar(
     if y.dtype != np.uint8 or y.ndim != 3:
         raise VideoFormatError("encode_y4m_planar expects (n, h, w) uint8 Y")
     n, h, w = y.shape
-    base = colorspace[:4]
-    if base == "C420":
+    if colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
         want = (n, h // 2, w // 2)
-    elif base == "C422":
+    elif colorspace == "C422":
         want = (n, h, w // 2)
     else:
+        # exact match only: a 10/12-bit tag would silently mislabel an
+        # 8-bit byte layout
         raise VideoFormatError(f"encode_y4m_planar: unsupported {colorspace}")
     if (
         u.shape != want
@@ -122,23 +123,29 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
             raise VideoFormatError(f"bad Y4M header token {tok!r}") from exc
     if w is None or h is None or w <= 0 or h <= 0:
         raise VideoFormatError("Y4M header missing W/H")
-    base = colorspace[:4]
-    if base == "C444":
+    # EXACT colorspace match: a prefix match would misclassify 10/12-bit
+    # and alpha variants (C420p10, C444alpha — different bytes-per-
+    # sample/plane-count) as their 8-bit base layouts and then misparse
+    # mid-frame; those must hit the unsupported-colorspace seam instead
+    if colorspace == "C444":
         cw, ch = w, h
-    elif base == "C420":  # covers C420, C420jpeg, C420mpeg2, C420paldv
+    elif colorspace in ("C420", "C420jpeg", "C420mpeg2", "C420paldv"):
+        # the siting aliases share the 8-bit byte layout exactly
         if w % 2 or h % 2:
             raise VideoFormatError(
                 f"C420 requires even dimensions, got {w}x{h}"
             )
         cw, ch = w // 2, h // 2
-    elif base == "C422":
+    elif colorspace == "C422":
         if w % 2:
             raise VideoFormatError(f"C422 requires even width, got {w}")
         cw, ch = w // 2, h
     else:
         raise VideoFormatError(
-            f"unsupported Y4M colorspace {colorspace} (C444/C420*/C422; "
-            "compressed video needs an external codec)"
+            f"unsupported Y4M colorspace {colorspace} (8-bit "
+            "C444/C420/C420jpeg/C420mpeg2/C420paldv/C422 only; "
+            "10/12-bit, alpha, and compressed video need an external "
+            "codec)"
         )
     frame_bytes = w * h + 2 * cw * ch
     frames = []
@@ -154,7 +161,7 @@ def decode_y4m(data: bytes) -> tuple[int, int, tuple[int, int], np.ndarray]:
                 f"have {len(raster)}"
             )
         buf = np.frombuffer(raster, dtype=np.uint8)
-        if base == "C444":
+        if colorspace == "C444":
             frames.append(buf.reshape(3, h, w))
         else:
             yp = buf[: w * h].reshape(h, w)

@@ -829,7 +829,17 @@ def connected_components(
         .distinct()
         .withColumn("rep", F.col("node"))
     )
-    for _ in range(20):
+    changed = 1
+    # Min-label propagation converges in O(component diameter) rounds.
+    # LSH near-dup graphs are overwhelmingly dense star/clique-ish
+    # clusters (tiny diameter), but chained near-duplicates CAN form a
+    # long path; if one exceeds the round cap we now RAISE rather than
+    # silently return a partial clustering (the pre-r7 code returned
+    # whatever 20 rounds produced — a correctness bug found in the r7
+    # self-review). A diameter > 64 component means the corpus needs
+    # the O(log n) large-star/small-star CC algorithm — fail loudly and
+    # say so instead of emitting wrong clusters.
+    for _ in range(64):
         neighbor_min = (
             und.join(labels, und.dst == labels.node)
             .groupBy("src")
@@ -851,6 +861,13 @@ def connected_components(
         labels = new_labels.select("node", F.col("new_rep").alias("rep"))
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            "connected_components: min-label propagation did not "
+            "converge within 64 rounds (a component's diameter exceeds "
+            "the cap) — refusing to return a partial clustering; use "
+            "the large-star/small-star formulation for such graphs"
+        )
     return labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
     )

@@ -76,9 +76,7 @@ def compact_documents_roundtrip(spark, sf_dir):
     )
 
 
-@register(
-    "export_jsonl_roundtrip",
-    oracle="""
+_ROUNDTRIP_ORACLE = """
         SELECT source,
                count(*) AS n_docs,
                CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
@@ -87,7 +85,37 @@ def compact_documents_roundtrip(spark, sf_dir):
                max(md5(text)) AS max_md5
         FROM documents
         GROUP BY source
-    """,
+"""
+
+
+def _roundtrip_stats(spark, back):
+    """Per-source aggregates computed from a RE-READ export; hash
+    equality against the original-table oracle proves the format
+    round-trips every row, byte, and null. Stats are bounded by the
+    source cardinality; materialized eagerly so scratch can be removed.
+    Shared by the JSONL / CSV / ORC delivery roundtrips — one contract,
+    three formats."""
+    stats = (
+        back.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+            F.min(F.md5("text")).alias("min_md5"),
+            F.max(F.md5("text")).alias("max_md5"),
+        )
+        .collect()
+    )
+    return spark.createDataFrame(
+        stats,
+        "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
+        "min_md5 string, max_md5 string",
+    )
+
+
+@register(
+    "export_jsonl_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
     description="gzip-JSONL training-data delivery: export, schema-explicit "
     "re-ingest; oracle proves the roundtrip is lossless",
 )
@@ -118,59 +146,9 @@ def export_jsonl_roundtrip(spark, sf_dir):
         back = spark.read.schema(
             "doc_id bigint, text string, lang string, source string"
         ).json(out_dir)
-        stats = (
-            back.groupBy("source")
-            .agg(
-                F.count(F.lit(1)).alias("n_docs"),
-                F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
-                F.countDistinct("lang").cast("bigint").alias("n_langs"),
-                F.min(F.md5("text")).alias("min_md5"),
-                F.max(F.md5("text")).alias("max_md5"),
-            )
-            .collect()
-        )
+        return _roundtrip_stats(spark, back)
     finally:
         remove_path(spark, out_dir)
-    return spark.createDataFrame(
-        stats,
-        "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
-        "min_md5 string, max_md5 string",
-    )
-
-
-_ROUNDTRIP_ORACLE = """
-        SELECT source,
-               count(*) AS n_docs,
-               CAST(sum(doc_id) AS BIGINT) AS sum_doc_ids,
-               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
-               min(md5(text)) AS min_md5,
-               max(md5(text)) AS max_md5
-        FROM documents
-        GROUP BY source
-"""
-
-
-def _roundtrip_stats(spark, back):
-    """Per-source aggregates computed from a RE-READ export; hash
-    equality against the original-table oracle proves the format
-    round-trips every row, byte, and null. Stats are bounded by the
-    source cardinality; materialized eagerly so scratch can be removed."""
-    stats = (
-        back.groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("doc_id").cast("bigint").alias("sum_doc_ids"),
-            F.countDistinct("lang").cast("bigint").alias("n_langs"),
-            F.min(F.md5("text")).alias("min_md5"),
-            F.max(F.md5("text")).alias("max_md5"),
-        )
-        .collect()
-    )
-    return spark.createDataFrame(
-        stats,
-        "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
-        "min_md5 string, max_md5 string",
-    )
 
 
 @register(
@@ -200,10 +178,15 @@ def export_csv_roundtrip(spark, sf_dir):
     )
     out_dir = scratch_path("dbps_csv_")
     try:
+        # nullValue='\\N' on BOTH sides keeps null and empty string
+        # distinct ('' serializes as "" while null serializes as \N) —
+        # with the defaults they collapse to the same empty field and
+        # nulls come back for both, silently breaking losslessness
         (
             src.write.mode("overwrite")
             .option("header", True)
             .option("escape", '"')
+            .option("nullValue", "\\N")
             .option("compression", "gzip")
             .csv(out_dir)
         )
@@ -214,6 +197,7 @@ def export_csv_roundtrip(spark, sf_dir):
             .option("header", True)
             .option("escape", '"')
             .option("multiLine", True)
+            .option("nullValue", "\\N")
             .csv(out_dir)
         )
         return _roundtrip_stats(spark, back)

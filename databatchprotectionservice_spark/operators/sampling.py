@@ -408,19 +408,18 @@ def mix_temperature_quota(spark, sf_dir):
     tot = per_source.agg(
         F.sum("n_docs").alias("n_total"), F.sum("w").alias("w_total")
     )
+    # integer `div` end to end — Spark's `/` is a DOUBLE divide whose
+    # quotient can cross an integer boundary once budget*w exceeds
+    # 2^53, silently diverging from the oracle's exact arithmetic at
+    # the corpus sizes this operator targets
     quotas = per_source.crossJoin(F.broadcast(tot)).select(
         "source",
         "n_docs",
         "w",
-        (
-            (F.col("n_total") * TEMP_BUDGET_NUM / TEMP_BUDGET_DEN).cast(
-                "bigint"
-            )
-            * F.col("w")
-            / F.col("w_total")
-        )
-        .cast("bigint")
-        .alias("quota"),
+        F.expr(
+            f"CAST((n_total * {TEMP_BUDGET_NUM} div {TEMP_BUDGET_DEN})"
+            " * w div w_total AS BIGINT)"
+        ).alias("quota"),
     )
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id")

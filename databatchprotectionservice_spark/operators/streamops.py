@@ -49,7 +49,10 @@ STREAM_STATE_PARTITIONS_PY = 16
 
 
 def _run_to_memory_sink(
-    df, name: str, state_partitions: int = STREAM_STATE_PARTITIONS_JVM
+    df,
+    name: str,
+    state_partitions: int = STREAM_STATE_PARTITIONS_JVM,
+    output_mode: str = "append",
 ):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink and return the sink table *lazily* — no driver-side
@@ -57,7 +60,9 @@ def _run_to_memory_sink(
     query for the life of the session. The shuffle-partition conf is
     narrowed for the life of the (short, availableNow) run: these
     queries start from a fresh checkpoint every call, so the state
-    partitioning is chosen here, not inherited."""
+    partitioning is chosen here, not inherited. ``output_mode``:
+    "append" for emit-on-final rows, "complete" for running
+    aggregates (the sink then holds only the aggregate rows)."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
@@ -65,7 +70,7 @@ def _run_to_memory_sink(
         q = (
             df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("append")
+            .outputMode(output_mode)
             .trigger(availableNow=True)
             .start()
         )
@@ -454,24 +459,7 @@ def streaming_enrich_dimension(spark, sf_dir):
         )
     )
     name = f"streaming_enrich_{time.time_ns()}"
-    spark_conf_old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set(
-        "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS_JVM)
-    )
-    try:
-        q = (
-            agg.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("complete")
-            .trigger(availableNow=True)
-            .start()
-        )
-        try:
-            q.awaitTermination(300)
-        finally:
-            q.stop()
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", spark_conf_old)
+    _run_to_memory_sink(agg, name, output_mode="complete")
     return spark.table(name).select(
         "segment",
         "event_type",

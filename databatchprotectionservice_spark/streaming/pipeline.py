@@ -257,6 +257,8 @@ def sessionize_stream_tws(
                 pdf["ts"].to_numpy(dtype="datetime64[us]").astype(np.int64)
                 for pdf in rows
             ]
+            if not parts:  # empty iterator: nothing to do this batch
+                return
             ts = parts[0] if len(parts) == 1 else np.concatenate(parts)
             if ts.size == 0:
                 return

@@ -292,3 +292,57 @@ def test_property_random_gray_images_roundtrip_within_one():
         assert np.abs(rgb[:, :, 0].astype(int) - img.astype(int)).max() <= 1
 
     check()
+
+
+def test_fill_bytes_before_markers_are_legal():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    code; some encoders pad. Insert fill bytes before every marker of a
+    valid stream and require an identical decode."""
+    tiles = np.arange(8, dtype=np.uint8).reshape(2, 4) * 30
+    base = encode_jpeg(np.repeat(np.repeat(tiles, 8, axis=0), 8, axis=1))
+    # rebuild the stream, doubling each marker's 0xFF prefix (skip the
+    # entropy-coded segment, where FF bytes are data/stuffing)
+    sos = base.index(b"\xff\xda")
+    # keep SOI at offset 0 (the magic check is positional); double every
+    # later marker prefix in the header region (no segment payload in
+    # this stream contains a 0xFF byte)
+    head = base[:2] + base[2:sos].replace(b"\xff", b"\xff\xff")
+    padded = head + base[sos:]
+    w1, h1, r1 = decode_jpeg(base)
+    w2, h2, r2 = decode_jpeg(padded)
+    assert (w1, h1) == (w2, h2)
+    assert np.array_equal(r1, r2)
+
+
+def test_multiscan_jpeg_raises_instead_of_silently_wrong():
+    """A spec-legal multi-scan (non-interleaved) baseline JPEG must hit
+    the documented seam error — decoding only the first scan would
+    silently return a wrong raster."""
+    base = encode_jpeg(
+        np.full((8, 8, 3), 77, dtype=np.uint8), subsampling="444"
+    )
+    sos = base.index(b"\xff\xda")
+    seglen = struct.unpack(">H", base[sos + 2 : sos + 4])[0]
+    # rewrite the SOS header to claim a single-component scan (Y only)
+    new_sos = (
+        b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    )
+    data = base[:sos] + new_sos + base[sos + 2 + seglen :]
+    with pytest.raises(JpegFormatError, match="multi-scan"):
+        decode_jpeg(data)
+
+
+def test_non_integer_sampling_ratio_raises_domain_error():
+    """Sampling factors 3x1 vs 2x1 are structurally legal but need
+    non-integer replication — must raise JpegFormatError, not escape as
+    a numpy broadcast ValueError."""
+    base = encode_jpeg(
+        np.full((8, 8, 3), 50, dtype=np.uint8), subsampling="444"
+    )
+    sof = base.index(b"\xff\xc0")
+    mut = bytearray(base)
+    mut[sof + 11] = 0x31  # Y: h=3, v=1 (was 0x11); Cb/Cr stay 1x1... 
+    # make chroma 2x1 so the ratio 3:2 is non-integer
+    mut[sof + 14] = 0x21
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(mut))

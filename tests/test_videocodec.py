@@ -129,3 +129,20 @@ def test_c420_odd_dimensions_rejected():
     bad = b"YUV4MPEG2 W5 H2 F25:1 C420\nFRAME\n" + bytes(15)
     with pytest.raises(VideoFormatError, match="even"):
         decode_y4m(bad)
+
+
+def test_bit_depth_variants_hit_the_seam_not_a_misparse():
+    """C420p10 / C444alpha change bytes-per-sample / plane count; a
+    prefix match would misparse them as 8-bit layouts. They must raise
+    the unsupported-colorspace seam error."""
+    from databatchprotectionservice_spark.core.videocodec import (
+        VideoFormatError,
+        decode_y4m,
+    )
+
+    for cs in ("C420p10", "C420p12", "C444alpha", "C422p10"):
+        data = (
+            b"YUV4MPEG2 W4 H2 F25:1 " + cs.encode() + b"\nFRAME\n" + bytes(48)
+        )
+        with pytest.raises(VideoFormatError, match="unsupported Y4M"):
+            decode_y4m(data)
