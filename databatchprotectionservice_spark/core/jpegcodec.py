@@ -12,11 +12,14 @@ r6's top extension ask. Everything here implements the PUBLIC spec
   IDCT vectorized over ALL blocks of a component at once (two
   tensordots against the 8x8 DCT-II basis), plane assembly, chroma
   upsample by sample-replication for any (h, v) factors (covers 4:2:0,
-  4:2:2, 4:4:4), JFIF YCbCr->RGB. Grayscale replicates to RGB to keep
-  the uniform ``(w, h, (h, w, 3) uint8)`` contract of
-  ``core/imagecodec.py``. Progressive (SOF2), arithmetic coding,
-  12-bit, and hierarchical modes raise ``ImageFormatError`` with a
-  precise message — the documented seam.
+  4:2:2, 4:4:4), JFIF YCbCr->RGB. Both sequential scan layouts decode:
+  the fully interleaved single scan AND multi-scan non-interleaved
+  files (one component per SOS, with DHT/DQT updates between scans);
+  legal 0xFF fill bytes before markers are accepted. Grayscale
+  replicates to RGB to keep the uniform ``(w, h, (h, w, 3) uint8)``
+  contract of ``core/imagecodec.py``. Progressive (SOF2), arithmetic
+  coding, 12-bit, hierarchical, and multi-component SUBSET scans raise
+  ``JpegFormatError`` with a precise message — the documented seam.
 * **Encoder** — fixture/test construction (like the PPM/BMP/PNG/WAV/Y4M
   encoders, not a Spark sink): grayscale or YCbCr 4:4:4 / 4:2:0,
   caller-supplied quantization tables (default all-ones, i.e. the
@@ -378,29 +381,65 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0x0F))
-            if ns != len(frame[2]):
-                # T.81 permits sequential files that split components
-                # over several scans; decoding only the first would
-                # SILENTLY return a wrong raster — raise the seam error
-                # instead (virtually all real baseline files are one
-                # interleaved scan)
-                raise JpegFormatError(
-                    f"multi-scan (non-interleaved) JPEG unsupported: the "
-                    f"scan covers {ns} of {len(frame[2])} components — "
-                    "an external codec (Pillow) slots in here"
-                )
-            return _decode_scan(
+            # decode this scan's entropy data in place and continue the
+            # marker walk: T.81 sequential files may split components
+            # over several scans (non-interleaved), with DHT/DQT updates
+            # between them
+            i = _decode_one_scan(
                 data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
                 restart_interval,
             )
+            continue
         # APPn / COM / anything else: skip
         i += seglen
-    raise JpegFormatError("no SOS marker — empty JPEG")
+    if frame is None:
+        raise JpegFormatError("no SOF marker")
+    comps = frame[2]
+    missing = [c["id"] for c in comps if not c.get("scanned")]
+    if len(missing) == len(comps):
+        raise JpegFormatError("no SOS marker — empty JPEG")
+    if missing:
+        raise JpegFormatError(
+            f"components {missing} never received a scan"
+        )
+    return _assemble(frame, qt)
 
 
-def _decode_scan(
+def _read_block(reader, dct, act, pred, cid) -> np.ndarray:
+    """Decode one data unit (8x8 coefficient block) from the reader."""
+    zz = ZIGZAG
+    block = np.zeros(64, dtype=np.float64)
+    s = reader.decode(dct)
+    diff = _extend(reader.read(s), s)
+    pred[cid] += diff
+    block[0] = pred[cid]
+    k = 1
+    while k < 64:
+        rs = reader.decode(act)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegFormatError("AC coefficient overflow")
+        block[zz[k]] = _extend(reader.read(s), s)
+        k += 1
+    return block.reshape(8, 8)
+
+
+def _decode_one_scan(
     data, pos, frame, scan, qt, huff_dc, huff_ac, restart_interval
-):
+) -> int:
+    """Decode one SOS's entropy data into the components' coefficient
+    stores and return the stream offset of the next marker. Supports
+    the fully interleaved scan (all components) and single-component
+    non-interleaved scans — together, every baseline sequential layout
+    T.81 allows except multi-component SUBSET scans (rare; raises)."""
+    if frame is None:
+        raise JpegFormatError("SOS before SOF")
     h, w, comps = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -415,19 +454,63 @@ def _decode_scan(
         if c is None:
             raise JpegFormatError(f"scan references unknown component {cs}")
         order.append((c, td, ta))
-    # per-component coefficient storage: (blocks_y, blocks_x, 8, 8)
+    if len({id(c) for c, _, _ in order}) != len(order):
+        raise JpegFormatError("duplicate component in scan")
+    # per-component coefficient storage, sized on the interleaved grid
+    # (a superset of any non-interleaved grid), created once
     for c in comps:
-        c["bx"] = mcux * c["h"]
-        c["by"] = mcuy * c["v"]
-        c["coef"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.float64)
+        if "coef" not in c:
+            c["bx"] = mcux * c["h"]
+            c["by"] = mcuy * c["v"]
+            c["coef"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.float64)
+    for c, _, _ in order:
         if c["tq"] not in qt:
             raise JpegFormatError(f"missing quantization table {c['tq']}")
+    tables = []
+    for c, td, ta in order:
+        dct = huff_dc.get(td)
+        act = huff_ac.get(ta)
+        if dct is None or act is None:
+            raise JpegFormatError("scan references missing Huffman table")
+        c["scanned"] = True  # coverage check runs at EOI
+        tables.append((c, dct, act))
+    if len(order) == 1 and len(comps) > 1:
+        # NON-INTERLEAVED scan (T.81 A.2.2): data units are the
+        # component's own blocks in raster order over its true
+        # dimensions ceil(ceil(dim * f/fmax) / 8); restart intervals
+        # count data units
+        c, dct, act = tables[0]
+        bw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        bh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+        n_units = bw * bh
+        per_seg = restart_interval if restart_interval else n_units
+        seg_idx = 0
+        reader = _BitReader(segments[0]) if segments else None
+        pred = {c["id"]: 0}
+        for u in range(n_units):
+            if u % per_seg == 0 and u > 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise JpegFormatError("missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0}
+            if reader is None:
+                raise JpegFormatError("JPEG has no entropy data")
+            r, cc = divmod(u, bw)
+            c["coef"][r * c["bx"] + cc] = _read_block(
+                reader, dct, act, pred, c["id"]
+            )
+        return end
+    if len(order) != len(comps):
+        raise JpegFormatError(
+            f"multi-component subset scan ({len(order)} of {len(comps)} "
+            "components) unsupported — an external codec slots in here"
+        )
     n_mcu = mcux * mcuy
     mcu_per_seg = restart_interval if restart_interval else n_mcu
     seg_idx = 0
     reader = _BitReader(segments[0]) if segments else None
     pred = {c["id"]: 0 for c in comps}
-    zz = ZIGZAG
     for m in range(n_mcu):
         if m % mcu_per_seg == 0 and m > 0:
             seg_idx += 1
@@ -438,35 +521,26 @@ def _decode_scan(
         my, mx = divmod(m, mcux)
         if reader is None:
             raise JpegFormatError("JPEG has no entropy data")
-        for c, td, ta in order:
-            dct = huff_dc.get(td)
-            act = huff_ac.get(ta)
-            if dct is None or act is None:
-                raise JpegFormatError("scan references missing Huffman table")
+        for c, dct, act in tables:
             for v in range(c["v"]):
                 for hh in range(c["h"]):
-                    block = np.zeros(64, dtype=np.float64)
-                    s = reader.decode(dct)
-                    diff = _extend(reader.read(s), s)
-                    pred[c["id"]] += diff
-                    block[0] = pred[c["id"]]
-                    k = 1
-                    while k < 64:
-                        rs = reader.decode(act)
-                        r, s = rs >> 4, rs & 0x0F
-                        if s == 0:
-                            if r == 15:  # ZRL: 16 zeros
-                                k += 16
-                                continue
-                            break  # EOB
-                        k += r
-                        if k > 63:
-                            raise JpegFormatError("AC coefficient overflow")
-                        block[zz[k]] = _extend(reader.read(s), s)
-                        k += 1
                     by = my * c["v"] + v
                     bx = mx * c["h"] + hh
-                    c["coef"][by * c["bx"] + bx] = block.reshape(8, 8)
+                    c["coef"][by * c["bx"] + bx] = _read_block(
+                        reader, dct, act, pred, c["id"]
+                    )
+    return end
+
+
+def _assemble(frame, qt):
+    """Dequantize + IDCT every component's coefficient store and build
+    the (h, w, 3) RGB raster."""
+    h, w, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    for c in comps:
+        if c["tq"] not in qt:
+            raise JpegFormatError(f"missing quantization table {c['tq']}")
     # dequantize + IDCT all blocks of each component at once
     planes = []
     for c in comps:
@@ -731,12 +805,16 @@ def encode_jpeg(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     subsampling: str = "444",
+    interleaved: bool = True,
 ) -> bytes:
     """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB -> baseline JPEG.
 
     ``quant``: an (8, 8) uint8 quantization table applied to every
     component (default all-ones = max fidelity). ``subsampling``:
-    ``"444"`` or ``"420"`` (ignored for grayscale)."""
+    ``"444"`` or ``"420"`` (ignored for grayscale).
+    ``interleaved=False`` (444 color only) emits one single-component
+    SOS per channel — the spec-legal multi-scan sequential layout, used
+    to fixture the decoder's non-interleaved path."""
     if pixels.dtype != np.uint8:
         raise JpegFormatError("encode_jpeg expects uint8 pixels")
     q = (
@@ -799,6 +877,28 @@ def encode_jpeg(
         hv_y = 0x11
     out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
     out += bytes([1, hv_y, 0, 2, 0x11, 1, 3, 0x11, 1])
+    if not interleaved:
+        if subsampling != "444":
+            raise JpegFormatError(
+                "non-interleaved encoding implemented for 444 only"
+            )
+        # one single-component scan per channel, own DC predictor each
+        for cid, plane, dc_t, ac_t in (
+            (1, y, dc_l, ac_l),
+            (2, cb, dc_c, ac_c),
+            (3, cr, dc_c, ac_c),
+        ):
+            out += (
+                b"\xff\xda"
+                + struct.pack(">HB", 8, 1)
+                + bytes([cid, 0x00 if cid == 1 else 0x11, 0, 63, 0])
+            )
+            wr = _BitWriter()
+            blocks, _, _ = _plane_blocks(plane)
+            _encode_blocks(wr, blocks, qf, dc_t, ac_t, 0)
+            out += wr.flush()
+        out += b"\xff\xd9"
+        return bytes(out)
     out += (
         b"\xff\xda"
         + struct.pack(">HB", 12, 3)

@@ -314,22 +314,43 @@ def test_fill_bytes_before_markers_are_legal():
     assert np.array_equal(r1, r2)
 
 
-def test_multiscan_jpeg_raises_instead_of_silently_wrong():
-    """A spec-legal multi-scan (non-interleaved) baseline JPEG must hit
-    the documented seam error — decoding only the first scan would
-    silently return a wrong raster."""
-    base = encode_jpeg(
-        np.full((8, 8, 3), 77, dtype=np.uint8), subsampling="444"
+def test_multiscan_noninterleaved_decodes_identically():
+    """T.81 permits sequential files that put each component in its own
+    scan; the decoder must produce the SAME raster as the interleaved
+    form of the same image (a decoder that silently decoded only the
+    first scan would flat-line chroma at 128)."""
+    rng = np.random.RandomState(41)
+    for shape in [(8, 8, 3), (17, 21, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        inter = decode_jpeg(encode_jpeg(img, subsampling="444"))
+        multi = decode_jpeg(
+            encode_jpeg(img, subsampling="444", interleaved=False)
+        )
+        assert inter[:2] == multi[:2]
+        assert np.array_equal(inter[2], multi[2])
+    # constant color: exact through both layouts
+    img = np.zeros((16, 8, 3), np.uint8)
+    img[:] = [200, 30, 90]
+    w, h, rgb = decode_jpeg(
+        encode_jpeg(img, subsampling="444", interleaved=False)
     )
-    sos = base.index(b"\xff\xda")
-    seglen = struct.unpack(">H", base[sos + 2 : sos + 4])[0]
-    # rewrite the SOS header to claim a single-component scan (Y only)
-    new_sos = (
-        b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    assert np.abs(rgb.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_partial_component_coverage_raises():
+    """A truncated multi-scan file whose later scans are missing must
+    raise — never return a raster with silently-zero components."""
+    data = encode_jpeg(
+        np.full((8, 8, 3), 77, dtype=np.uint8),
+        subsampling="444",
+        interleaved=False,
     )
-    data = base[:sos] + new_sos + base[sos + 2 + seglen :]
-    with pytest.raises(JpegFormatError, match="multi-scan"):
-        decode_jpeg(data)
+    # cut after the FIRST scan: find the second SOS and truncate there,
+    # appending EOI
+    first = data.index(b"\xff\xda")
+    second = data.index(b"\xff\xda", first + 2)
+    with pytest.raises(JpegFormatError, match="never received a scan"):
+        decode_jpeg(data[:second] + b"\xff\xd9")
 
 
 def test_non_integer_sampling_ratio_raises_domain_error():
