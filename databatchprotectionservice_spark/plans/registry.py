@@ -249,6 +249,22 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "mix_temperature_quota",
     "q17_small_quantity_revenue",
     "streaming_enrich_dimension",
+    # TPC-H shape-completion block (operators/tpch_shapes.py) — closes
+    # the 13 canonical plan shapes the relational suite lacked; each
+    # judge-verified via scripts/check_oracle.py on registration
+    "q2_min_acctbal_supplier",
+    "q4_order_priority",
+    "q7_nation_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
+    "q21_suppliers_kept_waiting",
+    "q22_dormant_customers",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
@@ -349,6 +365,7 @@ def _ensure_loaded() -> None:
         similarity,
         streamops,
         textops,
+        tpch_shapes,
         udx,
         upsert,
     )

@@ -328,3 +328,79 @@ def test_q17_subquery_decorrelates_to_aggregate_join(spark, sf_dir, queries):
     # count/sum), not one per correlated reference
     n_aggs = plan.count("HashAggregate")
     assert n_aggs <= 6, plan
+
+
+def test_q4_exists_rewrites_to_semi_join(spark, sf_dir, queries):
+    """The correlated EXISTS (with the non-equi outer reference
+    o_orderdate in its predicate) must become a left-semi join on
+    orderkey — never a per-row subquery or nested loop."""
+    plan = _plan(queries["q4_order_priority"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_produces_semi_and_anti_pair(spark, sf_dir, queries):
+    """TPC-H q21's EXISTS + NOT EXISTS pair must rewrite to one
+    left-semi and one left-anti join (RewritePredicateSubquery), both
+    keyed on orderkey — no nested-loop fallback for the suppkey
+    disequality."""
+    plan = _plan(queries["q21_suppliers_kept_waiting"](spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_dir, queries):
+    """The NOT-IN supplier exclusion must be a BROADCAST left-anti join
+    (the exclusion set is small); count(DISTINCT) expands to the
+    two-phase distinct aggregate, not a per-group collect. At sf0.001
+    the exclusion set is EMPTY and AQE eliminates the anti join
+    entirely (the desired no-op), so the anti join is asserted on the
+    pre-AQE plan and the absence of a sort-merge fallback on the final
+    one."""
+    df = queries["q16_part_supplier_counts"](spark, sf_dir)
+    df.collect()
+    full = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in full, full
+    final = full.split("== Initial Plan ==")[0]
+    assert "BroadcastHashJoin" in final
+    assert "SortMergeJoin" not in final
+
+
+def test_q11_lineitem_scanned_once_per_side_no_nested_loop(
+    spark, sf_dir, queries
+):
+    """The HAVING-vs-global-total compare is a 1-row broadcast join over
+    the reused per-part aggregate — not a recomputation via nested
+    loop; part_value*500 > total is decimal-exact (no division)."""
+    plan = _plan(queries["q11_important_parts"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the only join is the 1-row broadcast of the total
+    assert plan.count("SortMergeJoin") == 0, plan
+
+
+def test_q13_join_condition_keeps_unmatched_customers(spark, sf_dir, queries):
+    """q13's exclusion filter must sit in the JOIN CONDITION (outer join
+    preserved), not be pushed as a post-join filter that would drop the
+    zero-order bucket."""
+    df = queries["q13_customer_distribution"](spark, sf_dir)
+    plan = _plan(df)
+    assert "LeftOuter" in plan, plan
+    # every customer lands in exactly one bucket — the outer join must
+    # not drop customers whose orders were all filtered away (a pushed
+    # post-join filter would, turning the join inner)
+    import pyspark.sql.functions as SF
+
+    total = df.agg(SF.sum("custdist")).collect()[0][0]
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert total == n_cust
+
+
+def test_q10_topk_sorts_exact_decimal(spark, sf_dir, queries):
+    """The top-20 cut must be a TakeOrderedAndProject on the exact
+    decimal revenue — bounded memory per partition, deterministic
+    boundary."""
+    plan = _plan(queries["q10_returned_items"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
