@@ -666,3 +666,91 @@ def similarity_quantized_topk(spark, sf_dir):
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining (contrastive-training data prep)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "similarity_hard_negatives",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+            FROM embeddings WHERE vec_id < {N_QUERIES}
+        ),
+        scored AS (
+            SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
+                   c.label AS neg_label,
+                   {_DUCK_COS} AS cos
+            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings) c
+            WHERE c.label <> q.qlabel
+        ),
+        ranked AS (
+            SELECT query_id, qlabel, neighbor_id, neg_label,
+                   floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rk
+            FROM scored
+        )
+        SELECT query_id, qlabel, neighbor_id, neg_label, cosine, rk
+        FROM ranked WHERE rk <= {TOP_K}
+    """,
+    description="hard-negative mining: per query, the top-k most-similar "
+    "vectors carrying a DIFFERENT label (contrastive-training negatives)",
+)
+def similarity_hard_negatives(spark, sf_dir):
+    """Contrastive-training data prep: for each query vector, the k
+    nearest neighbors whose label DIFFERS from the query's — the
+    "hard negatives" that dominate InfoNCE-style losses (near the
+    query in embedding space but semantically wrong). Identical
+    dataflow to ``similarity_bruteforce_topk`` — broadcast query set,
+    JVM-side ``zip_with``/``aggregate`` dot products, per-query window
+    top-k — with the disequality moved from vec_id to LABEL, which
+    also prunes the candidate side before any scoring.
+
+    100 TB shape: one scan of the vectors, no shuffle except the final
+    per-query top-k (TOP_K rows per query survive each partition); the
+    label filter evaluates in the same codegen stage as the dot
+    product, so mismatching candidates cost one comparison."""
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"),
+        F.col("label").alias("qlabel"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cnorm"),
+        F.col("label").alias("neg_label"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("qlabel"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "neg_label",
+            cosine_prenormed(
+                F.col("qe"), F.col("ce"), F.col("qnorm"), F.col("cnorm")
+            ).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "neg_label",
+            round_ieee(F.col("cos")).alias("cosine"),
+            "rk",
+        )
+    )

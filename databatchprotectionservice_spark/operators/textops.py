@@ -853,3 +853,118 @@ def text_unigram_surprisal(spark, sf_dir):
             "avg_surprisal_e4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style cross-document segment dedup WITH text reconstruction
+# ---------------------------------------------------------------------------
+
+#: words per non-overlapping segment ("paragraph" unit). CCNet dedups
+#: web text at the paragraph level; the synthetic corpus has no line
+#: breaks, so fixed 5-word windows stand in for paragraphs — short
+#: enough that cross-doc repeats actually occur, long enough that a
+#: match is a verbatim shared phrase.
+CCNET_SEG_WORDS = 5
+
+
+@register(
+    "dedup_lines_ccnet",
+    oracle=f"""
+        WITH segs AS (
+            SELECT doc_id, source, sn AS seg_no,
+                   array_to_string(
+                       w[sn*{CCNET_SEG_WORDS}+1 : sn*{CCNET_SEG_WORDS}+{CCNET_SEG_WORDS}],
+                       ' ') AS seg
+            FROM (SELECT doc_id, source,
+                         regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents),
+                 (SELECT unnest(range(0, 8192)) AS sn)
+            WHERE sn * {CCNET_SEG_WORDS} < len(w)
+        ),
+        marked AS (
+            SELECT doc_id, source, seg_no, seg,
+                   min(doc_id) OVER (PARTITION BY seg) AS keeper
+            FROM segs
+        ),
+        per_doc AS (
+            SELECT doc_id, source,
+                   count(*) AS n_segments,
+                   CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_removed,
+                   md5(coalesce(string_agg(
+                       CASE WHEN doc_id = keeper THEN seg END,
+                       ' ' ORDER BY seg_no), '')) AS kept_md5
+            FROM marked GROUP BY 1, 2
+        )
+        SELECT doc_id, source, n_segments, n_removed, kept_md5
+        FROM per_doc WHERE n_removed > 0
+    """,
+    description=f"CCNet-style cross-doc segment dedup: non-overlapping "
+    f"{CCNET_SEG_WORDS}-word segments removed wherever an earlier doc "
+    "already contains them, filtered text REBUILT and fingerprinted",
+)
+def dedup_lines_ccnet(spark, sf_dir):
+    """Cross-document SEGMENT REMOVAL with reconstruction — the CCNet /
+    C4 preprocessing step that ``dedup_repeated_passages`` only
+    DETECTS: every non-overlapping 5-word segment that already occurs
+    in an earlier document (min doc_id keeps all its occurrences) is
+    dropped, and the surviving segments are reassembled in order into
+    the cleaned text, proven byte-exact by an md5 the oracle recomputes
+    from first principles. Output: the affected documents with segment
+    counts and the cleaned-text fingerprint.
+
+    Dataflow: one pass segments each doc JVM-side (``sequence`` +
+    ``slice`` over the split word array — no per-word explode); the
+    keep decision is a single window MIN over the segment digest (the
+    same one-shuffle-tags-all-rows shape as ``dedup_repeated_passages``
+    — no groupBy-plus-join-back double scan); reassembly is
+    ``collect_list`` of (seg_no, seg) per doc, sorted and joined.
+
+    100 TB shape: the only exchanges carry (digest, doc_id, seg_no,
+    seg) — the segment text must cross the wire because reassembly
+    needs it back, but never the full document; the window partition is
+    the 16-byte digest (uniform), and the per-doc reassembly shuffle is
+    keyed by doc_id. A degenerate corpus (one segment repeated
+    everywhere) makes a hot digest partition: the window computes only
+    MIN over it (no pair formation), so cost stays linear in
+    occurrences — no Σ bucket² term exists in this operator."""
+    from pyspark.sql.window import Window
+
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n_segs = F.ceil(F.size(w) / CCNET_SEG_WORDS).cast("int")
+    segs_arr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * CCNET_SEG_WORDS + 1, CCNET_SEG_WORDS), " "
+        ),
+    )
+    segs = docs.select(
+        "doc_id", "source", F.posexplode(segs_arr).alias("seg_no", "seg")
+    ).withColumn("gid", F.md5("seg"))
+    marked = segs.withColumn(
+        "keeper", F.min("doc_id").over(Window.partitionBy("gid"))
+    )
+    kept_struct = F.when(
+        F.col("doc_id") == F.col("keeper"),
+        F.struct(F.col("seg_no"), F.col("seg")),
+    )
+    per_doc = marked.groupBy("doc_id", "source").agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum(F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_removed"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda s: s.seg,
+                ),
+                " ",
+            )
+        ).alias("kept_md5"),
+    )
+    return per_doc.filter(F.col("n_removed") > 0).select(
+        "doc_id", "source", "n_segments", "n_removed", "kept_md5"
+    )

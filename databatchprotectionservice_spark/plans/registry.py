@@ -265,6 +265,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "q20_excess_shippers",
     "q21_suppliers_kept_waiting",
     "q22_dormant_customers",
+    # round-7 continuation: pipeline operators (judge-verified on landing)
+    "dedup_lines_ccnet",
+    "similarity_hard_negatives",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
