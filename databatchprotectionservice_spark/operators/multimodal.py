@@ -105,6 +105,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
     Formats the environment has no codec for (JPEG/audio/video) surface
     as ``NotImplementedError`` from the decode dispatch."""
     if mode == "real":
+        from ..core.gifcodec import GifFormatError, decode_gif
         from ..core.imagecodec import ImageFormatError, decode_image
         from ..core.jpegcodec import JpegFormatError, decode_jpeg
 
@@ -117,27 +118,36 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     if payload is None:
                         continue
                     magic = bytes(payload[:2])
-                    if magic not in (b"P6", b"BM", b"\x89P", b"\xff\xd8"):
+                    if magic not in (b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI"):
                         raise NotImplementedError(
                             f"no codec for media with magic {magic!r}: only "
-                            "PPM/BMP/PNG/baseline-JPEG decode without "
+                            "PPM/BMP/PNG/GIF/baseline-JPEG decode without "
                             "third-party libraries (Pillow/ffmpeg would "
                             "slot in here for the rest)"
                         )
                     try:
                         if magic == b"\xff\xd8":
                             w, h, pixels = decode_jpeg(bytes(payload))
+                        elif magic == b"GI":
+                            w, h, pixels = decode_gif(bytes(payload))
                         else:
                             w, h, pixels = decode_image(bytes(payload))
-                    except (ImageFormatError, JpegFormatError) as exc:
+                    except (
+                        ImageFormatError,
+                        JpegFormatError,
+                        GifFormatError,
+                    ) as exc:
                         raise ValueError(
                             f"doc {doc_id}: undecodable payload: {exc}"
                         ) from exc
                     ids.append(doc_id)
                     fmts.append(
-                        {b"P6": "ppm", b"BM": "bmp", b"\x89P": "png"}.get(
-                            magic, "jpeg"
-                        )
+                        {
+                            b"P6": "ppm",
+                            b"BM": "bmp",
+                            b"\x89P": "png",
+                            b"GI": "gif",
+                        }.get(magic, "jpeg")
                     )
                     ws.append(w)
                     hs.append(h)
@@ -453,19 +463,23 @@ _ENCODE_SCHEMA = T.StructType(
 
 def image_table(spark, sf_dir: str) -> DataFrame:
     """documents -> (doc_id, payload) where payload is a REAL image file:
-    containerized as P6 PPM (doc_id % 4 == 0), 24bpp bottom-up BMP
+    containerized as P6 PPM (doc_id % 5 == 0), 24bpp bottom-up BMP
     (== 1), zlib-compressed PNG (== 2) — each carrying the UTF-8 text
-    bytes as a space-padded ``IMG_W``-wide RGB raster — or baseline
+    bytes as a space-padded ``IMG_W``-wide RGB raster — baseline
     JPEG (== 3), where each text byte becomes an 8x8 CONSTANT grayscale
-    tile (``IMG_W`` tiles per row). With all-ones quantization a
-    constant block's DCT is a lone exact-integer DC coefficient, so the
-    JPEG decode is BIT-EXACT and the raster stays SQL-predictable
-    despite the format being lossy in general (see
-    ``core/jpegcodec.py``). Deterministic by construction:
-    flat formats hash ``md5(text || repeat(' ', pad))``; JPEG hashes
-    the tile expansion of the padded text."""
+    tile (``IMG_W`` tiles per row), or GIF (== 4), where each text byte
+    is a palette index through the identity grayscale palette
+    (index i -> (i,i,i)), so the decoded RGB raster is the padded text
+    with every byte TRIPLED. With all-ones quantization a constant
+    block's DCT is a lone exact-integer DC coefficient, so the JPEG
+    decode is BIT-EXACT; GIF is lossless outright — every raster stays
+    SQL-predictable (see ``core/jpegcodec.py`` / ``core/gifcodec.py``).
+    Deterministic by construction: flat formats hash
+    ``md5(text || repeat(' ', pad))``; JPEG hashes the tile expansion;
+    GIF hashes the byte-tripled expansion."""
     import numpy as np
 
+    from ..core.gifcodec import GRAY_PALETTE, encode_gif
     from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
     from ..core.jpegcodec import encode_jpeg_gray_tiles
 
@@ -479,15 +493,19 @@ def image_table(spark, sf_dir: str) -> DataFrame:
             for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(raw) if raw is not None else b""
                 ids.append(doc_id)
-                if doc_id % 4 == 3:  # JPEG: byte -> 8x8 constant tile
+                leg = doc_id % 5
+                if leg >= 3:  # 1 byte -> 1 grayscale unit, IMG_W per row
                     trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
                     padded = raw.ljust(trs * IMG_W, bytes([_PAD]))
                     tiles = np.frombuffer(padded, dtype=np.uint8).reshape(
                         trs, IMG_W
                     )
-                    # byte-identical to encode_jpeg on the expanded
-                    # raster (parity-pinned), ~15x faster synthesis
-                    payloads.append(encode_jpeg_gray_tiles(tiles))
+                    if leg == 3:  # JPEG: byte -> 8x8 constant tile;
+                        # byte-identical to encode_jpeg on the expanded
+                        # raster (parity-pinned), ~15x faster synthesis
+                        payloads.append(encode_jpeg_gray_tiles(tiles))
+                    else:  # GIF: byte -> palette index, lossless
+                        payloads.append(encode_gif(tiles, GRAY_PALETTE))
                     continue
                 n_pix = (len(raw) + 2) // 3
                 h = max((n_pix + IMG_W - 1) // IMG_W, 1)
@@ -495,7 +513,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                 pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
                     h, IMG_W, 3
                 )
-                enc = (encode_ppm, encode_bmp, encode_png)[doc_id % 4]
+                enc = (encode_ppm, encode_bmp, encode_png)[leg]
                 payloads.append(enc(pixels))
             yield pd.DataFrame(
                 {
@@ -514,14 +532,16 @@ def image_table(spark, sf_dir: str) -> DataFrame:
     # bytes space-padded to w*h*3; for baseline JPEG it is the 8x8
     # constant-tile expansion of the padded text (each char -> 24 bytes
     # per scanline x 8 scanlines; exact because constant blocks survive
-    # all-ones quantization bit-for-bit) — so DuckDB recomputes every
-    # decoder output, including the lossy-format one, from first
-    # principles
+    # all-ones quantization bit-for-bit); for GIF it is the padded text
+    # with every byte tripled (identity grayscale palette, LZW lossless)
+    # — so DuckDB recomputes every decoder output, including the
+    # lossy-format one, from first principles
     oracle=f"""
         WITH imgs AS (
             SELECT doc_id,
-                   CASE doc_id % 4 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
-                        WHEN 2 THEN 'png' ELSE 'jpeg' END AS fmt,
+                   CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                        WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                        ELSE 'gif' END AS fmt,
                    text,
                    octet_length(encode(text)) AS nb
             FROM documents
@@ -534,7 +554,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                        CAST({IMG_W} * greatest(((nb + 2) // 3
                             + {IMG_W - 1}) // {IMG_W}, 1) * 3 - nb
                             AS INT))) AS raster_md5
-            FROM imgs WHERE fmt <> 'jpeg'
+            FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png')
         ),
         jp AS (
             SELECT fmt, 8 * trs AS height,
@@ -555,8 +575,25 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                 FROM imgs WHERE fmt = 'jpeg'
             )
         ),
+        gf AS (
+            SELECT fmt, trs AS height,
+                   md5(list_aggregate(
+                       list_transform(range(1, CAST(trs * {IMG_W} + 1 AS INT)),
+                           i -> repeat(substr(padded, CAST(i AS INT), 1), 3)),
+                       'string_agg', '')) AS raster_md5
+            FROM (
+                SELECT fmt,
+                       greatest((nb + {IMG_W - 1}) // {IMG_W}, 1) AS trs,
+                       text || repeat(' ', CAST(
+                           greatest((nb + {IMG_W - 1}) // {IMG_W}, 1)
+                           * {IMG_W} - nb AS INT)) AS padded
+                FROM imgs WHERE fmt = 'gif'
+            )
+        ),
         hashed AS (
-            SELECT * FROM flat UNION ALL SELECT * FROM jp
+            SELECT * FROM flat
+            UNION ALL SELECT * FROM jp
+            UNION ALL SELECT * FROM gf
         )
         SELECT fmt,
                count(*) AS n_images,
@@ -567,9 +604,9 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         FROM hashed
         GROUP BY fmt
     """,
-    description="REAL image decode: PPM/BMP/PNG/baseline-JPEG bytes -> "
-    "header parse, row flip, BGR->RGB, stride strip, inflate+unfilter, "
-    "Huffman+IDCT -> raster md5 round-trip",
+    description="REAL image decode: PPM/BMP/PNG/baseline-JPEG/GIF bytes "
+    "-> header parse, row flip, BGR->RGB, stride strip, inflate+unfilter, "
+    "Huffman+IDCT, LZW+palette -> raster md5 round-trip",
 )
 def multimodal_decode_real(spark, sf_dir):
     prep(spark)

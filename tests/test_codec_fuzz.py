@@ -15,6 +15,12 @@ from databatchprotectionservice_spark.core.audiocodec import (
     decode_wav,
     encode_wav,
 )
+from databatchprotectionservice_spark.core.gifcodec import (
+    GRAY_PALETTE,
+    GifFormatError,
+    decode_gif,
+    encode_gif,
+)
 from databatchprotectionservice_spark.core.imagecodec import (
     ImageFormatError,
     decode_image,
@@ -36,6 +42,11 @@ def _bases():
         "png": (encode_png(img), decode_image, ImageFormatError),
         "bmp": (encode_bmp(img), decode_image, ImageFormatError),
         "ppm": (encode_ppm(img), decode_image, ImageFormatError),
+        "gif": (
+            encode_gif(img[:, :, 0], GRAY_PALETTE),
+            decode_gif,
+            GifFormatError,
+        ),
         "wav": (
             encode_wav(np.arange(-50, 50, dtype=np.int16)),
             decode_wav,
@@ -51,7 +62,7 @@ def _bases():
     }
 
 
-@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "wav", "y4m"])
+@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "gif", "wav", "y4m"])
 def test_mutations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
     rng = np.random.RandomState(97)
@@ -65,7 +76,7 @@ def test_mutations_decode_or_raise_domain_error(fmt):
             pass  # the domain error IS the contract
 
 
-@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "wav", "y4m"])
+@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "gif", "wav", "y4m"])
 def test_truncations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
     for cut in range(0, len(base), 3):

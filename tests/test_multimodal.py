@@ -45,11 +45,12 @@ def test_decode_real_requires_codec_for_unknown_formats(media):
 
 
 def test_decode_real_roundtrips_generated_images(spark, sf_dir):
-    """The real path end-to-end: text bytes -> PPM/BMP/PNG/JPEG
+    """The real path end-to-end: text bytes -> PPM/BMP/PNG/JPEG/GIF
     containers -> real decoder -> raster md5 equals the closed form
-    (flat padded text for the lossless formats; the 8x8 constant-tile
-    expansion for baseline JPEG, which is bit-exact for constant blocks
-    under all-ones quantization)."""
+    (flat padded text for the lossless flat formats; the 8x8
+    constant-tile expansion for baseline JPEG, which is bit-exact for
+    constant blocks under all-ones quantization; the byte-tripled
+    expansion for palette-indexed GIF)."""
     import numpy as np
 
     from databatchprotectionservice_spark.operators.multimodal import (
@@ -72,7 +73,7 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
     for doc_id, text in docs.items():
         r = decoded[doc_id]
         raw = text.encode("utf-8")
-        if doc_id % 4 == 3:  # JPEG constant-tile fixture
+        if doc_id % 5 == 3:  # JPEG constant-tile fixture
             trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
             tiles = np.frombuffer(
                 raw.ljust(trs * IMG_W, b" "), dtype=np.uint8
@@ -83,9 +84,17 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
             assert (r.width, r.height) == (IMG_W * 8, trs * 8)
             assert r.raster_md5 == hashlib.md5(raster).hexdigest()
             continue
+        if doc_id % 5 == 4:  # GIF identity-palette fixture
+            trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
+            padded = raw.ljust(trs * IMG_W, b" ")
+            raster = bytes(b for ch in padded for b in (ch, ch, ch))
+            assert r.fmt == "gif"
+            assert (r.width, r.height) == (IMG_W, trs)
+            assert r.raster_md5 == hashlib.md5(raster).hexdigest()
+            continue
         h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
         raster = raw.ljust(IMG_W * h * 3, b" ")
-        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 4]
+        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 5]
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
