@@ -466,3 +466,100 @@ def streaming_enrich_dimension(spark, sf_dir):
         "n",
         dec_str(F.col("sum_value_dec")).alias("sum_value"),
     )
+
+
+@register(
+    "streaming_outer_attribution",
+    # Emission rule for watermarked LEFT-OUTER stream-stream joins,
+    # measured and pinned: matched rows emit immediately (as inner);
+    # a purchase with no click emits null-extended only once the GLOBAL
+    # watermark — min over BOTH sides' (max event time - delay), because
+    # each withWatermark node sees only its own filtered stream — passes
+    # p_ts (the join condition bounds clicks by c_ts < p_ts, so beyond
+    # that no match can still arrive). Purchases newer than the final
+    # watermark stay in state and are NOT emitted at end-of-input: the
+    # documented outer-join latency, restated here as SQL.
+    oracle="""
+        WITH clicks AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'click'
+        ),
+        purchases AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        wm AS (
+            SELECT least((SELECT max(ts) FROM clicks),
+                         (SELECT max(ts) FROM purchases))
+                   - INTERVAL 2 HOUR AS final_wm
+        ),
+        matched AS (
+            SELECT p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+                   CAST(CAST(c.value AS DECIMAL(38,2)) AS VARCHAR)
+                       AS click_value
+            FROM purchases p
+            JOIN clicks c
+              ON c.user_id = p.user_id
+             AND c.ts >= p.ts - INTERVAL 1 HOUR
+             AND c.ts < p.ts
+        ),
+        unmatched AS (
+            SELECT p.user_id,
+                   strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purchase_ts,
+                   CAST(NULL AS VARCHAR) AS click_ts,
+                   CAST(NULL AS VARCHAR) AS click_value
+            FROM purchases p, wm
+            WHERE p.ts <= wm.final_wm
+              AND NOT EXISTS (
+                  SELECT 1 FROM clicks c
+                  WHERE c.user_id = p.user_id
+                    AND c.ts >= p.ts - INTERVAL 1 HOUR
+                    AND c.ts < p.ts)
+        )
+        SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    description="stream-stream LEFT-OUTER interval join: unattributed "
+    "purchases emit null-extended once the global watermark proves no "
+    "click can still match (emission rule pinned in the oracle)",
+)
+def streaming_outer_attribution(spark, sf_dir):
+    """The watermarked OUTER stream-stream join — the join mode the
+    streaming surface didn't yet exercise. Inner results stream out as
+    they match; null-extended results are a STATE-EVICTION by-product:
+    Spark can only declare "no click will ever match this purchase"
+    when the global watermark passes the purchase's latest admissible
+    click time. The oracle restates that eviction rule exactly (see the
+    register comment), making a correctness gate for semantics that
+    look nondeterministic but are fully determined by (input, delay).
+
+    100 TB shape: identical to the inner variant — both sides shuffle
+    on user_id, state bounded by the watermark horizon; the outer rows
+    add no state, only a deferred emission at eviction time."""
+    from ..streaming import read_events_stream, stream_stream_click_attribution
+
+    prep(spark)
+    path = table_path(sf_dir, "events")
+    purchases = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    clicks = read_events_stream(spark, path).filter(
+        F.col("event_type") == "click"
+    )
+    joined = stream_stream_click_attribution(
+        purchases,
+        clicks,
+        attribution_window="1 hour",
+        watermark="2 hours",
+        how="leftOuter",
+    )
+    out = joined.select(
+        F.col("p_user").alias("user_id"),
+        F.date_format("p_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("purchase_ts"),
+        F.date_format("c_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("click_ts"),
+        dec_str(F.col("c_value").cast(DEC)).alias("click_value"),
+    )
+    name = f"streaming_outer_attr_{time.time_ns()}"
+    _run_to_memory_sink(out, name)
+    return spark.table(name)

@@ -268,6 +268,7 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # round-7 continuation: pipeline operators (judge-verified on landing)
     "dedup_lines_ccnet",
     "similarity_hard_negatives",
+    "streaming_outer_attribution",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50

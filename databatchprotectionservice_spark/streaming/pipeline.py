@@ -447,6 +447,7 @@ def stream_stream_click_attribution(
     clicks: DataFrame,
     attribution_window: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream interval join: each purchase joined to the clicks of
     the same user in the preceding ``attribution_window`` (the streaming
@@ -455,7 +456,16 @@ def stream_stream_click_attribution(
     Both sides carry watermarks, so join state is bounded: a buffered
     click can be evicted once the watermark passes
     ``click.ts + attribution_window``; Spark derives that bound from the
-    interval condition."""
+    interval condition.
+
+    ``how="leftOuter"`` keeps unattributed purchases: matched rows emit
+    immediately (as inner), and a purchase with NO click emits
+    null-extended only once the watermark proves no matching click can
+    still arrive — i.e. when the global watermark passes ``p_ts`` (the
+    join condition bounds clicks by ``c_ts < p_ts``). Purchases newer
+    than ``max(ts) - watermark_delay`` at end-of-input therefore stay
+    unemitted — the documented outer-join latency of watermarked joins,
+    restated as the oracle's emission rule."""
     p = purchases.select(
         F.col("user_id").alias("p_user"),
         F.col("ts").alias("p_ts"),
@@ -471,4 +481,5 @@ def stream_stream_click_attribution(
         (F.col("c_user") == F.col("p_user"))
         & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
         & (F.col("c_ts") < F.col("p_ts")),
+        how,
     )

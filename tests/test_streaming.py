@@ -383,3 +383,58 @@ def test_sessionize_tws_matches_legacy_or_pins_the_protobuf_seam(
     got = sorted(map(tuple, streaming_sessionize_tws(spark, sf_dir).collect()))
     want = sorted(map(tuple, streaming_sessionize(spark, sf_dir).collect()))
     assert got == want
+
+
+def test_outer_attribution_emission_rule(spark, tmp_path):
+    """LEFT-OUTER stream-stream join: matched purchases emit with their
+    click; an UNMATCHED purchase emits null-extended only when the
+    global watermark (min over both sides' max ts - delay) passes its
+    ts; a purchase at the stream head stays unemitted."""
+    from databatchprotectionservice_spark.streaming import (
+        stream_stream_click_attribution,
+    )
+
+    base = 1_700_000_000
+    hour = 3600
+    rows = [
+        # user 1: click 30 min before purchase -> matched, emits
+        ("click", 1, base + 0 * hour),
+        ("purchase", 1, base + hour // 2),
+        # user 2: purchase with no click, OLD enough (final watermark
+        # passes it) -> null-extended emission
+        ("purchase", 2, base + 1 * hour),
+        # both sides get late max-ts rows so the final watermark =
+        # min(maxes) - 2h = base + 8h - 2h = base + 6h
+        ("click", 9, base + 8 * hour),
+        # user 3: purchase with no click NEWER than the final watermark
+        # -> held in state, NOT emitted
+        ("purchase", 3, base + 7 * hour),
+        ("purchase", 9, base + 8 * hour),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_type string, user_id long, ts_s long"
+    ).select("event_type", "user_id", F.timestamp_seconds("ts_s").alias("ts"))
+    path = str(tmp_path / "outer_events")
+    df.coalesce(1).write.parquet(path)
+
+    stream = (
+        spark.readStream.format("parquet").schema(df.schema).load(path)
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase").withColumn(
+        "value", F.lit(1.0)
+    )
+    clicks = stream.filter(F.col("event_type") == "click").withColumn(
+        "value", F.lit(2.0)
+    )
+    joined = stream_stream_click_attribution(
+        purchases, clicks, attribution_window="1 hour", watermark="2 hours",
+        how="leftOuter",
+    )
+    name = f"outer_rule_{time.time_ns()}"
+    _run_stream(joined, name)
+    out = {
+        (r["p_user"], r["c_user"]) for r in spark.table(name).collect()
+    }
+    # user 1 matched; user 2 null-extended; user 9's purchase at the max
+    # ts and user 3's recent purchase held back (watermark = base+6h)
+    assert out == {(1, 1), (2, None)}
