@@ -206,3 +206,172 @@ def sketch_accuracy_battery(spark, sf_dir):
             <= F.abs(F.col("p50_exact")) * 0.01 + F.lit(1e-9)
         ).alias("pctl_within_bound"),
     )
+
+
+@register(
+    "unpivot_event_matrix",
+    oracle=f"""
+        WITH wide AS (
+            SELECT user_id,
+                   {", ".join(
+                       f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 "
+                       f"ELSE 0 END) AS BIGINT) AS n_{t}"
+                       for t in EVENT_TYPES)}
+            FROM events GROUP BY user_id
+        ),
+        long AS (
+            {" UNION ALL ".join(
+                f"SELECT user_id, '{t}' AS event_type, n_{t} AS n "
+                f"FROM wide" for t in EVENT_TYPES)}
+        )
+        SELECT user_id, event_type, n FROM long WHERE n > 0
+    """,
+    description="UNPIVOT (melt): the per-user event-count matrix back to "
+    "long form via stack(); pivot -> unpivot recovers the group counts",
+)
+def unpivot_event_matrix(spark, sf_dir):
+    """The UNPIVOT/melt shape — the inverse of ``pivot_user_event_matrix``
+    run over its own output, proving the pair is lossless: the stacked
+    (user_id, event_type, n) rows with n > 0 equal the direct groupBy
+    counts (the oracle computes them independently). ``stack()`` is a
+    GENERATOR expression: each wide row expands in the same codegen
+    stage with no shuffle and no column-to-row reprocessing pass.
+
+    100 TB shape: the pivot's single user_id exchange is the only
+    shuffle; the melt is map-side; emitting only n > 0 keeps the long
+    output proportional to actual (user, type) pairs, not the dense
+    matrix."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[
+                F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+        )
+    )
+    stacked = wide.select(
+        "user_id",
+        F.expr(
+            f"stack({len(EVENT_TYPES)}, "
+            + ", ".join(f"'{t}', n_{t}" for t in EVENT_TYPES)
+            + ") AS (event_type, n)"
+        ),
+    )
+    return stacked.filter(F.col("n") > 0)
+
+
+#: fixed centering constant for the moments battery (2024-01-15 UTC):
+#: covariance and correlation are shift-invariant, and centering the
+#: epoch seconds keeps every power sum small enough that the exact
+#: decimal -> double conversion at the end is well inside the range
+#: where both engines convert identically
+_MOMENTS_T0 = 1_705_276_800
+
+
+@register(
+    "stats_moments_battery",
+    # determinism contract: every SUM is computed in exact integer /
+    # decimal arithmetic (order-independent), and the float combining
+    # expression is written identically on both sides — the only float
+    # ops are on already-exact inputs, so the results are bit-equal
+    oracle=f"""
+        WITH e AS (
+            SELECT event_type,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP)) // 1000000
+                        - {_MOMENTS_T0} AS DECIMAL(18,0)) AS s
+            FROM events
+        ),
+        sums AS (
+            SELECT event_type,
+                   count(*) AS n,
+                   sum(v) AS sx, sum(v * v) AS sxx,
+                   sum(s) AS sy, sum(s * s) AS syy,
+                   sum(v * s) AS sxy
+            FROM e GROUP BY event_type
+        )
+        SELECT event_type, n,
+               floor(CAST(sx AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
+                   AS mean_value,
+               floor(sqrt((n * CAST(sxx AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (n - 1))) * 10000.0 + 0.5)
+                   / 10000.0 AS stddev_value,
+               floor((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)) * 10000.0 + 0.5)
+                   / 10000.0 AS covar_value_time,
+               floor((n * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / sqrt((n * CAST(sxx AS DOUBLE)
+                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                            * (n * CAST(syy AS DOUBLE)
+                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     * 10000.0 + 0.5) / 10000.0 AS corr_value_time
+        FROM sums
+    """,
+    description="statistical moments from EXACT power sums: mean/stddev/"
+    "covariance/correlation per event_type, order-independent by "
+    "construction (no float summation anywhere)",
+)
+def stats_moments_battery(spark, sf_dir):
+    """Second-moment statistics computed the way a 100 TB profiler must:
+    ONE pass accumulating exact decimal power sums (n, Σx, Σx², Σy, Σy²,
+    Σxy) — each map-side combinable and order-independent — then the
+    textbook closed forms in float at the very end. Spark's built-in
+    ``stddev``/``corr`` stream doubles whose reduction ORDER varies
+    with partitioning, so their last bits are not reproducible across
+    engines (or even runs); the power-sum formulation is, and the
+    oracle recomputes it bit-for-bit. The time axis is epoch seconds
+    centered on a fixed constant (shift-invariant for covar/corr) so
+    every sum stays well inside exact-conversion range.
+
+    100 TB shape: one groupBy exchange carrying six accumulators per
+    event_type — the same cost as a count(*), regardless of row
+    count."""
+    from ..plans.registry import load_events
+    from .relational import round_ieee
+
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+        (F.expr("unix_micros(ts) div 1000000") - F.lit(_MOMENTS_T0))
+        .cast("decimal(18,0)")
+        .alias("s"),
+    )
+    sums = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("sx"),
+        F.sum(F.col("v") * F.col("v")).alias("sxx"),
+        F.sum("s").alias("sy"),
+        F.sum(F.col("s") * F.col("s")).alias("syy"),
+        F.sum(F.col("v") * F.col("s")).alias("sxy"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sxx = F.col("sxx").cast("double")
+    sy = F.col("sy").cast("double")
+    syy = F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    nd = n.cast("double")
+    var_num = n * sxx - sx * sx
+    return sums.select(
+        "event_type",
+        "n",
+        round_ieee(sx / n).alias("mean_value"),
+        round_ieee(F.sqrt(var_num / (nd * (n - 1)))).alias("stddev_value"),
+        round_ieee((n * sxy - sx * sy) / (nd * (n - 1))).alias(
+            "covar_value_time"
+        ),
+        round_ieee(
+            (n * sxy - sx * sy)
+            / F.sqrt(var_num * (n * syy - sy * sy))
+        ).alias("corr_value_time"),
+    )

@@ -269,6 +269,8 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "dedup_lines_ccnet",
     "similarity_hard_negatives",
     "streaming_outer_attribution",
+    "unpivot_event_matrix",
+    "stats_moments_battery",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
