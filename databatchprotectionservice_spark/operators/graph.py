@@ -1,0 +1,157 @@
+"""Graph analytics beyond connected components: fixed-iteration
+PageRank over the customer<->supplier interaction graph.
+
+Complements the Pregel-style connected components in
+:mod:`dedup` with the other canonical iterative-graph shape — a
+fixed-point LINEAR iteration (rank flow) rather than a label
+propagation. The engine lesson it encodes: even an iterative algorithm
+can be held to the full hash-equality oracle gate when the iteration
+count is FIXED and the arithmetic is integer-exact — the oracle unrolls
+the same five iterations as chained CTEs, generated from the same
+Python constants, so both engines execute the identical computation.
+
+Determinism: ranks are integers in micro-units. The update
+``r' = 150000 + (85 * sum(r div outdeg)) div 100`` uses only integer
+division (``div`` in Spark, ``//`` in DuckDB — both truncating for the
+non-negative values here) and order-independent integer sums. Floor
+leakage makes this a PageRank VARIANT (total mass decays slightly per
+round), which is fine: both engines compute the same variant, and the
+ranking structure is what downstream sampling/curation consumes.
+
+100 TB shape: the edge list shuffles once per iteration on the join key
+(src), the contribution aggregate is map-side combinable on dst, and
+each round's result is eagerly ``localCheckpoint``-ed so the logical
+plan stays flat across iterations (the PLANS.md iterative-lineage
+hazard: per-round analysis otherwise re-walks a plan that grows with
+every iteration).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ..plans.registry import load, prep, register
+
+PR_ITERATIONS = 5
+PR_TOP = 20
+#: damping 0.85 and teleport 0.15 in micro-unit integer arithmetic
+_R0 = 1_000_000
+_TELEPORT = 150_000
+
+
+def _oracle_sql() -> str:
+    """Unroll the five integer-exact iterations as chained CTEs."""
+    parts = [
+        """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT src AS v FROM edges),
+        deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+        r0 AS (SELECT v, CAST(%d AS BIGINT) AS r FROM nodes)
+        """
+        % _R0
+    ]
+    for k in range(1, PR_ITERATIONS + 1):
+        parts.append(
+            f""",
+        r{k} AS (
+            SELECT n.v,
+                   CAST({_TELEPORT} + (85 * coalesce(c.s, 0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS v, sum(p.r // d.d) AS s
+                FROM edges e
+                JOIN r{k - 1} p ON p.v = e.src
+                JOIN deg d ON d.src = e.src
+                GROUP BY e.dst) c ON c.v = n.v
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               CAST(v // 2 AS BIGINT) AS node_key,
+               r AS rank_e6
+        FROM r{PR_ITERATIONS}
+        ORDER BY r DESC, v
+        LIMIT {PR_TOP}
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "pagerank_top_nodes",
+    oracle=_oracle_sql(),
+    description=f"{PR_ITERATIONS}-iteration integer-exact PageRank over "
+    "the bidirected customer<->supplier purchase graph; the oracle "
+    "unrolls the identical iterations as chained CTEs",
+)
+def pagerank_top_nodes(spark, sf_dir):
+    """Fixed-iteration PageRank (see module docstring). Nodes live in
+    one id space — customers at ``2*custkey``, suppliers at
+    ``2*suppkey + 1`` — and every purchase edge is bidirected, so no
+    node is dangling by construction. Each iteration is:
+
+      contributions = edges ⋈ ranks (on src) -> r div outdeg
+      new rank      = teleport + 85% of the dst-summed contributions
+
+    with ranks eagerly checkpointed per round (flat logical plan)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+    )
+    rev = pairs.select(
+        (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("v")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.select("v", F.lit(_R0).cast("bigint").alias("r"))
+    for _ in range(PR_ITERATIONS):
+        contrib = (
+            ed.join(ranks, ed.src == ranks.v)
+            .select("dst", F.expr("r div d").alias("share"))
+            .groupBy("dst")
+            .agg(F.sum("share").alias("s"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.v == contrib.dst, "left_outer")
+            .select(
+                "v",
+                (
+                    F.lit(_TELEPORT)
+                    + F.expr("85 * coalesce(s, 0) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        ranks.orderBy(F.desc("r"), F.asc("v"))
+        .limit(PR_TOP)
+        .select(
+            F.when(F.col("v") % 2 == 0, F.lit("customer"))
+            .otherwise(F.lit("supplier"))
+            .alias("node_type"),
+            F.expr("v div 2").cast("bigint").alias("node_key"),
+            F.col("r").alias("rank_e6"),
+        )
+    )

@@ -169,10 +169,10 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The driver's correctness sweep scores the FIRST 50 entries of
 # ``queries()`` in dict order (confirmed r1-r6: CORRECTNESS_r*.json
-# always equals the first 50 registry keys).  With 95 registered queries
-# the window rotates each round so no query's latest official verdict
-# predates its latest implementation change.  Round-7 window, in
-# priority order (exactly the rotation VERDICT r6 item 6 prescribed):
+# always equals the first 50 registry keys).  With 120 registered
+# queries the window rotates each round so no query's latest official
+# verdict predates its latest implementation change.  Round-7 window,
+# in priority order (exactly the rotation VERDICT r6 item 6 prescribed):
 #   1. sql_q1_via_views — last official verdict r4, the single most
 #      stale query (released from the r6 window to cover a
 #      changed-impl query; its implementation is unchanged since r4);
@@ -190,20 +190,21 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      repartitions at sf0.1).
 # Queries scored green in r6 with unchanged implementations wait for
 # the r8 rotation. R8 ROTATION PLAN (for whoever builds round 8): the
-# max-staleness set will be the 45-query r6-scored block that sat out
-# r7 (everything in CORRECTNESS_r06 minus the six changed-impl r7
-# window entries) plus the NEW_AFTER_WINDOW queries
-# (dedup_repeated_passages, text_unigram_surprisal,
-# export_csv_roundtrip, export_orc_roundtrip, mix_temperature_quota,
-# q17_small_quantity_revenue, streaming_enrich_dimension — judge-
-# verified this round, never driver-scored) and curate_seed_similarity
-# / dedup_connected_clusters (r7 refactors verified judge-side only);
-# that is ~54 candidates for 50 slots, so the four r6-scored queries
-# with the least churn slide to r9 — pick them explicitly and note it
-# here.  tests/test_registry_order.py asserts this policy
-# mechanically: every query whose last green CORRECTNESS verdict is
-# >= 2 rounds stale, and every name in ``CHANGED_THIS_ROUND``, must
-# sit inside the first-50 window.
+# candidate pool is (a) the 45-query r6-scored block that sat out r7
+# (everything in CORRECTNESS_r06 minus the six changed-impl r7 window
+# entries), (b) the full NEW_AFTER_WINDOW block below — all judge-
+# verified via scripts/check_oracle.py on landing, never driver-scored
+# (including the round-7-continuation TPC-H/pipeline/streaming
+# additions), and (c) curate_seed_similarity / dedup_connected_clusters
+# (r7 refactors verified judge-side only). That is ~72 candidates for
+# 50 slots: prioritize (b) never-scored over (a) one-round-stale —
+# never-scored queries have NO official verdict at all, and the
+# freshness test exempts them only while they are new; the (a) queries
+# that slide to r9 should be the least-churned r6-scored ones, picked
+# explicitly and noted here.  tests/test_registry_order.py asserts the
+# policy mechanically: every query whose last green CORRECTNESS
+# verdict is >= 2 rounds stale, and every name in
+# ``CHANGED_THIS_ROUND``, must sit inside the first-50 window.
 
 #: Queries whose implementation (or fixture/oracle) changed this round.
 #: Updated per-round by hand; the freshness test fails if any entry is
@@ -271,9 +272,10 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "streaming_outer_attribution",
     "unpivot_event_matrix",
     "stats_moments_battery",
+    "pagerank_top_nodes",
 )
 
-_SCORE_FIRST: tuple[str, ...] = (  # 95 registered; window = first 50
+_SCORE_FIRST: tuple[str, ...] = (  # 120 registered; window = first 50
     # 1 — last official verdict r4
     "sql_q1_via_views",
     # 2 — last official verdict r5, prior insertion order
@@ -358,6 +360,7 @@ def _ensure_loaded() -> None:
         bucketing,
         datasource,
         dedup,
+        graph,
         incremental,
         layout,
         maintenance,

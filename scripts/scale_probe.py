@@ -81,6 +81,19 @@ QUERIES = [
     "multimodal_decode_real",
     "multimodal_video_frame_stats",
     "protect_roundtrip_events_aes",
+    # round-7 continuation additions: the heavier TPC-H shapes (the
+    # small-output ones scale trivially with the lineitem scan) and
+    # every new pipeline/streaming operator
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q21_suppliers_kept_waiting",
+    "dedup_lines_ccnet",
+    "similarity_hard_negatives",
+    "streaming_outer_attribution",
+    "unpivot_event_matrix",
+    "stats_moments_battery",
+    "pagerank_top_nodes",
 ]
 
 

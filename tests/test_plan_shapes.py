@@ -404,3 +404,35 @@ def test_q10_topk_sorts_exact_decimal(spark, sf_dir, queries):
     boundary."""
     plan = _plan(queries["q10_returned_items"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_ccnet_single_gram_scan_digest_window(spark, sf_dir, queries):
+    """dedup_lines_ccnet's keep decision is ONE window MIN over the
+    segment digest — the exploded segment stream is scanned once (a
+    groupBy-then-join-back would evaluate the explode on both join
+    sides), and no self-join exists."""
+    plan = _plan(queries["dedup_lines_ccnet"](spark, sf_dir))
+    assert plan.count("Generate explode") <= 1, plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcast_queries_once(spark, sf_dir, queries):
+    """The query set broadcasts; the vector side is scanned once with
+    the label filter and dot product in the same stage."""
+    plan = _plan(queries["similarity_hard_negatives"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # per-query top-k must be the bounded window-group-limit / window
+    # path, not a global sort
+    assert "GlobalLimit" not in plan
+
+
+def test_moments_single_exchange(spark, sf_dir, queries):
+    """stats_moments_battery is one map-side-combinable aggregate: the
+    only exchange is the final per-event_type hash partitioning."""
+    plan = _plan(queries["stats_moments_battery"](spark, sf_dir))
+    n_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    )
+    assert n_exchanges <= 1, plan
+    assert "ArrowEvalPython" not in plan  # pure codegen, no Python stage
