@@ -968,3 +968,226 @@ def multimodal_video_frame_stats(spark, sf_dir):
         F.sum("sampled_bytes_sum").cast("bigint").alias("sampled_bytes_sum"),
         F.max("max_byte").cast("bigint").alias("max_byte"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temporal analysis: video scene changes + audio activity windows
+# ---------------------------------------------------------------------------
+
+#: a frame pair is a "scene change" when its Y-plane sum of absolute
+#: differences exceeds this (the synthetic signal steps every Y byte by
+#: +7 mod 256 per frame, so a pair's SAD is 7 per byte except where the
+#: byte WRAPS — wraps jump the SAD by 242, making wrap frames the
+#: deterministic "cuts" this detector must find)
+SCENE_SAD_THRESHOLD = VID_W * VID_H * 7
+
+_SCENE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("sad_sum", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_video_scene_stats",
+    # decoded Y planes are the first w*h stream bytes for BOTH C444 and
+    # C420 clips (the Y plane is never subsampled), so the frame-pair
+    # sum of absolute differences has one closed form for all clips
+    oracle=f"""
+        WITH clips AS (
+            SELECT source, doc_id, (n_chars % 7) + 2 AS nf
+            FROM documents
+        ),
+        pairs AS (
+            SELECT source,
+                   nf - 1 AS n_pairs,
+                   list_transform(range(1, nf), f ->
+                       list_aggregate(list_transform(
+                           range(0, {VID_W * VID_H}),
+                           j -> abs(((doc_id * 13 + f * 7 + j * 3) % 256)
+                                  - ((doc_id * 13 + (f - 1) * 7 + j * 3)
+                                     % 256))),
+                           'sum')) AS sads
+            FROM clips
+        )
+        SELECT source,
+               CAST(sum(n_pairs) AS BIGINT) AS total_pairs,
+               CAST(sum(list_aggregate(sads, 'sum')) AS BIGINT) AS sad_sum,
+               CAST(sum(len(list_filter(sads,
+                    s -> s > {SCENE_SAD_THRESHOLD}))) AS BIGINT) AS n_cuts
+        FROM pairs
+        GROUP BY source
+    """,
+    description="video scene-change detection: per-pair Y-plane sum of "
+    "absolute differences over decoded frames, cuts above a fixed SAD "
+    "threshold — exact integers, oracle-recomputed from the closed form",
+)
+def multimodal_video_scene_stats(spark, sf_dir):
+    """Temporal video analysis — the dimension the per-frame stats miss:
+    consecutive-frame Y-plane SAD (sum of absolute differences), the
+    textbook shot-boundary signal video curation pipelines use to pick
+    keyframes and split clips. Runs on genuinely DECODED frames (both
+    Y4M layouts; the Y plane is full-res in each), so a decoder that
+    misaligns a single frame boundary shifts every downstream diff and
+    hash-mismatches.
+
+    100 TB shape: the diff is computed INSIDE the decode stage on the
+    ndarray (no per-frame explode, no shuffle of pixel data); the only
+    exchange is the final per-source aggregate."""
+    import numpy as np
+
+    from ..core.videocodec import VideoFormatError, decode_y4m
+
+    prep(spark)
+    clips = video_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nps, sads, cuts = [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                try:
+                    w, h, fps, frames = decode_y4m(bytes(payload))
+                except VideoFormatError as exc:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable video: {exc}"
+                    ) from exc
+                y = frames[:, 0].astype(np.int64)  # (nf, h, w) Y plane
+                diffs = np.abs(y[1:] - y[:-1]).sum(axis=(1, 2))
+                srcs.append(source)
+                nps.append(int(diffs.shape[0]))
+                sads.append(int(diffs.sum()))
+                cuts.append(int((diffs > SCENE_SAD_THRESHOLD).sum()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_pairs": pd.Series(nps, dtype="int64"),
+                    "sad_sum": pd.Series(sads, dtype="int64"),
+                    "n_cuts": pd.Series(cuts, dtype="int64"),
+                }
+            )
+
+    decoded = clips.mapInPandas(_stats, _SCENE_STATS_SCHEMA)
+    return decoded.groupBy("source").agg(
+        F.sum("n_pairs").cast("bigint").alias("total_pairs"),
+        F.sum("sad_sum").cast("bigint").alias("sad_sum"),
+        F.sum("n_cuts").cast("bigint").alias("n_cuts"),
+    )
+
+
+#: audio activity windowing: full 256-frame windows only (the tail
+#: remainder is profiled by the whole-clip stats above)
+AUDIO_WIN = 256
+
+_ACTIVITY_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("max_window_energy", T.LongType()),
+        T.StructField("zero_crossings", T.LongType()),
+    ]
+)
+
+
+@register(
+    "multimodal_audio_activity",
+    # the synthetic signal is closed-form, so both the windowed energy
+    # and the sign-crossing count are SQL-recomputable exactly; a
+    # crossing is a sign-bit change between consecutive samples
+    oracle=f"""
+        WITH clips AS (
+            SELECT source, doc_id, greatest(n_chars, 1) * 4 AS nf
+            FROM documents
+        ),
+        win AS (
+            SELECT source,
+                   nf // {AUDIO_WIN} AS n_windows,
+                   list_transform(range(0, nf // {AUDIO_WIN}), w ->
+                       list_aggregate(list_transform(
+                           range(w * {AUDIO_WIN}, (w + 1) * {AUDIO_WIN}),
+                           i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768
+                                     AS BIGINT)
+                                * ((doc_id * 31 + i * 17) % 65536 - 32768)),
+                           'sum')) AS energies,
+                   list_aggregate(list_transform(range(1, nf), i ->
+                       CASE WHEN ((doc_id * 31 + (i - 1) * 17) % 65536
+                                  - 32768 < 0)
+                                 <> ((doc_id * 31 + i * 17) % 65536
+                                     - 32768 < 0)
+                            THEN 1 ELSE 0 END), 'sum') AS zc
+            FROM clips
+        )
+        SELECT source,
+               CAST(sum(n_windows) AS BIGINT) AS total_windows,
+               CAST(max(CASE WHEN n_windows > 0
+                        THEN list_aggregate(energies, 'max')
+                        ELSE 0 END) AS BIGINT) AS max_window_energy,
+               CAST(sum(zc) AS BIGINT) AS total_zero_crossings
+        FROM win
+        GROUP BY source
+    """,
+    description=f"audio activity profile: {AUDIO_WIN}-frame windowed "
+    "energy (silence/VAD proxy) + zero-crossing count over decoded PCM16 "
+    "— exact integers, oracle-recomputed from the closed form",
+)
+def multimodal_audio_activity(spark, sf_dir):
+    """Temporal audio analysis over genuinely decoded WAV samples: the
+    two classic voice-activity / silence-trimming signals — per-window
+    energy (speech datasets drop windows below an energy floor) and
+    zero-crossing count (separates tonal from noisy content). Both stay
+    in exact int64, so the oracle recomputes them from the closed-form
+    signal; a parser off by one sample flips the crossing parity chain
+    and hash-mismatches.
+
+    100 TB shape: windowing is a reshape inside the decode stage —
+    no explode, no shuffle of sample data; one per-source exchange."""
+    import numpy as np
+
+    from ..core.audiocodec import AudioFormatError, decode_wav
+
+    prep(spark)
+    clips = audio_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nws, maxes, zcs = [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                try:
+                    rate, ch, samples = decode_wav(bytes(payload))
+                except AudioFormatError as exc:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable audio: {exc}"
+                    ) from exc
+                s = samples.astype(np.int64)
+                nw = s.shape[0] // AUDIO_WIN
+                if nw:
+                    w = s[: nw * AUDIO_WIN].reshape(nw, AUDIO_WIN)
+                    max_e = int((w * w).sum(axis=1).max())
+                else:
+                    max_e = 0
+                neg = s < 0
+                srcs.append(source)
+                nws.append(nw)
+                maxes.append(max_e)
+                zcs.append(int((neg[1:] != neg[:-1]).sum()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_windows": pd.Series(nws, dtype="int64"),
+                    "max_window_energy": pd.Series(maxes, dtype="int64"),
+                    "zero_crossings": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    decoded = clips.mapInPandas(_stats, _ACTIVITY_STATS_SCHEMA)
+    return decoded.groupBy("source").agg(
+        F.sum("n_windows").cast("bigint").alias("total_windows"),
+        F.max("max_window_energy").cast("bigint").alias("max_window_energy"),
+        F.sum("zero_crossings").cast("bigint").alias("total_zero_crossings"),
+    )

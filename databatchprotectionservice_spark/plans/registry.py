@@ -273,6 +273,8 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "unpivot_event_matrix",
     "stats_moments_battery",
     "pagerank_top_nodes",
+    "multimodal_video_scene_stats",
+    "multimodal_audio_activity",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 120 registered; window = first 50
