@@ -1338,3 +1338,163 @@ def q17_small_quantity_revenue(spark, sf_dir):
                  FROM lineitem l2 WHERE l2.l_partkey = part.p_partkey)
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral analytics: funnel conversion + cohort retention
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "funnel_conversion",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+            FROM events
+        ),
+        v AS (
+            SELECT user_id, min(ts) AS t1 FROM e
+            WHERE event_type = 'view' GROUP BY user_id
+        ),
+        c AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM e JOIN v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND e.ts > v.t1
+            GROUP BY e.user_id
+        ),
+        p AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM e JOIN c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > c.t2
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM v) AS n_viewed,
+               (SELECT count(*) FROM c) AS n_clicked_after,
+               (SELECT count(*) FROM p) AS n_purchased_after,
+               CAST((SELECT count(*) FROM c) * 10000
+                    // (SELECT count(*) FROM v) AS BIGINT)
+                   AS click_rate_e4,
+               CAST((SELECT count(*) FROM p) * 10000
+                    // greatest((SELECT count(*) FROM c), 1) AS BIGINT)
+                   AS purchase_rate_e4
+    """,
+    description="ORDERED funnel: users who viewed, then clicked strictly "
+    "after their first view, then purchased strictly after that click — "
+    "sequential min-timestamp chaining, integer-exact rates",
+)
+def funnel_conversion(spark, sf_dir):
+    """The ORDERED-FUNNEL shape — product analytics' bread and butter,
+    and not a plain count-per-type: each step requires an event
+    STRICTLY AFTER the user's previous step's first occurrence, so the
+    steps chain through per-user min-timestamp aggregates (aggregate ->
+    join -> filtered aggregate, twice). Conversion rates are integer
+    basis points (``n2 * 10000 div n1``) — no float division.
+
+    100 TB shape: three user_id-keyed aggregates over pushed-down
+    event_type filters, all on the SAME shuffle key so AQE reuses the
+    exchange; each stage's output is one row per qualifying user."""
+    from ..plans.registry import load_events
+
+    prep(spark)
+    e = load_events(spark, sf_dir).select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchased_after")))
+    )
+    return counts.select(
+        "n_viewed",
+        "n_clicked_after",
+        "n_purchased_after",
+        F.expr("n_clicked_after * 10000 div n_viewed")
+        .cast("bigint")
+        .alias("click_rate_e4"),
+        F.expr(
+            "n_purchased_after * 10000 div greatest(n_clicked_after, 1L)"
+        )
+        .cast("bigint")
+        .alias("purchase_rate_e4"),
+    )
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+        WITH e AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+        ),
+        first_seen AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort
+            FROM e GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM e
+        )
+        SELECT strftime(f.cohort, '%Y-%m-%d') AS cohort_week,
+               CAST((epoch_us(a.w) - epoch_us(f.cohort))
+                    // (CAST(7 AS BIGINT) * 86400 * 1000000) AS BIGINT)
+                   AS week_offset,
+               CAST(count(*) AS BIGINT) AS active_users
+        FROM first_seen f
+        JOIN activity a ON a.user_id = f.user_id
+        GROUP BY 1, 2
+    """,
+    description="cohort retention: users grouped by first-activity week, "
+    "active-user counts per subsequent week offset (Monday-truncated "
+    "weeks, integer epoch arithmetic)",
+)
+def retention_cohorts(spark, sf_dir):
+    """The COHORT-RETENTION matrix — the second canonical behavioral
+    query: users keyed by their first-activity week, then counted in
+    every week they return. Both engines truncate weeks to Monday
+    (``date_trunc('week')``), and the week offset is exact integer
+    epoch-microsecond arithmetic — no interval/timezone drift can
+    split a cohort.
+
+    100 TB shape: one user_id aggregate (first week), one distinct on
+    (user, week) — both map-side combinable — then an equi-join back
+    on user_id (same key, exchange reused) into a tiny cohort x offset
+    aggregate."""
+    from ..plans.registry import load_events
+
+    prep(spark)
+    e = load_events(spark, sf_dir).select("user_id", "ts")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    wk_us = 7 * 86400 * 1000000
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
+            (
+                (F.unix_micros("w") - F.unix_micros("cohort"))
+                / F.lit(wk_us)
+            )
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
+    )

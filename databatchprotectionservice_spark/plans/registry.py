@@ -275,6 +275,8 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "pagerank_top_nodes",
     "multimodal_video_scene_stats",
     "multimodal_audio_activity",
+    "funnel_conversion",
+    "retention_cohorts",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 120 registered; window = first 50
