@@ -140,11 +140,21 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     spark = get_spark(app_name="dbps-scale-probe")
-    build_replica(spark)
+    # SCALE_PROBE_REUSE=1 skips the (expensive) replica rebuild when a
+    # previous run's replica is still on disk; SCALE_PROBE_ONLY=a,b,c
+    # restricts the query list (used to append late-registered queries
+    # to an existing probe file without re-measuring everything)
+    if not (os.environ.get("SCALE_PROBE_REUSE") and os.path.isdir(DST)):
+        build_replica(spark)
+    only = {
+        n for n in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if n
+    }
     qs = entrymod.queries()
     base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
     results = {}
     for name in QUERIES:
+        if only and name not in only:
+            continue
         obs = []
         for _ in range(2):
             t0 = time.time()
@@ -152,6 +162,16 @@ def main() -> None:
             obs.append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
         sf01 = base["queries"].get(name)
+        if not sf01:
+            # registered after the last bench: measure the sf0.1
+            # baseline here, same min-of-2 protocol as the 10x side
+            obs01 = []
+            for _ in range(2):
+                t0 = time.time()
+                qs[name](spark, SRC).collect()
+                obs01.append(round(time.time() - t0, 3))
+            spark.catalog.clearCache()
+            sf01 = min(obs01)
         t = min(obs)
         results[name] = {
             "sf1_sec": t,
@@ -162,8 +182,15 @@ def main() -> None:
         print(f"{name}: sf1 {t}s  sf0.1 {sf01}s  "
               f"ratio {results[name]['ratio']}", flush=True)
     if out_path:
+        # merge into an existing probe file (the SCALE_PROBE_ONLY appending
+        # workflow must not drop the entries it did not re-measure)
+        merged = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                merged = json.load(f)
+        merged.update(results)
         with open(out_path, "w") as f:
-            json.dump(results, f, indent=1, sort_keys=True)
+            json.dump(merged, f, indent=1, sort_keys=True)
 
 
 if __name__ == "__main__":
