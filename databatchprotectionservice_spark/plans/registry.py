@@ -277,6 +277,8 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "multimodal_audio_activity",
     "funnel_conversion",
     "retention_cohorts",
+    "kmeans_embedding_clusters",
+    "semdedup_embeddings",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 120 registered; window = first 50
@@ -362,6 +364,7 @@ def _ensure_loaded() -> None:
         return
     from ..operators import (  # noqa: F401
         bucketing,
+        clustering,
         datasource,
         dedup,
         graph,

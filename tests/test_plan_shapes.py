@@ -436,3 +436,23 @@ def test_moments_single_exchange(spark, sf_dir, queries):
     )
     assert n_exchanges <= 1, plan
     assert "ArrowEvalPython" not in plan  # pure codegen, no Python stage
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir, queries):
+    """Every k-means assignment is a BROADCAST of the K centroids
+    against the corpus scan — no sort-merge join, no cartesian: at
+    100 TB the corpus side must stream, never shuffle on a join key."""
+    plan = _plan(queries["kmeans_embedding_clusters"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_semdedup_single_grouped_pandas_stage(spark, sf_dir, queries):
+    """SemDeDup's pair search is ONE grouped gram-matrix stage per
+    cluster (FlatMapGroupsInPandas) — the naive pair self-join would
+    materialize cluster_size^2 rows through a join instead."""
+    plan = _plan(queries["semdedup_embeddings"](spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
