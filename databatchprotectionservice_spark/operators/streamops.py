@@ -258,6 +258,13 @@ def streaming_sessionize(spark, sf_dir):
     )
 
 
+@register(
+    "streaming_sessionize_tws",
+    oracle=_SESSIONIZE_ORACLE,
+    description="gap sessionization via transformWithStateInPandas "
+    "(state API v2: named state variables + event-time timers), same "
+    "session semantics and oracle as the applyInPandasWithState path",
+)
 def streaming_sessionize_tws(spark, sf_dir):
     """The MODERN custom-stateful surface: ``transformWithStateInPandas``
     (state API v2 / SPIP transformWithState) — explicit named state
@@ -270,22 +277,17 @@ def streaming_sessionize_tws(spark, sf_dir):
     ListState plus staged emission timers in one processor, which v1's
     single state tuple + single timeout cannot express.
 
-    NOT in the query registry: Spark's TWS state-server protocol needs
-    the ``protobuf`` package, which this container does not ship (the
-    same dependency-seam class as Pillow/ffmpeg for media). The
-    processor raises the documented error where protobuf is missing;
-    ``tests/test_streaming.py`` runs the full pipeline when the
-    dependency exists and pins the seam message when it does not."""
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "transformWithStateInPandas requires the 'protobuf' package "
-            "(Spark's TWS state-server protocol); install protobuf to "
-            "use the state API v2 sessionizer — streaming_sessionize "
-            "(applyInPandasWithState) and streaming_session_window "
-            "(JVM session_window) cover the same semantics without it"
-        ) from exc
+    Dependency note: Spark's TWS state-server protocol runs through
+    protoc-generated code that needs a ``google.protobuf`` runtime.
+    Where the ``protobuf`` package is installed it is used as-is;
+    otherwise ``vendor.ensure_protobuf`` installs the repo's
+    from-scratch minimal protobuf runtime (public wire-format spec;
+    ``vendor/miniproto``) on the driver path and ships it to Python
+    workers via ``addPyFile`` — closing what was a documented seam
+    through round 7."""
+    from ..vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
     from ..streaming import read_events_stream
     from ..streaming.pipeline import sessionize_stream_tws
 
@@ -295,9 +297,26 @@ def streaming_sessionize_tws(spark, sf_dir):
         stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
     )
     name = f"streaming_sessionize_tws_{time.time_ns()}"
-    _run_to_memory_sink(
-        sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
+    # TWS state (named variables + timers) lives in multiple column
+    # families, which the default HDFS-backed provider cannot host;
+    # RocksDB (bundled rocksdbjni) is the supported store.  Conf is
+    # read at query START, so scope it to this run and restore.
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None)
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
     )
+    try:
+        _run_to_memory_sink(
+            sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
+        )
+    finally:
+        if old_provider is None:
+            spark.conf.unset(provider_key)
+        else:
+            spark.conf.set(provider_key, old_provider)
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(

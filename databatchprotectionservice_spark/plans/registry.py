@@ -227,9 +227,12 @@ SCORE_WINDOW = 50  # entries the driver's sweep scores per round
 #: Queries REGISTERED this round after the 50-slot window was already
 #: committed to the rotation.  Position-pinned immediately after the
 #: window (first in line for the r9 rotation) and judge-side verified
-#: via scripts/check_oracle.py on registration.  Empty at the start of
-#: round 8; grows as new queries land this round.
-NEW_AFTER_WINDOW: tuple[str, ...] = ()
+#: via scripts/check_oracle.py on registration.
+NEW_AFTER_WINDOW: tuple[str, ...] = (
+    # state API v2 sessionization (transformWithStateInPandas over the
+    # vendored mini-protobuf runtime); hash-checked on registration
+    "streaming_sessionize_tws",
+)
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
     # 1 — never driver-scored (r7 NEW_AFTER_WINDOW block, prior order)

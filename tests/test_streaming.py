@@ -360,26 +360,18 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
         q.stop()
 
 
-def test_sessionize_tws_matches_legacy_or_pins_the_protobuf_seam(
-    spark, sf_dir
-):
-    """transformWithStateInPandas (state API v2) sessionizer: where the
-    protobuf dependency exists, its output must equal the
-    applyInPandasWithState twin's (identical session semantics by
-    construction); where it does not — this container — the registered
-    surface raises the documented seam error instead of a protocol
-    crash deep inside Spark's TWS state server."""
+def test_sessionize_tws_matches_legacy(spark, sf_dir):
+    """transformWithStateInPandas (state API v2) sessionizer must equal
+    the applyInPandasWithState twin (identical session semantics by
+    construction).  Where the real protobuf package is missing, the
+    vendored mini runtime (vendor/miniproto) carries Spark's TWS
+    state-server protocol — this test runs the FULL pipeline either
+    way (the r1-r7 protobuf seam is closed)."""
     from databatchprotectionservice_spark.operators.streamops import (
         streaming_sessionize,
         streaming_sessionize_tws,
     )
 
-    try:
-        import google.protobuf  # noqa: F401
-    except ImportError:
-        with pytest.raises(NotImplementedError, match="protobuf"):
-            streaming_sessionize_tws(spark, sf_dir)
-        return
     got = sorted(map(tuple, streaming_sessionize_tws(spark, sf_dir).collect()))
     want = sorted(map(tuple, streaming_sessionize(spark, sf_dir).collect()))
     assert got == want
