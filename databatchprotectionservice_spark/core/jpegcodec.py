@@ -330,7 +330,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if len(seg) < 2:
                 raise JpegFormatError("truncated DRI")
             restart_interval = struct.unpack(">H", seg[:2])[0]
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 (sequential), SOF2 (progressive)
             if len(seg) < 6:
                 raise JpegFormatError("truncated SOF")
             precision, h, w, nc = struct.unpack(">BHHB", seg[:6])
@@ -362,12 +362,12 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
                         f"non-integer sampling ratio {c['h']}x{c['v']} "
                         f"vs {hm}x{vm} unsupported"
                     )
-            frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            frame = (h, w, comps, marker == 0xC2)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise JpegFormatError(
-                f"JPEG SOF{marker - 0xC0}: only baseline sequential DCT is "
-                "implemented (progressive/arithmetic/hierarchical need an "
-                "external codec)"
+                f"JPEG SOF{marker - 0xC0}: sequential and progressive "
+                "Huffman DCT are implemented; arithmetic coding, lossless "
+                "and hierarchical modes need an external codec"
             )
         elif marker == 0xDA:  # SOS — entropy data follows
             if frame is None:
@@ -375,20 +375,32 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
             if not seg:
                 raise JpegFormatError("truncated SOS")
             ns = seg[0]
-            if len(seg) < 1 + 2 * ns:
+            if len(seg) < 1 + 2 * ns + 3:
                 raise JpegFormatError("truncated SOS component list")
             scan = []
             for c in range(ns):
                 cs, tables = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0x0F))
+            # progression parameters (T.81 B.2.3): spectral selection
+            # Ss..Se, successive-approximation high/low Ah/Al.  In a
+            # sequential frame they are fixed (0, 63, 0, 0) and ignored.
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ah, al = seg[3 + 2 * ns] >> 4, seg[3 + 2 * ns] & 0x0F
             # decode this scan's entropy data in place and continue the
-            # marker walk: T.81 sequential files may split components
-            # over several scans (non-interleaved), with DHT/DQT updates
+            # marker walk: T.81 files may split components (sequential
+            # non-interleaved) or spectral bands / coefficient bits
+            # (progressive) over several scans, with DHT/DQT updates
             # between them
-            i = _decode_one_scan(
-                data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
-                restart_interval,
-            )
+            if frame[3]:
+                i = _decode_progressive_scan(
+                    data, i + seglen, frame, scan, ss, se, ah, al,
+                    huff_dc, huff_ac, restart_interval,
+                )
+            else:
+                i = _decode_one_scan(
+                    data, i + seglen, frame, scan, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
             continue
         # APPn / COM / anything else: skip
         i += seglen
@@ -408,7 +420,7 @@ def decode_jpeg(data: bytes) -> tuple[int, int, np.ndarray]:
 def _read_block(reader, dct, act, pred, cid) -> np.ndarray:
     """Decode one data unit (8x8 coefficient block) from the reader."""
     zz = ZIGZAG
-    block = np.zeros(64, dtype=np.float64)
+    block = np.zeros(64, dtype=np.int32)
     s = reader.decode(dct)
     diff = _extend(reader.read(s), s)
     pred[cid] += diff
@@ -435,34 +447,21 @@ def _decode_one_scan(
 ) -> int:
     """Decode one SOS's entropy data into the components' coefficient
     stores and return the stream offset of the next marker. Supports
-    the fully interleaved scan (all components) and single-component
-    non-interleaved scans — together, every baseline sequential layout
-    T.81 allows except multi-component SUBSET scans (rare; raises)."""
+    interleaved scans of ANY component subset (T.81 A.2.3: the MCU grid
+    is always derived from the FRAME's max sampling factors, whether the
+    scan carries all components or a subset) and single-component
+    non-interleaved scans — together, every sequential layout T.81
+    allows."""
     if frame is None:
         raise JpegFormatError("SOS before SOF")
-    h, w, comps = frame
+    h, w, comps, _prog = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     mcux = (w + 8 * hmax - 1) // (8 * hmax)
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     # entropy-coded segments: destuff FF00 -> FF, split at RST markers
     segments, end = _entropy_segments(data, pos)
-    by_id = {c["id"]: c for c in comps}
-    order = []
-    for cs, td, ta in scan:
-        c = by_id.get(cs)
-        if c is None:
-            raise JpegFormatError(f"scan references unknown component {cs}")
-        order.append((c, td, ta))
-    if len({id(c) for c, _, _ in order}) != len(order):
-        raise JpegFormatError("duplicate component in scan")
-    # per-component coefficient storage, sized on the interleaved grid
-    # (a superset of any non-interleaved grid), created once
-    for c in comps:
-        if "coef" not in c:
-            c["bx"] = mcux * c["h"]
-            c["by"] = mcuy * c["v"]
-            c["coef"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.float64)
+    order = _resolve_scan_components(frame, scan, mcux, mcuy)
     for c, _, _ in order:
         if c["tq"] not in qt:
             raise JpegFormatError(f"missing quantization table {c['tq']}")
@@ -501,23 +500,20 @@ def _decode_one_scan(
                 reader, dct, act, pred, c["id"]
             )
         return end
-    if len(order) != len(comps):
-        raise JpegFormatError(
-            f"multi-component subset scan ({len(order)} of {len(comps)} "
-            "components) unsupported — an external codec slots in here"
-        )
+    # interleaved scan — all components or any subset; the MCU grid and
+    # per-MCU block structure come from the scan's own component list
     n_mcu = mcux * mcuy
     mcu_per_seg = restart_interval if restart_interval else n_mcu
     seg_idx = 0
     reader = _BitReader(segments[0]) if segments else None
-    pred = {c["id"]: 0 for c in comps}
+    pred = {c["id"]: 0 for c, _, _ in order}
     for m in range(n_mcu):
         if m % mcu_per_seg == 0 and m > 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise JpegFormatError("missing restart segment")
             reader = _BitReader(segments[seg_idx])
-            pred = {c["id"]: 0 for c in comps}
+            pred = {c["id"]: 0 for c, _, _ in order}
         my, mx = divmod(m, mcux)
         if reader is None:
             raise JpegFormatError("JPEG has no entropy data")
@@ -532,10 +528,272 @@ def _decode_one_scan(
     return end
 
 
+def _resolve_scan_components(frame, scan, mcux, mcuy):
+    """Map a scan's component ids to frame components, validating
+    uniqueness, and allocate coefficient stores on first touch (sized
+    on the interleaved grid — a superset of any non-interleaved
+    grid)."""
+    comps = frame[2]
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise JpegFormatError(f"scan references unknown component {cs}")
+        order.append((c, td, ta))
+    if len({id(c) for c, _, _ in order}) != len(order):
+        raise JpegFormatError("duplicate component in scan")
+    for c in comps:
+        if "coef" not in c:
+            c["bx"] = mcux * c["h"]
+            c["by"] = mcuy * c["v"]
+            # int32: coefficients are exact integers (11-bit magnitudes
+            # x quantizer), and progressive successive approximation
+            # needs two's-complement bitwise refinement
+            c["coef"] = np.zeros((c["by"] * c["bx"], 8, 8), dtype=np.int32)
+    return order
+
+
+def _comp_block_dims(frame, c):
+    """A component's true (non-interleaved) block-grid width/height:
+    ceil(ceil(dim * f / fmax) / 8) per T.81 A.2.2."""
+    h, w, comps = frame[0], frame[1], frame[2]
+    hmax = max(x["h"] for x in comps)
+    vmax = max(x["v"] for x in comps)
+    bw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+    bh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+    return bw, bh
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff_dc, huff_ac,
+    restart_interval,
+) -> int:
+    """Decode one PROGRESSIVE scan (T.81 G.2): spectral selection
+    (Ss..Se bands) x successive approximation (Ah/Al bit planes) over
+    the shared per-component coefficient stores; the marker walk calls
+    this once per SOS and ``_assemble`` runs the one IDCT at EOI.
+
+    Four scan kinds, dispatched on (Ss, Ah):
+
+    * DC first (Ss=0, Ah=0): sequential DC decode, coefficient stored
+      ``diff << Al``; interleaved (any subset) or single-component.
+    * DC refinement (Ss=0, Ah>0): one raw bit per block ORed in at Al.
+    * AC first (Ss>0, Ah=0): run-length/size decode with EOB RUNS
+      (EOBn codes: r < 15, s = 0 -> skip ``(1 << r) - 1 + read(r)``
+      additional blocks in the band); single-component only per T.81.
+    * AC refinement (Ss>0, Ah>0): the G.1.2.3 correction procedure —
+      every already-nonzero coefficient consumes a correction bit as
+      the band is traversed, newly-significant coefficients arrive as
+      ``+-1 << Al``, and EOB runs still append correction bits.
+
+    Restart intervals reset DC predictors AND the EOB run, segment
+    boundaries exactly as in sequential scans."""
+    if not 0 <= al <= 13 or (ah and ah != al + 1):
+        raise JpegFormatError(f"bad successive approximation Ah={ah} Al={al}")
+    h, w, comps = frame[0], frame[1], frame[2]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    segments, end = _entropy_segments(data, pos)
+    order = _resolve_scan_components(frame, scan, mcux, mcuy)
+    zz = ZIGZAG
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise JpegFormatError("progressive DC scan must have Se=0")
+        tables = []
+        for c, td, ta in order:
+            dct = None
+            if ah == 0:
+                dct = huff_dc.get(td)
+                if dct is None:
+                    raise JpegFormatError("scan references missing Huffman table")
+            c["scanned"] = True
+            tables.append((c, dct))
+
+        if (
+            ah > 0
+            and len(comps) == 1
+            and comps[0]["h"] == 1
+            and comps[0]["v"] == 1
+            and not restart_interval
+            and len(segments) == 1
+        ):
+            # vectorized fast path: a grayscale DC refinement scan is
+            # exactly one raw bit per block in raster order — unpack
+            # the whole segment at once instead of a per-block Python
+            # bit-reader loop (every real progressive file has one of
+            # these scans; for DC-only fixtures it is decode-hot)
+            c = comps[0]
+            n_units = mcux * mcuy
+            bits = np.unpackbits(np.frombuffer(segments[0], dtype=np.uint8))
+            if bits.size < n_units:
+                raise JpegFormatError("JPEG entropy stream truncated")
+            c["coef"][:n_units, 0, 0] |= (
+                bits[:n_units].astype(np.int32) << al
+            )
+            return end
+
+        def dc_unit(reader, c, dct, pred, idx):
+            blk = c["coef"][idx].reshape(64)
+            if ah == 0:
+                s = reader.decode(dct)
+                pred[c["id"]] += _extend(reader.read(s), s)
+                blk[0] = pred[c["id"]] << al
+            else:
+                if reader.read(1):
+                    blk[0] |= 1 << al
+
+        if len(order) == 1 and len(comps) > 1:
+            # non-interleaved DC scan over the component's own grid
+            c, dct = tables[0]
+            bw, bh = _comp_block_dims(frame, c)
+            n_units = bw * bh
+            per_seg = restart_interval if restart_interval else n_units
+            seg_idx, reader = 0, _BitReader(segments[0]) if segments else None
+            pred = {c["id"]: 0}
+            for u in range(n_units):
+                if u and u % per_seg == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segments):
+                        raise JpegFormatError("missing restart segment")
+                    reader = _BitReader(segments[seg_idx])
+                    pred = {c["id"]: 0}
+                if reader is None:
+                    raise JpegFormatError("JPEG has no entropy data")
+                r, cc = divmod(u, bw)
+                dc_unit(reader, c, dct, pred, r * c["bx"] + cc)
+            return end
+        n_mcu = mcux * mcuy
+        per_seg = restart_interval if restart_interval else n_mcu
+        seg_idx, reader = 0, _BitReader(segments[0]) if segments else None
+        pred = {c["id"]: 0 for c, _ in tables}
+        for m in range(n_mcu):
+            if m and m % per_seg == 0:
+                seg_idx += 1
+                if seg_idx >= len(segments):
+                    raise JpegFormatError("missing restart segment")
+                reader = _BitReader(segments[seg_idx])
+                pred = {c["id"]: 0 for c, _ in tables}
+            if reader is None:
+                raise JpegFormatError("JPEG has no entropy data")
+            my, mx = divmod(m, mcux)
+            for c, dct in tables:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        idx = (my * c["v"] + v) * c["bx"] + mx * c["h"] + hh
+                        dc_unit(reader, c, dct, pred, idx)
+        return end
+
+    # AC scan: single component, band Ss..Se
+    if len(order) != 1:
+        raise JpegFormatError("progressive AC scan must be single-component")
+    if not ss <= se <= 63:
+        raise JpegFormatError(f"bad spectral band {ss}..{se}")
+    c, td, ta = order[0]
+    act = huff_ac.get(ta)
+    if act is None:
+        raise JpegFormatError("scan references missing Huffman table")
+    bw, bh = _comp_block_dims(frame, c)
+    n_units = bw * bh
+    per_seg = restart_interval if restart_interval else n_units
+    seg_idx = 0
+    reader = _BitReader(segments[0]) if segments else None
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(blk, k):
+        """Append this coefficient's correction bit (G.1.2.3)."""
+        if reader.read(1) and not blk[zz[k]] & p1:
+            blk[zz[k]] += p1 if blk[zz[k]] >= 0 else m1
+
+    for u in range(n_units):
+        if u and u % per_seg == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise JpegFormatError("missing restart segment")
+            reader = _BitReader(segments[seg_idx])
+            eobrun = 0
+        if reader is None:
+            raise JpegFormatError("JPEG has no entropy data")
+        r_, cc = divmod(u, bw)
+        blk = c["coef"][r_ * c["bx"] + cc].reshape(64)
+        if ah == 0:  # AC first scan
+            if eobrun:
+                eobrun -= 1
+                continue  # nothing in this block's band
+            k = ss
+            while k <= se:
+                rs = reader.decode(act)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1
+                    if r:
+                        eobrun += reader.read(r)
+                    break
+                k += r
+                if k > se:
+                    raise JpegFormatError("AC coefficient overflow")
+                blk[zz[k]] = _extend(reader.read(s), s) << al
+                k += 1
+            continue
+        # AC refinement scan
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                rs = reader.decode(act)
+                r, s = rs >> 4, rs & 0x0F
+                newval = 0
+                if s == 0:
+                    if r < 15:
+                        eobrun = 1 << r
+                        if r:
+                            eobrun += reader.read(r)
+                        break
+                    # r == 15: run of 16 zero-HISTORY coefficients
+                else:
+                    if s != 1:
+                        raise JpegFormatError(
+                            "AC refinement magnitude must be 1 bit"
+                        )
+                    newval = p1 if reader.read(1) else m1
+                # advance over r zero-history coefficients, refining
+                # every nonzero one passed on the way
+                while k <= se:
+                    if blk[zz[k]]:
+                        refine_nonzero(blk, k)
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if newval and k <= se:
+                    blk[zz[k]] = newval
+                k += 1
+        if eobrun:
+            # inside an EOB run: remaining nonzero band coefficients
+            # still receive correction bits.  Only nonzero-history
+            # positions consume bits, and refinement cannot create one
+            # here, so jump straight to them (vectorized nonzero scan
+            # instead of 63 scalar reads per block — the hot path for
+            # sparse-AC corpora where whole bands ride EOB runs)
+            band_pos = zz[k : se + 1]
+            for p in band_pos[np.nonzero(blk[band_pos])[0]]:
+                if reader.read(1) and not blk[p] & p1:
+                    blk[p] += p1 if blk[p] >= 0 else m1
+            eobrun -= 1
+    return end
+
+
 def _assemble(frame, qt):
     """Dequantize + IDCT every component's coefficient store and build
     the (h, w, 3) RGB raster."""
-    h, w, comps = frame
+    h, w, comps, _prog = frame
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     for c in comps:
@@ -572,29 +830,34 @@ def _assemble(frame, qt):
 
 def _entropy_segments(data: bytes, pos: int) -> tuple[list[bytes], int]:
     """Collect destuffed entropy segments from ``pos`` to EOI; RSTn
-    markers delimit segments."""
+    markers delimit segments.  Jumps between 0xFF positions with one
+    vectorized scan instead of walking every byte — progressive files
+    re-enter here once per SOS (six+ times), so this is decode-hot."""
+    n = len(data)
+    ffs = np.nonzero(np.frombuffer(data, dtype=np.uint8)[pos:] == 0xFF)[0]
     segments: list[bytes] = []
     cur = bytearray()
-    i = pos
-    n = len(data)
-    while i < n:
-        b = data[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
+    start = pos
+    for f in ffs:
+        i = pos + int(f)
+        if i < start:  # consumed by a previous FF-pair
             continue
         nxt = data[i + 1] if i + 1 < n else 0xD9
-        if nxt == 0x00:  # stuffed FF
-            cur.append(0xFF)
-            i += 2
+        if nxt == 0x00:  # stuffed FF: keep the FF, drop the 00
+            cur += data[start : i + 1]
+            start = i + 2
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            cur += data[start:i]
             segments.append(bytes(cur))
             cur = bytearray()
-            i += 2
-        else:  # EOI or next marker: scan ends
-            break
+            start = i + 2
+        else:  # EOI / fill bytes / next marker: scan ends at this FF
+            cur += data[start:i]
+            segments.append(bytes(cur))
+            return segments, i
+    cur += data[start:]
     segments.append(bytes(cur))
-    return segments, i
+    return segments, n
 
 
 def _ycbcr_to_rgb(y, cb, cr) -> np.ndarray:
@@ -797,6 +1060,304 @@ def encode_jpeg_gray_tiles(tiles: np.ndarray) -> bytes:
     out += bytes([1, 0x11, 0])
     out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
     out += scan
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+#: AC Huffman table for PROGRESSIVE scans.  Annex K's sequential AC
+#: tables define only EOB (0x00), ZRL (0xF0) and (run, size) symbols —
+#: the EOBn run codes 0x10..0xE0 that Annex G adds do not exist there,
+#: so a progressive encoder must carry its own table.  This one is the
+#: simplest legal construction: every needed symbol as an 8-bit code
+#: (176 symbols: 160 run/size + EOB0..EOB14 + ZRL; Kraft sum 176/256
+#: < 1; canonical build per Annex C, no all-ones code).  Fixture-grade,
+#: not size-optimal — decode cost is identical.
+_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        | {n << 4 for n in range(15)}  # EOB0..EOB14
+        | {0xF0}  # ZRL
+    ),
+)
+
+
+def _emit_eobrun(wr, ac_codes, eobrun: int, buffered: list[int]) -> int:
+    """Flush a pending EOB run (T.81 G.1.2.2 EOBn codes: symbol
+    ``nbits << 4`` + ``nbits`` extra bits encodes a run of
+    ``2**nbits + extra`` end-of-band occurrences) followed by any
+    buffered correction bits (refinement scans)."""
+    if eobrun:
+        nbits = eobrun.bit_length() - 1
+        code, length = ac_codes[nbits << 4]
+        wr.write(code, length)
+        if nbits:
+            wr.write(eobrun - (1 << nbits), nbits)
+    for b in buffered:
+        wr.write(b, 1)
+    buffered.clear()
+    return 0
+
+
+def encode_jpeg_progressive(
+    pixels: np.ndarray,
+    quant: np.ndarray | None = None,
+    spectral_split: int = 6,
+) -> bytes:
+    """(h, w) uint8 grayscale -> PROGRESSIVE JPEG (SOF2), T.81 Annex G.
+
+    Emits the canonical six-scan progression that exercises every
+    progressive decode path:
+
+    1. DC first        (Ss=0  Se=0,  Ah=0, Al=1) — diffs of ``dc >> 1``
+    2. AC first  low   (Ss=1..split-1, Ah=0, Al=1) — EOB runs + band
+    3. AC first  high  (Ss=split..63,  Ah=0, Al=1)
+    4. DC refinement   (Ah=1, Al=0) — one raw bit per block
+    5. AC refinement low  (Ah=1, Al=0) — correction bits, newly
+       significant coefficients, buffered-bit EOB runs (G.1.2.3)
+    6. AC refinement high (Ah=1, Al=0)
+
+    With the default all-ones quantization table the decoded raster is
+    IDENTICAL to ``decode_jpeg(encode_jpeg(pixels))`` — the scans carry
+    the same coefficients, just sliced by band and bit plane — which is
+    what makes progressive fixtures oracle-checkable."""
+    if pixels.dtype != np.uint8 or pixels.ndim != 2:
+        raise JpegFormatError("encode_jpeg_progressive expects (h, w) uint8")
+    if not 2 <= spectral_split <= 63:
+        raise JpegFormatError("spectral_split must be in 2..63")
+    q = (
+        np.ones((8, 8), dtype=np.int32)
+        if quant is None
+        else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    )
+    h, w = pixels.shape
+    zz = ZIGZAG
+    blocks, _, _ = _plane_blocks(pixels)
+    # quantized zigzag coefficient rows, one per block — the SAME
+    # forward path as the sequential encoder
+    coefs = np.empty((blocks.shape[0], 64), dtype=np.int64)
+    qf = q.astype(np.float64)
+    for i, blk in enumerate(blocks):
+        f = _C @ (blk - 128.0) @ _C.T
+        coefs[i] = np.round(f / qf).astype(np.int64).reshape(64)[zz]
+
+    dc_codes = _huff_codes(*_DC_LUMA)
+    ac_codes = _huff_codes(*_AC_PROG)
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += _dqt_segment(0, q)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_PROG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+
+    def sos(td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, td_ta, ss, se, (ah << 4) | al])
+        )
+
+    # --- scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1) -------
+    out += sos(0x00, 0, 0, 0, 1)
+    wr = _BitWriter()
+    pred = 0
+    for i in range(coefs.shape[0]):
+        dc = int(coefs[i, 0]) >> 1
+        size, raw = _magnitude(dc - pred)
+        pred = dc
+        code, length = dc_codes[size]
+        wr.write(code, length)
+        if size:
+            wr.write(raw, size)
+    out += wr.flush()
+
+    # --- scans 2+3: AC first per band, Al=1 (truncate toward zero) ---
+    al = 1
+    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+        out += sos(0x10, ss, se, 0, al)
+        wr = _BitWriter()
+        eobrun = 0
+        for i in range(coefs.shape[0]):
+            band = coefs[i, ss : se + 1]
+            v = np.sign(band) * (np.abs(band) >> al)
+            nz = np.nonzero(v)[0]
+            if nz.size == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+                continue
+            eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+            run = 0
+            for k in range(int(nz[-1]) + 1):
+                val = int(v[k])
+                if val == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_codes[0xF0]
+                    wr.write(code, length)
+                    run -= 16
+                size, raw = _magnitude(val)
+                code, length = ac_codes[(run << 4) | size]
+                wr.write(code, length)
+                wr.write(raw, size)
+                run = 0
+            if int(nz[-1]) < se - ss:
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+        _emit_eobrun(wr, ac_codes, eobrun, [])
+        out += wr.flush()
+
+    # --- scan 4: DC refinement (bit Al=0 of each block's DC) ---------
+    out += sos(0x00, 0, 0, 1, 0)
+    wr = _BitWriter()
+    for i in range(coefs.shape[0]):
+        wr.write(int(coefs[i, 0]) & 1, 1)
+    out += wr.flush()
+
+    # --- scans 5+6: AC refinement per band (G.1.2.3 correction) ------
+    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+        out += sos(0x10, ss, se, 1, 0)
+        wr = _BitWriter()
+        eobrun = 0
+        buffered: list[int] = []
+        for i in range(coefs.shape[0]):
+            band = coefs[i, ss : se + 1]
+            absv = np.abs(band)  # Al=0: the full magnitude
+            # last position that becomes newly significant in this scan
+            newly = np.nonzero(absv == 1)[0]
+            eob = int(newly[-1]) + 1 if newly.size else 0
+            run = 0
+            pending: list[int] = []
+            for k in range(band.size):
+                t = int(absv[k])
+                if t == 0:
+                    run += 1
+                    continue
+                if t > 1:
+                    # already significant: correction bit rides along
+                    pending.append(t & 1)
+                    continue
+                # newly significant coefficient (t == 1)
+                while run > 15 and k < eob:
+                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+                    code, length = ac_codes[0xF0]
+                    wr.write(code, length)
+                    run -= 16
+                    for b in pending:
+                        wr.write(b, 1)
+                    pending = []
+                eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+                code, length = ac_codes[(run << 4) | 1]
+                wr.write(code, length)
+                wr.write(1 if band[k] > 0 else 0, 1)
+                for b in pending:
+                    wr.write(b, 1)
+                pending = []
+                run = 0
+            if run > 0 or pending:
+                eobrun += 1
+                buffered.extend(pending)
+                if eobrun == 0x7FFF or len(buffered) > 900:
+                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+        _emit_eobrun(wr, ac_codes, eobrun, buffered)
+        out += wr.flush()
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_gray_tiles_progressive(
+    tiles: np.ndarray, spectral_split: int = 6
+) -> bytes:
+    """Vectorized PROGRESSIVE twin of ``encode_jpeg_gray_tiles``:
+    byte-identical to ``encode_jpeg_progressive`` on the expanded
+    raster (pinned by test), with the closed-form shortcut a constant
+    tile allows — its only coefficient is the DC, so the six-scan
+    progression collapses to [vectorized DC-diff scan at Al=1]
+    [all-zero AC bands = pure EOB runs] [one raw DC bit per block]
+    [EOB runs again, no correction bits]."""
+    if tiles.dtype != np.uint8 or tiles.ndim != 2:
+        raise JpegFormatError(
+            "encode_jpeg_gray_tiles_progressive expects (r, c) uint8"
+        )
+    rows, cols = tiles.shape
+    h, w = rows * 8, cols * 8
+    dc = 8 * (tiles.reshape(-1).astype(np.int64) - 128)
+    n_blocks = dc.size
+    dc_codes = _huff_codes(*_DC_LUMA)
+    ac_codes = _huff_codes(*_AC_PROG)
+
+    def vector_dc_scan(vals: np.ndarray, extra_bit: bool) -> bytes:
+        """Assemble a whole scan's bits at once: per-block words of
+        either [DC size code][magnitude bits] (first scan, ``vals`` are
+        the diffs) or a single raw bit (refinement scan)."""
+        if extra_bit:
+            nbits = np.ones(vals.shape, dtype=np.int64)
+            values = vals
+        else:
+            mag = np.abs(vals)
+            size = np.zeros(vals.shape, dtype=np.int64)
+            nz = mag > 0
+            size[nz] = np.floor(np.log2(mag[nz])).astype(np.int64) + 1
+            raw = np.where(vals >= 0, vals, vals + (1 << size) - 1)
+            code_arr = np.array([dc_codes[s][0] for s in range(12)], np.int64)
+            len_arr = np.array([dc_codes[s][1] for s in range(12)], np.int64)
+            values = code_arr[size] << size | raw
+            nbits = len_arr[size] + size
+        offsets = np.concatenate([[0], np.cumsum(nbits)])
+        total = int(offsets[-1])
+        pad = (-total) % 8
+        bits = np.ones(total + pad, dtype=np.uint8)
+        idx = np.repeat(np.arange(values.size), nbits)
+        k = np.arange(total) - offsets[idx]
+        bits[:total] = (values[idx] >> (nbits[idx] - 1 - k)) & 1
+        stream = np.packbits(bits)
+        ff = stream == 0xFF
+        stuffed = np.zeros(stream.size + int(ff.sum()), dtype=np.uint8)
+        pos = np.arange(stream.size) + np.concatenate(
+            [[0], np.cumsum(ff[:-1].astype(np.int64))]
+        )
+        stuffed[pos] = stream
+        return stuffed.tobytes()
+
+    def eob_run_scan(n: int) -> bytes:
+        """An all-zero AC band over ``n`` blocks: EOB runs chunked at
+        the 0x7FFF cap exactly as the general encoder flushes them."""
+        wr = _BitWriter()
+        while n:
+            chunk = min(n, 0x7FFF)
+            n -= chunk
+            _emit_eobrun(wr, ac_codes, chunk, [])
+        return wr.flush()
+
+    out = bytearray(b"\xff\xd8")
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
+    out += _dqt_segment(0, np.ones((8, 8), dtype=np.int32))
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_PROG)
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+    out += bytes([1, 0x11, 0])
+
+    def sos(td_ta, ss, se, ah, al):
+        return (
+            b"\xff\xda"
+            + struct.pack(">HB", 8, 1)
+            + bytes([1, td_ta, ss, se, (ah << 4) | al])
+        )
+
+    out += sos(0x00, 0, 0, 0, 1)
+    out += vector_dc_scan(np.diff(dc >> 1, prepend=0), extra_bit=False)
+    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+        out += sos(0x10, ss, se, 0, 1)
+        out += eob_run_scan(n_blocks)
+    out += sos(0x00, 0, 0, 1, 0)
+    out += vector_dc_scan(dc & 1, extra_bit=True)
+    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+        out += sos(0x10, ss, se, 1, 0)
+        out += eob_run_scan(n_blocks)
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -481,7 +481,10 @@ def image_table(spark, sf_dir: str) -> DataFrame:
 
     from ..core.gifcodec import GRAY_PALETTE, encode_gif
     from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
-    from ..core.jpegcodec import encode_jpeg_gray_tiles
+    from ..core.jpegcodec import (
+        encode_jpeg_gray_tiles,
+        encode_jpeg_gray_tiles_progressive,
+    )
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -501,9 +504,19 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         trs, IMG_W
                     )
                     if leg == 3:  # JPEG: byte -> 8x8 constant tile;
-                        # byte-identical to encode_jpeg on the expanded
-                        # raster (parity-pinned), ~15x faster synthesis
-                        payloads.append(encode_jpeg_gray_tiles(tiles))
+                        # byte-identical to the general encoders on the
+                        # expanded raster (parity-pinned), ~15x faster
+                        # synthesis.  Sub-rotation (doc_id // 5) % 2
+                        # alternates baseline SOF0 and PROGRESSIVE SOF2
+                        # files — both decode to the SAME raster (exact
+                        # DC-only blocks), so the oracle is unchanged
+                        # while every corpus exercises both decode paths
+                        if (doc_id // 5) % 2:
+                            payloads.append(
+                                encode_jpeg_gray_tiles_progressive(tiles)
+                            )
+                        else:
+                            payloads.append(encode_jpeg_gray_tiles(tiles))
                     else:  # GIF: byte -> palette index, lossless
                         payloads.append(encode_gif(tiles, GRAY_PALETTE))
                     continue

@@ -219,6 +219,11 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         "dedup_lines_ccnet",  # oracle segment cap derived from data
         "stats_moments_battery",  # clamp var_num >= 0 both sides
         "retention_cohorts",  # integer div for week_offset
+        # progressive-JPEG fixture sub-rotation ((doc_id // 5) % 2 now
+        # alternates SOF0/SOF2 files; decoded raster — and thus the
+        # oracle — unchanged); decoder itself gained progressive +
+        # subset-scan support
+        "multimodal_decode_real",
     }
 )
 
@@ -286,7 +291,9 @@ _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
     "window_function_battery",
     "q1_pricing_summary",
     "events_json_extract",
-    "text_repetition_scores",
+    # r8 impl change (progressive-JPEG fixture rotation) displaces the
+    # least-churned r6 pick (text_repetition_scores slides to r9)
+    "multimodal_decode_real",
 )
 
 

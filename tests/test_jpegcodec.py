@@ -194,15 +194,22 @@ def test_restart_markers_reset_dc_prediction():
     assert np.array_equal(rgb, np.repeat(img[:, :, None], 3, axis=2))
 
 
-def test_progressive_and_garbage_raise():
+def test_unsupported_modes_and_garbage_raise():
     with pytest.raises(JpegFormatError):
         decode_jpeg(b"\x89PNG not a jpeg")
-    # a progressive SOF2 header
+    # a progressive SOF2 header with no scans is truncated, not a mode
+    # error (progressive decode is supported since round 8)
     data = (
         b"\xff\xd8\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
     )
-    with pytest.raises(JpegFormatError, match="baseline"):
+    with pytest.raises(JpegFormatError):
         decode_jpeg(data)
+    # arithmetic-coded SOF9 stays a documented mode error
+    data9 = (
+        b"\xff\xd8\xff\xc9" + struct.pack(">HBHHB", 11, 8, 8, 8, 1) + bytes([1, 0x11, 0])
+    )
+    with pytest.raises(JpegFormatError, match="arithmetic"):
+        decode_jpeg(data9)
     with pytest.raises(JpegFormatError):
         decode_jpeg(encode_jpeg(np.zeros((8, 8), np.uint8))[:40])
 
@@ -367,3 +374,261 @@ def test_non_integer_sampling_ratio_raises_domain_error():
     mut[sof + 14] = 0x21
     with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(mut))
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) decode — round 8
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.core.jpegcodec import (  # noqa: E402
+    encode_jpeg_gray_tiles,
+    encode_jpeg_gray_tiles_progressive,
+    encode_jpeg_progressive,
+)
+
+
+def test_progressive_equals_sequential_random_content():
+    """The six-scan progression re-slices the SAME quantized
+    coefficients by band and bit plane, so with identical tables the
+    progressive decode must be BIT-IDENTICAL to the sequential one."""
+    rng = np.random.RandomState(11)
+    qt = np.clip(np.arange(64).reshape(8, 8) // 4 + 1, 1, 255).astype(np.uint8)
+    for shape in [(8, 8), (13, 21), (40, 40)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        seq = decode_jpeg(encode_jpeg(img, quant=qt))[2]
+        for split in (2, 6, 63):
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quant=qt, spectral_split=split)
+            )[2]
+            assert np.array_equal(seq, prog), (shape, split)
+
+
+def test_progressive_tile_fast_encoder_byte_identical():
+    """The vectorized constant-tile progressive encoder must emit the
+    EXACT bytes of the general progressive encoder on the expanded
+    raster — same scans, same EOB-run chunking, same padding."""
+    rng = np.random.RandomState(3)
+    tiles = rng.randint(0, 256, size=(4, 9), dtype=np.uint8)
+    raster = np.repeat(np.repeat(tiles, 8, 0), 8, 1)
+    fast = encode_jpeg_gray_tiles_progressive(tiles)
+    assert fast == encode_jpeg_progressive(raster)
+    assert np.array_equal(decode_jpeg(fast)[2][:, :, 0], raster)
+
+
+def _mini_dht(tc, th, bits, values):
+    payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(values)
+    return b"\xff\xc4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def _prog_headers():
+    """SOI + DQT(all ones) + SOF2 8x8 grayscale, shared by the
+    hand-assembled vectors."""
+    q = bytes([0]) + bytes(64)  # pq/tq=0 then 64 zigzag entries
+    q = bytes([0]) + bytes([1] * 64)
+    out = b"\xff\xd8"
+    out += b"\xff\xdb" + struct.pack(">H", 2 + len(q)) + q
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 8, 8, 1)
+    out += bytes([1, 0x11, 0])
+    return out
+
+
+def _sos1(td_ta, ss, se, ah, al):
+    return (
+        b"\xff\xda"
+        + struct.pack(">HB", 8, 1)
+        + bytes([1, td_ta, ss, se, (ah << 4) | al])
+    )
+
+
+def test_hand_assembled_progressive_dc_vector():
+    """HAND-ASSEMBLED successive-approximation DC vector (derivation in
+    comments; the encoder never produced these bytes).
+
+    Target: single 8x8 block, quant all-ones, DC coefficient 7
+    (=> constant raster round(7/8 + 128) = 129).
+
+    DC Huffman table: bits=[0,1,5,...] (Annex K DC luma canonical):
+      size 0 -> '00', size 1 -> '010', size 2 -> '011', size 3 -> '100'
+    Scan 1 (Ss=0 Se=0 Ah=0 Al=1): diff = 7>>1 = 3 -> size 2 code '011'
+      + raw '11' = 01111, pad '111' -> byte 0x7F.
+    Scan 2 (AC 1..63, Ah=0 Al=0) with a 1-entry AC table
+      {EOB0 -> '0'}: one '0' bit, pad -> 0x7F.
+    Scan 3 (DC refinement Ah=1 Al=0): raw bit 7&1=1, pad -> 0xFF,
+      which must be STUFFED to FF 00 inside entropy data."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [1] + [0] * 15
+    ac_vals = [0x00]
+    data = (
+        _prog_headers()
+        + _mini_dht(0, 0, dc_bits, dc_vals)
+        + _mini_dht(1, 0, ac_bits, ac_vals)
+        + _sos1(0x00, 0, 0, 0, 1)
+        + b"\x7f"
+        + _sos1(0x10, 1, 63, 0, 0)
+        + b"\x7f"
+        + _sos1(0x00, 0, 0, 1, 0)
+        + b"\xff\x00"
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg(data)
+    assert (w, h) == (8, 8)
+    assert np.all(rgb == 129)
+
+
+def test_hand_assembled_progressive_ac_refinement_vector():
+    """HAND-ASSEMBLED spectral-selection + AC-refinement vector.
+
+    Target: single block, DC=0, AC coefficient +5 at zigzag index 1.
+
+    AC Huffman table {EOB0 -> '00', (r=0,s=2) -> '01'} (two 2-bit
+    codes, canonical).
+    Scan 1 (DC first, Al=0): size-0 code '00' (diff 0), pad -> 0x3F
+      using DC table {0 -> '00', ...} (Annex K shape).
+    Scan 2 (AC 1..63 first, Ah=0 Al=1): value = trunc(5/2) = 2 ->
+      (run 0, size 2) code '01' + raw '10', then EOB0 '00':
+      011000 + pad '11' -> 0x63.  Decoder stores 2<<1 = 4.
+    Scan 3 (AC 1..63 refinement, Ah=1 Al=0): no newly-significant
+      coefficient: EOB0 '00' starts the EOB run, then the nonzero
+      coefficient's correction bit '1' appends: 001 + pad -> 0x3F.
+      Decoder: 4 has bit0 clear, coefficient positive -> 4+1 = 5.
+
+    Expected raster: the naive-IDCT of coef[zigzag 1]=5 (natural
+    position (0,1)), computed here by the independent cosine sum."""
+    dc_bits = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_bits = [0, 2] + [0] * 14
+    ac_vals = [0x00, 0x02]
+    data = (
+        _prog_headers()
+        + _mini_dht(0, 0, dc_bits, dc_vals)
+        + _mini_dht(1, 0, ac_bits, ac_vals)
+        + _sos1(0x00, 0, 0, 0, 0)
+        + b"\x3f"
+        + _sos1(0x10, 1, 63, 0, 1)
+        + b"\x63"
+        + _sos1(0x10, 1, 63, 1, 0)
+        + b"\x3f"
+        + b"\xff\xd9"
+    )
+    w, h, rgb = decode_jpeg(data)
+    coef = np.zeros((8, 8))
+    coef[0, 1] = 5.0
+    want = np.clip(np.round(_naive_idct(coef) + 128.0), 0, 255).astype(np.uint8)
+    assert np.array_equal(rgb[:, :, 0], want)
+
+
+def test_progressive_ac_scan_must_be_single_component():
+    """T.81 G: AC progression scans carry exactly one component."""
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(8, 8), dtype=np.uint8)
+    data = bytearray(encode_jpeg_progressive(img))
+    # patch the first AC SOS (1 component) into claiming 2 components
+    # would change lengths; instead decode a crafted color progressive
+    # header with a 2-component AC scan
+    q = bytes([0]) + bytes([1] * 64)
+    bad = b"\xff\xd8"
+    bad += b"\xff\xdb" + struct.pack(">H", 2 + len(q)) + q
+    bad += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+    bad += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    bad += _mini_dht(1, 0, [1] + [0] * 15, [0x00])
+    bad += (
+        b"\xff\xda"
+        + struct.pack(">HB", 10, 2)
+        + bytes([1, 0x00, 2, 0x00, 1, 63, 0])
+    )
+    bad += b"\x00\xff\xd9"
+    with pytest.raises(JpegFormatError, match="single-component"):
+        decode_jpeg(bytes(bad))
+
+
+def test_multi_component_subset_sequential_scan_decodes():
+    """Sequential SUBSET scans (a 2-of-3-component interleaved SOS) —
+    the r7 seam — now decode: compose Y as one scan and Cb+Cr as one
+    interleaved subset scan, and require the result to equal the
+    fully-interleaved encoding of the same image."""
+    from databatchprotectionservice_spark.core.jpegcodec import (
+        _AC_CHROMA,
+        _AC_LUMA,
+        _BitWriter,
+        _DC_CHROMA,
+        _DC_LUMA,
+        _dht_segment,
+        _dqt_segment,
+        _encode_blocks,
+        _huff_codes,
+        _plane_blocks,
+        _rgb_to_ycbcr,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    q = np.ones((8, 8), dtype=np.int32)
+    y, cb, cr = _rgb_to_ycbcr(img)
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, q)
+    out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_LUMA)
+    out += _dht_segment(0, 1, _DC_CHROMA) + _dht_segment(1, 1, _AC_CHROMA)
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 16, 16, 3)
+    out += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    qf = q.astype(np.float64)
+    # scan 1: Y alone
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 63, 0])
+    wr = _BitWriter()
+    yb, _, _ = _plane_blocks(y)
+    _encode_blocks(wr, yb, qf, _huff_codes(*_DC_LUMA), _huff_codes(*_AC_LUMA), 0)
+    out += wr.flush()
+    # scan 2: Cb + Cr INTERLEAVED subset — per MCU: one Cb block then
+    # one Cr block (4:4:4, so one block each), separate DC predictors
+    out += (
+        b"\xff\xda"
+        + struct.pack(">HB", 10, 2)
+        + bytes([2, 0x11, 3, 0x11, 0, 63, 0])
+    )
+    wr = _BitWriter()
+    cbb, _, _ = _plane_blocks(cb)
+    crb, _, _ = _plane_blocks(cr)
+    dc_c, ac_c = _huff_codes(*_DC_CHROMA), _huff_codes(*_AC_CHROMA)
+    pred_cb = pred_cr = 0
+    for m in range(cbb.shape[0]):
+        pred_cb = _encode_blocks(wr, cbb[m : m + 1], qf, dc_c, ac_c, pred_cb)
+        pred_cr = _encode_blocks(wr, crb[m : m + 1], qf, dc_c, ac_c, pred_cr)
+    out += wr.flush()
+    out += b"\xff\xd9"
+    got = decode_jpeg(bytes(out))[2]
+    want = decode_jpeg(encode_jpeg(img))[2]
+    assert np.array_equal(got, want)
+
+
+def test_progressive_decoder_never_crashes_on_mutations():
+    """The 300-trial mutation battery, progressive edition: every
+    single-byte mutation of a valid SOF2 stream must decode or raise
+    the domain error — never crash, never hang."""
+    rng = np.random.RandomState(23)
+    tiles = rng.randint(0, 256, size=(2, 4), dtype=np.uint8)
+    base = bytearray(encode_jpeg_gray_tiles_progressive(tiles))
+    for trial in range(300):
+        data = bytearray(base)
+        for _ in range(rng.randint(1, 4)):
+            data[rng.randint(len(data))] = rng.randint(256)
+        try:
+            w, h, rgb = decode_jpeg(bytes(data))
+            assert rgb.dtype == np.uint8 and rgb.shape[2] == 3
+        except JpegFormatError:
+            pass
+        except (ValueError, IndexError, struct.error) as exc:
+            raise AssertionError(
+                f"trial {trial}: non-domain exception {type(exc).__name__}:"
+                f" {exc}"
+            ) from exc
+
+
+def test_progressive_decoder_never_crashes_on_truncations():
+    rng = np.random.RandomState(29)
+    img = rng.randint(0, 256, size=(16, 16), dtype=np.uint8)
+    base = encode_jpeg_progressive(img)
+    for cut in range(0, len(base), 5):
+        try:
+            decode_jpeg(base[:cut])
+        except JpegFormatError:
+            pass
