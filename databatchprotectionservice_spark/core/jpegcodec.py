@@ -1099,15 +1099,139 @@ def _emit_eobrun(wr, ac_codes, eobrun: int, buffered: list[int]) -> int:
     return 0
 
 
+def _forward_coefs(plane: np.ndarray, qf: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficient rows, one per block — the SAME
+    forward path as the sequential encoder."""
+    zz = ZIGZAG
+    blocks, _, _ = _plane_blocks(plane)
+    coefs = np.empty((blocks.shape[0], 64), dtype=np.int64)
+    for i, blk in enumerate(blocks):
+        f = _C @ (blk - 128.0) @ _C.T
+        coefs[i] = np.round(f / qf).astype(np.int64).reshape(64)[zz]
+    return coefs
+
+
+def _prog_write_dc_first(wr, dc: int, pred: int, dc_codes) -> int:
+    """One block's DC-first contribution: Huffman-coded diff of the
+    point-transformed DC (G.1.2.1).  Returns the new predictor."""
+    size, raw = _magnitude(dc - pred)
+    code, length = dc_codes[size]
+    wr.write(code, length)
+    if size:
+        wr.write(raw, size)
+    return dc
+
+
+def _prog_ac_first_scan(
+    coefs: np.ndarray, ss: int, se: int, al: int, ac_codes
+) -> bytes:
+    """One AC-first scan over the band Ss..Se at point transform Al:
+    run/size coding with EOB runs (truncate-toward-zero per G.1.2.2)."""
+    wr = _BitWriter()
+    eobrun = 0
+    for i in range(coefs.shape[0]):
+        band = coefs[i, ss : se + 1]
+        v = np.sign(band) * (np.abs(band) >> al)
+        nz = np.nonzero(v)[0]
+        if nz.size == 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+            continue
+        eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+        run = 0
+        for k in range(int(nz[-1]) + 1):
+            val = int(v[k])
+            if val == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, length = ac_codes[0xF0]
+                wr.write(code, length)
+                run -= 16
+            size, raw = _magnitude(val)
+            code, length = ac_codes[(run << 4) | size]
+            wr.write(code, length)
+            wr.write(raw, size)
+            run = 0
+        if int(nz[-1]) < se - ss:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
+    _emit_eobrun(wr, ac_codes, eobrun, [])
+    return wr.flush()
+
+
+def _prog_ac_refine_scan(
+    coefs: np.ndarray, ss: int, se: int, ac_codes
+) -> bytes:
+    """One AC-refinement scan (Ah=1 -> Al=0): the G.1.2.3 correction
+    procedure — already-significant coefficients ride as buffered
+    correction bits, newly-significant ones arrive as run/1 codes."""
+    wr = _BitWriter()
+    eobrun = 0
+    buffered: list[int] = []
+    for i in range(coefs.shape[0]):
+        band = coefs[i, ss : se + 1]
+        absv = np.abs(band)  # Al=0: the full magnitude
+        # last position that becomes newly significant in this scan
+        newly = np.nonzero(absv == 1)[0]
+        eob = int(newly[-1]) + 1 if newly.size else 0
+        run = 0
+        pending: list[int] = []
+        for k in range(band.size):
+            t = int(absv[k])
+            if t == 0:
+                run += 1
+                continue
+            if t > 1:
+                # already significant: correction bit rides along
+                pending.append(t & 1)
+                continue
+            # newly significant coefficient (t == 1)
+            while run > 15 and k < eob:
+                eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+                code, length = ac_codes[0xF0]
+                wr.write(code, length)
+                run -= 16
+                for b in pending:
+                    wr.write(b, 1)
+                pending = []
+            eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+            code, length = ac_codes[(run << 4) | 1]
+            wr.write(code, length)
+            wr.write(1 if band[k] > 0 else 0, 1)
+            for b in pending:
+                wr.write(b, 1)
+            pending = []
+            run = 0
+        if run > 0 or pending:
+            eobrun += 1
+            buffered.extend(pending)
+            if eobrun == 0x7FFF or len(buffered) > 900:
+                eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
+    _emit_eobrun(wr, ac_codes, eobrun, buffered)
+    return wr.flush()
+
+
+def _prog_sos(components, ss, se, ah, al) -> bytes:
+    """SOS header for a progressive scan: [(component id, TdTa), ...]."""
+    body = bytes([len(components)])
+    for cid, td_ta in components:
+        body += bytes([cid, td_ta])
+    body += bytes([ss, se, (ah << 4) | al])
+    return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+
 def encode_jpeg_progressive(
     pixels: np.ndarray,
     quant: np.ndarray | None = None,
     spectral_split: int = 6,
 ) -> bytes:
-    """(h, w) uint8 grayscale -> PROGRESSIVE JPEG (SOF2), T.81 Annex G.
+    """(h, w) uint8 grayscale or (h, w, 3) uint8 RGB -> PROGRESSIVE
+    JPEG (SOF2, 4:4:4 for color), T.81 Annex G.
 
-    Emits the canonical six-scan progression that exercises every
-    progressive decode path:
+    Grayscale emits the canonical six-scan progression:
 
     1. DC first        (Ss=0  Se=0,  Ah=0, Al=1) — diffs of ``dc >> 1``
     2. AC first  low   (Ss=1..split-1, Ah=0, Al=1) — EOB runs + band
@@ -1117,12 +1241,23 @@ def encode_jpeg_progressive(
        significant coefficients, buffered-bit EOB runs (G.1.2.3)
     6. AC refinement high (Ah=1, Al=0)
 
+    Color emits the eight-scan shape real encoders produce — an
+    INTERLEAVED DC-first scan over all three components, one full-band
+    AC-first scan per component, an interleaved DC refinement, and one
+    AC refinement per component (AC progression scans must be
+    single-component per T.81).
+
     With the default all-ones quantization table the decoded raster is
     IDENTICAL to ``decode_jpeg(encode_jpeg(pixels))`` — the scans carry
     the same coefficients, just sliced by band and bit plane — which is
     what makes progressive fixtures oracle-checkable."""
-    if pixels.dtype != np.uint8 or pixels.ndim != 2:
-        raise JpegFormatError("encode_jpeg_progressive expects (h, w) uint8")
+    if pixels.dtype != np.uint8:
+        raise JpegFormatError("encode_jpeg_progressive expects uint8")
+    gray = pixels.ndim == 2
+    if not gray and (pixels.ndim != 3 or pixels.shape[2] != 3):
+        raise JpegFormatError(
+            "encode_jpeg_progressive expects (h, w) or (h, w, 3)"
+        )
     if not 2 <= spectral_split <= 63:
         raise JpegFormatError("spectral_split must be in 2..63")
     q = (
@@ -1130,143 +1265,85 @@ def encode_jpeg_progressive(
         if quant is None
         else np.asarray(quant, dtype=np.int32).reshape(8, 8)
     )
-    h, w = pixels.shape
-    zz = ZIGZAG
-    blocks, _, _ = _plane_blocks(pixels)
-    # quantized zigzag coefficient rows, one per block — the SAME
-    # forward path as the sequential encoder
-    coefs = np.empty((blocks.shape[0], 64), dtype=np.int64)
     qf = q.astype(np.float64)
-    for i, blk in enumerate(blocks):
-        f = _C @ (blk - 128.0) @ _C.T
-        coefs[i] = np.round(f / qf).astype(np.int64).reshape(64)[zz]
-
-    dc_codes = _huff_codes(*_DC_LUMA)
+    h, w = pixels.shape[:2]
+    dc_l = _huff_codes(*_DC_LUMA)
     ac_codes = _huff_codes(*_AC_PROG)
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
     out += b"\xff\xe0" + struct.pack(">H", 2 + len(app0)) + app0
     out += _dqt_segment(0, q)
     out += _dht_segment(0, 0, _DC_LUMA) + _dht_segment(1, 0, _AC_PROG)
-    out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
-    out += bytes([1, 0x11, 0])
 
-    def sos(td_ta: int, ss: int, se: int, ah: int, al: int) -> bytes:
-        return (
-            b"\xff\xda"
-            + struct.pack(">HB", 8, 1)
-            + bytes([1, td_ta, ss, se, (ah << 4) | al])
-        )
-
-    # --- scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1) -------
-    out += sos(0x00, 0, 0, 0, 1)
-    wr = _BitWriter()
-    pred = 0
-    for i in range(coefs.shape[0]):
-        dc = int(coefs[i, 0]) >> 1
-        size, raw = _magnitude(dc - pred)
-        pred = dc
-        code, length = dc_codes[size]
-        wr.write(code, length)
-        if size:
-            wr.write(raw, size)
-    out += wr.flush()
-
-    # --- scans 2+3: AC first per band, Al=1 (truncate toward zero) ---
-    al = 1
-    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
-        out += sos(0x10, ss, se, 0, al)
+    if gray:
+        coefs = _forward_coefs(pixels.astype(np.float64), qf)
+        out += b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, h, w, 1)
+        out += bytes([1, 0x11, 0])
+        # scan 1: DC first, Al=1 (arithmetic shift per G.1.2.1)
+        out += _prog_sos([(1, 0x00)], 0, 0, 0, 1)
         wr = _BitWriter()
-        eobrun = 0
+        pred = 0
         for i in range(coefs.shape[0]):
-            band = coefs[i, ss : se + 1]
-            v = np.sign(band) * (np.abs(band) >> al)
-            nz = np.nonzero(v)[0]
-            if nz.size == 0:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
-                continue
-            eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
-            run = 0
-            for k in range(int(nz[-1]) + 1):
-                val = int(v[k])
-                if val == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, length = ac_codes[0xF0]
-                    wr.write(code, length)
-                    run -= 16
-                size, raw = _magnitude(val)
-                code, length = ac_codes[(run << 4) | size]
-                wr.write(code, length)
-                wr.write(raw, size)
-                run = 0
-            if int(nz[-1]) < se - ss:
-                eobrun += 1
-                if eobrun == 0x7FFF:
-                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, [])
-        _emit_eobrun(wr, ac_codes, eobrun, [])
+            pred = _prog_write_dc_first(
+                wr, int(coefs[i, 0]) >> 1, pred, dc_l
+            )
         out += wr.flush()
-
-    # --- scan 4: DC refinement (bit Al=0 of each block's DC) ---------
-    out += sos(0x00, 0, 0, 1, 0)
-    wr = _BitWriter()
-    for i in range(coefs.shape[0]):
-        wr.write(int(coefs[i, 0]) & 1, 1)
-    out += wr.flush()
-
-    # --- scans 5+6: AC refinement per band (G.1.2.3 correction) ------
-    for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
-        out += sos(0x10, ss, se, 1, 0)
+        # scans 2+3: AC first per band
+        for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+            out += _prog_sos([(1, 0x10)], ss, se, 0, 1)
+            out += _prog_ac_first_scan(coefs, ss, se, 1, ac_codes)
+        # scan 4: DC refinement (bit 0 of each block's DC)
+        out += _prog_sos([(1, 0x00)], 0, 0, 1, 0)
         wr = _BitWriter()
-        eobrun = 0
-        buffered: list[int] = []
         for i in range(coefs.shape[0]):
-            band = coefs[i, ss : se + 1]
-            absv = np.abs(band)  # Al=0: the full magnitude
-            # last position that becomes newly significant in this scan
-            newly = np.nonzero(absv == 1)[0]
-            eob = int(newly[-1]) + 1 if newly.size else 0
-            run = 0
-            pending: list[int] = []
-            for k in range(band.size):
-                t = int(absv[k])
-                if t == 0:
-                    run += 1
-                    continue
-                if t > 1:
-                    # already significant: correction bit rides along
-                    pending.append(t & 1)
-                    continue
-                # newly significant coefficient (t == 1)
-                while run > 15 and k < eob:
-                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
-                    code, length = ac_codes[0xF0]
-                    wr.write(code, length)
-                    run -= 16
-                    for b in pending:
-                        wr.write(b, 1)
-                    pending = []
-                eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
-                code, length = ac_codes[(run << 4) | 1]
-                wr.write(code, length)
-                wr.write(1 if band[k] > 0 else 0, 1)
-                for b in pending:
-                    wr.write(b, 1)
-                pending = []
-                run = 0
-            if run > 0 or pending:
-                eobrun += 1
-                buffered.extend(pending)
-                if eobrun == 0x7FFF or len(buffered) > 900:
-                    eobrun = _emit_eobrun(wr, ac_codes, eobrun, buffered)
-        _emit_eobrun(wr, ac_codes, eobrun, buffered)
+            wr.write(int(coefs[i, 0]) & 1, 1)
         out += wr.flush()
+        # scans 5+6: AC refinement per band
+        for ss, se in ((1, spectral_split - 1), (spectral_split, 63)):
+            out += _prog_sos([(1, 0x10)], ss, se, 1, 0)
+            out += _prog_ac_refine_scan(coefs, ss, se, ac_codes)
+        out += b"\xff\xd9"
+        return bytes(out)
 
+    # color 4:4:4 — one quant table, luma/chroma DC tables, shared
+    # progressive AC table
+    dc_c = _huff_codes(*_DC_CHROMA)
+    out += _dht_segment(0, 1, _DC_CHROMA)
+    y, cb, cr = _rgb_to_ycbcr(pixels)
+    comp_coefs = [_forward_coefs(p.astype(np.float64), qf) for p in (y, cb, cr)]
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    n_mcu = comp_coefs[0].shape[0]
+    # scan 1: INTERLEAVED DC first (per 4:4:4 MCU: one block of each
+    # component, separate predictors, luma/chroma DC tables)
+    out += _prog_sos([(1, 0x00), (2, 0x10), (3, 0x10)], 0, 0, 0, 1)
+    wr = _BitWriter()
+    preds = [0, 0, 0]
+    tabs = [dc_l, dc_c, dc_c]
+    for m in range(n_mcu):
+        for ci in range(3):
+            preds[ci] = _prog_write_dc_first(
+                wr, int(comp_coefs[ci][m, 0]) >> 1, preds[ci], tabs[ci]
+            )
+    out += wr.flush()
+    # scans 2-4: one full-band AC first per component
+    for cid, coefs in zip((1, 2, 3), comp_coefs):
+        out += _prog_sos([(cid, 0x10)], 1, 63, 0, 1)
+        out += _prog_ac_first_scan(coefs, 1, 63, 1, ac_codes)
+    # scan 5: interleaved DC refinement
+    out += _prog_sos([(1, 0x00), (2, 0x00), (3, 0x00)], 0, 0, 1, 0)
+    wr = _BitWriter()
+    for m in range(n_mcu):
+        for ci in range(3):
+            wr.write(int(comp_coefs[ci][m, 0]) & 1, 1)
+    out += wr.flush()
+    # scans 6-8: one AC refinement per component
+    for cid, coefs in zip((1, 2, 3), comp_coefs):
+        out += _prog_sos([(cid, 0x10)], 1, 63, 1, 0)
+        out += _prog_ac_refine_scan(coefs, 1, 63, ac_codes)
     out += b"\xff\xd9"
     return bytes(out)
+
 
 
 def encode_jpeg_gray_tiles_progressive(

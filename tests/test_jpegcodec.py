@@ -632,3 +632,17 @@ def test_progressive_decoder_never_crashes_on_truncations():
             decode_jpeg(base[:cut])
         except JpegFormatError:
             pass
+
+
+def test_color_progressive_equals_sequential():
+    """COLOR progressive (the shape every real web progressive JPEG
+    has): interleaved 3-component DC first + refinement scans and
+    per-component full-band AC scans must decode identically to the
+    sequential 4:4:4 encoding of the same image."""
+    rng = np.random.RandomState(31)
+    qt = np.clip(np.arange(64).reshape(8, 8) // 4 + 1, 1, 255).astype(np.uint8)
+    for shape in [(8, 8, 3), (16, 24, 3), (13, 21, 3)]:
+        img = rng.randint(0, 256, size=shape, dtype=np.uint8)
+        seq = decode_jpeg(encode_jpeg(img, quant=qt, subsampling="444"))[2]
+        prog = decode_jpeg(encode_jpeg_progressive(img, quant=qt))[2]
+        assert np.array_equal(seq, prog), shape
