@@ -125,23 +125,20 @@ def pagerank_top_nodes(spark, sf_dir):
 
     ranks = nodes.select("v", F.lit(_R0).cast("bigint").alias("r"))
     for _ in range(PR_ITERATIONS):
-        contrib = (
+        # the bidirected construction guarantees indeg = outdeg > 0 for
+        # every node, so the contribution aggregate's dst set IS the
+        # node set — the new rank folds directly out of the aggregate
+        # (one join per round, not two; the r7 plan audit's suggestion)
+        ranks = (
             ed.join(ranks, ed.src == ranks.v)
             .select("dst", F.expr("r div d").alias("share"))
             .groupBy("dst")
-            .agg(F.sum("share").alias("s"))
-        )
-        ranks = (
-            nodes.join(contrib, nodes.v == contrib.dst, "left_outer")
-            .select(
-                "v",
-                (
-                    F.lit(_TELEPORT)
-                    + F.expr("85 * coalesce(s, 0) div 100")
-                )
+            .agg(
+                (F.lit(_TELEPORT) + F.expr("85 * sum(share) div 100"))
                 .cast("bigint")
-                .alias("r"),
+                .alias("r")
             )
+            .select(F.col("dst").alias("v"), "r")
             .localCheckpoint(eager=True)
         )
     return (

@@ -309,9 +309,12 @@ def streaming_sessionize_tws(spark, sf_dir):
         "RocksDBStateStoreProvider",
     )
     try:
-        _run_to_memory_sink(
-            sessions, name, state_partitions=STREAM_STATE_PARTITIONS_PY
-        )
+        # 8, not STREAM_STATE_PARTITIONS_PY (16): every TWS state
+        # partition carries a RocksDB instance whose creation dominates
+        # the cold run (13.3 s at 16 -> 4.8 s at 8 at sf0.1; warm runs
+        # flat 4.5-5 s at 4/8/16 — the floor is the per-key state-server
+        # protocol, not partition parallelism)
+        _run_to_memory_sink(sessions, name, state_partitions=8)
     finally:
         if old_provider is None:
             spark.conf.unset(provider_key)
@@ -327,6 +330,140 @@ def streaming_sessionize_tws(spark, sf_dir):
         ),
         "n_events",
     )
+
+
+#: microseconds per week — the profile query's batch-bucket unit
+_WEEK_US = 7 * 86400 * 1_000_000
+
+
+@register(
+    "streaming_profile_tws",
+    # the oracle restates the multi-batch streaming profile as a batch
+    # aggregate: totals per user, distinct-type count, the max-count
+    # event type (lexicographic min on ties — the processor's rule),
+    # and n_batches = the number of distinct week-mod-2 buckets the
+    # user's events land in (each bucket is staged as one file and
+    # maxFilesPerTrigger=1 makes each file one micro-batch)
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   CAST(value AS DECIMAL(18,2)) AS v,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US}) % 2
+                       AS bucket
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   count(*) AS n_events,
+                   count(DISTINCT event_type) AS n_types,
+                   CAST(sum(v * 100) AS BIGINT) AS sum_cents,
+                   count(DISTINCT bucket) AS n_batches
+            FROM e GROUP BY user_id
+        ),
+        tc AS (
+            SELECT user_id, event_type, count(*) AS c
+            FROM e GROUP BY 1, 2
+        ),
+        top AS (
+            SELECT user_id, min(event_type) AS top_type
+            FROM (SELECT user_id, event_type, c,
+                         max(c) OVER (PARTITION BY user_id) AS m
+                  FROM tc)
+            WHERE c = m GROUP BY user_id
+        )
+        SELECT a.user_id, a.n_batches, a.n_events, a.n_types,
+               t.top_type, a.sum_cents
+        FROM agg a JOIN top t USING (user_id)
+    """,
+    description="per-user running profile via transformWithStateInPandas "
+    "with ValueState + MapState + ListState evolving across two real "
+    "micro-batches (staged week-bucket files, maxFilesPerTrigger=1)",
+)
+def streaming_profile_tws(spark, sf_dir):
+    """The full state-API-v2 variable surface under the driver gate:
+    unlike ``streaming_sessionize_tws`` (ValueState + timers), this
+    processor carries a ``MapState`` (per-type counters: containsKey /
+    getValue / updateValue / iterator) and a ``ListState`` (one entry
+    per batch: appendValue / get) ACROSS genuine micro-batches —
+    events are staged into two week-bucket files and streamed with
+    ``maxFilesPerTrigger=1``, so every user seen in several buckets
+    re-enters the processor with populated state.  Update-mode
+    emission re-publishes the profile each batch; the final select
+    keeps each user's max-version row (versions are strictly
+    increasing, so ``max_by`` is unambiguous).
+
+    100 TB shape: this is the continuous-ingest profile job — per-user
+    maps far too hot to recompute per batch; RocksDB column families
+    hold the three variables, and the only exchange is the stream's
+    groupBy(user_id) into state partitions."""
+    from ..plans.registry import remove_path, scratch_path
+    from ..plans.registry import load_events
+    from ..streaming.pipeline import user_profile_stream_tws
+    from ..vendor import ensure_protobuf
+
+    prep(spark)
+    ensure_protobuf(spark)
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        # decimal cast BEFORE the stream so half-up rounding matches
+        # the oracle; exact int64 cents from there on
+        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        F.expr(f"(unix_micros(ts) div {_WEEK_US}) % 2").alias("bucket"),
+    )
+    stage_dir = scratch_path("dbps_tws_profile_")
+    # one file per bucket: a two-batch availableNow run (two, not
+    # four: each extra batch re-pays per-key state-server round-trips
+    # for every user — 4 buckets measured 18.9 s vs ~9 s at sf0.1 — and
+    # two already proves cross-batch state)
+    e.repartition(1).write.mode("overwrite").partitionBy("bucket").parquet(
+        stage_dir
+    )
+    try:
+        schema = spark.read.parquet(stage_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .select("user_id", "event_type", "cents")
+        )
+        profiles = user_profile_stream_tws(stream)
+        name = f"streaming_profile_tws_{time.time_ns()}"
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            _run_to_memory_sink(
+                profiles, name, state_partitions=8, output_mode="update"
+            )
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
+        latest = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "n_batches", "n_events", "n_types", "top_type",
+                        "sum_cents",
+                    ),
+                    F.col("n_batches"),
+                ).alias("s")
+            )
+            .select("user_id", "s.*")
+        )
+        # materialize before the scratch dir disappears
+        latest = latest.localCheckpoint(eager=True)
+    finally:
+        remove_path(spark, stage_dir)
+    return latest
 
 
 @register(

