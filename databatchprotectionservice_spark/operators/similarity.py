@@ -754,3 +754,234 @@ def similarity_hard_negatives(spark, sf_dir):
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: sub-vector codebooks + asymmetric
+# distance computation — the highest-compression production index
+# ---------------------------------------------------------------------------
+
+#: PQ geometry: 64-dim vectors split into M subspaces of SUBDIM dims,
+#: K centroids per subspace -> one BYTE per subspace, 8 bytes per
+#: vector vs 256 for float32 (32x compression; int8 SQ is only 4x)
+PQ_M = 8
+PQ_SUBDIM = 8
+PQ_K = 16
+
+_DUCK_SUBDOT = (
+    "list_aggregate(list_transform(range(1, {n}), d -> "
+    "CAST({a} AS BIGINT) * {b}), 'sum')"
+)
+
+
+@register(
+    "similarity_pq_topk",
+    # the whole pipeline is INTEGER-EXACT: PQ runs over the int8
+    # scalar-quantized codes, so subspace L2 distances (code
+    # assignment), reconstruction norms and the ADC dot products are
+    # all exact BIGINT arithmetic — argmin ties break on centroid
+    # index identically in both engines, and the only doubles are the
+    # final cosine normalization on an identical expression tree
+    oracle=f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CASE WHEN s = 0 THEN 0
+                            ELSE CAST(floor((CAST(x AS DOUBLE) / s) * 127.0 + 0.5)
+                                      AS INTEGER) END) AS q
+            FROM (
+                SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS s
+                FROM embeddings
+            )
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, s.vec_id AS k,
+                   s.q[ms.m*{PQ_SUBDIM}+1 : ms.m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS c
+            FROM ms, (SELECT vec_id, q FROM qz WHERE vec_id < {PQ_K}) s
+        ),
+        subs AS (
+            SELECT z.vec_id, ms.m,
+                   z.q[ms.m*{PQ_SUBDIM}+1 : ms.m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+            FROM qz z, ms
+        ),
+        dists AS (
+            SELECT s.vec_id, s.m, c.k,
+                   list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                       d -> CAST(s.sub[d] - c.c[d] AS BIGINT)
+                            * (s.sub[d] - c.c[d])), 'sum') AS d2
+            FROM subs s JOIN cb c ON c.m = s.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (SELECT vec_id, m, k,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, k) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        ),
+        recon AS (
+            SELECT cd.vec_id,
+                   CAST(sum({_DUCK_SUBDOT.format(n=PQ_SUBDIM + 1, a="c.c[d]", b="c.c[d]")})
+                        AS BIGINT) AS rnorm
+            FROM codes cd JOIN cb c ON c.m = cd.m AND c.k = cd.code
+            GROUP BY cd.vec_id
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, q AS pq,
+                   {_DUCK_QDOT.format(a="q", b="q")} AS pnorm
+            FROM qz
+            WHERE vec_id < {N_QUERIES}
+              AND {_DUCK_QDOT.format(a="q", b="q")} > 0
+        ),
+        adc AS (
+            SELECT p.query_id, cd.vec_id AS neighbor_id, p.pnorm,
+                   CAST(sum({_DUCK_SUBDOT.format(n=PQ_SUBDIM + 1, a="p.pq[cd.m*" + str(PQ_SUBDIM) + " + d]", b="c.c[d]")})
+                        AS BIGINT) AS score
+            FROM probes p, codes cd
+            JOIN cb c ON c.m = cd.m AND c.k = cd.code
+            WHERE cd.vec_id <> p.query_id
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT a.query_id, a.neighbor_id,
+                   CAST(a.score AS DOUBLE)
+                   / (sqrt(CAST(a.pnorm AS DOUBLE))
+                      * sqrt(CAST(r.rnorm AS DOUBLE))) AS pqcos
+            FROM adc a JOIN recon r ON r.vec_id = a.neighbor_id
+            WHERE r.rnorm > 0
+        )
+        SELECT query_id, neighbor_id,
+               floor(pqcos * 10000.0 + 0.5) / 10000.0 AS pq_cosine, rk
+        FROM (
+            SELECT query_id, neighbor_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    description="product-quantization ANN: 16-centroid codebook per "
+    "8-dim subspace (sampled training set), byte codes, asymmetric "
+    "distance computation via per-probe lookup tables — all in exact "
+    "integer arithmetic over the int8-quantized corpus",
+)
+def similarity_pq_topk(spark, sf_dir):
+    """PQ — the index family behind FAISS IVFPQ / ScaNN at the largest
+    scales: each vector stored as ``PQ_M`` one-byte centroid ids (32x
+    compression vs float32; the int8 path is 4x), scored WITHOUT
+    reconstruction via asymmetric distance computation — per probe, a
+    ``(M, K)`` lookup table of subspace dot products is built once and
+    every corpus vector costs ``M`` table gathers.
+
+    The codebook is the subspace slices of the first ``PQ_K`` corpus
+    vectors (sampled-codebook PQ — the k-means-free variant; a trained
+    codebook drops reconstruction error but needs the iterative path
+    ``kmeans_embedding_clusters`` already demonstrates).  Everything is
+    integer-exact over the int8 codes, so assignment argmin, ADC sums
+    and norms carry NO float-order freedom (see oracle comment).
+
+    100 TB shape: codebook = K x DIM ints collected once (the
+    FAISS-train shape, like IVF's); encoding is a map-only scan
+    emitting 8 bytes + one int norm per vector; probes and their LUTs
+    broadcast; scoring streams codes through an integer gather kernel.
+    The shuffle surface is exactly the top-k window — identical to the
+    int8 path but at 8x less memory bandwidth."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qi8 = _quantize_udf()
+    qn = emb.select("vec_id", qi8(F.col("embedding")).alias("q")).cache()
+    # codebook: subspace slices of the first K codes (driver-side K x
+    # DIM ints — the bounded FAISS-train collect, like IVF's)
+    seeds = qn.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
+    cb = (
+        np.array([r["q"] for r in seeds], dtype=np.int64)
+        .reshape(PQ_K, PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (M, K, SUBDIM)
+    # per-subspace centroid self-dots: recon_norm = sum over m
+    cb_norm = (cb * cb).sum(axis=2)  # (M, K)
+
+    @pandas_udf("struct<codes: array<int>, rnorm: long>")
+    def encode(qcol):
+        X = (
+            np.stack(qcol.to_numpy())
+            .astype(np.int64)
+            .reshape(-1, PQ_M, PQ_SUBDIM)
+        )
+        # (B, M, K) exact integer L2^2; argmin takes the FIRST minimum,
+        # i.e. the smallest centroid index — the oracle's tie-break
+        diff = X[:, :, None, :] - cb[None, :, :, :]
+        codes = (diff * diff).sum(axis=3).argmin(axis=2)
+        rnorm = cb_norm[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {"codes": list(codes.astype(np.int32)), "rnorm": rnorm}
+        )
+
+    coded = qn.select(
+        "vec_id", encode(F.col("q")).alias("e")
+    ).select("vec_id", "e.codes", "e.rnorm")
+
+    # probes: full int8 vectors (asymmetric side), LUTs built driver-side
+    probe_rows = (
+        qn.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    luts, pnorms = {}, {}
+    for r in probe_rows:
+        pv = np.array(r["q"], dtype=np.int64)
+        pn = int((pv * pv).sum())
+        if pn <= 0:
+            continue
+        sub = pv.reshape(PQ_M, 1, PQ_SUBDIM)
+        luts[int(r["vec_id"])] = (sub * cb).sum(axis=2)  # (M, K)
+        pnorms[int(r["vec_id"])] = pn
+
+    @pandas_udf("long")
+    def adc(qid, codes):
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.zeros(len(C), dtype=np.int64)
+        for q in np.unique(qid.to_numpy()):
+            sel = qid.to_numpy() == q
+            lut = luts[int(q)]
+            out[sel] = lut[np.arange(PQ_M)[None, :], C[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    probes_df = spark.createDataFrame(
+        [(int(q), int(n)) for q, n in sorted(pnorms.items())],
+        "query_id long, pnorm long",
+    )
+    scored = (
+        coded.filter(F.col("rnorm") > 0)
+        .join(F.broadcast(probes_df), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                adc(F.col("query_id"), F.col("codes")).cast("double")
+                / (
+                    F.sqrt(F.col("pnorm").cast("double"))
+                    * F.sqrt(F.col("rnorm").cast("double"))
+                )
+            ).alias("pqcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pqcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_ieee(F.col("pqcos")).alias("pq_cosine"),
+            "rk",
+        )
+    )

@@ -241,8 +241,11 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # vendored mini-protobuf runtime); hash-checked on registration
     "streaming_sessionize_tws",
     # full state-variable surface (ValueState + MapState + ListState
-    # across four real micro-batches); hash-checked on registration
+    # across real micro-batches); hash-checked on registration
     "streaming_profile_tws",
+    # product-quantization ANN (integer-exact ADC over int8 codes);
+    # hash-checked on registration
+    "similarity_pq_topk",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50

@@ -258,3 +258,85 @@ def test_curate_seed_similarity_matches_python_twin(spark, tmp_path_factory):
     assert got  # threshold keeps a non-empty subset on this corpus
     total_kept = sum(v[0] for v in got.values())
     assert 0 < total_kept < N_VECS  # ...and rejects some docs too
+
+
+def test_pq_topk_matches_pure_python_twin(spark):
+    """Independent PQ twin: plain-Python loops (no numpy, no SQL)
+    recompute int8 quantization, sampled codebook, exact-integer code
+    assignment and ADC scoring over the sf0.001 embeddings, and the
+    registered query must reproduce them row for row."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from databatchprotectionservice_spark.operators.similarity import (
+        N_QUERIES,
+        PQ_K,
+        PQ_M,
+        PQ_SUBDIM,
+        TOP_K,
+        similarity_pq_topk,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    t = pq.read_table(sf_dir + "/embeddings.parquet")
+    vecs = {
+        int(i): list(map(float, e))
+        for i, e in zip(
+            t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+        )
+    }
+
+    def quant(x):
+        s = max(abs(v) for v in x)
+        if s == 0:
+            return [0] * len(x)
+        return [int(math.floor(v / s * 127.0 + 0.5)) for v in x]
+
+    q = {i: quant(x) for i, x in vecs.items()}
+    cb = {}  # (m, k) -> subvector
+    for k in range(PQ_K):
+        for m in range(PQ_M):
+            cb[(m, k)] = q[k][m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+    codes, rnorm = {}, {}
+    for i, qi in q.items():
+        cs, rn = [], 0
+        for m in range(PQ_M):
+            sub = qi[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+            best, best_d = 0, None
+            for k in range(PQ_K):
+                d = sum((a - b) ** 2 for a, b in zip(sub, cb[(m, k)]))
+                if best_d is None or d < best_d:
+                    best, best_d = k, d
+            cs.append(best)
+            rn += sum(c * c for c in cb[(m, best)])
+        codes[i], rnorm[i] = cs, rn
+    expected = {}
+    for p in range(N_QUERIES):
+        pv = q[p]
+        pn = sum(v * v for v in pv)
+        if pn == 0:
+            continue
+        rows = []
+        for i in q:
+            if i == p or rnorm[i] == 0:
+                continue
+            score = 0
+            for m in range(PQ_M):
+                sub = pv[m * PQ_SUBDIM : (m + 1) * PQ_SUBDIM]
+                score += sum(
+                    a * b for a, b in zip(sub, cb[(m, codes[i][m])])
+                )
+            rows.append((score / (math.sqrt(pn) * math.sqrt(rnorm[i])), i))
+        rows.sort(key=lambda t: (-t[0], t[1]))
+        for rk, (cos, i) in enumerate(rows[:TOP_K], start=1):
+            expected[(p, i)] = (
+                math.floor(cos * 10000.0 + 0.5) / 10000.0,
+                rk,
+            )
+
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["pq_cosine"], r["rk"])
+        for r in similarity_pq_topk(spark, sf_dir).collect()
+    }
+    assert got == expected
