@@ -94,6 +94,12 @@ QUERIES = [
     "unpivot_event_matrix",
     "stats_moments_battery",
     "pagerank_top_nodes",
+    # round-8 additions: the transformWithState pair (per-key
+    # state-server protocol cost must scale with keys, not rows) and
+    # the PQ index (map-only encode + broadcast LUT scoring)
+    "streaming_sessionize_tws",
+    "streaming_profile_tws",
+    "similarity_pq_topk",
 ]
 
 
