@@ -108,6 +108,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
         from ..core.gifcodec import GifFormatError, decode_gif
         from ..core.imagecodec import ImageFormatError, decode_image
         from ..core.jpegcodec import JpegFormatError, decode_jpeg
+        from ..core.tiffcodec import TiffFormatError, decode_tiff
 
         def _decode_real(
             batches: Iterator[pd.DataFrame],
@@ -118,10 +119,13 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     if payload is None:
                         continue
                     magic = bytes(payload[:2])
-                    if magic not in (b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI"):
+                    if magic not in (
+                        b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI",
+                        b"II", b"MM",
+                    ):
                         raise NotImplementedError(
                             f"no codec for media with magic {magic!r}: only "
-                            "PPM/BMP/PNG/GIF/baseline-JPEG decode without "
+                            "PPM/BMP/PNG/GIF/JPEG/TIFF decode without "
                             "third-party libraries (Pillow/ffmpeg would "
                             "slot in here for the rest)"
                         )
@@ -130,12 +134,15 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             w, h, pixels = decode_jpeg(bytes(payload))
                         elif magic == b"GI":
                             w, h, pixels = decode_gif(bytes(payload))
+                        elif magic in (b"II", b"MM"):
+                            w, h, pixels = decode_tiff(bytes(payload))
                         else:
                             w, h, pixels = decode_image(bytes(payload))
                     except (
                         ImageFormatError,
                         JpegFormatError,
                         GifFormatError,
+                        TiffFormatError,
                     ) as exc:
                         raise ValueError(
                             f"doc {doc_id}: undecodable payload: {exc}"
@@ -147,6 +154,8 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             b"BM": "bmp",
                             b"\x89P": "png",
                             b"GI": "gif",
+                            b"II": "tiff",
+                            b"MM": "tiff",
                         }.get(magic, "jpeg")
                     )
                     ws.append(w)
@@ -485,6 +494,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         encode_jpeg_gray_tiles,
         encode_jpeg_gray_tiles_progressive,
     )
+    from ..core.tiffcodec import encode_tiff
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -526,6 +536,17 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                 pixels = np.frombuffer(raster, dtype=np.uint8).reshape(
                     h, IMG_W, 3
                 )
+                if leg == 1 and (doc_id // 5) % 2:
+                    # BMP leg sub-rotation: LZW+predictor TIFF carries
+                    # the SAME row-major RGB raster, so the closed-form
+                    # oracle is untouched while the corpus exercises
+                    # the TIFF IFD/LZW/predictor decode path
+                    payloads.append(
+                        encode_tiff(
+                            pixels, compression="lzw", predictor=True
+                        )
+                    )
+                    continue
                 enc = (encode_ppm, encode_bmp, encode_png)[leg]
                 payloads.append(enc(pixels))
             yield pd.DataFrame(
@@ -552,7 +573,10 @@ def image_table(spark, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH imgs AS (
             SELECT doc_id,
-                   CASE doc_id % 5 WHEN 0 THEN 'ppm' WHEN 1 THEN 'bmp'
+                   CASE doc_id % 5
+                        WHEN 0 THEN 'ppm'
+                        WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 1
+                                          THEN 'tiff' ELSE 'bmp' END)
                         WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
                         ELSE 'gif' END AS fmt,
                    text,
@@ -567,7 +591,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                        CAST({IMG_W} * greatest(((nb + 2) // 3
                             + {IMG_W - 1}) // {IMG_W}, 1) * 3 - nb
                             AS INT))) AS raster_md5
-            FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png')
+            FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png', 'tiff')
         ),
         jp AS (
             SELECT fmt, 8 * trs AS height,

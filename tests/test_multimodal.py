@@ -94,7 +94,10 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
             continue
         h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
         raster = raw.ljust(IMG_W * h * 3, b" ")
-        assert r.fmt == ("ppm", "bmp", "png")[doc_id % 5]
+        want_fmt = ("ppm", "bmp", "png")[doc_id % 5]
+        if want_fmt == "bmp" and (doc_id // 5) % 2:
+            want_fmt = "tiff"  # the r8 LZW+predictor sub-rotation
+        assert r.fmt == want_fmt
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
