@@ -980,3 +980,180 @@ def dedup_lines_ccnet(spark, sf_dir):
     return per_doc.filter(F.col("n_removed") > 0).select(
         "doc_id", "source", "n_segments", "n_removed", "kept_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: iterative global pair merging, fully gated
+# ---------------------------------------------------------------------------
+
+#: fixed merge-round count — like PageRank's fixed iterations, what
+#: keeps an inherently sequential training loop oracle-gateable (the
+#: oracle unrolls the same rounds as chained CTEs)
+BPE_MERGES = 5
+
+#: merge placeholders: Private Use Area code points, guaranteed absent
+#: from any real corpus text, one per round (NOT Spark's char(): that
+#: builtin wraps code points at 256)
+BPE_PLACEHOLDERS = [chr(0xE000 + i) for i in range(BPE_MERGES)]
+
+
+@register(
+    "text_bpe_train",
+    # both engines: pairs are CHARACTER-adjacent substrings; the best
+    # pair per round is (max count, lexicographically smallest) —
+    # fully deterministic; replace() is left-to-right non-overlapping
+    # in Spark and DuckDB alike, so self-overlapping pairs ('aa' in
+    # 'aaa') rewrite identically.  The lateral-free
+    # unnest(range(1, length(t))) keeps the bound derived from the
+    # data (the ccnet lesson).
+    oracle="""
+        WITH t0 AS (SELECT doc_id, text AS t FROM documents),
+        p1 AS (
+            SELECT substr(t, CAST(i AS INT), 2) AS pair, count(*) AS c
+            FROM (SELECT t, unnest(range(1, length(t))) AS i FROM t0)
+            GROUP BY 1
+        ),
+        b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair LIMIT 1),
+        t1 AS (
+            SELECT doc_id,
+                   replace(t, (SELECT pair FROM b1), '') AS t
+            FROM t0
+        ),
+        p2 AS (
+            SELECT substr(t, CAST(i AS INT), 2) AS pair, count(*) AS c
+            FROM (SELECT t, unnest(range(1, length(t))) AS i FROM t1)
+            GROUP BY 1
+        ),
+        b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair LIMIT 1),
+        t2 AS (
+            SELECT doc_id,
+                   replace(t, (SELECT pair FROM b2), '') AS t
+            FROM t1
+        ),
+        p3 AS (
+            SELECT substr(t, CAST(i AS INT), 2) AS pair, count(*) AS c
+            FROM (SELECT t, unnest(range(1, length(t))) AS i FROM t2)
+            GROUP BY 1
+        ),
+        b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair LIMIT 1),
+        t3 AS (
+            SELECT doc_id,
+                   replace(t, (SELECT pair FROM b3), '') AS t
+            FROM t2
+        ),
+        p4 AS (
+            SELECT substr(t, CAST(i AS INT), 2) AS pair, count(*) AS c
+            FROM (SELECT t, unnest(range(1, length(t))) AS i FROM t3)
+            GROUP BY 1
+        ),
+        b4 AS (SELECT pair, c FROM p4 ORDER BY c DESC, pair LIMIT 1),
+        t4 AS (
+            SELECT doc_id,
+                   replace(t, (SELECT pair FROM b4), '') AS t
+            FROM t3
+        ),
+        p5 AS (
+            SELECT substr(t, CAST(i AS INT), 2) AS pair, count(*) AS c
+            FROM (SELECT t, unnest(range(1, length(t))) AS i FROM t4)
+            GROUP BY 1
+        ),
+        b5 AS (SELECT pair, c FROM p5 ORDER BY c DESC, pair LIMIT 1),
+        t5 AS (
+            SELECT doc_id,
+                   replace(t, (SELECT pair FROM b5), '') AS t
+            FROM t4
+        )
+        SELECT 1 AS merge_round,
+               (SELECT pair FROM b1) AS pair,
+               CAST((SELECT c FROM b1) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(sum(length(t)) AS BIGINT) FROM t1)
+                   AS corpus_len_after
+        UNION ALL
+        SELECT 2 AS merge_round,
+               (SELECT pair FROM b2) AS pair,
+               CAST((SELECT c FROM b2) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(sum(length(t)) AS BIGINT) FROM t2)
+                   AS corpus_len_after
+        UNION ALL
+        SELECT 3 AS merge_round,
+               (SELECT pair FROM b3) AS pair,
+               CAST((SELECT c FROM b3) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(sum(length(t)) AS BIGINT) FROM t3)
+                   AS corpus_len_after
+        UNION ALL
+        SELECT 4 AS merge_round,
+               (SELECT pair FROM b4) AS pair,
+               CAST((SELECT c FROM b4) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(sum(length(t)) AS BIGINT) FROM t4)
+                   AS corpus_len_after
+        UNION ALL
+        SELECT 5 AS merge_round,
+               (SELECT pair FROM b5) AS pair,
+               CAST((SELECT c FROM b5) AS BIGINT) AS n_occurrences,
+               (SELECT CAST(sum(length(t)) AS BIGINT) FROM t5)
+                   AS corpus_len_after
+    """,
+    description="byte-pair-encoding tokenizer TRAINING on the corpus: "
+    "5 merge rounds of global pair counting -> argmax -> rewrite, "
+    "emitting each learned merge and the shrinking corpus length",
+)
+def text_bpe_train(spark, sf_dir):
+    """Train a BPE tokenizer ON the corpus — the canonical
+    LLM-pipeline job that is genuinely iterative-global: each merge
+    round needs a FULL-corpus pair histogram (map-side combinable
+    groupBy), a global argmax (1-row driver action, like the k-means
+    centroid collect), and a corpus rewrite that the next round
+    depends on.  Learned merges become single Private-Use-Area
+    characters so later rounds can merge merged tokens (hierarchical
+    vocabulary growth, exactly real BPE).
+
+    100 TB shape: per round, the only exchange is the pair-count
+    aggregate (combiner-friendly: pairs per partition collapse before
+    the shuffle); the rewrite is a map-only scan; the driver sees ONE
+    row per round.  Five rounds = five scans — a production trainer
+    amortizes them by caching the rewritten corpus per round, which
+    this does.  Lineage is checkpoint-flattened per round (the
+    iterative-lineage lesson) — five rounds of withColumn over a
+    cached DataFrame would otherwise stack analysis cost.
+
+    The oracle unrolls the identical five rounds as chained CTEs, so
+    training — not just tokenization — holds to the full hash gate."""
+    prep(spark)
+    df = load_spread(spark, sf_dir, "documents").select(
+        F.col("text").alias("t")
+    )
+    rows = []
+    for r in range(BPE_MERGES):
+        ph = BPE_PLACEHOLDERS[r]
+        pairs = (
+            df.select(
+                F.explode(
+                    F.expr(
+                        "CASE WHEN length(t) > 1 THEN "
+                        "transform(sequence(1, length(t) - 1), "
+                        "i -> substring(t, i, 2)) "
+                        "ELSE array() END"
+                    )
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if not best:
+            break
+        pair, c = best[0]["pair"], int(best[0]["c"])
+        df = df.select(
+            F.expr(
+                f"replace(t, '{pair}', '{ph}')".format(pair=pair, ph=ph)
+            ).alias("t")
+        ).localCheckpoint(eager=True)
+        corpus_len = df.agg(
+            F.sum(F.length("t")).cast("bigint").alias("n")
+        ).collect()[0]["n"]
+        rows.append((r + 1, pair, c, int(corpus_len)))
+    return spark.createDataFrame(
+        rows,
+        "merge_round int, pair string, n_occurrences long, "
+        "corpus_len_after long",
+    )

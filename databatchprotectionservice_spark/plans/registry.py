@@ -246,6 +246,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # product-quantization ANN (integer-exact ADC over int8 codes);
     # hash-checked on registration
     "similarity_pq_topk",
+    # BPE tokenizer training (iterative global merges, unrolled-CTE
+    # oracle); hash-checked on registration
+    "text_bpe_train",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50

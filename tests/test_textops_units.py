@@ -219,3 +219,51 @@ def test_chunk_windows_match_python_twin(spark, corpus_dir):
             if d == doc_id
         )
         assert covered >= n_words
+
+
+def test_bpe_train_matches_pure_python_twin(spark):
+    """Independent BPE twin: plain-Python dict counting + str.replace
+    over the sf0.001 corpus must reproduce the distributed trainer's
+    learned merges, counts and corpus lengths round for round.
+    (str.replace and Spark/DuckDB replace share left-to-right
+    non-overlapping semantics, which the twin therefore also pins.)"""
+    import pyarrow.parquet as pq
+
+    from databatchprotectionservice_spark.operators.textops import (
+        BPE_MERGES,
+        BPE_PLACEHOLDERS,
+        text_bpe_train,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    texts = (
+        pq.read_table(sf_dir + "/documents.parquet")
+        .column("text")
+        .to_pylist()
+    )
+    expected = []
+    for r in range(BPE_MERGES):
+        counts: dict[str, int] = {}
+        for t in texts:
+            for i in range(len(t) - 1):
+                p = t[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        texts = [t.replace(best[0], BPE_PLACEHOLDERS[r]) for t in texts]
+        expected.append(
+            (r + 1, best[0], best[1], sum(len(t) for t in texts))
+        )
+
+    got = [
+        (r["merge_round"], r["pair"], r["n_occurrences"], r["corpus_len_after"])
+        for r in text_bpe_train(spark, sf_dir)
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected
+    # merges actually shrink the corpus and later merges may build on
+    # earlier placeholders (hierarchical growth is at least possible)
+    lens = [e[3] for e in expected]
+    assert all(a > b for a, b in zip(lens, lens[1:]))
