@@ -249,6 +249,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # BPE tokenizer training (iterative global merges, unrolled-CTE
     # oracle); hash-checked on registration
     "text_bpe_train",
+    # ISO-BMFF container metadata roundtrip; hash-checked on
+    # registration
+    "multimodal_mp4_metadata",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
