@@ -199,14 +199,17 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      merge/rotate/int96 (mutation-heavy), skew salting, and the
 #      widest relational/function batteries (q1, window battery,
 #      json extract, text repetition).
-# The 27 r6-scored queries that slide to r9 are the least-churned
-# stable block (batteries/rollups/setops/TPC-H q3-q22 subset listed in
-# the r9 note below); at r9 they are 3 rounds stale and MUST rotate in
-# — 27 + 23 slots for the r8-scored pool keeps the round-robin exact.
-# R9 ROTATION PLAN: window = those 27 (asof/bucketed/cube/datasource…
-# — everything in CORRECTNESS_r06 minus this round's 18) + 23 slots
-# prioritizing (a) any r8 never-scored registrations, (b) r7-scored
-# queries by churn.
+# The r6-scored queries that slide to r9 are the least-churned stable
+# block (batteries/rollups/setops/TPC-H q3-q22 subset); at r9 they are
+# 3 rounds stale and MUST rotate in.
+# R9 ROTATION PLAN: the window is FULLY FORCED + a small free pool:
+#   * the ~28 r6-scored queries outside the r8 window (everything in
+#     CORRECTNESS_r06 minus this round's 18 picks; 3 rounds stale at
+#     r9 — mandatory), and
+#   * the 5 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
+#     below — mandatory the round after registration), leaving
+#   * ~17 free slots: prioritize r7-scored queries whose
+#     implementations changed in r9, then by churn.
 
 #: Queries whose implementation (or fixture/oracle) changed this round.
 #: Updated per-round by hand; the freshness test fails if any entry is
