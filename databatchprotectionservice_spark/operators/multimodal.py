@@ -109,6 +109,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
         from ..core.imagecodec import ImageFormatError, decode_image
         from ..core.jpegcodec import JpegFormatError, decode_jpeg
         from ..core.tiffcodec import TiffFormatError, decode_tiff
+        from ..core.webpcodec import WebpFormatError, decode_webp
 
         def _decode_real(
             batches: Iterator[pd.DataFrame],
@@ -121,13 +122,13 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                     magic = bytes(payload[:2])
                     if magic not in (
                         b"P6", b"BM", b"\x89P", b"\xff\xd8", b"GI",
-                        b"II", b"MM",
+                        b"II", b"MM", b"RI",
                     ):
                         raise NotImplementedError(
                             f"no codec for media with magic {magic!r}: only "
-                            "PPM/BMP/PNG/GIF/JPEG/TIFF decode without "
-                            "third-party libraries (Pillow/ffmpeg would "
-                            "slot in here for the rest)"
+                            "PPM/BMP/PNG/GIF/JPEG/TIFF/WebP-lossless decode "
+                            "without third-party libraries (Pillow/ffmpeg "
+                            "would slot in here for the rest)"
                         )
                     try:
                         if magic == b"\xff\xd8":
@@ -136,6 +137,8 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             w, h, pixels = decode_gif(bytes(payload))
                         elif magic in (b"II", b"MM"):
                             w, h, pixels = decode_tiff(bytes(payload))
+                        elif magic == b"RI":
+                            w, h, pixels = decode_webp(bytes(payload))
                         else:
                             w, h, pixels = decode_image(bytes(payload))
                     except (
@@ -143,6 +146,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                         JpegFormatError,
                         GifFormatError,
                         TiffFormatError,
+                        WebpFormatError,
                     ) as exc:
                         raise ValueError(
                             f"doc {doc_id}: undecodable payload: {exc}"
@@ -156,6 +160,7 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             b"GI": "gif",
                             b"II": "tiff",
                             b"MM": "tiff",
+                            b"RI": "webp",
                         }.get(magic, "jpeg")
                     )
                     ws.append(w)
@@ -495,6 +500,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         encode_jpeg_gray_tiles_progressive,
     )
     from ..core.tiffcodec import encode_tiff
+    from ..core.webpcodec import encode_webp
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "UTF-8").alias("payload")
@@ -547,6 +553,12 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         )
                     )
                     continue
+                if leg == 2 and (doc_id // 5) % 2:
+                    # PNG leg sub-rotation: VP8L lossless WebP, same
+                    # raster closed form (palette or literal path
+                    # chosen by the raster's color count)
+                    payloads.append(encode_webp(pixels))
+                    continue
                 enc = (encode_ppm, encode_bmp, encode_png)[leg]
                 payloads.append(enc(pixels))
             yield pd.DataFrame(
@@ -577,7 +589,9 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         WHEN 0 THEN 'ppm'
                         WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 1
                                           THEN 'tiff' ELSE 'bmp' END)
-                        WHEN 2 THEN 'png' WHEN 3 THEN 'jpeg'
+                        WHEN 2 THEN (CASE WHEN (doc_id // 5) % 2 = 1
+                                          THEN 'webp' ELSE 'png' END)
+                        WHEN 3 THEN 'jpeg'
                         ELSE 'gif' END AS fmt,
                    text,
                    octet_length(encode(text)) AS nb
@@ -591,7 +605,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                        CAST({IMG_W} * greatest(((nb + 2) // 3
                             + {IMG_W - 1}) // {IMG_W}, 1) * 3 - nb
                             AS INT))) AS raster_md5
-            FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png', 'tiff')
+            FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png', 'tiff', 'webp')
         ),
         jp AS (
             SELECT fmt, 8 * trs AS height,
