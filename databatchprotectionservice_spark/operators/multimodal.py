@@ -11,19 +11,22 @@ Two decode modes:
 * ``mode="fake"`` — deterministic pseudo-dimensions from a sha256 of the
   payload; the oracle-checkable twin exercising identical mapInPandas
   plumbing.
-* ``mode="real"`` — a genuine decoder (``core/imagecodec.py``) for the
-  dependency-free public image formats: P6 PPM, 24bpp BI_RGB BMP
-  (header parse, bottom-up row flip, BGR->RGB, 4-byte stride strip),
-  and 8-bit non-interlaced PNG (CRC-checked chunks, zlib inflate, all
-  five scanline filters). Audio and video have their own real paths:
-  ``core/audiocodec.py`` parses RIFF/WAVE PCM16
-  (``multimodal_audio_wav_stats``: exact integer sample statistics)
-  and ``core/videocodec.py`` parses YUV4MPEG2 C444
-  (``multimodal_video_frame_stats``: frame sampling + exact raster
-  statistics). Formats needing a third-party codec (JPEG, compressed
-  audio MP3/AAC, compressed video H.264/VP9) raise
-  ``NotImplementedError`` — that is the seam where Pillow/ffmpeg
-  slot in.
+* ``mode="real"`` — genuine from-scratch decoders for SEVEN public
+  image formats: P6 PPM and 24bpp BI_RGB BMP (``core/imagecodec.py``),
+  8-bit non-interlaced PNG (CRC-checked chunks, zlib inflate, all five
+  filters), baseline AND progressive JPEG (``core/jpegcodec.py``,
+  T.81 SOF0/SOF2), GIF 87a/89a (``core/gifcodec.py``, variable-width
+  LZW), TIFF 6.0 (``core/tiffcodec.py``, none/PackBits/LZW +
+  predictor, both endiannesses) and WebP-lossless
+  (``core/webpcodec.py``, VP8L: prefix codes, LZ77, color cache, all
+  four transforms). Audio and video have their own real paths:
+  ``core/audiocodec.py`` parses RIFF/WAVE PCM16, ``core/videocodec.py``
+  parses YUV4MPEG2 C444/C422/C420, and ``core/mp4codec.py`` walks
+  ISO-BMFF box trees (``multimodal_mp4_metadata``). Formats needing a
+  third-party codec (lossy VP8, MP3/AAC, H.264/VP9 payload decode)
+  raise ``NotImplementedError`` — that is the seam where Pillow/ffmpeg
+  slot in, exactly at the codec boundary, never in container or
+  pipeline plumbing.
 
 Everything around decode — schema, partitioning, batch shapes,
 cardinality changes — is real and oracle-checked: the payloads here are
