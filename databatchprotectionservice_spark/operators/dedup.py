@@ -656,11 +656,16 @@ def dedup_embedding_cosine(spark, sf_dir):
     bucket (~256x pair reduction), then exact cosine filters. The only
     shuffle is the bucket exchange; within-bucket pairing is quadratic in
     bucket size, which concentration keeps small at scale — the dense-
-    vector analogue of MinHash-LSH banding."""
-    from .similarity import _norm, bucket_column, cosine_prenormed
+    vector analogue of MinHash-LSH banding.  Expected bucket size still
+    grows linearly with the corpus (256 fixed buckets), so within-bucket
+    work is quadratic-by-intent; the guard refuses production-size
+    inputs and names the k-means-bucketed twin, whose bucket count
+    scales with the data."""
+    from .similarity import _norm, bucket_column, cosine_prenormed, guard_allpairs
 
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
+    guard_allpairs(emb, "dedup_embedding_cosine", "semdedup_embeddings")
     tagged = emb.select(
         "vec_id",
         "embedding",

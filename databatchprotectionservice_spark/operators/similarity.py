@@ -29,6 +29,46 @@ N_QUERIES = 5
 TOP_K = 3
 BUCKET_BITS = 8
 
+#: Input ceiling for the all-pairs / per-pair-exact correctness
+#: baselines.  These operators exist to VERIFY the approximate scale
+#: paths (LSH banding, IVF, quantized/PQ codes, k-means bucketing) at
+#: test scale — their work grows quadratically (all-pairs within an
+#: LSH bucket, or per-query exact scoring of every corpus vector), so
+#: silently running them on a production-size input would be a
+#: scale-killer.  One million rows is ~3 orders of magnitude above any
+#: driver/bench scale factor (sf1 embeddings = 20k rows) and still far
+#: below where quadratic work becomes catastrophic, so the guard can
+#: never trip in testing but always trips long before a 100 TB corpus.
+ALLPAIRS_GUARD_ROWS = 1_000_000
+
+
+class AllPairsScaleError(RuntimeError):
+    """An O(n²)-by-intent correctness baseline refused an input too
+    large for quadratic work; the message names the scale twin."""
+
+
+def guard_allpairs(df: DataFrame, op: str, twin: str, limit=None) -> None:
+    """Raise :class:`AllPairsScaleError` when ``df`` exceeds the
+    all-pairs baseline ceiling, naming the production scale twin.
+
+    The check is ``df.limit(limit + 1).count()`` — a CollectLimit that
+    stops scanning as soon as ``limit + 1`` rows are found, so on a
+    100 TB input it touches ~one partition's worth of data rather than
+    counting the whole corpus before refusing.  Per the suite's
+    no-silent-caps convention the guard REFUSES (it never samples or
+    truncates): a baseline that quietly dropped rows would no longer
+    verify anything."""
+    if limit is None:
+        limit = ALLPAIRS_GUARD_ROWS
+    n = df.limit(limit + 1).count()
+    if n > limit:
+        raise AllPairsScaleError(
+            f"{op}: input exceeds {limit:,} rows — this operator is an "
+            f"all-pairs correctness baseline whose work grows "
+            f"quadratically; at this scale run its production twin "
+            f"`{twin}` instead"
+        )
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -95,8 +135,13 @@ _DUCK_COS = """
     description="brute-force cosine top-k (broadcast queries, JVM-side math)",
 )
 def similarity_bruteforce_topk(spark, sf_dir):
+    """Exact cosine top-k — the correctness baseline every approximate
+    index (LSH, IVF, int8, PQ) is verified against.  Per-query exact
+    scoring of the whole corpus: O(N_QUERIES × n) dot products, guarded
+    so it can never silently run at production scale."""
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
+    guard_allpairs(emb, "similarity_bruteforce_topk", "similarity_ivf_topk")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -713,9 +758,15 @@ def similarity_hard_negatives(spark, sf_dir):
     100 TB shape: one scan of the vectors, no shuffle except the final
     per-query top-k (TOP_K rows per query survive each partition); the
     label filter evaluates in the same codegen stage as the dot
-    product, so mismatching candidates cost one comparison."""
+    product, so mismatching candidates cost one comparison.  Exact
+    per-query scoring is still O(N_QUERIES × n); the guard routes
+    oversized inputs to the quantized index (mine negatives from its
+    candidate set with the same label disequality)."""
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
+    guard_allpairs(
+        emb, "similarity_hard_negatives", "similarity_quantized_topk"
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),

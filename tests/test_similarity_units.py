@@ -340,3 +340,48 @@ def test_pq_topk_matches_pure_python_twin(spark):
         for r in similarity_pq_topk(spark, sf_dir).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# All-pairs baseline scale guard
+# ---------------------------------------------------------------------------
+
+
+def test_guard_allpairs_refuses_and_names_twin(spark):
+    from databatchprotectionservice_spark.operators.similarity import (
+        AllPairsScaleError,
+        guard_allpairs,
+    )
+
+    df = spark.range(10)
+    # under the ceiling: silently passes
+    guard_allpairs(df, "op", "twin", limit=10)
+    # over the ceiling: refuses and points at the production twin
+    with pytest.raises(AllPairsScaleError, match="similarity_ivf_topk"):
+        guard_allpairs(df, "my_baseline", "similarity_ivf_topk", limit=9)
+
+
+@pytest.mark.parametrize(
+    "query_name, twin",
+    [
+        ("similarity_bruteforce_topk", "similarity_ivf_topk"),
+        ("similarity_hard_negatives", "similarity_quantized_topk"),
+        ("dedup_embedding_cosine", "semdedup_embeddings"),
+    ],
+)
+def test_quadratic_baselines_are_guarded(
+    spark, emb_dir, monkeypatch, query_name, twin
+):
+    """Each O(n²)-by-intent baseline refuses an input over the ceiling
+    and its error names the approximate twin to run instead; the guard
+    reads the module constant at call time so lowering it here trips
+    the real registered query on the real load path."""
+    from databatchprotectionservice_spark.operators import (  # noqa: F401
+        dedup,
+        similarity,
+    )
+    from databatchprotectionservice_spark.plans.registry import REGISTRY
+
+    monkeypatch.setattr(similarity, "ALLPAIRS_GUARD_ROWS", 3)
+    with pytest.raises(similarity.AllPairsScaleError, match=twin):
+        REGISTRY[query_name].spark_fn(spark, emb_dir)
