@@ -230,3 +230,52 @@ def export_orc_roundtrip(spark, sf_dir):
         return _roundtrip_stats(spark, back)
     finally:
         remove_path(spark, out_dir)
+
+
+@register(
+    "export_xml_roundtrip",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="XML delivery roundtrip (Spark 4 native XML source): "
+    "entity escaping survives, schema-explicit re-ingest; oracle proves "
+    "losslessness",
+)
+def export_xml_roundtrip(spark, sf_dir):
+    """XML — the enterprise-interchange edge of the delivery matrix,
+    first-class in Spark since 4.0 (the spark-xml package was merged
+    into the core distribution). Same lossless contract as the
+    JSONL/CSV/ORC roundtrips: the writer must entity-escape markup
+    characters in free text (``<`` ``&`` and friends) and the reader
+    must undo it, which this proves over the real corpus rather than
+    assuming. Re-ingest passes an EXPLICIT schema — XML inference is a
+    second full scan, and (worse than CSV) it infers numeric-looking
+    text fields as numbers.
+
+    100 TB shape: map-only write, one file per partition with a
+    ``rowTag`` element per record. The same caveat as gzip-CSV applies
+    double: XML is not splittable at row boundaries, so read
+    parallelism equals file count — a delivery format, never a storage
+    format."""
+    prep(spark)
+    src = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    out_dir = scratch_path("dbps_xml_")
+    try:
+        (
+            src.write.mode("overwrite")
+            .format("xml")
+            .option("rootTag", "documents")
+            .option("rowTag", "document")
+            .save(out_dir)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id bigint, text string, lang string, source string"
+            )
+            .format("xml")
+            .option("rowTag", "document")
+            .load(out_dir)
+        )
+        return _roundtrip_stats(spark, back)
+    finally:
+        remove_path(spark, out_dir)

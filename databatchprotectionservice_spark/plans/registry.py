@@ -230,6 +230,12 @@ CHANGED_THIS_ROUND: frozenset[str] = frozenset(
         # per-iteration left join folded into the contribution
         # aggregate (bidirected graph => contrib covers every node)
         "pagerank_top_nodes",
+        # all-pairs scale guard (VERDICT r7 item 7): a CollectLimit
+        # row-count probe now runs before the quadratic baselines;
+        # results unchanged, execution path is not
+        "similarity_bruteforce_topk",
+        "similarity_hard_negatives",
+        "dedup_embedding_cosine",
     }
 )
 
@@ -255,6 +261,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # ISO-BMFF container metadata roundtrip; hash-checked on
     # registration
     "multimodal_mp4_metadata",
+    # Spark-4 native XML delivery roundtrip; hash-checked on
+    # registration
+    "export_xml_roundtrip",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
@@ -300,9 +309,12 @@ _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
     "decontaminate_ngram_overlap",
     "datasource_protected_read",
     "datasource_protected_partitioned",
-    "asof_join_last_event",
+    # r8 impl change (all-pairs scale guard) displaces the two
+    # least-churned r6 picks (asof_join_last_event and
+    # merge_upsert_documents slide to r9; both untouched since r6)
+    "similarity_bruteforce_topk",
+    "dedup_embedding_cosine",
     "range_join_click_attribution",
-    "merge_upsert_documents",
     "rotate_key_roundtrip_customer",
     "int96_page_roundtrip",
     "skew_salted_heavy_hitters",
