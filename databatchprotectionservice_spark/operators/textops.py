@@ -1157,3 +1157,88 @@ def text_bpe_train(spark, sf_dir):
         "merge_round int, pair string, n_occurrences long, "
         "corpus_len_after long",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer ENCODE: apply a shipped merge table in one map-only pass
+# ---------------------------------------------------------------------------
+
+#: The shipped tokenizer artifact: an ordered merge table, applied
+#: sequentially (real BPE semantics — later merges may reference the
+#: placeholder a previous merge produced, here merge #3 building "er "
+#: out of merge #2's "er").  Placeholders live in a different PUA range
+#: than the training query's so the two can never collide.
+BPE_ENCODE_MERGES: list[tuple[str, str]] = [
+    (" s", ""),
+    ("er", ""),
+    (" ", ""),  # hierarchical: ("er", " ") -> "er "
+    ("in", ""),
+    ("ow", ""),
+]
+
+
+@register(
+    "text_bpe_encode",
+    # literal PUA characters are embedded in the SQL below (invisible
+    # in most terminals, same convention as the training oracle)
+    oracle="""
+        WITH t1 AS (
+            SELECT doc_id, source, length(text) AS n_chars,
+                   replace(text, ' s', '') AS t
+            FROM documents
+        ),
+        t2 AS (SELECT doc_id, source, n_chars,
+                      replace(t, 'er', '') AS t FROM t1),
+        t3 AS (SELECT doc_id, source, n_chars,
+                      replace(t, ' ', '') AS t FROM t2),
+        t4 AS (SELECT doc_id, source, n_chars,
+                      replace(t, 'in', '') AS t FROM t3),
+        t5 AS (SELECT doc_id, source, n_chars,
+                      replace(t, 'ow', '') AS t FROM t4)
+        SELECT doc_id, source,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(length(t) AS BIGINT) AS n_tokens,
+               CAST(n_chars - length(t) AS BIGINT) AS n_merges_applied,
+               floor(n_chars * 1.0 / length(t) * 10000.0 + 0.5) / 10000.0
+                   AS compression,
+               md5(t) AS tok_md5
+        FROM t5
+    """,
+    description="BPE tokenizer ENCODE: the shipped 5-entry merge table "
+    "applied sequentially in one map-only scan; per-doc token counts, "
+    "compression ratio and an md5 of the exact token stream",
+)
+def text_bpe_encode(spark, sf_dir):
+    """The other half of the tokenizer lifecycle: training
+    (``text_bpe_train``) happens once, ENCODING runs on every corpus
+    refresh — so its shape matters more at 100 TB.  The merge table is
+    a constant artifact (here a module literal; in production a
+    broadcast file) folded into the plan as nested ``replace`` calls:
+    ONE map-only scan, zero shuffles, zero driver actions, whole-stage
+    codegen end to end.  Sequential application order is load-bearing
+    (merge 3 consumes merge 2's placeholder — hierarchical vocabulary,
+    real BPE), which nesting preserves by construction.
+
+    Per-document outputs: token count (= chars after merging,
+    char-level BPE), how many merges fired (each application shrinks
+    the string by exactly 1), the compression ratio, and an md5 of the
+    exact token stream — so the gate proves the full tokenization, not
+    just its statistics."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    t = F.col("text")
+    for pair, ph in BPE_ENCODE_MERGES:
+        t = F.replace(t, F.lit(pair), F.lit(ph))
+    n_chars = F.length("text").cast("bigint")
+    n_tokens = F.length(t).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        (n_chars - n_tokens).alias("n_merges_applied"),
+        round_ieee(n_chars.cast("double") / n_tokens.cast("double")).alias(
+            "compression"
+        ),
+        F.md5(t).alias("tok_md5"),
+    )

@@ -264,6 +264,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # Spark-4 native XML delivery roundtrip; hash-checked on
     # registration
     "export_xml_roundtrip",
+    # BPE tokenizer ENCODE (shipped merge table, map-only apply);
+    # hash-checked on registration
+    "text_bpe_encode",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
