@@ -1242,3 +1242,116 @@ def text_bpe_encode(spark, sf_dir):
         ),
         F.md5(t).alias("tok_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance weighting: target-vs-corpus log-likelihood ratio
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dsir_importance_weights",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, lang, source, unnest(
+                regexp_split_to_array(trim(text), '\\s+')) AS w
+            FROM documents
+        ),
+        cnt_all AS (SELECT w, count(*) AS c_all FROM tok GROUP BY w),
+        cnt_t AS (
+            SELECT w, count(*) AS c_t FROM tok WHERE lang = 'en' GROUP BY w
+        ),
+        tot AS (
+            SELECT count(*) AS n_all,
+                   count(*) FILTER (WHERE lang = 'en') AS n_t,
+                   count(DISTINCT w) AS v
+            FROM tok
+        ),
+        scored AS (
+            SELECT t.doc_id, t.lang, t.source,
+                   (length(format('{:b}', tot.n_all // cnt_all.c_all)) - 1)
+                 - (length(format('{:b}',
+                        (tot.n_t + tot.v) // (COALESCE(cnt_t.c_t, 0) + 1)))
+                    - 1) AS lr
+            FROM tok t
+            JOIN cnt_all ON t.w = cnt_all.w
+            LEFT JOIN cnt_t ON t.w = cnt_t.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id, lang, source,
+               count(*) AS n_tok,
+               CAST(sum(lr) AS BIGINT) AS dsir_weight,
+               CAST(sum(lr) * 10000 // count(*) AS BIGINT)
+                   AS avg_weight_e4,
+               sum(lr) > 0 AS selected
+        FROM scored
+        GROUP BY doc_id, lang, source
+    """,
+    description="DSIR-style importance weighting: per-token quantized "
+    "log-ratio of target-slice (lang='en') vs whole-corpus unigram LMs, "
+    "summed integer-exact per document; threshold selection flag",
+)
+def dsir_importance_weights(spark, sf_dir):
+    """Data Selection via Importance Resampling (Xie et al., 2023),
+    reformulated float-free: a document's importance weight under
+    ``log p_target(x) - p_raw(x)`` is the sum over its tokens of the
+    log-ratio between a TARGET language model (here: the ``lang='en'``
+    slice, standing in for a high-quality reference corpus) and the
+    raw-corpus model.  Each token's ratio is quantized as the
+    difference of two integer surprisals — ``floor(log2(N/c))`` per
+    the ``text_unigram_surprisal`` convention, with add-one smoothing
+    (``(N_t + V) / (c_t + 1)``) so words absent from the target stay
+    finite — making the per-document sum an exact BIGINT with no
+    float-order freedom, which is what lets an importance *score*
+    hold to the full hash gate.
+
+    Selection is a broadcastable threshold (``weight > 0``: the doc
+    looks more target-like than corpus-average), NOT a global rank — a
+    corpus-wide row_number would be a single-partition sort at 100 TB;
+    a threshold keeps selection map-side.  The two language models are
+    vocabulary-sized aggregates (map-side combined) broadcast to the
+    token stream; n-gram hashing (the paper's fixed-bucket variant)
+    drops in by replacing ``w`` with a hash-bucket expression if the
+    vocabulary ever outgrows broadcast range."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("w"),
+    )
+    cnt_all = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c_all"))
+    cnt_t = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c_t"))
+    )
+    tot = tok.groupBy().agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(F.col("lang") == "en", 1)).alias("n_t"),
+        F.countDistinct("w").alias("v"),
+    )
+    surp_all = F.length(F.expr("bin(n_all div c_all)")) - F.lit(1)
+    surp_t = F.length(
+        F.expr("bin((n_t + v) div (coalesce(c_t, 0) + 1))")
+    ) - F.lit(1)
+    scored = (
+        tok.join(F.broadcast(cnt_all), "w")
+        .join(F.broadcast(cnt_t), "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            (surp_all - surp_t).cast("bigint").alias("lr"),
+        )
+    )
+    return scored.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        F.sum("lr").cast("bigint").alias("dsir_weight"),
+        F.expr("CAST(sum(lr) * 10000 div count(1) AS BIGINT)").alias(
+            "avg_weight_e4"
+        ),
+        (F.sum("lr") > 0).alias("selected"),
+    )

@@ -267,6 +267,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # BPE tokenizer ENCODE (shipped merge table, map-only apply);
     # hash-checked on registration
     "text_bpe_encode",
+    # DSIR importance weighting (integer-exact target-vs-corpus
+    # log-ratio); hash-checked on registration
+    "dsir_importance_weights",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
