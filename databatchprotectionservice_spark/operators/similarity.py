@@ -1036,3 +1036,136 @@ def similarity_pq_topk(spark, sf_dir):
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation recall: how much ANN quality survives dim cuts
+# ---------------------------------------------------------------------------
+
+#: leading dimensions kept by the truncated index (matryoshka-style
+#: prefix truncation: 64 -> 16 dims = 4x memory/compute cut)
+MRL_DIMS = 16
+
+_DUCK_COS16 = f"""
+    list_aggregate(list_transform(range(1, {MRL_DIMS + 1}),
+        i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')
+    / (sqrt(list_aggregate(list_transform(range(1, {MRL_DIMS + 1}),
+        i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE)), 'sum'))
+     * sqrt(list_aggregate(list_transform(range(1, {MRL_DIMS + 1}),
+        i -> CAST(ce[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')))
+"""
+
+
+@register(
+    "similarity_matryoshka_recall",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+            WHERE vec_id < {N_QUERIES}
+        ),
+        c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+        full_rk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY ({_DUCK_COS}) DESC, c.vec_id) AS rk
+                FROM q, c WHERE c.vec_id <> q.query_id
+            ) WHERE rk <= {TOP_K}
+        ),
+        trunc_rk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.query_id, c.vec_id AS neighbor_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY ({_DUCK_COS16}) DESC, c.vec_id) AS rk
+                FROM q, c WHERE c.vec_id <> q.query_id
+            ) WHERE rk <= {TOP_K}
+        )
+        SELECT q.query_id,
+               CAST({TOP_K} AS BIGINT) AS k,
+               CAST(COALESCE(o.n, 0) AS BIGINT) AS n_overlap,
+               floor(COALESCE(o.n, 0) * 1.0 / {TOP_K} * 10000.0 + 0.5)
+                   / 10000.0 AS recall
+        FROM q LEFT JOIN (
+            SELECT f.query_id, count(*) AS n
+            FROM full_rk f JOIN trunc_rk t
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY f.query_id
+        ) o ON q.query_id = o.query_id
+    """,
+    description=f"matryoshka evaluation: recall@{TOP_K} of a "
+    f"{MRL_DIMS}-dim prefix-truncated index against the full "
+    f"64-dim exact top-k",
+)
+def similarity_matryoshka_recall(spark, sf_dir):
+    """Matryoshka-representation evaluation — the decision query run
+    before cutting an embedding index's dimensionality: rank the same
+    probe set against the corpus twice (full 64 dims, and the leading
+    ``MRL_DIMS`` prefix — MRL-trained embeddings front-load
+    information precisely so this works) and report per-query overlap
+    of the two top-k sets.  Recall here is a measured quantity, not a
+    promise: whether a 4x memory/compute cut is acceptable is read off
+    this table.
+
+    Plan shape: ONE corpus scan feeds both rankings (the truncated
+    vector is a ``slice`` of the full one — no second materialization);
+    both per-query top-k's are window row_numbers over the broadcast
+    probe set, joined on (query, neighbor) and counted.  Exact scoring
+    of the corpus per probe is the evaluation's point, so the all-pairs
+    guard applies: at production scale run it over a bounded sample."""
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    guard_allpairs(
+        emb,
+        "similarity_matryoshka_recall",
+        "similarity_matryoshka_recall over a bounded corpus sample",
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    qe16 = F.slice(F.col("qe"), 1, MRL_DIMS)
+    ce16 = F.slice(F.col("ce"), 1, MRL_DIMS)
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ce")).alias("cos_full"),
+        cosine(qe16, ce16).alias("cos_trunc"),
+    )
+    w_full = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_full"), F.asc("neighbor_id")
+    )
+    w_trunc = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_trunc"), F.asc("neighbor_id")
+    )
+    ranked = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.row_number().over(w_full).alias("rk_full"),
+        F.row_number().over(w_trunc).alias("rk_trunc"),
+    )
+    overlap = (
+        ranked.filter(
+            (F.col("rk_full") <= TOP_K) & (F.col("rk_trunc") <= TOP_K)
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        q.select("query_id")
+        .join(overlap, "query_id", "left")
+        .select(
+            "query_id",
+            F.lit(TOP_K).cast("bigint").alias("k"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n_overlap"),
+            round_ieee(
+                F.coalesce(F.col("n"), F.lit(0)) * F.lit(1.0) / F.lit(TOP_K)
+            ).alias("recall"),
+        )
+    )

@@ -270,6 +270,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # DSIR importance weighting (integer-exact target-vs-corpus
     # log-ratio); hash-checked on registration
     "dsir_importance_weights",
+    # matryoshka truncation recall@k evaluation; hash-checked on
+    # registration
+    "similarity_matryoshka_recall",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
