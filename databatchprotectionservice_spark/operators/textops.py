@@ -1355,3 +1355,155 @@ def dsir_importance_weights(spark, sf_dir):
         ),
         (F.sum("lr") > 0).alias("selected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram LM surprisal with backoff: the KenLM-shaped quality filter
+# ---------------------------------------------------------------------------
+
+#: backoff penalty in (integer) bits added when a bigram is absent from
+#: the training slice and scoring falls back to the unigram model
+BIGRAM_BACKOFF_BITS = 2
+
+
+@register(
+    "text_bigram_surprisal",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, lang, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        tok AS (
+            SELECT doc_id, lang, source,
+                   w[CAST(i AS INT)] AS w1, w[CAST(i AS INT) + 1] AS w2
+            FROM (SELECT doc_id, lang, source, w,
+                         unnest(range(1, len(w))) AS i
+                  FROM words)
+        ),
+        uni AS (
+            SELECT wd, count(*) AS c1
+            FROM (SELECT unnest(w) AS wd FROM words WHERE lang = 'en')
+            GROUP BY 1
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c12 FROM tok WHERE lang = 'en'
+            GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT CAST(sum(len(w)) AS BIGINT) AS n
+            FROM words WHERE lang = 'en'
+        ),
+        scored AS (
+            SELECT t.doc_id, t.lang, t.source,
+                   CASE
+                     WHEN b.c12 IS NOT NULL THEN
+                       length(format('{{:b}}', u1.c1 // b.c12)) - 1
+                     WHEN u2.c1 IS NOT NULL THEN
+                       length(format('{{:b}}', tot.n // u2.c1)) - 1
+                           + {BIGRAM_BACKOFF_BITS}
+                     ELSE
+                       length(format('{{:b}}', tot.n)) - 1
+                           + {BIGRAM_BACKOFF_BITS}
+                   END AS surp
+            FROM tok t
+            LEFT JOIN bi b ON t.w1 = b.w1 AND t.w2 = b.w2
+            LEFT JOIN uni u1 ON t.w1 = u1.wd
+            LEFT JOIN uni u2 ON t.w2 = u2.wd
+            CROSS JOIN tot
+        )
+        SELECT doc_id, lang, source,
+               count(*) AS n_bigrams,
+               CAST(sum(surp) AS BIGINT) AS sum_surprisal,
+               CAST(sum(surp) * 10000 // count(*) AS BIGINT)
+                   AS avg_surprisal_e4
+        FROM scored
+        GROUP BY doc_id, lang, source
+    """,
+    description="bigram LM surprisal with unigram backoff: the "
+    "KenLM-shaped perplexity filter, trained on the lang='en' slice "
+    "and scored over every document, integer-exact",
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Conditional-bigram language-model scoring with backoff — the
+    shape of every KenLM-based quality filter (CCNet, RefinedWeb):
+    train on a reference slice (``lang='en'``), score EVERYTHING, and
+    documents whose word transitions the reference never saw pay a
+    backoff penalty.  Per bigram occurrence, surprisal is the integer
+    ``floor(log2(c(w1)/c(w1,w2)))`` — the quantized ``-log2
+    p(w2|w1)`` — falling back to the unigram surprisal of ``w2`` plus
+    ``BIGRAM_BACKOFF_BITS`` when the bigram is unseen, and to the
+    worst-case ``log2 N`` when even ``w2`` is unknown.  Integer
+    everywhere, so per-document sums carry no float-order freedom
+    (the ``text_unigram_surprisal`` convention, one conditioning
+    order up).
+
+    100 TB shape: bigrams come from each document's word ARRAY
+    (adjacent pairs formed in the projection — no self-join, no
+    window shuffle); the bigram and unigram LMs are vocabulary-sized
+    aggregates broadcast to the token stream (bigram vocab is the
+    big one — if it outgrows broadcast, the join flips to a shuffle
+    join on w1,w2 and nothing else changes); one final per-doc
+    aggregate."""
+    prep(spark)
+    docs = load_spread(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", "lang", "source",
+        F.split(F.trim("text"), r"\s+").alias("w"),
+    )
+    tok = words.select(
+        "doc_id", "lang", "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) > 1 THEN transform(sequence(1, size(w) - 1), "
+                "i -> struct(w[i-1] AS w1, w[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", "lang", "source", "bg.w1", "bg.w2")
+    en_words = words.filter(F.col("lang") == "en")
+    uni = en_words.select(F.explode("w").alias("wd")).groupBy("wd").agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    bi = (
+        tok.filter(F.col("lang") == "en")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    tot = en_words.groupBy().agg(
+        F.sum(F.size("w")).cast("bigint").alias("n")
+    )
+    surp = F.when(
+        F.col("c12").isNotNull(),
+        F.length(F.expr("bin(c1_prefix div c12)")) - F.lit(1),
+    ).when(
+        F.col("c1_next").isNotNull(),
+        F.length(F.expr("bin(n div c1_next)")) - F.lit(1)
+        + F.lit(BIGRAM_BACKOFF_BITS),
+    ).otherwise(
+        F.length(F.expr("bin(n)")) - F.lit(1) + F.lit(BIGRAM_BACKOFF_BITS)
+    )
+    scored = (
+        tok.join(F.broadcast(bi), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(uni.select(F.col("wd").alias("w1"),
+                                   F.col("c1").alias("c1_prefix"))),
+            "w1",
+            "left",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("wd").alias("w2"),
+                                   F.col("c1").alias("c1_next"))),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "lang", "source", surp.cast("bigint").alias("surp"))
+    )
+    return scored.groupBy("doc_id", "lang", "source").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("surp").cast("bigint").alias("sum_surprisal"),
+        F.expr("CAST(sum(surp) * 10000 div count(1) AS BIGINT)").alias(
+            "avg_surprisal_e4"
+        ),
+    )

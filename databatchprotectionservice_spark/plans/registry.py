@@ -273,6 +273,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # matryoshka truncation recall@k evaluation; hash-checked on
     # registration
     "similarity_matryoshka_recall",
+    # bigram LM surprisal with unigram backoff (KenLM-shaped filter);
+    # hash-checked on registration
+    "text_bigram_surprisal",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
