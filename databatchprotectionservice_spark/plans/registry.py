@@ -276,6 +276,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # bigram LM surprisal with unigram backoff (KenLM-shaped filter);
     # hash-checked on registration
     "text_bigram_surprisal",
+    # SCD2 type-2 dimension history build; hash-checked on
+    # registration
+    "scd2_user_status_history",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
