@@ -202,13 +202,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r6-scored queries that slide to r9 are the least-churned stable
 # block (batteries/rollups/setops/TPC-H q3-q22 subset); at r9 they are
 # 3 rounds stale and MUST rotate in.
-# R9 ROTATION PLAN: the window is FULLY FORCED + a small free pool:
-#   * the ~28 r6-scored queries outside the r8 window (everything in
-#     CORRECTNESS_r06 minus this round's 18 picks; 3 rounds stale at
-#     r9 — mandatory), and
-#   * the 5 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
+# R9 ROTATION PLAN: the window is FULLY FORCED:
+#   * the ~30 r6-scored queries outside the r8 window (everything in
+#     CORRECTNESS_r06 minus this round's window picks, including
+#     asof_join_last_event and merge_upsert_documents displaced
+#     mid-round by the guard changes; 3 rounds stale at r9 —
+#     mandatory), and
+#   * the 11 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
 #     below — mandatory the round after registration), leaving
-#   * ~17 free slots: prioritize r7-scored queries whose
+#   * ~9 free slots: prioritize r7-scored queries whose
 #     implementations changed in r9, then by churn.
 
 #: Queries whose implementation (or fixture/oracle) changed this round.
@@ -281,7 +283,7 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     "scd2_user_status_history",
 )
 
-_SCORE_FIRST: tuple[str, ...] = (  # 127 registered; window = first 50
+_SCORE_FIRST: tuple[str, ...] = (  # 138 registered; window = first 50
     # 1 — never driver-scored (r7 NEW_AFTER_WINDOW block, prior order)
     "dedup_repeated_passages",
     "text_unigram_surprisal",
