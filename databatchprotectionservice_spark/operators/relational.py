@@ -1499,3 +1499,76 @@ def retention_cohorts(spark, sf_dir):
         )
         .agg(F.count(F.lit(1)).cast("bigint").alias("active_users"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-RANGE rolling window: the value-based frame the battery lacks
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_time_range_rolling",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                        // 86400000000 AS BIGINT) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS day_cents
+            FROM events
+            GROUP BY 1, 2
+        )
+        SELECT user_id, day, day_cents,
+               CAST(sum(day_cents) OVER w AS BIGINT) AS roll_cents,
+               CAST(count(*) OVER w AS BIGINT) AS roll_days
+        FROM daily
+        WINDOW w AS (PARTITION BY user_id ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    description="rolling 7-day revenue via a RANGE (value-based) window "
+    "frame over integer day numbers — gap-aware, unlike a ROWS frame",
+)
+def window_time_range_rolling(spark, sf_dir):
+    """Rolling 7-day revenue per user — the VALUE-BASED window frame
+    (``rangeBetween``) the ROWS-based battery cannot express: with
+    activity gaps, ``ROWS 6 PRECEDING`` reaches back seven *active*
+    days however far apart they are, while ``RANGE 6 PRECEDING`` spans
+    seven *calendar* days exactly, holes included — the semantics every
+    trailing-revenue metric actually wants.  Ordering key is the
+    integer day number (epoch-days), so the frame bound is exact
+    arithmetic on BIGINTs — no interval or timezone semantics to
+    diverge between engines; money is exact int64 cents from a
+    DECIMAL(18,2) cast before the cents scale-up.
+
+    100 TB shape: the daily pre-aggregate shuffles once on
+    (user_id, day) — map-side combinable, output bounded by
+    users x active days — and the window reuses the user_id
+    co-location (key-subset clustering); per-task window state is one
+    user's day series."""
+    from pyspark.sql.window import Window
+
+    from ..plans.registry import load_events
+
+    prep(spark)
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.sum("day_cents").over(w).cast("bigint").alias("roll_cents"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("roll_days"),
+    )

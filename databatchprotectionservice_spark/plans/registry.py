@@ -281,6 +281,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # SCD2 type-2 dimension history build; hash-checked on
     # registration
     "scd2_user_status_history",
+    # RANGE (value-based) rolling 7-day window; hash-checked on
+    # registration
+    "window_time_range_rolling",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 138 registered; window = first 50
