@@ -1,5 +1,5 @@
 """Dependency-free image codecs: P6 PPM, 24-bit uncompressed BMP, and
-8-bit non-interlaced PNG.
+8-bit PNG (both interlace methods).
 
 This is the *real* decode path behind ``operators.multimodal.decode_media
 (mode="real")``.  No third-party media library ships in this environment,
@@ -12,12 +12,15 @@ with the stdlib + numpy:
   stored **bottom-up**, each row **BGR** and padded to a 4-byte boundary.
   Decoding genuinely has to flip the rows, strip the stride padding and
   swap BGR->RGB to recover the logical image.
-* **PNG (8-bit, color type 2/6, non-interlaced)** — chunked container
-  with CRC-verified chunks; IDAT is zlib (stdlib) of per-scanline
-  filtered rows, so decode = inflate + unfilter (all five PNG filter
-  types: None/Sub/Up/Average/Paeth). RGBA (type 6) drops alpha to keep
-  the uniform RGB contract. Palette, 16-bit, and Adam7 raise with a
-  precise message at the documented seam.
+* **PNG (8-bit, color type 2/6, interlace 0 and 1)** — chunked
+  container with CRC-verified chunks; IDAT is zlib (stdlib) of
+  per-scanline filtered rows, so decode = inflate + unfilter (all five
+  PNG filter types: None/Sub/Up/Average/Paeth). Adam7 (interlace 1)
+  inflates to SEVEN independently-filtered sub-images scattered into
+  place by the pass grid — filtering context never crosses a pass
+  boundary. RGBA (type 6) drops alpha to keep the uniform RGB
+  contract. Palette and 16-bit raise with a precise message at the
+  documented seam.
 
 All decoders return ``(width, height, pixels)`` with ``pixels`` a
 ``(height, width, 3) uint8`` ndarray in row-major **RGB** order, so a
@@ -207,6 +210,63 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_adam7(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> interlaced PNG (interlace method 1).
+
+    Seven passes in Adam7 order, each an independently-filtered
+    sub-image (filter 0 rows) gathered from the full raster by the
+    pass grid; empty passes emit nothing.  Decodes to the identical
+    raster as :func:`encode_png` — interlacing only reorders
+    transmission, which is what lets the fixture sub-rotate formats
+    under an unchanged oracle."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ImageFormatError("encode_png_adam7 expects (h, w, 3) uint8")
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    parts = []
+    for (x0, y0, xs, ys), (pw, ph) in zip(
+        _ADAM7_PASSES, _adam7_pass_dims(w, h)
+    ):
+        if pw == 0 or ph == 0:
+            continue
+        sub = pixels[y0::ys, x0::xs]  # (ph, pw, 3)
+        raw = np.zeros((ph, 1 + pw * 3), dtype=np.uint8)
+        raw[:, 1:] = sub.reshape(ph, pw * 3)
+        parts.append(raw.tobytes())
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+#: Adam7 pass geometry (PNG spec §8.2): (x_start, y_start, x_step,
+#: y_step) per pass.  Each pass is an independently-filtered sub-image;
+#: passes whose sub-image is empty for the given dimensions contribute
+#: zero bytes (not even filter bytes).
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _adam7_pass_dims(w: int, h: int) -> list[tuple[int, int]]:
+    """(pass_w, pass_h) for each of the 7 passes at image size w x h."""
+    return [
+        (
+            (w - x0 + xs - 1) // xs if w > x0 else 0,
+            (h - y0 + ys - 1) // ys if h > y0 else 0,
+        )
+        for (x0, y0, xs, ys) in _ADAM7_PASSES
+    ]
+
+
 def _png_unfilter(
     raw: np.ndarray, h: int, w: int, bpp: int
 ) -> np.ndarray:
@@ -307,8 +367,8 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ImageFormatError(
             f"unsupported PNG color type {color} (only RGB=2 / RGBA=6)"
         )
-    if interlace != 0:
-        raise ImageFormatError("unsupported interlaced (Adam7) PNG")
+    if interlace not in (0, 1):
+        raise ImageFormatError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ImageFormatError("non-standard PNG compression/filter method")
     if w <= 0 or h <= 0:
@@ -318,13 +378,44 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         plain = zlib.decompress(bytes(idat))
     except zlib.error as exc:
         raise ImageFormatError(f"PNG IDAT inflate failed: {exc}") from exc
-    need = h * (1 + w * bpp)
-    if len(plain) != need:
-        raise ImageFormatError(
-            f"PNG raster size mismatch: need {need} bytes, have {len(plain)}"
+    if interlace == 0:
+        need = h * (1 + w * bpp)
+        if len(plain) != need:
+            raise ImageFormatError(
+                f"PNG raster size mismatch: need {need} bytes, "
+                f"have {len(plain)}"
+            )
+        raw = np.frombuffer(plain, dtype=np.uint8).reshape(h, 1 + w * bpp)
+        rec = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered
+        # into place by the pass grid.  Filtering context (prev row,
+        # left pixel) is PER PASS — a sub-image's first row filters
+        # against zeros even though its pixels interleave with other
+        # passes' rows in the final raster.
+        need = sum(
+            ph * (1 + pw * bpp)
+            for (pw, ph) in _adam7_pass_dims(w, h)
+            if pw > 0 and ph > 0
         )
-    raw = np.frombuffer(plain, dtype=np.uint8).reshape(h, 1 + w * bpp)
-    rec = _png_unfilter(raw, h, w, bpp).reshape(h, w, bpp)
+        if len(plain) != need:
+            raise ImageFormatError(
+                f"PNG Adam7 raster size mismatch: need {need} bytes, "
+                f"have {len(plain)}"
+            )
+        rec = np.zeros((h, w, bpp), dtype=np.uint8)
+        buf = np.frombuffer(plain, dtype=np.uint8)
+        pos = 0
+        for (x0, y0, xs, ys), (pw, ph) in zip(
+            _ADAM7_PASSES, _adam7_pass_dims(w, h)
+        ):
+            if pw == 0 or ph == 0:
+                continue
+            nbytes = ph * (1 + pw * bpp)
+            raw = buf[pos : pos + nbytes].reshape(ph, 1 + pw * bpp)
+            pos += nbytes
+            sub = _png_unfilter(raw, ph, pw, bpp).reshape(ph, pw, bpp)
+            rec[y0::ys, x0::xs] = sub
     rgb = rec[:, :, :3]  # RGBA: alpha dropped for the uniform contract
     return w, h, np.ascontiguousarray(rgb)
 

@@ -13,8 +13,8 @@ Two decode modes:
   plumbing.
 * ``mode="real"`` — genuine from-scratch decoders for SEVEN public
   image formats: P6 PPM and 24bpp BI_RGB BMP (``core/imagecodec.py``),
-  8-bit non-interlaced PNG (CRC-checked chunks, zlib inflate, all five
-  filters), baseline AND progressive JPEG (``core/jpegcodec.py``,
+  8-bit PNG in BOTH interlace methods (CRC-checked chunks, zlib
+  inflate, all five filters, Adam7 per-pass scatter), baseline AND progressive JPEG (``core/jpegcodec.py``,
   T.81 SOF0/SOF2), GIF 87a/89a (``core/gifcodec.py``, variable-width
   LZW), TIFF 6.0 (``core/tiffcodec.py``, none/PackBits/LZW +
   predictor, both endiannesses) and WebP-lossless
@@ -497,7 +497,12 @@ def image_table(spark, sf_dir: str) -> DataFrame:
     import numpy as np
 
     from ..core.gifcodec import GRAY_PALETTE, encode_gif
-    from ..core.imagecodec import encode_bmp, encode_png, encode_ppm
+    from ..core.imagecodec import (
+        encode_bmp,
+        encode_png,
+        encode_png_adam7,
+        encode_ppm,
+    )
     from ..core.jpegcodec import (
         encode_jpeg_gray_tiles,
         encode_jpeg_gray_tiles_progressive,
@@ -556,11 +561,19 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         )
                     )
                     continue
-                if leg == 2 and (doc_id // 5) % 2:
-                    # PNG leg sub-rotation: VP8L lossless WebP, same
-                    # raster closed form (palette or literal path
+                if leg == 2 and (doc_id // 5) % 3 == 1:
+                    # PNG leg sub-rotation 1/3: VP8L lossless WebP,
+                    # same raster closed form (palette or literal path
                     # chosen by the raster's color count)
                     payloads.append(encode_webp(pixels))
+                    continue
+                if leg == 2 and (doc_id // 5) % 3 == 2:
+                    # PNG leg sub-rotation 2/3: Adam7 INTERLACED PNG —
+                    # seven independently-filtered sub-images, same
+                    # decoded raster (interlacing only reorders
+                    # transmission), so the oracle is untouched while
+                    # the per-pass scatter path runs on every corpus
+                    payloads.append(encode_png_adam7(pixels))
                     continue
                 enc = (encode_ppm, encode_bmp, encode_png)[leg]
                 payloads.append(enc(pixels))
@@ -592,7 +605,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         WHEN 0 THEN 'ppm'
                         WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 1
                                           THEN 'tiff' ELSE 'bmp' END)
-                        WHEN 2 THEN (CASE WHEN (doc_id // 5) % 2 = 1
+                        WHEN 2 THEN (CASE WHEN (doc_id // 5) % 3 = 1
                                           THEN 'webp' ELSE 'png' END)
                         WHEN 3 THEN 'jpeg'
                         ELSE 'gif' END AS fmt,

@@ -245,8 +245,10 @@ def test_png_errors():
         decode_image(mk(depth=16))
     with pytest.raises(ImageFormatError, match="color type"):
         decode_image(mk(color=3))  # palette
-    with pytest.raises(ImageFormatError, match="interlaced"):
-        decode_image(mk(interlace=1))
+    # interlace 1 is SUPPORTED now (Adam7, tests below); only unknown
+    # interlace methods reject
+    with pytest.raises(ImageFormatError, match="interlace"):
+        decode_image(mk(interlace=2))
 
 
 def test_png_unfilter_native_and_numpy_paths_agree():
@@ -277,3 +279,170 @@ def test_png_unfilter_native_and_numpy_paths_agree():
         finally:
             _native.LIB = lib
         assert np.array_equal(native, fallback)
+
+
+# ---------------------------------------------------------------------------
+# Adam7 interlaced PNG
+# ---------------------------------------------------------------------------
+
+
+def _png_adam7_with_filters(pixels, filters, bpp=3, alpha=None):
+    """Independent Adam7 writer: gathers each pass's sub-image straight
+    from the spec's grid table and forward-filters its rows with the
+    SAME reference filter code as ``_png_with_filters`` — filter
+    context (prev row / left pixel) resets at every pass boundary,
+    exactly what the spec requires and what a decoder that carried
+    context across passes would get wrong."""
+    import struct
+    import zlib
+
+    from databatchprotectionservice_spark.core.imagecodec import _png_chunk
+
+    passes = [
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    ]
+    h, w, _ = pixels.shape
+    if alpha is not None:
+        img = np.dstack([pixels, alpha]).astype(np.int32)
+    else:
+        img = pixels.astype(np.int32)
+    out = bytearray()
+    fi = 0
+    for (x0, y0, xs, ys) in passes:
+        sub = img[y0::ys, x0::xs]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        stride = pw * bpp
+        flat = sub.reshape(ph, stride)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(ph):
+            f = filters[fi % len(filters)]
+            fi += 1
+            cur = flat[y]
+            line = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                a = int(cur[x - bpp]) if x >= bpp else 0
+                b = int(prev[x])
+                c = int(prev[x - bpp]) if x >= bpp else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                line[x] = (int(cur[x]) - pred) & 0xFF
+            out.append(f)
+            out.extend(line.astype(np.uint8).tobytes())
+            prev = cur
+    color = 2 if bpp == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize(
+    "h, w", [(1, 1), (2, 3), (3, 3), (5, 3), (7, 9), (8, 8), (16, 13)]
+)
+def test_png_adam7_roundtrip_equals_sequential(h, w):
+    from databatchprotectionservice_spark.core.imagecodec import (
+        decode_image,
+        encode_png,
+        encode_png_adam7,
+    )
+
+    pixels = _pix(h, w, seed=h * 31 + w)
+    _, _, seq = decode_image(encode_png(pixels))
+    got_w, got_h, inter = decode_image(encode_png_adam7(pixels))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(inter, seq)
+    assert np.array_equal(inter, pixels)
+
+
+def test_png_adam7_all_filters_reset_per_pass():
+    from databatchprotectionservice_spark.core.imagecodec import decode_image
+
+    pixels = _pix(11, 10, seed=42)
+    # sub-image rows cycle through every filter type across passes
+    data = _png_adam7_with_filters(pixels, filters=[4, 3, 2, 1, 0])
+    w, h, got = decode_image(data)
+    assert (w, h) == (10, 11)
+    assert np.array_equal(got, pixels)
+
+
+def test_png_adam7_rgba_drops_alpha():
+    from databatchprotectionservice_spark.core.imagecodec import decode_image
+
+    pixels = _pix(6, 5, seed=8)
+    alpha = np.full((6, 5), 77, dtype=np.uint8)
+    data = _png_adam7_with_filters(
+        pixels, filters=[2, 4, 1], bpp=4, alpha=alpha
+    )
+    w, h, got = decode_image(data)
+    assert (w, h) == (5, 6)
+    assert np.array_equal(got, pixels)
+
+
+def test_png_adam7_empty_passes_small_images():
+    """w or h below a pass's start coordinate empties that pass (a 3x3
+    image has no pass-2 columns and no pass-3 rows); the byte layout
+    must skip them entirely."""
+    from databatchprotectionservice_spark.core.imagecodec import (
+        decode_image,
+        encode_png_adam7,
+    )
+
+    for h, w in [(1, 1), (1, 4), (4, 1), (3, 3), (4, 4), (2, 8), (8, 2)]:
+        pixels = _pix(h, w, seed=h * 7 + w)
+        got_w, got_h, got = decode_image(encode_png_adam7(pixels))
+        assert (got_w, got_h) == (w, h)
+        assert np.array_equal(got, pixels)
+
+
+def test_png_adam7_truncated_raises():
+    from databatchprotectionservice_spark.core.imagecodec import (
+        ImageFormatError,
+        decode_png,
+        encode_png_adam7,
+        _png_chunk,
+    )
+    import struct
+    import zlib
+
+    pixels = _pix(9, 9, seed=1)
+    # rebuild with one byte missing from the inflated pass data
+    ihdr = struct.pack(">IIBBBBB", 9, 9, 8, 2, 0, 0, 1)
+    good = encode_png_adam7(pixels)
+    # extract and truncate the zlib payload
+    from databatchprotectionservice_spark.core.imagecodec import _PNG_SIG
+
+    pos = len(_PNG_SIG)
+    idat = None
+    while pos + 8 <= len(good):
+        (length,) = struct.unpack(">I", good[pos : pos + 4])
+        tag = good[pos + 4 : pos + 8]
+        if tag == b"IDAT":
+            idat = good[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    plain = zlib.decompress(idat)[:-1]
+    bad = (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(plain))
+        + _png_chunk(b"IEND", b"")
+    )
+    with pytest.raises(ImageFormatError, match="Adam7"):
+        decode_png(bad)

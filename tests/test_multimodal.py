@@ -97,8 +97,10 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
         want_fmt = ("ppm", "bmp", "png")[doc_id % 5]
         if want_fmt == "bmp" and (doc_id // 5) % 2:
             want_fmt = "tiff"  # the r8 LZW+predictor sub-rotation
-        if want_fmt == "png" and (doc_id // 5) % 2:
+        if want_fmt == "png" and (doc_id // 5) % 3 == 1:
             want_fmt = "webp"  # the r8 VP8L sub-rotation
+        # (doc_id // 5) % 3 == 2 is the Adam7 interlaced-PNG leg:
+        # still fmt 'png', identical raster, different wire layout
         assert r.fmt == want_fmt
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
