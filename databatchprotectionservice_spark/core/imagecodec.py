@@ -12,15 +12,16 @@ with the stdlib + numpy:
   stored **bottom-up**, each row **BGR** and padded to a 4-byte boundary.
   Decoding genuinely has to flip the rows, strip the stride padding and
   swap BGR->RGB to recover the logical image.
-* **PNG (8-bit, color type 2/6, interlace 0 and 1)** — chunked
+* **PNG (8-bit, color types 2/3/6, interlace 0 and 1)** — chunked
   container with CRC-verified chunks; IDAT is zlib (stdlib) of
   per-scanline filtered rows, so decode = inflate + unfilter (all five
   PNG filter types: None/Sub/Up/Average/Paeth). Adam7 (interlace 1)
   inflates to SEVEN independently-filtered sub-images scattered into
   place by the pass grid — filtering context never crosses a pass
   boundary. RGBA (type 6) drops alpha to keep the uniform RGB
-  contract. Palette and 16-bit raise with a precise message at the
-  documented seam.
+  contract; palette (type 3) maps CRC-checked PLTE entries through the
+  unfiltered index plane. 16-bit and sub-byte palette depths raise
+  with a precise message at the documented seam.
 
 All decoders return ``(width, height, pixels)`` with ``pixels`` a
 ``(height, width, 3) uint8`` ndarray in row-major **RGB** order, so a
@@ -210,6 +211,47 @@ def encode_png(pixels: np.ndarray) -> bytes:
     )
 
 
+def encode_png_palette(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> palette PNG (color type 3, depth 8).
+
+    The palette is the image's distinct colors in first-appearance
+    (row-major) order — deterministic, so the emitted bytes are a pure
+    function of the raster; raises when the image has more than 256
+    distinct colors (the fixture rasters are 8-bit text bytes tripled
+    to gray, far under the limit)."""
+    h, w, c = pixels.shape
+    if c != 3 or pixels.dtype != np.uint8:
+        raise ImageFormatError("encode_png_palette expects (h, w, 3) uint8")
+    flat = pixels.reshape(-1, 3)
+    # first-appearance order: np.unique sorts, so recover order via the
+    # index of each color's first occurrence
+    packed = (
+        flat[:, 0].astype(np.int64) << 16
+    ) | (flat[:, 1].astype(np.int64) << 8) | flat[:, 2].astype(np.int64)
+    colors, first_pos, inverse = np.unique(
+        packed, return_index=True, return_inverse=True
+    )
+    if len(colors) > 256:
+        raise ImageFormatError(
+            f"encode_png_palette: {len(colors)} distinct colors (max 256)"
+        )
+    order = np.argsort(first_pos, kind="stable")
+    rank = np.empty(len(colors), dtype=np.int64)
+    rank[order] = np.arange(len(colors))
+    idx = rank[inverse].astype(np.uint8).reshape(h, w)
+    pal = flat[first_pos[order]]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    raw = np.zeros((h, 1 + w), dtype=np.uint8)
+    raw[:, 1:] = idx
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes(), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def encode_png_adam7(pixels: np.ndarray) -> bytes:
     """(h, w, 3) uint8 RGB -> interlaced PNG (interlace method 1).
 
@@ -340,6 +382,7 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     pos = len(_PNG_SIG)
     ihdr = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -353,6 +396,10 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             raise ImageFormatError(f"PNG chunk {tag!r} CRC mismatch")
         if tag == b"IHDR":
             ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            if length == 0 or length % 3 != 0 or length > 256 * 3:
+                raise ImageFormatError(f"bad PNG PLTE length {length}")
+            plte = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
         elif tag == b"IDAT":
             idat.extend(payload)
         elif tag == b"IEND":
@@ -363,17 +410,20 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
     w, h, depth, color, comp, filt, interlace = ihdr
     if depth != 8:
         raise ImageFormatError(f"unsupported PNG bit depth {depth} (only 8)")
-    if color not in (2, 6):
+    if color not in (2, 3, 6):
         raise ImageFormatError(
-            f"unsupported PNG color type {color} (only RGB=2 / RGBA=6)"
+            f"unsupported PNG color type {color} "
+            "(only RGB=2 / palette=3 / RGBA=6)"
         )
+    if color == 3 and plte is None:
+        raise ImageFormatError("palette PNG missing PLTE chunk")
     if interlace not in (0, 1):
         raise ImageFormatError(f"bad PNG interlace method {interlace}")
     if comp != 0 or filt != 0:
         raise ImageFormatError("non-standard PNG compression/filter method")
     if w <= 0 or h <= 0:
         raise ImageFormatError(f"bad PNG dimensions {w}x{h}")
-    bpp = 3 if color == 2 else 4
+    bpp = {2: 3, 3: 1, 6: 4}[color]
     try:
         plain = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -416,6 +466,14 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
             pos += nbytes
             sub = _png_unfilter(raw, ph, pw, bpp).reshape(ph, pw, bpp)
             rec[y0::ys, x0::xs] = sub
+    if color == 3:
+        idx = rec.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(plte):
+            raise ImageFormatError(
+                f"PNG palette index {int(idx.max())} out of range "
+                f"(palette has {len(plte)} entries)"
+            )
+        return w, h, np.ascontiguousarray(plte[idx])
     rgb = rec[:, :, :3]  # RGBA: alpha dropped for the uniform contract
     return w, h, np.ascontiguousarray(rgb)
 

@@ -501,6 +501,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         encode_bmp,
         encode_png,
         encode_png_adam7,
+        encode_png_palette,
         encode_ppm,
     )
     from ..core.jpegcodec import (
@@ -561,6 +562,14 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                         )
                     )
                     continue
+                if leg == 0 and (doc_id // 5) % 2 == 1:
+                    # PPM leg sub-rotation: PALETTE PNG (color type 3)
+                    # — the raster's distinct colors in first-
+                    # appearance order become the PLTE, pixels become
+                    # indices; decode maps them straight back, so the
+                    # closed-form oracle is untouched
+                    payloads.append(encode_png_palette(pixels))
+                    continue
                 if leg == 2 and (doc_id // 5) % 3 == 1:
                     # PNG leg sub-rotation 1/3: VP8L lossless WebP,
                     # same raster closed form (palette or literal path
@@ -602,7 +611,8 @@ def image_table(spark, sf_dir: str) -> DataFrame:
         WITH imgs AS (
             SELECT doc_id,
                    CASE doc_id % 5
-                        WHEN 0 THEN 'ppm'
+                        WHEN 0 THEN (CASE WHEN (doc_id // 5) % 2 = 1
+                                          THEN 'png' ELSE 'ppm' END)
                         WHEN 1 THEN (CASE WHEN (doc_id // 5) % 2 = 1
                                           THEN 'tiff' ELSE 'bmp' END)
                         WHEN 2 THEN (CASE WHEN (doc_id // 5) % 3 = 1

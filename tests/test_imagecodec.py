@@ -244,7 +244,9 @@ def test_png_errors():
     with pytest.raises(ImageFormatError, match="bit depth"):
         decode_image(mk(depth=16))
     with pytest.raises(ImageFormatError, match="color type"):
-        decode_image(mk(color=3))  # palette
+        decode_image(mk(color=4))  # gray+alpha (unsupported)
+    with pytest.raises(ImageFormatError, match="missing PLTE"):
+        decode_image(mk(color=3))  # palette without its PLTE chunk
     # interlace 1 is SUPPORTED now (Adam7, tests below); only unknown
     # interlace methods reject
     with pytest.raises(ImageFormatError, match="interlace"):
@@ -446,3 +448,109 @@ def test_png_adam7_truncated_raises():
     )
     with pytest.raises(ImageFormatError, match="Adam7"):
         decode_png(bad)
+
+
+# ---------------------------------------------------------------------------
+# Palette PNG (color type 3)
+# ---------------------------------------------------------------------------
+
+
+def _palette_png(idx, pal, filters):
+    """Independent palette-PNG writer: forward-filters the INDEX rows
+    (bpp = 1 lanes) with the reference filter code, shares only the
+    chunk framer with the codec."""
+    import struct
+    import zlib
+
+    from databatchprotectionservice_spark.core.imagecodec import _png_chunk
+
+    h, w = idx.shape
+    out = bytearray()
+    prev = np.zeros(w, dtype=np.int32)
+    flat = idx.astype(np.int32)
+    for y in range(h):
+        f = filters[y % len(filters)]
+        cur = flat[y]
+        line = np.empty(w, dtype=np.int32)
+        for x in range(w):
+            a = int(cur[x - 1]) if x >= 1 else 0
+            b = int(prev[x])
+            c = int(prev[x - 1]) if x >= 1 else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            line[x] = (int(cur[x]) - pred) & 0xFF
+        out.append(f)
+        out.extend(line.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", pal.astype(np.uint8).tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(bytes(out)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+@pytest.mark.parametrize("h, w", [(1, 1), (3, 5), (8, 8), (16, 13)])
+def test_png_palette_roundtrip(h, w):
+    from databatchprotectionservice_spark.core.imagecodec import (
+        decode_image,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(h * 17 + w)
+    pixels = (rng.integers(0, 6, (h, w, 3)) * 41).astype(np.uint8)
+    got_w, got_h, got = decode_image(encode_png_palette(pixels))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, pixels)
+
+
+def test_png_palette_filtered_indices_decode_through_lut():
+    from databatchprotectionservice_spark.core.imagecodec import decode_image
+
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (7, 3)).astype(np.uint8)
+    idx = rng.integers(0, 7, (9, 6)).astype(np.uint8)
+    data = _palette_png(idx, pal, filters=[4, 1, 3, 2, 0])
+    w, h, got = decode_image(data)
+    assert (w, h) == (6, 9)
+    assert np.array_equal(got, pal[idx])
+
+
+def test_png_palette_index_out_of_range_raises():
+    from databatchprotectionservice_spark.core.imagecodec import (
+        ImageFormatError,
+        decode_png,
+    )
+
+    pal = np.zeros((4, 3), dtype=np.uint8)
+    idx = np.array([[0, 1], [2, 9]], dtype=np.uint8)  # 9 >= 4
+    with pytest.raises(ImageFormatError, match="out of range"):
+        decode_png(_palette_png(idx, pal, filters=[0]))
+
+
+def test_png_palette_first_appearance_order_is_deterministic():
+    from databatchprotectionservice_spark.core.imagecodec import (
+        encode_png_palette,
+    )
+
+    px = np.array(
+        [[[9, 9, 9], [3, 3, 3], [9, 9, 9], [1, 1, 1]]], dtype=np.uint8
+    )
+    a = encode_png_palette(px)
+    b = encode_png_palette(px.copy())
+    assert a == b
+    # PLTE holds colors in first-appearance order: 9, 3, 1
+    i = a.index(b"PLTE") + 4
+    assert a[i : i + 9] == bytes([9, 9, 9, 3, 3, 3, 1, 1, 1])

@@ -94,13 +94,16 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
             continue
         h = max((((len(raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
         raster = raw.ljust(IMG_W * h * 3, b" ")
-        want_fmt = ("ppm", "bmp", "png")[doc_id % 5]
-        if want_fmt == "bmp" and (doc_id // 5) % 2:
+        leg = doc_id % 5
+        want_fmt = ("ppm", "bmp", "png")[leg]
+        if leg == 0 and (doc_id // 5) % 2:
+            want_fmt = "png"  # the r8 palette-PNG sub-rotation
+        if leg == 1 and (doc_id // 5) % 2:
             want_fmt = "tiff"  # the r8 LZW+predictor sub-rotation
-        if want_fmt == "png" and (doc_id // 5) % 3 == 1:
+        if leg == 2 and (doc_id // 5) % 3 == 1:
             want_fmt = "webp"  # the r8 VP8L sub-rotation
-        # (doc_id // 5) % 3 == 2 is the Adam7 interlaced-PNG leg:
-        # still fmt 'png', identical raster, different wire layout
+        # leg 2 with (doc_id // 5) % 3 == 2 is the Adam7 interlaced-PNG
+        # rotation: still fmt 'png', identical raster, new wire layout
         assert r.fmt == want_fmt
         assert (r.width, r.height) == (IMG_W, h)
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
