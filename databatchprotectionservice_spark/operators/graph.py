@@ -152,3 +152,120 @@ def pagerank_top_nodes(spark, sf_dir):
             F.col("r").alias("rank_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BFS: shortest hop-distance from seed customers, fixed rounds
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 4
+BFS_SEEDS = 5  # customers with custkey < BFS_SEEDS
+
+
+def _bfs_oracle_sql() -> str:
+    """Unroll the fixed BFS relaxations as chained CTEs."""
+    parts = [
+        """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+        ),
+        d0 AS (
+            SELECT DISTINCT 2 * c AS v, CAST(0 AS BIGINT) AS d
+            FROM pairs WHERE c < %d
+        )
+        """
+        % BFS_SEEDS
+    ]
+    for k in range(1, BFS_ROUNDS + 1):
+        parts.append(
+            f""",
+        d{k} AS (
+            SELECT v, min(d) AS d FROM (
+                SELECT v, d FROM d{k - 1}
+                UNION ALL
+                SELECT e.dst AS v, p.d + 1 AS d
+                FROM edges e JOIN d{k - 1} p ON p.v = e.src
+            ) GROUP BY v
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END
+                   AS node_type,
+               CAST(v // 2 AS BIGINT) AS node_key,
+               d AS hops
+        FROM d{BFS_ROUNDS}
+        """
+    )
+    return "".join(parts)
+
+
+@register(
+    "bfs_purchase_distance",
+    oracle=_bfs_oracle_sql(),
+    description=f"{BFS_ROUNDS}-round BFS hop distance from the seed "
+    "customers over the bidirected purchase graph; the oracle unrolls "
+    "the identical relaxations as chained CTEs",
+)
+def bfs_purchase_distance(spark, sf_dir):
+    """Multi-source BFS — the other canonical iterative-graph shape
+    next to PageRank's linear fixed point and connected components'
+    label propagation: a monotone FRONTIER EXPANSION.  Each round
+    unions the reached set with its out-neighbors at distance +1 and
+    keeps the per-node minimum; after K fixed rounds the table holds
+    every node within K hops of a seed customer with its exact hop
+    count (graph distance from the nearest seed — purely integer, so
+    the full hash gate applies, PageRank's lesson reused).
+
+    100 TB shape: per round, one join of edges to the reached set on
+    src (broadcastable while the frontier is small — THE BFS win over
+    dense methods) and one map-side-combinable min aggregate; lineage
+    is flattened per round with eager localCheckpoint.  The union
+    carries the full reached set each round for oracle identity; a
+    production BFS would propagate only the improved-distance DELTA,
+    an optimization that changes no result."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+    )
+    rev = pairs.select(
+        (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    dist = (
+        pairs.filter(F.col("c") < BFS_SEEDS)
+        .select((2 * F.col("c")).alias("v"))
+        .distinct()
+        .select("v", F.lit(0).cast("bigint").alias("d"))
+    )
+    for _ in range(BFS_ROUNDS):
+        expanded = (
+            edges.join(dist, edges.src == dist.v)
+            .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionByName(expanded)
+            .groupBy("v")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.when(F.col("v") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("node_type"),
+        F.expr("v div 2").cast("bigint").alias("node_key"),
+        F.col("d").alias("hops"),
+    )

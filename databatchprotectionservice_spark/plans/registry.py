@@ -284,6 +284,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # RANGE (value-based) rolling 7-day window; hash-checked on
     # registration
     "window_time_range_rolling",
+    # multi-source BFS hop distance (frontier expansion, unrolled-CTE
+    # oracle); hash-checked on registration
+    "bfs_purchase_distance",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 138 registered; window = first 50
