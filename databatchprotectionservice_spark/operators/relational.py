@@ -1572,3 +1572,52 @@ def window_time_range_rolling(spark, sf_dir):
         F.sum("day_cents").over(w).cast("bigint").alias("roll_cents"),
         F.count(F.lit(1)).over(w).cast("bigint").alias("roll_days"),
     )
+
+
+@register(
+    "events_variant_extract",
+    # the k_schema column pins Spark's VARIANT schema inference against
+    # the corpus's known structure (every props row is {"k": <int>}, so
+    # schema_of_variant is the constant below); the numeric aggregates
+    # are recomputed from JSON first principles
+    oracle="""
+        SELECT
+            event_type,
+            count(*) AS n_events,
+            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS sum_k,
+            CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS min_k,
+            CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                 AS BIGINT) AS max_k,
+            'OBJECT<k: BIGINT>' AS k_schema
+        FROM events
+        GROUP BY event_type
+    """,
+    description="Spark-4 VARIANT ingestion: parse_json once into a "
+    "binary variant column, typed variant_get extraction, "
+    "schema_of_variant pinned by the oracle",
+)
+def events_variant_extract(spark, sf_dir):
+    """The modern semi-structured path — Spark 4's VARIANT type —
+    next to ``events_json_extract``'s classic ``get_json_object``:
+    ``parse_json`` converts each props string ONCE into the binary
+    variant encoding, after which every ``variant_get`` is a typed
+    tree walk instead of a re-parse (at 100 TB, parse-once is the
+    whole game for multi-field extraction: N fields cost one parse,
+    not N).  ``schema_of_variant`` rides along and the oracle pins
+    its inferred shape against the corpus's known structure, so a
+    regression in variant inference — not just extraction — fails
+    the gate."""
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    k = F.variant_get("v", "$.k", "bigint")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.min(k).cast("bigint").alias("min_k"),
+        F.max(k).cast("bigint").alias("max_k"),
+        F.min(F.schema_of_variant("v")).alias("k_schema"),
+    )

@@ -287,6 +287,9 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # multi-source BFS hop distance (frontier expansion, unrolled-CTE
     # oracle); hash-checked on registration
     "bfs_purchase_distance",
+    # Spark-4 VARIANT parse/extract/schema-inference; hash-checked on
+    # registration
+    "events_variant_extract",
 )
 
 _SCORE_FIRST: tuple[str, ...] = (  # 138 registered; window = first 50
