@@ -1621,3 +1621,90 @@ def events_variant_extract(spark, sf_dir):
         F.max(k).cast("bigint").alias("max_k"),
         F.min(F.schema_of_variant("v")).alias("k_schema"),
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    oracle="""
+        WITH daily AS (
+            SELECT user_id,
+                   CAST(epoch_us(CAST(ts AS TIMESTAMP))
+                        // 86400000000 AS BIGINT) AS day,
+                   CAST(sum(CAST(value AS DECIMAL(18,2)) * 100)
+                        AS BIGINT) AS day_cents
+            FROM events
+            GROUP BY 1, 2
+        ),
+        spans AS (
+            SELECT user_id, min(day) AS d0, max(day) AS d1
+            FROM daily GROUP BY user_id
+        ),
+        grid AS (
+            SELECT s.user_id, CAST(g.day AS BIGINT) AS day
+            FROM spans s, LATERAL (
+                SELECT unnest(range(s.d0, s.d1 + 1)) AS day
+            ) g
+        )
+        SELECT g.user_id, g.day,
+               d.day_cents,
+               d.day_cents IS NULL AS filled,
+               CAST(last_value(d.day_cents IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.day) AS BIGINT)
+                   AS ffill_cents
+        FROM grid g LEFT JOIN daily d
+          ON d.user_id = g.user_id AND d.day = g.day
+    """,
+    description="time-series gap fill: densify each user's daily series "
+    "over its own span and forward-fill revenue (IGNORE NULLS "
+    "last_value) — the repair step before any rolling metric",
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Series densification + forward fill — the repair every
+    time-series metric assumes has already happened: each user's daily
+    revenue becomes a DENSE series over that user's own [first, last]
+    active span (``sequence`` on integer epoch-days exploded per
+    user — no calendar table, no cross join against a global date
+    range), missing days join as nulls, and ``last_value(...,
+    ignoreNulls=True)`` carries the previous observation forward.
+    ``filled`` marks synthesized rows so downstream consumers can
+    distinguish observation from imputation.
+
+    100 TB shape: the grid explosion is proportional to the OUTPUT
+    (sum of per-user span lengths — no users x global-calendar blowup);
+    the daily aggregate, the span aggregate, the grid join and the
+    fill window all hash on user_id, so the whole repair is one
+    exchange family.  Integer epoch-days and int64 cents end to end."""
+    from pyspark.sql.window import Window
+
+    from ..plans.registry import load_events
+
+    prep(spark)
+    e = load_events(spark, sf_dir)
+    daily = (
+        e.select(
+            "user_id",
+            F.expr("unix_micros(ts) div 86400000000").alias("day"),
+            (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("cents").cast("bigint").alias("day_cents"))
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("day"),
+    )
+    joined = grid.join(daily, ["user_id", "day"], "left")
+    w = Window.partitionBy("user_id").orderBy("day")
+    return joined.select(
+        "user_id",
+        "day",
+        "day_cents",
+        F.col("day_cents").isNull().alias("filled"),
+        F.last("day_cents", ignorenulls=True)
+        .over(w)
+        .cast("bigint")
+        .alias("ffill_cents"),
+    )

@@ -100,6 +100,19 @@ QUERIES = [
     "streaming_sessionize_tws",
     "streaming_profile_tws",
     "similarity_pq_topk",
+    # round-8 continuation additions: the LM scorers (token-stream
+    # broadcast joins), the iterative BFS, the one-shuffle
+    # history/window builds, the map-only tokenizer apply, and the
+    # guarded matryoshka evaluation
+    "text_bigram_surprisal",
+    "dsir_importance_weights",
+    "text_bpe_encode",
+    "bfs_purchase_distance",
+    "scd2_user_status_history",
+    "window_time_range_rolling",
+    "similarity_matryoshka_recall",
+    "export_xml_roundtrip",
+    "events_variant_extract",
 ]
 
 
