@@ -1396,3 +1396,155 @@ def multimodal_mp4_metadata(spark, sf_dir):
         F.sum("stts_entries").cast("bigint").alias("sum_stts_entries"),
         F.max("n_samples").cast("bigint").alias("max_samples"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-audio decode — IMA ADPCM (WAVE format 0x11)
+# ---------------------------------------------------------------------------
+
+ADPCM_BLOCK_ALIGN = 132
+ADPCM_SPB = (ADPCM_BLOCK_ALIGN - 4) * 2 + 1  # 257 samples per block
+
+
+def adpcm_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, payload) where payload is a REAL
+    IMA-ADPCM WAV (format tag 0x11) of the same closed-form sawtooth
+    signal as the PCM fixture — compressed ~4x by the genuine
+    encoder."""
+    import numpy as np
+
+    from ..core.audiocodec import encode_wav_adpcm
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, payloads = [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                n = max(int(n_chars or 0), 1) * 4
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                ids.append(doc_id)
+                srcs.append(source)
+                payloads.append(
+                    encode_wav_adpcm(
+                        s, rate=WAV_RATE, block_align=ADPCM_BLOCK_ALIGN
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_synth, _AUDIO_TABLE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_adpcm_stats",
+    # ADPCM is LOSSY, so unlike the PCM leg the oracle cannot restate
+    # every sample — it restates what survives compression EXACTLY:
+    # the frame count (the fact chunk must trim the padded last
+    # block), every block-header sample (IMA blocks carry sample 0 of
+    # each block verbatim in the predictor field — decode must
+    # segment blocks correctly to reproduce them), and the full
+    # compressed layout (blocks x align + the fixed chunk overhead).
+    # Mid-block sample VALUES are pinned by the unit suite's
+    # state-machine vectors (tests/test_audiocodec.py).
+    oracle=f"""
+        WITH clips AS (
+            SELECT source,
+                   greatest(n_chars, 1) * 4 AS nf,
+                   (greatest(n_chars, 1) * 4 + {ADPCM_SPB - 1})
+                       // {ADPCM_SPB} AS nb,
+                   list_aggregate(list_transform(
+                       range(0, (greatest(n_chars, 1) * 4
+                                 + {ADPCM_SPB - 1}) // {ADPCM_SPB}),
+                       k -> CAST((doc_id * 31 + k * {ADPCM_SPB} * 17)
+                                 % 65536 - 32768 AS BIGINT)),
+                       'sum') AS block_start_sum
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_clips,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(sum(block_start_sum) AS BIGINT) AS block_start_sum,
+               CAST(sum(nb * {ADPCM_BLOCK_ALIGN} + 60) AS BIGINT)
+                   AS total_bytes,
+               CAST(sum(nf) * 2 * 10000
+                    // sum(nb * {ADPCM_BLOCK_ALIGN} + 60) AS BIGINT)
+                   AS compression_e4
+        FROM clips
+        GROUP BY source
+    """,
+    description="REAL compressed-audio decode: IMA ADPCM (WAVE 0x11) "
+    "block state machine; oracle pins frame counts, every block-header "
+    "sample, and the compressed layout",
+)
+def multimodal_audio_adpcm_stats(spark, sf_dir):
+    """Compressed audio joins the real decode path: IMA (DVI) ADPCM —
+    WAVE format 0x11, a fully-specified public codec whose decoder is
+    a pure integer state machine (89-entry step table, 3-bit index
+    walk) — so no third-party library is needed, unlike MP3/AAC which
+    remain at the documented seam.  The fixture encoder compresses the
+    closed-form PCM signal ~4x; decode walks fmt/fact/data chunks,
+    validates block geometry, runs every nibble through the state
+    machine and trims the zero-padded tail to the ``fact`` frame
+    count.
+
+    Lossy codecs force an honest split in the gate: the oracle
+    restates exactly what survives compression — frame count, every
+    block-header sample (predictors carry block starts verbatim; a
+    decoder that mis-segments blocks reproduces none of them), and
+    the full compressed size — while mid-block reconstruction values
+    are pinned by hand-built spec vectors in the unit suite.
+
+    100 TB shape: identical to the other media legs — one
+    ``mapInPandas`` decode stage, stats map-side, one final
+    source-cardinality exchange."""
+    from ..core.audiocodec import decode_wav_adpcm
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("block_start_sum", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+        ]
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, bss, nbs = [], [], [], []
+            for source, payload in zip(pdf["source"], pdf["payload"]):
+                rate, samples = decode_wav_adpcm(bytes(payload))
+                srcs.append(source)
+                nfs.append(len(samples))
+                bss.append(int(samples[:: ADPCM_SPB].astype("int64").sum()))
+                nbs.append(len(payload))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "block_start_sum": pd.Series(bss, dtype="int64"),
+                    "n_bytes": pd.Series(nbs, dtype="int64"),
+                }
+            )
+
+    prep(spark)
+    clips = adpcm_table(spark, sf_dir)
+    per_clip = clips.mapInPandas(_stats, stats_schema)
+    return per_clip.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.sum("block_start_sum").cast("bigint").alias("block_start_sum"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.expr("CAST(sum(n_frames) * 2 * 10000 div sum(n_bytes) AS BIGINT)")
+        .alias("compression_e4"),
+    )

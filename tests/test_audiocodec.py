@@ -100,3 +100,123 @@ def test_wav_errors():
             b"fmt ", struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
         ) + _chunk(b"data", b"\x00\x00")  # 2 bytes, frame needs 4
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM (WAVE format 0x11)
+# ---------------------------------------------------------------------------
+
+
+def _ima_twin(nibbles, pred, index):
+    """Independent spec model: shares no code with the codec (the
+    codec's tables are re-derived here from the published constants)."""
+    steps = [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+             34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118,
+             130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371,
+             408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166,
+             1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024,
+             3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845,
+             8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500,
+             20350, 22385, 24623, 27086, 29794, 32767]
+    idx_adj = [-1, -1, -1, -1, 2, 4, 6, 8]
+    out = []
+    for n in nibbles:
+        step = steps[index]
+        mag = n & 7
+        # diff = (2*mag + 1) * step / 8, truncating per-term (the spec's
+        # shift-add formulation, NOT a single multiply)
+        diff = step >> 3
+        if mag & 1:
+            diff += step >> 2
+        if mag & 2:
+            diff += step >> 1
+        if mag & 4:
+            diff += step
+        pred = pred - diff if n & 8 else pred + diff
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + idx_adj[mag]))
+        out.append(pred)
+    return out
+
+
+def test_ima_state_machine_matches_independent_spec_model():
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _ima_decode_nibbles,
+    )
+
+    import random
+
+    rnd = random.Random(11)
+    for trial in range(50):
+        nibbles = [rnd.randrange(16) for _ in range(200)]
+        pred = rnd.randrange(-32768, 32768)
+        index = rnd.randrange(89)
+        got, _, _ = _ima_decode_nibbles(nibbles, pred, index)
+        assert got == _ima_twin(nibbles, pred, index)
+
+
+def test_ima_hand_vector():
+    """One fully hand-computed vector: pred=0, index=0 (step 7).
+    Nibble 4 -> diff = 7>>3 + 7 = 7, pred 7, index += idx_adj[4]=2 ->
+    2 (step 9); nibble 12 (8|4) -> diff = 9>>3 + 9 = 10, pred
+    7-10 = -3, index += 2 -> 4 (step 11); nibble 1 -> diff =
+    11>>3 + 11>>2 = 1 + 2 = 3, pred 0, index += idx_adj[1]=-1 -> 3."""
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _ima_decode_nibbles,
+    )
+
+    got, pred, index = _ima_decode_nibbles([4, 12, 1], 0, 0)
+    assert got == [7, -3, 0]
+    assert (pred, index) == (0, 3)
+
+
+def test_adpcm_roundtrip_block_starts_exact_and_error_bounded():
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.audiocodec import (
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    t = np.arange(2000)
+    sig = (5000 * np.sin(t / 20)).astype(np.int16)
+    rate, dec = decode_wav_adpcm(encode_wav_adpcm(sig, rate=16000))
+    assert rate == 16000
+    assert len(dec) == len(sig)  # fact chunk trims the padded tail
+    spb = (132 - 4) * 2 + 1
+    # block headers carry block-start samples verbatim
+    assert np.array_equal(dec[::spb], sig[::spb])
+    # ADPCM tracks a smooth signal within a small bounded error
+    assert int(np.abs(dec.astype(int) - sig.astype(int)).max()) < 1500
+
+
+def test_adpcm_error_paths():
+    import numpy as np
+    import pytest
+
+    from databatchprotectionservice_spark.core.audiocodec import (
+        AudioFormatError,
+        decode_wav,
+        decode_wav_adpcm,
+        encode_wav,
+        encode_wav_adpcm,
+    )
+
+    sig = np.arange(300, dtype=np.int16)
+    good = encode_wav_adpcm(sig)
+    # the PCM decoder refuses ADPCM with a precise message
+    with pytest.raises(AudioFormatError, match="format tag"):
+        decode_wav(good)
+    # and the ADPCM decoder refuses PCM
+    with pytest.raises(AudioFormatError, match="IMA ADPCM"):
+        decode_wav_adpcm(encode_wav(sig))
+    # truncated payload: not a whole number of blocks
+    bad = good[:-5]
+    with pytest.raises(AudioFormatError):
+        decode_wav_adpcm(bad)
+    # corrupt step index in a block header
+    bad2 = bytearray(good)
+    data_at = bad2.index(b"data") + 8
+    bad2[data_at + 2] = 120  # index byte > 88
+    with pytest.raises(AudioFormatError, match="out of range"):
+        decode_wav_adpcm(bytes(bad2))

@@ -13,7 +13,9 @@ import pytest
 from databatchprotectionservice_spark.core.audiocodec import (
     AudioFormatError,
     decode_wav,
+    decode_wav_adpcm,
     encode_wav,
+    encode_wav_adpcm,
 )
 from databatchprotectionservice_spark.core.gifcodec import (
     GRAY_PALETTE,
@@ -26,6 +28,8 @@ from databatchprotectionservice_spark.core.imagecodec import (
     decode_image,
     encode_bmp,
     encode_png,
+    encode_png_adam7,
+    encode_png_palette,
     encode_ppm,
 )
 from databatchprotectionservice_spark.core.videocodec import (
@@ -52,6 +56,21 @@ def _bases():
             decode_wav,
             AudioFormatError,
         ),
+        "adpcm": (
+            encode_wav_adpcm(np.arange(-400, 400, 2, dtype=np.int16)),
+            decode_wav_adpcm,
+            AudioFormatError,
+        ),
+        "png_adam7": (
+            encode_png_adam7(img),
+            decode_image,
+            ImageFormatError,
+        ),
+        "png_palette": (
+            encode_png_palette((img // 64) * 64),
+            decode_image,
+            ImageFormatError,
+        ),
         "y4m": (
             encode_y4m(
                 rng.randint(0, 256, size=(2, 3, 4, 4), dtype=np.uint8)
@@ -62,7 +81,11 @@ def _bases():
     }
 
 
-@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "gif", "wav", "y4m"])
+@pytest.mark.parametrize(
+    "fmt",
+    ["png", "png_adam7", "png_palette", "bmp", "ppm", "gif", "wav",
+     "adpcm", "y4m"],
+)
 def test_mutations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
     rng = np.random.RandomState(97)
@@ -76,7 +99,11 @@ def test_mutations_decode_or_raise_domain_error(fmt):
             pass  # the domain error IS the contract
 
 
-@pytest.mark.parametrize("fmt", ["png", "bmp", "ppm", "gif", "wav", "y4m"])
+@pytest.mark.parametrize(
+    "fmt",
+    ["png", "png_adam7", "png_palette", "bmp", "ppm", "gif", "wav",
+     "adpcm", "y4m"],
+)
 def test_truncations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
     for cut in range(0, len(base), 3):
