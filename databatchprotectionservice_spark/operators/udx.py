@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load_spread, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 
 # ---------------------------------------------------------------------------
@@ -177,3 +177,147 @@ def grouped_map_cumulative_chars(spark, sf_dir):
         "source", "doc_id", "n_chars"
     )
     return d.groupBy("source").applyInPandas(_cumulate, _CUM_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the Arrow-native map (no pandas materialization at all)
+# ---------------------------------------------------------------------------
+
+
+def _arrow_byte_stats(batches):
+    """RecordBatch -> RecordBatch entirely in Arrow: every statistic is
+    a vectorized ``pyarrow.compute`` kernel over the column (C++ SIMD
+    paths) — no pandas conversion, no per-row Python objects anywhere
+    (compare the pandas-based legs of this battery — for byte-level
+    work the conversion IS most of the cost)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        texts = batch.column("text")
+        n_bytes = pc.binary_length(pc.cast(texts, pa.binary()))
+        n_spaces = pc.count_substring(texts, " ")
+        n_vowels = None
+        for v in "aeiou":
+            c = pc.count_substring(texts, v)
+            n_vowels = c if n_vowels is None else pc.add(n_vowels, c)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pc.cast(n_bytes, pa.int64()),
+                pc.cast(n_spaces, pa.int64()),
+                pc.cast(n_vowels, pa.int64()),
+            ],
+            ["doc_id", "n_bytes", "n_spaces", "n_vowels"],
+        )
+
+
+@register(
+    "mapinarrow_byte_stats",
+    oracle="""
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               octet_length(encode(text))
+                   - octet_length(encode(replace(text, ' ', '')))
+                   AS n_spaces,
+               length(text) - length(
+                   replace(replace(replace(replace(replace(
+                       text, 'a', ''), 'e', ''), 'i', ''), 'o', ''),
+                       'u', '')) AS n_vowels
+        FROM documents
+    """,
+    description="mapInArrow: RecordBatch-to-RecordBatch byte statistics "
+    "with zero pandas materialization (the Arrow-native UDF surface)",
+)
+def mapinarrow_byte_stats(spark, sf_dir):
+    """The fourth Python-execution surface next to the battery's
+    UDTF / pandas-UDAF / grouped-map legs: ``mapInArrow`` hands the
+    worker raw ``pyarrow.RecordBatch``es and takes them back — no
+    pandas round-trip on either side.  For byte-level work (codecs,
+    wire formats, hashing) the pandas conversion is pure overhead,
+    which is exactly why the protect pipeline's Arrow UDFs and this
+    leg exist; the per-value loop here is deliberately simple (the
+    codec operators are where the real Arrow-native hot paths live).
+
+    100 TB shape: map-only, batch-at-a-time, output row-aligned with
+    input — the same fusion-friendly shape as mapInPandas but with
+    one less serialization layer."""
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "text")
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("n_bytes", T.LongType()),
+            T.StructField("n_spaces", T.LongType()),
+            T.StructField("n_vowels", T.LongType()),
+        ]
+    )
+    return d.mapInArrow(_arrow_byte_stats, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# df.observe: pipeline metrics verified in-query
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observed_training_filter",
+    oracle="""
+        SELECT source,
+               count(*) AS n_kept,
+               CAST(sum(n_chars) AS BIGINT) AS chars_kept
+        FROM documents
+        WHERE n_chars >= 100 AND lang IN ('en', 'es', 'de', 'fr')
+        GROUP BY source
+    """,
+    description="df.observe-instrumented quality filter: accumulator "
+    "metrics cross-checked in-query against the aggregate they must "
+    "equal, then the per-source result is returned",
+)
+def observed_training_filter(spark, sf_dir):
+    """Pipeline observability done the Spark way: ``df.observe`` rides
+    named aggregate metrics on the SAME pass that computes the result
+    (an accumulator, not a second scan) — at 100 TB this is how a
+    filter stage reports its selectivity without paying for a second
+    job, the thing ad-hoc ``count()`` calls get wrong.
+
+    The metrics are not just logged: after the one bounded action,
+    the observed totals are cross-checked against the per-source
+    aggregate they must equal, and a mismatch RAISES — the side
+    channel is part of the query's correctness contract, so the
+    driver gate covers the observe machinery too (the oracle gates
+    the returned aggregate as usual)."""
+    from pyspark.sql import Observation
+
+    prep(spark)
+    d = load(spark, sf_dir, "documents").select("source", "lang", "n_chars")
+    kept = d.filter(
+        (F.col("n_chars") >= 100)
+        & F.col("lang").isin("en", "es", "de", "fr")
+    )
+    obs = Observation("training_filter")
+    observed = kept.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+    rows = (
+        observed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        )
+        .collect()
+    )
+    got = obs.get
+    want_rows = sum(r["n_kept"] for r in rows)
+    want_chars = sum(r["chars_kept"] for r in rows)
+    if got["rows_kept"] != want_rows or got["chars_kept"] != want_chars:
+        raise AssertionError(
+            f"observe metrics diverge from the aggregate: observed "
+            f"({got['rows_kept']}, {got['chars_kept']}), aggregate "
+            f"({want_rows}, {want_chars})"
+        )
+    return spark.createDataFrame(
+        rows, "source string, n_kept bigint, chars_kept bigint"
+    )

@@ -208,9 +208,9 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     asof_join_last_event and merge_upsert_documents displaced
 #     mid-round by the guard changes; 3 rounds stale at r9 —
 #     mandatory), and
-#   * the 16 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
+#   * the 18 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
 #     below — mandatory the round after registration), leaving
-#   * ~4 free slots: prioritize r7-scored queries whose
+#   * ~2 free slots: prioritize r7-scored queries whose
 #     implementations changed in r9, then by churn.
 
 #: Queries whose implementation (or fixture/oracle) changed this round.
@@ -295,9 +295,15 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # IMA ADPCM compressed-audio real decode; hash-checked on
     # registration
     "multimodal_audio_adpcm_stats",
+    # Arrow-native mapInArrow byte statistics; hash-checked on
+    # registration
+    "mapinarrow_byte_stats",
+    # df.observe-instrumented filter with in-query metric check;
+    # hash-checked on registration
+    "observed_training_filter",
 )
 
-_SCORE_FIRST: tuple[str, ...] = (  # 143 registered; window = first 50
+_SCORE_FIRST: tuple[str, ...] = (  # 145 registered; window = first 50
     # 1 — never driver-scored (r7 NEW_AFTER_WINDOW block, prior order)
     "dedup_repeated_passages",
     "text_unigram_surprisal",
