@@ -202,16 +202,20 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The r6-scored queries that slide to r9 are the least-churned stable
 # block (batteries/rollups/setops/TPC-H q3-q22 subset); at r9 they are
 # 3 rounds stale and MUST rotate in.
-# R9 ROTATION PLAN: the window is FULLY FORCED:
-#   * the ~30 r6-scored queries outside the r8 window (everything in
+# R9 ROTATION PLAN: the window is FULLY FORCED (verified arithmetic,
+# end of r8: exactly 48 mandatory entries for 50 slots):
+#   * the 30 r6-scored queries outside the r8 window (everything in
 #     CORRECTNESS_r06 minus this round's window picks, including
 #     asof_join_last_event and merge_upsert_documents displaced
 #     mid-round by the guard changes; 3 rounds stale at r9 —
 #     mandatory), and
 #   * the 18 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
 #     below — mandatory the round after registration), leaving
-#   * ~2 free slots: prioritize r7-scored queries whose
-#     implementations changed in r9, then by churn.
+#   * 2 free slots: r9-changed implementations first, then churn.
+# REGISTRATION BUDGET NOTE: r9 must register AT MOST 2 new queries
+# (they ride NEW_AFTER_WINDOW) unless it also grows SCORE_WINDOW —
+# the r10 window must absorb the ~47 r7-scored queries going 3-stale
+# plus r9's registrations, so r9 should front-load high-churn picks.
 
 #: Queries whose implementation (or fixture/oracle) changed this round.
 #: Updated per-round by hand; the freshness test fails if any entry is
