@@ -208,6 +208,153 @@ def sketch_accuracy_battery(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-min-sketch candidate pruning
+# ---------------------------------------------------------------------------
+
+#: CMS geometry — depth x width int64 counters.  Width is sized to the
+#: expected distinct-key count (candidate false-positive rate ~ keys/width
+#: per row); at 100 TB with billions of keys you widen W, and the merged
+#: sketch stays a DRIVER-BOUNDED D*W cell table either way (32 KB here).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 1024
+_CMS_SHIFT = 64 - 10  # top log2(W) bits of the 64-bit product
+#: fixed odd multipliers (splitmix64 / golden-ratio family) — one
+#: multiply-shift hash row per sketch depth; constants are part of the
+#: operator contract so the sketch is deterministic for fixed input
+_CMS_MULT = (
+    0x9E3779B97F4A7C15,
+    0xBF58476D1CE4E5B9,
+    0x94D049BB133111EB,
+    0xD6E8FEB86659FD93,
+)
+
+
+def _cms_positions(keys_u64, np):
+    """The D bucket positions for a uint64 key vector (multiply-shift)."""
+    with np.errstate(over="ignore"):
+        return [
+            ((keys_u64 * np.uint64(m)) >> np.uint64(_CMS_SHIFT)).astype(
+                np.int64
+            )
+            for m in _CMS_MULT
+        ]
+
+
+@register(
+    "heavyhitters_cms_pruned",
+    # the sketch prunes candidates; the RESULT is exact, so the oracle is
+    # the plain HAVING aggregate.  cms_bound_ok asserts the CMS guarantee
+    # (estimate >= true count) inside the gate, the same oracle-checked-
+    # bound convention as sketch_accuracy_battery.
+    oracle="""
+        WITH n AS (
+            SELECT count(*) AS total,
+                   count(DISTINCT user_id) AS n_users
+            FROM events
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(1 AS BOOLEAN) AS cms_bound_ok
+        FROM events CROSS JOIN n
+        GROUP BY user_id, n.total, n.n_users
+        HAVING count(*) >= greatest((6 * n.total) // (5 * n.n_users), 2)
+        ORDER BY n_events DESC, user_id
+    """,
+    description="count-min-sketch candidate pruning: a mergeable D x W "
+    "sketch pass finds candidate heavy keys without shuffling per-key "
+    "partials; the exact aggregate then runs on candidate rows only",
+)
+def heavyhitters_cms_pruned(spark, sf_dir):
+    """Two-pass heavy hitters with count-min-sketch candidate pruning —
+    the sketch-based shape for finding frequent keys when key cardinality
+    is too large to hash-aggregate: a direct ``groupBy(key)`` over 100 TB
+    with billions of distinct keys spills its partial-aggregate maps and
+    shuffles one row PER KEY, while this plan shuffles (1) a fixed D*W
+    cell table (pass 1: per-partition sketches built in Arrow batches,
+    merged by a cell-id aggregate — mergeability is the point of CMS) and
+    (2) only the rows of CANDIDATE keys (pass 2: broadcast the 32 KB
+    merged sketch, keep rows whose min-over-depth estimate clears the
+    threshold; the filter is per-key all-or-none, so every surviving
+    key's rows all survive and the exact count over survivors equals the
+    true total count).  CMS guarantees estimate >= true count, so no true
+    heavy hitter is pruned; false positives are eliminated by the exact
+    pass — the result is integer-exact and oracle-equal to the plain
+    HAVING aggregate.
+
+    The threshold (1.2x the mean per-key rate, floor 2) is computed from
+    exact count/countDistinct scalars here so the oracle can restate it;
+    at 100 TB the policy knob would come from ``approx_count_distinct``
+    (one mergeable HLL pass, no key shuffle) — the pruning mechanics are
+    identical.  Spark has no sketch-pruned aggregate; the reference has
+    no aggregation at all (per-column batch protection only,
+    ``src/server/dbps_api_server.cpp``)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..plans.registry import load_events
+
+    prep(spark)
+    e = load_events(spark, sf_dir).select("user_id")
+    # three bounded passes over a single-column projection; cache the
+    # 8-byte-per-row column, not the table
+    e.cache()
+
+    totals = e.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.countDistinct("user_id").alias("n_users"),
+    ).collect()[0]
+    threshold = max((6 * totals["total"]) // (5 * totals["n_users"]), 2)
+
+    def _build(batches):
+        cms = np.zeros((_CMS_DEPTH, _CMS_WIDTH), dtype=np.int64)
+        for pdf in batches:
+            keys = pdf["user_id"].to_numpy(dtype=np.int64).astype(np.uint64)
+            for d, pos in enumerate(_cms_positions(keys, np)):
+                np.add.at(cms[d], pos, 1)
+        flat = cms.reshape(-1)
+        cells = np.flatnonzero(flat)  # sparse: <= distinct keys * depth
+        yield pd.DataFrame(
+            {"cell": cells.astype(np.int32), "cnt": flat[cells]}
+        )
+
+    merged_rows = (
+        e.mapInPandas(_build, "cell int, cnt long")
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()  # driver-bounded: <= D*W = 4096 cells by construction
+    )
+    cms = np.zeros(_CMS_DEPTH * _CMS_WIDTH, dtype=np.int64)
+    for row in merged_rows:
+        cms[row["cell"]] = row["cnt"]
+    cms = cms.reshape(_CMS_DEPTH, _CMS_WIDTH)
+
+    def _probe(batches):
+        for pdf in batches:
+            raw = pdf["user_id"].to_numpy(dtype=np.int64)
+            est = None
+            for d, pos in enumerate(_cms_positions(raw.astype(np.uint64), np)):
+                v = cms[d][pos]
+                est = v if est is None else np.minimum(est, v)
+            keep = est >= threshold
+            yield pd.DataFrame({"user_id": raw[keep], "est": est[keep]})
+
+    survivors = e.mapInPandas(_probe, "user_id long, est long")
+    exact = survivors.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("est").alias("est"),  # constant per key; min == the estimate
+    )
+    return (
+        exact.filter(F.col("n_events") >= threshold)
+        .select(
+            "user_id",
+            "n_events",
+            (F.col("est") >= F.col("n_events")).alias("cms_bound_ok"),
+        )
+        .orderBy(F.desc("n_events"), F.asc("user_id"))
+    )
+
+
 @register(
     "unpivot_event_matrix",
     oracle=f"""

@@ -203,15 +203,15 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # block (batteries/rollups/setops/TPC-H q3-q22 subset); at r9 they are
 # 3 rounds stale and MUST rotate in.
 # R9 ROTATION PLAN: the window is FULLY FORCED (verified arithmetic,
-# end of r8: exactly 48 mandatory entries for 50 slots):
+# end of r8: exactly 49 mandatory entries for 50 slots):
 #   * the 30 r6-scored queries outside the r8 window (everything in
 #     CORRECTNESS_r06 minus this round's window picks, including
 #     asof_join_last_event and merge_upsert_documents displaced
 #     mid-round by the guard changes; 3 rounds stale at r9 —
 #     mandatory), and
-#   * the 18 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
+#   * the 19 never-driver-scored r8 registrations (NEW_AFTER_WINDOW
 #     below — mandatory the round after registration), leaving
-#   * 2 free slots: r9-changed implementations first, then churn.
+#   * 1 free slot: r9-changed implementations first, then churn.
 # REGISTRATION BUDGET NOTE: r9 must register AT MOST 2 new queries
 # (they ride NEW_AFTER_WINDOW) unless it also grows SCORE_WINDOW —
 # the r10 window must absorb the ~47 r7-scored queries going 3-stale
@@ -305,9 +305,12 @@ NEW_AFTER_WINDOW: tuple[str, ...] = (
     # df.observe-instrumented filter with in-query metric check;
     # hash-checked on registration
     "observed_training_filter",
+    # count-min-sketch candidate pruning (mergeable sketch pass + exact
+    # aggregate on candidate rows only); hash-checked on registration
+    "heavyhitters_cms_pruned",
 )
 
-_SCORE_FIRST: tuple[str, ...] = (  # 145 registered; window = first 50
+_SCORE_FIRST: tuple[str, ...] = (  # 146 registered; window = first 50
     # 1 — never driver-scored (r7 NEW_AFTER_WINDOW block, prior order)
     "dedup_repeated_passages",
     "text_unigram_surprisal",

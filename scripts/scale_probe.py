@@ -113,6 +113,9 @@ QUERIES = [
     "similarity_matryoshka_recall",
     "export_xml_roundtrip",
     "events_variant_extract",
+    # CMS candidate pruning: the sketch shuffle is FIXED-size (4096
+    # cells), so the curve should track the two column scans
+    "heavyhitters_cms_pruned",
 ]
 
 
