@@ -118,6 +118,8 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: TrackInfo) -> None:
             count = _u(data, p, 4)
             if count >= 1:
                 # first sample entry: size(4) fourcc(4)
+                if p + 12 > e:
+                    raise Mp4FormatError("stsd entry overruns box")
                 tr.codec = data[p + 8 : p + 12].decode("latin1")
         elif cc == b"stts":
             _v, _f, p = _fullbox(data, b)
@@ -127,6 +129,11 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: TrackInfo) -> None:
             total_n = 0
             total_dur = 0
             for _ in range(count):
+                # bound by the box END, not the file end: a malformed
+                # entry count must raise instead of silently consuming
+                # sibling boxes as duration runs
+                if p + 8 > e:
+                    raise Mp4FormatError("stts table overruns box")
                 sample_count = _u(data, p, 4)
                 delta = _u(data, p + 4, 4)
                 p += 8
@@ -153,6 +160,8 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: TrackInfo) -> None:
                 )
         elif cc in (b"stco", b"co64"):
             _v, _f, p = _fullbox(data, b)
+            if p + 4 > e:
+                raise Mp4FormatError("stco count overruns box")
             tr.n_chunks = _u(data, p, 4)
 
 
@@ -314,7 +323,12 @@ def encode_mp4(
     head = ftyp + moov
     mdat = _box(b"mdat", payload[: total] if total else b"")
     out = bytearray(head + mdat)
-    # patch the single chunk offset to point at the mdat payload
-    stco_data_pos = out.find(b"stco") + 4 + 4 + 4  # fourcc + fullbox + count
-    struct.pack_into(">I", out, stco_data_pos, len(head) + 8)
+    # patch the single chunk offset to point at the mdat payload.
+    # Position is ARITHMETIC, not find(): stco is the last child of
+    # stbl, which closes minf/mdia/trak/moov with no trailers, so the
+    # stco box is the final len(stco) bytes of head and its one offset
+    # field is head's last u32 (a find() could match b"stco" inside an
+    # unlucky codec/handler fourcc or the payload).
+    assert bytes(out[len(head) - len(stco) + 4 : len(head) - len(stco) + 8]) == b"stco"
+    struct.pack_into(">I", out, len(head) - 4, len(head) + 8)
     return bytes(out)

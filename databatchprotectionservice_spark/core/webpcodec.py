@@ -328,8 +328,9 @@ def _undo_predictor(argb: np.ndarray, pred_img: np.ndarray, bits: int) -> np.nda
     """Undo the predictor transform: residual + prediction per channel
     mod 256, predictions computed from ALREADY-RECONSTRUCTED pixels in
     scan order (spec: first pixel predicts black, first row mode L,
-    first column mode T; TR off the right edge reads the FIRST pixel
-    of the row above)."""
+    first column mode T; TR off the right edge wraps to the FIRST
+    pixel of the CURRENT row — the spec's 1-D addressing ``data[y*w]``,
+    matching libwebp; already reconstructed by the time x==w-1)."""
     h, w = argb.shape
     px = argb.copy()
     get = lambda y, x: int(px[y, x])  # noqa: E731
@@ -361,7 +362,7 @@ def _undo_predictor(argb: np.ndarray, pred_img: np.ndarray, bits: int) -> np.nda
                 L = get(y, x - 1)
                 T = get(y - 1, x)
                 TL = get(y - 1, x - 1)
-                TR = get(y - 1, x + 1) if x + 1 < w else get(y - 1, 0)
+                TR = get(y - 1, x + 1) if x + 1 < w else get(y, 0)
                 if mode == 0:
                     pred = 0xFF000000
                 elif mode == 1:

@@ -567,8 +567,20 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                     # — the raster's distinct colors in first-
                     # appearance order become the PLTE, pixels become
                     # indices; decode maps them straight back, so the
-                    # closed-form oracle is untouched
-                    payloads.append(encode_png_palette(pixels))
+                    # closed-form oracle is untouched.  The raster is
+                    # consecutive 3-byte windows of document TEXT, so a
+                    # long/diverse document can exceed the 256-entry
+                    # PLTE limit: mirror encode_webp's palette-or-
+                    # literal dispatch and fall back to truecolor PNG
+                    # (same decoded raster, oracle 'png' unchanged)
+                    n_colors = len(
+                        np.unique(pixels.reshape(-1, 3), axis=0)
+                    )
+                    payloads.append(
+                        encode_png_palette(pixels)
+                        if n_colors <= 256
+                        else encode_png(pixels)
+                    )
                     continue
                 if leg == 2 and (doc_id // 5) % 3 == 1:
                     # PNG leg sub-rotation 1/3: VP8L lossless WebP,

@@ -1143,10 +1143,11 @@ def text_bpe_train(spark, sf_dir):
         if not best:
             break
         pair, c = best[0]["pair"], int(best[0]["c"])
+        # literal-safe: the corpus-derived pair goes through F.lit, not
+        # SQL-string interpolation (a quote/backslash in the winning
+        # bigram would break or rewrite an interpolated expression)
         df = df.select(
-            F.expr(
-                f"replace(t, '{pair}', '{ph}')".format(pair=pair, ph=ph)
-            ).alias("t")
+            F.replace(F.col("t"), F.lit(pair), F.lit(ph)).alias("t")
         ).localCheckpoint(eager=True)
         corpus_len = df.agg(
             F.sum(F.length("t")).cast("bigint").alias("n")

@@ -177,6 +177,27 @@ def test_oneof_presence_semantics(sm):
     assert req.SerializeToString() == b"\x12\x00"
 
 
+def test_oneof_set_clears_siblings(sm):
+    """Setting a second member of the same oneof must CLEAR the first
+    (real-runtime semantics): re-used message objects would otherwise
+    serialize BOTH arms and hand the JVM state server an ambiguous
+    oneof (ADVICE r8)."""
+    req = sm.ImplicitGroupingKeyRequest(
+        removeImplicitKey=sm.RemoveImplicitKey()
+    )
+    req.setImplicitKey = sm.SetImplicitKey(key=b"k")
+    assert req.WhichOneof("method") == "setImplicitKey"
+    assert not req.HasField("removeImplicitKey")
+    wire = req.SerializeToString()
+    # exactly one arm on the wire: field 1 (setImplicitKey) only
+    assert wire.startswith(b"\x0a") and b"\x12\x00" not in wire
+    # flipping back clears the other direction too
+    req.removeImplicitKey = sm.RemoveImplicitKey()
+    assert req.WhichOneof("method") == "removeImplicitKey"
+    assert not req.HasField("setImplicitKey")
+    assert req.SerializeToString() == b"\x12\x00"
+
+
 def test_packed_repeated_scalars_parse():
     """StateMessage has no packed fields; pin the decoder path with a
     synthetic descriptor (proto3 serializers pack repeated varints)."""

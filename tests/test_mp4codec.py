@@ -121,6 +121,39 @@ def test_stts_expansion_guard():
         parse_mp4(bytes(data))
 
 
+def test_stts_entry_count_bounded_by_box_end():
+    """A malformed stts entry COUNT that would read past the box end
+    must raise instead of silently consuming sibling boxes (stsz/stco
+    bytes) as duration runs (ADVICE r8).  The claimed count here is
+    small enough to stay inside the FILE, so only a box-end bound
+    catches it."""
+    data = bytearray(encode_mp4([1, 2], [100, 100]))
+    p = data.find(b"stts") + 4 + 4  # fourcc + fullbox
+    # the real table has 1 run (both durations equal); claim 4 runs --
+    # 24 extra bytes that overrun stts but not the file
+    struct.pack_into(">I", data, p, 4)
+    with pytest.raises(Mp4FormatError, match="overruns box"):
+        parse_mp4(bytes(data))
+
+
+def test_encoded_stco_offset_points_at_mdat_payload():
+    """The stco patch position is computed arithmetically; fourccs that
+    CONTAIN the bytes 'stco' (a legal, if unlucky, codec name) must not
+    derail it the way a find()-based patch could."""
+    payload = b"stco-lookalike-payload"
+    data = encode_mp4(
+        [len(payload)], [10], codec=b"stco", payload=payload
+    )
+    info = parse_mp4(data)
+    assert info.tracks[0].codec == "stco"
+    off = data.find(b"mdat") + 4
+    assert data[off : off + len(payload)] == payload
+    # the one chunk offset equals the mdat payload position
+    stbl_stco = data.rfind(b"stco", 0, data.find(b"mdat"))
+    claimed = struct.unpack_from(">I", data, stbl_stco + 12)[0]
+    assert claimed == off
+
+
 def test_parser_never_crashes_on_mutations():
     rng = np.random.RandomState(41)
     base = bytearray(

@@ -109,6 +109,62 @@ def test_decode_real_roundtrips_generated_images(spark, sf_dir):
         assert r.raster_md5 == hashlib.md5(raster).hexdigest()
 
 
+def test_palette_png_leg_falls_back_to_truecolor_above_256_colors(
+    spark, tmp_path
+):
+    """The leg-0 palette-PNG sub-rotation builds its raster from
+    consecutive 3-byte windows of document TEXT, so a long diverse
+    document exceeds the 256-entry PLTE limit; the encoder must then
+    dispatch to truecolor PNG (mirroring encode_webp) instead of
+    raising ImageFormatError (ADVICE r8).  Same decoded raster, same
+    'png' format either way."""
+    import random
+
+    import numpy as np
+
+    from databatchprotectionservice_spark.operators.multimodal import (
+        IMG_W,
+        image_table,
+    )
+
+    rng = random.Random(9)
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "0123456789 .,;:!?'-()[]{}"
+    )
+    wide = "".join(rng.choice(alphabet) for _ in range(2400))
+    raw = wide.encode("utf-8")
+    n_pix = (len(raw) + 2) // 3
+    h = max((n_pix + IMG_W - 1) // IMG_W, 1)
+    raster = raw.ljust(IMG_W * h * 3, b" ")
+    n_colors = len(
+        np.unique(
+            np.frombuffer(raster, dtype=np.uint8).reshape(-1, 3), axis=0
+        )
+    )
+    assert n_colors > 256  # the document genuinely overflows the PLTE
+    docs = tmp_path / "wide"
+    # doc_id=5: leg 0 (PPM slot) with (5 // 5) % 2 == 1 -> palette leg;
+    # doc_id=15 exercises the same branch with a SHORT (<256-color) text
+    spark.createDataFrame(
+        [(5, wide, "en", "test", len(wide)), (15, "tiny doc", "en", "test", 8)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(docs / "documents.parquet"))
+    rows = {
+        r.doc_id: r
+        for r in decode_media(
+            image_table(spark, str(docs)), mode="real"
+        ).collect()
+    }
+    assert rows[5].fmt == "png" and rows[15].fmt == "png"
+    assert (rows[5].width, rows[5].height) == (IMG_W, h)
+    assert rows[5].raster_md5 == hashlib.md5(raster).hexdigest()
+    short_raw = b"tiny doc"
+    short_h = max((((len(short_raw) + 2) // 3) + IMG_W - 1) // IMG_W, 1)
+    short_raster = short_raw.ljust(IMG_W * short_h * 3, b" ")
+    assert rows[15].raster_md5 == hashlib.md5(short_raster).hexdigest()
+
+
 def test_decode_matches_reference_sha(media):
     """The fake decoder's dimensions follow the documented sha256 rule."""
     src = {r.doc_id: r.payload for r in media.limit(20).collect()}

@@ -267,3 +267,47 @@ def test_bpe_train_matches_pure_python_twin(spark):
     # earlier placeholders (hierarchical growth is at least possible)
     lens = [e[3] for e in expected]
     assert all(a > b for a, b in zip(lens, lens[1:]))
+
+
+def test_bpe_train_survives_quote_and_backslash_pairs(spark, tmp_path):
+    """A corpus whose winning bigrams contain a single quote and a
+    backslash must train cleanly: the merge apply goes through
+    F.replace with literal columns, not SQL-string interpolation
+    (ADVICE r8 — an interpolated apostrophe raised a parse error)."""
+    from databatchprotectionservice_spark.operators.textops import (
+        BPE_MERGES,
+        BPE_PLACEHOLDERS,
+        text_bpe_train,
+    )
+
+    texts = ["don't won't can't " * 6, "a\\b c\\d e\\f " * 5, "plain"]
+    docs = tmp_path / "quotes"
+    spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(docs / "documents.parquet"))
+
+    expected = []
+    for r in range(BPE_MERGES):
+        counts: dict[str, int] = {}
+        for t in texts:
+            for i in range(len(t) - 1):
+                p = t[i : i + 2]
+                counts[p] = counts.get(p, 0) + 1
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        texts = [t.replace(best[0], BPE_PLACEHOLDERS[r]) for t in texts]
+        expected.append(
+            (r + 1, best[0], best[1], sum(len(t) for t in texts))
+        )
+    # the scenario is real only if a learned pair carries ' or \\
+    assert any("'" in e[1] or "\\" in e[1] for e in expected)
+
+    got = [
+        (r["merge_round"], r["pair"], r["n_occurrences"], r["corpus_len_after"])
+        for r in text_bpe_train(spark, str(docs))
+        .orderBy("merge_round")
+        .collect()
+    ]
+    assert got == expected

@@ -208,6 +208,37 @@ def test_hand_built_predictor_transform_mode_L():
     assert np.all(rgb[:, :, 0] == 0) and np.all(rgb[:, :, 2] == 0)
 
 
+def test_hand_built_predictor_mode_TR_right_edge_wraps_to_current_row():
+    """2x2 image, predictor mode 3 (TR), with the bottom-right pixel ON
+    the right edge: the spec's 1-D addressing resolves TR at x==w-1 to
+    the first pixel of the CURRENT row (``data[y*w]``, matching
+    libwebp), NOT the first pixel of the row above.  Expected pixels
+    hand-derived from the spec, not round-tripped (ADVICE r8)."""
+    w = h = 2
+    wr = W._BitWriter()
+    wr.write(1, 1)  # transform present
+    wr.write(0, 2)  # predictor
+    wr.write(0, 3)  # size_bits = 2 -> 4px blocks -> 1x1 transform image
+    _emit_transform_image(wr, np.array([[np.uint32(0xFF000000 | (3 << 8))]]))
+    wr.write(0, 1)  # no more transforms
+    res = np.array(
+        [[0x00010203, 0x00000000], [0x00101010, 0x00000001]],
+        dtype=np.uint32,
+    )
+    W._emit_spatial_literals(wr, res)
+    ww, hh, rgb = decode_webp(_wrap_vp8l(wr, w, h))
+    # (0,0) = res + opaque black = FF010203; (0,1) first row mode L ->
+    # same; (1,0) first column mode T -> FF111213; (1,1) mode 3 TR at
+    # the right edge -> wraps to (1,0) = FF111213, +1 on blue.
+    # The pre-fix rule (row above, (0,0)=FF010203) would yield 01 02 04.
+    want = np.array(
+        [[[0x01, 0x02, 0x03], [0x01, 0x02, 0x03]],
+         [[0x11, 0x12, 0x13], [0x11, 0x12, 0x14]]],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(rgb, want)
+
+
 def test_hand_built_predictor_all_modes_against_independent_model():
     """Exhaustive mode check 0..13: a 4x4 image per mode with random
     residuals, reconstruction compared against an independent
@@ -293,7 +324,9 @@ def test_hand_built_predictor_all_modes_against_independent_model():
                     L = int(out[y, x - 1])
                     T = int(out[y - 1, x])
                     TL = int(out[y - 1, x - 1])
-                    TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y - 1, 0])
+                    # right edge: spec 1-D addressing wraps TR to the
+                    # FIRST pixel of the CURRENT row (data[y*w])
+                    TR = int(out[y - 1, x + 1]) if x + 1 < w else int(out[y, 0])
                     pred = predict(mode, L, T, TL, TR)
                 d, p = int(res_argb[y, x]), pred
                 out[y, x] = (
