@@ -1169,3 +1169,268 @@ def similarity_matryoshka_recall(spark, sf_dir):
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ: coarse-quantizer pruning composed with PQ ADC scoring
+# ---------------------------------------------------------------------------
+
+#: integer L2^2 between two int8-code lists (64 dims) in DuckDB
+_DUCK_QL2 = (
+    "list_aggregate(list_transform(range(1, 65), d -> "
+    "CAST({a}[d] - {b}[d] AS BIGINT) * ({a}[d] - {b}[d])), 'sum')"
+)
+
+
+@register(
+    "similarity_ivfpq_topk",
+    # same integer-exact discipline as similarity_pq_topk: coarse
+    # assignment, probe selection, code assignment, recon norms and ADC
+    # sums are all exact BIGINT arithmetic over the int8 codes; argmin
+    # ties break on the lower centroid/cluster index in both engines,
+    # and the only doubles are the final cosine normalization on an
+    # identical expression tree
+    oracle=f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CASE WHEN s = 0 THEN 0
+                            ELSE CAST(floor((CAST(x AS DOUBLE) / s) * 127.0 + 0.5)
+                                      AS INTEGER) END) AS q
+            FROM (
+                SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS s
+                FROM embeddings
+            )
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, s.vec_id AS k,
+                   s.q[ms.m*{PQ_SUBDIM}+1 : ms.m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS c
+            FROM ms, (SELECT vec_id, q FROM qz WHERE vec_id < {PQ_K}) s
+        ),
+        coarse AS (
+            SELECT vec_id AS ck, q AS cq FROM qz WHERE vec_id < {IVF_K}
+        ),
+        assigned AS (
+            SELECT vec_id, ck AS cluster FROM (
+                SELECT z.vec_id, c.ck,
+                       row_number() OVER (PARTITION BY z.vec_id
+                           ORDER BY {_DUCK_QL2.format(a="z.q", b="c.cq")}, c.ck)
+                           AS rn
+                FROM qz z, coarse c
+            ) WHERE rn = 1
+        ),
+        subs AS (
+            SELECT z.vec_id, ms.m,
+                   z.q[ms.m*{PQ_SUBDIM}+1 : ms.m*{PQ_SUBDIM}+{PQ_SUBDIM}] AS sub
+            FROM qz z, ms
+        ),
+        dists AS (
+            SELECT s.vec_id, s.m, c.k,
+                   list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}),
+                       d -> CAST(s.sub[d] - c.c[d] AS BIGINT)
+                            * (s.sub[d] - c.c[d])), 'sum') AS d2
+            FROM subs s JOIN cb c ON c.m = s.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (SELECT vec_id, m, k,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, k) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        ),
+        recon AS (
+            SELECT cd.vec_id,
+                   CAST(sum({_DUCK_SUBDOT.format(n=PQ_SUBDIM + 1, a="c.c[d]", b="c.c[d]")})
+                        AS BIGINT) AS rnorm
+            FROM codes cd JOIN cb c ON c.m = cd.m AND c.k = cd.code
+            GROUP BY cd.vec_id
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, q AS pq,
+                   {_DUCK_QDOT.format(a="q", b="q")} AS pnorm
+            FROM qz
+            WHERE vec_id < {N_QUERIES}
+              AND {_DUCK_QDOT.format(a="q", b="q")} > 0
+        ),
+        probe_clusters AS (
+            SELECT query_id, cluster FROM (
+                SELECT p.query_id, c.ck AS cluster,
+                       row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY {_DUCK_QL2.format(a="p.pq", b="c.cq")}, c.ck)
+                           AS rn
+                FROM probes p, coarse c
+            ) WHERE rn <= {IVF_PROBES}
+        ),
+        adc AS (
+            SELECT p.query_id, cd.vec_id AS neighbor_id, p.pnorm,
+                   CAST(sum({_DUCK_SUBDOT.format(n=PQ_SUBDIM + 1, a="p.pq[cd.m*" + str(PQ_SUBDIM) + " + d]", b="c.c[d]")})
+                        AS BIGINT) AS score
+            FROM probes p
+            JOIN probe_clusters pc ON pc.query_id = p.query_id
+            JOIN assigned a ON a.cluster = pc.cluster
+            JOIN codes cd ON cd.vec_id = a.vec_id
+            JOIN cb c ON c.m = cd.m AND c.k = cd.code
+            WHERE cd.vec_id <> p.query_id
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT a.query_id, a.neighbor_id,
+                   CAST(a.score AS DOUBLE)
+                   / (sqrt(CAST(a.pnorm AS DOUBLE))
+                      * sqrt(CAST(r.rnorm AS DOUBLE))) AS pqcos
+            FROM adc a JOIN recon r ON r.vec_id = a.neighbor_id
+            WHERE r.rnorm > 0
+        )
+        SELECT query_id, neighbor_id,
+               floor(pqcos * 10000.0 + 0.5) / 10000.0 AS pq_cosine, rk
+        FROM (
+            SELECT query_id, neighbor_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+    """,
+    description=f"IVFPQ ANN: {IVF_K}-list coarse quantizer prunes the "
+    f"corpus to {IVF_PROBES} probed lists per query, then PQ codes are "
+    "scored by integer-exact asymmetric distance computation — the "
+    "FAISS composition for billion-vector indexes",
+)
+def similarity_ivfpq_topk(spark, sf_dir):
+    """IVFPQ — the genuine FAISS shape for the largest corpora: an
+    inverted-file coarse quantizer partitions the corpus into lists, a
+    query probes only its ``IVF_PROBES`` nearest lists, and ONLY those
+    lists' PQ codes are scored by asymmetric distance computation.
+    ``similarity_ivf_topk`` and ``similarity_pq_topk`` each demonstrate
+    one half; this composes them so per-probe work drops from
+    O(corpus) (flat PQ) to O(corpus x probes / nlist).
+
+    Both quantizers are the sampled (k-means-free) variants so the
+    whole pipeline stays integer-exact over the int8 codes: coarse
+    centroids = the first ``IVF_K`` corpus codes, PQ codebook = the
+    subspace slices of the first ``PQ_K`` codes (the trained-centroid
+    path is demonstrated by ``similarity_ivf_topk`` /
+    ``kmeans_embedding_clusters``).  Codes are stored as-is rather
+    than as residuals (FAISS ``by_residual=False``): residual encoding
+    would reintroduce float centroids into the code path and break the
+    exact-integer oracle discipline.
+
+    100 TB shape: ONE map-only scan assigns cluster + PQ code + recon
+    norm per vector (coarse 16x64 ints and codebook 16x64 ints live in
+    the UDF closure — the broadcast FAISS-train shape); the probe table
+    (queries x probed lists) broadcasts into a join keyed on the
+    cluster id, so each query scores only its probed lists; the only
+    shuffle is the final per-query top-k window, over candidates
+    already pruned ~nlist/probes-fold.  With ``ivf_nlist`` sizing at
+    production scale the pruning fraction holds as the corpus grows."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qi8 = _quantize_udf()
+    qn = emb.select("vec_id", qi8(F.col("embedding")).alias("q")).cache()
+    # one bounded driver collect seeds BOTH quantizers (K x DIM ints)
+    seeds = (
+        qn.filter(F.col("vec_id") < max(PQ_K, IVF_K))
+        .orderBy("vec_id")
+        .collect()
+    )
+    seed_arr = np.array([r["q"] for r in seeds], dtype=np.int64)
+    coarse = seed_arr[:IVF_K].copy()  # (K, DIM)
+    cb = (
+        seed_arr[:PQ_K]
+        .reshape(PQ_K, PQ_M, PQ_SUBDIM)
+        .transpose(1, 0, 2)
+        .copy()
+    )  # (M, K, SUBDIM)
+    cb_norm = (cb * cb).sum(axis=2)  # (M, K)
+
+    @pandas_udf("struct<cluster: int, codes: array<int>, rnorm: long>")
+    def encode(qcol):
+        Xf = np.stack(qcol.to_numpy()).astype(np.int64)  # (B, DIM)
+        # coarse assignment: exact integer L2^2, first-min = lowest ck
+        dc = ((Xf[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        cluster = dc.argmin(axis=1)
+        X = Xf.reshape(-1, PQ_M, PQ_SUBDIM)
+        diff = X[:, :, None, :] - cb[None, :, :, :]
+        codes = (diff * diff).sum(axis=3).argmin(axis=2)
+        rnorm = cb_norm[np.arange(PQ_M)[None, :], codes].sum(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series(cluster.astype(np.int32)),
+                "codes": list(codes.astype(np.int32)),
+                "rnorm": rnorm,
+            }
+        )
+
+    coded = qn.select("vec_id", encode(F.col("q")).alias("e")).select(
+        "vec_id", "e.cluster", "e.codes", "e.rnorm"
+    )
+
+    # probes: LUTs driver-side (N_QUERIES x M x K ints), probed lists
+    # by exact integer L2 to the coarse centroids (stable sort = the
+    # oracle's ORDER BY l2, ck tie-break)
+    probe_rows = (
+        qn.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
+    )
+    luts, probe_pairs = {}, []
+    for r in probe_rows:
+        pv = np.array(r["q"], dtype=np.int64)
+        pn = int((pv * pv).sum())
+        if pn <= 0:
+            continue
+        qid = int(r["vec_id"])
+        luts[qid] = (pv.reshape(PQ_M, 1, PQ_SUBDIM) * cb).sum(axis=2)
+        dc = ((coarse - pv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(dc, kind="stable")[:IVF_PROBES]:
+            probe_pairs.append((qid, int(c), pn))
+
+    probes_df = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster int, pnorm long"
+    )
+
+    @pandas_udf("long")
+    def adc(qid, codes):
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.zeros(len(C), dtype=np.int64)
+        for q in np.unique(qid.to_numpy()):
+            sel = qid.to_numpy() == q
+            lut = luts[int(q)]
+            out[sel] = lut[np.arange(PQ_M)[None, :], C[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    scored = (
+        coded.filter(F.col("rnorm") > 0)
+        .join(F.broadcast(probes_df), "cluster")  # the IVF pruning join
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                adc(F.col("query_id"), F.col("codes")).cast("double")
+                / (
+                    F.sqrt(F.col("pnorm").cast("double"))
+                    * F.sqrt(F.col("rnorm").cast("double"))
+                )
+            ).alias("pqcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pqcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_ieee(F.col("pqcos")).alias("pq_cosine"),
+            "rk",
+        )
+    )

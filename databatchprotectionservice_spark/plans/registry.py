@@ -219,6 +219,9 @@ REGISTERED_IN: dict[str, int] = {
     "mapinarrow_byte_stats": 8,
     "observed_training_filter": 8,
     "heavyhitters_cms_pruned": 8,
+    # round 9 registrations (budget: <= 2, per the r8 window-crunch
+    # arithmetic — the r10 window must absorb ~47 r7-scored queries)
+    "similarity_ivfpq_topk": 9,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle
