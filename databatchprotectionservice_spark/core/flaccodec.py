@@ -1,0 +1,472 @@
+"""Dependency-free FLAC codec (lossless audio).
+
+From-scratch implementation of the PUBLIC FLAC bitstream format
+(RFC 9639 / the xiph.org format spec) — like the ADPCM state machine it
+is pure integer arithmetic end to end, so decoded samples are EXACT and
+every downstream statistic is oracle-checkable with no float tolerance.
+Closes the lossless-compression seam on the audio path; perceptual
+codecs (MP3/AAC/OGG) remain at the documented library seam.
+
+Decoder coverage: STREAMINFO metadata walk (unknown blocks skipped),
+frame sync + CRC-8 header / CRC-16 frame validation, all blocksize and
+sample-rate header codes, CONSTANT / VERBATIM / FIXED(0-4) / LPC
+subframes, Rice + Rice2 residual partitions including escape codes,
+wasted bits, independent multi-channel and the three stereo
+decorrelation modes (left-side / right-side / mid-side), STREAMINFO
+MD5 verification.  The encoder exists for fixture construction (mono
+int16, FIXED order search, CONSTANT short-circuit, single-partition
+Rice with optimal parameter) and is round-trip tested; it is not a
+Spark sink.
+
+Bit-level access uses an ASCII '0'/'1' expansion of the stream: unary
+runs decode with C-speed ``str.index`` and fixed-width fields with
+``int(s, 2)``, which keeps the per-sample Python cost at two C calls —
+the same trick as a bit-LUT, without one.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+
+
+class FlacFormatError(ValueError):
+    """Raised for malformed or unsupported FLAC bytes."""
+
+
+# ---------------------------------------------------------------------------
+# CRCs (spec: CRC-8 poly x^8+x^2+x+1 = 0x07, CRC-16 poly 0x8005, both
+# init 0, MSB-first, no reflection)
+# ---------------------------------------------------------------------------
+
+
+def _make_crc_table(poly: int, width: int) -> list[int]:
+    top = 1 << (width - 1)
+    mask = (1 << width) - 1
+    table = []
+    for byte in range(256):
+        crc = byte << (width - 8)
+        for _ in range(8):
+            crc = ((crc << 1) ^ poly) if crc & top else (crc << 1)
+        table.append(crc & mask)
+    return table
+
+
+_CRC8_TABLE = _make_crc_table(0x07, 8)
+_CRC16_TABLE = _make_crc_table(0x8005, 16)
+
+
+def crc8(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = _CRC8_TABLE[crc ^ b]
+    return crc
+
+
+def crc16(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFF) ^ _CRC16_TABLE[(crc >> 8) ^ b]
+    return crc
+
+
+# ---------------------------------------------------------------------------
+# coded number (the UTF-8-shaped frame/sample index, up to 36 bits)
+# ---------------------------------------------------------------------------
+
+
+def _encode_coded_number(val: int) -> bytes:
+    if val < 0x80:
+        return bytes([val])
+    for n_cont, lead in ((1, 0xC0), (2, 0xE0), (3, 0xF0), (4, 0xF8),
+                         (5, 0xFC), (6, 0xFE)):
+        # lead byte carries (6 - n_cont) payload bits, each
+        # continuation byte 6 more
+        if val < 1 << (6 + 5 * n_cont):
+            out = [lead | (val >> (6 * n_cont))]
+            for i in range(n_cont - 1, -1, -1):
+                out.append(0x80 | ((val >> (6 * i)) & 0x3F))
+            return bytes(out)
+    raise FlacFormatError("coded number out of range")
+
+
+# ---------------------------------------------------------------------------
+# bit cursor over an ASCII '0'/'1' expansion
+# ---------------------------------------------------------------------------
+
+
+class _Bits:
+    __slots__ = ("s", "pos")
+
+    def __init__(self, data: bytes):
+        bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.s = (bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        if p + n > len(self.s):
+            raise FlacFormatError("bitstream truncated")
+        self.pos = p + n
+        return int(self.s[p : p + n], 2) if n else 0
+
+    def read_signed(self, n: int) -> int:
+        v = self.read(n)
+        return v - (1 << n) if v & (1 << (n - 1)) else v
+
+    def read_unary(self) -> int:
+        try:
+            idx = self.s.index("1", self.pos)
+        except ValueError:
+            raise FlacFormatError("bitstream truncated in unary run") from None
+        q = idx - self.pos
+        self.pos = idx + 1
+        return q
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+_BLOCKSIZE_TABLE = {
+    0b0001: 192, 0b0010: 576, 0b0011: 1152, 0b0100: 2304, 0b0101: 4608,
+    0b1000: 256, 0b1001: 512, 0b1010: 1024, 0b1011: 2048, 0b1100: 4096,
+    0b1101: 8192, 0b1110: 16384, 0b1111: 32768,
+}
+_SAMPLE_RATE_TABLE = {
+    0b0001: 88200, 0b0010: 176400, 0b0011: 192000, 0b0100: 8000,
+    0b0101: 16000, 0b0110: 22050, 0b0111: 24000, 0b1000: 32000,
+    0b1001: 44100, 0b1010: 48000, 0b1011: 96000,
+}
+_SAMPLE_SIZE_TABLE = {0b001: 8, 0b010: 12, 0b100: 16, 0b101: 20, 0b110: 24,
+                      0b111: 32}
+
+#: FIXED-predictor restore: s[i] = residual[i] + dot(coefs, previous)
+_FIXED_COEFS = {
+    0: [],
+    1: [1],
+    2: [2, -1],
+    3: [3, -3, 1],
+    4: [4, -6, 4, -1],
+}
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+
+def _decode_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
+    method = br.read(2)
+    if method > 1:
+        raise FlacFormatError(f"reserved residual method {method}")
+    plen = 4 if method == 0 else 5
+    escape = (1 << plen) - 1
+    po = br.read(4)
+    nparts = 1 << po
+    if blocksize % nparts or blocksize // nparts <= order and po:
+        raise FlacFormatError("invalid rice partition order")
+    out: list[int] = []
+    for p in range(nparts):
+        n = blocksize // nparts - (order if p == 0 else 0)
+        if n < 0:
+            raise FlacFormatError("partition smaller than predictor order")
+        k = br.read(plen)
+        if k == escape:
+            width = br.read(5)
+            if width:
+                out.extend(br.read_signed(width) for _ in range(n))
+            else:
+                out.extend([0] * n)
+            continue
+        for _ in range(n):
+            q = br.read_unary()
+            u = (q << k) | br.read(k)
+            out.append((u >> 1) ^ -(u & 1))
+    return out
+
+
+def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+    if br.read(1):
+        raise FlacFormatError("subframe padding bit set")
+    t = br.read(6)
+    wasted = 0
+    if br.read(1):
+        wasted = br.read_unary() + 1
+        bps -= wasted
+    if bps <= 0:
+        raise FlacFormatError("wasted bits exceed sample size")
+    if t == 0:  # CONSTANT
+        out = [br.read_signed(bps)] * blocksize
+    elif t == 1:  # VERBATIM
+        out = [br.read_signed(bps) for _ in range(blocksize)]
+    elif 8 <= t <= 12:  # FIXED
+        order = t - 8
+        if order > blocksize:
+            raise FlacFormatError("predictor order exceeds blocksize")
+        out = [br.read_signed(bps) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        coefs = _FIXED_COEFS[order]
+        for r in res:
+            out.append(r + sum(c * out[-1 - j] for j, c in enumerate(coefs)))
+    elif t >= 32:  # LPC
+        order = t - 31
+        if order > blocksize:
+            raise FlacFormatError("predictor order exceeds blocksize")
+        out = [br.read_signed(bps) for _ in range(order)]
+        prec = br.read(4)
+        if prec == 0b1111:
+            raise FlacFormatError("invalid lpc precision code")
+        prec += 1
+        shift = br.read_signed(5)
+        if shift < 0:
+            raise FlacFormatError("negative lpc shift")
+        coefs = [br.read_signed(prec) for _ in range(order)]
+        res = _decode_residual(br, blocksize, order)
+        for r in res:
+            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
+            out.append(r + pred)
+    else:
+        raise FlacFormatError(f"reserved subframe type {t}")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
+    """FLAC bytes -> (rate, channels, samples) with samples an
+    ``(n_frames, channels)`` int16 ndarray (int32 above 16 bps)."""
+    if len(data) < 42 or data[:4] != b"fLaC":
+        raise FlacFormatError("not a FLAC stream")
+    pos = 4
+    info = None
+    while True:
+        if pos + 4 > len(data):
+            raise FlacFormatError("metadata overruns stream")
+        hdr = int.from_bytes(data[pos : pos + 4], "big")
+        last, btype, blen = hdr >> 31, (hdr >> 24) & 0x7F, hdr & 0xFFFFFF
+        body = data[pos + 4 : pos + 4 + blen]
+        if len(body) != blen:
+            raise FlacFormatError("metadata block truncated")
+        if btype == 0:
+            if len(body) != 34:
+                raise FlacFormatError("bad STREAMINFO length")
+            b = int.from_bytes(body[10:18], "big")
+            info = {
+                "rate": b >> 44,
+                "channels": ((b >> 41) & 0x7) + 1,
+                "bps": ((b >> 36) & 0x1F) + 1,
+                "total": b & ((1 << 36) - 1),
+                "md5": body[18:34],
+            }
+        elif btype == 127:
+            raise FlacFormatError("invalid metadata block type 127")
+        pos += 4 + blen
+        if last:
+            break
+    if info is None:
+        raise FlacFormatError("missing STREAMINFO")
+    if not info["rate"]:
+        raise FlacFormatError("invalid sample rate 0")
+
+    nch = info["channels"]
+    channels_out: list[list[int]] = [[] for _ in range(nch)]
+    frame_data = data[pos:]
+    br = _Bits(frame_data)
+    total_bits = len(br.s)
+    while total_bits - br.pos >= 16:
+        frame_start_bit = br.pos
+        if br.read(14) != 0b11111111111110:
+            raise FlacFormatError("lost frame sync")
+        if br.read(1):
+            raise FlacFormatError("frame header reserved bit set")
+        br.read(1)  # blocking strategy (number semantics only)
+        bs_code = br.read(4)
+        sr_code = br.read(4)
+        ch_code = br.read(4)
+        ss_code = br.read(3)
+        if br.read(1):
+            raise FlacFormatError("frame header reserved bit set")
+        # coded number: validate shape, value unused for reassembly
+        lead = br.read(8)
+        n_cont = 0
+        while n_cont < 7 and lead & (0x80 >> n_cont):
+            n_cont += 1
+        if n_cont == 1 or n_cont > 7:
+            raise FlacFormatError("bad coded frame number")
+        for _ in range(max(n_cont - 1, 0)):
+            if br.read(8) & 0xC0 != 0x80:
+                raise FlacFormatError("bad coded frame number continuation")
+        if bs_code == 0b0000:
+            raise FlacFormatError("reserved blocksize code")
+        elif bs_code == 0b0110:
+            blocksize = br.read(8) + 1
+        elif bs_code == 0b0111:
+            blocksize = br.read(16) + 1
+        else:
+            blocksize = _BLOCKSIZE_TABLE[bs_code]
+        if sr_code == 0b0000:
+            rate = info["rate"]
+        elif sr_code == 0b1100:
+            rate = br.read(8) * 1000
+        elif sr_code == 0b1101:
+            rate = br.read(16)
+        elif sr_code == 0b1110:
+            rate = br.read(16) * 10
+        elif sr_code == 0b1111:
+            raise FlacFormatError("invalid sample rate code")
+        else:
+            rate = _SAMPLE_RATE_TABLE[sr_code]
+        if ss_code == 0b000:
+            bps = info["bps"]
+        elif ss_code == 0b011:
+            raise FlacFormatError("reserved sample size code")
+        else:
+            bps = _SAMPLE_SIZE_TABLE[ss_code]
+        hdr_bytes = frame_data[frame_start_bit // 8 : br.pos // 8]
+        if crc8(hdr_bytes) != br.read(8):
+            raise FlacFormatError("frame header CRC-8 mismatch")
+
+        if ch_code <= 0b0111:
+            frame_nch = ch_code + 1
+            sub_bps = [bps] * frame_nch
+        elif ch_code in (0b1000, 0b1001, 0b1010):
+            frame_nch = 2
+            # the SIDE channel carries one extra bit
+            sub_bps = {
+                0b1000: [bps, bps + 1],  # left-side
+                0b1001: [bps + 1, bps],  # right-side
+                0b1010: [bps, bps + 1],  # mid-side
+            }[ch_code]
+        else:
+            raise FlacFormatError(f"reserved channel assignment {ch_code}")
+        if frame_nch != nch:
+            raise FlacFormatError("frame channel count != STREAMINFO")
+
+        subs = [
+            _decode_subframe(br, blocksize, sub_bps[c])
+            for c in range(frame_nch)
+        ]
+        if ch_code == 0b1000:  # left-side: right = left - side
+            subs = [subs[0], [l - s for l, s in zip(subs[0], subs[1])]]
+        elif ch_code == 0b1001:  # right-side: left = right + side
+            subs = [[r + s for s, r in zip(subs[0], subs[1])], subs[1]]
+        elif ch_code == 0b1010:  # mid-side
+            left = [((m << 1) | (s & 1)) + s >> 1 for m, s in
+                    zip(subs[0], subs[1])]
+            subs = [left, [l - s for l, s in zip(left, subs[1])]]
+        br.align()
+        frame_bytes = frame_data[frame_start_bit // 8 : br.pos // 8]
+        if crc16(frame_bytes) != br.read(16):
+            raise FlacFormatError("frame CRC-16 mismatch")
+        for c in range(nch):
+            channels_out[c].extend(subs[c])
+        if info["total"] and len(channels_out[0]) >= info["total"]:
+            break
+
+    n = info["total"] or len(channels_out[0])
+    if len(channels_out[0]) < n:
+        raise FlacFormatError("stream ends before total_samples")
+    dtype = np.int16 if info["bps"] <= 16 else np.int32
+    out = np.empty((n, nch), dtype=dtype)
+    for c in range(nch):
+        out[:, c] = np.asarray(channels_out[c][:n], dtype=np.int64).astype(
+            dtype
+        )
+    if info["md5"] != b"\x00" * 16 and info["bps"] == 16:
+        le = out.astype("<i2").tobytes()
+        if hashlib.md5(le).digest() != info["md5"]:
+            raise FlacFormatError("decoded audio MD5 mismatch")
+    return info["rate"], nch, out
+
+
+# ---------------------------------------------------------------------------
+# encode (fixture builder: mono 16-bit, FIXED order search)
+# ---------------------------------------------------------------------------
+
+
+def _rice_cost(u: np.ndarray, k: int) -> int:
+    return int((u >> k).sum()) + len(u) * (k + 1)
+
+
+def _emit_residual(parts: list[str], res: np.ndarray) -> None:
+    u = (np.abs(res.astype(np.int64)) << 1) - (res < 0).astype(np.int64)
+    # u = zigzag fold; pick the 4-bit rice parameter with minimum cost
+    best_k = min(range(15), key=lambda k: _rice_cost(u, k))
+    parts.append("00")  # method: rice, 4-bit parameters
+    parts.append("0000")  # partition order 0
+    parts.append(format(best_k, "04b"))
+    for uv in u.tolist():
+        q, r = uv >> best_k, uv & ((1 << best_k) - 1)
+        # k == 0 carries NO remainder bits (format(0, "00b") would
+        # still emit one '0' — a stray bit per sample)
+        rem = format(r, f"0{best_k}b") if best_k else ""
+        parts.append("0" * q + "1" + rem)
+
+
+def _signed_bits(v: int, n: int) -> str:
+    return format(v & ((1 << n) - 1), f"0{n}b")
+
+
+def encode_flac(
+    samples: np.ndarray, rate: int = 8000, blocksize: int = 4096
+) -> bytes:
+    """(n,) int16 mono -> FLAC bytes (lossless; decode_flac inverts
+    bit-exactly).  Each block is tried at FIXED orders 0-4 (sum-of-
+    |residual| heuristic, the classic estimator) with a CONSTANT
+    short-circuit; residuals are Rice-coded with the cost-optimal
+    parameter."""
+    if samples.dtype != np.int16 or samples.ndim != 1:
+        raise FlacFormatError("encode_flac expects 1-D int16 samples")
+    if not 16 <= blocksize <= 65536:
+        raise FlacFormatError("blocksize out of range")
+    n = len(samples)
+    frames = bytearray()
+    for fi, start in enumerate(range(0, max(n, 1), blocksize)):
+        block = samples[start : start + blocksize].astype(np.int64)
+        bs = len(block)
+        if bs == 0:
+            break
+        hdr = bytearray()
+        # sync(14) res(1) blocking(1)=0 | bs_code=0111 sr_code=0000
+        hdr += bytes([0xFF, 0xF8, 0b0111_0000])
+        # channel(4)=0000 mono, sample size(3)=100 (16), res(1)=0
+        hdr += bytes([0b0000_100_0])
+        hdr += _encode_coded_number(fi)
+        hdr += struct.pack(">H", bs - 1)  # end-of-header blocksize
+        hdr.append(crc8(bytes(hdr)))
+        parts: list[str] = []
+        if np.all(block == block[0]):
+            parts.append("0" + "000000" + "0")  # CONSTANT
+            parts.append(_signed_bits(int(block[0]), 16))
+        else:
+            orders = min(4, bs - 1)
+            resids = {0: block}
+            for o in range(1, orders + 1):
+                resids[o] = np.diff(resids[o - 1])
+            order = min(
+                range(orders + 1),
+                key=lambda o: int(np.abs(resids[o]).sum()) + o * 16,
+            )
+            parts.append("0" + format(8 + order, "06b") + "0")  # FIXED
+            for v in block[:order].tolist():
+                parts.append(_signed_bits(v, 16))
+            _emit_residual(parts, resids[order])
+        bits = "".join(parts)
+        bits += "0" * (-len(bits) % 8)
+        body = np.packbits(
+            np.frombuffer(bits.encode("ascii"), dtype=np.uint8) - ord("0")
+        ).tobytes()
+        frame = bytes(hdr) + body
+        frames += frame + struct.pack(">H", crc16(frame))
+
+    md5 = hashlib.md5(samples.astype("<i2").tobytes()).digest()
+    si = bytearray()
+    si += struct.pack(">HH", blocksize, blocksize)
+    si += b"\x00\x00\x00" * 2  # min/max framesize unknown
+    packed = (rate << 44) | (0 << 41) | (15 << 36) | n  # mono, 16 bps
+    si += packed.to_bytes(8, "big")
+    si += md5
+    header = b"fLaC" + bytes([0x80, 0, 0, 34]) + bytes(si)
+    return header + bytes(frames)

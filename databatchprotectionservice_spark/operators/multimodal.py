@@ -1560,3 +1560,144 @@ def multimodal_audio_adpcm_stats(spark, sf_dir):
         F.expr("CAST(sum(n_frames) * 2 * 10000 div sum(n_bytes) AS BIGINT)")
         .alias("compression_e4"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FLAC: lossless compressed audio through the real decode path
+# ---------------------------------------------------------------------------
+
+
+def flac_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, payload) where payload is a REAL
+    FLAC file of the same closed-form sawtooth signal as the PCM/ADPCM
+    fixtures — losslessly compressed by the genuine encoder (FIXED
+    prediction + Rice coding), so unlike ADPCM every decoded sample is
+    oracle-restatable."""
+    import numpy as np
+
+    from ..core.flaccodec import encode_flac
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, payloads = [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                n = max(int(n_chars or 0), 1) * 4
+                i = np.arange(n, dtype=np.int64)
+                s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+                ids.append(doc_id)
+                srcs.append(source)
+                payloads.append(encode_flac(s, rate=WAV_RATE))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_synth, _AUDIO_TABLE_SCHEMA)
+
+
+@register(
+    "multimodal_audio_flac_stats",
+    # FLAC is LOSSLESS, so the oracle restates EVERY decoded sample
+    # from the closed-form signal in exact integer math — a decoder
+    # that drops one frame, mis-restores one predictor, or misreads
+    # one Rice parameter hash-mismatches
+    oracle="""
+        WITH clips AS (
+            SELECT source,
+                   greatest(n_chars, 1) * 4 AS nf,
+                   list_aggregate(list_transform(
+                       range(0, greatest(n_chars, 1) * 4),
+                       i -> abs((doc_id * 31 + i * 17) % 65536 - 32768)),
+                       'max') AS peak,
+                   list_aggregate(list_transform(
+                       range(0, greatest(n_chars, 1) * 4),
+                       i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768
+                                 AS BIGINT)),
+                       'sum') AS ssum,
+                   list_aggregate(list_transform(
+                       range(0, greatest(n_chars, 1) * 4),
+                       i -> CAST((doc_id * 31 + i * 17) % 65536 - 32768
+                                 AS BIGINT)
+                            * ((doc_id * 31 + i * 17) % 65536 - 32768)),
+                       'sum') AS energy
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_clips,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(max(peak) AS BIGINT) AS max_peak,
+               CAST(sum(ssum) AS BIGINT) AS sample_sum,
+               CAST(sum(energy) AS BIGINT) AS total_energy
+        FROM clips
+        GROUP BY source
+    """,
+    description="REAL lossless-compressed audio decode: from-scratch "
+    "FLAC (FIXED/LPC prediction + Rice partitions, CRC-8/16, MD5) -> "
+    "exact integer sample stats; the oracle restates every sample",
+)
+def multimodal_audio_flac_stats(spark, sf_dir):
+    """Lossless compressed audio joins the real decode path: FLAC
+    (RFC 9639), decoded by the from-scratch integer codec in
+    ``core/flaccodec.py`` — frame sync + CRC-8/CRC-16 validation,
+    FIXED-predictor restore, Rice residual decode, STREAMINFO MD5
+    check.  Because the codec is lossless the oracle restates every
+    decoded sample from the closed-form signal (the same gate strength
+    as the PCM leg, through a genuinely compressed container — the
+    fixture compresses ~2.3x).  Perceptual codecs (MP3/AAC) remain at
+    the documented library seam.
+
+    100 TB shape: identical to the other media legs — one
+    ``mapInPandas`` decode stage, stats map-side in exact int64, one
+    final source-cardinality exchange."""
+    from ..core.flaccodec import decode_flac
+
+    stats_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_frames", T.LongType()),
+            T.StructField("peak", T.LongType()),
+            T.StructField("ssum", T.LongType()),
+            T.StructField("energy", T.LongType()),
+        ]
+    )
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, peaks, sums, energies = [], [], [], [], []
+            for source, payload in zip(pdf["source"], pdf["payload"]):
+                rate, ch, samples = decode_flac(bytes(payload))
+                s = samples[:, 0].astype(np.int64)
+                srcs.append(source)
+                nfs.append(len(s))
+                peaks.append(int(np.abs(s).max()))
+                sums.append(int(s.sum()))
+                energies.append(int((s * s).sum()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "peak": pd.Series(peaks, dtype="int64"),
+                    "ssum": pd.Series(sums, dtype="int64"),
+                    "energy": pd.Series(energies, dtype="int64"),
+                }
+            )
+
+    prep(spark)
+    clips = flac_table(spark, sf_dir)
+    per_clip = clips.mapInPandas(_stats, stats_schema)
+    return per_clip.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_clips"),
+        F.sum("n_frames").cast("bigint").alias("total_frames"),
+        F.max("peak").cast("bigint").alias("max_peak"),
+        F.sum("ssum").cast("bigint").alias("sample_sum"),
+        F.sum("energy").cast("bigint").alias("total_energy"),
+    )

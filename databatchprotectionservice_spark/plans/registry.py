@@ -222,6 +222,7 @@ REGISTERED_IN: dict[str, int] = {
     # round 9 registrations (budget: <= 2, per the r8 window-crunch
     # arithmetic — the r10 window must absorb ~47 r7-scored queries)
     "similarity_ivfpq_topk": 9,
+    "multimodal_audio_flac_stats": 9,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

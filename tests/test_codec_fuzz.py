@@ -17,6 +17,11 @@ from databatchprotectionservice_spark.core.audiocodec import (
     encode_wav,
     encode_wav_adpcm,
 )
+from databatchprotectionservice_spark.core.flaccodec import (
+    FlacFormatError,
+    decode_flac,
+    encode_flac,
+)
 from databatchprotectionservice_spark.core.gifcodec import (
     GRAY_PALETTE,
     GifFormatError,
@@ -61,6 +66,13 @@ def _bases():
             decode_wav_adpcm,
             AudioFormatError,
         ),
+        "flac": (
+            encode_flac(
+                ((np.arange(700) * 17 + 3) % 65536 - 32768).astype(np.int16)
+            ),
+            decode_flac,
+            FlacFormatError,
+        ),
         "png_adam7": (
             encode_png_adam7(img),
             decode_image,
@@ -84,7 +96,7 @@ def _bases():
 @pytest.mark.parametrize(
     "fmt",
     ["png", "png_adam7", "png_palette", "bmp", "ppm", "gif", "wav",
-     "adpcm", "y4m"],
+     "adpcm", "flac", "y4m"],
 )
 def test_mutations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
@@ -102,7 +114,7 @@ def test_mutations_decode_or_raise_domain_error(fmt):
 @pytest.mark.parametrize(
     "fmt",
     ["png", "png_adam7", "png_palette", "bmp", "ppm", "gif", "wav",
-     "adpcm", "y4m"],
+     "adpcm", "flac", "y4m"],
 )
 def test_truncations_decode_or_raise_domain_error(fmt):
     base, dec, err = _bases()[fmt]
