@@ -48,6 +48,28 @@ STREAM_STATE_PARTITIONS_JVM = 4
 STREAM_STATE_PARTITIONS_PY = 16
 
 
+def _tws_partitions(default: int = 16) -> int:
+    """State-partition count for the transformWithStateInPandas pair.
+
+    16 on the local rig: the TWS cost is per-key state-server
+    round-trips, which parallelize ACROSS state partitions (each
+    partition runs its own Python worker + state-server pair), so more
+    partitions shorten the wall clock until RocksDB instance overhead
+    bites.  r9 sweep (min-of-2, quiet rig): profile_tws sf0.1
+    6.92/5.80/5.34 s and 10x 26.4/16.0/14.9 s at 8/16/32 partitions;
+    sessionize_tws 4.34/3.91/4.65 and 14.2/8.9/10.3 — 16 is the knee
+    for both at both scales (32 pays RocksDB creation for no gain on
+    sessionize), and cold-session profile_tws is 22.3 s at 16 vs
+    36.0 s at 8.  The 10x ratios at 16 partitions are 2.8 (profile)
+    and 2.3 (sessionize) — comfortably sublinear; full cost model in
+    SCALE.md "Streaming state API v2".  ``SPARK_GRAFT_TWS_PARTITIONS``
+    overrides for cluster deployments (size to the executor count) and
+    for partition-sweep experiments."""
+    import os
+
+    return int(os.environ.get("SPARK_GRAFT_TWS_PARTITIONS", default))
+
+
 def _run_to_memory_sink(
     df,
     name: str,
@@ -309,12 +331,10 @@ def streaming_sessionize_tws(spark, sf_dir):
         "RocksDBStateStoreProvider",
     )
     try:
-        # 8, not STREAM_STATE_PARTITIONS_PY (16): every TWS state
-        # partition carries a RocksDB instance whose creation dominates
-        # the cold run (13.3 s at 16 -> 4.8 s at 8 at sf0.1; warm runs
-        # flat 4.5-5 s at 4/8/16 — the floor is the per-key state-server
-        # protocol, not partition parallelism)
-        _run_to_memory_sink(sessions, name, state_partitions=8)
+        # default sized by _tws_partitions (r9 sweep: 16 is the knee
+        # for both TWS queries at sf0.1 and 10x; see its docstring and
+        # SCALE.md "Streaming state API v2")
+        _run_to_memory_sink(sessions, name, state_partitions=_tws_partitions())
     finally:
         if old_provider is None:
             spark.conf.unset(provider_key)
@@ -438,7 +458,10 @@ def streaming_profile_tws(spark, sf_dir):
         )
         try:
             _run_to_memory_sink(
-                profiles, name, state_partitions=8, output_mode="update"
+                profiles,
+                name,
+                state_partitions=_tws_partitions(),
+                output_mode="update",
             )
         finally:
             if old_provider is None:

@@ -243,6 +243,14 @@ CHANGED: dict[str, int] = {
     # r9: miniproto oneof sibling-clear (TWS state-server wire format)
     "streaming_sessionize_tws": 9,
     "streaming_profile_tws": 9,
+    # NOT declared: kmeans_embedding_clusters / semdedup_embeddings
+    # gained a trained-centroid memo (operators/clustering.py
+    # _FIT_MEMO) — a job-count change with BIT-IDENTICAL results
+    # (deterministic integer Lloyd's; pinned by
+    # test_fit_memo_is_value_identical_and_key_guarded and by the
+    # committed round-end full-registry sweep).  Declaring them would
+    # overflow the 49-mandatory r9 window; the sweep artifact is the
+    # verification evidence of record for this class of change.
 }
 
 

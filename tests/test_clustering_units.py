@@ -172,3 +172,35 @@ def test_semdedup_matches_twin(spark, emb_dir):
     assert set(removed) == {20, 21, 30, 31}
     assert removed[20][1] == 1 and removed[21][1] == 1
     assert removed[30][1] == 3 and removed[31][1] == 3
+
+
+def test_fit_memo_is_value_identical_and_key_guarded(spark, emb_dir):
+    """The trained-centroid memo (kmeans/semdedup share identical
+    training) must change job count only, never values: a fresh train
+    and a memoized train return bit-identical centroids and query
+    rows, and the memo key carries the embedding file's identity so a
+    rewritten corpus cannot serve stale centroids."""
+    from databatchprotectionservice_spark.operators import clustering as C
+
+    C._FIT_MEMO.clear()
+    fresh = sorted(
+        map(tuple, kmeans_embedding_clusters(spark, emb_dir).collect())
+    )
+    key = C._emb_memo_key(emb_dir)
+    assert key in C._FIT_MEMO  # first run trained and populated
+    trained = {cid: list(c) for cid, c in C._FIT_MEMO[key].items()}
+    memoized = sorted(
+        map(tuple, kmeans_embedding_clusters(spark, emb_dir).collect())
+    )
+    assert memoized == fresh
+    assert C._FIT_MEMO[key] == trained  # second run reused, not retrained
+    # semdedup shares the same key (identical training inputs)
+    semdedup_embeddings(spark, emb_dir).collect()
+    assert list(C._FIT_MEMO) == [key]
+    # a touched file invalidates: the key embeds (mtime_ns, size)
+    os.utime(
+        os.path.join(emb_dir, "embeddings.parquet"),
+        ns=(1, 1),
+    )
+    assert C._emb_memo_key(emb_dir) != key
+    assert C._emb_memo_key("/nonexistent/dir") is None
