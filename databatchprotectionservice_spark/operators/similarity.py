@@ -949,7 +949,9 @@ def similarity_pq_topk(spark, sf_dir):
     qi8 = _quantize_udf()
     qn = emb.select("vec_id", qi8(F.col("embedding")).alias("q")).cache()
     # codebook: subspace slices of the first K codes (driver-side K x
-    # DIM ints — the bounded FAISS-train collect, like IVF's)
+    # DIM ints — the bounded FAISS-train collect, like IVF's).  The
+    # probe set (vec_id < N_QUERIES <= PQ_K) is a PREFIX of the same
+    # rows, so ONE collect serves both (saves a job + a scan).
     seeds = qn.filter(F.col("vec_id") < PQ_K).orderBy("vec_id").collect()
     cb = (
         np.array([r["q"] for r in seeds], dtype=np.int64)
@@ -981,9 +983,8 @@ def similarity_pq_topk(spark, sf_dir):
     ).select("vec_id", "e.codes", "e.rnorm")
 
     # probes: full int8 vectors (asymmetric side), LUTs built driver-side
-    probe_rows = (
-        qn.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    )
+    assert N_QUERIES <= PQ_K  # prefix reuse contract
+    probe_rows = [r for r in seeds if r["vec_id"] < N_QUERIES]
     luts, pnorms = {}, {}
     for r in probe_rows:
         pv = np.array(r["q"], dtype=np.int64)
@@ -1375,10 +1376,10 @@ def similarity_ivfpq_topk(spark, sf_dir):
 
     # probes: LUTs driver-side (N_QUERIES x M x K ints), probed lists
     # by exact integer L2 to the coarse centroids (stable sort = the
-    # oracle's ORDER BY l2, ck tie-break)
-    probe_rows = (
-        qn.filter(F.col("vec_id") < N_QUERIES).orderBy("vec_id").collect()
-    )
+    # oracle's ORDER BY l2, ck tie-break).  The probe rows are a prefix
+    # of the seed collect — no second job.
+    assert N_QUERIES <= max(PQ_K, IVF_K)  # prefix reuse contract
+    probe_rows = [r for r in seeds if r["vec_id"] < N_QUERIES]
     luts, probe_pairs = {}, []
     for r in probe_rows:
         pv = np.array(r["q"], dtype=np.int64)

@@ -243,6 +243,8 @@ CHANGED: dict[str, int] = {
     # r9: miniproto oneof sibling-clear (TWS state-server wire format)
     "streaming_sessionize_tws": 9,
     "streaming_profile_tws": 9,
+    # r9: probe collect folded into the codebook-seed collect
+    "similarity_pq_topk": 9,
     # NOT declared: kmeans_embedding_clusters / semdedup_embeddings
     # gained a trained-centroid memo (operators/clustering.py
     # _FIT_MEMO) — a job-count change with BIT-IDENTICAL results

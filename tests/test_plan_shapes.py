@@ -456,3 +456,19 @@ def test_semdedup_single_grouped_pandas_stage(spark, sf_dir, queries):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_broadcast_prunes_and_single_window_shuffle(
+    spark, sf_dir, queries
+):
+    """similarity_ivfpq_topk's scale claims: the probe table broadcasts
+    into the cluster-keyed pruning join (no shuffle of the coded
+    corpus for candidate selection), no sort-merge join or cartesian
+    anywhere, top-k bounded via WindowGroupLimit, and the int8 code
+    table is quantized once behind the cache."""
+    plan = _plan(queries["similarity_ivfpq_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
