@@ -353,7 +353,9 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
         elif ch_code == 0b1001:  # right-side: left = right + side
             subs = [[r + s for s, r in zip(subs[0], subs[1])], subs[1]]
         elif ch_code == 0b1010:  # mid-side
-            left = [((m << 1) | (s & 1)) + s >> 1 for m, s in
+            # l+r = (mid<<1)|(side&1) and l-r = side, so 2l is exact
+            # and the floor shift loses nothing
+            left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in
                     zip(subs[0], subs[1])]
             subs = [left, [l - s for l, s in zip(left, subs[1])]]
         br.align()
