@@ -244,3 +244,28 @@ def test_int8_quantization_error_bound_and_range(vec):
         # per-element twin of the scalar expression used in the oracle
         for xi, ci in zip(x, codes):
             assert ci == int(math.floor(xi / s * 127.0 + 0.5))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767),
+        min_size=1,
+        max_size=2000,
+    ),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    blocksize=st.sampled_from([16, 192, 4096]),
+)
+def test_flac_roundtrip_property(samples, rate, blocksize):
+    """decode(encode(x)) == x bit-exactly for arbitrary int16 signals
+    across blocksize regimes (multi-frame, short-last-frame, and the
+    minimum legal blocksize)."""
+    from databatchprotectionservice_spark.core.flaccodec import (
+        decode_flac,
+        encode_flac,
+    )
+
+    s = np.array(samples, dtype=np.int16)
+    got_rate, ch, out = decode_flac(encode_flac(s, rate=rate, blocksize=blocksize))
+    assert (got_rate, ch) == (rate, 1)
+    assert np.array_equal(out[:, 0], s)
