@@ -113,3 +113,44 @@ def test_registered_this_round_is_within_budget():
     registrations in one round makes the freshness invariant
     unsatisfiable at the next boundary (the r7 lesson)."""
     assert len(registry.new_after_window()) <= 3
+
+
+def test_next_boundary_rotation_holds(monkeypatch):
+    """Simulate the r-next boundary BEFORE it happens: pretend this
+    round's verdicts landed (every window entry green at the current
+    round), advance one round, and assert the computed window still
+    satisfies every invariant — the structural proof that the r7/r8
+    hand-rotation failure mode cannot recur.  Also checks the window
+    arithmetic the registration budget protects: the mandatory set
+    (new 3-stale cohort + this round's registrations) must fit."""
+    last, current = registry._verdict_history()
+    simulated = dict(last)
+    for n in registry.score_first()[: registry.SCORE_WINDOW]:
+        simulated[n] = current
+    monkeypatch.setattr(
+        registry, "_verdict_history", lambda: (simulated, current + 1)
+    )
+    window = registry.score_first()
+    assert len(window) == registry.SCORE_WINDOW
+    wset = set(window)
+    cycle_len = registry.cycle_len()
+    pinned = set(registry.new_after_window())
+    # this round's registrations carry no verdict yet and were NOT
+    # registered in round current+1 -> they must be IN the next window
+    for n, rnd in registry.REGISTERED_IN.items():
+        if rnd == current and n not in simulated:
+            assert n in wset, f"{n} (registered r{rnd}) missed the window"
+    stale = [
+        n
+        for n in registry.REGISTRY
+        if simulated.get(n, 0) <= current + 1 - cycle_len
+        and n not in wset
+        and n not in pinned
+    ]
+    assert stale == [], f"next-boundary stale overflow: {stale}"
+    never = [
+        n
+        for n in registry.REGISTRY
+        if n not in simulated and n not in wset and n not in pinned
+    ]
+    assert never == []
