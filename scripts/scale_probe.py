@@ -116,6 +116,14 @@ QUERIES = [
     # CMS candidate pruning: the sketch shuffle is FIXED-size (4096
     # cells), so the curve should track the two column scans
     "heavyhitters_cms_pruned",
+    # round-9 additions: the IVFPQ composition (probe cost must track
+    # corpus/nlist, not corpus), the lossless-audio decode leg (pure
+    # map-side codec work), and the memoized clustering pair (second
+    # trainer must be flat in the shared-session probe)
+    "similarity_ivfpq_topk",
+    "multimodal_audio_flac_stats",
+    "kmeans_embedding_clusters",
+    "semdedup_embeddings",
 ]
 
 
