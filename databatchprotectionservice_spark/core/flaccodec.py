@@ -14,9 +14,9 @@ subframes, Rice + Rice2 residual partitions including escape codes,
 wasted bits, independent multi-channel and the three stereo
 decorrelation modes (left-side / right-side / mid-side), STREAMINFO
 MD5 verification.  The encoder exists for fixture construction (mono
-int16, FIXED order search, CONSTANT short-circuit, single-partition
-Rice with optimal parameter) and is round-trip tested; it is not a
-Spark sink.
+int16, FIXED order search + quantized order-2 LPC chosen by residual
+cost, CONSTANT short-circuit, single-partition Rice with optimal
+parameter) and is round-trip tested; it is not a Spark sink.
 
 Bit-level access uses an ASCII '0'/'1' expansion of the stream: unary
 runs decode with C-speed ``str.index`` and fixed-width fields with
@@ -411,14 +411,61 @@ def _signed_bits(v: int, n: int) -> str:
     return format(v & ((1 << n) - 1), f"0{n}b")
 
 
+#: LPC encoder parameters (quantized-coefficient linear prediction;
+#: the decode side is exact integer arithmetic, so ANY coefficients
+#: round-trip — better ones just shrink the residuals)
+_LPC_ORDER = 2
+_LPC_PRECISION = 12  # coefficient bits
+_LPC_SHIFT = 10  # right-shift applied to the prediction sum
+
+
+def _lpc_analyze(block: np.ndarray):
+    """Order-2 quantized LPC via autocorrelation + Levinson-Durbin.
+    Returns (coefs, residual) with residual computed by the EXACT
+    integer rule the decoder applies, or None when the block is too
+    short or numerically degenerate."""
+    n = len(block)
+    if n <= _LPC_ORDER:
+        return None
+    x = block.astype(np.float64)
+    r = [float(np.dot(x, x)), float(np.dot(x[:-1], x[1:])),
+         float(np.dot(x[:-2], x[2:]))]
+    if r[0] == 0:
+        return None
+    # Levinson-Durbin, order 2: reflection k2 then coefficient update
+    a1 = r[1] / r[0]
+    err = r[0] * (1 - a1 * a1)
+    if err <= 0:
+        return None
+    k2 = (r[2] - a1 * r[1]) / err
+    c1 = a1 - k2 * a1
+    c2 = k2
+    # quantize to _LPC_PRECISION-bit signed ints at _LPC_SHIFT
+    lim = 1 << (_LPC_PRECISION - 1)
+    q1 = max(-lim, min(lim - 1, int(round(c1 * (1 << _LPC_SHIFT)))))
+    q2 = max(-lim, min(lim - 1, int(round(c2 * (1 << _LPC_SHIFT)))))
+    if q1 == 0 and q2 == 0:
+        return None
+    # exact-integer residual, the decoder's rule in reverse
+    pred = (q1 * block[1:-1] + q2 * block[:-2]) >> _LPC_SHIFT
+    res = block[2:] - pred
+    return (q1, q2), res
+
+
 def encode_flac(
-    samples: np.ndarray, rate: int = 8000, blocksize: int = 4096
+    samples: np.ndarray,
+    rate: int = 8000,
+    blocksize: int = 4096,
+    use_lpc: bool = True,
 ) -> bytes:
     """(n,) int16 mono -> FLAC bytes (lossless; decode_flac inverts
     bit-exactly).  Each block is tried at FIXED orders 0-4 (sum-of-
-    |residual| heuristic, the classic estimator) with a CONSTANT
+    |residual| heuristic, the classic estimator) and, when it wins, a
+    quantized order-2 LPC (autocorrelation + Levinson-Durbin, the
+    real-codec path — the residual is computed by the decoder's exact
+    integer rule, so ANY quantized coefficients round-trip); CONSTANT
     short-circuit; residuals are Rice-coded with the cost-optimal
-    parameter."""
+    parameter.  ``use_lpc=False`` restricts to the FIXED family."""
     if samples.dtype != np.int16 or samples.ndim != 1:
         raise FlacFormatError("encode_flac expects 1-D int16 samples")
     if not 16 <= blocksize <= 65536:
@@ -451,10 +498,31 @@ def encode_flac(
                 range(orders + 1),
                 key=lambda o: int(np.abs(resids[o]).sum()) + o * 16,
             )
-            parts.append("0" + format(8 + order, "06b") + "0")  # FIXED
-            for v in block[:order].tolist():
-                parts.append(_signed_bits(v, 16))
-            _emit_residual(parts, resids[order])
+            lpc = _lpc_analyze(block) if use_lpc else None
+            fixed_cost = int(np.abs(resids[order]).sum()) + order * 16
+            if lpc is not None and (
+                int(np.abs(lpc[1]).sum())
+                + 2 * 16
+                + 9
+                + 2 * _LPC_PRECISION
+                < fixed_cost
+            ):
+                (q1, q2), res = lpc
+                # LPC order 2: type 0b100000 | (order-1)
+                parts.append("0" + format(32 + 1, "06b") + "0")
+                parts.append(_signed_bits(int(block[0]), 16))
+                parts.append(_signed_bits(int(block[1]), 16))
+                parts.append(format(_LPC_PRECISION - 1, "04b"))
+                parts.append(_signed_bits(_LPC_SHIFT, 5))
+                # coefs[0] multiplies the most recent sample
+                parts.append(_signed_bits(q1, _LPC_PRECISION))
+                parts.append(_signed_bits(q2, _LPC_PRECISION))
+                _emit_residual(parts, res)
+            else:
+                parts.append("0" + format(8 + order, "06b") + "0")  # FIXED
+                for v in block[:order].tolist():
+                    parts.append(_signed_bits(v, 16))
+                _emit_residual(parts, resids[order])
         bits = "".join(parts)
         bits += "0" * (-len(bits) % 8)
         body = np.packbits(

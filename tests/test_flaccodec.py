@@ -239,3 +239,27 @@ def test_container_errors():
         encode_flac(s.astype(np.int32))
     with pytest.raises(FlacFormatError):
         encode_flac(s, blocksize=4)
+
+
+def test_lpc_encoder_roundtrips_and_wins_on_correlated_signal():
+    """The quantized order-2 LPC path: a decaying two-tone signal must
+    round-trip bit-exactly THROUGH an LPC subframe (the encoder picks
+    it by residual cost) and compress at least as well as FIXED-only;
+    uncorrelated and linear signals must be unaffected by the flag."""
+    rng = np.random.RandomState(11)
+    n = 20000
+    t = np.arange(n)
+    sig = (
+        8000 * np.sin(t * 0.03)
+        + 3000 * np.sin(t * 0.011)
+        + rng.normal(0, 60, n)
+    ).astype(np.int16)
+    d_lpc = encode_flac(sig, use_lpc=True)
+    d_fix = encode_flac(sig, use_lpc=False)
+    assert np.array_equal(decode_flac(d_lpc)[2][:, 0], sig)
+    assert np.array_equal(decode_flac(d_fix)[2][:, 0], sig)
+    assert len(d_lpc) < len(d_fix)  # LPC actually engaged and won
+    # linear signal: FIXED order-2 residuals are zero, LPC cannot win,
+    # so the flag changes nothing
+    s = ((np.arange(9000) * 17 + 3) % 65536 - 32768).astype(np.int16)
+    assert encode_flac(s, use_lpc=True) == encode_flac(s, use_lpc=False)
