@@ -468,7 +468,9 @@ def encode_flac(
     parameter.  ``use_lpc=False`` restricts to the FIXED family."""
     if samples.dtype != np.int16 or samples.ndim != 1:
         raise FlacFormatError("encode_flac expects 1-D int16 samples")
-    if not 16 <= blocksize <= 65536:
+    # FLAC's maximum blocksize is 65535 (STREAMINFO packs it in u16
+    # and the frame header codes blocksize-1 in 16 bits)
+    if not 16 <= blocksize <= 65535:
         raise FlacFormatError("blocksize out of range")
     n = len(samples)
     frames = bytearray()

@@ -498,6 +498,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
 
     from ..core.gifcodec import GRAY_PALETTE, encode_gif
     from ..core.imagecodec import (
+        ImageFormatError,
         encode_bmp,
         encode_png,
         encode_png_adam7,
@@ -570,17 +571,14 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                     # closed-form oracle is untouched.  The raster is
                     # consecutive 3-byte windows of document TEXT, so a
                     # long/diverse document can exceed the 256-entry
-                    # PLTE limit: mirror encode_webp's palette-or-
-                    # literal dispatch and fall back to truecolor PNG
-                    # (same decoded raster, oracle 'png' unchanged)
-                    n_colors = len(
-                        np.unique(pixels.reshape(-1, 3), axis=0)
-                    )
-                    payloads.append(
-                        encode_png_palette(pixels)
-                        if n_colors <= 256
-                        else encode_png(pixels)
-                    )
+                    # PLTE limit: the palette encoder's own >256-color
+                    # rejection triggers the truecolor fallback (one
+                    # distinct-color pass, inside the codec; same
+                    # decoded raster, oracle 'png' unchanged)
+                    try:
+                        payloads.append(encode_png_palette(pixels))
+                    except ImageFormatError:
+                        payloads.append(encode_png(pixels))
                     continue
                 if leg == 2 and (doc_id // 5) % 3 == 1:
                     # PNG leg sub-rotation 1/3: VP8L lossless WebP,

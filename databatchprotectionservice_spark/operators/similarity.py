@@ -825,6 +825,37 @@ _DUCK_SUBDOT = (
 )
 
 
+
+def _adc_udf(luts):
+    """Shared ADC scoring kernel for the flat-PQ and IVFPQ queries:
+    per Arrow batch, gather-sum each row's M codes through its query's
+    broadcast (M, K) lookup table.  The qid column is converted once
+    per batch; exact int64 throughout."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def adc(qid, codes):
+        qa = qid.to_numpy()
+        C = np.stack(codes.to_numpy()).astype(np.int64)
+        out = np.zeros(len(C), dtype=np.int64)
+        for q in np.unique(qa):
+            sel = qa == q
+            lut = luts[int(q)]
+            out[sel] = lut[np.arange(PQ_M)[None, :], C[sel]].sum(axis=1)
+        return pd.Series(out)
+
+    return adc
+
+
+def _probe_lut(pv, cb):
+    """(M, K) table of subspace dot products between one query's int8
+    codes and the PQ codebook — the asymmetric half of ADC."""
+    return (pv.reshape(PQ_M, 1, PQ_SUBDIM) * cb).sum(axis=2)
+
+
 @register(
     "similarity_pq_topk",
     # the whole pipeline is INTEGER-EXACT: PQ runs over the int8
@@ -1387,7 +1418,7 @@ def similarity_ivfpq_topk(spark, sf_dir):
         if pn <= 0:
             continue
         qid = int(r["vec_id"])
-        luts[qid] = (pv.reshape(PQ_M, 1, PQ_SUBDIM) * cb).sum(axis=2)
+        luts[qid] = _probe_lut(pv, cb)
         dc = ((coarse - pv[None, :]) ** 2).sum(axis=1)
         for c in np.argsort(dc, kind="stable")[:IVF_PROBES]:
             probe_pairs.append((qid, int(c), pn))
@@ -1395,17 +1426,7 @@ def similarity_ivfpq_topk(spark, sf_dir):
     probes_df = spark.createDataFrame(
         probe_pairs, "query_id long, cluster int, pnorm long"
     )
-
-    @pandas_udf("long")
-    def adc(qid, codes):
-        C = np.stack(codes.to_numpy()).astype(np.int64)
-        out = np.zeros(len(C), dtype=np.int64)
-        for q in np.unique(qid.to_numpy()):
-            sel = qid.to_numpy() == q
-            lut = luts[int(q)]
-            out[sel] = lut[np.arange(PQ_M)[None, :], C[sel]].sum(axis=1)
-        return pd.Series(out)
-
+    adc = _adc_udf(luts)
     scored = (
         coded.filter(F.col("rnorm") > 0)
         .join(F.broadcast(probes_df), "cluster")  # the IVF pruning join

@@ -256,32 +256,65 @@ CHANGED: dict[str, int] = {
 }
 
 
+#: parse memo: (path, mtime_ns, size) signature of the artifact set ->
+#: the computed history.  The artifacts are immutable between rounds,
+#: and one registry listing consults the history several times
+#: (score_first + new_after_window per _ordered_specs call).
+_HISTORY_MEMO: dict[tuple, tuple[dict[str, int], int]] = {}
+
+
 def _verdict_history() -> tuple[dict[str, int], int]:
     """(query -> latest round with a green driver verdict, current round).
 
     Derived from the committed ``CORRECTNESS_r*.json`` artifacts at the
     repo root; current round = latest artifact round + 1.  Falls back to
     (empty, 1) outside the repo checkout (then the window is simply the
-    first ``SCORE_WINDOW`` registrations)."""
+    first ``SCORE_WINDOW`` registrations).  Tolerant of strangers in
+    the glob: files whose name lacks a numeric round suffix or whose
+    JSON is not the expected dict-of-rows shape are skipped, never
+    fatal — a stray ``.bak`` or work-in-progress artifact must not make
+    the registry unloadable."""
     import glob
     import json
     import re as _re
 
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json")))
+    sig = []
+    for path in paths:
+        try:
+            st = os.stat(path)
+            sig.append((path, st.st_mtime_ns, st.st_size))
+        except OSError:
+            continue
+    key = tuple(sig)
+    if key in _HISTORY_MEMO:
+        hist, cur = _HISTORY_MEMO[key]
+        return dict(hist), cur  # copy: callers may overlay/mutate
     last: dict[str, int] = {}
     max_round = 0
-    for path in sorted(glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))):
-        rnd = int(_re.search(r"_r(\d+)\.json$", path).group(1))
+    for path in paths:
+        match = _re.search(r"_r(\d+)\.json$", path)
+        if match is None:
+            continue
+        rnd = int(match.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
+        if not isinstance(rows, dict):
+            continue
         max_round = max(max_round, rnd)
         for name, row in rows.items():
-            if row.get("hash_match") or row.get("rows_match"):
+            if isinstance(row, dict) and (
+                row.get("hash_match") or row.get("rows_match")
+            ):
                 last[name] = max(last.get(name, 0), rnd)
-    return last, max_round + 1
+    result = ({k: v for k, v in last.items()}, max_round + 1)
+    _HISTORY_MEMO.clear()  # one live signature at a time is enough
+    _HISTORY_MEMO[key] = result
+    return result
 
 
 def cycle_len() -> int:

@@ -122,6 +122,7 @@ QUERIES = [
     # trainer must be flat in the shared-session probe)
     "similarity_ivfpq_topk",
     "multimodal_audio_flac_stats",
+    "multimodal_audio_adpcm_stats",
     "kmeans_embedding_clusters",
     "semdedup_embeddings",
 ]

@@ -252,3 +252,22 @@ def test_full_scalar_type_matrix_roundtrip():
 
 def test_ensure_protobuf_reports_runtime():
     assert ensure_protobuf() in ("protobuf", "miniproto")
+
+
+def test_oneof_parse_side_last_on_wire_wins(sm):
+    """Wire bytes carrying TWO members of one oneof must resolve to the
+    LAST arm on the wire (real-runtime merge semantics), not keep both:
+    re-serialization would otherwise hand the JVM an ambiguous oneof."""
+    both = (
+        sm.ImplicitGroupingKeyRequest(
+            setImplicitKey=sm.SetImplicitKey(key=b"k")
+        ).SerializeToString()
+        + sm.ImplicitGroupingKeyRequest(
+            removeImplicitKey=sm.RemoveImplicitKey()
+        ).SerializeToString()
+    )
+    req = sm.ImplicitGroupingKeyRequest()
+    req.ParseFromString(both)
+    assert req.WhichOneof("method") == "removeImplicitKey"
+    assert not req.HasField("setImplicitKey")
+    assert req.SerializeToString() == b"\x12\x00"
