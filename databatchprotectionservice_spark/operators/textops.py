@@ -1112,9 +1112,10 @@ def text_bpe_train(spark, sf_dir):
     the shuffle); the rewrite is a map-only scan; the driver sees ONE
     row per round.  Five rounds = five scans — a production trainer
     amortizes them by caching the rewritten corpus per round, which
-    this does.  Lineage is checkpoint-flattened per round (the
-    iterative-lineage lesson) — five rounds of withColumn over a
-    cached DataFrame would otherwise stack analysis cost.
+    this does — each round's rewrite is persisted and materialized BY
+    the corpus-length aggregate (one action doing both), so a round
+    costs two jobs, not three.  The replace-over-cache lineage is five
+    frames deep at most, far below where checkpoint flattening pays.
 
     The oracle unrolls the identical five rounds as chained CTEs, so
     training — not just tokenization — holds to the full hash gate."""
@@ -1123,6 +1124,7 @@ def text_bpe_train(spark, sf_dir):
         F.col("text").alias("t")
     )
     rows = []
+    cached = []  # rounds' rewrites, unpersisted on exit
     for r in range(BPE_MERGES):
         ph = BPE_PLACEHOLDERS[r]
         pairs = (
@@ -1145,14 +1147,22 @@ def text_bpe_train(spark, sf_dir):
         pair, c = best[0]["pair"], int(best[0]["c"])
         # literal-safe: the corpus-derived pair goes through F.lit, not
         # SQL-string interpolation (a quote/backslash in the winning
-        # bigram would break or rewrite an interpolated expression)
+        # bigram would break or rewrite an interpolated expression).
+        # cache + length-agg in ONE action: the aggregate materializes
+        # the rewritten corpus for the next round's pair count, so each
+        # round is two jobs (pairs, rewrite+len) instead of three
+        # (the old eager localCheckpoint was a jobs-only materializer;
+        # a 5-deep replace-over-cache lineage is trivially shallow)
         df = df.select(
             F.replace(F.col("t"), F.lit(pair), F.lit(ph)).alias("t")
-        ).localCheckpoint(eager=True)
+        ).persist()
+        cached.append(df)
         corpus_len = df.agg(
             F.sum(F.length("t")).cast("bigint").alias("n")
         ).collect()[0]["n"]
         rows.append((r + 1, pair, c, int(corpus_len)))
+    for d in cached:
+        d.unpersist()
     return spark.createDataFrame(
         rows,
         "merge_round int, pair string, n_occurrences long, "
