@@ -251,17 +251,27 @@ def bfs_purchase_distance(spark, sf_dir):
         .distinct()
         .select("v", F.lit(0).cast("bigint").alias("d"))
     )
+    cached = []
     for _ in range(BFS_ROUNDS):
         expanded = (
             edges.join(dist, edges.src == dist.v)
             .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
         )
+        # persist, don't eagerly checkpoint: each round's dist feeds the
+        # next round's join AND the union, so the cache deduplicates
+        # work, but materialization is deferred to ONE final checkpoint
+        # (4 rounds of join-union-agg is a shallow plan; the per-round
+        # eager job was pure overhead at this depth)
         dist = (
             dist.unionByName(expanded)
             .groupBy("v")
             .agg(F.min("d").alias("d"))
-            .localCheckpoint(eager=True)
+            .persist()
         )
+        cached.append(dist)
+    dist = dist.localCheckpoint(eager=True)
+    for d in cached:
+        d.unpersist()
     return dist.select(
         F.when(F.col("v") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
