@@ -260,6 +260,8 @@ def decode_wav_adpcm(data: bytes) -> tuple[int, np.ndarray]:
                 )
             fmt = struct.unpack("<HHIIHHHH", chunk[:20])
         elif tag == b"fact":
+            if length < 4:
+                raise AudioFormatError("fact chunk too short")
             (fact_frames,) = struct.unpack("<I", chunk[:4])
         elif tag == b"data":
             payload = chunk

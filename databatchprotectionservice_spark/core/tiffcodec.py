@@ -216,6 +216,8 @@ def decode_tiff(data: bytes) -> tuple[int, int, np.ndarray]:
     if predictor not in (1, 2):
         raise TiffFormatError(f"predictor {predictor} unsupported")
     rows_per_strip = one(_T_ROWS_PER_STRIP, h)
+    if rows_per_strip <= 0:
+        raise TiffFormatError(f"invalid RowsPerStrip {rows_per_strip}")
     offsets = tags.get(_T_STRIP_OFFSETS)
     counts = tags.get(_T_STRIP_COUNTS)
     if not offsets or not counts or len(offsets) != len(counts):

@@ -245,6 +245,9 @@ CHANGED: dict[str, int] = {
     "streaming_profile_tws": 9,
     # r9: probe collect folded into the codebook-seed collect
     "similarity_pq_topk": 9,
+    # r9: fuzz-campaign hardening — ADPCM short-fact-chunk domain error
+    # (decode path of the registered query; values unchanged)
+    "multimodal_audio_adpcm_stats": 9,
     # NOT declared: kmeans_embedding_clusters / semdedup_embeddings
     # gained a trained-centroid memo (operators/clustering.py
     # _FIT_MEMO) — a job-count change with BIT-IDENTICAL results

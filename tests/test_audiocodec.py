@@ -220,3 +220,25 @@ def test_adpcm_error_paths():
     bad2[data_at + 2] = 120  # index byte > 88
     with pytest.raises(AudioFormatError, match="out of range"):
         decode_wav_adpcm(bytes(bad2))
+
+
+def test_short_fact_chunk_is_a_domain_error():
+    """A corrupt fact chunk shorter than 4 bytes must raise
+    AudioFormatError, not struct.error (found by the extended fuzz
+    campaign)."""
+    import struct
+
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.audiocodec import (
+        AudioFormatError,
+        decode_wav_adpcm,
+        encode_wav_adpcm,
+    )
+
+    data = bytearray(encode_wav_adpcm(np.arange(600, dtype=np.int16)))
+    pos = data.find(b"fact")
+    assert pos != -1
+    struct.pack_into("<I", data, pos + 4, 2)  # claim a 2-byte fact body
+    with pytest.raises(AudioFormatError, match="fact chunk"):
+        decode_wav_adpcm(bytes(data))

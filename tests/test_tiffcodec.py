@@ -220,3 +220,28 @@ def test_allocation_guard():
     data = b"II*\x00" + struct.pack(bo + "I", 8) + _ifd(bo, entries) + strip
     with pytest.raises(TiffFormatError, match="range"):
         decode_tiff(data)
+
+
+def test_zero_rows_per_strip_is_a_domain_error():
+    """A corrupt RowsPerStrip of 0 must raise TiffFormatError, not
+    ZeroDivisionError (found by the extended fuzz campaign — a
+    non-domain exception escaping a mapInPandas decode kills the whole
+    task set with an undiagnosable traceback)."""
+    import struct
+
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.tiffcodec import (
+        TiffFormatError,
+        decode_tiff,
+        encode_tiff,
+    )
+
+    img = np.zeros((4, 5, 3), dtype=np.uint8)
+    data = bytearray(encode_tiff(img))
+    # locate the RowsPerStrip (tag 278) entry and zero its value
+    pos = data.find(struct.pack("<H", 278))
+    assert pos != -1
+    struct.pack_into("<I", data, pos + 8, 0)
+    with pytest.raises(TiffFormatError, match="RowsPerStrip"):
+        decode_tiff(bytes(data))
