@@ -19,6 +19,11 @@ This script reproduces that comparison with EXACT string equality (no
 rounding, no Decimal normalization) so local green implies driver green.
 
     python scripts/check_oracle.py [sf_dir] [query_name ...]
+
+Set ``CHECK_ORACLE_JSON=/path.json`` to also write a machine-readable
+artifact in the driver's CORRECTNESS format (per-query rows_match /
+schema_match / hash_match / err), so committed sweep logs can be
+diffed and consumed programmatically.
 """
 
 from __future__ import annotations
@@ -72,6 +77,7 @@ def main():
     spark = get_spark(app_name="check-oracle")
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
     failures = []
+    report: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -82,6 +88,12 @@ def main():
         except Exception as e:
             print(f"  {name:40s} SPARK ERROR: {str(e).splitlines()[0][:120]}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": None,
+                "oracle_rows": None,
+                "err": str(e).splitlines()[0][:200],
+            }
             continue
         t_spark = time.time() - t0
         sql = oracles.get(name)
@@ -97,6 +109,12 @@ def main():
         except Exception as e:
             print(f"  {name:40s} ORACLE ERROR: {str(e).splitlines()[0][:120]}")
             failures.append(name)
+            report[name] = {
+                "rows_match": False, "schema_match": False,
+                "hash_match": False, "spark_rows": len(spark_pdf),
+                "oracle_rows": None,
+                "err": str(e).splitlines()[0][:200],
+            }
             continue
         t_duck = time.time() - t0
         problems = []
@@ -129,6 +147,23 @@ def main():
             print(f"      !! {p}")
         if problems:
             failures.append(name)
+        rows_ok = len(spark_pdf) == len(duck_pdf)
+        schema_ok = sorted(spark_pdf.columns) == sorted(duck_pdf.columns)
+        report[name] = {
+            "rows_match": rows_ok,
+            "schema_match": schema_ok,
+            "hash_match": not problems,
+            "spark_rows": len(spark_pdf),
+            "oracle_rows": len(duck_pdf),
+            "err": None,
+        }
+    out_json = os.environ.get("CHECK_ORACLE_JSON")
+    if out_json:
+        import json
+
+        with open(out_json, "w") as fh:
+            json.dump(report, fh, indent=1, sort_keys=True)
+        print(f"wrote {out_json} ({len(report)} queries)")
     print()
     if failures:
         print(f"FAILED: {failures}")
