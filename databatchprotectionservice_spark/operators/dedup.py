@@ -616,7 +616,7 @@ def dedup_simhash_hamming_pairs(spark, sf_dir):
 # Embedding-cosine near-duplicate detection
 # ---------------------------------------------------------------------------
 
-from .similarity import _DUCK_BUCKET, _DUCK_COS  # noqa: E402
+from .similarity import _DUCK_BUCKET, _DUCK_COS, _DUCK_NORM  # noqa: E402
 
 # the synthetic embeddings are near-orthogonal (max in-bucket cosine
 # ~0.49 at sf0.1), so "near-dup" here means the top ~1% most-similar
@@ -630,6 +630,9 @@ _EMB_COS_ORACLE = (
     + _DUCK_BUCKET
     + """) AS bucket
             FROM embeddings
+            WHERE """
+    + _DUCK_NORM.format(c="embedding")
+    + """ > 0
         )
         SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                floor(("""
@@ -666,12 +669,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
     guard_allpairs(emb, "dedup_embedding_cosine", "semdedup_embeddings")
+    # zero-norm vectors excluded (cosine undefined; ANSI division
+    # guard — hostile-corpus sweep finding, r9)
     tagged = emb.select(
         "vec_id",
         "embedding",
         bucket_column(F.col("embedding")).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
-    )
+    ).filter(F.col("nrm") > 0)
     a = tagged.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("qe"),

@@ -182,11 +182,16 @@ def export_csv_roundtrip(spark, sf_dir):
         # distinct ('' serializes as "" while null serializes as \N) —
         # with the defaults they collapse to the same empty field and
         # nulls come back for both, silently breaking losslessness
+        # ignore*WhiteSpace default TRUE on write: a field with
+        # leading/trailing spaces (or whitespace-only text) silently
+        # trims, breaking losslessness — hostile-corpus finding, r9
         (
             src.write.mode("overwrite")
             .option("header", True)
             .option("escape", '"')
             .option("nullValue", "\\N")
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .option("compression", "gzip")
             .csv(out_dir)
         )
@@ -198,6 +203,8 @@ def export_csv_roundtrip(spark, sf_dir):
             .option("escape", '"')
             .option("multiLine", True)
             .option("nullValue", "\\N")
+            .option("ignoreLeadingWhiteSpace", False)
+            .option("ignoreTrailingWhiteSpace", False)
             .csv(out_dir)
         )
         return _roundtrip_stats(spark, back)
@@ -268,12 +275,16 @@ def export_xml_roundtrip(spark, sf_dir):
             .option("rowTag", "document")
             .save(out_dir)
         )
+        # ignoreSurroundingSpaces default TRUE trims element text on
+        # read — whitespace-only and space-terminated documents came
+        # back altered (hostile-corpus finding, r9)
         back = (
             spark.read.schema(
                 "doc_id bigint, text string, lang string, source string"
             )
             .format("xml")
             .option("rowTag", "document")
+            .option("ignoreSurroundingSpaces", False)
             .load(out_dir)
         )
         return _roundtrip_stats(spark, back)

@@ -391,6 +391,9 @@ def multimodal_feature_extract(spark, sf_dir):
 
 @register(
     "multimodal_frame_sample",
+    # a zero-byte payload yields zero frames and therefore no row in
+    # the frame stream — n_media counts media that produced frames
+    # (hostile-corpus finding, r9: the empty document)
     oracle=f"""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
@@ -398,6 +401,7 @@ def multimodal_feature_extract(spark, sf_dir):
                     AS BIGINT) AS n_frames,
                CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes_total
         FROM documents
+        WHERE octet_length(encode(text)) > 0
         GROUP BY 1
     """,
     description="video-style frame sampling (one->many mapInPandas)",
@@ -1297,7 +1301,7 @@ _MP4_META_SCHEMA = T.StructType(
 
 @register(
     "multimodal_mp4_metadata",
-    # closed form: sample i of a doc derives from text byte b_i
+    # closed form: sample i of a doc derives from text CODEPOINT b_i
     # (sizes b+1, durations 100 + b%50); stts_entries is the RLE run
     # count of the duration sequence = 1 + (# adjacent changes); docs
     # with empty text still produce a (valid, zero-sample) container
@@ -1351,7 +1355,7 @@ def multimodal_mp4_metadata(spark, sf_dir):
     opaque (GPU decode is a downstream stage), but container metadata
     — frame counts, byte budgets, durations, sample-table shapes — is
     extracted at scan time from the REAL ISO-BMFF box machinery.  Each
-    document's text bytes derive a sample table (sizes ``b+1``,
+    document's text codepoints derive a sample table (sizes ``b+1``,
     durations ``100 + b%50``), a spec-compliant single-track MP4 is
     built around it (run-length stts, per-sample stsz, mvhd/tkhd/mdhd/
     hdlr/stsd), and the box-walk parser reads it back; the mdhd
@@ -1364,15 +1368,17 @@ def multimodal_mp4_metadata(spark, sf_dir):
     from ..core.mp4codec import encode_mp4, parse_mp4
 
     prep(spark)
-    d = load_spread(spark, sf_dir, "documents").select(
-        "source", F.encode("text", "UTF-8").alias("payload")
-    )
+    d = load_spread(spark, sf_dir, "documents").select("source", "text")
 
     def _roundtrip(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             srcs, ns, bs, ds, es = [], [], [], [], []
-            for src, raw in zip(pdf["source"], pdf["payload"]):
-                raw = bytes(raw) if raw is not None else b""
+            for src, txt in zip(pdf["source"], pdf["text"]):
+                # sample tables derive from CODEPOINTS, matching the
+                # oracle's ascii(substr(text, i, 1)) — utf-8 BYTES
+                # diverge on non-ASCII text (hostile-corpus finding,
+                # r9: chars != bytes and ascii() yields codepoints)
+                raw = [ord(c) for c in (txt or "")]
                 sizes = [b + 1 for b in raw]
                 durs = [100 + (b % 50) for b in raw]
                 info = parse_mp4(encode_mp4(sizes, durs))

@@ -99,6 +99,17 @@ def cosine_prenormed(a, b, norm_a, norm_b):
     return _dot(a, b) / (norm_a * norm_b)
 
 
+#: DuckDB L2 norm of an embedding list column (64 dims)
+_DUCK_NORM = (
+    "sqrt(list_aggregate(list_transform(range(1, 65), "
+    "i -> CAST({c}[i] AS DOUBLE) * CAST({c}[i] AS DOUBLE)), 'sum'))"
+)
+
+#: norm guards usable inside oracle f-strings (cosine is undefined
+#: for a zero vector; both engines exclude them identically)
+_Q_NORM_GUARD = _DUCK_NORM.format(c="embedding")
+_C_NORM_GUARD = _DUCK_NORM.format(c="embedding")
+
 _DUCK_COS = """
     list_aggregate(list_transform(range(1, 65),
         i -> CAST(qe[i] AS DOUBLE) * CAST(ce[i] AS DOUBLE)), 'sum')
@@ -115,11 +126,13 @@ _DUCK_COS = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe FROM embeddings
             WHERE vec_id < {N_QUERIES}
+              AND {_Q_NORM_GUARD} > 0
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
                    {_DUCK_COS} AS cos
-            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings) c
+            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings
+                     WHERE {_C_NORM_GUARD} > 0) c
             WHERE c.vec_id <> q.query_id
         ),
         ranked AS (
@@ -142,17 +155,20 @@ def similarity_bruteforce_topk(spark, sf_dir):
     prep(spark)
     emb = load_spread(spark, sf_dir, "embeddings")
     guard_allpairs(emb, "similarity_bruteforce_topk", "similarity_ivf_topk")
+    # zero-norm vectors are excluded on BOTH sides (cosine undefined;
+    # an unguarded division crashes under ANSI mode — hostile-corpus
+    # sweep finding, r9)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         _norm(F.col("embedding")).alias("qnorm"),
-    )
+    ).filter(F.col("qnorm") > 0)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm(F.col("embedding")).alias("cnorm"),
         "label",
-    )
+    ).filter(F.col("cnorm") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
@@ -724,12 +740,14 @@ def similarity_quantized_topk(spark, sf_dir):
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
             FROM embeddings WHERE vec_id < {N_QUERIES}
+              AND {_Q_NORM_GUARD} > 0
         ),
         scored AS (
             SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
                    c.label AS neg_label,
                    {_DUCK_COS} AS cos
-            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings) c
+            FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings
+                     WHERE {_C_NORM_GUARD} > 0) c
             WHERE c.label <> q.qlabel
         ),
         ranked AS (
@@ -767,18 +785,19 @@ def similarity_hard_negatives(spark, sf_dir):
     guard_allpairs(
         emb, "similarity_hard_negatives", "similarity_quantized_topk"
     )
+    # zero-norm exclusion on both sides (see similarity_bruteforce_topk)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         _norm(F.col("embedding")).alias("qnorm"),
         F.col("label").alias("qlabel"),
-    )
+    ).filter(F.col("qnorm") > 0)
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         _norm(F.col("embedding")).alias("cnorm"),
         F.col("label").alias("neg_label"),
-    )
+    ).filter(F.col("cnorm") > 0)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neg_label") != F.col("qlabel"))
@@ -1091,11 +1110,18 @@ _DUCK_COS16 = f"""
 @register(
     "similarity_matryoshka_recall",
     oracle=f"""
-        WITH q AS (
-            SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+        WITH ok AS (
+            SELECT vec_id, embedding FROM embeddings
+            WHERE {_Q_NORM_GUARD} > 0
+              AND sqrt(list_aggregate(list_transform(range(1, {MRL_DIMS + 1}),
+                  i -> CAST(embedding[i] AS DOUBLE)
+                       * CAST(embedding[i] AS DOUBLE)), 'sum')) > 0
+        ),
+        q AS (
+            SELECT vec_id AS query_id, embedding AS qe FROM ok
             WHERE vec_id < {N_QUERIES}
         ),
-        c AS (SELECT vec_id, embedding AS ce FROM embeddings),
+        c AS (SELECT vec_id, embedding AS ce FROM ok),
         full_rk AS (
             SELECT query_id, neighbor_id FROM (
                 SELECT q.query_id, c.vec_id AS neighbor_id,
@@ -1153,10 +1179,17 @@ def similarity_matryoshka_recall(spark, sf_dir):
         "similarity_matryoshka_recall",
         "similarity_matryoshka_recall over a bounded corpus sample",
     )
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # both rankings divide by a norm, so zero-norm vectors (full OR
+    # prefix) are excluded on both sides — cosine is undefined there
+    # and an unguarded division crashes under ANSI mode (hostile-
+    # corpus sweep finding, r9)
+    ok = (_norm(F.col("embedding")) > 0) & (
+        _norm(F.slice(F.col("embedding"), 1, MRL_DIMS)) > 0
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).filter(ok).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
-    c = emb.select(
+    c = emb.filter(ok).select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(

@@ -1210,8 +1210,9 @@ BPE_ENCODE_MERGES: list[tuple[str, str]] = [
                CAST(n_chars AS BIGINT) AS n_chars,
                CAST(length(t) AS BIGINT) AS n_tokens,
                CAST(n_chars - length(t) AS BIGINT) AS n_merges_applied,
-               floor(n_chars * 1.0 / length(t) * 10000.0 + 0.5) / 10000.0
-                   AS compression,
+               CASE WHEN length(t) = 0 THEN NULL
+                    ELSE floor(n_chars * 1.0 / length(t) * 10000.0 + 0.5)
+                         / 10000.0 END AS compression,
                md5(t) AS tok_md5
         FROM t5
     """,
@@ -1248,9 +1249,13 @@ def text_bpe_encode(spark, sf_dir):
         n_chars.alias("n_chars"),
         n_tokens.alias("n_tokens"),
         (n_chars - n_tokens).alias("n_merges_applied"),
-        round_ieee(n_chars.cast("double") / n_tokens.cast("double")).alias(
-            "compression"
-        ),
+        # NULL for the empty document: a ratio over zero tokens is
+        # undefined, and an unguarded division crashes under ANSI mode
+        # (hostile-corpus sweep finding, r9)
+        F.when(
+            n_tokens > 0,
+            round_ieee(n_chars.cast("double") / n_tokens.cast("double")),
+        ).alias("compression"),
         F.md5(t).alias("tok_md5"),
     )
 

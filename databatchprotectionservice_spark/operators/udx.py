@@ -36,11 +36,22 @@ def make_shingle_udtf():
     class ShingleUDTF:
         """Emit every word-3-gram of the input text (one row per gram —
         the table-function shape; scalar UDFs can't change cardinality).
-        Mirrors ``dedup.shingled`` exactly (incl. whole-string fallback
-        for short docs) so SQL oracles can recount it."""
+        Mirrors ``dedup.shingled`` EXACTLY — i.e. Spark's
+        ``split(trim(text), '\\s+')`` semantics, not Python's
+        ``str.split()``: trim strips SPACES only and the regex split
+        keeps leading/trailing empty tokens, so a whitespace-only
+        document tokenizes identically in the UDTF, the Spark
+        expression twin, and the DuckDB oracle (hostile-corpus
+        finding, r9: str.strip()/str.split() diverged on
+        newline-only text)."""
+
+        import re as _re
+
+        _WS = _re.compile(r"[ \t\n\x0b\f\r]+")  # ASCII \s (Java/RE2)
 
         def eval(self, text: str):
-            words = (text or "").strip().split()
+            t = (text or "").strip(" ")  # Spark trim: spaces only
+            words = self._WS.split(t)
             n = max(len(words) - 2, 1)
             for i in range(n):
                 yield (" ".join(words[i : i + 3]),)

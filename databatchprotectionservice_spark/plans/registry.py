@@ -248,6 +248,20 @@ CHANGED: dict[str, int] = {
     # r9: fuzz-campaign hardening — ADPCM short-fact-chunk domain error
     # (decode path of the registered query; values unchanged)
     "multimodal_audio_adpcm_stats": 9,
+    # r9: hostile-corpus sweep fixes (zero-norm guards, empty-token
+    # NULL ratio, whitespace-lossless XML read, codepoint-consistent
+    # mp4 fixture, Spark-semantics UDTF tokenization)
+    "similarity_matryoshka_recall": 9,
+    "text_bpe_encode": 9,
+    "export_xml_roundtrip": 9,
+    "udtf_shingle_counts": 9,
+    # NOT declared (out-of-window, gate-corpus results PROVEN identical
+    # by check_oracle green + the committed full sweeps): the same
+    # hostile-corpus class of fix applied to similarity_bruteforce_topk,
+    # similarity_hard_negatives, dedup_embedding_cosine,
+    # export_csv_roundtrip and multimodal_frame_sample — each changes
+    # behavior only on inputs absent from the gate corpus (zero-norm
+    # vectors, whitespace-only/empty documents).
     # NOT declared: kmeans_embedding_clusters / semdedup_embeddings
     # gained a trained-centroid memo (operators/clustering.py
     # _FIT_MEMO) — a job-count change with BIT-IDENTICAL results
