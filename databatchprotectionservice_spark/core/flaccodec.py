@@ -98,12 +98,22 @@ def _encode_coded_number(val: int) -> bytes:
 
 
 class _Bits:
-    __slots__ = ("s", "pos")
+    __slots__ = ("s", "arr", "pos", "_ones")
 
     def __init__(self, data: bytes):
         bits = np.unpackbits(np.frombuffer(data, dtype=np.uint8))
+        self.arr = bits
         self.s = (bits + ord("0")).astype(np.uint8).tobytes().decode("ascii")
         self.pos = 0
+        self._ones = None
+
+    @property
+    def ones(self) -> np.ndarray:
+        """Positions of all set bits (lazy; lets the k=0 Rice path and
+        truncation checks run as one vectorized pass)."""
+        if self._ones is None:
+            self._ones = np.flatnonzero(self.arr)
+        return self._ones
 
     def read(self, n: int) -> int:
         p = self.pos
@@ -157,7 +167,17 @@ _FIXED_COEFS = {
 # ---------------------------------------------------------------------------
 
 
-def _decode_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
+def _decode_residual(br: _Bits, blocksize: int, order: int) -> np.ndarray:
+    """Rice/Rice2 residual partitions -> int64 ndarray.
+
+    The three partition shapes each take their fastest exact path:
+    escape partitions batch-convert fixed-width fields with one
+    matrix product; k=0 partitions have NO remainder bits, so every
+    set bit in range is a unary terminator and the whole partition is
+    ``diff`` over the precomputed ones index; k>0 partitions keep the
+    sequential scan (remainder bits can contain ones) but fused into
+    one local-variable loop — one ``str.index`` + one ``int(_, 2)``
+    per sample, zigzag unfolded vectorized per partition."""
     method = br.read(2)
     if method > 1:
         raise FlacFormatError(f"reserved residual method {method}")
@@ -167,27 +187,86 @@ def _decode_residual(br: _Bits, blocksize: int, order: int) -> list[int]:
     nparts = 1 << po
     if blocksize % nparts or blocksize // nparts <= order and po:
         raise FlacFormatError("invalid rice partition order")
-    out: list[int] = []
+    s = br.s
+    slen = len(s)
+    pos = br.pos
+    chunks: list[np.ndarray] = []
     for p in range(nparts):
         n = blocksize // nparts - (order if p == 0 else 0)
         if n < 0:
             raise FlacFormatError("partition smaller than predictor order")
-        k = br.read(plen)
+        if pos + plen > slen:
+            raise FlacFormatError("bitstream truncated")
+        k = int(s[pos : pos + plen], 2)
+        pos += plen
         if k == escape:
-            width = br.read(5)
-            if width:
-                out.extend(br.read_signed(width) for _ in range(n))
+            if pos + 5 > slen:
+                raise FlacFormatError("bitstream truncated")
+            width = int(s[pos : pos + 5], 2)
+            pos += 5
+            if width and n:
+                end = pos + n * width
+                if end > slen:
+                    raise FlacFormatError("bitstream truncated")
+                seg = br.arr[pos:end].reshape(n, width).astype(np.int64)
+                pw = np.int64(1) << np.arange(
+                    width - 1, -1, -1, dtype=np.int64
+                )
+                vals = seg @ pw
+                sign = np.int64(1) << np.int64(width - 1)
+                vals = np.where(
+                    vals & sign, vals - (np.int64(1) << np.int64(width)), vals
+                )
+                chunks.append(vals)
+                pos = end
             else:
-                out.extend([0] * n)
+                chunks.append(np.zeros(n, dtype=np.int64))
             continue
-        for _ in range(n):
-            q = br.read_unary()
-            u = (q << k) | br.read(k)
-            out.append((u >> 1) ^ -(u & 1))
-    return out
+        if n == 0:
+            continue
+        if k == 0:
+            ones = br.ones
+            j = int(np.searchsorted(ones, pos))
+            if j + n > len(ones):
+                raise FlacFormatError("bitstream truncated in unary run")
+            term = ones[j : j + n]
+            u = np.empty(n, dtype=np.int64)
+            u[0] = int(term[0]) - pos
+            if n > 1:
+                u[1:] = np.diff(term) - 1
+            pos = int(term[-1]) + 1
+        else:
+            find = s.index
+            vals_l: list[int] = []
+            ap = vals_l.append
+            try:
+                for _ in range(n):
+                    i1 = find("1", pos)
+                    ap(((i1 - pos) << k) | int(s[i1 + 1 : i1 + 1 + k], 2))
+                    pos = i1 + 1 + k
+            except ValueError:
+                raise FlacFormatError(
+                    "bitstream truncated in unary run"
+                ) from None
+            if pos > slen:
+                raise FlacFormatError("bitstream truncated")
+            u = np.asarray(vals_l, dtype=np.int64)
+        chunks.append((u >> 1) ^ -(u & 1))
+    br.pos = pos
+    if not chunks:
+        return np.zeros(0, dtype=np.int64)
+    return chunks[0] if len(chunks) == 1 else np.concatenate(chunks)
 
 
-def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
+def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> np.ndarray:
+    """One subframe -> int64 sample ndarray (length ``blocksize``).
+
+    FIXED restore is the order-``o`` inverse difference, i.e. ``o``
+    iterated ``cumsum`` passes seeded from the warmup samples — exact
+    int64 and fully vectorized (every intermediate value is a genuine
+    (j-1)-th difference of the signal, so no accumulation blowup).
+    LPC stays sequential (true IIR with a floor shift) but runs with
+    rolling scalars for the common orders 1/2."""
     if br.read(1):
         raise FlacFormatError("subframe padding bit set")
     t = br.read(6)
@@ -198,23 +277,43 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
     if bps <= 0:
         raise FlacFormatError("wasted bits exceed sample size")
     if t == 0:  # CONSTANT
-        out = [br.read_signed(bps)] * blocksize
+        out = np.full(blocksize, br.read_signed(bps), dtype=np.int64)
     elif t == 1:  # VERBATIM
-        out = [br.read_signed(bps) for _ in range(blocksize)]
+        end = br.pos + blocksize * bps
+        if end > len(br.s):
+            raise FlacFormatError("bitstream truncated")
+        seg = br.arr[br.pos : end].reshape(blocksize, bps).astype(np.int64)
+        pw = np.int64(1) << np.arange(bps - 1, -1, -1, dtype=np.int64)
+        vals = seg @ pw
+        sign = np.int64(1) << np.int64(bps - 1)
+        out = np.where(
+            vals & sign, vals - (np.int64(1) << np.int64(bps)), vals
+        )
+        br.pos = end
     elif 8 <= t <= 12:  # FIXED
         order = t - 8
         if order > blocksize:
             raise FlacFormatError("predictor order exceeds blocksize")
-        out = [br.read_signed(bps) for _ in range(order)]
+        warm = np.array(
+            [br.read_signed(bps) for _ in range(order)], dtype=np.int64
+        )
         res = _decode_residual(br, blocksize, order)
-        coefs = _FIXED_COEFS[order]
-        for r in res:
-            out.append(r + sum(c * out[-1 - j] for j, c in enumerate(coefs)))
+        if order == 0:
+            out = res
+        else:
+            # res holds the order-th differences; integrate back one
+            # order per pass, each pass seeded with the last warmup
+            # value of that difference order (np.diff(warm, 0) = warm)
+            cur = res
+            for j in range(order, 0, -1):
+                seed = int(np.diff(warm, j - 1)[-1])
+                cur = np.cumsum(cur) + seed
+            out = np.concatenate([warm, cur])
     elif t >= 32:  # LPC
         order = t - 31
         if order > blocksize:
             raise FlacFormatError("predictor order exceeds blocksize")
-        out = [br.read_signed(bps) for _ in range(order)]
+        outl = [br.read_signed(bps) for _ in range(order)]
         prec = br.read(4)
         if prec == 0b1111:
             raise FlacFormatError("invalid lpc precision code")
@@ -223,14 +322,38 @@ def _decode_subframe(br: _Bits, blocksize: int, bps: int) -> list[int]:
         if shift < 0:
             raise FlacFormatError("negative lpc shift")
         coefs = [br.read_signed(prec) for _ in range(order)]
-        res = _decode_residual(br, blocksize, order)
-        for r in res:
-            pred = sum(c * out[-1 - j] for j, c in enumerate(coefs)) >> shift
-            out.append(r + pred)
+        res = _decode_residual(br, blocksize, order).tolist()
+        if order == 1:
+            c0 = coefs[0]
+            p1 = outl[-1]
+            for r in res:
+                p1 = r + ((c0 * p1) >> shift)
+                outl.append(p1)
+        elif order == 2:
+            c0, c1 = coefs
+            p1, p2 = outl[-1], outl[-2]
+            for r in res:
+                v = r + ((c0 * p1 + c1 * p2) >> shift)
+                outl.append(v)
+                p2 = p1
+                p1 = v
+        else:
+            for r in res:
+                m = len(outl)
+                acc = 0
+                for j in range(order):
+                    acc += coefs[j] * outl[m - 1 - j]
+                outl.append(r + (acc >> shift))
+        try:
+            out = np.asarray(outl, dtype=np.int64)
+        except OverflowError:
+            # corrupt LPC coefficients make the IIR feedback diverge;
+            # genuine samples are bounded by bps (<= 33 bits)
+            raise FlacFormatError("lpc reconstruction out of range") from None
     else:
         raise FlacFormatError(f"reserved subframe type {t}")
     if wasted:
-        out = [v << wasted for v in out]
+        out = out << wasted
     return out
 
 
@@ -271,7 +394,8 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
         raise FlacFormatError("invalid sample rate 0")
 
     nch = info["channels"]
-    channels_out: list[list[int]] = [[] for _ in range(nch)]
+    channels_out: list[list[np.ndarray]] = [[] for _ in range(nch)]
+    decoded = 0
     frame_data = data[pos:]
     br = _Bits(frame_data)
     total_bits = len(br.s)
@@ -349,33 +473,34 @@ def decode_flac(data: bytes) -> tuple[int, int, np.ndarray]:
             for c in range(frame_nch)
         ]
         if ch_code == 0b1000:  # left-side: right = left - side
-            subs = [subs[0], [l - s for l, s in zip(subs[0], subs[1])]]
+            subs = [subs[0], subs[0] - subs[1]]
         elif ch_code == 0b1001:  # right-side: left = right + side
-            subs = [[r + s for s, r in zip(subs[0], subs[1])], subs[1]]
+            subs = [subs[1] + subs[0], subs[1]]
         elif ch_code == 0b1010:  # mid-side
             # l+r = (mid<<1)|(side&1) and l-r = side, so 2l is exact
             # and the floor shift loses nothing
-            left = [(((m << 1) | (s & 1)) + s) >> 1 for m, s in
-                    zip(subs[0], subs[1])]
-            subs = [left, [l - s for l, s in zip(left, subs[1])]]
+            side = subs[1]
+            left = (((subs[0] << 1) | (side & 1)) + side) >> 1
+            subs = [left, left - side]
         br.align()
         frame_bytes = frame_data[frame_start_bit // 8 : br.pos // 8]
         if crc16(frame_bytes) != br.read(16):
             raise FlacFormatError("frame CRC-16 mismatch")
         for c in range(nch):
-            channels_out[c].extend(subs[c])
-        if info["total"] and len(channels_out[0]) >= info["total"]:
+            channels_out[c].append(subs[c])
+        decoded += blocksize
+        if info["total"] and decoded >= info["total"]:
             break
 
-    n = info["total"] or len(channels_out[0])
-    if len(channels_out[0]) < n:
+    n = info["total"] or decoded
+    if decoded < n:
         raise FlacFormatError("stream ends before total_samples")
     dtype = np.int16 if info["bps"] <= 16 else np.int32
     out = np.empty((n, nch), dtype=dtype)
     for c in range(nch):
-        out[:, c] = np.asarray(channels_out[c][:n], dtype=np.int64).astype(
-            dtype
-        )
+        parts_c = channels_out[c] or [np.zeros(0, dtype=np.int64)]
+        full = np.concatenate(parts_c) if len(parts_c) != 1 else parts_c[0]
+        out[:, c] = full[:n].astype(dtype)
     if info["md5"] != b"\x00" * 16 and info["bps"] == 16:
         le = out.astype("<i2").tobytes()
         if hashlib.md5(le).digest() != info["md5"]:
@@ -399,12 +524,29 @@ def _emit_residual(parts: list[str], res: np.ndarray) -> None:
     parts.append("00")  # method: rice, 4-bit parameters
     parts.append("0000")  # partition order 0
     parts.append(format(best_k, "04b"))
-    for uv in u.tolist():
-        q, r = uv >> best_k, uv & ((1 << best_k) - 1)
-        # k == 0 carries NO remainder bits (format(0, "00b") would
-        # still emit one '0' — a stray bit per sample)
-        rem = format(r, f"0{best_k}b") if best_k else ""
-        parts.append("0" * q + "1" + rem)
+    # assemble the whole partition as one bit array: sample i is
+    # q_i zeros, a terminator one, then k remainder bits (k == 0
+    # carries NO remainder bits)
+    k = best_k
+    q = u >> k
+    n = len(u)
+    if n == 0:
+        return
+    step = q + 1 + k
+    starts = np.zeros(n, dtype=np.int64)
+    if n > 1:
+        starts[1:] = np.cumsum(step[:-1])
+    total = int(starts[-1] + step[-1])
+    bits = np.zeros(total, dtype=np.uint8)
+    term = starts + q
+    bits[term] = 1
+    if k:
+        r = u & ((1 << k) - 1)
+        shifts = np.arange(k - 1, -1, -1, dtype=np.int64)
+        rem = ((r[:, None] >> shifts[None, :]) & 1).astype(np.uint8)
+        idx = term[:, None] + 1 + np.arange(k, dtype=np.int64)[None, :]
+        bits[idx.ravel()] = rem.ravel()
+    parts.append((bits + ord("0")).astype(np.uint8).tobytes().decode("ascii"))
 
 
 def _signed_bits(v: int, n: int) -> str:
