@@ -143,6 +143,120 @@ def _ima_decode_nibbles(nibbles, predictor: int, index: int):
     return out, predictor, index
 
 
+def _ima_tables() -> tuple[np.ndarray, np.ndarray]:
+    """(DIFF, NEXT) lockstep tables: DIFF[index, nibble] is the signed
+    predictor delta the reference loop computes for that state, and
+    NEXT[index, nibble] the clamped follow-up step index.  The index
+    walk depends only on the nibble stream (never on the predictor),
+    so with these tables a whole batch of blocks decodes in lockstep —
+    one gather + clip per sample position across every block at once,
+    bit-identical to ``_ima_decode_nibbles``."""
+    global _IMA_DIFF, _IMA_NEXT
+    if _IMA_DIFF is None:
+        diff = np.empty((89, 16), dtype=np.int32)
+        nxt = np.empty((89, 16), dtype=np.int64)
+        for i, step in enumerate(IMA_STEP_TABLE):
+            for n in range(16):
+                d = step >> 3
+                if n & 1:
+                    d += step >> 2
+                if n & 2:
+                    d += step >> 1
+                if n & 4:
+                    d += step
+                diff[i, n] = -d if n & 8 else d
+                nxt[i, n] = max(0, min(88, i + IMA_INDEX_TABLE[n & 7]))
+        _IMA_DIFF, _IMA_NEXT = diff, nxt
+    return _IMA_DIFF, _IMA_NEXT
+
+
+_IMA_DIFF = None
+_IMA_NEXT = None
+
+
+def _ima_decode_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(nb, block_align) uint8 block matrix -> (nb, spb) int16 samples.
+
+    Every IMA block is self-contained (the 4-byte header carries sample
+    0 verbatim plus the step index), so arbitrarily many blocks — from
+    one file or a whole Arrow batch of files — decode in lockstep: the
+    loop runs over the ``spb - 1`` sample positions, each iteration a
+    table gather + clip across all blocks."""
+    diff_t, next_t = _ima_tables()
+    nb, block_align = blocks.shape
+    if nb == 0:
+        return np.zeros((0, (block_align - 4) * 2 + 1), dtype=np.int16)
+    preds = (
+        blocks[:, :2].copy().view("<i2")[:, 0].astype(np.int32)
+    )
+    idx = blocks[:, 2].astype(np.int64)
+    if idx.size and int(idx.max()) > 88:
+        raise AudioFormatError(
+            f"ADPCM step index {int(idx.max())} out of range"
+        )
+    body = blocks[:, 4:]
+    n_nib = (block_align - 4) * 2
+    nibs = np.empty((nb, n_nib), dtype=np.int64)
+    nibs[:, 0::2] = body & 0xF
+    nibs[:, 1::2] = body >> 4
+    out = np.empty((nb, n_nib + 1), dtype=np.int16)
+    out[:, 0] = preds
+    pred = preds
+    for t in range(n_nib):
+        n = nibs[:, t]
+        pred = np.clip(pred + diff_t[idx, n], -32768, 32767)
+        out[:, t + 1] = pred
+        idx = next_t[idx, n]
+    return out
+
+
+def _ima_encode_blocks(mat: np.ndarray, valid: np.ndarray) -> np.ndarray:
+    """(nb, spb) int16 sample matrix + per-block valid counts ->
+    (nb, block_align) uint8 block bytes.
+
+    Blocks are encoded SELF-CONTAINED (step index restarts at 0; the
+    block header's index field exists precisely so the decoder honors
+    it), which removes the only cross-block dependency and lets every
+    block — from one clip or a whole fixture batch — run the nibble
+    search in lockstep: one vectorized quantize + table walk per
+    sample position across all blocks at once.  Positions past
+    ``valid`` samples emit zero nibbles, the standard tail padding."""
+    diff_t, next_t = _ima_tables()
+    nb, spb = mat.shape
+    n_nib = spb - 1
+    step_t = np.asarray(IMA_STEP_TABLE, dtype=np.int32)
+    tgt = mat[:, 1:].astype(np.int32)
+    pred = mat[:, 0].astype(np.int32)
+    idx = np.zeros(nb, dtype=np.int64)
+    nibs = np.empty((nb, n_nib), dtype=np.int64)
+    for t in range(n_nib):
+        step = step_t[idx]
+        delta = tgt[:, t] - pred
+        neg = delta < 0
+        delta = np.abs(delta)
+        nib = np.where(neg, np.int64(8), np.int64(0))
+        b4 = delta >= step
+        nib = nib | (b4.astype(np.int64) << 2)
+        delta = delta - step * b4
+        half = step >> 1
+        b2 = delta >= half
+        nib = nib | (b2.astype(np.int64) << 1)
+        delta = delta - half * b2
+        nib = nib | (delta >= (step >> 2)).astype(np.int64)
+        # reconstruct exactly as the decoder will
+        pred = np.clip(pred + diff_t[idx, nib], -32768, 32767)
+        idx = next_t[idx, nib]
+        nibs[:, t] = nib
+    cols = np.arange(n_nib, dtype=np.int64)
+    nibs[cols[None, :] >= (valid[:, None] - 1)] = 0  # zero-nibble padding
+    out = np.empty((nb, 4 + n_nib // 2), dtype=np.uint8)
+    out[:, 0:2] = mat[:, 0].astype("<i2").view(np.uint8).reshape(nb, 2)
+    out[:, 2] = 0  # step index restarts at 0 each block
+    out[:, 3] = 0  # reserved
+    out[:, 4:] = nibs[:, 0::2] | (nibs[:, 1::2] << 4)
+    return out
+
+
 def encode_wav_adpcm(
     samples: np.ndarray, rate: int = 8000, block_align: int = 132
 ) -> bytes:
@@ -153,19 +267,24 @@ def encode_wav_adpcm(
     ``block_align - 4`` nibble-pair bytes, so each block holds
     ``(block_align - 4) * 2 + 1`` samples; the final partial block is
     zero-nibble padded and the true frame count rides in the ``fact``
-    chunk, exactly as real encoders emit."""
+    chunk, exactly as real encoders emit.  Each block's step-index
+    walk restarts at 0 (self-contained blocks — see
+    ``_ima_encode_blocks``)."""
     if samples.dtype != np.int16 or samples.ndim != 1:
         raise AudioFormatError("encode_wav_adpcm expects (n,) int16 mono")
     n = len(samples)
     if n == 0:
         raise AudioFormatError("encode_wav_adpcm needs at least one sample")
     spb = (block_align - 4) * 2 + 1
+    # reference per-sample walk (fast at single-clip width, where the
+    # lockstep's 256 short numpy ops would cost more than the loop);
+    # byte-identical to _ima_encode_blocks, pinned by the unit suite
     blocks = bytearray()
-    index = 0
     pos = 0
     while pos < n:
         chunk = samples[pos : pos + spb]
         pred = int(chunk[0])
+        index = 0  # self-contained blocks: the index walk restarts
         blocks += struct.pack("<hBB", pred, index, 0)
         nibbles = []
         for s in chunk[1:]:
@@ -201,6 +320,7 @@ def encode_wav_adpcm(
         for lo, hi in zip(nibbles[0::2], nibbles[1::2]):
             blocks.append(lo | (hi << 4))
         pos += spb
+    blocks = bytes(blocks)
     fmt = struct.pack(
         "<HHIIHHHH",
         0x11,
@@ -226,14 +346,11 @@ def encode_wav_adpcm(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def decode_wav_adpcm(data: bytes) -> tuple[int, np.ndarray]:
-    """RIFF/WAVE IMA-ADPCM (mono, format tag 0x11) -> (rate, samples).
-
-    Block-structured decode: each block's header predictor IS sample
-    0 (emitted verbatim), the step index resumes from the header, and
-    the nibble stream drives the integer state machine.  The ``fact``
-    chunk's frame count trims the final block's zero-nibble padding —
-    without honoring it a decoder silently appends garbage samples."""
+def _parse_wav_adpcm(
+    data: bytes,
+) -> tuple[int, int, int, bytes, int | None]:
+    """RIFF walk + geometry validation for an IMA-ADPCM WAV file ->
+    (rate, block_align, spb, payload, fact_frames)."""
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise AudioFormatError("not a RIFF/WAVE file")
     pos = 12
@@ -283,11 +400,24 @@ def decode_wav_adpcm(data: bytes) -> tuple[int, np.ndarray]:
         )
     if len(payload) % block_align:
         raise AudioFormatError("ADPCM data not a whole number of blocks")
+    return rate, block_align, spb, payload, fact_frames
+
+
+def decode_wav_adpcm(data: bytes) -> tuple[int, np.ndarray]:
+    """RIFF/WAVE IMA-ADPCM (mono, format tag 0x11) -> (rate, samples).
+
+    Block-structured decode: each block's header predictor IS sample
+    0 (emitted verbatim), the step index resumes from the header, and
+    the nibble stream drives the integer state machine.  The ``fact``
+    chunk's frame count trims the final block's zero-nibble padding —
+    without honoring it a decoder silently appends garbage samples.
+    Single-file path: the reference per-nibble walk (fast at one
+    file's block width; ``decode_wav_adpcm_batch`` is the lockstep
+    bulk path, bit-identical)."""
+    rate, block_align, _spb, payload, fact_frames = _parse_wav_adpcm(data)
     out: list[int] = []
     for b0 in range(0, len(payload), block_align):
-        pred, index, _ = struct.unpack(
-            "<hBB", payload[b0 : b0 + 4]
-        )
+        pred, index, _ = struct.unpack("<hBB", payload[b0 : b0 + 4])
         if index > 88:
             raise AudioFormatError(f"ADPCM step index {index} out of range")
         out.append(pred)
@@ -305,3 +435,111 @@ def decode_wav_adpcm(data: bytes) -> tuple[int, np.ndarray]:
             )
         out = out[:fact_frames]
     return rate, np.asarray(out, dtype=np.int16)
+
+
+def encode_wav_adpcm_batch(
+    clips: list[np.ndarray], rate: int = 8000, block_align: int = 132
+) -> list[bytes]:
+    """Encode MANY mono int16 clips to IMA-ADPCM WAV in one lockstep
+    pass — every block of every clip joins a single sample matrix and
+    runs the nibble search together (the fixture-synthesis shape for
+    ``mapInPandas``).  Byte-identical per clip to
+    ``encode_wav_adpcm``, which restarts the step index per block for
+    exactly this reason."""
+    spb = (block_align - 4) * 2 + 1
+    mats = []
+    metas = []
+    for samples in clips:
+        if samples.dtype != np.int16 or samples.ndim != 1:
+            raise AudioFormatError(
+                "encode_wav_adpcm_batch expects (n,) int16 mono clips"
+            )
+        n = len(samples)
+        if n == 0:
+            raise AudioFormatError(
+                "encode_wav_adpcm_batch needs at least one sample per clip"
+            )
+        nb = (n + spb - 1) // spb
+        mat = np.zeros((nb, spb), dtype=np.int16)
+        mat.reshape(-1)[:n] = samples
+        valid = np.full(nb, spb, dtype=np.int64)
+        valid[-1] = n - (nb - 1) * spb
+        mats.append(mat)
+        metas.append((n, nb, valid))
+    all_valid = np.concatenate([m[2] for m in metas])
+    all_blocks = _ima_encode_blocks(
+        np.concatenate(mats) if len(mats) != 1 else mats[0], all_valid
+    )
+    fmt = struct.pack(
+        "<HHIIHHHH",
+        0x11,
+        1,
+        rate,
+        (rate * block_align + spb - 1) // spb,  # nominal byte rate
+        block_align,
+        4,  # bits per (encoded) sample
+        2,  # cbSize
+        spb,  # wSamplesPerBlock
+    )
+    out: list[bytes] = []
+    ofs = 0
+    for n, nb, _valid in metas:
+        payload = all_blocks[ofs : ofs + nb].tobytes()
+        ofs += nb
+        body = (
+            b"WAVE"
+            + b"fmt "
+            + struct.pack("<I", len(fmt))
+            + fmt
+            + b"fact"
+            + struct.pack("<II", 4, n)
+            + b"data"
+            + struct.pack("<I", len(payload))
+            + payload
+        )
+        out.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+    return out
+
+
+def decode_wav_adpcm_batch(
+    payloads: list[bytes],
+) -> list[tuple[int, np.ndarray]]:
+    """Decode MANY IMA-ADPCM WAV files in one lockstep pass.
+
+    Headers parse per file (cheap), then every block of every file
+    with the same ``block_align`` joins a single ``(total_blocks,
+    block_align)`` matrix and decodes together — the Arrow-batch shape
+    for ``mapInPandas``, where per-sample Python cost would otherwise
+    dominate the media stage.  Results are bit-identical to
+    ``decode_wav_adpcm`` per file."""
+    parsed = [_parse_wav_adpcm(d) for d in payloads]
+    by_align: dict[int, list[int]] = {}
+    for i, (_r, ba, _spb, _pl, _ff) in enumerate(parsed):
+        by_align.setdefault(ba, []).append(i)
+    results: list[tuple[int, np.ndarray]] = [None] * len(payloads)
+    for ba, idxs in by_align.items():
+        mats = []
+        counts = []
+        for i in idxs:
+            payload = parsed[i][3]
+            nb = len(payload) // ba
+            counts.append(nb)
+            mats.append(
+                np.frombuffer(payload, dtype=np.uint8).reshape(nb, ba)
+            )
+        all_blocks = np.concatenate(mats) if len(mats) != 1 else mats[0]
+        decoded = _ima_decode_blocks(all_blocks)
+        ofs = 0
+        for i, nb in zip(idxs, counts):
+            rate, _ba, _spb, _pl, fact_frames = parsed[i]
+            out = decoded[ofs : ofs + nb].reshape(-1)
+            ofs += nb
+            if fact_frames is not None:
+                if fact_frames > len(out):
+                    raise AudioFormatError(
+                        f"fact frame count {fact_frames} exceeds "
+                        f"decoded {len(out)}"
+                    )
+                out = out[:fact_frames]
+            results[i] = (rate, out.astype(np.int16, copy=False))
+    return results

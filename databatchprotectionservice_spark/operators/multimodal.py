@@ -1429,7 +1429,7 @@ def adpcm_table(spark, sf_dir: str) -> DataFrame:
     encoder."""
     import numpy as np
 
-    from ..core.audiocodec import encode_wav_adpcm
+    from ..core.audiocodec import encode_wav_adpcm_batch
 
     d = load_spread(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
@@ -1437,7 +1437,7 @@ def adpcm_table(spark, sf_dir: str) -> DataFrame:
 
     def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, srcs, payloads = [], [], []
+            ids, srcs, sigs = [], [], []
             for doc_id, source, n_chars in zip(
                 pdf["doc_id"], pdf["source"], pdf["n_chars"]
             ):
@@ -1446,11 +1446,12 @@ def adpcm_table(spark, sf_dir: str) -> DataFrame:
                 s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
                 ids.append(doc_id)
                 srcs.append(source)
-                payloads.append(
-                    encode_wav_adpcm(
-                        s, rate=WAV_RATE, block_align=ADPCM_BLOCK_ALIGN
-                    )
-                )
+                sigs.append(s)
+            # one lockstep nibble search across every block of the
+            # whole Arrow batch (byte-identical to per-clip encode)
+            payloads = encode_wav_adpcm_batch(
+                sigs, rate=WAV_RATE, block_align=ADPCM_BLOCK_ALIGN
+            )
             yield pd.DataFrame(
                 {
                     "doc_id": pd.Series(ids, dtype="int64"),
@@ -1524,7 +1525,7 @@ def multimodal_audio_adpcm_stats(spark, sf_dir):
     100 TB shape: identical to the other media legs — one
     ``mapInPandas`` decode stage, stats map-side, one final
     source-cardinality exchange."""
-    from ..core.audiocodec import decode_wav_adpcm
+    from ..core.audiocodec import decode_wav_adpcm_batch
 
     stats_schema = T.StructType(
         [
@@ -1538,8 +1539,14 @@ def multimodal_audio_adpcm_stats(spark, sf_dir):
     def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             srcs, nfs, bss, nbs = [], [], [], []
-            for source, payload in zip(pdf["source"], pdf["payload"]):
-                rate, samples = decode_wav_adpcm(bytes(payload))
+            payloads = [bytes(p) for p in pdf["payload"]]
+            # whole-batch lockstep decode: every IMA block is
+            # self-contained, so the Arrow batch's blocks decode as
+            # one table-gather walk instead of per-sample Python
+            decoded = decode_wav_adpcm_batch(payloads)
+            for source, payload, (rate, samples) in zip(
+                pdf["source"], payloads, decoded
+            ):
                 srcs.append(source)
                 nfs.append(len(samples))
                 bss.append(int(samples[:: ADPCM_SPB].astype("int64").sum()))

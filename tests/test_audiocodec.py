@@ -242,3 +242,38 @@ def test_short_fact_chunk_is_a_domain_error():
     struct.pack_into("<I", data, pos + 4, 2)  # claim a 2-byte fact body
     with pytest.raises(AudioFormatError, match="fact chunk"):
         decode_wav_adpcm(bytes(data))
+
+
+def test_adpcm_batch_paths_bit_identical_to_scalar():
+    """The lockstep batch codec (one table-gather walk across every
+    block of every clip) must stay byte-identical to the scalar
+    reference loops — encode bytes AND decoded samples — across
+    sawtooth, full-range noise, smooth, and sub-block clip shapes."""
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.audiocodec import (
+        decode_wav_adpcm,
+        decode_wav_adpcm_batch,
+        encode_wav_adpcm,
+        encode_wav_adpcm_batch,
+    )
+
+    rng = np.random.default_rng(11)
+    sigs = []
+    for doc_id in range(12):
+        n = int(rng.integers(1, 2500))
+        i = np.arange(n, dtype=np.int64)
+        s = ((doc_id * 31 + i * 17) % 65536 - 32768).astype(np.int16)
+        if doc_id % 4 == 1:
+            s = rng.integers(-32768, 32768, n).astype(np.int16)
+        if doc_id % 4 == 2:
+            s = (3000 * np.sin(np.arange(n) / 15)).astype(np.int16)
+        sigs.append(s)
+    scalar = [encode_wav_adpcm(s, rate=8000) for s in sigs]
+    assert encode_wav_adpcm_batch(sigs, rate=8000) == scalar
+    batch_dec = decode_wav_adpcm_batch(scalar)
+    for sig, pay, (rb, db) in zip(sigs, scalar, batch_dec):
+        rs, ds = decode_wav_adpcm(pay)
+        assert rs == rb
+        assert np.array_equal(ds, db)
+        assert len(ds) == len(sig)
