@@ -246,8 +246,13 @@ CHANGED: dict[str, int] = {
     # r9: probe collect folded into the codebook-seed collect
     "similarity_pq_topk": 9,
     # r9: fuzz-campaign hardening — ADPCM short-fact-chunk domain error
-    # (decode path of the registered query; values unchanged)
+    # — then the lockstep batch codec (encoder restarts the step index
+    # per block; oracle-visible values — block starts, frame counts,
+    # layout — unchanged, check_oracle green on the new bytes)
     "multimodal_audio_adpcm_stats": 9,
+    # r9: FLAC codec vectorization (encoder bytes identical, decode
+    # exact; flac is also a r9 registration, in-window regardless)
+    "multimodal_audio_flac_stats": 9,
     # r9: hostile-corpus sweep fixes (zero-norm guards, empty-token
     # NULL ratio, whitespace-lossless XML read, codepoint-consistent
     # mp4 fixture, Spark-semantics UDTF tokenization)
