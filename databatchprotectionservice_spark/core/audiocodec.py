@@ -446,6 +446,8 @@ def encode_wav_adpcm_batch(
     ``mapInPandas``).  Byte-identical per clip to
     ``encode_wav_adpcm``, which restarts the step index per block for
     exactly this reason."""
+    if not clips:
+        return []
     spb = (block_align - 4) * 2 + 1
     mats = []
     metas = []
@@ -541,5 +543,7 @@ def decode_wav_adpcm_batch(
                         f"decoded {len(out)}"
                     )
                 out = out[:fact_frames]
-            results[i] = (rate, out.astype(np.int16, copy=False))
+            # materialize per clip: a view would pin the whole batch's
+            # decode matrix for the lifetime of any one clip's samples
+            results[i] = (rate, out.astype(np.int16))  # astype copies
     return results

@@ -329,6 +329,11 @@ def encode_mp4(
     # stco box is the final len(stco) bytes of head and its one offset
     # field is head's last u32 (a find() could match b"stco" inside an
     # unlucky codec/handler fourcc or the payload).
-    assert bytes(out[len(head) - len(stco) + 4 : len(head) - len(stco) + 8]) == b"stco"
+    tag_at = len(head) - len(stco) + 4
+    if bytes(out[tag_at : tag_at + 4]) != b"stco":
+        # a real raise, not an assert: under ``python -O`` a silent
+        # mis-patch would corrupt the last u32 of whatever box moved
+        # into the tail position
+        raise Mp4FormatError("stco is no longer the final box of moov")
     struct.pack_into(">I", out, len(head) - 4, len(head) + 8)
     return bytes(out)

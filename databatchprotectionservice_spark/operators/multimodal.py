@@ -1381,7 +1381,11 @@ def multimodal_mp4_metadata(spark, sf_dir):
                 raw = [ord(c) for c in (txt or "")]
                 sizes = [b + 1 for b in raw]
                 durs = [100 + (b % 50) for b in raw]
-                info = parse_mp4(encode_mp4(sizes, durs))
+                # payload=b"": only the sample TABLES are read back, and
+                # codepoint-derived sizes can reach 0x10FFFF+1 bytes per
+                # astral char — the default zero-filled mdat would
+                # allocate gigabytes on hostile non-ASCII text
+                info = parse_mp4(encode_mp4(sizes, durs, payload=b""))
                 t = info.tracks[0]
                 if t.duration != t.sample_durations_sum:
                     raise ValueError(

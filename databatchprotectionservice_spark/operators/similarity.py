@@ -107,8 +107,10 @@ _DUCK_NORM = (
 
 #: norm guards usable inside oracle f-strings (cosine is undefined
 #: for a zero vector; both engines exclude them identically)
-_Q_NORM_GUARD = _DUCK_NORM.format(c="embedding")
-_C_NORM_GUARD = _DUCK_NORM.format(c="embedding")
+#: zero-norm guard on the embedding column (one constant: the query
+#: and corpus sides guard the SAME expression — two names would only
+#: invite them to drift apart)
+_EMB_NORM_GUARD = _DUCK_NORM.format(c="embedding")
 
 _DUCK_COS = """
     list_aggregate(list_transform(range(1, 65),
@@ -126,13 +128,13 @@ _DUCK_COS = """
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe FROM embeddings
             WHERE vec_id < {N_QUERIES}
-              AND {_Q_NORM_GUARD} > 0
+              AND {_EMB_NORM_GUARD} > 0
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id, c.label,
                    {_DUCK_COS} AS cos
             FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings
-                     WHERE {_C_NORM_GUARD} > 0) c
+                     WHERE {_EMB_NORM_GUARD} > 0) c
             WHERE c.vec_id <> q.query_id
         ),
         ranked AS (
@@ -740,14 +742,14 @@ def similarity_quantized_topk(spark, sf_dir):
         WITH q AS (
             SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
             FROM embeddings WHERE vec_id < {N_QUERIES}
-              AND {_Q_NORM_GUARD} > 0
+              AND {_EMB_NORM_GUARD} > 0
         ),
         scored AS (
             SELECT q.query_id, q.qlabel, c.vec_id AS neighbor_id,
                    c.label AS neg_label,
                    {_DUCK_COS} AS cos
             FROM q, (SELECT vec_id, embedding AS ce, label FROM embeddings
-                     WHERE {_C_NORM_GUARD} > 0) c
+                     WHERE {_EMB_NORM_GUARD} > 0) c
             WHERE c.label <> q.qlabel
         ),
         ranked AS (
@@ -1041,19 +1043,10 @@ def similarity_pq_topk(spark, sf_dir):
         pn = int((pv * pv).sum())
         if pn <= 0:
             continue
-        sub = pv.reshape(PQ_M, 1, PQ_SUBDIM)
-        luts[int(r["vec_id"])] = (sub * cb).sum(axis=2)  # (M, K)
+        luts[int(r["vec_id"])] = _probe_lut(pv, cb)  # (M, K)
         pnorms[int(r["vec_id"])] = pn
 
-    @pandas_udf("long")
-    def adc(qid, codes):
-        C = np.stack(codes.to_numpy()).astype(np.int64)
-        out = np.zeros(len(C), dtype=np.int64)
-        for q in np.unique(qid.to_numpy()):
-            sel = qid.to_numpy() == q
-            lut = luts[int(q)]
-            out[sel] = lut[np.arange(PQ_M)[None, :], C[sel]].sum(axis=1)
-        return pd.Series(out)
+    adc = _adc_udf(luts)  # shared ADC kernel (same as IVFPQ)
 
     probes_df = spark.createDataFrame(
         [(int(q), int(n)) for q, n in sorted(pnorms.items())],
@@ -1112,7 +1105,7 @@ _DUCK_COS16 = f"""
     oracle=f"""
         WITH ok AS (
             SELECT vec_id, embedding FROM embeddings
-            WHERE {_Q_NORM_GUARD} > 0
+            WHERE {_EMB_NORM_GUARD} > 0
               AND sqrt(list_aggregate(list_transform(range(1, {MRL_DIMS + 1}),
                   i -> CAST(embedding[i] AS DOUBLE)
                        * CAST(embedding[i] AS DOUBLE)), 'sum')) > 0

@@ -67,7 +67,22 @@ def _tws_partitions(default: int = 16) -> int:
     for partition-sweep experiments."""
     import os
 
-    return int(os.environ.get("SPARK_GRAFT_TWS_PARTITIONS", default))
+    raw = os.environ.get("SPARK_GRAFT_TWS_PARTITIONS")
+    if raw is None:
+        return default
+    try:
+        val = int(raw.strip())
+    except ValueError:
+        raise ValueError(
+            f"SPARK_GRAFT_TWS_PARTITIONS must be a positive integer, "
+            f"got {raw!r}"
+        ) from None
+    if val <= 0:
+        raise ValueError(
+            f"SPARK_GRAFT_TWS_PARTITIONS must be a positive integer, "
+            f"got {raw!r}"
+        )
+    return val
 
 
 def _run_to_memory_sink(

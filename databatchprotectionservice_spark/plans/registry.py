@@ -336,7 +336,7 @@ def _verdict_history() -> tuple[dict[str, int], int]:
     result = ({k: v for k, v in last.items()}, max_round + 1)
     _HISTORY_MEMO.clear()  # one live signature at a time is enough
     _HISTORY_MEMO[key] = result
-    return result
+    return dict(result[0]), result[1]  # copy here too: memo stays pristine
 
 
 def cycle_len() -> int:
