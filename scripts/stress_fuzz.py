@@ -35,6 +35,8 @@ from databatchprotectionservice_spark.core.videocodec import (
     VideoFormatError, decode_y4m, encode_y4m)
 from databatchprotectionservice_spark.core.mp4codec import (
     Mp4FormatError, parse_mp4, encode_mp4)
+from databatchprotectionservice_spark.core.avicodec import (
+    AviFormatError, decode_avi_mjpeg, encode_avi_mjpeg)
 
 rng = np.random.RandomState(20260815)
 img = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
@@ -59,6 +61,15 @@ BASES = {
     "flac": (encode_flac(pcm), decode_flac, FlacFormatError),
     "y4m": (encode_y4m(frames), decode_y4m, VideoFormatError),
     "mp4": (encode_mp4([3, 5], [100, 100]), parse_mp4, Mp4FormatError),
+    "avi_mjpeg": (
+        encode_avi_mjpeg(
+            [encode_jpeg_gray_tiles(gray), encode_jpeg_gray_tiles(gray)],
+            gray.shape[1] * 8,
+            gray.shape[0] * 8,
+        ),
+        decode_avi_mjpeg,
+        AviFormatError,
+    ),
 }
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
