@@ -140,6 +140,10 @@ def _lzw_decode(src: bytes, expected: int) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            # drop the consumed high bits: without this mask acc grows
+            # into one strip-sized Python int and every shift above
+            # turns O(strip) — quadratic decode overall
+            acc &= (1 << nbits) - 1
             if code == 256:  # Clear
                 table = table[:258]
                 width = 9
@@ -311,6 +315,8 @@ def _lzw_encode(raw: bytes) -> bytes:
         while nbits >= 8:
             out.append((acc >> (nbits - 8)) & 0xFF)
             nbits -= 8
+        # drop flushed high bits (same quadratic hazard as the decoder)
+        acc &= (1 << nbits) - 1
 
     table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
     next_code = 258
