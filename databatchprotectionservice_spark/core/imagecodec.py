@@ -44,6 +44,10 @@ class ImageFormatError(ValueError):
     """Raised for malformed or unsupported image bytes."""
 
 
+#: 67 Mpx allocation guard, same cap as the JPEG/GIF/WebP/TIFF decoders
+DECODE_MAX_PIXELS = 1 << 26
+
+
 # ---------------------------------------------------------------------------
 # PPM (P6)
 # ---------------------------------------------------------------------------
@@ -423,9 +427,37 @@ def decode_png(data: bytes) -> tuple[int, int, np.ndarray]:
         raise ImageFormatError("non-standard PNG compression/filter method")
     if w <= 0 or h <= 0:
         raise ImageFormatError(f"bad PNG dimensions {w}x{h}")
+    if w * h > DECODE_MAX_PIXELS:
+        raise ImageFormatError(
+            f"refusing {w}x{h} PNG decode: the "
+            f"{DECODE_MAX_PIXELS} px guard bounds hostile headers "
+            "(same cap as the JPEG/GIF/WebP/TIFF decoders)"
+        )
     bpp = {2: 3, 3: 1, 6: 4}[color]
+    # bounded inflate: PNG is the one format here whose OUTPUT size is
+    # decoupled from input size by compression, so a few-KB zlib bomb
+    # could otherwise allocate gigabytes before any length check runs;
+    # the raster geometry bounds the only legal plaintext size exactly
+    # (Adam7 carries one filter byte per PASS row, so its need is the
+    # per-pass sum, slightly larger than the sequential raster)
+    if interlace == 0:
+        legal_need = h * (1 + w * bpp)
+    else:
+        legal_need = sum(
+            ph * (1 + pw * bpp)
+            for (pw, ph) in _adam7_pass_dims(w, h)
+            if pw > 0 and ph > 0
+        )
+    max_plain = legal_need + 1  # +1: detect oversized streams
     try:
-        plain = zlib.decompress(bytes(idat))
+        dobj = zlib.decompressobj()
+        plain = dobj.decompress(bytes(idat), max_plain)
+        if dobj.unconsumed_tail or (
+            not dobj.eof and dobj.flush(1)  # anything further = bomb
+        ):
+            raise ImageFormatError(
+                "PNG IDAT inflates past the raster size"
+            )
     except zlib.error as exc:
         raise ImageFormatError(f"PNG IDAT inflate failed: {exc}") from exc
     if interlace == 0:

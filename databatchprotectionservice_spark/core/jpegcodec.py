@@ -473,11 +473,15 @@ def _decode_one_scan(
             raise JpegFormatError("scan references missing Huffman table")
         c["scanned"] = True  # coverage check runs at EOI
         tables.append((c, dct, act))
-    if len(order) == 1 and len(comps) > 1:
-        # NON-INTERLEAVED scan (T.81 A.2.2): data units are the
-        # component's own blocks in raster order over its true
-        # dimensions ceil(ceil(dim * f/fmax) / 8); restart intervals
-        # count data units
+    if len(order) == 1:
+        # NON-INTERLEAVED scan (T.81 A.2.2): EVERY 1-component scan,
+        # even when the frame declares sampling factors > 1 (factors
+        # cancel against fmax, one data unit per MCU — libjpeg
+        # behavior on e.g. jpegtran -grayscale output keeping 4:2:0
+        # luma factors).  Data units are the component's own blocks in
+        # raster order over its true dimensions
+        # ceil(ceil(dim * f/fmax) / 8); restart intervals count
+        # data units
         c, dct, act = tables[0]
         bw = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
         bh = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
@@ -646,8 +650,11 @@ def _decode_progressive_scan(
                 if reader.read(1):
                     blk[0] |= 1 << al
 
-        if len(order) == 1 and len(comps) > 1:
-            # non-interleaved DC scan over the component's own grid
+        if len(order) == 1:
+            # non-interleaved DC scan over the component's own grid —
+            # T.81 A.2.2: every 1-component scan, regardless of the
+            # frame's declared sampling factors (see the sequential
+            # path)
             c, dct = tables[0]
             bw, bh = _comp_block_dims(frame, c)
             n_units = bw * bh
@@ -1001,6 +1008,28 @@ def _plane_blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
     return blocks, by, bx
 
 
+def _pack_scan_bits(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Vectorized entropy-stream assembly shared by the sequential and
+    progressive tile encoders: per-block MSB-first bit words
+    (``values[i]`` emitted in ``nbits[i]`` bits), 1-padded to a byte
+    boundary per spec, then 0x00-stuffed after every 0xFF."""
+    offsets = np.concatenate([[0], np.cumsum(nbits)])
+    total = int(offsets[-1])
+    pad = (-total) % 8
+    bits = np.ones(total + pad, dtype=np.uint8)  # pad with 1s per spec
+    idx = np.repeat(np.arange(values.size), nbits)
+    k = np.arange(total) - offsets[idx]
+    bits[:total] = (values[idx] >> (nbits[idx] - 1 - k)) & 1
+    stream = np.packbits(bits)
+    ff = stream == 0xFF
+    stuffed = np.zeros(stream.size + int(ff.sum()), dtype=np.uint8)
+    pos = np.arange(stream.size) + np.concatenate(
+        [[0], np.cumsum(ff[:-1].astype(np.int64))]
+    )
+    stuffed[pos] = stream
+    return stuffed.tobytes()
+
+
 def encode_jpeg_gray_tiles(tiles: np.ndarray) -> bytes:
     """Vectorized encoder for the constant-tile fixture shape: a
     (rows, cols) uint8 grid where cell (r, c) is an 8x8 constant block.
@@ -1033,23 +1062,7 @@ def encode_jpeg_gray_tiles(tiles: np.ndarray) -> bytes:
         | eob_code
     )
     nbits = len_arr[size] + size + eob_len
-    offsets = np.concatenate([[0], np.cumsum(nbits)])
-    total = int(offsets[-1])
-    pad = (-total) % 8
-    bits = np.ones(total + pad, dtype=np.uint8)  # pad with 1s per spec
-    block_idx = np.repeat(np.arange(values.size), nbits)
-    k = np.arange(total) - offsets[block_idx]
-    bits[:total] = (values[block_idx] >> (nbits[block_idx] - 1 - k)) & 1
-    stream = np.packbits(bits)
-    # byte stuffing: 0x00 after every 0xFF
-    ff = stream == 0xFF
-    out_len = stream.size + int(ff.sum())
-    stuffed = np.zeros(out_len, dtype=np.uint8)
-    pos = np.arange(stream.size) + np.concatenate(
-        [[0], np.cumsum(ff[:-1].astype(np.int64))]
-    )
-    stuffed[pos] = stream
-    scan = stuffed.tobytes()
+    scan = _pack_scan_bits(values, nbits)
     q = np.ones((8, 8), dtype=np.int32)
     out = bytearray(b"\xff\xd8")
     app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -1384,21 +1397,7 @@ def encode_jpeg_gray_tiles_progressive(
             len_arr = np.array([dc_codes[s][1] for s in range(12)], np.int64)
             values = code_arr[size] << size | raw
             nbits = len_arr[size] + size
-        offsets = np.concatenate([[0], np.cumsum(nbits)])
-        total = int(offsets[-1])
-        pad = (-total) % 8
-        bits = np.ones(total + pad, dtype=np.uint8)
-        idx = np.repeat(np.arange(values.size), nbits)
-        k = np.arange(total) - offsets[idx]
-        bits[:total] = (values[idx] >> (nbits[idx] - 1 - k)) & 1
-        stream = np.packbits(bits)
-        ff = stream == 0xFF
-        stuffed = np.zeros(stream.size + int(ff.sum()), dtype=np.uint8)
-        pos = np.arange(stream.size) + np.concatenate(
-            [[0], np.cumsum(ff[:-1].astype(np.int64))]
-        )
-        stuffed[pos] = stream
-        return stuffed.tobytes()
+        return _pack_scan_bits(values, nbits)
 
     def eob_run_scan(n: int) -> bytes:
         """An all-zero AC band over ``n`` blocks: EOB runs chunked at

@@ -48,21 +48,25 @@ _CLC_ORDER = [17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15]
 
 def _build_dist_map() -> list[tuple[int, int]]:
     """The spec's 120-entry 2-D distance-neighbor table, generated from
-    its construction rule rather than transcribed: the 120 nearest
-    (dx, dy) pixel offsets with dy in 0..7, dx in -8..8 (dx > 0 when
-    dy == 0), ordered by squared Euclidean distance, ties by larger dy
-    then smaller |dx| then positive dx first.  The published table's
-    head is pinned literal-for-literal in the test suite."""
+    its construction rule rather than transcribed: the (dx, dy) pixel
+    offsets with dy in 0..7, dx in -7..8 (dx > 0 when dy == 0) —
+    exactly 7*16 + 8 = 120 candidates, no truncation — ordered by
+    squared Euclidean distance, ties by larger dy then smaller |dx|
+    then positive dx first.  An earlier revision generated dx in
+    -8..8 and truncated 127 -> 120, which silently shifted every code
+    from 103 on and dropped the legal (7,7)/(-7,7)/(8,6)/(8,7)
+    offsets; the FULL published table is now pinned
+    literal-for-literal in the test suite."""
     cand = [
         (x, y)
         for y in range(8)
-        for x in range(-8, 9)
+        for x in range(-7, 9)
         if y > 0 or x > 0
     ]
     cand.sort(
         key=lambda p: (p[0] ** 2 + p[1] ** 2, -p[1], abs(p[0]), p[0] < 0)
     )
-    return cand[:120]
+    return cand
 
 
 #: spec: (xoffset, yoffset) neighbor map for distance codes 1..120
@@ -330,88 +334,112 @@ def _undo_predictor(argb: np.ndarray, pred_img: np.ndarray, bits: int) -> np.nda
     scan order (spec: first pixel predicts black, first row mode L,
     first column mode T; TR off the right edge wraps to the FIRST
     pixel of the CURRENT row — the spec's 1-D addressing ``data[y*w]``,
-    matching libwebp; already reconstructed by the time x==w-1)."""
+    matching libwebp; already reconstructed by the time x==w-1).
+
+    Pure-int scan loop with SWAR byte arithmetic: the per-byte
+    mod-256 add is ``t = (a&0x7f7f7f7f)+(b&0x7f7f7f7f);
+    t ^ ((a^b)&0x80808080)`` and the per-byte floor average is
+    ``(a&b) + (((a^b)&0xfefefefe)>>1)`` (libwebp's Average2), so the
+    common predictor modes run with zero per-pixel allocations —
+    ~20x the earlier per-pixel-numpy loop, which made foreign
+    predictor-coded files (virtually every real lossless WebP)
+    decode in tens of seconds per megapixel."""
     h, w = argb.shape
-    px = argb.copy()
-    get = lambda y, x: int(px[y, x])  # noqa: E731
-
-    def channels(v):
-        return np.array(
-            [(v >> 24) & 0xFF, (v >> 16) & 0xFF, (v >> 8) & 0xFF, v & 0xFF],
-            dtype=np.int64,
-        )
-
-    def pack(c):
-        c = np.clip(c, 0, 255).astype(np.int64)
-        return int((c[0] << 24) | (c[1] << 16) | (c[2] << 8) | c[3])
-
-    def trunc_half(v):
-        """C-style (x / 2): truncation toward ZERO, not floor."""
-        return np.where(v >= 0, v // 2, -((-v) // 2))
+    resl = argb.reshape(-1).tolist()
+    out = [0] * (h * w)
+    pred_l = pred_img.tolist()
+    M7 = 0x7F7F7F7F
+    M8 = 0x80808080
+    MFE = 0xFEFEFEFE
 
     for y in range(h):
+        base = y * w
+        prow = pred_l[y >> bits] if y else None
         for x in range(w):
-            if x == 0 and y == 0:
-                pred = 0xFF000000
-            elif y == 0:
-                pred = get(0, x - 1)  # first row: mode L forced
+            i = base + x
+            if y == 0:
+                p = 0xFF000000 if x == 0 else out[i - 1]
             elif x == 0:
-                pred = get(y - 1, 0)  # first column: mode T forced
+                p = out[i - w]  # first column: mode T forced
             else:
-                mode = (int(pred_img[y >> bits, x >> bits]) >> 8) & 0xFF
-                L = get(y, x - 1)
-                T = get(y - 1, x)
-                TL = get(y - 1, x - 1)
-                TR = get(y - 1, x + 1) if x + 1 < w else get(y, 0)
-                if mode == 0:
-                    pred = 0xFF000000
-                elif mode == 1:
-                    pred = L
+                mode = (prow[x >> bits] >> 8) & 0xFF
+                L = out[i - 1]
+                T = out[i - w]
+                if mode == 1:
+                    p = L
                 elif mode == 2:
-                    pred = T
+                    p = T
+                elif mode == 0:
+                    p = 0xFF000000
                 elif mode == 3:
-                    pred = TR
+                    p = out[i - w + 1] if x + 1 < w else out[base]
                 elif mode == 4:
-                    pred = TL
+                    p = out[i - w - 1]
                 elif mode == 5:
-                    cl, ct, ctr = channels(L), channels(T), channels(TR)
-                    pred = pack((((cl + ctr) // 2) + ct) // 2)
+                    TR = out[i - w + 1] if x + 1 < w else out[base]
+                    a = ((L & TR) + (((L ^ TR) & MFE) >> 1))
+                    p = (a & T) + (((a ^ T) & MFE) >> 1)
                 elif mode == 6:
-                    pred = pack((channels(L) + channels(TL)) // 2)
+                    TL = out[i - w - 1]
+                    p = (L & TL) + (((L ^ TL) & MFE) >> 1)
                 elif mode == 7:
-                    pred = pack((channels(L) + channels(T)) // 2)
+                    p = (L & T) + (((L ^ T) & MFE) >> 1)
                 elif mode == 8:
-                    pred = pack((channels(TL) + channels(T)) // 2)
+                    TL = out[i - w - 1]
+                    p = (TL & T) + (((TL ^ T) & MFE) >> 1)
                 elif mode == 9:
-                    pred = pack((channels(T) + channels(TR)) // 2)
+                    TR = out[i - w + 1] if x + 1 < w else out[base]
+                    p = (T & TR) + (((T ^ TR) & MFE) >> 1)
                 elif mode == 10:
-                    cl, ctl, ct, ctr = (
-                        channels(L), channels(TL), channels(T), channels(TR),
-                    )
-                    pred = pack(((cl + ctl) // 2 + (ct + ctr) // 2) // 2)
+                    TL = out[i - w - 1]
+                    TR = out[i - w + 1] if x + 1 < w else out[base]
+                    a = (L & TL) + (((L ^ TL) & MFE) >> 1)
+                    b = (T & TR) + (((T ^ TR) & MFE) >> 1)
+                    p = (a & b) + (((a ^ b) & MFE) >> 1)
                 elif mode == 11:  # Select: Manhattan-closer of L and T
-                    cl, ct, ctl = channels(L), channels(T), channels(TL)
-                    p_l = int(np.abs(ct - ctl).sum())  # |pred - L|
-                    p_t = int(np.abs(cl - ctl).sum())  # |pred - T|
-                    pred = L if p_l < p_t else T
+                    TL = out[i - w - 1]
+                    p_l = 0  # |pred - L| where pred = L+T-TL per channel
+                    p_t = 0
+                    for sh in (24, 16, 8, 0):
+                        tc = (T >> sh) & 0xFF
+                        lc = (L >> sh) & 0xFF
+                        tlc = (TL >> sh) & 0xFF
+                        d1 = tc - tlc
+                        p_l += d1 if d1 >= 0 else -d1
+                        d2 = lc - tlc
+                        p_t += d2 if d2 >= 0 else -d2
+                    p = L if p_l < p_t else T
                 elif mode == 12:  # ClampAddSubtractFull
-                    cl, ct, ctl = channels(L), channels(T), channels(TL)
-                    pred = pack(cl + ct - ctl)
+                    TL = out[i - w - 1]
+                    p = 0
+                    for sh in (24, 16, 8, 0):
+                        v = ((L >> sh) & 0xFF) + ((T >> sh) & 0xFF) - (
+                            (TL >> sh) & 0xFF
+                        )
+                        if v < 0:
+                            v = 0
+                        elif v > 255:
+                            v = 255
+                        p |= v << sh
                 elif mode == 13:  # ClampAddSubtractHalf
-                    cl, ct, ctl = channels(L), channels(T), channels(TL)
-                    ave = (cl + ct) // 2
-                    pred = pack(ave + trunc_half(ave - ctl))
+                    TL = out[i - w - 1]
+                    p = 0
+                    for sh in (24, 16, 8, 0):
+                        ave = (((L >> sh) & 0xFF) + ((T >> sh) & 0xFF)) // 2
+                        d1 = ave - ((TL >> sh) & 0xFF)
+                        # C-style (x / 2): truncation toward ZERO
+                        v = ave + (d1 // 2 if d1 >= 0 else -((-d1) // 2))
+                        if v < 0:
+                            v = 0
+                        elif v > 255:
+                            v = 255
+                        p |= v << sh
                 else:
                     raise WebpFormatError(f"predictor mode {mode} invalid")
-            d = int(argb[y, x])
-            p = int(pred)
-            px[y, x] = (
-                (((d >> 24) + (p >> 24)) & 0xFF) << 24
-                | ((((d >> 16) & 0xFF) + ((p >> 16) & 0xFF)) & 0xFF) << 16
-                | ((((d >> 8) & 0xFF) + ((p >> 8) & 0xFF)) & 0xFF) << 8
-                | (((d & 0xFF) + (p & 0xFF)) & 0xFF)
-            )
-    return px
+            d = resl[i]
+            t = (d & M7) + (p & M7)
+            out[i] = t ^ ((d ^ p) & M8)
+    return np.asarray(out, dtype=np.int64).astype(np.uint32).reshape(h, w)
 
 
 def _undo_color_transform(argb: np.ndarray, cimg: np.ndarray, bits: int) -> np.ndarray:

@@ -59,6 +59,11 @@ def hostile_texts() -> list[str]:
         "café naïve résumé " * 30,  # accents
         "ééé " * 40,             # combining marks
         "\U0001f600\U0001f680\U0001f916 " * 30,    # emoji (astral)
+        # LONG astral docs: any codec fixture that scales a buffer by
+        # CODEPOINT value (the r9 mp4 mdat finding: ord(c) bytes per
+        # sample) amplifies these ~128k-1.1Mx — gigabytes if unguarded
+        "\U0001f600" * 4000,
+        "\U0010ffff" * 2000,
         diverse,                                    # >256 distinct triples
         ("lorem ipsum dolor sit amet " * 800)[:20000],
         "!@#$%^&*()_+-=~`|<>/?" * 25,

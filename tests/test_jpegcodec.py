@@ -646,3 +646,31 @@ def test_color_progressive_equals_sequential():
         seq = decode_jpeg(encode_jpeg(img, quant=qt, subsampling="444"))[2]
         prog = decode_jpeg(encode_jpeg_progressive(img, quant=qt))[2]
         assert np.array_equal(seq, prog), shape
+
+
+def test_single_component_scan_ignores_frame_sampling_factors():
+    """T.81 A.2.2: EVERY 1-component scan is non-interleaved, even when
+    the frame header declares sampling factors > 1 (real files exist —
+    e.g. jpegtran -grayscale keeps the source's 4:2:0 luma factors).
+    Construct one by patching the SOF0 h/v byte of a grayscale encode
+    from 1x1 to 2x2: the decode must be IDENTICAL, not a Huffman error
+    from assuming 4 data units per MCU."""
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.jpegcodec import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    # dims deliberately not multiples of 8 or 16 to exercise geometry
+    img = rng.integers(0, 256, (19, 21), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img))
+    at = bytes(data).index(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) id(1) hv(1) tq(1)
+    assert data[at + 11] == 0x11
+    data[at + 11] = 0x22
+    w1, h1, rgb1 = decode_jpeg(bytes(data))
+    w0, h0, rgb0 = decode_jpeg(encode_jpeg(img))
+    assert (w1, h1) == (w0, h0) == (21, 19)
+    assert np.array_equal(rgb1, rgb0)

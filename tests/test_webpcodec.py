@@ -39,15 +39,31 @@ def test_roundtrip_matrix():
     assert np.array_equal(rgb[:, :, 1], gray)
 
 
-def test_distance_map_matches_published_table_head():
+def test_distance_map_matches_published_table():
     """The generated neighbor table must reproduce the spec's published
-    values (first 16 pinned literal-for-literal)."""
-    assert W._DIST_MAP[:16] == [
+    120-entry table literal-for-literal.  The FULL pin matters: an
+    earlier revision matched the head but generated dx in -8..8 and
+    truncated, silently shifting every code from 103 on (real
+    libwebp-encoded files using far backward references decoded to
+    wrong pixels)."""
+    spec = [
         (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
         (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+        (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+        (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+        (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+        (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+        (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+        (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+        (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+        (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+        (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+        (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+        (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+        (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+        (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7),
     ]
-    assert len(W._DIST_MAP) == 120
-    assert len(set(W._DIST_MAP)) == 120
+    assert W._DIST_MAP == spec
 
 
 def _wrap_vp8l(bits: W._BitWriter, w: int, h: int) -> bytes:
