@@ -25,7 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import load_spread, prep, register
 from .relational import round_ieee
 
 N_HASHES = 8
@@ -55,13 +55,13 @@ LSH_BUCKET_CAP = 10_000
 
 
 def shingled(docs: DataFrame) -> DataFrame:
-    """documents -> (doc_id, sg) with sg = distinct word-3-gram shingles."""
-    words = F.split(F.trim("text"), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    """documents -> (doc_id, sg) with sg = distinct word-3-gram shingles
+    (the shared ``textops._word_ngrams`` shape at width 3)."""
+    from .textops import _word_ngrams  # lazy: keeps registration order
+
+    return docs.select(
+        "doc_id", _word_ngrams(F.col("text"), 3).alias("sg")
     )
-    return docs.select("doc_id", F.array_distinct(grams).alias("sg"))
 
 
 _SHINGLE_ORACLE = """
@@ -84,11 +84,9 @@ def minhash_signatures(docs: DataFrame) -> DataFrame:
     passes over materialized shingle arrays — is CodegenFallback and
     re-walks each array 8 times. Duplicate shingles don't need
     dedup first: min() is insensitive to multiplicity."""
-    words = F.split(F.trim("text"), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-    )
+    from .textops import _word_ngrams  # lazy: keeps registration order
+
+    grams = _word_ngrams(F.col("text"), 3, distinct=False)
     exploded = docs.select("doc_id", F.explode(grams).alias("gram"))
     return exploded.groupBy("doc_id").agg(
         *[
@@ -108,6 +106,37 @@ def _signature_oracle() -> str:
                    {sig_cols}
             FROM ({_SHINGLE_ORACLE})
     """
+
+
+def banded_guarded(
+    sigs: DataFrame, bucket_cap: int = LSH_BUCKET_CAP
+) -> DataFrame:
+    """(doc_id, band_idx, band_hash) band rows of a signature frame,
+    CACHED pre-guard, with hot buckets (> ``bucket_cap`` members)
+    removed by a broadcast anti-join.  The single implementation of
+    the banding + hot-bucket guard shared by the batch LSH path
+    (``lsh_candidate_pairs``) and the incremental index probe
+    (``dedup_incremental_minhash``) — the two paths must band and
+    guard IDENTICALLY or the incremental result drifts from the batch
+    result it claims to mirror."""
+    bands = F.array(
+        *[
+            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    banded = sigs.select(
+        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
+    ).cache()
+    hot = (
+        banded.groupBy("band_idx", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .filter(F.col("bsz") > F.lit(bucket_cap))
+        .select("band_idx", "band_hash")
+    )
+    return banded.join(
+        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
+    )
 
 
 def lsh_candidate_pairs(
@@ -133,24 +162,7 @@ def lsh_candidate_pairs(
     anti-join — hot buckets are by construction a tiny set (each one
     needs > cap members). The signature pipeline therefore runs exactly
     once, and the self-join's two exchanges read from memory."""
-    bands = F.array(
-        *[
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
-            for b in range(N_BANDS)
-        ]
-    )
-    banded = sigs.select(
-        "doc_id", F.posexplode(bands).alias("band_idx", "band_hash")
-    ).cache()
-    hot = (
-        banded.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > F.lit(bucket_cap))
-        .select("band_idx", "band_hash")
-    )
-    guarded = banded.join(
-        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
-    )
+    guarded = banded_guarded(sigs, bucket_cap)
     a = guarded.alias("a")
     b = guarded.alias("b")
     return (
@@ -1046,29 +1058,12 @@ def dedup_incremental_minhash(spark, sf_dir):
     docs = load_spread(spark, sf_dir, "documents")
     # cache: consumed by the band explode AND both est-jaccard joins
     sigs = minhash_signatures(docs).cache()
-    bands_expr = F.array(
-        *[
-            F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sigs.select(
-        "doc_id", F.posexplode(bands_expr).alias("band_idx", "band_hash")
-    ).cache()
-    # the same hot-bucket guard as lsh_candidate_pairs, applied to the
-    # INDEX side: a band bucket holding > LSH_BUCKET_CAP signatures is a
-    # degenerate boilerplate cluster that would make the delta probe
-    # quadratic in that bucket — drop it from both probe sides (mirrored
-    # in the oracle; unreachable at oracle scale, so results identical)
-    hot = (
-        bands.groupBy("band_idx", "band_hash")
-        .agg(F.count(F.lit(1)).alias("bsz"))
-        .filter(F.col("bsz") > F.lit(LSH_BUCKET_CAP))
-        .select("band_idx", "band_hash")
-    )
-    guarded = bands.join(
-        F.broadcast(hot), ["band_idx", "band_hash"], "left_anti"
-    )
+    # the shared banding + hot-bucket guard (banded_guarded): a band
+    # bucket holding > LSH_BUCKET_CAP signatures is a degenerate
+    # boilerplate cluster that would make the delta probe quadratic in
+    # that bucket — dropped from both probe sides (mirrored in the
+    # oracle; unreachable at oracle scale, so results identical)
+    guarded = banded_guarded(sigs)
     is_delta = F.col("doc_id") % DELTA_MOD == DELTA_REMAINDER
     a = guarded.filter(is_delta).alias("a")
     b = guarded.alias("b")
@@ -1162,19 +1157,11 @@ def dedup_keep_best_quality(spark, sf_dir):
     nothing but (fp, quality, doc_id) decides survivorship."""
     from pyspark.sql.window import Window
 
+    from .textops import quality_score
+
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
-    n_tokens = F.when(
-        F.length(F.trim("text")) == 0, F.lit(0)
-    ).otherwise(F.size(F.split(F.trim("text"), r"\s+")))
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
-        / F.greatest(F.length("text"), F.lit(1))
-    )
-    quality = (
-        F.lit(0.5) * F.least(n_tokens / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.5) * alpha_ratio
-    )
+    quality = quality_score(F.col("text"))
     scored = d.select(
         "doc_id",
         "source",

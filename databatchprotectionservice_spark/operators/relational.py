@@ -150,7 +150,7 @@ def q1_pricing_summary(spark, sf_dir):
             LIMIT 10
         )
     """,
-    description="TPC-H Q3 adapted: broadcast dim join -> agg -> top-k",
+    description="TPC-H Q3 adapted: shuffle fact joins (AQE broadcast at small SF) -> agg -> top-k",
 )
 def q3_shipping_priority(spark, sf_dir):
     prep(spark)
@@ -159,8 +159,12 @@ def q3_shipping_priority(spark, sf_dir):
     o = load(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     l = load(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # no broadcast hints: orders (date-filtered ~97%) and customer
+        # (1/5 segment) are FACT-scale at 100 TB — forcing them into a
+        # broadcast would blow the 8 GB limit/driver heap; AQE picks
+        # broadcast automatically at small scales
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
             F.sum(
@@ -206,7 +210,7 @@ def q3_shipping_priority(spark, sf_dir):
           AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         GROUP BY n.n_name
     """,
-    description="TPC-H Q5 adapted: star join, all dims broadcast",
+    description="TPC-H Q5 adapted: star join, fixed-size dims broadcast, fact joins shuffle",
 )
 def q5_local_supplier_volume(spark, sf_dir):
     prep(spark)
@@ -220,10 +224,14 @@ def q5_local_supplier_volume(spark, sf_dir):
     n = load(spark, sf_dir, "nation")
     r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # broadcast hints ONLY on the fixed-cardinality dims (nation=25,
+        # region=5 rows at every scale factor); customer/orders/supplier
+        # all scale with SF and must stay shuffle-joinable — AQE
+        # broadcasts them at small scales on its own
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -691,15 +699,27 @@ def asof_join_last_event(spark, sf_dir):
         .orderBy(F.col("t").asc(), F.col("is_click").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # ts and value travel TOGETHER in one struct: separate last()
+    # carries would desynchronize when the matched click's value is
+    # NULL (last(value, ignorenulls) would skip to an OLDER click
+    # while click_ts takes the newest — a different click than the
+    # one the oracle's ASOF match contributes)
     joined = (
         clicks.unionByName(purchases)
-        .withColumn("click_value", F.last("value", ignorenulls=True).over(w))
         .withColumn(
-            "click_ts",
+            "click_info",
             F.last(
-                F.when(F.col("is_click") == 1, F.col("t")), ignorenulls=True
+                F.when(
+                    F.col("is_click") == 1,
+                    F.struct(
+                        F.col("t").alias("ct"), F.col("value").alias("cv")
+                    ),
+                ),
+                ignorenulls=True,
             ).over(w),
         )
+        .withColumn("click_value", F.col("click_info.cv"))
+        .withColumn("click_ts", F.col("click_info.ct"))
         .filter(F.col("is_click") == 0)
     )
     return joined.groupBy(
@@ -1425,7 +1445,9 @@ def funnel_conversion(spark, sf_dir):
         "n_viewed",
         "n_clicked_after",
         "n_purchased_after",
-        F.expr("n_clicked_after * 10000 div n_viewed")
+        # nullif: a zero-view slice must yield NULL like the oracle's
+        # DuckDB `// 0`, not an ANSI DIVIDE_BY_ZERO crash
+        F.expr("n_clicked_after * 10000 div nullif(n_viewed, 0L)")
         .cast("bigint")
         .alias("click_rate_e4"),
         F.expr(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .relational import round_ieee, round_ieee_sql
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import load_spread, prep, register
 
 # language marker words (scored by whole-word regex match count). The
 # synthetic corpus is vocabulary-uniform, so the interesting property is
@@ -41,6 +41,27 @@ def _tokens(col):
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+"))
     )
+
+
+def _alpha_ratio(col):
+    """Alphabetic-character ratio, zero-length-safe (identical
+    expression in the oracles that use it)."""
+    return (
+        F.length(F.regexp_replace(col, "[^a-zA-Z]", "")) * F.lit(1.0)
+        / F.greatest(F.length(col), F.lit(1))
+    )
+
+
+def quality_score(col):
+    """THE pipeline quality model — ``0.5 * least(n_tokens/50, 1) +
+    0.5 * alpha_ratio`` — as one shared expression.  Used by
+    ``text_quality_scores``, ``pipeline_training_prep`` and
+    ``dedup_keep_best_quality`` (each mirrors it in its oracle); a
+    tuning change here reaches every consumer, where three inlined
+    copies once could drift apart silently."""
+    return F.lit(0.5) * F.least(
+        _tokens(col) / F.lit(50.0), F.lit(1.0)
+    ) + F.lit(0.5) * _alpha_ratio(col)
 
 
 @register(
@@ -96,21 +117,11 @@ def text_token_stats(spark, sf_dir):
 def text_quality_scores(spark, sf_dir):
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
-    n_tokens = _tokens(F.col("text")).alias("n_tokens")
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
-        / F.greatest(F.length("text"), F.lit(1))
-    )
-    base = d.select("doc_id", n_tokens, alpha_ratio.alias("alpha_ratio"))
-    quality = (
-        F.lit(0.5) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.5) * F.col("alpha_ratio")
-    )
-    return base.select(
+    return d.select(
         "doc_id",
-        "n_tokens",
-        round_ieee(F.col("alpha_ratio")).alias("alpha_ratio"),
-        round_ieee(quality).alias("quality"),
+        _tokens(F.col("text")).alias("n_tokens"),
+        round_ieee(_alpha_ratio(F.col("text"))).alias("alpha_ratio"),
+        round_ieee(quality_score(F.col("text"))).alias("quality"),
     )
 
 
@@ -203,11 +214,8 @@ def text_language_id(spark, sf_dir):
 def text_fingerprints(spark, sf_dir):
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
-    words = F.split(F.trim("text"), r"\s+")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 4, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 5)),
-    )
+    # multiplicity kept (array_min is insensitive), shared n-gram shape
+    grams = _word_ngrams(F.col("text"), 5, distinct=False)
     return d.select(
         "doc_id",
         F.md5(F.lower(F.trim("text"))).alias("exact_fp"),
@@ -282,13 +290,19 @@ def text_tfidf_top_terms(spark, sf_dir):
     df = tok.groupBy("term").agg(
         F.countDistinct("doc_id").alias("df")
     )
-    n_docs = d.count()
+    # corpus size rides the plan as a broadcast 1-row aggregate (the
+    # `tot` convention): a driver-side d.count() would schedule an
+    # extra full scan before the main job
+    n_docs = d.groupBy().agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs")
+    )
     scored = (
         tf.join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
             F.col("tf").cast("double")
-            * F.lit(float(n_docs))
+            * F.col("n_docs")
             / F.col("df").cast("double"),
         )
     )
@@ -442,25 +456,14 @@ def pipeline_training_prep(spark, sf_dir):
 
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
-    n_tokens = _tokens(F.col("text")).alias("n_tokens")
-    alpha_ratio = (
-        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")) * F.lit(1.0)
-        / F.greatest(F.length("text"), F.lit(1))
-    )
     scored = d.filter(F.col("lang") == "en").select(
         "doc_id",
         "source",
         "text",
-        n_tokens,
-        alpha_ratio.alias("alpha_ratio"),
+        _tokens(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
     )
-    quality = (
-        F.lit(0.5) * F.least(F.col("n_tokens") / F.lit(50.0), F.lit(1.0))
-        + F.lit(0.5) * F.col("alpha_ratio")
-    )
-    gated = scored.withColumn("quality", quality).filter(
-        F.col("quality") >= 0.5
-    )
+    gated = scored.filter(F.col("quality") >= 0.5)
     w = Window.partitionBy(F.md5(F.lower(F.trim("text")))).orderBy("doc_id")
     kept = (
         gated.withColumn("rn", F.row_number().over(w))
@@ -485,17 +488,20 @@ DECON_NGRAM = 8
 DECON_EVAL_MOD = 20
 
 
-def _word_ngrams(col, n: int):
-    """Distinct word n-grams of ``col`` (same split/trim/concat shape as
-    :func:`..dedup.shingled`, generalized width). Documents shorter than
-    ``n`` words contribute one truncated gram (the whole document)."""
+def _word_ngrams(col, n: int, distinct: bool = True):
+    """Word n-grams of ``col`` — THE shared split/trim/sequence/slice
+    shape (``dedup.shingled`` and ``dedup.minhash_signatures`` build on
+    it too, so the short-document rule ``greatest(size - (n-1), 1)``
+    lives in exactly one place). Documents shorter than ``n`` words
+    contribute one truncated gram (the whole document).
+    ``distinct=False`` keeps multiplicity (min-hash is insensitive to
+    it and skips the dedup pass)."""
     words = F.split(F.trim(col), r"\s+")
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
-        )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, n)),
     )
+    return F.array_distinct(grams) if distinct else grams
 
 
 @register(
@@ -640,10 +646,8 @@ def text_repetition_scores(spark, sf_dir):
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
     words = F.split(F.trim("text"), r"\s+")
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-    )
+    # multiplicity kept (the aggregate counts it), shared n-gram shape
+    bigrams = _word_ngrams(F.col("text"), 2, distinct=False)
     wstats = d.select(
         "doc_id",
         F.size(words).cast("long").alias("n_words"),
@@ -1143,6 +1147,13 @@ def text_bpe_train(spark, sf_dir):
         )
         best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
         if not best:
+            # degenerate corpus (every text below 2 chars): the oracle
+            # still emits one row per remaining round — its bN scalar
+            # subqueries go empty (NULL pair), which NULLs the rewritten
+            # text and the corpus length; mirror those NULL rows instead
+            # of returning fewer rows than the gate expects
+            for rr in range(r, BPE_MERGES):
+                rows.append((rr + 1, None, None, None))
             break
         pair, c = best[0]["pair"], int(best[0]["c"])
         # literal-safe: the corpus-derived pair goes through F.lit, not
