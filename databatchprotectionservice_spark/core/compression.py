@@ -21,6 +21,10 @@ import pyarrow as pa
 from .errors import DBPSInvalidInputError, DBPSUnsupportedError
 from .types import CompressionCodec
 
+#: hard allocation ceiling for one decompressed page (1 GiB — far above
+#: any real Parquet page, far below a 2^35-1 claimed-length bomb)
+MAX_DECOMPRESSED_BYTES = 1 << 30
+
 _PYARROW_CODECS = {
     CompressionCodec.SNAPPY: "snappy",
     CompressionCodec.ZSTD: "zstd",
@@ -73,8 +77,17 @@ def decompress(
         return data
     if codec == CompressionCodec.GZIP:
         try:
-            # wbits=47 auto-detects both gzip (1f8b) and zlib (789c) framing
-            return zlib.decompress(data, wbits=47)
+            # wbits=47 auto-detects both gzip (1f8b) and zlib (789c)
+            # framing; bounded inflate — zlib's ~1032:1 ratio lets a
+            # tiny page claim gigabytes otherwise
+            dobj = zlib.decompressobj(wbits=47)
+            out = dobj.decompress(data, MAX_DECOMPRESSED_BYTES + 1)
+            if len(out) > MAX_DECOMPRESSED_BYTES or dobj.unconsumed_tail:
+                raise DBPSInvalidInputError(
+                    "gzip page inflates past the "
+                    f"{MAX_DECOMPRESSED_BYTES}-byte page cap"
+                )
+            return out + dobj.flush()
         except zlib.error as e:
             raise DBPSInvalidInputError(f"gzip decompression failed: {e}") from e
     name = _PYARROW_CODECS.get(codec)
@@ -87,6 +100,18 @@ def decompress(
             raise DBPSUnsupportedError(
                 f"{codec.name} requires a known uncompressed size"
             )
+    # the length prefix is attacker-controlled (up to 2^35-1): cap it
+    # BEFORE pyarrow preallocates the claimed buffer.  Real snappy
+    # cannot exceed ~255x expansion, and no sane page exceeds the
+    # absolute cap regardless of claimed ratio.
+    if (
+        uncompressed_size > MAX_DECOMPRESSED_BYTES
+        or uncompressed_size > max(len(data), 1) * 255
+    ):
+        raise DBPSInvalidInputError(
+            f"claimed uncompressed size {uncompressed_size} implausible "
+            f"for {len(data)} compressed bytes"
+        )
     try:
         return pa.decompress(
             data, decompressed_size=uncompressed_size, codec=name, asbytes=True

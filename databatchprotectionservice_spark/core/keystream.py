@@ -259,7 +259,17 @@ class AesSivEncryptor(Encryptor):
             return False
         lens = np.diff(offsets)
         if int(lens.min()) == int(lens.max()):
-            return True
+            # uniform width still has to respect the cost model: the
+            # batch S2V's CBC chain loops once per 16-byte BLOCK of an
+            # element (vectorized across elements), so a few LONG
+            # equal-width blobs are faster as scalar C calls — batch
+            # only when the per-element block count doesn't dwarf the
+            # element count
+            width = int(lens.max())
+            return (
+                width <= self._BATCH_MEAN_LEN + overhead
+                or width // 16 + 1 <= n
+            )
         mean = (int(offsets[-1]) - int(offsets[0])) / n
         return mean <= self._BATCH_MEAN_LEN + overhead
 

@@ -82,6 +82,14 @@ def count_present_values_v1(
     if max_def_level <= 0:
         raise DBPSInvalidInputError("max_def_level must be positive")
     bit_width = max_def_level.bit_length()
+    # definition levels are bounded by schema nesting depth (int16 in
+    # the Parquet thrift); past 32 bits the vectorized uint32 bit
+    # gather below would hit undefined-behavior shifts and count
+    # WRONG levels instead of rejecting the page
+    if bit_width > 32:
+        raise DBPSInvalidInputError(
+            f"max_def_level {max_def_level} out of range"
+        )
 
     present = decoded = offset = 0
     while decoded < num_values:
@@ -194,11 +202,20 @@ class PageAttributes:
 
         def req_int(key: str) -> int:
             try:
-                return int(req(key))
+                v = int(req(key))
             except ValueError:
                 raise DBPSInvalidInputError(
                     f"encoding attribute {key} is not an integer: {attrs[key]!r}"
                 ) from None
+            # every integer attribute is a count, level bound, or byte
+            # length — all non-negative by the format; a negative value
+            # here is attacker/typo input that would otherwise surface
+            # as under-allocation deep in the parse paths
+            if v < 0:
+                raise DBPSInvalidInputError(
+                    f"encoding attribute {key} is negative: {attrs[key]!r}"
+                )
+            return v
 
         def req_bool(key: str) -> bool:
             v = req(key).lower()
@@ -391,18 +408,8 @@ def value_buffer_to_bytes(
     """Typed buffer -> PLAIN value bytes (inverse of reinterpret)."""
     if fixed_size is not None:
         return flat.tobytes()
-    count = len(offsets) - 1
-    lengths = np.diff(offsets)
-    out = np.empty(4 * count + flat.size, dtype=np.uint8)
-    starts = offsets[:-1] + 4 * np.arange(count, dtype=np.int64)
-    len_le = lengths.astype("<u4").view(np.uint8).reshape(count, 4)
-    mask = np.ones(out.size, dtype=bool)
-    for j in range(4):
-        out[starts + j] = len_le[:, j]
-        mask[starts + j] = False
-    if flat.size:
-        out[mask] = flat
-    return out.tobytes()
+    # shared scatter (native C fast path when loaded) — see wire.py
+    return wire.interleave_plain(flat, offsets).tobytes()
 
 
 # ---------------------------------------------------------------------------
@@ -506,6 +513,11 @@ class PageProtector:
             raise DBPSInvalidInputError(
                 f"encryption_metadata missing {DBPS_VERSION_KEY}"
             )
+        # PREFIX match is deliberate reference parity
+        # (encryption_sequencer.cpp:340 uses find(DBPS_VERSION) != 0),
+        # so suffixed builds like "v0.01-rc1" validate identically in
+        # both engines; an exact match here would reject what the
+        # reference accepts
         if not version.startswith(DBPS_VERSION):
             raise DBPSInvalidInputError(
                 f"unsupported {DBPS_VERSION_KEY}: {version!r}"

@@ -54,7 +54,13 @@ _NUMPY_DTYPES = {
 
 
 class CompressionCodec(enum.IntEnum):
-    """Parquet compression codecs (reference ``enums.h:40-53``).
+    """Compression codecs named after Parquet's set (reference
+    ``enums.h:40-53``).
+
+    CAUTION: the INTEGER VALUES here are NOT parquet.thrift's codec
+    ids (Parquet has BROTLI=4/ZSTD=6/LZO=3/LZ4_RAW=7) — conversion is
+    name-based only (``to_compression_codec``); never construct this
+    enum from a raw Parquet footer/page-header integer.
 
     The reference implements only UNCOMPRESSED and SNAPPY
     (``compression_utils.cpp:26-82``); we additionally support GZIP, ZSTD,

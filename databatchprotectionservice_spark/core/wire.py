@@ -52,6 +52,15 @@ def parse_length_prefixed(
         if not isinstance(body, np.ndarray)
         else body
     )
+    # count is attacker-reachable (page metadata): a negative value
+    # would under-allocate before the native writer's unconditional
+    # first store (heap OOB) or raise a raw numpy ValueError, and a
+    # huge one a raw MemoryError — every record needs >= 4 bytes, so
+    # the buffer bounds the only believable counts
+    if count < 0 or count > len(buf) // 4:
+        raise DBPSInvalidInputError(
+            f"{what} count {count} impossible for {len(buf)} bytes"
+        )
     if _native.LIB is not None:
         err, flat, offsets = _native.parse_plain(buf, count)
         if err == 1:
@@ -110,13 +119,23 @@ def write_value_list(
     lengths = np.diff(offsets)
     if lengths.size and int(lengths.max()) > U32_MAX:
         raise DBPSInvalidInputError("element length exceeds u32")
+    out = interleave_plain(flat, offsets)
+    return bytes([TAG_VARIABLE]) + _U32.pack(count) + out.tobytes()
+
+
+def interleave_plain(flat: np.ndarray, offsets: np.ndarray) -> np.ndarray:
+    """[u32 len][bytes]-interleave an Arrow-style (flat, offsets) pair
+    into one uint8 array (no tag/count header) — THE shared scatter
+    (with the native C fast path) behind both the tagged wire writer
+    above and ``pagecodec.value_buffer_to_bytes``'s PLAIN emit, which
+    previously carried its own numpy-only copy of this index math."""
+    count = len(offsets) - 1
     if _native.LIB is not None:
-        out = _native.write_interleaved(flat, offsets)
-        return bytes([TAG_VARIABLE]) + _U32.pack(count) + out.tobytes()
-    # interleave [u32 len][bytes] per element with one vectorized scatter
+        return _native.write_interleaved(flat, offsets)
+    # interleave with one vectorized scatter
     out = np.empty(4 * count + flat.size, dtype=np.uint8)
     starts = offsets[:-1] + 4 * np.arange(count, dtype=np.int64)
-    len_bytes = lengths.astype("<u4").view(np.uint8).reshape(count, 4)
+    len_bytes = np.diff(offsets).astype("<u4").view(np.uint8).reshape(count, 4)
     for j in range(4):
         out[starts + j] = len_bytes[:, j]
     if flat.size:
@@ -124,7 +143,7 @@ def write_value_list(
         for j in range(4):
             mask[starts + j] = False
         out[mask] = flat
-    return bytes([TAG_VARIABLE]) + _U32.pack(count) + out.tobytes()
+    return out
 
 
 def read_value_list(data: bytes) -> tuple[np.ndarray, np.ndarray, int | None]:

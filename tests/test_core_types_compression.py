@@ -125,3 +125,52 @@ def test_unsupported_codecs_raise(codec):
 def test_corrupt_snappy_raises_invalid():
     with pytest.raises(DBPSError):
         comp.decompress(b"\xff\xff\xff\xffgarbage", CompressionCodec.SNAPPY)
+
+
+def test_decompression_bombs_refused_before_allocation():
+    """A tiny page claiming a gigantic uncompressed size must raise
+    DBPSInvalidInputError BEFORE pyarrow/zlib preallocate the claimed
+    buffer (snappy's varint admits 2^35-1; zlib expands ~1032:1)."""
+    import pytest
+
+    from databatchprotectionservice_spark.core.compression import (
+        decompress,
+    )
+    from databatchprotectionservice_spark.core.errors import (
+        DBPSInvalidInputError,
+    )
+    from databatchprotectionservice_spark.core.types import CompressionCodec
+
+    def uleb(n: int) -> bytes:
+        out = b""
+        while True:
+            b7 = n & 0x7F
+            n >>= 7
+            out += bytes([b7 | (0x80 if n else 0)])
+            if not n:
+                return out
+
+    bomb = uleb(8 << 30) + b"\x00\x00"  # claims 8 GiB from 7 bytes
+    with pytest.raises(DBPSInvalidInputError, match="implausible"):
+        decompress(bomb, CompressionCodec.SNAPPY)
+    # explicit oversized claim takes the same guard
+    with pytest.raises(DBPSInvalidInputError, match="implausible"):
+        decompress(b"\x00" * 16, CompressionCodec.ZSTD,
+                   uncompressed_size=2 << 30)
+
+
+def test_oversized_max_def_level_is_rejected():
+    """bit widths past 32 previously hit undefined-behavior uint32
+    shifts in the vectorized level gather and counted WRONG levels
+    instead of rejecting the page."""
+    import pytest
+
+    from databatchprotectionservice_spark.core.errors import (
+        DBPSInvalidInputError,
+    )
+    from databatchprotectionservice_spark.core.pagecodec import (
+        count_present_values_v1,
+    )
+
+    with pytest.raises(DBPSInvalidInputError, match="out of range"):
+        count_present_values_v1(bytes([0x03]) + b"\xff" * 100, 8, 2**40)

@@ -93,3 +93,23 @@ def test_truncated_length_prefix_rejected():
         split_with_length_prefix(b"\xff\xff\xff\xff")
     with pytest.raises(DBPSInvalidInputError):
         split_with_length_prefix(b"\x01")
+
+
+def test_hostile_counts_are_domain_errors():
+    """Attacker-reachable counts (page metadata) must fail as
+    DBPSInvalidInputError before any allocation: a negative count
+    previously under-allocated ahead of the native writer's first
+    store (heap OOB) or escaped as raw ValueError, and a huge one as
+    raw MemoryError."""
+    import pytest
+
+    from databatchprotectionservice_spark.core.errors import (
+        DBPSInvalidInputError,
+    )
+    from databatchprotectionservice_spark.core.wire import (
+        parse_length_prefixed,
+    )
+
+    for count in (-1, -3, 10**16):
+        with pytest.raises(DBPSInvalidInputError, match="impossible"):
+            parse_length_prefixed(b"\x00\x00\x00\x00", count)
