@@ -130,20 +130,24 @@ def profile_documents(spark, sf_dir):
 def pivot_user_event_matrix(spark, sf_dir):
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    pivoted = (
+    # n_any is count(*) over ALL events (the oracle's definition), not
+    # the sum of the vocabulary columns: an out-of-vocabulary or NULL
+    # event_type row counts toward n_any but no pivot column.  One
+    # conditional aggregate per vocabulary entry + count(*) keeps it a
+    # single groupBy (same plan as the explicit-values pivot).
+    return (
         ev.groupBy("user_id")
-        .pivot("event_type", list(EVENT_TYPES))
-        .agg(F.count(F.lit(1)))
+        .agg(
+            *[
+                F.count(F.when(F.col("event_type") == t, 1))
+                .cast("bigint")
+                .alias(f"n_{t}")
+                for t in EVENT_TYPES
+            ],
+            F.count(F.lit(1)).cast("bigint").alias("n_any"),
+        )
+        .orderBy("user_id")
     )
-    out = pivoted.select(
-        "user_id",
-        *[
-            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(f"n_{t}")
-            for t in EVENT_TYPES
-        ],
-    )
-    total = sum(F.col(f"n_{t}") for t in EVENT_TYPES)
-    return out.withColumn("n_any", total.cast("bigint")).orderBy("user_id")
 
 
 @register(

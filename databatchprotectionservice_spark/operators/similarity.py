@@ -246,11 +246,13 @@ def similarity_lsh_buckets(spark, sf_dir):
         q AS (
             SELECT vec_id AS query_id, embedding AS qe, bucket FROM tagged
             WHERE vec_id < {N_QUERIES}
+              AND {_EMB_NORM_GUARD} > 0
         ),
         scored AS (
             SELECT q.query_id, c.vec_id AS neighbor_id,
                    {_DUCK_COS} AS cos
-            FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged) c
+            FROM q JOIN (SELECT vec_id, embedding AS ce, bucket FROM tagged
+                         WHERE {_EMB_NORM_GUARD} > 0) c
               ON q.bucket = c.bucket AND c.vec_id <> q.query_id
         )
         SELECT query_id, neighbor_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rk
@@ -273,13 +275,18 @@ def similarity_lsh_topk(spark, sf_dir):
         bucket_column(F.col("embedding")).alias("bucket"),
         _norm(F.col("embedding")).alias("nrm"),
     )
-    q = tagged.filter(F.col("vec_id") < N_QUERIES).select(
+    # zero-norm guard on BOTH sides (same rule as the bruteforce twin
+    # and both oracles): a zero vector lands in bucket 255 (all sign
+    # bits set) and 0/0 cosine ranks differently across engines
+    q = tagged.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("nrm") > 0)
+    ).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
         F.col("nrm").alias("qnorm"),
         "bucket",
     )
-    c = tagged.select(
+    c = tagged.filter(F.col("nrm") > 0).select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("embedding").alias("ce"),
         F.col("nrm").alias("cnorm"),
@@ -415,6 +422,7 @@ _IVF_ORACLE = f"""
     q AS (
         SELECT vec_id AS query_id, emb AS qe FROM e
         WHERE vec_id < {N_QUERIES}
+          AND {_DUCK_NORM.format(c="emb")} > 0
     ),
     probes AS (
         SELECT query_id, qe, cluster FROM (
@@ -433,6 +441,7 @@ _IVF_ORACLE = f"""
                   * sqrt({_duck_dot("a.emb", "a.emb")})) AS cos
         FROM probes p JOIN a3 a
           ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        WHERE {_DUCK_NORM.format(c="a.emb")} > 0
     )
     SELECT query_id, neighbor_id, floor(cos * 10000.0 + 0.5) / 10000.0 AS cosine, rk
     FROM (
@@ -536,19 +545,25 @@ def similarity_ivf_topk(spark, sf_dir):
         _norm(F.col("embedding")).alias("nrm"),
         _assign_udf(centroids)(F.col("embedding")).alias("cluster"),
     ).cache()
-    # queries probe their IVF_PROBES nearest centroids
-    queries = assigned.filter(F.col("vec_id") < N_QUERIES).collect()
+    # queries probe their IVF_PROBES nearest centroids (zero-norm
+    # queries excluded, same rule as the bruteforce twin and the
+    # oracle; stable argsort = the oracle's ORDER BY sqdist, cluster
+    # tie-break, the same rule the IVFPQ twin pins)
+    queries = assigned.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("nrm") > 0)
+    ).collect()
     probe_rows = []
     for q in queries:
         x = np.asarray(q.embedding, dtype=np.float64)
         d = ((centroids - x) ** 2).sum(axis=1)
-        for c in np.argsort(d)[:IVF_PROBES]:
+        for c in np.argsort(d, kind="stable")[:IVF_PROBES]:
             probe_rows.append((q.vec_id, q.embedding, q.nrm, int(c)))
     probes = spark.createDataFrame(
         probe_rows, "query_id long, qe array<float>, qnorm double, cluster int"
     )
     scored = (
-        assigned.join(F.broadcast(probes), "cluster")
+        assigned.filter(F.col("nrm") > 0)
+        .join(F.broadcast(probes), "cluster")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
@@ -1179,11 +1194,21 @@ def similarity_matryoshka_recall(spark, sf_dir):
     ok = (_norm(F.col("embedding")) > 0) & (
         _norm(F.slice(F.col("embedding"), 1, MRL_DIMS)) > 0
     )
+    # norms precomputed per VECTOR (cosine_prenormed is bit-identical
+    # to cosine), not per pair: the n^2 scoring stage then does one dot
+    # product per ranking instead of re-aggregating both 64-dim norms
+    # for every pair
     q = emb.filter(F.col("vec_id") < N_QUERIES).filter(ok).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        _norm(F.col("embedding")).alias("qnorm"),
+        _norm(F.slice(F.col("embedding"), 1, MRL_DIMS)).alias("qnorm16"),
     )
     c = emb.filter(ok).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ce"),
+        _norm(F.col("embedding")).alias("cnorm"),
+        _norm(F.slice(F.col("embedding"), 1, MRL_DIMS)).alias("cnorm16"),
     )
     pairs = c.crossJoin(F.broadcast(q)).filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -1193,8 +1218,12 @@ def similarity_matryoshka_recall(spark, sf_dir):
     scored = pairs.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("qe"), F.col("ce")).alias("cos_full"),
-        cosine(qe16, ce16).alias("cos_trunc"),
+        cosine_prenormed(
+            F.col("qe"), F.col("ce"), F.col("qnorm"), F.col("cnorm")
+        ).alias("cos_full"),
+        cosine_prenormed(
+            qe16, ce16, F.col("qnorm16"), F.col("cnorm16")
+        ).alias("cos_trunc"),
     )
     w_full = Window.partitionBy("query_id").orderBy(
         F.desc("cos_full"), F.asc("neighbor_id")

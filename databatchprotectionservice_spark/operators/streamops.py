@@ -112,7 +112,17 @@ def _run_to_memory_sink(
             .start()
         )
         try:
-            q.awaitTermination(300)
+            finished = q.awaitTermination(300)
+            if not finished:
+                # no silent truncation (the suite's refuse-don't-sample
+                # convention): a timed-out run would otherwise return
+                # whichever micro-batches happened to commit as if they
+                # were the complete result
+                raise TimeoutError(
+                    f"streaming query {name!r} did not finish its "
+                    "availableNow run within 300s; refusing the "
+                    "partially-filled memory sink"
+                )
         finally:
             q.stop()
     finally:
@@ -683,9 +693,19 @@ def streaming_enrich_dimension(spark, sf_dir):
             FROM events WHERE event_type = 'purchase'
         ),
         wm AS (
-            SELECT least((SELECT max(ts) FROM clicks),
-                         (SELECT max(ts) FROM purchases))
-                   - INTERVAL 2 HOUR AS final_wm
+            -- NULL-strict min: DuckDB's least() IGNORES NULLs, but
+            -- Spark's global watermark is the min over BOTH sides, so
+            -- an empty side pins it at the epoch and nothing is ever
+            -- emitted -- the CASE restates that (NULL wm filters every
+            -- unmatched row below)
+            SELECT CASE
+                     WHEN (SELECT max(ts) FROM clicks) IS NULL
+                       OR (SELECT max(ts) FROM purchases) IS NULL
+                     THEN NULL
+                     ELSE least((SELECT max(ts) FROM clicks),
+                                (SELECT max(ts) FROM purchases))
+                          - INTERVAL 2 HOUR
+                   END AS final_wm
         ),
         matched AS (
             SELECT p.user_id,

@@ -207,15 +207,24 @@ class ProtectedParquetDataSource(DataSource):
                 f"columns not in DataFrame: {missing}"
             )
         encryptor = self.options.get("encryptor", "keystream_xor")
-        if os.path.isdir(path) and _parquet_files(path):
-            if overwrite:
-                for n in os.listdir(path):
-                    full = os.path.join(path, n)
-                    if os.path.isfile(full):
-                        os.remove(full)
-            else:
-                _check_append_compatible(path, schema, columns, encryptor)
-        return ProtectedParquetWriter(path, schema, columns, encryptor)
+        # gate on the SIDECAR like streamWriter does, not on top-level
+        # parquet files: a hive-partitioned protected dataset keeps its
+        # parquet only in key=value/ subdirs, which _parquet_files never
+        # sees — the old gate let appends bypass validation and rewrite
+        # the sidecar out from under the partitioned files
+        if (
+            not overwrite
+            and os.path.isdir(path)
+            and os.path.exists(os.path.join(path, SIDECAR_NAME))
+        ):
+            _check_append_compatible(path, schema, columns, encryptor)
+        # overwrite deletes NOTHING here: writer() runs at plan time,
+        # before any task — destroying the old dataset now would leave
+        # neither old nor new data if the job fails.  Deletion happens
+        # in commit(), preserving keep-old-until-commit semantics.
+        return ProtectedParquetWriter(
+            path, schema, columns, encryptor, overwrite=overwrite
+        )
 
     def streamWriter(self, schema: T.StructType, overwrite: bool):
         """Streaming sink: ``df.writeStream.format("dbps_protected")``.
@@ -582,11 +591,13 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
         schema: T.StructType,
         columns: dict[str, str],
         encryptor: str,
+        overwrite: bool = False,
     ):
         self._dst = path
         self._schema = schema
         self._columns = columns
         self._encryptor = encryptor
+        self._overwrite = overwrite
 
     def write(self, iterator) -> _Committed:
         import uuid
@@ -646,6 +657,25 @@ class ProtectedParquetWriter(DataSourceArrowWriter):
 
     def commit(self, messages) -> None:
         from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+
+        if self._overwrite:
+            # keep-old-until-commit: every task file has landed, so NOW
+            # the previous dataset goes — all top-level files except
+            # this write's own, plus hive key=value/ partition dirs
+            # from an earlier write_protected(partition_by=...) layout
+            import shutil
+
+            keep = {
+                m.filename
+                for m in messages
+                if m is not None and m.filename
+            }
+            for n in os.listdir(self._dst):
+                full = os.path.join(self._dst, n)
+                if os.path.isfile(full) and n not in keep:
+                    os.remove(full)
+                elif os.path.isdir(full) and "=" in n:
+                    shutil.rmtree(full)
 
         sidecar = {
             DBPS_VERSION_KEY: DBPS_VERSION,

@@ -412,3 +412,56 @@ def test_stream_sink_writes_decryptable_dataset(spark, people, tmp_path):
             assert _vals(got, c) == _vals(people, c)
     raw = dict(spark.read.parquet(dst).dtypes)
     assert raw["name"] == "binary" and raw["dec"] == "binary"
+
+
+def test_partitioned_dataset_append_is_refused_and_sidecar_survives(
+    spark, tmp_path
+):
+    """The batch writer emits the FLAT layout, so appending to a
+    hive-partitioned protected dataset must refuse up front (the old
+    gate looked only at top-level parquet files, which a partitioned
+    layout doesn't have — the append then silently rewrote the sidecar
+    out from under every partitioned file)."""
+    import json
+    import os
+
+    base = str(tmp_path / "part_ds")
+    df = spark.range(20).selectExpr(
+        "id", "cast(id as string) as name", "cast(id % 2 as string) as lang"
+    )
+    write_protected(df, base, {"name": "key_A"}, partition_by=["lang"])
+    with pytest.raises(Exception, match="hive-partitioned|flat layout"):
+        (
+            df.write.format("dbps_protected")
+            .option("columns", "name:key_B")
+            .mode("append")
+            .save(base)
+        )
+    meta = json.load(open(os.path.join(base, "_dbps_protection.json")))
+    assert meta["partition_by"] == ["lang"]
+    assert meta["columns"]["name"]["key_id"] == "key_A"
+
+
+def test_overwrite_replaces_partitioned_dataset_at_commit(spark, tmp_path):
+    """mode('overwrite') keeps the old dataset until commit(), then
+    removes stale top-level files AND hive key=value/ dirs; the new
+    flat dataset reads back complete."""
+    import os
+
+    base = str(tmp_path / "ow_ds")
+    df = spark.range(30).selectExpr(
+        "id", "cast(id as string) as name", "cast(id % 3 as string) as lang"
+    )
+    write_protected(df, base, {"name": "key_A"}, partition_by=["lang"])
+    (
+        df.write.format("dbps_protected")
+        .option("columns", "name:key_B")
+        .mode("overwrite")
+        .save(base)
+    )
+    assert not any("=" in n for n in os.listdir(base))
+    out = spark.read.format("dbps_protected").load(base)
+    assert out.count() == 30
+    assert sorted(r.name for r in out.collect()) == sorted(
+        str(i) for i in range(30)
+    )
