@@ -32,6 +32,43 @@ from pyspark.sql import functions as F
 
 from ..plans.registry import load, prep, register
 
+
+#: shared bidirected purchase-graph CTE prefix (pairs + edges): the
+#: 2*custkey / 2*suppkey+1 node encoding must stay IDENTICAL between
+#: pagerank and BFS, in both the DataFrame builders and the oracles
+_PURCHASE_EDGES_CTE = """
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        edges AS (
+            SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+            UNION ALL
+            SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+        ),"""
+
+
+def _purchase_edges(spark, sf_dir):
+    """(pairs, edges) of the bidirected customer-supplier purchase
+    graph — the single implementation of the 2*c / 2*s+1 encoding
+    shared by pagerank and BFS (edges eagerly checkpointed: both
+    callers iterate over them)."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pairs = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    fwd = pairs.select(
+        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
+    )
+    rev = pairs.select(
+        (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
+    )
+    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    return pairs, edges
+
 PR_ITERATIONS = 5
 PR_TOP = 20
 #: damping 0.85 and teleport 0.15 in micro-unit integer arithmetic
@@ -42,16 +79,7 @@ _TELEPORT = 150_000
 def _oracle_sql() -> str:
     """Unroll the five integer-exact iterations as chained CTEs."""
     parts = [
-        """
-        WITH pairs AS (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        ),
-        edges AS (
-            SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
-            UNION ALL
-            SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
-        ),
+        _PURCHASE_EDGES_CTE + """
         nodes AS (SELECT DISTINCT src AS v FROM edges),
         deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
         r0 AS (SELECT v, CAST(%d AS BIGINT) AS r FROM nodes)
@@ -105,20 +133,7 @@ def pagerank_top_nodes(spark, sf_dir):
 
     with ranks eagerly checkpointed per round (flat logical plan)."""
     prep(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    fwd = pairs.select(
-        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
-    )
-    rev = pairs.select(
-        (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
-    )
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    pairs, edges = _purchase_edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("v")).distinct()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     ed = edges.join(deg, "src").localCheckpoint(eager=True)
@@ -165,16 +180,7 @@ BFS_SEEDS = 5  # customers with custkey < BFS_SEEDS
 def _bfs_oracle_sql() -> str:
     """Unroll the fixed BFS relaxations as chained CTEs."""
     parts = [
-        """
-        WITH pairs AS (
-            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
-            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-        ),
-        edges AS (
-            SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
-            UNION ALL
-            SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
-        ),
+        _PURCHASE_EDGES_CTE + """
         d0 AS (
             SELECT DISTINCT 2 * c AS v, CAST(0 AS BIGINT) AS d
             FROM pairs WHERE c < %d
@@ -231,20 +237,7 @@ def bfs_purchase_distance(spark, sf_dir):
     production BFS would propagate only the improved-distance DELTA,
     an optimization that changes no result."""
     prep(spark)
-    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    pairs = (
-        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
-        .distinct()
-    )
-    fwd = pairs.select(
-        (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
-    )
-    rev = pairs.select(
-        (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
-    )
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    pairs, edges = _purchase_edges(spark, sf_dir)
     dist = (
         pairs.filter(F.col("c") < BFS_SEEDS)
         .select((2 * F.col("c")).alias("v"))

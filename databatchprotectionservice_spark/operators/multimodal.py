@@ -60,13 +60,18 @@ def media_table(spark, sf_dir: str) -> DataFrame:
     is concerned, but one whose properties SQL oracles can recompute.
     """
     d = load_spread(spark, sf_dir, "documents")
+    # NULL-safe derivations matching the DuckDB oracles: concat_ws
+    # skips NULLs the way DuckDB's concat() does (plain F.concat would
+    # NULL the whole media_type), and a NULL text normalizes to the
+    # empty payload on BOTH sides
+    txt = F.coalesce(F.col("text"), F.lit(""))
     return d.select(
         "doc_id",
-        F.concat(F.lit("media/"), F.col("source")).alias("media_type"),
-        F.encode("text", "UTF-8").alias("payload"),
+        F.concat_ws("", F.lit("media/"), F.col("source")).alias("media_type"),
+        F.encode(txt, "UTF-8").alias("payload"),
         F.struct(
-            F.octet_length(F.encode("text", "UTF-8")).alias("n_bytes"),
-            F.md5(F.encode("text", "UTF-8")).alias("checksum"),
+            F.octet_length(F.encode(txt, "UTF-8")).alias("n_bytes"),
+            F.md5(F.encode(txt, "UTF-8")).alias("checksum"),
         ).alias("meta"),
     )
 
@@ -132,6 +137,16 @@ def decode_media(df: DataFrame, mode: str = "fake") -> DataFrame:
                             "PPM/BMP/PNG/GIF/JPEG/TIFF/WebP-lossless decode "
                             "without third-party libraries (Pillow/ffmpeg "
                             "would slot in here for the rest)"
+                        )
+                    if magic == b"RI" and bytes(payload[8:12]) != b"WEBP":
+                        # RIFF covers WAV/AVI/lossy-WebP too: a non-WEBP
+                        # RIFF is the documented codec SEAM, not a
+                        # corrupt image
+                        raise NotImplementedError(
+                            "RIFF payload is not lossless WebP "
+                            f"(form {bytes(payload[8:12])!r}): audio/"
+                            "video/lossy-WebP RIFF forms need a third-"
+                            "party codec at this seam"
                         )
                     try:
                         if magic == b"\xff\xd8":
@@ -251,7 +266,6 @@ def extract_features(df: DataFrame) -> DataFrame:
             lengths = np.fromiter(
                 (len(p) for p in payloads), dtype=np.int64, count=len(payloads)
             )
-            counts = np.bincount(flat, minlength=256).astype(np.int64)
 
             def classcount(lo: int, hi: int) -> np.ndarray:
                 # per-row counts need segment sums, not the global bincount
@@ -267,7 +281,6 @@ def extract_features(df: DataFrame) -> DataFrame:
                 classcount(0x20, 0x20)
                 + classcount(0x09, 0x0D)
             )
-            del counts
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
@@ -340,9 +353,9 @@ def sample_frames(
     oracle="""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
-               min(md5(text)) AS min_checksum,
-               max(md5(text)) AS max_checksum
+               CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS total_bytes,
+               min(md5(coalesce(text, ''))) AS min_checksum,
+               max(md5(coalesce(text, ''))) AS max_checksum
         FROM documents
         GROUP BY 1
     """,
@@ -364,12 +377,12 @@ def multimodal_payload_stats(spark, sf_dir):
     oracle="""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               CAST(sum(octet_length(encode(text))) AS BIGINT) AS sum_bytes,
+               CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS sum_bytes,
                CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g')))
                     AS BIGINT) AS sum_alpha,
                CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g')))
                     AS BIGINT) AS sum_digit,
-               CAST(sum(octet_length(encode(text))
+               CAST(sum(octet_length(encode(coalesce(text, '')))
                    - octet_length(encode(regexp_replace(text, e'[ \\t\\n\\x0b\\f\\r]', '', 'g'))))
                     AS BIGINT) AS sum_space
         FROM documents
@@ -397,11 +410,11 @@ def multimodal_feature_extract(spark, sf_dir):
     oracle=f"""
         SELECT concat('media/', source) AS media_type,
                count(*) AS n_media,
-               CAST(sum((octet_length(encode(text)) + {FRAME_BYTES - 1}) // {FRAME_BYTES})
+               CAST(sum((octet_length(encode(coalesce(text, ''))) + {FRAME_BYTES - 1}) // {FRAME_BYTES})
                     AS BIGINT) AS n_frames,
-               CAST(sum(octet_length(encode(text))) AS BIGINT) AS frame_bytes_total
+               CAST(sum(octet_length(encode(coalesce(text, '')))) AS BIGINT) AS frame_bytes_total
         FROM documents
-        WHERE octet_length(encode(text)) > 0
+        WHERE octet_length(encode(coalesce(text, ''))) > 0
         GROUP BY 1
     """,
     description="video-style frame sampling (one->many mapInPandas)",
@@ -429,9 +442,9 @@ def multimodal_frame_sample(spark, sf_dir):
     oracle="""
         WITH decoded AS (
             SELECT concat('media/', source) AS media_type,
-                   16 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 240
+                   16 + CAST(('0x' || substr(sha256(coalesce(text, '')), 1, 2)) AS INT) % 240
                        AS w,
-                   16 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 240
+                   16 + CAST(('0x' || substr(sha256(coalesce(text, '')), 3, 2)) AS INT) % 240
                        AS h
             FROM documents
         ),
@@ -517,19 +530,30 @@ def image_table(spark, sf_dir: str) -> DataFrame:
     from ..core.webpcodec import encode_webp
 
     d = load_spread(spark, sf_dir, "documents").select(
-        "doc_id", F.encode("text", "UTF-8").alias("payload")
+        "doc_id", "text", F.encode("text", "UTF-8").alias("payload")
     )
 
     def _encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, payloads = [], []
-            for doc_id, raw in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, txt, raw in zip(
+                pdf["doc_id"], pdf["text"], pdf["payload"]
+            ):
                 raw = bytes(raw) if raw is not None else b""
+                txt = txt if txt is not None else ""
                 ids.append(doc_id)
                 leg = doc_id % 5
-                if leg >= 3:  # 1 byte -> 1 grayscale unit, IMG_W per row
-                    trs = max((len(raw) + IMG_W - 1) // IMG_W, 1)
-                    padded = raw.ljust(trs * IMG_W, bytes([_PAD]))
+                if leg >= 3:  # 1 CHAR -> 1 grayscale unit, IMG_W per row
+                    # pixel = printable-ASCII fold of the CODEPOINT
+                    # (ord(c) % 95 + 32): the oracle rebuilds the same
+                    # stream with chr(ascii(..)%95+32), which only
+                    # md5-matches the raster BYTES because every folded
+                    # value is single-byte UTF-8.  (The earlier
+                    # byte-indexed form diverged from the oracle's
+                    # character-indexed substr() on non-ASCII text.)
+                    vals = bytes((ord(ch) % 95 + 32) for ch in txt)
+                    trs = max((len(vals) + IMG_W - 1) // IMG_W, 1)
+                    padded = vals.ljust(trs * IMG_W, bytes([_PAD]))
                     tiles = np.frombuffer(padded, dtype=np.uint8).reshape(
                         trs, IMG_W
                     )
@@ -633,19 +657,37 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                                           THEN 'webp' ELSE 'png' END)
                         WHEN 3 THEN 'jpeg'
                         ELSE 'gif' END AS fmt,
-                   text,
-                   octet_length(encode(text)) AS nb
+                   coalesce(text, '') AS text,
+                   octet_length(encode(coalesce(text, ''))) AS nb
             FROM documents
         ),
         flat AS (
             SELECT fmt,
                    greatest(((nb + 2) // 3 + {IMG_W - 1}) // {IMG_W}, 1)
                        AS height,
-                   md5(text || repeat(' ',
+                   md5(coalesce(text, '') || repeat(' ',
                        CAST({IMG_W} * greatest(((nb + 2) // 3
                             + {IMG_W - 1}) // {IMG_W}, 1) * 3 - nb
                             AS INT))) AS raster_md5
             FROM imgs WHERE fmt IN ('ppm', 'bmp', 'png', 'tiff', 'webp')
+        ),
+        -- jp/gf pixel units come from CHARACTERS folded to printable
+        -- ASCII (chr(ascii(c) % 95 + 32), 1 byte per pixel in UTF-8),
+        -- so string md5 equals raster-byte md5 on ANY text; padding
+        -- chars are raw spaces (the fixture pads with 0x20 unfolded)
+        tiled AS (
+            SELECT fmt,
+                   greatest((length(text) + {IMG_W - 1}) // {IMG_W}, 1)
+                       AS trs,
+                   list_aggregate(list_transform(
+                       range(0, CAST(greatest((length(text)
+                           + {IMG_W - 1}) // {IMG_W}, 1) * {IMG_W} AS INT)),
+                       i -> CASE WHEN i < length(text)
+                                 THEN chr(ascii(substr(text,
+                                      CAST(i + 1 AS INT), 1)) % 95 + 32)
+                                 ELSE ' ' END),
+                       'string_agg', '') AS padded
+            FROM imgs WHERE fmt IN ('jpeg', 'gif')
         ),
         jp AS (
             SELECT fmt, 8 * trs AS height,
@@ -657,14 +699,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                                    24)),
                            'string_agg', ''), 8)),
                        'string_agg', '')) AS raster_md5
-            FROM (
-                SELECT fmt,
-                       greatest((nb + {IMG_W - 1}) // {IMG_W}, 1) AS trs,
-                       text || repeat(' ', CAST(
-                           greatest((nb + {IMG_W - 1}) // {IMG_W}, 1)
-                           * {IMG_W} - nb AS INT)) AS padded
-                FROM imgs WHERE fmt = 'jpeg'
-            )
+            FROM tiled WHERE fmt = 'jpeg'
         ),
         gf AS (
             SELECT fmt, trs AS height,
@@ -672,14 +707,7 @@ def image_table(spark, sf_dir: str) -> DataFrame:
                        list_transform(range(1, CAST(trs * {IMG_W} + 1 AS INT)),
                            i -> repeat(substr(padded, CAST(i AS INT), 1), 3)),
                        'string_agg', '')) AS raster_md5
-            FROM (
-                SELECT fmt,
-                       greatest((nb + {IMG_W - 1}) // {IMG_W}, 1) AS trs,
-                       text || repeat(' ', CAST(
-                           greatest((nb + {IMG_W - 1}) // {IMG_W}, 1)
-                           * {IMG_W} - nb AS INT)) AS padded
-                FROM imgs WHERE fmt = 'gif'
-            )
+            FROM tiled WHERE fmt = 'gif'
         ),
         hashed AS (
             SELECT * FROM flat

@@ -427,23 +427,34 @@ def mix_temperature_quota(spark, sf_dir):
     ranked = docs.select(
         "source", "n_chars", F.row_number().over(w).alias("rk")
     )
-    sel = ranked.alias("r").join(
-        F.broadcast(quotas).alias("q"),
-        (F.col("r.source") == F.col("q.source"))
-        & (F.col("r.rk") <= F.col("q.quota")),
-        "right",
-    )
-    return sel.groupBy(
-        F.col("q.source").alias("source"),
-        F.col("q.n_docs").cast("bigint").alias("n_docs"),
-        F.col("q.w").cast("bigint").alias("weight"),
-        F.col("q.quota").cast("bigint").alias("quota"),
-    ).agg(
-        F.count(F.col("r.n_chars")).cast("bigint").alias("n_selected"),
-        F.coalesce(
-            F.sum(F.when(F.col("r.rk") <= F.col("q.quota"), F.col("r.n_chars"))),
-            F.lit(0),
+    # a RIGHT outer join cannot build on its preserved (right) side, so
+    # F.broadcast on quotas there was silently ignored and the full
+    # ranked corpus shuffled.  Shape that actually broadcasts: INNER
+    # broadcast join + per-source aggregate (tiny), then quotas LEFT
+    # JOIN that aggregate to restore zero-selection sources — the big
+    # side never shuffles beyond the rank window's own exchange.
+    sel = (
+        ranked.alias("r")
+        .join(
+            F.broadcast(quotas.select("source", "quota")).alias("q"),
+            (F.col("r.source") == F.col("q.source"))
+            & (F.col("r.rk") <= F.col("q.quota")),
         )
+        .groupBy(F.col("r.source").alias("source"))
+        .agg(
+            F.count(F.col("r.n_chars")).cast("bigint").alias("n_selected"),
+            F.sum("r.n_chars").cast("bigint").alias("selected_chars"),
+        )
+    )
+    return quotas.join(F.broadcast(sel), "source", "left").select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("w").cast("bigint").alias("weight"),
+        F.col("quota").cast("bigint").alias("quota"),
+        F.coalesce(F.col("n_selected"), F.lit(0))
+        .cast("bigint")
+        .alias("n_selected"),
+        F.coalesce(F.col("selected_chars"), F.lit(0))
         .cast("bigint")
         .alias("selected_chars"),
     )
