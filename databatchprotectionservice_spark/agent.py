@@ -229,7 +229,9 @@ class DataFrameProtectionAgent:
     def protect(self, df, columns: list[str] | None = None):
         from .functions.protect import protect_column
 
-        for name in columns or list(self._columns):
+        # `is None`, not falsy: an explicit empty list means "protect
+        # nothing", not "protect everything"
+        for name in list(self._columns) if columns is None else columns:
             cfg = self._columns[name]
             df = protect_column(df, name, cfg["key_id"], self.encryptor)
         return df
@@ -237,7 +239,7 @@ class DataFrameProtectionAgent:
     def unprotect(self, df, columns: list[str] | None = None):
         from .functions.protect import unprotect_column
 
-        for name in columns or list(self._columns):
+        for name in list(self._columns) if columns is None else columns:
             cfg = self._columns[name]
             df = unprotect_column(df, name, cfg["type"], cfg["key_id"], self.encryptor)
         return df

@@ -115,6 +115,8 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: TrackInfo) -> None:
     for cc, b, e in iter_boxes(data, start, end):
         if cc == b"stsd":
             _v, _f, p = _fullbox(data, b)
+            if p + 4 > e:
+                raise Mp4FormatError("stsd count overruns box")
             count = _u(data, p, 4)
             if count >= 1:
                 # first sample entry: size(4) fourcc(4)
@@ -155,8 +157,11 @@ def _parse_stbl(data: bytes, start: int, end: int, tr: TrackInfo) -> None:
                 p += 8
                 if p + 4 * count > e:
                     raise Mp4FormatError("stsz table truncated")
-                tr.total_sample_bytes = sum(
-                    _u(data, p + 4 * i, 4) for i in range(count)
+                # one C call: the bounds check above guarantees the
+                # span, and a hostile count near MAX_SAMPLES would
+                # otherwise spend seconds in a per-element Python loop
+                tr.total_sample_bytes = int(
+                    sum(struct.unpack_from(f">{count}I", data, p))
                 )
         elif cc in (b"stco", b"co64"):
             _v, _f, p = _fullbox(data, b)
@@ -170,6 +175,11 @@ def _parse_trak(data: bytes, start: int, end: int) -> TrackInfo:
     for cc, b, e in iter_boxes(data, start, end):
         if cc == b"tkhd":
             v, _f, p = _fullbox(data, b)
+            # bound by the box END, not the file end (the stts rule):
+            # v0 tkhd is 4+80 body bytes, v1 is 4+92; a shorter box
+            # would read its own header (or a sibling) as dimensions
+            if e - b < (96 if v else 84):
+                raise Mp4FormatError("tkhd box too short")
             # v0: ctime(4) mtime(4) id(4) rsvd(4) dur(4); v1: 8/8/4/4/8
             tr.track_id = _u(data, p + (16 if v else 8), 4)
             # width/height are the LAST 8 bytes (16.16 fixed point)

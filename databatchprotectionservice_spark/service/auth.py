@@ -106,9 +106,14 @@ class ClientCredentialStore:
         self.credentials[client_id] = api_key
 
     def validate_credential(self, client_id: str, api_key: str) -> bool:
-        # constant-time compare: the /token endpoint must not leak key
-        # prefixes through comparison timing
-        return hmac.compare_digest(self.credentials.get(client_id, ""), api_key)
+        # constant-time compare over BYTES: str compare_digest raises
+        # TypeError on non-ASCII input (an unauthenticated request body
+        # could kill the handler thread), and the /token endpoint must
+        # not leak key prefixes through comparison timing
+        return hmac.compare_digest(
+            self.credentials.get(client_id, "").encode("utf-8"),
+            api_key.encode("utf-8"),
+        )
 
     def generate_jwt(self, client_id: str, api_key: str) -> tuple[str, int] | None:
         """(token, expires_at) or None on bad credentials

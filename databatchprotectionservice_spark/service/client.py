@@ -57,6 +57,15 @@ class RemoteProtectionAgent:
         server_url = connection_config.get("server_url", "")
         if not server_url:
             raise ValueError("connection_config.server_url is required")
+        if not user_id or not application_context:
+            # the server's request model unconditionally requires both
+            # (json_model._missing_common); accepting the empty defaults
+            # here would make EVERY later encrypt/decrypt fail instead
+            # of failing fast at init
+            raise ValueError(
+                "user_id and application_context are required for the "
+                "remote agent (the server rejects empty values)"
+            )
         creds = connection_config.get("credentials", {})
         self._server_url = server_url.rstrip("/")
         self._client_id = creds.get("client_id", "")
@@ -124,7 +133,15 @@ class RemoteProtectionAgent:
                     f"token request failed ({status}): {doc.get('error', doc)}"
                 )
             self._token = doc["token"]
-            self._token_expires_at = int(doc.get("expires_at", now))
+            # servers that omit expires_at still issue JWTs with the
+            # standard lifetime; falling back to `now` would expire the
+            # cache instantly and double every data-plane request with
+            # a /token round-trip
+            from .auth import JWT_EXPIRATION_SECONDS
+
+            self._token_expires_at = int(
+                doc.get("expires_at", now + JWT_EXPIRATION_SECONDS)
+            )
             return self._token
 
     # -- data plane ----------------------------------------------------

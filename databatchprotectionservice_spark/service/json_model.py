@@ -72,10 +72,18 @@ class JsonRequest:
             except ValueError:
                 pass
         if (v := _get_path(doc, "data_batch", "datatype_info", "length")) is not None:
-            try:
-                self.datatype_length = int(v)
-            except (ValueError, TypeError):
+            # exact integers only: int(3.5) would silently truncate a
+            # fractional JSON length (and int(True) == 1) instead of
+            # taking the invalid-integer error path
+            if isinstance(v, bool) or (
+                isinstance(v, float) and not v.is_integer()
+            ):
                 self.datatype_length_str = str(v)
+            else:
+                try:
+                    self.datatype_length = int(v)
+                except (ValueError, TypeError):
+                    self.datatype_length_str = str(v)
         fmt = _get_path(doc, "data_batch", "value_format") or {}
         if (v := fmt.get("compression")) is not None:
             try:

@@ -75,8 +75,21 @@ class _Handler(BaseHTTPRequestHandler):
     def _error(self, message: str, status: int = 400) -> None:
         self._reply(status, build_error_response(message))
 
+    #: request-body ceiling; far above any real page batch, far below a
+    #: Content-Length that could pin a handler thread or its memory
+    MAX_BODY_BYTES = 256 << 20
+
     def _read_body(self) -> str:
-        length = int(self.headers.get("Content-Length") or 0)
+        # Content-Length is attacker-controlled: a negative value would
+        # make rfile.read(-1) block until client EOF (slow-loris thread
+        # pinning) and a non-numeric one raised an uncaught ValueError
+        raw = self.headers.get("Content-Length") or "0"
+        try:
+            length = int(raw)
+        except ValueError:
+            length = -1
+        if length < 0 or length > self.MAX_BODY_BYTES:
+            raise ValueError(f"invalid Content-Length: {raw!r}")
         return self.rfile.read(length).decode() if length else ""
 
     def _authorized(self) -> bool:
@@ -105,6 +118,14 @@ class _Handler(BaseHTTPRequestHandler):
             self._error("Not found", 404)
 
     def do_POST(self):
+        try:
+            return self._route_post()
+        except ValueError as exc:
+            # malformed framing (e.g. a hostile Content-Length) gets a
+            # 400 envelope instead of a dead handler thread
+            return self._error(str(exc))
+
+    def _route_post(self):
         if self.path == "/token":
             resp = self.credential_store.process_token_request(self._read_body())
             self._reply(resp.error_status_code, resp.to_json())

@@ -87,6 +87,28 @@ def _read_sidecar(spark: SparkSession | None, path: str) -> str | None:
     return bytes(data).decode("utf-8")
 
 
+def build_sidecar(
+    col_meta: dict,
+    data_format: str = "parquet",
+    cell_encoding: str = "binary",
+    partition_by: list[str] | None = None,
+) -> dict:
+    """THE sidecar document shape — one builder shared by the batch
+    writer here and the streaming writer in ``streaming/pipeline.py``
+    (a drifted copy would silently produce datasets ``read_protected``
+    can't open).  ``partition_by`` is always present: readers and the
+    append gate key off it."""
+    from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+
+    return {
+        DBPS_VERSION_KEY: DBPS_VERSION,
+        "format": data_format,
+        "cell_encoding": cell_encoding,
+        "partition_by": list(partition_by or []),
+        "columns": col_meta,
+    }
+
+
 def write_protected(
     df: DataFrame,
     path: str,
@@ -139,13 +161,12 @@ def write_protected(
     if data_format == "csv":
         writer = writer.option("header", "true")
     getattr(writer, data_format)(path)
-    sidecar = {
-        DBPS_VERSION_KEY: DBPS_VERSION,
-        "format": data_format,
-        "cell_encoding": "base64" if base64_cells else "binary",
-        "partition_by": list(partition_by or []),
-        "columns": col_meta,
-    }
+    sidecar = build_sidecar(
+        col_meta,
+        data_format=data_format,
+        cell_encoding="base64" if base64_cells else "binary",
+        partition_by=partition_by,
+    )
     _write_sidecar(
         df.sparkSession, path, json.dumps(sidecar, indent=2, sort_keys=True)
     )

@@ -167,8 +167,14 @@ def make_sessionizer(gap_seconds: int):
         if state.exists:
             start_us, last_us, n = state.get
             if ts[0] - last_us <= gap_us:
-                # batch's first segment continues the carried session
-                seg_start[0] = start_us
+                # batch's first segment continues the carried session.
+                # min/max, not assignment: with watermark_delay > 0 a
+                # LATE-but-accepted event can precede the carried span,
+                # and a blind overwrite would regress session_end below
+                # session_start (late events interleaving deeper than
+                # the carried endpoints merge here conservatively)
+                seg_start[0] = min(start_us, int(seg_start[0]))
+                seg_end[0] = max(last_us, int(seg_end[0]))
                 seg_n[0] += n
             else:
                 # carried session closed by the gap before this batch
@@ -272,7 +278,10 @@ def sessionize_stream_tws(
             if carried is not None:
                 start_us, last_us, n = carried
                 if ts[0] - last_us <= gap_us:
-                    seg_start[0] = start_us
+                    # min/max merge (see make_sessionizer): a late event
+                    # must not regress the carried session's end
+                    seg_start[0] = min(start_us, int(seg_start[0]))
+                    seg_end[0] = max(last_us, int(seg_end[0]))
                     seg_n[0] += n
                 else:
                     seg_start = np.concatenate(([start_us], seg_start))
@@ -391,14 +400,13 @@ def write_protected_stream(
     import json
     import os
 
-    from ..core.pagecodec import DBPS_VERSION, DBPS_VERSION_KEY
+    from ..functions.protect import protect_column
+    from ..sources.protected_parquet import SIDECAR_NAME, build_sidecar
 
     out = stream_df
     col_meta = {}
     for name, key_id in columns.items():
         original_type = out.schema[name].dataType
-        from ..functions.protect import protect_column
-
         out = protect_column(out, name, key_id, encryptor)
         col_meta[name] = {
             "key_id": key_id,
@@ -415,13 +423,9 @@ def write_protected_stream(
         writer = writer.trigger(availableNow=True)
     query = writer.start()
     os.makedirs(path, exist_ok=True)
-    sidecar = {
-        DBPS_VERSION_KEY: DBPS_VERSION,
-        "format": "parquet",
-        "cell_encoding": "binary",
-        "columns": col_meta,
-    }
-    with open(os.path.join(path, "_dbps_protection.json"), "w") as f:
+    # the shared builder (one sidecar contract with the batch writer)
+    sidecar = build_sidecar(col_meta)
+    with open(os.path.join(path, SIDECAR_NAME), "w") as f:
         json.dump(sidecar, f, indent=2, sort_keys=True)
     return query
 

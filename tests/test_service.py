@@ -246,6 +246,8 @@ def test_remote_agent_never_raises_on_bad_server():
             datatype=PhysicalType.INT32,
             datatype_length=None,
             compression_type=CompressionCodec.UNCOMPRESSED,
+            user_id="u",
+            application_context='{"user_id": "u"}',
         )
     # uninitialized use -> error result, not exception
     res = agent.encrypt(b"xx", {"page_encoding": "PLAIN"})
