@@ -84,10 +84,32 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
     if payload is None:
         raise AudioFormatError("WAV missing data chunk")
     audio_format, channels, rate, _byte_rate, block_align, bits = fmt
+    if audio_format in (WAVE_FORMAT_ALAW, WAVE_FORMAT_MULAW):
+        # G.711 log-PCM: one byte per sample, expanded through the
+        # ITU-T formula LUT to the conventional 16-bit linear range
+        if bits != 8:
+            raise AudioFormatError(
+                f"G.711 WAV bit depth {bits} (G.711 is 8-bit)"
+            )
+        if channels < 1 or block_align != channels:
+            raise AudioFormatError(
+                f"inconsistent G.711 WAV layout: channels={channels} "
+                f"block_align={block_align}"
+            )
+        if len(payload) % block_align:
+            raise AudioFormatError("WAV data not a whole number of frames")
+        lut = (
+            _alaw_decode_table()
+            if audio_format == WAVE_FORMAT_ALAW
+            else _ulaw_decode_table()
+        )
+        codes = np.frombuffer(payload, dtype=np.uint8)
+        return rate, channels, lut[codes].reshape(-1, channels)
     if audio_format != 1:
         raise AudioFormatError(
-            f"unsupported WAV format tag {audio_format} (only PCM=1; "
-            "MP3/AAC/OGG need an external codec)"
+            f"unsupported WAV format tag {audio_format} (only PCM=1, "
+            "A-law=6, mu-law=7, IMA ADPCM=0x11; MP3/AAC/OGG need an "
+            "external codec)"
         )
     if bits != 16:
         raise AudioFormatError(f"unsupported WAV bit depth {bits} (only 16)")
@@ -100,6 +122,129 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         raise AudioFormatError("WAV data not a whole number of frames")
     samples = np.frombuffer(payload, dtype="<i2").reshape(-1, channels)
     return rate, channels, samples.astype(np.int16)
+
+
+# ---------------------------------------------------------------------------
+# G.711 log-PCM — WAVE format tags 6 (A-law) and 7 (mu-law)
+# ---------------------------------------------------------------------------
+# ITU-T Recommendation G.711 (fully public) defines the two logarithmic
+# companding laws of telephony audio.  The DECODE direction below is the
+# spec's expansion written as the classic segment/mantissa closed form
+# (the same arithmetic as the public-domain Sun Microsystems g711.c that
+# every toolchain ships): a 256-entry int16 LUT, so expansion is one
+# numpy gather — integer-exact, no float anywhere.
+#
+# The ENCODE direction is a FIXTURE encoder (like ``encode_wav`` /
+# ``encode_wav_adpcm``: it builds test corpora, it is not a Spark
+# sink).  It picks, for each 16-bit sample, the code whose decoded
+# value is nearest (ties toward the lower decoded value, then the
+# smaller code byte — fully deterministic), which makes
+# decode(encode(x)) the nearest-quantized-level map by construction.
+
+WAVE_FORMAT_ALAW = 6
+WAVE_FORMAT_MULAW = 7
+
+_G711_BIAS = 0x84  # mu-law bias (132), ITU G.711 / g711.c
+
+
+def _ulaw_decode_table() -> np.ndarray:
+    """256-entry int16 LUT: mu-law code byte -> linear sample.
+
+    Expansion formula (G.711 mu-law, segment form): complement the
+    code, split sign/segment/mantissa, rebuild the biased magnitude
+    ``((mantissa << 3) + BIAS) << segment`` and strip the bias.
+    Extremes: 0x00 -> -32124, 0x80 -> +32124, 0xFF and 0x7F -> 0.
+    """
+    global _ULAW_LUT
+    if _ULAW_LUT is None:
+        codes = np.arange(256, dtype=np.int32)
+        u = ~codes & 0xFF
+        seg = (u >> 4) & 0x07
+        mant = u & 0x0F
+        mag = (((mant << 3) + _G711_BIAS) << seg) - _G711_BIAS
+        _ULAW_LUT = np.where(u & 0x80, -mag, mag).astype(np.int16)
+    return _ULAW_LUT
+
+
+def _alaw_decode_table() -> np.ndarray:
+    """256-entry int16 LUT: A-law code byte -> linear sample.
+
+    Expansion formula (G.711 A-law): XOR the 0x55 toggle mask, split
+    sign/segment/mantissa; segment 0 is linear (step 16, half-step
+    offset 8), higher segments double the step and gain an implicit
+    leading mantissa bit.  Extremes: 0xD5 -> +8, 0x55 -> -8,
+    0xAA -> +32256, 0x2A -> -32256.  The sign bit SET means positive
+    (opposite of mu-law) — a classic interop trap the tests pin.
+    """
+    global _ALAW_LUT
+    if _ALAW_LUT is None:
+        codes = np.arange(256, dtype=np.int32)
+        a = codes ^ 0x55
+        seg = (a >> 4) & 0x07
+        mant = a & 0x0F
+        mag = (mant << 4) + 8
+        mag = np.where(seg > 0, ((mant << 4) + 0x108) << (seg - 1), mag)
+        _ALAW_LUT = np.where(a & 0x80, mag, -mag).astype(np.int16)
+    return _ALAW_LUT
+
+
+_ULAW_LUT: np.ndarray | None = None
+_ALAW_LUT: np.ndarray | None = None
+
+
+def _g711_encode_tables(lut: np.ndarray):
+    """(sorted decoded levels, code byte per level, bin edges) for the
+    nearest-level fixture encoder.  Ties on decoded value (mu-law has
+    two zero codes) keep the LOWER code byte; ties between two adjacent
+    levels go to the lower level via midpoint bin edges."""
+    order = np.lexsort((np.arange(256), lut.astype(np.int32)))
+    levels = lut.astype(np.int32)[order]
+    codes = order.astype(np.uint8)
+    keep = np.ones(256, dtype=bool)
+    keep[1:] = levels[1:] != levels[:-1]  # first (lowest) code wins
+    levels, codes = levels[keep], codes[keep]
+    # nearest-level bins: right edge of level i is the midpoint toward
+    # level i+1; searchsorted(side='right') then lands exact midpoints
+    # on the LOWER level
+    edges = (levels[:-1] + levels[1:]) // 2
+    return levels, codes, edges
+
+
+def encode_wav_g711(
+    samples: np.ndarray, rate: int = 8000, law: str = "ulaw"
+) -> bytes:
+    """(n,) or (n, channels) int16 -> RIFF/WAVE G.711 bytes (format
+    tag 7 mu-law / 6 A-law).  Fixture encoder: nearest decoded level,
+    deterministic tie-breaks (see ``_g711_encode_tables``)."""
+    if samples.dtype != np.int16:
+        raise AudioFormatError("encode_wav_g711 expects int16 samples")
+    if law == "ulaw":
+        tag, lut = WAVE_FORMAT_MULAW, _ulaw_decode_table()
+    elif law == "alaw":
+        tag, lut = WAVE_FORMAT_ALAW, _alaw_decode_table()
+    else:
+        raise AudioFormatError(f"unknown G.711 law {law!r}")
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    n, ch = samples.shape
+    _levels, codes, edges = _g711_encode_tables(lut)
+    idx = np.searchsorted(edges, samples.astype(np.int32).ravel(), "left")
+    payload = codes[idx].tobytes()
+    block_align = ch
+    fmt = struct.pack(
+        "<HHIIHH", tag, ch, rate, rate * block_align, block_align, 8
+    )
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+        + (b"\x00" if len(payload) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

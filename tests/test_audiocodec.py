@@ -277,3 +277,150 @@ def test_adpcm_batch_paths_bit_identical_to_scalar():
         assert rs == rb
         assert np.array_equal(ds, db)
         assert len(ds) == len(sig)
+
+
+# ---------------------------------------------------------------------------
+# G.711 log-PCM (WAVE format tags 6/7)
+# ---------------------------------------------------------------------------
+
+
+def test_g711_decode_tables_pin_itu_anchor_values():
+    """The published G.711 extremes and the two interop traps: mu-law's
+    TWO zero codes, and A-law's inverted sign-bit convention."""
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _alaw_decode_table,
+        _ulaw_decode_table,
+    )
+
+    u = _ulaw_decode_table()
+    assert u[0x00] == -32124 and u[0x80] == 32124
+    assert u[0xFF] == 0 and u[0x7F] == 0  # positive AND negative zero
+    assert u[0x01] == -31100  # second-largest negative level
+    # segment-0 ladder: codes 0xFF down to 0xF0 decode 0,8,...,120
+    assert list(u[0xF0:0x100][::-1]) == list(range(0, 128, 8))
+
+    a = _alaw_decode_table()
+    assert a[0xD5] == 8 and a[0x55] == -8  # sign bit SET is positive
+    assert a[0xAA] == 32256 and a[0x2A] == -32256
+    # segment-1 ladder starts at the published 264 with step 16:
+    # a-value 0x90 (sign|seg=1|mant=0) XOR the 0x55 toggle -> code 0xC5
+    assert a[0xC5] == 264 and a[0xC5 ^ 0x80] == -264
+    # every magnitude appears with both signs, 128 distinct magnitudes
+    mags = sorted(set(abs(int(x)) for x in a))
+    assert mags[0] == 8 and mags[-1] == 32256 and len(mags) == 128
+
+
+def test_g711_decode_tables_are_symmetric_and_monotone_per_segment():
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _alaw_decode_table,
+        _ulaw_decode_table,
+    )
+
+    for lut in (_ulaw_decode_table(), _alaw_decode_table()):
+        vals = lut.astype(np.int32)
+        # every positive level has its mirrored negative level
+        pos = sorted(int(v) for v in vals if v > 0)
+        neg = sorted(-int(v) for v in vals if v < 0)
+        assert pos == neg
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n=st.integers(1, 300),
+    ch=st.integers(1, 2),
+    law=st.sampled_from(["ulaw", "alaw"]),
+    seed=st.integers(0, 99),
+)
+def test_g711_wav_roundtrip_is_nearest_level(n, ch, law, seed):
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _alaw_decode_table,
+        _ulaw_decode_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    rng = np.random.default_rng(seed)
+    s = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+    rate, got_ch, got = decode_wav(encode_wav_g711(s, rate=8000, law=law))
+    assert (rate, got_ch) == (8000, ch)
+    assert got.shape == s.shape and got.dtype == np.int16
+    lut = _ulaw_decode_table() if law == "ulaw" else _alaw_decode_table()
+    levels = np.sort(np.unique(lut.astype(np.int32)))
+    x = s.astype(np.int32).ravel()
+    y = got.astype(np.int32).ravel()
+    err = np.abs(y - x)
+    # nearest-level: no OTHER level may be strictly closer
+    idx = np.searchsorted(levels, x).clip(1, len(levels) - 1)
+    best = np.minimum(
+        np.abs(levels[idx] - x), np.abs(levels[idx - 1] - x)
+    )
+    assert np.array_equal(err, best)
+
+
+def test_g711_encode_decode_of_exact_levels_is_identity():
+    """Every decodable level encodes back to itself (quantization is
+    idempotent on the quantized lattice)."""
+    from databatchprotectionservice_spark.core.audiocodec import (
+        _alaw_decode_table,
+        _ulaw_decode_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    for law, lut in (
+        ("ulaw", _ulaw_decode_table()),
+        ("alaw", _alaw_decode_table()),
+    ):
+        levels = np.unique(lut).astype(np.int16)
+        _, _, got = decode_wav(encode_wav_g711(levels, law=law))
+        assert np.array_equal(got.ravel(), levels)
+
+
+def test_g711_hand_assembled_wire_vector():
+    """A hand-built mu-law WAV (tag 7, 8-bit, mono) decodes to the
+    anchor values — the wire format itself, not just the LUT."""
+    from databatchprotectionservice_spark.core.audiocodec import decode_wav
+
+    payload = bytes([0x00, 0x80, 0xFF, 0x7F])
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 8000, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(payload))
+        + payload
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    rate, ch, samples = decode_wav(wav)
+    assert (rate, ch) == (8000, 1)
+    assert list(samples.ravel()) == [-32124, 32124, 0, 0]
+
+
+def test_g711_error_paths():
+    from databatchprotectionservice_spark.core.audiocodec import (
+        AudioFormatError,
+        encode_wav_g711,
+    )
+
+    with pytest.raises(AudioFormatError, match="unknown G.711 law"):
+        encode_wav_g711(np.zeros(4, dtype=np.int16), law="mp3")
+    with pytest.raises(AudioFormatError, match="int16"):
+        encode_wav_g711(np.zeros(4, dtype=np.int32), law="ulaw")
+    # 16-bit depth declared on a G.711 tag is a layout error
+    fmt = struct.pack("<HHIIHH", 7, 1, 8000, 16000, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", 2)
+        + b"\xff\xff"
+    )
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+    from databatchprotectionservice_spark.core.audiocodec import decode_wav
+
+    with pytest.raises(AudioFormatError, match="G.711 is 8-bit"):
+        decode_wav(wav)
