@@ -777,3 +777,154 @@ def streaming_outer_attribution(spark, sf_dir):
     name = f"streaming_outer_attr_{time.time_ns()}"
     _run_to_memory_sink(out, name)
     return spark.table(name)
+
+
+@register(
+    "streaming_scd2_tws",
+    # the batch scd2_user_status_history oracle VERBATIM: the streaming
+    # upsert must converge to exactly the history a batch rebuild
+    # produces (operators/sessionize.py:108 holds the commented form)
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        marked AS (
+            SELECT user_id, event_id, event_type, us,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                             OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM seq WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, event_type, us,
+                   sum(chg) OVER (PARTITION BY user_id
+                                  ORDER BY us, event_id) AS version
+            FROM marked
+        ),
+        islands AS (
+            SELECT user_id,
+                   CAST(version AS BIGINT) AS version,
+                   min(event_type) AS status,
+                   min(us) AS valid_from_us,
+                   max(us) AS last_seen_us,
+                   count(*) AS n_events
+            FROM numbered GROUP BY user_id, version
+        )
+        SELECT user_id, version, status, valid_from_us,
+               lead(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY version) AS valid_to_us,
+               last_seen_us, n_events,
+               lead(valid_from_us) OVER (PARTITION BY user_id
+                                         ORDER BY version) IS NULL
+                   AS is_current
+        FROM islands
+    """,
+    description="incremental CDC-upsert SCD2 via transformWithStateInPandas"
+    ": two time-ordered staged micro-batches extend/close the carried "
+    "open interval per user; converges to the batch gaps-and-islands "
+    "history (same oracle as scd2_user_status_history)",
+)
+def streaming_scd2_tws(spark, sf_dir):
+    """The warehouse-MERGE shape on a stream: maintain a type-2 SCD
+    table INCREMENTALLY from a change-event feed instead of rebuilding
+    history per load — the continuous-ingest twin of the batch
+    ``scd2_user_status_history`` (same output schema, same oracle).
+
+    The events are staged into two files split at the midpoint of the
+    event-time range and APPENDED SEQUENTIALLY, so the file source's
+    oldest-first order (``maxFilesPerTrigger=1``) feeds the processor
+    two genuinely cross-batch, time-ordered micro-batches — each
+    user's open interval carries through ``ValueState`` and is
+    extended or closed by the second batch (the ordering contract
+    ``scd2_stream_tws`` documents).  Update-mode emission re-publishes
+    the open row per batch; the final select keeps each
+    ``(user, version)``'s latest knowledge: closed beats open, then
+    larger ``n_events`` — both monotone in processing order.
+
+    100 TB shape: state is ONE small row per user (the open interval),
+    not the history — the closed rows stream straight to the sink; the
+    only exchange is the groupBy(user_id) into RocksDB state
+    partitions, and a real CDC log partitioned by ingestion time
+    satisfies the same ordering contract this staging builds."""
+    from ..plans.registry import load_events, remove_path, scratch_path
+    from ..streaming.pipeline import scd2_stream_tws
+    from ..vendor import ensure_protobuf
+
+    prep(spark)
+    ensure_protobuf(spark)
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+    lo, hi = e.agg(F.min("us"), F.max("us")).first()
+    mid = (int(lo) + int(hi)) // 2 + 1  # midpoint of the time range
+    stage_dir = scratch_path("dbps_tws_scd2_")
+    try:
+        # two SEQUENTIAL appends: the file source processes oldest
+        # mtime first, making batch order == time order (equal-us
+        # events can never straddle the strict threshold)
+        e.filter(F.col("us") < mid).repartition(1).write.mode(
+            "append"
+        ).parquet(stage_dir)
+        e.filter(F.col("us") >= mid).repartition(1).write.mode(
+            "append"
+        ).parquet(stage_dir)
+        schema = spark.read.parquet(stage_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+        )
+        scd2 = scd2_stream_tws(stream)
+        name = f"streaming_scd2_tws_{time.time_ns()}"
+        provider_key = "spark.sql.streaming.stateStore.providerClass"
+        old_provider = spark.conf.get(provider_key, None)
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            _run_to_memory_sink(
+                scd2,
+                name,
+                state_partitions=_tws_partitions(),
+                output_mode="update",
+            )
+        finally:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
+        latest = (
+            spark.table(name)
+            .groupBy("user_id", "version")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "status",
+                        "valid_from_us",
+                        "valid_to_us",
+                        "last_seen_us",
+                        "n_events",
+                        "is_current",
+                    ),
+                    # closed beats open, then the later (larger-n)
+                    # open emission — both monotone in batch order
+                    F.struct(
+                        (~F.col("is_current")).cast("int").alias("closed"),
+                        F.col("n_events").alias("n"),
+                    ),
+                ).alias("s")
+            )
+            .select("user_id", "version", "s.*")
+        )
+        # materialize before the scratch dir disappears
+        latest = latest.localCheckpoint(eager=True)
+    finally:
+        remove_path(spark, stage_dir)
+    return latest

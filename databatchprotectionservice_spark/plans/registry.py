@@ -219,10 +219,17 @@ REGISTERED_IN: dict[str, int] = {
     "mapinarrow_byte_stats": 8,
     "observed_training_filter": 8,
     "heavyhitters_cms_pruned": 8,
-    # round 9 registrations (budget: <= 2, per the r8 window-crunch
-    # arithmetic — the r10 window must absorb ~47 r7-scored queries)
+    # round 9 registrations (budget: <= 2 planned, per the r8
+    # window-crunch arithmetic — the r10 window must absorb ~47
+    # r7-scored queries; a third was admitted late-round only after
+    # the advance-boundary proof passed with it, see below)
     "similarity_ivfpq_topk": 9,
     "multimodal_audio_flac_stats": 9,
+    # a third r9 registration, accepted only because the advance-proof
+    # test (test_registry_order: next-boundary arithmetic) still holds
+    # with it: it rides NEW_AFTER_WINDOW at the r9 boundary and takes
+    # the r10 window's one free slot as never-scored
+    "streaming_scd2_tws": 9,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

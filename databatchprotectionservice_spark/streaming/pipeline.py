@@ -599,3 +599,120 @@ def user_profile_stream_tws(stream_df: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_SCD2_OUTPUT = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+        T.StructField("last_seen_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+
+def scd2_stream_tws(stream_df: DataFrame) -> DataFrame:
+    """Incremental CDC-upsert: a change-event stream maintained as a
+    type-2 slowly-changing dimension via ``transformWithStateInPandas``
+    — the STREAMING twin of the batch ``scd2_user_status_history``
+    gaps-and-islands build, and the continuous-ingest shape of the
+    warehouse MERGE: each micro-batch extends or closes the carried
+    open interval per key instead of rebuilding history from scratch.
+
+    One ``ValueState`` holds the single OPEN dimension row per user
+    ``(status, version, valid_from_us, last_seen_us, n_events)``.  Per
+    batch the processor sorts the user's events by ``(us, event_id)``
+    (the batch oracle's total order), then walks them: an equal-status
+    event extends the open row; a status change emits the CLOSED row
+    (``valid_to_us`` = the successor's start, ``is_current`` False) and
+    opens the next version.  The still-open row is re-emitted each
+    batch in Update mode; the caller keeps each ``(user, version)``'s
+    final emission (closed beats open, larger ``n_events`` beats
+    smaller — both monotone in processing order).
+
+    ORDERING CONTRACT: per-key event time must not move backwards
+    ACROSS micro-batches (within a batch the processor sorts).  The
+    caller guarantees it by staging the source into time-range files
+    consumed oldest-first (``maxFilesPerTrigger=1``); a CDC log
+    partitioned by ingestion time gives the same guarantee at 100 TB.
+    ``timeMode="None"``: nothing is ever dropped as late — an
+    out-of-contract file would produce wrong intervals, not silent
+    row loss, and the oracle hash would catch it.
+
+    Expects columns ``user_id``, ``event_id``, ``event_type``, ``us``
+    (integer epoch-microseconds, no timezone semantics to diverge)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class Scd2Processor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._open = handle.getValueState(
+                "open_row",
+                "status string, version long, valid_from_us long, "
+                "last_seen_us long, n_events long",
+            )
+
+        def handleInputRows(
+            self, key, rows, timerValues
+        ) -> "Iterator[pd.DataFrame]":
+            (user_id,) = key
+            parts = list(rows)
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+            if len(pdf) == 0:
+                return
+            pdf = pdf.sort_values(["us", "event_id"], kind="stable")
+            carried = self._open.get()
+            if carried:
+                status, version, valid_from, last_seen, n = carried
+            else:
+                status = None
+                version = 0  # first event below opens version 1
+                valid_from = last_seen = n = 0
+            out: list[tuple] = []
+            for us, etype in zip(
+                pdf["us"].to_numpy(), pdf["event_type"].to_numpy()
+            ):
+                us = int(us)
+                if status == etype:
+                    last_seen = us
+                    n += 1
+                    continue
+                if status is not None:
+                    # close the open interval at the successor's start
+                    out.append(
+                        (user_id, version, status, valid_from, us,
+                         last_seen, n, False)
+                    )
+                status, version = etype, version + 1
+                valid_from = last_seen = us
+                n = 1
+            self._open.update((status, version, valid_from, last_seen, n))
+            # the open row, re-published each batch (Update mode)
+            out.append(
+                (user_id, version, status, valid_from, None,
+                 last_seen, n, True)
+            )
+            yield pd.DataFrame(
+                out, columns=[f.name for f in _SCD2_OUTPUT.fields]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.groupBy("user_id")
+        .transformWithStateInPandas(
+            Scd2Processor(),
+            outputStructType=_SCD2_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

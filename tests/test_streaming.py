@@ -511,3 +511,98 @@ def test_profile_tws_state_accumulates_across_batches(spark, tmp_path):
     (u2,) = [r for (uid, _v), r in rows.items() if uid == 2]
     assert u2["n_batches"] == 1 and u2["n_events"] == 1
     assert u2["top_type"] == "a" and u2["sum_cents"] == 50
+
+
+def test_scd2_tws_carries_open_interval_across_batches(spark, tmp_path):
+    """Crafted two-file stream with FORCED file order (explicit mtimes):
+    user 1's status run 'b' STARTS in batch 1 and is extended then
+    closed by batch 2 — pinning that the open interval carries through
+    ValueState and that closure emits the batch-1 ``valid_from``, not a
+    batch-local restart.  Asserts the raw Update-mode emissions (the
+    operator-level dedupe is pinned by the oracle gate)."""
+    import os
+
+    import pandas as pd
+
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        scd2_stream_tws,
+    )
+    from databatchprotectionservice_spark.vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
+    base = tmp_path / "staged"
+    pd1 = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_id": [10, 11, 12, 13],
+            "event_type": ["a", "a", "b", "x"],
+            "us": [1, 2, 3, 1],
+        }
+    )
+    pd2 = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "event_id": [14, 15],
+            "event_type": ["b", "c"],
+            "us": [4, 5],
+        }
+    )
+    for i, pdf in enumerate((pd1, pd2)):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(base / f"f{i}")
+        )
+    import glob as g
+    import shutil
+
+    outdir = tmp_path / "stream"
+    outdir.mkdir()
+    for i in range(2):
+        (part,) = g.glob(str(base / f"f{i}" / "part-*.parquet"))
+        dst = outdir / f"{i:02d}.parquet"
+        shutil.copy(part, dst)
+        # the ordering contract is BY MTIME (oldest first) — force it
+        os.utime(dst, (1_000_000_000 + i * 60, 1_000_000_000 + i * 60))
+    schema = spark.read.parquet(str(outdir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(outdir))
+    )
+    scd2 = scd2_stream_tws(stream)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            scd2.writeStream.format("memory")
+            .queryName("tws_scd2_crafted")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+    rows = [
+        (
+            r["user_id"], r["version"], r["status"], r["valid_from_us"],
+            r["valid_to_us"], r["last_seen_us"], r["n_events"],
+            r["is_current"],
+        )
+        for r in spark.table("tws_scd2_crafted").collect()
+    ]
+    # batch 1: user 1 closes 'a' and opens 'b'; user 2 opens 'x'
+    assert (1, 1, "a", 1, 3, 2, 2, False) in rows
+    assert (1, 2, "b", 3, None, 3, 1, True) in rows  # open after batch 1
+    assert (2, 1, "x", 1, None, 1, 1, True) in rows
+    # batch 2: 'b' extended (n=2) THEN closed at us=5 with the BATCH-1
+    # valid_from (the cross-batch carry), and 'c' opens
+    assert (1, 2, "b", 3, 5, 4, 2, False) in rows
+    assert (1, 3, "c", 5, None, 5, 1, True) in rows
+    assert len(rows) == 5  # nothing else emitted
