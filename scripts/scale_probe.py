@@ -125,6 +125,9 @@ QUERIES = [
     "multimodal_audio_adpcm_stats",
     "kmeans_embedding_clusters",
     "semdedup_embeddings",
+    # late-r9 addition: the incremental SCD2 upsert (TWS protocol cost
+    # per key + one extra staging write; state is one row per user)
+    "streaming_scd2_tws",
 ]
 
 
