@@ -107,8 +107,9 @@ def decode_wav(data: bytes) -> tuple[int, int, np.ndarray]:
         return rate, channels, lut[codes].reshape(-1, channels)
     if audio_format != 1:
         raise AudioFormatError(
-            f"unsupported WAV format tag {audio_format} (only PCM=1, "
-            "A-law=6, mu-law=7, IMA ADPCM=0x11; MP3/AAC/OGG need an "
+            f"unsupported WAV format tag {audio_format} (decode_wav "
+            "handles PCM=1, A-law=6, mu-law=7; IMA ADPCM=0x11 has its "
+            "own entry point decode_wav_adpcm; MP3/AAC/OGG need an "
             "external codec)"
         )
     if bits != 16:
@@ -204,8 +205,8 @@ def _g711_encode_tables(lut: np.ndarray):
     keep[1:] = levels[1:] != levels[:-1]  # first (lowest) code wins
     levels, codes = levels[keep], codes[keep]
     # nearest-level bins: right edge of level i is the midpoint toward
-    # level i+1; searchsorted(side='right') then lands exact midpoints
-    # on the LOWER level
+    # level i+1; searchsorted(side='left') then lands exact midpoints
+    # on the LOWER level (an edge equal to x inserts at its own index)
     edges = (levels[:-1] + levels[1:]) // 2
     return levels, codes, edges
 

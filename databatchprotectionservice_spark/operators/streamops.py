@@ -90,6 +90,7 @@ def _run_to_memory_sink(
     name: str,
     state_partitions: int = STREAM_STATE_PARTITIONS_JVM,
     output_mode: str = "append",
+    rocksdb: bool = False,
 ):
     """Run a streaming DataFrame to completion (availableNow) into a
     memory sink and return the sink table *lazily* — no driver-side
@@ -99,10 +100,22 @@ def _run_to_memory_sink(
     queries start from a fresh checkpoint every call, so the state
     partitioning is chosen here, not inherited. ``output_mode``:
     "append" for emit-on-final rows, "complete" for running
-    aggregates (the sink then holds only the aggregate rows)."""
+    aggregates (the sink then holds only the aggregate rows).
+    ``rocksdb``: scope the RocksDB state-store provider to this run —
+    TWS state (named variables + timers) lives in multiple column
+    families, which the default HDFS-backed provider cannot host;
+    conf is read at query START, so it is set here and restored."""
     spark = df.sparkSession
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    old_provider = spark.conf.get(provider_key, None) if rocksdb else None
+    if rocksdb:
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
     try:
         q = (
             df.writeStream.format("memory")
@@ -127,6 +140,11 @@ def _run_to_memory_sink(
             q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+        if rocksdb:
+            if old_provider is None:
+                spark.conf.unset(provider_key)
+            else:
+                spark.conf.set(provider_key, old_provider)
 
 
 @register(
@@ -344,27 +362,13 @@ def streaming_sessionize_tws(spark, sf_dir):
         stream, gap_seconds=SESSION_GAP_SECONDS, watermark_delay="0 seconds"
     )
     name = f"streaming_sessionize_tws_{time.time_ns()}"
-    # TWS state (named variables + timers) lives in multiple column
-    # families, which the default HDFS-backed provider cannot host;
-    # RocksDB (bundled rocksdbjni) is the supported store.  Conf is
-    # read at query START, so scope it to this run and restore.
-    provider_key = "spark.sql.streaming.stateStore.providerClass"
-    old_provider = spark.conf.get(provider_key, None)
-    spark.conf.set(
-        provider_key,
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider",
+    # default sized by _tws_partitions (r9 sweep: 16 is the knee
+    # for both TWS queries at sf0.1 and 10x; see its docstring and
+    # SCALE.md "Streaming state API v2"); rocksdb=True scopes the
+    # column-family-capable provider to the run
+    _run_to_memory_sink(
+        sessions, name, state_partitions=_tws_partitions(), rocksdb=True
     )
-    try:
-        # default sized by _tws_partitions (r9 sweep: 16 is the knee
-        # for both TWS queries at sf0.1 and 10x; see its docstring and
-        # SCALE.md "Streaming state API v2")
-        _run_to_memory_sink(sessions, name, state_partitions=_tws_partitions())
-    finally:
-        if old_provider is None:
-            spark.conf.unset(provider_key)
-        else:
-            spark.conf.set(provider_key, old_provider)
     return spark.table(name).select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
@@ -474,25 +478,13 @@ def streaming_profile_tws(spark, sf_dir):
         )
         profiles = user_profile_stream_tws(stream)
         name = f"streaming_profile_tws_{time.time_ns()}"
-        provider_key = "spark.sql.streaming.stateStore.providerClass"
-        old_provider = spark.conf.get(provider_key, None)
-        spark.conf.set(
-            provider_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+        _run_to_memory_sink(
+            profiles,
+            name,
+            state_partitions=_tws_partitions(),
+            output_mode="update",
+            rocksdb=True,
         )
-        try:
-            _run_to_memory_sink(
-                profiles,
-                name,
-                state_partitions=_tws_partitions(),
-                output_mode="update",
-            )
-        finally:
-            if old_provider is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, old_provider)
         latest = (
             spark.table(name)
             .groupBy("user_id")
@@ -779,6 +771,19 @@ def streaming_outer_attribution(spark, sf_dir):
     return spark.table(name)
 
 
+def _stage_files(stage_dir: str) -> set:
+    """Absolute paths of the data files currently in a staged dir
+    (local filesystem; the registered demo queries stage on local
+    scratch — a real CDC log brings its own ingestion-time order)."""
+    import glob as _glob
+    import os as _os
+
+    return {
+        _os.path.abspath(p)
+        for p in _glob.glob(_os.path.join(stage_dir, "part-*.parquet"))
+    }
+
+
 @register(
     "streaming_scd2_tws",
     # the batch scd2_user_status_history oracle VERBATIM: the streaming
@@ -870,9 +875,25 @@ def streaming_scd2_tws(spark, sf_dir):
         e.filter(F.col("us") < mid).repartition(1).write.mode(
             "append"
         ).parquet(stage_dir)
+        first_half = _stage_files(stage_dir)
         e.filter(F.col("us") >= mid).repartition(1).write.mode(
             "append"
         ).parquet(stage_dir)
+        # scd2 is ORDER-SENSITIVE (unlike the commutative profile
+        # counters), so don't rely on write-completion mtimes alone —
+        # a coarse-timestamp filesystem could tie them and the source
+        # would tie-break on random part names.  Force the order the
+        # contract needs; best-effort on stores without utime.
+        import os as _os
+
+        try:
+            t0 = 1_000_000_000
+            for p in sorted(first_half):
+                _os.utime(p, (t0, t0))
+            for p in sorted(_stage_files(stage_dir) - first_half):
+                _os.utime(p, (t0 + 60, t0 + 60))
+        except OSError:
+            pass
         schema = spark.read.parquet(stage_dir).schema
         stream = (
             spark.readStream.schema(schema)
@@ -881,25 +902,13 @@ def streaming_scd2_tws(spark, sf_dir):
         )
         scd2 = scd2_stream_tws(stream)
         name = f"streaming_scd2_tws_{time.time_ns()}"
-        provider_key = "spark.sql.streaming.stateStore.providerClass"
-        old_provider = spark.conf.get(provider_key, None)
-        spark.conf.set(
-            provider_key,
-            "org.apache.spark.sql.execution.streaming.state."
-            "RocksDBStateStoreProvider",
+        _run_to_memory_sink(
+            scd2,
+            name,
+            state_partitions=_tws_partitions(),
+            output_mode="update",
+            rocksdb=True,
         )
-        try:
-            _run_to_memory_sink(
-                scd2,
-                name,
-                state_partitions=_tws_partitions(),
-                output_mode="update",
-            )
-        finally:
-            if old_provider is None:
-                spark.conf.unset(provider_key)
-            else:
-                spark.conf.set(provider_key, old_provider)
         latest = (
             spark.table(name)
             .groupBy("user_id", "version")

@@ -652,10 +652,19 @@ def scd2_stream_tws(stream_df: DataFrame) -> DataFrame:
 
     class Scd2Processor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
+            # ``last_raw`` (the raw type of the LAST event, nullable)
+            # rides beside the island status because the oracle's
+            # island rule is stated on lag(event_type): an event merges
+            # iff the PREVIOUS event's type is non-NULL and equal-or-
+            # NULL — so an island absorbs at most one trailing NULL,
+            # after which lag IS NULL forces the next event (even an
+            # equal-status one) to open a new version.  Folding both
+            # into one field would silently conflate "no state yet"
+            # with a genuine NULL event_type (review finding, r9).
             self._open = handle.getValueState(
                 "open_row",
-                "status string, version long, valid_from_us long, "
-                "last_seen_us long, n_events long",
+                "status string, last_raw string, version long, "
+                "valid_from_us long, last_seen_us long, n_events long",
             )
 
         def handleInputRows(
@@ -671,30 +680,41 @@ def scd2_stream_tws(stream_df: DataFrame) -> DataFrame:
             pdf = pdf.sort_values(["us", "event_id"], kind="stable")
             carried = self._open.get()
             if carried:
-                status, version, valid_from, last_seen, n = carried
+                status, last_raw, version, valid_from, last_seen, n = carried
+                has_open = True
             else:
-                status = None
-                version = 0  # first event below opens version 1
-                valid_from = last_seen = n = 0
+                status = last_raw = None
+                version = valid_from = last_seen = n = 0
+                has_open = False
             out: list[tuple] = []
             for us, etype in zip(
                 pdf["us"].to_numpy(), pdf["event_type"].to_numpy()
             ):
                 us = int(us)
-                if status == etype:
+                etype = None if pd.isna(etype) else etype
+                if has_open and last_raw is not None and (
+                    etype is None or etype == last_raw
+                ):
+                    # merge: previous event's type is non-NULL and this
+                    # one is equal or NULL (the oracle's chg=0 rule)
                     last_seen = us
                     n += 1
+                    last_raw = etype
                     continue
-                if status is not None:
+                if has_open:
                     # close the open interval at the successor's start
                     out.append(
                         (user_id, version, status, valid_from, us,
                          last_seen, n, False)
                     )
-                status, version = etype, version + 1
+                has_open = True
+                status = last_raw = etype  # island status = its first
+                version += 1               # (and only) non-NULL type
                 valid_from = last_seen = us
                 n = 1
-            self._open.update((status, version, valid_from, last_seen, n))
+            self._open.update(
+                (status, last_raw, version, valid_from, last_seen, n)
+            )
             # the open row, re-published each batch (Update mode)
             out.append(
                 (user_id, version, status, valid_from, None,

@@ -531,20 +531,24 @@ def test_scd2_tws_carries_open_interval_across_batches(spark, tmp_path):
 
     ensure_protobuf(spark)
     base = tmp_path / "staged"
+    # user 3 exercises the oracle's NULL rules: a NULL event merges
+    # into the running island (lag <> NULL is not true), after which
+    # lag IS NULL forces the NEXT event — even an equal-status one —
+    # to open a new version; a NULL-only island has status NULL
     pd1 = pd.DataFrame(
         {
-            "user_id": [1, 1, 1, 2],
-            "event_id": [10, 11, 12, 13],
-            "event_type": ["a", "a", "b", "x"],
-            "us": [1, 2, 3, 1],
+            "user_id": [1, 1, 1, 2, 3, 3, 3],
+            "event_id": [10, 11, 12, 13, 16, 17, 18],
+            "event_type": ["a", "a", "b", "x", "a", None, "a"],
+            "us": [1, 2, 3, 1, 1, 2, 3],
         }
     )
     pd2 = pd.DataFrame(
         {
-            "user_id": [1, 1],
-            "event_id": [14, 15],
-            "event_type": ["b", "c"],
-            "us": [4, 5],
+            "user_id": [1, 1, 3, 3],
+            "event_id": [14, 15, 19, 20],
+            "event_type": ["b", "c", None, None],
+            "us": [4, 5, 4, 5],
         }
     )
     for i, pdf in enumerate((pd1, pd2)):
@@ -605,4 +609,14 @@ def test_scd2_tws_carries_open_interval_across_batches(spark, tmp_path):
     # valid_from (the cross-batch carry), and 'c' opens
     assert (1, 2, "b", 3, 5, 4, 2, False) in rows
     assert (1, 3, "c", 5, None, 5, 1, True) in rows
-    assert len(rows) == 5  # nothing else emitted
+    # user 3, batch 1: island {a, NULL} closes when the next 'a'
+    # arrives after the absorbed NULL (lag IS NULL -> new version even
+    # at equal status)
+    assert (3, 1, "a", 1, 3, 2, 2, False) in rows
+    assert (3, 2, "a", 3, None, 3, 1, True) in rows
+    # user 3, batch 2: the carried island absorbs ONE NULL then closes
+    # on the second (consecutive NULLs are one-event islands), leaving
+    # a NULL-status open row
+    assert (3, 2, "a", 3, 5, 4, 2, False) in rows
+    assert (3, 3, None, 5, None, 5, 1, True) in rows
+    assert len(rows) == 9  # nothing else emitted
