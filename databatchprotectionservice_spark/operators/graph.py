@@ -272,3 +272,151 @@ def bfs_purchase_distance(spark, sf_dir):
         F.expr("v div 2").cast("bigint").alias("node_key"),
         F.col("d").alias("hops"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the supplier co-purchase projection
+# ---------------------------------------------------------------------------
+
+#: two suppliers are co-purchase neighbors when >= this many distinct
+#: customers bought from both
+TRI_MIN_SHARED = 2
+TRI_TOP = 15
+#: refuse-don't-truncate guard on the quadratic per-customer pair
+#: expansion (sum of degree^2): a customer with more distinct
+#: suppliers than this makes the projection hub-dominated; the scale
+#: mitigation is frequency-pruning hot customers BEFORE pairing (the
+#: standard co-occurrence fix), which changes semantics and therefore
+#: must be an explicit caller choice, never silent
+TRI_MAX_CUST_DEGREE = 5000
+
+#: r10 registration oracle — an INDEPENDENT formulation: plain
+#: id-ordered closure (a<b<c three-way join), where the Spark side
+#: orients edges by (degree, id).  Orientation cannot change which
+#: triangles exist, so agreement is a genuine cross-check of both
+#: the projection and the closure, not a shared transcription.
+TRIANGLE_ORACLE = f"""
+        WITH pairs AS (
+            SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+            FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        ),
+        co AS (
+            SELECT p1.s AS a, p2.s AS b
+            FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
+            GROUP BY p1.s, p2.s
+            HAVING count(*) >= {TRI_MIN_SHARED}
+        ),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM co e1
+            JOIN co e2 ON e2.a = e1.b
+            JOIN co e3 ON e3.a = e1.a AND e3.b = e2.b
+        ),
+        corners AS (
+            SELECT x AS s_key FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        )
+        SELECT CAST(s_key AS BIGINT) AS s_key,
+               CAST(count(*) AS BIGINT) AS n_triangles
+        FROM corners
+        GROUP BY s_key
+        ORDER BY n_triangles DESC, s_key
+        LIMIT {TRI_TOP}
+"""
+
+
+def triangle_suppliers(spark, sf_dir):
+    """Top suppliers by triangle participation in the co-purchase
+    graph (edge: >= TRI_MIN_SHARED shared customers) — the canonical
+    clustering-structure primitive next to PageRank (flow), CC
+    (labels), and BFS (distance).  Staged for r10 registration with
+    ``TRIANGLE_ORACLE``.
+
+    100 TB shape: pure DataFrame, no UDF anywhere.  (1) The
+    projection pairs suppliers per customer — sum-of-degree^2 work,
+    bounded by the TRI_MAX_CUST_DEGREE refuse guard; the pair count
+    aggregate is map-side combinable.  (2) Triangle closure uses the
+    DEGREE-ORDERED orientation (each undirected edge directed from
+    its lower-(degree,id) endpoint), the standard trick that bounds
+    per-vertex wedge fan-out by O(sqrt(m)) on skewed graphs instead
+    of the hub degree — the difference between a feasible and an
+    exploding join at web scale.  Wedges shuffle once on the pivot
+    vertex, the closing lookup once on the (b, c) pair."""
+    prep(spark)
+    pairs, _ = _purchase_edges(spark, sf_dir)
+
+    hot = (
+        pairs.groupBy("c")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(F.max("d").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    if hot is not None and hot > TRI_MAX_CUST_DEGREE:
+        raise ValueError(
+            f"co-purchase projection refused: a customer has {hot} "
+            f"distinct suppliers (> {TRI_MAX_CUST_DEGREE}); frequency-"
+            "prune hot customers before pairing (the explicit-choice "
+            "scale mitigation)"
+        )
+
+    p2 = pairs.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    co = (
+        pairs.join(p2, (F.col("c") == F.col("c2")) & (F.col("s") < F.col("s2")))
+        .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= TRI_MIN_SHARED)
+        .select("a", "b")
+        .localCheckpoint(eager=True)  # reused three times below
+    )
+
+    # degree-ordered orientation: src = lower (degree, id) endpoint
+    deg = (
+        co.select(F.col("a").alias("v"))
+        .unionByName(co.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("deg").alias("deg_a"))
+    db = deg.select(F.col("v").alias("b"), F.col("deg").alias("deg_b"))
+    ranked = co.join(da, "a").join(db, "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    oriented = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
+        .alias("deg_dst"),
+    ).localCheckpoint(eager=True)
+
+    e1 = oriented.select(
+        F.col("src").alias("a"), F.col("dst").alias("b"),
+        F.col("deg_dst").alias("deg_b"),
+    )
+    e2 = oriented.select(
+        F.col("src").alias("a2"), F.col("dst").alias("c"),
+        F.col("deg_dst").alias("deg_c"),
+    )
+    wedges = e1.join(e2, F.col("a") == F.col("a2")).filter(
+        (F.col("deg_b") < F.col("deg_c"))
+        | ((F.col("deg_b") == F.col("deg_c")) & (F.col("b") < F.col("c")))
+    )
+    closing = oriented.select(
+        F.col("src").alias("b"), F.col("dst").alias("c")
+    )
+    tri = wedges.join(closing, ["b", "c"]).select("a", "b", "c")
+
+    corners = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("s_key"))
+        .groupBy("s_key")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    return (
+        corners.select(
+            F.col("s_key").cast("bigint").alias("s_key"),
+            F.col("n_triangles").cast("bigint").alias("n_triangles"),
+        )
+        .orderBy(F.col("n_triangles").desc(), "s_key")
+        .limit(TRI_TOP)
+    )
