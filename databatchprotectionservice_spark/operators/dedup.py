@@ -1180,3 +1180,114 @@ def dedup_keep_best_quality(spark, sf_dir):
         .alias("kept_bytes"),
         round_ieee(F.avg("quality")).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix-filtered exact Jaccard join (the PPJoin family's core idea)
+# ---------------------------------------------------------------------------
+
+#: r10 registration oracle — the INDEPENDENT all-pairs formulation
+#: (array intersect over every doc pair); the Spark side generates
+#: candidates by prefix filtering, so agreement proves the filter is
+#: lossless, not just that two transcriptions of one algorithm agree.
+JACCARD_PREFIX_ORACLE = f"""
+        WITH sh AS ({_SHINGLE_ORACLE})
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               floor(len(list_intersect(a.sg, b.sg)) * 1.0
+                     / len(list_distinct(a.sg || b.sg)) * 10000.0 + 0.5)
+                   AS jaccard_e4
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.sg, b.sg)) * 1.0
+              / len(list_distinct(a.sg || b.sg)) >= {JACCARD_THRESHOLD}
+        ORDER BY doc_a, doc_b
+"""
+
+
+def dedup_jaccard_prefix(spark, sf_dir):
+    """Exact Jaccard pairs >= {t} via PREFIX FILTERING — the candidate
+    bound the similarity-join literature (PPJoin/AllPairs) uses where
+    the inverted-index join (`dedup_ngram_jaccard`) would flood.
+
+    The filter: order all grams by a GLOBAL total order (document
+    frequency asc, gram asc — rarest first); two docs with
+    ``jaccard >= t`` MUST share a gram inside each one's prefix of
+    length ``n - ceil(t*n) + 1`` (if the prefixes were disjoint, more
+    than ``n - prefix`` grams of one doc would be missing from the
+    other, capping the overlap below ``t``).  So only PREFIX grams
+    enter the self-join — and because prefixes hold each document's
+    RAREST grams, the stop-gram quadratic bucket that forces
+    ``dedup_ngram_jaccard``'s df-cap cannot form here: this variant
+    needs NO semantic knob, it is unconditionally exact.  The size
+    filter (``t <= n_a/n_b <= 1/t`` as exact integer inequalities)
+    prunes the join further before verification.
+
+    Verification is exact: candidates join back to the shingle arrays
+    and the integer test ``(5+4)*inter >= 4*(n_a+n_b)`` (algebra of
+    ``inter/union >= 4/5``) decides membership — no floats until the
+    reported e4 rounding.
+
+    100 TB shape: one df aggregate, one per-doc rank (shuffle on
+    doc_id + in-partition sort), a self-join whose buckets are
+    rare-gram-sized, and an array verify only on surviving candidates.
+    Cost scales with true near-duplicate density, not corpus^2.
+    """
+    prep(spark)
+    from pyspark.sql.window import Window
+
+    docs = load_spread(spark, sf_dir, "documents")
+    sh = shingled(docs).cache()
+    g = sh.select(
+        "doc_id", F.size("sg").alias("n"), F.explode("sg").alias("gram")
+    )
+    dfreq = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df_g"))
+    ranked = g.join(dfreq, "gram").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("doc_id").orderBy("df_g", "gram")
+        ),
+    )
+    # prefix length n - ceil(4n/5) + 1, in exact integers
+    pref = ranked.filter(
+        F.col("rk") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1
+    ).select("doc_id", "n", "gram")
+
+    pa = pref.select(
+        F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"), "gram"
+    )
+    pb = pref.select(
+        F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"), "gram"
+    )
+    cand = (
+        pa.join(pb, "gram")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (4 * F.col("n_a") <= 5 * F.col("n_b"))  # size filter
+            & (4 * F.col("n_b") <= 5 * F.col("n_a"))
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sg").alias("sg_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sg").alias("sg_b"))
+    verified = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("sg_a", "sg_b")).alias("inter"),
+            F.size("sg_a").alias("n_a"),
+            F.size("sg_b").alias("n_b"),
+        )
+        .withColumn("uni", F.col("n_a") + F.col("n_b") - F.col("inter"))
+        # inter/union >= 4/5  <=>  9*inter >= 4*(n_a+n_b), all integer
+        .filter(9 * F.col("inter") >= 4 * (F.col("n_a") + F.col("n_b")))
+    )
+    return verified.select(
+        "doc_a",
+        "doc_b",
+        F.floor(
+            F.col("inter") * 10000.0 / F.col("uni") + F.lit(0.5)
+        ).alias("jaccard_e4"),
+    ).orderBy("doc_a", "doc_b")
