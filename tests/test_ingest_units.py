@@ -1,0 +1,107 @@
+"""Container-ingest operators vs their closed-form DuckDB oracles.
+
+The executors already assert the full roundtrip (WARC record walk,
+chunked HTTP reassembly, entity decode back to the exact source text,
+WebDataset sample fields byte-equal, ZIP stored/deflate twins CRC
+-equal); these tests close the loop by running the Spark side against
+the INDEPENDENT arithmetic oracle on a crafted hostile corpus (empty
+text, every escapable character, multiline, non-ASCII including astral
+codepoints, >512-byte members crossing tar block boundaries) and on
+the real sf0.001 corpus.
+"""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.operators.ingest import (
+    WARC_CHAIN_ORACLE,
+    WEBDATASET_TAR_ORACLE,
+    ZIP_MEMBERS_ORACLE,
+    ingest_warc_chain,
+    ingest_webdataset_tar,
+    ingest_zip_members,
+)
+
+_DOCS = [
+    "",  # zero-byte members, zero-sample page
+    "plain ascii words here",
+    'amp & lt < gt > quot " apos \' mixed &&<<>>""',
+    "multi\nline\r\nwith\ttabs and  double  spaces",
+    "unicode: café 汉字 \U0001f600 mixed & <tag>",
+    "x" * 1300,  # crosses two tar block boundaries
+    "&amp; pre-escaped looking text &lt;not a tag&gt;",
+    '<script>alert("not html")</script>',
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("ingest_tables"))
+    n = len(_DOCS) * 3  # several shards, ids spanning 1..3 digits
+    docs = [(_DOCS[i % len(_DOCS)]) for i in range(n)]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(
+                    ["en", "fr", "zh"][i % 3] for i in range(n)
+                ),
+                "source": pa.array(
+                    ["web", "book"][i % 2] for i in range(n)
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def _oracle(sf_dir, sql):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    return con.execute(sql).fetchall()
+
+
+def _rows(df):
+    return [tuple(r) for r in df.collect()]
+
+
+@pytest.mark.parametrize(
+    "query,oracle",
+    [
+        (ingest_warc_chain, WARC_CHAIN_ORACLE),
+        (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
+        (ingest_zip_members, ZIP_MEMBERS_ORACLE),
+    ],
+    ids=["warc", "tar", "zip"],
+)
+def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
+    got = _rows(query(spark, corpus_dir))
+    want = _oracle(corpus_dir, oracle)
+    assert got == want
+    assert len(got) == 2  # both sources survived
+
+
+@pytest.mark.parametrize(
+    "query,oracle",
+    [
+        (ingest_warc_chain, WARC_CHAIN_ORACLE),
+        (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
+        (ingest_zip_members, ZIP_MEMBERS_ORACLE),
+    ],
+    ids=["warc", "tar", "zip"],
+)
+def test_matches_oracle_on_real_corpus(spark, query, oracle):
+    sf_dir = "/root/testdata/sf0.001"
+    got = _rows(query(spark, sf_dir))
+    want = _oracle(sf_dir, oracle)
+    assert got == want
+    assert got, "real corpus produced no rows"
