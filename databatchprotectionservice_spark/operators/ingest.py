@@ -422,6 +422,114 @@ def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TFRecord training shards
+# ---------------------------------------------------------------------------
+
+#: one record per document (the text bytes); framing overhead is a
+#: fixed 16 bytes per record (8 length + two 4-byte masked CRC-32Cs),
+#: so file bytes are closed form: sum(payload) + 16 * n_records.
+TFRECORD_SHARDS_ORACLE = f"""
+        WITH per AS (
+            SELECT source,
+                   doc_id // {SHARD_DOCS} AS shard_id,
+                   octet_length(encode(coalesce(text, ''))) AS tb
+            FROM documents
+        ),
+        sh AS (
+            SELECT source, shard_id,
+                   count(*) AS n_records,
+                   CAST(sum(tb) AS BIGINT) AS payload_bytes,
+                   CAST(sum(tb + 16) AS BIGINT) AS file_bytes
+            FROM per GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_shards,
+               CAST(sum(n_records) AS BIGINT) AS n_records,
+               CAST(sum(payload_bytes) AS BIGINT) AS sum_payload_bytes,
+               CAST(sum(file_bytes) AS BIGINT) AS sum_file_bytes,
+               CAST(max(n_records) AS BIGINT) AS max_shard_records
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_TFRECORD_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("file_bytes", T.LongType()),
+    ]
+)
+
+
+def ingest_tfrecord_shards(spark, sf_dir) -> DataFrame:
+    """TFRecord shard build + walk, CRC-verified both ways.
+
+    The TF training-shard shape: documents shuffle once onto the shard
+    key, each group is framed as a TFRecord stream (one record per
+    document, both masked CRC-32Cs computed per record), then the REAL
+    loader direction walks the stream back — every record's length CRC
+    and data CRC must verify, and the payloads must be byte-equal to
+    the source texts in doc_id order (record ORDER is part of the
+    assert: shards feed sequential trainers).  File bytes are asserted
+    against the 16-bytes-per-record closed form the oracle restates.
+
+    100 TB: identical plan to ``ingest_webdataset_tar`` — one shuffle
+    on the shard key, Arrow-batched Python byte work, tiny per-source
+    aggregate.
+    """
+    from ..core.tfrecordcodec import encode_tfrecord, parse_tfrecord
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        payloads = [(t or "").encode("utf-8") for t in pdf["text"]]
+        wire = encode_tfrecord(payloads)
+        want = sum(len(p) for p in payloads) + 16 * len(payloads)
+        if len(wire) != want:
+            raise ValueError(
+                f"tfrecord framing arithmetic drifted: "
+                f"{len(wire)} != {want}"
+            )
+        if parse_tfrecord(wire) != payloads:  # CRC walk, order included
+            raise ValueError("TFRecord walk lost or reordered a record")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_records": pd.Series([len(payloads)], dtype="int64"),
+                "payload_bytes": pd.Series(
+                    [sum(len(p) for p in payloads)], dtype="int64"
+                ),
+                "file_bytes": pd.Series([len(wire)], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _TFRECORD_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_records").cast("bigint").alias("n_records"),
+            F.sum("payload_bytes")
+            .cast("bigint")
+            .alias("sum_payload_bytes"),
+            F.sum("file_bytes").cast("bigint").alias("sum_file_bytes"),
+            F.max("n_records").cast("bigint").alias("max_shard_records"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ZIP stored+deflate roundtrip
 # ---------------------------------------------------------------------------
 

@@ -18,9 +18,11 @@ import pyarrow.parquet as pq
 import pytest
 
 from databatchprotectionservice_spark.operators.ingest import (
+    TFRECORD_SHARDS_ORACLE,
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
+    ingest_tfrecord_shards,
     ingest_warc_chain,
     ingest_webdataset_tar,
     ingest_zip_members,
@@ -80,8 +82,9 @@ def _rows(df):
         (ingest_warc_chain, WARC_CHAIN_ORACLE),
         (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
+        (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip"],
+    ids=["warc", "tar", "zip", "tfrecord"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -96,8 +99,9 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_warc_chain, WARC_CHAIN_ORACLE),
         (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
+        (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip"],
+    ids=["warc", "tar", "zip", "tfrecord"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
