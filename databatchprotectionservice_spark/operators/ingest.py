@@ -422,6 +422,178 @@ def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Avro Object Container File shards
+# ---------------------------------------------------------------------------
+
+#: shard codec rotates null/deflate/snappy by ``shard_id % 3`` — all
+#: three block codecs exercised per run; NULL text rides the
+#: ["null","string"] union branch end to end.
+AVRO_BLOCKS_ORACLE = f"""
+        WITH per AS (
+            SELECT source,
+                   doc_id // {SHARD_DOCS} AS shard_id,
+                   doc_id,
+                   octet_length(encode(coalesce(text, ''))) AS tb,
+                   CASE WHEN text IS NULL THEN 1 ELSE 0 END AS nn
+            FROM documents
+        ),
+        sh AS (
+            SELECT source, shard_id, shard_id % 3 AS codec_ix,
+                   count(*) AS n_records,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(tb) AS BIGINT) AS txt_bytes,
+                   CAST(sum(nn) AS BIGINT) AS n_null_text
+            FROM per GROUP BY 1, 2, 3
+        )
+        SELECT source,
+               count(*) AS n_shards,
+               CAST(sum(n_records) AS BIGINT) AS n_records,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(txt_bytes) AS BIGINT) AS sum_txt_bytes,
+               CAST(sum(n_null_text) AS BIGINT) AS n_null_text,
+               CAST(sum(CASE WHEN codec_ix = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_null,
+               CAST(sum(CASE WHEN codec_ix = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_deflate,
+               CAST(sum(CASE WHEN codec_ix = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_snappy
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_AVRO_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("txt_bytes", T.LongType()),
+        T.StructField("n_null_text", T.LongType()),
+        T.StructField("codec_ix", T.LongType()),
+    ]
+)
+
+_AVRO_WRITER_SCHEMA = {
+    "type": "record",
+    "name": "document",
+    "fields": [
+        {"name": "doc_id", "type": "long"},
+        {"name": "text", "type": ["null", "string"]},
+        {"name": "lang", "type": "string"},
+    ],
+}
+
+AVRO_BLOCK_RECORDS = 4  # small blocks -> multi-block shards in fixture
+
+
+def ingest_avro_blocks(spark, sf_dir) -> DataFrame:
+    """Avro OCF shard build + walk across all three block codecs.
+
+    The splittable-row-container shape: each shard group is written as
+    a spec-compliant Object Container File (writer schema in the
+    header metadata, deterministic 16-byte sync marker derived from
+    the shard key, {AVRO_BLOCK_RECORDS}-record blocks so every shard
+    is multi-block) with the codec rotating null/deflate/snappy by
+    shard, then the loader direction walks it back: sync markers
+    verified per block, blocks decoded to exactly their object count,
+    snappy blocks CRC-checked — and the decoded rows must equal the
+    inputs field-for-field, None text riding the null-union branch.
+
+    100 TB: OCF's per-block sync marker is what makes this format
+    splittable — a real cluster assigns block ranges to tasks; here
+    the shard is the split.  One shuffle on the shard key, Arrow
+    -batched byte work, tiny final aggregate.
+    """
+    import hashlib
+
+    from ..core.avrocodec import encode_avro_ocf, parse_avro_ocf
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "lang")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        source = pdf["source"].iloc[0]
+        codec = ("null", "deflate", "snappy")[shard_id % 3]
+        rows = [
+            {
+                "doc_id": int(i),
+                "text": None if t is None else str(t),
+                "lang": str(lg) if lg is not None else "",
+            }
+            for i, t, lg in zip(pdf["doc_id"], pdf["text"], pdf["lang"])
+        ]
+        sync = hashlib.sha256(
+            f"{source}/{shard_id}".encode()
+        ).digest()[:16]
+        wire = encode_avro_ocf(
+            rows,
+            _AVRO_WRITER_SCHEMA,
+            codec=codec,
+            sync=sync,
+            block_records=AVRO_BLOCK_RECORDS,
+        )
+        info = parse_avro_ocf(wire)
+        if info["records"] != rows or info["codec"] != codec:
+            raise ValueError("Avro walk lost rows or the codec tag")
+        want_blocks = -(-len(rows) // AVRO_BLOCK_RECORDS)
+        if info["n_blocks"] != want_blocks:
+            raise ValueError(
+                f"block count drifted: {info['n_blocks']} != {want_blocks}"
+            )
+        return pd.DataFrame(
+            {
+                "source": pd.Series([source], dtype="object"),
+                "n_records": pd.Series([len(rows)], dtype="int64"),
+                "sum_doc_id": pd.Series(
+                    [sum(r["doc_id"] for r in rows)], dtype="int64"
+                ),
+                "txt_bytes": pd.Series(
+                    [
+                        sum(
+                            len((r["text"] or "").encode("utf-8"))
+                            for r in rows
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_null_text": pd.Series(
+                    [sum(1 for r in rows if r["text"] is None)],
+                    dtype="int64",
+                ),
+                "codec_ix": pd.Series([shard_id % 3], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _AVRO_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_records").cast("bigint").alias("n_records"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("txt_bytes").cast("bigint").alias("sum_txt_bytes"),
+            F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+            F.sum(F.when(F.col("codec_ix") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_null"),
+            F.sum(F.when(F.col("codec_ix") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_deflate"),
+            F.sum(F.when(F.col("codec_ix") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_snappy"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
 # TFRecord training shards
 # ---------------------------------------------------------------------------
 

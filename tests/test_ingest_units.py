@@ -18,10 +18,12 @@ import pyarrow.parquet as pq
 import pytest
 
 from databatchprotectionservice_spark.operators.ingest import (
+    AVRO_BLOCKS_ORACLE,
     TFRECORD_SHARDS_ORACLE,
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
+    ingest_avro_blocks,
     ingest_tfrecord_shards,
     ingest_warc_chain,
     ingest_webdataset_tar,
@@ -44,7 +46,10 @@ _DOCS = [
 def corpus_dir(tmp_path_factory):
     d = str(tmp_path_factory.mktemp("ingest_tables"))
     n = len(_DOCS) * 3  # several shards, ids spanning 1..3 digits
-    docs = [(_DOCS[i % len(_DOCS)]) for i in range(n)]
+    docs = [
+        None if i % 11 == 10 else _DOCS[i % len(_DOCS)]
+        for i in range(n)
+    ]  # NULL text rides the Avro null-union and every coalesce path
     pq.write_table(
         pa.table(
             {
@@ -83,8 +88,9 @@ def _rows(df):
         (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
+        (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -100,8 +106,9 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_webdataset_tar, WEBDATASET_TAR_ORACLE),
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
+        (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
