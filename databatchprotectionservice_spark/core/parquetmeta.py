@@ -1,0 +1,272 @@
+"""Parquet file metadata walk — footer, row groups, page headers.
+
+Typed views over the generic compact-protocol reader
+(``core/thriftcodec.py``), following the public ``parquet.thrift``
+IDL (parquet-format):
+
+* file layout: ``PAR1`` magic at both ends; the last 8 bytes before
+  the trailing magic are a little-endian u32 footer length;
+* ``FileMetaData``: 1 version, 2 schema (flattened pre-order list of
+  ``SchemaElement``), 3 num_rows, 4 row_groups, 6 created_by;
+* ``RowGroup``: 1 columns, 2 total_byte_size, 3 num_rows;
+* ``ColumnChunk``: 2 file_offset, 3 meta_data (``ColumnMetaData``:
+  1 type, 2 encodings, 3 path_in_schema, 4 codec, 5 num_values,
+  6 total_uncompressed_size, 7 total_compressed_size,
+  9 data_page_offset, 11 dictionary_page_offset);
+* ``PageHeader``: 1 type, 2/3 un/compressed sizes, 5 data-page v1
+  header, 7 dictionary header, 8 data-page v2 header — walked
+  sequentially through a column chunk's byte range.
+
+This is the SCAN-PLANNING layer at 100 TB: row-group pruning, column
+-chunk range assignment, and dictionary-page detection all read these
+structures and nothing else — a planner touches the footer (one
+ranged read of the file tail) and page headers, never the data.  It
+is also the missing file-level half of the reference's own domain:
+``core/pagecodec.py`` protects page payloads; this walk locates those
+pages inside REAL parquet files (pinned against pyarrow-written ones
+in the unit suite).
+
+Reference anchors: page framing semantics mirror
+``/root/reference/src`` page handling (see ``core/pagecodec.py``
+docstrings); the byte layout here is entirely the public
+parquet-format specification.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .errors import DBPSInvalidInputError
+from .thriftcodec import ThriftFormatError, ThriftReader
+
+MAGIC = b"PAR1"
+
+#: parquet-format enums (public IDL)
+TYPE_NAMES = {
+    0: "BOOLEAN",
+    1: "INT32",
+    2: "INT64",
+    3: "INT96",
+    4: "FLOAT",
+    5: "DOUBLE",
+    6: "BYTE_ARRAY",
+    7: "FIXED_LEN_BYTE_ARRAY",
+}
+CODEC_NAMES = {
+    0: "UNCOMPRESSED",
+    1: "SNAPPY",
+    2: "GZIP",
+    3: "LZO",
+    4: "BROTLI",
+    5: "LZ4",
+    6: "ZSTD",
+    7: "LZ4_RAW",
+}
+REPETITION_NAMES = {0: "REQUIRED", 1: "OPTIONAL", 2: "REPEATED"}
+PAGE_DATA = 0
+PAGE_INDEX = 1
+PAGE_DICTIONARY = 2
+PAGE_DATA_V2 = 3
+
+
+class ParquetFormatError(DBPSInvalidInputError):
+    """Malformed parquet container metadata."""
+
+
+def _utf8(b, what: str) -> str:
+    if not isinstance(b, (bytes, bytearray)):
+        raise ParquetFormatError(f"{what} is not a binary field")
+    try:
+        return bytes(b).decode("utf-8")
+    except UnicodeDecodeError as e:
+        raise ParquetFormatError(f"{what} is not UTF-8: {e}") from None
+
+
+def _int(v, what: str) -> int:
+    if not isinstance(v, int) or isinstance(v, bool):
+        raise ParquetFormatError(f"{what} is not an integer")
+    return v
+
+
+def _list(v, what: str) -> list:
+    if not isinstance(v, list):
+        raise ParquetFormatError(f"{what} is not a list")
+    return v
+
+
+def _struct(v, what: str) -> dict:
+    if not isinstance(v, dict):
+        raise ParquetFormatError(f"{what} is not a struct")
+    return v
+
+
+def _schema_element(raw) -> dict:
+    s = _struct(raw, "SchemaElement")
+    return {
+        "name": _utf8(s.get(4, b""), "schema name"),
+        "type": TYPE_NAMES.get(s.get(1)) if 1 in s else None,
+        "type_length": s.get(2),
+        "repetition": REPETITION_NAMES.get(s.get(3)) if 3 in s else None,
+        "num_children": _int(s.get(5, 0), "num_children"),
+        "converted_type": s.get(6),
+    }
+
+
+def _column_chunk(raw) -> dict:
+    c = _struct(raw, "ColumnChunk")
+    m = _struct(c.get(3), "ColumnMetaData")
+    codec = _int(m.get(4, -1), "codec")
+    ptype = _int(m.get(1, -1), "column type")
+    if codec not in CODEC_NAMES:
+        raise ParquetFormatError(f"unknown codec id {codec}")
+    if ptype not in TYPE_NAMES:
+        raise ParquetFormatError(f"unknown physical type id {ptype}")
+    return {
+        "file_offset": _int(c.get(2, 0), "file_offset"),
+        "path_in_schema": ".".join(
+            _utf8(p, "path segment")
+            for p in _list(m.get(3, []), "path_in_schema")
+        ),
+        "type": TYPE_NAMES[ptype],
+        "codec": CODEC_NAMES[codec],
+        "encodings": [
+            _int(e, "encoding") for e in _list(m.get(2, []), "encodings")
+        ],
+        "num_values": _int(m.get(5, 0), "num_values"),
+        "total_uncompressed_size": _int(
+            m.get(6, 0), "total_uncompressed_size"
+        ),
+        "total_compressed_size": _int(
+            m.get(7, 0), "total_compressed_size"
+        ),
+        "data_page_offset": _int(m.get(9, 0), "data_page_offset"),
+        "dictionary_page_offset": (
+            _int(m[11], "dictionary_page_offset") if 11 in m else None
+        ),
+    }
+
+
+def parse_footer(data: bytes) -> dict:
+    """Whole-file bytes -> typed FileMetaData.
+
+    At 100 TB a planner feeds this the file TAIL from a ranged read
+    (magic + u32 length locate the thrift blob without touching the
+    data); whole-file bytes work identically.
+    """
+    if len(data) < 12:
+        raise ParquetFormatError("file shorter than the parquet framing")
+    if data[:4] != MAGIC or data[-4:] != MAGIC:
+        raise ParquetFormatError("missing PAR1 magic")
+    (flen,) = struct.unpack_from("<I", data, len(data) - 8)
+    start = len(data) - 8 - flen
+    if flen == 0 or start < 4:
+        raise ParquetFormatError(f"footer length {flen} out of range")
+    try:
+        meta = ThriftReader(data, start).read_struct()
+    except ThriftFormatError as e:
+        raise ParquetFormatError(f"footer thrift: {e}") from None
+
+    schema = [
+        _schema_element(s) for s in _list(meta.get(2, []), "schema")
+    ]
+    if not schema:
+        raise ParquetFormatError("footer has no schema elements")
+    row_groups = []
+    for rg_raw in _list(meta.get(4, []), "row_groups"):
+        rg = _struct(rg_raw, "RowGroup")
+        row_groups.append(
+            {
+                "num_rows": _int(rg.get(3, 0), "row-group num_rows"),
+                "total_byte_size": _int(
+                    rg.get(2, 0), "total_byte_size"
+                ),
+                "columns": [
+                    _column_chunk(c)
+                    for c in _list(rg.get(1, []), "columns")
+                ],
+            }
+        )
+    n_leaves = {len(rg["columns"]) for rg in row_groups}
+    if len(n_leaves) > 1:
+        raise ParquetFormatError(
+            f"row groups disagree on column count: {sorted(n_leaves)}"
+        )
+    return {
+        "version": _int(meta.get(1, 0), "version"),
+        "num_rows": _int(meta.get(3, 0), "num_rows"),
+        "created_by": (
+            _utf8(meta[6], "created_by") if 6 in meta else None
+        ),
+        "schema": schema,
+        "row_groups": row_groups,
+    }
+
+
+def walk_pages(data: bytes, column: dict) -> list:
+    """Walk every page header in one column chunk's byte range.
+
+    -> [{type, num_values, compressed_page_size,
+    uncompressed_page_size}]; the walk must land EXACTLY on the end of
+    ``total_compressed_size`` and the data-page value total must equal
+    the chunk's ``num_values`` — both raise otherwise, so a framing
+    bug cannot under-report pages silently.
+    """
+    start = column["data_page_offset"]
+    if column["dictionary_page_offset"] is not None:
+        start = min(start, column["dictionary_page_offset"])
+    end = start + column["total_compressed_size"]
+    if not 0 <= start <= end <= len(data):
+        raise ParquetFormatError(
+            f"column chunk range [{start}, {end}) outside the file"
+        )
+    pages = []
+    pos = start
+    values = 0
+    while pos < end:
+        r = ThriftReader(data, pos)
+        try:
+            h = r.read_struct()
+        except ThriftFormatError as e:
+            raise ParquetFormatError(
+                f"page header at {pos}: {e}"
+            ) from None
+        ptype = _int(h.get(1, -1), "page type")
+        comp = _int(h.get(3, -1), "compressed_page_size")
+        if comp < 0 or r.pos + comp > end:
+            raise ParquetFormatError(
+                f"page at {pos} overruns its column chunk"
+            )
+        if ptype in (PAGE_DATA, PAGE_DATA_V2):
+            sub = _struct(
+                h.get(5 if ptype == PAGE_DATA else 8), "data page header"
+            )
+            nv = _int(sub.get(1, 0), "page num_values")
+            values += nv
+        elif ptype == PAGE_DICTIONARY:
+            sub = _struct(h.get(7), "dictionary page header")
+            nv = _int(sub.get(1, 0), "dictionary num_values")
+        elif ptype == PAGE_INDEX:
+            nv = 0
+        else:
+            raise ParquetFormatError(f"unknown page type {ptype}")
+        pages.append(
+            {
+                "type": ptype,
+                "num_values": nv,
+                "compressed_page_size": comp,
+                "uncompressed_page_size": _int(
+                    h.get(2, -1), "uncompressed_page_size"
+                ),
+            }
+        )
+        pos = r.pos + comp
+    if pos != end:
+        raise ParquetFormatError(
+            f"page walk overran the chunk by {pos - end} bytes"
+        )
+    if values != column["num_values"]:
+        raise ParquetFormatError(
+            f"data pages carry {values} values, chunk declares "
+            f"{column['num_values']}"
+        )
+    return pages

@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load_spread, prep
+from ..plans.registry import load_spread, prep, table_path
 
 # ---------------------------------------------------------------------------
 # WARC -> HTTP -> HTML -> URL chain
@@ -811,4 +811,125 @@ def ingest_zip_members(spark, sf_dir) -> DataFrame:
             F.max("zip_bytes").cast("bigint").alias("max_zip_bytes"),
         )
         .orderBy("source")
+    )
+
+# ---------------------------------------------------------------------------
+# parquet footer / page-header audit — the scan-planning layer
+# ---------------------------------------------------------------------------
+
+#: the audit covers every fixture table; the oracle restates the ONE
+#: footer fact the data itself can restate — num_rows — per table.
+#: Row-group/page structure is the writer's choice, so those facts are
+#: cross-checked in-executor against pyarrow (the independent reader)
+#: instead.
+AUDIT_TABLES = (
+    "customer",
+    "documents",
+    "embeddings",
+    "events",
+    "lineitem",
+    "nation",
+    "orders",
+    "part",
+    "region",
+    "supplier",
+)
+
+PARQUET_FOOTER_ORACLE = "\n        UNION ALL ".join(
+    f"SELECT '{t}' AS tbl, CAST(count(*) AS BIGINT) AS num_rows FROM {t}"
+    for t in AUDIT_TABLES
+) + "\n        ORDER BY tbl"
+
+_FOOTER_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("tbl", T.StringType()),
+        T.StructField("num_rows", T.LongType()),
+    ]
+)
+
+
+def parquet_footer_audit(spark, sf_dir) -> DataFrame:
+    """Walk every fixture table's REAL parquet internals and prove them.
+
+    The scan-planning layer at 100 TB reads footers and page headers,
+    never data: row-group pruning, column-chunk range assignment, and
+    dictionary detection all hang off these bytes.  This audit runs
+    the from-scratch walk (`core/thriftcodec.py` compact protocol +
+    `core/parquetmeta.py` typed views) over the actual testdata files
+    via the ``binaryFile`` source and proves THREE independent
+    agreements per file, in the executor:
+
+    * our footer vs pyarrow's metadata object — num_rows, row-group
+      count, and per-chunk path/codec/num_values/data_page_offset;
+    * our page walk vs the footer's own accounting — every column
+      chunk's page headers must land exactly on
+      ``total_compressed_size`` and sum to ``num_values``
+      (``walk_pages`` raises otherwise);
+    * our footer vs the DATA — the returned num_rows must match the
+      oracle's ``count(*)`` over the same table.
+
+    The fixture reads whole files (binaryFile has no ranged read); a
+    real deployment feeds ``parse_footer`` the tail range and
+    ``walk_pages`` the chunk ranges from object-store ranged GETs —
+    both entry points take plain bytes precisely so that works.
+    """
+    import io
+
+    import pyarrow.parquet as pq_  # independent reader, executor-side
+
+    from ..core.parquetmeta import parse_footer, walk_pages
+
+    prep(spark)
+    paths = [table_path(sf_dir, t) for t in AUDIT_TABLES]
+    files = spark.read.format("binaryFile").load(paths).select(
+        "path", "content"
+    )
+
+    def _audit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tbls, rows = [], []
+            for path, blob in zip(pdf["path"], pdf["content"]):
+                tbl = path.rsplit("/", 1)[-1].removesuffix(".parquet")
+                data = bytes(blob)
+                got = parse_footer(data)
+                want = pq_.ParquetFile(io.BytesIO(data)).metadata
+                if got["num_rows"] != want.num_rows:
+                    raise ValueError(
+                        f"{tbl}: footer num_rows {got['num_rows']} != "
+                        f"pyarrow {want.num_rows}"
+                    )
+                if len(got["row_groups"]) != want.num_row_groups:
+                    raise ValueError(f"{tbl}: row-group count drifted")
+                if sum(
+                    rg["num_rows"] for rg in got["row_groups"]
+                ) != got["num_rows"]:
+                    raise ValueError(f"{tbl}: row-group rows don't sum")
+                for gi, rg in enumerate(got["row_groups"]):
+                    wrg = want.row_group(gi)
+                    for ci, col in enumerate(rg["columns"]):
+                        wc = wrg.column(ci)
+                        if (
+                            col["path_in_schema"] != wc.path_in_schema
+                            or col["codec"] != wc.compression
+                            or col["num_values"] != wc.num_values
+                            or col["data_page_offset"]
+                            != wc.data_page_offset
+                        ):
+                            raise ValueError(
+                                f"{tbl}: chunk {gi}/{ci} disagrees "
+                                "with pyarrow"
+                            )
+                        walk_pages(data, col)  # self-asserting
+                tbls.append(tbl)
+                rows.append(got["num_rows"])
+            yield pd.DataFrame(
+                {
+                    "tbl": pd.Series(tbls, dtype="object"),
+                    "num_rows": pd.Series(rows, dtype="int64"),
+                }
+            )
+
+    return (
+        files.mapInPandas(_audit, _FOOTER_ROW_SCHEMA)
+        .orderBy("tbl")
     )

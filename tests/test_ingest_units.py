@@ -116,3 +116,26 @@ def test_matches_oracle_on_real_corpus(spark, query, oracle):
     want = _oracle(sf_dir, oracle)
     assert got == want
     assert got, "real corpus produced no rows"
+
+
+def test_parquet_footer_audit_matches_counts(spark):
+    """The footer walk's num_rows must equal count(*) per real table
+    (sf0.001); structure-level agreement with pyarrow and the page
+    -walk exactness are asserted inside the executors."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        AUDIT_TABLES,
+        PARQUET_FOOTER_ORACLE,
+        parquet_footer_audit,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = _rows(parquet_footer_audit(spark, sf_dir))
+    con = duckdb.connect()
+    for t in AUDIT_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(PARQUET_FOOTER_ORACLE).fetchall()
+    assert got == want
+    assert len(got) == len(AUDIT_TABLES)
