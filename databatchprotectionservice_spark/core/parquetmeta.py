@@ -236,29 +236,56 @@ def walk_pages(data: bytes, column: dict) -> list:
             raise ParquetFormatError(
                 f"page at {pos} overruns its column chunk"
             )
-        if ptype in (PAGE_DATA, PAGE_DATA_V2):
-            sub = _struct(
-                h.get(5 if ptype == PAGE_DATA else 8), "data page header"
-            )
+        page = {
+            "type": ptype,
+            "compressed_page_size": comp,
+            "uncompressed_page_size": _int(
+                h.get(2, -1), "uncompressed_page_size"
+            ),
+            # payload byte range: [data_offset, data_offset + comp)
+            "data_offset": r.pos,
+            "encoding": None,
+            "definition_level_encoding": None,
+            "repetition_level_encoding": None,
+            "num_nulls": None,
+            "definition_levels_byte_length": None,
+            "repetition_levels_byte_length": None,
+            "is_compressed": True,
+        }
+        if ptype == PAGE_DATA:
+            sub = _struct(h.get(5), "data page header")
             nv = _int(sub.get(1, 0), "page num_values")
             values += nv
+            page["encoding"] = _int(sub.get(2, 0), "page encoding")
+            page["definition_level_encoding"] = _int(
+                sub.get(3, 3), "def-level encoding"
+            )
+            page["repetition_level_encoding"] = _int(
+                sub.get(4, 3), "rep-level encoding"
+            )
+        elif ptype == PAGE_DATA_V2:
+            sub = _struct(h.get(8), "data page v2 header")
+            nv = _int(sub.get(1, 0), "page num_values")
+            values += nv
+            page["encoding"] = _int(sub.get(4, 0), "page encoding")
+            page["num_nulls"] = _int(sub.get(2, 0), "num_nulls")
+            page["definition_levels_byte_length"] = _int(
+                sub.get(5, 0), "def-levels byte length"
+            )
+            page["repetition_levels_byte_length"] = _int(
+                sub.get(6, 0), "rep-levels byte length"
+            )
+            page["is_compressed"] = bool(sub.get(7, True))
         elif ptype == PAGE_DICTIONARY:
             sub = _struct(h.get(7), "dictionary page header")
             nv = _int(sub.get(1, 0), "dictionary num_values")
+            page["encoding"] = _int(sub.get(2, 0), "dict encoding")
         elif ptype == PAGE_INDEX:
             nv = 0
         else:
             raise ParquetFormatError(f"unknown page type {ptype}")
-        pages.append(
-            {
-                "type": ptype,
-                "num_values": nv,
-                "compressed_page_size": comp,
-                "uncompressed_page_size": _int(
-                    h.get(2, -1), "uncompressed_page_size"
-                ),
-            }
-        )
+        page["num_values"] = nv
+        pages.append(page)
         pos = r.pos + comp
     if pos != end:
         raise ParquetFormatError(

@@ -139,3 +139,28 @@ def test_parquet_footer_audit_matches_counts(spark):
     want = con.execute(PARQUET_FOOTER_ORACLE).fetchall()
     assert got == want
     assert len(got) == len(AUDIT_TABLES)
+
+
+def test_protect_real_pages_matches_counts(spark):
+    """Every page of the real customer/documents files roundtrips
+    through the sequencer with the EXPECTED mode (per-value for PLAIN
+    dictionary pages, per-block fallback for RLE_DICTIONARY data
+    pages), and the protected data-page value totals recover exact
+    row counts."""
+    from databatchprotectionservice_spark.operators.protection import (
+        PROTECT_REAL_PAGES_ORACLE,
+        REAL_PAGE_TABLES,
+        protect_parquet_pages_real,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = _rows(protect_parquet_pages_real(spark, sf_dir))
+    con = duckdb.connect()
+    for t in REAL_PAGE_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    want = con.execute(PROTECT_REAL_PAGES_ORACLE).fetchall()
+    assert got == want
+    assert all(n > 0 for _, n in got)
