@@ -933,3 +933,127 @@ def parquet_footer_audit(spark, sf_dir) -> DataFrame:
         files.mapInPandas(_audit, _FOOTER_ROW_SCHEMA)
         .orderBy("tbl")
     )
+
+# ---------------------------------------------------------------------------
+# TFRecord shards carrying tf.train.Example protos
+# ---------------------------------------------------------------------------
+
+#: the schema-bearing twin of ``ingest_tfrecord_shards``: payloads are
+#: real tf.train.Example protos (miniproto-backed), so the oracle
+#: facts are recovered from DECODED FEATURES, not from framing
+#: arithmetic — a wire bug in either layer (record CRCs or proto
+#: nesting) surfaces as a value mismatch.
+TFEXAMPLE_SHARDS_ORACLE = """
+        SELECT source,
+               count(*) AS n_records,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_n_chars,
+               CAST(sum(octet_length(encode(coalesce(text, ''))))
+                    AS BIGINT) AS sum_text_bytes
+        FROM documents GROUP BY source ORDER BY source
+"""
+
+_TFEXAMPLE_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_records", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("sum_n_chars", T.LongType()),
+        T.StructField("sum_text_bytes", T.LongType()),
+    ]
+)
+
+
+def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
+    """The full TF training-shard stack: Example protos in TFRecord.
+
+    Per shard group, each document becomes a tf.train.Example (
+    ``text`` bytes_list, ``doc_id`` + ``n_chars`` int64_list, and a
+    float_list carrying ``doc_id * 0.5`` — float32-exact below 2^23,
+    asserted), the Examples are framed as a masked-CRC TFRecord
+    stream, and then the loader direction runs BOTH layers back:
+    CRC-verified record walk, proto parse, field-by-field equality
+    against the source columns.  The reported aggregates come from
+    the DECODED features, which the oracle restates from the table —
+    so the gate crosses two wire formats end to end.
+
+    100 TB: identical plan to the other shard builders — one shuffle
+    on the shard key, Arrow-batched byte work, tiny final aggregate.
+    """
+    from ..core.tfexample import make_example, parse_example
+    from ..core.tfrecordcodec import encode_tfrecord, parse_tfrecord
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text", "n_chars")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        docs = [
+            (
+                int(i),
+                None if t is None else str(t),
+                0 if n is None or pd.isna(n) else int(n),
+            )
+            for i, t, n in zip(pdf["doc_id"], pdf["text"], pdf["n_chars"])
+        ]
+        payloads = [
+            make_example(
+                {
+                    "text": [(t or "").encode("utf-8")],
+                    "doc_id": [i],
+                    "n_chars": [n],
+                    "half_id": [i * 0.5],
+                }
+            )
+            for i, t, n in docs
+        ]
+        wire = encode_tfrecord(payloads)
+
+        # --- the loader direction: records, then protos -------------
+        back = parse_tfrecord(wire)
+        if back != payloads:
+            raise ValueError("TFRecord layer lost or reordered records")
+        n_rec, s_id, s_chars, s_bytes = 0, 0, 0, 0
+        for blob, (i, t, n) in zip(back, docs):
+            feats = parse_example(blob)
+            if feats["text"] != [(t or "").encode("utf-8")]:
+                raise ValueError(f"doc {i}: text feature lost bytes")
+            if feats["doc_id"] != [i] or feats["n_chars"] != [n]:
+                raise ValueError(f"doc {i}: int64 features drifted")
+            if feats["half_id"] != [i * 0.5]:  # float32-exact (< 2^23)
+                raise ValueError(f"doc {i}: float feature drifted")
+            n_rec += 1
+            s_id += feats["doc_id"][0]
+            s_chars += feats["n_chars"][0]
+            s_bytes += len(feats["text"][0])
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_records": pd.Series([n_rec], dtype="int64"),
+                "sum_doc_id": pd.Series([s_id], dtype="int64"),
+                "sum_n_chars": pd.Series([s_chars], dtype="int64"),
+                "sum_text_bytes": pd.Series([s_bytes], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _TFEXAMPLE_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.sum("n_records").cast("bigint").alias("n_records"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("sum_n_chars").cast("bigint").alias("sum_n_chars"),
+            F.sum("sum_text_bytes")
+            .cast("bigint")
+            .alias("sum_text_bytes"),
+        )
+        .orderBy("source")
+    )

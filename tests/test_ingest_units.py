@@ -19,11 +19,13 @@ import pytest
 
 from databatchprotectionservice_spark.operators.ingest import (
     AVRO_BLOCKS_ORACLE,
+    TFEXAMPLE_SHARDS_ORACLE,
     TFRECORD_SHARDS_ORACLE,
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
     ingest_avro_blocks,
+    ingest_tfexample_shards,
     ingest_tfrecord_shards,
     ingest_warc_chain,
     ingest_webdataset_tar,
@@ -58,6 +60,14 @@ def corpus_dir(tmp_path_factory):
                 "lang": pa.array(
                     ["en", "fr", "zh"][i % 3] for i in range(n)
                 ),
+                "n_chars": pa.array(
+                    [
+                        None if i % 7 == 6
+                        else len(docs[i] or "")
+                        for i in range(n)
+                    ],
+                    pa.int64(),
+                ),
                 "source": pa.array(
                     ["web", "book"][i % 2] for i in range(n)
                 ),
@@ -89,8 +99,9 @@ def _rows(df):
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
+        (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -107,8 +118,9 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_zip_members, ZIP_MEMBERS_ORACLE),
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
+        (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
