@@ -1534,3 +1534,144 @@ def text_bigram_surprisal(spark, sf_dir):
             "avg_surprisal_e4"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination — the compact-probe scale twin
+# ---------------------------------------------------------------------------
+
+#: filter geometry: 2^20 bits = 16384 longs = 128 KiB broadcast —
+#: three orders of magnitude smaller than a raw gram set at eval-suite
+#: scale.  Two independent hash positions per gram (xxhash64 salted by
+#: a literal second column).
+BLOOM_BITS = 1 << 20
+BLOOM_SEEDS = (0x5BD1E995, 0x9E3779B9)
+
+#: the oracle is the EXACT overlap (same formulation as
+#: decontaminate_ngram_overlap): the Bloom stage is a prefilter with
+#: false positives but NO false negatives, and every candidate is
+#: exactly verified afterwards — so agreement with the exact oracle
+#: proves both the soundness of the filter and the verify stage.
+DECON_BLOOM_ORACLE = f"""
+        WITH grams AS (
+            SELECT doc_id,
+                   list_distinct([array_to_string(w[i:i+{DECON_NGRAM - 1}], ' ')
+                                  for i in range(1, greatest(len(w) - {DECON_NGRAM - 1}, 1) + 1)]) AS gs
+            FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+                  FROM documents)
+        ),
+        ex AS (SELECT doc_id, unnest(gs) AS gram FROM grams),
+        eval_g AS (
+            SELECT DISTINCT gram FROM ex WHERE doc_id % {DECON_EVAL_MOD} = 0
+        ),
+        hits AS (
+            SELECT e.doc_id, count(*) AS n_hit
+            FROM ex e JOIN eval_g USING (gram)
+            WHERE e.doc_id % {DECON_EVAL_MOD} <> 0
+            GROUP BY e.doc_id
+        )
+        SELECT h.doc_id,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(len(g.gs) AS BIGINT) AS n_grams,
+               {round_ieee_sql("h.n_hit * 1.0 / len(g.gs)")} AS contamination
+        FROM hits h JOIN grams g USING (doc_id)
+        ORDER BY doc_id
+"""
+
+
+def decontaminate_bloom_prefilter(spark, sf_dir):
+    """Decontamination when the probe set itself is too big to ship.
+
+    ``decontaminate_ngram_overlap`` broadcasts the eval grams raw —
+    right up to the point where an eval suite's distinct grams stop
+    fitting in a broadcast.  The production answer is the one Bloom
+    filters were built for: fold the probe set into a fixed 128 KiB
+    bitset (here 2^20 bits as 16 K longs via ``bit_or`` — an exact
+    integer aggregate), broadcast THAT, prefilter the corpus grams
+    map-side (two salted xxhash64 probes per gram, both bits must be
+    set), and exactly verify only the surviving sliver against the
+    real gram set.  No false negatives by construction; false
+    positives die in the verify join — the final result is
+    bit-identical to the exact query, which is what the oracle
+    checks.
+
+    100 TB shape: everything is JVM-side DataFrame code (zero Python
+    in the data plane).  The corpus-side gram explode streams through
+    two broadcast hash joins (bitset words, then the verify set
+    reduced to candidates) with map-side combine on the final per-doc
+    aggregate; the only full shuffle is that tiny hit aggregate.  The
+    bitset build is one explode + one 16 K-row ``bit_or`` groupBy
+    over the (small) eval side.
+    """
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    is_eval = F.col("doc_id") % DECON_EVAL_MOD == 0
+    gs = _word_ngrams(F.col("text"), DECON_NGRAM)
+    eval_g = (
+        d.filter(is_eval).select(F.explode(gs).alias("gram")).distinct()
+    ).cache()
+
+    def positions(col):
+        return [
+            F.pmod(F.xxhash64(col, F.lit(seed)), F.lit(BLOOM_BITS))
+            for seed in BLOOM_SEEDS
+        ]
+
+    # build: 16 K-long bitset via integer bit_or — exact, associative,
+    # map-side combinable
+    bloom = (
+        eval_g.select(
+            F.explode(F.array(*positions(F.col("gram")))).alias("pos")
+        )
+        .select(
+            F.shiftright("pos", 6).alias("word"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+
+    # probe: each train gram must find BOTH its bits set
+    train_ex = d.filter(~is_eval).select(
+        "doc_id", F.explode(gs).alias("gram")
+    )
+    posed = train_ex.select(
+        "doc_id",
+        "gram",
+        F.explode(F.array(*positions(F.col("gram")))).alias("pos"),
+    ).select(
+        "doc_id",
+        "gram",
+        F.shiftright("pos", 6).alias("word"),
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))"
+        ).alias("mask"),
+    )
+    cand = (
+        posed.join(F.broadcast(bloom), "word")
+        .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("k_hits"))
+        .filter(F.col("k_hits") == len(BLOOM_SEEDS))
+        .select("doc_id", "gram")
+    )
+    # exact verify on the sliver of survivors
+    hits = (
+        cand.join(F.broadcast(eval_g), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        d.join(F.broadcast(hits), "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.size(gs).cast("long").alias("n_grams"),
+            round_ieee(
+                F.col("n_hit") * F.lit(1.0) / F.size(gs).cast("long")
+            ).alias("contamination"),
+        )
+        .orderBy("doc_id")
+    )
