@@ -1057,3 +1057,153 @@ def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# ORC shards — the protobuf-metadata columnar sibling
+# ---------------------------------------------------------------------------
+
+#: codec rotates NONE/ZLIB/SNAPPY by ``shard_id % 3`` (the three chunk
+#: codecs the from-scratch walk implements); row totals and codec
+#: counts are the oracle facts, stripe/schema agreement is asserted
+#: in-executor against pyarrow's own ORC reader.
+ORC_SHARDS_ORACLE = f"""
+        WITH sh AS (
+            SELECT source,
+                   doc_id // {SHARD_DOCS} AS shard_id,
+                   (doc_id // {SHARD_DOCS}) % 3 AS codec_ix,
+                   count(*) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents GROUP BY 1, 2, 3
+        )
+        SELECT source,
+               count(*) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(CASE WHEN codec_ix = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_none,
+               CAST(sum(CASE WHEN codec_ix = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_zlib,
+               CAST(sum(CASE WHEN codec_ix = 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_snappy
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_ORC_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("codec_ix", T.LongType()),
+    ]
+)
+
+
+def ingest_orc_shards(spark, sf_dir) -> DataFrame:
+    """ORC shard build + metadata walk across NONE/ZLIB/SNAPPY.
+
+    The columnar sibling of the Avro shard query: each shard group is
+    written as a REAL ORC file (pyarrow's writer — the independent
+    producer), and the from-scratch walk (`core/orcmeta.py`:
+    miniproto PostScript/Footer protobufs + chunk-framing inflate)
+    reads the tail back.  Executors assert three-way agreement per
+    shard: our walk vs pyarrow's ORC reader (rows, stripe count,
+    compression), our walk vs the group itself (row count, schema
+    tree = root STRUCT over [doc_id LONG, text STRING]), and the
+    parser's own stripe-accounting invariants.  Codec rotation by
+    shard proves all three chunk codecs in every run.
+
+    100 TB: one shuffle on the shard key; the walk itself reads only
+    the file TAIL in a real deployment (PostScript length byte ->
+    footer range), which is why ``parse_orc_meta`` takes plain bytes.
+    """
+    import io
+
+    import pyarrow as pa_
+    from pyarrow import orc as orc_
+
+    from ..core.orcmeta import parse_orc_meta
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = ("uncompressed", "zlib", "snappy")[shard_id % 3]
+        t = pa_.table(
+            {
+                "doc_id": pa_.array(
+                    [int(i) for i in pdf["doc_id"]], pa_.int64()
+                ),
+                "text": pa_.array(
+                    [None if v is None else str(v) for v in pdf["text"]],
+                    pa_.string(),
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        orc_.write_table(t, buf, compression=codec)
+        data = buf.getvalue()
+
+        got = parse_orc_meta(data)
+        ref = orc_.ORCFile(io.BytesIO(data))
+        if got["num_rows"] != ref.nrows or got["num_rows"] != len(pdf):
+            raise ValueError(
+                f"shard {shard_id}: rows {got['num_rows']} != "
+                f"{ref.nrows}/{len(pdf)}"
+            )
+        if len(got["stripes"]) != ref.nstripes:
+            raise ValueError(f"shard {shard_id}: stripe count drifted")
+        want_comp = {"uncompressed": "NONE", "zlib": "ZLIB",
+                     "snappy": "SNAPPY"}[codec]
+        if got["compression"] != want_comp:
+            raise ValueError(
+                f"shard {shard_id}: codec {got['compression']} != "
+                f"{want_comp}"
+            )
+        root = got["types"][0]
+        kinds = [got["types"][i]["kind"] for i in root["subtypes"]]
+        if (
+            root["kind"] != "STRUCT"
+            or root["field_names"] != ["doc_id", "text"]
+            or kinds != ["LONG", "STRING"]
+        ):
+            raise ValueError(f"shard {shard_id}: schema tree drifted")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([got["num_rows"]], dtype="int64"),
+                "sum_doc_id": pd.Series(
+                    [int(pdf["doc_id"].sum())], dtype="int64"
+                ),
+                "codec_ix": pd.Series([shard_id % 3], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _ORC_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum(F.when(F.col("codec_ix") == 0, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_none"),
+            F.sum(F.when(F.col("codec_ix") == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_zlib"),
+            F.sum(F.when(F.col("codec_ix") == 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_snappy"),
+        )
+        .orderBy("source")
+    )

@@ -19,12 +19,14 @@ import pytest
 
 from databatchprotectionservice_spark.operators.ingest import (
     AVRO_BLOCKS_ORACLE,
+    ORC_SHARDS_ORACLE,
     TFEXAMPLE_SHARDS_ORACLE,
     TFRECORD_SHARDS_ORACLE,
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
     ingest_avro_blocks,
+    ingest_orc_shards,
     ingest_tfexample_shards,
     ingest_tfrecord_shards,
     ingest_warc_chain,
@@ -100,8 +102,9 @@ def _rows(df):
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
+        (ingest_orc_shards, ORC_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -119,8 +122,9 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_tfrecord_shards, TFRECORD_SHARDS_ORACLE),
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
+        (ingest_orc_shards, ORC_SHARDS_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
