@@ -1207,3 +1207,108 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# MessagePack event stream — the compact sidecar wire format
+# ---------------------------------------------------------------------------
+
+#: facts recovered from DECODED msgpack maps (including microsecond
+#: timestamps through the spec's timestamp extension); sums restrict
+#: to id columns so the gate stays integer-exact at every SF.
+MSGPACK_EVENTS_ORACLE = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+_MSGPACK_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+
+
+def ingest_msgpack_events(spark, sf_dir) -> DataFrame:
+    """Events through MessagePack, timestamps riding the ext type.
+
+    Each event row is packed as a msgpack map (ints across width
+    boundaries, the event type as str, ``value`` as float64, ``props``
+    as str-or-nil, and the microsecond timestamp as the spec's
+    timestamp EXTENSION — layout chosen by magnitude), then unpacked
+    and verified field-for-field; the reported aggregates come from
+    the DECODED maps and the oracle restates them from the table
+    (``epoch_us`` pins the timestamp roundtrip to the microsecond).
+
+    100 TB: narrow mapInPandas (one pass, no shuffle before the small
+    per-type aggregate) — the serialize-verify-extract shape of an
+    event-bus consumer.
+    """
+    from ..core.msgpackcodec import Timestamp, packb, unpackb
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+
+    def _roundtrip(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            types, eids, uids, tss = [], [], [], []
+            for eid, uid, etype, val, props, ts in zip(
+                pdf["event_id"],
+                pdf["user_id"],
+                pdf["event_type"],
+                pdf["value"],
+                pdf["props"],
+                pdf["ts"],
+            ):
+                ts_ns = int(ts.value)  # pandas timestamps are int64 ns
+                us = ts_ns // 1000
+                rec = {
+                    "event_id": int(eid),
+                    "user_id": int(uid),
+                    "event_type": str(etype),
+                    "value": float(val),
+                    "props": None if props is None else str(props),
+                    "ts": Timestamp(us // 1_000_000,
+                                    (us % 1_000_000) * 1000),
+                }
+                back = unpackb(packb(rec))
+                if back != rec:
+                    raise ValueError(
+                        f"event {eid}: msgpack roundtrip drifted"
+                    )
+                t = back["ts"]
+                types.append(back["event_type"])
+                eids.append(back["event_id"])
+                uids.append(back["user_id"])
+                tss.append(t.seconds * 1_000_000 + t.nanos // 1000)
+            yield pd.DataFrame(
+                {
+                    "event_type": pd.Series(types, dtype="object"),
+                    "event_id": pd.Series(eids, dtype="int64"),
+                    "user_id": pd.Series(uids, dtype="int64"),
+                    "ts_us": pd.Series(tss, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_roundtrip, _MSGPACK_ROW_SCHEMA)
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum("user_id").cast("bigint").alias("sum_user_id"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -180,3 +180,21 @@ def test_protect_real_pages_matches_counts(spark):
     want = con.execute(PROTECT_REAL_PAGES_ORACLE).fetchall()
     assert got == want
     assert all(n > 0 for _, n in got)
+
+
+def test_msgpack_events_matches_oracle(spark):
+    from databatchprotectionservice_spark.operators.ingest import (
+        MSGPACK_EVENTS_ORACLE,
+        ingest_msgpack_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = _rows(ingest_msgpack_events(spark, sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(MSGPACK_EVENTS_ORACLE).fetchall()
+    assert got == want
+    assert len(got) >= 3  # several event types survived
