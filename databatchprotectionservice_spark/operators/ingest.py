@@ -1312,3 +1312,211 @@ def ingest_msgpack_events(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+# ---------------------------------------------------------------------------
+# transaction-log snapshot + stats pruning — the lakehouse layer
+# ---------------------------------------------------------------------------
+
+#: removal rule and pruning predicate are closed-form so the oracle
+#: can restate the REPLAYED snapshot from the data: every 7th shard
+#: (``shard_id % 7 == 3``) is removed by later commits, and the scan
+#: predicate is ``doc_id BETWEEN 50 AND 260``.
+TXNLOG_REMOVE_MOD = 7
+TXNLOG_REMOVE_REM = 3
+TXNLOG_PRUNE_LO = 50
+TXNLOG_PRUNE_HI = 260
+
+TXNLOG_SNAPSHOT_ORACLE = f"""
+        WITH sh AS (
+            SELECT source, doc_id // {SHARD_DOCS} AS shard_id,
+                   count(*) AS n,
+                   min(doc_id) AS mn, max(doc_id) AS mx
+            FROM documents GROUP BY 1, 2
+        ),
+        live AS (
+            SELECT * FROM sh
+            WHERE shard_id % {TXNLOG_REMOVE_MOD} <> {TXNLOG_REMOVE_REM}
+        )
+        SELECT source,
+               count(*) AS n_live_files,
+               CAST(sum(n) AS BIGINT) AS live_rows,
+               CAST(sum(CASE WHEN mx >= {TXNLOG_PRUNE_LO}
+                              AND mn <= {TXNLOG_PRUNE_HI}
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+               CAST(sum(CASE WHEN mx >= {TXNLOG_PRUNE_LO}
+                              AND mn <= {TXNLOG_PRUNE_HI}
+                             THEN n ELSE 0 END) AS BIGINT)
+                   AS candidate_rows
+        FROM live GROUP BY source ORDER BY source
+"""
+
+_TXNLOG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("shard_id", T.LongType()),
+        T.StructField("size", T.LongType()),
+        T.StructField("num_records", T.LongType()),
+        T.StructField("min_id", T.LongType()),
+        T.StructField("max_id", T.LongType()),
+    ]
+)
+
+
+def txnlog_snapshot_scan(spark, sf_dir) -> DataFrame:
+    """Versioned table state + stats pruning over a from-scratch log.
+
+    The lakehouse pattern at 100 TB: data files are big and immutable,
+    the TRANSACTION LOG is kilobytes of metadata, and every reader
+    plans from the log alone.  Stage 1 (distributed) builds one REAL
+    parquet file per shard group in-executor (pyarrow bytes, verified
+    through our own footer walk before its stats are trusted) and
+    emits the file-level stats rows.  Stage 2 (driver) is the log
+    protocol itself (`core/txnlog.py`): adds batched across commits,
+    every {TXNLOG_REMOVE_MOD}th shard removed by later commits, an
+    Avro-OCF CHECKPOINT cut mid-log — and replay-from-genesis must
+    equal replay-from-checkpoint (asserted) before the snapshot is
+    used.  The reported aggregates (live files/rows, and the
+    candidate set for ``doc_id BETWEEN {TXNLOG_PRUNE_LO} AND
+    {TXNLOG_PRUNE_HI}`` pruned from min/max stats alone) come from
+    the REPLAYED snapshot; the oracle restates them from the data.
+
+    The driver-side collect is the file-STATS table (rows/{SHARD_DOCS}
+    entries) — bounded by design: a txn log that does not fit on the
+    driver is not a txn log.
+    """
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.txnlog import (
+        checkpoint_bytes,
+        encode_commit,
+        prune,
+        replay,
+    )
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        t = pa_.table(
+            {
+                "doc_id": pa_.array(
+                    [int(i) for i in pdf["doc_id"]], pa_.int64()
+                ),
+                "text": pa_.array(
+                    [None if v is None else str(v) for v in pdf["text"]],
+                    pa_.string(),
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        pq_.write_table(t, buf)
+        data = buf.getvalue()
+        # the add-action stats are only trusted because the REAL file
+        # bytes agree: our footer walk must see the same row count
+        if parse_footer(data)["num_rows"] != len(pdf):
+            raise ValueError("shard file footer disagrees with group")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "shard_id": pd.Series(
+                    [int(pdf["shard_id"].iloc[0])], dtype="int64"
+                ),
+                "size": pd.Series([len(data)], dtype="int64"),
+                "num_records": pd.Series([len(pdf)], dtype="int64"),
+                "min_id": pd.Series(
+                    [int(pdf["doc_id"].min())], dtype="int64"
+                ),
+                "max_id": pd.Series(
+                    [int(pdf["doc_id"].max())], dtype="int64"
+                ),
+            }
+        )
+
+    stats = (
+        d.groupBy("source", "shard_id")
+        .applyInPandas(_build, _TXNLOG_STATS_SCHEMA)
+        .collect()  # bounded: file-level metadata, rows/SHARD_DOCS entries
+    )
+
+    # --- stage 2: the log protocol, driver-side ----------------------
+    def _adds():
+        for r in sorted(stats, key=lambda r: (r["source"], r["shard_id"])):
+            yield r["source"], r["shard_id"], {
+                "add": {
+                    "path": f"{r['source']}/part-{r['shard_id']:05d}",
+                    "size": r["size"],
+                    "num_records": r["num_records"],
+                    "stats": {
+                        "minValues": {"doc_id": r["min_id"]},
+                        "maxValues": {"doc_id": r["max_id"]},
+                    },
+                }
+            }
+
+    commits = []
+    batch = [{"metaData": {"id": "documents", "schemaString":
+                           "doc_id bigint, text string"}}]
+    removable = []
+    for source, shard_id, add in _adds():
+        batch.append(add)
+        if shard_id % TXNLOG_REMOVE_MOD == TXNLOG_REMOVE_REM:
+            removable.append(add["add"]["path"])
+        if len(batch) >= 5:
+            commits.append(encode_commit(batch))
+            batch = []
+    if batch:
+        commits.append(encode_commit(batch))
+    checkpoint_at = len(commits) - 1
+    cp = checkpoint_bytes(replay(commits))
+    for at in range(0, len(removable), 3):
+        commits.append(
+            encode_commit(
+                [{"remove": {"path": p}} for p in removable[at : at + 3]]
+            )
+        )
+    snap = replay(commits)
+    resumed = replay(
+        commits[checkpoint_at + 1 :],
+        checkpoint=cp,
+        checkpoint_version=checkpoint_at,
+    )
+    if resumed.files != snap.files or resumed.version != snap.version:
+        raise ValueError("checkpoint replay diverged from genesis")
+
+    candidates = set(
+        prune(snap, "doc_id", TXNLOG_PRUNE_LO, TXNLOG_PRUNE_HI)
+    )
+    per_source: dict = {}
+    for path, add in snap.files.items():
+        source = path.split("/", 1)[0]
+        agg = per_source.setdefault(source, [0, 0, 0, 0])
+        agg[0] += 1
+        agg[1] += add["num_records"]
+        if path in candidates:
+            agg[2] += 1
+            agg[3] += add["num_records"]
+    rows = [
+        (source, *agg) for source, agg in sorted(per_source.items())
+    ]
+    out_schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_live_files", T.LongType()),
+            T.StructField("live_rows", T.LongType()),
+            T.StructField("n_candidates", T.LongType()),
+            T.StructField("candidate_rows", T.LongType()),
+        ]
+    )
+    return spark.createDataFrame(rows, out_schema).orderBy("source")

@@ -198,3 +198,18 @@ def test_msgpack_events_matches_oracle(spark):
     want = con.execute(MSGPACK_EVENTS_ORACLE).fetchall()
     assert got == want
     assert len(got) >= 3  # several event types survived
+
+
+def test_txnlog_snapshot_matches_oracle(spark, corpus_dir):
+    from databatchprotectionservice_spark.operators.ingest import (
+        TXNLOG_SNAPSHOT_ORACLE,
+        txnlog_snapshot_scan,
+    )
+
+    for sf_dir in (corpus_dir, "/root/testdata/sf0.001"):
+        got = _rows(txnlog_snapshot_scan(spark, sf_dir))
+        want = _oracle(sf_dir, TXNLOG_SNAPSHOT_ORACLE)
+        assert got == want
+        assert got, f"{sf_dir}: empty snapshot result"
+        # the pruning predicate actually prunes somewhere
+        assert any(r[3] < r[1] for r in got)
