@@ -1193,9 +1193,9 @@ def dedup_keep_best_quality(spark, sf_dir):
 JACCARD_PREFIX_ORACLE = f"""
         WITH sh AS ({_SHINGLE_ORACLE})
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               floor(len(list_intersect(a.sg, b.sg)) * 1.0
-                     / len(list_distinct(a.sg || b.sg)) * 10000.0 + 0.5)
-                   AS jaccard_e4
+               CAST(floor(len(list_intersect(a.sg, b.sg)) * 10000.0
+                          / len(list_distinct(a.sg || b.sg)) + 0.5)
+                    AS BIGINT) AS jaccard_e4
         FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         WHERE len(list_intersect(a.sg, b.sg)) * 1.0
               / len(list_distinct(a.sg || b.sg)) >= {JACCARD_THRESHOLD}
