@@ -1363,27 +1363,21 @@ _TXNLOG_STATS_SCHEMA = T.StructType(
 )
 
 
-def txnlog_snapshot_scan(spark, sf_dir) -> DataFrame:
-    """Versioned table state + stats pruning over a from-scratch log.
+def _txnlog_build(spark, sf_dir):
+    """Shared machinery for the txnlog queries.
 
-    The lakehouse pattern at 100 TB: data files are big and immutable,
-    the TRANSACTION LOG is kilobytes of metadata, and every reader
-    plans from the log alone.  Stage 1 (distributed) builds one REAL
-    parquet file per shard group in-executor (pyarrow bytes, verified
-    through our own footer walk before its stats are trusted) and
-    emits the file-level stats rows.  Stage 2 (driver) is the log
-    protocol itself (`core/txnlog.py`): adds batched across commits,
-    every {TXNLOG_REMOVE_MOD}th shard removed by later commits, an
-    Avro-OCF CHECKPOINT cut mid-log — and replay-from-genesis must
-    equal replay-from-checkpoint (asserted) before the snapshot is
-    used.  The reported aggregates (live files/rows, and the
-    candidate set for ``doc_id BETWEEN {TXNLOG_PRUNE_LO} AND
-    {TXNLOG_PRUNE_HI}`` pruned from min/max stats alone) come from
-    the REPLAYED snapshot; the oracle restates them from the data.
-
-    The driver-side collect is the file-STATS table (rows/{SHARD_DOCS}
-    entries) — bounded by design: a txn log that does not fit on the
-    driver is not a txn log.
+    Stage 1 (distributed): one REAL parquet file per shard group
+    built in-executor (pyarrow bytes, verified through our own footer
+    walk before the add-action stats are trusted), stats rows
+    collected — bounded by design: file-level metadata IS the log, a
+    log that does not fit on the driver is not a log.  Stage 2
+    (driver): the commit history — adds batched 5 per commit, an
+    Avro-OCF CHECKPOINT cut right before the removes, then every
+    {TXNLOG_REMOVE_MOD}th shard removed across later commits; replay
+    -from-genesis must equal replay-from-checkpoint (asserted) before
+    any snapshot is used.  Returns (commits, checkpoint_at, snap) —
+    the full history, the pre-remove version number, and the verified
+    CURRENT snapshot.
     """
     import io
 
@@ -1494,29 +1488,92 @@ def txnlog_snapshot_scan(spark, sf_dir) -> DataFrame:
     )
     if resumed.files != snap.files or resumed.version != snap.version:
         raise ValueError("checkpoint replay diverged from genesis")
+    return commits, checkpoint_at, snap
 
-    candidates = set(
-        prune(snap, "doc_id", TXNLOG_PRUNE_LO, TXNLOG_PRUNE_HI)
-    )
+
+def _txnlog_per_source(spark, snap, candidates=None) -> DataFrame:
+    """Fold a snapshot's file set into the per-source result frame."""
     per_source: dict = {}
     for path, add in snap.files.items():
         source = path.split("/", 1)[0]
         agg = per_source.setdefault(source, [0, 0, 0, 0])
         agg[0] += 1
         agg[1] += add["num_records"]
-        if path in candidates:
+        if candidates is not None and path in candidates:
             agg[2] += 1
             agg[3] += add["num_records"]
-    rows = [
-        (source, *agg) for source, agg in sorted(per_source.items())
+    fields = [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_live_files", T.LongType()),
+        T.StructField("live_rows", T.LongType()),
     ]
-    out_schema = T.StructType(
-        [
-            T.StructField("source", T.StringType()),
-            T.StructField("n_live_files", T.LongType()),
-            T.StructField("live_rows", T.LongType()),
+    if candidates is not None:
+        fields += [
             T.StructField("n_candidates", T.LongType()),
             T.StructField("candidate_rows", T.LongType()),
         ]
+        rows = [(k, *v) for k, v in sorted(per_source.items())]
+    else:
+        rows = [(k, v[0], v[1]) for k, v in sorted(per_source.items())]
+    return spark.createDataFrame(
+        rows, T.StructType(fields)
+    ).orderBy("source")
+
+
+def txnlog_snapshot_scan(spark, sf_dir) -> DataFrame:
+    """Versioned table state + stats pruning over a from-scratch log.
+
+    The lakehouse pattern at 100 TB: data files are big and immutable,
+    the TRANSACTION LOG is kilobytes of metadata, and every reader
+    plans from the log alone (see ``_txnlog_build``).  The reported
+    aggregates — live files/rows and the candidate set for ``doc_id
+    BETWEEN {TXNLOG_PRUNE_LO} AND {TXNLOG_PRUNE_HI}`` pruned from
+    min/max stats alone — come from the REPLAYED snapshot; the oracle
+    restates them from the data.
+    """
+    from ..core.txnlog import prune
+
+    _, _, snap = _txnlog_build(spark, sf_dir)
+    candidates = set(
+        prune(snap, "doc_id", TXNLOG_PRUNE_LO, TXNLOG_PRUNE_HI)
     )
-    return spark.createDataFrame(rows, out_schema).orderBy("source")
+    return _txnlog_per_source(spark, snap, candidates)
+
+
+#: at the pre-remove version every shard file is still live, so the
+#: historical snapshot restates as the UNFILTERED shard aggregate.
+TXNLOG_TIME_TRAVEL_ORACLE = f"""
+        WITH sh AS (
+            SELECT source, doc_id // {SHARD_DOCS} AS shard_id,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_live_files,
+               CAST(sum(n) AS BIGINT) AS live_rows
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+
+def txnlog_time_travel(spark, sf_dir) -> DataFrame:
+    """Snapshot AS OF the pre-remove version — time travel.
+
+    The same commit history as ``txnlog_snapshot_scan``, replayed
+    only to the version where the checkpoint was cut (before any
+    remove landed): the historical snapshot must show EVERY shard
+    file live, which the oracle restates as the unfiltered shard
+    aggregate.  Current-vs-historical divergence is also asserted in
+    place: the as-of snapshot must strictly contain the current one
+    whenever removes exist.  Time travel costs one metadata replay —
+    no data file is read or restored, which is the point of keeping
+    history in the log.
+    """
+    from ..core.txnlog import replay
+
+    commits, checkpoint_at, current = _txnlog_build(spark, sf_dir)
+    asof = replay(commits[: checkpoint_at + 1])
+    if asof.version != checkpoint_at:
+        raise ValueError("as-of replay landed on the wrong version")
+    if not set(current.files) <= set(asof.files):
+        raise ValueError("current snapshot holds files unknown to history")
+    return _txnlog_per_source(spark, asof)

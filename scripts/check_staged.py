@@ -59,6 +59,8 @@ def staged_manifest():
             ingest.parquet_footer_audit, ingest.PARQUET_FOOTER_ORACLE),
         "txnlog_snapshot_scan": (
             ingest.txnlog_snapshot_scan, ingest.TXNLOG_SNAPSHOT_ORACLE),
+        "txnlog_time_travel": (
+            ingest.txnlog_time_travel, ingest.TXNLOG_TIME_TRAVEL_ORACLE),
         "protect_parquet_pages_real": (
             protection.protect_parquet_pages_real,
             protection.PROTECT_REAL_PAGES_ORACLE),

@@ -203,7 +203,9 @@ def test_msgpack_events_matches_oracle(spark):
 def test_txnlog_snapshot_matches_oracle(spark, corpus_dir):
     from databatchprotectionservice_spark.operators.ingest import (
         TXNLOG_SNAPSHOT_ORACLE,
+        TXNLOG_TIME_TRAVEL_ORACLE,
         txnlog_snapshot_scan,
+        txnlog_time_travel,
     )
 
     for sf_dir in (corpus_dir, "/root/testdata/sf0.001"):
@@ -213,3 +215,8 @@ def test_txnlog_snapshot_matches_oracle(spark, corpus_dir):
         assert got, f"{sf_dir}: empty snapshot result"
         # the pruning predicate actually prunes somewhere
         assert any(r[3] < r[1] for r in got)
+        # time travel: the pre-remove snapshot sees every shard
+        asof = _rows(txnlog_time_travel(spark, sf_dir))
+        assert asof == _oracle(sf_dir, TXNLOG_TIME_TRAVEL_ORACLE)
+        live_now = sum(r[1] for r in got)
+        assert sum(r[1] for r in asof) >= live_now
