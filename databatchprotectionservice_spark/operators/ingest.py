@@ -1577,3 +1577,113 @@ def txnlog_time_travel(spark, sf_dir) -> DataFrame:
     if not set(current.files) <= set(asof.files):
         raise ValueError("current snapshot holds files unknown to history")
     return _txnlog_per_source(spark, asof)
+
+# ---------------------------------------------------------------------------
+# zstd store-mode framing — checksum-verified payload transport
+# ---------------------------------------------------------------------------
+
+#: raw-block frame arithmetic is closed-form: 4 magic + 1 descriptor
+#: + FCS width (1/2/4 by content size) + 3 per block + content + 4
+#: checksum; fixture texts stay under one 128 KiB block unless huge.
+ZSTD_FRAMES_ORACLE = """
+        WITH per AS (
+            SELECT source,
+                   octet_length(encode(coalesce(text, ''))) AS n
+            FROM documents
+        ),
+        sized AS (
+            SELECT source, n,
+                   CASE WHEN n < 256 THEN 1
+                        WHEN n < 65792 THEN 2
+                        ELSE 4 END AS fcs_len,
+                   greatest((n + 131071) // 131072, 1) AS n_blocks
+            FROM per
+        )
+        SELECT source,
+               count(*) AS n_frames,
+               CAST(sum(n) AS BIGINT) AS sum_content_bytes,
+               CAST(sum(9 + fcs_len + 3 * n_blocks + n) AS BIGINT)
+                   AS sum_frame_bytes,
+               CAST(sum(n_blocks) AS BIGINT) AS sum_blocks
+        FROM sized GROUP BY source ORDER BY source
+"""
+
+_ZSTD_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("content_bytes", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+    ]
+)
+
+
+def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
+    """Document payloads through zstd store-mode framing, both ways.
+
+    Each document's bytes are wrapped in a spec-legal raw-block zstd
+    frame (`core/zstdmeta.py`) with its XXH64-low32 content checksum,
+    then THREE readers must agree: our own walk (content regenerated,
+    checksum verified — the parser raises on mismatch), REAL libzstd
+    (pyarrow must decompress the frame back to the exact bytes), and
+    the closed-form framing arithmetic the oracle restates.  This is
+    the transport shape for shipping already-compressed or opaque
+    payloads under zstd framing without paying a recompression.
+
+    100 TB: narrow mapInPandas, no shuffle before the tiny per-source
+    aggregate.
+    """
+    import pyarrow as pa_
+
+    from ..core.zstdmeta import encode_zstd_raw, parse_zstd_frames
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("source", "text")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, cbytes, fbytes, blks = [], [], [], []
+            for src, txt in zip(pdf["source"], pdf["text"]):
+                content = (txt or "").encode("utf-8")
+                frame = encode_zstd_raw(content)
+                (f,) = parse_zstd_frames(frame)
+                if f["content"] != content or f["checksum_ok"] is not True:
+                    raise ValueError("zstd walk lost the payload")
+                if pa_.decompress(
+                    frame,
+                    decompressed_size=len(content),
+                    codec="zstd",
+                    asbytes=True,
+                ) != content:
+                    raise ValueError("libzstd rejected our frame")
+                n = len(content)
+                fcs_len = 1 if n < 256 else (2 if n < 65792 else 4)
+                n_blocks = max((n + 131071) // 131072, 1)
+                if len(frame) != 9 + fcs_len + 3 * n_blocks + n:
+                    raise ValueError("frame arithmetic drifted")
+                srcs.append(src)
+                cbytes.append(n)
+                fbytes.append(len(frame))
+                blks.append(n_blocks)
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "content_bytes": pd.Series(cbytes, dtype="int64"),
+                    "frame_bytes": pd.Series(fbytes, dtype="int64"),
+                    "n_blocks": pd.Series(blks, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_frames, _ZSTD_ROW_SCHEMA)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("content_bytes")
+            .cast("bigint")
+            .alias("sum_content_bytes"),
+            F.sum("frame_bytes").cast("bigint").alias("sum_frame_bytes"),
+            F.sum("n_blocks").cast("bigint").alias("sum_blocks"),
+        )
+        .orderBy("source")
+    )

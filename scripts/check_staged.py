@@ -55,6 +55,8 @@ def staged_manifest():
             ingest.ingest_orc_shards, ingest.ORC_SHARDS_ORACLE),
         "ingest_msgpack_events": (
             ingest.ingest_msgpack_events, ingest.MSGPACK_EVENTS_ORACLE),
+        "ingest_zstd_frames": (
+            ingest.ingest_zstd_frames, ingest.ZSTD_FRAMES_ORACLE),
         "parquet_footer_audit": (
             ingest.parquet_footer_audit, ingest.PARQUET_FOOTER_ORACLE),
         "txnlog_snapshot_scan": (

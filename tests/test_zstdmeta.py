@@ -1,0 +1,150 @@
+"""Zstd frame walk + raw encoder + XXH64 (core/zstdmeta.py).
+
+Three independent referees: the published XXH64 vectors, Spark's JVM
+``xxhash64`` (seed 42 over binary — a wholly separate implementation),
+and real libzstd via pyarrow (it must ACCEPT our raw-block frames,
+and our walk must read ITS compressed frames).  Plus hand-assembled
+frames covering every content-size width, RLE regeneration, skippable
+frames, checksum verification, and the mutation battery.
+"""
+
+import random
+
+import pyarrow as pa
+import pytest
+
+from databatchprotectionservice_spark.core.errors import (
+    DBPSInvalidInputError,
+)
+from databatchprotectionservice_spark.core.zstdmeta import (
+    ZstdFormatError,
+    encode_zstd_raw,
+    parse_zstd_frames,
+    xxh64,
+)
+
+
+def test_xxh64_published_vectors():
+    # the xxHash project's classic check values (seed 0)
+    assert xxh64(b"", 0) == 0xEF46DB3751D8E999
+    assert xxh64(b"abc", 0) == 0x44BC2CF5AD770999
+    # length classes: <4, 4..7, 8..31, >=32 all self-consistent
+    for blob in [b"a", b"abcd", b"0123456789abcdef",
+                 bytes(range(100)), bytes(200)]:
+        assert 0 <= xxh64(blob, 0) < 1 << 64
+        assert xxh64(blob, 1) != xxh64(blob, 0)
+
+
+def test_xxh64_matches_spark_jvm(spark):
+    """Seed-42 agreement with Spark's JVM xxhash64 over raw bytes —
+    a fully independent implementation of the same public algorithm."""
+    from pyspark.sql import functions as F
+
+    blobs = [b"", b"x", b"hello world", bytes(range(256)),
+             b"\xff" * 37, b"spark" * 100]
+    df = spark.createDataFrame(
+        [(b,) for b in blobs], "payload binary"
+    ).select(F.xxhash64("payload").alias("h"))
+    got = [r["h"] & ((1 << 64) - 1) for r in df.collect()]
+    assert got == [xxh64(b, 42) for b in blobs]
+
+
+def test_libzstd_accepts_our_frames():
+    for n in [0, 1, 255, 256, 300, 70000, 200000]:
+        content = bytes((i * 7) & 0xFF for i in range(n))
+        frame = encode_zstd_raw(content)
+        assert pa.decompress(
+            frame, decompressed_size=n, codec="zstd", asbytes=True
+        ) == content
+        f = parse_zstd_frames(frame)[0]
+        assert f["content_size"] == n
+        assert f["content"] == content
+        assert f["checksum_ok"] is True
+
+
+def test_walk_reads_libzstd_frames():
+    content = b"compressible " * 500
+    comp = pa.compress(content, codec="zstd", asbytes=True)
+    (f,) = parse_zstd_frames(comp)
+    assert f["kind"] == "zstd"
+    assert f["content_size"] == len(content)
+    assert any(b["type"] == "compressed" for b in f["blocks"])
+    assert f["content"] is None  # entropy decode is the named seam
+    assert f["checksum_ok"] is None
+
+
+def test_rle_and_skippable_and_concatenation():
+    # hand-assembled: skippable frame + RLE-only frame with checksum
+    skip = (0x184D2A53).to_bytes(4, "little") + (3).to_bytes(4, "little") + b"pad"
+    content = b"z" * 1000
+    rle = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([(1 << 6) | 0x20 | 0x04])          # fcs16, SS, checksum
+        + (1000 - 256).to_bytes(2, "little")
+        + ((1000 << 3) | (1 << 1) | 1).to_bytes(3, "little")  # RLE last
+        + b"z"
+        + (xxh64(content, 0) & 0xFFFFFFFF).to_bytes(4, "little")
+    )
+    frames = parse_zstd_frames(skip + rle)
+    assert [f["kind"] for f in frames] == ["skippable", "zstd"]
+    assert frames[0]["content"] == b"pad"
+    assert frames[1]["content"] == content
+    assert frames[1]["checksum_ok"] is True
+    assert frames[1]["blocks"] == [{"type": "rle", "size": 1000}]
+
+
+def test_checksum_mismatch_raises():
+    frame = bytearray(encode_zstd_raw(b"payload"))
+    frame[-1] ^= 0xFF
+    with pytest.raises(ZstdFormatError, match="checksum"):
+        parse_zstd_frames(bytes(frame))
+
+
+def test_window_descriptor_math():
+    # non-single-segment frame: window = 2^(10+exp) + (2^(10+exp)/8)*m
+    frame = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x00])        # no FCS, windowed, no checksum, no dict
+        + bytes([(3 << 3) | 5])  # exponent 3, mantissa 5
+        + ((0 << 3) | (0 << 1) | 1).to_bytes(3, "little")  # empty raw last
+    )
+    (f,) = parse_zstd_frames(frame)
+    assert f["window_size"] == (1 << 13) + ((1 << 13) // 8) * 5
+    assert f["content"] == b""
+
+
+def test_reserved_bits_and_types_raise():
+    with pytest.raises(ZstdFormatError, match="reserved descriptor"):
+        parse_zstd_frames(
+            (0xFD2FB528).to_bytes(4, "little") + bytes([0x08])
+        )
+    bad_block = (
+        (0xFD2FB528).to_bytes(4, "little")
+        + bytes([0x20, 0x00])  # SS, fcs=0 (1 byte)
+        + ((0 << 3) | (3 << 1) | 1).to_bytes(3, "little")
+    )
+    with pytest.raises(ZstdFormatError, match="reserved block"):
+        parse_zstd_frames(bad_block)
+
+
+def test_mutation_battery():
+    rng = random.Random(101)
+    wire = encode_zstd_raw(bytes(range(200)) * 3) + encode_zstd_raw(
+        b"tail", checksum=False
+    )
+    for _ in range(3000):
+        b = bytearray(wire)
+        for _ in range(rng.randint(1, 4)):
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            elif op == 1 and len(b) > 1:
+                del b[rng.randrange(len(b) - 1):]
+            else:
+                b.insert(rng.randrange(len(b) + 1), rng.randrange(256))
+        try:
+            parse_zstd_frames(bytes(b))
+        except DBPSInvalidInputError:
+            continue
+        except (MemoryError, OverflowError, KeyError, IndexError) as e:
+            pytest.fail(f"non-domain error escaped: {type(e).__name__} {e}")
