@@ -1687,3 +1687,109 @@ def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# LZ4-framed transport — real compression, three referees per row
+# ---------------------------------------------------------------------------
+
+#: closed-form facts: content bytes and block counts (64 KiB blocks,
+#: min 1); compressed sizes are content-dependent, so the executors
+#: bound them instead (frame never exceeds content + framing + 16
+#: bytes per 64 KiB block of worst-case literal overhead).
+LZ4_FRAMES_ORACLE = """
+        WITH per AS (
+            SELECT source,
+                   octet_length(encode(coalesce(text, ''))) AS n
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_frames,
+               CAST(sum(n) AS BIGINT) AS sum_content_bytes,
+               CAST(sum(greatest((n + 65535) // 65536, 1)) AS BIGINT)
+                   AS sum_blocks
+        FROM per GROUP BY source ORDER BY source
+"""
+
+_LZ4_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("content_bytes", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+    ]
+)
+
+
+def ingest_lz4_frames(spark, sf_dir) -> DataFrame:
+    """Documents through REAL from-scratch LZ4 compression.
+
+    Each document is compressed by our greedy LZ77 matcher into an
+    LZ4 frame (block + content checksums on), then THREE referees
+    must agree per row: our own frame decoder (checksums verified,
+    content byte-exact), REAL liblz4 (pyarrow decompresses our
+    frame), and a size bound (a conformant LZ4 frame of n bytes
+    cannot exceed n + per-block worst-case literal overhead +
+    framing — asserted, catching a matcher that emits illegal
+    sequences liblz4 would still tolerate).  The oracle restates the
+    closed-form facts (content bytes, 64 KiB block counts).
+
+    100 TB: narrow mapInPandas; this is the compress-verify-ship
+    stage of an archival/export pipeline.
+    """
+    import pyarrow as pa_
+
+    from ..core.lz4codec import lz4_frame_compress, lz4_frame_decompress
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("source", "text")
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, cbytes, blks = [], [], []
+            for src, txt in zip(pdf["source"], pdf["text"]):
+                content = (txt or "").encode("utf-8")
+                frame = lz4_frame_compress(content, block_checksum=True)
+                got = lz4_frame_decompress(frame)
+                if got["content"] != content:
+                    raise ValueError("LZ4 roundtrip lost bytes")
+                if pa_.decompress(
+                    frame,
+                    decompressed_size=len(content),
+                    codec="lz4",
+                    asbytes=True,
+                ) != content:
+                    raise ValueError("liblz4 rejected our frame")
+                n_blocks = max((len(content) + 65535) // 65536, 1)
+                # worst case per block: all literals + token/run bytes
+                bound = (
+                    15  # magic + descriptor + HC + end mark + checksum
+                    + len(content)
+                    + n_blocks * (8 + 16 + (65536 // 255) + 1)
+                )
+                if len(frame) > bound:
+                    raise ValueError(
+                        f"frame {len(frame)} exceeds the literal bound "
+                        f"{bound}"
+                    )
+                srcs.append(src)
+                cbytes.append(len(content))
+                blks.append(n_blocks)
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "content_bytes": pd.Series(cbytes, dtype="int64"),
+                    "n_blocks": pd.Series(blks, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_frames, _LZ4_ROW_SCHEMA)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum("content_bytes")
+            .cast("bigint")
+            .alias("sum_content_bytes"),
+            F.sum("n_blocks").cast("bigint").alias("sum_blocks"),
+        )
+        .orderBy("source")
+    )

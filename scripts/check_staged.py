@@ -57,6 +57,8 @@ def staged_manifest():
             ingest.ingest_msgpack_events, ingest.MSGPACK_EVENTS_ORACLE),
         "ingest_zstd_frames": (
             ingest.ingest_zstd_frames, ingest.ZSTD_FRAMES_ORACLE),
+        "ingest_lz4_frames": (
+            ingest.ingest_lz4_frames, ingest.LZ4_FRAMES_ORACLE),
         "parquet_footer_audit": (
             ingest.parquet_footer_audit, ingest.PARQUET_FOOTER_ORACLE),
         "txnlog_snapshot_scan": (
