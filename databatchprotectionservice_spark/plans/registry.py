@@ -232,6 +232,20 @@ REGISTERED_IN: dict[str, int] = {
     "streaming_scd2_tws": 9,
 }
 
+# R10 REGISTRATION QUEUE (staged late-r9; each already has a query fn,
+# an *_ORACLE constant, unit tests, and a green row in the committed
+# sweep_r9_staged.log at sf0.01 via scripts/check_staged.py — see the
+# manifest there for fn/oracle pairs).  Registration is decorator-only;
+# admit per the r10 window-crunch arithmetic (the ~47 r7-scored queries
+# going 3-stale take priority; stagger this queue across r10/r11 if the
+# driver scores only 50):
+#   dedup_jaccard_prefix, triangle_suppliers, ingest_warc_chain,
+#   ingest_webdataset_tar, ingest_zip_members, ingest_tfrecord_shards,
+#   ingest_avro_blocks, ingest_tfexample_shards, ingest_orc_shards,
+#   ingest_msgpack_events, ingest_zstd_frames, ingest_lz4_frames,
+#   parquet_footer_audit, txnlog_snapshot_scan, txnlog_time_travel,
+#   protect_parquet_pages_real, decontaminate_bloom_prefilter
+
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a
 #: verdict AT OR AFTER that round lands (group 3 above), so a changed
