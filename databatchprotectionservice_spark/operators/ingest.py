@@ -1793,3 +1793,144 @@ def ingest_lz4_frames(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# parquet VALUES through the from-scratch reader
+# ---------------------------------------------------------------------------
+
+#: the aggregates are computed from values decoded by OUR reader
+#: (hybrid runs, dictionaries, def-level null placement, codec
+#: inflation) — the oracle restates them from the table, so a single
+#: mis-decoded value, misplaced null, or dropped page breaks the gate.
+PARQUET_READ_ORACLE = """
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(octet_length(encode(coalesce(text, ''))))
+                    AS BIGINT) AS sum_text_bytes,
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_text,
+               CAST(sum(coalesce(n_chars, 0)) AS BIGINT) AS sum_n_chars
+        FROM documents GROUP BY source ORDER BY source
+"""
+
+_PARQUET_READ_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("null_text", T.LongType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def parquet_column_read_real(spark, sf_dir) -> DataFrame:
+    """The engine reads parquet VALUES with no black box.
+
+    The documents file's bytes go through the full from-scratch read
+    stack in-executor — thrift footer, page walk, codec inflation,
+    hybrid-run definition levels and dictionary indices, PLAIN value
+    decode, null placement — via `core/parquetread.py`, and the
+    decoded columns are cross-checked two ways: pyarrow's reader must
+    agree value-for-value (the independent referee), and the
+    per-source aggregates computed from OUR decoded values must match
+    the oracle's SQL over the same table.  This closes the loop the
+    scan-audit started: not just the file's structure but every value
+    in it is reproduced by first-party code.
+
+    100 TB: the unit of work is the row group x column chunk (ranged
+    reads + page-local decode), embarrassingly parallel; the fixture
+    maps one file per task via binaryFile.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.parquetread import leaf_elements, read_column
+
+    prep(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .load(table_path(sf_dir, "documents"))
+        .select("content")
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                meta = parse_footer(data)
+                leaves = leaf_elements(meta["schema"])
+                names = [el["name"] for el, _ in leaves]
+                cols: dict = {n: [] for n in names}
+                for rg in meta["row_groups"]:
+                    for ci, col in enumerate(rg["columns"]):
+                        leaf, nested = leaves[ci]
+                        if nested:
+                            raise ValueError(
+                                "documents must be a flat table"
+                            )
+                        cols[leaf["name"]].extend(
+                            read_column(data, col, leaf)
+                        )
+                # referee 1: pyarrow agrees value-for-value
+                ref = pq_.ParquetFile(io.BytesIO(data)).read()
+                for ci, name in enumerate(names):
+                    want = ref.column(ci).to_pylist()
+                    got = cols[name]
+                    if want and isinstance(want[0], str):
+                        got = [
+                            None if v is None else v.decode("utf-8")
+                            for v in got
+                        ]
+                        cols[name] = got
+                    if got != want:
+                        raise ValueError(
+                            f"column {name!r} diverges from pyarrow"
+                        )
+                yield pd.DataFrame(
+                    {
+                        "source": pd.Series(
+                            cols["source"], dtype="object"
+                        ),
+                        "doc_id": pd.Series(
+                            cols["doc_id"], dtype="int64"
+                        ),
+                        "text_bytes": pd.Series(
+                            [
+                                0 if v is None else len(v.encode("utf-8"))
+                                for v in cols["text"]
+                            ],
+                            dtype="int64",
+                        ),
+                        "null_text": pd.Series(
+                            [
+                                1 if v is None else 0
+                                for v in cols["text"]
+                            ],
+                            dtype="int64",
+                        ),
+                        "n_chars": pd.Series(
+                            [
+                                0 if v is None else int(v)
+                                for v in cols["n_chars"]
+                            ],
+                            dtype="int64",
+                        ),
+                    }
+                )
+
+    per = files.mapInPandas(_read, _PARQUET_READ_SCHEMA)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("text_bytes").cast("bigint").alias("sum_text_bytes"),
+            F.sum("null_text").cast("bigint").alias("n_null_text"),
+            F.sum("n_chars").cast("bigint").alias("sum_n_chars"),
+        )
+        .orderBy("source")
+    )

@@ -61,6 +61,8 @@ def staged_manifest():
             ingest.ingest_lz4_frames, ingest.LZ4_FRAMES_ORACLE),
         "parquet_footer_audit": (
             ingest.parquet_footer_audit, ingest.PARQUET_FOOTER_ORACLE),
+        "parquet_column_read_real": (
+            ingest.parquet_column_read_real, ingest.PARQUET_READ_ORACLE),
         "txnlog_snapshot_scan": (
             ingest.txnlog_snapshot_scan, ingest.TXNLOG_SNAPSHOT_ORACLE),
         "txnlog_time_travel": (
