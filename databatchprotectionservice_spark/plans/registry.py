@@ -245,7 +245,8 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_msgpack_events, ingest_zstd_frames, ingest_lz4_frames,
 #   parquet_footer_audit, parquet_column_read_real,
 #   txnlog_snapshot_scan, txnlog_time_travel,
-#   protect_parquet_pages_real, decontaminate_bloom_prefilter
+#   txnlog_bloom_point_lookup, protect_parquet_pages_real,
+#   decontaminate_bloom_prefilter
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

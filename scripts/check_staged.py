@@ -67,6 +67,8 @@ def staged_manifest():
             ingest.txnlog_snapshot_scan, ingest.TXNLOG_SNAPSHOT_ORACLE),
         "txnlog_time_travel": (
             ingest.txnlog_time_travel, ingest.TXNLOG_TIME_TRAVEL_ORACLE),
+        "txnlog_bloom_point_lookup": (
+            ingest.txnlog_bloom_point_lookup, ingest.TXNLOG_BLOOM_ORACLE),
         "protect_parquet_pages_real": (
             protection.protect_parquet_pages_real,
             protection.PROTECT_REAL_PAGES_ORACLE),
