@@ -190,3 +190,93 @@ class ThriftReader:
                 fields[fid] = False
             else:
                 fields[fid] = self._value(ftype, depth + 1)
+
+
+class ThriftWriter:
+    """Compact-protocol serializer — the write half of the reader
+    above, covering the shapes parquet metadata needs (zigzag ints,
+    binary, typed lists, nested structs, nibble booleans).  Fields
+    must be supplied in ascending id order per struct (the delta
+    encoding's precondition; enforced)."""
+
+    def __init__(self):
+        self.out = bytearray()
+
+    # -- primitives ---------------------------------------------------------
+
+    def _varint(self, u: int) -> None:
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            if u:
+                self.out.append(b | 0x80)
+            else:
+                self.out.append(b)
+                return
+
+    def _zigzag(self, n: int) -> None:
+        self._varint(((n << 1) ^ (n >> 63)) & _U64)
+
+    def _field_header(self, last_id: int, fid: int, ftype: int) -> int:
+        delta = fid - last_id
+        if delta <= 0:
+            raise ThriftFormatError(
+                f"fields must ascend: {fid} after {last_id}"
+            )
+        if delta <= 15:
+            self.out.append((delta << 4) | ftype)
+        else:
+            self.out.append(ftype)
+            self._zigzag(fid)
+        return fid
+
+    # -- struct assembly ----------------------------------------------------
+
+    def write_struct(self, fields: list) -> None:
+        """fields: ascending [(id, type, value)]; value conventions
+        match the reader (int, bytes, bool, list as (etype, items),
+        struct as nested fields list)."""
+        last = 0
+        for fid, ftype, value in fields:
+            if ftype in (T_TRUE, T_FALSE):
+                last = self._field_header(
+                    last, fid, T_TRUE if value else T_FALSE
+                )
+                continue
+            last = self._field_header(last, fid, ftype)
+            self._value(ftype, value)
+        self.out.append(T_STOP)
+
+    def _value(self, vtype: int, value) -> None:
+        if vtype in (T_I16, T_I32, T_I64):
+            self._zigzag(int(value))
+        elif vtype == T_I8:
+            self.out.append(int(value) & 0xFF)
+        elif vtype == T_DOUBLE:
+            self.out += struct.pack("<d", float(value))
+        elif vtype == T_BINARY:
+            b = bytes(value)
+            self._varint(len(b))
+            self.out += b
+        elif vtype in (T_LIST, T_SET):
+            etype, items = value
+            n = len(items)
+            if n < 15:
+                self.out.append((n << 4) | etype)
+            else:
+                self.out.append((15 << 4) | etype)
+                self._varint(n)
+            for item in items:
+                if etype in (T_TRUE, T_FALSE):
+                    self.out.append(1 if item else 2)
+                elif etype == T_STRUCT:
+                    self.write_struct(item)
+                else:
+                    self._value(etype, item)
+        elif vtype == T_STRUCT:
+            self.write_struct(value)
+        else:
+            raise ThriftFormatError(f"unwritable compact type {vtype}")
+
+    def getvalue(self) -> bytes:
+        return bytes(self.out)

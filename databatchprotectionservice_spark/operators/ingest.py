@@ -2067,3 +2067,134 @@ def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
             ]
         ),
     ).orderBy("source")
+
+# ---------------------------------------------------------------------------
+# parquet WRITE with zero third-party bytes
+# ---------------------------------------------------------------------------
+
+#: codec rotates UNCOMPRESSED / our-snappy by shard parity; facts are
+#: recovered from the files as read back by the INDEPENDENT reader
+#: (pyarrow), restated by the oracle.
+PARQUET_WRITE_ORACLE = f"""
+        WITH sh AS (
+            SELECT source,
+                   doc_id // {SHARD_DOCS} AS shard_id,
+                   count(*) AS n,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_files,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(n_null) AS BIGINT) AS n_null_text,
+               CAST(sum(CASE WHEN shard_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_snappy_files
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_PARQUET_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("n_null_text", T.LongType()),
+        T.StructField("snappy", T.LongType()),
+    ]
+)
+
+
+def parquet_write_real(spark, sf_dir) -> DataFrame:
+    """The engine WRITES parquet with no black box — and three readers
+    must take its word for it.
+
+    Each shard group becomes a parquet file emitted entirely by
+    first-party code (`core/parquetwrite.py`: compact-protocol thrift
+    via ThriftWriter, PLAIN pages, hybrid-RLE definition levels, and
+    — on odd shards — page bodies compressed by OUR snappy).  In the
+    same executor the file is read back by pyarrow (the independent
+    referee: values AND null placement must match the group exactly)
+    and by our own reader (`core/parquetread.py` — the write/read
+    pair closes on itself), and the reported aggregates come from the
+    PYARROW read of our bytes, which the oracle restates from the
+    table.
+
+    100 TB: the write path is the shard-writer shape (one shuffle on
+    the shard key); the writer emits bytes, so the same code targets
+    object storage ranged puts unchanged.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.parquetread import leaf_elements, read_column
+    from ..core.parquetwrite import write_parquet
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
+        ids = [int(i) for i in pdf["doc_id"]]
+        texts = [None if v is None else str(v) for v in pdf["text"]]
+        data = write_parquet(
+            {"doc_id": ids, "text": texts},
+            {"doc_id": "INT64", "text": "STRING"},
+            codec=codec,
+        )
+        # referee 1: pyarrow reads OUR bytes and sees the exact group
+        t = pq_.ParquetFile(io.BytesIO(data)).read()
+        got_ids = t.column("doc_id").to_pylist()
+        got_texts = t.column("text").to_pylist()
+        if got_ids != ids or got_texts != texts:
+            raise ValueError(
+                f"shard {shard_id}: pyarrow read of our file diverges"
+            )
+        # referee 2: our reader closes the loop on our writer
+        meta = parse_footer(data)
+        leaves = leaf_elements(meta["schema"])
+        own = read_column(
+            data, meta["row_groups"][0]["columns"][0], leaves[0][0]
+        )
+        if own != ids:
+            raise ValueError(f"shard {shard_id}: own-reader divergence")
+        if meta["row_groups"][0]["columns"][0]["codec"] != codec:
+            raise ValueError(f"shard {shard_id}: codec tag drifted")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(got_ids)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(got_ids)], dtype="int64"),
+                "n_null_text": pd.Series(
+                    [sum(1 for v in got_texts if v is None)],
+                    dtype="int64",
+                ),
+                "snappy": pd.Series([shard_id % 2], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _PARQUET_WRITE_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+            F.sum("snappy").cast("bigint").alias("n_snappy_files"),
+        )
+        .orderBy("source")
+    )

@@ -243,7 +243,7 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_webdataset_tar, ingest_zip_members, ingest_tfrecord_shards,
 #   ingest_avro_blocks, ingest_tfexample_shards, ingest_orc_shards,
 #   ingest_msgpack_events, ingest_zstd_frames, ingest_lz4_frames,
-#   parquet_footer_audit, parquet_column_read_real,
+#   parquet_footer_audit, parquet_column_read_real, parquet_write_real,
 #   txnlog_snapshot_scan, txnlog_time_travel,
 #   txnlog_bloom_point_lookup, protect_parquet_pages_real,
 #   decontaminate_bloom_prefilter

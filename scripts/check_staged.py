@@ -63,6 +63,8 @@ def staged_manifest():
             ingest.parquet_footer_audit, ingest.PARQUET_FOOTER_ORACLE),
         "parquet_column_read_real": (
             ingest.parquet_column_read_real, ingest.PARQUET_READ_ORACLE),
+        "parquet_write_real": (
+            ingest.parquet_write_real, ingest.PARQUET_WRITE_ORACLE),
         "txnlog_snapshot_scan": (
             ingest.txnlog_snapshot_scan, ingest.TXNLOG_SNAPSHOT_ORACLE),
         "txnlog_time_travel": (
