@@ -110,6 +110,13 @@ def test_all_null_and_empty_edge():
     t = pq.read_table(io.BytesIO(data))
     assert t.column("x").to_pylist() == [None, None, None]
     assert t.column("y").to_pylist() == [1, 2, 3]
+    # nullable booleans: bit-packing covers present values only, the
+    # def levels restore the gaps
+    vals = [True, None, False, None, True, True, None, False, True]
+    data = write_parquet({"b": vals}, {"b": "BOOLEAN"}, codec="SNAPPY")
+    assert pq.read_table(io.BytesIO(data)).column(
+        "b"
+    ).to_pylist() == vals
 
 
 def test_errors():
