@@ -11,4 +11,9 @@
 ``similarity``   embedding similarity search (brute-force + LSH-bucketed).
 ``multimodal``   opaque binary columns with typed metadata and stubbed
                  decoders (Spark plumbing is real, codecs are stubs).
+``ingest``       container-ingest + format-walk queries (WARC/tar/ZIP/
+                 TFRecord/Avro/ORC/MessagePack/zstd/LZ4 walks, the
+                 parquet footer/read/write trio, the lakehouse
+                 transaction log) — staged for r10 registration,
+                 swept by ``scripts/check_staged.py``.
 """
