@@ -9,11 +9,12 @@ compressed by OUR snappy (``core/snappycodec.py``), so a file can be
 produced end-to-end with zero third-party bytes and still be read by
 pyarrow, Spark, and DuckDB (the unit suite pins all three).
 
-Shape: one row group, one V1 data page per column (the fixture
-scale); dictionaries, V2 pages, statistics and nested types are
-writer seams — the READER (``core/parquetread.py``) covers them,
-this writer targets the canonical minimal layout every reader
-accepts.
+Shape: one row group; each column chunk holds one V1 data page per
+``page_rows`` rows (default: everything in one page — pass the knob
+to exercise the multi-page layout real writers emit at size).
+Dictionaries, V2 pages, statistics and nested types are writer seams
+— the READER (``core/parquetread.py``) covers them, this writer
+targets the canonical minimal layout every reader accepts.
 
 Column types: INT32, INT64, FLOAT, DOUBLE, BOOLEAN, BYTE_ARRAY
 (raw bytes) and STRING (BYTE_ARRAY + the UTF8 converted-type
@@ -113,9 +114,15 @@ def _rle_levels(levels: list) -> bytes:
 
 
 def write_parquet(
-    columns: dict, types: dict, *, codec: str = "UNCOMPRESSED"
+    columns: dict,
+    types: dict,
+    *,
+    codec: str = "UNCOMPRESSED",
+    page_rows: int | None = None,
 ) -> bytes:
     """{name: values} + {name: physical type} -> parquet file bytes."""
+    if page_rows is not None and page_rows <= 0:
+        raise ParquetWriteError(f"page_rows {page_rows} must be positive")
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
             f"codec {codec!r} is a writer seam (UNCOMPRESSED/SNAPPY)"
@@ -136,42 +143,50 @@ def write_parquet(
             raise ParquetWriteError(f"bad type {logical!r} for {name!r}")
         values = columns[name]
         nullable = any(v is None for v in values)
-        present = [v for v in values if v is not None]
-        body = bytearray()
-        if nullable:
-            body += _rle_levels(
-                [0 if v is None else 1 for v in values]
+        chunk_offset = len(out)
+        comp_total = 0
+        uncomp_total = 0
+        step = page_rows or max(n_rows, 1)
+        for at in range(0, n_rows, step) or [0]:
+            page_vals = values[at : at + step]
+            body = bytearray()
+            if nullable:
+                body += _rle_levels(
+                    [0 if v is None else 1 for v in page_vals]
+                )
+            body += _plain_encode(
+                [v for v in page_vals if v is not None], ptype
             )
-        body += _plain_encode(present, ptype)
-        raw = bytes(body)
-        paged = snappy_compress(raw) if codec == "SNAPPY" else raw
-
-        hdr = ThriftWriter()
-        hdr.write_struct(
-            [
-                (1, T_I32, 0),               # DATA_PAGE
-                (2, T_I32, len(raw)),        # uncompressed size
-                (3, T_I32, len(paged)),      # compressed size
-                (5, T_STRUCT, [              # DataPageHeader
-                    (1, T_I32, n_rows),
-                    (2, T_I32, 0),           # PLAIN
-                    (3, T_I32, 3),           # RLE def levels
-                    (4, T_I32, 3),           # RLE rep levels
-                ]),
-            ]
-        )
-        page_offset = len(out)
-        out += hdr.getvalue()
-        out += paged
+            raw = bytes(body)
+            paged = snappy_compress(raw) if codec == "SNAPPY" else raw
+            hdr = ThriftWriter()
+            hdr.write_struct(
+                [
+                    (1, T_I32, 0),            # DATA_PAGE
+                    (2, T_I32, len(raw)),     # uncompressed size
+                    (3, T_I32, len(paged)),   # compressed size
+                    (5, T_STRUCT, [           # DataPageHeader
+                        (1, T_I32, len(page_vals)),
+                        (2, T_I32, 0),        # PLAIN
+                        (3, T_I32, 3),        # RLE def levels
+                        (4, T_I32, 3),        # RLE rep levels
+                    ]),
+                ]
+            )
+            hdr_bytes = hdr.getvalue()
+            out += hdr_bytes
+            out += paged
+            comp_total += len(hdr_bytes) + len(paged)
+            uncomp_total += len(hdr_bytes) + len(raw)
         chunk_meta.append(
             {
                 "name": name,
                 "ptype": ptype,
                 "utf8": logical == "STRING",
                 "nullable": nullable,
-                "offset": page_offset,
-                "compressed": len(out) - page_offset,
-                "uncompressed": len(raw) + (len(out) - page_offset - len(paged)),
+                "offset": chunk_offset,
+                "compressed": comp_total,
+                "uncompressed": uncomp_total,
             }
         )
 

@@ -119,6 +119,35 @@ def test_all_null_and_empty_edge():
     ).to_pylist() == vals
 
 
+def test_multi_page_layout(tmp_path):
+    """page_rows chunks every column into multiple V1 pages; all
+    readers and the page walk agree."""
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        walk_pages,
+    )
+
+    cols = {
+        "id": list(range(1000)),
+        "name": [None if i % 9 == 8 else f"x{i}" for i in range(1000)],
+    }
+    types = {"id": "INT64", "name": "STRING"}
+    for codec in ("UNCOMPRESSED", "SNAPPY"):
+        data = write_parquet(cols, types, codec=codec, page_rows=150)
+        meta = parse_footer(data)
+        for col in meta["row_groups"][0]["columns"]:
+            assert len(walk_pages(data, col)) == 7  # ceil(1000/150)
+        t = pq.read_table(io.BytesIO(data))
+        assert t.column("id").to_pylist() == cols["id"]
+        assert t.column("name").to_pylist() == cols["name"]
+        leaves = leaf_elements(meta["schema"])
+        got = read_column(
+            data, meta["row_groups"][0]["columns"][1], leaves[1][0]
+        )
+        assert [
+            None if v is None else v.decode() for v in got
+        ] == cols["name"]
+
+
 def test_errors():
     with pytest.raises(ParquetWriteError, match="disagree"):
         write_parquet({"a": [1], "b": []}, {"a": "INT64", "b": "INT64"})
@@ -128,3 +157,5 @@ def test_errors():
         write_parquet({"a": [1]}, {"a": "INT64"}, codec="ZSTD")
     with pytest.raises(ParquetWriteError, match="no columns"):
         write_parquet({}, {})
+    with pytest.raises(ParquetWriteError, match="page_rows"):
+        write_parquet({"a": [1]}, {"a": "INT64"}, page_rows=0)
