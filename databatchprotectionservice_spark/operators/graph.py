@@ -282,6 +282,18 @@ def bfs_purchase_distance(spark, sf_dir):
 #: customers bought from both
 TRI_MIN_SHARED = 2
 TRI_TOP = 15
+#: the triangle graph keeps only the E STRONGEST edges (ordered by
+#: shared-customer count desc, ties by (a, b) — a total order, so the
+#: cap is deterministic on both engines).  This is the load-bearing
+#: scale bound: a dense co-occurrence projection (TPC-H's uniform
+#: buying makes the supplier graph essentially COMPLETE — every pair
+#: shares >= 2 customers) has Theta(n^3) triangles, and no closure
+#: strategy survives enumeration-bound output.  Strength-capping is
+#: the production co-occurrence shape (keep the significant edges,
+#: not the noise floor) and bounds closure work by E^{3/2} regardless
+#: of corpus size — the global top-E itself is a partial per-partition
+#: top-k merge, shuffle-light at any scale.
+TRI_EDGE_CAP = 5000
 #: refuse-don't-truncate guard on the quadratic per-customer pair
 #: expansion (sum of degree^2): a customer with more distinct
 #: suppliers than this makes the projection hub-dominated; the scale
@@ -300,11 +312,15 @@ TRIANGLE_ORACLE = f"""
             SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
             FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         ),
-        co AS (
-            SELECT p1.s AS a, p2.s AS b
+        co_all AS (
+            SELECT p1.s AS a, p2.s AS b, count(*) AS shared
             FROM pairs p1 JOIN pairs p2 ON p1.c = p2.c AND p1.s < p2.s
             GROUP BY p1.s, p2.s
             HAVING count(*) >= {TRI_MIN_SHARED}
+        ),
+        co AS (
+            SELECT a, b FROM co_all
+            ORDER BY shared DESC, a, b LIMIT {TRI_EDGE_CAP}
         ),
         tri AS (
             SELECT e1.a AS x, e1.b AS y, e2.b AS z
@@ -327,11 +343,11 @@ TRIANGLE_ORACLE = f"""
 
 
 def triangle_suppliers(spark, sf_dir):
-    """Top suppliers by triangle participation in the co-purchase
-    graph (edge: >= TRI_MIN_SHARED shared customers) — the canonical
-    clustering-structure primitive next to PageRank (flow), CC
-    (labels), and BFS (distance).  Staged for r10 registration with
-    ``TRIANGLE_ORACLE``.
+    """Top suppliers by triangle participation among the TRI_EDGE_CAP
+    strongest co-purchase edges (edge strength = shared distinct
+    customers, floor TRI_MIN_SHARED) — the canonical clustering-
+    structure primitive next to PageRank (flow), CC (labels), and BFS
+    (distance).  Staged for r10 registration with ``TRIANGLE_ORACLE``.
 
     100 TB shape: pure DataFrame, no UDF anywhere.  (1) The
     projection pairs suppliers per customer — sum-of-degree^2 work,
@@ -366,6 +382,11 @@ def triangle_suppliers(spark, sf_dir):
         .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)
+        # strongest-E cap (see TRI_EDGE_CAP): orderBy+limit compiles to
+        # TakeOrderedAndProject — per-partition partial top-k, one small
+        # merge, never a full sort exchange
+        .orderBy(F.col("shared").desc(), "a", "b")
+        .limit(TRI_EDGE_CAP)
         .select("a", "b")
         .localCheckpoint(eager=True)  # reused three times below
     )

@@ -2072,13 +2072,21 @@ def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
 # parquet WRITE with zero third-party bytes
 # ---------------------------------------------------------------------------
 
+#: docs per WRITTEN parquet file.  Deliberately much larger than the
+#: fixture SHARD_DOCS (8): a writer emits few large files, and
+#: applyInPandas pays ~15 ms of Arrow/group overhead PER GROUP — at
+#: sf0.1 the 8-doc grouping made 625 near-empty groups (~10 s of pure
+#: scaffold for 0.6 s of writing); 1000-doc blocks keep the group
+#: count proportional-to-data but small-constant, the real file shape.
+WRITE_SHARD_DOCS = 1000
+
 #: codec rotates UNCOMPRESSED / our-snappy by shard parity; facts are
 #: recovered from the files as read back by the INDEPENDENT reader
 #: (pyarrow), restated by the oracle.
 PARQUET_WRITE_ORACLE = f"""
         WITH sh AS (
             SELECT source,
-                   doc_id // {SHARD_DOCS} AS shard_id,
+                   doc_id // {WRITE_SHARD_DOCS} AS shard_id,
                    count(*) AS n,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
                    CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
@@ -2137,7 +2145,7 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
     d = (
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
-        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        .withColumn("shard_id", F.expr(f"doc_id div {WRITE_SHARD_DOCS}"))
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -20,6 +20,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from databatchprotectionservice_spark.operators.graph import (
+    TRI_EDGE_CAP,
     TRI_MIN_SHARED,
     TRIANGLE_ORACLE,
     triangle_suppliers,
@@ -70,7 +71,13 @@ def _twin():
     for c, supps in BUYS.items():
         for a, b in itertools.combinations(sorted(set(supps)), 2):
             shared[(a, b)] = shared.get((a, b), 0) + 1
-    co = {e for e, n in shared.items() if n >= TRI_MIN_SHARED}
+    # mirror the strongest-E cap rule (a no-op on this 5-edge graph,
+    # kept for rule parity with the Spark side and the oracle)
+    kept = sorted(
+        ((e, n) for e, n in shared.items() if n >= TRI_MIN_SHARED),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:TRI_EDGE_CAP]
+    co = {e for e, _ in kept}
     nodes = sorted({v for e in co for v in e})
     tris = [
         t for t in itertools.combinations(nodes, 3)
@@ -102,6 +109,24 @@ def test_triangles_match_twin_and_oracle(spark, tri_dir):
         )
     oracle = con.execute(TRIANGLE_ORACLE).fetchall()
     assert [(int(a), int(b)) for a, b in oracle] == got
+
+
+def test_edge_cap_binds(spark, tri_dir):
+    """With the cap lowered to 3, only the strongest edges survive:
+    (2,3) shared=4, then (1,2),(1,3) shared=2 by (a,b) tiebreak —
+    leaving exactly triangle (1,2,3), one corner each."""
+    import databatchprotectionservice_spark.operators.graph as g
+
+    old = g.TRI_EDGE_CAP
+    g.TRI_EDGE_CAP = 3
+    try:
+        got = [
+            (row["s_key"], row["n_triangles"])
+            for row in triangle_suppliers(spark, tri_dir).collect()
+        ]
+    finally:
+        g.TRI_EDGE_CAP = old
+    assert got == [(1, 1), (2, 1), (3, 1)]
 
 
 def test_hot_customer_guard(spark, tmp_path):
