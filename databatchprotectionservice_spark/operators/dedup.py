@@ -1186,19 +1186,41 @@ def dedup_keep_best_quality(spark, sf_dir):
 # prefix-filtered exact Jaccard join (the PPJoin family's core idea)
 # ---------------------------------------------------------------------------
 
-#: r10 registration oracle — the INDEPENDENT all-pairs formulation
-#: (array intersect over every doc pair); the Spark side generates
-#: candidates by prefix filtering, so agreement proves the filter is
-#: lossless, not just that two transcriptions of one algorithm agree.
+#: r10 registration oracle — an INDEPENDENT formulation that never
+#: looks at prefixes: candidates are ALL distinct pairs sharing at
+#: least one gram (exhaustive for any threshold > 0 — gram-disjoint
+#: docs have jaccard exactly 0), decided by the exact intersect.  The
+#: Spark side generates candidates by prefix filtering, so agreement
+#: proves the prefix bound lossless, not just that two transcriptions
+#: of one algorithm agree.  (The original all-pairs spelling did a
+#: list_intersect on every one of the n^2/2 doc pairs — 12.5M at
+#: sf0.1, ~10 min of oracle for an 11 s query; the shared-gram join
+#: is sum(df^2) ~ 2.8M cheap rows and the same verified set.  And
+#: because both sides' shingle lists are DISTINCT by construction
+#: (list_distinct here, `shingled`'s distinct 3-grams on the engine
+#: side), the gram-join's per-pair match count IS |intersection| —
+#: no per-pair list op at all, the whole oracle is one hash
+#: aggregation plus two size lookups: 131 s -> ~2 s at sf0.1.)
 JACCARD_PREFIX_ORACLE = f"""
-        WITH sh AS ({_SHINGLE_ORACLE})
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(floor(len(list_intersect(a.sg, b.sg)) * 10000.0
-                          / len(list_distinct(a.sg || b.sg)) + 0.5)
+        WITH sh AS ({_SHINGLE_ORACLE}),
+        g AS (SELECT doc_id, unnest(sg) AS gram FROM sh),
+        ov AS (
+            SELECT ga.doc_id AS doc_a, gb.doc_id AS doc_b,
+                   count(*) AS inter
+            FROM g ga JOIN g gb
+              ON ga.gram = gb.gram AND ga.doc_id < gb.doc_id
+            GROUP BY 1, 2
+        ),
+        sz AS (SELECT doc_id, len(sg) AS n FROM sh)
+        SELECT o.doc_a, o.doc_b,
+               CAST(floor(o.inter * 10000.0
+                          / (sa.n + sb.n - o.inter) + 0.5)
                     AS BIGINT) AS jaccard_e4
-        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-        WHERE len(list_intersect(a.sg, b.sg)) * 1.0
-              / len(list_distinct(a.sg || b.sg)) >= {JACCARD_THRESHOLD}
+        FROM ov o
+        JOIN sz sa ON sa.doc_id = o.doc_a
+        JOIN sz sb ON sb.doc_id = o.doc_b
+        WHERE o.inter * 1.0 / (sa.n + sb.n - o.inter)
+              >= {JACCARD_THRESHOLD}
         ORDER BY doc_a, doc_b
 """
 

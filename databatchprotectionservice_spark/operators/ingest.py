@@ -284,7 +284,15 @@ def ingest_warc_chain(spark, sf_dir) -> DataFrame:
 # tar / WebDataset shard builder + walk
 # ---------------------------------------------------------------------------
 
-SHARD_DOCS = 8  # docs per fixture shard (the shard-builder group key)
+#: docs per fixture shard (the shard-builder group key).  64, not a
+#: handful: applyInPandas costs ~15 ms of Arrow/group scaffold PER
+#: GROUP, so at sf0.1 an 8-doc sharding made 625 near-empty groups
+#: (~10 s of pure overhead per shard-walk query for well under 1 s of
+#: codec work).  64 keeps every property the walks test — multiple
+#: shards at every SF, the mod-2/mod-3 codec rotations all exercised
+#: from sf0.01 up — while the group count stays proportional-to-data
+#: with a sane constant, the real shard-file shape.
+SHARD_DOCS = 64
 
 #: per-doc members are ``{doc_id:08d}.txt`` (the text bytes) and
 #: ``{doc_id:08d}.cls`` (the source label); ustar blocks are closed
