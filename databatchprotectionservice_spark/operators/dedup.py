@@ -1313,3 +1313,145 @@ def dedup_jaccard_prefix(spark, sf_dir):
             F.col("inter") * 10000.0 / F.col("uni") + F.lit(0.5)
         ).alias("jaccard_e4"),
     ).orderBy("doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# exact-substring duplication coverage (staged for r11 registration)
+# ---------------------------------------------------------------------------
+
+#: token-window width for exact-substring duplication (Lee et al.
+#: 2022, 'Deduplicating Training Data Makes Language Models Better',
+#: public method: a span duplicated across documents is training
+#: redundancy; the practical detector is fixed-width token windows)
+SUBSTR_WINDOW = 8
+
+#: r11 registration oracle — identical window/occurrence semantics in
+#: DuckDB's list dialect; a window is duplicated when it occurs in
+#: >= 2 DISTINCT documents, and coverage counts window POSITIONS
+#: (within-doc repeats of a cross-doc window all count).
+SUBSTRING_COVERAGE_ORACLE = f"""
+        WITH t AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(text), '\\s+') AS w
+            FROM documents
+        ),
+        base AS (
+            SELECT doc_id, source,
+                   greatest(len(w) - {SUBSTR_WINDOW} + 1, 0) AS n_win,
+                   w
+            FROM t
+        ),
+        g AS (
+            SELECT doc_id,
+                   unnest([array_to_string(w[i:i+{SUBSTR_WINDOW - 1}], ' ')
+                           for i in range(1, n_win + 1)]) AS win
+            FROM base WHERE n_win > 0
+        ),
+        pwd AS (
+            SELECT win, doc_id, count(*) AS occ
+            FROM g GROUP BY 1, 2
+        ),
+        dup AS (
+            SELECT win FROM pwd GROUP BY win HAVING count(*) >= 2
+        ),
+        perdoc AS (
+            SELECT p.doc_id, sum(p.occ) AS dup_occ
+            FROM pwd p JOIN dup USING (win) GROUP BY 1
+        )
+        SELECT b.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(b.n_win) AS BIGINT) AS n_windows,
+               CAST(sum(coalesce(d.dup_occ, 0)) AS BIGINT)
+                   AS n_dup_windows,
+               CAST(floor(sum(coalesce(d.dup_occ, 0)) * 10000.0
+                          / greatest(sum(b.n_win), 1) + 0.5)
+                    AS BIGINT) AS coverage_e4,
+               CAST(sum(CASE WHEN b.n_win > 0
+                              AND 2 * coalesce(d.dup_occ, 0) >= b.n_win
+                        THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_docs_majority_dup
+        FROM base b LEFT JOIN perdoc d ON d.doc_id = b.doc_id
+        GROUP BY b.source ORDER BY b.source
+"""
+
+
+def dedup_substring_coverage(spark, sf_dir):
+    """Exact-substring duplication coverage (Lee et al. 2022): per
+    source, what fraction of {SUBSTR_WINDOW}-token window positions
+    is covered by a window that also occurs in ANOTHER document.
+    The per-doc majority count is the actionable output — documents
+    over 50% duplicated-span coverage are the removal candidates the
+    paper's suffix-array pass would cut.  Sibling of
+    ``dedup_repeated_passages`` (which LISTS the duplicated spans,
+    distinct-per-doc): this one measures POSITION coverage — within-
+    doc repeats of a cross-doc window all count, because every
+    position is a training token the model would see again.
+
+    100 TB shape: the inverted-index idiom — explode window strings,
+    (window, doc) hash-aggregate (map-side combinable), a second
+    aggregate for the document frequency, and a join back of only
+    the DUPLICATED windows (at real corpus dedup rates a small
+    fraction), then one per-source fold.  No driver state, no
+    all-pairs anything; cost is O(total windows).  At production
+    scale the window STRING would be replaced by a 128-bit hash to
+    shrink the two shuffles (collision odds ~2^-64); here both
+    engines group on the raw string so the gate is collision-free
+    by construction.
+    """
+    prep(spark)
+    K = SUBSTR_WINDOW
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select(
+        "doc_id",
+        "source",
+        F.greatest(F.size(ws) - F.lit(K - 1), F.lit(0)).alias("n_win"),
+        ws.alias("w"),
+    )  # used twice; both branches re-scan with their own pruning —
+    # cheaper than materializing the exploded-ready `w` arrays
+    wins = F.expr(
+        f"transform(sequence(1, n_win), i ->"
+        f" concat_ws(' ', slice(w, i, {K})))"
+    )
+    g = (
+        base.filter(F.col("n_win") > 0)
+        .select("doc_id", F.explode(wins).alias("win"))
+    )
+    pwd = g.groupBy("win", "doc_id").agg(F.count(F.lit(1)).alias("occ"))
+    dup = (
+        pwd.groupBy("win")
+        .agg(F.count(F.lit(1)).alias("ndocs"))
+        .filter(F.col("ndocs") >= 2)
+        .select("win")
+    )
+    perdoc = (
+        pwd.join(dup, "win")
+        .groupBy("doc_id")
+        .agg(F.sum("occ").alias("dup_occ"))
+    )
+    joined = base.join(perdoc, "doc_id", "left").select(
+        "source",
+        "n_win",
+        F.coalesce(F.col("dup_occ"), F.lit(0)).alias("dup_occ"),
+    )
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_win").cast("bigint").alias("n_windows"),
+            F.sum("dup_occ").cast("bigint").alias("n_dup_windows"),
+            F.floor(
+                F.sum("dup_occ") * 10000.0
+                / F.greatest(F.sum("n_win"), F.lit(1))
+                + F.lit(0.5)
+            ).cast("bigint").alias("coverage_e4"),
+            F.sum(
+                F.when(
+                    (F.col("n_win") > 0)
+                    & (2 * F.col("dup_occ") >= F.col("n_win")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_docs_majority_dup"),
+        )
+        .orderBy("source")
+    )

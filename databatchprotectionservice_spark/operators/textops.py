@@ -1675,3 +1675,143 @@ def decontaminate_bloom_prefilter(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality-rule battery (staged for r11 registration)
+# ---------------------------------------------------------------------------
+
+#: fixed stopword set for rule R3 (a document with no common function
+#: words is boilerplate/gibberish — the Gopher heuristic); frozen so
+#: both engines test the identical membership
+GOPHER_STOPS = ("the", "a", "of", "to", "and", "in", "is", "that")
+#: rule thresholds, exact-integer form (see the query docstring):
+#: R1 word count floor/ceiling, R2 mean word length in [LO, HI) as
+#: LO*n <= sum_len < HI*n, R4 alphabetic-word ratio >= 4/5 as
+#: 5*alpha >= 4*n, R5 symbol-to-word ratio < 1/10 as 10*sym < n
+GOPHER_MIN_WORDS = 40
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MWL_LO = 4
+GOPHER_MWL_HI = 5
+
+#: r11 registration oracle — restates the rule battery in DuckDB's
+#: list/regexp dialect; every rule decision is integer arithmetic so
+#: the two engines cannot drift on rounding.
+GOPHER_RULES_ORACLE = f"""
+        WITH w AS (
+            SELECT source,
+                   regexp_split_to_array(trim(text), '\\s+') AS ws
+            FROM documents
+        ),
+        m AS (
+            SELECT source,
+                   len(ws) AS n,
+                   list_sum(list_transform(ws, x -> length(x))) AS sl,
+                   len(list_filter(ws, x -> regexp_matches(x, '^[a-z]+$')))
+                       AS alpha,
+                   len(list_filter(ws, x -> list_contains(
+                       {list(GOPHER_STOPS)!r}, x))) AS stops,
+                   len(list_filter(ws, x -> x = '#' OR x = '...'))
+                       AS sym
+            FROM w
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n < {GOPHER_MIN_WORDS}
+                               OR n > {GOPHER_MAX_WORDS}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fail_words,
+               CAST(sum(CASE WHEN {GOPHER_MWL_LO} * n > sl
+                               OR sl >= {GOPHER_MWL_HI} * n
+                        THEN 1 ELSE 0 END) AS BIGINT) AS fail_mwl,
+               CAST(sum(CASE WHEN stops < 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fail_stops,
+               CAST(sum(CASE WHEN 5 * alpha < 4 * n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fail_alpha,
+               CAST(sum(CASE WHEN 10 * sym >= n THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fail_symbols,
+               CAST(sum(CASE WHEN n >= {GOPHER_MIN_WORDS}
+                              AND n <= {GOPHER_MAX_WORDS}
+                              AND {GOPHER_MWL_LO} * n <= sl
+                              AND sl < {GOPHER_MWL_HI} * n
+                              AND stops >= 2
+                              AND 5 * alpha >= 4 * n
+                              AND 10 * sym < n
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        FROM m GROUP BY source ORDER BY source
+"""
+
+
+def text_gopher_rules(spark, sf_dir):
+    """Gopher-style document-quality rule battery (Rae et al. 2021,
+    'Scaling Language Models: ... Gopher', Appendix A — public
+    rule shapes, thresholds adapted to this corpus): per source,
+    how many documents fail each rule and how many pass all.
+
+    Rules, all exact integers (no float thresholds to drift on):
+      R1 word count within [{GOPHER_MIN_WORDS}, {GOPHER_MAX_WORDS}]
+      R2 mean word length in [{GOPHER_MWL_LO}, {GOPHER_MWL_HI}) —
+         as LO*n <= sum_word_len < HI*n
+      R3 at least 2 stopword occurrences (GOPHER_STOPS)
+      R4 alphabetic-word ratio >= 4/5 — as 5*alpha >= 4*n
+      R5 symbol-to-word ratio < 1/10 ('#' / '...') — as 10*sym < n
+
+    100 TB shape: every rule is a row-local codegen expression over
+    the split word array (aggregate/filter lambdas run JVM-side,
+    zero Python, zero UDF); the only shuffle is the final per-source
+    aggregate of five counters.  Filters like this run at scan
+    throughput on any cluster size — the canonical map-side-only
+    quality gate in front of a training-data pipeline.
+    """
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    ws = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(ws)
+    sl = F.expr(
+        "aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)),"
+        " 0, (acc, x) -> acc + x)"
+    )
+    # rule counts stopword OCCURRENCES (array_intersect would dedup)
+    stops_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])
+    stops = F.size(
+        F.filter(ws, lambda x: F.array_contains(stops_arr, x))
+    )
+    alpha = F.size(F.filter(ws, lambda x: x.rlike("^[a-z]+$")))
+    sym = F.size(
+        F.filter(ws, lambda x: (x == F.lit("#")) | (x == F.lit("...")))
+    )
+    m = d.select(
+        "source",
+        n.alias("n"),
+        sl.alias("sl"),
+        stops.alias("stops"),
+        alpha.alias("alpha"),
+        sym.alias("sym"),
+    )
+    lo, hi = GOPHER_MIN_WORDS, GOPHER_MAX_WORDS
+    mlo, mhi = GOPHER_MWL_LO, GOPHER_MWL_HI
+    pass_all = (
+        (F.col("n") >= lo)
+        & (F.col("n") <= hi)
+        & (mlo * F.col("n") <= F.col("sl"))
+        & (F.col("sl") < mhi * F.col("n"))
+        & (F.col("stops") >= 2)
+        & (5 * F.col("alpha") >= 4 * F.col("n"))
+        & (10 * F.col("sym") < F.col("n"))
+    )
+    ind = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            ind((F.col("n") < lo) | (F.col("n") > hi)).alias("fail_words"),
+            ind(
+                (mlo * F.col("n") > F.col("sl"))
+                | (F.col("sl") >= mhi * F.col("n"))
+            ).alias("fail_mwl"),
+            ind(F.col("stops") < 2).alias("fail_stops"),
+            ind(5 * F.col("alpha") < 4 * F.col("n")).alias("fail_alpha"),
+            ind(10 * F.col("sym") >= F.col("n")).alias("fail_symbols"),
+            ind(pass_all).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )

@@ -247,6 +247,11 @@ REGISTERED_IN: dict[str, int] = {
 #   txnlog_snapshot_scan, txnlog_time_travel,
 #   txnlog_bloom_point_lookup, protect_parquet_pages_real,
 #   decontaminate_bloom_prefilter
+# R11 ADDITIONS to the same staged queue (late-r9; sweep-green at
+# sf0.01 + sf0.1, unit-tested in tests/test_pipeline_filters.py):
+#   text_gopher_rules (Gopher quality-rule battery, pure codegen),
+#   dedup_substring_coverage (Lee et al. exact-substring duplication
+#   coverage, inverted-index shape)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

@@ -77,6 +77,11 @@ def staged_manifest():
         "decontaminate_bloom_prefilter": (
             textops.decontaminate_bloom_prefilter,
             textops.DECON_BLOOM_ORACLE),
+        "text_gopher_rules": (
+            textops.text_gopher_rules, textops.GOPHER_RULES_ORACLE),
+        "dedup_substring_coverage": (
+            dedup.dedup_substring_coverage,
+            dedup.SUBSTRING_COVERAGE_ORACLE),
     }
 
 

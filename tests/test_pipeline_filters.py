@@ -1,0 +1,140 @@
+"""text_gopher_rules and dedup_substring_coverage vs hand-enumerated
+twins AND their staged oracles on crafted corpora.
+
+Gopher corpus (one doc per rule-failure mode, one passing):
+  doc 0: 50 in-range words incl. 2x 'the'       -> passes all
+  doc 1: 10 words                               -> fails R1 (word count)
+  doc 2: 50 mostly-1-char words ('a' x 25 ...)  -> fails R2 low (the
+         'a's are stopwords, so R3 passes)
+  doc 3: 49x 'documents' + 1 long word          -> fails R2 high + R3
+  doc 4: 50 words, no stopwords                 -> fails R3 only
+  doc 5: 50 words, 15 of them '#'               -> fails R5 + R4 ('#'
+         is non-alphabetic) + R2 low (len 1 drags the mean)
+
+Substring corpus: docs 10/11 share an identical 9-word prefix (two
+8-token window positions each), doc 12 is 9 unique words (2 windows,
+none shared), doc 13 has 4 words (0 windows)."""
+
+import os
+
+import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.operators.dedup import (
+    SUBSTRING_COVERAGE_ORACLE,
+    dedup_substring_coverage,
+)
+from databatchprotectionservice_spark.operators.textops import (
+    GOPHER_RULES_ORACLE,
+    text_gopher_rules,
+)
+
+_PASS = ("the " + "scan table value batch " * 12).strip()  # 49 words
+_PASS = _PASS + " the"  # 50 words, 2 stopword occurrences
+
+
+def _gopher_docs():
+    return [
+        (0, _PASS),
+        (1, "the quick brown fox the alpha beta gamma delta word"),
+        (2, "a " * 25 + "b " * 24 + "the"),
+        (3, ("documents " * 49).strip() + " longwordhere"),
+        (4, ("scan table value batch " * 12).strip() + " scan " + "x"),
+        (5, ("# " * 15 + "scan table the batch the " * 7).strip()),
+    ]
+
+
+def _substr_docs():
+    shared = "one two three four five six seven eight nine"
+    return [
+        (10, shared),
+        (11, shared),
+        (12, "alpha beta gamma delta epsilon zeta eta theta iota"),
+        (13, "tiny doc right here"),
+    ]
+
+
+@pytest.fixture(scope="module")
+def filt_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("filt_tables"))
+    rows = _gopher_docs() + _substr_docs()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": pa.array([r[1] for r in rows], pa.string()),
+                "lang": pa.array(["en"] * len(rows), pa.string()),
+                "source": pa.array(
+                    ["g" if r[0] < 10 else "s" for r in rows], pa.string()
+                ),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in rows], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def _duck(oracle, d):
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    return con.execute(oracle).fetchall()
+
+
+def test_gopher_rules_hand_enumeration(spark, filt_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"], r["fail_words"], r["fail_mwl"], r["fail_stops"],
+            r["fail_alpha"], r["fail_symbols"], r["n_pass_all"],
+        )
+        for r in text_gopher_rules(spark, filt_dir).collect()
+    }
+    # source 'g': docs 0-5 (see module docstring)
+    assert got["g"] == (
+        6,  # n_docs
+        1,  # fail_words: doc 1
+        3,  # fail_mwl: docs 2 (low), 3 (high), 5 (low)
+        2,  # fail_stops: docs 3, 4
+        1,  # fail_alpha: doc 5 ('#' words are non-alphabetic)
+        1,  # fail_symbols: doc 5 (15 '#' in 50 words)
+        1,  # n_pass_all: only doc 0
+    )
+
+
+def test_gopher_rules_match_oracle(spark, filt_dir):
+    got = [
+        tuple(r) for r in text_gopher_rules(spark, filt_dir).collect()
+    ]
+    oracle = [tuple(r) for r in _duck(GOPHER_RULES_ORACLE, filt_dir)]
+    assert got == oracle
+
+
+def test_substring_coverage_hand_enumeration(spark, filt_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_windows"], r["n_dup_windows"],
+            r["coverage_e4"], r["n_docs_majority_dup"],
+        )
+        for r in dedup_substring_coverage(spark, filt_dir).collect()
+    }
+    # source 's': docs 10/11 (9 words -> 2 windows each, all shared),
+    # doc 12 (2 windows, unique), doc 13 (4 words -> 0 windows)
+    assert got["s"] == (4, 6, 4, round(4 / 6 * 10000), 2)
+
+
+def test_substring_coverage_matches_oracle(spark, filt_dir):
+    got = [
+        tuple(r)
+        for r in dedup_substring_coverage(spark, filt_dir).collect()
+    ]
+    oracle = [
+        tuple(r) for r in _duck(SUBSTRING_COVERAGE_ORACLE, filt_dir)
+    ]
+    assert got == oracle
