@@ -1744,3 +1744,174 @@ def multimodal_audio_flac_stats(spark, sf_dir):
         F.sum("ssum").cast("bigint").alias("sample_sum"),
         F.sum("energy").cast("bigint").alias("total_energy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI / Motion-JPEG clips (staged; registers r10 per the window note)
+# ---------------------------------------------------------------------------
+
+#: MJPEG fixture geometry: each frame is a REAL baseline JPEG of
+#: constant 8x8 tiles (constant tiles decode BIT-EXACTLY — the
+#: core/jpegcodec.py exactness note), so every decoded pixel has the
+#: closed form  tile = (doc_id*17 + f*29 + t*11) % 256  repeated 8x8.
+MJPEG_TILE_ROWS = 2
+MJPEG_TILE_COLS = 3
+MJPEG_FRAMES_MOD = 5  # n_frames = (n_chars % MOD) + 2
+MJPEG_FPS = (30, 1)
+
+_MJPEG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("pixel_sum", T.LongType()),
+        T.StructField("max_pixel", T.LongType()),
+    ]
+)
+
+#: r10 registration oracle — recomputes the decoded statistics from
+#: the closed form (64 raster pixels per constant tile); a decoder
+#: that mis-walks movi, drops a frame, or decodes one tile wrong
+#: hash-mismatches.
+MJPEG_STATS_ORACLE = f"""
+        WITH clips AS (
+            SELECT source, doc_id,
+                   (n_chars % {MJPEG_FRAMES_MOD}) + 2 AS nf
+            FROM documents
+        ),
+        per AS (
+            SELECT source, nf,
+                   list_aggregate(flatten(list_transform(
+                       range(0, nf), f -> list_transform(
+                           range(0, {MJPEG_TILE_ROWS * MJPEG_TILE_COLS}),
+                           t -> (doc_id * 17 + f * 29 + t * 11) % 256))),
+                       'sum') * 64 AS px_sum,
+                   list_max(flatten(list_transform(
+                       range(0, nf), f -> list_transform(
+                           range(0, {MJPEG_TILE_ROWS * MJPEG_TILE_COLS}),
+                           t -> (doc_id * 17 + f * 29 + t * 11) % 256))))
+                       AS px_max
+            FROM clips
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_clips,
+               CAST(sum(nf) AS BIGINT) AS total_frames,
+               CAST(sum(px_sum) AS BIGINT) AS pixel_sum,
+               CAST(max(px_max) AS BIGINT) AS max_pixel
+        FROM per GROUP BY source ORDER BY source
+"""
+
+
+def mjpeg_table(spark, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, source, payload) where payload is a REAL
+    AVI(MJPG) clip: ``(n_chars % MOD) + 2`` frames, each a complete
+    baseline JPEG from our own encoder (``encode_jpeg_gray_tiles``),
+    wrapped by ``encode_avi_mjpeg`` with a spec-complete idx1."""
+    from ..core.avicodec import encode_avi_mjpeg
+    from ..core.jpegcodec import encode_jpeg_gray_tiles
+
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    rows, cols = MJPEG_TILE_ROWS, MJPEG_TILE_COLS
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, srcs, payloads = [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                nf = (int(n_chars or 0) % MJPEG_FRAMES_MOD) + 2
+                t = np.arange(rows * cols, dtype=np.int64)
+                jpegs = [
+                    encode_jpeg_gray_tiles(
+                        (
+                            (int(doc_id) * 17 + f * 29 + t * 11) % 256
+                        ).astype(np.uint8).reshape(rows, cols)
+                    )
+                    for f in range(nf)
+                ]
+                ids.append(doc_id)
+                srcs.append(source)
+                payloads.append(
+                    encode_avi_mjpeg(
+                        jpegs, cols * 8, rows * 8, fps=MJPEG_FPS
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "source": pd.Series(srcs, dtype="object"),
+                    "payload": pd.Series(payloads, dtype="object"),
+                }
+            )
+
+    return d.mapInPandas(_synth, _VIDEO_TABLE_SCHEMA)
+
+
+def multimodal_video_mjpeg_stats(spark, sf_dir):
+    """AVI/Motion-JPEG clips decoded end-to-end by first-party code:
+    RIFF/movi walk with idx1 cross-validation (``core/avicodec.py``),
+    every ``00dc`` chunk through the from-scratch baseline JPEG
+    decoder, integer statistics over the decoded rasters aggregated
+    per source.  Closes the compressed-VIDEO-container seam next to
+    Y4M (uncompressed) and MP4 (metadata-only): MJPEG is the one
+    mainstream video codec whose frames are fully decodable from
+    public-spec baseline JPEG — the perceptual inter-frame codecs
+    (H.264+) remain the documented library seam.
+
+    100 TB shape: identical to the image/audio/Y4M paths — payload
+    bytes cross the Python boundary once per Arrow batch inside ONE
+    mapInPandas stage per direction; the only exchange is the final
+    per-source aggregate.  The container walk is per-clip sequential
+    by necessity (chunk framing), but clips parallelize freely.
+    """
+    from ..core.avicodec import AviFormatError, decode_avi_mjpeg
+
+    prep(spark)
+    clips = mjpeg_table(spark, sf_dir)
+    rate, scale = MJPEG_FPS
+    w, h = MJPEG_TILE_COLS * 8, MJPEG_TILE_ROWS * 8
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, sums, maxs = [], [], [], []
+            for doc_id, source, payload in zip(
+                pdf["doc_id"], pdf["source"], pdf["payload"]
+            ):
+                try:
+                    fps, frames = decode_avi_mjpeg(bytes(payload))
+                except AviFormatError as exc:
+                    raise ValueError(
+                        f"doc {doc_id}: undecodable MJPEG clip: {exc}"
+                    ) from exc
+                if fps != (rate, scale):
+                    raise ValueError(f"doc {doc_id}: fps drifted to {fps}")
+                if frames.shape[1:] != (h, w):
+                    raise ValueError(
+                        f"doc {doc_id}: dims {frames.shape[1:]} != {(h, w)}"
+                    )
+                s = frames.astype(np.int64)
+                srcs.append(source)
+                nfs.append(frames.shape[0])
+                sums.append(int(s.sum()))
+                maxs.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "pixel_sum": pd.Series(sums, dtype="int64"),
+                    "max_pixel": pd.Series(maxs, dtype="int64"),
+                }
+            )
+
+    decoded = clips.mapInPandas(_stats, _MJPEG_STATS_SCHEMA)
+    return (
+        decoded.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("n_frames").cast("bigint").alias("total_frames"),
+            F.sum("pixel_sum").cast("bigint").alias("pixel_sum"),
+            F.max("max_pixel").cast("bigint").alias("max_pixel"),
+        )
+        .orderBy("source")
+    )

@@ -30,6 +30,7 @@ def staged_manifest():
         dedup,
         graph,
         ingest,
+        multimodal,
         protection,
         textops,
     )
@@ -82,6 +83,9 @@ def staged_manifest():
         "dedup_substring_coverage": (
             dedup.dedup_substring_coverage,
             dedup.SUBSTRING_COVERAGE_ORACLE),
+        "multimodal_video_mjpeg_stats": (
+            multimodal.multimodal_video_mjpeg_stats,
+            multimodal.MJPEG_STATS_ORACLE),
     }
 
 
