@@ -1332,7 +1332,8 @@ SUBSTR_WINDOW = 8
 SUBSTRING_COVERAGE_ORACLE = f"""
         WITH t AS (
             SELECT doc_id, source,
-                   regexp_split_to_array(trim(text), '\\s+') AS w
+                   regexp_split_to_array(trim(coalesce(text, '')),
+                                         '\\s+') AS w
             FROM documents
         ),
         base AS (
@@ -1401,7 +1402,9 @@ def dedup_substring_coverage(spark, sf_dir):
     prep(spark)
     K = SUBSTR_WINDOW
     d = load_spread(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    # NULL text folds to '' on BOTH sides (split('') is [''] in both
+    # engines, so the hostile-corpus rows stay engine-identical)
+    ws = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     base = d.select(
         "doc_id",
         "source",

@@ -1700,7 +1700,8 @@ GOPHER_MWL_HI = 5
 GOPHER_RULES_ORACLE = f"""
         WITH w AS (
             SELECT source,
-                   regexp_split_to_array(trim(text), '\\s+') AS ws
+                   regexp_split_to_array(trim(coalesce(text, '')),
+                                         '\\s+') AS ws
             FROM documents
         ),
         m AS (
@@ -1764,11 +1765,12 @@ def text_gopher_rules(spark, sf_dir):
     """
     prep(spark)
     d = load_spread(spark, sf_dir, "documents")
-    ws = F.split(F.trim(F.col("text")), r"\s+")
+    # NULL text folds to '' on BOTH sides (split('') is [''] in both)
+    ws = F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+")
     n = F.size(ws)
     sl = F.expr(
-        "aggregate(transform(split(trim(text), '\\\\s+'), x -> length(x)),"
-        " 0, (acc, x) -> acc + x)"
+        "aggregate(transform(split(trim(coalesce(text, '')),"
+        " '\\\\s+'), x -> length(x)), 0, (acc, x) -> acc + x)"
     )
     # rule counts stopword OCCURRENCES (array_intersect would dedup)
     stops_arr = F.array(*[F.lit(s) for s in GOPHER_STOPS])

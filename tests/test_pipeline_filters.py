@@ -138,3 +138,61 @@ def test_substring_coverage_matches_oracle(spark, filt_dir):
         tuple(r) for r in _duck(SUBSTRING_COVERAGE_ORACLE, filt_dir)
     ]
     assert got == oracle
+
+
+@pytest.fixture(scope="module")
+def hostile_dir(tmp_path_factory):
+    """NULL text, empty text, whitespace-only, single word, exactly
+    SUBSTR_WINDOW words — the rows that diverge engines on split/len
+    NULL semantics if either side forgets a coalesce."""
+    from databatchprotectionservice_spark.operators.dedup import (
+        SUBSTR_WINDOW,
+    )
+
+    d = str(tmp_path_factory.mktemp("hostile_tables"))
+    texts = [
+        None,
+        "",
+        "   ",
+        "word",
+        " ".join(f"w{i}" for i in range(SUBSTR_WINDOW)),
+        "the a " + " ".join(["scan"] * 48),
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * len(texts), pa.string()),
+                "source": pa.array(["h"] * len(texts), pa.string()),
+                "n_chars": pa.array(
+                    [len(t or "") for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_gopher_rules_hostile_corpus(spark, hostile_dir):
+    got = [
+        tuple(r) for r in text_gopher_rules(spark, hostile_dir).collect()
+    ]
+    oracle = [tuple(r) for r in _duck(GOPHER_RULES_ORACLE, hostile_dir)]
+    assert got == oracle
+    assert got[0][1] == 6  # n_docs: every hostile row survives
+
+
+def test_substring_coverage_hostile_corpus(spark, hostile_dir):
+    got = [
+        tuple(r)
+        for r in dedup_substring_coverage(spark, hostile_dir).collect()
+    ]
+    oracle = [
+        tuple(r) for r in _duck(SUBSTRING_COVERAGE_ORACLE, hostile_dir)
+    ]
+    assert got == oracle
+    # exactly-K-words doc contributes its single window; nothing dups
+    src, n_docs, n_win, n_dup, cov, maj = got[0]
+    assert (n_docs, n_dup, cov, maj) == (6, 0, 0, 0)
