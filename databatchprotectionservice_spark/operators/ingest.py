@@ -2214,3 +2214,266 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Ogg packet walk + Matroska track walk (staged r11)
+# ---------------------------------------------------------------------------
+
+#: Ogg fixture: (n_chars % 4) + 2 packets per stream; packet k is
+#: ((doc_id*3 + k*211) % 700) + 1 bytes (spilling the 255-lacing rule
+#: across CONTINUED pages for the long ones), byte i of packet k is
+#: (doc_id + k + i) % 256; granules default to the packet index.
+OGG_PKTS_MOD = 4
+
+OGG_PACKETS_ORACLE = f"""
+        WITH streams AS (
+            SELECT source, doc_id, (n_chars % {OGG_PKTS_MOD}) + 2 AS np
+            FROM documents
+        ),
+        ks AS (
+            SELECT source, doc_id, np, unnest(range(0, np)) AS k
+            FROM streams
+        ),
+        pkts AS (
+            SELECT source, doc_id, np, k,
+                   ((doc_id * 3 + k * 211) % 700) + 1 AS plen
+            FROM ks
+        ),
+        per AS (
+            SELECT source, doc_id, np, plen,
+                   list_aggregate(list_transform(range(0, plen),
+                       i -> (doc_id + k + i) % 256), 'sum') AS bsum
+            FROM pkts
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_streams,
+               CAST(count(*) AS BIGINT) AS n_packets,
+               CAST(sum(plen) AS BIGINT) AS payload_bytes,
+               CAST(sum(bsum) AS BIGINT) AS byte_sum,
+               CAST(sum(CASE WHEN plen > 255 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_laced_packets
+        FROM per GROUP BY source ORDER BY source
+"""
+
+_OGG_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_packets", T.LongType()),
+        T.StructField("payload_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("n_laced", T.LongType()),
+    ]
+)
+
+
+def ingest_ogg_packets(spark, sf_dir) -> DataFrame:
+    """Ogg container walk (`core/oggcodec.py`, RFC 3533): per document
+    a REAL single-logical-stream Ogg file — BOS/EOS flags, CRC-32 per
+    page, 255-lacing with CONTINUED-page spill for the >255-byte
+    packets — encoded and then re-walked in the same executor.  The
+    decoder reassembles packets across pages; statistics are over the
+    REASSEMBLED bytes, so one wrong lacing boundary or CRC slip
+    hash-mismatches the closed-form oracle.
+
+    100 TB shape: one mapInPandas stage, per-source aggregate; Ogg's
+    page-level CRC + capture pattern is what makes real streams
+    re-syncable, i.e. SPLITTABLE for distributed scan — noted here,
+    exercised at the page layer by the codec's own test battery."""
+    from ..core.oggcodec import decode_ogg, encode_ogg
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            srcs, nps, pbs, bss, lcs = [], [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                np_ = (int(n_chars or 0) % OGG_PKTS_MOD) + 2
+                packets = []
+                for k in range(np_):
+                    plen = ((did * 3 + k * 211) % 700) + 1
+                    packets.append(
+                        bytes((did + k + i) % 256 for i in range(plen))
+                    )
+                info = decode_ogg(encode_ogg(packets, serial=did & 0xFFFF))
+                if not (info["bos"] and info["eos"]):
+                    raise ValueError(f"doc {doc_id}: BOS/EOS flags lost")
+                if info["packets"] != packets:
+                    raise ValueError(
+                        f"doc {doc_id}: packet reassembly diverged"
+                    )
+                # granules are PAGE-completion positions (spec): all
+                # packets ending on one page share its granule — the
+                # stable invariants are monotonicity and the final
+                # granule being the last packet's index
+                gs = info["granules"]
+                if gs != sorted(gs) or gs[-1] != np_ - 1:
+                    raise ValueError(f"doc {doc_id}: granules drifted")
+                srcs.append(source)
+                nps.append(np_)
+                pbs.append(sum(len(p) for p in packets))
+                bss.append(sum(sum(p) for p in packets))
+                lcs.append(sum(1 for p in packets if len(p) > 255))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_packets": pd.Series(nps, dtype="int64"),
+                    "payload_bytes": pd.Series(pbs, dtype="int64"),
+                    "byte_sum": pd.Series(bss, dtype="int64"),
+                    "n_laced": pd.Series(lcs, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _OGG_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_streams"),
+            F.sum("n_packets").cast("bigint").alias("n_packets"),
+            F.sum("payload_bytes").cast("bigint").alias("payload_bytes"),
+            F.sum("byte_sum").cast("bigint").alias("byte_sum"),
+            F.sum("n_laced").cast("bigint").alias("n_laced_packets"),
+        )
+        .orderBy("source")
+    )
+
+
+#: Matroska fixture: two tracks (opaque video + audio codec ids), and
+#: (n_chars % 3) + 1 clusters of one block per track; video block of
+#: cluster c is ((doc_id + c*17) % 90) + 1 bytes, audio
+#: ((doc_id + c*29) % 60) + 1; cluster timestamp c*1000, block
+#: rel-timestamp c % 7.  Odd docs carry a verified Info CRC-32.
+MKV_CLUSTERS_MOD = 3
+
+MKV_TRACKS_ORACLE = f"""
+        WITH files AS (
+            SELECT source, doc_id, (n_chars % {MKV_CLUSTERS_MOD}) + 1 AS nc
+            FROM documents
+        ),
+        cs AS (
+            SELECT source, doc_id, nc, unnest(range(0, nc)) AS c
+            FROM files
+        ),
+        blocks AS (
+            SELECT source, doc_id, nc, c,
+                   ((doc_id + c * 17) % 90) + 1 AS vb,
+                   ((doc_id + c * 29) % 60) + 1 AS ab
+            FROM cs
+        )
+        SELECT source,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_files,
+               CAST(sum(CASE WHEN c = 0 THEN nc ELSE 0 END) AS BIGINT)
+                   AS n_clusters,
+               CAST(2 * count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(vb + ab) AS BIGINT) AS media_bytes,
+               CAST(sum(CASE WHEN c = nc - 1
+                        THEN c * 1000 + (c % 7) ELSE 0 END) AS BIGINT)
+                   AS max_ts_sum
+        FROM blocks GROUP BY source ORDER BY source
+"""
+
+_MKV_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_clusters", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("media_bytes", T.LongType()),
+        T.StructField("max_ts", T.LongType()),
+    ]
+)
+
+
+def ingest_mkv_tracks(spark, sf_dir) -> DataFrame:
+    """Matroska/WebM walk (`core/mkvcodec.py`, RFC 8794 EBML + the
+    public Matroska registry): per document a REAL two-track WebM
+    around opaque codec payloads (the media-codec seam, exactly like
+    MP4) — vint ids/sizes, SimpleBlock track/timestamp headers, and
+    on odd docs a CRC-32 element the parser VERIFIES.  The walk's
+    track inventory and per-track block/byte totals are asserted
+    in-executor against the generation formula; the per-source
+    aggregate is restated closed-form by the oracle.
+
+    100 TB shape: one mapInPandas stage, per-source aggregate."""
+    from ..core.mkvcodec import encode_mkv, parse_mkv
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+    def _stats(batches):
+        for pdf in batches:
+            srcs, ncs, nbs, mbs, mts = [], [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                nc = (int(n_chars or 0) % MKV_CLUSTERS_MOD) + 1
+                tracks = [
+                    {"number": 1, "type": "video", "codec_id": "V_OPAQUE",
+                     "width": 64, "height": 48},
+                    {"number": 2, "type": "audio", "codec_id": "A_OPAQUE",
+                     "sampling_hz": 48000, "channels": 2},
+                ]
+                clusters = []
+                vbytes = abytes = 0
+                for c in range(nc):
+                    vb = ((did + c * 17) % 90) + 1
+                    ab = ((did + c * 29) % 60) + 1
+                    vbytes += vb
+                    abytes += ab
+                    clusters.append(
+                        (c * 1000, [
+                            (1, c % 7, bytes(vb)),
+                            (2, c % 7, bytes(ab)),
+                        ])
+                    )
+                info = parse_mkv(
+                    encode_mkv(tracks, clusters, crc=bool(did % 2))
+                )
+                got = {t["number"]: t for t in info["tracks"]}
+                if (
+                    len(got) != 2
+                    or got[1]["codec_id"] != "V_OPAQUE"
+                    or got[2]["codec_id"] != "A_OPAQUE"
+                    or got[1]["payload_bytes"] != vbytes
+                    or got[2]["payload_bytes"] != abytes
+                    or got[1]["n_blocks"] != nc
+                    or got[2]["n_blocks"] != nc
+                ):
+                    raise ValueError(
+                        f"doc {doc_id}: track inventory drifted"
+                    )
+                srcs.append(source)
+                ncs.append(info["n_clusters"])
+                nbs.append(info["n_blocks"])
+                mbs.append(info["media_bytes"])
+                mts.append(int(info["max_timestamp"]))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_clusters": pd.Series(ncs, dtype="int64"),
+                    "n_blocks": pd.Series(nbs, dtype="int64"),
+                    "media_bytes": pd.Series(mbs, dtype="int64"),
+                    "max_ts": pd.Series(mts, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _MKV_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_clusters").cast("bigint").alias("n_clusters"),
+            F.sum("n_blocks").cast("bigint").alias("n_blocks"),
+            F.sum("media_bytes").cast("bigint").alias("media_bytes"),
+            F.sum("max_ts").cast("bigint").alias("max_ts_sum"),
+        )
+        .orderBy("source")
+    )

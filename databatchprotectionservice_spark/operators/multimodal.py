@@ -1915,3 +1915,313 @@ def multimodal_video_mjpeg_stats(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# QOI / JPEG-LS lossless image decode + MP3 frame walk (staged r11)
+# ---------------------------------------------------------------------------
+
+#: QOI fixture geometry: (h, 8, 3) RGB raster, h = (n_chars % 7) + 2,
+#: channel value j (row-major, channel-minor) = (doc_id*7 + 3j) % 256
+#: — the +3 step drives QOI through its DIFF/LUMA/RUN ops while the
+#: doc_id offset varies the index-hash path; QOI is lossless, so the
+#: decoded bytes ARE the closed form.
+QOI_W = 8
+QOI_H_MOD = 7
+
+#: JPEG-LS fixture geometry: (h, 12) grayscale, h = (n_chars % 5) + 2,
+#: pixel j = (doc_id*11 + 5j) % 256 — gradients exercise the context
+#: modeler, the %256 wrap makes runs rare but present; T.87 is
+#: lossless, so decoded == closed form.
+JLS_W = 12
+JLS_H_MOD = 5
+
+#: MP3 fixture: opaque payload of (n_chars * 3 + 40) bytes packed into
+#: MPEG-1 Layer III frames at 44100 Hz; kbps rotates 128/192 by doc
+#: parity (frame sizes 417/626 — floor(144*kbps*1000/rate)), and every
+#: third doc carries a frame-0 Xing block (+1 frame).  The walker's
+#: outputs are all closed-form integers.
+MP3_RATE = 44100
+MP3_KBPS = (128, 192)
+_MP3_FS = tuple((144 * k * 1000) // MP3_RATE for k in MP3_KBPS)
+
+_QOI_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("max_byte", T.LongType()),
+    ]
+)
+_JLS_STATS_SCHEMA = _QOI_STATS_SCHEMA
+_MP3_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("stream_bytes", T.LongType()),
+    ]
+)
+
+QOI_STATS_ORACLE = f"""
+        WITH imgs AS (
+            SELECT source, doc_id,
+                   ((n_chars % {QOI_H_MOD}) + 2) * {QOI_W} * 3 AS nv
+            FROM documents
+        ),
+        per AS (
+            SELECT source, nv / 3 AS npx,
+                   list_aggregate(list_transform(range(0, nv),
+                       j -> (doc_id * 7 + 3 * j) % 256), 'sum') AS bsum,
+                   list_max(list_transform(range(0, nv),
+                       j -> (doc_id * 7 + 3 * j) % 256)) AS bmax
+            FROM imgs
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(npx) AS BIGINT) AS total_pixels,
+               CAST(sum(bsum) AS BIGINT) AS byte_sum,
+               CAST(max(bmax) AS BIGINT) AS max_byte
+        FROM per GROUP BY source ORDER BY source
+"""
+
+JLS_STATS_ORACLE = f"""
+        WITH imgs AS (
+            SELECT source, doc_id,
+                   ((n_chars % {JLS_H_MOD}) + 2) * {JLS_W} AS nv
+            FROM documents
+        ),
+        per AS (
+            SELECT source, nv AS npx,
+                   list_aggregate(list_transform(range(0, nv),
+                       j -> (doc_id * 11 + 5 * j) % 256), 'sum') AS bsum,
+                   list_max(list_transform(range(0, nv),
+                       j -> (doc_id * 11 + 5 * j) % 256)) AS bmax
+            FROM imgs
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_images,
+               CAST(sum(npx) AS BIGINT) AS total_pixels,
+               CAST(sum(bsum) AS BIGINT) AS byte_sum,
+               CAST(max(bmax) AS BIGINT) AS max_byte
+        FROM per GROUP BY source ORDER BY source
+"""
+
+MP3_WALK_ORACLE = f"""
+        WITH clips AS (
+            SELECT source, doc_id, n_chars * 3 + 40 AS pl,
+                   CASE WHEN doc_id % 2 = 0 THEN {_MP3_FS[0]}
+                        ELSE {_MP3_FS[1]} END AS fs,
+                   CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS xing
+            FROM documents
+        ),
+        per AS (
+            SELECT source,
+                   greatest((pl + fs - 5) // (fs - 4), 1) + xing
+                       AS n_frames,
+                   fs
+            FROM clips
+        )
+        SELECT source,
+               CAST(sum(n_frames) AS BIGINT) AS n_frames,
+               CAST(sum(n_frames * 1152) AS BIGINT) AS total_samples,
+               CAST(sum(n_frames * 1152 * 1000 // {MP3_RATE})
+                    AS BIGINT) AS duration_ms,
+               CAST(sum(n_frames * fs) AS BIGINT) AS stream_bytes
+        FROM per GROUP BY source ORDER BY source
+"""
+
+
+def _media_doc_table(spark, sf_dir: str) -> DataFrame:
+    return load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def multimodal_image_qoi_stats(spark, sf_dir):
+    """QOI images (the 2022 public-domain spec, `core/qoicodec.py`)
+    round-tripped per document: synthesize the closed-form RGB raster,
+    encode with all six chunk ops live, decode back in the SAME
+    executor, and aggregate integer statistics over the DECODED bytes
+    — the oracle recomputes them from the closed form, so a single
+    wrong DIFF bias or index-hash slot hash-mismatches.
+
+    100 TB shape: one mapInPandas stage (encode+decode are per-row,
+    no cross-row state), single per-source aggregate exchange."""
+    from ..core.qoicodec import decode_qoi, encode_qoi
+
+    prep(spark)
+    d = _media_doc_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, npx, sums, maxs = [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                h = (int(n_chars or 0) % QOI_H_MOD) + 2
+                j = np.arange(h * QOI_W * 3, dtype=np.int64)
+                raster = ((int(doc_id) * 7 + 3 * j) % 256).astype(
+                    np.uint8
+                ).reshape(h, QOI_W, 3)
+                w2, h2, ch, cs, dec = decode_qoi(encode_qoi(raster))
+                if (w2, h2, ch) != (QOI_W, h, 3):
+                    raise ValueError(
+                        f"doc {doc_id}: QOI header drifted "
+                        f"{(w2, h2, ch)}"
+                    )
+                s = dec.astype(np.int64)
+                srcs.append(source)
+                npx.append(h * QOI_W)
+                sums.append(int(s.sum()))
+                maxs.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_pixels": pd.Series(npx, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "max_byte": pd.Series(maxs, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _QOI_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum("n_pixels").cast("bigint").alias("total_pixels"),
+            F.sum("byte_sum").cast("bigint").alias("byte_sum"),
+            F.max("max_byte").cast("bigint").alias("max_byte"),
+        )
+        .orderBy("source")
+    )
+
+
+def multimodal_image_jls_stats(spark, sf_dir):
+    """JPEG-LS / LOCO-I (ITU-T T.87, `core/jlscodec.py`) round-trip
+    per document: closed-form grayscale gradient rasters through the
+    context-modeling encoder and back; integer statistics over the
+    decoded pixels, oracle-recomputed from the closed form.  T.87 is
+    LOSSLESS in default near=0 mode, so equality is exact.
+
+    100 TB shape: identical to the QOI path — one mapInPandas stage,
+    one per-source aggregate exchange."""
+    from ..core.jlscodec import decode_jls, encode_jls
+
+    prep(spark)
+    d = _media_doc_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, npx, sums, maxs = [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                h = (int(n_chars or 0) % JLS_H_MOD) + 2
+                j = np.arange(h * JLS_W, dtype=np.int64)
+                raster = ((int(doc_id) * 11 + 5 * j) % 256).astype(
+                    np.uint8
+                ).reshape(h, JLS_W)
+                w2, h2, dec = decode_jls(encode_jls(raster))
+                if (w2, h2) != (JLS_W, h):
+                    raise ValueError(
+                        f"doc {doc_id}: JLS header drifted {(w2, h2)}"
+                    )
+                s = dec.astype(np.int64)
+                srcs.append(source)
+                npx.append(h * JLS_W)
+                sums.append(int(s.sum()))
+                maxs.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_pixels": pd.Series(npx, dtype="int64"),
+                    "byte_sum": pd.Series(sums, dtype="int64"),
+                    "max_byte": pd.Series(maxs, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _JLS_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_images"),
+            F.sum("n_pixels").cast("bigint").alias("total_pixels"),
+            F.sum("byte_sum").cast("bigint").alias("byte_sum"),
+            F.max("max_byte").cast("bigint").alias("max_byte"),
+        )
+        .orderBy("source")
+    )
+
+
+def multimodal_audio_mp3_walk(spark, sf_dir):
+    """MPEG-audio frame walk (`core/mp3codec.py`): per document a
+    REAL MPEG-1 Layer III stream — opaque frame bodies (the
+    perceptual payload is the documented library seam, exactly like
+    MP4), but every header field, frame boundary, Xing block and
+    sample-count derivation is first-party and closed-form.  kbps
+    rotates 128/192 by doc parity; every third doc carries a Xing
+    frame whose frame/byte counts the walker cross-validates.
+
+    100 TB shape: one mapInPandas stage, per-source aggregate."""
+    from ..core.mp3codec import encode_mp3, parse_mp3
+
+    prep(spark)
+    d = _media_doc_table(spark, sf_dir)
+    k0, k1 = MP3_KBPS
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, nfs, tss, dms, sbs = [], [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                pl = int(n_chars or 0) * 3 + 40
+                payload = bytes(
+                    (did + i) % 256 for i in range(pl)
+                )
+                kb = k0 if did % 2 == 0 else k1
+                xing = did % 3 == 0
+                data = encode_mp3(
+                    payload,
+                    bitrate_kbps=kb,
+                    rate=MP3_RATE,
+                    xing=xing,
+                )
+                info = parse_mp3(data)
+                if xing:
+                    xi = info["xing"]
+                    if xi is None or xi["frames"] != info["n_frames"]:
+                        raise ValueError(
+                            f"doc {doc_id}: Xing frame count drifted"
+                        )
+                if info["is_vbr"]:
+                    raise ValueError(f"doc {doc_id}: CBR stream read VBR")
+                srcs.append(source)
+                nfs.append(info["n_frames"])
+                tss.append(info["total_samples"])
+                dms.append(info["duration_ms"])
+                sbs.append(info["stream_bytes"])
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_frames": pd.Series(nfs, dtype="int64"),
+                    "total_samples": pd.Series(tss, dtype="int64"),
+                    "duration_ms": pd.Series(dms, dtype="int64"),
+                    "stream_bytes": pd.Series(sbs, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _MP3_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.sum("n_frames").cast("bigint").alias("n_frames"),
+            F.sum("total_samples").cast("bigint").alias("total_samples"),
+            F.sum("duration_ms").cast("bigint").alias("duration_ms"),
+            F.sum("stream_bytes").cast("bigint").alias("stream_bytes"),
+        )
+        .orderBy("source")
+    )

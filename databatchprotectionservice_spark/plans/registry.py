@@ -251,7 +251,12 @@ REGISTERED_IN: dict[str, int] = {
 # sf0.01 + sf0.1, unit-tested in tests/test_pipeline_filters.py):
 #   text_gopher_rules (Gopher quality-rule battery, pure codegen),
 #   dedup_substring_coverage (Lee et al. exact-substring duplication
-#   coverage, inverted-index shape)
+#   coverage, inverted-index shape),
+#   multimodal_video_mjpeg_stats (registers r10 per the SURVEY window
+#   note), multimodal_image_qoi_stats, multimodal_image_jls_stats,
+#   multimodal_audio_mp3_walk, ingest_ogg_packets, ingest_mkv_tracks
+#   (the five orphan codecs — qoi/jls/mp3/ogg/mkv — now each carry an
+#   oracle-gated query; the codec unit batteries predate the queries)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

@@ -86,6 +86,19 @@ def staged_manifest():
         "multimodal_video_mjpeg_stats": (
             multimodal.multimodal_video_mjpeg_stats,
             multimodal.MJPEG_STATS_ORACLE),
+        "multimodal_image_qoi_stats": (
+            multimodal.multimodal_image_qoi_stats,
+            multimodal.QOI_STATS_ORACLE),
+        "multimodal_image_jls_stats": (
+            multimodal.multimodal_image_jls_stats,
+            multimodal.JLS_STATS_ORACLE),
+        "multimodal_audio_mp3_walk": (
+            multimodal.multimodal_audio_mp3_walk,
+            multimodal.MP3_WALK_ORACLE),
+        "ingest_ogg_packets": (
+            ingest.ingest_ogg_packets, ingest.OGG_PACKETS_ORACLE),
+        "ingest_mkv_tracks": (
+            ingest.ingest_mkv_tracks, ingest.MKV_TRACKS_ORACLE),
     }
 
 
