@@ -2225,3 +2225,163 @@ def multimodal_audio_mp3_walk(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# G.711 companded WAV decode (staged r11)
+# ---------------------------------------------------------------------------
+
+#: G.711 fixture: (n_chars % 40) + 25 samples whose CODE bytes follow
+#: (doc_id + 7i) % 256 — all 256 codes cycle; mu-law on even docs,
+#: A-law on odd.  Samples are synthesized as the codec LUT's decoded
+#: levels, so encode (nearest-level) -> container -> decode is exact;
+#: the ORACLE restates the expansion from the ITU G.711 segment
+#: arithmetic (the public g711.c formulas) — codec-vs-spec, not
+#: table-vs-itself.
+G711_N_MOD = 40
+
+G711_STATS_ORACLE = f"""
+        WITH clips AS (
+            SELECT source, doc_id, (n_chars % {G711_N_MOD}) + 25 AS n
+            FROM documents
+        ),
+        per AS (
+            SELECT source, n,
+                   list_transform(range(0, n), i ->
+                     CASE WHEN doc_id % 2 = 0 THEN
+                       -- mu-law expand: complement, segment form
+                       CASE WHEN xor((doc_id + 7 * i) % 256, 255) >= 128
+                         THEN -((((xor((doc_id + 7 * i) % 256, 255) % 16)
+                                  * 8 + 132)
+                                 << ((xor((doc_id + 7 * i) % 256, 255)
+                                      // 16) % 8)) - 132)
+                         ELSE ((((xor((doc_id + 7 * i) % 256, 255) % 16)
+                                 * 8 + 132)
+                                << ((xor((doc_id + 7 * i) % 256, 255)
+                                     // 16) % 8)) - 132)
+                       END
+                     ELSE
+                       -- A-law expand: 0x55 toggle, seg-0 linear,
+                       -- sign bit SET means POSITIVE
+                       CASE WHEN xor((doc_id + 7 * i) % 256, 85) >= 128
+                         THEN CASE
+                           WHEN (xor((doc_id + 7 * i) % 256, 85) // 16)
+                                % 8 = 0
+                           THEN (xor((doc_id + 7 * i) % 256, 85) % 16)
+                                * 16 + 8
+                           ELSE ((xor((doc_id + 7 * i) % 256, 85) % 16)
+                                 * 16 + 264)
+                                << (((xor((doc_id + 7 * i) % 256, 85)
+                                      // 16) % 8) - 1)
+                         END
+                         ELSE -(CASE
+                           WHEN (xor((doc_id + 7 * i) % 256, 85) // 16)
+                                % 8 = 0
+                           THEN (xor((doc_id + 7 * i) % 256, 85) % 16)
+                                * 16 + 8
+                           ELSE ((xor((doc_id + 7 * i) % 256, 85) % 16)
+                                 * 16 + 264)
+                                << (((xor((doc_id + 7 * i) % 256, 85)
+                                      // 16) % 8) - 1)
+                         END)
+                       END
+                     END) AS vals
+            FROM clips
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_clips,
+               CAST(sum(n) AS BIGINT) AS n_samples,
+               CAST(sum(list_aggregate(vals, 'sum')) AS BIGINT)
+                   AS sample_sum,
+               CAST(min(list_min(vals)) AS BIGINT) AS min_sample,
+               CAST(max(list_max(vals)) AS BIGINT) AS max_sample
+        FROM per GROUP BY source ORDER BY source
+"""
+
+_G711_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("sample_sum", T.LongType()),
+        T.StructField("min_sample", T.LongType()),
+        T.StructField("max_sample", T.LongType()),
+    ]
+)
+
+
+def multimodal_audio_g711_stats(spark, sf_dir):
+    """G.711 companded telephony WAV (`core/audiocodec.py`, format
+    tags 6/7) decoded end-to-end: per document a REAL RIFF/WAVE file
+    whose mu-law (even docs) or A-law (odd) code bytes cycle all 256
+    values, decoded back through the expansion LUTs; integer sample
+    statistics per source.  The oracle restates the expansion from
+    the ITU segment arithmetic — a wrong sign convention (A-law's
+    sign bit SET means POSITIVE, the classic interop trap), a missed
+    0x55 toggle, or an off-by-one bias hash-mismatches.
+
+    100 TB shape: the media template — one mapInPandas stage,
+    per-source aggregate."""
+    from ..core.audiocodec import (
+        _alaw_decode_table,
+        _ulaw_decode_table,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    prep(spark)
+    d = _media_doc_table(spark, sf_dir)
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ulut = _ulaw_decode_table()
+        alut = _alaw_decode_table()
+        for pdf in batches:
+            srcs, nss, sms, mns, mxs = [], [], [], [], []
+            for doc_id, source, n_chars in zip(
+                pdf["doc_id"], pdf["source"], pdf["n_chars"]
+            ):
+                did = int(doc_id)
+                n = (int(n_chars or 0) % G711_N_MOD) + 25
+                codes = (did + 7 * np.arange(n, dtype=np.int64)) % 256
+                law = "ulaw" if did % 2 == 0 else "alaw"
+                lut = ulut if law == "ulaw" else alut
+                samples = lut[codes].astype(np.int16)
+                rate, ch, dec = decode_wav(
+                    encode_wav_g711(samples, rate=8000, law=law)
+                )
+                if (rate, ch) != (8000, 1):
+                    raise ValueError(
+                        f"doc {doc_id}: header drifted {(rate, ch)}"
+                    )
+                dec = dec.reshape(-1)
+                if not np.array_equal(dec, samples):
+                    raise ValueError(
+                        f"doc {doc_id}: companding round-trip diverged"
+                    )
+                s = dec.astype(np.int64)
+                srcs.append(source)
+                nss.append(n)
+                sms.append(int(s.sum()))
+                mns.append(int(s.min()))
+                mxs.append(int(s.max()))
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "n_samples": pd.Series(nss, dtype="int64"),
+                    "sample_sum": pd.Series(sms, dtype="int64"),
+                    "min_sample": pd.Series(mns, dtype="int64"),
+                    "max_sample": pd.Series(mxs, dtype="int64"),
+                }
+            )
+
+    dec = d.mapInPandas(_stats, _G711_STATS_SCHEMA)
+    return (
+        dec.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clips"),
+            F.sum("n_samples").cast("bigint").alias("n_samples"),
+            F.sum("sample_sum").cast("bigint").alias("sample_sum"),
+            F.min("min_sample").cast("bigint").alias("min_sample"),
+            F.max("max_sample").cast("bigint").alias("max_sample"),
+        )
+        .orderBy("source")
+    )

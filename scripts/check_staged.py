@@ -99,6 +99,9 @@ def staged_manifest():
             ingest.ingest_ogg_packets, ingest.OGG_PACKETS_ORACLE),
         "ingest_mkv_tracks": (
             ingest.ingest_mkv_tracks, ingest.MKV_TRACKS_ORACLE),
+        "multimodal_audio_g711_stats": (
+            multimodal.multimodal_audio_g711_stats,
+            multimodal.G711_STATS_ORACLE),
     }
 
 
