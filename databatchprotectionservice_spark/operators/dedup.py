@@ -1458,3 +1458,142 @@ def dedup_substring_coverage(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 three-span keep-first dedup (staged for r11 registration)
+# ---------------------------------------------------------------------------
+
+#: consecutive sentence-units per deduplicated span (C4's "any
+#: three-sentence span occurring more than once" — Raffel et al. 2020
+#: §2.2).  The corpus has no sentence punctuation, so the sentence
+#: unit is ONE word (the same corpus-adaptation `text_c4_rules` and
+#: the Gopher thresholds document); the span is therefore a word
+#: trigram, which keeps the duplicate rate realistic on the
+#: fixed-vocabulary corpus instead of degenerate-zero.
+C4_SPAN_UNITS = 3
+
+#: r11 registration oracle — identical span construction plus the
+#: keep-first rule restated with a window function: the occurrence
+#: with the smallest (doc_id, t) keeps the span, every other
+#: occurrence is removed (C4 removes "all but one").
+C4_SPANS_ORACLE = f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(coalesce(text, '')),
+                                         '\\s+') AS ws
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source,
+                   unnest(range(0, greatest(len(ws) - {C4_SPAN_UNITS - 1},
+                                            0))) AS t,
+                   ws
+            FROM w
+        ),
+        sp AS (
+            SELECT doc_id, source, t,
+                   array_to_string(
+                       list_slice(ws, t + 1, t + {C4_SPAN_UNITS}), ' ')
+                       AS span
+            FROM s
+        ),
+        r AS (
+            SELECT source,
+                   row_number() OVER (PARTITION BY span
+                                      ORDER BY doc_id, t) AS rn
+            FROM sp
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_spans,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_spans,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed_spans
+        FROM r GROUP BY source ORDER BY source
+"""
+
+
+def dedup_c4_spans(spark, sf_dir):
+    """C4 span-level dedup with keep-FIRST attribution (Raffel et al.
+    2020 §2.2: "discarded all but one of any three-sentence span
+    occurring more than once"): per source, how many span positions
+    exist, how many are the canonical kept occurrence, and how many
+    would be removed.  Sibling of ``dedup_substring_coverage`` (which
+    measures duplicated-position COVERAGE with no keeper): this one
+    carries C4's removal semantics — exactly one occurrence of every
+    duplicated span survives, the one with the smallest (doc_id,
+    position), and the removal counts attribute to the LOSING
+    document's source.
+
+    100 TB shape: spans are built row-locally (sequence/slice
+    codegen, zero Python), then ONE hash aggregate on the span string
+    with map-side combine computes, per span, the total occurrence
+    count and the winning (doc_id, t, source) via ``min(struct(...))``
+    — no global sort, no window over the full span set (the oracle's
+    row_number restates the same keeper rule declaratively; the Spark
+    plan keeps the partial-aggregation shape because duplicate spans
+    combine before the shuffle).  A second tiny aggregate folds
+    per-source counters.  At production scale the span string becomes
+    a 128-bit hash to shrink the shuffle; the gate groups on the raw
+    string so it is collision-free by construction.
+    """
+    prep(spark)
+    U = C4_SPAN_UNITS
+    d = load_spread(spark, sf_dir, "documents")
+    d2 = d.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+        ).alias("ws"),
+    ).filter(F.size("ws") >= U)
+    spans = (
+        d2.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, size(ws) - {U}), t ->"
+                    f" struct(t as t, array_join(slice(ws, t+1, {U}),"
+                    f" ' ') as span))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.col("s.t").alias("t"),
+            F.col("s.span").alias("span"),
+        )
+    )
+    # one combinable aggregate per (span, source): local occurrence
+    # count + the span-global keeper via min(struct) re-aggregated
+    per_span = spans.groupBy("span").agg(
+        F.count(F.lit(1)).alias("occ"),
+        F.min(F.struct("doc_id", "t", "source")).alias("keeper"),
+    )
+    # keeper's source gets exactly 1 kept span; every source's total
+    # span positions come from a separate cheap per-source count
+    kept = (
+        per_span.groupBy(F.col("keeper.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_kept_spans"))
+    )
+    totals = spans.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_spans")
+    )
+    return (
+        totals.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            F.coalesce(F.col("n_kept_spans"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_spans"),
+            (
+                F.col("n_spans")
+                - F.coalesce(F.col("n_kept_spans"), F.lit(0))
+            ).cast("bigint").alias("n_removed_spans"),
+        )
+        .orderBy("source")
+    )

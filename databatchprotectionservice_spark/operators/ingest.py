@@ -2477,3 +2477,164 @@ def ingest_mkv_tracks(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC (Feather V2) shards — the interchange-format walk
+# ---------------------------------------------------------------------------
+
+#: rows per record batch inside each IPC shard file; deliberately odd
+#: and smaller than SHARD_DOCS so every shard exercises multi-batch
+#: framing with a ragged tail batch
+IPC_CHUNK = 7
+
+#: facts the from-scratch flatbuffers walk recovers from REAL
+#: pyarrow-written IPC files, restated arithmetically: batch count is
+#: ceil(rows/chunk) by the writer's max_chunksize contract, text bytes
+#: are the decoded utf8 payload (NULL contributes nothing).
+ARROW_IPC_ORACLE = f"""
+        WITH sh AS (
+            SELECT source,
+                   doc_id // {SHARD_DOCS} AS shard_id,
+                   count(*) AS n_rows,
+                   (count(*) + {IPC_CHUNK - 1}) // {IPC_CHUNK}
+                       AS n_batches,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(coalesce(octet_length(encode(text)), 0))
+                        AS BIGINT) AS text_bytes,
+                   CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_null_text
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_batches) AS BIGINT) AS n_batches,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(text_bytes) AS BIGINT) AS text_bytes,
+               CAST(sum(n_null_text) AS BIGINT) AS n_null_text
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_ARROW_IPC_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("text_bytes", T.LongType()),
+        T.StructField("n_null_text", T.LongType()),
+    ]
+)
+
+
+def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
+    """Arrow IPC (Feather V2) shard build + full-data walk.
+
+    The interchange-format sibling of the ORC/Avro shard queries, and
+    the deepest of the walks: each shard group is written as a REAL
+    Arrow IPC file by pyarrow (the independent producer), and the
+    from-scratch reader (`core/arrowipc.py` — including a hand-rolled
+    flatbuffers decoder for the Footer/Message/Schema/RecordBatch
+    tables) reads EVERY VALUE back out of the raw bytes.  Executors
+    assert: leading/trailing magic + footer framing, stream-schema ==
+    footer-schema, schema is exactly (doc_id int64 NOT NULL-free,
+    text utf8), batch sizes honor the writer's max_chunksize contract
+    (ceil(rows/{IPC_CHUNK}) batches), and the decoded columns —
+    nulls included — equal the shard's own rows byte-for-byte.  The
+    oracle restates the surviving aggregates from ``documents``.
+
+    100 TB: one shuffle on the shard key (the same repartition a real
+    shard writer pays); the walk is Arrow-batched Python with zero
+    per-row JVM crossings, and a real deployment walks the footer +
+    per-block regions without materializing more than one batch.
+    """
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import read_arrow_ipc
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = [int(i) for i in pdf["doc_id"]]
+        texts = [None if v is None else str(v) for v in pdf["text"]]
+        t = pa_.table(
+            {
+                "doc_id": pa_.array(doc_ids, pa_.int64()),
+                "text": pa_.array(texts, pa_.string()),
+            }
+        )
+        buf = io.BytesIO()
+        with pa_ipc.new_file(buf, t.schema) as w:
+            for batch in t.to_batches(max_chunksize=IPC_CHUNK):
+                w.write_batch(batch)
+        data = buf.getvalue()
+
+        got = read_arrow_ipc(data)
+        names = [f.name for f in got["fields"]]
+        types = [f.type_name for f in got["fields"]]
+        if names != ["doc_id", "text"] or types != ["int64", "utf8"]:
+            raise ValueError(f"IPC schema drifted: {names}/{types}")
+        want_batches = (len(doc_ids) + IPC_CHUNK - 1) // IPC_CHUNK
+        sizes = [b["length"] for b in got["batches"]]
+        if len(sizes) != want_batches or sum(sizes) != len(doc_ids):
+            raise ValueError(
+                f"batch accounting drifted: {sizes} for {len(doc_ids)}"
+            )
+        if any(s != IPC_CHUNK for s in sizes[:-1]) or (
+            sizes and not 1 <= sizes[-1] <= IPC_CHUNK
+        ):
+            raise ValueError(f"max_chunksize contract broken: {sizes}")
+        got_ids = [v for b in got["batches"] for v in b["columns"][0]]
+        got_texts = [v for b in got["batches"] for v in b["columns"][1]]
+        if got_ids != doc_ids or got_texts != texts:
+            raise ValueError("decoded IPC values drifted from the shard")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(doc_ids)], dtype="int64"),
+                "n_batches": pd.Series([len(sizes)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(doc_ids)], dtype="int64"),
+                "text_bytes": pd.Series(
+                    [
+                        sum(
+                            len(v.encode("utf-8"))
+                            for v in got_texts
+                            if v is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_null_text": pd.Series(
+                    [sum(1 for v in got_texts if v is None)],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _ARROW_IPC_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_batches").cast("bigint").alias("n_batches"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("text_bytes").cast("bigint").alias("text_bytes"),
+            F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+        )
+        .orderBy("source")
+    )

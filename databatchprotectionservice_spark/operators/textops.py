@@ -1817,3 +1817,163 @@ def text_gopher_rules(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/page cleaning battery (staged for r11 registration)
+# ---------------------------------------------------------------------------
+
+#: words per manufactured "line" — the corpus has no newlines, so the
+#: C4 line unit is modeled as consecutive K-word groups (the same
+#: corpus-adaptation the Gopher battery documents for its thresholds)
+C4_LINE_WORDS = 8
+#: C4 line rule: at least this many words per retained line
+C4_MIN_LINE_WORDS = 5
+#: C4 badword-list stand-in (the corpus vocabulary is fixed word soup;
+#: membership against a frozen blocklist is the rule SHAPE being tested)
+C4_BADWORD = "slow"
+#: C4 "page contains '{'" stand-in — a whole-page policy drop on one
+#: marker word
+C4_POLICY_WORD = "vector"
+#: C4 "lorem ipsum" stand-in — a whole-page policy drop on one phrase
+C4_POLICY_PHRASE = "slow fast"
+#: C4 page rule: at least this many retained lines, else drop the page
+C4_MIN_KEPT_LINES = 3
+#: terminal-punctuation model: the crawler fixture ends line j of doc d
+#: with terminal punctuation iff (d + j) % 3 != 0 — closed-form so both
+#: engines restate it arithmetically (the corpus itself carries none)
+
+K4 = C4_LINE_WORDS
+
+C4_RULES_ORACLE = f"""
+        WITH w AS (
+            SELECT doc_id, source,
+                   regexp_split_to_array(trim(coalesce(text, '')),
+                                         '\\s+') AS ws,
+                   coalesce(text, '') LIKE '%{C4_POLICY_PHRASE}%'
+                       AS phrase
+            FROM documents
+        ),
+        m AS (
+            SELECT source,
+                   (len(ws) + {K4 - 1}) // {K4} AS nl,
+                   len(list_filter(range(0, (len(ws) + {K4 - 1}) // {K4}),
+                       j -> (doc_id + j) % 3 = 0)) AS fail_punct,
+                   len(list_filter(range(0, (len(ws) + {K4 - 1}) // {K4}),
+                       j -> len(list_slice(ws, j*{K4}+1, j*{K4}+{K4}))
+                            < {C4_MIN_LINE_WORDS})) AS fail_short,
+                   len(list_filter(range(0, (len(ws) + {K4 - 1}) // {K4}),
+                       j -> list_contains(
+                           list_slice(ws, j*{K4}+1, j*{K4}+{K4}),
+                           '{C4_BADWORD}'))) AS fail_badword,
+                   len(list_filter(range(0, (len(ws) + {K4 - 1}) // {K4}),
+                       j -> (doc_id + j) % 3 != 0
+                            AND len(list_slice(ws, j*{K4}+1, j*{K4}+{K4}))
+                                >= {C4_MIN_LINE_WORDS}
+                            AND NOT list_contains(
+                                list_slice(ws, j*{K4}+1, j*{K4}+{K4}),
+                                '{C4_BADWORD}'))) AS kept_lines,
+                   (list_contains(ws, '{C4_POLICY_WORD}') OR phrase)
+                       AS policy
+            FROM w
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nl) AS BIGINT) AS n_lines,
+               CAST(sum(fail_punct) AS BIGINT) AS fail_punct,
+               CAST(sum(fail_short) AS BIGINT) AS fail_short,
+               CAST(sum(fail_badword) AS BIGINT) AS fail_badword,
+               CAST(sum(kept_lines) AS BIGINT) AS kept_lines,
+               CAST(sum(CASE WHEN policy THEN 1 ELSE 0 END) AS BIGINT)
+                   AS docs_policy_dropped,
+               CAST(sum(CASE WHEN NOT policy
+                              AND kept_lines >= {C4_MIN_KEPT_LINES}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept
+        FROM m GROUP BY source ORDER BY source
+"""
+
+
+def text_c4_rules(spark, sf_dir):
+    """C4-style cleaning battery (Raffel et al. 2020, 'Exploring the
+    Limits of Transfer Learning with T5', §2.2 — the public C4 rules;
+    Dodge et al. 2021 documents the corpus effects): per source, how
+    many manufactured lines fail each line rule, how many pages are
+    policy-dropped, and how many pages survive the full filter.
+
+    Rule mapping onto this corpus (documented stand-ins, same shapes):
+      L1 line ends in terminal punctuation — the crawler fixture
+         punctuates line j of doc d iff (d + j) % 3 != 0 (closed-form
+         arithmetic restated by the oracle; the corpus carries none)
+      L2 line has >= {C4_MIN_LINE_WORDS} words (only tail lines can
+         fail at {C4_LINE_WORDS}-word grouping)
+      L3 line contains no blocklisted word ('{C4_BADWORD}')
+      P1 page contains the code marker ('{C4_POLICY_WORD}' standing in
+         for C4's '{{') -> whole page dropped
+      P2 page contains the boilerplate phrase ('{C4_POLICY_PHRASE}'
+         standing in for 'lorem ipsum') -> whole page dropped
+      P3 page keeps >= {C4_MIN_KEPT_LINES} lines after L1-L3, else
+         dropped (C4's >=3-sentence floor)
+
+    100 TB shape: every rule is a row-local codegen expression over
+    the split word array (sequence/filter/slice lambdas run JVM-side,
+    zero Python, zero UDF); the only shuffle is the final per-source
+    aggregate of seven counters — the canonical map-side-only cleaning
+    gate in front of a training-data pipeline, same plan class as
+    ``text_gopher_rules``.
+    """
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    k, mw = C4_LINE_WORDS, C4_MIN_LINE_WORDS
+    d2 = d.select(
+        "doc_id",
+        "source",
+        F.split(
+            F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+        ).alias("ws"),
+        F.coalesce(F.col("text"), F.lit(""))
+        .contains(C4_POLICY_PHRASE)
+        .alias("phrase"),
+    )
+    seq = f"sequence(0, (size(ws) + {k - 1}) div {k} - 1)"
+    line = f"slice(ws, j*{k}+1, {k})"
+    m = d2.select(
+        "source",
+        F.expr(f"(size(ws) + {k - 1}) div {k}").alias("nl"),
+        F.expr(
+            f"size(filter({seq}, j -> (doc_id + j) % 3 = 0))"
+        ).alias("fail_punct"),
+        F.expr(
+            f"size(filter({seq}, j -> size({line}) < {mw}))"
+        ).alias("fail_short"),
+        F.expr(
+            f"size(filter({seq}, j -> array_contains({line},"
+            f" '{C4_BADWORD}')))"
+        ).alias("fail_badword"),
+        F.expr(
+            f"size(filter({seq}, j -> (doc_id + j) % 3 != 0"
+            f" and size({line}) >= {mw}"
+            f" and not array_contains({line}, '{C4_BADWORD}')))"
+        ).alias("kept_lines"),
+        (
+            F.array_contains(F.col("ws"), C4_POLICY_WORD)
+            | F.col("phrase")
+        ).alias("policy"),
+    )
+    ind = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("bigint")  # noqa: E731
+    return (
+        m.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("nl").cast("bigint").alias("n_lines"),
+            F.sum("fail_punct").cast("bigint").alias("fail_punct"),
+            F.sum("fail_short").cast("bigint").alias("fail_short"),
+            F.sum("fail_badword").cast("bigint").alias("fail_badword"),
+            F.sum("kept_lines").cast("bigint").alias("kept_lines"),
+            ind(F.col("policy")).alias("docs_policy_dropped"),
+            ind(
+                (~F.col("policy"))
+                & (F.col("kept_lines") >= C4_MIN_KEPT_LINES)
+            ).alias("docs_kept"),
+        )
+        .orderBy("source")
+    )

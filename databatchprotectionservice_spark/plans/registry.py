@@ -256,7 +256,12 @@ REGISTERED_IN: dict[str, int] = {
 #   note), multimodal_image_qoi_stats, multimodal_image_jls_stats,
 #   multimodal_audio_mp3_walk, ingest_ogg_packets, ingest_mkv_tracks
 #   (the five orphan codecs — qoi/jls/mp3/ogg/mkv — now each carry an
-#   oracle-gated query; the codec unit batteries predate the queries)
+#   oracle-gated query; the codec unit batteries predate the queries),
+#   text_c4_rules (C4 line/page cleaning battery, Raffel et al. 2020
+#   §2.2, pure codegen), dedup_c4_spans (C4 keep-first span removal,
+#   min-struct aggregate shape — no global window sort),
+#   ingest_arrow_ipc (Feather V2 full-data walk on a from-scratch
+#   flatbuffers decoder, pyarrow as the independent producer)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

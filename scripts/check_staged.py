@@ -102,6 +102,12 @@ def staged_manifest():
         "multimodal_audio_g711_stats": (
             multimodal.multimodal_audio_g711_stats,
             multimodal.G711_STATS_ORACLE),
+        "text_c4_rules": (
+            textops.text_c4_rules, textops.C4_RULES_ORACLE),
+        "dedup_c4_spans": (
+            dedup.dedup_c4_spans, dedup.C4_SPANS_ORACLE),
+        "ingest_arrow_ipc": (
+            ingest.ingest_arrow_ipc, ingest.ARROW_IPC_ORACLE),
     }
 
 

