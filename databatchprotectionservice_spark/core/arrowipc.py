@@ -511,3 +511,304 @@ def read_arrow_ipc(data: bytes) -> dict:
         body_bytes += body_len
         batches.append({"length": length, "columns": columns})
     return {"fields": fields, "batches": batches, "body_bytes": body_bytes}
+
+
+# ---------------------------------------------------------------------------
+# Write direction: a minimal flatbuffers BUILDER + IPC file encoder.
+# The independent referee is pyarrow's own reader (tests assert
+# pa.ipc.open_file() recovers the exact values), plus this module's
+# reader for the self-twin.
+# ---------------------------------------------------------------------------
+
+#: MetadataVersion enum, Schema.fbs declaration order (V1=0 .. V5=4)
+_METADATA_V5 = 4
+
+
+class _Builder:
+    """Back-to-front flatbuffers builder (the canonical algorithm from
+    the public FlatBuffers internals doc): bytes are PREPENDED, every
+    position is measured from the END of the final buffer, uoffsets
+    become ``field_pos - target_pos`` and the table soffset becomes
+    ``vtable_pos - table_pos`` (both positive here because referenced
+    data is always built first).  No vtable dedup — layout-optimal
+    output is not a goal, spec-valid output is."""
+
+    def __init__(self):
+        self.buf = bytearray()
+        self._vtable: list[tuple[int, int]] | None = None
+        self._table_mark = 0
+        self._minalign = 4
+
+    def _off(self) -> int:
+        return len(self.buf)
+
+    def _prepend(self, raw: bytes) -> int:
+        self.buf[:0] = raw
+        return self._off()
+
+    def _pad(self, align: int, tail: int = 0):
+        """Prepend zeros so that (len + tail) % align == 0.  All
+        interior alignment is end-relative; ``finish`` pads the HEAD
+        to the max alignment seen so the same positions are aligned
+        start-relative too (what strict verifiers check)."""
+        self._minalign = max(self._minalign, align)
+        while (len(self.buf) + tail) % align:
+            self.buf[:0] = b"\x00"
+
+    def push_scalar(self, fmt: str, value) -> int:
+        size = struct.calcsize(fmt)
+        self._pad(size, tail=size)
+        return self._prepend(struct.pack(fmt, value))
+
+    def create_string(self, s: str) -> int:
+        raw = s.encode("utf-8")
+        # pad FIRST so the u32 length lands 4-aligned with the
+        # nul-terminated payload immediately after it (padding must
+        # never separate a length prefix from its data)
+        self._pad(4, tail=len(raw) + 1 + 4)
+        self._prepend(raw + b"\x00")
+        return self._prepend(struct.pack("<I", len(raw)))
+
+    def create_offset_vector(self, offsets: list[int]) -> int:
+        """Vector of uoffsets to already-built tables/strings."""
+        self._pad(4, tail=4 * (len(offsets) + 1))
+        # elements front-to-back: element i sits at higher end-offset
+        raw = bytearray()
+        n = len(offsets)
+        base = self._off() + 4 * n  # end-offset of element 0 once placed
+        for i, target in enumerate(offsets):
+            elem_pos = base - 4 * i
+            raw += struct.pack("<I", elem_pos - target)
+        self._prepend(bytes(raw))
+        return self._prepend(struct.pack("<I", n))
+
+    def create_struct_vector(self, raw: bytes, count: int, align: int) -> int:
+        # both pads run BEFORE the payload: element region align-ed,
+        # u32 count 4-aligned and contiguous with the elements
+        self._pad(4, tail=len(raw) + 4)
+        self._pad(align, tail=len(raw))
+        self._prepend(raw)
+        return self._prepend(struct.pack("<I", count))
+
+    # -- tables ---------------------------------------------------------
+    def start_table(self):
+        assert self._vtable is None, "nested start_table"
+        self._vtable = []
+        self._table_mark = self._off()
+
+    def add_scalar(self, fid: int, fmt: str, value, default):
+        if value == default:
+            return
+        pos = self.push_scalar(fmt, value)
+        self._vtable.append((fid, pos))
+
+    def add_offset(self, fid: int, target: int | None):
+        if target is None:
+            return
+        self._pad(4, tail=4)
+        pos = self._prepend(b"\x00\x00\x00\x00")
+        # patch once position is known: value = pos - target
+        struct.pack_into("<I", self.buf, len(self.buf) - pos, pos - target)
+        self._vtable.append((fid, pos))
+
+    def end_table(self) -> int:
+        assert self._vtable is not None
+        fields = self._vtable
+        self._vtable = None
+        self._pad(4, tail=4)
+        table_pos = self._prepend(b"\x00\x00\x00\x00")  # soffset slot
+        max_fid = max((fid for fid, _ in fields), default=-1)
+        vt_bytes = 4 + 2 * (max_fid + 1)
+        table_bytes = table_pos - self._table_mark
+        vt = bytearray(struct.pack("<HH", vt_bytes, table_bytes))
+        slots = {fid: table_pos - fpos for fid, fpos in fields}
+        for fid in range(max_fid + 1):
+            vt += struct.pack("<H", slots.get(fid, 0))
+        self._pad(2, tail=len(vt))
+        vt_pos = self._prepend(bytes(vt))
+        struct.pack_into(
+            "<i", self.buf, len(self.buf) - table_pos, vt_pos - table_pos
+        )
+        return table_pos
+
+    def finish(self, root: int) -> bytes:
+        self._pad(self._minalign, tail=4)
+        pos = self._prepend(b"\x00\x00\x00\x00")
+        struct.pack_into("<I", self.buf, 0, pos - root)
+        return bytes(self.buf)
+
+
+def _fb_field(b: _Builder, spec: FieldSpec) -> int:
+    """Build one Schema.fbs Field table for a supported flat type."""
+    if spec.type_name.startswith(("int", "uint")):
+        b.start_table()
+        b.add_scalar(0, "<i", spec.bit_width, 0)
+        b.add_scalar(1, "<b", 0 if spec.type_name.startswith("u") else 1, 0)
+        type_t, tag = b.end_table(), _T_INT
+    elif spec.type_name.startswith("float"):
+        b.start_table()
+        b.add_scalar(0, "<h", 1 if spec.bit_width == 32 else 2, 0)
+        type_t, tag = b.end_table(), _T_FP
+    else:
+        b.start_table()
+        type_t = b.end_table()  # Utf8/Bool/Binary carry no fields
+        tag = {"utf8": _T_UTF8, "bool": _T_BOOL, "binary": _T_BINARY}[
+            spec.type_name
+        ]
+    name = b.create_string(spec.name)
+    b.start_table()
+    b.add_offset(0, name)
+    b.add_scalar(1, "<b", 1 if spec.nullable else 0, 0)
+    b.add_scalar(2, "<B", tag, 0)
+    b.add_offset(3, type_t)
+    return b.end_table()
+
+
+def _fb_schema(b: _Builder, fields: list[FieldSpec]) -> int:
+    fvec = b.create_offset_vector([_fb_field(b, f) for f in fields])
+    b.start_table()
+    b.add_scalar(0, "<h", 0, 1)  # endianness Little (non-default-proof)
+    b.add_offset(1, fvec)
+    return b.end_table()
+
+
+def _encapsulate(meta: bytes, body: bytes = b"") -> bytes:
+    pad = (-len(meta)) % 8
+    return (
+        struct.pack("<Ii", _CONTINUATION, len(meta) + pad)
+        + meta
+        + b"\x00" * pad
+        + body
+    )
+
+
+def _schema_message(fields: list[FieldSpec]) -> bytes:
+    b = _Builder()
+    schema = _fb_schema(b, fields)
+    b.start_table()
+    b.add_scalar(0, "<h", _METADATA_V5, 0)
+    b.add_scalar(1, "<B", _MSG_SCHEMA, 0)
+    b.add_offset(2, schema)
+    return _encapsulate(b.finish(b.end_table()))
+
+
+def _validity(col: list) -> tuple[bytes, int]:
+    nulls = sum(1 for v in col if v is None)
+    if not nulls:
+        return b"", 0
+    bits = bytearray((len(col) + 7) // 8)
+    for i, v in enumerate(col):
+        if v is not None:
+            bits[i >> 3] |= 1 << (i & 7)
+    return bytes(bits), nulls
+
+
+def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
+    validity, _ = _validity(col)
+    if spec.type_name in ("utf8", "binary"):
+        offs = [0]
+        payload = bytearray()
+        for v in col:
+            if v is not None:
+                payload += v.encode("utf-8") if spec.type_name == "utf8" else v
+            offs.append(len(payload))
+        return [
+            validity,
+            struct.pack(f"<{len(offs)}i", *offs),
+            bytes(payload),
+        ]
+    if spec.type_name == "bool":
+        bits = bytearray((len(col) + 7) // 8)
+        for i, v in enumerate(col):
+            if v:
+                bits[i >> 3] |= 1 << (i & 7)
+        return [validity, bytes(bits)]
+    arr = np.array(
+        [0 if v is None else v for v in col],
+        dtype=f"<{_NP_KIND[spec.type_name]}",
+    )
+    return [validity, arr.tobytes()]
+
+
+def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
+    length = len(columns[0]) if columns else 0
+    nodes = bytearray()
+    buf_meta = []
+    body = bytearray()
+    for spec, col in zip(fields, columns):
+        if len(col) != length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: ragged column in batch"
+            )
+        _, nulls = _validity(col)
+        nodes += struct.pack("<qq", length, nulls)
+        for raw in _column_buffers(spec, col):
+            off = len(body)
+            body += raw
+            body += b"\x00" * ((-len(body)) % 8)
+            buf_meta.append((off, len(raw)))
+    b = _Builder()
+    bufs_raw = b"".join(struct.pack("<qq", o, n) for o, n in buf_meta)
+    bvec = b.create_struct_vector(bufs_raw, len(buf_meta), 8)
+    nvec = b.create_struct_vector(bytes(nodes), len(fields), 8)
+    b.start_table()
+    b.add_scalar(0, "<q", length, 0)
+    b.add_offset(1, nvec)
+    b.add_offset(2, bvec)
+    rb = b.end_table()
+    b.start_table()
+    b.add_scalar(0, "<h", _METADATA_V5, 0)
+    b.add_scalar(1, "<B", _MSG_RECORD_BATCH, 0)
+    b.add_offset(2, rb)
+    b.add_scalar(3, "<q", len(body), 0)
+    return _encapsulate(b.finish(b.end_table()), bytes(body))
+
+
+def encode_arrow_ipc(
+    fields: list[FieldSpec], batches: list[list[list]]
+) -> bytes:
+    """Encode columns as a complete Arrow IPC FILE (Feather V2).
+
+    ``batches`` is a list of batches, each a list of per-field value
+    lists (``None`` marks nulls).  Output is readable by pyarrow's
+    ``ipc.open_file`` (the referee the tests drive) and by
+    :func:`read_arrow_ipc`.
+    """
+    out = bytearray(MAGIC + b"\x00\x00")
+    schema_msg = _schema_message(fields)
+    out += schema_msg
+    blocks = []
+    for columns in batches:
+        if len(columns) != len(fields):
+            raise ArrowIpcFormatError(
+                f"batch has {len(columns)} columns for {len(fields)} fields"
+            )
+        msg = _batch_message(fields, columns)
+        # split the encapsulated message back apart for the Block:
+        # metaDataLength includes the 8-byte prefix and padding
+        declared = struct.unpack_from("<i", msg, 4)[0]
+        blocks.append((len(out), 8 + declared, len(msg) - 8 - declared))
+        out += msg
+    out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream marker
+
+    b = _Builder()
+    schema = _fb_schema(b, fields)
+    # struct Block { long offset; int metaDataLength; long bodyLength; }
+    # — C layout pads the int to 8, stride 24
+    braw = b"".join(
+        struct.pack("<q", off) + struct.pack("<i", mlen)
+        + b"\x00\x00\x00\x00" + struct.pack("<q", blen)
+        for off, mlen, blen in blocks
+    )
+    bvec = b.create_struct_vector(braw, len(blocks), 8)
+    dvec = b.create_struct_vector(b"", 0, 8)
+    b.start_table()
+    b.add_scalar(0, "<h", _METADATA_V5, 0)
+    b.add_offset(1, schema)
+    b.add_offset(2, dvec)
+    b.add_offset(3, bvec)
+    footer = b.finish(b.end_table())
+    out += footer
+    out += struct.pack("<i", len(footer))
+    out += MAGIC
+    return bytes(out)

@@ -2638,3 +2638,113 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
+    """Arrow IPC delivery with the FROM-SCRATCH encoder — the write
+    twin of :func:`ingest_arrow_ipc`.
+
+    Per shard the executors build Arrow IPC files with
+    ``core/arrowipc.py``'s encoder — including its hand-rolled
+    flatbuffers BUILDER (back-to-front construction, vtables, unions,
+    struct vectors) — and then hand the bytes to TWO readers: pyarrow
+    (the independent referee: schema names/types, batch count and
+    every value must match) and this module's own reader (the
+    self-twin).  Same facts and oracle as the ingest direction, so a
+    framing bug in either direction breaks the staged gate.
+
+    100 TB: identical plan shape to the ingest twin — one shuffle on
+    the shard key, Arrow-batched Python, no driver materialization.
+    """
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import FieldSpec, encode_arrow_ipc, read_arrow_ipc
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+    )
+    fields = [
+        FieldSpec("doc_id", True, "int64", 64),
+        FieldSpec("text", True, "utf8", 0),
+    ]
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = [int(i) for i in pdf["doc_id"]]
+        texts = [None if v is None else str(v) for v in pdf["text"]]
+        batches = [
+            [doc_ids[i : i + IPC_CHUNK], texts[i : i + IPC_CHUNK]]
+            for i in range(0, len(doc_ids), IPC_CHUNK)
+        ]
+        data = encode_arrow_ipc(fields, batches)
+
+        # referee 1: the real library must read our bytes exactly
+        r = pa_ipc.open_file(io.BytesIO(data))
+        if r.num_record_batches != len(batches):
+            raise ValueError(
+                f"pyarrow sees {r.num_record_batches} batches, "
+                f"wrote {len(batches)}"
+            )
+        t = r.read_all()
+        if (
+            t.schema.names != ["doc_id", "text"]
+            or str(t.schema.types[0]) != "int64"
+            or str(t.schema.types[1]) != "string"
+        ):
+            raise ValueError(f"pyarrow sees schema {t.schema}")
+        if (
+            t.column(0).to_pylist() != doc_ids
+            or t.column(1).to_pylist() != texts
+        ):
+            raise ValueError("pyarrow decoded different values")
+        # referee 2: self-twin
+        got = read_arrow_ipc(data)
+        got_ids = [v for b in got["batches"] for v in b["columns"][0]]
+        got_texts = [v for b in got["batches"] for v in b["columns"][1]]
+        if got_ids != doc_ids or got_texts != texts:
+            raise ValueError("self-twin decoded different values")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(doc_ids)], dtype="int64"),
+                "n_batches": pd.Series([len(batches)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(doc_ids)], dtype="int64"),
+                "text_bytes": pd.Series(
+                    [
+                        sum(
+                            len(v.encode("utf-8"))
+                            for v in texts
+                            if v is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_null_text": pd.Series(
+                    [sum(1 for v in texts if v is None)], dtype="int64"
+                ),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _ARROW_IPC_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_batches").cast("bigint").alias("n_batches"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("text_bytes").cast("bigint").alias("text_bytes"),
+            F.sum("n_null_text").cast("bigint").alias("n_null_text"),
+        )
+        .orderBy("source")
+    )

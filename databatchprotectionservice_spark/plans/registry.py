@@ -261,7 +261,9 @@ REGISTERED_IN: dict[str, int] = {
 #   §2.2, pure codegen), dedup_c4_spans (C4 keep-first span removal,
 #   min-struct aggregate shape — no global window sort),
 #   ingest_arrow_ipc (Feather V2 full-data walk on a from-scratch
-#   flatbuffers decoder, pyarrow as the independent producer)
+#   flatbuffers decoder, pyarrow as the independent producer),
+#   export_arrow_ipc_shards (the write twin: from-scratch flatbuffers
+#   BUILDER emits IPC files pyarrow itself reads back value-exact)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

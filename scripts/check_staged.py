@@ -108,6 +108,8 @@ def staged_manifest():
             dedup.dedup_c4_spans, dedup.C4_SPANS_ORACLE),
         "ingest_arrow_ipc": (
             ingest.ingest_arrow_ipc, ingest.ARROW_IPC_ORACLE),
+        "export_arrow_ipc_shards": (
+            ingest.export_arrow_ipc_shards, ingest.ARROW_IPC_ORACLE),
     }
 
 

@@ -192,3 +192,93 @@ def test_mutation_battery():
             pass
     # most mutations must be caught structurally, not silently eaten
     assert survived < 3000
+
+
+# ---------------------------------------------------------------------------
+# Write direction: from-scratch flatbuffers builder + IPC encoder.
+# pyarrow is the independent REFEREE here (it must read our bytes).
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.core.arrowipc import (  # noqa: E402
+    FieldSpec,
+    encode_arrow_ipc,
+)
+
+_W_FIELDS = [
+    FieldSpec("a", True, "int64", 64),
+    FieldSpec("s", True, "utf8", 0),
+    FieldSpec("f", True, "float64", 64),
+    FieldSpec("b8", True, "bool", 1),
+    FieldSpec("u", True, "uint16", 16),
+    FieldSpec("raw", True, "binary", 0),
+]
+_W_BATCHES = [
+    [
+        [1, None, 3],
+        ["x", "héllo", None],
+        [1.5, None, -2.0],
+        [True, False, None],
+        [7, None, 65535],
+        [b"\x00\xff", None, b""],
+    ],
+    [[4], [""], [0.0], [None], [0], [b"abc"]],
+]
+_W_WANT = [
+    [1, None, 3, 4],
+    ["x", "héllo", None, ""],
+    [1.5, None, -2.0, 0.0],
+    [True, False, None, None],
+    [7, None, 65535, 0],
+    [b"\x00\xff", None, b"", b"abc"],
+]
+
+
+def test_encoder_pyarrow_referee():
+    data = encode_arrow_ipc(_W_FIELDS, _W_BATCHES)
+    r = pa.ipc.open_file(io.BytesIO(data))
+    assert r.num_record_batches == 2
+    assert r.schema.names == [f.name for f in _W_FIELDS]
+    t = r.read_all()
+    assert [t.column(i).to_pylist() for i in range(6)] == _W_WANT
+
+
+def test_encoder_self_twin():
+    data = encode_arrow_ipc(_W_FIELDS, _W_BATCHES)
+    out = read_arrow_ipc(data)
+    assert out["fields"] == _W_FIELDS
+    assert _columns(out) == _W_WANT
+
+
+def test_encoder_single_type_matrix_vs_pyarrow():
+    cases = [
+        (FieldSpec("x", True, "int8", 8), [-128, 0, None, 127]),
+        (FieldSpec("x", True, "int32", 32), [1, None, -(2**31)]),
+        (FieldSpec("x", True, "uint64", 64), [2**63, None, 0]),
+        (FieldSpec("x", True, "float32", 32), [0.5, None, -2.25]),
+        (FieldSpec("x", False, "int64", 64), list(range(100))),
+        (FieldSpec("x", True, "utf8", 0), ["", "汉字 \U0001f600", None]),
+    ]
+    for spec, col in cases:
+        data = encode_arrow_ipc([spec], [[col]])
+        t = pa.ipc.open_file(io.BytesIO(data)).read_all()
+        assert t.column(0).to_pylist() == col, spec
+        out = read_arrow_ipc(data)
+        assert _columns(out) == [col], spec
+
+
+def test_encoder_empty_batch_and_no_batches():
+    data = encode_arrow_ipc([FieldSpec("x", True, "int64", 64)], [])
+    assert pa.ipc.open_file(io.BytesIO(data)).read_all().num_rows == 0
+    data2 = encode_arrow_ipc([FieldSpec("x", True, "int64", 64)], [[[]]])
+    assert pa.ipc.open_file(io.BytesIO(data2)).read_all().num_rows == 0
+    assert read_arrow_ipc(data2)["batches"][0]["length"] == 0
+
+
+def test_encoder_ragged_batch_refused():
+    with pytest.raises(ArrowIpcFormatError, match="ragged"):
+        encode_arrow_ipc(
+            [FieldSpec("a", True, "int64", 64), FieldSpec("b", True, "int64", 64)],
+            [[[1, 2], [1]]],
+        )
+    with pytest.raises(ArrowIpcFormatError, match="columns"):
+        encode_arrow_ipc([FieldSpec("a", True, "int64", 64)], [[[1], [2]]])

@@ -26,6 +26,7 @@ from databatchprotectionservice_spark.operators.ingest import (
     WARC_CHAIN_ORACLE,
     WEBDATASET_TAR_ORACLE,
     ZIP_MEMBERS_ORACLE,
+    export_arrow_ipc_shards,
     ingest_arrow_ipc,
     ingest_avro_blocks,
     ingest_orc_shards,
@@ -106,9 +107,10 @@ def _rows(df):
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
         (ingest_arrow_ipc, ARROW_IPC_ORACLE),
+        (export_arrow_ipc_shards, ARROW_IPC_ORACLE),
     ],
     ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
-         "arrowipc"],
+         "arrowipc", "arrowipc_export"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -128,9 +130,10 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_tfexample_shards, TFEXAMPLE_SHARDS_ORACLE),
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
         (ingest_arrow_ipc, ARROW_IPC_ORACLE),
+        (export_arrow_ipc_shards, ARROW_IPC_ORACLE),
     ],
     ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
-         "arrowipc"],
+         "arrowipc", "arrowipc_export"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
