@@ -2748,3 +2748,101 @@ def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# CBOR event stream — the IETF standards-track sidecar wire format
+# ---------------------------------------------------------------------------
+
+#: same facts as the msgpack twin; timestamps ride RFC 8949 tag 4
+#: (decimal fraction [-6, epoch_us]) so the roundtrip stays
+#: integer-exact to the microsecond with no float in the path.
+CBOR_EVENTS_ORACLE = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def ingest_cbor_events(spark, sf_dir) -> DataFrame:
+    """Events through CBOR (RFC 8949), the standards-track twin of
+    :func:`ingest_msgpack_events`.
+
+    Each event row is encoded as a CBOR map (preferred-serialization
+    integers across width boundaries, text strings, float64 value,
+    null-able props, and the microsecond timestamp as a TAG 4 decimal
+    fraction ``[-6, epoch_us]`` — integer-exact, no float timestamp
+    anywhere), decoded back, and verified field-for-field including
+    the tag identity.  Aggregates come from the DECODED maps; the
+    oracle restates them from the table.
+
+    100 TB: narrow mapInPandas, no shuffle before the per-type
+    aggregate — the event-bus consumer shape shared with the msgpack
+    twin.
+    """
+    from ..core.cborcodec import CborTag, dumps, loads
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "props", "ts"
+    )
+
+    def _roundtrip(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            types, eids, uids, tss = [], [], [], []
+            for eid, uid, etype, val, props, ts in zip(
+                pdf["event_id"],
+                pdf["user_id"],
+                pdf["event_type"],
+                pdf["value"],
+                pdf["props"],
+                pdf["ts"],
+            ):
+                us = int(ts.value) // 1000  # pandas ns -> us
+                rec = {
+                    "event_id": int(eid),
+                    "user_id": int(uid),
+                    "event_type": str(etype),
+                    "value": float(val),
+                    "props": None if props is None else str(props),
+                    "ts": CborTag(4, [-6, us]),
+                }
+                back = loads(dumps(rec))
+                if back != rec:
+                    raise ValueError(
+                        f"event {eid}: CBOR roundtrip drifted"
+                    )
+                tag = back["ts"]
+                if tag.tag != 4 or tag.value[0] != -6:
+                    raise ValueError(f"event {eid}: tag drifted")
+                types.append(back["event_type"])
+                eids.append(back["event_id"])
+                uids.append(back["user_id"])
+                tss.append(tag.value[1])
+            yield pd.DataFrame(
+                {
+                    "event_type": pd.Series(types, dtype="object"),
+                    "event_id": pd.Series(eids, dtype="int64"),
+                    "user_id": pd.Series(uids, dtype="int64"),
+                    "ts_us": pd.Series(tss, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_roundtrip, _MSGPACK_ROW_SCHEMA)
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum("user_id").cast("bigint").alias("sum_user_id"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )

@@ -263,7 +263,9 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_arrow_ipc (Feather V2 full-data walk on a from-scratch
 #   flatbuffers decoder, pyarrow as the independent producer),
 #   export_arrow_ipc_shards (the write twin: from-scratch flatbuffers
-#   BUILDER emits IPC files pyarrow itself reads back value-exact)
+#   BUILDER emits IPC files pyarrow itself reads back value-exact),
+#   ingest_cbor_events (RFC 8949 codec pinned by the spec's own
+#   Appendix A vectors; tag-4 decimal-fraction timestamps)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

@@ -110,6 +110,8 @@ def staged_manifest():
             ingest.ingest_arrow_ipc, ingest.ARROW_IPC_ORACLE),
         "export_arrow_ipc_shards": (
             ingest.export_arrow_ipc_shards, ingest.ARROW_IPC_ORACLE),
+        "ingest_cbor_events": (
+            ingest.ingest_cbor_events, ingest.CBOR_EVENTS_ORACLE),
     }
 
 

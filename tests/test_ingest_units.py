@@ -229,3 +229,21 @@ def test_txnlog_snapshot_matches_oracle(spark, corpus_dir):
         assert asof == _oracle(sf_dir, TXNLOG_TIME_TRAVEL_ORACLE)
         live_now = sum(r[1] for r in got)
         assert sum(r[1] for r in asof) >= live_now
+
+
+def test_cbor_events_matches_oracle(spark):
+    from databatchprotectionservice_spark.operators.ingest import (
+        CBOR_EVENTS_ORACLE,
+        ingest_cbor_events,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = _rows(ingest_cbor_events(spark, sf_dir))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    want = con.execute(CBOR_EVENTS_ORACLE).fetchall()
+    assert got == want
+    assert got and all(r[1] > 0 for r in got)
