@@ -2484,9 +2484,15 @@ def ingest_mkv_tracks(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: rows per record batch inside each IPC shard file; deliberately odd
-#: and smaller than SHARD_DOCS so every shard exercises multi-batch
+#: and much smaller than the shard so every shard exercises multi-batch
 #: framing with a ragged tail batch
 IPC_CHUNK = 7
+#: docs per IPC shard — larger than SHARD_DOCS because the IPC gate
+#: decodes EVERY value through two referees per shard; per the
+#: applyInPandas group-count lesson (SCALE.md) the group count, not
+#: the codec, dominates at gate scale, so the IPC pair uses the
+#: few-larger-files shape (each shard still spans ~37 record batches)
+IPC_SHARD_DOCS = 256
 
 #: facts the from-scratch flatbuffers walk recovers from REAL
 #: pyarrow-written IPC files, restated arithmetically: batch count is
@@ -2495,7 +2501,7 @@ IPC_CHUNK = 7
 ARROW_IPC_ORACLE = f"""
         WITH sh AS (
             SELECT source,
-                   doc_id // {SHARD_DOCS} AS shard_id,
+                   doc_id // {IPC_SHARD_DOCS} AS shard_id,
                    count(*) AS n_rows,
                    (count(*) + {IPC_CHUNK - 1}) // {IPC_CHUNK}
                        AS n_batches,
@@ -2560,7 +2566,7 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
     d = (
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
-        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        .withColumn("shard_id", F.expr(f"doc_id div {IPC_SHARD_DOCS}"))
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2667,7 +2673,7 @@ def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
     d = (
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
-        .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        .withColumn("shard_id", F.expr(f"doc_id div {IPC_SHARD_DOCS}"))
     )
     fields = [
         FieldSpec("doc_id", True, "int64", 64),

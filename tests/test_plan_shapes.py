@@ -494,3 +494,67 @@ def test_triangle_edge_cap_is_partial_topk(spark, sf_dir):
     from databatchprotectionservice_spark.operators import graph as g
 
     assert g.TRI_EDGE_CAP >= 1000  # the bound is a scale knob, not a toy
+
+
+def test_c4_rules_pure_codegen_single_aggregate_exchange(spark, sf_dir):
+    """The C4 battery must stay JVM-side end to end: no Python eval
+    node anywhere, and the ONLY hash exchange is the per-source
+    aggregate's."""
+    from databatchprotectionservice_spark.operators.textops import (
+        text_c4_rules,
+    )
+
+    plan = _plan(text_c4_rules(spark, sf_dir))
+    assert "ArrowEvalPython" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+
+
+def test_c4_spans_aggregate_keeper_no_window_sort(spark, sf_dir):
+    """The keep-first rule must be the combinable min(struct) aggregate
+    — never the oracle's window spelling (a global per-span sort)."""
+    from databatchprotectionservice_spark.operators.dedup import (
+        dedup_c4_spans,
+    )
+
+    plan = _plan(dedup_c4_spans(spark, sf_dir))
+    assert "Window" not in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_min" in plan or "partial" in plan  # map-side combine
+    assert "ArrowEvalPython" not in plan  # spans built in codegen
+
+
+def test_arrow_ipc_one_shard_shuffle_each_direction(spark, sf_dir):
+    """Both IPC twins pay exactly the shard-key exchange plus the tiny
+    per-source aggregate exchange — nothing else shuffles."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        export_arrow_ipc_shards,
+        ingest_arrow_ipc,
+    )
+
+    for q in (ingest_arrow_ipc, export_arrow_ipc_shards):
+        plan = _plan(q(spark, sf_dir))
+        assert "FlatMapGroupsInPandas" in plan  # the shard builder
+        n_hash = sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange hashpartitioning" in ln
+        )
+        assert n_hash == 2, plan
+
+
+def test_cbor_events_narrow_walk_single_exchange(spark, sf_dir):
+    """The CBOR walk is map-only until the per-type aggregate."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_cbor_events,
+    )
+
+    plan = _plan(ingest_cbor_events(spark, sf_dir))
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
