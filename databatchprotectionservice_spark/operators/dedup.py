@@ -1597,3 +1597,136 @@ def dedup_c4_spans(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup (staged for r11/r12 registration)
+# ---------------------------------------------------------------------------
+
+#: crawl re-fetch model: this many consecutive doc_ids share one page
+#: URL (the cross-document duplicates URL dedup exists to remove)
+URL_GROUP = 3
+#: messy variants manufactured per document — each must canonicalize
+#: to the group's one canonical URL (case, default port, dot
+#: segments, unreserved percent-escapes, fragment)
+URL_VARIANTS = 4
+
+#: oracle restates the keep-first rule arithmetically: the canonical
+#: key IS doc_id // URL_GROUP by construction, so the URL machinery
+#: cancels out of the SQL — which is the point: the gate then proves
+#: the Spark side's normalize chain lands exactly on that closed form.
+URL_CANONICAL_ORACLE = f"""
+        WITH d AS (
+            SELECT doc_id, source, doc_id // {URL_GROUP} AS gid
+            FROM documents
+        ),
+        r AS (
+            SELECT source, gid,
+                   row_number() OVER (PARTITION BY gid
+                                      ORDER BY doc_id) AS rn
+            FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST({URL_VARIANTS} * count(*) AS BIGINT) AS n_variants,
+               CAST(count(DISTINCT gid) AS BIGINT) AS n_canonical,
+               CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept_docs,
+               CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_removed_docs
+        FROM r GROUP BY source ORDER BY source
+"""
+
+def dedup_url_canonical(spark, sf_dir):
+    """URL-level dedup through RFC 3986 canonicalization — the first
+    dedup a crawl pipeline runs (Common Crawl keys re-fetch detection
+    on the normalized URL).  Every document manufactures
+    {URL_VARIANTS} messy variants of its page URL (scheme/host case,
+    explicit default port, dot segments, unreserved percent-escapes,
+    fragments); executors canonicalize each through
+    ``core/urlcodec.normalize_url`` and ASSERT all variants collapse
+    to the group's closed-form canonical URL.  Documents whose
+    canonical URL was already fetched (smaller doc_id — the crawl's
+    first fetch) are the removal set, attributed keep-first exactly
+    like ``dedup_c4_spans``.
+
+    100 TB shape: canonicalization is a narrow Arrow-batched pass
+    (pure string work, no state); the keeper rule is one combinable
+    ``min(struct)`` aggregate on the canonical-URL key plus a tiny
+    per-source fold — no window sort, no self-join.  At production
+    scale the canonical string would hash to 128 bits before the
+    shuffle, exactly as the span/window notes above.
+    """
+    from pyspark.sql import types as T
+
+    from ..core.urlcodec import normalize_url
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("canon", T.StringType()),
+        ]
+    )
+
+    def _canon(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            canons = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                gid = doc_id // URL_GROUP
+                want = f"http://example{gid}.com/p?d={gid}"
+                variants = [
+                    f"HTTP://EXAMPLE{gid}.COM:80/a/../p?d={gid}",
+                    f"http://example{gid}.com/./p?d={gid}",
+                    f"http://example{gid}.com:80/%70?d={gid}#frag",
+                    f"hTtP://Example{gid}.cOm/x/y/../../p?d={gid}",
+                ]
+                got = {normalize_url(v) for v in variants}
+                if got != {want}:
+                    raise ValueError(
+                        f"doc {doc_id}: canonicalization drifted: {got}"
+                    )
+                canons.append(want)
+            yield pd_.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": pdf["source"],
+                    "canon": pd_.Series(canons, dtype="object"),
+                }
+            )
+
+    canon = d.mapInPandas(_canon, schema)
+    keepers = (
+        canon.groupBy("canon")
+        .agg(F.min(F.struct("doc_id", "source")).alias("k"))
+        .groupBy(F.col("k.source").alias("source"))
+        .agg(F.count(F.lit(1)).alias("n_kept_docs"))
+    )
+    per_src = canon.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) * URL_VARIANTS).alias("n_variants"),
+        F.countDistinct("canon").alias("n_canonical"),
+    )
+    return (
+        per_src.join(keepers, "source", "left")
+        .select(
+            "source",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_variants").cast("bigint").alias("n_variants"),
+            F.col("n_canonical").cast("bigint").alias("n_canonical"),
+            F.coalesce(F.col("n_kept_docs"), F.lit(0))
+            .cast("bigint")
+            .alias("n_kept_docs"),
+            (
+                F.col("n_docs")
+                - F.coalesce(F.col("n_kept_docs"), F.lit(0))
+            ).cast("bigint").alias("n_removed_docs"),
+        )
+        .orderBy("source")
+    )

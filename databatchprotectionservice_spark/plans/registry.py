@@ -265,7 +265,9 @@ REGISTERED_IN: dict[str, int] = {
 #   export_arrow_ipc_shards (the write twin: from-scratch flatbuffers
 #   BUILDER emits IPC files pyarrow itself reads back value-exact),
 #   ingest_cbor_events (RFC 8949 codec pinned by the spec's own
-#   Appendix A vectors; tag-4 decimal-fraction timestamps)
+#   Appendix A vectors; tag-4 decimal-fraction timestamps),
+#   dedup_url_canonical (crawl URL dedup through the RFC 3986
+#   normalizer, keep-first min-struct aggregate)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

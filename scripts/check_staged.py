@@ -112,6 +112,8 @@ def staged_manifest():
             ingest.export_arrow_ipc_shards, ingest.ARROW_IPC_ORACLE),
         "ingest_cbor_events": (
             ingest.ingest_cbor_events, ingest.CBOR_EVENTS_ORACLE),
+        "dedup_url_canonical": (
+            dedup.dedup_url_canonical, dedup.URL_CANONICAL_ORACLE),
     }
 
 

@@ -341,3 +341,44 @@ def test_c4_spans_hostile_corpus(spark, hostile_dir):
     got = [tuple(r) for r in dedup_c4_spans(spark, hostile_dir).collect()]
     oracle = [tuple(r) for r in _duck(C4_SPANS_ORACLE, hostile_dir)]
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# URL-canonicalization dedup (staged r11/r12)
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.operators.dedup import (  # noqa: E402
+    URL_CANONICAL_ORACLE,
+    dedup_url_canonical,
+)
+
+
+def test_url_canonical_hand_enumeration(spark, c4_dir):
+    got = {
+        r["source"]: (
+            r["n_docs"], r["n_variants"], r["n_canonical"],
+            r["n_kept_docs"], r["n_removed_docs"],
+        )
+        for r in dedup_url_canonical(spark, c4_dir).collect()
+    }
+    # gids (doc_id // 3): c: 20->6 21->7 22->7 23->7 24->8 25->8;
+    # d1: 30->10 33->11; d2: 31->10 32->10.  Keeper of gid 10 is
+    # doc 30 (in d1), so BOTH d2 docs are removed cross-source.
+    assert got["c"] == (6, 24, 3, 3, 3)
+    assert got["d1"] == (2, 8, 2, 2, 0)
+    assert got["d2"] == (2, 8, 1, 0, 2)
+
+
+def test_url_canonical_matches_oracle(spark, c4_dir):
+    got = [tuple(r) for r in dedup_url_canonical(spark, c4_dir).collect()]
+    oracle = [tuple(r) for r in _duck(URL_CANONICAL_ORACLE, c4_dir)]
+    assert got == oracle
+
+
+def test_url_canonical_hostile_corpus(spark, hostile_dir):
+    got = [
+        tuple(r)
+        for r in dedup_url_canonical(spark, hostile_dir).collect()
+    ]
+    oracle = [tuple(r) for r in _duck(URL_CANONICAL_ORACLE, hostile_dir)]
+    assert got == oracle
