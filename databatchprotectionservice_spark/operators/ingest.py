@@ -2852,3 +2852,126 @@ def ingest_cbor_events(spark, sf_dir) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt crawl filter — RFC 9309 politeness in front of the corpus
+# ---------------------------------------------------------------------------
+
+#: per-doc path rotation (doc_id % 5) against the fixture robots.txt:
+#: 0 -> /p/{id}            allowed for both agents
+#: 1 -> /private/{id}      blocked for * (Disallow: /private/)
+#: 2 -> /private/ok        ALLOWED for * (longer Allow: /private/ok$)
+#: 3 -> /f/{id}.tmp        blocked for * (Disallow: /*.tmp$)
+#: 4 -> /blocked/{id}      blocked only for dbpsbot (its own group;
+#:                         the specific group SHADOWS the * group)
+ROBOTS_ORACLE = """
+        WITH d AS (
+            SELECT source, doc_id % 5 AS m FROM documents
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN m IN (1, 3) THEN 1 ELSE 0 END)
+                    AS BIGINT) AS blocked_star,
+               CAST(sum(CASE WHEN m = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS blocked_bot,
+               CAST(sum(CASE WHEN m NOT IN (1, 3) AND m != 4
+                        THEN 1 ELSE 0 END) AS BIGINT) AS allowed_both
+        FROM d GROUP BY source ORDER BY source
+"""
+
+_ROBOTS_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("blocked_star", T.LongType()),
+        T.StructField("blocked_bot", T.LongType()),
+        T.StructField("allowed_both", T.LongType()),
+    ]
+)
+
+
+def ingest_robots_filter(spark, sf_dir) -> DataFrame:
+    """RFC 9309 crawl-politeness filter over the corpus URLs.
+
+    Each source domain carries a fixture robots.txt exercising the
+    RFC's hard parts — group selection (a specific ``dbpsbot`` group
+    SHADOWS the ``*`` group), longest-match precedence (a longer
+    ``Allow: /private/ok$`` beating ``Disallow: /private/``),
+    wildcard + end-anchor patterns (``/*.tmp$``) and sitemap lines —
+    and every document's URL is evaluated for BOTH a generic agent
+    and ``dbpsbot`` through the from-scratch parser
+    (``core/robotscodec.py``).  Executors assert each decision
+    against the closed-form rotation (see ``ROBOTS_ORACLE``) and the
+    sitemap parse; the oracle restates the counts arithmetically.
+
+    100 TB: robots.txt is per-ORIGIN metadata — a real crawl keys it
+    by registrable domain and broadcasts the (tiny) parsed rule sets
+    to the URL stream; here each executor parses the fixture inline,
+    which is the same narrow map-only shape with zero shuffles before
+    the per-source aggregate.
+    """
+    from ..core.robotscodec import is_allowed, parse_robots
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def _filter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            srcs, bstar, bbot, both = [], [], [], []
+            for doc_id, src in zip(pdf["doc_id"], pdf["source"]):
+                doc_id = int(doc_id)
+                robots = parse_robots(
+                    f"# robots for {src}\n"
+                    "User-agent: *\n"
+                    "Disallow: /private/\n"
+                    "Allow: /private/ok$\n"
+                    "Disallow: /*.tmp$\n"
+                    "\n"
+                    "User-agent: dbpsbot\n"
+                    "Allow: /\n"
+                    "Disallow: /blocked/\n"
+                    f"Sitemap: https://{src}.example/sitemap.xml\n"
+                )
+                if robots["sitemaps"] != [
+                    f"https://{src}.example/sitemap.xml"
+                ]:
+                    raise ValueError(f"{src}: sitemap parse drifted")
+                m = doc_id % 5
+                path = [
+                    f"/p/{doc_id}",
+                    f"/private/{doc_id}",
+                    "/private/ok",
+                    f"/f/{doc_id}.tmp",
+                    f"/blocked/{doc_id}",
+                ][m]
+                star = is_allowed(robots, "genericbot/2.0", path)
+                bot = is_allowed(robots, "DBPSBot/1.0", path)
+                if star != (m not in (1, 3)) or bot != (m != 4):
+                    raise ValueError(
+                        f"doc {doc_id}: decision drifted "
+                        f"(star={star}, bot={bot}, m={m})"
+                    )
+                srcs.append(src)
+                bstar.append(0 if star else 1)
+                bbot.append(0 if bot else 1)
+                both.append(1 if star and bot else 0)
+            yield pd.DataFrame(
+                {
+                    "source": pd.Series(srcs, dtype="object"),
+                    "blocked_star": pd.Series(bstar, dtype="int64"),
+                    "blocked_bot": pd.Series(bbot, dtype="int64"),
+                    "allowed_both": pd.Series(both, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_filter, _ROBOTS_ROW_SCHEMA)
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("blocked_star").cast("bigint").alias("blocked_star"),
+            F.sum("blocked_bot").cast("bigint").alias("blocked_bot"),
+            F.sum("allowed_both").cast("bigint").alias("allowed_both"),
+        )
+        .orderBy("source")
+    )

@@ -267,7 +267,9 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_cbor_events (RFC 8949 codec pinned by the spec's own
 #   Appendix A vectors; tag-4 decimal-fraction timestamps),
 #   dedup_url_canonical (crawl URL dedup through the RFC 3986
-#   normalizer, keep-first min-struct aggregate)
+#   normalizer, keep-first min-struct aggregate),
+#   ingest_robots_filter (RFC 9309 politeness filter: group
+#   shadowing, longest-match, wildcard/$ — spec-example-pinned)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

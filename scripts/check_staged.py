@@ -114,6 +114,8 @@ def staged_manifest():
             ingest.ingest_cbor_events, ingest.CBOR_EVENTS_ORACLE),
         "dedup_url_canonical": (
             dedup.dedup_url_canonical, dedup.URL_CANONICAL_ORACLE),
+        "ingest_robots_filter": (
+            ingest.ingest_robots_filter, ingest.ROBOTS_ORACLE),
     }
 
 
