@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..plans.registry import load, prep, register
+from ..plans.registry import load, load_spread, prep, register
 
 EVENT_TYPES = (  # explicit pivot vocabulary — never inferred at scale
     "click",
@@ -533,4 +533,154 @@ def stats_moments_battery(spark, sf_dir):
         round_ieee(
             (n * sxy - sx * sy) / F.sqrt(var_num * var_num_y)
         ).alias("corr_value_time"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (staged for r11/r12 registration)
+# ---------------------------------------------------------------------------
+
+#: HLL geometry: p bucket bits over a 60-bit md5-prefix hash (60 bits
+#: = 15 hex chars, the widest slice both engines read into a SIGNED
+#: 64-bit integer identically: Spark ``conv(.., 16, 10)``, DuckDB
+#: ``('0x' || ..)::BIGINT``).  rank spans the remaining 52 bits.
+HLL_P = 10
+HLL_M = 1 << HLL_P
+HLL_W_BITS = 60 - HLL_P  # 52
+#: Flajolet et al. 2007 bias constant for m >= 128, written as one
+#: literal expression both engines constant-fold identically
+HLL_ALPHA_EXPR = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
+
+#: the sketch state is INTEGER-exact by construction: each register
+#: contributes 2^(52 - rank) (a bigint; rank in [1, 53] after the
+#: +1 convention collapses to this fixed exponent form), so the
+#: harmonic-sum denominator is one exact int64 and the only float op
+#: is the final single division — bit-deterministic IEEE in both
+#: engines.  The small-range (linear-counting) zone needs ln(), an
+#: engine-variant primitive, so the estimate is CASE-gated NULL
+#: there — identically in both engines — rather than risking a
+#: last-ulp verdict flip.
+HLL_DISTINCT_ORACLE = f"""
+        WITH pairs AS (
+            SELECT DISTINCT doc_id, unnest(
+                regexp_split_to_array(trim(coalesce(text, '')), '\\s+')
+            ) AS w
+            FROM documents
+        ),
+        hashed AS (
+            SELECT CAST(('0x' || substr(
+                       md5(w || ':' || CAST(doc_id AS VARCHAR)), 1, 15
+                   )) AS BIGINT) AS h
+            FROM pairs
+        ),
+        regs AS (
+            SELECT h // {1 << HLL_W_BITS} AS bucket,
+                   max(CASE WHEN h % {1 << HLL_W_BITS} = 0
+                            THEN {HLL_W_BITS + 1}
+                        ELSE {HLL_W_BITS + 1}
+                             - length(bin(h % {1 << HLL_W_BITS}))
+                        END) AS r
+            FROM hashed GROUP BY 1
+        ),
+        folded AS (
+            SELECT count(*) AS n_regs,
+                   sum(CAST(2 AS BIGINT) ** ({HLL_W_BITS + 1} - r))
+                       AS s_present
+            FROM regs
+        ),
+        exact AS (SELECT count(*) AS n_exact FROM pairs)
+        SELECT CAST(n_exact AS BIGINT) AS n_exact,
+               CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
+               CAST(s_present + ({HLL_M} - n_regs)
+                    * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                    AS BIGINT) AS s_total,
+               CASE WHEN {HLL_ALPHA_EXPR} * {HLL_M} * {HLL_M}
+                         * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                         / (s_present + ({HLL_M} - n_regs)
+                            * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1}))
+                         > 2.5 * {HLL_M}
+                    THEN CAST(round(
+                        {HLL_ALPHA_EXPR} * {HLL_M} * {HLL_M}
+                        * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                        / (s_present + ({HLL_M} - n_regs)
+                           * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})),
+                        0) AS BIGINT)
+                    ELSE NULL END AS hll_estimate
+        FROM folded, exact
+"""
+
+
+def profiling_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
+    public algorithm) over the corpus's (doc_id, token) pairs —
+    completing the sketch family beside CMS heavy-hitters, split-block
+    Blooms and MinHash signatures.
+
+    Both engines build the IDENTICAL sketch: a 60-bit md5-prefix
+    hash, {HLL_M} registers of max leading-zero rank, and an
+    integer-exact harmonic denominator (each register contributes
+    ``2^(52 - rank)`` as a bigint), so the gate compares sketch STATE
+    exactly and the floating estimate reduces to a single division.
+    The estimate is CASE-gated NULL inside the linear-counting zone
+    (it needs ln(), an engine-variant primitive) — the gate corpus
+    sits well outside it.
+
+    100 TB shape: the canonical distributed sketch — the register
+    build is one map-side-combinable ``max`` aggregate on a
+    {HLL_M}-key space (a shuffle of at most {HLL_M} rows per
+    partition), the fold is a 1-row aggregate, and register state
+    merges associatively across any partitioning (``max`` is the
+    merge).  The exact twin costs a full distinct shuffle; at real
+    scale only the sketch runs and the exact column is dropped —
+    here both run so the gate can score the sketch's error.
+    """
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents")
+    w_mod = 1 << HLL_W_BITS
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(
+                    F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"
+                )
+            ).alias("w"),
+        )
+        .distinct()
+    )
+    hashed = pairs.select(
+        F.expr(
+            "cast(conv(substr(md5(concat(w, ':', cast(doc_id as string)))"
+            ", 1, 15), 16, 10) as bigint)"
+        ).alias("h")
+    )
+    regs = hashed.select(
+        F.expr(f"h div {w_mod}").alias("bucket"),
+        F.expr(
+            f"CASE WHEN h % {w_mod} = 0 THEN {HLL_W_BITS + 1} "
+            f"ELSE {HLL_W_BITS + 1} - length(bin(h % {w_mod})) END"
+        ).alias("r"),
+    ).groupBy("bucket").agg(F.max("r").alias("r"))
+    folded = regs.agg(
+        F.count(F.lit(1)).alias("n_regs"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1} - r)")
+        ).alias("s_present"),
+    )
+    exact = pairs.agg(F.count(F.lit(1)).alias("n_exact"))
+    big = f"shiftleft(CAST(1 AS BIGINT), {HLL_W_BITS + 1})"
+    est = (
+        f"{HLL_ALPHA_EXPR} * {HLL_M} * {HLL_M} * {big}"
+        f" / (s_present + ({HLL_M} - n_regs) * {big})"
+    )
+    return folded.crossJoin(exact).select(
+        F.col("n_exact").cast("bigint").alias("n_exact"),
+        (F.lit(HLL_M) - F.col("n_regs")).cast("bigint").alias("v_zero"),
+        F.expr(
+            f"CAST(s_present + ({HLL_M} - n_regs) * {big} AS BIGINT)"
+        ).alias("s_total"),
+        F.expr(
+            f"CASE WHEN {est} > 2.5 * {HLL_M}"
+            f" THEN CAST(round({est}, 0) AS BIGINT) ELSE NULL END"
+        ).alias("hll_estimate"),
     )

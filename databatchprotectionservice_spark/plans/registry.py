@@ -269,7 +269,9 @@ REGISTERED_IN: dict[str, int] = {
 #   dedup_url_canonical (crawl URL dedup through the RFC 3986
 #   normalizer, keep-first min-struct aggregate),
 #   ingest_robots_filter (RFC 9309 politeness filter: group
-#   shadowing, longest-match, wildcard/$ — spec-example-pinned)
+#   shadowing, longest-match, wildcard/$ — spec-example-pinned),
+#   profiling_hll_distinct (HyperLogLog with integer-exact register
+#   state compared across engines; estimate = one IEEE division)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

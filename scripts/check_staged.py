@@ -31,6 +31,7 @@ def staged_manifest():
         graph,
         ingest,
         multimodal,
+        profiling,
         protection,
         textops,
     )
@@ -116,6 +117,9 @@ def staged_manifest():
             dedup.dedup_url_canonical, dedup.URL_CANONICAL_ORACLE),
         "ingest_robots_filter": (
             ingest.ingest_robots_filter, ingest.ROBOTS_ORACLE),
+        "profiling_hll_distinct": (
+            profiling.profiling_hll_distinct,
+            profiling.HLL_DISTINCT_ORACLE),
     }
 
 

@@ -382,3 +382,66 @@ def test_url_canonical_hostile_corpus(spark, hostile_dir):
     ]
     oracle = [tuple(r) for r in _duck(URL_CANONICAL_ORACLE, hostile_dir)]
     assert got == oracle
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (staged r11/r12)
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.operators.profiling import (  # noqa: E402
+    HLL_DISTINCT_ORACLE,
+    HLL_M,
+    profiling_hll_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def hll_dir(tmp_path_factory):
+    """A corpus with enough (doc_id, token) cardinality to sit beyond
+    the linear-counting zone (> 2.5 * HLL_M raw estimate)."""
+    d = str(tmp_path_factory.mktemp("hll_tables"))
+    n = 200
+    texts = [
+        " ".join(f"tok{i}_{j}" for j in range(40)) for i in range(n)
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+                "lang": pa.array(["en"] * n, pa.string()),
+                "source": pa.array(["h"] * n, pa.string()),
+                "n_chars": pa.array(
+                    [len(t) for t in texts], pa.int64()
+                ),
+            }
+        ),
+        os.path.join(d, "documents.parquet"),
+    )
+    return d
+
+
+def test_hll_sketch_state_matches_oracle_exactly(spark, hll_dir):
+    got = [
+        tuple(r) for r in profiling_hll_distinct(spark, hll_dir).collect()
+    ]
+    oracle = [tuple(r) for r in _duck(HLL_DISTINCT_ORACLE, hll_dir)]
+    assert got == oracle
+    (n_exact, v_zero, s_total, est), = got
+    assert n_exact == 200 * 40
+    assert est is not None
+    # the estimate must land within 5 sigma of the 1.04/sqrt(m) bound
+    sigma = 1.04 / (HLL_M ** 0.5)
+    assert abs(est - n_exact) / n_exact < 5 * sigma
+
+
+def test_hll_linear_zone_gated_null_in_both_engines(spark, hostile_dir):
+    """Tiny cardinality -> raw estimate below 2.5m -> the estimate is
+    NULL in BOTH engines (the ln() branch is never evaluated)."""
+    got = [
+        tuple(r)
+        for r in profiling_hll_distinct(spark, hostile_dir).collect()
+    ]
+    oracle = [tuple(r) for r in _duck(HLL_DISTINCT_ORACLE, hostile_dir)]
+    assert got == oracle
+    assert got[0][3] is None or got[0][3] != got[0][3]  # NULL estimate
