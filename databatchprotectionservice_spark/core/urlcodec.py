@@ -12,9 +12,11 @@ default-port elision, dot-segment removal, and
 Contract: **total on arbitrary strings** — a cleaning pipeline treats
 malformed URLs as data to be classified, not exceptions; every
 function returns a value for any input (the fuzz battery asserts it).
-Non-ASCII hosts pass through lowercased — IDN/punycode mapping is a
-documented seam (it needs the full UTS-46 table), as is the Public
-Suffix List: ``registrable_domain`` ships a small built-in
+Non-ASCII hosts: punycode (RFC 3492) is implemented from scratch
+below (``puny_encode``/``puny_decode``/``idn_to_ascii``, pinned by
+the RFC's §7.1 sample-string table); the UTS-46 case-mapping/validity
+TABLE remains the documented seam (labels are str.lower()-folded
+only), as is the Public Suffix List: ``registrable_domain`` ships a small built-in
 multi-label-TLD subset and documents the approximation.
 
 Deterministic pure-string functions, so fixture URLs derived from the
@@ -253,3 +255,172 @@ def registrable_domain(host: str) -> str:
     if last2 in _MULTI_TLD and len(labels) >= 3:
         return ".".join(labels[-3:])
     return last2
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492) — the algorithmic half of IDNA host handling.
+# The UTS-46 case-mapping table remains the documented seam; punycode
+# itself is a pure public algorithm, implemented here from the RFC's
+# §6 pseudocode with its §5 parameter block verbatim.
+# ---------------------------------------------------------------------------
+
+_PC_BASE = 36
+_PC_TMIN = 1
+_PC_TMAX = 26
+_PC_SKEW = 38
+_PC_DAMP = 700
+_PC_INITIAL_BIAS = 72
+_PC_INITIAL_N = 128
+
+
+class PunycodeError(ValueError):
+    """Malformed punycode input (overflow, bad digit, non-ASCII)."""
+
+
+def _pc_adapt(delta: int, numpoints: int, firsttime: bool) -> int:
+    delta = delta // _PC_DAMP if firsttime else delta // 2
+    delta += delta // numpoints
+    k = 0
+    while delta > ((_PC_BASE - _PC_TMIN) * _PC_TMAX) // 2:
+        delta //= _PC_BASE - _PC_TMIN
+        k += _PC_BASE
+    return k + (((_PC_BASE - _PC_TMIN + 1) * delta) // (delta + _PC_SKEW))
+
+
+def _pc_digit_value(ch: str) -> int:
+    o = ord(ch)
+    if 0x41 <= o <= 0x5A:  # A-Z
+        return o - 0x41
+    if 0x61 <= o <= 0x7A:  # a-z
+        return o - 0x61
+    if 0x30 <= o <= 0x39:  # 0-9
+        return o - 0x30 + 26
+    raise PunycodeError(f"invalid punycode digit {ch!r}")
+
+
+def puny_encode(label: str) -> str:
+    """Unicode label -> punycode ASCII (no 'xn--' prefix)."""
+    cps = [ord(c) for c in label]
+    out = [c for c in label if ord(c) < 128]
+    b = h = len(out)
+    if out:
+        out.append("-")
+    n, delta, bias = _PC_INITIAL_N, 0, _PC_INITIAL_BIAS
+    while h < len(cps):
+        m = min(c for c in cps if c >= n)
+        delta += (m - n) * (h + 1)
+        if delta > 0x7FFFFFFF:
+            raise PunycodeError("punycode overflow")
+        n = m
+        for c in cps:
+            if c < n:
+                delta += 1
+                if delta > 0x7FFFFFFF:
+                    raise PunycodeError("punycode overflow")
+            elif c == n:
+                q = delta
+                k = _PC_BASE
+                while True:
+                    t = (
+                        _PC_TMIN
+                        if k <= bias
+                        else (_PC_TMAX if k >= bias + _PC_TMAX else k - bias)
+                    )
+                    if q < t:
+                        break
+                    digit = t + (q - t) % (_PC_BASE - t)
+                    out.append(
+                        chr(digit + 0x61)
+                        if digit < 26
+                        else chr(digit - 26 + 0x30)
+                    )
+                    q = (q - t) // (_PC_BASE - t)
+                    k += _PC_BASE
+                out.append(
+                    chr(q + 0x61) if q < 26 else chr(q - 26 + 0x30)
+                )
+                bias = _pc_adapt(delta, h + 1, h == b)
+                delta = 0
+                h += 1
+        delta += 1
+        n += 1
+    return "".join(out)
+
+
+def puny_decode(text: str) -> str:
+    """Punycode ASCII (no 'xn--' prefix) -> unicode label."""
+    if any(ord(c) >= 128 for c in text):
+        raise PunycodeError("punycode input must be ASCII")
+    pos = text.rfind("-")
+    if pos > 0:
+        out = [ord(c) for c in text[:pos]]
+        rest = text[pos + 1 :]
+    else:
+        out = []
+        rest = text[1:] if pos == 0 else text
+    n, i, bias = _PC_INITIAL_N, 0, _PC_INITIAL_BIAS
+    p = 0
+    while p < len(rest):
+        oldi = i
+        w = 1
+        k = _PC_BASE
+        while True:
+            if p >= len(rest):
+                raise PunycodeError("truncated punycode")
+            digit = _pc_digit_value(rest[p])
+            p += 1
+            if digit > (0x7FFFFFFF - i) // w:
+                raise PunycodeError("punycode overflow")
+            i += digit * w
+            t = (
+                _PC_TMIN
+                if k <= bias
+                else (_PC_TMAX if k >= bias + _PC_TMAX else k - bias)
+            )
+            if digit < t:
+                break
+            if w > 0x7FFFFFFF // (_PC_BASE - t):
+                raise PunycodeError("punycode overflow")
+            w *= _PC_BASE - t
+            k += _PC_BASE
+        bias = _pc_adapt(i - oldi, len(out) + 1, oldi == 0)
+        if i // (len(out) + 1) > 0x7FFFFFFF - n:
+            raise PunycodeError("punycode overflow")
+        n += i // (len(out) + 1)
+        i %= len(out) + 1
+        if n > 0x10FFFF or 0xD800 <= n <= 0xDFFF:
+            raise PunycodeError(f"punycode decodes outside unicode: {n}")
+        out.insert(i, n)
+        i += 1
+    return "".join(chr(c) for c in out)
+
+
+def idn_to_ascii(host: str) -> str:
+    """Lowercased host -> IDNA ASCII form: each non-ASCII label gets
+    the ``xn--`` ACE prefix over its punycode.  Pure-algorithm IDNA:
+    the UTS-46 mapping/validity table is the documented seam, so
+    inputs are case-folded with str.lower() only."""
+    labels = host.lower().split(".")
+    out = []
+    for lab in labels:
+        if all(ord(c) < 128 for c in lab):
+            out.append(lab)
+        else:
+            out.append("xn--" + puny_encode(lab))
+    return ".".join(out)
+
+
+def idn_to_unicode(host: str) -> str:
+    """Inverse of :func:`idn_to_ascii`; non-ACE labels pass through,
+    malformed ACE labels are returned verbatim (totality — a crawl
+    treats them as data)."""
+    out = []
+    for lab in host.lower().split("."):
+        if lab.startswith("xn--"):
+            try:
+                out.append(puny_decode(lab[4:]))
+            except PunycodeError:
+                out.append(lab)
+        else:
+            out.append(lab)
+    return ".".join(out)

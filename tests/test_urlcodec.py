@@ -144,3 +144,72 @@ def test_total_function_fuzz():
         assert normalize_url(n) == n  # idempotent even on soup
         assert isinstance(parse_query(c["query"] or ""), list)
         assert isinstance(registrable_domain(c["host"] or ""), str)
+
+
+# ---------------------------------------------------------------------------
+# Punycode (RFC 3492) — the referee is the RFC's §7.1 sample-string
+# table, asserted in BOTH directions.
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.core.urlcodec import (  # noqa: E402
+    PunycodeError,
+    idn_to_ascii,
+    idn_to_unicode,
+    puny_decode,
+    puny_encode,
+)
+
+#: RFC 3492 §7.1 (subset): encoded form -> unicode label
+_RFC3492 = {
+    "egbpdaj6bu4bxfgehfvwxn": "ليهمابتكلموشعربي؟",
+    "ihqwcrb4cv8a8dqg056pqjye": "他们为什么不说中文",
+    "ihqwctvzc91f659drss3x8bo0yb": "他們爲什麽不說中文",
+    "Proprostnemluvesky-uyb24dma41a": "Pročprostěnemluvíčesky",
+    "n8jok5ay5dzabd5bym9f0cm5685rrjetr6pdxa":
+        "なぜみんな日本語を話してくれないのか",
+    "989aomsvi5e83db1d2a355cv1e0vak1dwrv93d5xbh15a0dt30a5jpsd879ccm6fea98c":
+        "세계의모든사람들이한국어를이해한다면얼마나좋을까",
+    "3B-ww4c5e180e575a65lsy2b": "3年B組金八先生",
+    "-with-SUPER-MONKEYS-pc58ag80a8qai00g7n9n":
+        "安室奈美恵-with-SUPER-MONKEYS",
+    "Hello-Another-Way--fc4qua05auwb3674vfr0b":
+        "Hello-Another-Way-それぞれの場所",
+    "2-u9tlzr9756bt3uc0v": "ひとつ屋根の下2",
+    "MajiKoi5-783gue6qz075azm5e": "MajiでKoiする5秒前",
+    "de-jg4avhby1noc0d": "パフィーdeルンバ",
+    "d9juau41awczczp": "そのスピードで",
+}
+
+
+def test_rfc3492_sample_strings_decode():
+    for enc, uni in _RFC3492.items():
+        assert puny_decode(enc) == uni, enc
+
+
+def test_rfc3492_sample_strings_encode():
+    for enc, uni in _RFC3492.items():
+        assert puny_encode(uni) == enc, enc
+
+
+def test_punycode_roundtrip_edges():
+    for s in ("", "plain", "a-b-c", "ü", "日本語", "x" * 60 + "é"):
+        assert puny_decode(puny_encode(s)) == s, s
+
+
+def test_punycode_error_paths():
+    import pytest as _pytest
+
+    with _pytest.raises(PunycodeError):
+        puny_decode("é")  # non-ASCII input
+    with _pytest.raises(PunycodeError):
+        puny_decode("99999999999a")  # overflow
+    with _pytest.raises(PunycodeError):
+        puny_decode("!!")  # invalid digit
+
+
+def test_idn_helpers():
+    assert idn_to_ascii("BÜcher.example") == "xn--bcher-kva.example"
+    assert idn_to_unicode("xn--bcher-kva.example") == "bücher.example"
+    assert idn_to_ascii("plain.example.com") == "plain.example.com"
+    # malformed ACE passes through verbatim (totality)
+    assert idn_to_unicode("xn--!!.example") == "xn--!!.example"
