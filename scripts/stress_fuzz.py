@@ -37,6 +37,14 @@ from databatchprotectionservice_spark.core.mp4codec import (
     Mp4FormatError, parse_mp4, encode_mp4)
 from databatchprotectionservice_spark.core.avicodec import (
     AviFormatError, decode_avi_mjpeg, encode_avi_mjpeg)
+from databatchprotectionservice_spark.core.arrowipc import (
+    ArrowIpcFormatError, FieldSpec, encode_arrow_ipc, read_arrow_ipc)
+from databatchprotectionservice_spark.core.cborcodec import (
+    CborFormatError, CborTag)
+from databatchprotectionservice_spark.core.cborcodec import dumps as cbor_dumps
+from databatchprotectionservice_spark.core.cborcodec import loads as cbor_loads
+from databatchprotectionservice_spark.core.robotscodec import (
+    is_allowed, parse_robots)
 
 rng = np.random.RandomState(20260815)
 img = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
@@ -70,7 +78,35 @@ BASES = {
         decode_avi_mjpeg,
         AviFormatError,
     ),
+    "arrow_ipc": (
+        encode_arrow_ipc(
+            [FieldSpec("a", True, "int64", 64),
+             FieldSpec("s", True, "utf8", 0)],
+            [[[1, None, 3], ["x", "yy", None]], [[4], [""]]],
+        ),
+        read_arrow_ipc,
+        ArrowIpcFormatError,
+    ),
+    "cbor": (
+        cbor_dumps({"ids": list(range(20)), "t": CborTag(1, 123),
+                    "b": b"\x00" * 10, "f": 1.25, "s": "text"}),
+        cbor_loads,
+        CborFormatError,
+    ),
+    # robots.txt: the contract is TOTALITY — no exception is a domain
+    # error here, so the empty except-tuple reports any raise at all
+    "robots": (
+        b"User-agent: *\nDisallow: /p/\nAllow: /p/ok$\n",
+        lambda b: is_allowed(
+            parse_robots(bytes(b).decode("latin-1")), "bot", "/p/x"
+        ),
+        (),
+    ),
 }
+
+ONLY = set(sys.argv[2:])
+if ONLY:
+    BASES = {k: v for k, v in BASES.items() if k in ONLY}
 
 N = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
 bad = 0
