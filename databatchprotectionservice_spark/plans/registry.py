@@ -394,15 +394,25 @@ def cycle_len() -> int:
     return math.ceil(len(REGISTRY) / SCORE_WINDOW)
 
 
-def new_after_window() -> tuple[str, ...]:
-    """Queries registered in the CURRENT round: exempt from the window
-    for exactly one boundary, position-pinned right after it (first in
-    line when the next rotation folds them in)."""
+def _same_round() -> tuple[str, ...]:
+    """Names registered in the CURRENT round (registry order)."""
     _ensure_loaded()
     _, current = _verdict_history()
     return tuple(
         n for n in REGISTRY if REGISTERED_IN.get(n) == current
     )
+
+
+def new_after_window() -> tuple[str, ...]:
+    """Queries registered in the CURRENT round that the window did NOT
+    absorb: exempt for exactly one boundary, position-pinned right
+    after it (first in line when the next rotation folds them in).
+    When the mandatory groups leave free slots, same-round
+    registrations claim them ahead of ordinary fillers (see
+    ``score_first``), so a new query with a free slot gets its
+    official verdict immediately instead of waiting a round."""
+    absorbed = set(score_first())
+    return tuple(n for n in _same_round() if n not in absorbed)
 
 
 def score_first() -> tuple[str, ...]:
@@ -417,7 +427,7 @@ def score_first() -> tuple[str, ...]:
     last, current = _verdict_history()
     clen = cycle_len()
     order = {n: i for i, n in enumerate(REGISTRY)}
-    pinned = set(new_after_window())
+    pinned = set(_same_round())
 
     never = [n for n in REGISTRY if n not in last and n not in pinned]
     stale = sorted(
@@ -443,7 +453,13 @@ def score_first() -> tuple[str, ...]:
         (n for n in REGISTRY if n not in seen and n not in pinned),
         key=lambda n: (last.get(n, 0), order[n]),
     )
-    window.extend(fillers[: max(0, SCORE_WINDOW - len(window))])
+    # same-round registrations outrank ordinary fillers for FREE
+    # slots: a new query rides NEW_AFTER_WINDOW only when the
+    # mandatory groups already fill the window
+    pinned_fill = [n for n in _same_round() if n not in seen]
+    window.extend(
+        (pinned_fill + fillers)[: max(0, SCORE_WINDOW - len(window))]
+    )
     return tuple(window)
 
 
