@@ -556,7 +556,11 @@ HLL_ALPHA_EXPR = f"(0.7213 / (1.0 + 1.079 / {HLL_M}))"
 #: +1 convention collapses to this fixed exponent form), so the
 #: harmonic-sum denominator is one exact int64 and the only float op
 #: is the final single division — bit-deterministic IEEE in both
-#: engines.  The small-range (linear-counting) zone needs ln(), an
+#: engines.  The oracle spells powers of two as ``1::BIGINT << n``,
+#: never ``2 ** n``: DuckDB's ``**`` returns DOUBLE and a double sum
+#: of 2^52-scale terms silently drops low bits (verified off-by-one
+#: on a 1024-term probe), which would flip the exact-state compare
+#: on adversarial corpora.  The small-range (linear-counting) zone needs ln(), an
 #: engine-variant primitive, so the estimate is CASE-gated NULL
 #: there — identically in both engines — rather than risking a
 #: last-ulp verdict flip.
@@ -584,7 +588,7 @@ HLL_DISTINCT_ORACLE = f"""
         ),
         folded AS (
             SELECT count(*) AS n_regs,
-                   sum(CAST(2 AS BIGINT) ** ({HLL_W_BITS + 1} - r))
+                   sum(CAST(1 AS BIGINT) << ({HLL_W_BITS + 1} - r))
                        AS s_present
             FROM regs
         ),
@@ -592,18 +596,18 @@ HLL_DISTINCT_ORACLE = f"""
         SELECT CAST(n_exact AS BIGINT) AS n_exact,
                CAST({HLL_M} - n_regs AS BIGINT) AS v_zero,
                CAST(s_present + ({HLL_M} - n_regs)
-                    * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                    * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1})
                     AS BIGINT) AS s_total,
                CASE WHEN {HLL_ALPHA_EXPR} * {HLL_M} * {HLL_M}
-                         * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                         * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1})
                          / (s_present + ({HLL_M} - n_regs)
-                            * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1}))
+                            * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1}))
                          > 2.5 * {HLL_M}
                     THEN CAST(round(
                         {HLL_ALPHA_EXPR} * {HLL_M} * {HLL_M}
-                        * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})
+                        * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1})
                         / (s_present + ({HLL_M} - n_regs)
-                           * (CAST(2 AS BIGINT) ** {HLL_W_BITS + 1})),
+                           * (CAST(1 AS BIGINT) << {HLL_W_BITS + 1})),
                         0) AS BIGINT)
                     ELSE NULL END AS hll_estimate
         FROM folded, exact
