@@ -1,0 +1,355 @@
+"""DEFLATE decoder from scratch — RFC 1951, with the RFC 1950 (zlib)
+and RFC 1952 (gzip) wrappers.
+
+The engine's production paths keep CPython's zlib as the kernel (it
+is public stdlib, and the point of those paths is the CONTAINER
+format); this module is the spec twin that removes the last black box
+from the byte stack — the same role ``snappycodec.py`` plays beside
+the C snappy in ``compression.py``.  Everything below derives from
+the public RFCs alone:
+
+* RFC 1951 §3.2: LSB-first bit packing, the three block types
+  (stored with LEN/NLEN complement check, fixed Huffman, dynamic
+  Huffman), the code-length code with its fixed symbol order and the
+  16/17/18 repeat codes, the length/distance extra-bit tables, and
+  canonical Huffman code construction (§3.2.2's algorithm verbatim);
+* RFC 1950: 2-byte header (CM/CINFO/FCHECK/FDICT/FLEVEL) and the
+  Adler-32 trailer, Adler-32 implemented from its definition;
+* RFC 1952: gzip member header (magic, CM, FLG with FEXTRA/FNAME/
+  FCOMMENT/FHCRC), CRC-32 (reflected 0xEDB88320) and ISIZE trailer.
+
+The referee in tests is stdlib zlib itself: every stream zlib emits
+(all levels, both strategies) must decode byte-exact, and our
+decoder's strictness is pinned by hand-assembled hostile streams
+plus the mutation battery.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from .errors import DBPSInvalidInputError
+
+#: decompressed-size cap: a hostile stream must not balloon memory
+MAX_OUTPUT = 1 << 28
+
+
+class InflateError(DBPSInvalidInputError):
+    """Malformed DEFLATE/zlib/gzip data."""
+
+
+# RFC 1951 §3.2.5 length codes 257-285: (extra bits, base length)
+_LEN_TABLE = [
+    (0, 3), (0, 4), (0, 5), (0, 6), (0, 7), (0, 8), (0, 9), (0, 10),
+    (1, 11), (1, 13), (1, 15), (1, 17), (2, 19), (2, 23), (2, 27),
+    (2, 31), (3, 35), (3, 43), (3, 51), (3, 59), (4, 67), (4, 83),
+    (4, 99), (4, 115), (5, 131), (5, 163), (5, 195), (5, 227), (0, 258),
+]
+# distance codes 0-29: (extra bits, base distance)
+_DIST_TABLE = [
+    (0, 1), (0, 2), (0, 3), (0, 4), (1, 5), (1, 7), (2, 9), (2, 13),
+    (3, 17), (3, 25), (4, 33), (4, 49), (5, 65), (5, 97), (6, 129),
+    (6, 193), (7, 257), (7, 385), (8, 513), (8, 769), (9, 1025),
+    (9, 1537), (10, 2049), (10, 3073), (11, 4097), (11, 6145),
+    (12, 8193), (12, 12289), (13, 16385), (13, 24577),
+]
+# RFC 1951 §3.2.7: the code-length code's fixed symbol order
+_CLC_ORDER = (16, 17, 18, 0, 8, 7, 9, 6, 10, 5, 11, 4, 12, 3, 13, 2, 14, 1, 15)
+
+
+class _Bits:
+    """LSB-first bit reader over bytes (RFC 1951 §3.1.1)."""
+
+    __slots__ = ("data", "pos", "buf", "nbits")
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def need(self, n: int) -> None:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise InflateError("unexpected end of DEFLATE stream")
+            self.buf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+
+    def take(self, n: int) -> int:
+        if n == 0:
+            return 0
+        self.need(n)
+        v = self.buf & ((1 << n) - 1)
+        self.buf >>= n
+        self.nbits -= n
+        return v
+
+    def align_byte(self) -> None:
+        self.buf = 0
+        self.nbits = 0
+
+    def byte_pos(self) -> int:
+        """Position of the next unread byte (after align)."""
+        return self.pos
+
+
+class _Huffman:
+    """Canonical Huffman decoder built from code LENGTHS alone
+    (RFC 1951 §3.2.2).  Decoding walks bit-by-bit through the
+    canonical first-code/count arrays — O(code length) per symbol
+    with no table blowup on hostile length sets."""
+
+    __slots__ = ("counts", "symbols", "first_code", "first_sym", "maxlen")
+
+    def __init__(self, lengths: list[int]):
+        maxlen = max(lengths) if lengths else 0
+        if maxlen == 0:
+            raise InflateError("Huffman code with no symbols")
+        if maxlen > 15:
+            raise InflateError(f"code length {maxlen} exceeds 15")
+        counts = [0] * (maxlen + 1)
+        for ln in lengths:
+            if ln:
+                counts[ln] += 1
+        # over-subscription check (§3.2.2's implicit completeness):
+        # an over-full code is invalid; incomplete codes appear in
+        # legal streams only for the 1-symbol distance case, which
+        # zlib emits — accept incomplete, reject over-full
+        left = 1
+        for ln in range(1, maxlen + 1):
+            left = (left << 1) - counts[ln]
+            if left < 0:
+                raise InflateError("over-subscribed Huffman code")
+        # canonical ordering: symbols sorted by (length, symbol)
+        self.maxlen = maxlen
+        self.counts = counts
+        offs = [0] * (maxlen + 2)
+        for ln in range(1, maxlen + 1):
+            offs[ln + 1] = offs[ln] + counts[ln]
+        self.symbols = [0] * offs[maxlen + 1]
+        next_off = offs[:]
+        for sym, ln in enumerate(lengths):
+            if ln:
+                self.symbols[next_off[ln]] = sym
+                next_off[ln] += 1
+        # first canonical code and first symbol index per length
+        self.first_code = [0] * (maxlen + 1)
+        self.first_sym = [0] * (maxlen + 1)
+        code = 0
+        idx = 0
+        for ln in range(1, maxlen + 1):
+            self.first_code[ln] = code
+            self.first_sym[ln] = idx
+            code = (code + counts[ln]) << 1
+            idx += counts[ln]
+
+    def decode(self, bits: _Bits) -> int:
+        code = 0
+        for ln in range(1, self.maxlen + 1):
+            code |= bits.take(1)
+            n = self.counts[ln]
+            d = code - self.first_code[ln]
+            if 0 <= d < n:
+                return self.symbols[self.first_sym[ln] + d]
+            code <<= 1
+        raise InflateError("invalid Huffman code in stream")
+
+
+_FIXED_LIT = None
+_FIXED_DIST = None
+
+
+def _fixed_tables() -> tuple[_Huffman, _Huffman]:
+    global _FIXED_LIT, _FIXED_DIST
+    if _FIXED_LIT is None:
+        lengths = [8] * 144 + [9] * 112 + [7] * 24 + [8] * 8
+        _FIXED_LIT = _Huffman(lengths)
+        _FIXED_DIST = _Huffman([5] * 30)
+    return _FIXED_LIT, _FIXED_DIST
+
+
+def _dynamic_tables(bits: _Bits) -> tuple[_Huffman, _Huffman]:
+    hlit = bits.take(5) + 257
+    hdist = bits.take(5) + 1
+    hclen = bits.take(4) + 4
+    if hlit > 286 or hdist > 30:
+        raise InflateError(f"HLIT/HDIST out of range: {hlit}/{hdist}")
+    clc_lengths = [0] * 19
+    for i in range(hclen):
+        clc_lengths[_CLC_ORDER[i]] = bits.take(3)
+    clc = _Huffman(clc_lengths)
+    lengths: list[int] = []
+    while len(lengths) < hlit + hdist:
+        sym = clc.decode(bits)
+        if sym < 16:
+            lengths.append(sym)
+        elif sym == 16:
+            if not lengths:
+                raise InflateError("repeat code with no previous length")
+            lengths.extend([lengths[-1]] * (3 + bits.take(2)))
+        elif sym == 17:
+            lengths.extend([0] * (3 + bits.take(3)))
+        else:
+            lengths.extend([0] * (11 + bits.take(7)))
+    if len(lengths) != hlit + hdist:
+        raise InflateError("code-length run overflows HLIT+HDIST")
+    lit = _Huffman(lengths[:hlit])
+    dist = _Huffman(lengths[hlit:])
+    return lit, dist
+
+
+def inflate_raw(data: bytes, start: int = 0) -> tuple[bytes, int]:
+    """Decode one complete raw-DEFLATE stream starting at byte
+    ``start``; returns (decompressed bytes, next byte position)."""
+    bits = _Bits(bytes(data), start)
+    out = bytearray()
+    while True:
+        bfinal = bits.take(1)
+        btype = bits.take(2)
+        if btype == 0:  # stored
+            bits.align_byte()
+            p = bits.byte_pos()
+            if p + 4 > len(bits.data):
+                raise InflateError("truncated stored-block header")
+            ln, nln = struct.unpack_from("<HH", bits.data, p)
+            if ln ^ nln != 0xFFFF:
+                raise InflateError("stored block LEN/NLEN mismatch")
+            if p + 4 + ln > len(bits.data):
+                raise InflateError("truncated stored block")
+            out += bits.data[p + 4 : p + 4 + ln]
+            bits.pos = p + 4 + ln
+        elif btype in (1, 2):
+            lit, dist = (
+                _fixed_tables() if btype == 1 else _dynamic_tables(bits)
+            )
+            while True:
+                sym = lit.decode(bits)
+                if sym < 256:
+                    out.append(sym)
+                elif sym == 256:
+                    break
+                else:
+                    if sym > 285:
+                        raise InflateError(f"invalid length code {sym}")
+                    eb, base = _LEN_TABLE[sym - 257]
+                    length = base + bits.take(eb)
+                    dsym = dist.decode(bits)
+                    if dsym > 29:
+                        raise InflateError(f"invalid distance code {dsym}")
+                    deb, dbase = _DIST_TABLE[dsym]
+                    distance = dbase + bits.take(deb)
+                    if distance > len(out):
+                        raise InflateError(
+                            "back-reference before stream start"
+                        )
+                    # overlapping copy byte-by-byte (RFC allows
+                    # distance < length: the run replicates)
+                    s = len(out) - distance
+                    for i in range(length):
+                        out.append(out[s + i])
+                if len(out) > MAX_OUTPUT:
+                    raise InflateError("output exceeds decoder cap")
+        else:
+            raise InflateError("reserved block type 3")
+        if len(out) > MAX_OUTPUT:
+            raise InflateError("output exceeds decoder cap")
+        if bfinal:
+            break
+    bits.align_byte()
+    return bytes(out), bits.byte_pos()
+
+
+def adler32(data: bytes) -> int:
+    """RFC 1950 §8: two mod-65521 running sums."""
+    a, b = 1, 0
+    for i in range(0, len(data), 4096):
+        for byte in data[i : i + 4096]:
+            a += byte
+            b += a
+        a %= 65521
+        b %= 65521
+    return (b << 16) | a
+
+
+def inflate_zlib(data: bytes) -> bytes:
+    """RFC 1950 wrapper: header checks + Adler-32 trailer verify."""
+    if len(data) < 6:
+        raise InflateError("zlib stream too short")
+    cmf, flg = data[0], data[1]
+    if cmf & 0x0F != 8:
+        raise InflateError(f"zlib CM {cmf & 0x0F} is not DEFLATE")
+    if (cmf >> 4) > 7:
+        raise InflateError("zlib CINFO window exceeds 32 KiB")
+    if (cmf * 256 + flg) % 31 != 0:
+        raise InflateError("zlib FCHECK failed")
+    if flg & 0x20:
+        raise InflateError("zlib FDICT preset dictionaries not supported")
+    out, pos = inflate_raw(data, 2)
+    if pos + 4 > len(data):
+        raise InflateError("zlib stream missing Adler-32 trailer")
+    want = struct.unpack_from(">I", data, pos)[0]
+    got = adler32(out)
+    if want != got:
+        raise InflateError(f"Adler-32 mismatch: {got:#x} != {want:#x}")
+    return out
+
+
+_CRC_TABLE = None
+
+
+def crc32(data: bytes, crc: int = 0) -> int:
+    """RFC 1952 §8 CRC-32 (reflected 0xEDB88320), table-driven."""
+    global _CRC_TABLE
+    if _CRC_TABLE is None:
+        tbl = []
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0xEDB88320 if c & 1 else c >> 1
+            tbl.append(c)
+        _CRC_TABLE = tbl
+    c = crc ^ 0xFFFFFFFF
+    for byte in data:
+        c = _CRC_TABLE[(c ^ byte) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def inflate_gzip(data: bytes) -> bytes:
+    """RFC 1952 single-member gzip: header walk (FEXTRA/FNAME/
+    FCOMMENT/FHCRC), raw inflate, CRC-32 + ISIZE trailer verify."""
+    if len(data) < 18 or data[0] != 0x1F or data[1] != 0x8B:
+        raise InflateError("missing gzip magic")
+    if data[2] != 8:
+        raise InflateError(f"gzip CM {data[2]} is not DEFLATE")
+    flg = data[3]
+    if flg & 0xE0:
+        raise InflateError("gzip reserved FLG bits set")
+    pos = 10
+    if flg & 0x04:  # FEXTRA
+        if pos + 2 > len(data):
+            raise InflateError("truncated FEXTRA length")
+        xlen = struct.unpack_from("<H", data, pos)[0]
+        pos += 2 + xlen
+    for bit in (0x08, 0x10):  # FNAME, FCOMMENT: nul-terminated
+        if flg & bit:
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                raise InflateError("unterminated gzip header string")
+            pos = end + 1
+    if flg & 0x02:  # FHCRC
+        if pos + 2 > len(data):
+            raise InflateError("truncated FHCRC")
+        want = struct.unpack_from("<H", data, pos)[0]
+        if crc32(data[:pos]) & 0xFFFF != want:
+            raise InflateError("gzip header CRC16 mismatch")
+        pos += 2
+    out, pos = inflate_raw(data, pos)
+    if pos + 8 > len(data):
+        raise InflateError("gzip stream missing CRC32/ISIZE trailer")
+    want_crc, want_isize = struct.unpack_from("<II", data, pos)
+    if crc32(out) != want_crc:
+        raise InflateError("gzip CRC-32 mismatch")
+    if len(out) % (1 << 32) != want_isize:
+        raise InflateError("gzip ISIZE mismatch")
+    return out

@@ -45,6 +45,8 @@ from databatchprotectionservice_spark.core.cborcodec import dumps as cbor_dumps
 from databatchprotectionservice_spark.core.cborcodec import loads as cbor_loads
 from databatchprotectionservice_spark.core.robotscodec import (
     is_allowed, parse_robots)
+from databatchprotectionservice_spark.core.inflatecodec import (
+    InflateError, inflate_gzip, inflate_zlib)
 
 rng = np.random.RandomState(20260815)
 img = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
@@ -92,6 +94,16 @@ BASES = {
                     "b": b"\x00" * 10, "f": 1.25, "s": "text"}),
         cbor_loads,
         CborFormatError,
+    ),
+    "zlib_deflate": (
+        __import__("zlib").compress(bytes(range(256)) * 4, 6),
+        inflate_zlib,
+        InflateError,
+    ),
+    "gzip_member": (
+        __import__("gzip").compress(bytes(range(256)) * 4, 6),
+        inflate_gzip,
+        InflateError,
     ),
     # robots.txt: the contract is TOTALITY — no exception is a domain
     # error here, so the empty except-tuple reports any raise at all

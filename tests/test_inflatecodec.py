@@ -1,0 +1,172 @@
+"""From-scratch DEFLATE/zlib/gzip decoder vs the stdlib zlib referee.
+
+Every stream CPython's zlib emits (all levels: stored, fixed and
+dynamic blocks; sparse, low-entropy and repetitive payloads) must
+decode byte-exact.  Strictness is pinned by hand-assembled hostile
+streams; a mutation battery proves every escape is the domain error.
+"""
+
+import gzip
+import io
+import random
+import struct
+import zlib
+
+import pytest
+
+from databatchprotectionservice_spark.core.errors import (
+    DBPSInvalidInputError,
+)
+from databatchprotectionservice_spark.core.inflatecodec import (
+    InflateError,
+    adler32,
+    crc32,
+    inflate_gzip,
+    inflate_raw,
+    inflate_zlib,
+)
+
+
+def _payloads(rng, n_each=40):
+    out = []
+    for _ in range(n_each):
+        n = rng.randrange(0, 4000)
+        out.append(bytes(rng.randrange(256) for _ in range(n)))
+        out.append(bytes(rng.choice(b"abcde ") for _ in range(n)))
+        unit = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 30)))
+        out.append((unit * (n // max(len(unit), 1) + 1))[:n])
+    return out
+
+
+def test_checksums_match_stdlib():
+    rng = random.Random(3)
+    for p in _payloads(rng, 10):
+        assert adler32(p) == zlib.adler32(p)
+        assert crc32(p) == zlib.crc32(p)
+
+
+def test_zlib_referee_all_levels():
+    rng = random.Random(5)
+    payloads = _payloads(rng, 15)
+    for i, p in enumerate(payloads):
+        level = i % 10
+        assert inflate_zlib(zlib.compress(p, level)) == p
+        co = zlib.compressobj(level, zlib.DEFLATED, -15)
+        raw = co.compress(p) + co.flush()
+        got, pos = inflate_raw(raw)
+        assert got == p and pos == len(raw)
+
+
+def test_gzip_referee_with_header_fields():
+    p = bytes(range(256)) * 11
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", filename="name.txt") as f:
+        f.write(p)
+    assert inflate_gzip(buf.getvalue()) == p
+    # multi-flag header assembled by hand: FEXTRA + FNAME + FCOMMENT
+    co = zlib.compressobj(6, zlib.DEFLATED, -15)
+    body = co.compress(p) + co.flush()
+    hdr = (
+        b"\x1f\x8b\x08" + bytes([0x04 | 0x08 | 0x10]) + b"\x00" * 6
+        + struct.pack("<H", 3) + b"xyz"      # FEXTRA
+        + b"fname\x00" + b"comment\x00"      # FNAME, FCOMMENT
+    )
+    blob = hdr + body + struct.pack("<II", zlib.crc32(p), len(p) % (1 << 32))
+    assert inflate_gzip(blob) == p
+
+
+def test_hand_assembled_stored_and_fixed_blocks():
+    # stored: BFINAL=1 BTYPE=00 -> byte 0x01, LEN=3 NLEN=~3, 'abc'
+    stored = b"\x01\x03\x00\xfc\xff" + b"abc"
+    out, pos = inflate_raw(stored)
+    assert out == b"abc" and pos == len(stored)
+    # fixed-huffman 'abc' exactly as zlib level 9 emits for tiny input
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    fixed = co.compress(b"abc") + co.flush()
+    assert inflate_raw(fixed)[0] == b"abc"
+    # empty stored block
+    out, _ = inflate_raw(b"\x01\x00\x00\xff\xff")
+    assert out == b""
+
+
+def test_overlapping_backreference_replicates():
+    # 'a' then a (distance=1, length=5) run -> 'aaaaaa'
+    co = zlib.compressobj(9, zlib.DEFLATED, -15)
+    raw = co.compress(b"a" * 600) + co.flush()
+    assert inflate_raw(raw)[0] == b"a" * 600
+
+
+def test_hostile_streams_raise_domain_error():
+    assert issubclass(InflateError, DBPSInvalidInputError)
+    with pytest.raises(InflateError, match="LEN/NLEN"):
+        inflate_raw(b"\x01\x03\x00\x00\x00abc")
+    with pytest.raises(InflateError, match="reserved block"):
+        inflate_raw(b"\x07")
+    with pytest.raises(InflateError, match="end of DEFLATE"):
+        inflate_raw(b"")
+    with pytest.raises(InflateError, match="before stream start"):
+        # fixed block: literal 'a' then length-3 @ distance 4 (too far)
+        import io as _io
+        bits = []
+        def put(v, n):
+            for i in range(n):
+                bits.append((v >> i) & 1)
+        put(1, 1); put(1, 2)                # BFINAL, fixed
+        def put_code(code, n):              # huffman codes MSB-first
+            for i in range(n - 1, -1, -1):
+                bits.append((code >> i) & 1)
+        put_code(0x30 + ord('a'), 8)        # literal 'a'
+        put_code(0x01, 7)                   # length code 257 (len 3)
+        put_code(3, 5)                      # distance code 3 (dist 4)
+        put_code(0, 7)                      # end of block
+        raw = bytearray()
+        for i in range(0, len(bits), 8):
+            b = 0
+            for j, bit in enumerate(bits[i : i + 8]):
+                b |= bit << j
+            raw.append(b)
+        inflate_raw(bytes(raw))
+    # zlib wrapper checks
+    good = zlib.compress(b"payload")
+    with pytest.raises(InflateError, match="FCHECK"):
+        inflate_zlib(bytes([good[0], good[1] ^ 1]) + good[2:])
+    bad_adler = bytearray(good); bad_adler[-1] ^= 1
+    with pytest.raises(InflateError, match="Adler-32"):
+        inflate_zlib(bytes(bad_adler))
+    with pytest.raises(InflateError, match="FDICT"):
+        inflate_zlib(b"\x78\xbb" + b"\x00" * 8)
+    # gzip wrapper checks
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb") as f:
+        f.write(b"x")
+    g = bytearray(buf.getvalue())
+    g[-5] ^= 1
+    with pytest.raises(InflateError, match="CRC-32|ISIZE"):
+        inflate_gzip(bytes(g))
+
+
+def test_mutation_battery():
+    rng = random.Random(59)
+    bases = [
+        bytearray(zlib.compress(bytes(range(256)) * 5, 6)),
+        bytearray(zlib.compress(b"ab" * 800, 9)),
+        bytearray(zlib.compress(bytes(rng.randrange(256) for _ in range(900)), 1)),
+    ]
+    for _ in range(3000):
+        b = bytearray(rng.choice(bases))
+        for _ in range(rng.randint(1, 6)):
+            op = rng.random()
+            if op < 0.6 and b:
+                b[rng.randrange(len(b))] = rng.randrange(256)
+            elif op < 0.8 and len(b) > 4:
+                cut = rng.randrange(len(b) - 3)
+                del b[cut : cut + rng.randint(1, 12)]
+            else:
+                i = rng.randrange(len(b) + 1)
+                b[i:i] = bytes(
+                    rng.randrange(256) for _ in range(rng.randint(1, 6))
+                )
+        try:
+            inflate_zlib(bytes(b))
+        except InflateError:
+            pass
