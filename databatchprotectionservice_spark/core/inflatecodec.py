@@ -353,3 +353,219 @@ def inflate_gzip(data: bytes) -> bytes:
     if len(out) % (1 << 32) != want_isize:
         raise InflateError("gzip ISIZE mismatch")
     return out
+
+
+# ---------------------------------------------------------------------------
+# Encode direction: fixed-Huffman DEFLATE with greedy LZ77 (+ stored
+# fallback), zlib/gzip wrappers.  The decode referee in tests is
+# stdlib zlib — streams this encoder emits must inflate byte-exact
+# there AND through this module's own decoder.
+# ---------------------------------------------------------------------------
+
+#: greedy matcher bounds (RFC limits: length <= 258, distance <= 32768)
+_MIN_MATCH = 3
+_MAX_MATCH = 258
+_WINDOW = 32768
+
+
+class _BitWriter:
+    """LSB-first bit packer (the inverse of _Bits)."""
+
+    __slots__ = ("out", "buf", "nbits")
+
+    def __init__(self):
+        self.out = bytearray()
+        self.buf = 0
+        self.nbits = 0
+
+    def put(self, v: int, n: int) -> None:
+        self.buf |= (v & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.out.append(self.buf & 0xFF)
+            self.buf >>= 8
+            self.nbits -= 8
+
+    def put_code(self, code: int, n: int) -> None:
+        """Huffman codes pack MSB-first (RFC 1951 §3.1.1)."""
+        for i in range(n - 1, -1, -1):
+            self.put((code >> i) & 1, 1)
+
+    def finish(self) -> bytes:
+        if self.nbits:
+            self.out.append(self.buf & 0xFF)
+            self.buf = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _put_fixed_literal(w: _BitWriter, sym: int) -> None:
+    if sym < 144:
+        w.put_code(0x30 + sym, 8)
+    elif sym < 256:
+        w.put_code(0x190 + sym - 144, 9)
+    elif sym < 280:
+        w.put_code(sym - 256, 7)
+    else:
+        w.put_code(0xC0 + sym - 280, 8)
+
+
+def _length_symbol(length: int) -> tuple[int, int, int]:
+    """length -> (symbol, extra bits, extra value)."""
+    for sym in range(len(_LEN_TABLE) - 1, -1, -1):
+        eb, base = _LEN_TABLE[sym]
+        if length >= base:
+            return 257 + sym, eb, length - base
+    raise InflateError(f"length {length} below minimum match")
+
+
+def _dist_symbol(distance: int) -> tuple[int, int, int]:
+    for sym in range(len(_DIST_TABLE) - 1, -1, -1):
+        eb, base = _DIST_TABLE[sym]
+        if distance >= base:
+            return sym, eb, distance - base
+    raise InflateError(f"distance {distance} below 1")
+
+
+def deflate_fixed(data: bytes) -> bytes:
+    """One final fixed-Huffman block over a greedy hash-head LZ77
+    parse (single-slot 3-byte hash, the same greedy discipline as
+    the LZ4 encoder; correctness never depends on match quality)."""
+    data = bytes(data)
+    w = _BitWriter()
+    w.put(1, 1)  # BFINAL
+    w.put(1, 2)  # fixed Huffman
+    head: dict[int, int] = {}
+    i, n = 0, len(data)
+    while i < n:
+        match_len = 0
+        match_dist = 0
+        if i + _MIN_MATCH <= n:
+            key = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16)
+            cand = head.get(key)
+            head[key] = i
+            if cand is not None and i - cand <= _WINDOW:
+                limit = min(_MAX_MATCH, n - i)
+                ln = 0
+                while ln < limit and data[cand + ln] == data[i + ln]:
+                    ln += 1
+                if ln >= _MIN_MATCH:
+                    match_len, match_dist = ln, i - cand
+        if match_len:
+            sym, eb, ev = _length_symbol(match_len)
+            _put_fixed_literal(w, sym)
+            w.put(ev, eb)
+            dsym, deb, dev = _dist_symbol(match_dist)
+            w.put_code(dsym, 5)
+            w.put(dev, deb)
+            # seed the hash along the match so later data can refer
+            # into it (head slots, not chains: greedy single-slot)
+            end = i + match_len
+            j = i + 1
+            while j < min(end, n - _MIN_MATCH + 1):
+                k = data[j] | (data[j + 1] << 8) | (data[j + 2] << 16)
+                head[k] = j
+                j += 1
+            i = end
+        else:
+            _put_fixed_literal(w, data[i])
+            i += 1
+    _put_fixed_literal(w, 256)  # end of block
+    return w.finish()
+
+
+def deflate_stored(data: bytes) -> bytes:
+    """Stored (uncompressed) blocks — the incompressible fallback."""
+    data = bytes(data)
+    out = bytearray()
+    pos = 0
+    while True:
+        chunk = data[pos : pos + 0xFFFF]
+        final = 1 if pos + len(chunk) >= len(data) else 0
+        out.append(final)  # BFINAL + BTYPE=00, byte-aligned
+        out += struct.pack("<HH", len(chunk), len(chunk) ^ 0xFFFF)
+        out += chunk
+        pos += len(chunk)
+        if final:
+            return bytes(out)
+
+
+def deflate(data: bytes) -> bytes:
+    """Pick the smaller of fixed-Huffman and stored for the payload."""
+    fixed = deflate_fixed(data)
+    stored = deflate_stored(data)
+    return fixed if len(fixed) <= len(stored) else stored
+
+
+def zlib_compress(data: bytes) -> bytes:
+    """RFC 1950 framing around :func:`deflate` (32K window, FCHECK
+    balanced, no dictionary)."""
+    cmf = 0x78
+    flg = 0x9C  # level-2 FLEVEL; (0x78*256 + 0x9C) % 31 == 0
+    return (
+        bytes([cmf, flg])
+        + deflate(data)
+        + struct.pack(">I", adler32(data))
+    )
+
+
+def gzip_compress(data: bytes, fname: str | None = None) -> bytes:
+    """RFC 1952 single-member framing around :func:`deflate`."""
+    flg = 0x08 if fname else 0
+    hdr = bytearray(b"\x1f\x8b\x08" + bytes([flg]) + b"\x00" * 6)
+    if fname:
+        hdr += fname.encode("latin-1") + b"\x00"
+    return (
+        bytes(hdr)
+        + deflate(data)
+        + struct.pack("<II", crc32(data), len(data) % (1 << 32))
+    )
+
+
+def gzip_members(data: bytes) -> list[bytes]:
+    """Walk CONCATENATED gzip members (RFC 1952 §2.2 allows a file to
+    be a sequence of members — the Common Crawl warc.gz layout) and
+    return each member's decompressed payload, trailer-verified."""
+    data = bytes(data)
+    out: list[bytes] = []
+    pos = 0
+    while pos < len(data):
+        if pos + 18 > len(data) or data[pos] != 0x1F or data[pos + 1] != 0x8B:
+            raise InflateError(f"missing gzip member magic at {pos}")
+        # find this member's extent by decoding it in place: reuse the
+        # single-member path on the remaining bytes, then compute how
+        # many bytes it consumed from the raw-stream end position
+        if data[pos + 2] != 8:
+            raise InflateError(f"gzip CM {data[pos + 2]} is not DEFLATE")
+        flg = data[pos + 3]
+        if flg & 0xE0:
+            raise InflateError("gzip reserved FLG bits set")
+        p = pos + 10
+        if flg & 0x04:
+            if p + 2 > len(data):
+                raise InflateError("truncated FEXTRA length")
+            p += 2 + struct.unpack_from("<H", data, p)[0]
+        for bit in (0x08, 0x10):
+            if flg & bit:
+                end = data.find(b"\x00", p)
+                if end < 0:
+                    raise InflateError("unterminated gzip header string")
+                p = end + 1
+        if flg & 0x02:
+            if p + 2 > len(data):
+                raise InflateError("truncated FHCRC")
+            want = struct.unpack_from("<H", data, p)[0]
+            if crc32(data[pos:p]) & 0xFFFF != want:
+                raise InflateError("gzip header CRC16 mismatch")
+            p += 2
+        payload, p = inflate_raw(data, p)
+        if p + 8 > len(data):
+            raise InflateError("gzip member missing CRC32/ISIZE trailer")
+        want_crc, want_isize = struct.unpack_from("<II", data, p)
+        if crc32(payload) != want_crc:
+            raise InflateError("gzip member CRC-32 mismatch")
+        if len(payload) % (1 << 32) != want_isize:
+            raise InflateError("gzip member ISIZE mismatch")
+        out.append(payload)
+        pos = p + 8
+    return out

@@ -2975,3 +2975,113 @@ def ingest_robots_filter(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# gzip member stream — the warc.gz shard layout on OUR deflate
+# ---------------------------------------------------------------------------
+
+#: docs per concatenated-member shard (the few-larger-files shape,
+#: same rationale as IPC_SHARD_DOCS)
+GZIP_SHARD_DOCS = 256
+
+GZIP_MEMBERS_ORACLE = f"""
+        WITH sh AS (
+            SELECT source,
+                   doc_id // {GZIP_SHARD_DOCS} AS shard_id,
+                   count(*) AS n_members,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id,
+                   CAST(sum(coalesce(octet_length(encode(text)), 0))
+                        AS BIGINT) AS text_bytes
+            FROM documents GROUP BY 1, 2
+        )
+        SELECT source,
+               count(*) AS n_shards,
+               CAST(sum(n_members) AS BIGINT) AS n_members,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(text_bytes) AS BIGINT) AS text_bytes
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_GZIP_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("text_bytes", T.LongType()),
+    ]
+)
+
+
+def ingest_gzip_multistream(spark, sf_dir) -> DataFrame:
+    """Concatenated-gzip-member shards on the FROM-SCRATCH deflate —
+    the Common Crawl warc.gz layout (one gzip member per record, all
+    members concatenated into one seekable file) with no black box
+    in either direction.
+
+    Per shard: every document compresses to its own gzip member via
+    ``core/inflatecodec.gzip_compress`` (fixed-Huffman LZ77 or stored
+    fallback, FNAME carrying the doc id); members concatenate; then
+    TWO walks verify the shard — this module's member walker
+    (header fields, per-member CRC-32 + ISIZE) must recover every
+    payload byte-exactly, and stdlib gzip (the independent referee)
+    must agree on the concatenation.
+
+    100 TB: one shard-key shuffle then Arrow-batched byte work; the
+    member framing is WHY the real layout is seekable/splittable —
+    a reader can start at any member boundary, which is exactly what
+    the per-record-gzip WARC convention exists to provide.
+    """
+    import gzip as gzip_
+
+    from ..core.inflatecodec import gzip_compress, gzip_members
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {GZIP_SHARD_DOCS}"))
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        doc_ids = [int(i) for i in pdf["doc_id"]]
+        payloads = [
+            ("" if t is None else str(t)).encode("utf-8")
+            for t in pdf["text"]
+        ]
+        blob = b"".join(
+            gzip_compress(p, fname=f"{i}.txt")
+            for i, p in zip(doc_ids, payloads)
+        )
+        got = gzip_members(blob)
+        if got != payloads:
+            raise ValueError("member walk drifted from the payloads")
+        if gzip_.decompress(blob) != b"".join(payloads):
+            raise ValueError("stdlib referee disagrees on the blob")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_members": pd.Series([len(got)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(doc_ids)], dtype="int64"),
+                "text_bytes": pd.Series(
+                    [sum(len(p) for p in got)], dtype="int64"
+                ),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _GZIP_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_shards"),
+            F.sum("n_members").cast("bigint").alias("n_members"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("text_bytes").cast("bigint").alias("text_bytes"),
+        )
+        .orderBy("source")
+    )

@@ -271,7 +271,9 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_robots_filter (RFC 9309 politeness filter: group
 #   shadowing, longest-match, wildcard/$ — spec-example-pinned),
 #   profiling_hll_distinct (HyperLogLog with integer-exact register
-#   state compared across engines; estimate = one IEEE division)
+#   state compared across engines; estimate = one IEEE division),
+#   ingest_gzip_multistream (warc.gz member layout on the
+#   from-scratch DEFLATE both directions, stdlib gzip as referee)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

@@ -120,6 +120,9 @@ def staged_manifest():
         "profiling_hll_distinct": (
             profiling.profiling_hll_distinct,
             profiling.HLL_DISTINCT_ORACLE),
+        "ingest_gzip_multistream": (
+            ingest.ingest_gzip_multistream,
+            ingest.GZIP_MEMBERS_ORACLE),
     }
 
 

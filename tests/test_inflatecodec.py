@@ -170,3 +170,63 @@ def test_mutation_battery():
             inflate_zlib(bytes(b))
         except InflateError:
             pass
+
+
+# ---------------------------------------------------------------------------
+# Encode direction: fixed-Huffman DEFLATE + wrappers; stdlib zlib is
+# the decode REFEREE (it must read our streams byte-exact).
+# ---------------------------------------------------------------------------
+
+from databatchprotectionservice_spark.core.inflatecodec import (  # noqa: E402
+    deflate,
+    deflate_fixed,
+    deflate_stored,
+    gzip_compress,
+    zlib_compress,
+)
+
+
+def test_encoder_zlib_referee_matrix():
+    rng = random.Random(61)
+    for trial in range(60):
+        n = rng.randrange(0, 5000)
+        kind = trial % 3
+        if kind == 0:
+            p = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            p = bytes(rng.choice(b"hello world ") for _ in range(n))
+        else:
+            u = bytes(rng.randrange(256) for _ in range(rng.randrange(1, 25)))
+            p = (u * (n // max(len(u), 1) + 1))[:n]
+        raw = deflate(p)
+        assert zlib.decompress(raw, -15) == p
+        assert inflate_raw(raw)[0] == p
+        assert zlib.decompress(zlib_compress(p)) == p
+        assert inflate_zlib(zlib_compress(p)) == p
+        assert gzip.decompress(gzip_compress(p, fname="t.bin")) == p
+        assert inflate_gzip(gzip_compress(p)) == p
+
+
+def test_encoder_compresses_and_falls_back():
+    repetitive = b"spark " * 2000
+    assert len(deflate_fixed(repetitive)) < len(repetitive) // 50
+    rnd = bytes(random.Random(1).randrange(256) for _ in range(4000))
+    # incompressible input: deflate() picks stored, still referee-clean
+    raw = deflate(rnd)
+    assert len(raw) <= len(deflate_fixed(rnd))
+    assert zlib.decompress(raw, -15) == rnd
+
+
+def test_encoder_long_matches_and_window_edge():
+    # a match at exactly the 258 cap and repeats far apart
+    p = b"A" * 1000 + b"B" * 40000 + b"A" * 1000
+    raw = deflate_fixed(p)
+    assert zlib.decompress(raw, -15) == p
+    assert inflate_raw(raw)[0] == p
+
+
+def test_encoder_multi_chunk_stored():
+    p = bytes(random.Random(2).randrange(256) for _ in range(70000))
+    raw = deflate_stored(p)  # two stored blocks (0xFFFF cap)
+    assert zlib.decompress(raw, -15) == p
+    assert inflate_raw(raw)[0] == p

@@ -20,6 +20,7 @@ import pytest
 from databatchprotectionservice_spark.operators.ingest import (
     ARROW_IPC_ORACLE,
     AVRO_BLOCKS_ORACLE,
+    GZIP_MEMBERS_ORACLE,
     ORC_SHARDS_ORACLE,
     TFEXAMPLE_SHARDS_ORACLE,
     TFRECORD_SHARDS_ORACLE,
@@ -28,6 +29,7 @@ from databatchprotectionservice_spark.operators.ingest import (
     ZIP_MEMBERS_ORACLE,
     export_arrow_ipc_shards,
     ingest_arrow_ipc,
+    ingest_gzip_multistream,
     ingest_avro_blocks,
     ingest_orc_shards,
     ingest_tfexample_shards,
@@ -108,9 +110,10 @@ def _rows(df):
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
         (ingest_arrow_ipc, ARROW_IPC_ORACLE),
         (export_arrow_ipc_shards, ARROW_IPC_ORACLE),
+        (ingest_gzip_multistream, GZIP_MEMBERS_ORACLE),
     ],
     ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
-         "arrowipc", "arrowipc_export"],
+         "arrowipc", "arrowipc_export", "gzipms"],
 )
 def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
     got = _rows(query(spark, corpus_dir))
@@ -131,9 +134,10 @@ def test_matches_oracle_on_crafted_corpus(spark, corpus_dir, query, oracle):
         (ingest_orc_shards, ORC_SHARDS_ORACLE),
         (ingest_arrow_ipc, ARROW_IPC_ORACLE),
         (export_arrow_ipc_shards, ARROW_IPC_ORACLE),
+        (ingest_gzip_multistream, GZIP_MEMBERS_ORACLE),
     ],
     ids=["warc", "tar", "zip", "tfrecord", "avro", "tfexample", "orc",
-         "arrowipc", "arrowipc_export"],
+         "arrowipc", "arrowipc_export", "gzipms"],
 )
 def test_matches_oracle_on_real_corpus(spark, query, oracle):
     sf_dir = "/root/testdata/sf0.001"
