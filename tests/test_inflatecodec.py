@@ -230,3 +230,117 @@ def test_encoder_multi_chunk_stored():
     raw = deflate_stored(p)  # two stored blocks (0xFFFF cap)
     assert zlib.decompress(raw, -15) == p
     assert inflate_raw(raw)[0] == p
+
+
+# ---------------------------------------------------------------------------
+# Cross-validation against the engine's OWN production byte paths:
+# the spec twin must decode the zlib/deflate streams the PNG, ZIP and
+# Avro codecs actually emit (and, for ZIP, streams our encoder emits
+# must be readable back through the production walk).
+# ---------------------------------------------------------------------------
+
+
+def test_decodes_png_idat_stream():
+    import numpy as np
+
+    from databatchprotectionservice_spark.core.imagecodec import (
+        encode_png,
+    )
+
+    img = np.arange(9 * 11 * 3, dtype=np.uint8).reshape(9, 11, 3)
+    png = encode_png(img)
+    # walk PNG chunks for the concatenated IDAT payload
+    pos = 8
+    idat = bytearray()
+    while pos + 8 <= len(png):
+        (ln,) = struct.unpack_from(">I", png, pos)
+        typ = png[pos + 4 : pos + 8]
+        if typ == b"IDAT":
+            idat += png[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+    ours = inflate_zlib(bytes(idat))
+    assert ours == zlib.decompress(bytes(idat))
+    # filtered scanlines: height rows of (1 filter byte + 3*width)
+    assert len(ours) == 9 * (1 + 11 * 3)
+
+
+def test_decodes_zip_deflate_member():
+    from databatchprotectionservice_spark.core.zipcodec import (
+        encode_zip,
+        parse_zip,
+    )
+
+    payload = b"zip deflate member " * 50
+    blob = encode_zip([("a.txt", payload)], deflate=True)
+    m = parse_zip(blob)[0]
+    assert m["method"] == 8 and m["data"] == payload
+    # slice the raw deflate stream out of the single local header:
+    # 30 fixed bytes + name, compressed size at local offset 18
+    (csize,) = struct.unpack_from("<I", blob, 18)
+    raw = blob[30 + len(b"a.txt") : 30 + len(b"a.txt") + csize]
+    assert inflate_raw(raw)[0] == payload
+
+
+def test_decodes_avro_deflate_block():
+    from databatchprotectionservice_spark.core.avrocodec import (
+        encode_avro_ocf,
+        parse_avro_ocf,
+    )
+
+    from databatchprotectionservice_spark.core.avrocodec import (
+        read_long,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "string"}],
+    }
+    rows = [{"x": f"value {i} " * 9} for i in range(50)]
+    sync = bytes(range(16))
+    blob = encode_avro_ocf(rows, schema, codec="deflate", sync=sync)
+    assert parse_avro_ocf(blob)["records"] == rows  # production walk
+    # locate the single block after the header's sync marker:
+    # [count varint][size varint][deflate bytes][sync]
+    start = blob.find(sync) + 16
+    _, p2 = read_long(blob, start)
+    size, p3 = read_long(blob, p2)
+    raw = blob[p3 : p3 + size]
+    assert blob[p3 + size : p3 + size + 16] == sync
+    assert inflate_raw(raw)[0] == zlib.decompress(raw, -15)
+
+
+def test_zip_walk_reads_our_deflate():
+    """Invert the referee: hand the production ZIP walk a member whose
+    deflate stream came from OUR encoder."""
+    from databatchprotectionservice_spark.core.inflatecodec import (
+        deflate as our_deflate,
+    )
+    from databatchprotectionservice_spark.core.zipcodec import parse_zip
+
+    payload = b"our deflate inside a zip " * 40
+    raw = our_deflate(payload)
+    crc = zlib.crc32(payload) & 0xFFFFFFFF
+    name = b"ours.bin"
+    local = (
+        b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 8, 0, 0)
+        + struct.pack("<IIIHH", crc, len(raw), len(payload), len(name), 0)
+        + name + raw
+    )
+    central = (
+        b"PK\x01\x02"
+        + struct.pack("<HHHHHH", 20, 20, 0, 8, 0, 0)   # versions..date
+        + struct.pack("<III", crc, len(raw), len(payload))
+        + struct.pack("<HHH", len(name), 0, 0)          # n/e/c lens
+        + struct.pack("<HH", 0, 0)                      # disk, iattr
+        + struct.pack("<II", 0, 0)                      # eattr, offset
+        + name
+    )
+    eocd = (
+        b"PK\x05\x06" + struct.pack("<HHHHIIH", 0, 0, 1, 1,
+                                     len(central), len(local), 0)
+    )
+    blob = local + central + eocd
+    m = parse_zip(blob)[0]
+    assert m["name"] == "ours.bin"
+    assert m["data"] == payload  # the production walk inflated OUR stream
