@@ -1730,3 +1730,70 @@ def timeseries_gap_fill(spark, sf_dir):
         .cast("bigint")
         .alias("ffill_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE / grouping-sets rollup (staged for r11/r12 registration)
+# ---------------------------------------------------------------------------
+
+#: r11/r12 registration oracle — DuckDB GROUP BY CUBE with GROUPING()
+#: (the bitmask convention matches Spark's grouping_id(): first cube
+#: column = most significant bit, verified empirically on both).
+CUBE_ROLLUP_ORACLE = """
+        SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+               coalesce(l_linestatus, '(all)') AS linestatus,
+               CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18, 2)))
+                    AS DECIMAL(38, 2)) AS VARCHAR) AS sum_qty,
+               CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2)))
+                    AS DECIMAL(38, 2)) AS VARCHAR) AS sum_price
+        FROM lineitem
+        GROUP BY CUBE(l_returnflag, l_linestatus)
+        ORDER BY gid, returnflag, linestatus
+"""
+
+
+def sales_cube_rollup(spark, sf_dir):
+    """Multi-level rollup via CUBE — the OLAP super-aggregate shape
+    the TPC-H block doesn't cover: every (returnflag, linestatus)
+    combination PLUS both one-dimension margins PLUS the grand total
+    in one pass, each level tagged by ``grouping_id()``.  NULL
+    grouping dimensions are coalesced to '(all)' so the gate never
+    compares raw NULL sort orders; sums go through DECIMAL(18,2)
+    like every monetary aggregate in the registry.
+
+    100 TB shape: Spark plans CUBE as one Expand (4 rows per input
+    row for 2 dims) feeding a single partial-aggregating hash
+    aggregate — ONE shuffle total, identical to a plain groupBy, and
+    the expansion factor is 2^dims, a constant.  The alternative
+    (four separate aggregates unioned) would scan the fact table
+    four times; CUBE is why it scans once.
+    """
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    d2 = F.col("l_quantity").cast("decimal(18,2)")
+    p2 = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(d2).alias("sum_qty_d"),
+            F.sum(p2).alias("sum_price_d"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("(all)")).alias(
+                "returnflag"
+            ),
+            F.coalesce(F.col("l_linestatus"), F.lit("(all)")).alias(
+                "linestatus"
+            ),
+            "gid",
+            "n_rows",
+            dec_str(F.col("sum_qty_d")).alias("sum_qty"),
+            dec_str(F.col("sum_price_d")).alias("sum_price"),
+        )
+        .orderBy("gid", "returnflag", "linestatus")
+    )

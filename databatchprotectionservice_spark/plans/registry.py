@@ -273,7 +273,9 @@ REGISTERED_IN: dict[str, int] = {
 #   profiling_hll_distinct (HyperLogLog with integer-exact register
 #   state compared across engines; estimate = one IEEE division),
 #   ingest_gzip_multistream (warc.gz member layout on the
-#   from-scratch DEFLATE both directions, stdlib gzip as referee)
+#   from-scratch DEFLATE both directions, stdlib gzip as referee),
+#   sales_cube_rollup (CUBE super-aggregate: one Expand + one
+#   shuffle, grouping_id-tagged levels, decimal-exact)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

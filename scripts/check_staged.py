@@ -33,6 +33,7 @@ def staged_manifest():
         multimodal,
         profiling,
         protection,
+        relational,
         textops,
     )
 
@@ -123,6 +124,9 @@ def staged_manifest():
         "ingest_gzip_multistream": (
             ingest.ingest_gzip_multistream,
             ingest.GZIP_MEMBERS_ORACLE),
+        "sales_cube_rollup": (
+            relational.sales_cube_rollup,
+            relational.CUBE_ROLLUP_ORACLE),
     }
 
 
