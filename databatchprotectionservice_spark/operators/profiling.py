@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import load, load_events, load_spread, prep, register
 
 EVENT_TYPES = (  # explicit pivot vocabulary — never inferred at scale
     "click",
@@ -687,4 +687,80 @@ def profiling_hll_distinct(spark, sf_dir):
             f"CASE WHEN {est} > 2.5 * {HLL_M}"
             f" THEN CAST(round({est}, 0) AS BIGINT) ELSE NULL END"
         ).alias("hll_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram (staged for r11/r12 registration)
+# ---------------------------------------------------------------------------
+
+EQUIDEPTH_BUCKETS = 10
+
+#: r11/r12 oracle — identical ntile over the identical TOTAL order
+#: (value, then event_id as the tiebreak: ntile on a non-total order
+#: is engine-nondeterministic at duplicate boundary values, which is
+#: the trap this query exists to document); boundary facts are the
+#: cents-exact min/max/count per bucket.
+EQUIDEPTH_ORACLE = f"""
+        WITH t AS (
+            SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                   event_id,
+                   ntile({EQUIDEPTH_BUCKETS}) OVER (
+                       ORDER BY CAST(round(value * 100) AS BIGINT),
+                                event_id
+                   ) AS bucket
+            FROM events
+        )
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(cents) AS BIGINT) AS lo_cents,
+               CAST(max(cents) AS BIGINT) AS hi_cents,
+               CAST(sum(cents) AS BIGINT) AS sum_cents
+        FROM t GROUP BY bucket ORDER BY bucket
+"""
+
+
+def profiling_equidepth_histogram(spark, sf_dir):
+    """Equi-depth (equal-frequency) histogram over the event value —
+    the optimizer-statistics shape (DB histograms are equi-depth for
+    selectivity estimation): {EQUIDEPTH_BUCKETS} ntile buckets with
+    cents-exact boundary facts.
+
+    The determinism trap this query pins: ``ntile`` over a NON-total
+    order splits ties at bucket boundaries arbitrarily, differently
+    per engine and per run.  Both sides therefore rank over the
+    identical TOTAL order (cents value, then event_id), making the
+    bucket assignment — and thus every boundary fact — exact.
+
+    100 TB shape: one global-sort window is the honest cost of exact
+    equi-depth (same exchange class as the exact median); the
+    production approximation is ``approx_percentile`` (already gated
+    in ``sketch_accuracy_battery``), and at scale a range-partitioned
+    sort keeps the window from funneling through one task.
+    """
+    from pyspark.sql import Window
+
+    prep(spark)
+    e = load_events(spark, sf_dir)
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    w = Window.orderBy(F.col("cents"), F.col("event_id"))
+    t = e.select(cents.alias("cents"), "event_id").withColumn(
+        "bucket", F.ntile(EQUIDEPTH_BUCKETS).over(w)
+    )
+    return (
+        t.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+            F.sum("cents").cast("bigint").alias("sum_cents"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_rows",
+            "lo_cents",
+            "hi_cents",
+            "sum_cents",
+        )
+        .orderBy("bucket")
     )

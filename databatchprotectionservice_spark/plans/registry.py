@@ -275,7 +275,9 @@ REGISTERED_IN: dict[str, int] = {
 #   ingest_gzip_multistream (warc.gz member layout on the
 #   from-scratch DEFLATE both directions, stdlib gzip as referee),
 #   sales_cube_rollup (CUBE super-aggregate: one Expand + one
-#   shuffle, grouping_id-tagged levels, decimal-exact)
+#   shuffle, grouping_id-tagged levels, decimal-exact),
+#   profiling_equidepth_histogram (ntile over a TOTAL order — the
+#   tie-determinism trap pinned; cents-exact boundary facts)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

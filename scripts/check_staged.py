@@ -127,6 +127,9 @@ def staged_manifest():
         "sales_cube_rollup": (
             relational.sales_cube_rollup,
             relational.CUBE_ROLLUP_ORACLE),
+        "profiling_equidepth_histogram": (
+            profiling.profiling_equidepth_histogram,
+            profiling.EQUIDEPTH_ORACLE),
     }
 
 
