@@ -427,15 +427,13 @@ def _dist_symbol(distance: int) -> tuple[int, int, int]:
     raise InflateError(f"distance {distance} below 1")
 
 
-def deflate_fixed(data: bytes) -> bytes:
-    """One final fixed-Huffman block over a greedy hash-head LZ77
-    parse (single-slot 3-byte hash, the same greedy discipline as
-    the LZ4 encoder; correctness never depends on match quality)."""
-    data = bytes(data)
-    w = _BitWriter()
-    w.put(1, 1)  # BFINAL
-    w.put(1, 2)  # fixed Huffman
+def _lz77_tokens(data: bytes) -> list[tuple[int, int]]:
+    """Greedy hash-head LZ77 parse (single-slot 3-byte hash, the same
+    greedy discipline as the LZ4 encoder; correctness never depends
+    on match quality).  Tokens are (literal_byte, 0) or
+    (length, distance) with distance > 0."""
     head: dict[int, int] = {}
+    tokens: list[tuple[int, int]] = []
     i, n = 0, len(data)
     while i < n:
         match_len = 0
@@ -452,12 +450,7 @@ def deflate_fixed(data: bytes) -> bytes:
                 if ln >= _MIN_MATCH:
                     match_len, match_dist = ln, i - cand
         if match_len:
-            sym, eb, ev = _length_symbol(match_len)
-            _put_fixed_literal(w, sym)
-            w.put(ev, eb)
-            dsym, deb, dev = _dist_symbol(match_dist)
-            w.put_code(dsym, 5)
-            w.put(dev, deb)
+            tokens.append((match_len, match_dist))
             # seed the hash along the match so later data can refer
             # into it (head slots, not chains: greedy single-slot)
             end = i + match_len
@@ -468,9 +461,38 @@ def deflate_fixed(data: bytes) -> bytes:
                 j += 1
             i = end
         else:
-            _put_fixed_literal(w, data[i])
+            tokens.append((data[i], 0))
             i += 1
-    _put_fixed_literal(w, 256)  # end of block
+    return tokens
+
+
+def _emit_tokens(w, tokens, put_litlen, put_dist) -> None:
+    """Serialize the token stream through per-alphabet emitters."""
+    for a, b in tokens:
+        if b == 0:
+            put_litlen(w, a)
+        else:
+            sym, eb, ev = _length_symbol(a)
+            put_litlen(w, sym)
+            w.put(ev, eb)
+            dsym, deb, dev = _dist_symbol(b)
+            put_dist(w, dsym)
+            w.put(dev, deb)
+    put_litlen(w, 256)  # end of block
+
+
+def deflate_fixed(data: bytes) -> bytes:
+    """One final fixed-Huffman block over the greedy LZ77 parse."""
+    data = bytes(data)
+    w = _BitWriter()
+    w.put(1, 1)  # BFINAL
+    w.put(1, 2)  # fixed Huffman
+    _emit_tokens(
+        w,
+        _lz77_tokens(data),
+        _put_fixed_literal,
+        lambda wr, dsym: wr.put_code(dsym, 5),
+    )
     return w.finish()
 
 
@@ -491,10 +513,16 @@ def deflate_stored(data: bytes) -> bytes:
 
 
 def deflate(data: bytes) -> bytes:
-    """Pick the smaller of fixed-Huffman and stored for the payload."""
+    """Pick the smallest of dynamic-Huffman, fixed-Huffman and stored
+    for the payload (the same block-type election zlib performs)."""
+    dynamic = deflate_dynamic(data) if data else None
     fixed = deflate_fixed(data)
     stored = deflate_stored(data)
-    return fixed if len(fixed) <= len(stored) else stored
+    best = min(
+        (c for c in (dynamic, fixed, stored) if c is not None),
+        key=len,
+    )
+    return best
 
 
 def zlib_compress(data: bytes) -> bytes:
@@ -569,3 +597,167 @@ def gzip_members(data: bytes) -> list[bytes]:
         out.append(payload)
         pos = p + 8
     return out
+
+
+# ---------------------------------------------------------------------------
+# Dynamic-Huffman blocks: package-merge length-limited codes + the
+# RFC 1951 §3.2.7 code-length-code serialization.
+# ---------------------------------------------------------------------------
+
+
+def _package_merge(freqs: dict[int, int], limit: int) -> dict[int, int]:
+    """Optimal length-limited Huffman code lengths (the public
+    package-merge / coin-collector algorithm): lengths are the leaf
+    multiplicities in the cheapest ``2n-2`` items of the L-th merged
+    list.  Returns {symbol: length}; a single-symbol alphabet gets
+    length 1 (the legal incomplete code both decoders accept)."""
+    leaves = sorted((f, s) for s, f in freqs.items() if f > 0)
+    n = len(leaves)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {leaves[0][1]: 1}
+    if (1 << limit) < n:
+        raise InflateError(f"{n} symbols cannot fit {limit}-bit codes")
+    lengths = {s: 0 for _, s in leaves}
+    prev: list[tuple[int, tuple[int, ...]]] = []
+    leaf_items = [(f, (s,)) for f, s in leaves]
+    for level in range(limit):
+        items = sorted(leaf_items + prev, key=lambda x: x[0])
+        if level == limit - 1:
+            for _, syms in items[: 2 * n - 2]:
+                for s in syms:
+                    lengths[s] += 1
+            return lengths
+        prev = [
+            (
+                items[i][0] + items[i + 1][0],
+                items[i][1] + items[i + 1][1],
+            )
+            for i in range(0, len(items) - 1, 2)
+        ]
+    raise AssertionError("unreachable")
+
+
+def _canonical_codes(lengths: list[int]) -> list[tuple[int, int]]:
+    """Code lengths -> canonical (code, length) per symbol, the
+    §3.2.2 next_code construction (the encoder-side mirror of
+    ``_Huffman``)."""
+    maxlen = max(lengths) if lengths else 0
+    counts = [0] * (maxlen + 1)
+    for ln in lengths:
+        if ln:
+            counts[ln] += 1
+    next_code = [0] * (maxlen + 2)
+    code = 0
+    for ln in range(1, maxlen + 1):
+        code = (code + counts[ln - 1]) << 1
+        next_code[ln] = code
+    out = []
+    for ln in lengths:
+        if ln == 0:
+            out.append((0, 0))
+        else:
+            out.append((next_code[ln], ln))
+            next_code[ln] += 1
+    return out
+
+
+def _clc_runs(lengths: list[int]):
+    """Run-length encode a code-length array with the 16/17/18
+    repeat codes (RFC 1951 §3.2.7); yields (symbol, extra_bits,
+    extra_value)."""
+    i, n = 0, len(lengths)
+    while i < n:
+        v = lengths[i]
+        run = 1
+        while i + run < n and lengths[i + run] == v:
+            run += 1
+        if v == 0:
+            while run >= 3:
+                take = min(run, 138)
+                if take > 10:
+                    yield 18, 7, take - 11
+                else:
+                    yield 17, 3, take - 3
+                run -= take
+                i += take
+            for _ in range(run):
+                yield 0, 0, 0
+                i += 1
+        else:
+            yield v, 0, 0
+            i += 1
+            run -= 1
+            while run >= 3:
+                take = min(run, 6)
+                yield 16, 2, take - 3
+                run -= take
+                i += take
+            for _ in range(run):
+                yield v, 0, 0
+                i += 1
+
+
+def deflate_dynamic(data: bytes) -> bytes:
+    """One final dynamic-Huffman block: per-payload package-merge
+    codes over the greedy LZ77 token stream, tables serialized with
+    the §3.2.7 code-length code."""
+    data = bytes(data)
+    tokens = _lz77_tokens(data)
+    lit_freq: dict[int, int] = {256: 1}
+    dist_freq: dict[int, int] = {}
+    for a, b in tokens:
+        if b == 0:
+            lit_freq[a] = lit_freq.get(a, 0) + 1
+        else:
+            sym, _, _ = _length_symbol(a)
+            lit_freq[sym] = lit_freq.get(sym, 0) + 1
+            dsym, _, _ = _dist_symbol(b)
+            dist_freq[dsym] = dist_freq.get(dsym, 0) + 1
+    lit_len_map = _package_merge(lit_freq, 15)
+    dist_len_map = _package_merge(dist_freq, 15) or {0: 1}
+    hlit = max(257, max(lit_len_map) + 1)
+    hdist = max(1, max(dist_len_map) + 1)
+    lit_lengths = [lit_len_map.get(s, 0) for s in range(hlit)]
+    dist_lengths = [dist_len_map.get(s, 0) for s in range(hdist)]
+
+    runs = list(_clc_runs(lit_lengths + dist_lengths))
+    clc_freq: dict[int, int] = {}
+    for sym, _, _ in runs:
+        clc_freq[sym] = clc_freq.get(sym, 0) + 1
+    clc_len_map = _package_merge(clc_freq, 7)
+    clc_lengths = [clc_len_map.get(s, 0) for s in range(19)]
+    hclen = max(
+        4,
+        max(
+            i + 1
+            for i, sym in enumerate(_CLC_ORDER)
+            if clc_lengths[sym] or i < 4
+        ),
+    )
+
+    lit_codes = _canonical_codes(lit_lengths)
+    dist_codes = _canonical_codes(dist_lengths)
+    clc_codes = _canonical_codes(clc_lengths)
+
+    w = _BitWriter()
+    w.put(1, 1)  # BFINAL
+    w.put(2, 2)  # dynamic
+    w.put(hlit - 257, 5)
+    w.put(hdist - 1, 5)
+    w.put(hclen - 4, 4)
+    for i in range(hclen):
+        w.put(clc_lengths[_CLC_ORDER[i]], 3)
+    for sym, eb, ev in runs:
+        code, ln = clc_codes[sym]
+        w.put_code(code, ln)
+        if eb:
+            w.put(ev, eb)
+    _emit_tokens(
+        w,
+        tokens,
+        lambda wr, s: wr.put_code(*lit_codes[s]),
+        lambda wr, s: wr.put_code(*dist_codes[s]),
+    )
+    return w.finish()

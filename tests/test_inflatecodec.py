@@ -344,3 +344,54 @@ def test_zip_walk_reads_our_deflate():
     m = parse_zip(blob)[0]
     assert m["name"] == "ours.bin"
     assert m["data"] == payload  # the production walk inflated OUR stream
+
+
+def test_dynamic_huffman_encoder_referee():
+    from databatchprotectionservice_spark.core.inflatecodec import (
+        deflate_dynamic,
+    )
+
+    rng = random.Random(67)
+    for trial in range(50):
+        n = rng.randrange(0, 5000)
+        kind = trial % 4
+        if kind == 0:
+            p = bytes(rng.randrange(256) for _ in range(n))
+        elif kind == 1:
+            p = bytes(rng.choice(b"hello world ") for _ in range(n))
+        elif kind == 2:
+            u = bytes(
+                rng.randrange(256) for _ in range(rng.randrange(1, 25))
+            )
+            p = (u * (n // max(len(u), 1) + 1))[:n]
+        else:
+            p = bytes([rng.choice(b"ab")]) * n  # 1-2 symbol extremes
+        raw = deflate_dynamic(p)
+        assert zlib.decompress(raw, -15) == p
+        assert inflate_raw(raw)[0] == p
+
+
+def test_dynamic_beats_fixed_on_text():
+    from databatchprotectionservice_spark.core.inflatecodec import (
+        deflate_dynamic,
+    )
+
+    p = b"the quick brown fox jumps over the lazy dog " * 300
+    d, f = len(deflate_dynamic(p)), len(deflate_fixed(p))
+    z = len(zlib.compress(p, 6)) - 6  # strip zlib header+adler
+    assert d < f
+    assert d < 1.25 * z  # within 25% of zlib's raw stream
+
+
+def test_deflate_elects_smallest_block_type():
+    text = b"spark table query value " * 800
+    rnd = bytes(random.Random(4).randrange(256) for _ in range(3000))
+    from databatchprotectionservice_spark.core.inflatecodec import (
+        deflate_dynamic,
+    )
+
+    assert len(deflate(text)) == len(deflate_dynamic(text))
+    assert len(deflate(rnd)) <= len(deflate_stored(rnd))
+    for p in (text, rnd, b"", b"x"):
+        assert zlib.decompress(deflate(p), -15) == p
+        assert inflate_raw(deflate(p))[0] == p
