@@ -937,3 +937,118 @@ def streaming_scd2_tws(spark, sf_dir):
     finally:
         remove_path(spark, stage_dir)
     return latest
+
+
+# ---------------------------------------------------------------------------
+# Streaming HyperLogLog (staged for r11/r12 registration)
+# ---------------------------------------------------------------------------
+
+#: same oracle construction as profiling_hll_distinct, per event_type
+#: over user_id, at the streaming sketch's p=6 geometry; n_batches =
+#: distinct week-mod-2 staging buckets the type's events land in.
+HLL_TWS_ORACLE = f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(
+                       md5(CAST(user_id AS VARCHAR)), 1, 15
+                   )) AS BIGINT) AS h,
+                   (epoch_us(CAST(ts AS TIMESTAMP)) // {7 * 86400 * 1_000_000})
+                       % 2 AS bucket_file
+            FROM events
+        ),
+        regs AS (
+            SELECT event_type,
+                   h // {1 << 54} AS bucket,
+                   max(CASE WHEN h % {1 << 54} = 0 THEN 55
+                        ELSE 55 - length(bin(h % {1 << 54})) END) AS r
+            FROM h GROUP BY 1, 2
+        ),
+        folded AS (
+            SELECT event_type,
+                   count(*) AS n_regs,
+                   sum(CAST(1 AS BIGINT) << (55 - r)) AS s_present
+            FROM regs GROUP BY event_type
+        ),
+        nb AS (
+            SELECT event_type, count(DISTINCT bucket_file) AS n_batches
+            FROM h GROUP BY event_type
+        )
+        SELECT f.event_type,
+               CAST(nb.n_batches AS BIGINT) AS n_batches,
+               CAST(f.n_regs AS BIGINT) AS n_regs,
+               CAST(f.s_present + (64 - f.n_regs)
+                    * (CAST(1 AS BIGINT) << 55) AS BIGINT) AS s_total
+        FROM folded f JOIN nb USING (event_type)
+        ORDER BY f.event_type
+"""
+
+
+def streaming_hll_tws(spark, sf_dir):
+    """Streaming distinct-user HyperLogLog: the sketch family meets
+    the state API v2.  Registers (bucket -> max rank) live in a
+    per-event-type ``MapState`` and merge associatively across TWO
+    genuine micro-batches (week-bucket staged files,
+    maxFilesPerTrigger=1) — ``max`` is the merge, so batch boundaries
+    and input order cannot move the final state, which is exactly why
+    HLL is THE streaming distinct sketch.  The oracle restates the
+    final registers arithmetically from ALL events (the same 60-bit
+    md5-prefix construction as ``profiling_hll_distinct``) — a
+    batch-vs-streaming equivalence proof, not just a rows check.
+
+    100 TB shape: state is at most {64} small ints per key and the
+    per-batch protocol traffic is proportional to CHANGED registers
+    (one iterator read + updateValue on deltas); the only exchange is
+    the stream's groupBy into state partitions.  The same processor
+    scales to any key cardinality because the state size is constant
+    per key — the property running ``count(DISTINCT)`` per batch
+    lacks.
+    """
+    from ..plans.registry import load_events, remove_path, scratch_path
+    from ..streaming.pipeline import hll_distinct_stream_tws
+    from ..vendor import ensure_protobuf
+
+    prep(spark)
+    ensure_protobuf(spark)
+    week_us = 7 * 86400 * 1_000_000
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.expr(f"(unix_micros(ts) div {week_us}) % 2").alias("bucket"),
+    )
+    stage_dir = scratch_path("dbps_tws_hll_")
+    e.repartition(1).write.mode("overwrite").partitionBy("bucket").parquet(
+        stage_dir
+    )
+    try:
+        schema = spark.read.parquet(stage_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .select("event_type", "user_id")
+        )
+        sketches = hll_distinct_stream_tws(stream)
+        name = f"streaming_hll_tws_{time.time_ns()}"
+        _run_to_memory_sink(
+            sketches,
+            name,
+            state_partitions=_tws_partitions(),
+            output_mode="update",
+            rocksdb=True,
+        )
+        latest = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct("n_batches", "n_regs", "s_total"),
+                    F.col("n_batches"),
+                ).alias("s")
+            )
+            .select("event_type", "s.*")
+            .orderBy("event_type")
+        )
+        latest = latest.localCheckpoint(eager=True)
+    finally:
+        remove_path(spark, stage_dir)
+    return latest

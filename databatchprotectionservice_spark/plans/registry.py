@@ -277,7 +277,10 @@ REGISTERED_IN: dict[str, int] = {
 #   sales_cube_rollup (CUBE super-aggregate: one Expand + one
 #   shuffle, grouping_id-tagged levels, decimal-exact),
 #   profiling_equidepth_histogram (ntile over a TOTAL order — the
-#   tie-determinism trap pinned; cents-exact boundary facts)
+#   tie-determinism trap pinned; cents-exact boundary facts),
+#   streaming_hll_tws (HLL registers in MapState merging across
+#   genuine micro-batches; oracle = batch-restated registers — a
+#   batch-vs-streaming equivalence proof)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

@@ -736,3 +736,111 @@ def scd2_stream_tws(stream_df: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_HLL_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_regs", T.LongType()),
+        T.StructField("s_total", T.LongType()),
+    ]
+)
+
+#: streaming-HLL geometry: 6 bucket bits over the same 60-bit
+#: md5-prefix hash the batch sketch uses (`operators/profiling.py`);
+#: 64 registers keep the per-key state-server traffic proportional to
+#: CHANGED registers, not corpus size
+HLL_TWS_P = 6
+HLL_TWS_M = 1 << HLL_TWS_P
+_HLL_W_BITS = 60 - HLL_TWS_P  # 54
+
+
+def hll_distinct_stream_tws(stream_df: DataFrame) -> DataFrame:
+    """Distinct-user HyperLogLog maintained INCREMENTALLY in
+    ``transformWithStateInPandas`` state — the streaming half of
+    ``profiling_hll_distinct``: registers live in a ``MapState``
+    (bucket -> max rank) keyed by event_type and merge associatively
+    across micro-batches (``max`` is the merge, so input order and
+    batch boundaries cannot change the final state — the mergeability
+    property that makes HLL THE streaming distinct sketch).
+
+    Per batch the processor hashes the batch's user_ids (the same
+    60-bit md5-prefix construction as the batch sketch, so the SQL
+    oracle restates the registers arithmetically), folds them into
+    the carried map via one iterator read + updateValue on CHANGED
+    buckets only, and re-emits the integer-exact harmonic denominator
+    ``s_total`` (each register contributes ``2^(55 - rank)``; empty
+    buckets ``2^55``) in Update mode.
+
+    Expects columns ``event_type``, ``user_id``."""
+    import hashlib
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    w_mod = 1 << _HLL_W_BITS
+
+    class HllProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._regs = handle.getMapState(
+                "regs", "bucket long", "r long"
+            )
+            self._meta = handle.getValueState("meta", "n_batches long")
+
+        def handleInputRows(self, key, rows, timerValues):
+            (event_type,) = key
+            parts = list(rows)
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+            if len(pdf) == 0:
+                return
+            regs = {b: r for (b,), (r,) in self._regs.iterator()}
+            changed = set()
+            for uid in pdf["user_id"]:
+                h = int(
+                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:15],
+                    16,
+                )
+                bucket = h >> _HLL_W_BITS
+                w = h & (w_mod - 1)
+                rank = (
+                    _HLL_W_BITS + 1
+                    if w == 0
+                    else _HLL_W_BITS + 1 - w.bit_length()
+                )
+                if rank > regs.get(bucket, 0):
+                    regs[bucket] = rank
+                    changed.add(bucket)
+            for bucket in changed:
+                self._regs.updateValue((bucket,), (regs[bucket],))
+            carried = self._meta.get()
+            n_batches = (carried[0] if carried else 0) + 1
+            self._meta.update((n_batches,))
+            s_total = sum(
+                1 << (_HLL_W_BITS + 1 - r) for r in regs.values()
+            ) + (HLL_TWS_M - len(regs)) * (1 << (_HLL_W_BITS + 1))
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_batches": [n_batches],
+                    "n_regs": [len(regs)],
+                    "s_total": [s_total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.groupBy("event_type")
+        .transformWithStateInPandas(
+            HllProcessor(),
+            outputStructType=_HLL_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

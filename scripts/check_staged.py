@@ -34,6 +34,7 @@ def staged_manifest():
         profiling,
         protection,
         relational,
+        streamops,
         textops,
     )
 
@@ -130,6 +131,8 @@ def staged_manifest():
         "profiling_equidepth_histogram": (
             profiling.profiling_equidepth_histogram,
             profiling.EQUIDEPTH_ORACLE),
+        "streaming_hll_tws": (
+            streamops.streaming_hll_tws, streamops.HLL_TWS_ORACLE),
     }
 
 
