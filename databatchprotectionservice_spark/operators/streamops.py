@@ -995,7 +995,7 @@ def streaming_hll_tws(spark, sf_dir):
     md5-prefix construction as ``profiling_hll_distinct``) — a
     batch-vs-streaming equivalence proof, not just a rows check.
 
-    100 TB shape: state is at most {64} small ints per key and the
+    100 TB shape: state is at most 64 small ints per key and the
     per-batch protocol traffic is proportional to CHANGED registers
     (one iterator read + updateValue on deltas); the only exchange is
     the stream's groupBy into state partitions.  The same processor
