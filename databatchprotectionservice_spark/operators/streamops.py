@@ -1052,3 +1052,125 @@ def streaming_hll_tws(spark, sf_dir):
     finally:
         remove_path(spark, stage_dir)
     return latest
+
+
+#: streaming-CMS oracle — cells restated arithmetically: cell(r, c)
+#: for the probe's column = count of the type's events whose salted
+#: row-hash collides with the probe's; total = D * n_events (every
+#: event lands in exactly one cell per row); all integer.
+CMS_TWS_ORACLE = f"""
+        WITH p AS (
+            SELECT event_type, min(user_id) AS probe,
+                   count(*) AS n_events,
+                   count(DISTINCT
+                       (epoch_us(CAST(ts AS TIMESTAMP))
+                        // {7 * 86400 * 1_000_000}) % 2) AS n_batches
+            FROM events GROUP BY event_type
+        ),
+        cells AS (
+            SELECT e.event_type, r.r,
+                   CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || ':'
+                        || CAST(e.user_id AS VARCHAR)), 1, 15))
+                        AS BIGINT) % 64 AS col
+            FROM events e CROSS JOIN range(0, 4) r(r)
+        ),
+        occupied AS (
+            SELECT event_type, count(*) AS n_cells
+            FROM (SELECT DISTINCT event_type, r, col FROM cells)
+            GROUP BY event_type
+        ),
+        probe_cells AS (
+            SELECT c.event_type, c.r, count(*) AS cnt
+            FROM cells c
+            JOIN p ON p.event_type = c.event_type
+            WHERE c.col = CAST(('0x' || substr(md5(CAST(c.r AS VARCHAR)
+                       || ':' || CAST(p.probe AS VARCHAR)), 1, 15))
+                       AS BIGINT) % 64
+            GROUP BY 1, 2
+        ),
+        est AS (
+            SELECT event_type, min(cnt) AS probe_est
+            FROM probe_cells GROUP BY event_type
+        )
+        SELECT p.event_type,
+               CAST(p.n_batches AS BIGINT) AS n_batches,
+               CAST(o.n_cells AS BIGINT) AS n_cells,
+               CAST(4 * p.n_events AS BIGINT) AS total,
+               CAST(p.probe AS BIGINT) AS probe_uid,
+               CAST(e.probe_est AS BIGINT) AS probe_est
+        FROM p JOIN occupied o USING (event_type)
+               JOIN est e USING (event_type)
+        ORDER BY p.event_type
+"""
+
+
+def streaming_cms_tws(spark, sf_dir):
+    """Streaming Count-Min sketch: the counting twin of
+    ``streaming_hll_tws``.  Per-event-type cells (4 salted rows x 64
+    columns) live in a ``MapState`` and merge by ELEMENTWISE SUM
+    across two genuine micro-batches — addition is the merge, so the
+    final sketch equals the batch-built one regardless of batch
+    boundaries, which the oracle proves by restating every surviving
+    fact arithmetically from ALL events (occupied cells, the D *
+    n_events total, and the deterministic probe's CMS point estimate
+    = min over rows of its cell, the classic upper-bound estimator).
+
+    100 TB shape: constant 256-int state per key, protocol traffic
+    proportional to TOUCHED cells per batch; the only exchange is the
+    stream's groupBy into state partitions.  Together with the HLL
+    twin this closes the sketch family in BOTH execution models:
+    batch (CMS heavy-hitters, HLL distinct) and incremental streaming
+    state, each gated against the same arithmetic restatement.
+    """
+    from ..plans.registry import load_events, remove_path, scratch_path
+    from ..streaming.pipeline import cms_stream_tws
+    from ..vendor import ensure_protobuf
+
+    prep(spark)
+    ensure_protobuf(spark)
+    week_us = 7 * 86400 * 1_000_000
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        "user_id",
+        F.expr(f"(unix_micros(ts) div {week_us}) % 2").alias("bucket"),
+    )
+    stage_dir = scratch_path("dbps_tws_cms_")
+    e.repartition(1).write.mode("overwrite").partitionBy("bucket").parquet(
+        stage_dir
+    )
+    try:
+        schema = spark.read.parquet(stage_dir).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage_dir)
+            .select("event_type", "user_id")
+        )
+        sketches = cms_stream_tws(stream)
+        name = f"streaming_cms_tws_{time.time_ns()}"
+        _run_to_memory_sink(
+            sketches,
+            name,
+            state_partitions=_tws_partitions(),
+            output_mode="update",
+            rocksdb=True,
+        )
+        latest = (
+            spark.table(name)
+            .groupBy("event_type")
+            .agg(
+                F.max_by(
+                    F.struct(
+                        "n_batches", "n_cells", "total", "probe_uid",
+                        "probe_est",
+                    ),
+                    F.col("n_batches"),
+                ).alias("s")
+            )
+            .select("event_type", "s.*")
+            .orderBy("event_type")
+        )
+        latest = latest.localCheckpoint(eager=True)
+    finally:
+        remove_path(spark, stage_dir)
+    return latest

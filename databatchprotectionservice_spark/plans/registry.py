@@ -280,7 +280,9 @@ REGISTERED_IN: dict[str, int] = {
 #   tie-determinism trap pinned; cents-exact boundary facts),
 #   streaming_hll_tws (HLL registers in MapState merging across
 #   genuine micro-batches; oracle = batch-restated registers — a
-#   batch-vs-streaming equivalence proof)
+#   batch-vs-streaming equivalence proof), streaming_cms_tws (the
+#   counting twin: sum-merged CMS cells + the probe's min-over-rows
+#   point estimate, all integer-restated)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a

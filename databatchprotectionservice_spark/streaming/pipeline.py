@@ -844,3 +844,115 @@ def hll_distinct_stream_tws(stream_df: DataFrame) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+_CMS_OUTPUT = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n_batches", T.LongType()),
+        T.StructField("n_cells", T.LongType()),
+        T.StructField("total", T.LongType()),
+        T.StructField("probe_uid", T.LongType()),
+        T.StructField("probe_est", T.LongType()),
+    ]
+)
+
+#: streaming-CMS geometry: 4 salted hash rows x 64 columns per key —
+#: 256 int cells, protocol traffic proportional to TOUCHED cells
+CMS_TWS_D = 4
+CMS_TWS_W = 64
+
+
+def cms_stream_tws(stream_df: DataFrame) -> DataFrame:
+    """Count-Min sketch maintained INCREMENTALLY in
+    ``transformWithStateInPandas`` state — the counting twin of
+    ``hll_distinct_stream_tws``: cells live in a ``MapState``
+    (row*W + col -> count) keyed by event_type and merge by
+    ELEMENTWISE SUM across micro-batches (addition is the merge, the
+    property that makes CMS the streaming frequency sketch).
+
+    Per batch the processor folds the batch's user_ids through the
+    four salted md5-prefix hashes (SQL-restatable construction),
+    adds the deltas onto the carried cells, tracks the smallest
+    user_id seen (the deterministic probe), and re-emits the sketch
+    facts plus the probe's point estimate ``min over rows of its
+    cell`` — the CMS upper-bound estimate, integer-exact in both
+    engines.
+
+    Expects columns ``event_type``, ``user_id``."""
+    import hashlib
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    def _cell(row: int, uid: int) -> int:
+        h = int(
+            hashlib.md5(f"{row}:{uid}".encode()).hexdigest()[:15], 16
+        )
+        return h % CMS_TWS_W
+
+    class CmsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cells = handle.getMapState("cells", "cell long", "c long")
+            self._meta = handle.getValueState(
+                "meta", "n_batches long, probe long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (event_type,) = key
+            parts = list(rows)
+            if not parts:
+                return
+            pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
+            if len(pdf) == 0:
+                return
+            cells = {c: v for (c,), (v,) in self._cells.iterator()}
+            deltas: dict[int, int] = {}
+            batch_min = None
+            for uid in pdf["user_id"]:
+                uid = int(uid)
+                if batch_min is None or uid < batch_min:
+                    batch_min = uid
+                for r in range(CMS_TWS_D):
+                    c = r * CMS_TWS_W + _cell(r, uid)
+                    deltas[c] = deltas.get(c, 0) + 1
+            for c, d in deltas.items():
+                cells[c] = cells.get(c, 0) + d
+                self._cells.updateValue((c,), (cells[c],))
+            carried = self._meta.get()
+            n_batches = (carried[0] if carried else 0) + 1
+            probe = (
+                batch_min
+                if carried is None or carried[1] > batch_min
+                else carried[1]
+            )
+            self._meta.update((n_batches, probe))
+            est = min(
+                cells.get(r * CMS_TWS_W + _cell(r, probe), 0)
+                for r in range(CMS_TWS_D)
+            )
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type],
+                    "n_batches": [n_batches],
+                    "n_cells": [len(cells)],
+                    "total": [sum(cells.values())],
+                    "probe_uid": [probe],
+                    "probe_est": [est],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        stream_df.groupBy("event_type")
+        .transformWithStateInPandas(
+            CmsProcessor(),
+            outputStructType=_CMS_OUTPUT,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

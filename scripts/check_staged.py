@@ -133,6 +133,8 @@ def staged_manifest():
             profiling.EQUIDEPTH_ORACLE),
         "streaming_hll_tws": (
             streamops.streaming_hll_tws, streamops.HLL_TWS_ORACLE),
+        "streaming_cms_tws": (
+            streamops.streaming_cms_tws, streamops.CMS_TWS_ORACLE),
     }
 
 
