@@ -513,15 +513,18 @@ def deflate_stored(data: bytes) -> bytes:
 
 
 def deflate(data: bytes) -> bytes:
-    """Pick the smallest of dynamic-Huffman, fixed-Huffman and stored
-    for the payload (the same block-type election zlib performs)."""
-    dynamic = deflate_dynamic(data) if data else None
-    fixed = deflate_fixed(data)
-    stored = deflate_stored(data)
-    best = min(
-        (c for c in (dynamic, fixed, stored) if c is not None),
-        key=len,
-    )
+    """Block-type election, cost-aware: dynamic tables only pay off
+    once the payload amortizes their serialization (~200 bytes —
+    below that fixed codes win or tie within a few bytes), and the
+    stored fallback is only worth COMPUTING when the Huffman stream
+    failed to compress at all.  One encode pass in the common case
+    instead of three (the naive try-everything election tripled the
+    per-document cost of the gzip shard gate)."""
+    best = deflate_dynamic(data) if len(data) >= 200 else deflate_fixed(data)
+    if len(best) >= len(data):
+        stored = deflate_stored(data)
+        if len(stored) < len(best):
+            best = stored
     return best
 
 

@@ -3041,6 +3041,16 @@ def ingest_gzip_multistream(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {GZIP_SHARD_DOCS}"))
+        # EXPLICIT width on the shard exchange: the per-shard Python
+        # codec work is the dominant cost at gate scale and AQE's
+        # size-based coalescing (correct for cheap rows) would fold
+        # the tiny shuffle onto ONE task, serializing ~7 s of pure
+        # deflate onto one core.  An explicit repartition is exempt
+        # from AQE coalescing and already satisfies the groupBy's
+        # required distribution, so no second exchange appears.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
