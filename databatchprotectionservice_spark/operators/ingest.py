@@ -361,6 +361,13 @@ def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
         .withColumn(
             "shard_id", F.expr(f"doc_id div {SHARD_DOCS}")
         )
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -519,6 +526,13 @@ def ingest_avro_blocks(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "lang")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -664,6 +678,13 @@ def ingest_tfrecord_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -996,6 +1017,13 @@ def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "n_chars")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1136,6 +1164,13 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1409,6 +1444,13 @@ def _txnlog_build(spark, sf_dir):
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2154,6 +2196,13 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {WRITE_SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2567,6 +2616,13 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {IPC_SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -2674,6 +2730,13 @@ def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {IPC_SHARD_DOCS}"))
+        # explicit exchange width: per-shard Python codec work
+        # dominates at gate scale, and AQE's size-based coalescing
+        # would fold this tiny shuffle onto one task (SCALE.md:
+        # 'AQE coalescing vs Python-heavy applyInPandas')
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
     )
     fields = [
         FieldSpec("doc_id", True, "int64", 64),
