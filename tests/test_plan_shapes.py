@@ -558,3 +558,34 @@ def test_cbor_events_narrow_walk_single_exchange(spark, sf_dir):
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
     assert n_hash == 1, plan
+
+
+def test_cube_is_single_expand_single_scan(spark, sf_dir):
+    """CUBE must plan as ONE Expand feeding one partial-aggregating
+    exchange — never a union of per-level aggregates re-scanning the
+    fact table."""
+    from databatchprotectionservice_spark.operators.relational import (
+        sales_cube_rollup,
+    )
+
+    plan = _plan(sales_cube_rollup(spark, sf_dir))
+    assert plan.count("Expand") >= 1
+    assert plan.count("Scan parquet") == 1, plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+
+
+def test_equidepth_single_window_over_total_order(spark, sf_dir):
+    """Exact equi-depth pays exactly one global-sort window (the
+    exact-median exchange class) and nothing else shuffles before the
+    bucket aggregate."""
+    from databatchprotectionservice_spark.operators.profiling import (
+        profiling_equidepth_histogram,
+    )
+
+    plan = _plan(profiling_equidepth_histogram(spark, sf_dir))
+    assert plan.count("Window") == 1, plan
+    assert "ntile" in plan
+    assert "CartesianProduct" not in plan
