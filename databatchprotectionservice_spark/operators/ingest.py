@@ -3158,3 +3158,150 @@ def ingest_gzip_multistream(spark, sf_dir) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# transaction-log compaction (OPTIMIZE) — the lakehouse write path
+# ---------------------------------------------------------------------------
+
+#: live shards bin by ``shard_id div COMPACT_BIN`` per source; every
+#: multi-member bin compacts to ONE file in a single atomic commit
+COMPACT_BIN = 4
+
+TXNLOG_COMPACTION_ORACLE = f"""
+        WITH sh AS (
+            SELECT source, doc_id // {SHARD_DOCS} AS shard_id,
+                   count(*) AS n
+            FROM documents GROUP BY 1, 2
+        ),
+        live AS (
+            SELECT * FROM sh
+            WHERE shard_id % {TXNLOG_REMOVE_MOD} <> {TXNLOG_REMOVE_REM}
+        ),
+        binned AS (
+            SELECT source, shard_id // {COMPACT_BIN} AS bin, n,
+                   count(*) OVER (
+                       PARTITION BY source, shard_id // {COMPACT_BIN}
+                   ) AS members
+            FROM live
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS files_before,
+               CAST(count(DISTINCT bin) AS BIGINT) AS files_after,
+               CAST(sum(CASE WHEN members >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_compacted_inputs,
+               CAST(sum(n) AS BIGINT) AS live_rows
+        FROM binned GROUP BY source ORDER BY source
+"""
+
+
+def txnlog_compaction(spark, sf_dir) -> DataFrame:
+    """OPTIMIZE through the transaction log — the lakehouse
+    small-files maintenance committed as ONE atomic swap.
+
+    The registered ``compact_documents_roundtrip`` proves the DATA
+    side of compaction (bytes rewritten and re-read losslessly); this
+    query proves the LOG side: live files bin-pack by
+    ``shard_id div {COMPACT_BIN}`` per source, every multi-member bin
+    appends ``remove`` actions for its inputs plus one merged ``add``
+    (rows summed, min/max stats merged — the metadata a real OPTIMIZE
+    derives from the rewritten file), all in a SINGLE commit so
+    readers see either the old layout or the new one, never a
+    half-swap.  The post-compaction replay is then asserted row-exact
+    against the pre-compaction snapshot (compaction must never change
+    table contents) and the oracle restates files-before/after, the
+    compacted-input count and the invariant row total arithmetically.
+
+    100 TB: compaction work is proportional to the files REWRITTEN,
+    planning is metadata-only (the log is kilobytes), and the atomic
+    single-commit swap is what makes concurrent readers safe — the
+    same protocol the snapshot/time-travel/bloom queries already
+    exercise, now in the write direction.
+    """
+    from ..core.txnlog import encode_commit, replay
+
+    commits, _, snap = _txnlog_build(spark, sf_dir)
+
+    pre_rows: dict[str, int] = {}
+    bins: dict[tuple, list] = {}
+    for path, add in snap.files.items():
+        source = path.split("/", 1)[0]
+        shard_id = int(path.rsplit("-", 1)[1])
+        pre_rows[source] = pre_rows.get(source, 0) + add["num_records"]
+        bins.setdefault((source, shard_id // COMPACT_BIN), []).append(
+            (path, add)
+        )
+
+    actions = []
+    n_inputs: dict[str, int] = {}
+    for (source, bin_ix), members in sorted(bins.items()):
+        if len(members) < 2:
+            continue
+        n_inputs[source] = n_inputs.get(source, 0) + len(members)
+        for path, _ in members:
+            actions.append({"remove": {"path": path}})
+        actions.append(
+            {
+                "add": {
+                    "path": f"{source}/compact-{bin_ix:05d}",
+                    "size": sum(a["size"] for _, a in members),
+                    "num_records": sum(
+                        a["num_records"] for _, a in members
+                    ),
+                    "stats": {
+                        "minValues": {
+                            "doc_id": min(
+                                a["stats"]["minValues"]["doc_id"]
+                                for _, a in members
+                            )
+                        },
+                        "maxValues": {
+                            "doc_id": max(
+                                a["stats"]["maxValues"]["doc_id"]
+                                for _, a in members
+                            )
+                        },
+                    },
+                }
+            }
+        )
+    commits.append(encode_commit(actions))
+    post = replay(commits)
+
+    per: dict[str, list] = {}
+    for path, add in post.files.items():
+        source = path.split("/", 1)[0]
+        agg = per.setdefault(source, [0, 0])
+        agg[0] += 1
+        agg[1] += add["num_records"]
+    for source, (n_files, rows) in per.items():
+        if rows != pre_rows[source]:
+            raise ValueError(
+                f"{source}: compaction changed row total "
+                f"{pre_rows[source]} -> {rows}"
+            )
+    files_before: dict[str, int] = {}
+    for (source, _), members in bins.items():
+        files_before[source] = files_before.get(source, 0) + len(members)
+    rows = [
+        (
+            source,
+            files_before[source],
+            per[source][0],
+            n_inputs.get(source, 0),
+            per[source][1],
+        )
+        for source in sorted(per)
+    ]
+    return spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("source", T.StringType()),
+                T.StructField("files_before", T.LongType()),
+                T.StructField("files_after", T.LongType()),
+                T.StructField("n_compacted_inputs", T.LongType()),
+                T.StructField("live_rows", T.LongType()),
+            ]
+        ),
+    ).orderBy("source")

@@ -135,6 +135,8 @@ def staged_manifest():
             streamops.streaming_hll_tws, streamops.HLL_TWS_ORACLE),
         "streaming_cms_tws": (
             streamops.streaming_cms_tws, streamops.CMS_TWS_ORACLE),
+        "txnlog_compaction": (
+            ingest.txnlog_compaction, ingest.TXNLOG_COMPACTION_ORACLE),
     }
 
 
