@@ -3265,7 +3265,10 @@ def txnlog_compaction(spark, sf_dir) -> DataFrame:
                 }
             }
         )
-    commits.append(encode_commit(actions))
+    # a no-op OPTIMIZE (no multi-member bin anywhere) writes NO
+    # commit — the log records changes, not intentions
+    if actions:
+        commits.append(encode_commit(actions))
     post = replay(commits)
 
     per: dict[str, list] = {}

@@ -251,3 +251,19 @@ def test_cbor_events_matches_oracle(spark):
     want = con.execute(CBOR_EVENTS_ORACLE).fetchall()
     assert got == want
     assert got and all(r[1] > 0 for r in got)
+
+
+def test_txnlog_compaction_matches_oracle(spark, corpus_dir):
+    from databatchprotectionservice_spark.operators.ingest import (
+        TXNLOG_COMPACTION_ORACLE,
+        txnlog_compaction,
+    )
+
+    for sf_dir in (corpus_dir, "/root/testdata/sf0.001"):
+        got = _rows(txnlog_compaction(spark, sf_dir))
+        want = _oracle(sf_dir, TXNLOG_COMPACTION_ORACLE)
+        assert got == want
+        # compaction must reduce (or keep) the file count and never
+        # touch a row; somewhere it must actually compact
+        assert all(r[2] <= r[1] for r in got)
+        assert any(r[3] >= 2 for r in got) or all(r[1] == r[2] for r in got)
