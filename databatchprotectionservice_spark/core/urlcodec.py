@@ -159,7 +159,11 @@ def _norm_host(s: str) -> str:
     """Host normalization: case-fold THEN escape-normalize, so a
     '%41' decoding to 'A' still comes out lowercase and retained
     escapes still come out uppercase-hex — a serialization fixed
-    point either way."""
+    point either way.  Non-ASCII labels then map to their IDNA-ASCII
+    (``xn--``) form via the from-scratch punycode below, so 'BÜcher
+    .example' and 'xn--bcher-kva.example' canonicalize identically;
+    the totality contract holds (a label punycode cannot encode —
+    overflow-sized — passes through unchanged, data not exception)."""
 
     def sub(m: re.Match) -> str:
         ch = chr(int(m.group(1), 16))
@@ -167,7 +171,13 @@ def _norm_host(s: str) -> str:
             return ch.lower()
         return "%" + m.group(1).upper()
 
-    return _PCT_RE.sub(sub, s.lower())
+    host = _PCT_RE.sub(sub, s.lower())
+    if any(ord(c) >= 128 for c in host):
+        try:
+            host = idn_to_ascii(host)
+        except Exception:  # noqa: BLE001 - totality: keep as data
+            pass
+    return host
 
 
 def normalize_url(url: str) -> str:

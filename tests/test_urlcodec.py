@@ -213,3 +213,21 @@ def test_idn_helpers():
     assert idn_to_ascii("plain.example.com") == "plain.example.com"
     # malformed ACE passes through verbatim (totality)
     assert idn_to_unicode("xn--!!.example") == "xn--!!.example"
+
+
+def test_normalize_url_maps_idn_hosts_to_ace():
+    from databatchprotectionservice_spark.core.urlcodec import (
+        normalize_url,
+    )
+
+    # the unicode and ACE spellings canonicalize to ONE string
+    assert (
+        normalize_url("HTTP://BÜcher.example:80/a/../p")
+        == normalize_url("http://xn--bcher-kva.example/p")
+        == "http://xn--bcher-kva.example/p"
+    )
+    # ASCII hosts are untouched; totality holds on hostile hosts
+    assert normalize_url("http://plain.example/p").startswith(
+        "http://plain.example"
+    )
+    normalize_url("http://" + "é" * 5000 + "/p")  # must not raise
