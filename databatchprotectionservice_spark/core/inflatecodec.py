@@ -352,6 +352,11 @@ def inflate_gzip(data: bytes) -> bytes:
         raise InflateError("gzip CRC-32 mismatch")
     if len(out) % (1 << 32) != want_isize:
         raise InflateError("gzip ISIZE mismatch")
+    if pos + 8 != len(data):
+        # single-member contract is pinned strict: bytes after the
+        # trailer are garbage here, not a second member (gzip_members
+        # is the multi-stream entry point)
+        raise InflateError("trailing garbage after gzip trailer")
     return out
 
 

@@ -91,23 +91,43 @@ def _pattern_matches(pattern: str, path: str) -> bool:
     if anchored:
         pattern = pattern[:-1]
     pieces = pattern.split("*")
-    pos = 0
-    for i, piece in enumerate(pieces):
-        if i == 0:
-            if not path.startswith(piece):
-                return False
-            pos = len(piece)
-        else:
+    if not path.startswith(pieces[0]):
+        return False
+    pos = len(pieces[0])
+    if not anchored:
+        for piece in pieces[1:]:
             found = path.find(piece, pos)
             if found < 0:
                 return False
             pos = found + len(piece)
-    if anchored:
-        # the last piece must reach the exact end of the path
-        if pieces[-1] == "":
-            return True  # pattern ended in '*$' — anything matches
+        return True
+    if len(pieces) == 1:
+        # no '*' at all: prefix + end anchor = exact equality; this also
+        # covers the degenerate pattern '$' (empty prefix), which matches
+        # only the empty path — never every path
         return pos == len(path)
-    return True
+    if pieces[-1] == "":
+        # pattern ended in '*$': the trailing '*' absorbs the rest, so
+        # only the earlier pieces constrain the match
+        for piece in pieces[1:-1]:
+            found = path.find(piece, pos)
+            if found < 0:
+                return False
+            pos = found + len(piece)
+        return True
+    # anchored with a final literal: the LAST piece must sit at the exact
+    # end of the path.  Greedy-leftmost placement of the middle pieces is
+    # optimal (it minimizes the position the suffix must clear), but the
+    # final piece itself must be matched as a suffix — leftmost placement
+    # wrongly rejects '/*.php$' on '/index.php.php' where the literal
+    # occurs earlier in the path than its end-anchored occurrence.
+    for piece in pieces[1:-1]:
+        found = path.find(piece, pos)
+        if found < 0:
+            return False
+        pos = found + len(piece)
+    last = pieces[-1]
+    return len(path) - len(last) >= pos and path.endswith(last)
 
 
 def select_rules(parsed: dict, user_agent: str) -> list[tuple[str, str]]:

@@ -395,3 +395,15 @@ def test_deflate_elects_smallest_block_type():
     for p in (text, rnd, b"", b"x"):
         assert zlib.decompress(deflate(p), -15) == p
         assert inflate_raw(deflate(p))[0] == p
+
+
+def test_gzip_trailing_garbage_rejected():
+    """ADVICE r9 (low): inflate_gzip is the single-member strict entry
+    point — bytes after the CRC32/ISIZE trailer are an error, exactly as
+    gzip_members treats a malformed second member."""
+    blob = gzip_compress(b"strict single member")
+    assert inflate_gzip(blob) == b"strict single member"
+    with pytest.raises(InflateError):
+        inflate_gzip(blob + b"\x00")
+    with pytest.raises(InflateError):
+        inflate_gzip(blob + blob)  # two members -> use gzip_members

@@ -123,3 +123,32 @@ def test_totality_fuzz():
     huge = ("User-agent: *\n" + "Disallow: /x\n" * 200000)
     p = parse_robots(huge)
     assert sum(len(g["rules"]) for g in p["groups"]) <= 10_000
+
+
+def test_anchored_suffix_backtracking():
+    """ADVICE r9 (medium): '$'-anchored patterns whose final literal also
+    occurs earlier in the path must still match — the final piece is a
+    suffix constraint, not a greedy-leftmost placement."""
+    p = parse_robots("User-agent: *\nDisallow: /*.php$\n")
+    assert not is_allowed(p, "bot", "/index.php.php")
+    assert not is_allowed(p, "bot", "/index.php")
+    assert is_allowed(p, "bot", "/index.phpx")
+    p = parse_robots("User-agent: *\nDisallow: /foo*bar$\n")
+    assert not is_allowed(p, "bot", "/foo-bar-bar")
+    assert not is_allowed(p, "bot", "/foobar")
+    assert is_allowed(p, "bot", "/foo-bar-baz")
+    # middle pieces stay greedy-leftmost; only the last is a suffix
+    p = parse_robots("User-agent: *\nDisallow: /a*b*c$\n")
+    assert not is_allowed(p, "bot", "/a-b-c-b-c")
+    assert is_allowed(p, "bot", "/a-c-b")
+
+
+def test_dollar_only_pattern_matches_nothing_real():
+    """ADVICE r9 (low): a pattern of just '$' anchors the EMPTY prefix —
+    it matches only the empty path, never every path."""
+    p = parse_robots("User-agent: *\nDisallow: $\n")
+    assert is_allowed(p, "bot", "/")
+    assert is_allowed(p, "bot", "/anything")
+    # but a genuine '*$' still matches everything
+    p = parse_robots("User-agent: *\nDisallow: *$\n")
+    assert not is_allowed(p, "bot", "/anything")
