@@ -1225,6 +1225,7 @@ JACCARD_PREFIX_ORACLE = f"""
 """
 
 
+@register("dedup_jaccard_prefix", oracle=JACCARD_PREFIX_ORACLE)
 def dedup_jaccard_prefix(spark, sf_dir):
     """Exact Jaccard pairs >= {t} via PREFIX FILTERING — the candidate
     bound the similarity-join literature (PPJoin/AllPairs) uses where
@@ -1376,6 +1377,7 @@ SUBSTRING_COVERAGE_ORACLE = f"""
 """
 
 
+@register("dedup_substring_coverage", oracle=SUBSTRING_COVERAGE_ORACLE)
 def dedup_substring_coverage(spark, sf_dir):
     """Exact-substring duplication coverage (Lee et al. 2022): per
     source, what fraction of {SUBSTR_WINDOW}-token window positions
@@ -1514,6 +1516,7 @@ C4_SPANS_ORACLE = f"""
 """
 
 
+@register("dedup_c4_spans", oracle=C4_SPANS_ORACLE)
 def dedup_c4_spans(spark, sf_dir):
     """C4 span-level dedup with keep-FIRST attribution (Raffel et al.
     2020 §2.2: "discarded all but one of any three-sentence span
@@ -1637,6 +1640,7 @@ URL_CANONICAL_ORACLE = f"""
         FROM r GROUP BY source ORDER BY source
 """
 
+@register("dedup_url_canonical", oracle=URL_CANONICAL_ORACLE)
 def dedup_url_canonical(spark, sf_dir):
     """URL-level dedup through RFC 3986 canonicalization — the first
     dedup a crawl pipeline runs (Common Crawl keys re-fetch detection

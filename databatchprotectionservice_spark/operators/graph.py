@@ -342,6 +342,7 @@ TRIANGLE_ORACLE = f"""
 """
 
 
+@register("triangle_suppliers", oracle=TRIANGLE_ORACLE)
 def triangle_suppliers(spark, sf_dir):
     """Top suppliers by triangle participation among the TRI_EDGE_CAP
     strongest co-purchase edges (edge strength = shared distinct

@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load_spread, prep, table_path
+from ..plans.registry import load_spread, prep, register, table_path
 
 # ---------------------------------------------------------------------------
 # WARC -> HTTP -> HTML -> URL chain
@@ -110,6 +110,7 @@ _WARC_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_warc_chain", oracle=WARC_CHAIN_ORACLE)
 def ingest_warc_chain(spark, sf_dir) -> DataFrame:
     """Common Crawl ingest, end to end and byte-asserted.
 
@@ -334,6 +335,7 @@ _SHARD_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_webdataset_tar", oracle=WEBDATASET_TAR_ORACLE)
 def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
     """The multimodal shard pipeline: group -> tar.gz -> walk -> group.
 
@@ -499,6 +501,7 @@ _AVRO_WRITER_SCHEMA = {
 AVRO_BLOCK_RECORDS = 4  # small blocks -> multi-block shards in fixture
 
 
+@register("ingest_avro_blocks", oracle=AVRO_BLOCKS_ORACLE)
 def ingest_avro_blocks(spark, sf_dir) -> DataFrame:
     """Avro OCF shard build + walk across all three block codecs.
 
@@ -655,6 +658,7 @@ _TFRECORD_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_tfrecord_shards", oracle=TFRECORD_SHARDS_ORACLE)
 def ingest_tfrecord_shards(spark, sf_dir) -> DataFrame:
     """TFRecord shard build + walk, CRC-verified both ways.
 
@@ -763,6 +767,7 @@ _ZIP_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_zip_members", oracle=ZIP_MEMBERS_ORACLE)
 def ingest_zip_members(spark, sf_dir) -> DataFrame:
     """ZIP walk with both compression methods cross-validated.
 
@@ -877,6 +882,7 @@ _FOOTER_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("parquet_footer_audit", oracle=PARQUET_FOOTER_ORACLE)
 def parquet_footer_audit(spark, sf_dir) -> DataFrame:
     """Walk every fixture table's REAL parquet internals and prove them.
 
@@ -993,6 +999,7 @@ _TFEXAMPLE_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_tfexample_shards", oracle=TFEXAMPLE_SHARDS_ORACLE)
 def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
     """The full TF training-shard stack: Example protos in TFRecord.
 
@@ -1134,6 +1141,7 @@ _ORC_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_orc_shards", oracle=ORC_SHARDS_ORACLE)
 def ingest_orc_shards(spark, sf_dir) -> DataFrame:
     """ORC shard build + metadata walk across NONE/ZLIB/SNAPPY.
 
@@ -1278,6 +1286,7 @@ _MSGPACK_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_msgpack_events", oracle=MSGPACK_EVENTS_ORACLE)
 def ingest_msgpack_events(spark, sf_dir) -> DataFrame:
     """Events through MessagePack, timestamps riding the ext type.
 
@@ -1581,6 +1590,7 @@ def _txnlog_per_source(spark, snap, candidates=None) -> DataFrame:
     ).orderBy("source")
 
 
+@register("txnlog_snapshot_scan", oracle=TXNLOG_SNAPSHOT_ORACLE)
 def txnlog_snapshot_scan(spark, sf_dir) -> DataFrame:
     """Versioned table state + stats pruning over a from-scratch log.
 
@@ -1616,6 +1626,7 @@ TXNLOG_TIME_TRAVEL_ORACLE = f"""
 """
 
 
+@register("txnlog_time_travel", oracle=TXNLOG_TIME_TRAVEL_ORACLE)
 def txnlog_time_travel(spark, sf_dir) -> DataFrame:
     """Snapshot AS OF the pre-remove version — time travel.
 
@@ -1679,6 +1690,7 @@ _ZSTD_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_zstd_frames", oracle=ZSTD_FRAMES_ORACLE)
 def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
     """Document payloads through zstd store-mode framing, both ways.
 
@@ -1780,6 +1792,7 @@ _LZ4_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_lz4_frames", oracle=LZ4_FRAMES_ORACLE)
 def ingest_lz4_frames(spark, sf_dir) -> DataFrame:
     """Documents through REAL from-scratch LZ4 compression.
 
@@ -1886,6 +1899,7 @@ _PARQUET_READ_SCHEMA = T.StructType(
 )
 
 
+@register("parquet_column_read_real", oracle=PARQUET_READ_ORACLE)
 def parquet_column_read_real(spark, sf_dir) -> DataFrame:
     """The engine reads parquet VALUES with no black box.
 
@@ -2033,6 +2047,7 @@ TXNLOG_BLOOM_ORACLE = f"""
 """
 
 
+@register("txnlog_bloom_point_lookup", oracle=TXNLOG_BLOOM_ORACLE)
 def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
     """Point lookups planned from per-file bloom filters, then verified.
 
@@ -2164,6 +2179,7 @@ _PARQUET_WRITE_SCHEMA = T.StructType(
 )
 
 
+@register("parquet_write_real", oracle=PARQUET_WRITE_ORACLE)
 def parquet_write_real(spark, sf_dir) -> DataFrame:
     """The engine WRITES parquet with no black box — and three readers
     must take its word for it.
@@ -2316,6 +2332,7 @@ _OGG_STATS_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_ogg_packets", oracle=OGG_PACKETS_ORACLE)
 def ingest_ogg_packets(spark, sf_dir) -> DataFrame:
     """Ogg container walk (`core/oggcodec.py`, RFC 3533): per document
     a REAL single-logical-stream Ogg file — BOS/EOS flags, CRC-32 per
@@ -2438,6 +2455,7 @@ _MKV_STATS_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_mkv_tracks", oracle=MKV_TRACKS_ORACLE)
 def ingest_mkv_tracks(spark, sf_dir) -> DataFrame:
     """Matroska/WebM walk (`core/mkvcodec.py`, RFC 8794 EBML + the
     public Matroska registry): per document a REAL two-track WebM
@@ -2583,6 +2601,7 @@ _ARROW_IPC_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_arrow_ipc", oracle=ARROW_IPC_ORACLE)
 def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
     """Arrow IPC (Feather V2) shard build + full-data walk.
 
@@ -2702,6 +2721,7 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
     )
 
 
+@register("export_arrow_ipc_shards", oracle=ARROW_IPC_ORACLE)
 def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
     """Arrow IPC delivery with the FROM-SCRATCH encoder — the write
     twin of :func:`ingest_arrow_ipc`.
@@ -2837,6 +2857,7 @@ CBOR_EVENTS_ORACLE = """
 """
 
 
+@register("ingest_cbor_events", oracle=CBOR_EVENTS_ORACLE)
 def ingest_cbor_events(spark, sf_dir) -> DataFrame:
     """Events through CBOR (RFC 8949), the standards-track twin of
     :func:`ingest_msgpack_events`.
@@ -2953,6 +2974,7 @@ _ROBOTS_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_robots_filter", oracle=ROBOTS_ORACLE)
 def ingest_robots_filter(spark, sf_dir) -> DataFrame:
     """RFC 9309 crawl-politeness filter over the corpus URLs.
 
@@ -3076,6 +3098,7 @@ _GZIP_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_gzip_multistream", oracle=GZIP_MEMBERS_ORACLE)
 def ingest_gzip_multistream(spark, sf_dir) -> DataFrame:
     """Concatenated-gzip-member shards on the FROM-SCRATCH deflate —
     the Common Crawl warc.gz layout (one gzip member per record, all
@@ -3195,6 +3218,7 @@ TXNLOG_COMPACTION_ORACLE = f"""
 """
 
 
+@register("txnlog_compaction", oracle=TXNLOG_COMPACTION_ORACLE)
 def txnlog_compaction(spark, sf_dir) -> DataFrame:
     """OPTIMIZE through the transaction log — the lakehouse
     small-files maintenance committed as ONE atomic swap.

@@ -1848,6 +1848,7 @@ def mjpeg_table(spark, sf_dir: str) -> DataFrame:
     return d.mapInPandas(_synth, _VIDEO_TABLE_SCHEMA)
 
 
+@register("multimodal_video_mjpeg_stats", oracle=MJPEG_STATS_ORACLE)
 def multimodal_video_mjpeg_stats(spark, sf_dir):
     """AVI/Motion-JPEG clips decoded end-to-end by first-party code:
     RIFF/movi walk with idx1 cross-validation (``core/avicodec.py``),
@@ -2039,6 +2040,7 @@ def _media_doc_table(spark, sf_dir: str) -> DataFrame:
     )
 
 
+@register("multimodal_image_qoi_stats", oracle=QOI_STATS_ORACLE)
 def multimodal_image_qoi_stats(spark, sf_dir):
     """QOI images (the 2022 public-domain spec, `core/qoicodec.py`)
     round-tripped per document: synthesize the closed-form RGB raster,
@@ -2098,6 +2100,7 @@ def multimodal_image_qoi_stats(spark, sf_dir):
     )
 
 
+@register("multimodal_image_jls_stats", oracle=JLS_STATS_ORACLE)
 def multimodal_image_jls_stats(spark, sf_dir):
     """JPEG-LS / LOCO-I (ITU-T T.87, `core/jlscodec.py`) round-trip
     per document: closed-form grayscale gradient rasters through the
@@ -2155,6 +2158,7 @@ def multimodal_image_jls_stats(spark, sf_dir):
     )
 
 
+@register("multimodal_audio_mp3_walk", oracle=MP3_WALK_ORACLE)
 def multimodal_audio_mp3_walk(spark, sf_dir):
     """MPEG-audio frame walk (`core/mp3codec.py`): per document a
     REAL MPEG-1 Layer III stream — opaque frame bodies (the
@@ -2309,6 +2313,7 @@ _G711_STATS_SCHEMA = T.StructType(
 )
 
 
+@register("multimodal_audio_g711_stats", oracle=G711_STATS_ORACLE)
 def multimodal_audio_g711_stats(spark, sf_dir):
     """G.711 companded telephony WAV (`core/audiocodec.py`, format
     tags 6/7) decoded end-to-end: per document a REAL RIFF/WAVE file

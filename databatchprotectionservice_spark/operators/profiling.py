@@ -614,6 +614,7 @@ HLL_DISTINCT_ORACLE = f"""
 """
 
 
+@register("profiling_hll_distinct", oracle=HLL_DISTINCT_ORACLE)
 def profiling_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007,
     public algorithm) over the corpus's (doc_id, token) pairs —
@@ -720,6 +721,7 @@ EQUIDEPTH_ORACLE = f"""
 """
 
 
+@register("profiling_equidepth_histogram", oracle=EQUIDEPTH_ORACLE)
 def profiling_equidepth_histogram(spark, sf_dir):
     """Equi-depth (equal-frequency) histogram over the event value —
     the optimizer-statistics shape (DB histograms are equi-depth for

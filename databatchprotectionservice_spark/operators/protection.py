@@ -406,6 +406,7 @@ _REAL_PAGE_SCHEMA = T.StructType(
 )
 
 
+@register("protect_parquet_pages_real", oracle=PROTECT_REAL_PAGES_ORACLE)
 def protect_parquet_pages_real(spark, sf_dir):
     """The reference's exact job on GENUINE parquet bytes, distributed.
 

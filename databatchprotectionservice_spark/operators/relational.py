@@ -1755,6 +1755,7 @@ CUBE_ROLLUP_ORACLE = """
 """
 
 
+@register("sales_cube_rollup", oracle=CUBE_ROLLUP_ORACLE)
 def sales_cube_rollup(spark, sf_dir):
     """Multi-level rollup via CUBE — the OLAP super-aggregate shape
     the TPC-H block doesn't cover: every (returnflag, linestatus)

@@ -983,6 +983,7 @@ HLL_TWS_ORACLE = f"""
 """
 
 
+@register("streaming_hll_tws", oracle=HLL_TWS_ORACLE)
 def streaming_hll_tws(spark, sf_dir):
     """Streaming distinct-user HyperLogLog: the sketch family meets
     the state API v2.  Registers (bucket -> max rank) live in a
@@ -1104,6 +1105,7 @@ CMS_TWS_ORACLE = f"""
 """
 
 
+@register("streaming_cms_tws", oracle=CMS_TWS_ORACLE)
 def streaming_cms_tws(spark, sf_dir):
     """Streaming Count-Min sketch: the counting twin of
     ``streaming_hll_tws``.  Per-event-type cells (4 salted rows x 64

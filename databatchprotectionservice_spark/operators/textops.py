@@ -1579,6 +1579,7 @@ DECON_BLOOM_ORACLE = f"""
 """
 
 
+@register("decontaminate_bloom_prefilter", oracle=DECON_BLOOM_ORACLE)
 def decontaminate_bloom_prefilter(spark, sf_dir):
     """Decontamination when the probe set itself is too big to ship.
 
@@ -1742,6 +1743,7 @@ GOPHER_RULES_ORACLE = f"""
 """
 
 
+@register("text_gopher_rules", oracle=GOPHER_RULES_ORACLE)
 def text_gopher_rules(spark, sf_dir):
     """Gopher-style document-quality rule battery (Rae et al. 2021,
     'Scaling Language Models: ... Gopher', Appendix A — public
@@ -1893,6 +1895,7 @@ C4_RULES_ORACLE = f"""
 """
 
 
+@register("text_c4_rules", oracle=C4_RULES_ORACLE)
 def text_c4_rules(spark, sf_dir):
     """C4-style cleaning battery (Raffel et al. 2020, 'Exploring the
     Limits of Transfer Learning with T5', §2.2 — the public C4 rules;

@@ -230,59 +230,71 @@ REGISTERED_IN: dict[str, int] = {
     # with it: it rides NEW_AFTER_WINDOW at the r9 boundary and takes
     # the r10 window's one free slot as never-scored
     "streaming_scd2_tws": 9,
+    # round 10: the ENTIRE staged manifest promoted in one move — the
+    # saturation resolution the r9 verdict demanded.  The arithmetic
+    # that makes this safe (simulated r10-r16 in
+    # tests/test_registry_order.py::test_multi_boundary_rotation_holds):
+    # growing the registry from 149 to 192 raises cycle_len from
+    # ceil(149/50)=3 to ceil(192/50)=4, i.e. capacity 200 >= 192.  At
+    # the r10 boundary the mandatory set is only the 3 never-scored r9
+    # registrations (nothing is 4-stale yet), so the 43 same-round
+    # registrations take the free slots and receive driver verdicts
+    # IMMEDIATELY; the 47 r7-scored queries become 4-stale at r11 and
+    # re-score then; steady state from r12 is ~42 mandatory + ~8
+    # fillers per round, and every query re-scores within cycle_len=4
+    # rounds — the tightest bound a 50-slot round-robin over 192
+    # queries can guarantee.  Every promoted query carried 1-2 rounds
+    # of committed driver-equivalent evidence (scripts/check_staged.py
+    # sweeps at sf0.01 + sf0.1, same comparator as the gate) before
+    # promotion.  The staged manifest is hereafter the INCUBATION tier
+    # for in-round work only: a query lands there with its oracle and
+    # committed two-SF sweep logs, then promotes to the registry at the
+    # next boundary whose arithmetic admits it (capacity headroom:
+    # 200 - 192 = 8 more before cycle_len goes to 5).
+    "dedup_jaccard_prefix": 10,
+    "triangle_suppliers": 10,
+    "ingest_warc_chain": 10,
+    "ingest_webdataset_tar": 10,
+    "ingest_zip_members": 10,
+    "ingest_tfrecord_shards": 10,
+    "ingest_avro_blocks": 10,
+    "ingest_tfexample_shards": 10,
+    "ingest_orc_shards": 10,
+    "ingest_msgpack_events": 10,
+    "ingest_zstd_frames": 10,
+    "ingest_lz4_frames": 10,
+    "parquet_footer_audit": 10,
+    "parquet_column_read_real": 10,
+    "parquet_write_real": 10,
+    "txnlog_snapshot_scan": 10,
+    "txnlog_time_travel": 10,
+    "txnlog_bloom_point_lookup": 10,
+    "protect_parquet_pages_real": 10,
+    "decontaminate_bloom_prefilter": 10,
+    "text_gopher_rules": 10,
+    "dedup_substring_coverage": 10,
+    "multimodal_video_mjpeg_stats": 10,
+    "multimodal_image_qoi_stats": 10,
+    "multimodal_image_jls_stats": 10,
+    "multimodal_audio_mp3_walk": 10,
+    "ingest_ogg_packets": 10,
+    "ingest_mkv_tracks": 10,
+    "multimodal_audio_g711_stats": 10,
+    "text_c4_rules": 10,
+    "dedup_c4_spans": 10,
+    "ingest_arrow_ipc": 10,
+    "export_arrow_ipc_shards": 10,
+    "ingest_cbor_events": 10,
+    "dedup_url_canonical": 10,
+    "ingest_robots_filter": 10,
+    "profiling_hll_distinct": 10,
+    "ingest_gzip_multistream": 10,
+    "sales_cube_rollup": 10,
+    "profiling_equidepth_histogram": 10,
+    "streaming_hll_tws": 10,
+    "streaming_cms_tws": 10,
+    "txnlog_compaction": 10,
 }
-
-# R10 REGISTRATION QUEUE (staged late-r9; each already has a query fn,
-# an *_ORACLE constant, unit tests, and a green row in the committed
-# sweep_r9_staged.log at sf0.01 via scripts/check_staged.py — see the
-# manifest there for fn/oracle pairs).  Registration is decorator-only;
-# admit per the r10 window-crunch arithmetic (the ~47 r7-scored queries
-# going 3-stale take priority; stagger this queue across r10/r11 if the
-# driver scores only 50):
-#   dedup_jaccard_prefix, triangle_suppliers, ingest_warc_chain,
-#   ingest_webdataset_tar, ingest_zip_members, ingest_tfrecord_shards,
-#   ingest_avro_blocks, ingest_tfexample_shards, ingest_orc_shards,
-#   ingest_msgpack_events, ingest_zstd_frames, ingest_lz4_frames,
-#   parquet_footer_audit, parquet_column_read_real, parquet_write_real,
-#   txnlog_snapshot_scan, txnlog_time_travel,
-#   txnlog_bloom_point_lookup, protect_parquet_pages_real,
-#   decontaminate_bloom_prefilter
-# R11 ADDITIONS to the same staged queue (late-r9; sweep-green at
-# sf0.01 + sf0.1, unit-tested in tests/test_pipeline_filters.py):
-#   text_gopher_rules (Gopher quality-rule battery, pure codegen),
-#   dedup_substring_coverage (Lee et al. exact-substring duplication
-#   coverage, inverted-index shape),
-#   multimodal_video_mjpeg_stats (registers r10 per the SURVEY window
-#   note), multimodal_image_qoi_stats, multimodal_image_jls_stats,
-#   multimodal_audio_mp3_walk, ingest_ogg_packets, ingest_mkv_tracks
-#   (the five orphan codecs — qoi/jls/mp3/ogg/mkv — now each carry an
-#   oracle-gated query; the codec unit batteries predate the queries),
-#   text_c4_rules (C4 line/page cleaning battery, Raffel et al. 2020
-#   §2.2, pure codegen), dedup_c4_spans (C4 keep-first span removal,
-#   min-struct aggregate shape — no global window sort),
-#   ingest_arrow_ipc (Feather V2 full-data walk on a from-scratch
-#   flatbuffers decoder, pyarrow as the independent producer),
-#   export_arrow_ipc_shards (the write twin: from-scratch flatbuffers
-#   BUILDER emits IPC files pyarrow itself reads back value-exact),
-#   ingest_cbor_events (RFC 8949 codec pinned by the spec's own
-#   Appendix A vectors; tag-4 decimal-fraction timestamps),
-#   dedup_url_canonical (crawl URL dedup through the RFC 3986
-#   normalizer, keep-first min-struct aggregate),
-#   ingest_robots_filter (RFC 9309 politeness filter: group
-#   shadowing, longest-match, wildcard/$ — spec-example-pinned),
-#   profiling_hll_distinct (HyperLogLog with integer-exact register
-#   state compared across engines; estimate = one IEEE division),
-#   ingest_gzip_multistream (warc.gz member layout on the
-#   from-scratch DEFLATE both directions, stdlib gzip as referee),
-#   sales_cube_rollup (CUBE super-aggregate: one Expand + one
-#   shuffle, grouping_id-tagged levels, decimal-exact),
-#   profiling_equidepth_histogram (ntile over a TOTAL order — the
-#   tie-determinism trap pinned; cents-exact boundary facts),
-#   streaming_hll_tws (HLL registers in MapState merging across
-#   genuine micro-batches; oracle = batch-restated registers — a
-#   batch-vs-streaming equivalence proof), streaming_cms_tws (the
-#   counting twin: sum-merged CMS cells + the probe's min-over-rows
-#   point estimate, all integer-restated)
 
 #: name -> round in which the query's implementation, fixture, or oracle
 #: last changed.  A changed query is forced into the window until a
@@ -505,6 +517,7 @@ def _ensure_loaded() -> None:
         dedup,
         graph,
         incremental,
+        ingest,
         layout,
         maintenance,
         multimodal,

@@ -108,10 +108,12 @@ def test_freshness_no_stale_query_outside_scoring_window():
 
 
 def test_registered_this_round_is_within_budget():
-    """The r10 window must absorb the ~47 r7-scored queries going
-    3-stale plus this round's registrations; more than 3 new
-    registrations in one round makes the freshness invariant
-    unsatisfiable at the next boundary (the r7 lesson)."""
+    """Same-round registrations that the window could NOT absorb ride
+    NEW_AFTER_WINDOW for one boundary; more than 3 of them at once
+    risks making the freshness invariant unsatisfiable at the next
+    boundary (the r7 lesson).  The r10 bulk promotion of the staged
+    manifest absorbed all 43 INTO the window (the mandatory set was
+    only 3 that round), so this stayed at 0 even then."""
     assert len(registry.new_after_window()) <= 3
 
 
@@ -154,3 +156,45 @@ def test_next_boundary_rotation_holds(monkeypatch):
         if n not in simulated and n not in wset and n not in pinned
     ]
     assert never == []
+
+
+def test_multi_boundary_rotation_holds(monkeypatch):
+    """The r10 saturation-resolution proof, kept live: simulate SIX
+    future boundaries (each round's window goes green, then the round
+    advances) and assert every invariant at every step.  This is the
+    arithmetic that justified promoting the whole staged manifest at
+    r10 — registry 149 -> 192 raised cycle_len from 3 to 4 (capacity
+    200), so the steady state is ~42 mandatory + fillers per round and
+    every query re-scores within cycle_len rounds.  If a future
+    registration breaks the steady state, this fails BEFORE the
+    boundary ships, not two rounds later."""
+    registry._ensure_loaded()
+    last, current = registry._verdict_history()
+    simulated = dict(last)
+    for step in range(6):
+        rnd = current + step
+        monkeypatch.setattr(
+            registry, "_verdict_history", lambda s=dict(simulated), r=rnd: (dict(s), r)
+        )
+        window = registry.score_first()
+        assert len(window) == registry.SCORE_WINDOW, f"short window at r{rnd}"
+        wset = set(window)
+        clen = registry.cycle_len()
+        pinned = set(registry.new_after_window())
+        stale = [
+            n for n in registry.REGISTRY
+            if simulated.get(n, 0) and simulated[n] <= rnd - clen
+            and n not in wset and n not in pinned
+        ]
+        assert stale == [], f"r{rnd}: stale outside window: {stale}"
+        never = [
+            n for n in registry.REGISTRY
+            if n not in simulated and n not in wset and n not in pinned
+            and registry.REGISTERED_IN.get(n) != rnd
+        ]
+        assert never == [], f"r{rnd}: never-scored outside window: {never}"
+        for n in window:
+            simulated[n] = rnd
+    # after the horizon, no verdict is older than the cycle bound
+    ages = [current + 5 - simulated[n] for n in registry.REGISTRY if n in simulated]
+    assert max(ages) <= registry.cycle_len() - 1
