@@ -1676,7 +1676,9 @@ ZSTD_FRAMES_ORACLE = """
                CAST(sum(n) AS BIGINT) AS sum_content_bytes,
                CAST(sum(9 + fcs_len + 3 * n_blocks + n) AS BIGINT)
                    AS sum_frame_bytes,
-               CAST(sum(n_blocks) AS BIGINT) AS sum_blocks
+               CAST(sum(n_blocks) AS BIGINT) AS sum_blocks,
+               CAST(sum(n) AS BIGINT) AS sum_comp_content_bytes,
+               count(*) AS n_comp_checksum_ok
         FROM sized GROUP BY source ORDER BY source
 """
 
@@ -1686,36 +1688,49 @@ _ZSTD_ROW_SCHEMA = T.StructType(
         T.StructField("content_bytes", T.LongType()),
         T.StructField("frame_bytes", T.LongType()),
         T.StructField("n_blocks", T.LongType()),
+        T.StructField("comp_content_bytes", T.LongType()),
+        T.StructField("comp_checksum_ok", T.LongType()),
     ]
 )
 
 
 @register("ingest_zstd_frames", oracle=ZSTD_FRAMES_ORACLE)
 def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
-    """Document payloads through zstd store-mode framing, both ways.
+    """Document payloads through zstd framing, both directions and
+    both block families.
 
-    Each document's bytes are wrapped in a spec-legal raw-block zstd
-    frame (`core/zstdmeta.py`) with its XXH64-low32 content checksum,
-    then THREE readers must agree: our own walk (content regenerated,
-    checksum verified — the parser raises on mismatch), REAL libzstd
-    (pyarrow must decompress the frame back to the exact bytes), and
-    the closed-form framing arithmetic the oracle restates.  This is
-    the transport shape for shipping already-compressed or opaque
-    payloads under zstd framing without paying a recompression.
+    Leg 1 (store mode): each document's bytes are wrapped in a
+    spec-legal raw-block zstd frame (`core/zstdmeta.py`) with its
+    XXH64-low32 content checksum, then THREE readers must agree: our
+    own walk (content regenerated, checksum verified — the parser
+    raises on mismatch), REAL libzstd (pyarrow must decompress the
+    frame back to the exact bytes), and the closed-form framing
+    arithmetic the oracle restates.
+
+    Leg 2 (Compressed blocks — the r9 seam, now closed): the same
+    bytes go through REAL libzstd compression, the checksum flag and
+    XXH64-low32 trailer are spliced onto its frame, and our
+    from-scratch FSE+Huffman decoder (`core/zstdblock.py`) must
+    regenerate the content byte-exact with the checksum VERIFIED
+    (``checksum_ok is True`` — never the old ``None`` seam report).
+    ``sum_comp_content_bytes`` flows from the decoded bytes, so a
+    lossy decode breaks the oracle match, not just an assertion.
 
     100 TB: narrow mapInPandas, no shuffle before the tiny per-source
     aggregate.
     """
     import pyarrow as pa_
 
-    from ..core.zstdmeta import encode_zstd_raw, parse_zstd_frames
+    from ..core.zstdmeta import encode_zstd_raw, parse_zstd_frames, xxh64
 
     prep(spark)
     d = load_spread(spark, sf_dir, "documents").select("source", "text")
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        codec = pa_.Codec("zstd", compression_level=3)
         for pdf in batches:
             srcs, cbytes, fbytes, blks = [], [], [], []
+            comp_bytes, comp_ok = [], []
             for src, txt in zip(pdf["source"], pdf["text"]):
                 content = (txt or "").encode("utf-8")
                 frame = encode_zstd_raw(content)
@@ -1734,16 +1749,34 @@ def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
                 n_blocks = max((n + 131071) // 131072, 1)
                 if len(frame) != 9 + fcs_len + 3 * n_blocks + n:
                     raise ValueError("frame arithmetic drifted")
+                # leg 2: libzstd-compressed frame + spliced checksum,
+                # entropy-decoded by the from-scratch block decoder
+                comp = bytearray(codec.compress(content))
+                comp[4] |= 0x04  # Content_Checksum_Flag
+                comp += (xxh64(content, 0) & 0xFFFFFFFF).to_bytes(
+                    4, "little"
+                )
+                (cf,) = parse_zstd_frames(bytes(comp))
+                if cf["content"] != content:
+                    raise ValueError("block decoder lost the payload")
+                if cf["checksum_ok"] is not True:
+                    raise ValueError("block decoder checksum unverified")
                 srcs.append(src)
                 cbytes.append(n)
                 fbytes.append(len(frame))
                 blks.append(n_blocks)
+                comp_bytes.append(len(cf["content"]))
+                comp_ok.append(1)
             yield pd.DataFrame(
                 {
                     "source": pd.Series(srcs, dtype="object"),
                     "content_bytes": pd.Series(cbytes, dtype="int64"),
                     "frame_bytes": pd.Series(fbytes, dtype="int64"),
                     "n_blocks": pd.Series(blks, dtype="int64"),
+                    "comp_content_bytes": pd.Series(
+                        comp_bytes, dtype="int64"
+                    ),
+                    "comp_checksum_ok": pd.Series(comp_ok, dtype="int64"),
                 }
             )
 
@@ -1757,6 +1790,12 @@ def ingest_zstd_frames(spark, sf_dir) -> DataFrame:
             .alias("sum_content_bytes"),
             F.sum("frame_bytes").cast("bigint").alias("sum_frame_bytes"),
             F.sum("n_blocks").cast("bigint").alias("sum_blocks"),
+            F.sum("comp_content_bytes")
+            .cast("bigint")
+            .alias("sum_comp_content_bytes"),
+            F.sum("comp_checksum_ok")
+            .cast("bigint")
+            .alias("n_comp_checksum_ok"),
         )
         .orderBy("source")
     )

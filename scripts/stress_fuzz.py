@@ -47,6 +47,19 @@ from databatchprotectionservice_spark.core.robotscodec import (
     is_allowed, parse_robots)
 from databatchprotectionservice_spark.core.inflatecodec import (
     InflateError, inflate_gzip, inflate_zlib)
+from databatchprotectionservice_spark.core.zstdmeta import (
+    ZstdFormatError, parse_zstd_frames, xxh64)
+
+
+def _zstd_checksummed_frame(content: bytes) -> bytes:
+    """Real libzstd Compressed blocks + a spliced content checksum, so
+    the fuzz target covers the full FSE/Huffman decode AND verify."""
+    import pyarrow as _pa
+
+    frame = bytearray(_pa.Codec("zstd", compression_level=19).compress(content))
+    frame[4] |= 0x04
+    frame += (xxh64(content, 0) & 0xFFFFFFFF).to_bytes(4, "little")
+    return bytes(frame)
 
 rng = np.random.RandomState(20260815)
 img = rng.randint(0, 256, size=(9, 11, 3), dtype=np.uint8)
@@ -113,6 +126,11 @@ BASES = {
             parse_robots(bytes(b).decode("latin-1")), "bot", "/p/x"
         ),
         (),
+    ),
+    "zstd_compressed": (
+        _zstd_checksummed_frame(bytes(range(256)) * 6 + b"zstd " * 100),
+        parse_zstd_frames,
+        ZstdFormatError,
     ),
 }
 

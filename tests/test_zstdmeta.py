@@ -69,7 +69,11 @@ def test_walk_reads_libzstd_frames():
     assert f["kind"] == "zstd"
     assert f["content_size"] == len(content)
     assert any(b["type"] == "compressed" for b in f["blocks"])
-    assert f["content"] is None  # entropy decode is the named seam
+    # the r9 entropy-decode seam is CLOSED (core/zstdblock.py): the
+    # walk now regenerates Compressed-block content byte-exact
+    assert f["content"] == content
+    # pyarrow emits no content checksum, so nothing to verify here;
+    # test_zstdblock.py pins checksum_ok=True via a spliced trailer
     assert f["checksum_ok"] is None
 
 
