@@ -324,6 +324,11 @@ CHANGED: dict[str, int] = {
     # r9: FLAC codec vectorization (encoder bytes identical, decode
     # exact; flac is also a r9 registration, in-window regardless)
     "multimodal_audio_flac_stats": 9,
+    # r10: staged-feed memo (_SCD2_FEED_MEMO) — job-count-only change,
+    # results bit-identical (deterministic staging, pinned by
+    # test_scd2_feed_memo_is_value_identical); in-window regardless as
+    # an r9 never-scored registration
+    "streaming_scd2_tws": 10,
     # r9: hostile-corpus sweep fixes (zero-norm guards, empty-token
     # NULL ratio, whitespace-lossless XML read, codepoint-consistent
     # mp4 fixture, Spark-semantics UDTF tokenization)

@@ -620,3 +620,24 @@ def test_scd2_tws_carries_open_interval_across_batches(spark, tmp_path):
     assert (3, 2, "a", 3, 5, 4, 2, False) in rows
     assert (3, 3, None, 5, None, 5, 1, True) in rows
     assert len(rows) == 9  # nothing else emitted
+
+
+def test_scd2_feed_memo_is_value_identical_and_key_guarded(spark, sf_dir):
+    """The staged-feed memo (_SCD2_FEED_MEMO) is a job-count change,
+    never a value change: a memo-hit run of streaming_scd2_tws returns
+    the same rows as the cold run (deterministic staging — midpoint
+    split, forced mtimes — so the reused files ARE the fresh files),
+    and the key carries the events parquet's identity so a swapped
+    corpus can never be served a stale feed."""
+    from databatchprotectionservice_spark.operators import streamops
+
+    key = streamops._scd2_feed_key(sf_dir)
+    assert key is not None and key[0].startswith(sf_dir)
+    streamops._SCD2_FEED_MEMO.pop(key, None)  # force the cold path
+    cold = streamops.streaming_scd2_tws(spark, sf_dir)
+    cold_rows = sorted(map(tuple, cold.collect()))
+    assert key in streamops._SCD2_FEED_MEMO  # cold run populated it
+    staged = streamops._SCD2_FEED_MEMO[key]
+    warm = streamops.streaming_scd2_tws(spark, sf_dir)
+    assert streamops._SCD2_FEED_MEMO[key] == staged  # hit, not re-staged
+    assert sorted(map(tuple, warm.collect())) == cold_rows
