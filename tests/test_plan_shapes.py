@@ -589,3 +589,93 @@ def test_equidepth_single_window_over_total_order(spark, sf_dir):
     assert plan.count("Window") == 1, plan
     assert "ntile" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_flac_stats_fused_python_stages_single_aggregate_exchange(
+    spark, sf_dir, queries
+):
+    """multimodal_audio_flac_stats' scale claims: the synth fixture and
+    the decode run as BACK-TO-BACK MapInPandas stages with no exchange
+    between them (decode is map-only), the stats aggregate partially
+    map-side, and the ONLY hash exchange is the final
+    source-cardinality groupBy — the shape every media leg shares."""
+    plan = _plan(queries["multimodal_audio_flac_stats"](spark, sf_dir))
+    assert plan.count("MapInPandas") == 2, plan
+    synth_to_stats = plan.split("MapInPandas")[1]
+    assert "Exchange" not in synth_to_stats, plan  # stages are fused
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "body" not in read_schema  # only the 3 fixture columns scan
+
+
+def test_scd2_tws_single_state_exchange_update_mode(spark, tmp_path):
+    """streaming_scd2_tws' scale claims, pinned on the micro-batch
+    physical plan: exactly ONE stateful operator
+    (TransformWithStateInPySpark) in Update mode, fed by exactly ONE
+    user_id hash exchange (REQUIRED_BY_STATEFUL_OPERATOR) — state is
+    the open interval per user, closed rows stream to the sink, and
+    nothing else shuffles."""
+    import glob
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        scd2_stream_tws,
+    )
+    from databatchprotectionservice_spark.vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [1, 1, 2],
+            "event_id": [1, 2, 3],
+            "event_type": ["a", "b", "a"],
+            "us": [1, 2, 1],
+        }
+    )
+    src = tmp_path / "f0"
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(str(src))
+    out = tmp_path / "stream"
+    out.mkdir()
+    (part,) = glob.glob(str(src / "part-*.parquet"))
+    shutil.copy(part, out / "00.parquet")
+    schema = spark.read.parquet(str(out)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(out))
+    )
+    scd2 = scd2_stream_tws(stream)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            scd2.writeStream.format("memory")
+            .queryName("scd2_plan_pin")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+            plan = q._jsq.explainInternal(False)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+    assert plan.count("TransformWithStateInPySpark ") == 1, plan
+    assert ", Update," in plan  # update-mode emission, not complete
+    n_ex = sum(1 for ln in plan.splitlines() if "Exchange" in ln)
+    assert n_ex == 1, plan
+    assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
+    assert "hashpartitioning(user_id" in plan
