@@ -31,6 +31,24 @@ sys.path.insert(0, REPO)
 # in registry insertion order so timings are comparable across rounds.
 HEADLINE: list[str] | None = None  # resolved to entrymod.queries() keys
 
+# Queries that BUILD a session-lifetime artifact on first invocation —
+# trained PQ/IVF codebooks + the quantized code cache (similarity),
+# memoized k-means centroids (clustering._FIT_MEMO, shared by the
+# kmeans/semdedup pair), the staged CDC feed (streamops._SCD2_FEED_MEMO)
+# — get ONE extra discarded warmup run before the timed N (VERDICT r9
+# item 4: ivfpq's cold driver samples 14.7/7.8/6.4 s never reached the
+# 1.36 s steady state inside min-of-3; the warmup pays the build once
+# so the timed runs measure the query, not the trainer).
+WARMUP_QUERIES = {
+    "similarity_ivfpq_topk",
+    "similarity_pq_topk",
+    "similarity_quantized_topk",
+    "similarity_matryoshka_recall",
+    "kmeans_embedding_clusters",
+    "semdedup_embeddings",
+    "streaming_scd2_tws",
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -67,6 +85,10 @@ def main() -> None:
         best = -1.0
         obs: list[float] = []
         try:
+            if name in WARMUP_QUERIES:
+                # discarded: pays codebook training / memo staging /
+                # cache build so the timed runs are all steady-state
+                fn(spark, sf_dir).collect()
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
@@ -114,6 +136,7 @@ def main() -> None:
         "medians": medians,
         "variance_flags": variance_flags,
         "runs": runs,
+        "warmed_up": sorted(WARMUP_QUERIES.intersection(timings)),
         "sf": sf,
     }
     try:
@@ -124,7 +147,9 @@ def main() -> None:
 
     budget = int(os.environ.get("SPARK_GRAFT_BENCH_LINE_BUDGET", "1800"))
     compact = {
-        k: v for k, v in detail.items() if k not in ("samples", "medians")
+        k: v
+        for k, v in detail.items()
+        if k not in ("samples", "medians", "warmed_up")
     }
     compact["queries"] = {k: round(v, 2) for k, v in timings.items()}
     # fastest first, but FAILED queries (-1.0) sort last so truncation can
