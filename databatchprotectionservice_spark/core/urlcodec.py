@@ -16,8 +16,13 @@ Non-ASCII hosts: punycode (RFC 3492) is implemented from scratch
 below (``puny_encode``/``puny_decode``/``idn_to_ascii``, pinned by
 the RFC's §7.1 sample-string table); the UTS-46 case-mapping/validity
 TABLE remains the documented seam (labels are str.lower()-folded
-only), as is the Public Suffix List: ``registrable_domain`` ships a small built-in
-multi-label-TLD subset and documents the approximation.
+only).  Site grouping runs the FULL published Public Suffix List
+algorithm (``public_suffix``/``registrable_domain``: longest-match
+over plain/wildcard/exception rules with the implicit ``*`` default)
+over the embedded dated snapshot in ``core/psl_snapshot.py``; the
+snapshot is a curated subset of the ~10k-rule published file (that
+file is the remaining data seam — swapping it in is a data change,
+not code).
 
 Deterministic pure-string functions, so fixture URLs derived from the
 corpus keep every derived column oracle-checkable in SQL.
@@ -42,18 +47,13 @@ _DEFAULT_PORTS = {
     "gopher": 70,
 }
 
-#: a built-in subset of multi-label public suffixes — the full PSL is
-#: a mutable external list (documented seam); these cover the common
-#: country-commercial forms
-_MULTI_TLD = frozenset(
-    """co.uk org.uk ac.uk gov.uk me.uk net.uk co.jp or.jp ne.jp ac.jp
-    go.jp com.au net.au org.au edu.au gov.au com.br net.br org.br
-    gov.br com.cn net.cn org.cn gov.cn com.mx org.mx com.ar com.tr
-    co.in net.in org.in gov.in co.kr or.kr co.za org.za gov.za
-    com.sg com.hk com.tw com.my com.ph com.vn com.eg com.sa
-    co.nz net.nz org.nz govt.nz co.id or.id com.pl com.ru com.ua
-    """.split()
-)
+#: the embedded Public Suffix List snapshot (curated, dated —
+#: core/psl_snapshot.py documents the subset boundary), parsed once
+#: into (plain, wildcard-base, exception) label-tuple sets for the
+#: full published matching algorithm in :func:`public_suffix`
+from .psl_snapshot import parse_rules as _psl_parse_rules  # noqa: E402
+
+_PSL_PLAIN, _PSL_WILD, _PSL_EXC = _psl_parse_rules()
 
 
 def parse_url(url: str) -> dict:
@@ -249,22 +249,67 @@ def _form_decode(s: str) -> str:
         return out.decode("latin-1")
 
 
-def registrable_domain(host: str) -> str:
-    """eTLD+1 approximation: built-in multi-label-suffix subset plus
-    the last-two-labels default.  IPs and single-label hosts return
-    themselves.  The full PSL is a documented seam."""
+def public_suffix(host: str) -> str:
+    """Longest matching public suffix per the published PSL algorithm
+    (publicsuffix.org/list): an EXCEPTION rule prevails and yields the
+    rule minus its leftmost label; otherwise the longest matching
+    plain or wildcard (``*.``) rule; otherwise the implicit ``*``
+    default (the TLD itself).  Hosts are lowercased and IDN labels
+    mapped to their ASCII (``xn--``) form before matching, since the
+    embedded snapshot stores ASCII rules.  Total: IPs, empty and
+    single-label hosts return themselves."""
     if not host:
         return ""
     h = host.lower().rstrip(".")
     if h.startswith("[") or re.fullmatch(r"[0-9.]+", h):
         return h  # IP literal / dotted-quad
+    if any(ord(c) >= 128 for c in h):
+        try:
+            h = idn_to_ascii(h)
+        except Exception:  # noqa: BLE001 - totality: match as-is
+            pass
+    labels = tuple(h.split("."))
+    n = len(labels)
+    # exception rules prevail over everything (spec step: "If more
+    # than one rule matches, the prevailing rule is the one which is
+    # an exception rule")
+    for i in range(n):
+        if labels[i:] in _PSL_EXC:
+            return ".".join(labels[i + 1 :])
+    best = 1  # the implicit '*' default rule
+    for length in range(n, 0, -1):  # longest first
+        suffix = labels[n - length :]
+        if suffix in _PSL_PLAIN or (
+            length >= 2 and suffix[1:] in _PSL_WILD
+        ):
+            best = length
+            break
+    return ".".join(labels[n - best :])
+
+
+def registrable_domain(host: str) -> str:
+    """eTLD+1: one label below the public suffix (the PSL's
+    "registrable domain" — the unit crawl pipelines group by).
+    Hosts that ARE a public suffix, IPs, and single-label hosts
+    return themselves (total, data-not-exception).  IDN hosts
+    canonicalize to their ASCII form first, so 'sub.münchen.de' and
+    'sub.xn--mnchen-3ya.de' group identically."""
+    if not host:
+        return ""
+    h = host.lower().rstrip(".")
+    if h.startswith("[") or re.fullmatch(r"[0-9.]+", h):
+        return h  # IP literal / dotted-quad
+    if any(ord(c) >= 128 for c in h):
+        try:
+            h = idn_to_ascii(h)
+        except Exception:  # noqa: BLE001 - totality: keep as data
+            pass
+    ps = public_suffix(h)
     labels = h.split(".")
-    if len(labels) < 2:
-        return h
-    last2 = ".".join(labels[-2:])
-    if last2 in _MULTI_TLD and len(labels) >= 3:
-        return ".".join(labels[-3:])
-    return last2
+    ps_len = len(ps.split(".")) if ps else 0
+    if len(labels) <= ps_len:
+        return h  # the host IS a public suffix
+    return ".".join(labels[-(ps_len + 1) :])
 
 
 # ---------------------------------------------------------------------------

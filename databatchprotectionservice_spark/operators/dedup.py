@@ -1734,3 +1734,158 @@ def dedup_url_canonical(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Site-level URL grouping via the embedded PSL (staged r10, registers at
+# the next boundary whose window arithmetic admits it)
+# ---------------------------------------------------------------------------
+
+#: consecutive doc_ids per site; k = doc_id % SITE_GROUP varies the
+#: subdomain so grouping has to cross real PSL boundaries to collapse
+SITE_GROUP = 4
+#: doc_ids divisible by this hash onto ONE hot site (the '!www.ck'
+#: exception rule) — the skewed-key case a crawl's site quotas hit
+SITE_HOT_MOD = 23
+
+#: the oracle restates the registrable domain in closed form: the
+#: fixture's five PSL rule classes (multi-label suffix, default rule,
+#: private-section suffix, IDN subdomain above an ASCII site, wildcard
+#: *.ck) plus the '!www.ck' exception hot site — the URL/PSL machinery
+#: cancels out of the SQL, and the Spark side ASSERTS its codec chain
+#: lands exactly on this closed form (drift raises, never silently
+#: passes).
+URL_SITE_GROUPS_ORACLE = f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   CASE
+                     WHEN doc_id % {SITE_HOT_MOD} = 0 THEN 'www.ck'
+                     WHEN (doc_id // {SITE_GROUP}) % 5 = 0 THEN
+                       'example' || CAST(doc_id // {SITE_GROUP} AS VARCHAR)
+                       || '.co.uk'
+                     WHEN (doc_id // {SITE_GROUP}) % 5 = 1 THEN
+                       'example' || CAST(doc_id // {SITE_GROUP} AS VARCHAR)
+                       || '.com'
+                     WHEN (doc_id // {SITE_GROUP}) % 5 = 2 THEN
+                       'user' || CAST(doc_id // {SITE_GROUP} AS VARCHAR)
+                       || '.github.io'
+                     WHEN (doc_id // {SITE_GROUP}) % 5 = 3 THEN
+                       'example' || CAST(doc_id // {SITE_GROUP} AS VARCHAR)
+                       || '.de'
+                     ELSE
+                       'shop' || CAST(doc_id // {SITE_GROUP} AS VARCHAR)
+                       || '.foo.ck'
+                   END AS site
+            FROM documents
+        ),
+        g AS (
+            SELECT source, site, count(*) AS cnt
+            FROM d GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(sum(cnt) AS BIGINT) AS n_urls,
+               CAST(count(*) AS BIGINT) AS n_sites,
+               CAST(max(cnt) AS BIGINT) AS max_site_urls,
+               CAST(coalesce(sum(CASE WHEN site = 'www.ck' THEN cnt END),
+                             0) AS BIGINT) AS hot_site_urls
+        FROM g GROUP BY source ORDER BY source
+"""
+
+
+def dedup_url_site_groups(spark, sf_dir):
+    """Group a crawl's URLs by SITE — the registrable domain (eTLD+1)
+    under the full Public Suffix List algorithm — the key Common Crawl
+    pipelines use for per-site quotas, robots policy, and domain-level
+    dedup, one level coarser than ``dedup_url_canonical``'s exact-URL
+    key.  Each document manufactures a messy URL whose host exercises
+    one of five PSL rule classes (``co.uk`` multi-label suffix, plain
+    ``com`` default, ``github.io`` private-section suffix, an IDN
+    subdomain above an ASCII site, and the ``*.ck`` wildcard) plus the
+    ``!www.ck`` exception as a deliberately skewed hot site; executors
+    canonicalize via ``core/urlcodec.normalize_url`` and group via
+    ``registrable_domain`` (``core/psl_snapshot.py`` snapshot), and
+    ASSERT the computed site equals the closed form the oracle
+    restates.
+
+    100 TB shape: site extraction is a narrow Arrow-batched string
+    pass; the rollup is two combinable hash aggregates — (source,
+    site) counts, then per-source folds — no window, no join, no
+    self-join.  The hot-site row demonstrates the skew case: one site
+    with ~1/{SITE_HOT_MOD} of the corpus still costs only one
+    combiner cell per partition, because count aggregation combines
+    map-side before the exchange.
+    """
+    from pyspark.sql import types as T
+
+    from ..core.urlcodec import normalize_url, parse_url, registrable_domain
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select("doc_id", "source")
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("site", T.StringType()),
+        ]
+    )
+
+    def _site(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            sites = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                sid = doc_id // SITE_GROUP
+                k = doc_id % SITE_GROUP
+                if doc_id % SITE_HOT_MOD == 0:
+                    host = f"h{doc_id}.www.ck"
+                    want = "www.ck"
+                elif sid % 5 == 0:
+                    host = f"sub{k}.Example{sid}.CO.UK"
+                    want = f"example{sid}.co.uk"
+                elif sid % 5 == 1:
+                    host = f"a{k}.b.example{sid}.com"
+                    want = f"example{sid}.com"
+                elif sid % 5 == 2:
+                    host = f"w{k}.user{sid}.GitHub.IO"
+                    want = f"user{sid}.github.io"
+                elif sid % 5 == 3:
+                    host = f"w{k}.münchen.example{sid}.de"
+                    want = f"example{sid}.de"
+                else:
+                    host = f"w{k}.shop{sid}.foo.ck"
+                    want = f"shop{sid}.foo.ck"
+                url = f"HTTPS://{host}:443/a/../p/{doc_id}?q={doc_id}#f"
+                got = registrable_domain(parse_url(normalize_url(url))["host"])
+                if got != want:
+                    raise ValueError(
+                        f"doc {doc_id}: site extraction drifted: "
+                        f"{got!r} != {want!r}"
+                    )
+                sites.append(want)
+            yield pd_.DataFrame(
+                {
+                    "source": pdf["source"],
+                    "site": pd_.Series(sites, dtype="object"),
+                }
+            )
+
+    per_site = (
+        d.mapInPandas(_site, schema)
+        .groupBy("source", "site")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_site.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_urls"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sites"),
+            F.max("cnt").cast("bigint").alias("max_site_urls"),
+            F.coalesce(
+                F.sum(F.when(F.col("site") == "www.ck", F.col("cnt"))),
+                F.lit(0),
+            ).cast("bigint").alias("hot_site_urls"),
+        )
+        .orderBy("source")
+    )

@@ -44,7 +44,15 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
+    from databatchprotectionservice_spark.operators import dedup
+
     return {
+        # r10: PSL site grouping (VERDICT r9 item 7) — registers at
+        # the r11 boundary if the window arithmetic admits it
+        "dedup_url_site_groups": (
+            dedup.dedup_url_site_groups,
+            dedup.URL_SITE_GROUPS_ORACLE,
+        ),
     }
 
 

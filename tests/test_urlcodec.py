@@ -231,3 +231,78 @@ def test_normalize_url_maps_idn_hosts_to_ace():
         "http://plain.example"
     )
     normalize_url("http://" + "é" * 5000 + "/p")  # must not raise
+
+
+def test_public_suffix_list_algorithm():
+    """The published PSL algorithm over the embedded snapshot: plain
+    rules by longest match, wildcard '*.' rules, '!' exception rules,
+    and the implicit '*' default for unlisted TLDs."""
+    from databatchprotectionservice_spark.core.urlcodec import public_suffix
+
+    # plain rules, longest match wins
+    assert public_suffix("example.com") == "com"
+    assert public_suffix("a.b.example.co.uk") == "co.uk"
+    assert public_suffix("police.uk") == "police.uk"
+    # private-section suffixes
+    assert public_suffix("user.github.io") == "github.io"
+    assert public_suffix("x.s.blogspot.com") == "blogspot.com"
+    # wildcard: '*.ck' makes every <label>.ck a public suffix
+    assert public_suffix("anything.ck") == "anything.ck"
+    assert public_suffix("shop.anything.ck") == "anything.ck"
+    # exception: '!www.ck' prevails over the wildcard
+    assert public_suffix("www.ck") == "ck"
+    assert public_suffix("deep.www.ck") == "ck"
+    # implicit '*' default: unlisted TLD is its own suffix
+    assert public_suffix("example.notatld") == "notatld"
+    # totality: IPs / single labels / empty return themselves
+    assert public_suffix("10.0.0.1") == "10.0.0.1"
+    assert public_suffix("localhost") == "localhost"
+    assert public_suffix("") == ""
+
+
+def test_registrable_domain_psl_classes():
+    """eTLD+1 across every rule class the site-grouping query uses,
+    including IDN canonicalization to the ASCII form."""
+    # wildcard: the site is one label UNDER <label>.ck
+    assert registrable_domain("w.shop.foo.ck") == "shop.foo.ck"
+    # exception: www.ck is itself registrable (public suffix is 'ck')
+    assert registrable_domain("h1.www.ck") == "www.ck"
+    assert registrable_domain("www.ck") == "www.ck"
+    # private section: each github.io user is an independent site
+    assert registrable_domain("a.user5.github.io") == "user5.github.io"
+    assert registrable_domain("github.io") == "github.io"
+    # IDN host and its ACE form group identically (ASCII out)
+    assert (
+        registrable_domain("sub.münchen.de")
+        == registrable_domain("sub.xn--mnchen-3ya.de")
+        == "xn--mnchen-3ya.de"
+    )
+    # an IDN label ABOVE the registrable domain drops out entirely
+    assert registrable_domain("w.münchen.example.de") == "example.de"
+
+
+def test_psl_snapshot_parses_and_is_consistent():
+    """The snapshot file format parses like the published file: rules
+    partition into plain/wildcard/exception, every exception's base
+    also carries a wildcard (an exception without a wildcard to
+    override is dead data), and no rule appears twice."""
+    from databatchprotectionservice_spark.core.psl_snapshot import (
+        PSL_RULES,
+        PSL_SNAPSHOT_DATE,
+        parse_rules,
+    )
+
+    plain, wild, exc = parse_rules()
+    assert len(plain) > 100 and wild and exc
+    assert PSL_SNAPSHOT_DATE.count("-") == 2
+    # every exception overrides some wildcard
+    for e in exc:
+        assert e[1:] in wild, f"exception {e} overrides no wildcard"
+    # no rule is both plain and a wildcard base's full form
+    assert not (plain & exc)
+    # rule lines are unique in the raw text
+    rules = [
+        ln.strip() for ln in PSL_RULES.splitlines()
+        if ln.strip() and not ln.strip().startswith("//")
+    ]
+    assert len(rules) == len(set(rules))
