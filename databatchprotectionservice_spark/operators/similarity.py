@@ -1511,3 +1511,283 @@ def similarity_ivfpq_topk(spark, sf_dir):
             "rk",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVFPQ with RESIDUAL encoding (FAISS by_residual=True) — staged r10
+# ---------------------------------------------------------------------------
+
+#: integer L2^2 over one SUBDIM-slice pair in DuckDB (1-indexed lists)
+_DUCK_RL2 = (
+    f"list_aggregate(list_transform(range(1, {PQ_SUBDIM + 1}), d -> "
+    "CAST({a}[d] - {b}[d] AS BIGINT) * ({a}[d] - {b}[d])), 'sum')"
+)
+
+#: the residual-IVFPQ oracle: the ivfpq oracle with the PQ stage moved
+#: onto RESIDUALS — codebook entries are (seed - its coarse centroid)
+#: slices, every vector encodes its own residual, reconstruction is
+#: centroid + decoded residual, and ADC scores the probe against that
+#: reconstruction.  Still exact BIGINT end to end: residual components
+#: are differences of int8 codes (|r| <= 254), so every sum fits int64
+#: with the same headroom argument as the flat-PQ oracle.
+IVFPQ_RESIDUAL_ORACLE = f"""
+        WITH qz AS (
+            SELECT vec_id,
+                   list_transform(embedding, x ->
+                       CASE WHEN s = 0 THEN 0
+                            ELSE CAST(floor((CAST(x AS DOUBLE) / s) * 127.0 + 0.5)
+                                      AS INTEGER) END) AS q
+            FROM (
+                SELECT vec_id, embedding,
+                       list_aggregate(list_transform(embedding,
+                           x -> abs(CAST(x AS DOUBLE))), 'max') AS s
+                FROM embeddings
+            )
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        coarse AS (
+            SELECT vec_id AS ck, q AS cq FROM qz WHERE vec_id < {IVF_K}
+        ),
+        assigned AS (
+            SELECT vec_id, ck AS cluster FROM (
+                SELECT z.vec_id, c.ck,
+                       row_number() OVER (PARTITION BY z.vec_id
+                           ORDER BY {_DUCK_QL2.format(a="z.q", b="c.cq")}, c.ck)
+                           AS rn
+                FROM qz z, coarse c
+            ) WHERE rn = 1
+        ),
+        rcb AS (
+            SELECT ms.m, s.vec_id AS k,
+                   list_transform(range(1, {PQ_SUBDIM + 1}), d ->
+                       s.q[ms.m*{PQ_SUBDIM}+d] - co.cq[ms.m*{PQ_SUBDIM}+d])
+                       AS c
+            FROM ms,
+                 (SELECT z.vec_id, z.q, a.cluster
+                  FROM qz z JOIN assigned a ON a.vec_id = z.vec_id
+                  WHERE z.vec_id < {PQ_K}) s
+                 JOIN coarse co ON co.ck = s.cluster
+        ),
+        resid AS (
+            SELECT z.vec_id, ms.m,
+                   list_transform(range(1, {PQ_SUBDIM + 1}), d ->
+                       z.q[ms.m*{PQ_SUBDIM}+d] - co.cq[ms.m*{PQ_SUBDIM}+d])
+                       AS sub
+            FROM qz z
+            JOIN assigned a ON a.vec_id = z.vec_id
+            JOIN coarse co ON co.ck = a.cluster, ms
+        ),
+        dists AS (
+            SELECT r.vec_id, r.m, c.k,
+                   {_DUCK_RL2.format(a="r.sub", b="c.c")} AS d2
+            FROM resid r JOIN rcb c ON c.m = r.m
+        ),
+        codes AS (
+            SELECT vec_id, m, k AS code
+            FROM (SELECT vec_id, m, k,
+                         row_number() OVER (PARTITION BY vec_id, m
+                                            ORDER BY d2, k) AS rn
+                  FROM dists)
+            WHERE rn = 1
+        ),
+        recon AS (
+            SELECT cd.vec_id,
+                   CAST(sum({_DUCK_SUBDOT.format(
+                       n=PQ_SUBDIM + 1,
+                       a="(co.cq[cd.m*" + str(PQ_SUBDIM) + "+d] + rc.c[d])",
+                       b="(co.cq[cd.m*" + str(PQ_SUBDIM) + "+d] + rc.c[d])",
+                   )}) AS BIGINT) AS rnorm
+            FROM codes cd
+            JOIN rcb rc ON rc.m = cd.m AND rc.k = cd.code
+            JOIN assigned a ON a.vec_id = cd.vec_id
+            JOIN coarse co ON co.ck = a.cluster
+            GROUP BY cd.vec_id
+        ),
+        probes AS (
+            SELECT vec_id AS query_id, q AS pq,
+                   {_DUCK_QDOT.format(a="q", b="q")} AS pnorm
+            FROM qz
+            WHERE vec_id < {N_QUERIES}
+              AND {_DUCK_QDOT.format(a="q", b="q")} > 0
+        ),
+        probe_clusters AS (
+            SELECT query_id, cluster FROM (
+                SELECT p.query_id, c.ck AS cluster,
+                       row_number() OVER (PARTITION BY p.query_id
+                           ORDER BY {_DUCK_QL2.format(a="p.pq", b="c.cq")}, c.ck)
+                           AS rn
+                FROM probes p, coarse c
+            ) WHERE rn <= {IVF_PROBES}
+        ),
+        adc AS (
+            SELECT p.query_id, cd.vec_id AS neighbor_id, p.pnorm,
+                   CAST(sum({_DUCK_SUBDOT.format(
+                       n=PQ_SUBDIM + 1,
+                       a="p.pq[cd.m*" + str(PQ_SUBDIM) + " + d]",
+                       b="(co.cq[cd.m*" + str(PQ_SUBDIM) + "+d] + rc.c[d])",
+                   )}) AS BIGINT) AS score
+            FROM probes p
+            JOIN probe_clusters pc ON pc.query_id = p.query_id
+            JOIN assigned a ON a.cluster = pc.cluster
+            JOIN codes cd ON cd.vec_id = a.vec_id
+            JOIN rcb rc ON rc.m = cd.m AND rc.k = cd.code
+            JOIN coarse co ON co.ck = a.cluster
+            WHERE cd.vec_id <> p.query_id
+            GROUP BY 1, 2, 3
+        ),
+        scored AS (
+            SELECT a.query_id, a.neighbor_id,
+                   CAST(a.score AS DOUBLE)
+                   / (sqrt(CAST(a.pnorm AS DOUBLE))
+                      * sqrt(CAST(r.rnorm AS DOUBLE))) AS pqcos
+            FROM adc a JOIN recon r ON r.vec_id = a.neighbor_id
+            WHERE r.rnorm > 0
+        )
+        SELECT query_id, neighbor_id,
+               floor(pqcos * 10000.0 + 0.5) / 10000.0 AS pq_cosine, rk
+        FROM (
+            SELECT query_id, neighbor_id, pqcos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY pqcos DESC, neighbor_id) AS rk
+            FROM scored
+        ) WHERE rk <= {TOP_K}
+"""
+
+
+def similarity_ivfpq_residual_topk(spark, sf_dir):
+    """IVFPQ with RESIDUAL encoding — FAISS ``by_residual=True``, the
+    default production composition ``similarity_ivfpq_topk`` deferred
+    (its docstring documents why): each vector PQ-encodes ``x - c`` —
+    its offset from its coarse centroid — instead of ``x`` itself.
+    Centering each list's vectors around its centroid shrinks the
+    value range the codebook must cover, so the same code budget
+    spends its resolution on the within-list structure (FAISS IVFADC,
+    Jégou et al. 2011 §III).
+
+    The integer-exact discipline HOLDS through residuals — this is the
+    insight that unblocks the variant: coarse centroids are int8-code
+    vectors, so residuals are integer vectors (|r| <= 254), the
+    residual codebook (sampled from the first PQ_K seed residuals) is
+    integer, reconstruction ``c + r_hat`` is integer, and both rnorm
+    and the ADC sum stay exact BIGINT; the only doubles remain the
+    final cosine normalization, identical in both engines.
+
+    100 TB shape: identical to similarity_ivfpq_topk — ONE map-only
+    encode scan (coarse + residual codebook in the UDF closure =
+    broadcast), probe table broadcast into the cluster-keyed pruning
+    join carrying the precomputed query-centroid dot (so ADC needs
+    only the residual LUT gather), one final top-k window over the
+    pruned candidates.  Residual encoding adds zero extra exchanges:
+    the centroid add folds into the same encode pass.
+
+    Reference anchor: composes the scan/score staging the reference
+    pipelines via its sequencer (``encryption_sequencer.cpp`` staging
+    discipline) — cited for parity bookkeeping, architecture is
+    Spark-native."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.functions import pandas_udf
+
+    prep(spark)
+    emb = load_spread(spark, sf_dir, "embeddings")
+    qi8 = _quantize_udf()
+    qn = emb.select("vec_id", qi8(F.col("embedding")).alias("q")).cache()
+    # one bounded driver collect seeds coarse + residual codebooks
+    seeds = (
+        qn.filter(F.col("vec_id") < max(PQ_K, IVF_K))
+        .orderBy("vec_id")
+        .collect()
+    )
+    seed_arr = np.array([r["q"] for r in seeds], dtype=np.int64)
+    coarse = seed_arr[:IVF_K].copy()  # (K, DIM)
+    # assign the PQ seeds to coarse lists, build the RESIDUAL codebook
+    dseed = ((seed_arr[:PQ_K, None, :] - coarse[None, :, :]) ** 2).sum(
+        axis=2
+    )
+    seed_cl = dseed.argmin(axis=1)  # first-min = lowest ck, ties match SQL
+    rseed = seed_arr[:PQ_K] - coarse[seed_cl]  # (PQ_K, DIM) residuals
+    rcb = (
+        rseed.reshape(PQ_K, PQ_M, PQ_SUBDIM).transpose(1, 0, 2).copy()
+    )  # (M, K, SUBDIM)
+
+    @pandas_udf("struct<cluster: int, codes: array<int>, rnorm: long>")
+    def encode(qcol):
+        Xf = np.stack(qcol.to_numpy()).astype(np.int64)  # (B, DIM)
+        dc = ((Xf[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        cluster = dc.argmin(axis=1)
+        resid = (Xf - coarse[cluster]).reshape(-1, PQ_M, PQ_SUBDIM)
+        diff = resid[:, :, None, :] - rcb[None, :, :, :]
+        codes = (diff * diff).sum(axis=3).argmin(axis=2)
+        # reconstruction = centroid + decoded residual, exact int64
+        rhat = rcb[np.arange(PQ_M)[None, :], codes].reshape(
+            len(Xf), PQ_M * PQ_SUBDIM
+        )
+        recon = coarse[cluster] + rhat
+        rnorm = (recon * recon).sum(axis=1)
+        return pd.DataFrame(
+            {
+                "cluster": pd.Series(cluster.astype(np.int32)),
+                "codes": list(codes.astype(np.int32)),
+                "rnorm": rnorm,
+            }
+        )
+
+    coded = qn.select("vec_id", encode(F.col("q")).alias("e")).select(
+        "vec_id", "e.cluster", "e.codes", "e.rnorm"
+    )
+
+    # probes: residual LUTs driver-side; each probe pair additionally
+    # carries dot(query, centroid) so the executor-side ADC gather
+    # completes the reconstruction dot without touching the centroid
+    assert N_QUERIES <= max(PQ_K, IVF_K)  # prefix reuse contract
+    probe_rows = [r for r in seeds if r["vec_id"] < N_QUERIES]
+    luts, probe_pairs = {}, []
+    for r in probe_rows:
+        pv = np.array(r["q"], dtype=np.int64)
+        pn = int((pv * pv).sum())
+        if pn <= 0:
+            continue
+        qid = int(r["vec_id"])
+        luts[qid] = _probe_lut(pv, rcb)  # residual half of the ADC dot
+        dc = ((coarse - pv[None, :]) ** 2).sum(axis=1)
+        for c in np.argsort(dc, kind="stable")[:IVF_PROBES]:
+            qcdot = int(coarse[int(c)] @ pv)  # centroid half
+            probe_pairs.append((qid, int(c), pn, qcdot))
+
+    probes_df = spark.createDataFrame(
+        probe_pairs, "query_id long, cluster int, pnorm long, qcdot long"
+    )
+    adc = _adc_udf(luts)
+    scored = (
+        coded.filter(F.col("rnorm") > 0)
+        .join(F.broadcast(probes_df), "cluster")  # the IVF pruning join
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (
+                (
+                    F.col("qcdot")
+                    + adc(F.col("query_id"), F.col("codes"))
+                ).cast("double")
+                / (
+                    F.sqrt(F.col("pnorm").cast("double"))
+                    * F.sqrt(F.col("rnorm").cast("double"))
+                )
+            ).alias("pqcos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("pqcos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            round_ieee(F.col("pqcos")).alias("pq_cosine"),
+            "rk",
+        )
+    )

@@ -44,7 +44,7 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    from databatchprotectionservice_spark.operators import dedup
+    from databatchprotectionservice_spark.operators import dedup, similarity
 
     return {
         # r10: PSL site grouping (VERDICT r9 item 7) — registers at
@@ -52,6 +52,12 @@ def staged_manifest():
         "dedup_url_site_groups": (
             dedup.dedup_url_site_groups,
             dedup.URL_SITE_GROUPS_ORACLE,
+        ),
+        # r10: FAISS by_residual=True IVFPQ (VERDICT r9 item 9) —
+        # integer-exact residual encoding unblocks the deferred variant
+        "similarity_ivfpq_residual_topk": (
+            similarity.similarity_ivfpq_residual_topk,
+            similarity.IVFPQ_RESIDUAL_ORACLE,
         ),
     }
 

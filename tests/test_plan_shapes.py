@@ -679,3 +679,20 @@ def test_scd2_tws_single_state_exchange_update_mode(spark, tmp_path):
     assert n_ex == 1, plan
     assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
     assert "hashpartitioning(user_id" in plan
+
+
+def test_ivfpq_residual_same_scale_shape_as_flat(spark, sf_dir):
+    """The residual variant must keep the exact ivfpq scale shape —
+    broadcast pruning join, no sort-merge/cartesian, WindowGroupLimit
+    top-k, quantize-once cache — because residual encoding folds into
+    the same single encode pass (no extra exchange)."""
+    from databatchprotectionservice_spark.operators.similarity import (
+        similarity_ivfpq_residual_topk,
+    )
+
+    plan = _plan(similarity_ivfpq_residual_topk(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "InMemoryTableScan" in plan
