@@ -1980,3 +1980,166 @@ def text_c4_rules(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML text extraction at query level (staged r10)
+# ---------------------------------------------------------------------------
+
+#: links rendered per document (anchor text 'l{i}', closed-form hrefs)
+HTML_LINKS_MOD = 3
+
+#: oracle restates the whole extraction in closed form via the
+#: REVERSIBLE-TEMPLATE property (tests/test_htmlcodec.py
+#: test_fixture_template_inverts_exactly): normalized text -> escaped
+#: HTML -> extract_text inverts byte-exactly, so the extracted page
+#: text is 'boiler plate' + the doc's normalized lines + one line per
+#: anchor + the footer, and every statistic is arithmetic over the
+#: documents table.  The Spark side ASSERTS its codec chain lands on
+#: exactly this closed form (title, links, full text) — drift raises.
+HTML_EXTRACT_ORACLE = f"""
+        WITH d AS (
+            SELECT doc_id, source,
+                   list_filter(list_transform(
+                       string_split(coalesce(text, ''), chr(10)),
+                       ln -> trim(regexp_replace(ln, '[ \t\r\f]+', ' ',
+                                                 'g'))),
+                       x -> x <> '') AS lines,
+                   doc_id % {HTML_LINKS_MOD} + 1 AS k
+            FROM documents
+        ),
+        e AS (
+            SELECT source,
+                   len(lines) + k + 2 AS n_lines,
+                   k AS n_links,
+                   12 + 6 + 2 * k
+                     + coalesce(list_aggregate(list_transform(lines,
+                           x -> length(x)), 'sum'), 0)
+                     + (len(lines) + k + 2 - 1) AS n_chars
+            FROM d
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_lines) AS BIGINT) AS total_lines,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(sum(n_links) AS BIGINT) AS total_links
+        FROM e GROUP BY source ORDER BY source
+"""
+
+
+def text_html_extract(spark, sf_dir):
+    """HTML -> text extraction as a QUERY — the first operation a web
+    corpus runs on every crawled page (the WARC chain exercises the
+    same codec on whole messages; this isolates the HTML layer and
+    gates it per document).  Each document renders its text into a
+    realistic page (head/title dropped by extraction, nav + footer
+    boilerplate, one anchor per link), executors run the from-scratch
+    WHATWG-subset extractor (``core/htmlcodec.py``: tokenizer, entity
+    decoding, display-semantics text assembly, title + link
+    extraction), and ASSERT the reversible-template property: the
+    extracted text equals the closed form the oracle restates, the
+    title round-trips, and every link is recovered in order.
+
+    100 TB shape: extraction is a narrow Arrow-batched pure-string
+    pass (no state, no join); the rollup is one combinable per-source
+    aggregate.  Identical economics to the other text scans — the
+    Python cost is the extractor itself, which a production deployment
+    amortizes by running extraction exactly once per crawl snapshot.
+    """
+    import re as _re
+
+    from pyspark.sql import types as T
+
+    from ..core.htmlcodec import (
+        escape_html,
+        extract_links,
+        extract_text,
+        extract_title,
+    )
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("source", T.StringType()),
+            T.StructField("n_lines", T.LongType()),
+            T.StructField("n_chars", T.LongType()),
+            T.StructField("n_links", T.LongType()),
+        ]
+    )
+
+    def _extract(batches):
+        import pandas as pd_
+
+        for pdf in batches:
+            srcs, nlines, nchars, nlinks = [], [], [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                text = "" if text is None else str(text)
+                norm = [
+                    _re.sub(r"[ \t\r\f]+", " ", ln).strip(" ")
+                    for ln in text.split("\n")
+                ]
+                norm = [ln for ln in norm if ln]
+                k = doc_id % HTML_LINKS_MOD + 1
+                title = f"doc {doc_id}"
+                html = (
+                    f"<html><head><title>{title}</title></head>"
+                    "<body><nav>boiler plate</nav>"
+                    + "".join(f"<p>{escape_html(ln)}</p>" for ln in norm)
+                    + "".join(
+                        f'<p><a href="https://example{doc_id}.com/p{i}">'
+                        f"l{i}</a></p>"
+                        for i in range(k)
+                    )
+                    + "<footer>© 2026</footer></body></html>"
+                )
+                got = extract_text(html)
+                want = "\n".join(
+                    ["boiler plate"]
+                    + norm
+                    + [f"l{i}" for i in range(k)]
+                    + ["© 2026"]
+                )
+                links = extract_links(html)
+                want_links = [
+                    (f"https://example{doc_id}.com/p{i}", f"l{i}")
+                    for i in range(k)
+                ]
+                if (
+                    got != want
+                    or extract_title(html) != title
+                    or links != want_links
+                ):
+                    raise ValueError(
+                        f"doc {doc_id}: HTML extraction drifted"
+                    )
+                srcs.append(source)
+                nlines.append(got.count("\n") + 1)
+                nchars.append(len(got))
+                nlinks.append(len(links))
+            yield pd_.DataFrame(
+                {
+                    "source": pd_.Series(srcs, dtype="object"),
+                    "n_lines": pd_.Series(nlines, dtype="int64"),
+                    "n_chars": pd_.Series(nchars, dtype="int64"),
+                    "n_links": pd_.Series(nlinks, dtype="int64"),
+                }
+            )
+
+    per_doc = d.mapInPandas(_extract, schema)
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_lines").cast("bigint").alias("total_lines"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.sum("n_links").cast("bigint").alias("total_links"),
+        )
+        .orderBy("source")
+    )

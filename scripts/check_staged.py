@@ -44,7 +44,11 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    from databatchprotectionservice_spark.operators import dedup, similarity
+    from databatchprotectionservice_spark.operators import (
+        dedup,
+        similarity,
+        textops,
+    )
 
     return {
         # r10: PSL site grouping (VERDICT r9 item 7) — registers at
@@ -58,6 +62,13 @@ def staged_manifest():
         "similarity_ivfpq_residual_topk": (
             similarity.similarity_ivfpq_residual_topk,
             similarity.IVFPQ_RESIDUAL_ORACLE,
+        ),
+        # r10: HTML extraction at query level, gated per document via
+        # the reversible-template property (closes the SURVEY note
+        # that staged it beside the web-ingest registrations)
+        "text_html_extract": (
+            textops.text_html_extract,
+            textops.HTML_EXTRACT_ORACLE,
         ),
     }
 
