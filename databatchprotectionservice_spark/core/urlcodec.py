@@ -450,14 +450,49 @@ def puny_decode(text: str) -> str:
     return "".join(chr(c) for c in out)
 
 
+#: UTS-46 deviation characters (non-transitional processing, the
+#: modern-browser behavior): these pass through the fold unmapped —
+#: eszett and final sigma stay themselves, the zero-width (non-)joiner
+#: survives for the scripts that need it
+_UTS46_DEVIATIONS = frozenset("ßς‌‍")
+
+#: UTS-46 label separators beyond '.': ideographic and fullwidth full
+#: stops split labels exactly like '.' (UTS #46 §4, step 1 note)
+_UTS46_DOTS = str.maketrans(
+    {"。": ".", "．": ".", "｡": "."}
+)
+
+
+def uts46_map(label: str) -> str:
+    """UTS #46 mapping approximation from public stdlib primitives:
+    per-character ``str.casefold()`` with the deviation set preserved
+    (non-transitional), then NFKC normalization — together this tracks
+    the published toNFKC_Casefold-derived table for the mapped and
+    case-fold rows (fullwidth/compatibility forms collapse, ligatures
+    expand, case folds) while keeping ``faß.de`` distinct from
+    ``fass.de`` as IDNA2008 requires.  The full published table's
+    disallowed/ignored rows remain the (now much smaller) documented
+    seam: unmapped characters pass through as data (totality)."""
+    import unicodedata as _ud
+
+    folded = "".join(
+        c if c in _UTS46_DEVIATIONS else c.casefold() for c in label
+    )
+    return _ud.normalize("NFKC", folded)
+
+
 def idn_to_ascii(host: str) -> str:
-    """Lowercased host -> IDNA ASCII form: each non-ASCII label gets
-    the ``xn--`` ACE prefix over its punycode.  Pure-algorithm IDNA:
-    the UTS-46 mapping/validity table is the documented seam, so
-    inputs are case-folded with str.lower() only."""
-    labels = host.lower().split(".")
+    """Host -> IDNA ASCII form: UTS-46 mapping (deviation-preserving
+    casefold + NFKC, ideographic full stops as label separators), then
+    each non-ASCII label gets the ``xn--`` ACE prefix over its
+    punycode (RFC 3492, from scratch above)."""
+    labels = host.translate(_UTS46_DOTS).split(".")
     out = []
     for lab in labels:
+        if any(ord(c) >= 128 for c in lab):
+            lab = uts46_map(lab)
+        else:
+            lab = lab.lower()
         if all(ord(c) < 128 for c in lab):
             out.append(lab)
         else:

@@ -329,6 +329,13 @@ CHANGED: dict[str, int] = {
     # test_scd2_feed_memo_is_value_identical); in-window regardless as
     # an r9 never-scored registration
     "streaming_scd2_tws": 10,
+    # r10: URL layer gained the full PSL algorithm + UTS-46 mapping
+    # (casefold/NFKC/ideographic separators before punycode) — both
+    # queries' fixtures are unaffected (ASCII or NFC-stable lowercase
+    # hosts; check_oracle re-ran green, sweep_r10_staged.log), and both
+    # are r10 registrations, in-window regardless
+    "ingest_warc_chain": 10,
+    "dedup_url_canonical": 10,
     # r9: hostile-corpus sweep fixes (zero-norm guards, empty-token
     # NULL ratio, whitespace-lossless XML read, codepoint-consistent
     # mp4 fixture, Spark-semantics UDTF tokenization)

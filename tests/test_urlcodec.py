@@ -306,3 +306,40 @@ def test_psl_snapshot_parses_and_is_consistent():
         if ln.strip() and not ln.strip().startswith("//")
     ]
     assert len(rules) == len(set(rules))
+
+
+def test_uts46_mapping_vectors():
+    """UTS-46 mapping (deviation-preserving casefold + NFKC +
+    ideographic label separators) over published behavior vectors;
+    the punycode cross-check xn--wgv71a119e is RFC 3492's 日本語."""
+    from databatchprotectionservice_spark.core.urlcodec import (
+        idn_to_ascii,
+        uts46_map,
+    )
+
+    assert idn_to_ascii("BÜCHER.example") == "xn--bcher-kva.example"
+    # non-transitional: eszett preserved, so faß.de != fass.de
+    assert idn_to_ascii("faß.de") == "xn--fa-hia.de"
+    assert idn_to_ascii("fass.de") == "fass.de"
+    # ideographic/fullwidth full stops are label separators; fullwidth
+    # letters collapse to ASCII via NFKC
+    assert idn_to_ascii("日本語。ＪＰ") == "xn--wgv71a119e.jp"
+    assert idn_to_ascii("Ｅｘａｍｐｌｅ。ＣＯＭ") == "example.com"
+    # ligatures expand per the compatibility decomposition
+    assert idn_to_ascii("ﬁsh.example") == "fish.example"
+    # uts46_map is idempotent on its own output (fixed point)
+    for s in ("straße", "ＡＢＣﬁ", "ΣΊΣΥΦΟΣ", "mixedCASE"):
+        once = uts46_map(s)
+        assert uts46_map(once) == once
+
+
+def test_uts46_in_normalize_url_and_site_grouping():
+    """The mapping is live in the URL chain: fullwidth/ideographic
+    hosts canonicalize to the same site as their ASCII form."""
+    from databatchprotectionservice_spark.core.urlcodec import normalize_url
+
+    assert (
+        normalize_url("http://Ｅｘａｍｐｌｅ。ＣＯＭ/p")
+        == "http://example.com/p"
+    )
+    assert registrable_domain("ｗｗｗ。ｅｘａｍｐｌｅ。ｃｏｍ") == "example.com"
