@@ -14,9 +14,11 @@ malformed URLs as data to be classified, not exceptions; every
 function returns a value for any input (the fuzz battery asserts it).
 Non-ASCII hosts: punycode (RFC 3492) is implemented from scratch
 below (``puny_encode``/``puny_decode``/``idn_to_ascii``, pinned by
-the RFC's §7.1 sample-string table); the UTS-46 case-mapping/validity
-TABLE remains the documented seam (labels are str.lower()-folded
-only).  Site grouping runs the FULL published Public Suffix List
+the RFC's §7.1 sample-string table), fronted by a UTS-46 mapping
+approximation (``uts46_map``: deviation-preserving casefold + NFKC,
+ideographic full stops as label separators); the published table's
+disallowed/ignored rows are the remaining (small) seam.  Site
+grouping runs the FULL published Public Suffix List
 algorithm (``public_suffix``/``registrable_domain``: longest-match
 over plain/wildcard/exception rules with the implicit ``*`` default)
 over the embedded dated snapshot in ``core/psl_snapshot.py``; the

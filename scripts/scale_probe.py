@@ -128,6 +128,13 @@ QUERIES = [
     # late-r9 addition: the incremental SCD2 upsert (TWS protocol cost
     # per key + one extra staging write; state is one row per user)
     "streaming_scd2_tws",
+    # round-10 staged additions: PSL site grouping + HTML extraction
+    # (narrow Python string passes — must track the documents scan)
+    # and the residual-IVFPQ composition (same pruning economics as
+    # the flat variant)
+    "dedup_url_site_groups",
+    "text_html_extract",
+    "similarity_ivfpq_residual_topk",
 ]
 
 
@@ -183,7 +190,12 @@ def main() -> None:
     only = {
         n for n in os.environ.get("SCALE_PROBE_ONLY", "").split(",") if n
     }
-    qs = entrymod.queries()
+    qs = dict(entrymod.queries())
+    # staged (incubation-tier) queries probe with the same protocol
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_staged import staged_manifest
+
+    qs.update({n: fn for n, (fn, _o) in staged_manifest().items()})
     base = json.load(open(os.path.join(REPO, "BENCH_DETAIL.json")))
     results = {}
     for name in QUERIES:
