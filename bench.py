@@ -47,6 +47,10 @@ WARMUP_QUERIES = {
     "kmeans_embedding_clusters",
     "semdedup_embeddings",
     "streaming_scd2_tws",
+    # caches its shingle/df gram table inside the query (dedup.py:362):
+    # run 1 builds it, so min-of-3 flags 1.7x median/min without a
+    # discarded build run (r10 quiet bench samples 5.5/1.9/3.2)
+    "dedup_ngram_jaccard",
 }
 
 
