@@ -1798,3 +1798,151 @@ def sales_cube_rollup(spark, sf_dir):
         )
         .orderBy("gid", "returnflag", "linestatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-funnel analysis (staged r10)
+# ---------------------------------------------------------------------------
+
+#: ordered funnel steps over the events table
+FUNNEL_STEPS = ("view", "click", "purchase")
+#: chain window: every chain event must land within this many hours of
+#: the chain's FIRST event (ClickHouse windowFunnel semantics)
+FUNNEL_WINDOW_HOURS = 12
+_FUNNEL_W_US = FUNNEL_WINDOW_HOURS * 3600 * 1_000_000
+
+#: the oracle states the funnel level as pure first-order logic —
+#: level k iff SOME strictly-time-increasing chain of the first k
+#: steps fits inside the window anchored at its first event — so the
+#: Spark side's vectorized prefix-max scan must agree chain-for-chain;
+#: strict '<' comparisons make equal timestamps unable to chain, the
+#: same in both engines (no tie-break freedom anywhere).
+EVENTS_FUNNEL_ORACLE = f"""
+        WITH e AS (
+            SELECT user_id, event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us
+            FROM events
+        ),
+        u AS (SELECT DISTINCT user_id FROM e),
+        v AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+        c AS (SELECT user_id, us FROM e WHERE event_type = 'click'),
+        p AS (SELECT user_id, us FROM e WHERE event_type = 'purchase'),
+        l1 AS (SELECT DISTINCT user_id FROM v),
+        -- equality-only join keys with the chain inequalities in
+        -- WHERE: semantically identical to putting them in ON, but
+        -- DuckDB's planner then picks the per-user hash join instead
+        -- of a quadratic inequality-join strategy (measured 108 s ->
+        -- 0.04 s at sf0.1 for the level-3 chain)
+        vc AS (
+            SELECT v.user_id, v.us AS vus, c.us AS cus
+            FROM v JOIN c ON c.user_id = v.user_id
+            WHERE v.us < c.us AND c.us <= v.us + {_FUNNEL_W_US}
+        ),
+        l2 AS (SELECT DISTINCT user_id FROM vc),
+        l3 AS (
+            SELECT DISTINCT vc.user_id
+            FROM vc JOIN p ON p.user_id = vc.user_id
+            WHERE vc.cus < p.us AND p.us <= vc.vus + {_FUNNEL_W_US}
+        )
+        SELECT user_id,
+               CAST(CASE
+                 WHEN user_id IN (SELECT user_id FROM l3) THEN 3
+                 WHEN user_id IN (SELECT user_id FROM l2) THEN 2
+                 WHEN user_id IN (SELECT user_id FROM l1) THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_level
+        FROM u ORDER BY user_id
+"""
+
+
+def events_funnel_levels(spark, sf_dir):
+    """Conversion-funnel depth per user — the ClickHouse
+    ``windowFunnel`` shape: the deepest prefix of the step sequence
+    (view -> click -> purchase) for which SOME strictly
+    time-increasing chain fits within {FUNNEL_WINDOW_HOURS} h of the
+    chain's first event.  The oracle states the semantics as pure
+    EXISTS logic (triple self-join); the engine computes the same
+    answer in O(n log n) per user with a vectorized two-pass
+    prefix-max scan: for every click, the latest view strictly before
+    it; for every purchase, the best such view over clicks strictly
+    before it — a chain exists iff that view is inside the window.
+    Strict '<' everywhere means equal timestamps cannot chain, so
+    there is NO tie-break freedom for either engine.
+
+    100 TB shape: ONE exchange (groupBy user_id into applyInPandas),
+    per-user work is three sorted arrays + numpy searchsorted — the
+    sorted-scan shape funnel engines use, with no self-join anywhere;
+    the oracle's triple join is the SPEC, not the plan.  Skewed users
+    cost O(n_u log n_u), not O(n_u^2)."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    prep(spark)
+    # all events load (not just funnel steps): every user must appear
+    # in the output, level 0 when they never reached the first step
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("funnel_level", T.LongType()),
+        ]
+    )
+
+    def _funnel(key, pdf):
+        views = np.sort(
+            pdf.loc[pdf["event_type"] == "view", "us"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        clicks = np.sort(
+            pdf.loc[pdf["event_type"] == "click", "us"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        purchases = np.sort(
+            pdf.loc[pdf["event_type"] == "purchase", "us"].to_numpy(
+                dtype=np.int64
+            )
+        )
+        level = 0
+        if len(views):
+            level = 1
+            if len(clicks):
+                # av[i]: latest view STRICTLY before clicks[i] (or
+                # -inf); searchsorted 'left' counts views < click
+                idx = np.searchsorted(views, clicks, side="left")
+                av = np.where(idx > 0, views[np.maximum(idx - 1, 0)],
+                              np.int64(-(1 << 62)))
+                # level 2: some chain view < click <= view + W
+                if (clicks - av <= _FUNNEL_W_US).any():
+                    level = 2
+                if level == 2 and len(purchases):
+                    # m[j]: best (latest) anchor view over clicks
+                    # strictly before purchases[j]
+                    run = np.maximum.accumulate(av)
+                    jdx = np.searchsorted(clicks, purchases, side="left")
+                    m = np.where(
+                        jdx > 0,
+                        run[np.maximum(jdx - 1, 0)],
+                        np.int64(-(1 << 62)),
+                    )
+                    if (purchases - m <= _FUNNEL_W_US).any():
+                        level = 3
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "funnel_level": np.int64(level),
+            }
+        )
+
+    return (
+        e.groupBy("user_id")
+        .applyInPandas(_funnel, schema)
+        .orderBy("user_id")
+    )

@@ -46,6 +46,7 @@ def staged_manifest():
     """
     from databatchprotectionservice_spark.operators import (
         dedup,
+        relational,
         similarity,
         textops,
     )
@@ -69,6 +70,12 @@ def staged_manifest():
         "text_html_extract": (
             textops.text_html_extract,
             textops.HTML_EXTRACT_ORACLE,
+        ),
+        # r10: windowFunnel-shape conversion depth per user — oracle is
+        # the EXISTS-chain spec, engine is the O(n log n) sorted scan
+        "events_funnel_levels": (
+            relational.events_funnel_levels,
+            relational.EVENTS_FUNNEL_ORACLE,
         ),
     }
 

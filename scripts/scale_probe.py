@@ -135,6 +135,8 @@ QUERIES = [
     "dedup_url_site_groups",
     "text_html_extract",
     "similarity_ivfpq_residual_topk",
+    # the windowFunnel shape: one user exchange + per-user sorted scan
+    "events_funnel_levels",
 ]
 
 

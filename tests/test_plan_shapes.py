@@ -696,3 +696,21 @@ def test_ivfpq_residual_same_scale_shape_as_flat(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "WindowGroupLimit" in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_funnel_single_exchange_grouped_pandas(spark, sf_dir):
+    """events_funnel_levels' scale claim: ONE hash exchange on user_id
+    into a single grouped-pandas scan — the oracle's triple self-join
+    is the spec, never the plan (no join operator anywhere)."""
+    from databatchprotectionservice_spark.operators.relational import (
+        events_funnel_levels,
+    )
+
+    plan = _plan(events_funnel_levels(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
