@@ -1946,3 +1946,65 @@ def events_funnel_levels(spark, sf_dir):
         .applyInPandas(_funnel, schema)
         .orderBy("user_id")
     )
+
+
+#: one week in microseconds — the cohort bucket
+_WEEK_US = 7 * 86400 * 1_000_000
+
+#: cohort retention restated as plain arithmetic: week index =
+#: floor(event epoch-us / week), cohort = the user's first week,
+#: offset = active week - cohort, cell = distinct users.  Both engines
+#: compute the identical integer division (epochs are non-negative).
+EVENTS_RETENTION_ORACLE = f"""
+        WITH w AS (
+            SELECT DISTINCT user_id,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // {_WEEK_US} AS wk
+            FROM events
+        ),
+        c AS (SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id)
+        SELECT CAST(c.cw AS BIGINT) AS cohort_week,
+               CAST(w.wk - c.cw AS BIGINT) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM w JOIN c ON c.user_id = w.user_id
+        GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
+def events_retention_cohorts(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by their FIRST active week, each cell counting how many
+    of a cohort were active again `offset` weeks later.
+
+    100 TB shape: ONE user-keyed exchange computes each user's
+    distinct active-week set via a map-side-combining
+    ``collect_set`` (bounded by the corpus duration in weeks, not by
+    event count); the cohort week is ``array_min`` of that set
+    row-locally — no join back, no second pass over events — and one
+    final small exchange aggregates the (cohort, offset) matrix,
+    whose cardinality is weeks², independent of corpus size.  The
+    oracle restates the matrix with a join because SQL lacks the
+    array fold; the engine never joins."""
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        "user_id",
+        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk"),
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.collect_set("wk").alias("wks")
+    )
+    cells = per_user.select(
+        F.array_min("wks").alias("cohort_week"),
+        F.explode("wks").alias("wk"),
+    ).select(
+        "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset")
+    )
+    return (
+        cells.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .select(
+            F.col("cohort_week").cast("bigint").alias("cohort_week"),
+            F.col("week_offset").cast("bigint").alias("week_offset"),
+            "n_users",
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

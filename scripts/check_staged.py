@@ -77,6 +77,12 @@ def staged_manifest():
             relational.events_funnel_levels,
             relational.EVENTS_FUNNEL_ORACLE,
         ),
+        # r10: cohort retention matrix — single user exchange via
+        # map-side collect_set, no join (the oracle's join is the spec)
+        "events_retention_cohorts": (
+            relational.events_retention_cohorts,
+            relational.EVENTS_RETENTION_ORACLE,
+        ),
     }
 
 

@@ -137,6 +137,8 @@ QUERIES = [
     "similarity_ivfpq_residual_topk",
     # the windowFunnel shape: one user exchange + per-user sorted scan
     "events_funnel_levels",
+    # cohort matrix: map-side collect_set, no join
+    "events_retention_cohorts",
 ]
 
 

@@ -714,3 +714,26 @@ def test_funnel_single_exchange_grouped_pandas(spark, sf_dir):
     assert n_hash == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_retention_cohorts_no_join_two_hash_exchanges(spark, sf_dir):
+    """events_retention_cohorts' scale claim: collect_set combines
+    map-side (partial_collect_set BEFORE the user exchange), the
+    cohort is computed row-locally (array_min, no join back), and the
+    only hash exchanges are the user aggregate and the tiny
+    (cohort, offset) matrix; the scan reads just (ts, user_id)."""
+    from databatchprotectionservice_spark.operators.relational import (
+        events_retention_cohorts,
+    )
+
+    plan = _plan(events_retention_cohorts(spark, sf_dir))
+    assert "partial_collect_set" in plan  # map-side combine
+    assert "array_min" in plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct"):
+        assert bad not in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "event_type" not in read_schema and "props" not in read_schema
