@@ -143,7 +143,19 @@ def test_total_function_fuzz():
         assert isinstance(n, str)
         assert normalize_url(n) == n  # idempotent even on soup
         assert isinstance(parse_query(c["query"] or ""), list)
-        assert isinstance(registrable_domain(c["host"] or ""), str)
+        host = c["host"] or ""
+        rd = registrable_domain(host)
+        assert isinstance(rd, str)
+        # PSL invariants hold even on soup: the public suffix is total,
+        # and the registrable domain ends with it (label-aligned)
+        from databatchprotectionservice_spark.core.urlcodec import (
+            public_suffix,
+        )
+
+        ps = public_suffix(host)
+        assert isinstance(ps, str)
+        if ps and rd:
+            assert rd == ps or rd.endswith("." + ps) or rd == host.lower().rstrip(".")
 
 
 # ---------------------------------------------------------------------------
