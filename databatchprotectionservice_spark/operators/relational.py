@@ -2008,3 +2008,90 @@ def events_retention_cohorts(spark, sf_dir):
         )
         .orderBy("cohort_week", "week_offset")
     )
+
+
+#: anomaly threshold: |z| > ANOM_SIGMA standard deviations
+ANOM_SIGMA = 3
+_HOUR_US = 3600 * 1_000_000
+
+#: the z-score test stated WITHOUT floats: |c - mean| > k*sigma over a
+#: type's hourly counts is equivalent (multiplying through by n^2) to
+#:   (n*c - S)^2 > k^2 * (n*Q - S^2),   S = sum(c), Q = sum(c^2)
+#: — every term an exact integer, so the flag has no float-summation
+#: order hazard in either engine.  DuckDB's BIGINT sums widen to
+#: HUGEINT internally; outputs cast back to BIGINT.  (At 100 TB,
+#: hourly counts can push c^2 sums past int64 — widen the Spark side
+#: to DECIMAL(38,0) there; the gate corpus stays far inside int64.)
+EVENTS_ANOMALY_ORACLE = f"""
+        WITH c AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) // {_HOUR_US} AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        s AS (
+            SELECT event_type, count(*) AS n, sum(cnt) AS sm,
+                   sum(cnt * cnt) AS q, max(cnt) AS mx
+            FROM c GROUP BY 1
+        )
+        SELECT c.event_type,
+               CAST(s.n AS BIGINT) AS n_hours,
+               CAST(sum(CASE WHEN (s.n * c.cnt - s.sm)
+                                  * (s.n * c.cnt - s.sm)
+                                  > {ANOM_SIGMA * ANOM_SIGMA}
+                                    * (s.n * s.q - s.sm * s.sm)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalous,
+               CAST(s.mx AS BIGINT) AS max_count
+        FROM c JOIN s ON s.event_type = c.event_type
+        GROUP BY 1, s.n, s.mx ORDER BY 1
+"""
+
+
+def events_hourly_anomalies(spark, sf_dir):
+    """Hourly volume anomaly detection per event type — the ops-
+    monitoring staple (traffic spikes, incident bursts), made ORACLE-
+    EXACT by clearing the z-score test of floats entirely: an hour is
+    anomalous iff |count - mean| > {ANOM_SIGMA} sigma, which multiplied
+    through by n^2 is (n*c - S)^2 > {ANOM_SIGMA}^2 (n*Q - S^2) with S,
+    Q the per-type count sums — pure integer comparisons, no float
+    summation order anywhere (contrast textbook z-scores, whose
+    stddev is order-sensitive in both engines).
+
+    100 TB shape: ONE real exchange builds the (type, hour) counts
+    with map-side combine; everything downstream operates on that
+    types x hours table (tiny at any corpus size) — the per-type
+    moments BROADCAST back onto it, so no second pass over events and
+    no shuffle of anything corpus-sized."""
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"),
+    )
+    c = e.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    s = c.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cnt").alias("sm"),
+        F.sum(F.col("cnt") * F.col("cnt")).alias("q"),
+        F.max("cnt").alias("mx"),
+    )
+    k2 = ANOM_SIGMA * ANOM_SIGMA
+    dev = F.col("n") * F.col("cnt") - F.col("sm")
+    joined = c.join(F.broadcast(s), "event_type")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.first("n").cast("bigint").alias("n_hours"),
+            F.sum(
+                F.when(
+                    dev * dev
+                    > F.lit(k2)
+                    * (F.col("n") * F.col("q") - F.col("sm") * F.col("sm")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_anomalous"),
+            F.first("mx").cast("bigint").alias("max_count"),
+        )
+        .orderBy("event_type")
+    )

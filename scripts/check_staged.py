@@ -83,6 +83,12 @@ def staged_manifest():
             relational.events_retention_cohorts,
             relational.EVENTS_RETENTION_ORACLE,
         ),
+        # r10: float-free z-score anomaly flags on hourly volumes —
+        # the integer algebra makes an ops-monitoring op oracle-exact
+        "events_hourly_anomalies": (
+            relational.events_hourly_anomalies,
+            relational.EVENTS_ANOMALY_ORACLE,
+        ),
     }
 
 

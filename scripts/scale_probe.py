@@ -139,6 +139,8 @@ QUERIES = [
     "events_funnel_levels",
     # cohort matrix: map-side collect_set, no join
     "events_retention_cohorts",
+    # float-free z-score flags: one counts exchange + broadcast moments
+    "events_hourly_anomalies",
 ]
 
 

@@ -737,3 +737,19 @@ def test_retention_cohorts_no_join_two_hash_exchanges(spark, sf_dir):
     assert n_hash == 2, plan
     read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "event_type" not in read_schema and "props" not in read_schema
+
+
+def test_anomalies_single_events_exchange_broadcast_moments(spark, sf_dir):
+    """events_hourly_anomalies' scale claim: ONE exchange builds the
+    (type, hour) counts with map-side combine; the per-type moments
+    broadcast back (no sort-merge join, no second events scan — one
+    FileScan in the whole plan)."""
+    from databatchprotectionservice_spark.operators.relational import (
+        events_hourly_anomalies,
+    )
+
+    plan = _plan(events_hourly_anomalies(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert "partial_count" in plan  # map-side combine on the hour agg

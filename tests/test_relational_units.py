@@ -55,3 +55,48 @@ def test_funnel_levels_edge_semantics(spark):
             for r in relational.events_funnel_levels(spark, td).collect()
         }
     assert got == {1: 3, 2: 1, 3: 3, 4: 2, 5: 3, 6: 2, 7: 0, 8: 1}
+
+
+def test_hourly_anomalies_integer_boundary(spark):
+    """The strict-> boundary of the float-free z-score test, pinned on
+    the algebraic identity: ONE outlier among (n-1) equal counts sits
+    at exactly z^2 = n - 1, so with k = 3 it must NOT flag at n = 10
+    (9 == 9, strict) no matter how extreme the outlier, and MUST flag
+    at n = 12 (121(b-a)^2 > 99(b-a)^2 for any b != a) — a float
+    stddev implementation rounds either way on exactly this case."""
+    import pandas as pd
+    import pyspark.sql.functions as F_
+
+    from databatchprotectionservice_spark.operators import relational
+
+    rows = []
+
+    def hour(i, typ, count):
+        base = i * relational._HOUR_US
+        for j in range(count):
+            rows.append((typ, base + j))
+
+    # type 'ten': 9 hours of 2 events + 1 hour of 50 -> z^2 == 9, no flag
+    for i in range(9):
+        hour(i, "ten", 2)
+    hour(9, "ten", 50)
+    # type 'twelve': 11 hours of 2 + 1 hour of 3 -> z^2 = 121/99 * 9 > 9
+    for i in range(12):
+        hour(100 + i, "twelve", 3 if i == 11 else 2)
+
+    pdf = pd.DataFrame(rows, columns=["event_type", "us"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F_.timestamp_micros(F_.col("us"))
+    ).withColumn("user_id", F_.lit(1))
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.select("user_id", "event_type", "ts").write.parquet(
+            td + "/events.parquet"
+        )
+        got = {
+            r["event_type"]: (r["n_hours"], r["n_anomalous"], r["max_count"])
+            for r in relational.events_hourly_anomalies(spark, td).collect()
+        }
+    assert got["ten"] == (10, 0, 50)      # boundary: NOT anomalous
+    assert got["twelve"] == (12, 1, 3)    # past boundary: flags
