@@ -100,3 +100,63 @@ def test_hourly_anomalies_integer_boundary(spark):
         }
     assert got["ten"] == (10, 0, 50)      # boundary: NOT anomalous
     assert got["twelve"] == (12, 1, 3)    # past boundary: flags
+
+
+def test_funnel_matches_bruteforce_exists_property(spark):
+    """Randomized referee: the vectorized prefix-max funnel scan must
+    equal the O(n^3) EXISTS-chain brute force (the oracle's spec) on
+    random event soups — ties, bursts, and empty step sets included."""
+    import random
+
+    import pandas as pd
+    import pyspark.sql.functions as F_
+
+    from databatchprotectionservice_spark.operators import relational
+
+    W = relational._FUNNEL_W_US
+    rng = random.Random(20260816)
+    types = ["view", "click", "purchase", "signup", "error"]
+    rows = []
+    expected = {}
+    for uid in range(40):
+        n = rng.randint(0, 12)
+        evs = [
+            (rng.choice(types), rng.randrange(0, 3 * W))
+            for _ in range(n)
+        ]
+        # force tie clusters sometimes
+        if n >= 2 and rng.random() < 0.5:
+            evs[1] = (evs[1][0], evs[0][1])
+        vs = sorted(us for t, us in evs if t == "view")
+        cs = sorted(us for t, us in evs if t == "click")
+        ps = sorted(us for t, us in evs if t == "purchase")
+        lvl = 0
+        if vs:
+            lvl = 1
+            if any(v < c <= v + W for v in vs for c in cs):
+                lvl = 2
+                if any(
+                    v < c < p <= v + W
+                    for v in vs
+                    for c in cs
+                    for p in ps
+                ):
+                    lvl = 3
+        if evs:
+            expected[uid] = lvl
+            rows.extend((uid, t, us) for t, us in evs)
+    pdf = pd.DataFrame(rows, columns=["user_id", "event_type", "us"])
+    df = spark.createDataFrame(pdf).withColumn(
+        "ts", F_.timestamp_micros(F_.col("us"))
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        df.select("user_id", "event_type", "ts").write.parquet(
+            td + "/events.parquet"
+        )
+        got = {
+            r["user_id"]: r["funnel_level"]
+            for r in relational.events_funnel_levels(spark, td).collect()
+        }
+    assert got == expected
