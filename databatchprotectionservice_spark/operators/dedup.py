@@ -1792,6 +1792,7 @@ URL_SITE_GROUPS_ORACLE = f"""
 """
 
 
+@register("dedup_url_site_groups", oracle=URL_SITE_GROUPS_ORACLE)
 def dedup_url_site_groups(spark, sf_dir):
     """Group a crawl's URLs by SITE — the registrable domain (eTLD+1)
     under the full Public Suffix List algorithm — the key Common Crawl

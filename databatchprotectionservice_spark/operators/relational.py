@@ -1854,6 +1854,7 @@ EVENTS_FUNNEL_ORACLE = f"""
 """
 
 
+@register("events_funnel_levels", oracle=EVENTS_FUNNEL_ORACLE)
 def events_funnel_levels(spark, sf_dir):
     """Conversion-funnel depth per user — the ClickHouse
     ``windowFunnel`` shape: the deepest prefix of the step sequence
@@ -1970,6 +1971,7 @@ EVENTS_RETENTION_ORACLE = f"""
 """
 
 
+@register("events_retention_cohorts", oracle=EVENTS_RETENTION_ORACLE)
 def events_retention_cohorts(spark, sf_dir):
     """Cohort retention matrix — the product-analytics staple: users
     cohorted by their FIRST active week, each cell counting how many
@@ -2047,6 +2049,7 @@ EVENTS_ANOMALY_ORACLE = f"""
 """
 
 
+@register("events_hourly_anomalies", oracle=EVENTS_ANOMALY_ORACLE)
 def events_hourly_anomalies(spark, sf_dir):
     """Hourly volume anomaly detection per event type — the ops-
     monitoring staple (traffic spikes, incident bursts), made ORACLE-

@@ -1654,6 +1654,7 @@ IVFPQ_RESIDUAL_ORACLE = f"""
 """
 
 
+@register("similarity_ivfpq_residual_topk", oracle=IVFPQ_RESIDUAL_ORACLE)
 def similarity_ivfpq_residual_topk(spark, sf_dir):
     """IVFPQ with RESIDUAL encoding — FAISS ``by_residual=True``, the
     default production composition ``similarity_ivfpq_topk`` deferred

@@ -2027,6 +2027,7 @@ HTML_EXTRACT_ORACLE = f"""
 """
 
 
+@register("text_html_extract", oracle=HTML_EXTRACT_ORACLE)
 def text_html_extract(spark, sf_dir):
     """HTML -> text extraction as a QUERY — the first operation a web
     corpus runs on every crawled page (the WARC chain exercises the

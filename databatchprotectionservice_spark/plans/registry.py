@@ -294,6 +294,19 @@ REGISTERED_IN: dict[str, int] = {
     "streaming_hll_tws": 10,
     "streaming_cms_tws": 10,
     "txnlog_compaction": 10,
+    # round 11: the six r10-incubated queries promote together —
+    # 192 + 6 = 198 <= 200 capacity (cycle_len stays 4), they ride
+    # NEW_AFTER_WINDOW this round past the ~47 4-stale r7-cohort
+    # mandatory window, then become never-scored mandatory at r12.
+    # Each carried committed sf0.01 + sf0.1 + hostile-corpus sweep
+    # evidence from its build round (sweep_r10_staged.log) and three
+    # were independently re-verified hash-green by the r10 judge.
+    "dedup_url_site_groups": 11,
+    "similarity_ivfpq_residual_topk": 11,
+    "text_html_extract": 11,
+    "events_funnel_levels": 11,
+    "events_retention_cohorts": 11,
+    "events_hourly_anomalies": 11,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

@@ -44,52 +44,12 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    from databatchprotectionservice_spark.operators import (
-        dedup,
-        relational,
-        similarity,
-        textops,
-    )
-
-    return {
-        # r10: PSL site grouping (VERDICT r9 item 7) — registers at
-        # the r11 boundary if the window arithmetic admits it
-        "dedup_url_site_groups": (
-            dedup.dedup_url_site_groups,
-            dedup.URL_SITE_GROUPS_ORACLE,
-        ),
-        # r10: FAISS by_residual=True IVFPQ (VERDICT r9 item 9) —
-        # integer-exact residual encoding unblocks the deferred variant
-        "similarity_ivfpq_residual_topk": (
-            similarity.similarity_ivfpq_residual_topk,
-            similarity.IVFPQ_RESIDUAL_ORACLE,
-        ),
-        # r10: HTML extraction at query level, gated per document via
-        # the reversible-template property (closes the SURVEY note
-        # that staged it beside the web-ingest registrations)
-        "text_html_extract": (
-            textops.text_html_extract,
-            textops.HTML_EXTRACT_ORACLE,
-        ),
-        # r10: windowFunnel-shape conversion depth per user — oracle is
-        # the EXISTS-chain spec, engine is the O(n log n) sorted scan
-        "events_funnel_levels": (
-            relational.events_funnel_levels,
-            relational.EVENTS_FUNNEL_ORACLE,
-        ),
-        # r10: cohort retention matrix — single user exchange via
-        # map-side collect_set, no join (the oracle's join is the spec)
-        "events_retention_cohorts": (
-            relational.events_retention_cohorts,
-            relational.EVENTS_RETENTION_ORACLE,
-        ),
-        # r10: float-free z-score anomaly flags on hourly volumes —
-        # the integer algebra makes an ops-monitoring op oracle-exact
-        "events_hourly_anomalies": (
-            relational.events_hourly_anomalies,
-            relational.EVENTS_ANOMALY_ORACLE,
-        ),
-    }
+    # r11 boundary: the entire r10 incubation cohort (site groups,
+    # residual IVFPQ, HTML extract, funnel, retention, anomalies)
+    # promoted to plans/registry.py (REGISTERED_IN == 11; 192 + 6 =
+    # 198 <= 200 capacity).  New r11 queries land here with their
+    # oracles as they are built.
+    return {}
 
 
 def main():
