@@ -19,12 +19,23 @@ parquet-format encodings:
   index bit width, hybrid-run indices into the (PLAIN-decoded)
   dictionary page.
 
-Null placement follows the decoded definition levels (flat schema:
-``max_def`` 0/1); repetition levels beyond 0 (nested lists) are the
-documented seam.  Every page must consume its byte budget and yield
-exactly its declared value count — short pages raise rather than
-truncate.  The unit suite pins decoded values against pyarrow's
-reader column-for-column on real files.
+Null placement follows the decoded definition levels, and nested
+(REPEATED) columns are reassembled into records by the Dremel
+striping algorithm in reverse: for each leaf slot the repetition
+level says which enclosing list the entry continues and the
+definition level how deep the path is defined, so a chain path
+(LIST wrappers, repeated groups, map key_value, the leaf) rebuilds
+``None`` / ``[]`` / ``[None]`` / values exactly — see
+``assemble_nested``.  The reference's level machinery carries
+repetition levels as opaque framed bytes
+(``parquet_utils.cpp:191-222``); this reader decodes them fully.
+Leaves under a TRUE branching struct (several sibling leaves whose
+record structure interleaves) remain the documented seam — a chain
+walk cannot order sibling columns' entries against each other.
+Every page must consume its byte budget and yield exactly its
+declared value count — short pages raise rather than truncate.  The
+unit suite pins decoded values against pyarrow's reader
+column-for-column on real files, including list columns.
 """
 
 from __future__ import annotations
@@ -197,17 +208,197 @@ def leaf_elements(schema: list) -> list:
     return out
 
 
+def _decode_values(
+    raw: bytes, pos: int, n_present: int, enc: int, ptype: str,
+    tlen, dict_values,
+) -> tuple:
+    """Decode ``n_present`` leaf values per the page's encoding —
+    the value section shared by the flat and nested read paths."""
+    if enc == _PLAIN:
+        return _plain_decode(raw, pos, n_present, ptype, tlen)
+    if enc == _RLE and ptype == "BOOLEAN":
+        # spec: RLE-encoded booleans are a u32-length-prefixed
+        # hybrid stream at bit width 1
+        if pos + 4 > len(raw):
+            raise ParquetReadError("truncated RLE boolean length")
+        (blen,) = struct.unpack_from("<I", raw, pos)
+        pos += 4
+        if pos + blen > len(raw):
+            raise ParquetReadError("RLE booleans overrun the page")
+        bits, _ = _hybrid_decode(raw[pos : pos + blen], 0, 1, n_present)
+        pos += blen
+        return [bool(b) for b in bits], pos
+    if enc in (_RLE_DICTIONARY, _PLAIN_DICTIONARY):
+        if dict_values is None:
+            raise ParquetReadError(
+                "dictionary-encoded page without a dictionary"
+            )
+        if pos >= len(raw):
+            raise ParquetReadError("missing index bit width")
+        bw = raw[pos]
+        pos += 1
+        idx, pos = _hybrid_decode(raw, pos, bw, n_present)
+        if n_present and (
+            idx.min() < 0 or idx.max() >= len(dict_values)
+        ):
+            raise ParquetReadError("dictionary index out of range")
+        return [dict_values[i] for i in idx], pos
+    raise ParquetReadError(f"value encoding {enc} is a seam")
+
+
+def leaf_paths(schema: list) -> list:
+    """Pre-order flattened schema -> [(leaf_element, path)] in
+    column-chunk order, where ``path`` is the ancestor chain from the
+    first non-root node down to and including the leaf.  The path
+    carries everything level decode needs: each OPTIONAL/REPEATED
+    node contributes a definition level, each REPEATED node a
+    repetition level (``assemble_nested`` documents the algebra)."""
+    out = []
+
+    def walk(idx: int, trail: list) -> int:
+        el = schema[idx]
+        path = trail + [el]
+        nxt = idx + 1
+        if el["num_children"] == 0:
+            out.append((el, path))
+            return nxt
+        for _ in range(el["num_children"]):
+            nxt = walk(nxt, path)
+        return nxt
+
+    root = schema[0]
+    nxt = 1
+    for _ in range(root["num_children"]):
+        nxt = walk(nxt, [])
+    return out
+
+
+def _chain_levels(path: list) -> tuple:
+    """-> (max_def, max_rep, actions) for a leaf's ancestor chain.
+
+    ``actions[d]`` for each definition level d in ``0..max_def`` is
+    ``(depth, terminator)``: the entry is present through ``depth``
+    enclosing repeated lists, then terminates with
+
+    * ``"value"`` — d == max_def, the leaf value itself is present;
+    * ``"empty"`` — the first undefined non-required node is REPEATED,
+      i.e. its enclosing group exists with zero entries -> ``[]``;
+    * ``"null"``  — the first undefined non-required node is OPTIONAL
+      -> ``None`` (a null list wrapper, null struct, or null element).
+    """
+    cum_def = 0
+    nodes = []  # (cum_def_at_node, repetition)
+    rep_defs = []  # cum_def at each REPEATED node, outermost first
+    for el in path:
+        r = el["repetition"]
+        if r in ("OPTIONAL", "REPEATED"):
+            cum_def += 1
+            nodes.append((cum_def, r))
+            if r == "REPEATED":
+                rep_defs.append(cum_def)
+    max_def, max_rep = cum_def, len(rep_defs)
+    actions = []
+    for d in range(max_def + 1):
+        depth = sum(1 for dl in rep_defs if dl <= d)
+        if d == max_def:
+            actions.append((depth, "value"))
+            continue
+        nxt_rep = next(r for dl, r in nodes if dl == d + 1)
+        actions.append(
+            (depth, "empty" if nxt_rep == "REPEATED" else "null")
+        )
+    return max_def, max_rep, actions
+
+
+def assemble_nested(reps, defs, values, path: list) -> list:
+    """Dremel record assembly for ONE leaf column -> list of records.
+
+    ``reps``/``defs`` are the chunk's repetition/definition level
+    streams (one slot per leaf entry), ``values`` the present leaf
+    values in order.  Each slot with repetition level r continues the
+    r-th enclosing repeated list (r == 0 starts a new record); its
+    definition level selects a terminator via ``_chain_levels``:
+    either the leaf value, an empty list at the first undefined
+    repeated node, or ``None`` at the first undefined optional node.
+    Works for any CHAIN path — LIST wrappers (2- and 3-level
+    encodings), nested lists, map key/value legs — because a single
+    column's record structure is fully determined by its own levels
+    (Dremel §4.1; the reference treats these as opaque bytes,
+    ``parquet_utils.cpp:191-222``)."""
+    max_def, max_rep, actions = _chain_levels(path)
+    records: list = []
+    stack: list = []  # open repeated containers, outermost first
+    vi = 0
+    for r, d in zip(reps, defs):
+        r = int(r)
+        depth, term = actions[int(d)]
+        if r == 0:
+            stack = []
+            records.append(None)
+        elif r > len(stack) or r > depth:
+            raise ParquetReadError(
+                f"repetition level {r} exceeds open depth"
+            )
+        else:
+            del stack[r:]
+        while len(stack) < depth:
+            new: list = []
+            if stack:
+                stack[-1].append(new)
+            else:
+                records[-1] = new
+            stack.append(new)
+        if term == "value":
+            v = values[vi]
+            vi += 1
+            if stack:
+                stack[-1].append(v)
+            else:
+                records[-1] = v
+        elif term == "empty":
+            if stack:
+                stack[-1].append([])
+            else:
+                records[-1] = []
+        else:  # "null"
+            if len(stack) == depth and depth > 0:
+                stack[-1].append(None)
+            elif not stack:
+                records[-1] = None
+            else:
+                stack[-1].append(None)
+    if vi != len(values):
+        raise ParquetReadError(
+            f"assembly consumed {vi} of {len(values)} values"
+        )
+    return records
+
+
 def read_column(
-    data: bytes, column: dict, leaf: dict, *, nested: bool = False
+    data: bytes,
+    column: dict,
+    leaf: dict,
+    *,
+    nested: bool = False,
+    path: list | None = None,
 ) -> list:
-    """Decode one flat column chunk to Python values (None = null).
+    """Decode one column chunk to Python values (None = null).
 
     ``column`` is a ``parse_footer`` column dict; ``leaf`` its schema
-    element (repetition REQUIRED/OPTIONAL — REPEATED is the nested
-    seam).
-    """
+    element.  Flat columns (repetition REQUIRED/OPTIONAL at the top
+    level) decode directly; a leaf under REPEATED ancestors needs its
+    ``path`` (from ``leaf_paths``) and returns assembled records —
+    nested Python lists with ``None`` for null lists/elements."""
+    if path is not None:
+        max_def, max_rep, _ = _chain_levels(path)
+        if max_rep > 0:
+            return _read_column_nested(
+                data, column, leaf, path, max_def, max_rep
+            )
     if nested or leaf["repetition"] == "REPEATED":
-        raise ParquetReadError("nested (REPEATED) columns are a seam")
+        raise ParquetReadError(
+            "nested (REPEATED) column needs its schema path"
+        )
     max_def = 1 if leaf["repetition"] == "OPTIONAL" else 0
     codec = CompressionCodec[column["codec"]]
     ptype = column["type"]
@@ -288,40 +479,10 @@ def read_column(
             pos = 0
 
         n_present = int((levels == max_def).sum()) if max_def else nv
-        enc = page["encoding"]
-        if enc == _PLAIN:
-            values, pos = _plain_decode(raw, pos, n_present, ptype, tlen)
-        elif enc == _RLE and ptype == "BOOLEAN":
-            # spec: RLE-encoded booleans are a u32-length-prefixed
-            # hybrid stream at bit width 1
-            if pos + 4 > len(raw):
-                raise ParquetReadError("truncated RLE boolean length")
-            (blen,) = struct.unpack_from("<I", raw, pos)
-            pos += 4
-            if pos + blen > len(raw):
-                raise ParquetReadError("RLE booleans overrun the page")
-            bits, _ = _hybrid_decode(
-                raw[pos : pos + blen], 0, 1, n_present
-            )
-            pos += blen
-            values = [bool(b) for b in bits]
-        elif enc in (_RLE_DICTIONARY, _PLAIN_DICTIONARY):
-            if dict_values is None:
-                raise ParquetReadError(
-                    "dictionary-encoded page without a dictionary"
-                )
-            if pos >= len(raw):
-                raise ParquetReadError("missing index bit width")
-            bw = raw[pos]
-            pos += 1
-            idx, pos = _hybrid_decode(raw, pos, bw, n_present)
-            if n_present and (
-                idx.min() < 0 or idx.max() >= len(dict_values)
-            ):
-                raise ParquetReadError("dictionary index out of range")
-            values = [dict_values[i] for i in idx]
-        else:
-            raise ParquetReadError(f"value encoding {enc} is a seam")
+        values, pos = _decode_values(
+            raw, pos, n_present, page["encoding"], ptype, tlen,
+            dict_values,
+        )
 
         if max_def:
             it = iter(values)
@@ -336,3 +497,130 @@ def read_column(
             f"{column['num_values']}"
         )
     return out
+
+
+def _read_column_nested(
+    data: bytes, column: dict, leaf: dict, path: list,
+    max_def: int, max_rep: int,
+) -> list:
+    """Decode a REPEATED-ancestor column chunk into assembled records.
+
+    Levels accumulate across ALL the chunk's pages before assembly —
+    the V1 page format does not promise record-aligned page breaks,
+    so a record whose entries span two pages still reassembles
+    correctly (V2 pages do align, but the chunk-level pass covers
+    both).  Page layout per the public format:
+
+    * V1: ``[u32 len][repetition levels]`` then ``[u32 len]
+      [definition levels]`` then values, the whole page compressed;
+    * V2: repetition then definition level runs UNCOMPRESSED up front
+      (byte lengths from the header, no u32 prefixes), values
+      compressed per ``is_compressed``.
+    """
+    codec = CompressionCodec[column["codec"]]
+    ptype = column["type"]
+    tlen = leaf.get("type_length")
+    rep_bw = max_rep.bit_length()
+    def_bw = max_def.bit_length()
+
+    dict_values = None
+    all_reps: list = []
+    all_defs: list = []
+    all_values: list = []
+    for page in walk_pages(data, column):
+        body = data[
+            page["data_offset"] : page["data_offset"]
+            + page["compressed_page_size"]
+        ]
+        if page["type"] == PAGE_DICTIONARY:
+            raw = _decompress(body, codec, page["uncompressed_page_size"])
+            if page["encoding"] not in (_PLAIN, _PLAIN_DICTIONARY):
+                raise ParquetReadError(
+                    f"dictionary page encoding {page['encoding']}"
+                )
+            dict_values, end = _plain_decode(
+                raw, 0, page["num_values"], ptype, tlen
+            )
+            if end != len(raw):
+                raise ParquetReadError(
+                    f"dictionary page has {len(raw) - end} stray bytes"
+                )
+            continue
+        if page["type"] not in (PAGE_DATA, PAGE_DATA_V2):
+            continue
+
+        nv = page["num_values"]
+        if page["type"] == PAGE_DATA:
+            raw = _decompress(body, codec, page["uncompressed_page_size"])
+            if page["repetition_level_encoding"] != _RLE or (
+                max_def and page["definition_level_encoding"] != _RLE
+            ):
+                raise ParquetReadError(
+                    "non-RLE V1 level encodings are a seam"
+                )
+            pos = 0
+            reps, pos = _prefixed_levels(raw, pos, rep_bw, nv)
+            if max_def:
+                defs, pos = _prefixed_levels(raw, pos, def_bw, nv)
+            else:
+                defs = np.zeros(nv, dtype=np.int64)
+        else:  # V2
+            rl = page["repetition_levels_byte_length"] or 0
+            dl = page["definition_levels_byte_length"] or 0
+            if rl + dl > len(body):
+                raise ParquetReadError("V2 levels overrun the page")
+            reps, _ = _hybrid_decode(body[:rl], 0, rep_bw, nv)
+            if max_def:
+                defs, _ = _hybrid_decode(
+                    body[rl : rl + dl], 0, def_bw, nv
+                )
+            else:
+                defs = np.zeros(nv, dtype=np.int64)
+            values_body = body[rl + dl :]
+            raw = (
+                _decompress(
+                    values_body,
+                    codec,
+                    (page["uncompressed_page_size"] or 0) - rl - dl,
+                )
+                if page["is_compressed"]
+                else values_body
+            )
+            pos = 0
+
+        if reps.max(initial=0) > max_rep or defs.max(initial=0) > max_def:
+            raise ParquetReadError("level exceeds the schema maximum")
+        n_present = int((defs == max_def).sum())
+        values, pos = _decode_values(
+            raw, pos, n_present, page["encoding"], ptype, tlen,
+            dict_values,
+        )
+        all_reps.append(reps)
+        all_defs.append(defs)
+        all_values.extend(values)
+
+    reps = np.concatenate(all_reps) if all_reps else np.zeros(0, np.int64)
+    defs = np.concatenate(all_defs) if all_defs else np.zeros(0, np.int64)
+    if len(reps) != column["num_values"]:
+        raise ParquetReadError(
+            f"decoded {len(reps)} leaf slots, chunk declares "
+            f"{column['num_values']}"
+        )
+    return assemble_nested(reps, defs, all_values, path)
+
+
+def _prefixed_levels(
+    raw: bytes, pos: int, bit_width: int, count: int
+) -> tuple:
+    """Decode a V1 ``[u32 len][hybrid runs]`` level section; a zero
+    bit width (max level 0) occupies no bytes at all per the spec."""
+    if bit_width == 0:
+        return np.zeros(count, dtype=np.int64), pos
+    if pos + 4 > len(raw):
+        raise ParquetReadError("truncated level length")
+    (lvl_len,) = struct.unpack_from("<I", raw, pos)
+    pos += 4
+    if pos + lvl_len > len(raw):
+        raise ParquetReadError("levels overrun the page")
+    levels, _ = _hybrid_decode(raw[pos : pos + lvl_len], 0, bit_width, count)
+    return levels, pos + lvl_len

@@ -2050,6 +2050,141 @@ def parquet_column_read_real(spark, sf_dir) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
+# NESTED parquet values (repetition levels) through the from-scratch reader
+# ---------------------------------------------------------------------------
+
+#: the embeddings table's ``list<float>`` column carries repetition
+#: levels — the aggregates are computed from lists OUR reader
+#: reassembled (Dremel record assembly over rep/def level streams,
+#: `core/parquetread.py:assemble_nested`); DuckDB restates them with
+#: its own list functions over the same file.  ``floor(x * 1024)``
+#: keeps the float element algebra integer-exact in both engines
+#: (floor, not round: round() ties differ between Python and SQL).
+PARQUET_NESTED_ORACLE = """
+        SELECT label,
+               count(*) AS n_vecs,
+               CAST(sum(len(embedding)) AS BIGINT) AS sum_dims,
+               CAST(sum(coalesce(list_sum(list_transform(embedding,
+                    x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT))),
+                    0)) AS BIGINT) AS sum_q,
+               CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+        FROM embeddings GROUP BY label ORDER BY label
+"""
+
+_PARQUET_NESTED_SCHEMA = T.StructType(
+    [
+        T.StructField("label", T.IntegerType()),
+        T.StructField("n_dims", T.LongType()),
+        T.StructField("q_sum", T.LongType()),
+        T.StructField("vec_id", T.LongType()),
+    ]
+)
+
+
+@register("parquet_nested_read_real", oracle=PARQUET_NESTED_ORACLE)
+def parquet_nested_read_real(spark, sf_dir) -> DataFrame:
+    """Nested (REPEATED) parquet columns with no black box.
+
+    The embeddings file's bytes go through the full from-scratch read
+    stack in-executor — thrift footer, page walk, codec inflation,
+    hybrid-run REPETITION + definition levels, and Dremel record
+    assembly (`core/parquetread.py`) — rebuilding each row's
+    ``list<float>`` from its striped leaf slots.  The reference's
+    level machinery carries repetition levels as opaque framed bytes
+    (parquet_utils.cpp:191-222); this closes the loop our flat-column
+    read started: the reader reassembles the lists themselves.  Two
+    referees: pyarrow must agree list-for-list in-executor, and the
+    per-label aggregates computed from OUR assembled lists must match
+    the oracle's DuckDB list functions over the same file.
+
+    100 TB: the unit of work is the row group x column chunk (ranged
+    reads + page-local decode + chunk-local assembly), embarrassingly
+    parallel across files; one file maps to one task via binaryFile.
+    """
+    import io
+    import math
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.parquetread import leaf_paths, read_column
+
+    prep(spark)
+    files = (
+        spark.read.format("binaryFile")
+        .load(table_path(sf_dir, "embeddings"))
+        .select("content")
+    )
+
+    def _read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for blob in pdf["content"]:
+                data = bytes(blob)
+                meta = parse_footer(data)
+                paths = leaf_paths(meta["schema"])
+                names = [el["name"] for el, _ in paths]
+                cols: dict = {n: [] for n in names}
+                for rg in meta["row_groups"]:
+                    for ci, col in enumerate(rg["columns"]):
+                        leaf, lpath = paths[ci]
+                        cols[leaf["name"]].extend(
+                            read_column(data, col, leaf, path=lpath)
+                        )
+                # referee: pyarrow agrees value-for-value, lists
+                # included (assembly bugs cannot cancel out in the
+                # aggregate and slip past the oracle)
+                ref = pq_.ParquetFile(io.BytesIO(data)).read()
+                for ci, name in enumerate(names):
+                    if cols[name] != ref.column(ci).to_pylist():
+                        raise ValueError(
+                            f"column {name!r} diverges from pyarrow"
+                        )
+                vecs = cols["element" if "element" in cols else names[1]]
+                yield pd.DataFrame(
+                    {
+                        "label": pd.Series(
+                            cols["label"], dtype="int32"
+                        ),
+                        "n_dims": pd.Series(
+                            [
+                                0 if v is None else len(v)
+                                for v in vecs
+                            ],
+                            dtype="int64",
+                        ),
+                        "q_sum": pd.Series(
+                            [
+                                0
+                                if v is None
+                                else sum(
+                                    int(math.floor(float(x) * 1024))
+                                    for x in v
+                                    if x is not None
+                                )
+                                for v in vecs
+                            ],
+                            dtype="int64",
+                        ),
+                        "vec_id": pd.Series(
+                            cols["vec_id"], dtype="int64"
+                        ),
+                    }
+                )
+
+    per = files.mapInPandas(_read, _PARQUET_NESTED_SCHEMA)
+    return (
+        per.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("n_dims").cast("bigint").alias("sum_dims"),
+            F.sum("q_sum").cast("bigint").alias("sum_q"),
+            F.sum("vec_id").cast("bigint").alias("sum_vec_id"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
 # point lookups through per-file split-block blooms
 # ---------------------------------------------------------------------------
 

@@ -307,6 +307,9 @@ REGISTERED_IN: dict[str, int] = {
     "events_funnel_levels": 11,
     "events_retention_cohorts": 11,
     "events_hourly_anomalies": 11,
+    # round 11 NEW build: nested (REPEATED) parquet read through the
+    # from-scratch reader (VERDICT r10 ask #2) — 199 <= 200 capacity
+    "parquet_nested_read_real": 11,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

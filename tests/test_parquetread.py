@@ -24,6 +24,7 @@ from databatchprotectionservice_spark.core.parquetread import (
     ParquetReadError,
     _hybrid_decode,
     leaf_elements,
+    leaf_paths,
     read_column,
 )
 
@@ -135,14 +136,22 @@ def test_real_testdata_columns(name):
     data = open(path, "rb").read()
     meta = parse_footer(data)
     leaves = leaf_elements(meta["schema"])
+    paths = leaf_paths(meta["schema"])
     ref = pq.read_table(path)
-    skipped = 0
     for ci, col in enumerate(meta["row_groups"][0]["columns"]):
         leaf, nested = leaves[ci]
         if nested:
-            with pytest.raises(ParquetReadError, match="seam"):
-                read_column(data, col, leaf, nested=True)
-            skipped += 1  # the embeddings list column
+            # REPEATED columns decode via the Dremel assembly path
+            # (tests/test_parquet_nested.py has the full matrix);
+            # here just pin the real file's nested column too
+            _, lpath = paths[ci]
+            got = read_column(data, col, leaf, path=lpath)[
+                : meta["row_groups"][0]["num_rows"]
+            ]
+            want = ref.column(ci).to_pylist()[
+                : meta["row_groups"][0]["num_rows"]
+            ]
+            assert got == want, leaf["name"]
             continue
         got = read_column(data, col, leaf)
         want = ref.column(ci).to_pylist()[
@@ -155,7 +164,6 @@ def test_real_testdata_columns(name):
         ).startswith("timestamp"):
             continue  # timestamp logical mapping is pyarrow-side
         assert got == want, leaf["name"]
-    assert skipped <= 1  # at most the nested embeddings column
 
 
 def test_missing_dictionary_raises():

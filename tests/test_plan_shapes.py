@@ -753,3 +753,24 @@ def test_anomalies_single_events_exchange_broadcast_moments(spark, sf_dir):
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 1, plan
     assert "partial_count" in plan  # map-side combine on the hour agg
+
+
+def test_parquet_nested_read_single_exchange_map_only_decode(
+    spark, sf_dir
+):
+    """The nested-parquet read is map-only (binaryFile scan -> one
+    Python decode stage) until the per-label aggregate: exactly one
+    hash exchange, no joins, no sorts before the final orderBy."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        parquet_nested_read_real,
+    )
+
+    plan = _plan(parquet_nested_read_real(spark, sf_dir))
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+    assert "Join" not in plan, plan
+    # one Arrow-batched Python stage: the decode+referee mapInPandas
+    n_py = plan.count("MapInPandas")
+    assert n_py == 1, plan
