@@ -19,8 +19,14 @@ The protobuf structs are built programmatically on the vendored
 miniproto runtime (the same from-scratch wire implementation behind
 the TWS client and tf.train.Example) — no generated code.  Chunk
 codecs: NONE, ZLIB (raw deflate), SNAPPY (length from the stream's
-own ULEB128 prefix via ``core/compression.py``); LZO/LZ4/ZSTD chunks
-raise the documented seam error.
+own ULEB128 prefix via ``core/compression.py``), LZ4 (raw block —
+the ORC codec calls ``LZ4_decompress_safe`` on the bare chunk, no
+frame header — through the from-scratch ``core/lz4codec.py``), and
+ZSTD (each chunk is a complete zstd frame, entropy-decoded by the
+from-scratch FSE+Huffman stack in ``core/zstdmeta.py`` /
+``core/zstdblock.py``).  LZO chunks stay the named seam: the
+LZO1X match tables are GPL-licensed, so a clean-room decoder has no
+public-spec source to build from.
 
 This is the ORC half of the scan-planning layer: stripe pruning and
 split assignment read exactly these bytes (one ranged tail read),
@@ -147,10 +153,11 @@ def decompress_region(data: bytes, compression: int) -> bytes:
     if compression == 0:
         return data
     name = COMPRESSION_NAMES.get(compression)
-    if name not in ("ZLIB", "SNAPPY"):
+    if name not in ("ZLIB", "SNAPPY", "LZ4", "ZSTD"):
         raise DBPSUnsupportedError(
             f"ORC compression {name or compression} chunks are a "
-            "documented seam (NONE/ZLIB/SNAPPY implemented)"
+            "documented seam (NONE/ZLIB/SNAPPY/LZ4/ZSTD implemented; "
+            "LZO's match tables are GPL — no public-spec source)"
         )
     out = bytearray()
     pos = 0
@@ -177,10 +184,34 @@ def decompress_region(data: bytes, compression: int) -> bytes:
                 out += raw + dobj.flush()
             except zlib.error as e:
                 raise OrcFormatError(f"zlib chunk: {e}") from None
-        else:  # SNAPPY — raw block, size in its own varint prefix
+        elif name == "SNAPPY":  # raw block, size in its own varint prefix
             if snappy_uncompressed_len(chunk) > MAX_META_BYTES:
                 raise OrcFormatError("chunk inflates past the cap")
             out += _codec_decompress(chunk, CompressionCodec.SNAPPY)
+        elif name == "LZ4":
+            # the ORC codec hands the bare chunk to
+            # LZ4_decompress_safe: a raw lz4 BLOCK, no frame header
+            from .lz4codec import Lz4FormatError, lz4_block_decompress
+
+            try:
+                out += lz4_block_decompress(
+                    chunk, max_output=MAX_META_BYTES + 1
+                )
+            except Lz4FormatError as e:
+                raise OrcFormatError(f"lz4 chunk: {e}") from None
+        else:  # ZSTD — each chunk is a complete zstd frame
+            from .zstdmeta import ZstdFormatError, parse_zstd_frames
+
+            try:
+                frames = parse_zstd_frames(chunk)
+            except ZstdFormatError as e:
+                raise OrcFormatError(f"zstd chunk: {e}") from None
+            for f in frames:
+                if f.get("content") is None:
+                    raise OrcFormatError(
+                        "zstd chunk frame did not yield content"
+                    )
+                out += f["content"]
         if len(out) > MAX_META_BYTES:
             raise OrcFormatError("region inflates past the cap")
     return bytes(out)

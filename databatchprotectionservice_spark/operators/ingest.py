@@ -1105,15 +1105,17 @@ def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
 # ORC shards — the protobuf-metadata columnar sibling
 # ---------------------------------------------------------------------------
 
-#: codec rotates NONE/ZLIB/SNAPPY by ``shard_id % 3`` (the three chunk
-#: codecs the from-scratch walk implements); row totals and codec
+#: codec rotates NONE/ZLIB/SNAPPY/LZ4/ZSTD by ``shard_id % 5`` —
+#: every chunk codec the from-scratch walk implements (LZ4 raw
+#: blocks via core/lz4codec.py, ZSTD frames via the FSE+Huffman
+#: stack; LZO stays the GPL-tables seam); row totals and codec
 #: counts are the oracle facts, stripe/schema agreement is asserted
 #: in-executor against pyarrow's own ORC reader.
 ORC_SHARDS_ORACLE = f"""
         WITH sh AS (
             SELECT source,
                    doc_id // {SHARD_DOCS} AS shard_id,
-                   (doc_id // {SHARD_DOCS}) % 3 AS codec_ix,
+                   (doc_id // {SHARD_DOCS}) % 5 AS codec_ix,
                    count(*) AS n_rows,
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY 1, 2, 3
@@ -1127,7 +1129,11 @@ ORC_SHARDS_ORACLE = f"""
                CAST(sum(CASE WHEN codec_ix = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_codec_zlib,
                CAST(sum(CASE WHEN codec_ix = 2 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_codec_snappy
+                    AS BIGINT) AS n_codec_snappy,
+               CAST(sum(CASE WHEN codec_ix = 3 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_lz4,
+               CAST(sum(CASE WHEN codec_ix = 4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_codec_zstd
         FROM sh GROUP BY source ORDER BY source
 """
 
@@ -1143,7 +1149,7 @@ _ORC_ROW_SCHEMA = T.StructType(
 
 @register("ingest_orc_shards", oracle=ORC_SHARDS_ORACLE)
 def ingest_orc_shards(spark, sf_dir) -> DataFrame:
-    """ORC shard build + metadata walk across NONE/ZLIB/SNAPPY.
+    """ORC shard build + metadata walk across all five chunk codecs.
 
     The columnar sibling of the Avro shard query: each shard group is
     written as a REAL ORC file (pyarrow's writer — the independent
@@ -1154,7 +1160,10 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
     compression), our walk vs the group itself (row count, schema
     tree = root STRUCT over [doc_id LONG, text STRING]), and the
     parser's own stripe-accounting invariants.  Codec rotation by
-    shard proves all three chunk codecs in every run.
+    shard proves all five chunk codecs in every run — LZ4 chunks
+    are raw lz4 BLOCKS (the ORC codec calls LZ4_decompress_safe)
+    inflated by core/lz4codec.py, ZSTD chunks are complete frames
+    entropy-decoded by core/zstdmeta.py + core/zstdblock.py.
 
     100 TB: one shuffle on the shard key; the walk itself reads only
     the file TAIL in a real deployment (PostScript length byte ->
@@ -1184,7 +1193,9 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         shard_id = int(pdf["shard_id"].iloc[0])
-        codec = ("uncompressed", "zlib", "snappy")[shard_id % 3]
+        codec = ("uncompressed", "zlib", "snappy", "lz4", "zstd")[
+            shard_id % 5
+        ]
         t = pa_.table(
             {
                 "doc_id": pa_.array(
@@ -1210,7 +1221,8 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
         if len(got["stripes"]) != ref.nstripes:
             raise ValueError(f"shard {shard_id}: stripe count drifted")
         want_comp = {"uncompressed": "NONE", "zlib": "ZLIB",
-                     "snappy": "SNAPPY"}[codec]
+                     "snappy": "SNAPPY", "lz4": "LZ4",
+                     "zstd": "ZSTD"}[codec]
         if got["compression"] != want_comp:
             raise ValueError(
                 f"shard {shard_id}: codec {got['compression']} != "
@@ -1233,7 +1245,7 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
                 "sum_doc_id": pd.Series(
                     [int(pdf["doc_id"].sum())], dtype="int64"
                 ),
-                "codec_ix": pd.Series([shard_id % 3], dtype="int64"),
+                "codec_ix": pd.Series([shard_id % 5], dtype="int64"),
             }
         )
 
@@ -1255,6 +1267,12 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
             F.sum(F.when(F.col("codec_ix") == 2, 1).otherwise(0))
             .cast("bigint")
             .alias("n_codec_snappy"),
+            F.sum(F.when(F.col("codec_ix") == 3, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_lz4"),
+            F.sum(F.when(F.col("codec_ix") == 4, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_codec_zstd"),
         )
         .orderBy("source")
     )
