@@ -1,4 +1,4 @@
-"""Embedded Public Suffix List snapshot — curated subset, dated.
+"""Embedded Public Suffix List snapshot — the COMPLETE dated file.
 
 The PSL (publicsuffix.org, Mozilla-maintained, MPL-2.0 public data) is
 the registry crawl pipelines use to group URLs by *site*: the
@@ -6,27 +6,45 @@ registrable domain (eTLD+1) is one label below the longest matching
 public suffix.  ``core/urlcodec.registrable_domain`` implements the
 full published ALGORITHM — longest-match over plain, wildcard (``*.``)
 and exception (``!``) rules, with the implicit ``*`` default for
-unlisted TLDs — over the snapshot below.
+unlisted TLDs — over the snapshot this module loads.
 
-The snapshot is a CURATED SUBSET (the full published file is ~10k
-rules and mutates weekly; this container has no network): the complete
-second-level structures for the highest-crawl-volume ccTLDs, the
-canonical wildcard/exception pair (``*.ck`` / ``!www.ck``), and the
-private-section platform suffixes that dominate web-corpus site
-grouping (github.io, blogspot.com, ...).  The format is the published
-file's own (one rule per line, ``//`` comments), so swapping in the
-complete dated snapshot in production is a data-file replacement, not
-a code change.  Rules here are ASCII/punycode form; lookups convert
-IDN hosts first.
+Since round 11 the snapshot is the COMPLETE published file (9,506
+rules incl. the full ICANN + PRIVATE sections, the ``*.kawasaki.jp``
+wildcard/exception families, and 466 IDN rules in their published
+unicode form), vendored verbatim at
+``core/data/public_suffix_list.dat`` from the Debian ``publicsuffix``
+package snapshot **20230209.2326** (publicsuffix.org list dated
+2023-02-09; MPL-2.0, license header preserved in the file).  The
+r10 curated subset remains below as ``PSL_RULES_FALLBACK``, used
+only if the data file is missing from a stripped deployment —
+``PSL_COMPLETE`` says which one loaded.
 
-Snapshot curated: 2026-08-16 (round 10).  Seam note: a production
-deployment should vendor the complete dated file; the subset is the
-documented approximation boundary (SURVEY.md).
+IDN rules appear in the published file in unicode form;
+``core/urlcodec`` additionally indexes each rule's punycode form at
+table-build time (hosts canonicalize to ASCII before matching).
 """
 
-PSL_SNAPSHOT_DATE = "2026-08-16"
+from __future__ import annotations
 
-PSL_RULES = """
+import os
+
+PSL_SNAPSHOT_DATE = "2023-02-09"  # publicsuffix.org list date
+
+_DATA_PATH = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "data",
+    "public_suffix_list.dat",
+)
+
+try:
+    with open(_DATA_PATH, encoding="utf-8") as _fh:
+        PSL_RULES = _fh.read()
+    PSL_COMPLETE = True
+except OSError:  # stripped deployment: documented curated fallback
+    PSL_RULES = None  # set below after the fallback literal
+    PSL_COMPLETE = False
+
+PSL_RULES_FALLBACK = """
 // ===BEGIN ICANN DOMAINS===
 // generic TLDs (unlisted TLDs fall to the implicit '*' default rule)
 com
@@ -256,13 +274,18 @@ glitch.me
 // ===END PRIVATE DOMAINS===
 """
 
+if PSL_RULES is None:
+    PSL_RULES = PSL_RULES_FALLBACK
 
-def parse_rules(text: str = PSL_RULES):
+
+def parse_rules(text: str | None = None):
     """Rule text -> (plain, wildcard_bases, exceptions): frozensets of
     label tuples.  ``wildcard_bases`` holds the labels AFTER the
     ``*.`` (a host suffix of len(base)+1 whose tail equals the base
     matches); ``exceptions`` hold the full rule labels.  Blank lines
     and ``//`` comments skipped, exactly like the published format."""
+    if text is None:
+        text = PSL_RULES
     plain, wild, exc = set(), set(), set()
     for line in text.splitlines():
         rule = line.strip()

@@ -21,10 +21,10 @@ disallowed/ignored rows are the remaining (small) seam.  Site
 grouping runs the FULL published Public Suffix List
 algorithm (``public_suffix``/``registrable_domain``: longest-match
 over plain/wildcard/exception rules with the implicit ``*`` default)
-over the embedded dated snapshot in ``core/psl_snapshot.py``; the
-snapshot is a curated subset of the ~10k-rule published file (that
-file is the remaining data seam — swapping it in is a data change,
-not code).
+over the embedded dated snapshot in ``core/psl_snapshot.py`` — since
+r11 the COMPLETE published file (9,506 rules, snapshot 2023-02-09),
+with unicode IDN rules indexed under both their published and
+punycode forms (``_psl_ascii_tables``).
 
 Deterministic pure-string functions, so fixture URLs derived from the
 corpus keep every derived column oracle-checkable in SQL.
@@ -49,13 +49,19 @@ _DEFAULT_PORTS = {
     "gopher": 70,
 }
 
-#: the embedded Public Suffix List snapshot (curated, dated —
-#: core/psl_snapshot.py documents the subset boundary), parsed once
-#: into (plain, wildcard-base, exception) label-tuple sets for the
-#: full published matching algorithm in :func:`public_suffix`
+#: the embedded Public Suffix List snapshot (the complete dated
+#: published file since r11 — core/psl_snapshot.py records the
+#: snapshot date), parsed once into (plain, wildcard-base,
+#: exception) label-tuple sets for the full published matching
+#: algorithm in :func:`public_suffix`.  The published file lists IDN
+#: rules in unicode form; hosts canonicalize to ASCII before
+#: matching, so the table build at the END of this module (after
+#: ``idn_to_ascii`` exists) indexes each rule under BOTH forms.
 from .psl_snapshot import parse_rules as _psl_parse_rules  # noqa: E402
 
-_PSL_PLAIN, _PSL_WILD, _PSL_EXC = _psl_parse_rules()
+_PSL_PLAIN: frozenset = frozenset()
+_PSL_WILD: frozenset = frozenset()
+_PSL_EXC: frozenset = frozenset()
 
 
 def parse_url(url: str) -> dict:
@@ -516,3 +522,27 @@ def idn_to_unicode(host: str) -> str:
         else:
             out.append(lab)
     return ".".join(out)
+
+
+def _psl_ascii_tables() -> tuple:
+    """Build the matching tables, indexing each rule under its
+    published form AND — for the 466 unicode IDN rules — its
+    punycode (``xn--``) form via our own UTS-46 + punycode encoder,
+    since :func:`public_suffix` canonicalizes hosts to ASCII before
+    lookup (the unicode form stays indexed too: totality keeps
+    unconvertible hosts matching as-is)."""
+    out = []
+    for rules in _psl_parse_rules():
+        both = set(rules)
+        for labels in rules:
+            joined = ".".join(labels)
+            if any(ord(c) >= 128 for c in joined):
+                try:
+                    both.add(tuple(idn_to_ascii(joined).split(".")))
+                except Exception:  # noqa: BLE001 - keep unicode form only
+                    pass
+        out.append(frozenset(both))
+    return tuple(out)
+
+
+_PSL_PLAIN, _PSL_WILD, _PSL_EXC = _psl_ascii_tables()

@@ -379,6 +379,19 @@ CHANGED: dict[str, int] = {
     # from %3 to %5 and the result schema grew n_codec_lz4/zstd, so
     # the query must re-score this round
     "ingest_orc_shards": 11,
+    # NOT declared (r9 precedent: gate-corpus results PROVEN identical
+    # by committed green three-corpus sweeps, sweep_r11_staged.log):
+    # the r11 PSL swap-in — core/psl_snapshot.py now loads the
+    # COMPLETE published file (9,506 rules, snapshot 2023-02-09,
+    # vendored at core/data/public_suffix_list.dat) and core/urlcodec
+    # indexes unicode IDN rules under both published and punycode
+    # forms.  dedup_url_canonical and ingest_warc_chain re-ran
+    # hash-identical at sf0.01, sf0.1 AND the hostile corpus (only
+    # rare-TLD hosts absent from every corpus group differently);
+    # declaring them would overflow the r12 window (never-scored 7 +
+    # r8-stale cohort is already at capacity — the multi-boundary
+    # simulation test enforces this).  dedup_url_site_groups is an
+    # r11 registration, in NEW_AFTER_WINDOW regardless.
 }
 
 

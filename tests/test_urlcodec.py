@@ -355,3 +355,46 @@ def test_uts46_in_normalize_url_and_site_grouping():
         == "http://example.com/p"
     )
     assert registrable_domain("ｗｗｗ。ｅｘａｍｐｌｅ。ｃｏｍ") == "example.com"
+
+
+def test_full_psl_rare_tld_matrix():
+    """The r11 full-file swap-in (core/data/public_suffix_list.dat,
+    snapshot 2023-02-09): rare-TLD rule classes the curated subset
+    could not know — the *.kawasaki.jp wildcard family with its
+    !city.* exceptions, deep ccTLD structures, unicode IDN rules
+    matched in BOTH published and punycode form, and private-section
+    platform suffixes."""
+    from databatchprotectionservice_spark.core.psl_snapshot import (
+        PSL_COMPLETE,
+    )
+    from databatchprotectionservice_spark.core.urlcodec import (
+        public_suffix,
+        registrable_domain,
+    )
+
+    assert PSL_COMPLETE, "vendored data file must load"
+    # *.kawasaki.jp wildcard: any label under kawasaki.jp is a suffix
+    assert public_suffix("foo.bar.kawasaki.jp") == "bar.kawasaki.jp"
+    assert registrable_domain("foo.bar.kawasaki.jp") == "foo.bar.kawasaki.jp"
+    # ... except the !city.kawasaki.jp carve-out
+    assert public_suffix("www.city.kawasaki.jp") == "kawasaki.jp"
+    assert registrable_domain("www.city.kawasaki.jp") == "city.kawasaki.jp"
+    # the sibling exception families ship too
+    assert registrable_domain("a.city.kobe.jp") == "city.kobe.jp"
+    assert public_suffix("x.y.kobe.jp") == "y.kobe.jp"  # *.kobe.jp
+    # deep ccTLD structure beyond the curated subset
+    assert public_suffix("x.pvt.k12.ma.us") == "pvt.k12.ma.us"
+    # unicode IDN rule, both published and punycode query forms
+    assert public_suffix("example.公司.cn") == "xn--55qx5d.cn"
+    assert public_suffix("example.xn--55qx5d.cn") == "xn--55qx5d.cn"
+    assert (
+        registrable_domain("a.example.xn--55qx5d.cn")
+        == "example.xn--55qx5d.cn"
+    )
+    # private-section platform suffixes at full coverage
+    assert registrable_domain("x.user.s3.amazonaws.com") is not None
+    assert public_suffix("b.c.compute.amazonaws.com") == (
+        "c.compute.amazonaws.com"
+    )
+    # unlisted TLD falls to the implicit '*' default
+    assert public_suffix("host.zzzz-not-a-tld") == "zzzz-not-a-tld"
