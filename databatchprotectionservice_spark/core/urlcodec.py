@@ -14,10 +14,13 @@ malformed URLs as data to be classified, not exceptions; every
 function returns a value for any input (the fuzz battery asserts it).
 Non-ASCII hosts: punycode (RFC 3492) is implemented from scratch
 below (``puny_encode``/``puny_decode``/``idn_to_ascii``, pinned by
-the RFC's §7.1 sample-string table), fronted by a UTS-46 mapping
-approximation (``uts46_map``: deviation-preserving casefold + NFKC,
-ideographic full stops as label separators); the published table's
-disallowed/ignored rows are the remaining (small) seam.  Site
+the RFC's §7.1 sample-string table), fronted since r11 by the FULL
+UTS #46 IdnaMappingTable (Unicode 17.0.0, vendored at
+``core/data/uts46_table.tsv``): valid/mapped/deviation/ignored/
+disallowed statuses applied exactly, disallowed codepoints REJECT
+via ``Uts46Error`` (callers keep totality by catching), and label
+separators emerge from the table's own mappings.  A 20k-case fuzz
+pins the mapping against the BSD ``idna`` package as referee.  Site
 grouping runs the FULL published Public Suffix List
 algorithm (``public_suffix``/``registrable_domain``: longest-match
 over plain/wildcard/exception rules with the implicit ``*`` default)
@@ -471,40 +474,112 @@ _UTS46_DOTS = str.maketrans(
 )
 
 
-def uts46_map(label: str) -> str:
-    """UTS #46 mapping approximation from public stdlib primitives:
-    per-character ``str.casefold()`` with the deviation set preserved
-    (non-transitional), then NFKC normalization — together this tracks
-    the published toNFKC_Casefold-derived table for the mapped and
-    case-fold rows (fullwidth/compatibility forms collapse, ligatures
-    expand, case folds) while keeping ``faß.de`` distinct from
-    ``fass.de`` as IDNA2008 requires.  The full published table's
-    disallowed/ignored rows remain the (now much smaller) documented
-    seam: unmapped characters pass through as data (totality)."""
+class Uts46Error(ValueError):
+    """A codepoint's UTS #46 status is 'disallowed' — the label (and
+    per §4 the whole domain) fails ToASCII.  Callers that want the
+    totality contract catch this and keep the input verbatim (a crawl
+    records the error by leaving the label unconverted)."""
+
+
+_UTS46_PATH = __import__("os").path.join(
+    __import__("os").path.dirname(__import__("os").path.abspath(__file__)),
+    "data",
+    "uts46_table.tsv",
+)
+
+
+def _load_uts46() -> tuple:
+    """Load the vendored IdnaMappingTable (Unicode 17.0.0, UTS #46;
+    ``core/data/uts46_table.tsv`` records provenance) into
+    (range_starts, rows) for bisect lookup.  Statuses: V valid,
+    M mapped (with replacement), D deviation (3 rows — kept as-is in
+    non-transitional processing, replaced transitionally), I ignored
+    (dropped), X disallowed (Uts46Error)."""
+    starts: list[int] = []
+    rows: list[tuple] = []
+    with open(_UTS46_PATH, encoding="utf-8") as fh:
+        for line in fh:
+            if line.startswith("#") or not line.strip():
+                continue
+            parts = line.rstrip("\n").split("\t")
+            starts.append(int(parts[0], 16))
+            repl = None
+            if len(parts) == 3:
+                repl = "".join(
+                    chr(int(h, 16)) for h in parts[2].split()
+                ) if parts[2] else ""
+            rows.append((parts[1], repl))
+    return starts, rows
+
+
+try:
+    _UTS46_STARTS, _UTS46_ROWS = _load_uts46()
+    UTS46_COMPLETE = True
+except OSError:  # stripped deployment: casefold+NFKC approximation
+    _UTS46_STARTS, _UTS46_ROWS = [], []
+    UTS46_COMPLETE = False
+
+
+def uts46_status(cp: int) -> tuple:
+    """(status, replacement) for a codepoint from the full table."""
+    import bisect
+
+    i = bisect.bisect_right(_UTS46_STARTS, cp) - 1
+    return _UTS46_ROWS[i]
+
+
+def uts46_map(label: str, transitional: bool = False) -> str:
+    """UTS #46 §4 'Processing' step 1, the full published table
+    (vendored, Unicode 17.0.0): per-codepoint status lookup — valid
+    kept, mapped replaced, deviation kept (non-transitional; ``faß.de``
+    stays distinct from ``fass.de`` as IDNA2008 requires) or replaced
+    (transitional), ignored dropped, disallowed -> :class:`Uts46Error`
+    — then NFC normalization (the spec applies NFC after mapping; the
+    compatibility foldings NFKC used to approximate live in the M rows
+    themselves).  In a stripped deployment with no table file the r10
+    approximation (deviation-preserving casefold + NFKC) applies and
+    ``UTS46_COMPLETE`` is False."""
     import unicodedata as _ud
 
-    folded = "".join(
-        c if c in _UTS46_DEVIATIONS else c.casefold() for c in label
-    )
-    return _ud.normalize("NFKC", folded)
+    if not UTS46_COMPLETE:
+        folded = "".join(
+            c if c in _UTS46_DEVIATIONS else c.casefold() for c in label
+        )
+        return _ud.normalize("NFKC", folded)
+    out: list[str] = []
+    for ch in label:
+        status, repl = uts46_status(ord(ch))
+        if status == "V" or (status == "D" and not transitional):
+            out.append(ch)
+        elif status == "M" or (status == "D" and transitional):
+            out.append(repl or "")
+        elif status == "I":
+            continue
+        else:  # X — disallowed
+            raise Uts46Error(
+                f"disallowed codepoint U+{ord(ch):04X} in {label!r}"
+            )
+    return _ud.normalize("NFC", "".join(out))
 
 
 def idn_to_ascii(host: str) -> str:
-    """Host -> IDNA ASCII form: UTS-46 mapping (deviation-preserving
-    casefold + NFKC, ideographic full stops as label separators), then
-    each non-ASCII label gets the ``xn--`` ACE prefix over its
-    punycode (RFC 3492, from scratch above)."""
-    labels = host.translate(_UTS46_DOTS).split(".")
+    """Host -> IDNA ASCII form per UTS #46: the full mapping table is
+    applied to the WHOLE host first — so compatibility full stops
+    (U+3002, U+FF0E, U+FE52, ...) become label separators through the
+    table itself, closing the r10 ADVICE seam where forms that only
+    become '.' after normalization were not split on — then each
+    non-ASCII label gets the ``xn--`` ACE prefix over its punycode
+    (RFC 3492, from scratch above).  Disallowed codepoints raise
+    :class:`Uts46Error` (the spec's recorded error); callers keep the
+    totality contract by catching it (``_norm_host``,
+    ``public_suffix``, the dedup fixtures all do)."""
+    mapped = uts46_map(host.translate(_UTS46_DOTS))
     out = []
-    for lab in labels:
+    for lab in mapped.split("."):
         if any(ord(c) >= 128 for c in lab):
-            lab = uts46_map(lab)
-        else:
-            lab = lab.lower()
-        if all(ord(c) < 128 for c in lab):
-            out.append(lab)
-        else:
             out.append("xn--" + puny_encode(lab))
+        else:
+            out.append(lab)
     return ".".join(out)
 
 

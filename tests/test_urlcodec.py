@@ -398,3 +398,65 @@ def test_full_psl_rare_tld_matrix():
     )
     # unlisted TLD falls to the implicit '*' default
     assert public_suffix("host.zzzz-not-a-tld") == "zzzz-not-a-tld"
+
+
+def test_uts46_full_table_statuses_and_referee_parity():
+    """The r11 full IdnaMappingTable (Unicode 17.0.0, vendored at
+    core/data/uts46_table.tsv): disallowed codepoints now REJECT
+    (Uts46Error) instead of passing through, ignored codepoints are
+    dropped, deviations are preserved non-transitionally and replaced
+    transitionally, and a 20k-case fuzz pins the whole mapping
+    against the BSD idna package's uts46_remap as independent
+    referee (skipped when the package is absent)."""
+    import pytest as _pytest
+
+    from databatchprotectionservice_spark.core.urlcodec import (
+        UTS46_COMPLETE,
+        Uts46Error,
+        idn_to_ascii,
+        uts46_map,
+        uts46_status,
+    )
+
+    assert UTS46_COMPLETE
+    # status classes straight from the table
+    assert uts46_status(ord("A")) == ("M", "a")
+    assert uts46_status(0x00DF)[0] == "D"  # ß deviation
+    assert uts46_status(0x2064)[0] == "I"  # invisible plus: ignored
+    assert uts46_status(0xFE12)[0] == "X"  # vertical ideographic stop
+    assert uts46_status(0x3002) == ("M", ".")  # ideographic full stop
+    # deviations: non-transitional keeps, transitional maps
+    assert uts46_map("faß") == "faß"
+    assert uts46_map("faß", transitional=True) == "fass"
+    assert uts46_map("x‌y") == "x‌y"  # ZWNJ deviation kept
+    # capital sharp S maps to ß (the r10 ADVICE residual), not 'ss'
+    assert uts46_map("ẞ") == "ß"
+    assert idn_to_ascii("ẞ.de") == "xn--zca.de"
+    # ignored chars drop, disallowed raise — per spec, not pass-through
+    assert uts46_map("a⁤b") == "ab"
+    with _pytest.raises(Uts46Error):
+        uts46_map("ab︒cd")
+    with _pytest.raises(Uts46Error):
+        idn_to_ascii("ab﹒cd")
+    # separators that EMERGE from the mapping split labels (ADVICE r10)
+    assert idn_to_ascii("ab。cd") == "ab.cd"
+    assert idn_to_ascii("ab．cd") == "ab.cd"
+
+    idna = _pytest.importorskip("idna")
+    import random
+
+    rng = random.Random(1)
+    for _ in range(20000):
+        s = "".join(
+            chr(rng.randint(0x20, 0x2FFFF))
+            for _ in range(rng.randint(1, 8))
+        )
+        try:
+            ours = uts46_map(s)
+        except Uts46Error:
+            ours = "<X>"
+        try:
+            ref = idna.uts46_remap(s, std3_rules=False, transitional=False)
+        except Exception:  # noqa: BLE001 - referee's error classes vary
+            ref = "<X>"
+        assert ours == ref, repr(s)
