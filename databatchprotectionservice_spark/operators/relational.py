@@ -1954,8 +1954,11 @@ _WEEK_US = 7 * 86400 * 1_000_000
 
 #: cohort retention restated as plain arithmetic: week index =
 #: floor(event epoch-us / week), cohort = the user's first week,
-#: offset = active week - cohort, cell = distinct users.  Both engines
-#: compute the identical integer division (epochs are non-negative).
+#: offset = active week - cohort, cell = distinct users.  The engine
+#: computes FLOOR division in exact int64 ((a - pmod(a, b)) div b),
+#: matching DuckDB's ``//`` for negative epochs too — pre-1970
+#: timestamps in a fixture would diverge under truncating ``div``
+#: (ADVICE r10).
 EVENTS_RETENTION_ORACLE = f"""
         WITH w AS (
             SELECT DISTINCT user_id,
@@ -1989,7 +1992,12 @@ def events_retention_cohorts(spark, sf_dir):
     prep(spark)
     e = load_events(spark, sf_dir).select(
         "user_id",
-        F.expr(f"unix_micros(ts) div {_WEEK_US}").alias("wk"),
+        # floor division in exact int64 (pmod is non-negative), so
+        # negative epochs agree with the oracle's `//` too
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {_WEEK_US}))"
+            f" div {_WEEK_US}"
+        ).alias("wk"),
     )
     per_user = e.groupBy("user_id").agg(
         F.collect_set("wk").alias("wks")
@@ -2068,7 +2076,12 @@ def events_hourly_anomalies(spark, sf_dir):
     prep(spark)
     e = load_events(spark, sf_dir).select(
         "event_type",
-        F.expr(f"unix_micros(ts) div {_HOUR_US}").alias("h"),
+        # floor division in exact int64, agreeing with `//` on
+        # negative epochs (ADVICE r10 — same form as the cohort week)
+        F.expr(
+            f"(unix_micros(ts) - pmod(unix_micros(ts), {_HOUR_US}))"
+            f" div {_HOUR_US}"
+        ).alias("h"),
     )
     c = e.groupBy("event_type", "h").agg(
         F.count(F.lit(1)).cast("bigint").alias("cnt")

@@ -792,9 +792,13 @@ def _stage_files(stage_dir: str) -> set:
 #: the same job-count-only memo contract as clustering._FIT_MEMO (the
 #: r9 verdict measured the staging at ~half the query's wall clock).
 #: The corpus identity in the key means a swapped sf_dir can never be
-#: served a stale feed; un-stat-able schemes skip the memo.  Entries
-#: are removed at interpreter exit (atexit below), not per-invocation.
-_SCD2_FEED_MEMO: dict[tuple, str] = {}
+#: served a stale feed; un-stat-able schemes skip the memo.  The memo
+#: VALUE carries the exact staged file set alongside the dir (ADVICE
+#: r10): a partial scratch cleanup that leaves the dir non-empty
+#: invalidates the hit instead of silently streaming half the feed.
+#: Entries are removed at interpreter exit (atexit below), not
+#: per-invocation.
+_SCD2_FEED_MEMO: dict[tuple, tuple[str, frozenset]] = {}
 
 
 def _scd2_feed_key(sf_dir: str):
@@ -803,6 +807,15 @@ def _scd2_feed_key(sf_dir: str):
     p = table_path(sf_dir, "events")
     try:
         st = _os.stat(p)
+        if _os.path.isdir(p):
+            # a directory path can be rewritten in place while keeping
+            # its own (mtime, size) — key on the max data-file stamp
+            # over the listing instead (ADVICE r10)
+            parts = []
+            for name in sorted(_os.listdir(p)):
+                sub = _os.stat(_os.path.join(p, name))
+                parts.append((name, sub.st_mtime_ns, sub.st_size))
+            return (p, tuple(parts))
     except OSError:
         return None
     return (p, st.st_mtime_ns, st.st_size)
@@ -811,7 +824,7 @@ def _scd2_feed_key(sf_dir: str):
 def _cleanup_scd2_feeds() -> None:
     import shutil as _shutil
 
-    for d in _SCD2_FEED_MEMO.values():
+    for d, _files in _SCD2_FEED_MEMO.values():
         _shutil.rmtree(d, ignore_errors=True)
     _SCD2_FEED_MEMO.clear()
 
@@ -899,9 +912,15 @@ def streaming_scd2_tws(spark, sf_dir):
     prep(spark)
     ensure_protobuf(spark)
     memo_key = _scd2_feed_key(sf_dir)
-    stage_dir = _SCD2_FEED_MEMO.get(memo_key) if memo_key else None
-    if stage_dir is not None and not _stage_files(stage_dir):
-        stage_dir = None  # scratch vanished underneath the memo
+    memo_hit = _SCD2_FEED_MEMO.get(memo_key) if memo_key else None
+    stage_dir = None
+    if memo_hit is not None:
+        stage_dir, want_files = memo_hit
+        if _stage_files(stage_dir) != want_files:
+            # scratch vanished OR was partially cleaned — a non-empty
+            # remnant must invalidate too, or the stream would process
+            # half the feed and return wrong results (ADVICE r10)
+            stage_dir = None
     if stage_dir is None:
         e = load_events(spark, sf_dir).select(
             "user_id",
@@ -941,8 +960,12 @@ def streaming_scd2_tws(spark, sf_dir):
             raise
         if memo_key is not None:
             # keep the feed for the session (atexit removes it); each
-            # reuse skips two repartition(1) writes + the min/max scan
-            _SCD2_FEED_MEMO[memo_key] = stage_dir
+            # reuse skips two repartition(1) writes + the min/max scan;
+            # the exact file set makes the hit-path guard airtight
+            _SCD2_FEED_MEMO[memo_key] = (
+                stage_dir,
+                frozenset(_stage_files(stage_dir)),
+            )
     keep = memo_key is not None
     try:
         schema = spark.read.parquet(stage_dir).schema
