@@ -32,9 +32,14 @@ the walk lives beside the other from-scratch container codecs
 (``tfrecordcodec.py``, ``avrocodec.py``, ``orcmeta.py``).
 
 Scope (asserted, never guessed): little-endian files, uncompressed
-bodies, no dictionary batches, flat (non-nested) columns of types
-Int(8/16/32/64, signed or unsigned), FloatingPoint(SINGLE/DOUBLE),
-Bool, Utf8 and Binary.  Anything else raises
+bodies, flat (non-nested) columns of types Int(8/16/32/64, signed or
+unsigned), FloatingPoint(SINGLE/DOUBLE), Bool, Utf8 and Binary —
+plain OR dictionary-encoded (since r11): ``DictionaryEncoding``
+fields decode through the footer's dictionary-batch blocks,
+including delta dictionaries (``isDelta`` appends to the id's value
+list, a replacement batch resets it), with index columns in any
+supported Int width and every index bounds-checked against the
+resolved dictionary.  Anything else raises
 :class:`ArrowIpcFormatError` naming the offending tag so the seam is
 explicit, in the same style as the other codecs' unsupported paths.
 """
@@ -196,6 +201,29 @@ class FieldSpec:
     type_name: str  # 'int64' 'uint32' 'float32' 'float64' 'bool'
     #                 'utf8' 'binary'
     bit_width: int  # ints/floats; 1 for bool, 0 for varlen
+    #: DictionaryEncoding (Schema.fbs): the field's TYPE above
+    #: describes the dictionary VALUES; the record-batch column
+    #: carries only validity + indices of ``index_type``
+    dict_id: int | None = None
+    index_type: str | None = None
+
+
+def _decode_dict_encoding(name: str, d: _Table) -> tuple[int, str]:
+    """Field.dictionary -> (id, index type name).  Schema.fbs: id is
+    fid 0 (long), indexType fid 1 (an Int table, default int32
+    signed), isOrdered fid 2 (irrelevant to decode)."""
+    did = d.scalar(0, "<q", 0)
+    it = d.table(1)
+    width, signed = 32, True
+    if it is not None:
+        width = it.scalar(0, "<i", 0)
+        signed = bool(it.scalar(1, "<b", 0))
+    if width not in (8, 16, 32, 64):
+        raise ArrowIpcFormatError(
+            f"field {name!r}: dictionary index bitWidth {width} "
+            "unsupported"
+        )
+    return did, f"{'int' if signed else 'uint'}{width}"
 
 
 def _decode_field(f: _Table) -> FieldSpec:
@@ -208,10 +236,10 @@ def _decode_field(f: _Table) -> FieldSpec:
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
             "not supported"
         )
-    if f.table(4) is not None:
-        raise ArrowIpcFormatError(
-            f"field {name!r}: dictionary encoding not supported"
-        )
+    dict_id = index_type = None
+    enc = f.table(4)
+    if enc is not None:
+        dict_id, index_type = _decode_dict_encoding(name, enc)
     if f.table_vector(5):
         raise ArrowIpcFormatError(
             f"field {name!r}: nested children not supported"
@@ -226,25 +254,30 @@ def _decode_field(f: _Table) -> FieldSpec:
                 f"field {name!r}: Int bitWidth {width} unsupported"
             )
         return FieldSpec(
-            name, nullable, f"{'int' if signed else 'uint'}{width}", width
+            name, nullable, f"{'int' if signed else 'uint'}{width}",
+            width, dict_id, index_type,
         )
     if tag == _T_FP:
         if t is None:
             raise ArrowIpcFormatError(f"field {name!r}: FP missing body")
         precision = t.scalar(0, "<h", 0)
         if precision == 1:
-            return FieldSpec(name, nullable, "float32", 32)
+            return FieldSpec(
+                name, nullable, "float32", 32, dict_id, index_type
+            )
         if precision == 2:
-            return FieldSpec(name, nullable, "float64", 64)
+            return FieldSpec(
+                name, nullable, "float64", 64, dict_id, index_type
+            )
         raise ArrowIpcFormatError(
             f"field {name!r}: FloatingPoint precision {precision} "
             "unsupported (HALF is out of scope)"
         )
     if tag == _T_BOOL:
-        return FieldSpec(name, nullable, "bool", 1)
+        return FieldSpec(name, nullable, "bool", 1, dict_id, index_type)
     if tag == _T_UTF8:
-        return FieldSpec(name, nullable, "utf8", 0)
-    return FieldSpec(name, nullable, "binary", 0)
+        return FieldSpec(name, nullable, "utf8", 0, dict_id, index_type)
+    return FieldSpec(name, nullable, "binary", 0, dict_id, index_type)
 
 
 def _decode_schema(s: _Table) -> list[FieldSpec]:
@@ -357,7 +390,10 @@ def _read_message(data: bytes, pos: int) -> tuple[_Table, int, int]:
 
 
 def _decode_record_batch(
-    msg: _Table, body: bytes, fields: list[FieldSpec]
+    msg: _Table,
+    body: bytes,
+    fields: list[FieldSpec],
+    dictionaries: dict | None = None,
 ) -> tuple[int, list[list]]:
     """RecordBatch message + body -> (length, columns)."""
     header_tag = msg.scalar(1, "<B", 0)
@@ -368,6 +404,15 @@ def _decode_record_batch(
     rb = msg.table(2)
     if rb is None:
         raise ArrowIpcFormatError("RecordBatch message missing header")
+    return _decode_rb_table(rb, body, fields, dictionaries or {})
+
+
+def _decode_rb_table(
+    rb: _Table,
+    body: bytes,
+    fields: list[FieldSpec],
+    dictionaries: dict,
+) -> tuple[int, list[list]]:
     if rb.table(3) is not None:
         raise ArrowIpcFormatError("compressed IPC bodies not supported")
     length = rb.scalar(0, "<q", 0)
@@ -415,9 +460,36 @@ def _decode_record_batch(
                 f"field {spec.name!r}: node length {node_len} != "
                 f"batch length {length}"
             )
-        nbufs = 3 if spec.type_name in ("utf8", "binary") else 2
-        bufs = [take() for _ in range(nbufs)]
-        col = _decode_column(spec, length, null_count, bufs)
+        if spec.dict_id is not None:
+            # validity + fixed-width indices, resolved through the
+            # dictionary built from the footer's dictionary blocks
+            bufs = [take(), take()]
+            idx_spec = FieldSpec(
+                spec.name, spec.nullable, spec.index_type,
+                int(spec.index_type.lstrip("uint")),
+            )
+            idx = _decode_column(idx_spec, length, null_count, bufs)
+            values = dictionaries.get(spec.dict_id)
+            if values is None:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: no dictionary batch for "
+                    f"id {spec.dict_id}"
+                )
+            col = []
+            for i, v in enumerate(idx):
+                if v is None:
+                    col.append(None)
+                elif 0 <= v < len(values):
+                    col.append(values[v])
+                else:
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: index {v} at row {i} "
+                        f"outside dictionary of {len(values)}"
+                    )
+        else:
+            nbufs = 3 if spec.type_name in ("utf8", "binary") else 2
+            bufs = [take() for _ in range(nbufs)]
+            col = _decode_column(spec, length, null_count, bufs)
         nc = sum(1 for v in col if v is None)
         if nc != null_count:
             raise ArrowIpcFormatError(
@@ -431,6 +503,43 @@ def _decode_record_batch(
             f"consumed {bix}"
         )
     return length, columns
+
+
+def _decode_dictionary_batch(
+    msg: _Table,
+    body: bytes,
+    fields: list[FieldSpec],
+    dictionaries: dict,
+) -> None:
+    """DictionaryBatch message -> mutate ``dictionaries[id]``.
+
+    Message.fbs: header union tag 2; DictionaryBatch has id (fid 0),
+    data (fid 1, a RecordBatch whose single column is typed as the
+    dictionary VALUES), isDelta (fid 2 — append to the id's values;
+    a non-delta batch REPLACES them, per the IPC spec's replacement
+    semantics)."""
+    db = msg.table(2)
+    if db is None:
+        raise ArrowIpcFormatError("DictionaryBatch message missing header")
+    did = db.scalar(0, "<q", 0)
+    is_delta = bool(db.scalar(2, "<b", 0))
+    rb = db.table(1)
+    if rb is None:
+        raise ArrowIpcFormatError(f"dictionary {did}: missing data batch")
+    owners = [f for f in fields if f.dict_id == did]
+    if not owners:
+        raise ArrowIpcFormatError(
+            f"dictionary batch id {did} matches no schema field"
+        )
+    spec = owners[0]
+    value_spec = FieldSpec(
+        spec.name, True, spec.type_name, spec.bit_width
+    )
+    _, cols = _decode_rb_table(rb, body, [value_spec], {})
+    if is_delta and did in dictionaries:
+        dictionaries[did] = dictionaries[did] + cols[0]
+    else:
+        dictionaries[did] = cols[0]
 
 
 def read_arrow_ipc(data: bytes) -> dict:
@@ -458,20 +567,27 @@ def read_arrow_ipc(data: bytes) -> dict:
     if schema_t is None:
         raise ArrowIpcFormatError("footer has no schema")
     fields = _decode_schema(schema_t)
-    dict_blocks = footer.vector(2, stride=24)
-    if dict_blocks is not None and dict_blocks[1] > 0:
-        raise ArrowIpcFormatError("dictionary batches not supported")
-    rb_v = footer.vector(3, stride=24)
-    blocks = []
-    if rb_v is not None:
-        start, n = rb_v
-        # struct Block { long offset; int metaDataLength; long
-        # bodyLength; } — C layout pads the int to 8, stride 24
-        for i in range(n):
-            p = start + 24 * i
-            blocks.append(
-                (_i64(fregion, p), _i32(fregion, p + 8), _i64(fregion, p + 16))
-            )
+
+    def _blocks(fid: int) -> list:
+        v = footer.vector(fid, stride=24)
+        out = []
+        if v is not None:
+            start, n = v
+            # struct Block { long offset; int metaDataLength; long
+            # bodyLength; } — C layout pads the int to 8, stride 24
+            for i in range(n):
+                p = start + 24 * i
+                out.append(
+                    (
+                        _i64(fregion, p),
+                        _i32(fregion, p + 8),
+                        _i64(fregion, p + 16),
+                    )
+                )
+        return out
+
+    dict_blocks = _blocks(2)
+    blocks = _blocks(3)
 
     # cross-check: the stream section opens with a Schema message that
     # must agree with the footer's copy
@@ -487,12 +603,10 @@ def read_arrow_ipc(data: bytes) -> dict:
             "stream Schema disagrees with footer schema"
         )
 
-    batches = []
-    body_bytes = 0
-    for offset, meta_len, body_len in blocks:
+    def _block_message(offset, meta_len, body_len, kind):
         if offset < 8 or offset + meta_len + body_len > footer_start:
             raise ArrowIpcFormatError(
-                f"record-batch block ({offset},{meta_len},{body_len}) "
+                f"{kind} block ({offset},{meta_len},{body_len}) "
                 "escapes the stream section"
             )
         msg, body_start, consumed = _read_message(data, offset)
@@ -506,8 +620,31 @@ def read_arrow_ipc(data: bytes) -> dict:
                 f"message bodyLength {declared} != block bodyLength "
                 f"{body_len}"
             )
-        body = data[body_start : body_start + body_len]
-        length, columns = _decode_record_batch(msg, body, fields)
+        return msg, data[body_start : body_start + body_len]
+
+    # dictionary batches resolve first, in block order (the spec puts
+    # them before their consumers; deltas append in stream order)
+    dictionaries: dict = {}
+    body_bytes = 0
+    for offset, meta_len, body_len in dict_blocks:
+        msg, body = _block_message(
+            offset, meta_len, body_len, "dictionary-batch"
+        )
+        if msg.scalar(1, "<B", 0) != _MSG_DICTIONARY_BATCH:
+            raise ArrowIpcFormatError(
+                "dictionary block does not hold a DictionaryBatch"
+            )
+        _decode_dictionary_batch(msg, body, fields, dictionaries)
+        body_bytes += body_len
+
+    batches = []
+    for offset, meta_len, body_len in blocks:
+        msg, body = _block_message(
+            offset, meta_len, body_len, "record-batch"
+        )
+        length, columns = _decode_record_batch(
+            msg, body, fields, dictionaries
+        )
         body_bytes += body_len
         batches.append({"length": length, "columns": columns})
     return {"fields": fields, "batches": batches, "body_bytes": body_bytes}

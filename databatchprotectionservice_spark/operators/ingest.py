@@ -2838,12 +2838,22 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
         doc_ids = [int(i) for i in pdf["doc_id"]]
         texts = [None if v is None else str(v) for v in pdf["text"]]
+        text_arr = pa_.array(texts, pa_.string())
+        # odd shards DICTIONARY-ENCODE the text column (r11): the
+        # decoded values are identical either way — the oracle is
+        # unchanged — but the gate now drives the dictionary-batch
+        # read path (footer dictionary blocks, index resolution) on
+        # every run, beside the plain path on even shards
+        dict_shard = shard_id % 2 == 1
+        if dict_shard:
+            text_arr = text_arr.dictionary_encode()
         t = pa_.table(
             {
                 "doc_id": pa_.array(doc_ids, pa_.int64()),
-                "text": pa_.array(texts, pa_.string()),
+                "text": text_arr,
             }
         )
         buf = io.BytesIO()
@@ -2857,6 +2867,10 @@ def ingest_arrow_ipc(spark, sf_dir) -> DataFrame:
         types = [f.type_name for f in got["fields"]]
         if names != ["doc_id", "text"] or types != ["int64", "utf8"]:
             raise ValueError(f"IPC schema drifted: {names}/{types}")
+        if (got["fields"][1].dict_id is not None) != dict_shard:
+            raise ValueError(
+                f"shard {shard_id}: dictionary encoding flag drifted"
+            )
         want_batches = (len(doc_ids) + IPC_CHUNK - 1) // IPC_CHUNK
         sizes = [b["length"] for b in got["batches"]]
         if len(sizes) != want_batches or sum(sizes) != len(doc_ids):

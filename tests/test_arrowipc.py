@@ -119,12 +119,71 @@ def test_unsupported_type_seams_named():
         read_arrow_ipc(_ipc_bytes(t16))
 
 
-def test_dictionary_batches_refused():
+def _read_all_columns(data):
+    got = read_arrow_ipc(data)
+    cols = [[] for _ in got["fields"]]
+    for b in got["batches"]:
+        for ci, c in enumerate(b["columns"]):
+            cols[ci].extend(c)
+    return got, cols
+
+
+def test_dictionary_batches_decode():
+    """The r11 seam closure: DictionaryEncoding fields resolve
+    through the footer's dictionary blocks — utf8 and int values,
+    narrow index types, nulls — pinned against pyarrow's writer."""
     t = pa.table(
-        {"x": pa.array(["a", "b", "a"]).dictionary_encode()}
+        {
+            "s": pa.array(["a", "b", "a", None, "c", "b"])
+            .dictionary_encode(),
+            "x": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+            "d": pa.DictionaryArray.from_arrays(
+                pa.array([0, 1, 0, 2, None, 1], pa.int8()),
+                pa.array([100, 200, 300], pa.int64()),
+            ),
+        }
     )
-    with pytest.raises(ArrowIpcFormatError, match="[Dd]ictionary"):
-        read_arrow_ipc(_ipc_bytes(t))
+    got, cols = _read_all_columns(_ipc_bytes(t))
+    assert [f.type_name for f in got["fields"]] == [
+        "utf8", "int64", "int64",
+    ]
+    assert got["fields"][0].dict_id is not None
+    assert got["fields"][2].index_type == "int8"
+    for ci in range(3):
+        assert cols[ci] == t.column(ci).to_pylist()
+
+
+def test_dictionary_delta_batches_decode():
+    """isDelta dictionary batches APPEND to the id's values (IPC
+    spec); pyarrow emits them with emit_dictionary_deltas=True."""
+    import io
+
+    opts = pa.ipc.IpcWriteOptions(emit_dictionary_deltas=True)
+    a1 = pa.array(["x", "y"]).dictionary_encode()
+    a2 = pa.array(["x", "y", "z", "w"]).dictionary_encode()
+    schema = pa.schema([("s", a1.type)])
+    sink = io.BytesIO()
+    with pa.ipc.new_file(sink, schema, options=opts) as w:
+        w.write_batch(pa.record_batch([a1], schema=schema))
+        w.write_batch(pa.record_batch([a2], schema=schema))
+    _, cols = _read_all_columns(sink.getvalue())
+    assert cols[0] == ["x", "y", "x", "y", "z", "w"]
+
+
+def test_dictionary_index_out_of_bounds_raises():
+    """A corrupted index past the dictionary must raise, not wrap."""
+    t = pa.table({"s": pa.array(["a", "b", "a"]).dictionary_encode()})
+    data = bytearray(_ipc_bytes(t))
+    # indices are int32 0,1,0 in the record-batch body; flip the
+    # middle one to a huge value wherever the exact triple lives
+    import struct as _struct
+
+    pat = _struct.pack("<3i", 0, 1, 0)
+    at = bytes(data).rfind(pat)
+    assert at != -1
+    data[at + 4 : at + 8] = _struct.pack("<i", 99)
+    with pytest.raises(ArrowIpcFormatError, match="outside dictionary"):
+        read_arrow_ipc(bytes(data))
 
 
 def test_framing_errors():
