@@ -31,27 +31,16 @@ sys.path.insert(0, REPO)
 # in registry insertion order so timings are comparable across rounds.
 HEADLINE: list[str] | None = None  # resolved to entrymod.queries() keys
 
-# Queries that BUILD a session-lifetime artifact on first invocation —
-# trained PQ/IVF codebooks + the quantized code cache (similarity),
-# memoized k-means centroids (clustering._FIT_MEMO, shared by the
-# kmeans/semdedup pair), the staged CDC feed (streamops._SCD2_FEED_MEMO)
-# — get ONE extra discarded warmup run before the timed N (VERDICT r9
-# item 4: ivfpq's cold driver samples 14.7/7.8/6.4 s never reached the
-# 1.36 s steady state inside min-of-3; the warmup pays the build once
-# so the timed runs measure the query, not the trainer).
-WARMUP_QUERIES = {
-    "similarity_ivfpq_topk",
-    "similarity_pq_topk",
-    "similarity_quantized_topk",
-    "similarity_matryoshka_recall",
-    "kmeans_embedding_clusters",
-    "semdedup_embeddings",
-    "streaming_scd2_tws",
-    # caches its shingle/df gram table inside the query (dedup.py:362):
-    # run 1 builds it, so min-of-3 flags 1.7x median/min without a
-    # discarded build run (r10 quiet bench samples 5.5/1.9/3.2)
-    "dedup_ngram_jaccard",
-}
+# EVERY query gets ONE discarded warmup run before the timed N
+# (VERDICT r10 item 7, generalizing the r9 cache-builder protocol):
+# the r10 driver bench's six variance flags were all first-sample
+# spikes (codegen, Python-worker pool growth, page-cache faults on a
+# contended rig), and the queries that build session-lifetime
+# artifacts — PQ/IVF codebooks, k-means centroid memos, the staged
+# CDC feed, shingle/df gram caches — need the build paid outside the
+# timed runs anyway.  The discarded duration is recorded per query in
+# BENCH_DETAIL.json ("warmup") so cold-path regressions stay visible
+# without polluting min/median.
 
 
 def main() -> None:
@@ -88,11 +77,14 @@ def main() -> None:
             continue
         best = -1.0
         obs: list[float] = []
+        warm = -1.0
         try:
-            if name in WARMUP_QUERIES:
-                # discarded: pays codebook training / memo staging /
-                # cache build so the timed runs are all steady-state
-                fn(spark, sf_dir).collect()
+            # discarded warmup: pays codegen / worker-pool growth /
+            # codebook training / memo staging / cache builds so the
+            # timed runs are all steady-state (recorded, not scored)
+            t0 = time.time()
+            fn(spark, sf_dir).collect()
+            warm = round(time.time() - t0, 3)
             for _ in range(runs):
                 t0 = time.time()
                 fn(spark, sf_dir).collect()
@@ -103,7 +95,7 @@ def main() -> None:
             print(f"bench: {name} FAILED: {e}", file=sys.stderr)
             best = -1.0
         timings[name] = round(best, 3)
-        samples[name] = obs
+        samples[name] = {"runs": obs, "warmup": warm}
         # a query's internal .cache()s (minhash/ngram gram tables) are
         # shared across its N runs by design — min-of-N measures the
         # cache-warm steady state — but must not accumulate across the
@@ -140,7 +132,7 @@ def main() -> None:
         "medians": medians,
         "variance_flags": variance_flags,
         "runs": runs,
-        "warmed_up": sorted(WARMUP_QUERIES.intersection(timings)),
+        "warmed_up": "all",
         "sf": sf,
     }
     try:
