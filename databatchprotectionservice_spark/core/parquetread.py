@@ -395,11 +395,16 @@ def read_column(
             return _read_column_nested(
                 data, column, leaf, path, max_def, max_rep
             )
-    if nested or leaf["repetition"] == "REPEATED":
+        # leaf under OPTIONAL struct groups (no repetition): flat
+        # decode but with the CHAIN's max_def — any undefined
+        # ancestor (null struct) flattens the leaf slot to None,
+        # matching the single-column Dremel semantics
+    elif nested or leaf["repetition"] == "REPEATED":
         raise ParquetReadError(
             "nested (REPEATED) column needs its schema path"
         )
-    max_def = 1 if leaf["repetition"] == "OPTIONAL" else 0
+    else:
+        max_def = 1 if leaf["repetition"] == "OPTIONAL" else 0
     codec = CompressionCodec[column["codec"]]
     ptype = column["type"]
     tlen = leaf.get("type_length")

@@ -12,15 +12,22 @@ pyarrow, Spark, and DuckDB (the unit suite pins all three).
 Shape: one row group; each column chunk holds one V1 data page per
 ``page_rows`` rows (default: everything in one page — pass the knob
 to exercise the multi-page layout real writers emit at size).
-Dictionaries, V2 pages, statistics and nested types are writer seams
-— the READER (``core/parquetread.py``) covers them, this writer
-targets the canonical minimal layout every reader accepts.
+Dictionaries, V2 pages, statistics, and nesting beyond one LIST
+level are writer seams — the READER (``core/parquetread.py``)
+covers them, this writer targets the canonical minimal layout every
+reader accepts.
 
 Column types: INT32, INT64, FLOAT, DOUBLE, BOOLEAN, BYTE_ARRAY
 (raw bytes) and STRING (BYTE_ARRAY + the UTF8 converted-type
 annotation, so readers surface str).  ``None`` values make a column
 OPTIONAL with proper definition levels; all-present columns are
-written REQUIRED.
+written REQUIRED.  A ``LIST<T>`` type (since r11) writes the
+standard 3-level layout — ``optional group (LIST) { repeated group
+list { optional T element } }`` — striping each record into
+repetition/definition level runs (the exact inverse of the reader's
+``assemble_nested``): None -> d0, [] -> d1, [None] -> d2, value ->
+d3, with r=1 continuing the record's list.  pyarrow, DuckDB and our
+own reader all recover the lists (the unit suite pins all three).
 """
 
 from __future__ import annotations
@@ -90,8 +97,9 @@ def _plain_encode(values: list, ptype: str) -> bytes:
 
 
 def _rle_levels(levels: list) -> bytes:
-    """Definition levels (bit width 1) as u32-length-prefixed hybrid
-    RLE runs — one run per same-value stretch."""
+    """Level run (definition or repetition, any bit width <= 8) as a
+    u32-length-prefixed hybrid RLE stream — one run per same-value
+    stretch (run values occupy ceil(bit_width/8) = 1 byte)."""
     body = bytearray()
     i = 0
     n = len(levels)
@@ -113,6 +121,35 @@ def _rle_levels(levels: list) -> bytes:
     return struct.pack("<I", len(body)) + bytes(body)
 
 
+def _strip_list(records: list) -> tuple:
+    """One LIST level -> (rep_levels, def_levels, present_values):
+    the inverse of the reader's Dremel assembly for the standard
+    3-level layout (max_rep 1, max_def 3)."""
+    reps: list[int] = []
+    defs: list[int] = []
+    present: list = []
+    for rec in records:
+        if rec is None:
+            reps.append(0)
+            defs.append(0)
+        elif not isinstance(rec, (list, tuple)):
+            raise ParquetWriteError(
+                f"LIST column row is {type(rec).__name__}, not a list"
+            )
+        elif len(rec) == 0:
+            reps.append(0)
+            defs.append(1)
+        else:
+            for i, el in enumerate(rec):
+                reps.append(0 if i == 0 else 1)
+                if el is None:
+                    defs.append(2)
+                else:
+                    defs.append(3)
+                    present.append(el)
+    return reps, defs, present
+
+
 def write_parquet(
     columns: dict,
     types: dict,
@@ -120,7 +157,8 @@ def write_parquet(
     codec: str = "UNCOMPRESSED",
     page_rows: int | None = None,
 ) -> bytes:
-    """{name: values} + {name: physical type} -> parquet file bytes."""
+    """{name: values} + {name: physical-or-LIST<physical> type} ->
+    parquet file bytes."""
     if page_rows is not None and page_rows <= 0:
         raise ParquetWriteError(f"page_rows {page_rows} must be positive")
     if codec not in _CODEC_IDS:
@@ -138,6 +176,11 @@ def write_parquet(
     chunk_meta = []
     for name in names:
         logical = types[name]
+        is_list = isinstance(logical, str) and logical.startswith(
+            "LIST<"
+        ) and logical.endswith(">")
+        if is_list:
+            logical = logical[5:-1]
         ptype = _LOGICAL.get(logical, logical)
         if ptype not in _TYPE_IDS:
             raise ParquetWriteError(f"bad type {logical!r} for {name!r}")
@@ -146,17 +189,29 @@ def write_parquet(
         chunk_offset = len(out)
         comp_total = 0
         uncomp_total = 0
+        n_leaf_slots = 0
         step = page_rows or max(n_rows, 1)
         for at in range(0, n_rows, step) or [0]:
             page_vals = values[at : at + step]
             body = bytearray()
-            if nullable:
-                body += _rle_levels(
-                    [0 if v is None else 1 for v in page_vals]
+            if is_list:
+                # record-aligned pages: strip THIS page's records into
+                # rep/def runs + present leaf values (inverse Dremel)
+                reps, defs, present = _strip_list(page_vals)
+                body += _rle_levels(reps)
+                body += _rle_levels(defs)
+                body += _plain_encode(present, ptype)
+                page_nv = len(defs)
+            else:
+                if nullable:
+                    body += _rle_levels(
+                        [0 if v is None else 1 for v in page_vals]
+                    )
+                body += _plain_encode(
+                    [v for v in page_vals if v is not None], ptype
                 )
-            body += _plain_encode(
-                [v for v in page_vals if v is not None], ptype
-            )
+                page_nv = len(page_vals)
+            n_leaf_slots += page_nv
             raw = bytes(body)
             paged = snappy_compress(raw) if codec == "SNAPPY" else raw
             hdr = ThriftWriter()
@@ -166,7 +221,7 @@ def write_parquet(
                     (2, T_I32, len(raw)),     # uncompressed size
                     (3, T_I32, len(paged)),   # compressed size
                     (5, T_STRUCT, [           # DataPageHeader
-                        (1, T_I32, len(page_vals)),
+                        (1, T_I32, page_nv),
                         (2, T_I32, 0),        # PLAIN
                         (3, T_I32, 3),        # RLE def levels
                         (4, T_I32, 3),        # RLE rep levels
@@ -184,6 +239,8 @@ def write_parquet(
                 "ptype": ptype,
                 "utf8": logical == "STRING",
                 "nullable": nullable,
+                "list": is_list,
+                "num_values": n_leaf_slots,
                 "offset": chunk_offset,
                 "compressed": comp_total,
                 "uncompressed": uncomp_total,
@@ -199,6 +256,29 @@ def write_parquet(
         ]
     ]
     for m in chunk_meta:
+        if m["list"]:
+            # standard 3-level LIST: optional group (LIST) ->
+            # repeated group 'list' -> optional element
+            schema_elems.append([
+                (3, T_I32, 1),               # OPTIONAL
+                (4, T_BINARY, m["name"].encode("utf-8")),
+                (5, T_I32, 1),               # one child
+                (6, T_I32, 3),               # ConvertedType LIST
+            ])
+            schema_elems.append([
+                (3, T_I32, 2),               # REPEATED
+                (4, T_BINARY, b"list"),
+                (5, T_I32, 1),
+            ])
+            fields = [
+                (1, T_I32, _TYPE_IDS[m["ptype"]]),
+                (3, T_I32, 1),               # OPTIONAL element
+                (4, T_BINARY, b"element"),
+            ]
+            if m["utf8"]:
+                fields.append((6, T_I32, 0))  # ConvertedType UTF8
+            schema_elems.append(fields)
+            continue
         fields = [
             (1, T_I32, _TYPE_IDS[m["ptype"]]),
             (3, T_I32, 1 if m["nullable"] else 0),
@@ -209,16 +289,18 @@ def write_parquet(
         schema_elems.append(fields)
     col_structs = []
     for m in chunk_meta:
+        path = [m["name"].encode("utf-8")]
+        if m["list"]:
+            path += [b"list", b"element"]
         col_structs.append(
             [
                 (2, T_I64, m["offset"]),     # file_offset
                 (3, T_STRUCT, [              # ColumnMetaData
                     (1, T_I32, _TYPE_IDS[m["ptype"]]),
                     (2, T_LIST, (T_I32, [0, 3])),   # PLAIN, RLE
-                    (3, T_LIST, (T_BINARY,
-                                 [m["name"].encode("utf-8")])),
+                    (3, T_LIST, (T_BINARY, path)),
                     (4, T_I32, _CODEC_IDS[codec]),
-                    (5, T_I64, n_rows),
+                    (5, T_I64, m["num_values"]),   # LEAF slots
                     (6, T_I64, m["uncompressed"]),
                     (7, T_I64, m["compressed"]),
                     (9, T_I64, m["offset"]),

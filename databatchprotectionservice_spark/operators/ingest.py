@@ -2419,9 +2419,22 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
         codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
         ids = [int(i) for i in pdf["doc_id"]]
         texts = [None if v is None else str(v) for v in pdf["text"]]
+        # r11: a NESTED column rides along — per-doc token lengths as
+        # LIST<INT64> (null text -> null list, so the striper covers
+        # None / [] / values in every run).  The aggregates below are
+        # unchanged; the referees make the nested write path (3-level
+        # schema, rep/def level runs) part of the driver gate.
+        tok_lens = [
+            None if v is None else [len(w) for w in v.split()]
+            for v in texts
+        ]
         data = write_parquet(
-            {"doc_id": ids, "text": texts},
-            {"doc_id": "INT64", "text": "STRING"},
+            {"doc_id": ids, "text": texts, "tok_lens": tok_lens},
+            {
+                "doc_id": "INT64",
+                "text": "STRING",
+                "tok_lens": "LIST<INT64>",
+            },
             codec=codec,
         )
         # referee 1: pyarrow reads OUR bytes and sees the exact group
@@ -2432,7 +2445,14 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
             raise ValueError(
                 f"shard {shard_id}: pyarrow read of our file diverges"
             )
+        if t.column("tok_lens").to_pylist() != tok_lens:
+            raise ValueError(
+                f"shard {shard_id}: pyarrow read of our LIST column "
+                "diverges"
+            )
         # referee 2: our reader closes the loop on our writer
+        from ..core.parquetread import leaf_paths as _leaf_paths
+
         meta = parse_footer(data)
         leaves = leaf_elements(meta["schema"])
         own = read_column(
@@ -2440,6 +2460,14 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
         )
         if own != ids:
             raise ValueError(f"shard {shard_id}: own-reader divergence")
+        nleaf, npath = _leaf_paths(meta["schema"])[2]
+        own_lists = read_column(
+            data, meta["row_groups"][0]["columns"][2], nleaf, path=npath
+        )
+        if own_lists != tok_lens:
+            raise ValueError(
+                f"shard {shard_id}: own-reader LIST divergence"
+            )
         if meta["row_groups"][0]["columns"][0]["codec"] != codec:
             raise ValueError(f"shard {shard_id}: codec tag drifted")
         return pd.DataFrame(

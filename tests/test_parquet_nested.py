@@ -193,3 +193,43 @@ def test_assembly_flat_semantics_table():
         [None],
         [10, 20, None],
     ]
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+def test_struct_ancestor_leaves_flatten(dpv):
+    """Leaves under OPTIONAL struct groups (no repetition) decode
+    with the CHAIN's max_def: a null struct flattens the leaf slot
+    to None; struct-under-list reassembles per-leaf."""
+    t = pa.table(
+        {
+            "s": pa.array(
+                [
+                    {"a": 1, "b": "x"},
+                    None,
+                    {"a": None, "b": "y"},
+                    {"a": 4, "b": None},
+                ],
+                type=pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "ls": pa.array(
+                [[{"a": 1}, {"a": None}], None, [], [{"a": 7}]],
+                type=pa.list_(pa.struct([("a", pa.int64())])),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, data_page_version=dpv)
+    data = buf.getvalue()
+    meta = parse_footer(data)
+    paths = leaf_paths(meta["schema"])
+    got = []
+    for ci, (leaf, path) in enumerate(paths):
+        vals = []
+        for rg in meta["row_groups"]:
+            vals.extend(
+                read_column(data, rg["columns"][ci], leaf, path=path)
+            )
+        got.append([_convert(v) for v in vals])
+    assert got[0] == [1, None, None, 4]
+    assert got[1] == ["x", None, "y", None]
+    assert got[2] == [[1, None], None, [], [7]]
