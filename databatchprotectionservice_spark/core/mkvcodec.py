@@ -18,8 +18,10 @@ derived column stays oracle-checkable bit-for-bit.
 
 SUPPORTED SUBSET (out-of-subset input raises a named error):
 known-size elements only (unknown-size / streaming-muxed Segments
-are a documented seam), one Segment, SimpleBlock/Block without
-lacing.  Matroska CRC-32 elements (first child, IEEE/zlib polynomial
+are a documented seam), one Segment, SimpleBlock/Block plain or
+LACED — Xiph, fixed-size and EBML lacing all parse their size
+tables (since r11), with every lace total bounds-checked against
+the block.  Matroska CRC-32 elements (first child, IEEE/zlib polynomial
 over the REST of the parent payload) are validated when present and
 emitted by the fixture encoder.
 
@@ -344,8 +346,89 @@ def _parse_track(data: bytes, s: int, e: int) -> dict:
     return t
 
 
-def _parse_block(data: bytes, s: int, e: int) -> tuple[int, int, int]:
-    """SimpleBlock/Block framing -> (track_number, rel_ts, n_payload)."""
+def _lace_vint(data: bytes, pos: int, end: int) -> tuple[int, int, int]:
+    """EBML-lacing size vint -> (raw value, new pos, vint length).
+    Same wire shape as an element size but WITHOUT the all-ones
+    reservation (lace sizes may legally be all ones)."""
+    if pos >= end:
+        raise MkvFormatError("lace size past block end")
+    b0 = data[pos]
+    if b0 == 0:
+        raise MkvFormatError("lace size vint longer than 8 bytes")
+    length = 1
+    mask = 0x80
+    while not b0 & mask:
+        mask >>= 1
+        length += 1
+    if pos + length > end:
+        raise MkvFormatError("truncated lace size vint")
+    value = b0 & (mask - 1)
+    for i in range(1, length):
+        value = (value << 8) | data[pos + i]
+    return value, pos + length, length
+
+
+def _lace_sizes(
+    data: bytes, p: int, e: int, flags: int
+) -> tuple[list, int]:
+    """Matroska block lacing (spec §Block lacing) -> (frame sizes,
+    payload start).  ``flags & 0x06``: 0x02 Xiph (255-run sizes like
+    Ogg), 0x04 fixed (payload divides evenly), 0x06 EBML (first size
+    an unsigned vint, the rest SIGNED vint deltas).  The last frame
+    takes the remaining bytes; sizes overrunning the block raise."""
+    lace = flags & 0x06
+    if p >= e:
+        raise MkvFormatError("laced block missing frame count")
+    nframes = data[p] + 1
+    q = p + 1
+    sizes: list[int] = []
+    if lace == 0x02:  # Xiph
+        for _ in range(nframes - 1):
+            sz = 0
+            while True:
+                if q >= e:
+                    raise MkvFormatError("truncated Xiph lace sizes")
+                b = data[q]
+                q += 1
+                sz += b
+                if b < 255:
+                    break
+            sizes.append(sz)
+    elif lace == 0x04:  # fixed-size
+        rem = e - q
+        if nframes == 0 or rem % nframes:
+            raise MkvFormatError(
+                f"fixed lacing: {rem} bytes do not divide into "
+                f"{nframes} frames"
+            )
+        sizes = [rem // nframes] * (nframes - 1)
+    else:  # EBML
+        if nframes >= 2:
+            first, q, _ = _lace_vint(data, q, e)
+            sizes.append(first)
+            prev = first
+            for _ in range(nframes - 2):
+                raw, q, ln = _lace_vint(data, q, e)
+                # signed vint: raw - (2^(7*len-1) - 1)
+                prev += raw - ((1 << (7 * ln - 1)) - 1)
+                if prev < 0:
+                    raise MkvFormatError("EBML lace delta went negative")
+                sizes.append(prev)
+    used = sum(sizes)
+    rem = e - q
+    if used > rem:
+        raise MkvFormatError(
+            f"lace sizes total {used} overrun the {rem}-byte payload"
+        )
+    sizes.append(rem - used)
+    return sizes, q
+
+
+def _parse_block(data: bytes, s: int, e: int) -> tuple[int, int, int, int]:
+    """SimpleBlock/Block framing -> (track_number, rel_ts,
+    payload_bytes, n_frames).  Laced blocks (Xiph/fixed/EBML) parse
+    their size tables; ``payload_bytes`` counts frame bytes only
+    (the lace header is framing, not media)."""
     b0 = data[s] if s < e else 0
     if s >= e or b0 == 0:
         raise MkvFormatError("block track number is not a 1-8 byte vint")
@@ -363,10 +446,9 @@ def _parse_block(data: bytes, s: int, e: int) -> tuple[int, int, int]:
     (rel_ts,) = struct.unpack_from(">h", data, p)
     flags = data[p + 2]
     if flags & 0x06:
-        raise MkvFormatError(
-            "block lacing is a documented seam (no-lacing subset)"
-        )
-    return track, rel_ts, e - (p + 3)
+        sizes, start = _lace_sizes(data, p + 3, e, flags)
+        return track, rel_ts, e - start, len(sizes)
+    return track, rel_ts, e - (p + 3), 1
 
 
 def _parse_cluster(
@@ -387,7 +469,7 @@ def _parse_cluster(
                 if gid == _BLOCK:
                     blocks.append((gs, ge))
         for bs, be in blocks:
-            track, rel_ts, nbytes = _parse_block(data, bs, be)
+            track, rel_ts, nbytes, _n_frames = _parse_block(data, bs, be)
             st = track_stats.setdefault(
                 track, {"n_blocks": 0, "payload_bytes": 0}
             )

@@ -6,8 +6,12 @@ PKWARE APPNOTE structures: end-of-central-directory locate (backward
 comment scan), central-directory entries as the source of truth,
 local-header cross-validation, CRC-32 verification of every member
 (zlib polynomial), methods 0 (stored) and 8 (deflate, raw
-``wbits=-15``).  Zip64, encryption, and the other 17 compression
-methods are named seams.
+``wbits=-15``), and — since r11 — Zip64: the EOCD64 locator/record
+take over when the classic EOCD fields saturate at 0xFFFF/
+0xFFFFFFFF, and per-entry 0x0001 extra fields supply 64-bit
+usize/csize/local-header offsets in APPNOTE's ordered-only-if-maxed
+layout.  Encryption and the other 17 compression methods remain
+named seams.
 
 Binary-container discipline as in tar/mkv/warc: every malformed
 input raises ``ZipFormatError``, proven by the mutation battery; the
@@ -29,6 +33,8 @@ class ZipFormatError(DBPSInvalidInputError):
 _LOCAL = b"PK\x03\x04"
 _CENTRAL = b"PK\x01\x02"
 _EOCD = b"PK\x05\x06"
+_EOCD64_LOC = b"PK\x06\x07"
+_EOCD64 = b"PK\x06\x06"
 
 #: hostile-input guards
 MAX_MEMBER_BYTES = 1 << 30
@@ -52,8 +58,39 @@ def parse_zip(data: bytes) -> list:
         raise ZipFormatError("EOCD comment length disagrees with file end")
     if disk or cd_disk or n_disk != n_total:
         raise ZipFormatError("multi-disk archives are a documented seam")
-    if n_total == 0xFFFF or cd_off == 0xFFFFFFFF:
-        raise ZipFormatError("zip64 is a documented seam")
+    if (
+        n_total == 0xFFFF
+        or cd_off == 0xFFFFFFFF
+        or cd_size == 0xFFFFFFFF
+    ):
+        # Zip64: the EOCD64 locator sits immediately before the EOCD
+        # (APPNOTE 4.3.15) and points at the EOCD64 record
+        loc_at = eocd_at - 20
+        if loc_at < 0 or data[loc_at : loc_at + 4] != _EOCD64_LOC:
+            raise ZipFormatError(
+                "saturated EOCD fields without a Zip64 locator"
+            )
+        l_disk, rec_off, l_ndisk = struct.unpack_from(
+            "<IQI", data, loc_at + 4
+        )
+        if l_disk or l_ndisk != 1:
+            raise ZipFormatError(
+                "multi-disk Zip64 archives are a documented seam"
+            )
+        if rec_off + 56 > loc_at or data[
+            rec_off : rec_off + 4
+        ] != _EOCD64:
+            raise ZipFormatError("Zip64 EOCD record out of place")
+        (
+            _rec_size, _vmade64, _vneed64, disk64, cd_disk64,
+            n_disk64, n_total64, cd_size64, cd_off64,
+        ) = struct.unpack_from("<QHHIIQQQQ", data, rec_off + 4)
+        if disk64 or cd_disk64 or n_disk64 != n_total64:
+            raise ZipFormatError(
+                "multi-disk Zip64 archives are a documented seam"
+            )
+        n_total, cd_size, cd_off = n_total64, cd_size64, cd_off64
+        eocd_at = rec_off  # directory must end before the record
     if cd_off + cd_size > eocd_at:
         raise ZipFormatError("central directory overruns the EOCD")
 
@@ -71,9 +108,17 @@ def parse_zip(data: bytes) -> list:
             nlen, elen, clen, _dstart, _iattr, _eattr, lho
         ) = struct.unpack_from("<HHHHHHIIIHHHHHII", data, pos + 4)
         name = data[pos + 46 : pos + 46 + nlen]
+        extra = data[pos + 46 + nlen : pos + 46 + nlen + elen]
         pos += 46 + nlen + elen + clen
         if pos > cd_off + cd_size:
             raise ZipFormatError(f"central entry {i} overruns directory")
+        if 0xFFFFFFFF in (usize, csize, lho):
+            # Zip64 extended-information extra field (id 0x0001):
+            # 64-bit values appear IN ORDER, only for the saturated
+            # classic fields (APPNOTE 4.5.3)
+            usize, csize, lho = _zip64_extra(
+                extra, name, usize, csize, lho
+            )
         if flags & 0x1:
             raise ZipFormatError("encrypted member is a documented seam")
         if method not in (0, 8):
@@ -125,6 +170,36 @@ def parse_zip(data: bytes) -> list:
             }
         )
     return entries
+
+
+def _zip64_extra(
+    extra: bytes, name: bytes, usize: int, csize: int, lho: int
+) -> tuple:
+    """Resolve saturated central-entry fields from the 0x0001 extra
+    field; its payload holds 8-byte values only for the fields that
+    are 0xFFFFFFFF, in usize/csize/offset order."""
+    at = 0
+    while at + 4 <= len(extra):
+        (hid, hlen) = struct.unpack_from("<HH", extra, at)
+        body = extra[at + 4 : at + 4 + hlen]
+        at += 4 + hlen
+        if hid != 0x0001:
+            continue
+        bp = 0
+        out = []
+        for v in (usize, csize, lho):
+            if v == 0xFFFFFFFF:
+                if bp + 8 > len(body):
+                    raise ZipFormatError(
+                        f"Zip64 extra field too short for {name!r}"
+                    )
+                v = struct.unpack_from("<Q", body, bp)[0]
+                bp += 8
+            out.append(v)
+        return tuple(out)
+    raise ZipFormatError(
+        f"saturated sizes without a Zip64 extra field for {name!r}"
+    )
 
 
 def encode_zip(members: list, *, deflate: bool = True) -> bytes:

@@ -212,12 +212,14 @@ def test_error_paths():
         parse_mkv(bytes(bad))
     with pytest.raises(MkvFormatError, match="refusing"):
         encode_mkv([], [], doctype="avi")
-    # lacing flag -> seam; block layout is [track vint][ts:2][flags]
-    # directly before the known payload
+    # hostile lacing: flipping the Xiph flag on a plain block makes
+    # the first payload byte a frame count whose size table overruns
+    # — must raise, never mis-slice (block layout is [track vint]
+    # [ts:2][flags] directly before the known payload)
     payload_at = enc.find(b"abcdef")
     bad = bytearray(enc)
     bad[payload_at - 1] |= 0x02  # flags byte
-    with pytest.raises(MkvFormatError, match="lacing"):
+    with pytest.raises(MkvFormatError, match="lace|lacing"):
         parse_mkv(bytes(bad))
     # block for a track with no TrackEntry
     bad = bytearray(enc)
@@ -282,3 +284,45 @@ def test_mutation_battery():
             parse_mkv(bytes(b))
         except MkvFormatError:
             pass
+
+
+def test_block_lacing_all_three_modes():
+    """Xiph / fixed-size / EBML lacing (r11): hand-assembled size
+    tables per the Matroska spec, last frame taking the remainder,
+    payload_bytes counting frame bytes only."""
+    from databatchprotectionservice_spark.core.mkvcodec import (
+        _parse_block,
+    )
+
+    def block(flags, tail):
+        return b"\x81" + b"\x00\x00" + bytes([flags]) + tail
+
+    # Xiph: sizes 3 and 300 (255+45), last frame = remainder
+    tail = bytes([2]) + b"\x03" + b"\xff\x2d" + (
+        b"a" * 3 + b"b" * 300 + b"cc"
+    )
+    data = block(0x82, tail)
+    track, rel_ts, nbytes, nframes = _parse_block(data, 0, len(data))
+    assert (track, rel_ts, nframes) == (1, 0, 3)
+    assert nbytes == 3 + 300 + 2
+    # fixed-size: 3 frames over 12 bytes
+    data = block(0x84, bytes([2]) + b"x" * 12)
+    _, _, nbytes, nframes = _parse_block(data, 0, len(data))
+    assert (nbytes, nframes) == (12, 3)
+    with pytest.raises(MkvFormatError, match="divide"):
+        bad = block(0x84, bytes([2]) + b"x" * 11)
+        _parse_block(bad, 0, len(bad))
+    # EBML: first size 500 (2-byte vint 0x41F4), then signed delta
+    # -200 (raw = -200 + 2^13 - 1 = 7991 -> 0x5F37), frames 500/300/7
+    tail = (
+        bytes([2]) + b"\x41\xf4" + b"\x5f\x37"
+        + b"a" * 500 + b"b" * 300 + b"c" * 7
+    )
+    data = block(0x86, tail)
+    _, _, nbytes, nframes = _parse_block(data, 0, len(data))
+    assert (nbytes, nframes) == (807, 3)
+    # lace totals overrunning the payload raise
+    tail = bytes([1]) + b"\xff\xff\x10" + b"z" * 8  # size 526 > 8
+    data = block(0x82, tail)
+    with pytest.raises(MkvFormatError, match="overrun"):
+        _parse_block(data, 0, len(data))

@@ -135,3 +135,37 @@ def test_mutation_battery():
             parse_zip(bytes(b))
         except ZipFormatError:
             pass
+
+
+def test_zip64_members_and_eocd64():
+    """The r11 Zip64 closure: per-entry 0x0001 extra fields
+    (force_zip64 members) and the EOCD64 locator/record path when
+    the entry count saturates 0xFFFF — both against stdlib zipfile
+    as the producer referee."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        with z.open("big.txt", "w", force_zip64=True) as f:
+            f.write(b"hello zip64 " * 1000)
+        z.writestr("small.txt", "plain member")
+    ents = parse_zip(buf.getvalue())
+    assert ents[0]["data"] == b"hello zip64 " * 1000
+    assert ents[1]["data"] == b"plain member"
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        for i in range(65600):
+            z.writestr(f"m{i}", b"")
+    data = buf.getvalue()
+    assert data.find(b"PK\x06\x06") != -1  # EOCD64 really present
+    ents = parse_zip(data)
+    assert len(ents) == 65600
+    assert ents[12345]["name"] == "m12345"
+    # saturated EOCD without the locator must raise, not guess
+    loc_at = data.rfind(b"PK\x06\x07")
+    bad = bytearray(data)
+    bad[loc_at] = 0x00
+    with pytest.raises(ZipFormatError, match="[Zz]ip64"):
+        parse_zip(bytes(bad))
