@@ -141,6 +141,8 @@ QUERIES = [
     "events_retention_cohorts",
     # float-free z-score flags: one counts exchange + broadcast moments
     "events_hourly_anomalies",
+    # r11: nested parquet read (binaryFile -> per-file decode)
+    "parquet_nested_read_real",
 ]
 
 
