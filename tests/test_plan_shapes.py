@@ -698,16 +698,19 @@ def test_ivfpq_residual_same_scale_shape_as_flat(spark, sf_dir):
     assert "InMemoryTableScan" in plan
 
 
-def test_funnel_single_exchange_grouped_pandas(spark, sf_dir):
+def test_funnel_single_exchange_partition_wide_pandas(spark, sf_dir):
     """events_funnel_levels' scale claim: ONE hash exchange on user_id
-    into a single grouped-pandas scan — the oracle's triple self-join
-    is the spec, never the plan (no join operator anywhere)."""
+    into a PARTITION-WIDE MapInPandas (the r11 rewrite off
+    one-group-per-user FlatMapGroupsInPandas — the 15 ms/group trap)
+    — the oracle's triple self-join is the spec, never the plan (no
+    join operator anywhere)."""
     from databatchprotectionservice_spark.operators.relational import (
         events_funnel_levels,
     )
 
     plan = _plan(events_funnel_levels(spark, sf_dir))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     n_hash = sum(
         1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     )
