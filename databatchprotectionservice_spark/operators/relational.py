@@ -2144,3 +2144,166 @@ def events_hourly_anomalies(spark, sf_dir):
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gorilla time-series compression (delta-of-delta + XOR doubles)
+# ---------------------------------------------------------------------------
+
+#: per-type timestamp streams through the from-scratch Gorilla codec
+#: (`core/gorillacodec.py`): the oracle recounts the per-point
+#: prefix-class histogram and the exact stream bit total with window
+#: functions — the class is a pure function of the delta-of-delta, so
+#: one misclassified range, dropped point, or drifted ladder boundary
+#: breaks the hash.  Order is pinned to (us, event_id): both engines
+#: sort the same total order, so dods are identical.
+TIMESERIES_GORILLA_ORACLE = """
+        WITH o AS (
+            SELECT event_type,
+                   epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                   event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
+                   ) AS rn
+            FROM events
+        ), d AS (
+            SELECT event_type, rn,
+                   (us - lag(us) OVER w)
+                   - (lag(us) OVER w - lag(us, 2) OVER w) AS dod
+            FROM o WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+        ), cls AS (
+            SELECT event_type, rn,
+                   CASE WHEN rn <= 2 THEN -1
+                        WHEN dod = 0 THEN 0
+                        WHEN dod BETWEEN -63 AND 64 THEN 1
+                        WHEN dod BETWEEN -255 AND 256 THEN 2
+                        WHEN dod BETWEEN -2047 AND 2048 THEN 3
+                        ELSE 4 END AS c
+            FROM d
+        )
+        SELECT event_type,
+               count(*) AS n_points,
+               CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dod0,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dod7,
+               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dod9,
+               CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dod12,
+               CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dod64,
+               CAST(32 + 64 * least(count(*), 2)
+                    + sum(CASE WHEN c = 0 THEN 1
+                               WHEN c = 1 THEN 9
+                               WHEN c = 2 THEN 12
+                               WHEN c = 3 THEN 16
+                               WHEN c = 4 THEN 69
+                               ELSE 0 END) AS BIGINT) AS ts_bits
+        FROM cls GROUP BY event_type ORDER BY event_type
+"""
+
+
+def timeseries_gorilla_stats(spark, sf_dir):
+    """Per-type event streams through the from-scratch Gorilla codec
+    — the compression scheme the Facebook Gorilla paper (VLDB 2015
+    §4.1) introduced and the Prometheus/M3/InfluxDB family adopted
+    for exactly this data shape.  Each event type's (timestamp,
+    value) series is encoded with delta-of-delta prefix codes +
+    XOR-compressed doubles (`core/gorillacodec.py`), decoded back,
+    and asserted EXACT in-executor (timestamps integer-equal, values
+    IEEE-bit-equal — NaN payloads and signed zeros included); the
+    reported per-point class histogram and total stream bits are
+    recomputed independently by the DuckDB oracle's window functions,
+    so the wire format itself is driver-gated.
+
+    100 TB shape: one exchange on the series key (event_type here;
+    a production TSDB shards on (metric, tag-hash) the same way),
+    then per-series work is a single sorted pass — the codec is
+    O(n) with constant state, which is why Gorilla streams compress
+    on ingest at line rate.  Coarse chosen group keys (5 types), not
+    data-cardinality keys — the SCALE.md grouped-pandas rule."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ..core.gorillacodec import (
+        CLASS_BITS,
+        decode_timestamps,
+        decode_values,
+        dod_class,
+        encode_timestamps,
+        encode_values,
+    )
+
+    prep(spark)
+    e = load_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("us"),
+        "value",
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("event_type", T.StringType()),
+            T.StructField("n_points", T.LongType()),
+            T.StructField("n_dod0", T.LongType()),
+            T.StructField("n_dod7", T.LongType()),
+            T.StructField("n_dod9", T.LongType()),
+            T.StructField("n_dod12", T.LongType()),
+            T.StructField("n_dod64", T.LongType()),
+            T.StructField("ts_bits", T.LongType()),
+        ]
+    )
+
+    def _series(key, pdf):
+        pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
+        ts = [int(v) for v in pdf["us"]]
+        vals = [float(v) for v in pdf["value"]]
+        blob, hist = encode_timestamps(ts)
+        if decode_timestamps(blob) != ts:
+            raise ValueError(f"{key[0]}: timestamp roundtrip drifted")
+        vblob = encode_values(vals)
+        got = decode_values(vblob)
+        if [np.float64(v).tobytes() for v in got] != [
+            np.float64(v).tobytes() for v in vals
+        ]:
+            raise ValueError(f"{key[0]}: value bits drifted")
+        # independent recount: the histogram must equal a plain numpy
+        # pass over the dods (the oracle recounts the same thing in
+        # SQL, closing the triangle)
+        a = np.asarray(ts, dtype=np.int64)
+        if len(a) >= 3:
+            dod = np.diff(np.diff(a))
+            want = [int((np.vectorize(dod_class)(dod) == c).sum())
+                    for c in range(5)]
+        else:
+            want = [0, 0, 0, 0, 0]
+        if hist != want:
+            raise ValueError(f"{key[0]}: class histogram drifted")
+        ts_bits = 32 + 64 * min(len(ts), 2) + sum(
+            CLASS_BITS[c] * hist[c] for c in range(5)
+        )
+        if len(blob) != (ts_bits + 7) // 8:
+            raise ValueError(f"{key[0]}: stream length arithmetic")
+        return pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "n_points": np.int64(len(ts)),
+                "n_dod0": np.int64(hist[0]),
+                "n_dod7": np.int64(hist[1]),
+                "n_dod9": np.int64(hist[2]),
+                "n_dod12": np.int64(hist[3]),
+                "n_dod64": np.int64(hist[4]),
+                "ts_bits": np.int64(ts_bits),
+            }
+        )
+
+    return (
+        e.groupBy("event_type")
+        .applyInPandas(_series, schema)
+        .orderBy("event_type")
+    )

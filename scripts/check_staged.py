@@ -47,9 +47,22 @@ def staged_manifest():
     # r11 boundary: the entire r10 incubation cohort (site groups,
     # residual IVFPQ, HTML extract, funnel, retention, anomalies)
     # promoted to plans/registry.py (REGISTERED_IN == 11; 192 + 6 =
-    # 198 <= 200 capacity).  New r11 queries land here with their
-    # oracles as they are built.
-    return {}
+    # 198 <= 200 capacity; parquet_nested_read_real registered
+    # directly, 199).  New r11 builds incubate below.
+    from databatchprotectionservice_spark.operators import relational
+
+    return {
+        # r11: Gorilla time-series codec (delta-of-delta prefix codes
+        # + XOR doubles, VLDB 2015 §4.1) over per-type event streams;
+        # the oracle recounts the class histogram + exact stream bits
+        # with window functions.  Promotes at the r12 boundary if the
+        # window arithmetic admits it (registry would hit the 200
+        # capacity exactly).
+        "timeseries_gorilla_stats": (
+            relational.timeseries_gorilla_stats,
+            relational.TIMESERIES_GORILLA_ORACLE,
+        ),
+    }
 
 
 def main():

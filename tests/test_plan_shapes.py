@@ -777,3 +777,22 @@ def test_parquet_nested_read_single_exchange_map_only_decode(
     # one Arrow-batched Python stage: the decode+referee mapInPandas
     n_py = plan.count("MapInPandas")
     assert n_py == 1, plan
+
+
+def test_gorilla_stats_single_exchange_coarse_groups(spark, sf_dir):
+    """timeseries_gorilla_stats: one hash exchange on the SERIES key
+    (event_type — a chosen coarse key, 5 groups) into grouped
+    pandas; no joins, no windows in the plan (the oracle's window
+    functions are the spec)."""
+    from databatchprotectionservice_spark.operators.relational import (
+        timeseries_gorilla_stats,
+    )
+
+    plan = _plan(timeseries_gorilla_stats(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
