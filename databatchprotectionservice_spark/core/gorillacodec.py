@@ -92,17 +92,20 @@ class BitReader:
         self._nbits = len(data) * 8
 
     def read(self, nbits: int) -> int:
-        if self._pos + nbits > self._nbits:
-            raise GorillaFormatError("bitstream exhausted")
-        out = 0
         pos = self._pos
-        for _ in range(nbits):
-            out = (out << 1) | (
-                (self._data[pos >> 3] >> (7 - (pos & 7))) & 1
-            )
-            pos += 1
-        self._pos = pos
-        return out
+        end = pos + nbits
+        if end > self._nbits:
+            raise GorillaFormatError("bitstream exhausted")
+        if nbits == 0:
+            return 0
+        # byte-level: one int.from_bytes over the covered span beats
+        # a per-bit loop ~30x for the 64-bit escape/header reads
+        first = pos >> 3
+        last = (end + 7) >> 3
+        chunk = int.from_bytes(self._data[first:last], "big")
+        shift = (last - first) * 8 - (pos & 7) - nbits
+        self._pos = end
+        return (chunk >> shift) & ((1 << nbits) - 1)
 
 
 def _zigzag(v: int) -> int:

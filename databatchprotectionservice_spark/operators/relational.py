@@ -2278,8 +2278,23 @@ def timeseries_gorilla_stats(spark, sf_dir):
         a = np.asarray(ts, dtype=np.int64)
         if len(a) >= 3:
             dod = np.diff(np.diff(a))
-            want = [int((np.vectorize(dod_class)(dod) == c).sum())
-                    for c in range(5)]
+            cls = np.select(
+                [
+                    dod == 0,
+                    (dod >= -63) & (dod <= 64),
+                    (dod >= -255) & (dod <= 256),
+                    (dod >= -2047) & (dod <= 2048),
+                ],
+                [0, 1, 2, 3],
+                default=4,
+            )
+            want = [int((cls == c).sum()) for c in range(5)]
+            # spot-check the vectorized ladder against the scalar one
+            for d in dod[:64]:
+                if dod_class(int(d)) != int(
+                    cls[np.flatnonzero(dod == d)[0]]
+                ):
+                    raise ValueError("ladder recount drifted")
         else:
             want = [0, 0, 0, 0, 0]
         if hist != want:

@@ -143,6 +143,8 @@ QUERIES = [
     "events_hourly_anomalies",
     # r11: nested parquet read (binaryFile -> per-file decode)
     "parquet_nested_read_real",
+    # r11 staged: Gorilla codec over per-type event streams
+    "timeseries_gorilla_stats",
 ]
 
 
