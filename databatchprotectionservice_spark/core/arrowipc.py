@@ -39,7 +39,13 @@ fields decode through the footer's dictionary-batch blocks,
 including delta dictionaries (``isDelta`` appends to the id's value
 list, a replacement batch resets it), with index columns in any
 supported Int width and every index bounds-checked against the
-resolved dictionary.  Anything else raises
+resolved dictionary.  Compressed bodies decode too (also r11):
+``BodyCompression`` BUFFER-method framing — each non-empty buffer
+``[i64 uncompressed length][frame]``, -1 meaning stored raw — with
+LZ4 frames through ``core/lz4codec.py`` and ZSTD frames through the
+``core/zstdmeta.py``/``zstdblock.py`` entropy stack, every inflated
+length checked against the declaration.  Anything else (nested
+columns, non-BUFFER compression methods) raises
 :class:`ArrowIpcFormatError` naming the offending tag so the seam is
 explicit, in the same style as the other codecs' unsupported paths.
 """
@@ -413,8 +419,27 @@ def _decode_rb_table(
     fields: list[FieldSpec],
     dictionaries: dict,
 ) -> tuple[int, list[list]]:
-    if rb.table(3) is not None:
-        raise ArrowIpcFormatError("compressed IPC bodies not supported")
+    compression = None  # None | "lz4" | "zstd"
+    comp = rb.table(3)
+    if comp is not None:
+        # BodyCompression (Message.fbs): codec i8 (0 = LZ4_FRAME,
+        # 1 = ZSTD), method i8 (0 = BUFFER — each non-empty buffer is
+        # [i64 uncompressed length][compressed frame], -1 length
+        # meaning the buffer is stored raw)
+        codec_id = comp.scalar(0, "<b", 0)
+        method = comp.scalar(1, "<b", 0)
+        if method != 0:
+            raise ArrowIpcFormatError(
+                f"BodyCompression method {method} not supported"
+            )
+        if codec_id == 0:
+            compression = "lz4"
+        elif codec_id == 1:
+            compression = "zstd"
+        else:
+            raise ArrowIpcFormatError(
+                f"BodyCompression codec {codec_id} not supported"
+            )
     length = rb.scalar(0, "<q", 0)
     if length < 0:
         raise ArrowIpcFormatError(f"RecordBatch length {length} negative")
@@ -451,7 +476,45 @@ def _decode_rb_table(
             raise ArrowIpcFormatError("RecordBatch ran out of buffers")
         off, ln = buffers[bix]
         bix += 1
-        return body[off : off + ln]
+        raw = body[off : off + ln]
+        if compression is None or ln == 0:
+            return raw
+        if ln < 8:
+            raise ArrowIpcFormatError(
+                "compressed buffer shorter than its length prefix"
+            )
+        (want,) = struct.unpack_from("<q", raw, 0)
+        payload = raw[8:]
+        if want == -1:  # stored raw (writer skipped compression)
+            return payload
+        if want < 0:
+            raise ArrowIpcFormatError(
+                f"compressed buffer declares length {want}"
+            )
+        if compression == "lz4":
+            # LZ4 FRAME format — the in-house frame walker
+            from .lz4codec import Lz4FormatError, lz4_frame_decompress
+
+            try:
+                out = lz4_frame_decompress(payload)["content"]
+            except Lz4FormatError as e:
+                raise ArrowIpcFormatError(f"lz4 buffer: {e}") from None
+        else:  # zstd frame through the from-scratch entropy decoder
+            from .zstdmeta import ZstdFormatError, parse_zstd_frames
+
+            try:
+                frames = parse_zstd_frames(payload)
+            except ZstdFormatError as e:
+                raise ArrowIpcFormatError(f"zstd buffer: {e}") from None
+            out = b"".join(
+                f["content"] if f.get("content") is not None else b""
+                for f in frames
+            )
+        if len(out) != want:
+            raise ArrowIpcFormatError(
+                f"buffer inflated to {len(out)}, declared {want}"
+            )
+        return out
 
     columns = []
     for spec, (node_len, null_count) in zip(fields, nodes):

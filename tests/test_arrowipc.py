@@ -198,14 +198,17 @@ def test_framing_errors():
         read_arrow_ipc(b"")
 
 
-def test_compressed_body_refused():
+def test_compressed_body_decodes():
+    """Formerly the refusal test — since r11 compressed bodies decode
+    through the in-house codecs; the plain smoke case lives here,
+    the full matrix in test_compressed_bodies_decode."""
     buf = io.BytesIO()
     opts = pa.ipc.IpcWriteOptions(compression="lz4")
     t = pa.table({"x": pa.array(range(1000), pa.int64())})
     with pa.ipc.new_file(buf, t.schema, options=opts) as w:
         w.write_table(t)
-    with pytest.raises(ArrowIpcFormatError, match="compressed"):
-        read_arrow_ipc(buf.getvalue())
+    _, cols = _read_all_columns(buf.getvalue())
+    assert cols[0] == list(range(1000))
 
 
 def test_mutation_battery():
@@ -341,3 +344,41 @@ def test_encoder_ragged_batch_refused():
         )
     with pytest.raises(ArrowIpcFormatError, match="columns"):
         encode_arrow_ipc([FieldSpec("a", True, "int64", 64)], [[[1], [2]]])
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd"])
+def test_compressed_bodies_decode(codec):
+    """BodyCompression BUFFER framing (r11): per-buffer i64 length
+    prefix + LZ4/ZSTD frame, inflated by the in-house codecs, pinned
+    against pyarrow's compressing writer — plain, nullable AND
+    dictionary-encoded columns, multi-batch."""
+    import io
+
+    t = pa.table(
+        {
+            "x": pa.array(
+                [None if i % 13 == 0 else i for i in range(5000)],
+                pa.int64(),
+            ),
+            "s": pa.array(
+                [None if i % 17 == 0 else f"val{i % 7}"
+                 for i in range(5000)]
+            ),
+            "d": pa.array(
+                [f"k{i % 5}" for i in range(5000)]
+            ).dictionary_encode(),
+        }
+    )
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+        for b in t.to_batches(max_chunksize=700):
+            w.write_batch(b)
+    _, cols = _read_all_columns(sink.getvalue())
+    for ci in range(t.num_columns):
+        assert cols[ci] == t.column(ci).to_pylist(), ci
+    # a truncated compressed buffer must raise, not mis-inflate
+    data = bytearray(sink.getvalue())
+    data[len(data) // 2] ^= 0xFF
+    with pytest.raises(ArrowIpcFormatError):
+        read_arrow_ipc(bytes(data))
