@@ -44,10 +44,16 @@ resolved dictionary.  Compressed bodies decode too (also r11):
 ``[i64 uncompressed length][frame]``, -1 meaning stored raw — with
 LZ4 frames through ``core/lz4codec.py`` and ZSTD frames through the
 ``core/zstdmeta.py``/``zstdblock.py`` entropy stack, every inflated
-length checked against the declaration.  Anything else (nested
-columns, non-BUFFER compression methods) raises
-:class:`ArrowIpcFormatError` naming the offending tag so the seam is
-explicit, in the same style as the other codecs' unsupported paths.
+length checked against the declaration.  Nested columns decode too
+(also r11): List and Struct fields recurse depth-first through the
+node/buffer flattening order the columnar spec defines — List =
+``[validity][i32 offsets]`` then the child's buffers, Struct =
+``[validity]`` then each child — covering list<struct>, list<list>
+and their null/empty shapes.  Anything else (Timestamp/Decimal/
+LargeList tags, non-BUFFER compression methods, dictionary-encoded
+nested fields) raises :class:`ArrowIpcFormatError` naming the
+offending tag so the seam is explicit, in the same style as the
+other codecs' unsupported paths.
 """
 
 from __future__ import annotations
@@ -81,6 +87,8 @@ _T_FP = 3
 _T_BINARY = 4
 _T_UTF8 = 5
 _T_BOOL = 6
+_T_LIST = 12
+_T_STRUCT = 13
 
 
 class ArrowIpcFormatError(DBPSInvalidInputError):
@@ -212,6 +220,9 @@ class FieldSpec:
     #: carries only validity + indices of ``index_type``
     dict_id: int | None = None
     index_type: str | None = None
+    #: nested children (List -> (element,), Struct -> fields); empty
+    #: for primitives
+    children: tuple = ()
 
 
 def _decode_dict_encoding(name: str, d: _Table) -> tuple[int, str]:
@@ -237,7 +248,9 @@ def _decode_field(f: _Table) -> FieldSpec:
     nullable = bool(f.scalar(1, "<b", 0))
     tag = f.scalar(2, "<B", 0)
     t = f.table(3)
-    if tag not in (_T_INT, _T_FP, _T_BOOL, _T_UTF8, _T_BINARY):
+    if tag not in (
+        _T_INT, _T_FP, _T_BOOL, _T_UTF8, _T_BINARY, _T_LIST, _T_STRUCT
+    ):
         raise ArrowIpcFormatError(
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
             "not supported"
@@ -246,6 +259,23 @@ def _decode_field(f: _Table) -> FieldSpec:
     enc = f.table(4)
     if enc is not None:
         dict_id, index_type = _decode_dict_encoding(name, enc)
+    if tag in (_T_LIST, _T_STRUCT):
+        if dict_id is not None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: dictionary-encoded nested column"
+            )
+        kids = tuple(_decode_field(c) for c in f.table_vector(5))
+        if tag == _T_LIST:
+            if len(kids) != 1:
+                raise ArrowIpcFormatError(
+                    f"field {name!r}: List needs exactly one child"
+                )
+            return FieldSpec(name, nullable, "list", 0, None, None, kids)
+        if not kids:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: Struct with no children"
+            )
+        return FieldSpec(name, nullable, "struct", 0, None, None, kids)
     if f.table_vector(5):
         raise ArrowIpcFormatError(
             f"field {name!r}: nested children not supported"
@@ -449,9 +479,15 @@ def _decode_rb_table(
         raise ArrowIpcFormatError("RecordBatch missing nodes or buffers")
     nstart, nlen = nv
     bstart, blen = bv
-    if nlen != len(fields):
+
+    def _node_count(sp: FieldSpec) -> int:
+        return 1 + sum(_node_count(c) for c in sp.children)
+
+    want_nodes = sum(_node_count(f) for f in fields)
+    if nlen != want_nodes:
         raise ArrowIpcFormatError(
-            f"RecordBatch has {nlen} nodes for {len(fields)} fields"
+            f"RecordBatch has {nlen} nodes for a schema needing "
+            f"{want_nodes}"
         )
     # struct FieldNode { long length; long null_count; } stride 16
     nodes = [
@@ -516,50 +552,113 @@ def _decode_rb_table(
             )
         return out
 
-    columns = []
-    for spec, (node_len, null_count) in zip(fields, nodes):
-        if node_len != length:
-            raise ArrowIpcFormatError(
-                f"field {spec.name!r}: node length {node_len} != "
-                f"batch length {length}"
+    nix = 0
+
+    def next_node() -> tuple:
+        nonlocal nix
+        if nix >= len(nodes):
+            raise ArrowIpcFormatError("RecordBatch ran out of nodes")
+        n = nodes[nix]
+        nix += 1
+        return n
+
+    def decode_nested(spec: FieldSpec) -> list:
+        """Depth-first node/buffer consumption (the Arrow columnar
+        spec's flattening order): List = [validity][i32 offsets] then
+        the child's buffers; Struct = [validity] then each child."""
+        node_len, null_count = next_node()
+        if spec.type_name == "list":
+            validity = take()
+            offsets_buf = take()
+            if node_len and len(offsets_buf) < 4 * (node_len + 1):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: list offsets too short"
+                )
+            offs = (
+                struct.unpack_from(f"<{node_len + 1}i", offsets_buf, 0)
+                if node_len
+                else (0,)
             )
+            child = decode_nested(spec.children[0])
+            out: list = []
+            for i in range(node_len):
+                if null_count and _bit(validity, i) == 0:
+                    out.append(None)
+                    continue
+                lo, hi = offs[i], offs[i + 1]
+                if lo < 0 or hi < lo or hi > len(child):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: list offsets not "
+                        "monotone in-bounds"
+                    )
+                out.append(child[lo:hi])
+            return out
+        if spec.type_name == "struct":
+            validity = take()
+            kids = [decode_nested(c) for c in spec.children]
+            for c, kv in zip(spec.children, kids):
+                if len(kv) != node_len:
+                    raise ArrowIpcFormatError(
+                        f"struct child {c.name!r} has {len(kv)} values "
+                        f"for {node_len} slots"
+                    )
+            names = [c.name for c in spec.children]
+            return [
+                None
+                if null_count and _bit(validity, i) == 0
+                else dict(zip(names, (kv[i] for kv in kids)))
+                for i in range(node_len)
+            ]
+        # primitive / dictionary leaf
         if spec.dict_id is not None:
-            # validity + fixed-width indices, resolved through the
-            # dictionary built from the footer's dictionary blocks
             bufs = [take(), take()]
             idx_spec = FieldSpec(
                 spec.name, spec.nullable, spec.index_type,
                 int(spec.index_type.lstrip("uint")),
             )
-            idx = _decode_column(idx_spec, length, null_count, bufs)
+            idx = _decode_column(idx_spec, node_len, null_count, bufs)
             values = dictionaries.get(spec.dict_id)
             if values is None:
                 raise ArrowIpcFormatError(
                     f"field {spec.name!r}: no dictionary batch for "
                     f"id {spec.dict_id}"
                 )
-            col = []
+            out = []
             for i, v in enumerate(idx):
                 if v is None:
-                    col.append(None)
+                    out.append(None)
                 elif 0 <= v < len(values):
-                    col.append(values[v])
+                    out.append(values[v])
                 else:
                     raise ArrowIpcFormatError(
                         f"field {spec.name!r}: index {v} at row {i} "
                         f"outside dictionary of {len(values)}"
                     )
-        else:
-            nbufs = 3 if spec.type_name in ("utf8", "binary") else 2
-            bufs = [take() for _ in range(nbufs)]
-            col = _decode_column(spec, length, null_count, bufs)
+            return out
+        nbufs = 3 if spec.type_name in ("utf8", "binary") else 2
+        bufs = [take() for _ in range(nbufs)]
+        col = _decode_column(spec, node_len, null_count, bufs)
         nc = sum(1 for v in col if v is None)
         if nc != null_count:
             raise ArrowIpcFormatError(
                 f"field {spec.name!r}: decoded {nc} nulls, "
                 f"node declared {null_count}"
             )
-        columns.append(col)
+        return col
+
+    columns = []
+    for spec in fields:
+        top_len = nodes[nix][0]
+        if top_len != length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: node length {top_len} != "
+                f"batch length {length}"
+            )
+        columns.append(decode_nested(spec))
+    if nix != len(nodes):
+        raise ArrowIpcFormatError(
+            f"RecordBatch declared {len(nodes)} nodes, consumed {nix}"
+        )
     if bix != len(buffers):
         raise ArrowIpcFormatError(
             f"RecordBatch declared {len(buffers)} buffers, "

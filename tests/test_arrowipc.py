@@ -98,10 +98,6 @@ def test_error_is_domain_error_subclass():
 
 def test_unsupported_type_seams_named():
     cases = [
-        ("List", pa.table({"x": pa.array([[1, 2]], pa.list_(pa.int64()))})),
-        ("Struct", pa.table(
-            {"x": pa.array([{"a": 1}], pa.struct([("a", pa.int64())]))}
-        )),
         ("Timestamp", pa.table({"x": pa.array([0], pa.timestamp("us"))})),
         ("Decimal", pa.table(
             {"x": pa.array([1], pa.decimal128(10, 2))}
@@ -382,3 +378,54 @@ def test_compressed_bodies_decode(codec):
     data[len(data) // 2] ^= 0xFF
     with pytest.raises(ArrowIpcFormatError):
         read_arrow_ipc(bytes(data))
+
+
+@pytest.mark.parametrize("codec", [None, "lz4", "zstd"])
+def test_nested_list_struct_decode(codec):
+    """Lists, structs, list<struct>, list<list> (r11): depth-first
+    node/buffer consumption per the columnar spec's flattening order
+    — validity+offsets then child for List, validity then children
+    for Struct — across multiple batches and all three body codecs."""
+    t = pa.table(
+        {
+            "flat": pa.array([1, 2, None, 4, 5], pa.int64()),
+            "l": pa.array(
+                [[1, 2], [], None, [None, 5], [6]],
+                pa.list_(pa.int64()),
+            ),
+            "ls": pa.array(
+                [["a"], None, [], ["b", None], ["c"]],
+                pa.list_(pa.string()),
+            ),
+            "st": pa.array(
+                [
+                    {"a": 1, "b": "x"},
+                    None,
+                    {"a": None, "b": "y"},
+                    {"a": 4, "b": None},
+                    {"a": 5, "b": "z"},
+                ],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "lst": pa.array(
+                [[{"a": 1}], [], None, [{"a": None}, {"a": 3}],
+                 [{"a": 4}]],
+                pa.list_(pa.struct([("a", pa.int64())])),
+            ),
+            "ll": pa.array(
+                [[[1], [2, 3]], None, [[]], [None], [[4]]],
+                pa.list_(pa.list_(pa.int64())),
+            ),
+        }
+    )
+    sink = io.BytesIO()
+    opts = pa.ipc.IpcWriteOptions(compression=codec)
+    with pa.ipc.new_file(sink, t.schema, options=opts) as w:
+        for b in t.to_batches(max_chunksize=2):
+            w.write_batch(b)
+    got, cols = _read_all_columns(sink.getvalue())
+    assert [f.type_name for f in got["fields"]] == [
+        "int64", "list", "list", "struct", "list", "list",
+    ]
+    for ci in range(t.num_columns):
+        assert cols[ci] == t.column(ci).to_pylist(), ci
