@@ -29,9 +29,13 @@ definition level how deep the path is defined, so a chain path
 ``assemble_nested``.  The reference's level machinery carries
 repetition levels as opaque framed bytes
 (``parquet_utils.cpp:191-222``); this reader decodes them fully.
-Leaves under a TRUE branching struct (several sibling leaves whose
-record structure interleaves) remain the documented seam — a chain
-walk cannot order sibling columns' entries against each other.
+BRANCHING structs close the loop (:func:`read_record_field`): every
+leaf of a subtree shares the record structure above their common
+ancestors, so each leaf assembles independently in MARKED mode
+(``_NullAt`` carries the break depth) and the schema tree zips the
+assemblies — struct, nested struct, list<struct>, struct-of-list,
+maps and list<list<struct>> all reassemble to pyarrow-identical
+records; no nesting seam remains on the read side.
 Every page must consume its byte budget and yield exactly its
 declared value count — short pages raise rather than truncate.  The
 unit suite pins decoded values against pyarrow's reader
@@ -63,6 +67,22 @@ _RLE_DICTIONARY = 8
 
 class ParquetReadError(DBPSInvalidInputError):
     """Out-of-subset or malformed column content."""
+
+
+class _NullAt:
+    """Marked-decode placeholder: the leaf's path broke at definition
+    level ``d``.  Cross-column record assembly (:func:`read_record_field`)
+    needs the break DEPTH — a null struct and a present struct with a
+    null leaf both flatten to None, but their markers differ — while
+    plain single-column reads strip markers to None."""
+
+    __slots__ = ("d",)
+
+    def __init__(self, d: int) -> None:
+        self.d = d
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"_NullAt({self.d})"
 
 
 def _hybrid_decode(
@@ -310,7 +330,9 @@ def _chain_levels(path: list) -> tuple:
     return max_def, max_rep, actions
 
 
-def assemble_nested(reps, defs, values, path: list) -> list:
+def assemble_nested(
+    reps, defs, values, path: list, *, marked: bool = False
+) -> list:
     """Dremel record assembly for ONE leaf column -> list of records.
 
     ``reps``/``defs`` are the chunk's repetition/definition level
@@ -361,12 +383,11 @@ def assemble_nested(reps, defs, values, path: list) -> list:
             else:
                 records[-1] = []
         else:  # "null"
-            if len(stack) == depth and depth > 0:
-                stack[-1].append(None)
-            elif not stack:
-                records[-1] = None
+            hole = _NullAt(int(d)) if marked else None
+            if stack:
+                stack[-1].append(hole)
             else:
-                stack[-1].append(None)
+                records[-1] = hole
     if vi != len(values):
         raise ParquetReadError(
             f"assembly consumed {vi} of {len(values)} values"
@@ -381,6 +402,7 @@ def read_column(
     *,
     nested: bool = False,
     path: list | None = None,
+    marked: bool = False,
 ) -> list:
     """Decode one column chunk to Python values (None = null).
 
@@ -393,7 +415,8 @@ def read_column(
         max_def, max_rep, _ = _chain_levels(path)
         if max_rep > 0:
             return _read_column_nested(
-                data, column, leaf, path, max_def, max_rep
+                data, column, leaf, path, max_def, max_rep,
+                marked=marked,
             )
         # leaf under OPTIONAL struct groups (no repetition): flat
         # decode but with the CHAIN's max_def — any undefined
@@ -492,7 +515,10 @@ def read_column(
         if max_def:
             it = iter(values)
             out.extend(
-                next(it) if lv == max_def else None for lv in levels
+                next(it)
+                if lv == max_def
+                else (_NullAt(int(lv)) if marked else None)
+                for lv in levels
             )
         else:
             out.extend(values)
@@ -506,7 +532,7 @@ def read_column(
 
 def _read_column_nested(
     data: bytes, column: dict, leaf: dict, path: list,
-    max_def: int, max_rep: int,
+    max_def: int, max_rep: int, *, marked: bool = False,
 ) -> list:
     """Decode a REPEATED-ancestor column chunk into assembled records.
 
@@ -611,7 +637,7 @@ def _read_column_nested(
             f"decoded {len(reps)} leaf slots, chunk declares "
             f"{column['num_values']}"
         )
-    return assemble_nested(reps, defs, all_values, path)
+    return assemble_nested(reps, defs, all_values, path, marked=marked)
 
 
 def _prefixed_levels(
@@ -629,3 +655,152 @@ def _prefixed_levels(
         raise ParquetReadError("levels overrun the page")
     levels, _ = _hybrid_decode(raw[pos : pos + lvl_len], 0, bit_width, count)
     return levels, pos + lvl_len
+
+
+def _field_tree(schema: list, ordinal: int) -> tuple:
+    """Root child #``ordinal`` -> (node_index, child_info, def_at,
+    leaf_base) where ``child_info[node] = [(child_idx, leaf_slice)]``
+    (leaf slices RELATIVE to the field's own leaves, in column order)
+    and ``def_at[node]`` is the cumulative definition level at the
+    node; ``leaf_base`` is the field's first leaf's global column
+    ordinal."""
+    child_info: dict = {}
+    def_at: dict = {}
+    leaf_counter = [0]
+
+    def walk(idx: int, cum_def: int) -> tuple[int, int, int]:
+        """-> (next schema idx, first leaf ordinal, leaf count)."""
+        el = schema[idx]
+        if el["repetition"] in ("OPTIONAL", "REPEATED"):
+            cum_def += 1
+        def_at[idx] = cum_def
+        nxt = idx + 1
+        if el["num_children"] == 0:
+            at = leaf_counter[0]
+            leaf_counter[0] += 1
+            return nxt, at, 1
+        kids = []
+        first = None
+        total = 0
+        for _ in range(el["num_children"]):
+            cidx = nxt
+            nxt, cat, cn = walk(nxt, cum_def)
+            kids.append((cidx, cat, cn))
+            first = cat if first is None else first
+            total += cn
+        base = first if first is not None else leaf_counter[0]
+        # slices RELATIVE to this node's own first leaf, so a combine
+        # recursion that narrows `entries` to a child's view can keep
+        # indexing with the child's recorded slice
+        child_info[idx] = [
+            (cidx, slice(cat - base, cat - base + cn))
+            for cidx, cat, cn in kids
+        ]
+        return nxt, base, total
+
+    root = schema[0]
+    nxt = 1
+    global_leaf = 0
+    for child_no in range(root["num_children"]):
+        start = nxt
+        leaf_counter[0] = 0
+        nxt, _at, n = walk(start, 0)
+        if child_no == ordinal:
+            return start, child_info, def_at, global_leaf
+        global_leaf += n
+    raise ParquetReadError(f"no root child #{ordinal}")
+
+
+def read_record_field(data: bytes, meta: dict, ordinal: int) -> list:
+    """Read TOP-LEVEL field #``ordinal`` — any supported shape,
+    including BRANCHING structs (struct, list<struct>, struct of
+    lists, maps) — into per-record Python values, closing the
+    reader's last named nesting seam.
+
+    Cross-column Dremel assembly: every leaf of the subtree shares
+    the record structure ABOVE their common ancestors, so each leaf
+    is assembled independently in MARKED mode (``_NullAt(d)``
+    preserves the definition level a path broke at) and the schema
+    tree then zips the assemblies — a struct slot is null iff its
+    first leaf broke ABOVE the struct's definition level, present
+    otherwise (the marker depth disambiguates null-struct from
+    present-struct-with-null-leaf, which plain flattening cannot).
+
+    Maps surface as ``[{"key": k, "value": v}, ...]`` per row."""
+    schema = meta["schema"]
+    node, child_info, def_at, leaf_base = _field_tree(schema, ordinal)
+    paths = leaf_paths(schema)
+    n_leaves = (
+        child_info.get(node) and sum(
+            (sl.stop - sl.start) for _c, sl in child_info[node]
+        )
+    ) or 1
+
+    leaf_vals: list[list] = []
+    for li in range(n_leaves):
+        leaf, lpath = paths[leaf_base + li]
+        vals: list = []
+        for rg in meta["row_groups"]:
+            vals.extend(
+                read_column(
+                    data,
+                    rg["columns"][leaf_base + li],
+                    leaf,
+                    path=lpath,
+                    marked=True,
+                )
+            )
+        leaf_vals.append(vals)
+    n_rows = len(leaf_vals[0])
+    for lv in leaf_vals[1:]:
+        if len(lv) != n_rows:
+            raise ParquetReadError(
+                "sibling leaves disagree on record count"
+            )
+
+    def combine(nidx: int, entries: list):
+        el = schema[nidx]
+        e0 = entries[0]
+        if el["num_children"] == 0:
+            return None if isinstance(e0, _NullAt) else e0
+        if isinstance(e0, _NullAt) and e0.d < def_at[nidx]:
+            return None  # broke above/at this node: all leaves agree
+        kids = child_info[nidx]
+        rep_child = (
+            kids[0][0]
+            if len(kids) == 1
+            and schema[kids[0][0]]["repetition"] == "REPEATED"
+            else None
+        )
+        if rep_child is not None:
+            # LIST/MAP wrapper (or legacy 2-level repeated child)
+            if isinstance(e0, _NullAt):
+                return None
+            if not isinstance(e0, list):
+                raise ParquetReadError(
+                    f"node {el['name']!r}: expected list structure"
+                )
+            if not e0:
+                return []
+            rc = schema[rep_child]
+            rkids = child_info.get(rep_child, [])
+            if rc["num_children"] == 0 or len(rkids) > 1:
+                # repeated leaf / repeated struct: the element IS the
+                # repeated node (maps land here: key_value -> 2 kids)
+                elem = rep_child
+            else:
+                elem = rkids[0][0]  # 3-level: single child of 'list'
+            return [
+                combine(elem, [ent[k] for ent in entries])
+                for k in range(len(e0))
+            ]
+        # branching (or single-child) STRUCT, present at this slot
+        out = {}
+        for cidx, sl in kids:
+            out[schema[cidx]["name"]] = combine(cidx, entries[sl])
+        return out
+
+    return [
+        combine(node, [lv[r] for lv in leaf_vals])
+        for r in range(n_rows)
+    ]

@@ -2157,6 +2157,64 @@ def parquet_nested_read_real(spark, sf_dir) -> DataFrame:
                         raise ValueError(
                             f"column {name!r} diverges from pyarrow"
                         )
+                # referee 2 (r11): BRANCHING-struct assembly — a
+                # struct/list<struct> table derived from this file's
+                # rows goes through pyarrow's writer and OUR
+                # cross-column record assembler, which must agree
+                # record-for-record (results unchanged; the gate now
+                # drives read_record_field every run)
+                import pyarrow as pa_
+
+                from ..core.parquetread import read_record_field
+
+                k = min(128, len(cols["vec_id"]))
+                st = pa_.table(
+                    {
+                        "rec": pa_.array(
+                            [
+                                None
+                                if i % 11 == 3
+                                else {
+                                    "vec_id": cols["vec_id"][i],
+                                    "emb": None
+                                    if i % 7 == 2
+                                    else cols["element"][i],
+                                    "tag": {
+                                        "label": cols["label"][i],
+                                        "neg": -int(
+                                            cols["label"][i] or 0
+                                        ),
+                                    },
+                                }
+                                for i in range(k)
+                            ],
+                            pa_.struct(
+                                [
+                                    ("vec_id", pa_.int64()),
+                                    ("emb", pa_.list_(pa_.float32())),
+                                    (
+                                        "tag",
+                                        pa_.struct(
+                                            [
+                                                ("label", pa_.int32()),
+                                                ("neg", pa_.int64()),
+                                            ]
+                                        ),
+                                    ),
+                                ]
+                            ),
+                        )
+                    }
+                )
+                sbuf = io.BytesIO()
+                pq_.write_table(st, sbuf)
+                smeta = parse_footer(sbuf.getvalue())
+                got_rec = read_record_field(sbuf.getvalue(), smeta, 0)
+                if got_rec != st.column(0).to_pylist():
+                    raise ValueError(
+                        "branching-struct assembly diverges from "
+                        "pyarrow"
+                    )
                 vecs = cols["element" if "element" in cols else names[1]]
                 yield pd.DataFrame(
                     {

@@ -233,3 +233,140 @@ def test_struct_ancestor_leaves_flatten(dpv):
     assert got[0] == [1, None, None, 4]
     assert got[1] == ["x", None, "y", None]
     assert got[2] == [[1, None], None, [], [7]]
+
+
+def _conv_deep(v):
+    if isinstance(v, bytes):
+        return v.decode("utf-8", "surrogateescape")
+    if isinstance(v, list):
+        return [_conv_deep(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _conv_deep(x) for k, x in v.items()}
+    return v
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize("codec", ["snappy", "none"])
+def test_branching_struct_record_assembly(dpv, codec):
+    """read_record_field (r11): cross-column Dremel assembly closes
+    the branching-struct seam — struct, nested struct, list<struct>,
+    struct-of-list, maps and list<list<struct>> reassemble exactly,
+    with marker depths disambiguating null-struct from
+    present-struct-with-null-leaf."""
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    t = pa.table(
+        {
+            "flat": pa.array([1, None, 3], pa.int64()),
+            "st": pa.array(
+                [{"a": 1, "b": "x"}, None, {"a": None, "b": None}],
+                pa.struct([("a", pa.int64()), ("b", pa.string())]),
+            ),
+            "nested_st": pa.array(
+                [
+                    {"in": {"p": 1, "q": 2.5}, "r": "top"},
+                    {"in": None, "r": None},
+                    None,
+                ],
+                pa.struct(
+                    [
+                        ("in", pa.struct(
+                            [("p", pa.int64()), ("q", pa.float64())]
+                        )),
+                        ("r", pa.string()),
+                    ]
+                ),
+            ),
+            "ls": pa.array(
+                [[{"a": 1, "b": "x"}, {"a": None, "b": "y"}], None, []],
+                pa.list_(
+                    pa.struct([("a", pa.int64()), ("b", pa.string())])
+                ),
+            ),
+            "sl": pa.array(
+                [
+                    {"v": [1, 2], "w": "k"},
+                    {"v": None, "w": "m"},
+                    {"v": [], "w": None},
+                ],
+                pa.struct(
+                    [("v", pa.list_(pa.int64())), ("w", pa.string())]
+                ),
+            ),
+            "m": pa.array(
+                [{"a": 1, "b": 2}, None, {}],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "lls": pa.array(
+                [[[{"z": 1}]], [None, []], None],
+                pa.list_(pa.list_(pa.struct([("z", pa.int64())]))),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(
+        t, buf, data_page_version=dpv, compression=codec,
+        row_group_size=2,
+    )
+    data = buf.getvalue()
+    meta = parse_footer(data)
+    for ordinal, name in enumerate(t.column_names):
+        got = _conv_deep(read_record_field(data, meta, ordinal))
+        want = _conv_deep(t.column(ordinal).to_pylist())
+        if name == "m":
+            got = [
+                None if r is None
+                else [(e["key"], e["value"]) for e in r]
+                for r in got
+            ]
+        assert got == want, name
+
+
+def test_branching_struct_randomized_fuzz():
+    """Randomized deep shapes (struct/list mixes with nulls at every
+    level) through write -> read_record_field, pyarrow as referee."""
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    rng = random.Random(13)
+    inner = pa.struct([("p", pa.int64()), ("q", pa.string())])
+    typ = pa.struct(
+        [
+            ("s", inner),
+            ("xs", pa.list_(inner)),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def mk_inner():
+        if rng.random() < 0.2:
+            return None
+        return {
+            "p": None if rng.random() < 0.3 else rng.randint(0, 99),
+            "q": None if rng.random() < 0.3 else f"s{rng.randint(0, 9)}",
+        }
+
+    rows = []
+    for _ in range(400):
+        if rng.random() < 0.1:
+            rows.append(None)
+            continue
+        rows.append(
+            {
+                "s": mk_inner(),
+                "xs": None
+                if rng.random() < 0.15
+                else [mk_inner() for _ in range(rng.randint(0, 4))],
+                "n": None if rng.random() < 0.3 else rng.randint(0, 9),
+            }
+        )
+    t = pa.table({"c": pa.array(rows, typ)})
+    buf = io.BytesIO()
+    pq.write_table(t, buf, data_page_size=512, row_group_size=150)
+    data = buf.getvalue()
+    meta = parse_footer(data)
+    got = _conv_deep(read_record_field(data, meta, 0))
+    assert got == _conv_deep(t.column(0).to_pylist())
