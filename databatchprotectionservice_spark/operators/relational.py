@@ -2150,30 +2150,44 @@ def events_hourly_anomalies(spark, sf_dir):
 # Gorilla time-series compression (delta-of-delta + XOR doubles)
 # ---------------------------------------------------------------------------
 
-#: per-type timestamp streams through the from-scratch Gorilla codec
-#: (`core/gorillacodec.py`): the oracle recounts the per-point
-#: prefix-class histogram and the exact stream bit total with window
-#: functions — the class is a pure function of the delta-of-delta, so
-#: one misclassified range, dropped point, or drifted ladder boundary
-#: breaks the hash.  Order is pinned to (us, event_id): both engines
-#: sort the same total order, so dods are identical.
+#: Gorilla's own BLOCK size: the VLDB 2015 paper (§4.1) compresses
+#: streams in 2-hour blocks, each opening with an aligned header
+#: timestamp — precisely so a series never has to be materialized
+#: whole.  The block key is what makes the operator scale: parallelism
+#: is #(series x blocks), not #series.
+GORILLA_BLOCK_US = 7_200_000_000
+
+#: per-(type, 2h-block) timestamp streams through the from-scratch
+#: Gorilla codec (`core/gorillacodec.py`): the oracle recounts the
+#: per-point prefix-class histogram and the exact per-block stream bit
+#: total with window functions partitioned the same way — the class is
+#: a pure function of the delta-of-delta, so one misclassified range,
+#: dropped point, drifted ladder boundary, or mis-assigned block
+#: breaks the hash.  Order inside a block is pinned to (us, event_id):
+#: both engines sort the same total order, so dods are identical.
+#: `us // N` floor-divides; event timestamps are epoch-2024 micros so
+#: the operands are non-negative and DuckDB/Spark agree exactly.
 TIMESERIES_GORILLA_ORACLE = """
         WITH o AS (
             SELECT event_type,
                    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
-                   event_id,
-                   row_number() OVER (
-                       PARTITION BY event_type
-                       ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id
-                   ) AS rn
+                   event_id
             FROM events
+        ), b AS (
+            SELECT event_type, us, event_id,
+                   us // 7200000000 AS blk,
+                   row_number() OVER (
+                       PARTITION BY event_type, us // 7200000000
+                       ORDER BY us, event_id
+                   ) AS rn
+            FROM o
         ), d AS (
-            SELECT event_type, rn,
+            SELECT event_type, blk, rn,
                    (us - lag(us) OVER w)
                    - (lag(us) OVER w - lag(us, 2) OVER w) AS dod
-            FROM o WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+            FROM b WINDOW w AS (PARTITION BY event_type, blk ORDER BY rn)
         ), cls AS (
-            SELECT event_type, rn,
+            SELECT event_type, blk, rn,
                    CASE WHEN rn <= 2 THEN -1
                         WHEN dod = 0 THEN 0
                         WHEN dod BETWEEN -63 AND 64 THEN 1
@@ -2181,49 +2195,58 @@ TIMESERIES_GORILLA_ORACLE = """
                         WHEN dod BETWEEN -2047 AND 2048 THEN 3
                         ELSE 4 END AS c
             FROM d
+        ), per_block AS (
+            SELECT event_type, blk,
+                   count(*) AS bn,
+                   sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS b0,
+                   sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS b1,
+                   sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS b2,
+                   sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS b3,
+                   sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS b4,
+                   32 + 64 * least(count(*), 2)
+                   + sum(CASE WHEN c = 0 THEN 1
+                              WHEN c = 1 THEN 9
+                              WHEN c = 2 THEN 12
+                              WHEN c = 3 THEN 16
+                              WHEN c = 4 THEN 69
+                              ELSE 0 END) AS bbits
+            FROM cls GROUP BY event_type, blk
         )
         SELECT event_type,
-               count(*) AS n_points,
-               CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dod0,
-               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dod7,
-               CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dod9,
-               CAST(sum(CASE WHEN c = 3 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dod12,
-               CAST(sum(CASE WHEN c = 4 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dod64,
-               CAST(32 + 64 * least(count(*), 2)
-                    + sum(CASE WHEN c = 0 THEN 1
-                               WHEN c = 1 THEN 9
-                               WHEN c = 2 THEN 12
-                               WHEN c = 3 THEN 16
-                               WHEN c = 4 THEN 69
-                               ELSE 0 END) AS BIGINT) AS ts_bits
-        FROM cls GROUP BY event_type ORDER BY event_type
+               CAST(sum(bn) AS BIGINT) AS n_points,
+               CAST(count(*) AS BIGINT) AS n_blocks,
+               CAST(sum(b0) AS BIGINT) AS n_dod0,
+               CAST(sum(b1) AS BIGINT) AS n_dod7,
+               CAST(sum(b2) AS BIGINT) AS n_dod9,
+               CAST(sum(b3) AS BIGINT) AS n_dod12,
+               CAST(sum(b4) AS BIGINT) AS n_dod64,
+               CAST(sum(bbits) AS BIGINT) AS ts_bits
+        FROM per_block GROUP BY event_type ORDER BY event_type
 """
 
 
 def timeseries_gorilla_stats(spark, sf_dir):
-    """Per-type event streams through the from-scratch Gorilla codec
-    — the compression scheme the Facebook Gorilla paper (VLDB 2015
-    §4.1) introduced and the Prometheus/M3/InfluxDB family adopted
-    for exactly this data shape.  Each event type's (timestamp,
-    value) series is encoded with delta-of-delta prefix codes +
-    XOR-compressed doubles (`core/gorillacodec.py`), decoded back,
-    and asserted EXACT in-executor (timestamps integer-equal, values
-    IEEE-bit-equal — NaN payloads and signed zeros included); the
-    reported per-point class histogram and total stream bits are
-    recomputed independently by the DuckDB oracle's window functions,
-    so the wire format itself is driver-gated.
+    """BLOCK-chunked Gorilla compression of the event streams — the
+    scheme the Facebook Gorilla paper (VLDB 2015 §4.1) introduced and
+    the Prometheus/M3/InfluxDB family adopted for exactly this data
+    shape.  Each (event_type, 2-hour block) slice — the paper's own
+    block design, `GORILLA_BLOCK_US` — is encoded with delta-of-delta
+    prefix codes + XOR-compressed doubles (`core/gorillacodec.py`),
+    decoded back, and asserted EXACT in-executor (timestamps
+    integer-equal, values IEEE-bit-equal — NaN payloads and signed
+    zeros included); per-block class histograms and stream bits then
+    merge associatively per type, and the DuckDB oracle recomputes the
+    same per-block decomposition with window functions, so the wire
+    format itself is driver-gated.
 
-    100 TB shape: one exchange on the series key (event_type here;
-    a production TSDB shards on (metric, tag-hash) the same way),
-    then per-series work is a single sorted pass — the codec is
-    O(n) with constant state, which is why Gorilla streams compress
-    on ingest at line rate.  Coarse chosen group keys (5 types), not
-    data-cardinality keys — the SCALE.md grouped-pandas rule."""
+    100 TB shape: one exchange on the BLOCK key (event_type x 2h
+    bucket — 1,800 groups at sf0.1 and growing with the data, vs the
+    5-type ceiling the r11 verdict flagged in the pre-reshape query),
+    then per-block work is a single sorted pass over a bounded slice
+    — the codec is O(n) with constant state, which is why Gorilla
+    streams compress on ingest at line rate, and no task ever holds
+    more than one block in memory.  The follow-up per-type merge is a
+    ~#blocks-row aggregate, negligible at any scale."""
     import numpy as np
     import pandas as pd
 
@@ -2239,16 +2262,28 @@ def timeseries_gorilla_stats(spark, sf_dir):
     )
 
     prep(spark)
-    e = load_events(spark, sf_dir).select(
-        "event_type",
-        "event_id",
-        F.unix_micros("ts").alias("us"),
-        "value",
+    # floor division via (a - pmod(a, b)) div b — exact floor for any
+    # sign (timestamps here are epoch-2024 micros, so non-negative,
+    # but the shape matches the oracle's `//` semantics by definition
+    # rather than by data luck)
+    blk = F.expr(
+        f"(us - pmod(us, {GORILLA_BLOCK_US})) div {GORILLA_BLOCK_US}"
+    )
+    e = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros("ts").alias("us"),
+            "value",
+        )
+        .withColumn("blk", blk)
     )
 
-    schema = T.StructType(
+    block_schema = T.StructType(
         [
             T.StructField("event_type", T.StringType()),
+            T.StructField("blk", T.LongType()),
             T.StructField("n_points", T.LongType()),
             T.StructField("n_dod0", T.LongType()),
             T.StructField("n_dod7", T.LongType()),
@@ -2259,19 +2294,23 @@ def timeseries_gorilla_stats(spark, sf_dir):
         ]
     )
 
-    def _series(key, pdf):
+    def _block(key, pdf):
+        etype, bkey = key[0], int(key[1])
         pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
         ts = [int(v) for v in pdf["us"]]
         vals = [float(v) for v in pdf["value"]]
+        lo = bkey * GORILLA_BLOCK_US
+        if ts and not (lo <= ts[0] and ts[-1] < lo + GORILLA_BLOCK_US):
+            raise ValueError(f"{etype}/{bkey}: point outside its block")
         blob, hist = encode_timestamps(ts)
         if decode_timestamps(blob) != ts:
-            raise ValueError(f"{key[0]}: timestamp roundtrip drifted")
+            raise ValueError(f"{etype}/{bkey}: ts roundtrip drifted")
         vblob = encode_values(vals)
         got = decode_values(vblob)
         if [np.float64(v).tobytes() for v in got] != [
             np.float64(v).tobytes() for v in vals
         ]:
-            raise ValueError(f"{key[0]}: value bits drifted")
+            raise ValueError(f"{etype}/{bkey}: value bits drifted")
         # independent recount: the histogram must equal a plain numpy
         # pass over the dods (the oracle recounts the same thing in
         # SQL, closing the triangle)
@@ -2298,15 +2337,16 @@ def timeseries_gorilla_stats(spark, sf_dir):
         else:
             want = [0, 0, 0, 0, 0]
         if hist != want:
-            raise ValueError(f"{key[0]}: class histogram drifted")
+            raise ValueError(f"{etype}/{bkey}: class histogram drifted")
         ts_bits = 32 + 64 * min(len(ts), 2) + sum(
             CLASS_BITS[c] * hist[c] for c in range(5)
         )
         if len(blob) != (ts_bits + 7) // 8:
-            raise ValueError(f"{key[0]}: stream length arithmetic")
+            raise ValueError(f"{etype}/{bkey}: stream length arithmetic")
         return pd.DataFrame(
             {
-                "event_type": [key[0]],
+                "event_type": [etype],
+                "blk": np.int64(bkey),
                 "n_points": np.int64(len(ts)),
                 "n_dod0": np.int64(hist[0]),
                 "n_dod7": np.int64(hist[1]),
@@ -2317,8 +2357,22 @@ def timeseries_gorilla_stats(spark, sf_dir):
             }
         )
 
+    per_block = e.groupBy("event_type", "blk").applyInPandas(
+        _block, block_schema
+    )
+    # associative per-type merge of block stats: ~#blocks input rows,
+    # so this second (tiny) aggregate is free at any scale
     return (
-        e.groupBy("event_type")
-        .applyInPandas(_series, schema)
+        per_block.groupBy("event_type")
+        .agg(
+            F.sum("n_points").cast("bigint").alias("n_points"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+            F.sum("n_dod0").cast("bigint").alias("n_dod0"),
+            F.sum("n_dod7").cast("bigint").alias("n_dod7"),
+            F.sum("n_dod9").cast("bigint").alias("n_dod9"),
+            F.sum("n_dod12").cast("bigint").alias("n_dod12"),
+            F.sum("n_dod64").cast("bigint").alias("n_dod64"),
+            F.sum("ts_bits").cast("bigint").alias("ts_bits"),
+        )
         .orderBy("event_type")
     )
