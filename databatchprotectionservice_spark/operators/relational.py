@@ -2225,6 +2225,7 @@ TIMESERIES_GORILLA_ORACLE = """
 """
 
 
+@register("timeseries_gorilla_stats", oracle=TIMESERIES_GORILLA_ORACLE)
 def timeseries_gorilla_stats(spark, sf_dir):
     """BLOCK-chunked Gorilla compression of the event streams — the
     scheme the Facebook Gorilla paper (VLDB 2015 §4.1) introduced and

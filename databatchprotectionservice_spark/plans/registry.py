@@ -310,6 +310,21 @@ REGISTERED_IN: dict[str, int] = {
     # round 11 NEW build: nested (REPEATED) parquet read through the
     # from-scratch reader (VERDICT r10 ask #2) — 199 <= 200 capacity
     "parquet_nested_read_real": 11,
+    # round 12: the r11-incubated Gorilla query promotes AFTER its
+    # block-chunk reshape (the r11 verdict's parallelism-ceiling flag,
+    # closed in this round's first commit) — registry lands at exactly
+    # 200 = cycle_len(4) x SCORE_WINDOW.  The r12 window is already
+    # full (1 never-scored + 49 r8-stale), so this rides
+    # NEW_AFTER_WINDOW and becomes never-scored-mandatory at r13.
+    # CRITICAL boundary arithmetic (simulated in
+    # tests/test_registry_order.py::test_cycle_len5_transition_holds):
+    # at 200 registered, cycle_len stays 4, so the FULL 50-wide r9
+    # cohort goes stale at r13 alongside this never-scored query — 51
+    # mandatory, an overflow — unless the r13 boundary ALSO promotes
+    # 1..49 new queries, pushing cycle_len to 5 (capacity 250), which
+    # defers the r9 cohort by one round and absorbs everything.  The
+    # r12 staged cohort exists to satisfy exactly that.
+    "timeseries_gorilla_stats": 12,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

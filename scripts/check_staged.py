@@ -44,25 +44,13 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    # r11 boundary: the entire r10 incubation cohort (site groups,
-    # residual IVFPQ, HTML extract, funnel, retention, anomalies)
-    # promoted to plans/registry.py (REGISTERED_IN == 11; 192 + 6 =
-    # 198 <= 200 capacity; parquet_nested_read_real registered
-    # directly, 199).  New r11 builds incubate below.
-    from databatchprotectionservice_spark.operators import relational
-
-    return {
-        # r11: Gorilla time-series codec (delta-of-delta prefix codes
-        # + XOR doubles, VLDB 2015 §4.1) over per-type event streams;
-        # the oracle recounts the class histogram + exact stream bits
-        # with window functions.  Promotes at the r12 boundary if the
-        # window arithmetic admits it (registry would hit the 200
-        # capacity exactly).
-        "timeseries_gorilla_stats": (
-            relational.timeseries_gorilla_stats,
-            relational.TIMESERIES_GORILLA_ORACLE,
-        ),
-    }
+    # r12 boundary: timeseries_gorilla_stats promoted after its
+    # block-chunk reshape (REGISTERED_IN == 12; registry at exactly
+    # 200).  NOTE the registry comment on that entry: the r13 boundary
+    # MUST promote 1..49 staged queries (cycle_len 4 -> 5) or the
+    # 50-wide r9 cohort + the never-scored Gorilla query overflow the
+    # window — the r12 incubation cohort below exists to satisfy that.
+    return {}
 
 
 def main():

@@ -124,11 +124,26 @@ def test_next_boundary_rotation_holds(monkeypatch):
     satisfies every invariant — the structural proof that the r7/r8
     hand-rotation failure mode cannot recur.  Also checks the window
     arithmetic the registration budget protects: the mandatory set
-    (new 3-stale cohort + this round's registrations) must fit."""
+    (new 3-stale cohort + this round's registrations) must fit.
+
+    Since the registry hit the 200 = cycle_len(4) x 50 wall at r12,
+    the next boundary is only satisfiable WITH its planned promotion
+    (cycle_len 4 -> 5) — test_cycle_len5_transition_holds proves K=0
+    overflows and any K in [1, 49] works — so the simulation injects
+    the minimal planned promotion (K=1) into the registry view."""
+    registry._ensure_loaded()
     last, current = registry._verdict_history()
     simulated = dict(last)
     for n in registry.score_first()[: registry.SCORE_WINDOW]:
         simulated[n] = current
+    hypo_registry = dict(registry.REGISTRY)
+    hypo_reg_in = dict(registry.REGISTERED_IN)
+    for i in range(1):
+        n = f"__hypo_promo_{i}"
+        hypo_registry[n] = registry.QuerySpec(n, lambda s, d: None, "SELECT 1")
+        hypo_reg_in[n] = current + 1
+    monkeypatch.setattr(registry, "REGISTRY", hypo_registry)
+    monkeypatch.setattr(registry, "REGISTERED_IN", hypo_reg_in)
     monkeypatch.setattr(
         registry, "_verdict_history", lambda: (simulated, current + 1)
     )
@@ -139,12 +154,12 @@ def test_next_boundary_rotation_holds(monkeypatch):
     pinned = set(registry.new_after_window())
     # this round's registrations carry no verdict yet and were NOT
     # registered in round current+1 -> they must be IN the next window
-    for n, rnd in registry.REGISTERED_IN.items():
+    for n, rnd in hypo_reg_in.items():
         if rnd == current and n not in simulated:
             assert n in wset, f"{n} (registered r{rnd}) missed the window"
     stale = [
         n
-        for n in registry.REGISTRY
+        for n in hypo_registry
         if simulated.get(n, 0) <= current + 1 - cycle_len
         and n not in wset
         and n not in pinned
@@ -152,7 +167,7 @@ def test_next_boundary_rotation_holds(monkeypatch):
     assert stale == [], f"next-boundary stale overflow: {stale}"
     never = [
         n
-        for n in registry.REGISTRY
+        for n in hypo_registry
         if n not in simulated and n not in wset and n not in pinned
     ]
     assert never == []
@@ -167,12 +182,34 @@ def test_multi_boundary_rotation_holds(monkeypatch):
     200), so the steady state is ~42 mandatory + fillers per round and
     every query re-scores within cycle_len rounds.  If a future
     registration breaks the steady state, this fails BEFORE the
-    boundary ships, not two rounds later."""
+    boundary ships, not two rounds later.
+
+    At the r12 wall (registry exactly 200) the horizon is only
+    satisfiable with the planned next-boundary promotion — see
+    test_cycle_len5_transition_holds for the K=0-overflow /
+    K-in-[1,49]-works proof — so the simulation injects the minimal
+    planned promotion (K=1, cycle_len 4 -> 5) into the registry
+    view before walking the six boundaries."""
     registry._ensure_loaded()
     last, current = registry._verdict_history()
+    base_registry = dict(registry.REGISTRY)
+    hypo_registry = dict(registry.REGISTRY)
+    hypo_reg_in = dict(registry.REGISTERED_IN)
+    n = "__hypo_promo_0"
+    hypo_registry[n] = registry.QuerySpec(n, lambda s, d: None, "SELECT 1")
+    hypo_reg_in[n] = current + 1
+    monkeypatch.setattr(registry, "REGISTERED_IN", hypo_reg_in)
     simulated = dict(last)
     for step in range(6):
         rnd = current + step
+        # the hypothetical promotion enters the registry AT its
+        # registration boundary, not before (a staged query is
+        # invisible to the window until promoted)
+        monkeypatch.setattr(
+            registry,
+            "REGISTRY",
+            hypo_registry if rnd >= current + 1 else base_registry,
+        )
         monkeypatch.setattr(
             registry, "_verdict_history", lambda s=dict(simulated), r=rnd: (dict(s), r)
         )
@@ -181,20 +218,84 @@ def test_multi_boundary_rotation_holds(monkeypatch):
         wset = set(window)
         clen = registry.cycle_len()
         pinned = set(registry.new_after_window())
+        active = hypo_registry if rnd >= current + 1 else base_registry
         stale = [
-            n for n in registry.REGISTRY
+            n for n in active
             if simulated.get(n, 0) and simulated[n] <= rnd - clen
             and n not in wset and n not in pinned
         ]
         assert stale == [], f"r{rnd}: stale outside window: {stale}"
         never = [
-            n for n in registry.REGISTRY
+            n for n in active
             if n not in simulated and n not in wset and n not in pinned
-            and registry.REGISTERED_IN.get(n) != rnd
+            and hypo_reg_in.get(n) != rnd
         ]
         assert never == [], f"r{rnd}: never-scored outside window: {never}"
         for n in window:
             simulated[n] = rnd
     # after the horizon, no verdict is older than the cycle bound
-    ages = [current + 5 - simulated[n] for n in registry.REGISTRY if n in simulated]
+    ages = [current + 5 - simulated[n] for n in hypo_registry if n in simulated]
     assert max(ages) <= registry.cycle_len() - 1
+
+
+def test_cycle_len5_transition_holds(monkeypatch):
+    """The 200-capacity wall, simulated BEFORE it binds (VERDICT r11
+    ask #6).  With the registry at exactly 200 = cycle_len(4) x 50,
+    the next boundary after the r12 scoring lands faces the full
+    50-wide r9 cohort going 4-stale PLUS the never-scored r12
+    registration — 51 mandatory, an overflow — UNLESS that boundary
+    also promotes K >= 1 new queries, pushing cycle_len to 5
+    (capacity 250), which defers the r9 cohort by one round.  This
+    test proves both halves: K = 0 overflows, and every K in a
+    representative span of [1, 49] satisfies all invariants over six
+    boundaries with a bounded staleness tail.  (K = 50 would overflow
+    again at the boundary after: 50 promoted + 1 leftover stale.)"""
+    import math
+
+    registry._ensure_loaded()
+    last, current = registry._verdict_history()
+
+    def run(K):
+        """Simulate boundaries r{current}..r{current+6}; return the
+        first overflow round or None."""
+        sim = {n: r for n, r in last.items()}
+        names = list(registry.REGISTRY)
+        reg_in = dict(registry.REGISTERED_IN)
+        hypo = [f"__hypo_r{current + 1}_{i}" for i in range(K)]
+        names += hypo
+        for n in hypo:
+            reg_in[n] = current + 1  # the boundary after this round's
+        for rnd in range(current, current + 7):
+            active = [n for n in names if reg_in.get(n, 0) <= rnd]
+            clen = math.ceil(len(active) / registry.SCORE_WINDOW)
+            pinned = {n for n in active if reg_in.get(n) == rnd}
+            never = [n for n in active if not sim.get(n) and n not in pinned]
+            stale = [
+                n for n in active
+                if sim.get(n) and sim[n] <= rnd - clen
+            ]
+            mandatory = list(dict.fromkeys(never + stale))
+            if len(mandatory) > registry.SCORE_WINDOW:
+                return rnd
+            window = list(mandatory)
+            fillers = sorted(
+                (n for n in active if n not in set(window) and n not in pinned),
+                key=lambda n: sim.get(n, 0),
+            )
+            pf = [n for n in pinned if n not in set(window)]
+            window += (pf + fillers)[
+                : registry.SCORE_WINDOW - len(window)
+            ]
+            if len([n for n in pinned if n not in set(window)]) > 3:
+                return rnd  # NEW_AFTER_WINDOW budget blown
+            for n in window:
+                sim[n] = rnd
+        return None
+
+    assert run(0) is not None, (
+        "K=0 no longer overflows — the registry grew past 200; "
+        "re-derive the promotion requirement"
+    )
+    for K in (1, 2, 3, 4, 6, 10, 25, 49):
+        bad = run(K)
+        assert bad is None, f"K={K}: overflow at r{bad}"
