@@ -688,7 +688,15 @@ def _decode_dictionary_batch(
     rb = db.table(1)
     if rb is None:
         raise ArrowIpcFormatError(f"dictionary {did}: missing data batch")
-    owners = [f for f in fields if f.dict_id == did]
+    # dict ids can belong to primitives nested inside Struct/List
+    # children (the decode path already accepts them), so the owner
+    # scan must recurse the whole field tree, not just the top level
+    def _walk(fs):
+        for f in fs:
+            yield f
+            yield from _walk(f.children)
+
+    owners = [f for f in _walk(fields) if f.dict_id == did]
     if not owners:
         raise ArrowIpcFormatError(
             f"dictionary batch id {did} matches no schema field"

@@ -782,11 +782,30 @@ def read_record_field(data: bytes, meta: dict, ordinal: int) -> list:
                 )
             if not e0:
                 return []
+            # corrupt-file guard: every sibling leaf under a repeated
+            # node must agree on the element count (ADVICE r11 — a
+            # mismatch used to surface as a bare IndexError below)
+            for ent in entries[1:]:
+                if not isinstance(ent, list) or len(ent) != len(e0):
+                    raise ParquetReadError(
+                        f"node {el['name']!r}: sibling leaves disagree "
+                        f"on element count ({len(e0)} vs "
+                        f"{len(ent) if isinstance(ent, list) else type(ent).__name__})"
+                    )
             rc = schema[rep_child]
             rkids = child_info.get(rep_child, [])
             if rc["num_children"] == 0 or len(rkids) > 1:
                 # repeated leaf / repeated struct: the element IS the
                 # repeated node (maps land here: key_value -> 2 kids)
+                elem = rep_child
+            elif rc["name"] == "array" or rc["name"] == (
+                el["name"] + "_tuple"
+            ):
+                # LogicalTypes.md backward-compat rules: a repeated
+                # group named 'array' or '<list-name>_tuple' IS the
+                # element type even with a single field (legacy
+                # 2-level writers) — descending into its child would
+                # assemble one level too deep (ADVICE r11)
                 elem = rep_child
             else:
                 elem = rkids[0][0]  # 3-level: single child of 'list'

@@ -56,13 +56,25 @@ def parse_zip(data: bytes) -> list:
     ) = struct.unpack_from("<HHHHIIH", data, eocd_at + 4)
     if eocd_at + 22 + comment_len != len(data):
         raise ZipFormatError("EOCD comment length disagrees with file end")
-    if disk or cd_disk or n_disk != n_total:
-        raise ZipFormatError("multi-disk archives are a documented seam")
-    if (
+    # APPNOTE permits saturating ANY 16-bit EOCD field to 0xFFFF in a
+    # Zip64 archive (4.4.1.4), including the disk numbers — those are
+    # markers deferring to the EOCD64 record, not real disk numbers,
+    # so the multi-disk check must run on the RESOLVED values
+    # (ADVICE r11). A nonzero-but-unsaturated disk number is a
+    # genuine multi-disk archive either way.
+    is_zip64 = (
         n_total == 0xFFFF
         or cd_off == 0xFFFFFFFF
         or cd_size == 0xFFFFFFFF
-    ):
+        or disk == 0xFFFF
+        or cd_disk == 0xFFFF
+        or n_disk == 0xFFFF
+    )
+    if (disk and disk != 0xFFFF) or (cd_disk and cd_disk != 0xFFFF):
+        raise ZipFormatError("multi-disk archives are a documented seam")
+    if not is_zip64 and (disk or cd_disk or n_disk != n_total):
+        raise ZipFormatError("multi-disk archives are a documented seam")
+    if is_zip64:
         # Zip64: the EOCD64 locator sits immediately before the EOCD
         # (APPNOTE 4.3.15) and points at the EOCD64 record
         loc_at = eocd_at - 20

@@ -166,6 +166,39 @@ def test_dictionary_delta_batches_decode():
     assert cols[0] == ["x", "y", "x", "y", "z", "w"]
 
 
+def test_dictionary_encoded_nested_children_decode():
+    """ADVICE r11: dict ids owned by primitives NESTED inside Struct/
+    List children must resolve — the owner scan recurses the field
+    tree instead of stopping at the top level (the decode path always
+    accepted them; resolution used to fail with 'matches no schema
+    field')."""
+    t = pa.table(
+        {
+            "st": pa.array(
+                [
+                    {"cat": "a", "n": 1},
+                    {"cat": "b", "n": 2},
+                    None,
+                    {"cat": "a", "n": None},
+                ],
+                pa.struct(
+                    [
+                        ("cat", pa.dictionary(pa.int8(), pa.string())),
+                        ("n", pa.int64()),
+                    ]
+                ),
+            ),
+            "ld": pa.array(
+                [["x", "y"], None, [], ["y", None, "x"]],
+                pa.list_(pa.dictionary(pa.int16(), pa.string())),
+            ),
+        }
+    )
+    got, cols = _read_all_columns(_ipc_bytes(t, max_chunksize=2))
+    for ci in range(t.num_columns):
+        assert cols[ci] == t.column(ci).to_pylist(), ci
+
+
 def test_dictionary_index_out_of_bounds_raises():
     """A corrupted index past the dictionary must raise, not wrap."""
     t = pa.table({"s": pa.array(["a", "b", "a"]).dictionary_encode()})

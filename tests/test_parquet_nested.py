@@ -370,3 +370,208 @@ def test_branching_struct_randomized_fuzz():
     meta = parse_footer(data)
     got = _conv_deep(read_record_field(data, meta, 0))
     assert got == _conv_deep(t.column(0).to_pylist())
+
+
+def _legacy_two_level_file(group_name: str, list_name: str = "l") -> bytes:
+    """Hand-build a LEGACY 2-level LIST parquet file the way old
+    parquet-mr wrote it: ``optional group <list_name> (LIST) {
+    repeated group <group_name> { required int64 x } }`` — the
+    repeated group IS the element (a single-field struct), per the
+    spec's backward-compat rules (LogicalTypes.md).  pyarrow can only
+    emit 3-level layouts, so the file is assembled from the repo's
+    own thrift/level/plain primitives.
+
+    Rows encoded: [[{"x": 1}, {"x": 2}], None, []].
+    """
+    import struct as _struct
+
+    from databatchprotectionservice_spark.core.parquetwrite import (
+        MAGIC,
+        _plain_encode,
+        _rle_levels,
+    )
+    from databatchprotectionservice_spark.core.thriftcodec import (
+        T_BINARY,
+        T_I32,
+        T_I64,
+        T_LIST,
+        T_STRUCT,
+        ThriftWriter,
+    )
+
+    # leaf (x): max_rep 1 (one repeated ancestor), max_def 2
+    # (optional list group -> d1; repeated group present -> d2; x is
+    # required so no extra level)
+    reps = [0, 1, 0, 0]
+    defs = [2, 2, 0, 1]
+    present = [1, 2]
+    body = bytearray()
+    body += _rle_levels(reps)
+    body += _rle_levels(defs)
+    body += _plain_encode(present, "INT64")
+    raw = bytes(body)
+
+    out = bytearray(MAGIC)
+    hdr = ThriftWriter()
+    hdr.write_struct(
+        [
+            (1, T_I32, 0),
+            (2, T_I32, len(raw)),
+            (3, T_I32, len(raw)),
+            (5, T_STRUCT, [
+                (1, T_I32, len(defs)),
+                (2, T_I32, 0),
+                (3, T_I32, 3),
+                (4, T_I32, 3),
+            ]),
+        ]
+    )
+    chunk_offset = len(out)
+    out += hdr.getvalue()
+    out += raw
+    chunk_len = len(out) - chunk_offset
+
+    schema_elems = [
+        [(3, T_I32, 0), (4, T_BINARY, b"schema"), (5, T_I32, 1)],
+        [
+            (3, T_I32, 1),                        # OPTIONAL
+            (4, T_BINARY, list_name.encode()),
+            (5, T_I32, 1),
+            (6, T_I32, 3),                        # ConvertedType LIST
+        ],
+        [
+            (3, T_I32, 2),                        # REPEATED group
+            (4, T_BINARY, group_name.encode()),
+            (5, T_I32, 1),
+        ],
+        [
+            (1, T_I32, 2),                        # INT64
+            (3, T_I32, 0),                        # REQUIRED
+            (4, T_BINARY, b"x"),
+        ],
+    ]
+    col = [
+        (2, T_I64, chunk_offset),
+        (3, T_STRUCT, [
+            (1, T_I32, 2),
+            (2, T_LIST, (T_I32, [0, 3])),
+            (3, T_LIST, (T_BINARY, [
+                list_name.encode(), group_name.encode(), b"x",
+            ])),
+            (4, T_I32, 0),
+            (5, T_I64, len(defs)),
+            (6, T_I64, chunk_len),
+            (7, T_I64, chunk_len),
+            (9, T_I64, chunk_offset),
+        ]),
+    ]
+    footer = ThriftWriter()
+    footer.write_struct(
+        [
+            (1, T_I32, 1),
+            (2, T_LIST, (T_STRUCT, schema_elems)),
+            (3, T_I64, 3),
+            (4, T_LIST, (T_STRUCT, [[
+                (1, T_LIST, (T_STRUCT, [col])),
+                (2, T_I64, chunk_len),
+                (3, T_I64, 3),
+            ]])),
+            (6, T_BINARY, b"dbps-spark test legacy 2-level"),
+        ]
+    )
+    blob = footer.getvalue()
+    out += blob
+    out += _struct.pack("<I", len(blob))
+    out += MAGIC
+    return bytes(out)
+
+
+@pytest.mark.parametrize("group_name", ["array", "l_tuple"])
+def test_legacy_two_level_list_backward_compat(group_name):
+    """ADVICE r11: a repeated single-field group named ``array`` or
+    ``<list-name>_tuple`` is ITSELF the element type (spec
+    backward-compat rules) — descending into its child would
+    assemble one level too deep.  pyarrow referees the same bytes."""
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    data = _legacy_two_level_file(group_name)
+    want = pq.read_table(io.BytesIO(data)).column(0).to_pylist()
+    assert want == [[{"x": 1}, {"x": 2}], None, []]
+    meta = parse_footer(data)
+    assert read_record_field(data, meta, 0) == want
+
+
+def test_three_level_single_field_struct_still_descends():
+    """Negative control for the backward-compat rule: a repeated
+    group named ``list`` (the MODERN 3-level wrapper) with a
+    single-field element must keep assembling as 3-level."""
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    t = pa.table(
+        {
+            "l": pa.array(
+                [[{"x": 1}, {"x": 2}], None, []],
+                pa.list_(pa.struct([("x", pa.int64())])),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    data = buf.getvalue()
+    meta = parse_footer(data)
+    got = _conv_deep(read_record_field(data, meta, 0))
+    assert got == _conv_deep(t.column(0).to_pylist())
+
+
+def test_sibling_leaf_length_mismatch_raises_parquet_error():
+    """ADVICE r11: corrupt files whose sibling leaves disagree on
+    element counts must raise ParquetReadError, not IndexError."""
+    from databatchprotectionservice_spark.core.parquetread import (
+        ParquetReadError,
+        read_record_field,
+    )
+
+    t = pa.table(
+        {
+            "ls": pa.array(
+                [[{"a": 1, "b": "x"}, {"a": 2, "b": "y"}]],
+                pa.list_(
+                    pa.struct([("a", pa.int64()), ("b", pa.string())])
+                ),
+            )
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf, use_dictionary=False, compression="NONE")
+    data = bytearray(buf.getvalue())
+    # corrupt leaf b's repetition levels so it sees ONE element where
+    # leaf a sees two: flip b's second rep level 1 -> 0 (a new record)
+    # by patching the RLE-encoded level run in b's page. Finding the
+    # exact byte is brittle across pyarrow versions, so instead
+    # assemble through the public API with a hand-mutilated leaf via
+    # monkeypatching is overkill — patch the simplest observable: the
+    # reader's own assembled leaf lists.
+    import databatchprotectionservice_spark.core.parquetread as PR
+
+    meta = parse_footer(bytes(data))
+    orig = PR.assemble_nested
+
+    calls = {"n": 0}
+
+    def crooked(*args, **kwargs):
+        res = orig(*args, **kwargs)
+        calls["n"] += 1
+        if calls["n"] == 2:  # second leaf (b): drop one element
+            res = [r[:-1] if isinstance(r, list) and r else r for r in res]
+        return res
+
+    PR.assemble_nested = crooked
+    try:
+        with pytest.raises(ParquetReadError):
+            read_record_field(bytes(data), meta, 0)
+    finally:
+        PR.assemble_nested = orig

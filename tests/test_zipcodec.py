@@ -169,3 +169,42 @@ def test_zip64_members_and_eocd64():
     bad[loc_at] = 0x00
     with pytest.raises(ZipFormatError, match="[Zz]ip64"):
         parse_zip(bytes(bad))
+
+
+def test_zip64_saturated_disk_fields_accepted():
+    """ADVICE r11: APPNOTE 4.4.1.4 permits saturating the EOCD's
+    16-bit disk-number fields to 0xFFFF in a Zip64 archive; those are
+    deferral markers, not real disk numbers, so the multi-disk check
+    must run on the EOCD64-resolved values. A genuinely nonzero
+    (unsaturated) disk number still rejects."""
+    import io
+    import struct as _s
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as z:
+        z.writestr("a.txt", b"payload " * 64)
+    base = buf.getvalue()
+    eocd_at = base.rfind(b"PK\x05\x06")
+    _d, _cd, n_disk, n_total, cd_size, cd_off, _cl = _s.unpack_from(
+        "<HHHHIIH", base, eocd_at + 4
+    )
+    # splice in an EOCD64 record + locator ahead of the EOCD (stdlib
+    # only emits them on real overflow), then saturate EVERY 16-bit
+    # EOCD field to 0xFFFF — the APPNOTE-valid single-disk shape
+    rec = b"PK\x06\x06" + _s.pack(
+        "<QHHIIQQQQ", 44, 45, 45, 0, 0, n_total, n_total, cd_size, cd_off
+    )
+    rec_off = eocd_at
+    loc = b"PK\x06\x07" + _s.pack("<IQI", 0, rec_off, 1)
+    eocd = bytearray(base[eocd_at:])
+    _s.pack_into("<HHHH", eocd, 4, 0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF)
+    data = base[:eocd_at] + rec + loc + bytes(eocd)
+    ents = parse_zip(data)
+    assert ents[0]["data"] == b"payload " * 64
+
+    # unsaturated nonzero disk number: genuine multi-disk, reject
+    bad = bytearray(base)
+    _s.pack_into("<H", bad, eocd_at + 4, 2)
+    with pytest.raises(ZipFormatError, match="multi-disk"):
+        parse_zip(bytes(bad))
