@@ -87,8 +87,15 @@ _T_FP = 3
 _T_BINARY = 4
 _T_UTF8 = 5
 _T_BOOL = 6
+_T_DECIMAL = 7
+_T_DATE = 8
+_T_TIME = 9
+_T_TIMESTAMP = 10
 _T_LIST = 12
 _T_STRUCT = 13
+
+#: Schema.fbs TimeUnit enum -> suffix
+_TIME_UNITS = {0: "s", 1: "ms", 2: "us", 3: "ns"}
 
 
 class ArrowIpcFormatError(DBPSInvalidInputError):

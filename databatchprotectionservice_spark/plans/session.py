@@ -56,6 +56,23 @@ def get_spark(
         # so read them as raw long and convert at the query layer
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # Spark 4.1's ChecksumCheckpointFileManager spawns a 64-thread
+        # pool PER CHECKPOINT LOCATION and never shuts it down when a
+        # short availableNow query stops; this engine's streaming
+        # queries use a fresh temp checkpoint per run, so the pools
+        # accumulate (~64 threads/run, idle-expiry ~1 min) and a dense
+        # run of streaming queries degrades late TWS starts by ~2x —
+        # the r11 bench bimodality, root-caused in
+        # scripts/tws_leak_probe.py (TWS_LEAK_PROBE_r12.json: 576
+        # leaked threads after 9 runs; timings pin to the ~5.5 s floor
+        # with the checksum manager off).  Checkpoint-file checksums
+        # detect corruption on LONG-LIVED checkpoints; for throwaway
+        # availableNow checkpoints they buy nothing.  Re-enable per
+        # session for durable production checkpoints.
+        .config(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled",
+            "false",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # pin python workers to this interpreter for reproducibility
         .config("spark.pyspark.python", os.environ.get("PYSPARK_PYTHON", "python3"))
