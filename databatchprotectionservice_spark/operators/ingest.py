@@ -3132,6 +3132,268 @@ def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Arrow IPC temporal/decimal columns — the r12 type-tag closure
+# ---------------------------------------------------------------------------
+
+#: orders per temporal IPC shard (the few-larger-files shape of the
+#: sibling IPC queries: per-shard Python codec work dominates gate
+#: scale, not the codec)
+ATEMP_SHARD = 512
+#: intraday-microsecond mixer: a prime stride keeps the synthetic
+#: time-of-day spread over the full day without float anywhere
+ATEMP_MIX = 7919
+_US_DAY = 86_400_000_000
+
+#: facts the from-scratch reader must recover from REAL
+#: pyarrow-written temporal/decimal columns, restated in integer
+#: arithmetic on ``orders``.  Every value is a pure function of
+#: (o_orderkey, epoch-days of o_orderdate), so both engines derive
+#: identical expectations: days floor-divides the epoch micros
+#: (non-negative — TPC-H dates), time-of-day micros mix the key with
+#: a prime stride, the tz-aware timestamp is days+time recombined,
+#: and the decimal's signed cents come from key arithmetic (never
+#: from the float price column — DuckDB/Python rounding of doubles
+#: diverges at half-cent boundaries).
+ARROW_TEMPORAL_ORACLE = f"""
+        WITH e AS (
+            SELECT o_orderstatus AS status,
+                   o_orderkey AS okey,
+                   o_orderkey // {ATEMP_SHARD} AS shard_id,
+                   epoch_us(o_orderdate) // {_US_DAY} AS days,
+                   (o_orderkey * {ATEMP_MIX}) % {_US_DAY} AS us
+            FROM orders
+        ), r AS (
+            SELECT status, shard_id, days, us,
+                   (days * {_US_DAY} + us) % 1000000007 AS ts_mod,
+                   (okey % 10000000)
+                   * (CASE WHEN okey % 3 = 0 THEN -1 ELSE 1 END)
+                       AS cents
+            FROM e
+        ), sh AS (
+            SELECT status, shard_id,
+                   count(*) AS n_rows,
+                   sum(days) AS sum_days,
+                   sum(us) AS sum_time_us,
+                   sum(ts_mod) AS sum_ts_mod,
+                   sum(cents) AS sum_cents
+            FROM r GROUP BY 1, 2
+        )
+        SELECT status,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(sum_days) AS BIGINT) AS sum_days,
+               CAST(sum(sum_time_us) AS BIGINT) AS sum_time_us,
+               CAST(sum(sum_ts_mod) AS BIGINT) AS sum_ts_mod,
+               CAST(sum(sum_cents) AS BIGINT) AS sum_cents
+        FROM sh GROUP BY status ORDER BY status
+"""
+
+_ATEMP_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("status", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_days", T.LongType()),
+        T.StructField("sum_time_us", T.LongType()),
+        T.StructField("sum_ts_mod", T.LongType()),
+        T.StructField("sum_cents", T.LongType()),
+    ]
+)
+
+
+def ingest_arrow_temporal(spark, sf_dir) -> DataFrame:
+    """Arrow IPC temporal/decimal type tags through the from-scratch
+    reader — the r12 closure of the r11 verdict's widest named Arrow
+    gap (``core/arrowipc.py`` date32/date64, time32/time64,
+    timestamp with unit+tz, decimal128).
+
+    Each (status, shard) group of ``orders`` is written as a REAL
+    pyarrow IPC file carrying SEVEN temporal/decimal columns derived
+    integer-exactly from (o_orderkey, epoch-days): date32 and date64
+    (same day), time32(ms) and time64(us) (the prime-mixed
+    time-of-day), a tz-aware timestamp(us, UTC), a naive
+    timestamp(ms), a timestamp(ns) (surfacing as exact integer
+    epoch-nanos), and a decimal128(12,2) of signed cents; odd shards
+    dictionary-encode the date32 column so the dictionary path keeps
+    its unit through resolution.  Executors decode every value with
+    ``read_arrow_ipc`` and assert EXACT equality against the
+    arithmetic reconstruction (dates, times, aware/naive datetimes,
+    Decimals, integer nanos), then emit per-shard integer aggregates
+    the DuckDB oracle recomputes from ``orders`` directly.
+
+    100 TB: one shuffle on the shard key; the codec work is
+    Arrow-batched Python with zero per-row JVM crossings, shard count
+    grows with the data, and no task holds more than one shard.
+    """
+    import datetime as dt
+    import decimal as dec
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import read_arrow_ipc
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            F.col("o_orderkey").alias("okey"),
+            F.expr(f"o_orderkey div {ATEMP_SHARD}").alias("shard_id"),
+            # o_orderdate is parquet TIMESTAMP(isAdjustedToUTC=false)
+            # -> TIMESTAMP_NTZ; the session is pinned UTC so the cast
+            # preserves the wall-clock value (same convention as the
+            # events loader)
+            F.expr(
+                f"unix_micros(CAST(o_orderdate AS TIMESTAMP)) div {_US_DAY}"
+            ).alias("days"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "status", "shard_id"
+        )
+    )
+
+    utc = dt.timezone.utc
+    epoch_d = dt.date(1970, 1, 1)
+    epoch_naive = dt.datetime(1970, 1, 1)
+    epoch_utc = dt.datetime(1970, 1, 1, tzinfo=utc)
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("okey")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        okeys = [int(v) for v in pdf["okey"]]
+        days = [int(v) for v in pdf["days"]]
+        us = [(k * ATEMP_MIX) % _US_DAY for k in okeys]
+        cents = [
+            (k % 10_000_000) * (-1 if k % 3 == 0 else 1) for k in okeys
+        ]
+        dates = [epoch_d + dt.timedelta(days=dv) for dv in days]
+        times = [
+            dt.time(
+                u // 3_600_000_000,
+                u // 60_000_000 % 60,
+                u // 1_000_000 % 60,
+                u % 1_000_000,
+            )
+            for u in us
+        ]
+        ep_us = [dv * _US_DAY + u for dv, u in zip(days, us)]
+        date_arr = pa_.array(dates, pa_.date32())
+        if shard_id % 2 == 1:
+            date_arr = date_arr.dictionary_encode()
+        t = pa_.table(
+            {
+                "okey": pa_.array(okeys, pa_.int64()),
+                "d32": date_arr,
+                "d64": pa_.array(
+                    [dv * 86_400_000 for dv in days], pa_.date64()
+                ),
+                "t32": pa_.array(
+                    [u // 1000 for u in us], pa_.time32("ms")
+                ),
+                "t64": pa_.array(us, pa_.time64("us")),
+                "ts_us": pa_.array(
+                    ep_us, pa_.timestamp("us", tz="UTC")
+                ),
+                "ts_ms": pa_.array(
+                    [e // 1000 for e in ep_us], pa_.timestamp("ms")
+                ),
+                "ts_ns": pa_.array(
+                    [e * 1000 + k % 1000 for e, k in zip(ep_us, okeys)],
+                    pa_.timestamp("ns"),
+                ),
+                "price": pa_.array(
+                    [dec.Decimal(c).scaleb(-2) for c in cents],
+                    pa_.decimal128(12, 2),
+                ),
+            }
+        )
+        buf = io.BytesIO()
+        with pa_ipc.new_file(buf, t.schema) as w:
+            for batch in t.to_batches(max_chunksize=IPC_CHUNK):
+                w.write_batch(batch)
+
+        got = read_arrow_ipc(buf.getvalue())
+        fs = {f.name: f for f in got["fields"]}
+        if fs["ts_us"].unit != "us" or fs["ts_us"].tz != "UTC":
+            raise ValueError(f"shard {shard_id}: ts_us type drifted")
+        if fs["ts_ms"].unit != "ms" or fs["ts_ms"].tz is not None:
+            raise ValueError(f"shard {shard_id}: ts_ms type drifted")
+        if (fs["price"].precision, fs["price"].scale) != (12, 2):
+            raise ValueError(f"shard {shard_id}: decimal type drifted")
+        if (fs["d32"].dict_id is not None) != (shard_id % 2 == 1):
+            raise ValueError(f"shard {shard_id}: dict flag drifted")
+        col = {
+            name: [
+                v
+                for b in got["batches"]
+                for v in b["columns"][ci]
+            ]
+            for ci, name in enumerate(t.column_names)
+        }
+        if col["okey"] != okeys:
+            raise ValueError("okey column drifted")
+        if col["d32"] != dates or col["d64"] != dates:
+            raise ValueError("decoded dates drifted")
+        want_t32 = [
+            dt.time(
+                u // 1000 // 3_600_000,
+                u // 1000 // 60_000 % 60,
+                u // 1000 // 1000 % 60,
+                (u // 1000 % 1000) * 1000,
+            )
+            for u in us
+        ]
+        if col["t32"] != want_t32 or col["t64"] != times:
+            raise ValueError("decoded times drifted")
+        want_aware = [
+            epoch_utc + dt.timedelta(microseconds=e) for e in ep_us
+        ]
+        want_naive = [
+            epoch_naive + dt.timedelta(milliseconds=e // 1000)
+            for e in ep_us
+        ]
+        if col["ts_us"] != want_aware or col["ts_ms"] != want_naive:
+            raise ValueError("decoded timestamps drifted")
+        want_ns = [e * 1000 + k % 1000 for e, k in zip(ep_us, okeys)]
+        if col["ts_ns"] != want_ns:
+            raise ValueError("decoded nano timestamps drifted")
+        if col["price"] != [dec.Decimal(c).scaleb(-2) for c in cents]:
+            raise ValueError("decoded decimals drifted")
+        return pd.DataFrame(
+            {
+                "status": pd.Series(
+                    [pdf["status"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(okeys)], dtype="int64"),
+                "sum_days": pd.Series([sum(days)], dtype="int64"),
+                "sum_time_us": pd.Series([sum(us)], dtype="int64"),
+                "sum_ts_mod": pd.Series(
+                    [sum(e % 1_000_000_007 for e in ep_us)],
+                    dtype="int64",
+                ),
+                "sum_cents": pd.Series([sum(cents)], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("status", "shard_id").applyInPandas(
+        _shard, _ATEMP_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_days").cast("bigint").alias("sum_days"),
+            F.sum("sum_time_us").cast("bigint").alias("sum_time_us"),
+            F.sum("sum_ts_mod").cast("bigint").alias("sum_ts_mod"),
+            F.sum("sum_cents").cast("bigint").alias("sum_cents"),
+        )
+        .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
 # CBOR event stream — the IETF standards-track sidecar wire format
 # ---------------------------------------------------------------------------
 

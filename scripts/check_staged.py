@@ -50,7 +50,18 @@ def staged_manifest():
     # MUST promote 1..49 staged queries (cycle_len 4 -> 5) or the
     # 50-wide r9 cohort + the never-scored Gorilla query overflow the
     # window — the r12 incubation cohort below exists to satisfy that.
-    return {}
+    from databatchprotectionservice_spark.operators import ingest
+
+    return {
+        # r12: Arrow IPC temporal/decimal type tags (date32/64,
+        # time32/64, timestamp unit+tz, decimal128) through the
+        # from-scratch reader AND writer (core/arrowipc.py) —
+        # pyarrow-written shards over orders, integer-exact oracle.
+        "ingest_arrow_temporal": (
+            ingest.ingest_arrow_temporal,
+            ingest.ARROW_TEMPORAL_ORACLE,
+        ),
+    }
 
 
 def main():

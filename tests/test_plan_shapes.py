@@ -547,6 +547,24 @@ def test_arrow_ipc_one_shard_shuffle_each_direction(spark, sf_dir):
         assert n_hash == 2, plan
 
 
+def test_arrow_temporal_one_shard_shuffle(spark, sf_dir):
+    """ingest_arrow_temporal (r12 staged): same two-exchange shape as
+    the IPC twins — the (status, shard) exchange into grouped pandas
+    plus the tiny per-status aggregate; no joins, no windows."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_arrow_temporal,
+    )
+
+    plan = _plan(ingest_arrow_temporal(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
+
+
 def test_cbor_events_narrow_walk_single_exchange(spark, sf_dir):
     """The CBOR walk is map-only until the per-type aggregate."""
     from databatchprotectionservice_spark.operators.ingest import (
