@@ -12,10 +12,20 @@ pyarrow, Spark, and DuckDB (the unit suite pins all three).
 Shape: one row group; each column chunk holds one V1 data page per
 ``page_rows`` rows (default: everything in one page — pass the knob
 to exercise the multi-page layout real writers emit at size).
-Dictionaries, V2 pages, statistics, and nesting beyond one LIST
-level are writer seams — the READER (``core/parquetread.py``)
+Dictionaries, V2 pages, statistics, and nesting beyond the shapes
+below are writer seams — the READER (``core/parquetread.py``)
 covers them, this writer targets the canonical minimal layout every
 reader accepts.
+
+Nested columns (r12, mirroring the reader's record assembly):
+``STRUCT<name:TYPE,...>`` writes an optional group of optional
+primitive leaves (one chunk per leaf, def levels 0/1/2), and
+``LIST<STRUCT<...>>`` writes the standard 3-level layout with an
+optional element group (max_rep 1, def levels 0..4 — null list /
+empty / null element / present field-null / value), striping each
+record exactly inversely to ``read_record_field``'s marked
+assembly.  pyarrow, DuckDB and our own reader all recover the rows
+(the unit suite pins all three, randomized shapes included).
 
 Column types: INT32, INT64, FLOAT, DOUBLE, BOOLEAN, BYTE_ARRAY
 (raw bytes) and STRING (BYTE_ARRAY + the UTF8 converted-type
@@ -150,6 +160,103 @@ def _strip_list(records: list) -> tuple:
     return reps, defs, present
 
 
+def _parse_struct_fields(spec: str) -> list[tuple[str, str]]:
+    """'a:INT64,b:STRING' -> [('a','INT64'), ('b','STRING')] with
+    depth-0 comma splitting (field types may themselves carry <>)."""
+    fields = []
+    depth = 0
+    start = 0
+    for i, ch in enumerate(spec + ","):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            part = spec[start:i].strip()
+            start = i + 1
+            if not part:
+                continue
+            if ":" not in part:
+                raise ParquetWriteError(
+                    f"struct field {part!r} needs name:TYPE"
+                )
+            fname, ftype = part.split(":", 1)
+            fields.append((fname.strip(), ftype.strip()))
+    if not fields:
+        raise ParquetWriteError("STRUCT<> needs at least one field")
+    return fields
+
+
+def _strip_struct(records: list, fields: list) -> list:
+    """Optional STRUCT of optional primitive fields -> per-leaf
+    (def_levels, present_values); max_def 2 (0 = null struct, 1 =
+    struct present + field null, 2 = value)."""
+    out = []
+    for fname, _ft in fields:
+        defs: list[int] = []
+        present: list = []
+        for rec in records:
+            if rec is None:
+                defs.append(0)
+            elif not isinstance(rec, dict):
+                raise ParquetWriteError(
+                    f"STRUCT row is {type(rec).__name__}, not a dict"
+                )
+            elif rec.get(fname) is None:
+                defs.append(1)
+            else:
+                defs.append(2)
+                present.append(rec[fname])
+        out.append((defs, present))
+    return out
+
+
+def _strip_list_struct(records: list, fields: list) -> tuple:
+    """LIST<STRUCT<...>> (standard 3-level, optional element group of
+    optional primitive fields) -> (rep_levels, per-leaf (def_levels,
+    present_values)); max_rep 1, max_def 4 (0 null list, 1 empty,
+    2 null element, 3 element present + field null, 4 value)."""
+    reps: list[int] = []
+    shapes: list = []  # per slot: None-list / empty / element-or-None
+    for rec in records:
+        if rec is None:
+            reps.append(0)
+            shapes.append("null_list")
+        elif not isinstance(rec, (list, tuple)):
+            raise ParquetWriteError(
+                f"LIST column row is {type(rec).__name__}, not a list"
+            )
+        elif len(rec) == 0:
+            reps.append(0)
+            shapes.append("empty")
+        else:
+            for i, el in enumerate(rec):
+                reps.append(0 if i == 0 else 1)
+                if el is not None and not isinstance(el, dict):
+                    raise ParquetWriteError(
+                        f"LIST<STRUCT> element is {type(el).__name__}"
+                    )
+                shapes.append(el)
+    leaves = []
+    for fname, _ft in fields:
+        defs: list[int] = []
+        present: list = []
+        for sh in shapes:
+            if sh == "null_list":
+                defs.append(0)
+            elif sh == "empty":
+                defs.append(1)
+            elif sh is None:
+                defs.append(2)
+            elif sh.get(fname) is None:
+                defs.append(3)
+            else:
+                defs.append(4)
+                present.append(sh[fname])
+        leaves.append((defs, present))
+    return reps, leaves
+
+
 def write_parquet(
     columns: dict,
     types: dict,
@@ -172,45 +279,49 @@ def write_parquet(
     if any(len(columns[c]) != n_rows for c in names):
         raise ParquetWriteError("columns disagree on row count")
 
-    out = bytearray(MAGIC)
-    chunk_meta = []
-    for name in names:
-        logical = types[name]
-        is_list = isinstance(logical, str) and logical.startswith(
-            "LIST<"
-        ) and logical.endswith(">")
-        if is_list:
-            logical = logical[5:-1]
+    def leaf_ptype(logical: str) -> str:
         ptype = _LOGICAL.get(logical, logical)
         if ptype not in _TYPE_IDS:
-            raise ParquetWriteError(f"bad type {logical!r} for {name!r}")
-        values = columns[name]
-        nullable = any(v is None for v in values)
+            raise ParquetWriteError(f"bad type {logical!r}")
+        return ptype
+
+    out = bytearray(MAGIC)
+    chunk_meta = []  # one entry PER LEAF: path, ptype, page accounting
+    schema_elems = [
+        [  # root
+            (3, T_I32, 0),                   # repetition (ignored on root)
+            (4, T_BINARY, b"schema"),
+            (5, T_I32, len(names)),
+        ]
+    ]
+
+    def leaf_elem(ptype: str, logical: str, fname: str) -> list:
+        fields = [
+            (1, T_I32, _TYPE_IDS[ptype]),
+            (3, T_I32, 1),                   # OPTIONAL
+            (4, T_BINARY, fname.encode("utf-8")),
+        ]
+        if logical == "STRING":
+            fields.append((6, T_I32, 0))     # ConvertedType UTF8
+        return fields
+
+    def write_leaf_pages(values, stripe, ptype: str) -> dict:
+        """Write record-aligned pages for one leaf; ``stripe`` maps a
+        page of records to (reps|None, defs|None, present)."""
         chunk_offset = len(out)
         comp_total = 0
         uncomp_total = 0
         n_leaf_slots = 0
         step = page_rows or max(n_rows, 1)
         for at in range(0, n_rows, step) or [0]:
-            page_vals = values[at : at + step]
+            reps, defs, present = stripe(values[at : at + step])
             body = bytearray()
-            if is_list:
-                # record-aligned pages: strip THIS page's records into
-                # rep/def runs + present leaf values (inverse Dremel)
-                reps, defs, present = _strip_list(page_vals)
+            if reps is not None:
                 body += _rle_levels(reps)
+            if defs is not None:
                 body += _rle_levels(defs)
-                body += _plain_encode(present, ptype)
-                page_nv = len(defs)
-            else:
-                if nullable:
-                    body += _rle_levels(
-                        [0 if v is None else 1 for v in page_vals]
-                    )
-                body += _plain_encode(
-                    [v for v in page_vals if v is not None], ptype
-                )
-                page_nv = len(page_vals)
+            body += _plain_encode(present, ptype)
+            page_nv = len(defs) if defs is not None else len(present)
             n_leaf_slots += page_nv
             raw = bytes(body)
             paged = snappy_compress(raw) if codec == "SNAPPY" else raw
@@ -229,69 +340,120 @@ def write_parquet(
                 ]
             )
             hdr_bytes = hdr.getvalue()
-            out += hdr_bytes
-            out += paged
+            out.extend(hdr_bytes)
+            out.extend(paged)
             comp_total += len(hdr_bytes) + len(paged)
             uncomp_total += len(hdr_bytes) + len(raw)
-        chunk_meta.append(
-            {
-                "name": name,
-                "ptype": ptype,
-                "utf8": logical == "STRING",
-                "nullable": nullable,
-                "list": is_list,
-                "num_values": n_leaf_slots,
-                "offset": chunk_offset,
-                "compressed": comp_total,
-                "uncompressed": uncomp_total,
-            }
-        )
+        return {
+            "num_values": n_leaf_slots,
+            "offset": chunk_offset,
+            "compressed": comp_total,
+            "uncompressed": uncomp_total,
+        }
 
-    # --- footer ------------------------------------------------------
-    schema_elems = [
-        [  # root
-            (3, T_I32, 0),                   # repetition (ignored on root)
-            (4, T_BINARY, b"schema"),
-            (5, T_I32, len(names)),
-        ]
-    ]
-    for m in chunk_meta:
-        if m["list"]:
-            # standard 3-level LIST: optional group (LIST) ->
-            # repeated group 'list' -> optional element
+    for name in names:
+        logical = types[name]
+        values = columns[name]
+        is_list = isinstance(logical, str) and logical.startswith(
+            "LIST<"
+        ) and logical.endswith(">")
+        inner = logical[5:-1].strip() if is_list else logical
+        is_struct = isinstance(inner, str) and inner.startswith(
+            "STRUCT<"
+        ) and inner.endswith(">")
+
+        if is_struct:
+            fields = _parse_struct_fields(inner[7:-1])
+            fptypes = [leaf_ptype(ft) for _fn, ft in fields]
+            if is_list:
+                # optional group (LIST) -> repeated 'list' ->
+                # optional group 'element' -> optional leaves
+                schema_elems.append([
+                    (3, T_I32, 1),
+                    (4, T_BINARY, name.encode("utf-8")),
+                    (5, T_I32, 1),
+                    (6, T_I32, 3),           # ConvertedType LIST
+                ])
+                schema_elems.append([
+                    (3, T_I32, 2), (4, T_BINARY, b"list"), (5, T_I32, 1),
+                ])
+                schema_elems.append([
+                    (3, T_I32, 1),
+                    (4, T_BINARY, b"element"),
+                    (5, T_I32, len(fields)),
+                ])
+                base_path = [name, "list", "element"]
+            else:
+                schema_elems.append([
+                    (3, T_I32, 1),
+                    (4, T_BINARY, name.encode("utf-8")),
+                    (5, T_I32, len(fields)),
+                ])
+                base_path = [name]
+            for li, (fname, ftype) in enumerate(fields):
+                schema_elems.append(
+                    leaf_elem(fptypes[li], ftype, fname)
+                )
+
+                def stripe(page, li=li, is_list=is_list):
+                    if is_list:
+                        reps, leaves = _strip_list_struct(page, fields)
+                        return (reps, *leaves[li])
+                    return (None, *_strip_struct(page, fields)[li])
+
+                meta = write_leaf_pages(values, stripe, fptypes[li])
+                meta["path"] = base_path + [fname]
+                meta["ptype"] = fptypes[li]
+                chunk_meta.append(meta)
+            continue
+
+        ptype = leaf_ptype(inner)
+        nullable = any(v is None for v in values)
+        if is_list:
             schema_elems.append([
                 (3, T_I32, 1),               # OPTIONAL
-                (4, T_BINARY, m["name"].encode("utf-8")),
+                (4, T_BINARY, name.encode("utf-8")),
                 (5, T_I32, 1),               # one child
                 (6, T_I32, 3),               # ConvertedType LIST
             ])
             schema_elems.append([
-                (3, T_I32, 2),               # REPEATED
-                (4, T_BINARY, b"list"),
-                (5, T_I32, 1),
+                (3, T_I32, 2), (4, T_BINARY, b"list"), (5, T_I32, 1),
             ])
-            fields = [
-                (1, T_I32, _TYPE_IDS[m["ptype"]]),
-                (3, T_I32, 1),               # OPTIONAL element
-                (4, T_BINARY, b"element"),
+            schema_elems.append(leaf_elem(ptype, inner, "element"))
+
+            def stripe(page):
+                return _strip_list(page)
+
+            path = [name, "list", "element"]
+        else:
+            fields_elem = [
+                (1, T_I32, _TYPE_IDS[ptype]),
+                (3, T_I32, 1 if nullable else 0),
+                (4, T_BINARY, name.encode("utf-8")),
             ]
-            if m["utf8"]:
-                fields.append((6, T_I32, 0))  # ConvertedType UTF8
-            schema_elems.append(fields)
-            continue
-        fields = [
-            (1, T_I32, _TYPE_IDS[m["ptype"]]),
-            (3, T_I32, 1 if m["nullable"] else 0),
-            (4, T_BINARY, m["name"].encode("utf-8")),
-        ]
-        if m["utf8"]:
-            fields.append((6, T_I32, 0))  # ConvertedType UTF8
-        schema_elems.append(fields)
+            if inner == "STRING":
+                fields_elem.append((6, T_I32, 0))
+            schema_elems.append(fields_elem)
+
+            def stripe(page, nullable=nullable):
+                if nullable:
+                    return (
+                        None,
+                        [0 if v is None else 1 for v in page],
+                        [v for v in page if v is not None],
+                    )
+                return (None, None, list(page))
+
+            path = [name]
+        meta = write_leaf_pages(values, stripe, ptype)
+        meta["path"] = path
+        meta["ptype"] = ptype
+        chunk_meta.append(meta)
+
+    # --- footer ------------------------------------------------------
     col_structs = []
     for m in chunk_meta:
-        path = [m["name"].encode("utf-8")]
-        if m["list"]:
-            path += [b"list", b"element"]
+        path = [p.encode("utf-8") for p in m["path"]]
         col_structs.append(
             [
                 (2, T_I64, m["offset"]),     # file_offset

@@ -2559,6 +2559,245 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
     )
 
 
+#: facts the nested WRITE path must survive, restated in integer
+#: arithmetic.  Every nested value is a pure function of (doc_id,
+#: utf8 byte length of text), so DuckDB recomputes the struct/list
+#: content without parsing anything: the list arm count is
+#: doc_id % 4 (<= 3, so the per-element terms unroll), element i is
+#: null when (doc_id + i) % 5 = 0, and a present element's weight is
+#: (tlen + i) % 256.  The struct's parity field is null when
+#: doc_id % 3 = 0 (field-null coverage); the struct itself is null
+#: exactly when text is.
+PARQUET_NESTED_WRITE_ORACLE = f"""
+        WITH d AS (
+            SELECT source,
+                   doc_id // {WRITE_SHARD_DOCS} AS shard_id,
+                   doc_id,
+                   octet_length(encode(text)) AS tlen,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE doc_id % 4 END AS n_arm
+            FROM documents
+        ), r AS (
+            SELECT source, shard_id, doc_id, tlen, n_arm,
+                   CASE WHEN tlen IS NULL THEN 0 ELSE tlen END AS tl,
+                   (CASE WHEN 0 < n_arm AND (doc_id + 0) % 5 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 1 < n_arm AND (doc_id + 1) % 5 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 2 < n_arm AND (doc_id + 2) % 5 = 0
+                         THEN 1 ELSE 0 END) AS n_null_elems,
+                   (CASE WHEN 0 < n_arm AND (doc_id + 0) % 5 <> 0
+                         THEN (CASE WHEN tlen IS NULL THEN 0
+                               ELSE tlen END + 0) % 256 ELSE 0 END
+                  + CASE WHEN 1 < n_arm AND (doc_id + 1) % 5 <> 0
+                         THEN (CASE WHEN tlen IS NULL THEN 0
+                               ELSE tlen END + 1) % 256 ELSE 0 END
+                  + CASE WHEN 2 < n_arm AND (doc_id + 2) % 5 <> 0
+                         THEN (CASE WHEN tlen IS NULL THEN 0
+                               ELSE tlen END + 2) % 256 ELSE 0 END)
+                       AS sum_w
+            FROM d
+        ), sh AS (
+            SELECT source, shard_id,
+                   count(*) AS n,
+                   sum(doc_id) AS sum_doc_id,
+                   sum(CASE WHEN tlen IS NULL THEN 1 ELSE 0 END)
+                       AS n_null_meta,
+                   sum(CASE WHEN tlen IS NOT NULL
+                            AND doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                       AS n_null_parity,
+                   sum(CASE WHEN tlen IS NULL THEN 0 ELSE tlen END)
+                       AS sum_tlen,
+                   sum(n_arm) AS n_elems,
+                   sum(n_null_elems) AS n_null_elems,
+                   sum(sum_w) AS sum_w
+            FROM r GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(n_null_meta) AS BIGINT) AS n_null_meta,
+               CAST(sum(n_null_parity) AS BIGINT) AS n_null_parity,
+               CAST(sum(sum_tlen) AS BIGINT) AS sum_tlen,
+               CAST(sum(n_elems) AS BIGINT) AS n_elems,
+               CAST(sum(n_null_elems) AS BIGINT) AS n_null_elems,
+               CAST(sum(sum_w) AS BIGINT) AS sum_w
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_PARQUET_NESTED_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("n_null_meta", T.LongType()),
+        T.StructField("n_null_parity", T.LongType()),
+        T.StructField("sum_tlen", T.LongType()),
+        T.StructField("n_elems", T.LongType()),
+        T.StructField("n_null_elems", T.LongType()),
+        T.StructField("sum_w", T.LongType()),
+    ]
+)
+
+
+def parquet_write_nested_real(spark, sf_dir) -> DataFrame:
+    """STRUCT and LIST<STRUCT> columns through the from-scratch
+    parquet WRITER (r12, VERDICT r11 ask #5 — the writer now mirrors
+    the reader's record assembly instead of stopping at LIST<T>).
+
+    Each shard of ``documents`` becomes a parquet file written
+    entirely by ``core/parquetwrite.py``: a ``meta``
+    STRUCT<tlen,parity> column (struct null exactly when text is,
+    parity field null when doc_id % 3 = 0) and a ``spans``
+    LIST<STRUCT<off,w>> column whose arm count, null elements and
+    weights are pure integer functions of (doc_id, utf8 byte length)
+    — so the DuckDB oracle recomputes the NESTED CONTENT itself, not
+    just row counts.  In-executor, pyarrow (the independent referee)
+    and our own ``read_record_field`` both read the bytes back and
+    must reproduce every struct/list/null shape exactly; odd shards
+    compress pages with OUR snappy.
+
+    100 TB: identical plan shape to parquet_write_real — one shuffle
+    on the shard key, Arrow-batched Python, shard count grows with
+    the data.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.parquetread import read_record_field
+    from ..core.parquetwrite import write_parquet
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {WRITE_SHARD_DOCS}"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
+        ids = [int(i) for i in pdf["doc_id"]]
+        texts = [None if v is None else str(v) for v in pdf["text"]]
+        tlens = [
+            None if v is None else len(v.encode("utf-8")) for v in texts
+        ]
+        metas = [
+            None
+            if tl is None
+            else {"tlen": tl, "parity": None if i % 3 == 0 else i % 2}
+            for i, tl in zip(ids, tlens)
+        ]
+        spans = [
+            None
+            if tl is None
+            else [
+                None
+                if (i + k) % 5 == 0
+                else {"off": (i * (k + 1)) % 1000, "w": (tl + k) % 256}
+                for k in range(i % 4)
+            ]
+            for i, tl in zip(ids, tlens)
+        ]
+        data = write_parquet(
+            {"doc_id": ids, "meta": metas, "spans": spans},
+            {
+                "doc_id": "INT64",
+                "meta": "STRUCT<tlen:INT64,parity:INT64>",
+                "spans": "LIST<STRUCT<off:INT64,w:INT64>>",
+            },
+            codec=codec,
+        )
+        # referee 1: pyarrow reads OUR nested bytes exactly
+        t = pq_.ParquetFile(io.BytesIO(data)).read()
+        if t.column("doc_id").to_pylist() != ids:
+            raise ValueError(f"shard {shard_id}: doc_id drifted")
+        if t.column("meta").to_pylist() != metas:
+            raise ValueError(f"shard {shard_id}: struct column drifted")
+        if t.column("spans").to_pylist() != spans:
+            raise ValueError(
+                f"shard {shard_id}: list<struct> column drifted"
+            )
+        # referee 2: our reader's record assembly closes the loop
+        meta_f = parse_footer(data)
+        if read_record_field(data, meta_f, 1) != metas:
+            raise ValueError(
+                f"shard {shard_id}: own-reader struct divergence"
+            )
+        if read_record_field(data, meta_f, 2) != spans:
+            raise ValueError(
+                f"shard {shard_id}: own-reader list<struct> divergence"
+            )
+        if meta_f["row_groups"][0]["columns"][0]["codec"] != codec:
+            raise ValueError(f"shard {shard_id}: codec tag drifted")
+        n_elems = sum(len(s) for s in spans if s is not None)
+        n_null_elems = sum(
+            1 for s in spans if s is not None for e in s if e is None
+        )
+        sum_w = sum(
+            e["w"]
+            for s in spans
+            if s is not None
+            for e in s
+            if e is not None
+        )
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(ids)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(ids)], dtype="int64"),
+                "n_null_meta": pd.Series(
+                    [sum(1 for m in metas if m is None)], dtype="int64"
+                ),
+                "n_null_parity": pd.Series(
+                    [
+                        sum(
+                            1
+                            for m in metas
+                            if m is not None and m["parity"] is None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "sum_tlen": pd.Series(
+                    [sum(tl for tl in tlens if tl is not None)],
+                    dtype="int64",
+                ),
+                "n_elems": pd.Series([n_elems], dtype="int64"),
+                "n_null_elems": pd.Series([n_null_elems], dtype="int64"),
+                "sum_w": pd.Series([sum_w], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _PARQUET_NESTED_WRITE_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_null_meta").cast("bigint").alias("n_null_meta"),
+            F.sum("n_null_parity").cast("bigint").alias("n_null_parity"),
+            F.sum("sum_tlen").cast("bigint").alias("sum_tlen"),
+            F.sum("n_elems").cast("bigint").alias("n_elems"),
+            F.sum("n_null_elems").cast("bigint").alias("n_null_elems"),
+            F.sum("sum_w").cast("bigint").alias("sum_w"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ogg packet walk + Matroska track walk (staged r11)
 # ---------------------------------------------------------------------------

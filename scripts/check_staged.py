@@ -61,6 +61,14 @@ def staged_manifest():
             ingest.ingest_arrow_temporal,
             ingest.ARROW_TEMPORAL_ORACLE,
         ),
+        # r12: STRUCT / LIST<STRUCT> through the from-scratch parquet
+        # WRITER (core/parquetwrite.py now mirrors the reader's record
+        # assembly); pyarrow + own-reader referees in-executor, the
+        # oracle recomputes the nested content from integer arithmetic.
+        "parquet_write_nested_real": (
+            ingest.parquet_write_nested_real,
+            ingest.PARQUET_NESTED_WRITE_ORACLE,
+        ),
     }
 
 

@@ -224,3 +224,192 @@ def test_list_columns_three_referees(codec, page_rows, tmp_path):
 def test_list_write_rejects_non_list_rows():
     with pytest.raises(ParquetWriteError, match="not a list"):
         write_parquet({"v": [7]}, {"v": "LIST<INT64>"})
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY"])
+@pytest.mark.parametrize("page_rows", [None, 2])
+def test_struct_columns_three_referees(codec, page_rows, tmp_path):
+    """The r12 STRUCT write path (VERDICT r11 ask #5): optional group
+    of optional primitive leaves, one chunk per leaf with def-level
+    striping — recovered identically by pyarrow, DuckDB, and our own
+    record assembly (null structs, null fields, multi-page)."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_footer,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    cols = {
+        "id": [1, 2, 3, 4, 5],
+        "st": [
+            {"a": 10, "b": "x"},
+            None,
+            {"a": None, "b": "y"},
+            {"a": 40, "b": None},
+            {"a": 50, "b": "z"},
+        ],
+    }
+    types = {"id": "INT64", "st": "STRUCT<a:INT64,b:STRING>"}
+    data = write_parquet(cols, types, codec=codec, page_rows=page_rows)
+
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    assert t.column("id").to_pylist() == cols["id"]
+    assert t.column("st").to_pylist() == cols["st"]
+
+    p = tmp_path / "structs.parquet"
+    p.write_bytes(data)
+    rows = duckdb.connect().execute(
+        f"SELECT id, st.a, st.b, st IS NULL FROM '{p}' ORDER BY id"
+    ).fetchall()
+    assert rows == [
+        (1, 10, "x", False),
+        (2, None, None, True),
+        (3, None, "y", False),
+        (4, 40, None, False),
+        (5, 50, "z", False),
+    ]
+
+    meta = parse_footer(data)
+    assert read_record_field(data, meta, 0) == cols["id"]
+    got = read_record_field(data, meta, 1)
+    # our reader surfaces BYTE_ARRAY as bytes (str is a presentation
+    # concern) — normalize like the sibling referee tests
+    got = [
+        None
+        if r is None
+        else {
+            "a": r["a"],
+            "b": r["b"].decode() if isinstance(r["b"], bytes) else r["b"],
+        }
+        for r in got
+    ]
+    assert got == cols["st"]
+
+
+@pytest.mark.parametrize("codec", ["UNCOMPRESSED", "SNAPPY"])
+@pytest.mark.parametrize("page_rows", [None, 2])
+def test_list_struct_columns_three_referees(codec, page_rows, tmp_path):
+    """The r12 LIST<STRUCT> write path: standard 3-level layout whose
+    element is an optional group (max_def 4, max_rep 1) — null lists,
+    empty lists, null elements, null fields, record-aligned pages —
+    all three referees recover the rows."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_footer,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    cols = {
+        "id": [1, 2, 3, 4, 5, 6],
+        "ls": [
+            [{"a": 1, "b": "x"}, {"a": 2, "b": None}],
+            None,
+            [],
+            [None],
+            [{"a": None, "b": "y"}, None, {"a": 5, "b": "z"}],
+            [{"a": 6, "b": "w"}],
+        ],
+    }
+    types = {"id": "INT64", "ls": "LIST<STRUCT<a:INT64,b:STRING>>"}
+    data = write_parquet(cols, types, codec=codec, page_rows=page_rows)
+
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    assert t.column("id").to_pylist() == cols["id"]
+    assert t.column("ls").to_pylist() == cols["ls"]
+
+    p = tmp_path / "ls.parquet"
+    p.write_bytes(data)
+    rows = duckdb.connect().execute(
+        f"SELECT id, ls FROM '{p}' ORDER BY id"
+    ).fetchall()
+    assert [r[1] for r in rows] == [
+        [{"a": 1, "b": "x"}, {"a": 2, "b": None}],
+        None,
+        [],
+        [None],
+        [{"a": None, "b": "y"}, None, {"a": 5, "b": "z"}],
+        [{"a": 6, "b": "w"}],
+    ]
+
+    meta = parse_footer(data)
+    got = read_record_field(data, meta, 1)
+    norm = [
+        None
+        if r is None
+        else [
+            None
+            if e is None
+            else {
+                "a": e["a"],
+                "b": e["b"].decode()
+                if isinstance(e["b"], bytes)
+                else e["b"],
+            }
+            for e in r
+        ]
+        for r in got
+    ]
+    assert norm == cols["ls"]
+
+
+def test_struct_write_randomized_fuzz_vs_pyarrow():
+    """Randomized struct / list<struct> rows through write ->
+    pyarrow, sized to cross page boundaries in both shapes."""
+    import random
+
+    rng = random.Random(99)
+    sts, lss = [], []
+    for _ in range(300):
+        if rng.random() < 0.15:
+            sts.append(None)
+        else:
+            sts.append(
+                {
+                    "p": None if rng.random() < 0.3 else rng.randint(0, 999),
+                    "q": None if rng.random() < 0.3 else f"s{rng.randint(0, 9)}",
+                }
+            )
+        if rng.random() < 0.15:
+            lss.append(None)
+        else:
+            lss.append(
+                [
+                    None
+                    if rng.random() < 0.2
+                    else {
+                        "p": None if rng.random() < 0.3 else rng.randint(0, 999),
+                        "q": None if rng.random() < 0.3 else f"t{rng.randint(0, 9)}",
+                    }
+                    for _ in range(rng.randint(0, 4))
+                ]
+            )
+    cols = {"st": sts, "ls": lss}
+    types = {
+        "st": "STRUCT<p:INT64,q:STRING>",
+        "ls": "LIST<STRUCT<p:INT64,q:STRING>>",
+    }
+    data = write_parquet(cols, types, page_rows=37)
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    assert t.column("st").to_pylist() == sts
+    assert t.column("ls").to_pylist() == lss
+
+
+def test_struct_write_rejects_bad_shapes():
+    with pytest.raises(ParquetWriteError, match="not a dict"):
+        write_parquet(
+            {"st": [7]}, {"st": "STRUCT<a:INT64>"}
+        )
+    with pytest.raises(ParquetWriteError, match="not a list"):
+        write_parquet(
+            {"ls": [{"a": 1}]}, {"ls": "LIST<STRUCT<a:INT64>>"}
+        )
+    with pytest.raises(ParquetWriteError, match="needs name:TYPE"):
+        write_parquet({"st": [None]}, {"st": "STRUCT<oops>"})
+    with pytest.raises(ParquetWriteError, match="bad type"):
+        write_parquet({"st": [None]}, {"st": "STRUCT<a:NOPE>"})

@@ -821,3 +821,21 @@ def test_gorilla_stats_block_keyed_exchange(spark, sf_dir):
     ), plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_parquet_write_nested_one_shard_shuffle(spark, sf_dir):
+    """parquet_write_nested_real (r12 staged): the parquet_write_real
+    shape — one (source, shard) exchange into grouped pandas plus the
+    tiny per-source aggregate; no joins, no windows."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        parquet_write_nested_real,
+    )
+
+    plan = _plan(parquet_write_nested_real(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
