@@ -17,11 +17,14 @@ common muxer output) and ``None`` otherwise — never a float, so any
 derived column stays oracle-checkable bit-for-bit.
 
 SUPPORTED SUBSET (out-of-subset input raises a named error):
-known-size elements only (unknown-size / streaming-muxed Segments
-are a documented seam), one Segment, SimpleBlock/Block plain or
-LACED — Xiph, fixed-size and EBML lacing all parse their size
-tables (since r11), with every lace total bounds-checked against
-the block.  Matroska CRC-32 elements (first child, IEEE/zlib polynomial
+one Segment, SimpleBlock/Block plain or LACED — Xiph, fixed-size
+and EBML lacing all parse their size tables (since r11), with every
+lace total bounds-checked against the block.  UNKNOWN-SIZE elements
+(streaming-muxed output, r12) are accepted exactly where RFC 9559's
+``unknownsizeallowed`` permits them: a Segment with the all-ones
+size marker runs to end of file, an unknown-size Cluster terminates
+at the first ID that is not a valid Cluster child (the spec's
+termination rule); the marker anywhere else still raises.  Matroska CRC-32 elements (first child, IEEE/zlib polynomial
 over the REST of the parent payload) are validated when present and
 emitted by the fixture encoder.
 
@@ -102,7 +105,13 @@ def _read_id(data: bytes, pos: int, end: int) -> tuple[bytes, int]:
     return data[pos : pos + length], pos + length
 
 
-def _read_size(data: bytes, pos: int, end: int) -> tuple[int, int]:
+def _read_size(
+    data: bytes, pos: int, end: int, allow_unknown: bool = False
+) -> tuple[int | None, int]:
+    """Definite size -> (value, next); all-ones (unknown size) ->
+    (None, next) when the element permits it.  RFC 9559 allows
+    unknown sizes ONLY on Segment and Cluster (unknownsizeallowed) —
+    every other caller keeps the hard error."""
     if pos >= end:
         raise MkvFormatError("element size past parent end")
     b0 = data[pos]
@@ -121,9 +130,11 @@ def _read_size(data: bytes, pos: int, end: int) -> tuple[int, int]:
         value = (value << 8) | data[pos + i]
         all_ones = all_ones and data[pos + i] == 0xFF
     if all_ones:
+        if allow_unknown:
+            return None, pos + length
         raise MkvFormatError(
-            "unknown-size element is a documented seam (streaming-muxed "
-            "Segments; known-size subset)"
+            "unknown-size element only allowed on Segment/Cluster "
+            "(RFC 9559 unknownsizeallowed)"
         )
     return value, pos + length
 
@@ -177,6 +188,60 @@ def _iter_children(data: bytes, pos: int, end: int):
     while pos < end:
         eid, p = _read_id(data, pos, end)
         size, p = _read_size(data, p, end)
+        if p + size > end:
+            raise MkvFormatError(
+                f"element {eid.hex()} overruns its parent"
+            )
+        yield eid, p, p + size
+        pos = p + size
+
+
+#: the elements a Cluster may directly contain (RFC 9559 §Cluster:
+#: Timestamp, Position, PrevSize, SimpleBlock, BlockGroup) plus the
+#: EBML globals (Void, CRC-32) — the boundary test for terminating an
+#: UNKNOWN-SIZE Cluster: it ends at the first ID outside this set
+_CLUSTER_CHILD_IDS = frozenset(
+    [_TIMESTAMP, b"\xa7", b"\xab", _SIMPLE_BLOCK, _BLOCK_GROUP,
+     _VOID, _CRC32]
+)
+
+
+def _unknown_cluster_end(data: bytes, pos: int, end: int) -> int:
+    """End offset of an unknown-size Cluster whose payload starts at
+    ``pos``: the start of the first element that is not a valid
+    Cluster child (RFC 9559's termination rule), or ``end``.  The
+    children themselves must carry definite sizes (nested unknown
+    sizes are only allowed on Segment/Cluster, and a Cluster cannot
+    contain another Cluster)."""
+    p = pos
+    while p < end:
+        mark = p
+        eid, q = _read_id(data, p, end)
+        if eid not in _CLUSTER_CHILD_IDS:
+            return mark
+        size, q = _read_size(data, q, end)
+        if q + size > end:
+            raise MkvFormatError(
+                f"cluster child {eid.hex()} overruns the file"
+            )
+        p = q + size
+    return end
+
+
+def _iter_segment_children(data: bytes, pos: int, end: int):
+    """Segment-level child walk: like :func:`_iter_children` but a
+    CLUSTER may carry the unknown-size marker, terminated by the
+    next non-Cluster-child ID (streaming muxers emit exactly this
+    shape — the size of a live cluster isn't known when its header
+    is written)."""
+    while pos < end:
+        eid, p = _read_id(data, pos, end)
+        size, p = _read_size(data, p, end, allow_unknown=eid == CLUSTER)
+        if size is None:
+            cend = _unknown_cluster_end(data, p, end)
+            yield eid, p, cend
+            pos = cend
+            continue
         if p + size > end:
             raise MkvFormatError(
                 f"element {eid.hex()} overruns its parent"
@@ -241,8 +306,11 @@ def parse_mkv(data: bytes) -> dict:
     eid, p = _read_id(data, pos, len(data))
     if eid != SEGMENT:
         raise MkvFormatError(f"expected Segment, found {eid.hex()}")
-    ssize, p = _read_size(data, p, len(data))
-    if p + ssize != len(data):
+    # a streaming-muxed Segment carries the unknown-size marker and
+    # runs to end of file (RFC 9559: unknown-size element with no
+    # parent to bound it ends at EOF)
+    ssize, p = _read_size(data, p, len(data), allow_unknown=True)
+    if ssize is not None and p + ssize != len(data):
         raise MkvFormatError(
             "Segment does not span the remainder of the file"
         )
@@ -262,7 +330,7 @@ def parse_mkv(data: bytes) -> dict:
     }
     track_stats: dict[int, dict] = {}
 
-    for eid, s, e in _iter_children(data, p, len(data)):
+    for eid, s, e in _iter_segment_children(data, p, len(data)):
         if eid == INFO:
             children = list(_iter_children(data, s, e))
             _check_crc(data, children)

@@ -86,7 +86,9 @@ def test_hand_assembled_minimal_webm():
 
 def test_vint_edges_and_reserved_all_ones():
     """127 must take a 2-byte size; the all-ones 1-byte size 0xFF is
-    the reserved unknown-size pattern and raises the seam error."""
+    the reserved unknown-size pattern — allowed ONLY on
+    Segment/Cluster (RFC 9559), so it raises wherever else it
+    appears."""
     assert _vint_size(126) == b"\xfe"
     assert _vint_size(127) == b"\x40\x7f"
     assert _vint_size(16382) == b"\x7f\xfe"
@@ -96,11 +98,70 @@ def test_vint_edges_and_reserved_all_ones():
         [(0, [(1, 0, bytes(126))])],
     )
     assert parse_mkv(enc)["media_bytes"] == 126
-    # splice an unknown-size element into a copy
-    seg_at = enc.find(b"\x18\x53\x80\x67")
-    bad = enc[:seg_at] + b"\x18\x53\x80\x67\xff" + b"\x00" * 8
+    # the marker on an element without unknownsizeallowed (Info)
+    # still raises the named error
+    info_at = enc.find(b"\x15\x49\xa9\x66")
+    assert info_at != -1
+    bad = bytearray(enc)
+    assert bad[info_at + 4] & 0x80  # 1-byte definite size today
+    bad[info_at + 4] = 0xFF
     with pytest.raises(MkvFormatError, match="unknown-size"):
-        parse_mkv(bad)
+        parse_mkv(bytes(bad))
+
+
+def _all_ones_same_length(data: bytearray, at: int) -> None:
+    """Rewrite the definite-size vint at ``at`` into the SAME-LENGTH
+    unknown-size (all value bits 1) marker, keeping every offset."""
+    b0 = data[at]
+    length = 1
+    mask = 0x80
+    while not b0 & mask:
+        mask >>= 1
+        length += 1
+    data[at] = b0 | (mask - 1)
+    for i in range(1, length):
+        data[at + i] = 0xFF
+
+
+def test_unknown_size_segment_and_cluster_parse():
+    """r12: streaming-muxed shapes — an unknown-size Segment runs to
+    EOF and an unknown-size Cluster terminates at the next
+    non-Cluster-child ID (here: the next Cluster) — with metadata
+    identical to the definite-size original."""
+    tracks = [
+        {"number": 1, "type": "video", "codec_id": "V_VP8",
+         "width": 4, "height": 2},
+        {"number": 2, "type": "audio", "codec_id": "A_OPUS",
+         "sampling_hz": 48000, "channels": 2},
+    ]
+    clusters = [
+        (0, [(1, 0, b"abc"), (2, 1, b"de")]),
+        (100, [(1, 5, b"fgh" * 7)]),
+        (200, [(2, 0, b"x")]),
+    ]
+    enc = encode_mkv(tracks, clusters, crc=True)
+    want = parse_mkv(enc)
+
+    # Segment size -> unknown (same-length marker keeps offsets)
+    seg_at = enc.find(b"\x18\x53\x80\x67")
+    streaming = bytearray(enc)
+    _all_ones_same_length(streaming, seg_at + 4)
+    assert parse_mkv(bytes(streaming)) == want
+
+    # every Cluster size -> unknown, one at a time and all at once
+    cl_at = [
+        i for i in range(len(enc))
+        if enc[i : i + 4] == b"\x1f\x43\xb6\x75"
+    ]
+    assert len(cl_at) == 3
+    for at in cl_at:
+        one = bytearray(enc)
+        _all_ones_same_length(one, at + 4)
+        assert parse_mkv(bytes(one)) == want, at
+    both = bytearray(streaming)
+    for at in cl_at:
+        _all_ones_same_length(both, at + 4)
+    assert parse_mkv(bytes(both)) == want
 
 
 def test_crc32_emitted_and_verified():
