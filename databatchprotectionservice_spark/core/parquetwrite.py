@@ -18,14 +18,17 @@ covers them, this writer targets the canonical minimal layout every
 reader accepts.
 
 Nested columns (r12, mirroring the reader's record assembly):
-``STRUCT<name:TYPE,...>`` writes an optional group of optional
-primitive leaves (one chunk per leaf, def levels 0/1/2), and
-``LIST<STRUCT<...>>`` writes the standard 3-level layout with an
-optional element group (max_rep 1, def levels 0..4 — null list /
-empty / null element / present field-null / value), striping each
-record exactly inversely to ``read_record_field``'s marked
-assembly.  pyarrow, DuckDB and our own reader all recover the rows
-(the unit suite pins all three, randomized shapes included).
+``STRUCT<name:TYPE,...>`` and ``LIST<...>`` NEST FREELY — struct of
+struct, struct of list, list<struct>, list<list<...>> — through a
+generic inverse-Dremel striper (``_stripe_nested``): definition
+levels count present optional/repeated ancestors, repetition levels
+name the repeated ancestor a slot continues, and EVERY leaf carries
+its own level streams (leaves under different repeated ancestors
+see different slot counts).  Schema groups emit recursively
+(optional group per struct; optional-LIST / repeated ``list`` /
+``element`` per list level).  pyarrow, DuckDB and our own
+``read_record_field`` all recover the rows (the unit suite pins all
+three, randomized deep shapes included).
 
 Column types: INT32, INT64, FLOAT, DOUBLE, BOOLEAN, BYTE_ARRAY
 (raw bytes) and STRING (BYTE_ARRAY + the UTF8 converted-type
@@ -187,74 +190,131 @@ def _parse_struct_fields(spec: str) -> list[tuple[str, str]]:
     return fields
 
 
-def _strip_struct(records: list, fields: list) -> list:
-    """Optional STRUCT of optional primitive fields -> per-leaf
-    (def_levels, present_values); max_def 2 (0 = null struct, 1 =
-    struct present + field null, 2 = value)."""
-    out = []
-    for fname, _ft in fields:
-        defs: list[int] = []
-        present: list = []
-        for rec in records:
-            if rec is None:
-                defs.append(0)
-            elif not isinstance(rec, dict):
+def _parse_type(spec: str):
+    """Type DSL -> tree: ('prim', ptype, logical) | ('list', child) |
+    ('struct', [(name, node), ...]).  LIST and STRUCT nest freely."""
+    spec = spec.strip()
+    if spec.startswith("LIST<") and spec.endswith(">"):
+        return ("list", _parse_type(spec[5:-1]))
+    if spec.startswith("STRUCT<") and spec.endswith(">"):
+        return (
+            "struct",
+            [
+                (fname, _parse_type(ftype))
+                for fname, ftype in _parse_struct_fields(spec[7:-1])
+            ],
+        )
+    ptype = _LOGICAL.get(spec, spec)
+    if ptype not in _TYPE_IDS:
+        raise ParquetWriteError(f"bad type {spec!r}")
+    return ("prim", ptype, spec)
+
+
+def _tree_leaves(node, path):
+    """Leaves of a type tree in schema DFS order -> [(path, ptype,
+    logical)]; list elements are named 'element' under 'list' per the
+    standard 3-level layout."""
+    kind = node[0]
+    if kind == "prim":
+        return [(path, node[1], node[2])]
+    if kind == "struct":
+        out = []
+        for fname, child in node[1]:
+            out.extend(_tree_leaves(child, path + [fname]))
+        return out
+    return _tree_leaves(node[1], path + ["list", "element"])
+
+
+def _tree_max_rep(node) -> int:
+    kind = node[0]
+    if kind == "prim":
+        return 0
+    if kind == "struct":
+        return max(_tree_max_rep(c) for _n, c in node[1])
+    return 1 + _tree_max_rep(node[1])
+
+
+def _stripe_nested(records: list, tree) -> list:
+    """Generic inverse Dremel: one optional column of arbitrary
+    struct/list nesting -> per-leaf (rep_levels, def_levels,
+    present_values), the exact inverse of the reader's marked record
+    assembly.  Definition levels count present optional/repeated
+    ancestors (a LIST contributes two: its optional group and, once
+    non-empty, its repeated node); repetition levels name the
+    repeated ancestor a slot continues (0 = new record).  EVERY leaf
+    carries its own level streams: leaves under different repeated
+    ancestors see different slot counts, so streams are never shared
+    (the r12 struct-of-list lesson)."""
+    leaves = _tree_leaves(tree, [])
+    n_leaves = len(leaves)
+    reps = [[] for _ in range(n_leaves)]
+    defs = [[] for _ in range(n_leaves)]
+    present = [[] for _ in range(n_leaves)]
+
+    # leaf index ranges per subtree, resolved by a DFS mirror
+    def leaf_span(node, at):
+        kind = node[0]
+        if kind == "prim":
+            return at + 1
+        if kind == "struct":
+            for _n, c in node[1]:
+                at = leaf_span(c, at)
+            return at
+        return leaf_span(node[1], at)
+
+    def emit_all(node, at, r, d):
+        hi = leaf_span(node, at)
+        for li in range(at, hi):
+            reps[li].append(r)
+            defs[li].append(d)
+
+    def walk(value, node, at, r, d, rep_depth):
+        """``rep_depth``: repeated ancestors above this node — the
+        rep value continuation slots under a list here will carry."""
+        kind = node[0]
+        if kind == "prim":
+            reps[at].append(r)
+            if value is None:
+                defs[at].append(d)
+            else:
+                defs[at].append(d + 1)
+                present[at].append(value)
+            return
+        if kind == "struct":
+            if value is None:
+                emit_all(node, at, r, d)
+                return
+            if not isinstance(value, dict):
                 raise ParquetWriteError(
-                    f"STRUCT row is {type(rec).__name__}, not a dict"
+                    f"STRUCT row is {type(value).__name__}, not a dict"
                 )
-            elif rec.get(fname) is None:
-                defs.append(1)
-            else:
-                defs.append(2)
-                present.append(rec[fname])
-        out.append((defs, present))
-    return out
-
-
-def _strip_list_struct(records: list, fields: list) -> tuple:
-    """LIST<STRUCT<...>> (standard 3-level, optional element group of
-    optional primitive fields) -> (rep_levels, per-leaf (def_levels,
-    present_values)); max_rep 1, max_def 4 (0 null list, 1 empty,
-    2 null element, 3 element present + field null, 4 value)."""
-    reps: list[int] = []
-    shapes: list = []  # per slot: None-list / empty / element-or-None
-    for rec in records:
-        if rec is None:
-            reps.append(0)
-            shapes.append("null_list")
-        elif not isinstance(rec, (list, tuple)):
+            child_at = at
+            for fname, child in node[1]:
+                walk(value.get(fname), child, child_at, r, d + 1,
+                     rep_depth)
+                child_at = leaf_span(child, child_at)
+            return
+        # list
+        if value is None:
+            emit_all(node, at, r, d)
+            return
+        if not isinstance(value, (list, tuple)):
             raise ParquetWriteError(
-                f"LIST column row is {type(rec).__name__}, not a list"
+                f"LIST column row is {type(value).__name__}, not a list"
             )
-        elif len(rec) == 0:
-            reps.append(0)
-            shapes.append("empty")
-        else:
-            for i, el in enumerate(rec):
-                reps.append(0 if i == 0 else 1)
-                if el is not None and not isinstance(el, dict):
-                    raise ParquetWriteError(
-                        f"LIST<STRUCT> element is {type(el).__name__}"
-                    )
-                shapes.append(el)
-    leaves = []
-    for fname, _ft in fields:
-        defs: list[int] = []
-        present: list = []
-        for sh in shapes:
-            if sh == "null_list":
-                defs.append(0)
-            elif sh == "empty":
-                defs.append(1)
-            elif sh is None:
-                defs.append(2)
-            elif sh.get(fname) is None:
-                defs.append(3)
-            else:
-                defs.append(4)
-                present.append(sh[fname])
-        leaves.append((defs, present))
-    return reps, leaves
+        if len(value) == 0:
+            emit_all(node, at, r, d + 1)
+            return
+        my_rep = rep_depth + 1
+        for i, el in enumerate(value):
+            walk(el, node[1], at, r if i == 0 else my_rep, d + 2,
+                 my_rep)
+
+    for rec_val in records:
+        walk(rec_val, tree, 0, 0, 0, 0)
+    return [
+        (reps[i], defs[i], present[i]) for i in range(n_leaves)
+    ]
 
 
 def write_parquet(
@@ -351,6 +411,30 @@ def write_parquet(
             "uncompressed": uncomp_total,
         }
 
+    def emit_group_schema(node, gname: str):
+        kind = node[0]
+        if kind == "prim":
+            schema_elems.append(leaf_elem(node[1], node[2], gname))
+        elif kind == "struct":
+            schema_elems.append([
+                (3, T_I32, 1),               # OPTIONAL group
+                (4, T_BINARY, gname.encode("utf-8")),
+                (5, T_I32, len(node[1])),
+            ])
+            for fname, child in node[1]:
+                emit_group_schema(child, fname)
+        else:                                # list
+            schema_elems.append([
+                (3, T_I32, 1),
+                (4, T_BINARY, gname.encode("utf-8")),
+                (5, T_I32, 1),
+                (6, T_I32, 3),               # ConvertedType LIST
+            ])
+            schema_elems.append([
+                (3, T_I32, 2), (4, T_BINARY, b"list"), (5, T_I32, 1),
+            ])
+            emit_group_schema(node[1], "element")
+
     for name in names:
         logical = types[name]
         values = columns[name]
@@ -358,52 +442,29 @@ def write_parquet(
             "LIST<"
         ) and logical.endswith(">")
         inner = logical[5:-1].strip() if is_list else logical
-        is_struct = isinstance(inner, str) and inner.startswith(
-            "STRUCT<"
-        ) and inner.endswith(">")
+        nested = isinstance(logical, str) and (
+            "STRUCT<" in logical or (is_list and inner.startswith("LIST<"))
+        )
 
-        if is_struct:
-            fields = _parse_struct_fields(inner[7:-1])
-            fptypes = [leaf_ptype(ft) for _fn, ft in fields]
-            if is_list:
-                # optional group (LIST) -> repeated 'list' ->
-                # optional group 'element' -> optional leaves
-                schema_elems.append([
-                    (3, T_I32, 1),
-                    (4, T_BINARY, name.encode("utf-8")),
-                    (5, T_I32, 1),
-                    (6, T_I32, 3),           # ConvertedType LIST
-                ])
-                schema_elems.append([
-                    (3, T_I32, 2), (4, T_BINARY, b"list"), (5, T_I32, 1),
-                ])
-                schema_elems.append([
-                    (3, T_I32, 1),
-                    (4, T_BINARY, b"element"),
-                    (5, T_I32, len(fields)),
-                ])
-                base_path = [name, "list", "element"]
-            else:
-                schema_elems.append([
-                    (3, T_I32, 1),
-                    (4, T_BINARY, name.encode("utf-8")),
-                    (5, T_I32, len(fields)),
-                ])
-                base_path = [name]
-            for li, (fname, ftype) in enumerate(fields):
-                schema_elems.append(
-                    leaf_elem(fptypes[li], ftype, fname)
-                )
+        if nested:
+            # arbitrary struct/list nesting through the generic
+            # inverse-Dremel striper (flat and simple LIST<prim>
+            # columns keep the original byte-stable path below)
+            tree = _parse_type(logical)
+            emit_group_schema(tree, name)
+            leaves = _tree_leaves(tree, [name])
+            for li, (lpath, lptype, _llogical) in enumerate(leaves):
+                # rep levels exist only on leaves with a repeated
+                # ancestor ON THEIR OWN PATH (max_rep is per leaf)
+                has_rep = "list" in lpath
 
-                def stripe(page, li=li, is_list=is_list):
-                    if is_list:
-                        reps, leaves = _strip_list_struct(page, fields)
-                        return (reps, *leaves[li])
-                    return (None, *_strip_struct(page, fields)[li])
+                def stripe(page, li=li, tree=tree, has_rep=has_rep):
+                    reps, ldefs, lpres = _stripe_nested(page, tree)[li]
+                    return (reps if has_rep else None, ldefs, lpres)
 
-                meta = write_leaf_pages(values, stripe, fptypes[li])
-                meta["path"] = base_path + [fname]
-                meta["ptype"] = fptypes[li]
+                meta = write_leaf_pages(values, stripe, lptype)
+                meta["path"] = lpath
+                meta["ptype"] = lptype
                 chunk_meta.append(meta)
             continue
 

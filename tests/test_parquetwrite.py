@@ -413,3 +413,124 @@ def test_struct_write_rejects_bad_shapes():
         write_parquet({"st": [None]}, {"st": "STRUCT<oops>"})
     with pytest.raises(ParquetWriteError, match="bad type"):
         write_parquet({"st": [None]}, {"st": "STRUCT<a:NOPE>"})
+
+
+@pytest.mark.parametrize("page_rows", [None, 2])
+def test_deep_nesting_write_three_referees(page_rows, tmp_path):
+    """The r12 GENERIC inverse-Dremel striper: struct-of-list,
+    struct-of-struct, list<list<int>> and list<list<struct>> — the
+    shapes the READER already assembles — now write symmetrically,
+    and pyarrow + DuckDB + our own record assembly recover the rows."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_footer,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    cols = {
+        "id": [1, 2, 3, 4, 5],
+        "sl": [
+            {"v": [1, 2], "w": 7},
+            None,
+            {"v": None, "w": 8},
+            {"v": [], "w": None},
+            {"v": [None, 5], "w": 9},
+        ],
+        "ss": [
+            {"in": {"p": 1, "q": 2}, "r": 3},
+            {"in": None, "r": 4},
+            None,
+            {"in": {"p": None, "q": 6}, "r": None},
+            {"in": {"p": 7, "q": None}, "r": 8},
+        ],
+        "ll": [
+            [[1], [2, 3]],
+            None,
+            [[]],
+            [None],
+            [[4], None, [5, None]],
+        ],
+        "lls": [
+            [[{"z": 1}]],
+            [],
+            None,
+            [None, []],
+            [[{"z": None}, None], [{"z": 3}]],
+        ],
+    }
+    types = {
+        "id": "INT64",
+        "sl": "STRUCT<v:LIST<INT64>,w:INT64>",
+        "ss": "STRUCT<in:STRUCT<p:INT64,q:INT64>,r:INT64>",
+        "ll": "LIST<LIST<INT64>>",
+        "lls": "LIST<LIST<STRUCT<z:INT64>>>",
+    }
+    data = write_parquet(cols, types, page_rows=page_rows)
+
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    for name in cols:
+        assert t.column(name).to_pylist() == cols[name], name
+
+    p = tmp_path / "deep.parquet"
+    p.write_bytes(data)
+    rows = duckdb.connect().execute(
+        f"SELECT sl, ss, ll, lls FROM '{p}' ORDER BY id"
+    ).fetchall()
+    assert [r[2] for r in rows] == cols["ll"]
+    assert [r[0] for r in rows] == cols["sl"]
+
+    meta = parse_footer(data)
+    for ordinal, name in enumerate(cols):
+        assert read_record_field(data, meta, ordinal) == cols[name], name
+
+
+def test_deep_nesting_randomized_fuzz_vs_pyarrow():
+    """Randomized records through the generic striper, pyarrow as
+    referee — struct/list mixed three levels deep with nulls at
+    every level, crossing page boundaries."""
+    import random
+
+    rng = random.Random(7)
+
+    def mk_ll():
+        if rng.random() < 0.15:
+            return None
+        return [
+            None
+            if rng.random() < 0.15
+            else [
+                None if rng.random() < 0.2 else rng.randint(0, 99)
+                for _ in range(rng.randint(0, 3))
+            ]
+            for _ in range(rng.randint(0, 3))
+        ]
+
+    def mk_sl():
+        if rng.random() < 0.15:
+            return None
+        return {
+            "v": None
+            if rng.random() < 0.2
+            else [
+                None if rng.random() < 0.2 else rng.randint(0, 99)
+                for _ in range(rng.randint(0, 4))
+            ],
+            "w": None if rng.random() < 0.3 else rng.randint(0, 9),
+        }
+
+    lls, sls = [], []
+    for _ in range(250):
+        lls.append(mk_ll())
+        sls.append(mk_sl())
+    cols = {"ll": lls, "sl": sls}
+    types = {
+        "ll": "LIST<LIST<INT64>>",
+        "sl": "STRUCT<v:LIST<INT64>,w:INT64>",
+    }
+    data = write_parquet(cols, types, page_rows=31)
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    assert t.column("ll").to_pylist() == lls
+    assert t.column("sl").to_pylist() == sls
