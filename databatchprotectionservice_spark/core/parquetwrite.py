@@ -192,7 +192,9 @@ def _parse_struct_fields(spec: str) -> list[tuple[str, str]]:
 
 def _parse_type(spec: str):
     """Type DSL -> tree: ('prim', ptype, logical) | ('list', child) |
-    ('struct', [(name, node), ...]).  LIST and STRUCT nest freely."""
+    ('struct', [(name, node), ...]) | ('map', key_prim, value_node).
+    LIST/STRUCT/MAP nest freely; MAP keys are required primitives
+    (the parquet MAP contract)."""
     spec = spec.strip()
     if spec.startswith("LIST<") and spec.endswith(">"):
         return ("list", _parse_type(spec[5:-1]))
@@ -204,6 +206,23 @@ def _parse_type(spec: str):
                 for fname, ftype in _parse_struct_fields(spec[7:-1])
             ],
         )
+    if spec.startswith("MAP<") and spec.endswith(">"):
+        # depth-0 comma split of "K,V"
+        inner = spec[4:-1]
+        depth = 0
+        for i, ch in enumerate(inner):
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                key = _parse_type(inner[:i])
+                if key[0] != "prim":
+                    raise ParquetWriteError(
+                        "MAP keys must be primitive types"
+                    )
+                return ("map", key, _parse_type(inner[i + 1 :]))
+        raise ParquetWriteError("MAP<> needs KEY,VALUE")
     ptype = _LOGICAL.get(spec, spec)
     if ptype not in _TYPE_IDS:
         raise ParquetWriteError(f"bad type {spec!r}")
@@ -213,7 +232,8 @@ def _parse_type(spec: str):
 def _tree_leaves(node, path):
     """Leaves of a type tree in schema DFS order -> [(path, ptype,
     logical)]; list elements are named 'element' under 'list' per the
-    standard 3-level layout."""
+    standard 3-level layout, map entries 'key'/'value' under
+    'key_value'."""
     kind = node[0]
     if kind == "prim":
         return [(path, node[1], node[2])]
@@ -222,6 +242,10 @@ def _tree_leaves(node, path):
         for fname, child in node[1]:
             out.extend(_tree_leaves(child, path + [fname]))
         return out
+    if kind == "map":
+        return _tree_leaves(
+            node[1], path + ["key_value", "key"]
+        ) + _tree_leaves(node[2], path + ["key_value", "value"])
     return _tree_leaves(node[1], path + ["list", "element"])
 
 
@@ -231,6 +255,8 @@ def _tree_max_rep(node) -> int:
         return 0
     if kind == "struct":
         return max(_tree_max_rep(c) for _n, c in node[1])
+    if kind == "map":
+        return 1 + max(_tree_max_rep(node[1]), _tree_max_rep(node[2]))
     return 1 + _tree_max_rep(node[1])
 
 
@@ -260,6 +286,8 @@ def _stripe_nested(records: list, tree) -> list:
             for _n, c in node[1]:
                 at = leaf_span(c, at)
             return at
+        if kind == "map":
+            return leaf_span(node[2], leaf_span(node[1], at))
         return leaf_span(node[1], at)
 
     def emit_all(node, at, r, d):
@@ -293,6 +321,31 @@ def _stripe_nested(records: list, tree) -> list:
                 walk(value.get(fname), child, child_at, r, d + 1,
                      rep_depth)
                 child_at = leaf_span(child, child_at)
+            return
+        if kind == "map":
+            if value is None:
+                emit_all(node, at, r, d)
+                return
+            if not isinstance(value, dict):
+                raise ParquetWriteError(
+                    f"MAP column row is {type(value).__name__}, "
+                    "not a dict"
+                )
+            if len(value) == 0:
+                emit_all(node, at, r, d + 1)
+                return
+            my_rep = rep_depth + 1
+            val_at = leaf_span(node[1], at)
+            for i, (k, v) in enumerate(value.items()):
+                if k is None:
+                    raise ParquetWriteError("MAP keys cannot be null")
+                ri = r if i == 0 else my_rep
+                # required key: present adds NO definition level —
+                # the entry's existence (d+2) is the key's def
+                reps[at].append(ri)
+                defs[at].append(d + 2)
+                present[at].append(k)
+                walk(v, node[2], val_at, ri, d + 2, my_rep)
             return
         # list
         if value is None:
@@ -423,6 +476,27 @@ def write_parquet(
             ])
             for fname, child in node[1]:
                 emit_group_schema(child, fname)
+        elif kind == "map":
+            schema_elems.append([
+                (3, T_I32, 1),
+                (4, T_BINARY, gname.encode("utf-8")),
+                (5, T_I32, 1),
+                (6, T_I32, 1),               # ConvertedType MAP
+            ])
+            schema_elems.append([
+                (3, T_I32, 2),
+                (4, T_BINARY, b"key_value"),
+                (5, T_I32, 2),
+            ])
+            kfields = [
+                (1, T_I32, _TYPE_IDS[node[1][1]]),
+                (3, T_I32, 0),               # REQUIRED key
+                (4, T_BINARY, b"key"),
+            ]
+            if node[1][2] == "STRING":
+                kfields.append((6, T_I32, 0))
+            schema_elems.append(kfields)
+            emit_group_schema(node[2], "value")
         else:                                # list
             schema_elems.append([
                 (3, T_I32, 1),
@@ -443,7 +517,9 @@ def write_parquet(
         ) and logical.endswith(">")
         inner = logical[5:-1].strip() if is_list else logical
         nested = isinstance(logical, str) and (
-            "STRUCT<" in logical or (is_list and inner.startswith("LIST<"))
+            "STRUCT<" in logical
+            or "MAP<" in logical
+            or (is_list and inner.startswith("LIST<"))
         )
 
         if nested:
@@ -456,7 +532,7 @@ def write_parquet(
             for li, (lpath, lptype, _llogical) in enumerate(leaves):
                 # rep levels exist only on leaves with a repeated
                 # ancestor ON THEIR OWN PATH (max_rep is per leaf)
-                has_rep = "list" in lpath
+                has_rep = "list" in lpath or "key_value" in lpath
 
                 def stripe(page, li=li, tree=tree, has_rep=has_rep):
                     reps, ldefs, lpres = _stripe_nested(page, tree)[li]

@@ -534,3 +534,96 @@ def test_deep_nesting_randomized_fuzz_vs_pyarrow():
     t = pq.ParquetFile(io.BytesIO(data)).read()
     assert t.column("ll").to_pylist() == lls
     assert t.column("sl").to_pylist() == sls
+
+
+@pytest.mark.parametrize("page_rows", [None, 2])
+def test_map_columns_three_referees(page_rows, tmp_path):
+    """r12 MAP write: optional group (MAP) -> repeated key_value ->
+    required key + optional value, the last nested kind the reader
+    assembles that the writer lacked.  Null maps, empty maps, null
+    values, nested list values — pyarrow, DuckDB and our own record
+    assembly recover the entries."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_footer,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        read_record_field,
+    )
+
+    cols = {
+        "id": [1, 2, 3, 4, 5],
+        "m": [
+            {"a": 1, "b": 2},
+            None,
+            {},
+            {"c": None},
+            {"d": 4, "e": None, "f": 6},
+        ],
+        "ml": [
+            {"x": [1, 2]},
+            {"y": None, "z": []},
+            None,
+            {},
+            {"w": [None, 3]},
+        ],
+    }
+    types = {
+        "id": "INT64",
+        "m": "MAP<STRING,INT64>",
+        "ml": "MAP<STRING,LIST<INT64>>",
+    }
+    data = write_parquet(cols, types, page_rows=page_rows)
+
+    t = pq.ParquetFile(io.BytesIO(data)).read()
+    assert t.column("id").to_pylist() == cols["id"]
+    # pyarrow surfaces maps as [(k, v), ...]
+    for name in ("m", "ml"):
+        want = [
+            None if r is None else list(r.items()) for r in cols[name]
+        ]
+        assert t.column(name).to_pylist() == want, name
+
+    p = tmp_path / "maps.parquet"
+    p.write_bytes(data)
+    rows = duckdb.connect().execute(
+        f"SELECT m, ml FROM '{p}' ORDER BY id"
+    ).fetchall()
+
+    def duck_norm(v):  # duckdb surfaces MAP as {'key': [...], 'value': [...]}
+        if v is None:
+            return None
+        if isinstance(v, dict) and set(v) == {"key", "value"}:
+            return dict(zip(v["key"], v["value"]))
+        return v
+
+    assert [duck_norm(r[0]) for r in rows] == cols["m"]
+    assert [duck_norm(r[1]) for r in rows] == cols["ml"]
+
+    # our reader surfaces maps as [{'key': k, 'value': v}, ...]
+    meta = parse_footer(data)
+    for ordinal, name in (("1", "m"), ("2", "ml")):
+        got = read_record_field(data, meta, int(ordinal))
+        norm = [
+            None
+            if r is None
+            else {
+                (e["key"].decode() if isinstance(e["key"], bytes)
+                 else e["key"]): e["value"]
+                for e in r
+            }
+            for r in got
+        ]
+        assert norm == cols[name], name
+
+
+def test_map_write_rejects_bad_shapes():
+    with pytest.raises(ParquetWriteError, match="not a dict"):
+        write_parquet({"m": [[1]]}, {"m": "MAP<STRING,INT64>"})
+    with pytest.raises(ParquetWriteError, match="cannot be null"):
+        write_parquet({"m": [{None: 1}]}, {"m": "MAP<STRING,INT64>"})
+    with pytest.raises(ParquetWriteError, match="primitive"):
+        write_parquet({"m": [None]}, {"m": "MAP<LIST<INT64>,INT64>"})
+    with pytest.raises(ParquetWriteError, match="KEY,VALUE"):
+        write_parquet({"m": [None]}, {"m": "MAP<INT64>"})
