@@ -59,8 +59,12 @@ epoch-nanos (Python datetime is us-bounded — same convention as the
 engine's parquet ``nanosAsLong``), and Decimal(bitWidth=128) ->
 ``decimal.Decimal`` from the 16-byte little-endian two's-complement
 unscaled integers; dictionary-encoded temporal/decimal values keep
-their unit/scale through resolution.  Anything else (Large* /
-Duration / Interval tags, decimal256, non-BUFFER compression
+their unit/scale through resolution.  The Large* (64-bit offset)
+family decodes too (r12): LargeUtf8/LargeBinary leaves and
+LargeList nesting read through the same paths with i64 offset
+buffers — HF-datasets exports use large_string pervasively, so this
+was the highest-traffic remaining tag.  Anything else (Duration /
+Interval / FixedSize* tags, decimal256, non-BUFFER compression
 methods) raises :class:`ArrowIpcFormatError` naming the offending
 tag so the seam is explicit, in the same style as the other codecs'
 unsupported paths.
@@ -106,6 +110,9 @@ _T_TIME = 9
 _T_TIMESTAMP = 10
 _T_LIST = 12
 _T_STRUCT = 13
+_T_LARGE_BINARY = 19
+_T_LARGE_UTF8 = 20
+_T_LARGE_LIST = 21
 
 #: Schema.fbs TimeUnit enum -> suffix
 _TIME_UNITS = {0: "s", 1: "ms", 2: "us", 3: "ns"}
@@ -280,6 +287,7 @@ def _decode_field(f: _Table) -> FieldSpec:
     if tag not in (
         _T_INT, _T_FP, _T_BOOL, _T_UTF8, _T_BINARY, _T_LIST, _T_STRUCT,
         _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP,
+        _T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST,
     ):
         raise ArrowIpcFormatError(
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
@@ -289,18 +297,19 @@ def _decode_field(f: _Table) -> FieldSpec:
     enc = f.table(4)
     if enc is not None:
         dict_id, index_type = _decode_dict_encoding(name, enc)
-    if tag in (_T_LIST, _T_STRUCT):
+    if tag in (_T_LIST, _T_LARGE_LIST, _T_STRUCT):
         if dict_id is not None:
             raise ArrowIpcFormatError(
                 f"field {name!r}: dictionary-encoded nested column"
             )
         kids = tuple(_decode_field(c) for c in f.table_vector(5))
-        if tag == _T_LIST:
+        if tag in (_T_LIST, _T_LARGE_LIST):
             if len(kids) != 1:
                 raise ArrowIpcFormatError(
                     f"field {name!r}: List needs exactly one child"
                 )
-            return FieldSpec(name, nullable, "list", 0, None, None, kids)
+            tn = "list" if tag == _T_LIST else "large_list"
+            return FieldSpec(name, nullable, tn, 0, None, None, kids)
         if not kids:
             raise ArrowIpcFormatError(
                 f"field {name!r}: Struct with no children"
@@ -343,6 +352,14 @@ def _decode_field(f: _Table) -> FieldSpec:
         return FieldSpec(name, nullable, "bool", 1, dict_id, index_type)
     if tag == _T_UTF8:
         return FieldSpec(name, nullable, "utf8", 0, dict_id, index_type)
+    if tag == _T_LARGE_UTF8:
+        return FieldSpec(
+            name, nullable, "large_utf8", 0, dict_id, index_type
+        )
+    if tag == _T_LARGE_BINARY:
+        return FieldSpec(
+            name, nullable, "large_binary", 0, dict_id, index_type
+        )
     if tag == _T_DATE:
         # Schema.fbs: Date { unit: DateUnit = MILLISECOND } —
         # DAY(0) -> 32-bit days, MILLISECOND(1) -> 64-bit millis
@@ -570,13 +587,17 @@ def _decode_column(
     def null_at(i: int) -> bool:
         return bool(null_count) and _bit(validity, i) == 0
 
-    if spec.type_name in ("utf8", "binary"):
+    if spec.type_name in (
+        "utf8", "binary", "large_utf8", "large_binary"
+    ):
+        large = spec.type_name.startswith("large_")
+        ow, ofmt = (8, "q") if large else (4, "i")
         offsets_buf, data_buf = bufs[1], bufs[2]
-        if len(offsets_buf) < 4 * (length + 1):
+        if len(offsets_buf) < ow * (length + 1):
             raise ArrowIpcFormatError(
                 f"field {spec.name!r}: offsets buffer too short"
             )
-        offs = struct.unpack_from(f"<{length + 1}i", offsets_buf, 0)
+        offs = struct.unpack_from(f"<{length + 1}{ofmt}", offsets_buf, 0)
         out = []
         for i in range(length):
             if null_at(i):
@@ -588,7 +609,7 @@ def _decode_column(
                     f"field {spec.name!r}: offsets not monotone in-bounds"
                 )
             raw = data_buf[lo:hi]
-            if spec.type_name == "utf8":
+            if spec.type_name in ("utf8", "large_utf8"):
                 try:
                     out.append(raw.decode("utf-8"))
                 except UnicodeDecodeError as e:
@@ -800,15 +821,19 @@ def _decode_rb_table(
         spec's flattening order): List = [validity][i32 offsets] then
         the child's buffers; Struct = [validity] then each child."""
         node_len, null_count = next_node()
-        if spec.type_name == "list":
+        if spec.type_name in ("list", "large_list"):
+            large = spec.type_name == "large_list"
+            ow, ofmt = (8, "q") if large else (4, "i")
             validity = take()
             offsets_buf = take()
-            if node_len and len(offsets_buf) < 4 * (node_len + 1):
+            if node_len and len(offsets_buf) < ow * (node_len + 1):
                 raise ArrowIpcFormatError(
                     f"field {spec.name!r}: list offsets too short"
                 )
             offs = (
-                struct.unpack_from(f"<{node_len + 1}i", offsets_buf, 0)
+                struct.unpack_from(
+                    f"<{node_len + 1}{ofmt}", offsets_buf, 0
+                )
                 if node_len
                 else (0,)
             )
@@ -868,7 +893,12 @@ def _decode_rb_table(
                         f"outside dictionary of {len(values)}"
                     )
             return out
-        nbufs = 3 if spec.type_name in ("utf8", "binary") else 2
+        nbufs = (
+            3
+            if spec.type_name
+            in ("utf8", "binary", "large_utf8", "large_binary")
+            else 2
+        )
         bufs = [take() for _ in range(nbufs)]
         col = _decode_column(spec, node_len, null_count, bufs)
         nc = sum(1 for v in col if v is None)

@@ -97,13 +97,16 @@ def test_error_is_domain_error_subclass():
 
 
 def test_unsupported_type_seams_named():
-    # Timestamp/Date/Time/Decimal128 closed r12; the remaining named
-    # seams are the Large* family, Duration/Interval, and decimal256
+    # Timestamp/Date/Time/Decimal128 and the Large* family closed
+    # r12; the remaining named seams are Duration/Interval,
+    # FixedSize*, and decimal256
     cases = [
         ("Duration", pa.table(
             {"x": pa.array([0], pa.duration("us"))}
         )),
-        ("LargeUtf8", pa.table({"x": pa.array(["a"], pa.large_string())})),
+        ("FixedSizeBinary", pa.table(
+            {"x": pa.array([b"abcd"], pa.binary(4))}
+        )),
         ("Decimal .* 256|bitWidth 256", pa.table(
             {"x": pa.array([1], pa.decimal256(40, 2))}
         )),
@@ -663,3 +666,40 @@ def test_decimal_scale_misfit_raises():
     f = [FieldSpec("d", True, "decimal128", 128, precision=6, scale=2)]
     with pytest.raises(ArrowIpcFormatError, match="scale"):
         encode_arrow_ipc(f, [[[decimal.Decimal("1.234")]]])
+
+
+def test_large_offset_types_decode_vs_pyarrow():
+    """r12: the Large* (64-bit offset) family — large_string,
+    large_binary, large_list (including large_list<struct> and
+    list-of-large_string mixes) — decodes value-exact from
+    pyarrow-written files.  HF-datasets exports use large_string
+    pervasively, so this is the highest-traffic former seam."""
+    t = pa.table(
+        {
+            "ls": pa.array(
+                ["", "héllo", None, "x" * 300], pa.large_string()
+            ),
+            "lb": pa.array(
+                [b"\x00\xff", None, b"", b"abc"], pa.large_binary()
+            ),
+            "ll": pa.array(
+                [[1, 2], [], None, [None, 5]],
+                pa.large_list(pa.int64()),
+            ),
+            "lls": pa.array(
+                [[{"a": 1}], None, [], [{"a": None}, {"a": 3}]],
+                pa.large_list(pa.struct([("a", pa.int64())])),
+            ),
+            "l_ls": pa.array(
+                [["a"], None, [], ["b", None]],
+                pa.list_(pa.large_string()),
+            ),
+        }
+    )
+    got, cols = _read_all_columns(_ipc_bytes(t, max_chunksize=2))
+    assert [f.type_name for f in got["fields"]] == [
+        "large_utf8", "large_binary", "large_list", "large_list",
+        "list",
+    ]
+    for ci in range(t.num_columns):
+        assert cols[ci] == t.column(ci).to_pylist(), ci
