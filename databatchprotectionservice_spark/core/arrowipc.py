@@ -1210,7 +1210,22 @@ class _Builder:
 
 
 def _fb_field(b: _Builder, spec: FieldSpec) -> int:
-    """Build one Schema.fbs Field table for a supported flat type."""
+    """Build one Schema.fbs Field table (flat or nested)."""
+    kids_vec = None
+    if spec.type_name in ("list", "struct"):
+        kid_offs = [_fb_field(b, c) for c in spec.children]
+        kids_vec = b.create_offset_vector(kid_offs)
+        b.start_table()
+        type_t = b.end_table()  # List/Struct_ carry no fields
+        tag = _T_LIST if spec.type_name == "list" else _T_STRUCT
+        name = b.create_string(spec.name)
+        b.start_table()
+        b.add_offset(0, name)
+        b.add_scalar(1, "<b", 1 if spec.nullable else 0, 0)
+        b.add_scalar(2, "<B", tag, 0)
+        b.add_offset(3, type_t)
+        b.add_offset(5, kids_vec)
+        return b.end_table()
     if spec.type_name.startswith(("int", "uint")):
         b.start_table()
         b.add_scalar(0, "<i", spec.bit_width, 0)
@@ -1339,27 +1354,68 @@ def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
     return [validity, arr.tobytes()]
 
 
+def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
+    """Depth-first node/buffer emission per the columnar spec's
+    flattening order — the exact inverse of ``decode_nested``.
+    List = [validity][i32 offsets] then the flattened child; Struct =
+    [validity] then each child column (null struct slots propagate
+    None into every child)."""
+    validity, nulls = _validity(col)
+    nodes.append((len(col), nulls))
+    tn = spec.type_name
+    if tn == "list":
+        offs = [0]
+        child_vals: list = []
+        for v in col:
+            if v is not None:
+                if not isinstance(v, (list, tuple)):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: list row is "
+                        f"{type(v).__name__}"
+                    )
+                child_vals.extend(v)
+            offs.append(len(child_vals))
+        emit_buf(validity)
+        emit_buf(struct.pack(f"<{len(offs)}i", *offs))
+        _emit_column(spec.children[0], child_vals, nodes, emit_buf)
+        return
+    if tn == "struct":
+        emit_buf(validity)
+        for c in spec.children:
+            child_col = [
+                None if v is None else v.get(c.name) for v in col
+            ]
+            _emit_column(c, child_col, nodes, emit_buf)
+        return
+    for raw in _column_buffers(spec, col):
+        emit_buf(raw)
+
+
 def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
     length = len(columns[0]) if columns else 0
-    nodes = bytearray()
+    node_list: list[tuple[int, int]] = []
     buf_meta = []
     body = bytearray()
+
+    def emit_buf(raw: bytes) -> None:
+        off = len(body)
+        body.extend(raw)
+        body.extend(b"\x00" * ((-len(body)) % 8))
+        buf_meta.append((off, len(raw)))
+
     for spec, col in zip(fields, columns):
         if len(col) != length:
             raise ArrowIpcFormatError(
                 f"field {spec.name!r}: ragged column in batch"
             )
-        _, nulls = _validity(col)
-        nodes += struct.pack("<qq", length, nulls)
-        for raw in _column_buffers(spec, col):
-            off = len(body)
-            body += raw
-            body += b"\x00" * ((-len(body)) % 8)
-            buf_meta.append((off, len(raw)))
+        _emit_column(spec, col, node_list, emit_buf)
+    nodes = bytearray()
+    for nl, nn in node_list:
+        nodes += struct.pack("<qq", nl, nn)
     b = _Builder()
     bufs_raw = b"".join(struct.pack("<qq", o, n) for o, n in buf_meta)
     bvec = b.create_struct_vector(bufs_raw, len(buf_meta), 8)
-    nvec = b.create_struct_vector(bytes(nodes), len(fields), 8)
+    nvec = b.create_struct_vector(bytes(nodes), len(node_list), 8)
     b.start_table()
     b.add_scalar(0, "<q", length, 0)
     b.add_offset(1, nvec)

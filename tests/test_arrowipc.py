@@ -703,3 +703,53 @@ def test_large_offset_types_decode_vs_pyarrow():
     ]
     for ci in range(t.num_columns):
         assert cols[ci] == t.column(ci).to_pylist(), ci
+
+
+def test_encoder_nested_list_struct_both_referees():
+    """r12: the ENCODER nests too — List/Struct columns emit
+    depth-first node/buffer flattening; pyarrow (strict verifier) and
+    our own reader both recover the rows."""
+    import io as _io
+
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    f_int = FieldSpec("a", True, "int64", 64)
+    f_str = FieldSpec("b", True, "utf8", 0)
+    fields = [
+        FieldSpec("flat", True, "int64", 64),
+        FieldSpec("l", True, "list", 0, children=(f_int,)),
+        FieldSpec("st", True, "struct", 0, children=(f_int, f_str)),
+        FieldSpec(
+            "ls", True, "list", 0,
+            children=(
+                FieldSpec(
+                    "element", True, "struct", 0, children=(f_int,)
+                ),
+            ),
+        ),
+        FieldSpec(
+            "ll", True, "list", 0,
+            children=(
+                FieldSpec("element", True, "list", 0, children=(f_int,)),
+            ),
+        ),
+    ]
+    cols = [
+        [1, None, 3, 4],
+        [[1, 2], [], None, [None, 5]],
+        [{"a": 1, "b": "x"}, None, {"a": None, "b": "y"},
+         {"a": 4, "b": None}],
+        [[{"a": 1}], None, [], [{"a": None}, {"a": 3}]],
+        [[[1], [2, 3]], None, [[]], [None]],
+    ]
+    blob = encode_arrow_ipc(fields, [cols])
+    ref = pa.ipc.open_file(_io.BytesIO(blob)).read_all()
+    assert ref.column("l").to_pylist() == cols[1]
+    assert ref.column("st").to_pylist() == cols[2]
+    assert ref.column("ls").to_pylist() == cols[3]
+    assert ref.column("ll").to_pylist() == cols[4]
+    _, back = _read_all_columns(blob)
+    assert back == cols
