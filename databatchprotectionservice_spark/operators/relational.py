@@ -2245,8 +2245,14 @@ def timeseries_gorilla_stats(spark, sf_dir):
     5-type ceiling the r11 verdict flagged in the pre-reshape query),
     then per-block work is a single sorted pass over a bounded slice
     — the codec is O(n) with constant state, which is why Gorilla
-    streams compress on ingest at line rate, and no task ever holds
-    more than one block in memory.  The follow-up per-type merge is a
+    streams compress on ingest at line rate.  Python-side the blocks
+    flow through ONE ``mapInPandas`` call per partition (the r11
+    funnel lesson re-applied: 1,800 ``applyInPandas`` groups paid
+    ~15 ms of Arrow/group scaffold each — ~4.8 s at sf0.1 for ~55-row
+    groups; the partition-wide form loops blocks inside pandas), with
+    a CARRY for the one block that can straddle an Arrow batch
+    boundary — so memory stays one-batch+one-block bounded, not
+    partition-bounded.  The follow-up per-type merge is a
     ~#blocks-row aggregate, negligible at any scale."""
     import numpy as np
     import pandas as pd
@@ -2295,8 +2301,7 @@ def timeseries_gorilla_stats(spark, sf_dir):
         ]
     )
 
-    def _block(key, pdf):
-        etype, bkey = key[0], int(key[1])
+    def _block(etype, bkey, pdf):
         pdf = pdf.sort_values(["us", "event_id"], kind="mergesort")
         ts = [int(v) for v in pdf["us"]]
         vals = [float(v) for v in pdf["value"]]
@@ -2344,22 +2349,61 @@ def timeseries_gorilla_stats(spark, sf_dir):
         )
         if len(blob) != (ts_bits + 7) // 8:
             raise ValueError(f"{etype}/{bkey}: stream length arithmetic")
-        return pd.DataFrame(
-            {
-                "event_type": [etype],
-                "blk": np.int64(bkey),
-                "n_points": np.int64(len(ts)),
-                "n_dod0": np.int64(hist[0]),
-                "n_dod7": np.int64(hist[1]),
-                "n_dod9": np.int64(hist[2]),
-                "n_dod12": np.int64(hist[3]),
-                "n_dod64": np.int64(hist[4]),
-                "ts_bits": np.int64(ts_bits),
-            }
-        )
+        return (etype, bkey, len(ts), *hist, ts_bits)
 
-    per_block = e.groupBy("event_type", "blk").applyInPandas(
-        _block, block_schema
+    def _partition(batches):
+        """All blocks of one partition through ONE Python call:
+        groups are contiguous (sortWithinPartitions on the block
+        key), so only the trailing group of each Arrow batch can be
+        incomplete — it CARRIES into the next batch, keeping memory
+        one-batch+one-block bounded."""
+        carry = None
+        rows: list[tuple] = []
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            if carry is not None:
+                pdf = pd.concat([carry, pdf], ignore_index=True)
+            last_et = pdf["event_type"].iat[-1]
+            last_blk = pdf["blk"].iat[-1]
+            tail_run = int(
+                (
+                    (pdf["event_type"] == last_et)
+                    & (pdf["blk"] == last_blk)
+                )
+                .values[::-1]
+                .cumprod()
+                .sum()
+            )
+            head = pdf.iloc[: len(pdf) - tail_run]
+            carry = pdf.iloc[len(pdf) - tail_run :].reset_index(
+                drop=True
+            )
+            for (etype, bkey), g in head.groupby(
+                ["event_type", "blk"], sort=False
+            ):
+                rows.append(_block(etype, int(bkey), g))
+        if carry is not None and len(carry):
+            for (etype, bkey), g in carry.groupby(
+                ["event_type", "blk"], sort=False
+            ):
+                rows.append(_block(etype, int(bkey), g))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "event_type", "blk", "n_points", "n_dod0",
+                    "n_dod7", "n_dod9", "n_dod12", "n_dod64",
+                    "ts_bits",
+                ],
+            )
+
+    per_block = (
+        e.repartition(
+            spark.sparkContext.defaultParallelism, "event_type", "blk"
+        )
+        .sortWithinPartitions("event_type", "blk", "us", "event_id")
+        .mapInPandas(_partition, block_schema)
     )
     # associative per-type merge of block stats: ~#blocks input rows,
     # so this second (tiny) aggregate is free at any scale

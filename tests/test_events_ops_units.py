@@ -211,3 +211,29 @@ def test_redact_spans_masks_pii_and_preserves_rest(spark, tmp_path):
     # sanity on the twin itself: organic + seeded PII masked, clean kept
     assert "[EMAIL]" in redacted[0] and "[PHONE]" in redacted[1]
     assert redacted[5] == "untouched plain sentence"
+
+
+def test_gorilla_block_carry_across_arrow_batches(spark):
+    """The r12 mapInPandas reshape's CARRY: a block straddling an
+    Arrow batch boundary must reassemble before encoding.  Forcing
+    tiny Arrow batches makes every block span several batches; the
+    result must be identical to the default-batch run."""
+    from databatchprotectionservice_spark.operators.relational import (
+        timeseries_gorilla_stats,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    want = sorted(
+        map(tuple, timeseries_gorilla_stats(spark, sf_dir).collect())
+    )
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    spark.conf.set(key, "7")
+    try:
+        got = sorted(
+            map(tuple, timeseries_gorilla_stats(spark, sf_dir).collect())
+        )
+    finally:
+        spark.conf.set(key, old)
+    assert got == want
+    assert len(got) == 5 and all(r[1] > 0 for r in got)

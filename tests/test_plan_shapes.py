@@ -798,24 +798,26 @@ def test_parquet_nested_read_single_exchange_map_only_decode(
 
 
 def test_gorilla_stats_block_keyed_exchange(spark, sf_dir):
-    """timeseries_gorilla_stats: the grouped-pandas exchange hashes on
-    the BLOCK key (event_type, blk) — parallelism #(types x 2h
-    buckets), ~1,800 groups at sf0.1, growing with the data (the r11
-    verdict flagged the pre-reshape 5-group event_type ceiling).  The
-    follow-up per-type merge may add one more tiny aggregate exchange;
-    no joins, no windows (the oracle's window functions are the
-    spec)."""
+    """timeseries_gorilla_stats: ONE exchange hashed on the BLOCK key
+    (event_type, blk) — parallelism #(types x 2h buckets), ~1,800
+    groups at sf0.1, growing with the data (the r11 verdict flagged
+    the pre-reshape 5-group event_type ceiling) — into a
+    partition-wide MapInPandas (per-group applyInPandas paid ~15 ms
+    of scaffold per ~55-row block).  The follow-up per-type merge may
+    add one more tiny aggregate exchange; no joins, no windows (the
+    oracle's window functions are the spec)."""
     from databatchprotectionservice_spark.operators.relational import (
         timeseries_gorilla_stats,
     )
 
     plan = _plan(timeseries_gorilla_stats(spark, sf_dir))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     hash_lines = [
         ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
     ]
     assert len(hash_lines) <= 2, plan
-    # the grouped-pandas exchange must carry BOTH block-key columns
+    # the block exchange must carry BOTH block-key columns
     assert any(
         "event_type" in ln and "blk" in ln for ln in hash_lines
     ), plan
