@@ -3375,9 +3375,11 @@ def export_arrow_ipc_shards(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 #: orders per temporal IPC shard (the few-larger-files shape of the
-#: sibling IPC queries: per-shard Python codec work dominates gate
-#: scale, not the codec)
-ATEMP_SHARD = 512
+#: sibling IPC queries: per-shard Python scaffold dominates gate
+#: scale, not the codec — 2048 keeps ~170-row groups from paying
+#: ~15 ms of Arrow/group cost each while shard count stays
+#: data-proportional)
+ATEMP_SHARD = 2048
 #: intraday-microsecond mixer: a prime stride keeps the synthetic
 #: time-of-day spread over the full day without float anywhere
 ATEMP_MIX = 7919

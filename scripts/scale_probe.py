@@ -145,6 +145,11 @@ QUERIES = [
     "parquet_nested_read_real",
     # r11 staged: Gorilla codec over per-type event streams
     "timeseries_gorilla_stats",
+    # r12 staged: Arrow temporal/decimal shards (orders replicate 10x
+    # with shifted keys, so shard count scales with the data) and the
+    # nested parquet write (documents-driven, same shard economics)
+    "ingest_arrow_temporal",
+    "parquet_write_nested_real",
 ]
 
 
