@@ -63,9 +63,13 @@ their unit/scale through resolution.  The Large* (64-bit offset)
 family decodes too (r12): LargeUtf8/LargeBinary leaves and
 LargeList nesting read through the same paths with i64 offset
 buffers — HF-datasets exports use large_string pervasively, so this
-was the highest-traffic remaining tag.  Anything else (Duration /
-Interval / FixedSize* tags, decimal256, non-BUFFER compression
-methods) raises :class:`ArrowIpcFormatError` naming the offending
+was the highest-traffic remaining tag.  FixedSizeList and
+FixedSizeBinary decode too (r12): a fixed_size_list<float32, d> is
+THE Arrow embedding column type, read as [validity] then exactly
+node_len x listSize child values with no offsets buffer, and
+FixedSizeBinary slices byteWidth-sized values off one data buffer.
+Anything else (Duration / Interval / Union tags, decimal256,
+non-BUFFER compression methods) raises :class:`ArrowIpcFormatError` naming the offending
 tag so the seam is explicit, in the same style as the other codecs'
 unsupported paths.
 """
@@ -110,6 +114,8 @@ _T_TIME = 9
 _T_TIMESTAMP = 10
 _T_LIST = 12
 _T_STRUCT = 13
+_T_FIXED_BINARY = 15
+_T_FIXED_LIST = 16
 _T_LARGE_BINARY = 19
 _T_LARGE_UTF8 = 20
 _T_LARGE_LIST = 21
@@ -259,6 +265,8 @@ class FieldSpec:
     #: decimal128 parameters (0 when not a decimal)
     precision: int = 0
     scale: int = 0
+    #: FixedSizeBinary byteWidth / FixedSizeList listSize (0 otherwise)
+    fixed_size: int = 0
 
 
 def _decode_dict_encoding(name: str, d: _Table) -> tuple[int, str]:
@@ -288,6 +296,7 @@ def _decode_field(f: _Table) -> FieldSpec:
         _T_INT, _T_FP, _T_BOOL, _T_UTF8, _T_BINARY, _T_LIST, _T_STRUCT,
         _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP,
         _T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST,
+        _T_FIXED_BINARY, _T_FIXED_LIST,
     ):
         raise ArrowIpcFormatError(
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
@@ -297,16 +306,27 @@ def _decode_field(f: _Table) -> FieldSpec:
     enc = f.table(4)
     if enc is not None:
         dict_id, index_type = _decode_dict_encoding(name, enc)
-    if tag in (_T_LIST, _T_LARGE_LIST, _T_STRUCT):
+    if tag in (_T_LIST, _T_LARGE_LIST, _T_FIXED_LIST, _T_STRUCT):
         if dict_id is not None:
             raise ArrowIpcFormatError(
                 f"field {name!r}: dictionary-encoded nested column"
             )
         kids = tuple(_decode_field(c) for c in f.table_vector(5))
-        if tag in (_T_LIST, _T_LARGE_LIST):
+        if tag in (_T_LIST, _T_LARGE_LIST, _T_FIXED_LIST):
             if len(kids) != 1:
                 raise ArrowIpcFormatError(
                     f"field {name!r}: List needs exactly one child"
+                )
+            if tag == _T_FIXED_LIST:
+                # Schema.fbs: FixedSizeList { listSize: int }
+                n = t.scalar(0, "<i", 0) if t is not None else 0
+                if n <= 0:
+                    raise ArrowIpcFormatError(
+                        f"field {name!r}: FixedSizeList listSize {n}"
+                    )
+                return FieldSpec(
+                    name, nullable, "fixed_list", 0, None, None,
+                    kids, None, None, 0, 0, n,
                 )
             tn = "list" if tag == _T_LIST else "large_list"
             return FieldSpec(name, nullable, tn, 0, None, None, kids)
@@ -359,6 +379,17 @@ def _decode_field(f: _Table) -> FieldSpec:
     if tag == _T_LARGE_BINARY:
         return FieldSpec(
             name, nullable, "large_binary", 0, dict_id, index_type
+        )
+    if tag == _T_FIXED_BINARY:
+        # Schema.fbs: FixedSizeBinary { byteWidth: int }
+        bw = t.scalar(0, "<i", 0) if t is not None else 0
+        if bw <= 0:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: FixedSizeBinary byteWidth {bw}"
+            )
+        return FieldSpec(
+            name, nullable, "fixed_binary", 0, dict_id, index_type,
+            (), None, None, 0, 0, bw,
         )
     if tag == _T_DATE:
         # Schema.fbs: Date { unit: DateUnit = MILLISECOND } —
@@ -630,6 +661,15 @@ def _decode_column(
             bitorder="little",
         )[:length]
         vals = [bool(b) for b in bits]
+    elif spec.type_name == "fixed_binary":
+        bw = spec.fixed_size
+        if len(data_buf := bufs[1]) < bw * length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: fixed binary buffer too short"
+            )
+        vals = [
+            data_buf[bw * i : bw * (i + 1)] for i in range(length)
+        ]
     elif spec.type_name == "decimal128":
         if len(data_buf) < 16 * length:
             raise ArrowIpcFormatError(
@@ -821,6 +861,23 @@ def _decode_rb_table(
         spec's flattening order): List = [validity][i32 offsets] then
         the child's buffers; Struct = [validity] then each child."""
         node_len, null_count = next_node()
+        if spec.type_name == "fixed_list":
+            # FixedSizeList: [validity] then the child with exactly
+            # node_len * listSize values — no offsets buffer
+            n = spec.fixed_size
+            validity = take()
+            child = decode_nested(spec.children[0])
+            if len(child) != node_len * n:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: fixed list child has "
+                    f"{len(child)} values for {node_len} x {n} slots"
+                )
+            return [
+                None
+                if null_count and _bit(validity, i) == 0
+                else child[i * n : (i + 1) * n]
+                for i in range(node_len)
+            ]
         if spec.type_name in ("list", "large_list"):
             large = spec.type_name == "large_list"
             ow, ofmt = (8, "q") if large else (4, "i")
@@ -1251,6 +1308,15 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         b.add_scalar(0, "<h", _UNIT_ENUM[spec.unit], 0)
         b.add_offset(1, tz_off)
         type_t, tag = b.end_table(), _T_TIMESTAMP
+    elif spec.type_name == "fixed_binary":
+        bw = spec.fixed_size
+        if len(data_buf := bufs[1]) < bw * length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: fixed binary buffer too short"
+            )
+        vals = [
+            data_buf[bw * i : bw * (i + 1)] for i in range(length)
+        ]
     elif spec.type_name == "decimal128":
         b.start_table()
         b.add_scalar(0, "<i", spec.precision, 0)

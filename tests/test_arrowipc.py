@@ -97,15 +97,15 @@ def test_error_is_domain_error_subclass():
 
 
 def test_unsupported_type_seams_named():
-    # Timestamp/Date/Time/Decimal128 and the Large* family closed
-    # r12; the remaining named seams are Duration/Interval,
-    # FixedSize*, and decimal256
+    # Timestamp/Date/Time/Decimal128, Large*, and FixedSize* closed
+    # r12; the remaining named seams are Duration/Interval, Union,
+    # and decimal256
     cases = [
         ("Duration", pa.table(
             {"x": pa.array([0], pa.duration("us"))}
         )),
-        ("FixedSizeBinary", pa.table(
-            {"x": pa.array([b"abcd"], pa.binary(4))}
+        ("Interval", pa.table(
+            {"x": pa.nulls(1, pa.month_day_nano_interval())}
         )),
         ("Decimal .* 256|bitWidth 256", pa.table(
             {"x": pa.array([1], pa.decimal256(40, 2))}
@@ -753,3 +753,35 @@ def test_encoder_nested_list_struct_both_referees():
     assert ref.column("ll").to_pylist() == cols[4]
     _, back = _read_all_columns(blob)
     assert back == cols
+
+
+def test_fixed_size_types_decode_vs_pyarrow():
+    """r12: FixedSizeList (THE Arrow embedding column type — a
+    fixed_size_list<float32, d> per vector) and FixedSizeBinary
+    (UUIDs/digests) decode value-exact, nulls and multi-batch
+    included."""
+    t = pa.table(
+        {
+            "emb": pa.array(
+                [[1.0, 2.0, 3.0], None, [0.5, -0.5, 0.0],
+                 [9.0, 8.0, 7.0]],
+                pa.list_(pa.float32(), 3),
+            ),
+            "uid": pa.array(
+                [b"abcd", None, b"\x00\x01\x02\x03", b"zzzz"],
+                pa.binary(4),
+            ),
+            "fl_i": pa.array(
+                [[1, None], [3, 4], None, [5, 6]],
+                pa.list_(pa.int64(), 2),
+            ),
+        }
+    )
+    got, cols = _read_all_columns(_ipc_bytes(t, max_chunksize=2))
+    assert [f.type_name for f in got["fields"]] == [
+        "fixed_list", "fixed_binary", "fixed_list",
+    ]
+    assert got["fields"][0].fixed_size == 3
+    assert got["fields"][1].fixed_size == 4
+    for ci in range(t.num_columns):
+        assert cols[ci] == t.column(ci).to_pylist(), ci
