@@ -1446,6 +1446,12 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
         _emit_column(spec.children[0], child_vals, nodes, emit_buf)
         return
     if tn == "struct":
+        for v in col:
+            if v is not None and not isinstance(v, dict):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: struct row is "
+                    f"{type(v).__name__}, not a dict"
+                )
         emit_buf(validity)
         for c in spec.children:
             child_col = [

@@ -785,3 +785,18 @@ def test_fixed_size_types_decode_vs_pyarrow():
     assert got["fields"][1].fixed_size == 4
     for ci in range(t.num_columns):
         assert cols[ci] == t.column(ci).to_pylist(), ci
+
+
+def test_encoder_nested_bad_shapes_raise_domain_errors():
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    f_int = FieldSpec("a", True, "int64", 64)
+    st = [FieldSpec("st", True, "struct", 0, children=(f_int,))]
+    with pytest.raises(ArrowIpcFormatError, match="not a dict"):
+        encode_arrow_ipc(st, [[[7]]])
+    ls = [FieldSpec("l", True, "list", 0, children=(f_int,))]
+    with pytest.raises(ArrowIpcFormatError, match="list row"):
+        encode_arrow_ipc(ls, [[[{"a": 1}]]])
