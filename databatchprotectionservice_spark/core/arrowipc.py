@@ -1025,6 +1025,7 @@ def _decode_dictionary_batch(
     value_spec = FieldSpec(
         spec.name, True, spec.type_name, spec.bit_width,
         None, None, (), spec.unit, spec.tz, spec.precision, spec.scale,
+        spec.fixed_size,
     )
     _, cols = _decode_rb_table(rb, body, [value_spec], {})
     if is_delta and did in dictionaries:
@@ -1309,14 +1310,11 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         b.add_offset(1, tz_off)
         type_t, tag = b.end_table(), _T_TIMESTAMP
     elif spec.type_name == "fixed_binary":
-        bw = spec.fixed_size
-        if len(data_buf := bufs[1]) < bw * length:
-            raise ArrowIpcFormatError(
-                f"field {spec.name!r}: fixed binary buffer too short"
-            )
-        vals = [
-            data_buf[bw * i : bw * (i + 1)] for i in range(length)
-        ]
+        # FixedSizeBinary type table: byteWidth int at slot 0
+        # (Schema.fbs; 0 is the fbs default, so force-write the slot)
+        b.start_table()
+        b.add_scalar(0, "<i", spec.fixed_size, -1)
+        type_t, tag = b.end_table(), _T_FIXED_BINARY
     elif spec.type_name == "decimal128":
         b.start_table()
         b.add_scalar(0, "<i", spec.precision, 0)
@@ -1397,6 +1395,20 @@ def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
             if v:
                 bits[i >> 3] |= 1 << (i & 7)
         return [validity, bytes(bits)]
+    if spec.type_name == "fixed_binary":
+        bw = spec.fixed_size
+        payload = bytearray()
+        for v in col:
+            if v is None:
+                payload += b"\x00" * bw
+                continue
+            if len(v) != bw:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: value of {len(v)} bytes in a "
+                    f"FixedSizeBinary({bw}) column"
+                )
+            payload += v
+        return [validity, bytes(payload)]
     if spec.type_name == "decimal128":
         payload = bytearray()
         for v in col:
@@ -1409,6 +1421,15 @@ def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
                     raise ArrowIpcFormatError(
                         f"field {spec.name!r}: {v!r} does not fit "
                         f"scale {spec.scale}"
+                    )
+                # decimal128 stores a two's-complement 128-bit
+                # unscaled int; bound-check so an oversized value is
+                # a named domain error, not a bare OverflowError
+                if not -(1 << 127) <= u < (1 << 127):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: unscaled {u} exceeds "
+                        f"128 bits for decimal128({spec.precision},"
+                        f"{spec.scale})"
                     )
             payload += u.to_bytes(16, "little", signed=True)
         return [validity, bytes(payload)]

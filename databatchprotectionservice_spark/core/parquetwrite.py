@@ -249,6 +249,28 @@ def _tree_leaves(node, path):
     return _tree_leaves(node[1], path + ["list", "element"])
 
 
+def _tree_leaf_has_rep(node, under_rep: bool = False) -> list[bool]:
+    """Per-leaf (DFS order, matching ``_tree_leaves``): does the leaf
+    have a REPEATED ancestor on its own path — i.e. does its column
+    chunk carry a repetition-level stream?  Derived from the TYPE
+    TREE, never from path names: a struct field legitimately named
+    'list' or 'key_value' must not grow a spurious rep stream
+    (ADVICE r12, medium)."""
+    kind = node[0]
+    if kind == "prim":
+        return [under_rep]
+    if kind == "struct":
+        out: list[bool] = []
+        for _n, c in node[1]:
+            out.extend(_tree_leaf_has_rep(c, under_rep))
+        return out
+    if kind == "map":
+        return _tree_leaf_has_rep(node[1], True) + _tree_leaf_has_rep(
+            node[2], True
+        )
+    return _tree_leaf_has_rep(node[1], True)
+
+
 def _tree_max_rep(node) -> int:
     kind = node[0]
     if kind == "prim":
@@ -427,7 +449,7 @@ def write_parquet(
         n_leaf_slots = 0
         step = page_rows or max(n_rows, 1)
         for at in range(0, n_rows, step) or [0]:
-            reps, defs, present = stripe(values[at : at + step])
+            reps, defs, present = stripe(values[at : at + step], at)
             body = bytearray()
             if reps is not None:
                 body += _rle_levels(reps)
@@ -529,13 +551,27 @@ def write_parquet(
             tree = _parse_type(logical)
             emit_group_schema(tree, name)
             leaves = _tree_leaves(tree, [name])
+            # rep levels exist only on leaves with a repeated ancestor
+            # ON THEIR OWN PATH — derived structurally from the type
+            # tree (a field NAMED 'list' must not gain a rep stream)
+            leaf_reps = _tree_leaf_has_rep(tree)
+            # each page is striped ONCE for all L leaves (the callback
+            # memoizes on the page's record offset; the LAST leaf
+            # evicts, so memory stays one-column-of-levels bounded
+            # instead of L stripings per page — ADVICE r12, low)
+            stripe_memo: dict[int, list] = {}
+            last_li = len(leaves) - 1
             for li, (lpath, lptype, _llogical) in enumerate(leaves):
-                # rep levels exist only on leaves with a repeated
-                # ancestor ON THEIR OWN PATH (max_rep is per leaf)
-                has_rep = "list" in lpath or "key_value" in lpath
+                has_rep = leaf_reps[li]
 
-                def stripe(page, li=li, tree=tree, has_rep=has_rep):
-                    reps, ldefs, lpres = _stripe_nested(page, tree)[li]
+                def stripe(page, at=0, li=li, tree=tree,
+                           has_rep=has_rep, evict=li == last_li):
+                    if at not in stripe_memo:
+                        stripe_memo[at] = _stripe_nested(page, tree)
+                    striped = stripe_memo[at]
+                    reps, ldefs, lpres = striped[li]
+                    if evict:
+                        stripe_memo.pop(at, None)
                     return (reps if has_rep else None, ldefs, lpres)
 
                 meta = write_leaf_pages(values, stripe, lptype)
@@ -558,7 +594,7 @@ def write_parquet(
             ])
             schema_elems.append(leaf_elem(ptype, inner, "element"))
 
-            def stripe(page):
+            def stripe(page, at=0):
                 return _strip_list(page)
 
             path = [name, "list", "element"]
@@ -572,7 +608,7 @@ def write_parquet(
                 fields_elem.append((6, T_I32, 0))
             schema_elems.append(fields_elem)
 
-            def stripe(page, nullable=nullable):
+            def stripe(page, at=0, nullable=nullable):
                 if nullable:
                     return (
                         None,

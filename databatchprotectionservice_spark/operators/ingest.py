@@ -2641,6 +2641,7 @@ _PARQUET_NESTED_WRITE_SCHEMA = T.StructType(
 )
 
 
+@register("parquet_write_nested_real", oracle=PARQUET_NESTED_WRITE_ORACLE)
 def parquet_write_nested_real(spark, sf_dir) -> DataFrame:
     """STRUCT and LIST<STRUCT> columns through the from-scratch
     parquet WRITER (r12, VERDICT r11 ask #5 — the writer now mirrors
@@ -3441,6 +3442,7 @@ _ATEMP_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_arrow_temporal", oracle=ARROW_TEMPORAL_ORACLE)
 def ingest_arrow_temporal(spark, sf_dir) -> DataFrame:
     """Arrow IPC temporal/decimal type tags through the from-scratch
     reader — the r12 closure of the r11 verdict's widest named Arrow

@@ -325,6 +325,18 @@ REGISTERED_IN: dict[str, int] = {
     # defers the r9 cohort by one round and absorbs everything.  The
     # r12 staged cohort exists to satisfy exactly that.
     "timeseries_gorilla_stats": 12,
+    # round 13: the two r12-incubated queries promote together — this
+    # is the MANDATORY promotion the r12 entry above predicted: at 200
+    # registered cycle_len stays 4, so the full 50-wide r9 cohort +
+    # never-scored Gorilla = 51 mandatory, an overflow.  Registering
+    # 202 pushes cycle_len to 5 (capacity 250), which defers the r9
+    # cohort's staleness by one round: the r13 window becomes the
+    # never-scored Gorilla query + 49 least-recently-scored fillers,
+    # and these two ride NEW_AFTER_WINDOW, becoming never-scored
+    # mandatory at r14.  Both carried committed three-corpus sweeps
+    # (sweep_r12_staged.log) and r12-judge re-runs before promotion.
+    "ingest_arrow_temporal": 13,
+    "parquet_write_nested_real": 13,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

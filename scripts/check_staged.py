@@ -44,32 +44,13 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    # r12 boundary: timeseries_gorilla_stats promoted after its
-    # block-chunk reshape (REGISTERED_IN == 12; registry at exactly
-    # 200).  NOTE the registry comment on that entry: the r13 boundary
-    # MUST promote 1..49 staged queries (cycle_len 4 -> 5) or the
-    # 50-wide r9 cohort + the never-scored Gorilla query overflow the
-    # window — the r12 incubation cohort below exists to satisfy that.
-    from databatchprotectionservice_spark.operators import ingest
-
-    return {
-        # r12: Arrow IPC temporal/decimal type tags (date32/64,
-        # time32/64, timestamp unit+tz, decimal128) through the
-        # from-scratch reader AND writer (core/arrowipc.py) —
-        # pyarrow-written shards over orders, integer-exact oracle.
-        "ingest_arrow_temporal": (
-            ingest.ingest_arrow_temporal,
-            ingest.ARROW_TEMPORAL_ORACLE,
-        ),
-        # r12: STRUCT / LIST<STRUCT> through the from-scratch parquet
-        # WRITER (core/parquetwrite.py now mirrors the reader's record
-        # assembly); pyarrow + own-reader referees in-executor, the
-        # oracle recomputes the nested content from integer arithmetic.
-        "parquet_write_nested_real": (
-            ingest.parquet_write_nested_real,
-            ingest.PARQUET_NESTED_WRITE_ORACLE,
-        ),
-    }
+    # r13 boundary: the r12 incubation cohort (ingest_arrow_temporal,
+    # parquet_write_nested_real) promoted together (REGISTERED_IN ==
+    # 13; registry 200 -> 202, cycle_len 4 -> 5) — the mandatory
+    # promotion that resolves the 200-capacity wall the r12 registry
+    # comment predicted.  New r13 queries land below and promote at
+    # the r14 boundary.
+    return {}
 
 
 def main():

@@ -800,3 +800,64 @@ def test_encoder_nested_bad_shapes_raise_domain_errors():
     ls = [FieldSpec("l", True, "list", 0, children=(f_int,))]
     with pytest.raises(ArrowIpcFormatError, match="list row"):
         encode_arrow_ipc(ls, [[[{"a": 1}]]])
+
+
+def test_encode_fixed_binary_pyarrow_referee_and_roundtrip():
+    """ADVICE r12 (high): the encoder's fixed_binary branch was dead
+    decoder code (NameError); it must emit a real FixedSizeBinary
+    type table + fixed-width data buffer that pyarrow accepts and the
+    own reader inverts."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    fs = [FieldSpec("fb", True, "fixed_binary", 0, fixed_size=4)]
+    vals = [b"aaaa", None, b"\x00\x01\x02\x03"]
+    data = encode_arrow_ipc(fs, [[vals]])
+    t = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert t.schema.field("fb").type == pa.binary(4)
+    assert t.column("fb").to_pylist() == vals
+    own = read_arrow_ipc(data)
+    assert own["fields"][0].type_name == "fixed_binary"
+    assert own["fields"][0].fixed_size == 4
+    assert own["batches"][0]["columns"][0] == vals
+
+
+def test_encode_fixed_binary_wrong_width_is_domain_error():
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    fs = [FieldSpec("fb", True, "fixed_binary", 0, fixed_size=4)]
+    with pytest.raises(ArrowIpcFormatError, match="FixedSizeBinary"):
+        encode_arrow_ipc(fs, [[[b"toolong"]]])
+
+
+def test_dictionary_encoded_fixed_binary_keeps_byte_width():
+    """ADVICE r12 (high): _decode_dictionary_batch dropped fixed_size
+    when rebuilding the value spec, silently decoding every dictionary
+    value as b''."""
+    arr = pa.array(
+        [b"aaaa", b"bbbb", b"aaaa", None, b"bbbb"], type=pa.binary(4)
+    ).dictionary_encode()
+    out = read_arrow_ipc(_ipc_bytes(pa.table({"d": arr})))
+    assert out["batches"][0]["columns"][0] == [
+        b"aaaa", b"bbbb", b"aaaa", None, b"bbbb",
+    ]
+
+
+def test_encode_decimal128_overflow_is_domain_error():
+    """ADVICE r12 (low): an unscaled value over 128 bits must raise
+    the codec's named domain error, not a bare OverflowError."""
+    import decimal
+
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    fs = [FieldSpec("d", True, "decimal128", 0, precision=38, scale=0)]
+    with pytest.raises(ArrowIpcFormatError, match="128 bits"):
+        encode_arrow_ipc(fs, [[[decimal.Decimal(10) ** 40]]])

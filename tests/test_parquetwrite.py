@@ -16,6 +16,7 @@ from databatchprotectionservice_spark.core.parquetmeta import parse_footer
 from databatchprotectionservice_spark.core.parquetread import (
     leaf_elements,
     read_column,
+    read_record_field,
 )
 from databatchprotectionservice_spark.core.parquetwrite import (
     ParquetWriteError,
@@ -627,3 +628,53 @@ def test_map_write_rejects_bad_shapes():
         write_parquet({"m": [None]}, {"m": "MAP<LIST<INT64>,INT64>"})
     with pytest.raises(ParquetWriteError, match="KEY,VALUE"):
         write_parquet({"m": [None]}, {"m": "MAP<INT64>"})
+
+
+def test_struct_field_named_list_has_no_spurious_rep_stream(tmp_path):
+    """ADVICE r12 (medium): has_rep was inferred from synthetic path
+    NAMES, so a struct field legitimately named 'list' or 'key_value'
+    grew a spurious repetition-level stream and the file silently
+    decoded as all-None.  Derived structurally now."""
+    cols = {"s": [{"list": 1}, {"list": 2}, None]}
+    data = write_parquet(cols, {"s": "STRUCT<list:INT64>"})
+    assert pq.read_table(io.BytesIO(data)).column("s").to_pylist() == cols["s"]
+    assert read_record_field(data, parse_footer(data), 0) == cols["s"]
+
+    cols2 = {"s": [{"key_value": "a"}, None, {"key_value": "b"}]}
+    d2 = write_parquet(cols2, {"s": "STRUCT<key_value:STRING>"})
+    assert pq.read_table(io.BytesIO(d2)).column("s").to_pylist() == cols2["s"]
+
+    p = tmp_path / "named_list.parquet"
+    p.write_bytes(data)
+    assert duckdb.connect().execute(
+        f"SELECT s.\"list\" FROM '{p}' ORDER BY 1 NULLS LAST"
+    ).fetchall() == [(1,), (2,), (None,)]
+
+
+def test_nested_striping_is_memoized_once_per_page(monkeypatch):
+    """ADVICE r12 (low): a column with L leaves striped every page L
+    times (O(L^2 x rows)).  The page memo must bring it to exactly one
+    _stripe_nested call per page regardless of leaf count."""
+    from databatchprotectionservice_spark.core import parquetwrite as pw
+
+    calls = {"n": 0}
+    real = pw._stripe_nested
+
+    def counting(records, tree):
+        calls["n"] += 1
+        return real(records, tree)
+
+    monkeypatch.setattr(pw, "_stripe_nested", counting)
+    cols = {
+        "x": [
+            {"a": i, "b": "s%d" % i, "c": [i, i + 1], "d": {"k": i}}
+            for i in range(40)
+        ]
+    }
+    data = pw.write_parquet(
+        cols,
+        {"x": "STRUCT<a:INT64,b:STRING,c:LIST<INT64>,d:STRUCT<k:INT64>>"},
+        page_rows=10,
+    )
+    assert calls["n"] == 4  # 40 rows / 10-row pages, NOT 4 leaves x 4
+    assert pq.read_table(io.BytesIO(data)).column("x").to_pylist() == cols["x"]
