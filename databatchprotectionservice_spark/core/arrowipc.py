@@ -68,10 +68,16 @@ FixedSizeBinary decode too (r12): a fixed_size_list<float32, d> is
 THE Arrow embedding column type, read as [validity] then exactly
 node_len x listSize child values with no offsets buffer, and
 FixedSizeBinary slices byteWidth-sized values off one data buffer.
-Anything else (Duration / Interval / Union tags, decimal256,
-non-BUFFER compression methods) raises :class:`ArrowIpcFormatError` naming the offending
-tag so the seam is explicit, in the same style as the other codecs'
-unsupported paths.
+Duration (all TimeUnits, exact int64 counts — no timedelta: ns
+would truncate), Interval (YEAR_MONTH int months, DAY_TIME
+(days, ms) tuples, MONTH_DAY_NANO (months, days, nanos) tuples),
+Decimal(bitWidth=256) from 32-byte unscaled ints, and Union (both
+Sparse and Dense modes, typeIds mapping, no validity buffer per the
+columnar spec) all decode too (r13); Duration / Interval /
+decimal256 encode as well.  Anything else (Union encode,
+RunEndEncoded / view tags, non-BUFFER compression methods) raises
+:class:`ArrowIpcFormatError` naming the offending tag so the seam is
+explicit, in the same style as the other codecs' unsupported paths.
 """
 
 from __future__ import annotations
@@ -85,6 +91,11 @@ from dataclasses import dataclass
 import numpy as np
 
 from .errors import DBPSInvalidInputError
+
+#: decimal128 carries up to 38 significant digits, decimal256 up to
+#: 76 — both beyond the default context's 28, which would silently
+#: round on scaleb.  80 covers the widest legal value with margin.
+_DECIMAL_CTX = _decimal.Context(prec=80)
 
 MAGIC = b"ARROW1"
 _CONTINUATION = 0xFFFFFFFF
@@ -102,6 +113,8 @@ _TYPE_NAMES = {
     11: "Interval", 12: "List", 13: "Struct", 14: "Union",
     15: "FixedSizeBinary", 16: "FixedSizeList", 17: "Map",
     18: "Duration", 19: "LargeBinary", 20: "LargeUtf8", 21: "LargeList",
+    22: "RunEndEncoded", 23: "BinaryView", 24: "Utf8View",
+    25: "ListView", 26: "LargeListView",
 }
 _T_INT = 2
 _T_FP = 3
@@ -112,10 +125,13 @@ _T_DECIMAL = 7
 _T_DATE = 8
 _T_TIME = 9
 _T_TIMESTAMP = 10
+_T_INTERVAL = 11
 _T_LIST = 12
 _T_STRUCT = 13
+_T_UNION = 14
 _T_FIXED_BINARY = 15
 _T_FIXED_LIST = 16
+_T_DURATION = 18
 _T_LARGE_BINARY = 19
 _T_LARGE_UTF8 = 20
 _T_LARGE_LIST = 21
@@ -267,6 +283,10 @@ class FieldSpec:
     scale: int = 0
     #: FixedSizeBinary byteWidth / FixedSizeList listSize (0 otherwise)
     fixed_size: int = 0
+    #: Union only: child type ids in child order (Schema.fbs typeIds;
+    #: defaults to 0..n-1 when the schema omits the vector).  The
+    #: union mode rides ``unit`` ('sparse' / 'dense').
+    type_ids: tuple = ()
 
 
 def _decode_dict_encoding(name: str, d: _Table) -> tuple[int, str]:
@@ -297,6 +317,7 @@ def _decode_field(f: _Table) -> FieldSpec:
         _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP,
         _T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST,
         _T_FIXED_BINARY, _T_FIXED_LIST,
+        _T_DURATION, _T_INTERVAL, _T_UNION,
     ):
         raise ArrowIpcFormatError(
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
@@ -306,6 +327,46 @@ def _decode_field(f: _Table) -> FieldSpec:
     enc = f.table(4)
     if enc is not None:
         dict_id, index_type = _decode_dict_encoding(name, enc)
+    if tag == _T_UNION:
+        # Schema.fbs: Union { mode: UnionMode = Sparse; typeIds: [int] }
+        # — children carry the member types; the record-batch column
+        # is [i8 types] (+ [i32 offsets] when Dense), NO validity
+        if dict_id is not None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: dictionary-encoded union column"
+            )
+        kids = tuple(_decode_field(c) for c in f.table_vector(5))
+        if not kids:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: Union with no children"
+            )
+        mode = t.scalar(0, "<h", 0) if t is not None else 0
+        if mode not in (0, 1):
+            raise ArrowIpcFormatError(
+                f"field {name!r}: UnionMode {mode} unsupported"
+            )
+        tid_v = t.vector(1, stride=4) if t is not None else None
+        if tid_v is None:
+            type_ids = tuple(range(len(kids)))
+        else:
+            tstart, tn = tid_v
+            if tn != len(kids):
+                raise ArrowIpcFormatError(
+                    f"field {name!r}: {tn} typeIds for "
+                    f"{len(kids)} union children"
+                )
+            type_ids = tuple(
+                _i32(t.data, tstart + 4 * i) for i in range(tn)
+            )
+            if len(set(type_ids)) != len(type_ids):
+                raise ArrowIpcFormatError(
+                    f"field {name!r}: duplicate union typeIds"
+                )
+        return FieldSpec(
+            name, nullable, "union", 0, None, None, kids,
+            "sparse" if mode == 0 else "dense", None, 0, 0, 0,
+            type_ids,
+        )
     if tag in (_T_LIST, _T_LARGE_LIST, _T_FIXED_LIST, _T_STRUCT):
         if dict_id is not None:
             raise ArrowIpcFormatError(
@@ -434,10 +495,47 @@ def _decode_field(f: _Table) -> FieldSpec:
             name, nullable, "timestamp", 64, dict_id, index_type,
             (), su, tz or None,
         )
+    if tag == _T_DURATION:
+        # Schema.fbs: Duration { unit: TimeUnit = MILLISECOND } —
+        # 64-bit signed counts of the unit.  Values surface as EXACT
+        # integers (no timedelta conversion: a ns duration would
+        # silently truncate past microseconds)
+        unit = t.scalar(0, "<h", 1) if t is not None else 1
+        su = _TIME_UNITS.get(unit)
+        if su is None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: Duration TimeUnit {unit}"
+            )
+        return FieldSpec(
+            name, nullable, "duration", 64, dict_id, index_type,
+            (), su,
+        )
+    if tag == _T_INTERVAL:
+        # Schema.fbs: Interval { unit: IntervalUnit = YEAR_MONTH } —
+        # YEAR_MONTH(0): i32 months; DAY_TIME(1): 2 x i32 (days, ms);
+        # MONTH_DAY_NANO(2): i32 months + i32 days + i64 nanos.
+        # Compound units surface as tuples, months as exact ints.
+        unit = t.scalar(0, "<h", 0) if t is not None else 0
+        if unit == 0:
+            return FieldSpec(
+                name, nullable, "interval_ym", 32, dict_id, index_type
+            )
+        if unit == 1:
+            return FieldSpec(
+                name, nullable, "interval_dt", 64, dict_id, index_type
+            )
+        if unit == 2:
+            return FieldSpec(
+                name, nullable, "interval_mdn", 128, dict_id,
+                index_type,
+            )
+        raise ArrowIpcFormatError(
+            f"field {name!r}: IntervalUnit {unit} unsupported"
+        )
     if tag == _T_DECIMAL:
         # Schema.fbs: Decimal { precision: int; scale: int;
-        # bitWidth: int = 128 } — only the 128-bit layout here
-        # (256-bit is a named seam; pyarrow defaults to 128)
+        # bitWidth: int = 128 } — 128- and 256-bit layouts (the two
+        # widths the columnar spec defines)
         if t is None:
             raise ArrowIpcFormatError(
                 f"field {name!r}: Decimal missing body"
@@ -445,17 +543,17 @@ def _decode_field(f: _Table) -> FieldSpec:
         prec = t.scalar(0, "<i", 0)
         scale = t.scalar(1, "<i", 0)
         bw = t.scalar(2, "<i", 128)
-        if bw != 128:
+        if bw not in (128, 256):
             raise ArrowIpcFormatError(
                 f"field {name!r}: Decimal bitWidth {bw} unsupported "
-                "(only 128)"
+                "(only 128/256)"
             )
-        if not (1 <= prec <= 38):
+        if not (1 <= prec <= (38 if bw == 128 else 76)):
             raise ArrowIpcFormatError(
                 f"field {name!r}: Decimal precision {prec}"
             )
         return FieldSpec(
-            name, nullable, "decimal128", 128, dict_id, index_type,
+            name, nullable, f"decimal{bw}", bw, dict_id, index_type,
             (), None, None, prec, scale,
         )
     return FieldSpec(name, nullable, "binary", 0, dict_id, index_type)
@@ -484,6 +582,9 @@ _NP_KIND = {
     # _temporal_value converts per unit
     "date32": "i4", "date64": "i8",
     "time32": "i4", "time64": "i8", "timestamp": "i8",
+    # duration / year-month interval are exact integer storage and
+    # surface as-is (no timedelta: ns durations must stay lossless)
+    "duration": "i8", "interval_ym": "i4",
 }
 
 _EPOCH_DATE = _dt.date(1970, 1, 1)
@@ -670,18 +771,41 @@ def _decode_column(
         vals = [
             data_buf[bw * i : bw * (i + 1)] for i in range(length)
         ]
-    elif spec.type_name == "decimal128":
-        if len(data_buf) < 16 * length:
+    elif spec.type_name in ("decimal128", "decimal256"):
+        w = spec.bit_width // 8
+        if len(data_buf) < w * length:
             raise ArrowIpcFormatError(
                 f"field {spec.name!r}: decimal buffer too short"
             )
-        # 128-bit little-endian two's-complement unscaled integers
+        # little-endian two's-complement unscaled integers (16 or
+        # 32 bytes per the declared bitWidth).  scaleb under an
+        # explicit wide context: the default 28-digit context would
+        # silently ROUND decimal128(>28) / decimal256 values
         vals = [
             _decimal.Decimal(
                 int.from_bytes(
-                    data_buf[16 * i : 16 * i + 16], "little", signed=True
+                    data_buf[w * i : w * i + w], "little", signed=True
                 )
-            ).scaleb(-spec.scale)
+            ).scaleb(-spec.scale, _DECIMAL_CTX)
+            for i in range(length)
+        ]
+    elif spec.type_name == "interval_dt":
+        # DAY_TIME: struct-packed (i32 days, i32 milliseconds)
+        if len(data_buf) < 8 * length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: interval buffer too short"
+            )
+        raw = struct.unpack_from(f"<{2 * length}i", data_buf, 0)
+        vals = [(raw[2 * i], raw[2 * i + 1]) for i in range(length)]
+    elif spec.type_name == "interval_mdn":
+        # MONTH_DAY_NANO: (i32 months, i32 days, i64 nanoseconds),
+        # 16 bytes per slot
+        if len(data_buf) < 16 * length:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: interval buffer too short"
+            )
+        vals = [
+            struct.unpack_from("<iiq", data_buf, 16 * i)
             for i in range(length)
         ]
     else:
@@ -907,6 +1031,49 @@ def _decode_rb_table(
                         "monotone in-bounds"
                     )
                 out.append(child[lo:hi])
+            return out
+        if spec.type_name == "union":
+            # columnar spec: unions carry NO validity buffer — a
+            # slot's nullness comes from the selected child.  Sparse:
+            # [i8 types], every child batch-length-long.  Dense:
+            # [i8 types][i32 offsets] into compact children.
+            dense = spec.unit == "dense"
+            types_buf = take()
+            if len(types_buf) < node_len:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: union types buffer too short"
+                )
+            offs = None
+            if dense:
+                offsets_buf = take()
+                if len(offsets_buf) < 4 * node_len:
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: union offsets too short"
+                    )
+                offs = struct.unpack_from(
+                    f"<{node_len}i", offsets_buf, 0
+                )
+            kids = [decode_nested(c) for c in spec.children]
+            by_tid = {
+                tid: ci for ci, tid in enumerate(spec.type_ids)
+            }
+            out = []
+            for i in range(node_len):
+                tid = types_buf[i]
+                ci = by_tid.get(tid)
+                if ci is None:
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: slot {i} carries type "
+                        f"id {tid} absent from typeIds"
+                    )
+                j = offs[i] if dense else i
+                child = kids[ci]
+                if not 0 <= j < len(child):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: union offset {j} "
+                        f"outside child {ci} of {len(child)}"
+                    )
+                out.append(child[j])
             return out
         if spec.type_name == "struct":
             validity = take()
@@ -1284,7 +1451,22 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         b.add_offset(3, type_t)
         b.add_offset(5, kids_vec)
         return b.end_table()
-    if spec.type_name.startswith(("int", "uint")):
+    # duration / interval BEFORE the integer branch: 'interval_*'
+    # would otherwise match startswith('int') and emit an Int table
+    if spec.type_name == "duration":
+        # Duration { unit: TimeUnit = MILLISECOND }
+        b.start_table()
+        b.add_scalar(0, "<h", _UNIT_ENUM[spec.unit], 1)
+        type_t, tag = b.end_table(), _T_DURATION
+    elif spec.type_name in ("interval_ym", "interval_dt",
+                            "interval_mdn"):
+        # Interval { unit: IntervalUnit = YEAR_MONTH }
+        iu = {"interval_ym": 0, "interval_dt": 1,
+              "interval_mdn": 2}[spec.type_name]
+        b.start_table()
+        b.add_scalar(0, "<h", iu, 0)
+        type_t, tag = b.end_table(), _T_INTERVAL
+    elif spec.type_name.startswith(("int", "uint")):
         b.start_table()
         b.add_scalar(0, "<i", spec.bit_width, 0)
         b.add_scalar(1, "<b", 0 if spec.type_name.startswith("u") else 1, 0)
@@ -1315,11 +1497,11 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         b.start_table()
         b.add_scalar(0, "<i", spec.fixed_size, -1)
         type_t, tag = b.end_table(), _T_FIXED_BINARY
-    elif spec.type_name == "decimal128":
+    elif spec.type_name in ("decimal128", "decimal256"):
         b.start_table()
         b.add_scalar(0, "<i", spec.precision, 0)
         b.add_scalar(1, "<i", spec.scale, 0)
-        b.add_scalar(2, "<i", 128, 128)
+        b.add_scalar(2, "<i", spec.bit_width or 128, 128)
         type_t, tag = b.end_table(), _T_DECIMAL
     else:
         b.start_table()
@@ -1409,29 +1591,45 @@ def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
                 )
             payload += v
         return [validity, bytes(payload)]
-    if spec.type_name == "decimal128":
+    if spec.type_name in ("decimal128", "decimal256"):
+        w = (spec.bit_width or 128) // 8
+        bits = w * 8
         payload = bytearray()
         for v in col:
             if v is None:
                 u = 0
             else:
-                scaled = _decimal.Decimal(v).scaleb(spec.scale)
+                scaled = _decimal.Decimal(v).scaleb(
+                    spec.scale, _DECIMAL_CTX
+                )
                 u = int(scaled)
                 if u != scaled:
                     raise ArrowIpcFormatError(
                         f"field {spec.name!r}: {v!r} does not fit "
                         f"scale {spec.scale}"
                     )
-                # decimal128 stores a two's-complement 128-bit
-                # unscaled int; bound-check so an oversized value is
-                # a named domain error, not a bare OverflowError
-                if not -(1 << 127) <= u < (1 << 127):
+                # decimals store a two's-complement unscaled int of
+                # the declared width; bound-check so an oversized
+                # value is a named domain error, not OverflowError
+                if not -(1 << (bits - 1)) <= u < (1 << (bits - 1)):
                     raise ArrowIpcFormatError(
                         f"field {spec.name!r}: unscaled {u} exceeds "
-                        f"128 bits for decimal128({spec.precision},"
-                        f"{spec.scale})"
+                        f"{bits} bits for {spec.type_name}"
+                        f"({spec.precision},{spec.scale})"
                     )
-            payload += u.to_bytes(16, "little", signed=True)
+            payload += u.to_bytes(w, "little", signed=True)
+        return [validity, bytes(payload)]
+    if spec.type_name == "interval_dt":
+        payload = bytearray()
+        for v in col:
+            d, ms = (0, 0) if v is None else v
+            payload += struct.pack("<ii", d, ms)
+        return [validity, bytes(payload)]
+    if spec.type_name == "interval_mdn":
+        payload = bytearray()
+        for v in col:
+            m, d, ns = (0, 0, 0) if v is None else v
+            payload += struct.pack("<iiq", m, d, ns)
         return [validity, bytes(payload)]
     enc = _temporal_encoder(spec)
     arr = np.array(

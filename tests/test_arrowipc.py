@@ -97,24 +97,18 @@ def test_error_is_domain_error_subclass():
 
 
 def test_unsupported_type_seams_named():
-    # Timestamp/Date/Time/Decimal128, Large*, and FixedSize* closed
-    # r12; the remaining named seams are Duration/Interval, Union,
-    # and decimal256
+    # Timestamp/Date/Time/Decimal128, Large*, FixedSize* closed r12;
+    # Duration/Interval, Union and decimal256 closed r13.  The
+    # remaining reader seams are the view/REE tags (and float16,
+    # below, a FloatingPoint precision seam)
     cases = [
-        ("Duration", pa.table(
-            {"x": pa.array([0], pa.duration("us"))}
-        )),
-        ("Interval", pa.table(
-            {"x": pa.nulls(1, pa.month_day_nano_interval())}
-        )),
-        ("Decimal .* 256|bitWidth 256", pa.table(
-            {"x": pa.array([1], pa.decimal256(40, 2))}
+        ("RunEndEncoded", pa.table(
+            {"x": pa.RunEndEncodedArray.from_arrays([2], [7])}
         )),
     ]
     for name, t in cases:
         with pytest.raises(ArrowIpcFormatError, match=name):
             read_arrow_ipc(_ipc_bytes(t))
-    # float16 is a FloatingPoint precision seam, not a union-tag seam
     import numpy as np
 
     t16 = pa.table({"x": pa.array(np.array([1.0], dtype=np.float16))})
@@ -861,3 +855,150 @@ def test_encode_decimal128_overflow_is_domain_error():
     fs = [FieldSpec("d", True, "decimal128", 0, precision=38, scale=0)]
     with pytest.raises(ArrowIpcFormatError, match="128 bits"):
         encode_arrow_ipc(fs, [[[decimal.Decimal(10) ** 40]]])
+
+
+def test_duration_all_units_decode_as_exact_integers():
+    """Duration (r13, VERDICT r12 ask #4): all four TimeUnits through
+    the reader as EXACT integer counts (a timedelta conversion would
+    silently truncate ns past microseconds)."""
+    t = pa.table(
+        {
+            "ds": pa.array([1, None, -5], pa.duration("s")),
+            "dms": pa.array([1000, 2000, None], pa.duration("ms")),
+            "dus": pa.array([7, 8, 9], pa.duration("us")),
+            "dns": pa.array(
+                [123456789012345, None, -1], pa.duration("ns")
+            ),
+        }
+    )
+    out = read_arrow_ipc(_ipc_bytes(t))
+    assert [(f.type_name, f.unit) for f in out["fields"]] == [
+        ("duration", "s"), ("duration", "ms"),
+        ("duration", "us"), ("duration", "ns"),
+    ]
+    assert out["batches"][0]["columns"] == [
+        [1, None, -5], [1000, 2000, None], [7, 8, 9],
+        [123456789012345, None, -1],
+    ]
+
+
+def test_interval_month_day_nano_roundtrip_pyarrow_referee():
+    t = pa.table(
+        {
+            "mdn": pa.array(
+                [
+                    pa.MonthDayNano([1, 2, 3_000_000_000]),
+                    None,
+                    pa.MonthDayNano([-1, 15, 42]),
+                ],
+                pa.month_day_nano_interval(),
+            )
+        }
+    )
+    out = read_arrow_ipc(_ipc_bytes(t))
+    assert out["fields"][0].type_name == "interval_mdn"
+    assert out["batches"][0]["columns"][0] == [
+        (1, 2, 3_000_000_000), None, (-1, 15, 42),
+    ]
+
+
+def test_decimal256_reader_is_exact_beyond_context_precision():
+    """decimal256 (r13) — and the scaleb context fix: the default
+    28-digit decimal context would silently ROUND a 46-digit value."""
+    import decimal
+
+    big = decimal.Decimal(
+        "12345678901234567890123456789012345678901234.56"
+    )
+    t = pa.table(
+        {
+            "d": pa.array(
+                [big, None, decimal.Decimal("-1.01")],
+                pa.decimal256(60, 2),
+            )
+        }
+    )
+    out = read_arrow_ipc(_ipc_bytes(t))
+    assert out["fields"][0].type_name == "decimal256"
+    assert out["fields"][0].precision == 60
+    assert out["batches"][0]["columns"][0][0] == big  # EXACT
+
+
+def test_decimal128_full_38_digits_is_exact():
+    import decimal
+
+    big = decimal.Decimal("999999999999999999999999999999999999.38")
+    t = pa.table({"d": pa.array([big], pa.decimal128(38, 2))})
+    out = read_arrow_ipc(_ipc_bytes(t))
+    assert out["batches"][0]["columns"][0][0] == big
+
+
+def test_union_sparse_and_dense_decode():
+    """Union (r13): both modes, typeIds mapping, no validity buffer
+    (a slot's nullness comes from the selected child)."""
+    types = pa.array([0, 1, 0, 1], pa.int8())
+    sparse = pa.UnionArray.from_sparse(
+        types,
+        [pa.array([1, 2, 3, 4], pa.int64()),
+         pa.array(["w", "x", "y", "z"], pa.string())],
+    )
+    out = read_arrow_ipc(_ipc_bytes(pa.table({"u": sparse})))
+    assert out["fields"][0].type_name == "union"
+    assert out["fields"][0].unit == "sparse"
+    assert out["batches"][0]["columns"][0] == [1, "x", 3, "z"]
+
+    dense = pa.UnionArray.from_dense(
+        types,
+        pa.array([0, 0, 1, 1], pa.int32()),
+        [pa.array([10, None], pa.int64()),
+         pa.array(["p", "q"], pa.string())],
+    )
+    out2 = read_arrow_ipc(_ipc_bytes(pa.table({"u": dense})))
+    assert out2["fields"][0].unit == "dense"
+    assert out2["batches"][0]["columns"][0] == [10, "p", None, "q"]
+
+
+def test_encode_duration_interval_decimal256_pyarrow_referee():
+    """r13 encoder additions: Duration / all three Interval units /
+    decimal256.  pyarrow validates the full table; month_interval and
+    day_time_interval values referee through the own-reader roundtrip
+    (this pyarrow build cannot wrap those arrays Python-side at all),
+    the rest referee value-for-value."""
+    import decimal
+
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    big = decimal.Decimal(
+        "12345678901234567890123456789012345678901234.56"
+    )
+    fs = [
+        FieldSpec("dn", True, "duration", 64, unit="ns"),
+        FieldSpec("ym", True, "interval_ym", 32),
+        FieldSpec("dt", True, "interval_dt", 64),
+        FieldSpec("mdn", True, "interval_mdn", 128),
+        FieldSpec("d2", True, "decimal256", 256, precision=60, scale=2),
+    ]
+    vals = [
+        [123456789012345, None, -1],
+        [12, None, -3],
+        [(1, 500), None, (-2, 0)],
+        [(1, 2, 3_000_000_000), None, (-1, 15, 42)],
+        [big, None, decimal.Decimal("-1.01")],
+    ]
+    data = encode_arrow_ipc(fs, [vals])
+    tt = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert tt.validate(full=True) is None
+    assert [str(f.type) for f in tt.schema] == [
+        "duration[ns]", "month_interval", "day_time_interval",
+        "month_day_nano_interval", "decimal256(60, 2)",
+    ]
+    assert [
+        None if v is None else (v.months, v.days, v.nanoseconds)
+        for v in tt.column("mdn").to_pylist()
+    ] == vals[3]
+    assert tt.column("d2").to_pylist() == vals[4]
+    back = read_arrow_ipc(data)
+    assert back["batches"][0]["columns"] == vals
