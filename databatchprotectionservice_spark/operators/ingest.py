@@ -2799,6 +2799,349 @@ def parquet_write_nested_real(spark, sf_dir) -> DataFrame:
     )
 
 
+#: facts the MAP write path must survive, restated in integer
+#: arithmetic.  The ``tags`` MAP<STRING,INT64> has doc_id % 5 entries
+#: (0 -> EMPTY map, distinct from the null map when text is null);
+#: entry i's key is 'k{i}' and its VALUE is null when
+#: (doc_id + i) % 6 = 0 (null-map-value coverage), else
+#: (tlen + i*i) % 509.  The ``mlist`` LIST<MAP<STRING,INT64>> — two
+#: repeated ancestors on the value's path — has doc_id % 3 maps;
+#: map j is null when (doc_id + j) % 4 = 0, else the single entry
+#: {'q': (tlen + j) % 128}.
+PARQUET_MAP_WRITE_ORACLE = f"""
+        WITH d AS (
+            SELECT source,
+                   doc_id // {WRITE_SHARD_DOCS} AS shard_id,
+                   doc_id,
+                   octet_length(encode(text)) AS tlen,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE doc_id % 5 END AS n_tag,
+                   CASE WHEN text IS NULL THEN 0
+                        ELSE doc_id % 3 END AS n_map
+            FROM documents
+        ), r AS (
+            SELECT source, shard_id, doc_id, tlen, n_tag, n_map,
+                   CASE WHEN tlen IS NULL THEN 0 ELSE tlen END AS tl
+            FROM d
+        ), t AS (
+            SELECT source, shard_id, doc_id, tlen, n_tag, n_map, tl,
+                   (CASE WHEN 0 < n_tag AND (doc_id + 0) % 6 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 1 < n_tag AND (doc_id + 1) % 6 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 2 < n_tag AND (doc_id + 2) % 6 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 3 < n_tag AND (doc_id + 3) % 6 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 4 < n_tag AND (doc_id + 4) % 6 = 0
+                         THEN 1 ELSE 0 END) AS n_null_vals,
+                   (CASE WHEN 0 < n_tag AND (doc_id + 0) % 6 <> 0
+                         THEN (tl + 0) % 509 ELSE 0 END
+                  + CASE WHEN 1 < n_tag AND (doc_id + 1) % 6 <> 0
+                         THEN (tl + 1) % 509 ELSE 0 END
+                  + CASE WHEN 2 < n_tag AND (doc_id + 2) % 6 <> 0
+                         THEN (tl + 4) % 509 ELSE 0 END
+                  + CASE WHEN 3 < n_tag AND (doc_id + 3) % 6 <> 0
+                         THEN (tl + 9) % 509 ELSE 0 END
+                  + CASE WHEN 4 < n_tag AND (doc_id + 4) % 6 <> 0
+                         THEN (tl + 16) % 509 ELSE 0 END) AS sum_vals,
+                   (CASE WHEN 0 < n_map AND (doc_id + 0) % 4 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 1 < n_map AND (doc_id + 1) % 4 = 0
+                         THEN 1 ELSE 0 END
+                  + CASE WHEN 2 < n_map AND (doc_id + 2) % 4 = 0
+                         THEN 1 ELSE 0 END) AS n_null_maps,
+                   (CASE WHEN 0 < n_map AND (doc_id + 0) % 4 <> 0
+                         THEN (tl + 0) % 128 ELSE 0 END
+                  + CASE WHEN 1 < n_map AND (doc_id + 1) % 4 <> 0
+                         THEN (tl + 1) % 128 ELSE 0 END
+                  + CASE WHEN 2 < n_map AND (doc_id + 2) % 4 <> 0
+                         THEN (tl + 2) % 128 ELSE 0 END) AS sum_q
+            FROM r
+        ), sh AS (
+            SELECT source, shard_id,
+                   count(*) AS n,
+                   sum(doc_id) AS sum_doc_id,
+                   sum(CASE WHEN tlen IS NULL THEN 1 ELSE 0 END)
+                       AS n_null_tags,
+                   sum(CASE WHEN tlen IS NOT NULL
+                            AND doc_id % 5 = 0 THEN 1 ELSE 0 END)
+                       AS n_empty_tags,
+                   sum(n_tag) AS n_entries,
+                   sum(n_null_vals) AS n_null_vals,
+                   sum(sum_vals) AS sum_vals,
+                   sum(n_map) AS n_maps,
+                   sum(n_null_maps) AS n_null_maps,
+                   sum(sum_q) AS sum_q
+            FROM t GROUP BY 1, 2
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n) AS BIGINT) AS n_rows,
+               CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
+               CAST(sum(n_null_tags) AS BIGINT) AS n_null_tags,
+               CAST(sum(n_empty_tags) AS BIGINT) AS n_empty_tags,
+               CAST(sum(n_entries) AS BIGINT) AS n_entries,
+               CAST(sum(n_null_vals) AS BIGINT) AS n_null_vals,
+               CAST(sum(sum_vals) AS BIGINT) AS sum_vals,
+               CAST(sum(n_maps) AS BIGINT) AS n_maps,
+               CAST(sum(n_null_maps) AS BIGINT) AS n_null_maps,
+               CAST(sum(sum_q) AS BIGINT) AS sum_q
+        FROM sh GROUP BY source ORDER BY source
+"""
+
+_PARQUET_MAP_WRITE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_doc_id", T.LongType()),
+        T.StructField("n_null_tags", T.LongType()),
+        T.StructField("n_empty_tags", T.LongType()),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("n_null_vals", T.LongType()),
+        T.StructField("sum_vals", T.LongType()),
+        T.StructField("n_maps", T.LongType()),
+        T.StructField("n_null_maps", T.LongType()),
+        T.StructField("sum_q", T.LongType()),
+    ]
+)
+
+
+def parquet_write_map_real(spark, sf_dir) -> DataFrame:
+    """MAP<K,V> — alone and under a LIST — through the from-scratch
+    parquet WRITER (r13; rides the r12 ``_stripe_nested``
+    generalization, the r12 verdict's named candidate query).
+
+    Each shard of ``documents`` becomes a parquet file written
+    entirely by ``core/parquetwrite.py``: a ``tags`` MAP<STRING,INT64>
+    column exercising the null map / EMPTY map / null-map-VALUE
+    triad, and an ``mlist`` LIST<MAP<STRING,INT64>> column whose
+    value leaves sit under TWO repeated ancestors (the per-leaf
+    rep/def stream shape the r12 writer lesson named).  Every key and
+    value is a pure integer function of (doc_id, utf8 byte length),
+    so the DuckDB oracle recomputes the MAP CONTENT itself.
+    In-executor, pyarrow reads the bytes back entry-for-entry (maps
+    surface as key/value tuple lists) and our own
+    ``read_record_field`` must agree; odd shards compress pages with
+    OUR snappy.
+
+    100 TB: identical plan shape to parquet_write_nested_real — one
+    shuffle on the shard key, Arrow-batched Python, shard count grows
+    with the data.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_footer
+    from ..core.parquetread import read_record_field
+    from ..core.parquetwrite import write_parquet
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .withColumn("shard_id", F.expr(f"doc_id div {WRITE_SHARD_DOCS}"))
+        .repartition(
+            spark.sparkContext.defaultParallelism, "source", "shard_id"
+        )
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
+        ids = [int(i) for i in pdf["doc_id"]]
+        tlens = [
+            None if v is None else len(str(v).encode("utf-8"))
+            for v in pdf["text"]
+        ]
+        tags = [
+            None
+            if tl is None
+            else {
+                f"k{j}": (
+                    None if (i + j) % 6 == 0 else (tl + j * j) % 509
+                )
+                for j in range(i % 5)
+            }
+            for i, tl in zip(ids, tlens)
+        ]
+        mlists = [
+            None
+            if tl is None
+            else [
+                None
+                if (i + j) % 4 == 0
+                else {"q": (tl + j) % 128}
+                for j in range(i % 3)
+            ]
+            for i, tl in zip(ids, tlens)
+        ]
+        data = write_parquet(
+            {"doc_id": ids, "tags": tags, "mlist": mlists},
+            {
+                "doc_id": "INT64",
+                "tags": "MAP<STRING,INT64>",
+                "mlist": "LIST<MAP<STRING,INT64>>",
+            },
+            codec=codec,
+        )
+        # referee 1: pyarrow (maps surface as (key, value) tuples)
+        t = pq_.ParquetFile(io.BytesIO(data)).read()
+        if t.column("doc_id").to_pylist() != ids:
+            raise ValueError(f"shard {shard_id}: doc_id drifted")
+        want_tags_pa = [
+            None if m is None else list(m.items()) for m in tags
+        ]
+        if t.column("tags").to_pylist() != want_tags_pa:
+            raise ValueError(f"shard {shard_id}: map column drifted")
+        want_ml_pa = [
+            None
+            if ml is None
+            else [None if m is None else list(m.items()) for m in ml]
+            for ml in mlists
+        ]
+        if t.column("mlist").to_pylist() != want_ml_pa:
+            raise ValueError(
+                f"shard {shard_id}: list<map> column drifted"
+            )
+        # referee 2: our reader (maps surface as key/value dicts,
+        # required keys as bytes)
+        meta_f = parse_footer(data)
+        want_tags_own = [
+            None
+            if m is None
+            else [
+                {"key": k.encode(), "value": v} for k, v in m.items()
+            ]
+            for m in tags
+        ]
+        if read_record_field(data, meta_f, 1) != want_tags_own:
+            raise ValueError(
+                f"shard {shard_id}: own-reader map divergence"
+            )
+        want_ml_own = [
+            None
+            if ml is None
+            else [
+                None
+                if m is None
+                else [
+                    {"key": k.encode(), "value": v}
+                    for k, v in m.items()
+                ]
+                for m in ml
+            ]
+            for ml in mlists
+        ]
+        if read_record_field(data, meta_f, 2) != want_ml_own:
+            raise ValueError(
+                f"shard {shard_id}: own-reader list<map> divergence"
+            )
+        if meta_f["row_groups"][0]["columns"][0]["codec"] != codec:
+            raise ValueError(f"shard {shard_id}: codec tag drifted")
+        return pd.DataFrame(
+            {
+                "source": pd.Series(
+                    [pdf["source"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(ids)], dtype="int64"),
+                "sum_doc_id": pd.Series([sum(ids)], dtype="int64"),
+                "n_null_tags": pd.Series(
+                    [sum(1 for m in tags if m is None)], dtype="int64"
+                ),
+                "n_empty_tags": pd.Series(
+                    [
+                        sum(
+                            1
+                            for m in tags
+                            if m is not None and len(m) == 0
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_entries": pd.Series(
+                    [sum(len(m) for m in tags if m is not None)],
+                    dtype="int64",
+                ),
+                "n_null_vals": pd.Series(
+                    [
+                        sum(
+                            1
+                            for m in tags
+                            if m is not None
+                            for v in m.values()
+                            if v is None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "sum_vals": pd.Series(
+                    [
+                        sum(
+                            v
+                            for m in tags
+                            if m is not None
+                            for v in m.values()
+                            if v is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_maps": pd.Series(
+                    [sum(len(ml) for ml in mlists if ml is not None)],
+                    dtype="int64",
+                ),
+                "n_null_maps": pd.Series(
+                    [
+                        sum(
+                            1
+                            for ml in mlists
+                            if ml is not None
+                            for m in ml
+                            if m is None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "sum_q": pd.Series(
+                    [
+                        sum(
+                            m["q"]
+                            for ml in mlists
+                            if ml is not None
+                            for m in ml
+                            if m is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    shards = d.groupBy("source", "shard_id").applyInPandas(
+        _shard, _PARQUET_MAP_WRITE_SCHEMA
+    )
+    return (
+        shards.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_doc_id").cast("bigint").alias("sum_doc_id"),
+            F.sum("n_null_tags").cast("bigint").alias("n_null_tags"),
+            F.sum("n_empty_tags").cast("bigint").alias("n_empty_tags"),
+            F.sum("n_entries").cast("bigint").alias("n_entries"),
+            F.sum("n_null_vals").cast("bigint").alias("n_null_vals"),
+            F.sum("sum_vals").cast("bigint").alias("sum_vals"),
+            F.sum("n_maps").cast("bigint").alias("n_maps"),
+            F.sum("n_null_maps").cast("bigint").alias("n_null_maps"),
+            F.sum("sum_q").cast("bigint").alias("sum_q"),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Ogg packet walk + Matroska track walk (staged r11)
 # ---------------------------------------------------------------------------
@@ -3633,6 +3976,310 @@ def ingest_arrow_temporal(spark, sf_dir) -> DataFrame:
             F.sum("sum_cents").cast("bigint").alias("sum_cents"),
         )
         .orderBy("status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arrow IPC duration / interval / decimal256 — the r13 type-tag closure
+# ---------------------------------------------------------------------------
+
+ADUR_SHARD = 4096
+#: prime strides for the duration/nano mixes
+ADUR_P1 = 1_000_003
+ADUR_P2 = 2_654_435_761
+ADUR_MOD = 1_000_000_007
+#: 10**35 % ADUR_MOD, precomputed so the oracle's modular product of
+#: the >128-bit decimal256 unscaled value stays inside BIGINT
+ADUR_P35_MOD = pow(10, 35, ADUR_MOD)
+
+#: same facts the duration/interval/decimal256 columns must survive,
+#: restated in integer arithmetic on ``lineitem``.  Every value is a
+#: pure function of (l_orderkey, l_linenumber): the ns duration is a
+#: non-negative prime mix (null every 11th (okey+ln)), the seconds
+#: duration is sign-alternating, the MONTH_DAY_NANO interval's three
+#: legs are small signed mixes, and the decimal256's unscaled value
+#: okey*10**35 + ln (needs >128 bits) reduces mod 1e9+7 via the
+#: precomputed power so BIGINT never overflows.  All moduli operate
+#: on non-negative operands only (DuckDB % keeps the dividend sign).
+ARROW_DURATION_ORACLE = f"""
+        WITH e AS (
+            SELECT l_returnflag AS flag,
+                   l_orderkey // {ADUR_SHARD} AS shard_id,
+                   l_orderkey AS okey,
+                   l_linenumber AS ln
+            FROM lineitem
+        ), r AS (
+            SELECT flag, shard_id,
+                   CASE WHEN (okey + ln) % 11 = 0 THEN 1 ELSE 0 END
+                       AS ns_null,
+                   (okey * {ADUR_P1} + ln * 7919)
+                       % 4000000000000 AS dur_ns,
+                   (okey % 100000)
+                   * (CASE WHEN ln % 2 = 0 THEN -1 ELSE 1 END)
+                       AS dur_s,
+                   okey % 25 - 12 AS mdn_m,
+                   (okey + ln) % 63 - 31 AS mdn_d,
+                   (okey * {ADUR_P2} + ln) % 1000000000000 AS mdn_ns,
+                   ((okey % {ADUR_MOD}) * {ADUR_P35_MOD} + ln)
+                       % {ADUR_MOD} AS big_mod
+            FROM e
+        ), sh AS (
+            SELECT flag, shard_id,
+                   count(*) AS n_rows,
+                   sum(ns_null) AS n_null_ns,
+                   sum(CASE WHEN ns_null = 1 THEN 0
+                            ELSE dur_ns % {ADUR_MOD} END)
+                       AS sum_durns_mod,
+                   sum(dur_s) AS sum_dur_s,
+                   sum(mdn_m) AS sum_mdn_months,
+                   sum(mdn_d) AS sum_mdn_days,
+                   sum(mdn_ns % {ADUR_MOD}) AS sum_mdn_ns_mod,
+                   sum(big_mod) AS sum_big_mod
+            FROM r GROUP BY 1, 2
+        )
+        SELECT flag,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_null_ns) AS BIGINT) AS n_null_ns,
+               CAST(sum(sum_durns_mod) AS BIGINT) AS sum_durns_mod,
+               CAST(sum(sum_dur_s) AS BIGINT) AS sum_dur_s,
+               CAST(sum(sum_mdn_months) AS BIGINT) AS sum_mdn_months,
+               CAST(sum(sum_mdn_days) AS BIGINT) AS sum_mdn_days,
+               CAST(sum(sum_mdn_ns_mod) AS BIGINT) AS sum_mdn_ns_mod,
+               CAST(sum(sum_big_mod) AS BIGINT) AS sum_big_mod
+        FROM sh GROUP BY flag ORDER BY flag
+"""
+
+_ADUR_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("flag", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null_ns", T.LongType()),
+        T.StructField("sum_durns_mod", T.LongType()),
+        T.StructField("sum_dur_s", T.LongType()),
+        T.StructField("sum_mdn_months", T.LongType()),
+        T.StructField("sum_mdn_days", T.LongType()),
+        T.StructField("sum_mdn_ns_mod", T.LongType()),
+        T.StructField("sum_big_mod", T.LongType()),
+    ]
+)
+
+
+def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
+    """Arrow IPC Duration / Interval(MONTH_DAY_NANO) / decimal256
+    type tags through the from-scratch codec (r13, VERDICT r12 ask #4
+    — the last named Arrow reader seams beside Union).
+
+    Each (returnflag, shard) group of ``lineitem`` is written as a
+    REAL pyarrow IPC file carrying a nullable duration(ns) column
+    (exact int64 counts — a timedelta surface would truncate ns), a
+    sign-alternating duration(s), a MONTH_DAY_NANO interval whose
+    three legs are independent signed mixes, and a decimal256(76,2)
+    whose unscaled value okey*10**35 + ln genuinely needs more than
+    128 bits.  Odd shards dictionary-encode the seconds duration so
+    the dictionary path keeps its unit through resolution; even
+    shards ALSO re-encode every column with our own
+    ``encode_arrow_ipc`` and require pyarrow to read those bytes back
+    value-identical (both codec directions under one verdict).
+    Executors decode with ``read_arrow_ipc`` and assert EXACT
+    equality against the arithmetic reconstruction, then emit
+    per-shard integer aggregates the DuckDB oracle recomputes from
+    ``lineitem`` directly.
+
+    100 TB: one shuffle on the shard key; Arrow-batched Python with
+    zero per-row JVM crossings; shard count grows with the data and
+    no task holds more than one shard.
+    """
+    import decimal as dec
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import FieldSpec, encode_arrow_ipc, read_arrow_ipc
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_orderkey").alias("okey"),
+            F.col("l_linenumber").alias("ln"),
+            F.expr(f"l_orderkey div {ADUR_SHARD}").alias("shard_id"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "flag", "shard_id"
+        )
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["okey", "ln"])
+        shard_id = int(pdf["shard_id"].iloc[0])
+        okeys = [int(v) for v in pdf["okey"]]
+        lns = [int(v) for v in pdf["ln"]]
+        dur_ns = [
+            None
+            if (k + n) % 11 == 0
+            else (k * ADUR_P1 + n * 7919) % 4_000_000_000_000
+            for k, n in zip(okeys, lns)
+        ]
+        dur_s = [
+            (k % 100_000) * (-1 if n % 2 == 0 else 1)
+            for k, n in zip(okeys, lns)
+        ]
+        mdn = [
+            (k % 25 - 12, (k + n) % 63 - 31,
+             (k * ADUR_P2 + n) % 1_000_000_000_000)
+            for k, n in zip(okeys, lns)
+        ]
+        big = [
+            dec.Decimal(k * 10**35 + n).scaleb(
+                -2, dec.Context(prec=80)
+            )
+            for k, n in zip(okeys, lns)
+        ]
+        dur_s_arr = pa_.array(dur_s, pa_.duration("s"))
+        if shard_id % 2 == 1:
+            dur_s_arr = dur_s_arr.dictionary_encode()
+        t = pa_.table(
+            {
+                "okey": pa_.array(okeys, pa_.int64()),
+                "dur_ns": pa_.array(dur_ns, pa_.duration("ns")),
+                "dur_s": dur_s_arr,
+                "mdn": pa_.array(
+                    [pa_.MonthDayNano(v) for v in mdn],
+                    pa_.month_day_nano_interval(),
+                ),
+                "big": pa_.array(big, pa_.decimal256(76, 2)),
+            }
+        )
+        buf = io.BytesIO()
+        with pa_ipc.new_file(buf, t.schema) as w:
+            for batch in t.to_batches(max_chunksize=IPC_CHUNK):
+                w.write_batch(batch)
+
+        got = read_arrow_ipc(buf.getvalue())
+        fs = {f.name: f for f in got["fields"]}
+        if fs["dur_ns"].type_name != "duration" or fs["dur_ns"].unit != "ns":
+            raise ValueError(f"shard {shard_id}: dur_ns type drifted")
+        if fs["dur_s"].unit != "s" or (
+            (fs["dur_s"].dict_id is not None) != (shard_id % 2 == 1)
+        ):
+            raise ValueError(f"shard {shard_id}: dur_s type drifted")
+        if fs["mdn"].type_name != "interval_mdn":
+            raise ValueError(f"shard {shard_id}: mdn type drifted")
+        if (fs["big"].type_name, fs["big"].precision, fs["big"].scale) != (
+            "decimal256", 76, 2,
+        ):
+            raise ValueError(f"shard {shard_id}: decimal256 drifted")
+        col = {
+            name: [
+                v for b in got["batches"] for v in b["columns"][ci]
+            ]
+            for ci, name in enumerate(t.column_names)
+        }
+        if col["okey"] != okeys:
+            raise ValueError("okey column drifted")
+        if col["dur_ns"] != dur_ns:
+            raise ValueError("decoded ns durations drifted")
+        if col["dur_s"] != dur_s:
+            raise ValueError("decoded s durations drifted")
+        if col["mdn"] != mdn:
+            raise ValueError("decoded MDN intervals drifted")
+        if col["big"] != big:
+            raise ValueError("decoded decimal256 drifted")
+        if shard_id % 2 == 0:
+            # even shards: our ENCODER writes the same columns and
+            # pyarrow referees the bytes value-for-value
+            own = encode_arrow_ipc(
+                [
+                    FieldSpec("okey", True, "int64", 64),
+                    FieldSpec("dur_ns", True, "duration", 64, unit="ns"),
+                    FieldSpec("dur_s", True, "duration", 64, unit="s"),
+                    FieldSpec("mdn", True, "interval_mdn", 128),
+                    FieldSpec(
+                        "big", True, "decimal256", 256,
+                        precision=76, scale=2,
+                    ),
+                ],
+                [[okeys, dur_ns, dur_s, mdn, big]],
+            )
+            ref = pa_ipc.open_file(io.BytesIO(own)).read_all()
+            if ref.column("okey").to_pylist() != okeys:
+                raise ValueError("own-encoder okey drifted")
+            ref_ns = [
+                None if v is None else v.value
+                for v in ref.column("dur_ns").to_pylist()
+            ]
+            if ref_ns != dur_ns:
+                raise ValueError("own-encoder ns durations drifted")
+            ref_mdn = [
+                (v.months, v.days, v.nanoseconds)
+                for v in ref.column("mdn").to_pylist()
+            ]
+            if ref_mdn != mdn:
+                raise ValueError("own-encoder MDN drifted")
+            if ref.column("big").to_pylist() != big:
+                raise ValueError("own-encoder decimal256 drifted")
+        return pd.DataFrame(
+            {
+                "flag": pd.Series(
+                    [pdf["flag"].iloc[0]], dtype="object"
+                ),
+                "n_rows": pd.Series([len(okeys)], dtype="int64"),
+                "n_null_ns": pd.Series(
+                    [sum(1 for v in dur_ns if v is None)], dtype="int64"
+                ),
+                "sum_durns_mod": pd.Series(
+                    [
+                        sum(
+                            v % ADUR_MOD
+                            for v in dur_ns
+                            if v is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "sum_dur_s": pd.Series([sum(dur_s)], dtype="int64"),
+                "sum_mdn_months": pd.Series(
+                    [sum(m for m, _d, _n in mdn)], dtype="int64"
+                ),
+                "sum_mdn_days": pd.Series(
+                    [sum(dv for _m, dv, _n in mdn)], dtype="int64"
+                ),
+                "sum_mdn_ns_mod": pd.Series(
+                    [sum(n % ADUR_MOD for _m, _d, n in mdn)],
+                    dtype="int64",
+                ),
+                "sum_big_mod": pd.Series(
+                    [
+                        sum(
+                            (k * 10**35 + n) % ADUR_MOD
+                            for k, n in zip(okeys, lns)
+                        )
+                    ],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    shards = d.groupBy("flag", "shard_id").applyInPandas(
+        _shard, _ADUR_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("flag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_null_ns").cast("bigint").alias("n_null_ns"),
+            F.sum("sum_durns_mod").cast("bigint").alias("sum_durns_mod"),
+            F.sum("sum_dur_s").cast("bigint").alias("sum_dur_s"),
+            F.sum("sum_mdn_months").cast("bigint").alias("sum_mdn_months"),
+            F.sum("sum_mdn_days").cast("bigint").alias("sum_mdn_days"),
+            F.sum("sum_mdn_ns_mod").cast("bigint").alias("sum_mdn_ns_mod"),
+            F.sum("sum_big_mod").cast("bigint").alias("sum_big_mod"),
+        )
+        .orderBy("flag")
     )
 
 

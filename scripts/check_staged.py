@@ -50,7 +50,28 @@ def staged_manifest():
     # promotion that resolves the 200-capacity wall the r12 registry
     # comment predicted.  New r13 queries land below and promote at
     # the r14 boundary.
-    return {}
+    from databatchprotectionservice_spark.operators import ingest
+
+    return {
+        # r13: Arrow IPC Duration + Interval(MONTH_DAY_NANO) +
+        # decimal256 type tags through the from-scratch reader AND
+        # writer (core/arrowipc.py — the r12 verdict's named residual
+        # seam); pyarrow-written shards over lineitem, integer-exact
+        # oracle with the >128-bit decimal reduced mod 1e9+7.
+        "ingest_arrow_duration": (
+            ingest.ingest_arrow_duration,
+            ingest.ARROW_DURATION_ORACLE,
+        ),
+        # r13: MAP<K,V> alone and under LIST through the from-scratch
+        # parquet WRITER (rides the r12 _stripe_nested generalization;
+        # the r12 verdict's named candidate query) — null / EMPTY map /
+        # null-map-value triad, value leaf under two repeated
+        # ancestors.
+        "parquet_write_map_real": (
+            ingest.parquet_write_map_real,
+            ingest.PARQUET_MAP_WRITE_ORACLE,
+        ),
+    }
 
 
 def main():

@@ -841,3 +841,39 @@ def test_parquet_write_nested_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_arrow_duration_one_shard_shuffle(spark, sf_dir):
+    """ingest_arrow_duration (r13 staged): the arrow_temporal shape —
+    one (flag, shard) exchange into grouped pandas plus the tiny
+    per-flag aggregate; no joins, no windows."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_arrow_duration,
+    )
+
+    plan = _plan(ingest_arrow_duration(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
+
+
+def test_parquet_write_map_one_shard_shuffle(spark, sf_dir):
+    """parquet_write_map_real (r13 staged): the parquet_write_real
+    shape — one (source, shard) exchange into grouped pandas plus the
+    tiny per-source aggregate; no joins, no windows."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        parquet_write_map_real,
+    )
+
+    plan = _plan(parquet_write_map_real(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
