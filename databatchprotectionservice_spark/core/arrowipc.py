@@ -1309,6 +1309,80 @@ def read_arrow_ipc(data: bytes) -> dict:
     return {"fields": fields, "batches": batches, "body_bytes": body_bytes}
 
 
+def read_arrow_stream(data: bytes) -> dict:
+    """Walk an Arrow IPC STREAM from bytes — the footer-less wire
+    format (Flight payloads, socket/pipe interchange, Spark's own
+    Arrow exchange), as opposed to the random-access FILE format
+    :func:`read_arrow_ipc` handles.
+
+    Framing per the columnar spec's streaming section: a Schema
+    message, then DictionaryBatch / RecordBatch messages in stream
+    order, terminated by the end-of-stream marker (continuation
+    0xFFFFFFFF + zero length).  A stream that simply ends cleanly at
+    a message boundary without the marker is accepted (the spec
+    allows readers to tolerate EOF); anything else — truncation
+    mid-message, bytes after EOS, the pre-0.15 continuation-less
+    framing — is a named domain error.  Returns the same shape as
+    :func:`read_arrow_ipc`.
+    """
+    if len(data) < 8:
+        raise ArrowIpcFormatError("stream shorter than one message")
+    if _u32(data, 0) != _CONTINUATION:
+        raise ArrowIpcFormatError(
+            "stream does not open with the 0xFFFFFFFF continuation "
+            "(pre-0.15 legacy framing is not supported)"
+        )
+    msg, pos, _ = _read_message(data, 0)
+    if msg.scalar(1, "<B", 0) != _MSG_SCHEMA:
+        raise ArrowIpcFormatError("stream does not open with a Schema")
+    schema_t = msg.table(2)
+    if schema_t is None:
+        raise ArrowIpcFormatError("Schema message missing body")
+    fields = _decode_schema(schema_t)
+
+    dictionaries: dict = {}
+    batches = []
+    body_bytes = 0
+    while True:
+        if pos == len(data):
+            break  # clean EOF at a message boundary (no EOS marker)
+        if pos + 8 > len(data):
+            raise ArrowIpcFormatError(
+                f"stream truncated mid-frame at {pos}"
+            )
+        if _u32(data, pos) == _CONTINUATION and _i32(data, pos + 4) == 0:
+            if pos + 8 != len(data):
+                raise ArrowIpcFormatError(
+                    f"{len(data) - pos - 8} bytes after the "
+                    "end-of-stream marker"
+                )
+            break
+        msg, body_start, _ = _read_message(data, pos)
+        body_len = msg.scalar(3, "<q", 0)
+        if body_len < 0 or body_start + body_len > len(data):
+            raise ArrowIpcFormatError(
+                f"message bodyLength {body_len} escapes the stream"
+            )
+        body = data[body_start : body_start + body_len]
+        tag = msg.scalar(1, "<B", 0)
+        if tag == _MSG_DICTIONARY_BATCH:
+            _decode_dictionary_batch(msg, body, fields, dictionaries)
+        elif tag == _MSG_RECORD_BATCH:
+            length, columns = _decode_record_batch(
+                msg, body, fields, dictionaries
+            )
+            batches.append({"length": length, "columns": columns})
+        else:
+            raise ArrowIpcFormatError(
+                f"unexpected message tag {tag} in stream"
+            )
+        body_bytes += body_len
+        pos = body_start + body_len
+    return {
+        "fields": fields, "batches": batches, "body_bytes": body_bytes,
+    }
+
+
 # ---------------------------------------------------------------------------
 # Write direction: a minimal flatbuffers BUILDER + IPC file encoder.
 # The independent referee is pyarrow's own reader (tests assert
@@ -1767,4 +1841,23 @@ def encode_arrow_ipc(
     out += footer
     out += struct.pack("<i", len(footer))
     out += MAGIC
+    return bytes(out)
+
+
+def encode_arrow_stream(
+    fields: list[FieldSpec], batches: list[list[list]]
+) -> bytes:
+    """Encode columns as an Arrow IPC STREAM (footer-less wire
+    format): Schema message, one RecordBatch message per batch, then
+    the end-of-stream marker.  Readable by pyarrow's
+    ``ipc.open_stream`` and by :func:`read_arrow_stream`."""
+    out = bytearray(_schema_message(fields))
+    for columns in batches:
+        if len(columns) != len(fields):
+            raise ArrowIpcFormatError(
+                f"batch has {len(columns)} columns for "
+                f"{len(fields)} fields"
+            )
+        out += _batch_message(fields, columns)
+    out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream
     return bytes(out)

@@ -1002,3 +1002,69 @@ def test_encode_duration_interval_decimal256_pyarrow_referee():
     assert tt.column("d2").to_pylist() == vals[4]
     back = read_arrow_ipc(data)
     assert back["batches"][0]["columns"] == vals
+
+
+def test_stream_format_pyarrow_written_multibatch_dict_temporal():
+    """read_arrow_stream (r13): the footer-less STREAM framing —
+    Schema message, dictionary + record batches in stream order, EOS
+    marker — over multi-batch dictionary-encoded and temporal
+    columns written by pyarrow."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        read_arrow_stream,
+    )
+
+    t = pa.table(
+        {
+            "a": pa.array([1, None, 3, 4, 5], pa.int64()),
+            "s": pa.array(["x", "y", None, "x", "z"]).dictionary_encode(),
+            "ts": pa.array(
+                [1000, 2000, 3000, None, 5000],
+                pa.timestamp("us", tz="UTC"),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    with pa.ipc.new_stream(buf, t.schema) as w:
+        for b in t.to_batches(max_chunksize=2):
+            w.write_batch(b)
+    out = read_arrow_stream(buf.getvalue())
+    assert len(out["batches"]) == 3
+    for ci, name in enumerate(("a", "s", "ts")):
+        got = [v for b in out["batches"] for v in b["columns"][ci]]
+        assert got == t.column(name).to_pylist(), name
+
+
+def test_stream_format_encode_and_framing_errors():
+    """encode_arrow_stream referees through pyarrow's open_stream;
+    a clean EOF at a message boundary without the EOS marker is
+    accepted, truncation and post-EOS bytes are domain errors."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    fs = [
+        FieldSpec("a", True, "int64", 64),
+        FieldSpec("s", True, "utf8", 0),
+    ]
+    vals1 = [[1, None, 3], ["p", "q", None]]
+    vals2 = [[4], ["r"]]
+    data = encode_arrow_stream(fs, [vals1, vals2])
+    rt = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert rt.column("a").to_pylist() == [1, None, 3, 4]
+    assert rt.column("s").to_pylist() == ["p", "q", None, "r"]
+    own = read_arrow_stream(data)
+    assert own["batches"][0]["columns"] == vals1
+    assert own["batches"][1]["columns"] == vals2
+    # EOF-without-EOS tolerated (the spec allows it)
+    assert read_arrow_stream(data[:-8])["batches"][1]["columns"] == vals2
+    with pytest.raises(ArrowIpcFormatError):
+        read_arrow_stream(data[: len(data) // 2 + 3])
+    with pytest.raises(ArrowIpcFormatError, match="after the"):
+        read_arrow_stream(data + b"junk")
+    with pytest.raises(ArrowIpcFormatError, match="Schema"):
+        # strip the Schema message: the stream now opens with a
+        # RecordBatch (schema-only stream = schema msg + EOS marker)
+        schema_len = len(encode_arrow_stream(fs, [])) - 8
+        read_arrow_stream(data[schema_len:])
