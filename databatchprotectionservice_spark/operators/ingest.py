@@ -1383,6 +1383,171 @@ def ingest_msgpack_events(spark, sf_dir) -> DataFrame:
         .orderBy("event_type")
     )
 
+
+#: same facts as the msgpack/CBOR twins — the stream framing must be
+#: value-transparent, so the oracle is the table restatement.
+ARROW_STREAM_ORACLE = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+               CAST(sum(user_id) AS BIGINT) AS sum_user_id,
+               CAST(min(epoch_us(ts)) AS BIGINT) AS min_ts_us,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+#: record batches per encoded stream chunk — small enough that every
+#: Arrow batch exercises multi-batch stream framing
+ASTREAM_CHUNK = 500
+
+
+def ingest_arrow_stream(spark, sf_dir) -> DataFrame:
+    """Events through the Arrow IPC STREAM format (r13) — the
+    footer-less wire framing of Flight payloads and socket
+    interchange, as opposed to the FILE format the other Arrow
+    queries exercise (``core/arrowipc.py`` read_arrow_stream /
+    encode_arrow_stream).
+
+    Each executor Arrow batch becomes one multi-record-batch stream;
+    the codec DIRECTION alternates by a batch counter: even batches
+    are written by pyarrow (dictionary-encoded event_type, tz-aware
+    us timestamps) and decoded by OUR reader, odd batches are written
+    by OUR encoder and decoded by pyarrow — both directions earn the
+    verdict.  Every decoded value is asserted equal to its source
+    before aggregation; the oracle restates the aggregates from the
+    table (``epoch_us`` pins the timestamp roundtrip).
+
+    100 TB: narrow mapInPandas, no shuffle before the tiny per-type
+    aggregate — the event-bus consumer shape of the msgpack/CBOR
+    twins.
+    """
+    import datetime as _dt_mod
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import (
+        FieldSpec,
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    prep(spark)
+    d = load_spread(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+
+    def _roundtrip(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        utc = _dt_mod.timezone.utc
+        epoch_utc = _dt_mod.datetime(1970, 1, 1, tzinfo=utc)
+        fs = [
+            FieldSpec("event_id", True, "int64", 64),
+            FieldSpec("user_id", True, "int64", 64),
+            FieldSpec("event_type", True, "utf8", 0),
+            FieldSpec(
+                "ts", True, "timestamp", 64, unit="us", tz="UTC"
+            ),
+        ]
+        for bi, pdf in enumerate(batches):
+            eids = [int(v) for v in pdf["event_id"]]
+            uids = [int(v) for v in pdf["user_id"]]
+            types = [str(v) for v in pdf["event_type"]]
+            ts_us = [int(v.value) // 1000 for v in pdf["ts"]]
+            aware = [
+                epoch_utc + _dt_mod.timedelta(microseconds=u)
+                for u in ts_us
+            ]
+            if bi % 2 == 0:
+                # pyarrow writes (dict-encoded type column), we read
+                t = pa_.table(
+                    {
+                        "event_id": pa_.array(eids, pa_.int64()),
+                        "user_id": pa_.array(uids, pa_.int64()),
+                        "event_type": pa_.array(
+                            types
+                        ).dictionary_encode(),
+                        "ts": pa_.array(
+                            ts_us, pa_.timestamp("us", tz="UTC")
+                        ),
+                    }
+                )
+                buf = io.BytesIO()
+                with pa_ipc.new_stream(buf, t.schema) as w:
+                    for b in t.to_batches(max_chunksize=ASTREAM_CHUNK):
+                        w.write_batch(b)
+                got = read_arrow_stream(buf.getvalue())
+                if len(got["batches"]) != max(
+                    1, -(-len(eids) // ASTREAM_CHUNK)
+                ) and eids:
+                    raise ValueError("stream batch framing drifted")
+                col = {
+                    name: [
+                        v
+                        for b in got["batches"]
+                        for v in b["columns"][ci]
+                    ]
+                    for ci, name in enumerate(
+                        ("event_id", "user_id", "event_type", "ts")
+                    )
+                }
+                if (
+                    col["event_id"] != eids
+                    or col["user_id"] != uids
+                    or col["event_type"] != types
+                    or col["ts"] != aware
+                ):
+                    raise ValueError(
+                        f"batch {bi}: own stream decode drifted"
+                    )
+            else:
+                # we write, pyarrow reads
+                chunks = [
+                    [
+                        eids[a : a + ASTREAM_CHUNK],
+                        uids[a : a + ASTREAM_CHUNK],
+                        types[a : a + ASTREAM_CHUNK],
+                        ts_us[a : a + ASTREAM_CHUNK],
+                    ]
+                    for a in range(0, max(len(eids), 1), ASTREAM_CHUNK)
+                ]
+                data = encode_arrow_stream(fs, chunks)
+                rt = pa_ipc.open_stream(io.BytesIO(data)).read_all()
+                if (
+                    rt.column("event_id").to_pylist() != eids
+                    or rt.column("user_id").to_pylist() != uids
+                    or rt.column("event_type").to_pylist() != types
+                    or rt.column("ts").to_pylist() != aware
+                ):
+                    raise ValueError(
+                        f"batch {bi}: pyarrow decode of own stream "
+                        "drifted"
+                    )
+            yield pd.DataFrame(
+                {
+                    "event_type": pd.Series(types, dtype="object"),
+                    "event_id": pd.Series(eids, dtype="int64"),
+                    "user_id": pd.Series(uids, dtype="int64"),
+                    "ts_us": pd.Series(ts_us, dtype="int64"),
+                }
+            )
+
+    per = d.mapInPandas(_roundtrip, _MSGPACK_ROW_SCHEMA)
+    return (
+        per.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("event_id").cast("bigint").alias("sum_event_id"),
+            F.sum("user_id").cast("bigint").alias("sum_user_id"),
+            F.min("ts_us").cast("bigint").alias("min_ts_us"),
+            F.max("ts_us").cast("bigint").alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # transaction-log snapshot + stats pruning — the lakehouse layer
 # ---------------------------------------------------------------------------

@@ -71,6 +71,14 @@ def staged_manifest():
             ingest.parquet_write_map_real,
             ingest.PARQUET_MAP_WRITE_ORACLE,
         ),
+        # r13: events through the Arrow IPC STREAM framing (the
+        # footer-less wire format), codec direction alternating per
+        # executor batch: pyarrow-written/own-read on even batches,
+        # own-written/pyarrow-read on odd.
+        "ingest_arrow_stream": (
+            ingest.ingest_arrow_stream,
+            ingest.ARROW_STREAM_ORACLE,
+        ),
     }
 
 

@@ -877,3 +877,20 @@ def test_parquet_write_map_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_arrow_stream_narrow_walk_single_exchange(spark, sf_dir):
+    """ingest_arrow_stream (r13 staged): the msgpack/CBOR event-bus
+    consumer shape — map-only until the per-type aggregate."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_arrow_stream,
+    )
+
+    plan = _plan(ingest_arrow_stream(spark, sf_dir))
+    assert "MapInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 1, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
