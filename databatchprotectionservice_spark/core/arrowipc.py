@@ -71,13 +71,17 @@ FixedSizeBinary slices byteWidth-sized values off one data buffer.
 Duration (all TimeUnits, exact int64 counts — no timedelta: ns
 would truncate), Interval (YEAR_MONTH int months, DAY_TIME
 (days, ms) tuples, MONTH_DAY_NANO (months, days, nanos) tuples),
-Decimal(bitWidth=256) from 32-byte unscaled ints, and Union (both
-Sparse and Dense modes, typeIds mapping, no validity buffer per the
-columnar spec) all decode too (r13); Duration / Interval /
-decimal256 encode as well.  Anything else (Union encode,
-RunEndEncoded / view tags, non-BUFFER compression methods) raises
-:class:`ArrowIpcFormatError` naming the offending tag so the seam is
-explicit, in the same style as the other codecs' unsupported paths.
+Decimal(bitWidth=256) from 32-byte unscaled ints, float16 (the
+embedding-export dtype), and Union (both Sparse and Dense modes,
+typeIds mapping, no validity buffer per the columnar spec) all
+decode AND encode too (r13) — union slots encode as (type_id,
+value) tuples since nullness lives in the selected child.  The
+footer-less STREAM framing reads and writes as well
+(:func:`read_arrow_stream` / :func:`encode_arrow_stream`).
+Anything else (RunEndEncoded / view tags, non-BUFFER compression
+methods) raises :class:`ArrowIpcFormatError` naming the offending
+tag so the seam is explicit, in the same style as the other codecs'
+unsupported paths.
 """
 
 from __future__ import annotations
@@ -417,6 +421,12 @@ def _decode_field(f: _Table) -> FieldSpec:
         if t is None:
             raise ArrowIpcFormatError(f"field {name!r}: FP missing body")
         precision = t.scalar(0, "<h", 0)
+        if precision == 0:
+            # HALF (r13): fp16 is THE dtype of exported embedding
+            # tables; IEEE 754 binary16 via numpy's native kind
+            return FieldSpec(
+                name, nullable, "float16", 16, dict_id, index_type
+            )
         if precision == 1:
             return FieldSpec(
                 name, nullable, "float32", 32, dict_id, index_type
@@ -427,7 +437,7 @@ def _decode_field(f: _Table) -> FieldSpec:
             )
         raise ArrowIpcFormatError(
             f"field {name!r}: FloatingPoint precision {precision} "
-            "unsupported (HALF is out of scope)"
+            "unsupported"
         )
     if tag == _T_BOOL:
         return FieldSpec(name, nullable, "bool", 1, dict_id, index_type)
@@ -577,7 +587,7 @@ def _bit(buf: bytes, i: int) -> int:
 _NP_KIND = {
     "int8": "i1", "int16": "i2", "int32": "i4", "int64": "i8",
     "uint8": "u1", "uint16": "u2", "uint32": "u4", "uint64": "u8",
-    "float32": "f4", "float64": "f8",
+    "float16": "f2", "float32": "f4", "float64": "f8",
     # temporal kinds decode as their raw integer storage, then
     # _temporal_value converts per unit
     "date32": "i4", "date64": "i8",
@@ -1511,12 +1521,23 @@ class _Builder:
 def _fb_field(b: _Builder, spec: FieldSpec) -> int:
     """Build one Schema.fbs Field table (flat or nested)."""
     kids_vec = None
-    if spec.type_name in ("list", "struct"):
+    if spec.type_name in ("list", "struct", "union"):
         kid_offs = [_fb_field(b, c) for c in spec.children]
         kids_vec = b.create_offset_vector(kid_offs)
-        b.start_table()
-        type_t = b.end_table()  # List/Struct_ carry no fields
-        tag = _T_LIST if spec.type_name == "list" else _T_STRUCT
+        if spec.type_name == "union":
+            # Union { mode: UnionMode; typeIds: [int] } — always
+            # write typeIds explicitly so child identity is pinned
+            tids = spec.type_ids or tuple(range(len(spec.children)))
+            traw = b"".join(struct.pack("<i", t) for t in tids)
+            tvec = b.create_struct_vector(traw, len(tids), 4)
+            b.start_table()
+            b.add_scalar(0, "<h", 0 if spec.unit == "sparse" else 1, -1)
+            b.add_offset(1, tvec)
+            type_t, tag = b.end_table(), _T_UNION
+        else:
+            b.start_table()
+            type_t = b.end_table()  # List/Struct_ carry no fields
+            tag = _T_LIST if spec.type_name == "list" else _T_STRUCT
         name = b.create_string(spec.name)
         b.start_table()
         b.add_offset(0, name)
@@ -1547,7 +1568,10 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         type_t, tag = b.end_table(), _T_INT
     elif spec.type_name.startswith("float"):
         b.start_table()
-        b.add_scalar(0, "<h", 1 if spec.bit_width == 32 else 2, 0)
+        # FloatingPoint precision: HALF(0) / SINGLE(1) / DOUBLE(2)
+        b.add_scalar(
+            0, "<h", {16: 0, 32: 1, 64: 2}[spec.bit_width], -1
+        )
         type_t, tag = b.end_table(), _T_FP
     elif spec.type_name in ("date32", "date64"):
         b.start_table()
@@ -1718,10 +1742,50 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
     flattening order — the exact inverse of ``decode_nested``.
     List = [validity][i32 offsets] then the flattened child; Struct =
     [validity] then each child column (null struct slots propagate
-    None into every child)."""
+    None into every child); Union = [i8 types] (+ [i32 offsets] when
+    dense) then the children — NO validity buffer per the columnar
+    spec, so slots are (type_id, value) tuples and nullness lives in
+    the selected child."""
+    tn = spec.type_name
+    if tn == "union":
+        by_tid = {
+            tid: ci
+            for ci, tid in enumerate(
+                spec.type_ids or tuple(range(len(spec.children)))
+            )
+        }
+        dense = spec.unit != "sparse"
+        types = bytearray()
+        offs: list[int] = []
+        child_cols: list[list] = [[] for _ in spec.children]
+        for v in col:
+            if (
+                not isinstance(v, tuple)
+                or len(v) != 2
+                or v[0] not in by_tid
+            ):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: union slot must be a "
+                    "(type_id, value) tuple with a declared type id"
+                )
+            tid, val = v
+            ci = by_tid[tid]
+            types.append(tid)
+            if dense:
+                offs.append(len(child_cols[ci]))
+                child_cols[ci].append(val)
+            else:
+                for cj in range(len(spec.children)):
+                    child_cols[cj].append(val if cj == ci else None)
+        nodes.append((len(col), 0))  # unions carry no validity
+        emit_buf(bytes(types))
+        if dense:
+            emit_buf(struct.pack(f"<{len(offs)}i", *offs))
+        for c, cvals in zip(spec.children, child_cols):
+            _emit_column(c, cvals, nodes, emit_buf)
+        return
     validity, nulls = _validity(col)
     nodes.append((len(col), nulls))
-    tn = spec.type_name
     if tn == "list":
         offs = [0]
         child_vals: list = []

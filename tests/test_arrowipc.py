@@ -98,9 +98,8 @@ def test_error_is_domain_error_subclass():
 
 def test_unsupported_type_seams_named():
     # Timestamp/Date/Time/Decimal128, Large*, FixedSize* closed r12;
-    # Duration/Interval, Union and decimal256 closed r13.  The
-    # remaining reader seams are the view/REE tags (and float16,
-    # below, a FloatingPoint precision seam)
+    # Duration/Interval, Union, decimal256 and float16 closed r13.
+    # The remaining reader seams are the view/REE tags.
     cases = [
         ("RunEndEncoded", pa.table(
             {"x": pa.RunEndEncodedArray.from_arrays([2], [7])}
@@ -109,11 +108,34 @@ def test_unsupported_type_seams_named():
     for name, t in cases:
         with pytest.raises(ArrowIpcFormatError, match=name):
             read_arrow_ipc(_ipc_bytes(t))
+
+
+def test_float16_both_directions():
+    """HALF floats (r13): fp16 is THE dtype of exported embedding
+    tables — exact binary16 values through reader AND encoder."""
     import numpy as np
 
-    t16 = pa.table({"x": pa.array(np.array([1.0], dtype=np.float16))})
-    with pytest.raises(ArrowIpcFormatError, match="HALF"):
-        read_arrow_ipc(_ipc_bytes(t16))
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    vals = [1.5, -0.25, 65504.0, 0.0009765625]
+    t16 = pa.table(
+        {"h": pa.array(np.array(vals, dtype=np.float16))}
+    )
+    out = read_arrow_ipc(_ipc_bytes(t16))
+    assert out["fields"][0].type_name == "float16"
+    assert out["batches"][0]["columns"][0] == vals
+    data = encode_arrow_ipc(
+        [FieldSpec("h", True, "float16", 16)], [[[1.5, None, -0.25]]]
+    )
+    tt = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert str(tt.schema.field("h").type) == "halffloat"
+    assert tt.column("h").to_pylist() == [1.5, None, -0.25]
+    assert read_arrow_ipc(data)["batches"][0]["columns"][0] == [
+        1.5, None, -0.25,
+    ]
 
 
 def _read_all_columns(data):
@@ -1068,3 +1090,40 @@ def test_stream_format_encode_and_framing_errors():
         # RecordBatch (schema-only stream = schema msg + EOS marker)
         schema_len = len(encode_arrow_stream(fs, [])) - 8
         read_arrow_stream(data[schema_len:])
+
+
+def test_union_encoder_both_modes_pyarrow_referee():
+    """Union ENCODE (r13): slots are (type_id, value) tuples; dense
+    packs compact children behind an offsets buffer, sparse pads
+    every child to batch length.  Custom (non-contiguous) typeIds are
+    pinned; pyarrow full-validates and reads both."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    kids = (
+        FieldSpec("num", True, "int64", 64),
+        FieldSpec("txt", True, "utf8", 0),
+    )
+    vals = [(5, 1), (9, "a"), (5, None), (9, "b"), (5, 7)]
+    for mode in ("dense", "sparse"):
+        u = FieldSpec(
+            "u", False, "union", 0, children=kids, unit=mode,
+            type_ids=(5, 9),
+        )
+        data = encode_arrow_ipc([u], [[vals]])
+        tt = pa.ipc.open_file(io.BytesIO(data)).read_all()
+        assert tt.validate(full=True) is None
+        assert str(tt.schema.field("u").type).startswith(
+            f"{mode}_union"
+        )
+        assert tt.column("u").to_pylist() == [1, "a", None, "b", 7]
+        own = read_arrow_ipc(data)
+        assert own["batches"][0]["columns"][0] == [1, "a", None, "b", 7]
+    bad = FieldSpec(
+        "u", False, "union", 0, children=kids, unit="dense",
+        type_ids=(0, 1),
+    )
+    with pytest.raises(ArrowIpcFormatError, match="type_id"):
+        encode_arrow_ipc([bad], [[[(7, 3)]]])
