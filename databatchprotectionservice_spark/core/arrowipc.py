@@ -77,11 +77,16 @@ typeIds mapping, no validity buffer per the columnar spec) all
 decode AND encode too (r13) — union slots encode as (type_id,
 value) tuples since nullness lives in the selected child.  The
 footer-less STREAM framing reads and writes as well
-(:func:`read_arrow_stream` / :func:`encode_arrow_stream`).
-Anything else (RunEndEncoded / view tags, non-BUFFER compression
-methods) raises :class:`ArrowIpcFormatError` naming the offending
-tag so the seam is explicit, in the same style as the other codecs'
-unsupported paths.
+(:func:`read_arrow_stream` / :func:`encode_arrow_stream`).  The
+reader additionally covers Null, Map (as [(key, value), ...] — dup
+keys are legal per the spec), RunEndEncoded (expanded to logical
+rows), Utf8View/BinaryView (16-byte view structs with
+variadicBufferCounts data buffers) and ListView/LargeListView —
+i.e. EVERY type tag the Schema.fbs union defines, so no
+pyarrow-writable table is out of scope.  Only non-BUFFER
+compression methods and unknown/corrupt tags raise
+:class:`ArrowIpcFormatError`, in the same style as the other
+codecs' unsupported paths.
 """
 
 from __future__ import annotations
@@ -139,6 +144,12 @@ _T_DURATION = 18
 _T_LARGE_BINARY = 19
 _T_LARGE_UTF8 = 20
 _T_LARGE_LIST = 21
+_T_MAP = 17
+_T_RUN_END_ENCODED = 22
+_T_BINARY_VIEW = 23
+_T_UTF8_VIEW = 24
+_T_LIST_VIEW = 25
+_T_LARGE_LIST_VIEW = 26
 
 #: Schema.fbs TimeUnit enum -> suffix
 _TIME_UNITS = {0: "s", 1: "ms", 2: "us", 3: "ns"}
@@ -321,7 +332,9 @@ def _decode_field(f: _Table) -> FieldSpec:
         _T_DECIMAL, _T_DATE, _T_TIME, _T_TIMESTAMP,
         _T_LARGE_BINARY, _T_LARGE_UTF8, _T_LARGE_LIST,
         _T_FIXED_BINARY, _T_FIXED_LIST,
-        _T_DURATION, _T_INTERVAL, _T_UNION,
+        _T_DURATION, _T_INTERVAL, _T_UNION, _T_MAP,
+        _T_RUN_END_ENCODED, _T_BINARY_VIEW, _T_UTF8_VIEW,
+        _T_LIST_VIEW, _T_LARGE_LIST_VIEW, 1,
     ):
         raise ArrowIpcFormatError(
             f"field {name!r}: type {_TYPE_NAMES.get(tag, tag)} "
@@ -371,6 +384,59 @@ def _decode_field(f: _Table) -> FieldSpec:
             "sparse" if mode == 0 else "dense", None, 0, 0, 0,
             type_ids,
         )
+    if tag == _T_RUN_END_ENCODED:
+        # RunEndEncoded { } — two children: run_ends (an int column,
+        # non-null, monotone ABSOLUTE logical end indices) + values.
+        # The parent node carries the LOGICAL length and no buffers.
+        if dict_id is not None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: dictionary-encoded REE column"
+            )
+        kids = tuple(_decode_field(c) for c in f.table_vector(5))
+        if len(kids) != 2:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: RunEndEncoded needs exactly "
+                "(run_ends, values) children"
+            )
+        if not kids[0].type_name.startswith("int"):
+            raise ArrowIpcFormatError(
+                f"field {name!r}: run_ends child must be a signed int"
+            )
+        return FieldSpec(
+            name, nullable, "run_end_encoded", 0, None, None, kids
+        )
+    if tag == _T_MAP:
+        # Map { keysSorted: bool } — single 'entries' struct child
+        # (non-null key + value); layout identical to List<entries>.
+        # Values surface as [(key, value), ...] per slot — dup keys
+        # are legal in the spec, so no dict collapse.
+        if dict_id is not None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: dictionary-encoded map column"
+            )
+        kids = tuple(_decode_field(c) for c in f.table_vector(5))
+        if len(kids) != 1 or kids[0].type_name != "struct" or len(
+            kids[0].children
+        ) != 2:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: Map needs one struct(key, value) "
+                "child"
+            )
+        return FieldSpec(name, nullable, "map", 0, None, None, kids)
+    if tag in (_T_LIST_VIEW, _T_LARGE_LIST_VIEW):
+        # ListView / LargeListView { } — [validity][offsets][sizes]
+        # + child; offsets may be unordered/overlapping per the spec
+        if dict_id is not None:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: dictionary-encoded list-view column"
+            )
+        kids = tuple(_decode_field(c) for c in f.table_vector(5))
+        if len(kids) != 1:
+            raise ArrowIpcFormatError(
+                f"field {name!r}: ListView needs exactly one child"
+            )
+        tn = "list_view" if tag == _T_LIST_VIEW else "large_list_view"
+        return FieldSpec(name, nullable, tn, 0, None, None, kids)
     if tag in (_T_LIST, _T_LARGE_LIST, _T_FIXED_LIST, _T_STRUCT):
         if dict_id is not None:
             raise ArrowIpcFormatError(
@@ -451,6 +517,15 @@ def _decode_field(f: _Table) -> FieldSpec:
         return FieldSpec(
             name, nullable, "large_binary", 0, dict_id, index_type
         )
+    if tag == 1:
+        # Null { } — every slot is null; the layout has NO buffers
+        return FieldSpec(name, nullable, "null", 0, dict_id, index_type)
+    if tag in (_T_UTF8_VIEW, _T_BINARY_VIEW):
+        # Utf8View / BinaryView { } — 16-byte view structs plus
+        # variadic data buffers (count from the record batch's
+        # variadicBufferCounts)
+        tn = "utf8_view" if tag == _T_UTF8_VIEW else "binary_view"
+        return FieldSpec(name, nullable, tn, 0, dict_id, index_type)
     if tag == _T_FIXED_BINARY:
         # Schema.fbs: FixedSizeBinary { byteWidth: int }
         bw = t.scalar(0, "<i", 0) if t is not None else 0
@@ -980,6 +1055,27 @@ def _decode_rb_table(
             )
         return out
 
+    # variadicBufferCounts (RecordBatch fid 4, [long]): one entry per
+    # view-typed column in depth-first field order — how many data
+    # buffers follow that column's views buffer
+    vv = rb.vector(4, stride=8)
+    variadic_counts = (
+        [_i64(rb.data, vv[0] + 8 * i) for i in range(vv[1])]
+        if vv is not None
+        else []
+    )
+    vix = 0
+
+    def next_variadic() -> int:
+        nonlocal vix
+        if vix >= len(variadic_counts):
+            raise ArrowIpcFormatError(
+                "RecordBatch ran out of variadicBufferCounts"
+            )
+        n = variadic_counts[vix]
+        vix += 1
+        return n
+
     nix = 0
 
     def next_node() -> tuple:
@@ -1012,6 +1108,70 @@ def _decode_rb_table(
                 else child[i * n : (i + 1) * n]
                 for i in range(node_len)
             ]
+        if spec.type_name == "map":
+            # identical buffer layout to List over the entries
+            # struct; each slot surfaces as [(key, value), ...]
+            validity = take()
+            offsets_buf = take()
+            if node_len and len(offsets_buf) < 4 * (node_len + 1):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: map offsets too short"
+                )
+            offs = (
+                struct.unpack_from(f"<{node_len + 1}i", offsets_buf, 0)
+                if node_len
+                else (0,)
+            )
+            entries = decode_nested(spec.children[0])
+            out: list = []
+            kname = spec.children[0].children[0].name
+            vname = spec.children[0].children[1].name
+            for i in range(node_len):
+                if null_count and _bit(validity, i) == 0:
+                    out.append(None)
+                    continue
+                lo, hi = offs[i], offs[i + 1]
+                if lo < 0 or hi < lo or hi > len(entries):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: map offsets not "
+                        "monotone in-bounds"
+                    )
+                out.append(
+                    [(e[kname], e[vname]) for e in entries[lo:hi]]
+                )
+            return out
+        if spec.type_name in ("list_view", "large_list_view"):
+            large = spec.type_name == "large_list_view"
+            ow, ofmt = (8, "q") if large else (4, "i")
+            validity = take()
+            offsets_buf = take()
+            sizes_buf = take()
+            if len(offsets_buf) < ow * node_len or len(
+                sizes_buf
+            ) < ow * node_len:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: list-view buffers too short"
+                )
+            offs = struct.unpack_from(
+                f"<{node_len}{ofmt}", offsets_buf, 0
+            )
+            sizes = struct.unpack_from(
+                f"<{node_len}{ofmt}", sizes_buf, 0
+            )
+            child = decode_nested(spec.children[0])
+            out = []
+            for i in range(node_len):
+                if null_count and _bit(validity, i) == 0:
+                    out.append(None)
+                    continue
+                lo, n = offs[i], sizes[i]
+                if lo < 0 or n < 0 or lo + n > len(child):
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: list-view {i} escapes "
+                        "its child"
+                    )
+                out.append(child[lo : lo + n])
+            return out
         if spec.type_name in ("list", "large_list"):
             large = spec.type_name == "large_list"
             ow, ofmt = (8, "q") if large else (4, "i")
@@ -1041,6 +1201,84 @@ def _decode_rb_table(
                         "monotone in-bounds"
                     )
                 out.append(child[lo:hi])
+            return out
+        if spec.type_name == "null":
+            return [None] * node_len  # Null layout has no buffers
+        if spec.type_name == "run_end_encoded":
+            # REE parent: logical length, NO buffers of its own; the
+            # run_ends child holds ABSOLUTE logical end indices
+            run_ends = decode_nested(spec.children[0])
+            values = decode_nested(spec.children[1])
+            if len(run_ends) != len(values):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: {len(run_ends)} run ends "
+                    f"for {len(values)} values"
+                )
+            out = []
+            prev = 0
+            for end, v in zip(run_ends, values):
+                if end is None or end <= prev:
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: run ends not strictly "
+                        "increasing"
+                    )
+                out.extend([v] * (min(end, node_len) - prev))
+                prev = min(end, node_len)
+            if len(out) != node_len:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: runs cover {len(out)} of "
+                    f"{node_len} logical slots"
+                )
+            return out
+        if spec.type_name in ("utf8_view", "binary_view"):
+            # [validity][16-byte views] + N variadic data buffers.
+            # View struct: i32 length; <= 12 -> bytes inline, else
+            # [4-byte prefix][i32 buffer index][i32 offset]
+            validity = take()
+            views = take()
+            if len(views) < 16 * node_len:
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: views buffer too short"
+                )
+            data_bufs = [take() for _ in range(next_variadic())]
+            out = []
+            for i in range(node_len):
+                if null_count and _bit(validity, i) == 0:
+                    out.append(None)
+                    continue
+                ln = _i32(views, 16 * i)
+                if ln < 0:
+                    raise ArrowIpcFormatError(
+                        f"field {spec.name!r}: negative view length"
+                    )
+                if ln <= 12:
+                    raw = views[16 * i + 4 : 16 * i + 4 + ln]
+                else:
+                    bi = _i32(views, 16 * i + 8)
+                    off = _i32(views, 16 * i + 12)
+                    if not 0 <= bi < len(data_bufs) or off < 0 or (
+                        off + ln > len(data_bufs[bi])
+                    ):
+                        raise ArrowIpcFormatError(
+                            f"field {spec.name!r}: view {i} escapes "
+                            "its data buffer"
+                        )
+                    raw = data_bufs[bi][off : off + ln]
+                    if raw[:4] != views[16 * i + 4 : 16 * i + 8]:
+                        raise ArrowIpcFormatError(
+                            f"field {spec.name!r}: view {i} prefix "
+                            "mismatch"
+                        )
+                if spec.type_name == "utf8_view":
+                    try:
+                        out.append(raw.decode("utf-8"))
+                    except UnicodeDecodeError as e:
+                        raise ArrowIpcFormatError(
+                            f"field {spec.name!r}: view {i} is not "
+                            "UTF-8"
+                        ) from e
+                else:
+                    out.append(bytes(raw))
             return out
         if spec.type_name == "union":
             # columnar spec: unions carry NO validity buffer — a

@@ -96,18 +96,46 @@ def test_error_is_domain_error_subclass():
     assert issubclass(ArrowIpcFormatError, DBPSInvalidInputError)
 
 
-def test_unsupported_type_seams_named():
-    # Timestamp/Date/Time/Decimal128, Large*, FixedSize* closed r12;
-    # Duration/Interval, Union, decimal256 and float16 closed r13.
-    # The remaining reader seams are the view/REE tags.
-    cases = [
-        ("RunEndEncoded", pa.table(
-            {"x": pa.RunEndEncodedArray.from_arrays([2], [7])}
-        )),
+def test_reader_covers_every_schema_type_tag():
+    """r13 closure: the reader decodes EVERY Schema.fbs type tag —
+    Null through LargeListView — so no pyarrow-writable table is out
+    of scope.  One column of each remaining exotic tag, value-exact
+    against pyarrow."""
+    t = pa.table(
+        {
+            "nul": pa.nulls(4),
+            "m": pa.array(
+                [{"a": 1}, None, {}, {"c": None}],
+                pa.map_(pa.string(), pa.int64()),
+            ),
+            "ree": pa.RunEndEncodedArray.from_arrays(
+                [2, 4], ["x", None]
+            ),
+            "sv": pa.array(
+                ["short", None, "a string well beyond twelve bytes", ""],
+                pa.string_view(),
+            ),
+            "bv": pa.array(
+                [b"ab", b"0123456789abcdef", None, b""],
+                pa.binary_view(),
+            ),
+            "lv": pa.array(
+                [[1, 2], None, [], [3]], pa.list_view(pa.int64())
+            ),
+            "llv": pa.array(
+                [["x"], ["y", None], None, []],
+                pa.large_list_view(pa.string()),
+            ),
+        }
+    )
+    out = read_arrow_ipc(_ipc_bytes(t, max_chunksize=2))
+    assert [f.type_name for f in out["fields"]] == [
+        "null", "map", "run_end_encoded", "utf8_view", "binary_view",
+        "list_view", "large_list_view",
     ]
-    for name, t in cases:
-        with pytest.raises(ArrowIpcFormatError, match=name):
-            read_arrow_ipc(_ipc_bytes(t))
+    for ci, name in enumerate(t.column_names):
+        got = [v for b in out["batches"] for v in b["columns"][ci]]
+        assert got == t.column(name).to_pylist(), name
 
 
 def test_float16_both_directions():
