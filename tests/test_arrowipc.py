@@ -1155,3 +1155,75 @@ def test_union_encoder_both_modes_pyarrow_referee():
     )
     with pytest.raises(ArrowIpcFormatError, match="type_id"):
         encode_arrow_ipc([bad], [[[(7, 3)]]])
+
+
+def test_stream_mutation_battery():
+    """The file-format battery's twin over the STREAM framing: every
+    corruption either decodes value-exact (landed in padding) or
+    raises the domain error — never a crash, hang or silent wrong
+    answer."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        read_arrow_stream,
+    )
+
+    def sbytes(t, chunk=None):
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, t.schema) as w:
+            if chunk is None:
+                w.write_table(t)
+            else:
+                for b in t.to_batches(max_chunksize=chunk):
+                    w.write_batch(b)
+        return buf.getvalue()
+
+    view_t = pa.table(
+        {
+            "v": pa.array(
+                ["short", None, "a string well beyond twelve bytes"],
+                pa.string_view(),
+            )
+        }
+    )
+    bases = [
+        bytearray(sbytes(_FULL)),
+        bytearray(sbytes(_FULL, chunk=2)),
+        bytearray(sbytes(view_t)),
+    ]
+    want = [
+        [_FULL.column(i).to_pylist() for i in range(_FULL.num_columns)],
+        [_FULL.column(i).to_pylist() for i in range(_FULL.num_columns)],
+        [view_t.column(0).to_pylist()],
+    ]
+
+    def cols(out):
+        nf = len(out["fields"])
+        return [
+            [v for b in out["batches"] for v in b["columns"][i]]
+            for i in range(nf)
+        ]
+
+    random.seed(43)
+    survived = 0
+    for _ in range(2000):
+        ix = random.randrange(len(bases))
+        b = bytearray(bases[ix])
+        for _ in range(random.randint(1, 8)):
+            op = random.random()
+            if op < 0.5 and b:
+                b[random.randrange(len(b))] = random.randrange(256)
+            elif op < 0.75 and len(b) > 4:
+                cut = random.randrange(len(b) - 3)
+                del b[cut : cut + random.randint(1, 16)]
+            else:
+                i = random.randrange(len(b) + 1)
+                b[i:i] = bytes(
+                    random.randrange(256)
+                    for _ in range(random.randint(1, 8))
+                )
+        try:
+            out = read_arrow_stream(bytes(b))
+            if cols(out) == want[ix]:
+                survived += 1
+        except ArrowIpcFormatError:
+            pass
+    assert survived < 2000
