@@ -143,6 +143,46 @@ def _column_chunk(raw) -> dict:
         "dictionary_page_offset": (
             _int(m[11], "dictionary_page_offset") if 11 in m else None
         ),
+        "statistics": _statistics(m.get(12), TYPE_NAMES[ptype]),
+    }
+
+
+#: Statistics min/max wire form -> python value, per physical type
+#: (PLAIN encoding of one value, no length prefix)
+_STAT_FMT = {"INT32": "<i", "INT64": "<q", "FLOAT": "<f", "DOUBLE": "<d"}
+
+
+def _stat_value(raw, ptype: str):
+    if not isinstance(raw, (bytes, bytearray)):
+        raise ParquetFormatError("statistics value is not binary")
+    fmt = _STAT_FMT.get(ptype)
+    if fmt is not None:
+        if len(raw) != struct.calcsize(fmt):
+            raise ParquetFormatError(
+                f"statistics value of {len(raw)} bytes for {ptype}"
+            )
+        return struct.unpack(fmt, raw)[0]
+    if ptype == "BOOLEAN":
+        return bool(raw and raw[0])
+    return bytes(raw)  # BYTE_ARRAY / FIXED / INT96: raw bytes
+
+
+def _statistics(s, ptype: str):
+    """ColumnMetaData.statistics (fid 12) -> typed dict or None.
+    Prefers the modern min_value/max_value (fids 6/5); falls back to
+    the deprecated min/max (fids 2/1) only when the modern pair is
+    absent — matching how the major readers treat legacy files."""
+    if s is None:
+        return None
+    if not isinstance(s, dict):
+        raise ParquetFormatError("statistics is not a struct")
+    lo = s.get(6, s.get(2))
+    hi = s.get(5, s.get(1))
+    return {
+        "null_count": _int(s[3], "null_count") if 3 in s else None,
+        "distinct_count": _int(s[4], "distinct_count") if 4 in s else None,
+        "min_value": None if lo is None else _stat_value(lo, ptype),
+        "max_value": None if hi is None else _stat_value(hi, ptype),
     }
 
 

@@ -249,6 +249,32 @@ def _tree_leaves(node, path):
     return _tree_leaves(node[1], path + ["list", "element"])
 
 
+def _stat_key(v, ptype: str):
+    """Comparison key per the type's DEFINED order (parquet-format
+    ColumnOrder TypeDefinedOrder): signed for ints/floats, unsigned
+    BYTEWISE for BYTE_ARRAY (str compares by its UTF-8 bytes, not
+    codepoints — they agree for UTF-8, but bytes are the contract)."""
+    if ptype == "BYTE_ARRAY":
+        return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+    return v
+
+
+def _stat_bytes(v, ptype: str) -> bytes:
+    """Statistics min_value/max_value wire form: the PLAIN encoding
+    of one value WITHOUT any length prefix."""
+    if ptype == "INT32":
+        return struct.pack("<i", v)
+    if ptype == "INT64":
+        return struct.pack("<q", v)
+    if ptype == "FLOAT":
+        return struct.pack("<f", v)
+    if ptype == "DOUBLE":
+        return struct.pack("<d", v)
+    if ptype == "BOOLEAN":
+        return b"\x01" if v else b"\x00"
+    return v.encode("utf-8") if isinstance(v, str) else bytes(v)
+
+
 def _tree_leaf_has_rep(node, under_rep: bool = False) -> list[bool]:
     """Per-leaf (DFS order, matching ``_tree_leaves``): does the leaf
     have a REPEATED ancestor on its own path — i.e. does its column
@@ -442,14 +468,30 @@ def write_parquet(
 
     def write_leaf_pages(values, stripe, ptype: str) -> dict:
         """Write record-aligned pages for one leaf; ``stripe`` maps a
-        page of records to (reps|None, defs|None, present)."""
+        page of records to (reps|None, defs|None, present).  Also
+        accumulates chunk Statistics (null_count + min/max in the
+        type's defined order: signed ints, IEEE floats with NaN
+        excluded, unsigned bytewise BYTE_ARRAY) — the row-group
+        pruning hook every scan planner reads before touching data."""
         chunk_offset = len(out)
         comp_total = 0
         uncomp_total = 0
         n_leaf_slots = 0
+        n_present_total = 0
+        vmin = vmax = None
+        kmin = kmax = None
         step = page_rows or max(n_rows, 1)
         for at in range(0, n_rows, step) or [0]:
             reps, defs, present = stripe(values[at : at + step], at)
+            n_present_total += len(present)
+            for v in present:
+                if ptype in ("FLOAT", "DOUBLE") and v != v:
+                    continue  # NaN is excluded from min/max (spec)
+                k = _stat_key(v, ptype)
+                if kmin is None or k < kmin:
+                    kmin, vmin = k, v
+                if kmax is None or k > kmax:
+                    kmax, vmax = k, v
             body = bytearray()
             if reps is not None:
                 body += _rle_levels(reps)
@@ -484,6 +526,9 @@ def write_parquet(
             "offset": chunk_offset,
             "compressed": comp_total,
             "uncompressed": uncomp_total,
+            "null_count": n_leaf_slots - n_present_total,
+            "min": None if kmin is None else _stat_bytes(vmin, ptype),
+            "max": None if kmax is None else _stat_bytes(vmax, ptype),
         }
 
     def emit_group_schema(node, gname: str):
@@ -627,6 +672,16 @@ def write_parquet(
     col_structs = []
     for m in chunk_meta:
         path = [p.encode("utf-8") for p in m["path"]]
+        # Statistics (ColumnMetaData fid 12): null_count + the
+        # modern min_value/max_value pair (fids 5/6; the deprecated
+        # 1/2 are never written) — valid under the TypeDefinedOrder
+        # declared in column_orders below
+        stats = [(3, T_I64, m["null_count"])]
+        if m["min"] is not None:
+            stats += [
+                (5, T_BINARY, m["max"]),
+                (6, T_BINARY, m["min"]),
+            ]
         col_structs.append(
             [
                 (2, T_I64, m["offset"]),     # file_offset
@@ -639,6 +694,7 @@ def write_parquet(
                     (6, T_I64, m["uncompressed"]),
                     (7, T_I64, m["compressed"]),
                     (9, T_I64, m["offset"]),
+                    (12, T_STRUCT, stats),
                 ]),
             ]
         )
@@ -657,6 +713,12 @@ def write_parquet(
                 ]
             ])),
             (6, T_BINARY, b"dbps-spark parquetwrite"),
+            # column_orders: TYPE_ORDER for every leaf — REQUIRED for
+            # readers to trust min_value/max_value (parquet-format:
+            # stats without a declared order must be ignored)
+            (7, T_LIST, (T_STRUCT, [
+                [(1, T_STRUCT, [])] for _ in chunk_meta
+            ])),
         ]
     )
     blob = footer.getvalue()

@@ -9,6 +9,7 @@ import io
 import os
 
 import duckdb
+import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
 
@@ -678,3 +679,78 @@ def test_nested_striping_is_memoized_once_per_page(monkeypatch):
     )
     assert calls["n"] == 4  # 40 rows / 10-row pages, NOT 4 leaves x 4
     assert pq.read_table(io.BytesIO(data)).column("x").to_pylist() == cols["x"]
+
+
+def test_statistics_written_and_read_by_all_three_referees(tmp_path):
+    """Chunk Statistics (r13): null_count + modern min_value/max_value
+    under declared TypeDefinedOrder column_orders — the row-group
+    pruning hook.  pyarrow surfaces them, duckdb PLANS an
+    EMPTY_RESULT from them (whole-file pruning without touching
+    data), our own parse_footer types them; NaN is excluded from
+    float min/max per the spec."""
+    data = write_parquet(
+        {
+            "a": [3, 1, None, 7, 2],
+            "s": ["bb", None, "aa", "zz", "mm"],
+            "f": [1.5, float("nan"), -2.0, None, 0.0],
+            "l": [[1, 2], None, [5], [], [9, -3]],
+        },
+        {"a": "INT64", "s": "STRING", "f": "DOUBLE", "l": "LIST<INT64>"},
+        page_rows=2,
+    )
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    want = {
+        "a": (1, 7, 1),
+        "s": ("aa", "zz", 1),
+        "f": (-2.0, 1.5, 1),
+        "l.list.element": (-3, 9, 2),
+    }
+    for i in range(md.num_columns):
+        c = md.row_group(0).column(i)
+        st = c.statistics
+        assert st is not None and st.has_min_max, c.path_in_schema
+        assert (st.min, st.max, st.null_count) == want[c.path_in_schema]
+    own = parse_footer(data)
+    a_stats = own["row_groups"][0]["columns"][0]["statistics"]
+    assert a_stats == {
+        "null_count": 1, "distinct_count": None,
+        "min_value": 1, "max_value": 7,
+    }
+    s_stats = own["row_groups"][0]["columns"][1]["statistics"]
+    assert (s_stats["min_value"], s_stats["max_value"]) == (b"aa", b"zz")
+    p = tmp_path / "stats.parquet"
+    p.write_bytes(data)
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT stats_min_value, stats_max_value FROM "
+        f"parquet_metadata('{p}') WHERE column_id = 0"
+    ).fetchall() == [("1", "7")]
+    plan = con.execute(
+        f"EXPLAIN SELECT count(*) FROM '{p}' WHERE a > 10"
+    ).fetchall()[0][1]
+    assert "EMPTY_RESULT" in plan  # pruned from stats alone
+
+
+def test_statistics_all_null_chunk_has_no_min_max():
+    data = write_parquet({"a": [None, None]}, {"a": "INT64"})
+    st = parse_footer(data)["row_groups"][0]["columns"][0]["statistics"]
+    assert st == {
+        "null_count": 2, "distinct_count": None,
+        "min_value": None, "max_value": None,
+    }
+    md = pq.ParquetFile(io.BytesIO(data)).metadata.row_group(0).column(0)
+    assert md.statistics.null_count == 2
+    assert not md.statistics.has_min_max
+
+
+def test_statistics_parse_pyarrow_written_file():
+    t = pa.table(
+        {"x": pa.array([5, None, -2, 9]), "y": pa.array(["q", "a", None, "z"])}
+    )
+    buf = io.BytesIO()
+    pq.write_table(t, buf)
+    cols = parse_footer(buf.getvalue())["row_groups"][0]["columns"]
+    assert cols[0]["statistics"]["min_value"] == -2
+    assert cols[0]["statistics"]["max_value"] == 9
+    assert cols[1]["statistics"]["min_value"] == b"a"
+    assert cols[1]["statistics"]["null_count"] == 1
