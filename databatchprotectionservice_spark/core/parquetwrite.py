@@ -134,6 +134,65 @@ def _rle_levels(levels: list) -> bytes:
     return struct.pack("<I", len(body)) + bytes(body)
 
 
+def _rle_hybrid(values: list, bw: int) -> bytes:
+    """RLE/bit-packed hybrid for dictionary indices at an arbitrary
+    bit width (parquet-format Encodings.md): repeated stretches >= 8
+    become RLE runs (ULEB128(count << 1) + ceil(bw/8)-byte value);
+    everything else packs LSB-first into 8-value groups
+    (ULEB128((groups << 1) | 1) + groups*bw bytes, zero-padded tail
+    values past num_values are legal and ignored by readers)."""
+    nbytes = (bw + 7) // 8
+    body = bytearray()
+
+    def uleb(u: int) -> None:
+        while True:
+            b = u & 0x7F
+            u >>= 7
+            body.append(b | 0x80 if u else b)
+            if not u:
+                return
+
+    i, n = 0, len(values)
+    while i < n:
+        j = i
+        while j < n and values[j] == values[i]:
+            j += 1
+        if j - i >= 8:
+            uleb((j - i) << 1)
+            body += int(values[i]).to_bytes(nbytes, "little")
+            i = j
+            continue
+        # gather a bit-packed stretch until the next long run
+        k = j
+        while k < n:
+            j2 = k
+            while j2 < n and values[j2] == values[k]:
+                j2 += 1
+            if j2 - k >= 8:
+                break
+            k = j2
+        # a bit-packed group is ALWAYS consumed as 8 values by the
+        # reader, so zero-padding is only legal at END of stream —
+        # mid-stream, absorb following values up to the 8-boundary
+        # (stealing from the next run is correct, just less optimal)
+        while k < n and (k - i) % 8:
+            k += 1
+        groups = (k - i + 7) // 8
+        uleb((groups << 1) | 1)
+        acc = 0
+        nb = 0
+        for x in range(groups * 8):
+            v = values[i + x] if i + x < k else 0
+            acc |= (v & ((1 << bw) - 1)) << nb
+            nb += bw
+            while nb >= 8:
+                body.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        i = k
+    return bytes(body)
+
+
 def _strip_list(records: list) -> tuple:
     """One LIST level -> (rep_levels, def_levels, present_values):
     the inverse of the reader's Dremel assembly for the standard
@@ -424,9 +483,15 @@ def write_parquet(
     *,
     codec: str = "UNCOMPRESSED",
     page_rows: int | None = None,
+    use_dictionary: bool = True,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
-    parquet file bytes."""
+    parquet file bytes.
+
+    ``use_dictionary`` (default on, like the major writers) admits a
+    chunk to dictionary encoding when its distinct present values
+    are bounded (<= 65536) and repetition actually repays the
+    dictionary (2x); inadmissible chunks stay PLAIN automatically."""
     if page_rows is not None and page_rows <= 0:
         raise ParquetWriteError(f"page_rows {page_rows} must be positive")
     if codec not in _CODEC_IDS:
@@ -472,7 +537,15 @@ def write_parquet(
         accumulates chunk Statistics (null_count + min/max in the
         type's defined order: signed ints, IEEE floats with NaN
         excluded, unsigned bytewise BYTE_ARRAY) — the row-group
-        pruning hook every scan planner reads before touching data."""
+        pruning hook every scan planner reads before touching data.
+
+        Dictionary encoding (the dominant parquet size win on
+        repeated values at scale): when ``use_dictionary`` admits the
+        chunk — bounded distinct count, real repetition, no NaN — a
+        PLAIN dictionary page leads the chunk and every data page
+        carries RLE_DICTIONARY indices ([u8 bit width] + RLE/
+        bit-packed hybrid runs, the v2 recommended pair).  Otherwise
+        the chunk stays PLAIN."""
         chunk_offset = len(out)
         comp_total = 0
         uncomp_total = 0
@@ -481,8 +554,10 @@ def write_parquet(
         vmin = vmax = None
         kmin = kmax = None
         step = page_rows or max(n_rows, 1)
+        pages = []
         for at in range(0, n_rows, step) or [0]:
             reps, defs, present = stripe(values[at : at + step], at)
+            pages.append((reps, defs, present))
             n_present_total += len(present)
             for v in present:
                 if ptype in ("FLOAT", "DOUBLE") and v != v:
@@ -492,12 +567,69 @@ def write_parquet(
                     kmin, vmin = k, v
                 if kmax is None or k > kmax:
                     kmax, vmax = k, v
+
+        # dictionary admission: never BOOLEAN (bit-packed already),
+        # never NaN-bearing floats (NaN identity vs equality), only
+        # when the dictionary is bounded AND actually repays itself
+        dict_vals: list = []
+        index_of: dict = {}
+        if use_dictionary and ptype != "BOOLEAN" and n_present_total:
+            ok = True
+            for _reps, _defs, present in pages:
+                for v in present:
+                    if ptype in ("FLOAT", "DOUBLE") and v != v:
+                        ok = False
+                        break
+                    if v not in index_of:
+                        index_of[v] = len(dict_vals)
+                        dict_vals.append(v)
+                        if len(dict_vals) > 65536:
+                            ok = False
+                            break
+                if not ok:
+                    break
+            if not ok or len(dict_vals) * 2 > n_present_total:
+                dict_vals, index_of = [], {}
+
+        use_dict = bool(dict_vals)
+        dict_page_offset = None
+        if use_dict:
+            dict_page_offset = len(out)
+            raw = _plain_encode(dict_vals, ptype)
+            paged = snappy_compress(raw) if codec == "SNAPPY" else raw
+            hdr = ThriftWriter()
+            hdr.write_struct(
+                [
+                    (1, T_I32, 2),            # DICTIONARY_PAGE
+                    (2, T_I32, len(raw)),
+                    (3, T_I32, len(paged)),
+                    (7, T_STRUCT, [           # DictionaryPageHeader
+                        (1, T_I32, len(dict_vals)),
+                        (2, T_I32, 0),        # PLAIN values
+                    ]),
+                ]
+            )
+            hdr_bytes = hdr.getvalue()
+            out.extend(hdr_bytes)
+            out.extend(paged)
+            comp_total += len(hdr_bytes) + len(paged)
+            uncomp_total += len(hdr_bytes) + len(raw)
+            bw = max(1, (len(dict_vals) - 1).bit_length())
+
+        data_page_offset = len(out)
+        for reps, defs, present in pages:
             body = bytearray()
             if reps is not None:
                 body += _rle_levels(reps)
             if defs is not None:
                 body += _rle_levels(defs)
-            body += _plain_encode(present, ptype)
+            if use_dict:
+                body.append(bw)
+                body += _rle_hybrid(
+                    [index_of[v] for v in present], bw
+                )
+            else:
+                body += _plain_encode(present, ptype)
             page_nv = len(defs) if defs is not None else len(present)
             n_leaf_slots += page_nv
             raw = bytes(body)
@@ -510,7 +642,8 @@ def write_parquet(
                     (3, T_I32, len(paged)),   # compressed size
                     (5, T_STRUCT, [           # DataPageHeader
                         (1, T_I32, page_nv),
-                        (2, T_I32, 0),        # PLAIN
+                        # RLE_DICTIONARY(8) or PLAIN(0)
+                        (2, T_I32, 8 if use_dict else 0),
                         (3, T_I32, 3),        # RLE def levels
                         (4, T_I32, 3),        # RLE rep levels
                     ]),
@@ -524,6 +657,9 @@ def write_parquet(
         return {
             "num_values": n_leaf_slots,
             "offset": chunk_offset,
+            "data_page_offset": data_page_offset,
+            "dict_page_offset": dict_page_offset,
+            "encodings": [8, 3, 0] if use_dict else [0, 3],
             "compressed": comp_total,
             "uncompressed": uncomp_total,
             "null_count": n_leaf_slots - n_present_total,
@@ -682,20 +818,23 @@ def write_parquet(
                 (5, T_BINARY, m["max"]),
                 (6, T_BINARY, m["min"]),
             ]
+        cmeta = [
+            (1, T_I32, _TYPE_IDS[m["ptype"]]),
+            (2, T_LIST, (T_I32, m["encodings"])),
+            (3, T_LIST, (T_BINARY, path)),
+            (4, T_I32, _CODEC_IDS[codec]),
+            (5, T_I64, m["num_values"]),   # LEAF slots
+            (6, T_I64, m["uncompressed"]),
+            (7, T_I64, m["compressed"]),
+            (9, T_I64, m["data_page_offset"]),
+        ]
+        if m["dict_page_offset"] is not None:
+            cmeta.append((11, T_I64, m["dict_page_offset"]))
+        cmeta.append((12, T_STRUCT, stats))
         col_structs.append(
             [
                 (2, T_I64, m["offset"]),     # file_offset
-                (3, T_STRUCT, [              # ColumnMetaData
-                    (1, T_I32, _TYPE_IDS[m["ptype"]]),
-                    (2, T_LIST, (T_I32, [0, 3])),   # PLAIN, RLE
-                    (3, T_LIST, (T_BINARY, path)),
-                    (4, T_I32, _CODEC_IDS[codec]),
-                    (5, T_I64, m["num_values"]),   # LEAF slots
-                    (6, T_I64, m["uncompressed"]),
-                    (7, T_I64, m["compressed"]),
-                    (9, T_I64, m["offset"]),
-                    (12, T_STRUCT, stats),
-                ]),
+                (3, T_STRUCT, cmeta),
             ]
         )
     footer = ThriftWriter()

@@ -406,6 +406,14 @@ CHANGED: dict[str, int] = {
     # from %3 to %5 and the result schema grew n_codec_lz4/zstd, so
     # the query must re-score this round
     "ingest_orc_shards": 11,
+    # r13: write_parquet now dictionary-encodes admissible chunks by
+    # default (dict page + RLE_DICTIONARY data pages) and emits chunk
+    # Statistics + column_orders — the query's FILE BYTES change (its
+    # value-based oracle is unaffected; re-swept green), so it must
+    # carry a fresh official verdict.  parquet_write_nested_real and
+    # the staged map query share the writer but are already
+    # window-forced this round (never-scored / staged).
+    "parquet_write_real": 13,
     # NOT declared (r9 precedent: gate-corpus results PROVEN identical
     # by committed green three-corpus sweeps, sweep_r11_staged.log):
     # the r11 PSL swap-in — core/psl_snapshot.py now loads the
