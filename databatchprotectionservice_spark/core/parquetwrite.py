@@ -12,10 +12,13 @@ pyarrow, Spark, and DuckDB (the unit suite pins all three).
 Shape: one row group; each column chunk holds one V1 data page per
 ``page_rows`` rows (default: everything in one page — pass the knob
 to exercise the multi-page layout real writers emit at size).
-Dictionaries, V2 pages, statistics, and nesting beyond the shapes
-below are writer seams — the READER (``core/parquetread.py``)
-covers them, this writer targets the canonical minimal layout every
-reader accepts.
+Since r13 chunks also carry Statistics (null_count + min_value/
+max_value under declared column_orders — the row-group pruning
+hook), admissible chunks dictionary-encode (PLAIN dictionary page +
+RLE_DICTIONARY data pages, see ``write_parquet``'s
+``use_dictionary``), and pages compress with SNAPPY (from-scratch),
+GZIP (stdlib zlib) or ZSTD.  V2 data pages remain a writer seam —
+the READER (``core/parquetread.py``) covers them.
 
 Nested columns (r12, mirroring the reader's record assembly):
 ``STRUCT<name:TYPE,...>`` and ``LIST<...>`` NEST FREELY — struct of
@@ -58,6 +61,25 @@ from .thriftcodec import (
     ThriftWriter,
 )
 
+
+def _page_compress(raw: bytes, codec: str) -> bytes:
+    """Compress one page body per the column chunk's codec: SNAPPY
+    via the from-scratch encoder, GZIP via stdlib zlib as an
+    RFC-1952 member (the parquet GZIP contract), ZSTD through the
+    shared compression layer."""
+    if codec == "SNAPPY":
+        return snappy_compress(raw)
+    if codec == "GZIP":
+        import zlib
+
+        co = zlib.compressobj(wbits=31)
+        return co.compress(raw) + co.flush()
+    if codec == "ZSTD":
+        from .compression import CompressionCodec, compress
+
+        return compress(raw, CompressionCodec.ZSTD)
+    return raw
+
 MAGIC = b"PAR1"
 _TYPE_IDS = {
     "BOOLEAN": 0,
@@ -67,7 +89,11 @@ _TYPE_IDS = {
     "DOUBLE": 5,
     "BYTE_ARRAY": 6,
 }
-_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1}
+#: writer codecs: SNAPPY through the from-scratch encoder, GZIP
+#: through stdlib zlib (RFC-1952 members per the parquet contract),
+#: ZSTD through the compression layer.  LZ4 hadoop-framed and LZO
+#: stay seams (same as the read side's documented posture).
+_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
 _LOGICAL = {"STRING": "BYTE_ARRAY"}  # logical -> physical + UTF8 tag
 
 
@@ -496,7 +522,8 @@ def write_parquet(
         raise ParquetWriteError(f"page_rows {page_rows} must be positive")
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
-            f"codec {codec!r} is a writer seam (UNCOMPRESSED/SNAPPY)"
+            f"codec {codec!r} is a writer seam "
+            "(UNCOMPRESSED/SNAPPY/GZIP/ZSTD)"
         )
     names = list(columns)
     if not names:
@@ -596,7 +623,7 @@ def write_parquet(
         if use_dict:
             dict_page_offset = len(out)
             raw = _plain_encode(dict_vals, ptype)
-            paged = snappy_compress(raw) if codec == "SNAPPY" else raw
+            paged = _page_compress(raw, codec)
             hdr = ThriftWriter()
             hdr.write_struct(
                 [
@@ -633,7 +660,7 @@ def write_parquet(
             page_nv = len(defs) if defs is not None else len(present)
             n_leaf_slots += page_nv
             raw = bytes(body)
-            paged = snappy_compress(raw) if codec == "SNAPPY" else raw
+            paged = _page_compress(raw, codec)
             hdr = ThriftWriter()
             hdr.write_struct(
                 [

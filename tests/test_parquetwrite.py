@@ -156,7 +156,7 @@ def test_errors():
     with pytest.raises(ParquetWriteError, match="bad type"):
         write_parquet({"a": [1]}, {"a": "INT128"})
     with pytest.raises(ParquetWriteError, match="seam"):
-        write_parquet({"a": [1]}, {"a": "INT64"}, codec="ZSTD")
+        write_parquet({"a": [1]}, {"a": "INT64"}, codec="LZO")
     with pytest.raises(ParquetWriteError, match="no columns"):
         write_parquet({}, {})
     with pytest.raises(ParquetWriteError, match="page_rows"):
@@ -887,3 +887,36 @@ def test_dictionary_nested_leaves_and_spark(spark, tmp_path):
     assert row["n"] == len(present)
     assert row["s"] == sum(v["l"][0] for v in present)
     assert row["a"] == "p"
+
+
+@pytest.mark.parametrize("codec", ["GZIP", "ZSTD"])
+def test_gzip_and_zstd_page_codecs(codec, tmp_path):
+    """r13 writer codecs beyond SNAPPY: GZIP pages are RFC-1952
+    members via stdlib zlib, ZSTD rides the shared compression
+    layer.  pyarrow, DuckDB and our own reader inflate them;
+    dictionary + nested pages compress the same way."""
+    cols = {
+        "a": list(range(2000)),
+        "s": [f"name-{i % 37}" for i in range(2000)],
+        "l": [[i, None] if i % 3 else None for i in range(2000)],
+    }
+    types = {"a": "INT64", "s": "STRING", "l": "LIST<INT64>"}
+    data = write_parquet(cols, types, codec=codec, page_rows=333)
+    t = pq.read_table(io.BytesIO(data))
+    for n in cols:
+        assert t.column(n).to_pylist() == cols[n], n
+    meta = parse_footer(data)
+    assert meta["row_groups"][0]["columns"][0]["codec"] == codec
+    leaves = leaf_elements(meta["schema"])
+    got = read_column(
+        data, meta["row_groups"][0]["columns"][0], leaves[0][0]
+    )
+    assert got == cols["a"]
+    p = tmp_path / "codec.parquet"
+    p.write_bytes(data)
+    assert duckdb.connect().execute(
+        f"SELECT sum(a), count(s) FROM '{p}'"
+    ).fetchone() == (sum(cols["a"]), 2000)
+    # compression actually engaged
+    raw = write_parquet(cols, types, codec="UNCOMPRESSED", page_rows=333)
+    assert len(data) < len(raw)
