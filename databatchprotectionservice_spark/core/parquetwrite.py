@@ -135,10 +135,12 @@ def _plain_encode(values: list, ptype: str) -> bytes:
     return bytes(out)
 
 
-def _rle_levels(levels: list) -> bytes:
+def _rle_levels(levels: list, prefix: bool = True) -> bytes:
     """Level run (definition or repetition, any bit width <= 8) as a
-    u32-length-prefixed hybrid RLE stream — one run per same-value
-    stretch (run values occupy ceil(bit_width/8) = 1 byte)."""
+    hybrid RLE stream — one run per same-value stretch (run values
+    occupy ceil(bit_width/8) = 1 byte).  V1 pages carry the u32
+    length prefix; V2 level sections are raw (their lengths live in
+    the page header instead)."""
     body = bytearray()
     i = 0
     n = len(levels)
@@ -157,6 +159,8 @@ def _rle_levels(levels: list) -> bytes:
                 break
         body.append(levels[i])
         i = j
+    if not prefix:
+        return bytes(body)
     return struct.pack("<I", len(body)) + bytes(body)
 
 
@@ -510,6 +514,7 @@ def write_parquet(
     codec: str = "UNCOMPRESSED",
     page_rows: int | None = None,
     use_dictionary: bool = True,
+    data_page_version: int = 1,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
     parquet file bytes.
@@ -517,7 +522,16 @@ def write_parquet(
     ``use_dictionary`` (default on, like the major writers) admits a
     chunk to dictionary encoding when its distinct present values
     are bounded (<= 65536) and repetition actually repays the
-    dictionary (2x); inadmissible chunks stay PLAIN automatically."""
+    dictionary (2x); inadmissible chunks stay PLAIN automatically.
+
+    ``data_page_version=2`` emits DATA_PAGE_V2 pages (r13): level
+    runs uncompressed up front with their byte lengths in the
+    header, only the values section under the codec — the layout
+    that lets readers skip to values without inflating levels."""
+    if data_page_version not in (1, 2):
+        raise ParquetWriteError(
+            f"data_page_version {data_page_version} (1 or 2)"
+        )
     if page_rows is not None and page_rows <= 0:
         raise ParquetWriteError(f"page_rows {page_rows} must be positive")
     if codec not in _CODEC_IDS:
@@ -584,7 +598,9 @@ def write_parquet(
         pages = []
         for at in range(0, n_rows, step) or [0]:
             reps, defs, present = stripe(values[at : at + step], at)
-            pages.append((reps, defs, present))
+            pages.append(
+                (len(values[at : at + step]), reps, defs, present)
+            )
             n_present_total += len(present)
             for v in present:
                 if ptype in ("FLOAT", "DOUBLE") and v != v:
@@ -602,7 +618,7 @@ def write_parquet(
         index_of: dict = {}
         if use_dictionary and ptype != "BOOLEAN" and n_present_total:
             ok = True
-            for _reps, _defs, present in pages:
+            for _rows, _reps, _defs, present in pages:
                 for v in present:
                     if ptype in ("FLOAT", "DOUBLE") and v != v:
                         ok = False
@@ -644,24 +660,64 @@ def write_parquet(
             bw = max(1, (len(dict_vals) - 1).bit_length())
 
         data_page_offset = len(out)
-        for reps, defs, present in pages:
+        for rows, reps, defs, present in pages:
+            if use_dict:
+                vals = bytes([bw]) + _rle_hybrid(
+                    [index_of[v] for v in present], bw
+                )
+            else:
+                vals = _plain_encode(present, ptype)
+            page_nv = len(defs) if defs is not None else len(present)
+            n_leaf_slots += page_nv
+            hdr = ThriftWriter()
+            if data_page_version == 2:
+                # V2: rep then def level runs live UNCOMPRESSED up
+                # front (no u32 prefixes — the header carries their
+                # byte lengths); only the values section compresses
+                rep_b = (
+                    _rle_levels(reps, prefix=False)
+                    if reps is not None
+                    else b""
+                )
+                def_b = (
+                    _rle_levels(defs, prefix=False)
+                    if defs is not None
+                    else b""
+                )
+                cvals = _page_compress(vals, codec)
+                lv = len(rep_b) + len(def_b)
+                hdr.write_struct(
+                    [
+                        (1, T_I32, 3),        # DATA_PAGE_V2
+                        (2, T_I32, lv + len(vals)),
+                        (3, T_I32, lv + len(cvals)),
+                        (8, T_STRUCT, [       # DataPageHeaderV2
+                            (1, T_I32, page_nv),
+                            (2, T_I32, page_nv - len(present)),
+                            (3, T_I32, rows),
+                            # RLE_DICTIONARY(8) or PLAIN(0)
+                            (4, T_I32, 8 if use_dict else 0),
+                            (5, T_I32, len(def_b)),
+                            (6, T_I32, len(rep_b)),
+                        ]),
+                    ]
+                )
+                hdr_bytes = hdr.getvalue()
+                out.extend(hdr_bytes)
+                out.extend(rep_b)
+                out.extend(def_b)
+                out.extend(cvals)
+                comp_total += len(hdr_bytes) + lv + len(cvals)
+                uncomp_total += len(hdr_bytes) + lv + len(vals)
+                continue
             body = bytearray()
             if reps is not None:
                 body += _rle_levels(reps)
             if defs is not None:
                 body += _rle_levels(defs)
-            if use_dict:
-                body.append(bw)
-                body += _rle_hybrid(
-                    [index_of[v] for v in present], bw
-                )
-            else:
-                body += _plain_encode(present, ptype)
-            page_nv = len(defs) if defs is not None else len(present)
-            n_leaf_slots += page_nv
+            body += vals
             raw = bytes(body)
             paged = _page_compress(raw, codec)
-            hdr = ThriftWriter()
             hdr.write_struct(
                 [
                     (1, T_I32, 0),            # DATA_PAGE
