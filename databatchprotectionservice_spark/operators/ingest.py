@@ -3087,8 +3087,10 @@ def parquet_write_map_real(spark, sf_dir) -> DataFrame:
     so the DuckDB oracle recomputes the MAP CONTENT itself.
     In-executor, pyarrow reads the bytes back entry-for-entry (maps
     surface as key/value tuple lists) and our own
-    ``read_record_field`` must agree; odd shards compress pages with
-    OUR snappy.
+    ``read_record_field`` must agree; shards rotate through ALL four
+    page codecs (UNCOMPRESSED / our SNAPPY / GZIP / ZSTD) and both
+    data-page versions (V2 every third shard), so the whole r13
+    writer surface sits under the driver gate.
 
     100 TB: identical plan shape to parquet_write_nested_real — one
     shuffle on the shard key, Arrow-batched Python, shard count grows
@@ -3115,7 +3117,10 @@ def parquet_write_map_real(spark, sf_dir) -> DataFrame:
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         shard_id = int(pdf["shard_id"].iloc[0])
-        codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
+        # rotate the r13 writer surface across shards: all four page
+        # codecs and both data-page versions get driver-gated
+        codec = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"][shard_id % 4]
+        dpv = 2 if shard_id % 3 == 0 else 1
         ids = [int(i) for i in pdf["doc_id"]]
         tlens = [
             None if v is None else len(str(v).encode("utf-8"))
@@ -3151,6 +3156,7 @@ def parquet_write_map_real(spark, sf_dir) -> DataFrame:
                 "mlist": "LIST<MAP<STRING,INT64>>",
             },
             codec=codec,
+            data_page_version=dpv,
         )
         # referee 1: pyarrow (maps surface as (key, value) tuples)
         t = pq_.ParquetFile(io.BytesIO(data)).read()
