@@ -2578,7 +2578,7 @@ PARQUET_WRITE_ORACLE = f"""
                CAST(sum(n) AS BIGINT) AS n_rows,
                CAST(sum(sum_doc_id) AS BIGINT) AS sum_doc_id,
                CAST(sum(n_null) AS BIGINT) AS n_null_text,
-               CAST(sum(CASE WHEN shard_id % 2 = 1 THEN 1 ELSE 0 END)
+               CAST(sum(CASE WHEN shard_id % 4 = 1 THEN 1 ELSE 0 END)
                     AS BIGINT) AS n_snappy_files
         FROM sh GROUP BY source ORDER BY source
 """
@@ -2601,8 +2601,10 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
 
     Each shard group becomes a parquet file emitted entirely by
     first-party code (`core/parquetwrite.py`: compact-protocol thrift
-    via ThriftWriter, PLAIN pages, hybrid-RLE definition levels, and
-    — on odd shards — page bodies compressed by OUR snappy).  In the
+    via ThriftWriter, dictionary or PLAIN pages, hybrid-RLE
+    definition levels, chunk statistics; shards rotate through all
+    four page codecs — UNCOMPRESSED / OUR snappy / GZIP / ZSTD — and
+    both data-page versions, r13).  In the
     same executor the file is read back by pyarrow (the independent
     referee: values AND null placement must match the group exactly)
     and by our own reader (`core/parquetread.py` — the write/read
@@ -2639,7 +2641,12 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         shard_id = int(pdf["shard_id"].iloc[0])
-        codec = "SNAPPY" if shard_id % 2 else "UNCOMPRESSED"
+        # r13: shards rotate through ALL four page codecs and both
+        # data-page versions, so the writer's full surface — incl.
+        # the new GZIP/ZSTD codecs, V2 pages, and the default-on
+        # dictionary encoding — sits under the driver gate
+        codec = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"][shard_id % 4]
+        dpv = 2 if shard_id % 3 == 0 else 1
         ids = [int(i) for i in pdf["doc_id"]]
         texts = [None if v is None else str(v) for v in pdf["text"]]
         # r11: a NESTED column rides along — per-doc token lengths as
@@ -2659,6 +2666,7 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
                 "tok_lens": "LIST<INT64>",
             },
             codec=codec,
+            data_page_version=dpv,
         )
         # referee 1: pyarrow reads OUR bytes and sees the exact group
         t = pq_.ParquetFile(io.BytesIO(data)).read()
@@ -2704,7 +2712,9 @@ def parquet_write_real(spark, sf_dir) -> DataFrame:
                     [sum(1 for v in got_texts if v is None)],
                     dtype="int64",
                 ),
-                "snappy": pd.Series([shard_id % 2], dtype="int64"),
+                "snappy": pd.Series(
+                    [1 if codec == "SNAPPY" else 0], dtype="int64"
+                ),
             }
         )
 
