@@ -1845,12 +1845,26 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         tag = {"utf8": _T_UTF8, "bool": _T_BOOL, "binary": _T_BINARY}[
             spec.type_name
         ]
+    dict_t = None
+    if spec.dict_id is not None:
+        # DictionaryEncoding { id: long; indexType: Int } — the
+        # field's TYPE above stays the VALUE type per the spec
+        it = spec.index_type or "int32"
+        b.start_table()
+        b.add_scalar(0, "<i", int(it.lstrip("uint")), 0)
+        b.add_scalar(1, "<b", 0 if it.startswith("u") else 1, 0)
+        it_t = b.end_table()
+        b.start_table()
+        b.add_scalar(0, "<q", spec.dict_id, -1)
+        b.add_offset(1, it_t)
+        dict_t = b.end_table()
     name = b.create_string(spec.name)
     b.start_table()
     b.add_offset(0, name)
     b.add_scalar(1, "<b", 1 if spec.nullable else 0, 0)
     b.add_scalar(2, "<B", tag, 0)
     b.add_offset(3, type_t)
+    b.add_offset(4, dict_t)
     return b.end_table()
 
 
@@ -2058,7 +2072,11 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
         emit_buf(raw)
 
 
-def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
+def _rb_table(b: "_Builder", fields: list[FieldSpec],
+              columns: list[list]) -> tuple[int, bytes]:
+    """Build a RecordBatch flatbuffers TABLE in ``b`` for the given
+    columns; returns (table offset, body bytes).  Shared by record
+    batch and dictionary batch messages."""
     length = len(columns[0]) if columns else 0
     node_list: list[tuple[int, int]] = []
     buf_meta = []
@@ -2079,7 +2097,6 @@ def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
     nodes = bytearray()
     for nl, nn in node_list:
         nodes += struct.pack("<qq", nl, nn)
-    b = _Builder()
     bufs_raw = b"".join(struct.pack("<qq", o, n) for o, n in buf_meta)
     bvec = b.create_struct_vector(bufs_raw, len(buf_meta), 8)
     nvec = b.create_struct_vector(bytes(nodes), len(node_list), 8)
@@ -2087,7 +2104,27 @@ def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
     b.add_scalar(0, "<q", length, 0)
     b.add_offset(1, nvec)
     b.add_offset(2, bvec)
-    rb = b.end_table()
+    return b.end_table(), bytes(body)
+
+
+def _index_spec(spec: FieldSpec) -> FieldSpec:
+    """The record-batch-side layout of a dictionary-encoded field:
+    validity + indices of the declared index type."""
+    return FieldSpec(
+        spec.name, spec.nullable, spec.index_type,
+        int(spec.index_type.lstrip("uint")),
+    )
+
+
+def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
+    # dictionary-encoded fields carry indices in record batches; the
+    # caller (encode_arrow_ipc / encode_arrow_stream) has already
+    # mapped values -> indices and passes index columns here
+    layout = [
+        _index_spec(f) if f.dict_id is not None else f for f in fields
+    ]
+    b = _Builder()
+    rb, body = _rb_table(b, layout, columns)
     b.start_table()
     b.add_scalar(0, "<h", _METADATA_V5, 0)
     b.add_scalar(1, "<B", _MSG_RECORD_BATCH, 0)
@@ -2096,44 +2133,124 @@ def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
     return _encapsulate(b.finish(b.end_table()), bytes(body))
 
 
+def _dictionary_message(
+    value_spec: FieldSpec, values: list, dict_id: int
+) -> bytes:
+    """One DictionaryBatch message: the dictionary VALUES as a
+    single-column record batch wrapped with the id."""
+    b = _Builder()
+    rb, body = _rb_table(b, [value_spec], [values])
+    b.start_table()
+    b.add_scalar(0, "<q", dict_id, 0)
+    b.add_offset(1, rb)
+    db = b.end_table()
+    b.start_table()
+    b.add_scalar(0, "<h", _METADATA_V5, 0)
+    b.add_scalar(1, "<B", _MSG_DICTIONARY_BATCH, 0)
+    b.add_offset(2, db)
+    b.add_scalar(3, "<q", len(body), 0)
+    return _encapsulate(b.finish(b.end_table()), bytes(body))
+
+
+def _dictionary_plan(
+    fields: list[FieldSpec], batches: list[list[list]]
+) -> tuple[list[tuple[int, FieldSpec, list]], list[list[list]]]:
+    """For every dictionary-encoded field, build its value dictionary
+    (first-seen order across ALL batches) and rewrite the batches to
+    carry indices (None stays None).  Returns ([(dict_id, value_spec,
+    values)...], index_batches)."""
+    dicts = []
+    maps: dict[int, dict] = {}
+    for fi, f in enumerate(fields):
+        if f.dict_id is None:
+            continue
+        if f.children:
+            raise ArrowIpcFormatError(
+                f"field {f.name!r}: dictionary-encoded nested encode "
+                "not supported"
+            )
+        index_of: dict = {}
+        vals: list = []
+        for columns in batches:
+            for v in columns[fi]:
+                if v is not None and v not in index_of:
+                    index_of[v] = len(vals)
+                    vals.append(v)
+        value_spec = FieldSpec(
+            f.name, True, f.type_name, f.bit_width, None, None, (),
+            f.unit, f.tz, f.precision, f.scale, f.fixed_size,
+        )
+        dicts.append((f.dict_id, value_spec, vals))
+        maps[fi] = index_of
+    if not maps:
+        return [], batches
+    out_batches = []
+    for columns in batches:
+        cols = list(columns)
+        for fi, index_of in maps.items():
+            cols[fi] = [
+                None if v is None else index_of[v] for v in columns[fi]
+            ]
+        out_batches.append(cols)
+    return dicts, out_batches
+
+
 def encode_arrow_ipc(
     fields: list[FieldSpec], batches: list[list[list]]
 ) -> bytes:
     """Encode columns as a complete Arrow IPC FILE (Feather V2).
 
     ``batches`` is a list of batches, each a list of per-field value
-    lists (``None`` marks nulls).  Output is readable by pyarrow's
+    lists (``None`` marks nulls).  A FieldSpec with ``dict_id`` /
+    ``index_type`` set dictionary-encodes (r13): the encoder builds
+    the value dictionary across all batches (first-seen order), emits
+    one DictionaryBatch per id before the record batches, and record
+    batches carry indices.  Output is readable by pyarrow's
     ``ipc.open_file`` (the referee the tests drive) and by
     :func:`read_arrow_ipc`.
     """
-    out = bytearray(MAGIC + b"\x00\x00")
-    schema_msg = _schema_message(fields)
-    out += schema_msg
-    blocks = []
     for columns in batches:
         if len(columns) != len(fields):
             raise ArrowIpcFormatError(
                 f"batch has {len(columns)} columns for {len(fields)} fields"
             )
-        msg = _batch_message(fields, columns)
+    dicts, batches = _dictionary_plan(fields, batches)
+    out = bytearray(MAGIC + b"\x00\x00")
+    schema_msg = _schema_message(fields)
+    out += schema_msg
+
+    def _block(msg: bytes) -> tuple[int, int, int]:
         # split the encapsulated message back apart for the Block:
         # metaDataLength includes the 8-byte prefix and padding
         declared = struct.unpack_from("<i", msg, 4)[0]
-        blocks.append((len(out), 8 + declared, len(msg) - 8 - declared))
+        return (len(out), 8 + declared, len(msg) - 8 - declared)
+
+    dict_blocks = []
+    for did, value_spec, vals in dicts:
+        msg = _dictionary_message(value_spec, vals, did)
+        dict_blocks.append(_block(msg))
+        out += msg
+    blocks = []
+    for columns in batches:
+        msg = _batch_message(fields, columns)
+        blocks.append(_block(msg))
         out += msg
     out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream marker
 
     b = _Builder()
     schema = _fb_schema(b, fields)
+
     # struct Block { long offset; int metaDataLength; long bodyLength; }
     # — C layout pads the int to 8, stride 24
-    braw = b"".join(
-        struct.pack("<q", off) + struct.pack("<i", mlen)
-        + b"\x00\x00\x00\x00" + struct.pack("<q", blen)
-        for off, mlen, blen in blocks
-    )
-    bvec = b.create_struct_vector(braw, len(blocks), 8)
-    dvec = b.create_struct_vector(b"", 0, 8)
+    def _braw(bl):
+        return b"".join(
+            struct.pack("<q", off) + struct.pack("<i", mlen)
+            + b"\x00\x00\x00\x00" + struct.pack("<q", blen)
+            for off, mlen, blen in bl
+        )
+
+    bvec = b.create_struct_vector(_braw(blocks), len(blocks), 8)
+    dvec = b.create_struct_vector(_braw(dict_blocks), len(dict_blocks), 8)
     b.start_table()
     b.add_scalar(0, "<h", _METADATA_V5, 0)
     b.add_offset(1, schema)
@@ -2150,16 +2267,21 @@ def encode_arrow_stream(
     fields: list[FieldSpec], batches: list[list[list]]
 ) -> bytes:
     """Encode columns as an Arrow IPC STREAM (footer-less wire
-    format): Schema message, one RecordBatch message per batch, then
-    the end-of-stream marker.  Readable by pyarrow's
+    format): Schema message, DictionaryBatch messages for any
+    dictionary-encoded fields, one RecordBatch message per batch,
+    then the end-of-stream marker.  Readable by pyarrow's
     ``ipc.open_stream`` and by :func:`read_arrow_stream`."""
-    out = bytearray(_schema_message(fields))
     for columns in batches:
         if len(columns) != len(fields):
             raise ArrowIpcFormatError(
                 f"batch has {len(columns)} columns for "
                 f"{len(fields)} fields"
             )
+    dicts, batches = _dictionary_plan(fields, batches)
+    out = bytearray(_schema_message(fields))
+    for did, value_spec, vals in dicts:
+        out += _dictionary_message(value_spec, vals, did)
+    for columns in batches:
         out += _batch_message(fields, columns)
     out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream
     return bytes(out)

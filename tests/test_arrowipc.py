@@ -1227,3 +1227,67 @@ def test_stream_mutation_battery():
         except ArrowIpcFormatError:
             pass
     assert survived < 2000
+
+
+def test_encoder_dictionary_encoding_both_framings():
+    """Dictionary ENCODE (r13): a FieldSpec with dict_id/index_type
+    set builds its value dictionary across all batches (first-seen
+    order), emits DictionaryBatch messages before the record batches
+    (file footer dictionaries blocks / stream inline), and record
+    batches carry indices.  pyarrow full-validates; the own reader
+    resolves; temporal dictionary values keep their unit."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    fs = [
+        FieldSpec("cat", True, "utf8", 0, dict_id=0, index_type="int8"),
+        FieldSpec(
+            "qty", True, "int64", 64, dict_id=7, index_type="int32"
+        ),
+        FieldSpec("plain", True, "int64", 64),
+    ]
+    b1 = [["a", "b", None, "a", "c"], [10, 10, 20, None, 10],
+          [1, 2, 3, 4, 5]]
+    b2 = [["c", "a"], [30, 20], [6, None]]
+    want = [b1[i] + b2[i] for i in range(3)]
+
+    data = encode_arrow_ipc(fs, [b1, b2])
+    tt = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert tt.validate(full=True) is None
+    assert str(tt.schema.field("cat").type) == (
+        "dictionary<values=string, indices=int8, ordered=0>"
+    )
+    for ci, n in enumerate(("cat", "qty", "plain")):
+        assert tt.column(n).to_pylist() == want[ci], n
+    own = read_arrow_ipc(data)
+    got = [
+        [v for b in own["batches"] for v in b["columns"][i]]
+        for i in range(3)
+    ]
+    assert got == want
+
+    sdata = encode_arrow_stream(fs, [b1, b2])
+    rt = pa.ipc.open_stream(io.BytesIO(sdata)).read_all()
+    assert rt.column("cat").to_pylist() == want[0]
+    owns = read_arrow_stream(sdata)
+    gots = [
+        [v for b in owns["batches"] for v in b["columns"][i]]
+        for i in range(3)
+    ]
+    assert gots == want
+
+    import datetime as dt
+
+    fs2 = [
+        FieldSpec("d", True, "date32", 32, dict_id=1, index_type="int16")
+    ]
+    days = [dt.date(2020, 1, 1), None, dt.date(2021, 5, 5),
+            dt.date(2020, 1, 1)]
+    d2 = encode_arrow_ipc(fs2, [[days]])
+    t2 = pa.ipc.open_file(io.BytesIO(d2)).read_all()
+    assert t2.column("d").to_pylist() == days
+    assert read_arrow_ipc(d2)["batches"][0]["columns"][0] == days
