@@ -369,3 +369,30 @@ def test_invariants_hold_after_this_rounds_artifact_lands(monkeypatch):
         if n not in simulated and n not in wset and n not in pinned
     ]
     assert never == [], f"post-drop never-scored outside window: {never}"
+
+
+def test_staged_manifest_disjoint_from_registry():
+    """The two-tier contract: a query lives in EITHER the staged
+    manifest (incubation) OR the registry, never both — a promotion
+    that forgets to drain the manifest would double-gate the query
+    and skew the capacity arithmetic."""
+    import importlib.util
+    import os
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    scripts = os.path.join(repo, "scripts")
+    if scripts not in sys.path:  # check_staged imports check_oracle
+        sys.path.insert(0, scripts)
+    spec = importlib.util.spec_from_file_location(
+        "check_staged", os.path.join(scripts, "check_staged.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    staged = set(mod.staged_manifest())
+    registry._ensure_loaded()
+    overlap = staged & set(registry.REGISTRY)
+    assert overlap == set(), f"staged AND registered: {sorted(overlap)}"
+    # every staged name must be absent from REGISTERED_IN too (it
+    # gains its entry at promotion time)
+    assert staged & set(registry.REGISTERED_IN) == set()
