@@ -167,17 +167,30 @@ def _stat_value(raw, ptype: str):
     return bytes(raw)  # BYTE_ARRAY / FIXED / INT96: raw bytes
 
 
+#: physical types whose DEPRECATED min/max (fids 2/1) are trustworthy:
+#: their legacy sort order was unambiguous.  parquet-mr wrote legacy
+#: BYTE_ARRAY / FIXED_LEN_BYTE_ARRAY bounds with SIGNED byte ordering
+#: (PARQUET-251), and INT96 bounds with undefined ordering, so major
+#: readers ignore those; surfacing them as typed stats would hand a
+#: planner incorrect pruning bounds (ADVICE r13).
+_LEGACY_STAT_OK = {"INT32", "INT64", "FLOAT", "DOUBLE", "BOOLEAN"}
+
+
 def _statistics(s, ptype: str):
     """ColumnMetaData.statistics (fid 12) -> typed dict or None.
     Prefers the modern min_value/max_value (fids 6/5); falls back to
     the deprecated min/max (fids 2/1) only when the modern pair is
-    absent — matching how the major readers treat legacy files."""
+    absent AND the physical type's legacy sort order was unambiguous
+    (``_LEGACY_STAT_OK``) — matching how the major readers treat
+    legacy files.  Legacy BYTE_ARRAY/FIXED/INT96 bounds surface as
+    None: null_count/distinct_count are still returned."""
     if s is None:
         return None
     if not isinstance(s, dict):
         raise ParquetFormatError("statistics is not a struct")
-    lo = s.get(6, s.get(2))
-    hi = s.get(5, s.get(1))
+    legacy_ok = ptype in _LEGACY_STAT_OK
+    lo = s.get(6, s.get(2) if legacy_ok else None)
+    hi = s.get(5, s.get(1) if legacy_ok else None)
     return {
         "null_count": _int(s[3], "null_count") if 3 in s else None,
         "distinct_count": _int(s[4], "distinct_count") if 4 in s else None,

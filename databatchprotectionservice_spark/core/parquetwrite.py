@@ -17,8 +17,13 @@ max_value under declared column_orders — the row-group pruning
 hook), admissible chunks dictionary-encode (PLAIN dictionary page +
 RLE_DICTIONARY data pages, see ``write_parquet``'s
 ``use_dictionary``), and pages compress with SNAPPY (from-scratch),
-GZIP (stdlib zlib) or ZSTD.  V2 data pages remain a writer seam —
-the READER (``core/parquetread.py``) covers them.
+GZIP (stdlib zlib) or ZSTD.  DATA_PAGE_V2 is supported on BOTH
+sides since r13 — pass ``data_page_version=2`` to emit V2 pages
+(levels outside the compressed region, per-page null counts); the
+READER (``core/parquetread.py``) covers both versions.  Remaining
+writer seams: page-level OffsetIndex/ColumnIndex structures
+(readers fall back to chunk Statistics) and BROTLI/LZO/LZ4 page
+codecs.
 
 Nested columns (r12, mirroring the reader's record assembly):
 ``STRUCT<name:TYPE,...>`` and ``LIST<...>`` NEST FREELY — struct of

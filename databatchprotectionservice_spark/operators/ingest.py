@@ -1401,6 +1401,7 @@ ARROW_STREAM_ORACLE = """
 ASTREAM_CHUNK = 500
 
 
+@register("ingest_arrow_stream", oracle=ARROW_STREAM_ORACLE)
 def ingest_arrow_stream(spark, sf_dir) -> DataFrame:
     """Events through the Arrow IPC STREAM format (r13) — the
     footer-less wire framing of Flight payloads and socket
@@ -3082,6 +3083,7 @@ _PARQUET_MAP_WRITE_SCHEMA = T.StructType(
 )
 
 
+@register("parquet_write_map_real", oracle=PARQUET_MAP_WRITE_ORACLE)
 def parquet_write_map_real(spark, sf_dir) -> DataFrame:
     """MAP<K,V> — alone and under a LIST — through the from-scratch
     parquet WRITER (r13; rides the r12 ``_stripe_nested``
@@ -4169,6 +4171,13 @@ ADUR_SHARD = 4096
 ADUR_P1 = 1_000_003
 ADUR_P2 = 2_654_435_761
 ADUR_MOD = 1_000_000_007
+#: orderkey is reduced mod this bound BEFORE the prime multiplies on
+#: BOTH the oracle and Python sides (ADVICE r13): okey * ADUR_P2
+#: overflows BIGINT in DuckDB once l_orderkey exceeds ~3.47e9, which
+#: large scale factors reach.  (1e9-1) * ADUR_P2 ~ 2.65e18 < 2^63-1,
+#: so the reduced mixes stay exact at any scale; at every test SF
+#: okey < 1e9 and the reduction is the identity (values unchanged).
+ADUR_KMOD = 1_000_000_000
 #: 10**35 % ADUR_MOD, precomputed so the oracle's modular product of
 #: the >128-bit decimal256 unscaled value stays inside BIGINT
 ADUR_P35_MOD = pow(10, 35, ADUR_MOD)
@@ -4193,14 +4202,15 @@ ARROW_DURATION_ORACLE = f"""
             SELECT flag, shard_id,
                    CASE WHEN (okey + ln) % 11 = 0 THEN 1 ELSE 0 END
                        AS ns_null,
-                   (okey * {ADUR_P1} + ln * 7919)
+                   ((okey % {ADUR_KMOD}) * {ADUR_P1} + ln * 7919)
                        % 4000000000000 AS dur_ns,
                    (okey % 100000)
                    * (CASE WHEN ln % 2 = 0 THEN -1 ELSE 1 END)
                        AS dur_s,
                    okey % 25 - 12 AS mdn_m,
                    (okey + ln) % 63 - 31 AS mdn_d,
-                   (okey * {ADUR_P2} + ln) % 1000000000000 AS mdn_ns,
+                   ((okey % {ADUR_KMOD}) * {ADUR_P2} + ln)
+                       % 1000000000000 AS mdn_ns,
                    ((okey % {ADUR_MOD}) * {ADUR_P35_MOD} + ln)
                        % {ADUR_MOD} AS big_mod
             FROM e
@@ -4246,6 +4256,7 @@ _ADUR_ROW_SCHEMA = T.StructType(
 )
 
 
+@register("ingest_arrow_duration", oracle=ARROW_DURATION_ORACLE)
 def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
     """Arrow IPC Duration / Interval(MONTH_DAY_NANO) / decimal256
     type tags through the from-scratch codec (r13, VERDICT r12 ask #4
@@ -4301,7 +4312,8 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
         dur_ns = [
             None
             if (k + n) % 11 == 0
-            else (k * ADUR_P1 + n * 7919) % 4_000_000_000_000
+            else ((k % ADUR_KMOD) * ADUR_P1 + n * 7919)
+            % 4_000_000_000_000
             for k, n in zip(okeys, lns)
         ]
         dur_s = [
@@ -4310,7 +4322,7 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
         ]
         mdn = [
             (k % 25 - 12, (k + n) % 63 - 31,
-             (k * ADUR_P2 + n) % 1_000_000_000_000)
+             ((k % ADUR_KMOD) * ADUR_P2 + n) % 1_000_000_000_000)
             for k, n in zip(okeys, lns)
         ]
         big = [
@@ -4394,6 +4406,13 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
             ]
             if ref_ns != dur_ns:
                 raise ValueError("own-encoder ns durations drifted")
+            # .value is the raw count in the column's own unit, so a
+            # unit drift in our duration(s) encoder (e.g. emitting ns
+            # counts under a seconds tag) fails here rather than
+            # passing unchecked (ADVICE r13)
+            ref_s = [v.value for v in ref.column("dur_s")]
+            if ref_s != dur_s:
+                raise ValueError("own-encoder s durations drifted")
             ref_mdn = [
                 (v.months, v.days, v.nanoseconds)
                 for v in ref.column("mdn").to_pylist()

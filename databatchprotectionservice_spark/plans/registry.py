@@ -337,6 +337,17 @@ REGISTERED_IN: dict[str, int] = {
     # (sweep_r12_staged.log) and r12-judge re-runs before promotion.
     "ingest_arrow_temporal": 13,
     "parquet_write_nested_real": 13,
+    # round 14: the three r13-incubated queries promote together
+    # (registry 202 -> 205; cycle_len stays 5, capacity 250 — ample
+    # headroom, no wall this time).  Each carried committed
+    # three-corpus sweeps (sweep_r13_staged.log), 10x scale probes
+    # (SCALE_PROBE_r13_staged.json) and an r13-judge re-run green
+    # before promotion.  They claim free window slots ahead of
+    # ordinary fillers (same-round rule in score_first) or ride
+    # NEW_AFTER_WINDOW, becoming never-scored mandatory at r15.
+    "ingest_arrow_duration": 14,
+    "parquet_write_map_real": 14,
+    "ingest_arrow_stream": 14,
 }
 
 #: name -> round in which the query's implementation, fixture, or oracle

@@ -44,42 +44,11 @@ def staged_manifest():
     * an EMPTY manifest here is the healthy steady state, not an
       error — the sweep prints a note and exits green.
     """
-    # r13 boundary: the r12 incubation cohort (ingest_arrow_temporal,
-    # parquet_write_nested_real) promoted together (REGISTERED_IN ==
-    # 13; registry 200 -> 202, cycle_len 4 -> 5) — the mandatory
-    # promotion that resolves the 200-capacity wall the r12 registry
-    # comment predicted.  New r13 queries land below and promote at
-    # the r14 boundary.
-    from databatchprotectionservice_spark.operators import ingest
-
-    return {
-        # r13: Arrow IPC Duration + Interval(MONTH_DAY_NANO) +
-        # decimal256 type tags through the from-scratch reader AND
-        # writer (core/arrowipc.py — the r12 verdict's named residual
-        # seam); pyarrow-written shards over lineitem, integer-exact
-        # oracle with the >128-bit decimal reduced mod 1e9+7.
-        "ingest_arrow_duration": (
-            ingest.ingest_arrow_duration,
-            ingest.ARROW_DURATION_ORACLE,
-        ),
-        # r13: MAP<K,V> alone and under LIST through the from-scratch
-        # parquet WRITER (rides the r12 _stripe_nested generalization;
-        # the r12 verdict's named candidate query) — null / EMPTY map /
-        # null-map-value triad, value leaf under two repeated
-        # ancestors.
-        "parquet_write_map_real": (
-            ingest.parquet_write_map_real,
-            ingest.PARQUET_MAP_WRITE_ORACLE,
-        ),
-        # r13: events through the Arrow IPC STREAM framing (the
-        # footer-less wire format), codec direction alternating per
-        # executor batch: pyarrow-written/own-read on even batches,
-        # own-written/pyarrow-read on odd.
-        "ingest_arrow_stream": (
-            ingest.ingest_arrow_stream,
-            ingest.ARROW_STREAM_ORACLE,
-        ),
-    }
+    # r14 boundary: the r13 incubation cohort (ingest_arrow_duration,
+    # parquet_write_map_real, ingest_arrow_stream) promoted together
+    # (REGISTERED_IN == 14; registry 202 -> 205, cycle_len stays 5).
+    # New r14 queries land below and promote at the r15 boundary.
+    return {}
 
 
 def main():

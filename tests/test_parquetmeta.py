@@ -210,3 +210,25 @@ def test_mutation_battery():
         except (UnicodeDecodeError, struct.error, MemoryError,
                 KeyError, TypeError, AttributeError) as e:
             pytest.fail(f"non-domain error escaped: {type(e).__name__} {e}")
+
+
+def test_legacy_min_max_restricted_by_physical_type():
+    """Deprecated Statistics.min/max (fids 2/1) surface as typed bounds
+    only for physical types whose legacy sort order was unambiguous;
+    legacy BYTE_ARRAY bounds (signed byte ordering, PARQUET-251) must
+    come back as None rather than as incorrect pruning bounds."""
+    from databatchprotectionservice_spark.core.parquetmeta import _statistics
+
+    legacy_int = {1: struct.pack("<q", 9), 2: struct.pack("<q", -3), 3: 0}
+    st = _statistics(legacy_int, "INT64")
+    assert (st["min_value"], st["max_value"]) == (-3, 9)
+
+    legacy_ba = {1: b"zz", 2: b"\xff inco", 3: 1}
+    st = _statistics(legacy_ba, "BYTE_ARRAY")
+    assert st["min_value"] is None and st["max_value"] is None
+    assert st["null_count"] == 1  # counts still surface
+
+    # the MODERN pair (fids 6/5) is trusted for every type
+    modern_ba = {5: b"zz", 6: b"aa"}
+    st = _statistics(modern_ba, "BYTE_ARRAY")
+    assert (st["min_value"], st["max_value"]) == (b"aa", b"zz")
