@@ -15,7 +15,12 @@ IDL (parquet-format):
   9 data_page_offset, 11 dictionary_page_offset);
 * ``PageHeader``: 1 type, 2/3 un/compressed sizes, 5 data-page v1
   header, 7 dictionary header, 8 data-page v2 header — walked
-  sequentially through a column chunk's byte range.
+  sequentially through a column chunk's byte range;
+* page indexes (PageIndex.md, since r14): ``ColumnChunk`` fids 4-7
+  locate the chunk's ``OffsetIndex`` (PageLocation list) and
+  ``ColumnIndex`` (per-page null_pages/min/max/null_counts under a
+  declared BoundaryOrder), parsed by :func:`parse_offset_index` /
+  :func:`parse_column_index` — the page-skip half of scan planning.
 
 This is the SCAN-PLANNING layer at 100 TB: row-group pruning, column
 -chunk range assignment, and dictionary-page detection all read these
@@ -123,6 +128,21 @@ def _column_chunk(raw) -> dict:
         raise ParquetFormatError(f"unknown physical type id {ptype}")
     return {
         "file_offset": _int(c.get(2, 0), "file_offset"),
+        # page-index pointers (ColumnChunk fids 4-7) — present when
+        # the writer emitted OffsetIndex/ColumnIndex structures
+        # between the row groups and the footer
+        "offset_index_offset": (
+            _int(c[4], "offset_index_offset") if 4 in c else None
+        ),
+        "offset_index_length": (
+            _int(c[5], "offset_index_length") if 5 in c else None
+        ),
+        "column_index_offset": (
+            _int(c[6], "column_index_offset") if 6 in c else None
+        ),
+        "column_index_length": (
+            _int(c[7], "column_index_length") if 7 in c else None
+        ),
         "path_in_schema": ".".join(
             _utf8(p, "path segment")
             for p in _list(m.get(3, []), "path_in_schema")
@@ -197,6 +217,100 @@ def _statistics(s, ptype: str):
         "min_value": None if lo is None else _stat_value(lo, ptype),
         "max_value": None if hi is None else _stat_value(hi, ptype),
     }
+
+
+#: BoundaryOrder enum (parquet-format PageIndex.md)
+BOUNDARY_ORDER_NAMES = {0: "UNORDERED", 1: "ASCENDING", 2: "DESCENDING"}
+
+
+def parse_column_index(data: bytes, column: dict) -> dict | None:
+    """ColumnChunk's ColumnIndex (page-level min/max/null bounds) ->
+    typed dict, or None when the chunk carries no index.
+
+    parquet-format PageIndex.md: 1 null_pages, 2 min_values,
+    3 max_values, 4 boundary_order, 5 null_counts.  Entries for
+    all-null pages surface min/max as None (the wire holds byte[0]).
+    This is the page-PRUNING half of the scan-planning layer: a
+    selective range predicate intersects these bounds, then reads
+    only the surviving pages through :func:`parse_offset_index`."""
+    off, ln = column.get("column_index_offset"), column.get(
+        "column_index_length"
+    )
+    if off is None:
+        return None
+    if ln is None or not 0 <= off <= off + ln <= len(data):
+        raise ParquetFormatError("column index range outside the file")
+    try:
+        s = ThriftReader(data, off).read_struct()
+    except ThriftFormatError as e:
+        raise ParquetFormatError(f"column index: {e}") from None
+    null_pages = [bool(b) for b in _list(s.get(1, []), "null_pages")]
+    mins_raw = _list(s.get(2, []), "min_values")
+    maxs_raw = _list(s.get(3, []), "max_values")
+    if not len(null_pages) == len(mins_raw) == len(maxs_raw):
+        raise ParquetFormatError(
+            "column index page lists disagree on length"
+        )
+    ptype = column["type"]
+    mins, maxs = [], []
+    for np_, lo, hi in zip(null_pages, mins_raw, maxs_raw):
+        mins.append(None if np_ else _stat_value(lo, ptype))
+        maxs.append(None if np_ else _stat_value(hi, ptype))
+    order = _int(s.get(4, 0), "boundary_order")
+    if order not in BOUNDARY_ORDER_NAMES:
+        raise ParquetFormatError(f"unknown boundary order {order}")
+    ncounts = (
+        [_int(v, "null_count") for v in _list(s[5], "null_counts")]
+        if 5 in s
+        else None
+    )
+    if ncounts is not None and len(ncounts) != len(null_pages):
+        raise ParquetFormatError("null_counts length mismatch")
+    return {
+        "null_pages": null_pages,
+        "min_values": mins,
+        "max_values": maxs,
+        "boundary_order": BOUNDARY_ORDER_NAMES[order],
+        "null_counts": ncounts,
+    }
+
+
+def parse_offset_index(data: bytes, column: dict) -> list | None:
+    """ColumnChunk's OffsetIndex -> [{offset, compressed_page_size,
+    first_row_index}] (data pages only, file order), or None when
+    absent.  With the ColumnIndex this gives a reader the exact byte
+    range and starting row of every page it chose to keep."""
+    off, ln = column.get("offset_index_offset"), column.get(
+        "offset_index_length"
+    )
+    if off is None:
+        return None
+    if ln is None or not 0 <= off <= off + ln <= len(data):
+        raise ParquetFormatError("offset index range outside the file")
+    try:
+        s = ThriftReader(data, off).read_struct()
+    except ThriftFormatError as e:
+        raise ParquetFormatError(f"offset index: {e}") from None
+    locs = []
+    prev_row = -1
+    for raw in _list(s.get(1, []), "page_locations"):
+        loc = _struct(raw, "PageLocation")
+        fri = _int(loc.get(3, 0), "first_row_index")
+        if fri <= prev_row:
+            raise ParquetFormatError(
+                "offset index first_row_index not increasing"
+            )
+        prev_row = fri
+        locs.append(
+            {
+                "offset": _int(loc.get(1, -1), "page offset"),
+                "compressed_page_size": _int(
+                    loc.get(2, -1), "compressed_page_size"
+                ),
+                "first_row_index": fri,
+            }
+        )
+    return locs
 
 
 def parse_footer(data: bytes) -> dict:

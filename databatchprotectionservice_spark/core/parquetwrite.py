@@ -63,6 +63,7 @@ from .thriftcodec import (
     T_I64,
     T_LIST,
     T_STRUCT,
+    T_TRUE,
     ThriftWriter,
 )
 
@@ -601,20 +602,27 @@ def write_parquet(
         kmin = kmax = None
         step = page_rows or max(n_rows, 1)
         pages = []
+        page_stats = []  # per DATA page: (kmin, vmin, kmax, vmax)
         for at in range(0, n_rows, step) or [0]:
             reps, defs, present = stripe(values[at : at + step], at)
             pages.append(
-                (len(values[at : at + step]), reps, defs, present)
+                (at, len(values[at : at + step]), reps, defs, present)
             )
             n_present_total += len(present)
+            pkmin = pkmax = pvmin = pvmax = None
             for v in present:
                 if ptype in ("FLOAT", "DOUBLE") and v != v:
                     continue  # NaN is excluded from min/max (spec)
                 k = _stat_key(v, ptype)
-                if kmin is None or k < kmin:
-                    kmin, vmin = k, v
-                if kmax is None or k > kmax:
-                    kmax, vmax = k, v
+                if pkmin is None or k < pkmin:
+                    pkmin, pvmin = k, v
+                if pkmax is None or k > pkmax:
+                    pkmax, pvmax = k, v
+            page_stats.append((pkmin, pvmin, pkmax, pvmax))
+            if pkmin is not None and (kmin is None or pkmin < kmin):
+                kmin, vmin = pkmin, pvmin
+            if pkmax is not None and (kmax is None or pkmax > kmax):
+                kmax, vmax = pkmax, pvmax
 
         # dictionary admission: never BOOLEAN (bit-packed already),
         # never NaN-bearing floats (NaN identity vs equality), only
@@ -623,7 +631,7 @@ def write_parquet(
         index_of: dict = {}
         if use_dictionary and ptype != "BOOLEAN" and n_present_total:
             ok = True
-            for _rows, _reps, _defs, present in pages:
+            for _at, _rows, _reps, _defs, present in pages:
                 for v in present:
                     if ptype in ("FLOAT", "DOUBLE") and v != v:
                         ok = False
@@ -665,7 +673,10 @@ def write_parquet(
             bw = max(1, (len(dict_vals) - 1).bit_length())
 
         data_page_offset = len(out)
-        for rows, reps, defs, present in pages:
+        page_locs = []   # (file offset, compressed size, first row)
+        page_nulls = []  # per-page null (undefined-leaf-slot) count
+        for at, rows, reps, defs, present in pages:
+            page_start = len(out)
             if use_dict:
                 vals = bytes([bw]) + _rle_hybrid(
                     [index_of[v] for v in present], bw
@@ -714,6 +725,8 @@ def write_parquet(
                 out.extend(cvals)
                 comp_total += len(hdr_bytes) + lv + len(cvals)
                 uncomp_total += len(hdr_bytes) + lv + len(vals)
+                page_locs.append((page_start, len(out) - page_start, at))
+                page_nulls.append(page_nv - len(present))
                 continue
             body = bytearray()
             if reps is not None:
@@ -742,6 +755,23 @@ def write_parquet(
             out.extend(paged)
             comp_total += len(hdr_bytes) + len(paged)
             uncomp_total += len(hdr_bytes) + len(raw)
+            page_locs.append((page_start, len(out) - page_start, at))
+            page_nulls.append(page_nv - len(present))
+
+        # page-index accounting (PageIndex.md): boundary order over
+        # the NON-null pages' bounds in the column's defined order
+        pmins = [s[0] for s in page_stats if s[0] is not None]
+        pmaxs = [s[2] for s in page_stats if s[2] is not None]
+        if pmins and all(
+            a <= b for a, b in zip(pmins, pmins[1:])
+        ) and all(a <= b for a, b in zip(pmaxs, pmaxs[1:])):
+            border = 1                       # ASCENDING
+        elif pmins and all(
+            a >= b for a, b in zip(pmins, pmins[1:])
+        ) and all(a >= b for a, b in zip(pmaxs, pmaxs[1:])):
+            border = 2                       # DESCENDING
+        else:
+            border = 0                       # UNORDERED
         return {
             "num_values": n_leaf_slots,
             "offset": chunk_offset,
@@ -753,6 +783,21 @@ def write_parquet(
             "null_count": n_leaf_slots - n_present_total,
             "min": None if kmin is None else _stat_bytes(vmin, ptype),
             "max": None if kmax is None else _stat_bytes(vmax, ptype),
+            "page_locations": page_locs,
+            "page_index": {
+                # all-null pages carry byte[0] bounds per the spec
+                "null_pages": [s[0] is None for s in page_stats],
+                "min_values": [
+                    b"" if s[0] is None else _stat_bytes(s[1], ptype)
+                    for s in page_stats
+                ],
+                "max_values": [
+                    b"" if s[2] is None else _stat_bytes(s[3], ptype)
+                    for s in page_stats
+                ],
+                "boundary_order": border,
+                "null_counts": page_nulls,
+            },
         }
 
     def emit_group_schema(node, gname: str):
@@ -892,6 +937,47 @@ def write_parquet(
         meta["ptype"] = ptype
         chunk_meta.append(meta)
 
+    # --- page indexes ------------------------------------------------
+    # PageIndex.md layout: ColumnIndex structs for every chunk, then
+    # OffsetIndex structs, between the last data page and the footer.
+    # Readers that plan page skips (parquet-mr, arrow C++) locate them
+    # through ColumnChunk fids 6/7 and 4/5; readers that don't simply
+    # never dereference the offsets.
+    for m in chunk_meta:
+        pi = m["page_index"]
+        w = ThriftWriter()
+        w.write_struct(
+            [
+                (1, T_LIST, (T_TRUE, pi["null_pages"])),
+                (2, T_LIST, (T_BINARY, pi["min_values"])),
+                (3, T_LIST, (T_BINARY, pi["max_values"])),
+                (4, T_I32, pi["boundary_order"]),
+                (5, T_LIST, (T_I64, pi["null_counts"])),
+            ]
+        )
+        blob = w.getvalue()
+        m["column_index_offset"] = len(out)
+        m["column_index_length"] = len(blob)
+        out += blob
+    for m in chunk_meta:
+        w = ThriftWriter()
+        w.write_struct(
+            [
+                (1, T_LIST, (T_STRUCT, [
+                    [
+                        (1, T_I64, off),
+                        (2, T_I32, comp),
+                        (3, T_I64, first_row),
+                    ]
+                    for off, comp, first_row in m["page_locations"]
+                ])),
+            ]
+        )
+        blob = w.getvalue()
+        m["offset_index_offset"] = len(out)
+        m["offset_index_length"] = len(blob)
+        out += blob
+
     # --- footer ------------------------------------------------------
     col_structs = []
     for m in chunk_meta:
@@ -923,6 +1009,10 @@ def write_parquet(
             [
                 (2, T_I64, m["offset"]),     # file_offset
                 (3, T_STRUCT, cmeta),
+                (4, T_I64, m["offset_index_offset"]),
+                (5, T_I32, m["offset_index_length"]),
+                (6, T_I64, m["column_index_offset"]),
+                (7, T_I32, m["column_index_length"]),
             ]
         )
     footer = ThriftWriter()

@@ -85,6 +85,34 @@ def _tws_partitions(default: int = 16) -> int:
     return val
 
 
+def _prune_streaming_listener_buses(spark) -> None:
+    """Detach surplus ``StreamingQueryListenerBus`` entries from the
+    shared Spark listener bus, keeping the oldest (the root session's).
+
+    Every streaming start runs on a CLONED session whose
+    ``StreamingQueryManager`` registers its own listener bus on the
+    shared bus and never deregisters it when the clone is discarded —
+    +1 per ``availableNow`` run, observed to ~60 across a full bench
+    pass, each one offered every Spark event thereafter (the r13 TWS
+    trio drift's only in-session accumulator; thread censuses were
+    flat).  This engine registers no user StreamingQueryListeners, so
+    forwarding buses beyond the root's deliver to nobody; pruning them
+    is behavior-neutral and bounds the bus population at one."""
+    try:
+        lb = spark._jsc.sc().listenerBus()
+        it = lb.listeners().iterator()
+        buses = []
+        while it.hasNext():
+            listener = it.next()
+            name = listener.getClass().getName()
+            if name.endswith("StreamingQueryListenerBus"):
+                buses.append(listener)
+        for listener in buses[1:]:
+            lb.removeListener(listener)
+    except Exception:  # noqa: BLE001 - hygiene must never fail the run
+        pass
+
+
 def _run_to_memory_sink(
     df,
     name: str,
@@ -145,6 +173,7 @@ def _run_to_memory_sink(
                 spark.conf.unset(provider_key)
             else:
                 spark.conf.set(provider_key, old_provider)
+        _prune_streaming_listener_buses(spark)
 
 
 @register(

@@ -87,7 +87,9 @@ def main() -> None:
             f"growers={grown}",
             flush=True,
         )
-    out = os.path.join(REPO, "TWS_LEAK_PROBE_r12.json")
+    out = os.path.join(
+        REPO, os.environ.get("TWS_PROBE_OUT", "TWS_LEAK_PROBE_r12.json")
+    )
     with open(out, "w") as fh:
         json.dump(rows, fh, indent=1)
     print(f"wrote {out}")

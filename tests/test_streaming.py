@@ -641,3 +641,27 @@ def test_scd2_feed_memo_is_value_identical_and_key_guarded(spark, sf_dir):
     warm = streamops.streaming_scd2_tws(spark, sf_dir)
     assert streamops._SCD2_FEED_MEMO[key] == staged  # hit, not re-staged
     assert sorted(map(tuple, warm.collect())) == cold_rows
+
+
+def test_listener_bus_population_bounded(spark, sf_dir):
+    """Every streaming start leaks one StreamingQueryListenerBus from
+    the run's cloned session (never deregistered); the post-run prune
+    must pin the shared-bus population at one — the r13 TWS-drift
+    accumulator (TWS_ADJUDICATION_r14.md)."""
+    from databatchprotectionservice_spark.operators.streamops import (
+        streaming_hourly_rollup,
+    )
+
+    def n_buses() -> int:
+        it = spark._jsc.sc().listenerBus().listeners().iterator()
+        n = 0
+        while it.hasNext():
+            cls = it.next().getClass().getName()
+            n += cls.endswith("StreamingQueryListenerBus")
+        return n
+
+    first = sorted(map(tuple, streaming_hourly_rollup(spark, sf_dir).collect()))
+    assert n_buses() <= 1
+    again = sorted(map(tuple, streaming_hourly_rollup(spark, sf_dir).collect()))
+    assert n_buses() <= 1
+    assert again == first  # the prune must not change results
