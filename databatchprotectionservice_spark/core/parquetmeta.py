@@ -390,70 +390,9 @@ def walk_pages(data: bytes, column: dict) -> list:
     pos = start
     values = 0
     while pos < end:
-        r = ThriftReader(data, pos)
-        try:
-            h = r.read_struct()
-        except ThriftFormatError as e:
-            raise ParquetFormatError(
-                f"page header at {pos}: {e}"
-            ) from None
-        ptype = _int(h.get(1, -1), "page type")
-        comp = _int(h.get(3, -1), "compressed_page_size")
-        if comp < 0 or r.pos + comp > end:
-            raise ParquetFormatError(
-                f"page at {pos} overruns its column chunk"
-            )
-        page = {
-            "type": ptype,
-            "compressed_page_size": comp,
-            "uncompressed_page_size": _int(
-                h.get(2, -1), "uncompressed_page_size"
-            ),
-            # payload byte range: [data_offset, data_offset + comp)
-            "data_offset": r.pos,
-            "encoding": None,
-            "definition_level_encoding": None,
-            "repetition_level_encoding": None,
-            "num_nulls": None,
-            "definition_levels_byte_length": None,
-            "repetition_levels_byte_length": None,
-            "is_compressed": True,
-        }
-        if ptype == PAGE_DATA:
-            sub = _struct(h.get(5), "data page header")
-            nv = _int(sub.get(1, 0), "page num_values")
-            values += nv
-            page["encoding"] = _int(sub.get(2, 0), "page encoding")
-            page["definition_level_encoding"] = _int(
-                sub.get(3, 3), "def-level encoding"
-            )
-            page["repetition_level_encoding"] = _int(
-                sub.get(4, 3), "rep-level encoding"
-            )
-        elif ptype == PAGE_DATA_V2:
-            sub = _struct(h.get(8), "data page v2 header")
-            nv = _int(sub.get(1, 0), "page num_values")
-            values += nv
-            page["encoding"] = _int(sub.get(4, 0), "page encoding")
-            page["num_nulls"] = _int(sub.get(2, 0), "num_nulls")
-            page["definition_levels_byte_length"] = _int(
-                sub.get(5, 0), "def-levels byte length"
-            )
-            page["repetition_levels_byte_length"] = _int(
-                sub.get(6, 0), "rep-levels byte length"
-            )
-            page["is_compressed"] = bool(sub.get(7, True))
-        elif ptype == PAGE_DICTIONARY:
-            sub = _struct(h.get(7), "dictionary page header")
-            nv = _int(sub.get(1, 0), "dictionary num_values")
-            page["encoding"] = _int(sub.get(2, 0), "dict encoding")
-        elif ptype == PAGE_INDEX:
-            nv = 0
-        else:
-            raise ParquetFormatError(f"unknown page type {ptype}")
-        page["num_values"] = nv
+        page, pos = _parse_page_at(data, pos, end)
+        values += page["num_values"] if page["type"] != PAGE_DICTIONARY else 0
         pages.append(page)
-        pos = r.pos + comp
     if pos != end:
         raise ParquetFormatError(
             f"page walk overran the chunk by {pos - end} bytes"
@@ -464,3 +403,138 @@ def walk_pages(data: bytes, column: dict) -> list:
             f"{column['num_values']}"
         )
     return pages
+
+
+def prune_pages(cindex: dict, lo, hi) -> list[int]:
+    """Ordinals of data pages whose [min, max] intersects [lo, hi]
+    (either bound None = unbounded) — the ColumnIndex pruning
+    decision.  All-null pages never match a value predicate; bounds
+    compare in the type's surfaced representation (ints/floats as
+    numbers, BYTE_ARRAY as bytes — the same unsigned-bytewise order
+    the writer's stats use)."""
+    keep = []
+    for i, (nullp, mn, mx) in enumerate(
+        zip(
+            cindex["null_pages"],
+            cindex["min_values"],
+            cindex["max_values"],
+        )
+    ):
+        if nullp:
+            continue
+        if (lo is None or mx >= lo) and (hi is None or mn <= hi):
+            keep.append(i)
+    return keep
+
+
+def indexed_pages(data: bytes, column: dict, keep: list[int]) -> list:
+    """Pages selected through the OffsetIndex: the dictionary page
+    (when the chunk has one) followed by exactly the data pages whose
+    ordinals are in ``keep`` — each header parsed at its indexed
+    offset.  Skipped pages' bytes are never touched; at 100 TB each
+    kept page is one ranged read, which is the entire point of the
+    page index.  Returns ``walk_pages``-shaped dicts plus the page's
+    ``first_row_index``."""
+    locs = parse_offset_index(data, column)
+    if locs is None:
+        raise ParquetFormatError("column chunk has no offset index")
+    pages = []
+    dpo = column["dictionary_page_offset"]
+    if dpo is not None:
+        page, _ = _parse_page_at(data, dpo, len(data))
+        if page["type"] != PAGE_DICTIONARY:
+            raise ParquetFormatError(
+                "dictionary_page_offset does not hold a dictionary page"
+            )
+        page["first_row_index"] = None
+        pages.append(page)
+    for i in sorted(set(keep)):
+        if not 0 <= i < len(locs):
+            raise ParquetFormatError(
+                f"page ordinal {i} outside the offset index "
+                f"({len(locs)} pages)"
+            )
+        loc = locs[i]
+        end = loc["offset"] + loc["compressed_page_size"]
+        if not 0 <= loc["offset"] <= end <= len(data):
+            raise ParquetFormatError(
+                f"offset index page {i} outside the file"
+            )
+        page, nxt = _parse_page_at(data, loc["offset"], end)
+        if nxt != end:
+            raise ParquetFormatError(
+                f"page {i} does not fill its indexed byte range"
+            )
+        if page["type"] not in (PAGE_DATA, PAGE_DATA_V2):
+            raise ParquetFormatError(
+                f"offset index page {i} is not a data page"
+            )
+        page["first_row_index"] = loc["first_row_index"]
+        pages.append(page)
+    return pages
+
+
+def _parse_page_at(data: bytes, pos: int, end: int) -> tuple[dict, int]:
+    """Parse ONE page header at ``pos`` (payload bounded by ``end``)
+    -> (typed page dict, position after the page's payload)."""
+    r = ThriftReader(data, pos)
+    try:
+        h = r.read_struct()
+    except ThriftFormatError as e:
+        raise ParquetFormatError(
+            f"page header at {pos}: {e}"
+        ) from None
+    ptype = _int(h.get(1, -1), "page type")
+    comp = _int(h.get(3, -1), "compressed_page_size")
+    if comp < 0 or r.pos + comp > end:
+        raise ParquetFormatError(
+            f"page at {pos} overruns its column chunk"
+        )
+    page = {
+        "type": ptype,
+        "compressed_page_size": comp,
+        "uncompressed_page_size": _int(
+            h.get(2, -1), "uncompressed_page_size"
+        ),
+        # payload byte range: [data_offset, data_offset + comp)
+        "data_offset": r.pos,
+        "encoding": None,
+        "definition_level_encoding": None,
+        "repetition_level_encoding": None,
+        "num_nulls": None,
+        "definition_levels_byte_length": None,
+        "repetition_levels_byte_length": None,
+        "is_compressed": True,
+    }
+    if ptype == PAGE_DATA:
+        sub = _struct(h.get(5), "data page header")
+        nv = _int(sub.get(1, 0), "page num_values")
+        page["encoding"] = _int(sub.get(2, 0), "page encoding")
+        page["definition_level_encoding"] = _int(
+            sub.get(3, 3), "def-level encoding"
+        )
+        page["repetition_level_encoding"] = _int(
+            sub.get(4, 3), "rep-level encoding"
+        )
+    elif ptype == PAGE_DATA_V2:
+        sub = _struct(h.get(8), "data page v2 header")
+        nv = _int(sub.get(1, 0), "page num_values")
+        page["encoding"] = _int(sub.get(4, 0), "page encoding")
+        page["num_nulls"] = _int(sub.get(2, 0), "num_nulls")
+        page["definition_levels_byte_length"] = _int(
+            sub.get(5, 0), "def-levels byte length"
+        )
+        page["repetition_levels_byte_length"] = _int(
+            sub.get(6, 0), "rep-levels byte length"
+        )
+        page["is_compressed"] = bool(sub.get(7, True))
+    elif ptype == PAGE_DICTIONARY:
+        sub = _struct(h.get(7), "dictionary page header")
+        nv = _int(sub.get(1, 0), "dictionary num_values")
+        page["encoding"] = _int(sub.get(2, 0), "dict encoding")
+    elif ptype == PAGE_INDEX:
+        nv = 0
+    else:
+        raise ParquetFormatError(f"unknown page type {ptype}")
+    page["num_values"] = nv
+    return page, r.pos + comp

@@ -403,6 +403,7 @@ def read_column(
     nested: bool = False,
     path: list | None = None,
     marked: bool = False,
+    pages: list | None = None,
 ) -> list:
     """Decode one column chunk to Python values (None = null).
 
@@ -410,7 +411,12 @@ def read_column(
     element.  Flat columns (repetition REQUIRED/OPTIONAL at the top
     level) decode directly; a leaf under REPEATED ancestors needs its
     ``path`` (from ``leaf_paths``) and returns assembled records —
-    nested Python lists with ``None`` for null lists/elements."""
+    nested Python lists with ``None`` for null lists/elements.
+
+    ``pages``: an explicit page subset (``parquetmeta.indexed_pages``
+    output — the ColumnIndex page-skip path); the full sequential
+    walk otherwise.  With a subset the decoded total is checked
+    against the SUBSET's declared values, not the whole chunk."""
     if path is not None:
         max_def, max_rep, _ = _chain_levels(path)
         if max_rep > 0:
@@ -434,7 +440,7 @@ def read_column(
 
     dict_values = None
     out: list = []
-    for page in walk_pages(data, column):
+    for page in (walk_pages(data, column) if pages is None else pages):
         body = data[
             page["data_offset"] : page["data_offset"]
             + page["compressed_page_size"]
@@ -522,10 +528,20 @@ def read_column(
             )
         else:
             out.extend(values)
-    if len(out) != column["num_values"]:
+    expected = (
+        column["num_values"]
+        if pages is None
+        else sum(
+            p["num_values"]
+            for p in pages
+            if p["type"] in (PAGE_DATA, PAGE_DATA_V2)
+        )
+    )
+    if len(out) != expected:
         raise ParquetReadError(
-            f"decoded {len(out)} values, chunk declares "
-            f"{column['num_values']}"
+            f"decoded {len(out)} values, "
+            f"{'chunk' if pages is None else 'page subset'} declares "
+            f"{expected}"
         )
     return out
 

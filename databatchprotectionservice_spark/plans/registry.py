@@ -424,7 +424,16 @@ CHANGED: dict[str, int] = {
     # carry a fresh official verdict.  parquet_write_nested_real and
     # the staged map query share the writer but are already
     # window-forced this round (never-scored / staged).
-    "parquet_write_real": 13,
+    # (the r13 "parquet_write_real": 13 entry is superseded by the
+    # r14 declaration below — its r13 verdict landed green)
+    # r14: write_parquet now emits page indexes (OffsetIndex +
+    # ColumnIndex between the row group and the footer, ColumnChunk
+    # fids 4-7) — FILE BYTES change again for every writer query;
+    # value oracles unaffected (re-swept green same day).  The map
+    # query shares the writer but is window-forced as an r14
+    # same-round registration.
+    "parquet_write_real": 14,
+    "parquet_write_nested_real": 14,
     # NOT declared (r9 precedent: gate-corpus results PROVEN identical
     # by committed green three-corpus sweeps, sweep_r11_staged.log):
     # the r11 PSL swap-in — core/psl_snapshot.py now loads the
