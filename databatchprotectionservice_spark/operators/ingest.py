@@ -4976,3 +4976,256 @@ def txnlog_compaction(spark, sf_dir) -> DataFrame:
             ]
         ),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# parquet page-index pruning — the r14 page-skip closure
+# ---------------------------------------------------------------------------
+
+#: orders per written shard file (okey span, not row count — shards
+#: stay ~constant-size as SF grows and their COUNT grows with data)
+PGIDX_SHARD = 8192
+#: rows per data page inside each shard file — small enough that a
+#: selective predicate demonstrably skips most pages
+PGIDX_PAGE_ROWS = 64
+
+#: the same facts restated in integer arithmetic: within each
+#: (status, shard) group sorted by okey, the predicate bounds are the
+#: okey values at 1-based ranks (n*2)//5+1 and (n*3)//5+1 (always in
+#: [1, n]), a page holds rows (rn-1)//PAGE_ROWS, and a page survives
+#: pruning iff its [min, max] intersects [lo, hi] — exactly the
+#: ColumnIndex decision the Spark side makes from the FILE's bytes.
+#: All sums cast to BIGINT (DuckDB sum(BIGINT) widens to HUGEINT).
+PARQUET_PAGE_PRUNE_ORACLE = f"""
+        WITH e AS (
+            SELECT o_orderstatus AS st,
+                   o_orderkey AS okey,
+                   o_custkey AS ckey,
+                   o_orderkey // {PGIDX_SHARD} AS shard_id
+            FROM orders
+        ), r AS (
+            SELECT st, shard_id, okey, ckey,
+                   row_number() OVER (
+                       PARTITION BY st, shard_id ORDER BY okey
+                   ) AS rn,
+                   count(*) OVER (
+                       PARTITION BY st, shard_id
+                   ) AS n
+            FROM e
+        ), b AS (
+            SELECT st, shard_id,
+                   max(CASE WHEN rn = (n * 2) // 5 + 1
+                            THEN okey END) AS lo,
+                   max(CASE WHEN rn = (n * 3) // 5 + 1
+                            THEN okey END) AS hi
+            FROM r GROUP BY 1, 2
+        ), pg AS (
+            SELECT st, shard_id, (rn - 1) // {PGIDX_PAGE_ROWS} AS page,
+                   min(okey) AS pmin, max(okey) AS pmax
+            FROM r GROUP BY 1, 2, 3
+        ), sh AS (
+            SELECT r.st, r.shard_id,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN r.okey BETWEEN b.lo AND b.hi
+                            THEN 1 ELSE 0 END) AS n_match,
+                   sum(CASE WHEN r.okey BETWEEN b.lo AND b.hi
+                            THEN r.ckey ELSE 0 END) AS sum_ckey
+            FROM r JOIN b ON r.st = b.st AND r.shard_id = b.shard_id
+            GROUP BY 1, 2
+        ), pk AS (
+            SELECT pg.st, pg.shard_id,
+                   count(*) AS n_pages,
+                   sum(CASE WHEN pg.pmin <= b.hi AND pg.pmax >= b.lo
+                            THEN 1 ELSE 0 END) AS n_kept
+            FROM pg JOIN b ON pg.st = b.st AND pg.shard_id = b.shard_id
+            GROUP BY 1, 2
+        )
+        SELECT sh.st AS st,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(sh.n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(sh.n_match) AS BIGINT) AS n_match,
+               CAST(sum(sh.sum_ckey) AS BIGINT) AS sum_ckey_match,
+               CAST(sum(pk.n_pages) AS BIGINT) AS n_pages,
+               CAST(sum(pk.n_kept) AS BIGINT) AS n_pages_kept
+        FROM sh JOIN pk
+          ON sh.st = pk.st AND sh.shard_id = pk.shard_id
+        GROUP BY sh.st ORDER BY sh.st
+"""
+
+_PGIDX_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("st", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_match", T.LongType()),
+        T.StructField("sum_ckey_match", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("n_pages_kept", T.LongType()),
+    ]
+)
+
+
+def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
+    """Page-index pruning with no black box (r14, VERDICT r13 ask #6).
+
+    Each (o_orderstatus, okey-range shard) group of ``orders`` is
+    written as a parquet file by ``core/parquetwrite.py`` — okey-sorted,
+    {PGIDX_PAGE_ROWS}-row pages, OffsetIndex + ColumnIndex emitted,
+    shards rotating all four page codecs and both data-page versions.
+    The SAME executor then answers a selective okey-range predicate
+    (the shard's 40th-60th percentile keys) the way a 100 TB scan
+    planner would: parse the ColumnIndex, keep only pages whose
+    [min, max] intersects the range (``prune_pages``), seek straight
+    to the survivors through the OffsetIndex (``indexed_pages`` — the
+    skipped pages' bytes are never touched), decode okey + ckey from
+    those pages alone, and aggregate the predicate rows.  Drift
+    asserts: pyarrow flags both indexes on our bytes; the file-derived
+    keep set equals the arithmetic one; the okey ColumnIndex is
+    ASCENDING; the BYTE_ARRAY tag column's per-page bounds equal their
+    arithmetic min/max.  The DuckDB oracle recomputes rows, matches,
+    page totals AND kept-page counts from ``orders`` directly — the
+    pruning decision itself is driver-gated, not just the values.
+
+    100 TB: one shuffle on (status, shard); shard count grows with
+    data; per task the index read is O(pages) and the data read is
+    O(kept pages) — the point of the structure.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import (
+        indexed_pages,
+        parse_column_index,
+        parse_footer,
+        prune_pages,
+    )
+    from ..core.parquetread import leaf_elements, read_column
+    from ..core.parquetwrite import write_parquet
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ckey"),
+            F.expr(f"o_orderkey div {PGIDX_SHARD}").alias("shard_id"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "st", "shard_id"
+        )
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("okey")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"][shard_id % 4]
+        dpv = 2 if shard_id % 3 == 0 else 1
+        okeys = [int(v) for v in pdf["okey"]]
+        ckeys = [int(v) for v in pdf["ckey"]]
+        tags = [f"t{k % 97:02d}" for k in okeys]
+        data = write_parquet(
+            {"okey": okeys, "ckey": ckeys, "tag": tags},
+            {"okey": "INT64", "ckey": "INT64", "tag": "STRING"},
+            codec=codec,
+            page_rows=PGIDX_PAGE_ROWS,
+            data_page_version=dpv,
+        )
+        n = len(okeys)
+        lo = okeys[(n * 2) // 5]
+        hi = okeys[(n * 3) // 5]
+
+        # referee 1: pyarrow sees both index structures on our bytes
+        md = pq_.ParquetFile(io.BytesIO(data)).metadata
+        for ci_ in range(md.num_columns):
+            c = md.row_group(0).column(ci_)
+            if not (c.has_column_index and c.has_offset_index):
+                raise ValueError(
+                    f"shard {shard_id}: pyarrow misses index on col {ci_}"
+                )
+
+        meta = parse_footer(data)
+        cols = meta["row_groups"][0]["columns"]
+        leaves = leaf_elements(meta["schema"])
+        cidx = parse_column_index(data, cols[0])
+        if cidx["boundary_order"] != "ASCENDING":
+            raise ValueError(f"shard {shard_id}: okey index unordered")
+
+        # the pruning decision, from the FILE's bytes...
+        keep = prune_pages(cidx, lo, hi)
+        # ...must equal the arithmetic one (drift assert)
+        n_pages = (n + PGIDX_PAGE_ROWS - 1) // PGIDX_PAGE_ROWS
+        expect_keep = [
+            p
+            for p in range(n_pages)
+            if okeys[p * PGIDX_PAGE_ROWS] <= hi
+            and okeys[min(n, (p + 1) * PGIDX_PAGE_ROWS) - 1] >= lo
+        ]
+        if keep != expect_keep:
+            raise ValueError(
+                f"shard {shard_id}: file prune {keep} != "
+                f"arithmetic {expect_keep}"
+            )
+
+        # BYTE_ARRAY bounds: the tag column's per-page index entries
+        # must equal the arithmetic min/max of the page's strings
+        tidx = parse_column_index(data, cols[2])
+        for p in range(n_pages):
+            seg = tags[p * PGIDX_PAGE_ROWS : (p + 1) * PGIDX_PAGE_ROWS]
+            if tidx["min_values"][p] != min(seg).encode() or (
+                tidx["max_values"][p] != max(seg).encode()
+            ):
+                raise ValueError(
+                    f"shard {shard_id}: tag page {p} bounds drifted"
+                )
+
+        # the page-skip read: survivors only, okey and ckey row-aligned
+        got_ok = read_column(
+            data, cols[0], leaves[0][0],
+            pages=indexed_pages(data, cols[0], keep),
+        )
+        got_ck = read_column(
+            data, cols[1], leaves[1][0],
+            pages=indexed_pages(data, cols[1], keep),
+        )
+        expect_rows = [
+            v
+            for p in expect_keep
+            for v in okeys[p * PGIDX_PAGE_ROWS : (p + 1) * PGIDX_PAGE_ROWS]
+        ]
+        if got_ok != expect_rows:
+            raise ValueError(
+                f"shard {shard_id}: pruned okey read drifted"
+            )
+        n_match = 0
+        sum_ck = 0
+        for k, c in zip(got_ok, got_ck):
+            if lo <= k <= hi:
+                n_match += 1
+                sum_ck += c
+        return pd.DataFrame(
+            {
+                "st": pd.Series([pdf["st"].iloc[0]], dtype="object"),
+                "n_rows": pd.Series([n], dtype="int64"),
+                "n_match": pd.Series([n_match], dtype="int64"),
+                "sum_ckey_match": pd.Series([sum_ck], dtype="int64"),
+                "n_pages": pd.Series([n_pages], dtype="int64"),
+                "n_pages_kept": pd.Series([len(keep)], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("st", "shard_id").applyInPandas(
+        _shard, _PGIDX_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_match").cast("bigint").alias("n_match"),
+            F.sum("sum_ckey_match").cast("bigint").alias("sum_ckey_match"),
+            F.sum("n_pages").cast("bigint").alias("n_pages"),
+            F.sum("n_pages_kept").cast("bigint").alias("n_pages_kept"),
+        )
+        .orderBy("st")
+    )

@@ -48,7 +48,18 @@ def staged_manifest():
     # parquet_write_map_real, ingest_arrow_stream) promoted together
     # (REGISTERED_IN == 14; registry 202 -> 205, cycle_len stays 5).
     # New r14 queries land below and promote at the r15 boundary.
-    return {}
+    from databatchprotectionservice_spark.operators import ingest
+
+    return {
+        # r14: OffsetIndex/ColumnIndex through the from-scratch
+        # parquet WRITER + the index-driven page-skip READ (VERDICT
+        # r13 ask #6) — the oracle recomputes the kept-page COUNTS,
+        # so the pruning decision itself is gated, not just values.
+        "parquet_page_prune_real": (
+            ingest.parquet_page_prune_real,
+            ingest.PARQUET_PAGE_PRUNE_ORACLE,
+        ),
+    }
 
 
 def main():

@@ -150,6 +150,10 @@ QUERIES = [
     # nested parquet write (documents-driven, same shard economics)
     "ingest_arrow_temporal",
     "parquet_write_nested_real",
+    # r14 staged: page-index pruning (orders-driven shard writer +
+    # index-driven page-skip read; shard count scales with the data,
+    # per-task work tracks kept pages)
+    "parquet_page_prune_real",
 ]
 
 

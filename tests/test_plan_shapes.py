@@ -894,3 +894,23 @@ def test_arrow_stream_narrow_walk_single_exchange(spark, sf_dir):
     assert n_hash == 1, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_parquet_page_prune_one_shard_shuffle(spark, sf_dir):
+    """parquet_page_prune_real (r14 staged): the parquet_write_real
+    shape — one (st, shard) exchange into grouped pandas plus the tiny
+    per-status aggregate; no joins, no windows.  The page-skip logic
+    lives inside the UDF, so the PLAN must stay the plain shard-writer
+    shape."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        parquet_page_prune_real,
+    )
+
+    plan = _plan(parquet_page_prune_real(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
