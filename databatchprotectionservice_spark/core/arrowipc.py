@@ -83,8 +83,17 @@ keys are legal per the spec), RunEndEncoded (expanded to logical
 rows), Utf8View/BinaryView (16-byte view structs with
 variadicBufferCounts data buffers) and ListView/LargeListView —
 i.e. EVERY type tag the Schema.fbs union defines, so no
-pyarrow-writable table is out of scope.  Only non-BUFFER
-compression methods and unknown/corrupt tags raise
+pyarrow-writable table is out of scope.  The view family ENCODES
+too (r14, closing the last named encoder seam): Utf8View/BinaryView
+emit inline-or-spilled 16-byte views plus one variadic data buffer
+per batch (RecordBatch.variadicBufferCounts), ListView/
+LargeListView emit densely-packed offsets+sizes, and RunEndEncoded
+compresses the logical column into (run_ends, values) children —
+and Map encodes through the List<entries-struct> layout with
+[(key, value), ...] rows — all pinned against pyarrow strict
+reads.  No Schema.fbs type tag remains decode-only or encode-only.
+Only non-BUFFER compression
+methods and unknown/corrupt tags raise
 :class:`ArrowIpcFormatError`, in the same style as the other
 codecs' unsupported paths.
 """
@@ -1759,7 +1768,10 @@ class _Builder:
 def _fb_field(b: _Builder, spec: FieldSpec) -> int:
     """Build one Schema.fbs Field table (flat or nested)."""
     kids_vec = None
-    if spec.type_name in ("list", "struct", "union"):
+    if spec.type_name in (
+        "list", "struct", "union", "map",
+        "list_view", "large_list_view", "run_end_encoded",
+    ):
         kid_offs = [_fb_field(b, c) for c in spec.children]
         kids_vec = b.create_offset_vector(kid_offs)
         if spec.type_name == "union":
@@ -1774,8 +1786,17 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
             type_t, tag = b.end_table(), _T_UNION
         else:
             b.start_table()
-            type_t = b.end_table()  # List/Struct_ carry no fields
-            tag = _T_LIST if spec.type_name == "list" else _T_STRUCT
+            # List/Struct_/ListView/LargeListView/RunEndEncoded type
+            # tables carry no fields (Schema.fbs)
+            type_t = b.end_table()
+            tag = {
+                "list": _T_LIST,
+                "struct": _T_STRUCT,
+                "map": _T_MAP,  # keysSorted stays the default false
+                "list_view": _T_LIST_VIEW,
+                "large_list_view": _T_LARGE_LIST_VIEW,
+                "run_end_encoded": _T_RUN_END_ENCODED,
+            }[spec.type_name]
         name = b.create_string(spec.name)
         b.start_table()
         b.add_offset(0, name)
@@ -1841,10 +1862,14 @@ def _fb_field(b: _Builder, spec: FieldSpec) -> int:
         type_t, tag = b.end_table(), _T_DECIMAL
     else:
         b.start_table()
-        type_t = b.end_table()  # Utf8/Bool/Binary carry no fields
-        tag = {"utf8": _T_UTF8, "bool": _T_BOOL, "binary": _T_BINARY}[
-            spec.type_name
-        ]
+        type_t = b.end_table()  # Utf8/Bool/Binary/views carry no fields
+        tag = {
+            "utf8": _T_UTF8,
+            "bool": _T_BOOL,
+            "binary": _T_BINARY,
+            "utf8_view": _T_UTF8_VIEW,
+            "binary_view": _T_BINARY_VIEW,
+        }[spec.type_name]
     dict_t = None
     if spec.dict_id is not None:
         # DictionaryEncoding { id: long; indexType: Int } — the
@@ -1989,7 +2014,8 @@ def _column_buffers(spec: FieldSpec, col: list) -> list[bytes]:
     return [validity, arr.tobytes()]
 
 
-def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
+def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf,
+                 variadic: list | None = None):
     """Depth-first node/buffer emission per the columnar spec's
     flattening order — the exact inverse of ``decode_nested``.
     List = [validity][i32 offsets] then the flattened child; Struct =
@@ -1997,8 +2023,91 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
     None into every child); Union = [i8 types] (+ [i32 offsets] when
     dense) then the children — NO validity buffer per the columnar
     spec, so slots are (type_id, value) tuples and nullness lives in
-    the selected child."""
+    the selected child.  View types (r14): Utf8View/BinaryView emit
+    [validity][16-byte views] + ONE variadic data buffer (entry
+    appended to ``variadic`` — RecordBatch.variadicBufferCounts);
+    ListView/LargeListView emit [validity][offsets][sizes] with
+    densely-packed sequential offsets; RunEndEncoded emits no buffers
+    of its own — the column compresses into (run_ends, values)
+    children."""
     tn = spec.type_name
+    if tn == "run_end_encoded":
+        # REE parent: logical length, no validity, no buffers
+        nodes.append((len(col), 0))
+        run_ends: list = []
+        run_vals: list = []
+        for v in col:
+            same = run_vals and (
+                (v is None and run_vals[-1] is None)
+                or (
+                    v is not None
+                    and run_vals[-1] is not None
+                    and v == run_vals[-1]
+                )
+            )
+            if same:
+                run_ends[-1] += 1
+            else:
+                run_ends.append((run_ends[-1] if run_ends else 0) + 1)
+                run_vals.append(v)
+        _emit_column(spec.children[0], run_ends, nodes, emit_buf,
+                     variadic)
+        _emit_column(spec.children[1], run_vals, nodes, emit_buf,
+                     variadic)
+        return
+    if tn in ("utf8_view", "binary_view"):
+        validity, nulls = _validity(col)
+        nodes.append((len(col), nulls))
+        views = bytearray()
+        data = bytearray()
+        for v in col:
+            if v is None:
+                views += bytes(16)
+                continue
+            raw = v.encode("utf-8") if tn == "utf8_view" else v
+            if len(raw) <= 12:
+                views += struct.pack("<i", len(raw))
+                views += raw + bytes(12 - len(raw))
+            else:
+                views += struct.pack("<i", len(raw)) + raw[:4]
+                views += struct.pack("<ii", 0, len(data))
+                data += raw
+        emit_buf(validity)
+        emit_buf(bytes(views))
+        emit_buf(bytes(data))
+        if variadic is None:
+            raise ArrowIpcFormatError(
+                f"field {spec.name!r}: view column outside a record "
+                "batch context"
+            )
+        variadic.append(1)
+        return
+    if tn in ("list_view", "large_list_view"):
+        fmt = "q" if tn == "large_list_view" else "i"
+        validity, nulls = _validity(col)
+        nodes.append((len(col), nulls))
+        offs: list[int] = []
+        sizes: list[int] = []
+        child_vals: list = []
+        for v in col:
+            if v is None:
+                offs.append(0)
+                sizes.append(0)
+                continue
+            if not isinstance(v, (list, tuple)):
+                raise ArrowIpcFormatError(
+                    f"field {spec.name!r}: list-view row is "
+                    f"{type(v).__name__}"
+                )
+            offs.append(len(child_vals))
+            sizes.append(len(v))
+            child_vals.extend(v)
+        emit_buf(validity)
+        emit_buf(struct.pack(f"<{len(offs)}{fmt}", *offs))
+        emit_buf(struct.pack(f"<{len(sizes)}{fmt}", *sizes))
+        _emit_column(spec.children[0], child_vals, nodes, emit_buf,
+                     variadic)
+        return
     if tn == "union":
         by_tid = {
             tid: ci
@@ -2034,7 +2143,7 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
         if dense:
             emit_buf(struct.pack(f"<{len(offs)}i", *offs))
         for c, cvals in zip(spec.children, child_cols):
-            _emit_column(c, cvals, nodes, emit_buf)
+            _emit_column(c, cvals, nodes, emit_buf, variadic)
         return
     validity, nulls = _validity(col)
     nodes.append((len(col), nulls))
@@ -2052,7 +2161,35 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
             offs.append(len(child_vals))
         emit_buf(validity)
         emit_buf(struct.pack(f"<{len(offs)}i", *offs))
-        _emit_column(spec.children[0], child_vals, nodes, emit_buf)
+        _emit_column(spec.children[0], child_vals, nodes, emit_buf,
+                     variadic)
+        return
+    if tn == "map":
+        # identical buffer layout to List over the entries struct;
+        # rows are [(key, value), ...] (dup keys legal) or None
+        entries_spec = spec.children[0]
+        kname = entries_spec.children[0].name
+        vname = entries_spec.children[1].name
+        offs = [0]
+        entry_rows: list = []
+        for v in col:
+            if v is not None:
+                for kv in v:
+                    if not isinstance(kv, tuple) or len(kv) != 2:
+                        raise ArrowIpcFormatError(
+                            f"field {spec.name!r}: map entry must be "
+                            "a (key, value) tuple"
+                        )
+                    if kv[0] is None:
+                        raise ArrowIpcFormatError(
+                            f"field {spec.name!r}: map key is null"
+                        )
+                    entry_rows.append({kname: kv[0], vname: kv[1]})
+            offs.append(len(entry_rows))
+        emit_buf(validity)
+        emit_buf(struct.pack(f"<{len(offs)}i", *offs))
+        _emit_column(entries_spec, entry_rows, nodes, emit_buf,
+                     variadic)
         return
     if tn == "struct":
         for v in col:
@@ -2066,7 +2203,7 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf):
             child_col = [
                 None if v is None else v.get(c.name) for v in col
             ]
-            _emit_column(c, child_col, nodes, emit_buf)
+            _emit_column(c, child_col, nodes, emit_buf, variadic)
         return
     for raw in _column_buffers(spec, col):
         emit_buf(raw)
@@ -2080,6 +2217,7 @@ def _rb_table(b: "_Builder", fields: list[FieldSpec],
     length = len(columns[0]) if columns else 0
     node_list: list[tuple[int, int]] = []
     buf_meta = []
+    variadic: list[int] = []
     body = bytearray()
 
     def emit_buf(raw: bytes) -> None:
@@ -2093,17 +2231,22 @@ def _rb_table(b: "_Builder", fields: list[FieldSpec],
             raise ArrowIpcFormatError(
                 f"field {spec.name!r}: ragged column in batch"
             )
-        _emit_column(spec, col, node_list, emit_buf)
+        _emit_column(spec, col, node_list, emit_buf, variadic)
     nodes = bytearray()
     for nl, nn in node_list:
         nodes += struct.pack("<qq", nl, nn)
     bufs_raw = b"".join(struct.pack("<qq", o, n) for o, n in buf_meta)
     bvec = b.create_struct_vector(bufs_raw, len(buf_meta), 8)
     nvec = b.create_struct_vector(bytes(nodes), len(node_list), 8)
+    vvec = None
+    if variadic:
+        vraw = b"".join(struct.pack("<q", n) for n in variadic)
+        vvec = b.create_struct_vector(vraw, len(variadic), 8)
     b.start_table()
     b.add_scalar(0, "<q", length, 0)
     b.add_offset(1, nvec)
     b.add_offset(2, bvec)
+    b.add_offset(4, vvec)
     return b.end_table(), bytes(body)
 
 

@@ -1291,3 +1291,120 @@ def test_encoder_dictionary_encoding_both_framings():
     t2 = pa.ipc.open_file(io.BytesIO(d2)).read_all()
     assert t2.column("d").to_pylist() == days
     assert read_arrow_ipc(d2)["batches"][0]["columns"][0] == days
+
+
+def test_encode_view_types_pyarrow_referee():
+    """r14: Utf8View/BinaryView (variadic data buffers), ListView/
+    LargeListView (offsets+sizes) and RunEndEncoded ((run_ends,
+    values) children) ENCODE — pyarrow strict-reads our bytes and our
+    reader closes the loop, batch lengths crossing the 12-byte inline
+    threshold both ways."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    long = "x" * 40
+    sv = ["short", None, long, "tiny", "y" * 13, "", None]
+    bv = [b"ab", None, b"z" * 25, b"", b"q" * 12, b"w" * 13, b"k"]
+    ree = [5, 5, None, None, 7, 7, 7]
+    lv = [[1, 2, 3], None, [], [4], [5, 6], None, [7, 8, 9, 10]]
+    fields = [
+        FieldSpec("sv", True, "utf8_view", 0),
+        FieldSpec("bv", True, "binary_view", 0),
+        FieldSpec("ree", True, "run_end_encoded", 0, children=(
+            FieldSpec("run_ends", False, "int32", 32),
+            FieldSpec("values", True, "int64", 64),
+        )),
+        FieldSpec("lv", True, "list_view", 0, children=(
+            FieldSpec("item", True, "int64", 64),
+        )),
+        FieldSpec("llv", True, "large_list_view", 0, children=(
+            FieldSpec("item", True, "int64", 64),
+        )),
+    ]
+    cols = [sv, bv, ree, lv, lv]
+    data = encode_arrow_ipc(fields, [cols])
+    t = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert str(t.schema.field("sv").type) == "string_view"
+    assert str(t.schema.field("ree").type).startswith("run_end_encoded")
+    assert t.column("sv").to_pylist() == sv
+    assert t.column("bv").to_pylist() == bv
+    assert t.column("ree").to_pylist() == ree
+    assert t.column("lv").to_pylist() == lv
+    assert t.column("llv").to_pylist() == lv
+    got = read_arrow_ipc(data)
+    for ci, expect in enumerate(cols):
+        dec = [v for b_ in got["batches"] for v in b_["columns"][ci]]
+        assert dec == expect, ci
+
+
+def test_encode_view_types_multibatch_stream_and_edges():
+    """Views across MULTIPLE batches (one variadicBufferCounts entry
+    per batch), the all-inline batch (no >12-byte value), the
+    single-run and all-null REE columns, and the empty batch."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    fields = [
+        FieldSpec("sv", True, "utf8_view", 0),
+        FieldSpec("ree", True, "run_end_encoded", 0, children=(
+            FieldSpec("run_ends", False, "int32", 32),
+            FieldSpec("values", True, "utf8", 0),
+        )),
+    ]
+    batches = [
+        [["inline", "also-inline", None], ["a", "a", "a"]],     # no long
+        [["L" * 30, "m", "N" * 13], [None, None, None]],        # long+all-null
+        [[], []],                                               # empty batch
+    ]
+    data = encode_arrow_stream(fields, batches)
+    t = pa.ipc.open_stream(io.BytesIO(data)).read_all()
+    assert t.column("sv").to_pylist() == [
+        v for b_ in batches for v in b_[0]
+    ]
+    assert t.column("ree").to_pylist() == [
+        v for b_ in batches for v in b_[1]
+    ]
+    got = read_arrow_stream(data)
+    assert [v for b_ in got["batches"] for v in b_["columns"][0]] == [
+        v for b_ in batches for v in b_[0]
+    ]
+
+
+def test_encode_map_pyarrow_referee():
+    """r14: Map ENCODES through the List<entries-struct> layout —
+    null map / empty map / duplicate keys / null values, pyarrow
+    strict read + own reader."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+    )
+
+    maps = [
+        [("a", 1), ("b", None)],
+        None,
+        [],
+        [("dup", 2), ("dup", 3)],
+        [("z", 9)],
+    ]
+    fields = [
+        FieldSpec("m", True, "map", 0, children=(
+            FieldSpec("entries", False, "struct", 0, children=(
+                FieldSpec("key", False, "utf8", 0),
+                FieldSpec("value", True, "int64", 64),
+            )),
+        )),
+    ]
+    data = encode_arrow_ipc(fields, [[maps]])
+    t = pa.ipc.open_file(io.BytesIO(data)).read_all()
+    assert str(t.schema.field("m").type) == "map<string, int64>"
+    assert t.column("m").to_pylist() == [
+        None if m is None else list(m) for m in maps
+    ]
+    assert read_arrow_ipc(data)["batches"][0]["columns"][0] == maps
+    with pytest.raises(DBPSInvalidInputError):
+        encode_arrow_ipc(fields, [[[[("k", 1), (None, 2)]]]])  # null key
