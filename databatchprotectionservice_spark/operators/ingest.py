@@ -5229,3 +5229,291 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
         )
         .orderBy("st")
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow stream: dictionary + view + run-end-encoded columns (r14)
+# ---------------------------------------------------------------------------
+
+#: users per shard group — shard count grows with the data
+ADV_SHARD = 64
+#: REE run length (position-derived, so runs are genuine after the
+#: in-shard sort) and the dictionary's modulus pair
+ADV_RUN = 8
+ADV_CATS = 13
+
+#: the same facts restated in integer arithmetic.  sv is NULL every
+#: 7th eid, a short "u{uid}" when eid % 3 != 0 (1 + digits bytes),
+#: else "payload-{eid}-" + "x" * (eid % 20) (9 + digits + eid % 20
+#: bytes — crossing the 16-byte view struct's 12-byte inline bound in
+#: both directions); cat is a 13-value dictionary key from a prime
+#: mix (eid reduced mod 1e9 first — BIGINT-safe at any scale); ree is
+#: ((rn - 1) // 8) % 5 over the shard's eid order.
+ARROW_DICT_VIEWS_ORACLE = f"""
+        WITH e AS (
+            SELECT event_type AS et,
+                   user_id // {ADV_SHARD} AS shard_id,
+                   event_id AS eid,
+                   user_id AS uid
+            FROM events
+        ), r AS (
+            SELECT et, shard_id, eid, uid,
+                   row_number() OVER (
+                       PARTITION BY et, shard_id ORDER BY eid
+                   ) AS rn,
+                   CASE WHEN eid % 7 = 0 THEN NULL
+                        WHEN eid % 3 <> 0
+                        THEN 1 + length(CAST(uid AS VARCHAR))
+                        ELSE 9 + length(CAST(eid AS VARCHAR))
+                             + eid % 20 END AS svlen,
+                   ((eid % 1000000000) * 2654435761 % 97)
+                       % {ADV_CATS} AS cat
+            FROM e
+        ), sh AS (
+            SELECT et, shard_id,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN svlen IS NULL THEN 1 ELSE 0 END)
+                       AS n_null_sv,
+                   sum(CASE WHEN svlen IS NULL THEN 0 ELSE svlen END)
+                       AS sum_sv_len,
+                   sum(CASE WHEN svlen > 12 THEN 1 ELSE 0 END)
+                       AS n_spilled,
+                   sum(((rn - 1) // {ADV_RUN}) % 5) AS sum_ree,
+                   count(DISTINCT cat) AS n_cats
+            FROM r GROUP BY 1, 2
+        )
+        SELECT et,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_null_sv) AS BIGINT) AS n_null_sv,
+               CAST(sum(sum_sv_len) AS BIGINT) AS sum_sv_len,
+               CAST(sum(n_spilled) AS BIGINT) AS n_spilled,
+               CAST(sum(sum_ree) AS BIGINT) AS sum_ree,
+               CAST(sum(n_cats) AS BIGINT) AS sum_shard_cats
+        FROM sh GROUP BY et ORDER BY et
+"""
+
+_ADV_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("et", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null_sv", T.LongType()),
+        T.StructField("sum_sv_len", T.LongType()),
+        T.StructField("n_spilled", T.LongType()),
+        T.StructField("sum_ree", T.LongType()),
+        T.StructField("n_cats", T.LongType()),
+    ]
+)
+
+
+def ingest_arrow_dict_views(spark, sf_dir) -> DataFrame:
+    """Dictionary, Utf8View and RunEndEncoded columns through the
+    Arrow IPC STREAM framing, both codec directions (r14, VERDICT r13
+    ask #8's named candidate — the r13 dictionary encoder and the r14
+    view/REE encoders under the driver gate).
+
+    Each (event_type, user-range shard) group of ``events`` derives
+    three deterministic columns: ``cat`` — a 13-value dictionary key;
+    ``sv`` — a Utf8View string whose lengths cross the 12-byte inline
+    bound both ways (with nulls); ``ree`` — a position-derived
+    run-heavy int.  EVEN shards: pyarrow builds the table
+    (``dictionary_encode()``, ``string_view`` cast,
+    ``pc.run_end_encode``) and writes the stream, OUR reader decodes.
+    ODD shards: OUR encoder writes the stream (DictionaryBatch +
+    variadic view buffers + (run_ends, values) children), pyarrow
+    strict-reads it as the referee and our reader closes the loop.
+    Every decoded value is asserted equal to the arithmetic
+    reconstruction; the DuckDB oracle restates the aggregates —
+    including the spilled-view count and per-shard dictionary
+    cardinalities — from ``events`` directly.
+
+    100 TB: one shuffle on (type, shard); Arrow-batched Python; shard
+    count grows with the data.
+    """
+    import io
+
+    import pyarrow as pa_
+    import pyarrow.compute as pc_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import (
+        FieldSpec,
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("et"),
+            F.col("event_id").alias("eid"),
+            F.col("user_id").alias("uid"),
+            F.expr(f"user_id div {ADV_SHARD}").alias("shard_id"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "et", "shard_id"
+        )
+    )
+
+    def _sv(eid: int, uid: int):
+        if eid % 7 == 0:
+            return None
+        if eid % 3 != 0:
+            return f"u{uid}"
+        return f"payload-{eid}-" + "x" * (eid % 20)
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("eid")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        eids = [int(v) for v in pdf["eid"]]
+        uids = [int(v) for v in pdf["uid"]]
+        if len(set(eids)) != len(eids):
+            raise ValueError(f"shard {shard_id}: eids not unique")
+        svs = [_sv(k, u) for k, u in zip(eids, uids)]
+        cats = [
+            f"c{((k % 1_000_000_000) * 2654435761 % 97) % ADV_CATS:02d}"
+            for k in eids
+        ]
+        rees = [(i // ADV_RUN) % 5 for i in range(len(eids))]
+
+        if shard_id % 2 == 0:
+            # pyarrow writes dict + view + REE, OUR reader decodes
+            t = pa_.table(
+                {
+                    "eid": pa_.array(eids, pa_.int64()),
+                    "cat": pa_.array(cats).dictionary_encode(),
+                    "sv": pa_.array(svs, pa_.string_view()),
+                    "ree": pc_.run_end_encode(
+                        pa_.array(rees, pa_.int64())
+                    ),
+                }
+            )
+            buf = io.BytesIO()
+            with pa_ipc.new_stream(buf, t.schema) as w:
+                for b in t.to_batches(max_chunksize=ASTREAM_CHUNK):
+                    w.write_batch(b)
+            got = read_arrow_stream(buf.getvalue())
+            fs = {f.name: f for f in got["fields"]}
+            if fs["cat"].dict_id is None:
+                raise ValueError(
+                    f"shard {shard_id}: cat lost its dictionary"
+                )
+            if fs["sv"].type_name != "utf8_view" or (
+                fs["ree"].type_name != "run_end_encoded"
+            ):
+                raise ValueError(
+                    f"shard {shard_id}: view/REE type tags drifted"
+                )
+            col = {
+                name: [
+                    v for b in got["batches"] for v in b["columns"][ci]
+                ]
+                for ci, name in enumerate(("eid", "cat", "sv", "ree"))
+            }
+        else:
+            # OUR encoder writes, pyarrow strict-reads as referee
+            fields = [
+                FieldSpec("eid", True, "int64", 64),
+                FieldSpec(
+                    "cat", True, "utf8", 0,
+                    dict_id=1, index_type="int32",
+                ),
+                FieldSpec("sv", True, "utf8_view", 0),
+                FieldSpec("ree", True, "run_end_encoded", 0, children=(
+                    FieldSpec("run_ends", False, "int32", 32),
+                    FieldSpec("values", True, "int64", 64),
+                )),
+            ]
+            chunks = [
+                [
+                    eids[at : at + ASTREAM_CHUNK],
+                    cats[at : at + ASTREAM_CHUNK],
+                    svs[at : at + ASTREAM_CHUNK],
+                    rees[at : at + ASTREAM_CHUNK],
+                ]
+                for at in range(0, len(eids), ASTREAM_CHUNK)
+            ] or [[[], [], [], []]]
+            own = encode_arrow_stream(fields, chunks)
+            ref = pa_ipc.open_stream(io.BytesIO(own)).read_all()
+            if not pa_.types.is_dictionary(ref.schema.field("cat").type):
+                raise ValueError(
+                    f"shard {shard_id}: own dict column lost its "
+                    "encoding"
+                )
+            col = {
+                "eid": ref.column("eid").to_pylist(),
+                "cat": ref.column("cat").to_pylist(),
+                "sv": ref.column("sv").to_pylist(),
+                "ree": ref.column("ree").to_pylist(),
+            }
+            # our reader closes the loop on our own bytes
+            got = read_arrow_stream(own)
+            own_cols = {
+                name: [
+                    v for b in got["batches"] for v in b["columns"][ci]
+                ]
+                for ci, name in enumerate(("eid", "cat", "sv", "ree"))
+            }
+            if own_cols != col:
+                raise ValueError(
+                    f"shard {shard_id}: own-reader disagrees with "
+                    "pyarrow on own bytes"
+                )
+        if col["eid"] != eids:
+            raise ValueError(f"shard {shard_id}: eid drifted")
+        if col["cat"] != cats:
+            raise ValueError(f"shard {shard_id}: dict column drifted")
+        if col["sv"] != svs:
+            raise ValueError(f"shard {shard_id}: view column drifted")
+        if col["ree"] != rees:
+            raise ValueError(f"shard {shard_id}: REE column drifted")
+        return pd.DataFrame(
+            {
+                "et": pd.Series([pdf["et"].iloc[0]], dtype="object"),
+                "n_rows": pd.Series([len(eids)], dtype="int64"),
+                "n_null_sv": pd.Series(
+                    [sum(1 for v in svs if v is None)], dtype="int64"
+                ),
+                "sum_sv_len": pd.Series(
+                    [
+                        sum(
+                            len(v.encode("utf-8"))
+                            for v in svs
+                            if v is not None
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_spilled": pd.Series(
+                    [
+                        sum(
+                            1
+                            for v in svs
+                            if v is not None
+                            and len(v.encode("utf-8")) > 12
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "sum_ree": pd.Series([sum(rees)], dtype="int64"),
+                "n_cats": pd.Series([len(set(cats))], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("et", "shard_id").applyInPandas(
+        _shard, _ADV_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("et")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_null_sv").cast("bigint").alias("n_null_sv"),
+            F.sum("sum_sv_len").cast("bigint").alias("sum_sv_len"),
+            F.sum("n_spilled").cast("bigint").alias("n_spilled"),
+            F.sum("sum_ree").cast("bigint").alias("sum_ree"),
+            F.sum("n_cats").cast("bigint").alias("sum_shard_cats"),
+        )
+        .orderBy("et")
+    )

@@ -59,6 +59,14 @@ def staged_manifest():
             ingest.parquet_page_prune_real,
             ingest.PARQUET_PAGE_PRUNE_ORACLE,
         ),
+        # r14: dictionary + Utf8View + RunEndEncoded columns through
+        # the Arrow STREAM framing, both codec directions (exercises
+        # the r13 dictionary encoder and the r14 view/REE encoders
+        # under the gate — VERDICT r13 ask #8's named candidate).
+        "ingest_arrow_dict_views": (
+            ingest.ingest_arrow_dict_views,
+            ingest.ARROW_DICT_VIEWS_ORACLE,
+        ),
     }
 
 

@@ -154,6 +154,9 @@ QUERIES = [
     # index-driven page-skip read; shard count scales with the data,
     # per-task work tracks kept pages)
     "parquet_page_prune_real",
+    # r14 staged: dict/view/REE arrow stream roundtrip (events-driven;
+    # user_id shards replicate 10x with shifted keys)
+    "ingest_arrow_dict_views",
 ]
 
 

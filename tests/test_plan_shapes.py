@@ -914,3 +914,21 @@ def test_parquet_page_prune_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_arrow_dict_views_one_shard_shuffle(spark, sf_dir):
+    """ingest_arrow_dict_views (r14 staged): one (type, shard)
+    exchange into grouped pandas plus the tiny per-type aggregate; no
+    joins, no windows — the codec work is all inside the UDF."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_arrow_dict_views,
+    )
+
+    plan = _plan(ingest_arrow_dict_views(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
