@@ -40,6 +40,9 @@ Every page must consume its byte budget and yield exactly its
 declared value count — short pages raise rather than truncate.  The
 unit suite pins decoded values against pyarrow's reader
 column-for-column on real files, including list columns.
+``read_column`` also accepts an explicit page subset
+(``parquetmeta.indexed_pages`` — the r14 ColumnIndex page-skip
+path), checking the decoded total against the subset's declaration.
 """
 
 from __future__ import annotations
