@@ -17,13 +17,19 @@ max_value under declared column_orders — the row-group pruning
 hook), admissible chunks dictionary-encode (PLAIN dictionary page +
 RLE_DICTIONARY data pages, see ``write_parquet``'s
 ``use_dictionary``), and pages compress with SNAPPY (from-scratch),
-GZIP (stdlib zlib) or ZSTD.  DATA_PAGE_V2 is supported on BOTH
-sides since r13 — pass ``data_page_version=2`` to emit V2 pages
-(levels outside the compressed region, per-page null counts); the
-READER (``core/parquetread.py``) covers both versions.  Remaining
-writer seams: page-level OffsetIndex/ColumnIndex structures
-(readers fall back to chunk Statistics) and BROTLI/LZO/LZ4 page
-codecs.
+GZIP (stdlib zlib), ZSTD, or LZ4_RAW (raw blocks by OUR
+``core/lz4codec.py`` encoder, r14).  DATA_PAGE_V2 is supported on
+BOTH sides since r13 — pass ``data_page_version=2`` to emit V2
+pages (levels outside the compressed region, per-page null counts);
+the READER (``core/parquetread.py``) covers both versions.  Since
+r14 every chunk also carries page indexes — an OffsetIndex
+(PageLocation offset/size/first_row_index per data page) and a
+ColumnIndex (per-page null_pages/min/max/null_counts under a
+computed BoundaryOrder), placed between the row group and the
+footer with ColumnChunk fids 4-7 pointing at them — the page-skip
+planning structure ``core/parquetmeta.py`` parses and
+``core/parquetread.py`` prunes through.  Remaining writer seams:
+BROTLI and the legacy hadoop-framed LZ4/LZO codecs.
 
 Nested columns (r12, mirroring the reader's record assembly):
 ``STRUCT<name:TYPE,...>`` and ``LIST<...>`` NEST FREELY — struct of
@@ -84,6 +90,13 @@ def _page_compress(raw: bytes, codec: str) -> bytes:
         from .compression import CompressionCodec, compress
 
         return compress(raw, CompressionCodec.ZSTD)
+    if codec == "LZ4_RAW":
+        # the raw LZ4 block format (no frame) — parquet codec 7,
+        # emitted by OUR from-scratch encoder; readers recover the
+        # size from the page header's uncompressed_page_size
+        from .lz4codec import lz4_block_compress
+
+        return lz4_block_compress(raw)
     return raw
 
 MAGIC = b"PAR1"
@@ -97,9 +110,12 @@ _TYPE_IDS = {
 }
 #: writer codecs: SNAPPY through the from-scratch encoder, GZIP
 #: through stdlib zlib (RFC-1952 members per the parquet contract),
-#: ZSTD through the compression layer.  LZ4 hadoop-framed and LZO
-#: stay seams (same as the read side's documented posture).
-_CODEC_IDS = {"UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6}
+#: ZSTD through the compression layer, LZ4_RAW through the
+#: from-scratch block encoder.  Hadoop-framed LZ4 and LZO stay
+#: seams (same as the read side's documented posture).
+_CODEC_IDS = {
+    "UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "ZSTD": 6, "LZ4_RAW": 7,
+}
 _LOGICAL = {"STRING": "BYTE_ARRAY"}  # logical -> physical + UTF8 tag
 
 
@@ -543,7 +559,7 @@ def write_parquet(
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
             f"codec {codec!r} is a writer seam "
-            "(UNCOMPRESSED/SNAPPY/GZIP/ZSTD)"
+            "(UNCOMPRESSED/SNAPPY/GZIP/ZSTD/LZ4_RAW)"
         )
     names = list(columns)
     if not names:

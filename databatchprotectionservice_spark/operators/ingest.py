@@ -5119,7 +5119,9 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("okey")
         shard_id = int(pdf["shard_id"].iloc[0])
-        codec = ["UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD"][shard_id % 4]
+        codec = [
+            "UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW",
+        ][shard_id % 5]
         dpv = 2 if shard_id % 3 == 0 else 1
         okeys = [int(v) for v in pdf["okey"]]
         ckeys = [int(v) for v in pdf["ckey"]]

@@ -971,3 +971,49 @@ def test_data_page_v2_three_referees(codec, tmp_path):
 def test_data_page_version_validated():
     with pytest.raises(ParquetWriteError, match="data_page_version"):
         write_parquet({"a": [1]}, {"a": "INT64"}, data_page_version=3)
+
+
+def test_lz4_raw_pages_three_referees(tmp_path):
+    """r14: LZ4_RAW (codec 7, raw blocks by OUR core/lz4codec
+    encoder) page bodies — pyarrow, DuckDB and our own reader all
+    recover the values, both data-page versions, dict and plain."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetread import (
+        leaf_elements,
+        read_column,
+    )
+
+    cols = {
+        "a": list(range(500)),
+        "s": [None if i % 7 == 0 else f"v{i:03d}" for i in range(500)],
+    }
+    types = {"a": "INT64", "s": "STRING"}
+    for version in (1, 2):
+        for use_dict in (True, False):
+            data = write_parquet(
+                cols,
+                types,
+                codec="LZ4_RAW",
+                page_rows=64,
+                data_page_version=version,
+                use_dictionary=use_dict,
+            )
+            t = pq.ParquetFile(io.BytesIO(data)).read()
+            assert t.column("a").to_pylist() == cols["a"]
+            assert t.column("s").to_pylist() == cols["s"]
+            meta = parse_footer(data)
+            col0 = meta["row_groups"][0]["columns"][0]
+            assert col0["codec"] == "LZ4_RAW"
+            assert read_column(
+                data, col0, leaf_elements(meta["schema"])[0][0]
+            ) == cols["a"]
+    path = tmp_path / "lz4.parquet"
+    path.write_bytes(write_parquet(cols, types, codec="LZ4_RAW"))
+    got = duckdb.connect().execute(
+        f"SELECT sum(a), count(s) FROM '{path}'"
+    ).fetchone()
+    assert got == (
+        sum(cols["a"]),
+        sum(1 for x in cols["s"] if x is not None),
+    )
