@@ -537,6 +537,7 @@ def write_parquet(
     page_rows: int | None = None,
     use_dictionary: bool = True,
     data_page_version: int = 1,
+    row_group_rows: int | None = None,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
     parquet file bytes.
@@ -549,13 +550,24 @@ def write_parquet(
     ``data_page_version=2`` emits DATA_PAGE_V2 pages (r13): level
     runs uncompressed up front with their byte lengths in the
     header, only the values section under the codec — the layout
-    that lets readers skip to values without inflating levels."""
+    that lets readers skip to values without inflating levels.
+
+    ``row_group_rows`` (r14) bounds each row group to that many
+    records (default: one group) — the layout real writers emit at
+    size, and the unit readers plan ROW-GROUP pruning against: each
+    group carries its own chunk Statistics and page indexes, so a
+    selective scan drops whole groups before it ever looks at
+    pages."""
     if data_page_version not in (1, 2):
         raise ParquetWriteError(
             f"data_page_version {data_page_version} (1 or 2)"
         )
     if page_rows is not None and page_rows <= 0:
         raise ParquetWriteError(f"page_rows {page_rows} must be positive")
+    if row_group_rows is not None and row_group_rows <= 0:
+        raise ParquetWriteError(
+            f"row_group_rows {row_group_rows} must be positive"
+        )
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
             f"codec {codec!r} is a writer seam "
@@ -575,7 +587,8 @@ def write_parquet(
         return ptype
 
     out = bytearray(MAGIC)
-    chunk_meta = []  # one entry PER LEAF: path, ptype, page accounting
+    # chunk_meta (one entry per leaf PER ROW GROUP) is assembled in
+    # phase B below
     schema_elems = [
         [  # root
             (3, T_I32, 0),                   # repetition (ignored on root)
@@ -616,10 +629,11 @@ def write_parquet(
         n_present_total = 0
         vmin = vmax = None
         kmin = kmax = None
-        step = page_rows or max(n_rows, 1)
+        chunk_rows = len(values)
+        step = page_rows or max(chunk_rows, 1)
         pages = []
         page_stats = []  # per DATA page: (kmin, vmin, kmax, vmax)
-        for at in range(0, n_rows, step) or [0]:
+        for at in range(0, chunk_rows, step) or [0]:
             reps, defs, present = stripe(values[at : at + step], at)
             pages.append(
                 (at, len(values[at : at + step]), reps, defs, present)
@@ -861,6 +875,12 @@ def write_parquet(
             ])
             emit_group_schema(node[1], "element")
 
+    # --- phase A: schema emission + one chunk-writer per column ------
+    # The schema is declared ONCE; each writer closure emits the
+    # column's chunk(s) for one ROW GROUP's slice of records, so the
+    # same plan runs for the single-row-group default and the
+    # size-bounded multi-row-group layout (``row_group_rows``).
+    col_writers = []  # (values, write(slice) -> [chunk meta])
     for name in names:
         logical = types[name]
         values = columns[name]
@@ -885,29 +905,37 @@ def write_parquet(
             # ON THEIR OWN PATH — derived structurally from the type
             # tree (a field NAMED 'list' must not gain a rep stream)
             leaf_reps = _tree_leaf_has_rep(tree)
-            # each page is striped ONCE for all L leaves (the callback
-            # memoizes on the page's record offset; the LAST leaf
-            # evicts, so memory stays one-column-of-levels bounded
-            # instead of L stripings per page — ADVICE r12, low)
-            stripe_memo: dict[int, list] = {}
-            last_li = len(leaves) - 1
-            for li, (lpath, lptype, _llogical) in enumerate(leaves):
-                has_rep = leaf_reps[li]
 
-                def stripe(page, at=0, li=li, tree=tree,
-                           has_rep=has_rep, evict=li == last_li):
-                    if at not in stripe_memo:
-                        stripe_memo[at] = _stripe_nested(page, tree)
-                    striped = stripe_memo[at]
-                    reps, ldefs, lpres = striped[li]
-                    if evict:
-                        stripe_memo.pop(at, None)
-                    return (reps if has_rep else None, ldefs, lpres)
+            def write_nested(slice_vals, tree=tree, leaves=leaves,
+                             leaf_reps=leaf_reps):
+                # each page is striped ONCE for all L leaves (the
+                # callback memoizes on the page's record offset; the
+                # LAST leaf evicts, so memory stays one-column-of-
+                # levels bounded instead of L stripings per page —
+                # ADVICE r12, low)
+                stripe_memo: dict[int, list] = {}
+                last_li = len(leaves) - 1
+                metas = []
+                for li, (lpath, lptype, _llogical) in enumerate(leaves):
+                    has_rep = leaf_reps[li]
 
-                meta = write_leaf_pages(values, stripe, lptype)
-                meta["path"] = lpath
-                meta["ptype"] = lptype
-                chunk_meta.append(meta)
+                    def stripe(page, at=0, li=li, tree=tree,
+                               has_rep=has_rep, evict=li == last_li):
+                        if at not in stripe_memo:
+                            stripe_memo[at] = _stripe_nested(page, tree)
+                        striped = stripe_memo[at]
+                        reps, ldefs, lpres = striped[li]
+                        if evict:
+                            stripe_memo.pop(at, None)
+                        return (reps if has_rep else None, ldefs, lpres)
+
+                    meta = write_leaf_pages(slice_vals, stripe, lptype)
+                    meta["path"] = lpath
+                    meta["ptype"] = lptype
+                    metas.append(meta)
+                return metas
+
+            col_writers.append((values, write_nested))
             continue
 
         ptype = leaf_ptype(inner)
@@ -948,10 +976,25 @@ def write_parquet(
                 return (None, None, list(page))
 
             path = [name]
-        meta = write_leaf_pages(values, stripe, ptype)
-        meta["path"] = path
-        meta["ptype"] = ptype
-        chunk_meta.append(meta)
+
+        def write_flat(slice_vals, stripe=stripe, ptype=ptype,
+                       path=path):
+            meta = write_leaf_pages(slice_vals, stripe, ptype)
+            meta["path"] = path
+            meta["ptype"] = ptype
+            return [meta]
+
+        col_writers.append((values, write_flat))
+
+    # --- phase B: row groups ----------------------------------------
+    rg_step = row_group_rows or max(n_rows, 1)
+    rg_meta = []  # (rows in this group, [chunk meta])
+    for rg_at in range(0, n_rows, rg_step) or [0]:
+        rg_chunks = []
+        for values, write in col_writers:
+            rg_chunks.extend(write(values[rg_at : rg_at + rg_step]))
+        rg_meta.append((min(rg_step, n_rows - rg_at), rg_chunks))
+    chunk_meta = [m for _rows, chunks in rg_meta for m in chunks]
 
     # --- page indexes ------------------------------------------------
     # PageIndex.md layout: ColumnIndex structs for every chunk, then
@@ -995,8 +1038,7 @@ def write_parquet(
         out += blob
 
     # --- footer ------------------------------------------------------
-    col_structs = []
-    for m in chunk_meta:
+    def _chunk_struct(m):
         path = [p.encode("utf-8") for p in m["path"]]
         # Statistics (ColumnMetaData fid 12): null_count + the
         # modern min_value/max_value pair (fids 5/6; the deprecated
@@ -1021,36 +1063,37 @@ def write_parquet(
         if m["dict_page_offset"] is not None:
             cmeta.append((11, T_I64, m["dict_page_offset"]))
         cmeta.append((12, T_STRUCT, stats))
-        col_structs.append(
-            [
-                (2, T_I64, m["offset"]),     # file_offset
-                (3, T_STRUCT, cmeta),
-                (4, T_I64, m["offset_index_offset"]),
-                (5, T_I32, m["offset_index_length"]),
-                (6, T_I64, m["column_index_offset"]),
-                (7, T_I32, m["column_index_length"]),
-            ]
-        )
+        return [
+            (2, T_I64, m["offset"]),         # file_offset
+            (3, T_STRUCT, cmeta),
+            (4, T_I64, m["offset_index_offset"]),
+            (5, T_I32, m["offset_index_length"]),
+            (6, T_I64, m["column_index_offset"]),
+            (7, T_I32, m["column_index_length"]),
+        ]
+
+    rg_structs = [
+        [
+            (1, T_LIST, (T_STRUCT, [_chunk_struct(m) for m in chunks])),
+            (2, T_I64, sum(m["uncompressed"] for m in chunks)),
+            (3, T_I64, rows),
+        ]
+        for rows, chunks in rg_meta
+    ]
     footer = ThriftWriter()
     footer.write_struct(
         [
             (1, T_I32, 1),                   # version
             (2, T_LIST, (T_STRUCT, schema_elems)),
             (3, T_I64, n_rows),
-            (4, T_LIST, (T_STRUCT, [
-                [
-                    (1, T_LIST, (T_STRUCT, col_structs)),
-                    (2, T_I64, sum(m["uncompressed"]
-                                   for m in chunk_meta)),
-                    (3, T_I64, n_rows),
-                ]
-            ])),
+            (4, T_LIST, (T_STRUCT, rg_structs)),
             (6, T_BINARY, b"dbps-spark parquetwrite"),
-            # column_orders: TYPE_ORDER for every leaf — REQUIRED for
+            # column_orders: TYPE_ORDER for every schema LEAF (not
+            # per chunk — row groups share one schema) — REQUIRED for
             # readers to trust min_value/max_value (parquet-format:
             # stats without a declared order must be ignored)
             (7, T_LIST, (T_STRUCT, [
-                [(1, T_STRUCT, [])] for _ in chunk_meta
+                [(1, T_STRUCT, [])] for _ in rg_meta[0][1]
             ])),
         ]
     )

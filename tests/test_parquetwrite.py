@@ -1017,3 +1017,102 @@ def test_lz4_raw_pages_three_referees(tmp_path):
         sum(cols["a"]),
         sum(1 for x in cols["s"] if x is not None),
     )
+
+
+def test_multi_row_group_layout_three_referees(tmp_path):
+    """r14: ``row_group_rows`` bounds each row group — per-group chunk
+    Statistics and page indexes, pyarrow/DuckDB/own-reader all recover
+    the values, and DuckDB demonstrably PRUNES groups from our stats."""
+    import duckdb
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_column_index,
+        parse_offset_index,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        leaf_elements,
+        read_column,
+    )
+
+    cols = {
+        "a": list(range(1000)),
+        "s": [None if i % 7 == 0 else f"v{i:04d}" for i in range(1000)],
+        "l": [
+            None if i % 11 == 0 else list(range(i % 4))
+            for i in range(1000)
+        ],
+    }
+    types = {"a": "INT64", "s": "STRING", "l": "LIST<INT64>"}
+    # the default single-group path is byte-stable
+    assert write_parquet(cols, types, page_rows=100) == write_parquet(
+        cols, types, page_rows=100, row_group_rows=None
+    )
+    data = write_parquet(
+        cols, types, codec="SNAPPY", page_rows=50, row_group_rows=250
+    )
+    f = pq.ParquetFile(io.BytesIO(data))
+    assert f.metadata.num_row_groups == 4
+    t = f.read()
+    assert t.column("a").to_pylist() == cols["a"]
+    assert t.column("s").to_pylist() == cols["s"]
+    assert t.column("l").to_pylist() == cols["l"]
+    meta = parse_footer(data)
+    leaf = leaf_elements(meta["schema"])[0][0]
+    for gi, rg in enumerate(meta["row_groups"]):
+        st = rg["columns"][0]["statistics"]
+        assert (st["min_value"], st["max_value"]) == (
+            gi * 250,
+            gi * 250 + 249,
+        )
+        ci = parse_column_index(data, rg["columns"][0])
+        assert len(ci["min_values"]) == 5
+        oi = parse_offset_index(data, rg["columns"][0])
+        # first_row_index restarts per group (parquet-format)
+        assert [p["first_row_index"] for p in oi] == [
+            0, 50, 100, 150, 200,
+        ]
+        assert read_column(data, rg["columns"][0], leaf) == cols["a"][
+            gi * 250 : (gi + 1) * 250
+        ]
+    # DuckDB prunes row groups via our per-group stats: a 10-group
+    # file with a one-group predicate scans ~one group's rows
+    big = write_parquet(
+        {"a": list(range(100_000))},
+        {"a": "INT64"},
+        row_group_rows=10_000,
+        page_rows=1_000,
+    )
+    path = tmp_path / "rg.parquet"
+    path.write_bytes(big)
+    con = duckdb.connect()
+    assert con.execute(
+        f"SELECT count(*) FROM '{path}' WHERE a BETWEEN 45000 AND 45999"
+    ).fetchone() == (1000,)
+    plan = str(
+        con.execute(
+            f"EXPLAIN ANALYZE SELECT count(*) FROM '{path}' "
+            "WHERE a BETWEEN 45000 AND 45999"
+        ).fetchall()
+    )
+    import re as _re
+
+    scan = _re.search(r"PARQUET_SCAN.*?└", plan, _re.S).group(0)
+    counts = [int(c) for c in _re.findall(r"\b(\d{3,6})\b", scan)]
+    # the scan operator emitted ~one group's rows, not 100k
+    assert any(c <= 10_000 for c in counts) and 100_000 not in counts
+
+
+def test_multi_row_group_nested_column():
+    rows = [
+        None if i % 5 == 0 else {"q": i, "tags": [f"t{i % 3}"] * (i % 3)}
+        for i in range(400)
+    ]
+    data = write_parquet(
+        {"r": rows},
+        {"r": "STRUCT<q:INT64,tags:LIST<STRING>>"},
+        row_group_rows=100,
+        page_rows=40,
+    )
+    f = pq.ParquetFile(io.BytesIO(data))
+    assert f.metadata.num_row_groups == 4
+    assert f.read().column("r").to_pylist() == rows
