@@ -4988,6 +4988,11 @@ PGIDX_SHARD = 8192
 #: rows per data page inside each shard file — small enough that a
 #: selective predicate demonstrably skips most pages
 PGIDX_PAGE_ROWS = 64
+#: rows per ROW GROUP inside each shard file (exactly 4 pages, so
+#: global page boundaries are unchanged by the grouping) — the
+#: two-level layout: chunk Statistics prune whole groups, the
+#: ColumnIndex prunes pages within survivors
+PGIDX_RG_ROWS = 256
 
 #: the same facts restated in integer arithmetic: within each
 #: (status, shard) group sorted by okey, the predicate bounds are the
@@ -5023,6 +5028,10 @@ PARQUET_PAGE_PRUNE_ORACLE = f"""
             SELECT st, shard_id, (rn - 1) // {PGIDX_PAGE_ROWS} AS page,
                    min(okey) AS pmin, max(okey) AS pmax
             FROM r GROUP BY 1, 2, 3
+        ), rg AS (
+            SELECT st, shard_id, (rn - 1) // {PGIDX_RG_ROWS} AS grp,
+                   min(okey) AS gmin, max(okey) AS gmax
+            FROM r GROUP BY 1, 2, 3
         ), sh AS (
             SELECT r.st, r.shard_id,
                    count(*) AS n_rows,
@@ -5039,16 +5048,26 @@ PARQUET_PAGE_PRUNE_ORACLE = f"""
                             THEN 1 ELSE 0 END) AS n_kept
             FROM pg JOIN b ON pg.st = b.st AND pg.shard_id = b.shard_id
             GROUP BY 1, 2
+        ), gk AS (
+            SELECT rg.st, rg.shard_id,
+                   count(*) AS n_rowgroups,
+                   sum(CASE WHEN rg.gmin <= b.hi AND rg.gmax >= b.lo
+                            THEN 1 ELSE 0 END) AS n_rg_kept
+            FROM rg JOIN b ON rg.st = b.st AND rg.shard_id = b.shard_id
+            GROUP BY 1, 2
         )
         SELECT sh.st AS st,
                CAST(count(*) AS BIGINT) AS n_shards,
                CAST(sum(sh.n_rows) AS BIGINT) AS n_rows,
                CAST(sum(sh.n_match) AS BIGINT) AS n_match,
                CAST(sum(sh.sum_ckey) AS BIGINT) AS sum_ckey_match,
+               CAST(sum(gk.n_rowgroups) AS BIGINT) AS n_rowgroups,
+               CAST(sum(gk.n_rg_kept) AS BIGINT) AS n_rg_kept,
                CAST(sum(pk.n_pages) AS BIGINT) AS n_pages,
                CAST(sum(pk.n_kept) AS BIGINT) AS n_pages_kept
         FROM sh JOIN pk
           ON sh.st = pk.st AND sh.shard_id = pk.shard_id
+        JOIN gk ON sh.st = gk.st AND sh.shard_id = gk.shard_id
         GROUP BY sh.st ORDER BY sh.st
 """
 
@@ -5058,6 +5077,8 @@ _PGIDX_ROW_SCHEMA = T.StructType(
         T.StructField("n_rows", T.LongType()),
         T.StructField("n_match", T.LongType()),
         T.StructField("sum_ckey_match", T.LongType()),
+        T.StructField("n_rowgroups", T.LongType()),
+        T.StructField("n_rg_kept", T.LongType()),
         T.StructField("n_pages", T.LongType()),
         T.StructField("n_pages_kept", T.LongType()),
     ]
@@ -5068,22 +5089,29 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
     """Page-index pruning with no black box (r14, VERDICT r13 ask #6).
 
     Each (o_orderstatus, okey-range shard) group of ``orders`` is
-    written as a parquet file by ``core/parquetwrite.py`` — okey-sorted,
-    {PGIDX_PAGE_ROWS}-row pages, OffsetIndex + ColumnIndex emitted,
-    shards rotating all four page codecs and both data-page versions.
-    The SAME executor then answers a selective okey-range predicate
-    (the shard's 40th-60th percentile keys) the way a 100 TB scan
-    planner would: parse the ColumnIndex, keep only pages whose
-    [min, max] intersects the range (``prune_pages``), seek straight
-    to the survivors through the OffsetIndex (``indexed_pages`` — the
-    skipped pages' bytes are never touched), decode okey + ckey from
-    those pages alone, and aggregate the predicate rows.  Drift
-    asserts: pyarrow flags both indexes on our bytes; the file-derived
-    keep set equals the arithmetic one; the okey ColumnIndex is
-    ASCENDING; the BYTE_ARRAY tag column's per-page bounds equal their
+    written as a parquet file by ``core/parquetwrite.py`` —
+    okey-sorted, 64-row pages inside 256-row ROW GROUPS, OffsetIndex
+    + ColumnIndex emitted per group, shards rotating all FIVE page
+    codecs (incl. the r14 LZ4_RAW) and both data-page versions.  The
+    SAME executor then answers a selective okey-range predicate (the
+    shard's 40th-60th percentile keys) the way a 100 TB scan planner
+    would, at BOTH planning levels: first drop whole ROW GROUPS whose
+    chunk Statistics miss the range (a footer-only decision — dropped
+    groups' index bytes are never parsed), then within each survivor
+    parse the ColumnIndex, keep only pages whose [min, max]
+    intersects the range (``prune_pages``), seek straight to the
+    survivors through the OffsetIndex (``indexed_pages`` — skipped
+    pages' bytes are never touched), decode okey + ckey from those
+    pages alone, and aggregate the predicate rows.  Drift asserts:
+    pyarrow sees the expected group count and both indexes on our
+    bytes; the file-derived group and page keep sets equal their
+    arithmetic twins; every group's chunk Statistics equal the
+    arithmetic bounds; the okey ColumnIndex is ASCENDING per group;
+    the BYTE_ARRAY tag column's per-page bounds equal their
     arithmetic min/max.  The DuckDB oracle recomputes rows, matches,
-    page totals AND kept-page counts from ``orders`` directly — the
-    pruning decision itself is driver-gated, not just the values.
+    row-group totals, kept-group counts, page totals AND kept-page
+    counts from ``orders`` directly — BOTH pruning decisions are
+    driver-gated, not just the values.
 
     100 TB: one shuffle on (status, shard); shard count grows with
     data; per task the index read is O(pages) and the data read is
@@ -5132,13 +5160,21 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
             codec=codec,
             page_rows=PGIDX_PAGE_ROWS,
             data_page_version=dpv,
+            row_group_rows=PGIDX_RG_ROWS,
         )
         n = len(okeys)
         lo = okeys[(n * 2) // 5]
         hi = okeys[(n * 3) // 5]
 
-        # referee 1: pyarrow sees both index structures on our bytes
+        # referee 1: pyarrow sees the groups and both index
+        # structures on our bytes
         md = pq_.ParquetFile(io.BytesIO(data)).metadata
+        n_rgs = (n + PGIDX_RG_ROWS - 1) // PGIDX_RG_ROWS
+        if md.num_row_groups != n_rgs:
+            raise ValueError(
+                f"shard {shard_id}: {md.num_row_groups} row groups, "
+                f"expected {n_rgs}"
+            )
         for ci_ in range(md.num_columns):
             c = md.row_group(0).column(ci_)
             if not (c.has_column_index and c.has_offset_index):
@@ -5147,15 +5183,37 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
                 )
 
         meta = parse_footer(data)
-        cols = meta["row_groups"][0]["columns"]
         leaves = leaf_elements(meta["schema"])
-        cidx = parse_column_index(data, cols[0])
-        if cidx["boundary_order"] != "ASCENDING":
-            raise ValueError(f"shard {shard_id}: okey index unordered")
 
-        # the pruning decision, from the FILE's bytes...
-        keep = prune_pages(cidx, lo, hi)
-        # ...must equal the arithmetic one (drift assert)
+        # LEVEL 1 — row-group pruning from chunk Statistics (the
+        # footer-only decision a planner makes before any page read),
+        # checked against the arithmetic bounds
+        rg_keep = []
+        for gi, rg in enumerate(meta["row_groups"]):
+            st_ = rg["columns"][0]["statistics"]
+            g_lo = okeys[gi * PGIDX_RG_ROWS]
+            g_hi = okeys[min(n, (gi + 1) * PGIDX_RG_ROWS) - 1]
+            if (st_["min_value"], st_["max_value"]) != (g_lo, g_hi):
+                raise ValueError(
+                    f"shard {shard_id}: group {gi} stats drifted"
+                )
+            if st_["min_value"] <= hi and st_["max_value"] >= lo:
+                rg_keep.append(gi)
+        expect_rg_keep = [
+            g
+            for g in range(n_rgs)
+            if okeys[g * PGIDX_RG_ROWS] <= hi
+            and okeys[min(n, (g + 1) * PGIDX_RG_ROWS) - 1] >= lo
+        ]
+        if rg_keep != expect_rg_keep:
+            raise ValueError(
+                f"shard {shard_id}: rg prune {rg_keep} != "
+                f"arithmetic {expect_rg_keep}"
+            )
+
+        # page ordinals are GLOBAL across groups (RG_ROWS is an exact
+        # multiple of PAGE_ROWS, so boundaries coincide)
+        pages_per_rg = PGIDX_RG_ROWS // PGIDX_PAGE_ROWS
         n_pages = (n + PGIDX_PAGE_ROWS - 1) // PGIDX_PAGE_ROWS
         expect_keep = [
             p
@@ -5163,33 +5221,53 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
             if okeys[p * PGIDX_PAGE_ROWS] <= hi
             and okeys[min(n, (p + 1) * PGIDX_PAGE_ROWS) - 1] >= lo
         ]
-        if keep != expect_keep:
+
+        # LEVEL 2 — within each surviving group, ColumnIndex page
+        # pruning + the OffsetIndex seek read; dropped groups' index
+        # bytes are never parsed, dropped pages' data never touched
+        got_ok: list = []
+        got_ck: list = []
+        keep_global: list = []
+        for gi in rg_keep:
+            cols = meta["row_groups"][gi]["columns"]
+            cidx = parse_column_index(data, cols[0])
+            if cidx["boundary_order"] != "ASCENDING":
+                raise ValueError(
+                    f"shard {shard_id}: group {gi} okey index unordered"
+                )
+            local = prune_pages(cidx, lo, hi)
+            keep_global.extend(gi * pages_per_rg + p for p in local)
+            got_ok.extend(
+                read_column(
+                    data, cols[0], leaves[0][0],
+                    pages=indexed_pages(data, cols[0], local),
+                )
+            )
+            got_ck.extend(
+                read_column(
+                    data, cols[1], leaves[1][0],
+                    pages=indexed_pages(data, cols[1], local),
+                )
+            )
+            # BYTE_ARRAY bounds: the tag column's per-page entries in
+            # this group equal the arithmetic min/max of the page
+            tidx = parse_column_index(data, cols[2])
+            for p, _np in enumerate(tidx["null_pages"]):
+                gp = gi * pages_per_rg + p
+                seg = tags[
+                    gp * PGIDX_PAGE_ROWS : (gp + 1) * PGIDX_PAGE_ROWS
+                ]
+                if tidx["min_values"][p] != min(seg).encode() or (
+                    tidx["max_values"][p] != max(seg).encode()
+                ):
+                    raise ValueError(
+                        f"shard {shard_id}: tag page {gp} bounds drifted"
+                    )
+        if keep_global != expect_keep:
             raise ValueError(
-                f"shard {shard_id}: file prune {keep} != "
+                f"shard {shard_id}: file prune {keep_global} != "
                 f"arithmetic {expect_keep}"
             )
-
-        # BYTE_ARRAY bounds: the tag column's per-page index entries
-        # must equal the arithmetic min/max of the page's strings
-        tidx = parse_column_index(data, cols[2])
-        for p in range(n_pages):
-            seg = tags[p * PGIDX_PAGE_ROWS : (p + 1) * PGIDX_PAGE_ROWS]
-            if tidx["min_values"][p] != min(seg).encode() or (
-                tidx["max_values"][p] != max(seg).encode()
-            ):
-                raise ValueError(
-                    f"shard {shard_id}: tag page {p} bounds drifted"
-                )
-
-        # the page-skip read: survivors only, okey and ckey row-aligned
-        got_ok = read_column(
-            data, cols[0], leaves[0][0],
-            pages=indexed_pages(data, cols[0], keep),
-        )
-        got_ck = read_column(
-            data, cols[1], leaves[1][0],
-            pages=indexed_pages(data, cols[1], keep),
-        )
         expect_rows = [
             v
             for p in expect_keep
@@ -5211,8 +5289,12 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
                 "n_rows": pd.Series([n], dtype="int64"),
                 "n_match": pd.Series([n_match], dtype="int64"),
                 "sum_ckey_match": pd.Series([sum_ck], dtype="int64"),
+                "n_rowgroups": pd.Series([n_rgs], dtype="int64"),
+                "n_rg_kept": pd.Series([len(rg_keep)], dtype="int64"),
                 "n_pages": pd.Series([n_pages], dtype="int64"),
-                "n_pages_kept": pd.Series([len(keep)], dtype="int64"),
+                "n_pages_kept": pd.Series(
+                    [len(keep_global)], dtype="int64"
+                ),
             }
         )
 
@@ -5226,6 +5308,8 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
             F.sum("n_rows").cast("bigint").alias("n_rows"),
             F.sum("n_match").cast("bigint").alias("n_match"),
             F.sum("sum_ckey_match").cast("bigint").alias("sum_ckey_match"),
+            F.sum("n_rowgroups").cast("bigint").alias("n_rowgroups"),
+            F.sum("n_rg_kept").cast("bigint").alias("n_rg_kept"),
             F.sum("n_pages").cast("bigint").alias("n_pages"),
             F.sum("n_pages_kept").cast("bigint").alias("n_pages_kept"),
         )
