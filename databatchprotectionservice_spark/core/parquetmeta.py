@@ -344,6 +344,17 @@ def parse_footer(data: bytes) -> dict:
         row_groups.append(
             {
                 "num_rows": _int(rg.get(3, 0), "row-group num_rows"),
+                # SortingColumn list (fid 4): declared sort order —
+                # (leaf index, descending, nulls_first) triples
+                "sorting_columns": [
+                    (
+                        _int(_struct(sc, "SortingColumn").get(1, 0),
+                             "sorting column_idx"),
+                        bool(_struct(sc, "SortingColumn").get(2, False)),
+                        bool(_struct(sc, "SortingColumn").get(3, False)),
+                    )
+                    for sc in _list(rg.get(4, []), "sorting_columns")
+                ],
                 "total_byte_size": _int(
                     rg.get(2, 0), "total_byte_size"
                 ),

@@ -9,9 +9,13 @@ compressed by OUR snappy (``core/snappycodec.py``), so a file can be
 produced end-to-end with zero third-party bytes and still be read by
 pyarrow, Spark, and DuckDB (the unit suite pins all three).
 
-Shape: one row group; each column chunk holds one V1 data page per
-``page_rows`` rows (default: everything in one page — pass the knob
-to exercise the multi-page layout real writers emit at size).
+Shape: one row group by default, or size-bounded groups via
+``row_group_rows`` (r14) — each with its own chunk Statistics,
+dictionary and page indexes, optionally declaring their sort order
+through ``sorting_columns`` (RowGroup.sorting_columns, r14); each
+column chunk holds one data page per ``page_rows`` rows (default:
+everything in one page — pass the knob to exercise the multi-page
+layout real writers emit at size).
 Since r13 chunks also carry Statistics (null_count + min_value/
 max_value under declared column_orders — the row-group pruning
 hook), admissible chunks dictionary-encode (PLAIN dictionary page +
@@ -538,6 +542,7 @@ def write_parquet(
     use_dictionary: bool = True,
     data_page_version: int = 1,
     row_group_rows: int | None = None,
+    sorting_columns: list | None = None,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
     parquet file bytes.
@@ -557,7 +562,13 @@ def write_parquet(
     size, and the unit readers plan ROW-GROUP pruning against: each
     group carries its own chunk Statistics and page indexes, so a
     selective scan drops whole groups before it ever looks at
-    pages."""
+    pages.
+
+    ``sorting_columns`` (r14) declares the rows' sort order in every
+    RowGroup (parquet-format SortingColumn): a list of
+    ``(leaf_index, descending, nulls_first)`` tuples, leaf indices in
+    chunk order.  Declaration only — the writer does NOT sort; the
+    caller asserts the order, exactly like the major writers."""
     if data_page_version not in (1, 2):
         raise ParquetWriteError(
             f"data_page_version {data_page_version} (1 or 2)"
@@ -568,6 +579,12 @@ def write_parquet(
         raise ParquetWriteError(
             f"row_group_rows {row_group_rows} must be positive"
         )
+    for sc in sorting_columns or ():
+        if not (isinstance(sc, (tuple, list)) and len(sc) == 3):
+            raise ParquetWriteError(
+                "sorting_columns entries are "
+                "(leaf_index, descending, nulls_first) triples"
+            )
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
             f"codec {codec!r} is a writer seam "
@@ -1072,12 +1089,29 @@ def write_parquet(
             (7, T_I32, m["column_index_length"]),
         ]
 
+    n_leaves = len(rg_meta[0][1])
+    sort_structs = []
+    for idx, desc, nf in sorting_columns or ():
+        if not 0 <= int(idx) < n_leaves:
+            raise ParquetWriteError(
+                f"sorting column index {idx} outside {n_leaves} leaves"
+            )
+        sort_structs.append([
+            (1, T_I32, int(idx)),
+            (2, T_TRUE, bool(desc)),
+            (3, T_TRUE, bool(nf)),
+        ])
     rg_structs = [
         [
             (1, T_LIST, (T_STRUCT, [_chunk_struct(m) for m in chunks])),
             (2, T_I64, sum(m["uncompressed"] for m in chunks)),
             (3, T_I64, rows),
         ]
+        + (
+            [(4, T_LIST, (T_STRUCT, sort_structs))]
+            if sort_structs
+            else []
+        )
         for rows, chunks in rg_meta
     ]
     footer = ThriftWriter()

@@ -1116,3 +1116,41 @@ def test_multi_row_group_nested_column():
     f = pq.ParquetFile(io.BytesIO(data))
     assert f.metadata.num_row_groups == 4
     assert f.read().column("r").to_pylist() == rows
+
+
+def test_sorting_columns_declared_and_parsed():
+    """r14: sorting_columns declares the sort order in every RowGroup
+    (SortingColumn triples) — pyarrow surfaces them and our parser
+    round-trips both directions."""
+    data = write_parquet(
+        {"a": list(range(100)), "s": [str(i) for i in range(100)]},
+        {"a": "INT64", "s": "STRING"},
+        row_group_rows=40,
+        sorting_columns=[(0, False, False)],
+    )
+    md = pq.ParquetFile(io.BytesIO(data)).metadata
+    for g in range(md.num_row_groups):
+        assert md.row_group(g).sorting_columns == (pq.SortingColumn(0),)
+    meta = parse_footer(data)
+    for rg in meta["row_groups"]:
+        assert rg["sorting_columns"] == [(0, False, False)]
+    # pyarrow-written sorting columns through OUR parser
+    import pyarrow as pa_
+
+    buf = io.BytesIO()
+    pq.write_table(
+        pa_.table({"a": [1, 2, 3]}),
+        buf,
+        sorting_columns=[pq.SortingColumn(0, descending=True)],
+    )
+    meta = parse_footer(buf.getvalue())
+    assert meta["row_groups"][0]["sorting_columns"] == [(0, True, False)]
+    # declaration is validated against the leaf count
+    from databatchprotectionservice_spark.core.parquetwrite import (
+        ParquetWriteError,
+    )
+
+    with pytest.raises(ParquetWriteError):
+        write_parquet(
+            {"a": [1]}, {"a": "INT64"}, sorting_columns=[(5, False, False)]
+        )
