@@ -5161,6 +5161,8 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
             page_rows=PGIDX_PAGE_ROWS,
             data_page_version=dpv,
             row_group_rows=PGIDX_RG_ROWS,
+            # the rows ARE okey-sorted; declare it (SortingColumn)
+            sorting_columns=[(0, False, False)],
         )
         n = len(okeys)
         lo = okeys[(n * 2) // 5]
