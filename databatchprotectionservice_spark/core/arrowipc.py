@@ -92,7 +92,13 @@ compresses the logical column into (run_ends, values) children —
 and Map encodes through the List<entries-struct> layout with
 [(key, value), ...] rows — all pinned against pyarrow strict
 reads.  No Schema.fbs type tag remains decode-only or encode-only.
-Only non-BUFFER compression
+Compressed bodies ENCODE too (r14): ``compression="lz4"|"zstd"``
+on either encoder BodyCompression-frames every record and
+dictionary batch buffer — LZ4 frames written by
+``core/lz4codec.py``'s from-scratch frame writer, ZSTD through the
+compression layer, with the spec's ``-1`` stored-raw escape for
+incompressible buffers — so the codec matrix is symmetric with the
+reader.  Only non-BUFFER compression
 methods and unknown/corrupt tags raise
 :class:`ArrowIpcFormatError`, in the same style as the other
 codecs' unsupported paths.
@@ -2209,11 +2215,40 @@ def _emit_column(spec: FieldSpec, col: list, nodes: list, emit_buf,
         emit_buf(raw)
 
 
+#: BodyCompression codec ids (Message.fbs CompressionType)
+_BODY_CODECS = {"lz4": 0, "zstd": 1}
+
+
+def _compress_body_buffer(raw: bytes, compression: str) -> bytes:
+    """One buffer's stored region under BUFFER-method BodyCompression:
+    ``[i64 uncompressed length][frame]``, or ``[-1][raw]`` when the
+    frame would not shrink it (the spec's stored-raw escape, which
+    :func:`_decode_rb_table` and pyarrow both honor)."""
+    if compression == "lz4":
+        # LZ4 FRAME format through the in-house frame writer
+        from .lz4codec import lz4_frame_compress
+
+        frame = lz4_frame_compress(raw)
+    else:  # zstd frame via the compression layer (parquetwrite.py
+        # precedent: pyarrow-backed compress, from-scratch decode twin)
+        from .compression import compress
+        from .types import CompressionCodec
+
+        frame = compress(raw, CompressionCodec.ZSTD)
+    if len(frame) >= len(raw):
+        return struct.pack("<q", -1) + raw
+    return struct.pack("<q", len(raw)) + frame
+
+
 def _rb_table(b: "_Builder", fields: list[FieldSpec],
-              columns: list[list]) -> tuple[int, bytes]:
+              columns: list[list],
+              compression: str | None = None) -> tuple[int, bytes]:
     """Build a RecordBatch flatbuffers TABLE in ``b`` for the given
     columns; returns (table offset, body bytes).  Shared by record
-    batch and dictionary batch messages."""
+    batch and dictionary batch messages.  With ``compression`` set
+    ("lz4" | "zstd"), every non-empty buffer body is stored in the
+    BUFFER-method framing and the table carries a BodyCompression
+    child (slot 3)."""
     length = len(columns[0]) if columns else 0
     node_list: list[tuple[int, int]] = []
     buf_meta = []
@@ -2221,6 +2256,8 @@ def _rb_table(b: "_Builder", fields: list[FieldSpec],
     body = bytearray()
 
     def emit_buf(raw: bytes) -> None:
+        if compression is not None and len(raw) > 0:
+            raw = _compress_body_buffer(raw, compression)
         off = len(body)
         body.extend(raw)
         body.extend(b"\x00" * ((-len(body)) % 8))
@@ -2242,10 +2279,20 @@ def _rb_table(b: "_Builder", fields: list[FieldSpec],
     if variadic:
         vraw = b"".join(struct.pack("<q", n) for n in variadic)
         vvec = b.create_struct_vector(vraw, len(variadic), 8)
+    comp = None
+    if compression is not None:
+        # BodyCompression { codec: CompressionType; method:
+        # BodyCompressionMethod } — method BUFFER (0) stays default;
+        # codec is force-written (default sentinel -1) so the table is
+        # self-describing even for LZ4_FRAME (= 0)
+        b.start_table()
+        b.add_scalar(0, "<b", _BODY_CODECS[compression], -1)
+        comp = b.end_table()
     b.start_table()
     b.add_scalar(0, "<q", length, 0)
     b.add_offset(1, nvec)
     b.add_offset(2, bvec)
+    b.add_offset(3, comp)
     b.add_offset(4, vvec)
     return b.end_table(), bytes(body)
 
@@ -2259,7 +2306,8 @@ def _index_spec(spec: FieldSpec) -> FieldSpec:
     )
 
 
-def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
+def _batch_message(fields: list[FieldSpec], columns: list[list],
+                   compression: str | None = None) -> bytes:
     # dictionary-encoded fields carry indices in record batches; the
     # caller (encode_arrow_ipc / encode_arrow_stream) has already
     # mapped values -> indices and passes index columns here
@@ -2267,7 +2315,7 @@ def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
         _index_spec(f) if f.dict_id is not None else f for f in fields
     ]
     b = _Builder()
-    rb, body = _rb_table(b, layout, columns)
+    rb, body = _rb_table(b, layout, columns, compression)
     b.start_table()
     b.add_scalar(0, "<h", _METADATA_V5, 0)
     b.add_scalar(1, "<B", _MSG_RECORD_BATCH, 0)
@@ -2277,12 +2325,13 @@ def _batch_message(fields: list[FieldSpec], columns: list[list]) -> bytes:
 
 
 def _dictionary_message(
-    value_spec: FieldSpec, values: list, dict_id: int
+    value_spec: FieldSpec, values: list, dict_id: int,
+    compression: str | None = None,
 ) -> bytes:
     """One DictionaryBatch message: the dictionary VALUES as a
     single-column record batch wrapped with the id."""
     b = _Builder()
-    rb, body = _rb_table(b, [value_spec], [values])
+    rb, body = _rb_table(b, [value_spec], [values], compression)
     b.start_table()
     b.add_scalar(0, "<q", dict_id, 0)
     b.add_offset(1, rb)
@@ -2338,8 +2387,17 @@ def _dictionary_plan(
     return dicts, out_batches
 
 
+def _check_compression(compression: str | None) -> None:
+    if compression is not None and compression not in _BODY_CODECS:
+        raise ArrowIpcFormatError(
+            f"unsupported body compression {compression!r} "
+            "(None, 'lz4' or 'zstd')"
+        )
+
+
 def encode_arrow_ipc(
-    fields: list[FieldSpec], batches: list[list[list]]
+    fields: list[FieldSpec], batches: list[list[list]],
+    compression: str | None = None,
 ) -> bytes:
     """Encode columns as a complete Arrow IPC FILE (Feather V2).
 
@@ -2348,10 +2406,14 @@ def encode_arrow_ipc(
     ``index_type`` set dictionary-encodes (r13): the encoder builds
     the value dictionary across all batches (first-seen order), emits
     one DictionaryBatch per id before the record batches, and record
-    batches carry indices.  Output is readable by pyarrow's
-    ``ipc.open_file`` (the referee the tests drive) and by
-    :func:`read_arrow_ipc`.
+    batches carry indices.  With ``compression`` ("lz4" | "zstd",
+    r14) every record AND dictionary batch body is BodyCompression
+    BUFFER-framed — LZ4 frames by ``core/lz4codec.py``'s from-scratch
+    writer, ZSTD through the compression layer.  Output is readable
+    by pyarrow's ``ipc.open_file`` (the referee the tests drive) and
+    by :func:`read_arrow_ipc`.
     """
+    _check_compression(compression)
     for columns in batches:
         if len(columns) != len(fields):
             raise ArrowIpcFormatError(
@@ -2370,12 +2432,12 @@ def encode_arrow_ipc(
 
     dict_blocks = []
     for did, value_spec, vals in dicts:
-        msg = _dictionary_message(value_spec, vals, did)
+        msg = _dictionary_message(value_spec, vals, did, compression)
         dict_blocks.append(_block(msg))
         out += msg
     blocks = []
     for columns in batches:
-        msg = _batch_message(fields, columns)
+        msg = _batch_message(fields, columns, compression)
         blocks.append(_block(msg))
         out += msg
     out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream marker
@@ -2407,13 +2469,17 @@ def encode_arrow_ipc(
 
 
 def encode_arrow_stream(
-    fields: list[FieldSpec], batches: list[list[list]]
+    fields: list[FieldSpec], batches: list[list[list]],
+    compression: str | None = None,
 ) -> bytes:
     """Encode columns as an Arrow IPC STREAM (footer-less wire
     format): Schema message, DictionaryBatch messages for any
     dictionary-encoded fields, one RecordBatch message per batch,
-    then the end-of-stream marker.  Readable by pyarrow's
+    then the end-of-stream marker.  ``compression`` ("lz4" | "zstd")
+    BodyCompression-frames every batch body, as in
+    :func:`encode_arrow_ipc`.  Readable by pyarrow's
     ``ipc.open_stream`` and by :func:`read_arrow_stream`."""
+    _check_compression(compression)
     for columns in batches:
         if len(columns) != len(fields):
             raise ArrowIpcFormatError(
@@ -2423,8 +2489,8 @@ def encode_arrow_stream(
     dicts, batches = _dictionary_plan(fields, batches)
     out = bytearray(_schema_message(fields))
     for did, value_spec, vals in dicts:
-        out += _dictionary_message(value_spec, vals, did)
+        out += _dictionary_message(value_spec, vals, did, compression)
     for columns in batches:
-        out += _batch_message(fields, columns)
+        out += _batch_message(fields, columns, compression)
     out += struct.pack("<Ii", _CONTINUATION, 0)  # end-of-stream
     return bytes(out)

@@ -1408,3 +1408,96 @@ def test_encode_map_pyarrow_referee():
     assert read_arrow_ipc(data)["batches"][0]["columns"][0] == maps
     with pytest.raises(DBPSInvalidInputError):
         encode_arrow_ipc(fields, [[[[("k", 1), (None, 2)]]]])  # null key
+
+
+# -- r14: encoder-side BodyCompression ---------------------------------
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd"])
+@pytest.mark.parametrize("framing", ["file", "stream"])
+def test_encoder_compressed_bodies_both_referees(codec, framing):
+    """Our compressing encoder -> pyarrow AND our own reader.  Covers
+    nullable ints, strings (offsets + data buffers), floats; multiple
+    batches; and verifies the blob actually shrank."""
+    from databatchprotectionservice_spark.core.arrowipc import (
+        encode_arrow_stream,
+        read_arrow_stream,
+    )
+
+    fields = [
+        FieldSpec("i", True, "int64", 64),
+        FieldSpec("s", True, "utf8", 0),
+        FieldSpec("f", False, "float64", 64),
+    ]
+    batches = [
+        [
+            [1, 2, None, 4] * 64,
+            ["abc", "de", None, "x" * 48] * 64,
+            [0.5, 1.25, 2.0, 3.75] * 64,
+        ],
+        [[9, 8, 7], ["zz", "yy", None], [1.0, 2.0, 3.0]],
+    ]
+    if framing == "file":
+        blob = encode_arrow_ipc(fields, batches, compression=codec)
+        plain = encode_arrow_ipc(fields, batches)
+        t = pa.ipc.open_file(io.BytesIO(blob)).read_all()
+        ours = read_arrow_ipc(blob)
+    else:
+        blob = encode_arrow_stream(fields, batches, compression=codec)
+        plain = encode_arrow_stream(fields, batches)
+        t = pa.ipc.open_stream(io.BytesIO(blob)).read_all()
+        ours = read_arrow_stream(blob)
+    assert len(blob) < len(plain)  # repetitive data must shrink
+    t.validate(full=True)
+    assert t.num_rows == 259
+    want = [
+        batches[0][i] + batches[1][i] for i in range(len(fields))
+    ]
+    assert [t.column(i).to_pylist() for i in range(3)] == want
+    got = [[], [], []]
+    for bt in ours["batches"]:
+        for i, col in enumerate(bt["columns"]):
+            got[i].extend(col)
+    assert got == want
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd"])
+def test_encoder_compressed_dictionary_batches(codec):
+    """DictionaryBatch bodies compress too; pyarrow resolves the
+    dictionary through the compressed body."""
+    fields = [
+        FieldSpec("d", True, "utf8", 0, dict_id=0, index_type="int32"),
+    ]
+    col = (["alpha" * 20, "beta" * 20, None, "alpha" * 20] * 32)
+    blob = encode_arrow_ipc(fields, [[col]], compression=codec)
+    t = pa.ipc.open_file(io.BytesIO(blob)).read_all()
+    t.validate(full=True)
+    assert t.column("d").to_pylist() == col
+    assert read_arrow_ipc(blob)["batches"][0]["columns"][0] == col
+
+
+def test_encoder_compression_stored_raw_escape():
+    """Incompressible buffers take the -1 stored-raw escape and still
+    read back exactly (both referees)."""
+    import os as _os
+
+    rnd = _os.urandom(4096)  # incompressible
+    vals = [rnd[i: i + 16] for i in range(0, 4096, 16)]
+    fields = [FieldSpec("raw", False, "binary", 0)]
+    blob = encode_arrow_ipc(fields, [[vals]], compression="lz4")
+    t = pa.ipc.open_file(io.BytesIO(blob)).read_all()
+    assert t.column("raw").to_pylist() == vals
+    assert read_arrow_ipc(blob)["batches"][0]["columns"][0] == vals
+
+
+def test_encoder_compression_empty_and_unknown():
+    """Zero-length buffers are stored bare (no length prefix), per the
+    reader's own convention; an unknown codec name raises the domain
+    error before any encoding happens."""
+    fields = [FieldSpec("i", True, "int64", 64)]
+    blob = encode_arrow_ipc(fields, [[[]]], compression="zstd")
+    t = pa.ipc.open_file(io.BytesIO(blob)).read_all()
+    assert t.num_rows == 0
+    assert read_arrow_ipc(blob)["batches"][0]["columns"][0] == []
+    with pytest.raises(DBPSInvalidInputError):
+        encode_arrow_ipc(fields, [[[1]]], compression="snappy")

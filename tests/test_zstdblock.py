@@ -238,12 +238,23 @@ def test_huffman_invalid_weights_raise():
         # weights [1,1,1,1,1]: total 5 -> table 8 -> rest 3, not a
         # power of two -> no implicit last weight exists
         read_huffman_weights(bytes([127 + 5, 0x11, 0x11, 0x10]))
-    with pytest.raises(ZstdFormatError, match="complete"):
-        # weights [2,2,2,2]: total 8 IS the table -> rest 0, but the
-        # implicit last symbol must exist
-        read_huffman_weights(bytes([127 + 4, 0x22, 0x22]))
     with pytest.raises(ZstdFormatError, match="weight"):
         read_huffman_weights(bytes([127 + 2, (12 << 4) | 1]))
+
+
+def test_huffman_power_of_two_explicit_sum_doubles_table():
+    """RFC 8878 §4.2.1.1: tableLog = highbit(total) + 1 — when the
+    explicit weights already sum to an exact power of two the table
+    still DOUBLES and the implicit symbol takes the whole other half.
+    pyarrow's zstd encoder emits the one-explicit-weight case for
+    two-symbol literal alphabets (r14 regression: the int32 index
+    buffer of a dictionary-encoded IPC column)."""
+    # one explicit weight 1: total 1 -> table 2 -> implicit weight 1
+    w, used = read_huffman_weights(bytes([127 + 1, 0x10]))
+    assert (w, used) == ([1, 1], 2)
+    # weights [2,2,2,2]: total 8 -> table 16 -> implicit weight 4
+    w, used = read_huffman_weights(bytes([127 + 4, 0x22, 0x22]))
+    assert (w, used) == ([2, 2, 2, 2, 4], 3)
 
 
 def test_treeless_without_history_raises():
