@@ -5605,3 +5605,276 @@ def ingest_arrow_dict_views(spark, sf_dir) -> DataFrame:
         )
         .orderBy("et")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 staged: BodyCompression through the Arrow IPC codec, both
+# framings x both codecs x both writers
+# ---------------------------------------------------------------------------
+
+#: orderkey-range shard width (>= 8 shards even at sf0.001 so every
+#: (framing, codec, writer) combo is exercised at every scale)
+ACMP_SHARD = 128
+
+ARROW_COMPRESSED_ORACLE = f"""
+        WITH l AS (
+            SELECT l_orderkey * 8 + l_linenumber AS oid,
+                   l_orderkey // {ACMP_SHARD} AS shard_id,
+                   l_quantity AS qty,
+                   l_returnflag AS flag
+            FROM lineitem
+            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+              AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
+        ), r AS (
+            SELECT shard_id, shard_id % 8 AS combo, oid, qty, flag,
+                   CASE WHEN oid % 7 = 0 THEN NULL
+                        ELSE 6 + length(CAST(oid AS VARCHAR))
+                             + (oid % 23) END AS comlen
+            FROM l
+        ), sh AS (
+            SELECT combo, shard_id,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN comlen IS NULL THEN 1 ELSE 0 END)
+                       AS n_null_com,
+                   sum(COALESCE(comlen, 0)) AS sum_com_len,
+                   sum(CAST(floor(qty * 100 + 0.5) AS BIGINT))
+                       AS sum_qty_cents,
+                   count(DISTINCT flag) AS n_flags,
+                   max(oid) AS max_oid
+            FROM r GROUP BY 1, 2
+        )
+        SELECT combo,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(n_null_com) AS BIGINT) AS n_null_com,
+               CAST(sum(sum_com_len) AS BIGINT) AS sum_com_len,
+               CAST(sum(sum_qty_cents) AS BIGINT) AS sum_qty_cents,
+               CAST(sum(n_flags) AS BIGINT) AS sum_shard_flags,
+               CAST(max(max_oid) AS BIGINT) AS max_oid
+        FROM sh GROUP BY combo ORDER BY combo
+"""
+
+_ACMP_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("combo", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_null_com", T.LongType()),
+        T.StructField("sum_com_len", T.LongType()),
+        T.StructField("sum_qty_cents", T.LongType()),
+        T.StructField("n_flags", T.LongType()),
+        T.StructField("max_oid", T.LongType()),
+    ]
+)
+
+
+def ingest_arrow_compressed(spark, sf_dir) -> DataFrame:
+    """BodyCompression-framed Arrow IPC bodies through BOTH codecs
+    (LZ4_FRAME, ZSTD), BOTH framings (file, stream) and BOTH writers
+    (ours, pyarrow's) — the r14 encoder-side compression under the
+    driver gate.
+
+    Each orderkey-range shard of ``lineitem`` derives four columns
+    (unique ``oid``, ``qty``, a dictionary-encoded ``flag``, a
+    nullable synthesized ``com`` string whose repetitiveness
+    guarantees real compression).  ``shard_id % 8`` picks the combo:
+    codec = lz4/zstd (bit 0), framing = file/stream (bit 1), writer =
+    ours/pyarrow (bit 2).  Ours-writes shards: our compressing
+    encoder emits the blob, the shard ASSERTS it is smaller than our
+    uncompressed encoding (the compression engaged — not the -1
+    stored-raw escape), pyarrow strict-reads it as referee and our
+    reader closes the loop.  Pyarrow-writes shards:
+    ``IpcWriteOptions(compression=...)`` emits the blob and OUR
+    reader decodes it.  Every decoded column is asserted equal to the
+    arithmetic reconstruction; the DuckDB oracle restates the
+    per-combo aggregates from ``lineitem`` directly, so all eight
+    codec paths are hash-gated every round.
+
+    100 TB: one shuffle on shard_id; Arrow-batched Python; shard
+    count grows linearly with the data and each shard's state is a
+    few hundred rows.
+    """
+    import io
+    import math
+
+    import pyarrow as pa_
+    import pyarrow.ipc as pa_ipc
+
+    from ..core.arrowipc import (
+        FieldSpec,
+        encode_arrow_ipc,
+        encode_arrow_stream,
+        read_arrow_ipc,
+        read_arrow_stream,
+    )
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "lineitem")
+        .where(
+            F.col("l_orderkey").isNotNull()
+            & F.col("l_linenumber").isNotNull()
+            & F.col("l_quantity").isNotNull()
+            & F.col("l_returnflag").isNotNull()
+        )
+        .select(
+            (F.col("l_orderkey") * 8 + F.col("l_linenumber")).alias(
+                "oid"
+            ),
+            F.col("l_quantity").alias("qty"),
+            F.col("l_returnflag").alias("flag"),
+            F.expr(f"l_orderkey div {ACMP_SHARD}").alias("shard_id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "shard_id")
+    )
+
+    def _com(oid: int):
+        if oid % 7 == 0:
+            return None
+        return f"note-{oid}-" + "y" * (oid % 23)
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("oid")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        combo = shard_id % 8
+        codec = "lz4" if combo % 2 == 0 else "zstd"
+        use_file = (combo // 2) % 2 == 0
+        ours_write = combo < 4
+        # oids are NOT unique (the synthetic lineitem repeats
+        # (orderkey, linenumber)); nothing below depends on it —
+        # every assert compares the decode against the same sorted
+        # order the encode consumed
+        oids = [int(v) for v in pdf["oid"]]
+        qtys = [float(v) for v in pdf["qty"]]
+        flags = [str(v) for v in pdf["flag"]]
+        coms = [_com(k) for k in oids]
+
+        if ours_write:
+            fields = [
+                FieldSpec("oid", False, "int64", 64),
+                FieldSpec("qty", False, "float64", 64),
+                FieldSpec(
+                    "flag", True, "utf8", 0,
+                    dict_id=1, index_type="int32",
+                ),
+                FieldSpec("com", True, "utf8", 0),
+            ]
+            chunks = [
+                [
+                    oids[at: at + ASTREAM_CHUNK],
+                    qtys[at: at + ASTREAM_CHUNK],
+                    flags[at: at + ASTREAM_CHUNK],
+                    coms[at: at + ASTREAM_CHUNK],
+                ]
+                for at in range(0, len(oids), ASTREAM_CHUNK)
+            ]
+            enc = encode_arrow_ipc if use_file else encode_arrow_stream
+            own = enc(fields, chunks, compression=codec)
+            plain = enc(fields, chunks)
+            if len(own) >= len(plain):
+                raise ValueError(
+                    f"shard {shard_id}: {codec} blob did not shrink "
+                    f"({len(own)} >= {len(plain)})"
+                )
+            opener = pa_ipc.open_file if use_file else pa_ipc.open_stream
+            ref = opener(io.BytesIO(own)).read_all()
+            ref.validate(full=True)
+            if not pa_.types.is_dictionary(
+                ref.schema.field("flag").type
+            ):
+                raise ValueError(
+                    f"shard {shard_id}: flag lost its dictionary"
+                )
+            col = {
+                name: ref.column(name).to_pylist()
+                for name in ("oid", "qty", "flag", "com")
+            }
+            reader = read_arrow_ipc if use_file else read_arrow_stream
+            got = reader(own)
+            own_cols = {
+                name: [
+                    v for b in got["batches"] for v in b["columns"][ci]
+                ]
+                for ci, name in enumerate(("oid", "qty", "flag", "com"))
+            }
+            if own_cols != col:
+                raise ValueError(
+                    f"shard {shard_id}: own-reader disagrees with "
+                    "pyarrow on own bytes"
+                )
+        else:
+            t = pa_.table(
+                {
+                    "oid": pa_.array(oids, pa_.int64()),
+                    "qty": pa_.array(qtys, pa_.float64()),
+                    "flag": pa_.array(flags).dictionary_encode(),
+                    "com": pa_.array(coms, pa_.string()),
+                }
+            )
+            opts = pa_ipc.IpcWriteOptions(compression=codec)
+            buf = io.BytesIO()
+            writer_cls = (
+                pa_ipc.new_file if use_file else pa_ipc.new_stream
+            )
+            with writer_cls(buf, t.schema, options=opts) as w:
+                for b in t.to_batches(max_chunksize=ASTREAM_CHUNK):
+                    w.write_batch(b)
+            blob = buf.getvalue()
+            reader = read_arrow_ipc if use_file else read_arrow_stream
+            got = reader(blob)
+            col = {
+                name: [
+                    v for b in got["batches"] for v in b["columns"][ci]
+                ]
+                for ci, name in enumerate(("oid", "qty", "flag", "com"))
+            }
+        if col["oid"] != oids:
+            raise ValueError(f"shard {shard_id}: oid drifted")
+        if col["qty"] != qtys:
+            raise ValueError(f"shard {shard_id}: qty drifted")
+        if col["flag"] != flags:
+            raise ValueError(f"shard {shard_id}: flag drifted")
+        if col["com"] != coms:
+            raise ValueError(f"shard {shard_id}: com drifted")
+        return pd.DataFrame(
+            {
+                "combo": pd.Series([combo], dtype="int64"),
+                "n_rows": pd.Series([len(oids)], dtype="int64"),
+                "n_null_com": pd.Series(
+                    [sum(1 for v in coms if v is None)], dtype="int64"
+                ),
+                "sum_com_len": pd.Series(
+                    [sum(len(v) for v in coms if v is not None)],
+                    dtype="int64",
+                ),
+                "sum_qty_cents": pd.Series(
+                    [
+                        sum(
+                            int(math.floor(q * 100 + 0.5))
+                            for q in qtys
+                        )
+                    ],
+                    dtype="int64",
+                ),
+                "n_flags": pd.Series([len(set(flags))], dtype="int64"),
+                "max_oid": pd.Series([max(oids)], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("shard_id").applyInPandas(
+        _shard, _ACMP_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("combo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_null_com").cast("bigint").alias("n_null_com"),
+            F.sum("sum_com_len").cast("bigint").alias("sum_com_len"),
+            F.sum("sum_qty_cents").cast("bigint").alias(
+                "sum_qty_cents"
+            ),
+            F.sum("n_flags").cast("bigint").alias("sum_shard_flags"),
+            F.max("max_oid").cast("bigint").alias("max_oid"),
+        )
+        .orderBy("combo")
+    )

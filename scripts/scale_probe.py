@@ -157,6 +157,9 @@ QUERIES = [
     # r14 staged: dict/view/REE arrow stream roundtrip (events-driven;
     # user_id shards replicate 10x with shifted keys)
     "ingest_arrow_dict_views",
+    # r14 staged: BodyCompression IPC bodies (lineitem-driven; shard
+    # count scales with orderkey range, per-shard codec work is flat)
+    "ingest_arrow_compressed",
 ]
 
 

@@ -932,3 +932,22 @@ def test_arrow_dict_views_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_arrow_compressed_one_shard_shuffle(spark, sf_dir):
+    """ingest_arrow_compressed (r14 staged): one shard_id exchange
+    into grouped pandas plus the tiny per-combo aggregate; no joins,
+    no windows — all eight (codec, framing, writer) paths live inside
+    the UDF."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_arrow_compressed,
+    )
+
+    plan = _plan(ingest_arrow_compressed(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
