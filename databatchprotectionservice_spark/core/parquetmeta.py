@@ -164,6 +164,14 @@ def _column_chunk(raw) -> dict:
             _int(m[11], "dictionary_page_offset") if 11 in m else None
         ),
         "statistics": _statistics(m.get(12), TYPE_NAMES[ptype]),
+        # split-block Bloom filter pointers (ColumnMetaData fids
+        # 14/15, BloomFilter.md) — parse_bloom_filter dereferences
+        "bloom_filter_offset": (
+            _int(m[14], "bloom_filter_offset") if 14 in m else None
+        ),
+        "bloom_filter_length": (
+            _int(m[15], "bloom_filter_length") if 15 in m else None
+        ),
     }
 
 
@@ -311,6 +319,48 @@ def parse_offset_index(data: bytes, column: dict) -> list | None:
             }
         )
     return locs
+
+
+def parse_bloom_filter(data: bytes, column: dict):
+    """ColumnMetaData's split-block Bloom filter -> a queryable
+    :class:`~.bloomfilter.SplitBlockBloomFilter`, or None when the
+    chunk carries none.
+
+    Layout (BloomFilter.md): ``BloomFilterHeader`` (numBytes fid 1 +
+    the algorithm/hash/compression unions, fids 2-4) immediately
+    followed by the raw bitset.  Only the published singleton union
+    arms (SPLIT_BLOCK / XXHASH / UNCOMPRESSED — each fid 1) are
+    accepted; an unknown arm is an unsupported filter, refused rather
+    than mis-hashed."""
+    from .bloomfilter import SplitBlockBloomFilter
+
+    off = column.get("bloom_filter_offset")
+    if off is None:
+        return None
+    if not 0 <= off < len(data):
+        raise ParquetFormatError("bloom filter offset outside the file")
+    r = ThriftReader(data, off)
+    try:
+        s = r.read_struct()
+    except ThriftFormatError as e:
+        raise ParquetFormatError(f"bloom header: {e}") from None
+    num_bytes = _int(s.get(1, -1), "bloom numBytes")
+    for fid, what in ((2, "algorithm"), (3, "hash"), (4, "compression")):
+        union = _struct(s.get(fid, {}), f"bloom {what}")
+        if list(union) != [1]:
+            raise ParquetFormatError(
+                f"unsupported bloom {what} arm {sorted(union)}"
+            )
+    if num_bytes <= 0 or r.pos + num_bytes > len(data):
+        raise ParquetFormatError("bloom bitset escapes the file")
+    ln = column.get("bloom_filter_length")
+    if ln is not None and (r.pos - off) + num_bytes != ln:
+        raise ParquetFormatError(
+            "bloom_filter_length disagrees with header + bitset"
+        )
+    return SplitBlockBloomFilter.from_bytes(
+        data[r.pos : r.pos + num_bytes]
+    )
 
 
 def parse_footer(data: bytes) -> dict:

@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import struct
 
+from .bloomfilter import SplitBlockBloomFilter
 from .errors import DBPSInvalidInputError
 from .snappycodec import snappy_compress
 from .thriftcodec import (
@@ -543,6 +544,7 @@ def write_parquet(
     data_page_version: int = 1,
     row_group_rows: int | None = None,
     sorting_columns: list | None = None,
+    bloom_filter_columns: list | None = None,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
     parquet file bytes.
@@ -568,7 +570,16 @@ def write_parquet(
     RowGroup (parquet-format SortingColumn): a list of
     ``(leaf_index, descending, nulls_first)`` tuples, leaf indices in
     chunk order.  Declaration only — the writer does NOT sort; the
-    caller asserts the order, exactly like the major writers."""
+    caller asserts the order, exactly like the major writers.
+
+    ``bloom_filter_columns`` (r14) emits one split-block Bloom filter
+    per ROW-GROUP CHUNK of each named flat column
+    (``core/bloomfilter.py``: XXH64 over the PLAIN value bytes, the
+    BloomFilter.md block layout), sized from the chunk's exact
+    distinct count at ~10 bits/value, serialized as
+    ``BloomFilterHeader`` + bitset with ``ColumnMetaData`` fids 14/15
+    pointing at it — the structure equality scans prune row groups
+    through."""
     if data_page_version not in (1, 2):
         raise ParquetWriteError(
             f"data_page_version {data_page_version} (1 or 2)"
@@ -596,6 +607,12 @@ def write_parquet(
     n_rows = len(columns[names[0]])
     if any(len(columns[c]) != n_rows for c in names):
         raise ParquetWriteError("columns disagree on row count")
+    bloom_cols = set(bloom_filter_columns or ())
+    if bloom_cols - set(names):
+        raise ParquetWriteError(
+            f"bloom columns {sorted(bloom_cols - set(names))} not in "
+            "the schema"
+        )
 
     def leaf_ptype(logical: str) -> str:
         ptype = _LOGICAL.get(logical, logical)
@@ -911,6 +928,11 @@ def write_parquet(
             or (is_list and inner.startswith("LIST<"))
         )
 
+        if name in bloom_cols and (nested or is_list):
+            raise ParquetWriteError(
+                f"bloom column {name!r} must be a flat scalar "
+                "(nested/LIST chunks have no single-value hash input)"
+            )
         if nested:
             # arbitrary struct/list nesting through the generic
             # inverse-Dremel striper (flat and simple LIST<prim>
@@ -995,10 +1017,17 @@ def write_parquet(
             path = [name]
 
         def write_flat(slice_vals, stripe=stripe, ptype=ptype,
-                       path=path):
+                       path=path, name=name):
             meta = write_leaf_pages(slice_vals, stripe, ptype)
             meta["path"] = path
             meta["ptype"] = ptype
+            if name in bloom_cols:
+                present = [v for v in slice_vals if v is not None]
+                ndv = len(set(present))
+                f = SplitBlockBloomFilter.for_ndv(max(ndv, 1))
+                for v in present:
+                    f.insert(v, ptype)
+                meta["_bloom"] = f
             return [meta]
 
         col_writers.append((values, write_flat))
@@ -1054,6 +1083,30 @@ def write_parquet(
         m["offset_index_length"] = len(blob)
         out += blob
 
+    # --- bloom filters -----------------------------------------------
+    # BloomFilterHeader (numBytes + the three singleton unions:
+    # algorithm=BLOCK, hash=XXHASH, compression=UNCOMPRESSED) followed
+    # by the raw bitset; ColumnMetaData fids 14/15 point here.
+    for m in chunk_meta:
+        f = m.pop("_bloom", None)
+        if f is None:
+            continue
+        bitset = f.to_bytes()
+        w = ThriftWriter()
+        w.write_struct(
+            [
+                (1, T_I32, len(bitset)),
+                (2, T_STRUCT, [(1, T_STRUCT, [])]),  # SPLIT_BLOCK
+                (3, T_STRUCT, [(1, T_STRUCT, [])]),  # XXHASH
+                (4, T_STRUCT, [(1, T_STRUCT, [])]),  # UNCOMPRESSED
+            ]
+        )
+        header = w.getvalue()
+        m["bloom_filter_offset"] = len(out)
+        m["bloom_filter_length"] = len(header) + len(bitset)
+        out += header
+        out += bitset
+
     # --- footer ------------------------------------------------------
     def _chunk_struct(m):
         path = [p.encode("utf-8") for p in m["path"]]
@@ -1080,6 +1133,9 @@ def write_parquet(
         if m["dict_page_offset"] is not None:
             cmeta.append((11, T_I64, m["dict_page_offset"]))
         cmeta.append((12, T_STRUCT, stats))
+        if "bloom_filter_offset" in m:
+            cmeta.append((14, T_I64, m["bloom_filter_offset"]))
+            cmeta.append((15, T_I32, m["bloom_filter_length"]))
         return [
             (2, T_I64, m["offset"]),         # file_offset
             (3, T_STRUCT, cmeta),
