@@ -5878,3 +5878,241 @@ def ingest_arrow_compressed(spark, sf_dir) -> DataFrame:
         )
         .orderBy("combo")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 staged: split-block Bloom filter row-group pruning, oracle-gated
+# ---------------------------------------------------------------------------
+
+#: okey-range shard width for the bloom query (with the status split,
+#: ~4 row groups per shard file at the 128-row group bound)
+BLF_SHARD = 4096
+BLF_RG_ROWS = 128
+BLF_PROBES = 12
+
+#: the probe keys are DERIVED (1 + (shard*7919 + i*104729) mod the
+#: shard's max custkey), so the oracle regenerates them exactly; the
+#: bloom DECISIONS are gated in-UDF (no false negative vs a full
+#: verification scan, bloom-guided results == full-scan results,
+#: pruning must actually engage), the found VALUES are gated here.
+PARQUET_BLOOM_PRUNE_ORACLE = f"""
+        WITH e AS (
+            SELECT o_orderstatus AS st,
+                   o_orderkey AS okey,
+                   o_custkey AS ckey,
+                   o_orderkey // {BLF_SHARD} AS shard_id
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_orderkey >= 0
+              AND o_custkey IS NOT NULL AND o_custkey >= 1
+              AND o_orderstatus IS NOT NULL
+        ), mx AS (
+            SELECT st, shard_id, max(ckey) AS m, count(*) AS n_rows
+            FROM e GROUP BY 1, 2
+        ), pd AS (
+            SELECT DISTINCT st, shard_id,
+                   1 + (shard_id * 7919 + t.i * 104729) % m AS key
+            FROM mx CROSS JOIN range(0, {BLF_PROBES}) t(i)
+        ), f AS (
+            SELECT pd.st, pd.shard_id, pd.key,
+                   count(e.okey) AS n_found,
+                   COALESCE(sum(e.okey), 0) AS sum_okey
+            FROM pd LEFT JOIN e
+              ON e.st = pd.st AND e.shard_id = pd.shard_id
+             AND e.ckey = pd.key
+            GROUP BY 1, 2, 3
+        ), sh AS (
+            SELECT st, shard_id,
+                   count(*) AS n_probes,
+                   sum(CASE WHEN n_found > 0 THEN 1 ELSE 0 END)
+                       AS n_hit,
+                   sum(n_found) AS n_found,
+                   sum(sum_okey) AS sum_okey_found
+            FROM f GROUP BY 1, 2
+        )
+        SELECT mx.st AS st,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(mx.n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(sh.n_probes) AS BIGINT) AS n_probes,
+               CAST(sum(sh.n_hit) AS BIGINT) AS n_hit_probes,
+               CAST(sum(sh.n_found) AS BIGINT) AS n_found,
+               CAST(sum(sh.sum_okey_found) AS BIGINT) AS sum_okey_found
+        FROM mx JOIN sh
+          ON mx.st = sh.st AND mx.shard_id = sh.shard_id
+        GROUP BY mx.st ORDER BY mx.st
+"""
+
+_BLF_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("st", T.StringType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_probes", T.LongType()),
+        T.StructField("n_hit", T.LongType()),
+        T.StructField("n_found", T.LongType()),
+        T.StructField("sum_okey", T.LongType()),
+    ]
+)
+
+
+def parquet_bloom_prune_real(spark, sf_dir) -> DataFrame:
+    """Split-block Bloom filter pruning with no black box (r14).
+
+    Each (o_orderstatus, okey-range shard) group of ``orders`` is
+    written as a parquet file by ``core/parquetwrite.py`` with one
+    SBBF per ckey row-group chunk (``bloom_filter_columns``,
+    BloomFilter.md layout, from-scratch XXH64).  The SAME executor
+    then answers {BLF_PROBES} derived equality probes per shard the
+    way a 100 TB point-lookup planner would: parse each group's
+    filter (``parse_bloom_filter``), scan ONLY the groups whose
+    filter might contain the key, and aggregate the matches.  Drift
+    asserts: every group carries a filter; no probe's
+    bloom-rejected group actually contains the key (the structure's
+    false-negative-free guarantee, checked against a full
+    verification scan of every group); the bloom-guided match count
+    and okey sum equal the full-scan answers; and across the probe
+    battery at least one (key, group) pair was pruned whenever the
+    shard has >= 2 groups (the filter does WORK — pyarrow 16 /
+    DuckDB 1.0 can neither write nor read these structures, so the
+    gate is this arithmetic referee plus the oracle's value hash).
+    The DuckDB oracle regenerates the probe keys (1 + (shard*7919 +
+    i*104729) mod max ckey) and restates rows, probes, hits and
+    found-row aggregates from ``orders`` directly.
+
+    100 TB: one shuffle on (status, shard); shard count grows with
+    the data; per probe the planner touches O(groups) filter bytes
+    and O(surviving groups) data bytes — the point of the structure.
+    """
+    import io
+
+    import pyarrow.parquet as pq_
+
+    from ..core.parquetmeta import parse_bloom_filter, parse_footer
+    from ..core.parquetread import leaf_elements, read_column
+    from ..core.parquetwrite import write_parquet
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("o_orderkey") >= 0)
+            & F.col("o_custkey").isNotNull()
+            & (F.col("o_custkey") >= 1)
+            & F.col("o_orderstatus").isNotNull()
+        )
+        .select(
+            F.col("o_orderstatus").alias("st"),
+            F.col("o_orderkey").alias("okey"),
+            F.col("o_custkey").alias("ckey"),
+            F.expr(f"o_orderkey div {BLF_SHARD}").alias("shard_id"),
+        )
+        .repartition(
+            spark.sparkContext.defaultParallelism, "st", "shard_id"
+        )
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("okey")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        okeys = [int(v) for v in pdf["okey"]]
+        ckeys = [int(v) for v in pdf["ckey"]]
+        n = len(okeys)
+        mx = max(ckeys)
+        keys = sorted(
+            {
+                1 + (shard_id * 7919 + i * 104729) % mx
+                for i in range(BLF_PROBES)
+            }
+        )
+        data = write_parquet(
+            {"okey": okeys, "ckey": ckeys},
+            {"okey": "INT64", "ckey": "INT64"},
+            codec="SNAPPY",
+            row_group_rows=BLF_RG_ROWS,
+            sorting_columns=[(0, False, False)],
+            bloom_filter_columns=["ckey"],
+        )
+        if pq_.ParquetFile(io.BytesIO(data)).metadata.num_rows != n:
+            raise ValueError(f"shard {shard_id}: pyarrow row drift")
+
+        meta = parse_footer(data)
+        leaves = {
+            le["name"]: le
+            for le, _rep in leaf_elements(meta["schema"])
+        }
+        groups = []  # (bloom, ckey values, okey values)
+        for rg in meta["row_groups"]:
+            cols = {c["path_in_schema"]: c for c in rg["columns"]}
+            f = parse_bloom_filter(data, cols["ckey"])
+            if f is None:
+                raise ValueError(
+                    f"shard {shard_id}: group missing its bloom"
+                )
+            gck = read_column(data, cols["ckey"], leaves["ckey"])
+            gok = read_column(data, cols["okey"], leaves["okey"])
+            groups.append((f, gck, gok))
+
+        n_hit = n_found = sum_okey = 0
+        pruned_pairs = 0
+        for key in keys:
+            kept = [
+                gi for gi, (f, _c, _o) in enumerate(groups)
+                if f.might_contain(key, "INT64")
+            ]
+            pruned_pairs += len(groups) - len(kept)
+            full_found = full_sum = 0
+            for gi, (_f, gck, gok) in enumerate(groups):
+                hits = [o for c, o in zip(gck, gok) if c == key]
+                if hits and gi not in kept:
+                    raise ValueError(
+                        f"shard {shard_id}: bloom FALSE NEGATIVE on "
+                        f"key {key} group {gi}"
+                    )
+                full_found += len(hits)
+                full_sum += sum(hits)
+            bl_found = bl_sum = 0
+            for gi in kept:
+                _f, gck, gok = groups[gi]
+                hits = [o for c, o in zip(gck, gok) if c == key]
+                bl_found += len(hits)
+                bl_sum += sum(hits)
+            if (bl_found, bl_sum) != (full_found, full_sum):
+                raise ValueError(
+                    f"shard {shard_id}: bloom-guided scan lost rows "
+                    f"on key {key}"
+                )
+            n_hit += 1 if full_found else 0
+            n_found += full_found
+            sum_okey += full_sum
+        if len(groups) >= 2 and pruned_pairs == 0:
+            raise ValueError(
+                f"shard {shard_id}: bloom pruned nothing across "
+                f"{len(keys)} probes x {len(groups)} groups"
+            )
+        return pd.DataFrame(
+            {
+                "st": pd.Series(
+                    [str(pdf["st"].iloc[0])], dtype="object"
+                ),
+                "n_rows": pd.Series([n], dtype="int64"),
+                "n_probes": pd.Series([len(keys)], dtype="int64"),
+                "n_hit": pd.Series([n_hit], dtype="int64"),
+                "n_found": pd.Series([n_found], dtype="int64"),
+                "sum_okey": pd.Series([sum_okey], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("st", "shard_id").applyInPandas(
+        _shard, _BLF_ROW_SCHEMA
+    )
+    return (
+        shards.groupBy("st")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("n_probes").cast("bigint").alias("n_probes"),
+            F.sum("n_hit").cast("bigint").alias("n_hit_probes"),
+            F.sum("n_found").cast("bigint").alias("n_found"),
+            F.sum("sum_okey").cast("bigint").alias("sum_okey_found"),
+        )
+        .orderBy("st")
+    )

@@ -75,6 +75,13 @@ def staged_manifest():
             ingest.ingest_arrow_compressed,
             ingest.ARROW_COMPRESSED_ORACLE,
         ),
+        # r14: split-block Bloom filter row-group pruning (from-scratch
+        # XXH64 + SBBF through the parquet writer; pruning decisions
+        # gated in-UDF, found values gated here).
+        "parquet_bloom_prune_real": (
+            ingest.parquet_bloom_prune_real,
+            ingest.PARQUET_BLOOM_PRUNE_ORACLE,
+        ),
     }
 
 

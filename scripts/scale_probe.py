@@ -160,6 +160,9 @@ QUERIES = [
     # r14 staged: BodyCompression IPC bodies (lineitem-driven; shard
     # count scales with orderkey range, per-shard codec work is flat)
     "ingest_arrow_compressed",
+    # r14 staged: SBBF row-group pruning (orders-driven; per shard the
+    # filter build is O(rows), each probe O(groups) filter checks)
+    "parquet_bloom_prune_real",
 ]
 
 

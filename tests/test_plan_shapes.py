@@ -951,3 +951,22 @@ def test_arrow_compressed_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_parquet_bloom_prune_one_shard_shuffle(spark, sf_dir):
+    """parquet_bloom_prune_real (r14 staged): one (st, shard)
+    exchange into grouped pandas plus the tiny per-status aggregate;
+    no joins, no windows — the filter build and the probe planning
+    live inside the UDF."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        parquet_bloom_prune_real,
+    )
+
+    plan = _plan(parquet_bloom_prune_real(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
