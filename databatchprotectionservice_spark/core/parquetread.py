@@ -17,7 +17,13 @@ parquet-format encodings:
   and FIXED_LEN_BYTE_ARRAY;
 * ``RLE_DICTIONARY`` / ``PLAIN_DICTIONARY`` data pages: a 1-byte
   index bit width, hybrid-run indices into the (PLAIN-decoded)
-  dictionary page.
+  dictionary page;
+* the DELTA family (r14): ``DELTA_BINARY_PACKED`` (modular
+  block/miniblock deltas for INT32/INT64),
+  ``DELTA_LENGTH_BYTE_ARRAY`` (delta-packed lengths + concatenated
+  bytes) and ``DELTA_BYTE_ARRAY`` (front coding: shared-prefix
+  lengths + suffixes) — pinned against pyarrow-written files in
+  both page versions.
 
 Null placement follows the decoded definition levels, and nested
 (REPEATED) columns are reassembled into records by the Dremel
@@ -64,6 +70,9 @@ from .types import CompressionCodec
 
 _PLAIN = 0
 _PLAIN_DICTIONARY = 2
+_DELTA_BINARY_PACKED = 5
+_DELTA_LENGTH_BYTE_ARRAY = 6
+_DELTA_BYTE_ARRAY = 7
 _RLE = 3
 _RLE_DICTIONARY = 8
 
@@ -231,6 +240,137 @@ def leaf_elements(schema: list) -> list:
     return out
 
 
+def _uvarint64(raw: bytes, pos: int) -> tuple:
+    """ULEB128 up to 64 bits — DELTA headers carry full-width zigzag
+    ints, wider than the 32-bit level-stream varints
+    ``read_uleb128`` bounds."""
+    value, shift = 0, 0
+    while True:
+        if pos >= len(raw):
+            raise ParquetReadError("truncated varint in delta stream")
+        b = raw[pos]
+        pos += 1
+        value |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return value, pos
+        shift += 7
+        if shift > 63:
+            raise ParquetReadError("delta varint over 64 bits")
+
+
+def _zigzag_varint(raw: bytes, pos: int) -> tuple:
+    u, pos = _uvarint64(raw, pos)
+    return (u >> 1) ^ -(u & 1), pos
+
+
+def _wrap_signed(v: int, bits: int) -> int:
+    v &= (1 << bits) - 1
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+def _delta_bp_decode(raw: bytes, pos: int, bits: int) -> tuple:
+    """DELTA_BINARY_PACKED (Encodings.md): header (block size,
+    miniblocks/block, total count, zigzag first value), then blocks
+    of (zigzag min delta, per-miniblock bit widths, LSB-first
+    bit-packed ``delta - min_delta``).  Arithmetic is modular in the
+    type's width, per the spec.  -> (values, new pos)."""
+    block, pos = _uvarint64(raw, pos)
+    minis, pos = _uvarint64(raw, pos)
+    total, pos = _uvarint64(raw, pos)
+    first, pos = _zigzag_varint(raw, pos)
+    if block <= 0 or block % 128 or minis <= 0 or block % minis:
+        raise ParquetReadError(
+            f"delta header: block {block} / miniblocks {minis}"
+        )
+    per_mini = block // minis
+    if per_mini % 32:
+        raise ParquetReadError(
+            f"delta miniblock of {per_mini} values not a multiple of 32"
+        )
+    out = [_wrap_signed(first, bits)]
+    while len(out) < total:
+        min_delta, pos = _zigzag_varint(raw, pos)
+        if pos + minis > len(raw):
+            raise ParquetReadError("delta bit widths overrun the page")
+        widths = raw[pos : pos + minis]
+        pos += minis
+        prev = out[-1]
+        for w in widths:
+            if len(out) >= total:
+                # trailing miniblocks of the last block carry no bytes
+                continue
+            if w > bits:
+                raise ParquetReadError(
+                    f"delta miniblock width {w} over the type's {bits}"
+                )
+            nbytes = per_mini * w // 8
+            if pos + nbytes > len(raw):
+                raise ParquetReadError("delta miniblock overruns the page")
+            if w == 0:
+                unpacked = [0] * per_mini
+            else:
+                packed = np.frombuffer(
+                    raw, dtype=np.uint8, count=nbytes, offset=pos
+                )
+                bit_idx = (
+                    np.arange(per_mini, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)
+                )
+                bvals = (packed[bit_idx >> 3] >> (bit_idx & 7)) & 1
+                # object dtype keeps >63-bit deltas exact
+                unpacked = [
+                    int(x)
+                    for x in (
+                        bvals.astype(object) << np.arange(w, dtype=object)
+                    ).sum(axis=1)
+                ]
+            pos += nbytes
+            for dv in unpacked:
+                if len(out) >= total:
+                    break
+                prev = _wrap_signed(prev + min_delta + dv, bits)
+                out.append(prev)
+    return out[:total], pos
+
+
+def _delta_len_ba_decode(raw: bytes, pos: int, n: int) -> tuple:
+    """DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths, then the
+    concatenated value bytes."""
+    lens, pos = _delta_bp_decode(raw, pos, 32)
+    if len(lens) != n:
+        raise ParquetReadError(
+            f"delta-length stream has {len(lens)} lengths for {n} values"
+        )
+    out = []
+    for ln in lens:
+        if ln < 0 or pos + ln > len(raw):
+            raise ParquetReadError("delta-length value overruns the page")
+        out.append(raw[pos : pos + ln])
+        pos += ln
+    return out, pos
+
+
+def _delta_ba_decode(raw: bytes, pos: int, n: int) -> tuple:
+    """DELTA_BYTE_ARRAY (incremental/front coding): delta-packed
+    shared-prefix lengths + DELTA_LENGTH_BYTE_ARRAY suffixes."""
+    prefixes, pos = _delta_bp_decode(raw, pos, 32)
+    if len(prefixes) != n:
+        raise ParquetReadError(
+            f"delta prefix stream has {len(prefixes)} for {n} values"
+        )
+    suffixes, pos = _delta_len_ba_decode(raw, pos, n)
+    out = []
+    prev = b""
+    for pfx, sfx in zip(prefixes, suffixes):
+        if pfx < 0 or pfx > len(prev):
+            raise ParquetReadError(
+                f"delta prefix {pfx} exceeds previous value"
+            )
+        prev = prev[:pfx] + sfx
+        out.append(prev)
+    return out, pos
+
+
 def _decode_values(
     raw: bytes, pos: int, n_present: int, enc: int, ptype: str,
     tlen, dict_values,
@@ -266,6 +406,29 @@ def _decode_values(
         ):
             raise ParquetReadError("dictionary index out of range")
         return [dict_values[i] for i in idx], pos
+    if enc == _DELTA_BINARY_PACKED:
+        if ptype not in ("INT32", "INT64"):
+            raise ParquetReadError(
+                f"DELTA_BINARY_PACKED on {ptype} (INT32/INT64 only)"
+            )
+        vals, pos = _delta_bp_decode(
+            raw, pos, 32 if ptype == "INT32" else 64
+        )
+        if len(vals) != n_present:
+            raise ParquetReadError(
+                f"delta stream has {len(vals)} values for {n_present}"
+            )
+        return vals, pos
+    if enc == _DELTA_LENGTH_BYTE_ARRAY:
+        if ptype != "BYTE_ARRAY":
+            raise ParquetReadError(
+                f"DELTA_LENGTH_BYTE_ARRAY on {ptype}"
+            )
+        return _delta_len_ba_decode(raw, pos, n_present)
+    if enc == _DELTA_BYTE_ARRAY:
+        if ptype not in ("BYTE_ARRAY", "FIXED_LEN_BYTE_ARRAY"):
+            raise ParquetReadError(f"DELTA_BYTE_ARRAY on {ptype}")
+        return _delta_ba_decode(raw, pos, n_present)
     raise ParquetReadError(f"value encoding {enc} is a seam")
 
 

@@ -32,7 +32,12 @@ ColumnIndex (per-page null_pages/min/max/null_counts under a
 computed BoundaryOrder), placed between the row group and the
 footer with ColumnChunk fids 4-7 pointing at them — the page-skip
 planning structure ``core/parquetmeta.py`` parses and
-``core/parquetread.py`` prunes through.  Remaining writer seams:
+``core/parquetread.py`` prunes through.  Also since r14: split-block
+Bloom filters per chunk (``bloom_filter_columns`` →
+``core/bloomfilter.py``, ColumnMetaData fids 14/15) and the DELTA
+value encodings (``column_encodings`` — DELTA_BINARY_PACKED /
+DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY, read back by pyarrow,
+DuckDB and our own reader).  Remaining writer seams:
 BROTLI and the legacy hadoop-framed LZ4/LZO codecs.
 
 Nested columns (r12, mirroring the reader's record assembly):
@@ -160,6 +165,112 @@ def _plain_encode(values: list, ptype: str) -> bytes:
     else:
         raise ParquetWriteError(f"unwritable physical type {ptype}")
     return bytes(out)
+
+
+def _uvar(u: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        out.append(b | 0x80 if u else b)
+        if not u:
+            return bytes(out)
+
+
+def _zzvar(v: int) -> bytes:
+    return _uvar(((v << 1) ^ (v >> 63)) & ((1 << 64) - 1))
+
+
+def _wrap_s(v: int, bits: int) -> int:
+    v &= (1 << bits) - 1
+    return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+
+#: DELTA_BINARY_PACKED framing (Encodings.md): 128-value blocks of
+#: 4 miniblocks (32 values each) — the layout the major writers emit
+_DBP_BLOCK = 128
+_DBP_MINIS = 4
+_DBP_PER_MINI = _DBP_BLOCK // _DBP_MINIS
+
+
+def _delta_bp_encode(ints: list, bits: int) -> bytes:
+    """DELTA_BINARY_PACKED: header (block size, miniblocks, total,
+    zigzag first), then per block a zigzag min delta, 4 miniblock bit
+    widths, and LSB-first packed ``delta - min_delta``.  Delta
+    arithmetic is modular in the type's width (spec)."""
+    out = bytearray(
+        _uvar(_DBP_BLOCK) + _uvar(_DBP_MINIS) + _uvar(len(ints))
+    )
+    out += _zzvar(int(ints[0]) if ints else 0)
+    deltas = [
+        _wrap_s(int(b) - int(a), bits)
+        for a, b in zip(ints, ints[1:])
+    ]
+    for at in range(0, len(deltas), _DBP_BLOCK):
+        block = deltas[at : at + _DBP_BLOCK]
+        mind = min(block)
+        frame = [d - mind for d in block]
+        frame += [0] * (_DBP_BLOCK - len(frame))
+        out += _zzvar(mind)
+        widths = []
+        minis = []
+        for mb in range(_DBP_MINIS):
+            vals = frame[mb * _DBP_PER_MINI : (mb + 1) * _DBP_PER_MINI]
+            used = mb * _DBP_PER_MINI < len(block)
+            w = max(v.bit_length() for v in vals) if used else 0
+            widths.append(w)
+            if used and w:
+                acc = 0
+                for i, v in enumerate(vals):
+                    acc |= v << (i * w)
+                minis.append(
+                    acc.to_bytes(_DBP_PER_MINI * w // 8, "little")
+                )
+        out += bytes(widths)
+        for m in minis:
+            out += m
+    return bytes(out)
+
+
+def _delta_len_ba_encode(values: list) -> bytes:
+    """DELTA_LENGTH_BYTE_ARRAY: delta-packed lengths + concatenated
+    bytes."""
+    bs = [
+        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        for v in values
+    ]
+    return _delta_bp_encode([len(b) for b in bs], 32) + b"".join(bs)
+
+
+def _delta_ba_encode(values: list) -> bytes:
+    """DELTA_BYTE_ARRAY (front coding): delta-packed shared-prefix
+    lengths + DELTA_LENGTH_BYTE_ARRAY suffixes."""
+    bs = [
+        v.encode("utf-8") if isinstance(v, str) else bytes(v)
+        for v in values
+    ]
+    prefixes = []
+    prev = b""
+    suffixes = []
+    for b in bs:
+        p = 0
+        lim = min(len(prev), len(b))
+        while p < lim and prev[p] == b[p]:
+            p += 1
+        prefixes.append(p)
+        suffixes.append(b[p:])
+        prev = b
+    return _delta_bp_encode(prefixes, 32) + _delta_len_ba_encode(
+        suffixes
+    )
+
+
+#: encoding name -> (id, allowed physical types)
+_DELTA_ENCODINGS = {
+    "DELTA_BINARY_PACKED": (5, ("INT32", "INT64")),
+    "DELTA_LENGTH_BYTE_ARRAY": (6, ("BYTE_ARRAY",)),
+    "DELTA_BYTE_ARRAY": (7, ("BYTE_ARRAY",)),
+}
 
 
 def _rle_levels(levels: list, prefix: bool = True) -> bytes:
@@ -545,6 +656,7 @@ def write_parquet(
     row_group_rows: int | None = None,
     sorting_columns: list | None = None,
     bloom_filter_columns: list | None = None,
+    column_encodings: dict | None = None,
 ) -> bytes:
     """{name: values} + {name: physical-or-LIST<physical> type} ->
     parquet file bytes.
@@ -571,6 +683,13 @@ def write_parquet(
     ``(leaf_index, descending, nulls_first)`` tuples, leaf indices in
     chunk order.  Declaration only — the writer does NOT sort; the
     caller asserts the order, exactly like the major writers.
+
+    ``column_encodings`` (r14) maps flat column names to a DELTA
+    value encoding — ``DELTA_BINARY_PACKED`` (INT32/INT64),
+    ``DELTA_LENGTH_BYTE_ARRAY`` / ``DELTA_BYTE_ARRAY`` (strings) —
+    overriding dictionary admission for that column; both page
+    versions carry them, and pyarrow/DuckDB read the output (the
+    interop pins).
 
     ``bloom_filter_columns`` (r14) emits one split-block Bloom filter
     per ROW-GROUP CHUNK of each named flat column
@@ -613,6 +732,19 @@ def write_parquet(
             f"bloom columns {sorted(bloom_cols - set(names))} not in "
             "the schema"
         )
+    col_encs = dict(column_encodings or {})
+    if set(col_encs) - set(names):
+        raise ParquetWriteError(
+            f"encoded columns {sorted(set(col_encs) - set(names))} "
+            "not in the schema"
+        )
+    for cname, ename in col_encs.items():
+        if ename not in _DELTA_ENCODINGS:
+            raise ParquetWriteError(
+                f"column encoding {ename!r} "
+                "(DELTA_BINARY_PACKED / DELTA_LENGTH_BYTE_ARRAY / "
+                "DELTA_BYTE_ARRAY)"
+            )
 
     def leaf_ptype(logical: str) -> str:
         ptype = _LOGICAL.get(logical, logical)
@@ -641,7 +773,8 @@ def write_parquet(
             fields.append((6, T_I32, 0))     # ConvertedType UTF8
         return fields
 
-    def write_leaf_pages(values, stripe, ptype: str) -> dict:
+    def write_leaf_pages(values, stripe, ptype: str,
+                         delta_enc: str | None = None) -> dict:
         """Write record-aligned pages for one leaf; ``stripe`` maps a
         page of records to (reps|None, defs|None, present).  Also
         accumulates chunk Statistics (null_count + min/max in the
@@ -691,9 +824,16 @@ def write_parquet(
         # dictionary admission: never BOOLEAN (bit-packed already),
         # never NaN-bearing floats (NaN identity vs equality), only
         # when the dictionary is bounded AND actually repays itself
+        if delta_enc is not None:
+            enc_id, allowed = _DELTA_ENCODINGS[delta_enc]
+            if ptype not in allowed:
+                raise ParquetWriteError(
+                    f"{delta_enc} on {ptype} (allowed: {allowed})"
+                )
         dict_vals: list = []
         index_of: dict = {}
-        if use_dictionary and ptype != "BOOLEAN" and n_present_total:
+        if (use_dictionary and delta_enc is None
+                and ptype != "BOOLEAN" and n_present_total):
             ok = True
             for _at, _rows, _reps, _defs, present in pages:
                 for v in present:
@@ -737,6 +877,10 @@ def write_parquet(
             bw = max(1, (len(dict_vals) - 1).bit_length())
 
         data_page_offset = len(out)
+        # RLE_DICTIONARY(8), a DELTA id, or PLAIN(0)
+        page_enc = 8 if use_dict else (
+            _DELTA_ENCODINGS[delta_enc][0] if delta_enc else 0
+        )
         page_locs = []   # (file offset, compressed size, first row)
         page_nulls = []  # per-page null (undefined-leaf-slot) count
         for at, rows, reps, defs, present in pages:
@@ -745,6 +889,15 @@ def write_parquet(
                 vals = bytes([bw]) + _rle_hybrid(
                     [index_of[v] for v in present], bw
                 )
+            elif delta_enc == "DELTA_BINARY_PACKED":
+                vals = _delta_bp_encode(
+                    [int(v) for v in present],
+                    32 if ptype == "INT32" else 64,
+                )
+            elif delta_enc == "DELTA_LENGTH_BYTE_ARRAY":
+                vals = _delta_len_ba_encode(present)
+            elif delta_enc == "DELTA_BYTE_ARRAY":
+                vals = _delta_ba_encode(present)
             else:
                 vals = _plain_encode(present, ptype)
             page_nv = len(defs) if defs is not None else len(present)
@@ -775,8 +928,7 @@ def write_parquet(
                             (1, T_I32, page_nv),
                             (2, T_I32, page_nv - len(present)),
                             (3, T_I32, rows),
-                            # RLE_DICTIONARY(8) or PLAIN(0)
-                            (4, T_I32, 8 if use_dict else 0),
+                            (4, T_I32, page_enc),
                             (5, T_I32, len(def_b)),
                             (6, T_I32, len(rep_b)),
                         ]),
@@ -807,8 +959,7 @@ def write_parquet(
                     (3, T_I32, len(paged)),   # compressed size
                     (5, T_STRUCT, [           # DataPageHeader
                         (1, T_I32, page_nv),
-                        # RLE_DICTIONARY(8) or PLAIN(0)
-                        (2, T_I32, 8 if use_dict else 0),
+                        (2, T_I32, page_enc),
                         (3, T_I32, 3),        # RLE def levels
                         (4, T_I32, 3),        # RLE rep levels
                     ]),
@@ -841,7 +992,11 @@ def write_parquet(
             "offset": chunk_offset,
             "data_page_offset": data_page_offset,
             "dict_page_offset": dict_page_offset,
-            "encodings": [8, 3, 0] if use_dict else [0, 3],
+            "encodings": (
+                [8, 3, 0] if use_dict
+                else [page_enc, 3] if delta_enc
+                else [0, 3]
+            ),
             "compressed": comp_total,
             "uncompressed": uncomp_total,
             "null_count": n_leaf_slots - n_present_total,
@@ -933,6 +1088,11 @@ def write_parquet(
                 f"bloom column {name!r} must be a flat scalar "
                 "(nested/LIST chunks have no single-value hash input)"
             )
+        if name in col_encs and (nested or is_list):
+            raise ParquetWriteError(
+                f"column encoding on {name!r}: flat scalar columns "
+                "only"
+            )
         if nested:
             # arbitrary struct/list nesting through the generic
             # inverse-Dremel striper (flat and simple LIST<prim>
@@ -1018,7 +1178,10 @@ def write_parquet(
 
         def write_flat(slice_vals, stripe=stripe, ptype=ptype,
                        path=path, name=name):
-            meta = write_leaf_pages(slice_vals, stripe, ptype)
+            meta = write_leaf_pages(
+                slice_vals, stripe, ptype,
+                delta_enc=col_encs.get(name),
+            )
             meta["path"] = path
             meta["ptype"] = ptype
             if name in bloom_cols:

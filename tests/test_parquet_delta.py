@@ -1,0 +1,213 @@
+"""DELTA encodings (Encodings.md): DELTA_BINARY_PACKED,
+DELTA_LENGTH_BYTE_ARRAY, DELTA_BYTE_ARRAY — both directions, both
+page versions, pyarrow + DuckDB + self as referees."""
+
+import io
+import os
+import random
+import tempfile
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from databatchprotectionservice_spark.core.parquetmeta import (
+    parse_footer,
+)
+from databatchprotectionservice_spark.core.parquetread import (
+    ParquetReadError,
+    _delta_bp_decode,
+    leaf_elements,
+    read_column,
+)
+from databatchprotectionservice_spark.core.parquetwrite import (
+    ParquetWriteError,
+    _delta_bp_encode,
+    write_parquet,
+)
+
+
+def _read_ours(blob: bytes, name: str) -> list:
+    meta = parse_footer(blob)
+    les = {le["name"]: le for le, _r in leaf_elements(meta["schema"])}
+    out = []
+    for rg in meta["row_groups"]:
+        col = next(
+            c for c in rg["columns"] if c["path_in_schema"] == name
+        )
+        out += read_column(blob, col, les[name])
+    return [o.decode() if isinstance(o, bytes) else o for o in out]
+
+
+def test_delta_bp_codec_roundtrip_cases():
+    rng = random.Random(11)
+    cases = [
+        [],
+        [0],
+        [5, 5, 5, 5],
+        list(range(1000)),
+        list(range(1000, 0, -1)),
+        [rng.randint(-(2**62), 2**62) for _ in range(777)],
+        [0, 2**62, -(2**62), 1, -1] * 40,
+    ]
+    for vals in cases:
+        blob = _delta_bp_encode(vals, 64)
+        got, pos = _delta_bp_decode(blob, 0, 64)
+        assert got == vals
+        assert pos == len(blob)  # no trailing garbage
+
+
+def test_delta_bp_int32_modular_wraparound():
+    # deltas wrap modulo 2^32 (spec's modular arithmetic)
+    vals = [2**31 - 1, -(2**31), 2**31 - 1]
+    blob = _delta_bp_encode(vals, 32)
+    got, _ = _delta_bp_decode(blob, 0, 32)
+    assert got == vals
+
+
+@pytest.mark.parametrize("dpv", [1, 2])
+def test_writer_delta_three_referees(dpv):
+    rng = random.Random(3)
+    okeys = sorted(rng.randint(0, 10**9) for _ in range(3000))
+    names = [f"key-{i:06d}-{'pad' * (i % 5)}" for i in range(2500)]
+    nulls = [None if i % 11 == 0 else i - 700 for i in range(1500)]
+    for cols, types, encs in [
+        ({"a": okeys}, {"a": "INT64"}, {"a": "DELTA_BINARY_PACKED"}),
+        (
+            {"a": [v % 2**31 for v in okeys]},
+            {"a": "INT32"},
+            {"a": "DELTA_BINARY_PACKED"},
+        ),
+        ({"a": nulls}, {"a": "INT64"}, {"a": "DELTA_BINARY_PACKED"}),
+        (
+            {"s": names},
+            {"s": "STRING"},
+            {"s": "DELTA_LENGTH_BYTE_ARRAY"},
+        ),
+        ({"s": names}, {"s": "STRING"}, {"s": "DELTA_BYTE_ARRAY"}),
+    ]:
+        blob = write_parquet(
+            cols,
+            types,
+            codec="SNAPPY",
+            page_rows=700,
+            data_page_version=dpv,
+            row_group_rows=1100,
+            column_encodings=encs,
+        )
+        name = list(cols)[0]
+        want = cols[name]
+        assert (
+            pq.read_table(io.BytesIO(blob)).column(name).to_pylist()
+            == want
+        )
+        assert _read_ours(blob, name) == want
+        import duckdb
+
+        with tempfile.NamedTemporaryFile(
+            suffix=".parquet", delete=False
+        ) as tf:
+            tf.write(blob)
+        try:
+            got = [
+                r[0]
+                for r in duckdb.connect()
+                .execute(f"SELECT {name} FROM '{tf.name}'")
+                .fetchall()
+            ]
+        finally:
+            os.unlink(tf.name)
+        assert got == want
+
+
+def test_writer_delta_sorted_ints_beat_plain():
+    okeys = sorted(
+        random.Random(5).randint(0, 10**9) for _ in range(4000)
+    )
+    delta = write_parquet(
+        {"a": okeys},
+        {"a": "INT64"},
+        column_encodings={"a": "DELTA_BINARY_PACKED"},
+        use_dictionary=False,
+    )
+    plain = write_parquet(
+        {"a": okeys}, {"a": "INT64"}, use_dictionary=False
+    )
+    assert len(delta) < len(plain) / 2  # sorted keys pack far tighter
+
+
+@pytest.mark.parametrize("dpv", ["1.0", "2.0"])
+@pytest.mark.parametrize(
+    "enc,vals,typ",
+    [
+        (
+            "DELTA_BINARY_PACKED",
+            [None if i % 9 == 0 else i * 7 - 3000 for i in range(2000)],
+            pa.int64(),
+        ),
+        (
+            "DELTA_BINARY_PACKED",
+            list(range(-(2**31), -(2**31) + 3000)),
+            pa.int32(),
+        ),
+        (
+            "DELTA_LENGTH_BYTE_ARRAY",
+            [f"user-{i % 37:04d}-{'x' * (i % 11)}" for i in range(4000)],
+            pa.string(),
+        ),
+        (
+            "DELTA_BYTE_ARRAY",
+            sorted(f"key-{i:06d}" for i in range(2000)),
+            pa.string(),
+        ),
+    ],
+)
+def test_reader_decodes_pyarrow_delta(enc, vals, typ, dpv):
+    t = pa.table({"c": pa.array(vals, typ)})
+    buf = io.BytesIO()
+    pq.write_table(
+        t,
+        buf,
+        use_dictionary=False,
+        column_encoding={"c": enc},
+        version="2.6",
+        data_page_version=dpv,
+    )
+    assert _read_ours(buf.getvalue(), "c") == vals
+
+
+def test_writer_delta_validation():
+    with pytest.raises(ParquetWriteError):
+        write_parquet(
+            {"a": [1]},
+            {"a": "INT64"},
+            column_encodings={"zz": "DELTA_BINARY_PACKED"},
+        )
+    with pytest.raises(ParquetWriteError):
+        write_parquet(
+            {"a": [1]},
+            {"a": "INT64"},
+            column_encodings={"a": "SUPER_ENCODING"},
+        )
+    with pytest.raises(ParquetWriteError):
+        write_parquet(
+            {"a": ["x"]},
+            {"a": "STRING"},
+            column_encodings={"a": "DELTA_BINARY_PACKED"},
+        )
+    with pytest.raises(ParquetWriteError):
+        write_parquet(
+            {"a": [[1]]},
+            {"a": "LIST<INT64>"},
+            column_encodings={"a": "DELTA_BINARY_PACKED"},
+        )
+
+
+def test_reader_rejects_malformed_delta():
+    good = _delta_bp_encode(list(range(100)), 64)
+    with pytest.raises(ParquetReadError):
+        _delta_bp_decode(good[:-5], 0, 64)  # truncated miniblock
+    # corrupt the header's block size to a non-multiple of 128
+    bad = bytes([127]) + good[1:]
+    with pytest.raises(ParquetReadError):
+        _delta_bp_decode(bad, 0, 64)
