@@ -5959,7 +5959,9 @@ def parquet_bloom_prune_real(spark, sf_dir) -> DataFrame:
     Each (o_orderstatus, okey-range shard) group of ``orders`` is
     written as a parquet file by ``core/parquetwrite.py`` with one
     SBBF per ckey row-group chunk (``bloom_filter_columns``,
-    BloomFilter.md layout, from-scratch XXH64).  The SAME executor
+    BloomFilter.md layout, from-scratch XXH64); odd shards also
+    DELTA_BINARY_PACK the okey-sorted key column, putting the r14
+    delta write+read path under the same gate.  The SAME executor
     then answers {BLF_PROBES} derived equality probes per shard the
     way a 100 TB point-lookup planner would: parse each group's
     filter (``parse_bloom_filter``), scan ONLY the groups whose
@@ -6030,6 +6032,13 @@ def parquet_bloom_prune_real(spark, sf_dir) -> DataFrame:
             row_group_rows=BLF_RG_ROWS,
             sorting_columns=[(0, False, False)],
             bloom_filter_columns=["ckey"],
+            # odd shards DELTA-pack the sorted okey column (r14) so
+            # the delta read path is under the driver gate too
+            column_encodings=(
+                {"okey": "DELTA_BINARY_PACKED"}
+                if shard_id % 2
+                else None
+            ),
         )
         if pq_.ParquetFile(io.BytesIO(data)).metadata.num_rows != n:
             raise ValueError(f"shard {shard_id}: pyarrow row drift")
