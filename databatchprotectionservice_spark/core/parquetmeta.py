@@ -559,6 +559,9 @@ def _parse_page_at(data: bytes, pos: int, end: int) -> tuple[dict, int]:
         ),
         # payload byte range: [data_offset, data_offset + comp)
         "data_offset": r.pos,
+        # optional page CRC (PageHeader fid 4): CRC-32 over the
+        # payload bytes after the header, both page versions
+        "crc": _int(h[4], "page crc") & 0xFFFFFFFF if 4 in h else None,
         "encoding": None,
         "definition_level_encoding": None,
         "repetition_level_encoding": None,

@@ -81,6 +81,22 @@ class ParquetReadError(DBPSInvalidInputError):
     """Out-of-subset or malformed column content."""
 
 
+def _verify_page_crc(page: dict, body: bytes) -> None:
+    """When the header carries a CRC (PageHeader fid 4), it must
+    match CRC-32 over the payload bytes — a flipped bit fails loudly
+    here instead of mis-decoding downstream."""
+    crc = page.get("crc")
+    if crc is None:
+        return
+    import zlib
+
+    got = zlib.crc32(body)
+    if got != crc:
+        raise ParquetReadError(
+            f"page CRC mismatch: header {crc:#010x}, payload {got:#010x}"
+        )
+
+
 class _NullAt:
     """Marked-decode placeholder: the leaf's path broke at definition
     level ``d``.  Cross-column record assembly (:func:`read_record_field`)
@@ -611,6 +627,7 @@ def read_column(
             page["data_offset"] : page["data_offset"]
             + page["compressed_page_size"]
         ]
+        _verify_page_crc(page, body)
         if page["type"] == PAGE_DICTIONARY:
             raw = _decompress(
                 body, codec, page["uncompressed_page_size"]
@@ -745,6 +762,7 @@ def _read_column_nested(
             page["data_offset"] : page["data_offset"]
             + page["compressed_page_size"]
         ]
+        _verify_page_crc(page, body)
         if page["type"] == PAGE_DICTIONARY:
             raw = _decompress(body, codec, page["uncompressed_page_size"])
             if page["encoding"] not in (_PLAIN, _PLAIN_DICTIONARY):

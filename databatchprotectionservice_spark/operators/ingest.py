@@ -6039,6 +6039,8 @@ def parquet_bloom_prune_real(spark, sf_dir) -> DataFrame:
                 if shard_id % 2
                 else None
             ),
+            # every page CRC-stamped; our reader verifies each one
+            page_checksums=True,
         )
         if pq_.ParquetFile(io.BytesIO(data)).metadata.num_rows != n:
             raise ValueError(f"shard {shard_id}: pyarrow row drift")
