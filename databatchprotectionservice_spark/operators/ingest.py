@@ -5623,7 +5623,8 @@ ARROW_COMPRESSED_ORACLE = f"""
                    l_quantity AS qty,
                    l_returnflag AS flag
             FROM lineitem
-            WHERE l_orderkey IS NOT NULL AND l_linenumber IS NOT NULL
+            WHERE l_orderkey IS NOT NULL AND l_orderkey >= 0
+              AND l_linenumber IS NOT NULL AND l_linenumber >= 0
               AND l_quantity IS NOT NULL AND l_returnflag IS NOT NULL
         ), r AS (
             SELECT shard_id, shard_id % 8 AS combo, oid, qty, flag,
@@ -5711,8 +5712,12 @@ def ingest_arrow_compressed(spark, sf_dir) -> DataFrame:
     d = (
         load_spread(spark, sf_dir, "lineitem")
         .where(
+            # >= 0 keeps oid arithmetic (% 7, % 23) sign-consistent
+            # between Python and the SQL oracle
             F.col("l_orderkey").isNotNull()
+            & (F.col("l_orderkey") >= 0)
             & F.col("l_linenumber").isNotNull()
+            & (F.col("l_linenumber") >= 0)
             & F.col("l_quantity").isNotNull()
             & F.col("l_returnflag").isNotNull()
         )
