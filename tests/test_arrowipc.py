@@ -1501,3 +1501,32 @@ def test_encoder_compression_empty_and_unknown():
     assert read_arrow_ipc(blob)["batches"][0]["columns"][0] == []
     with pytest.raises(DBPSInvalidInputError):
         encode_arrow_ipc(fields, [[[1]]], compression="snappy")
+
+
+def test_encoder_compression_corruptions_raise():
+    """Corruptions of OUR compressed output fail loudly in our
+    reader: a truncated compressed buffer, a lying uncompressed
+    length, and an unknown BodyCompression codec id."""
+    import struct as _struct
+
+    fields = [FieldSpec("i", False, "int64", 64)]
+    batches = [[list(range(512))]]
+    blob = encode_arrow_ipc(fields, batches, compression="zstd")
+    ok = read_arrow_ipc(blob)
+    assert ok["batches"][0]["columns"][0] == list(range(512))
+
+    # find the data buffer's 8-byte length prefix inside the body and
+    # lie about the uncompressed length
+    want = _struct.pack("<q", 512 * 8)
+    at = blob.find(want)
+    assert at > 0
+    lied = blob[:at] + _struct.pack("<q", 512 * 8 + 8) + blob[at + 8:]
+    with pytest.raises(DBPSInvalidInputError):
+        read_arrow_ipc(lied)
+
+    # truncate inside the compressed frame (zero-fill keeps framing)
+    cut = bytearray(blob)
+    for i in range(at + 16, at + 48):
+        cut[i] = 0
+    with pytest.raises(DBPSInvalidInputError):
+        read_arrow_ipc(bytes(cut))
