@@ -39,8 +39,11 @@ value encodings (``column_encodings`` — DELTA_BINARY_PACKED /
 DELTA_LENGTH_BYTE_ARRAY / DELTA_BYTE_ARRAY, read back by pyarrow,
 DuckDB and our own reader).  Page CRC-32 stamps
 (``page_checksums``, PageHeader fid 4) round-trip with pyarrow's
-verifier in both directions (r14).  Remaining writer seams: the
-legacy hadoop-framed LZ4/LZO codecs.
+verifier in both directions (r14).  The legacy hadoop-framed
+LZ4 (codec 5) writes and reads through the from-scratch block codec
+(r14; Spark's parquet reader is the interop referee — pyarrow 16
+maps "lz4" to LZ4_RAW).  Remaining writer seam: LZO (patented
+out-of-scope, refused like the reference's unsupported set).
 
 Nested columns (r12, mirroring the reader's record assembly):
 ``STRUCT<name:TYPE,...>`` and ``LIST<...>`` NEST FREELY — struct of
@@ -113,6 +116,18 @@ def _page_compress(raw: bytes, codec: str) -> bytes:
         from .compression import CompressionCodec, compress
 
         return compress(raw, CompressionCodec.BROTLI)
+    if codec == "LZ4":
+        # the legacy hadoop framing (parquet codec 5): one
+        # [u32be uncompressed][u32be compressed][raw LZ4 block]
+        # chunk per page, the block by OUR from-scratch encoder
+        from .lz4codec import lz4_block_compress
+
+        blk = lz4_block_compress(raw)
+        return (
+            len(raw).to_bytes(4, "big")
+            + len(blk).to_bytes(4, "big")
+            + blk
+        )
     return raw
 
 MAGIC = b"PAR1"
@@ -130,8 +145,8 @@ _TYPE_IDS = {
 #: the from-scratch block encoder.  Hadoop-framed LZ4 and LZO stay
 #: seams (same as the read side's documented posture).
 _CODEC_IDS = {
-    "UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "BROTLI": 4, "ZSTD": 6,
-    "LZ4_RAW": 7,
+    "UNCOMPRESSED": 0, "SNAPPY": 1, "GZIP": 2, "BROTLI": 4, "LZ4": 5,
+    "ZSTD": 6, "LZ4_RAW": 7,
 }
 _LOGICAL = {"STRING": "BYTE_ARRAY"}  # logical -> physical + UTF8 tag
 
@@ -739,7 +754,7 @@ def write_parquet(
     if codec not in _CODEC_IDS:
         raise ParquetWriteError(
             f"codec {codec!r} is a writer seam "
-            "(UNCOMPRESSED/SNAPPY/GZIP/BROTLI/ZSTD/LZ4_RAW)"
+            "(UNCOMPRESSED/SNAPPY/GZIP/BROTLI/LZ4/ZSTD/LZ4_RAW)"
         )
     names = list(columns)
     if not names:

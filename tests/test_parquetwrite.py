@@ -1302,3 +1302,67 @@ def test_brotli_codec_pyarrow_and_own_reader():
                 for g in read_column(blob, col, les[name])
             ]
             assert got == cols[name]
+
+
+def test_lz4_hadoop_codec_roundtrip_and_pyarrow():
+    """Parquet codec 5 (legacy hadoop-framed LZ4): our writer frames
+    pages as [u32be raw][u32be comp][LZ4 block] by the from-scratch
+    block codec; our reader and pyarrow's Lz4HadoopCodec both decode
+    (pyarrow 16 cannot WRITE codec 5 — its "lz4" maps to LZ4_RAW —
+    so the reverse direction is pinned against Spark's writer in
+    test_lz4_hadoop_spark_interop)."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_footer,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        ParquetReadError,
+        leaf_elements,
+        read_column,
+    )
+
+    cols = {
+        "k": list(range(4000)),
+        "s": [f"val-{i % 17}" for i in range(4000)],
+    }
+    types = {"k": "INT64", "s": "STRING"}
+    for dpv in (1, 2):
+        blob = write_parquet(
+            cols,
+            types,
+            codec="LZ4",
+            page_rows=900,
+            data_page_version=dpv,
+            page_checksums=True,
+        )
+        meta = parse_footer(blob)
+        col0 = meta["row_groups"][0]["columns"][0]
+        assert col0["codec"] == "LZ4"
+        les = {
+            le["name"]: le for le, _r in leaf_elements(meta["schema"])
+        }
+        for name in cols:
+            col = next(
+                c
+                for c in meta["row_groups"][0]["columns"]
+                if c["path_in_schema"] == name
+            )
+            got = [
+                g.decode() if isinstance(g, bytes) else g
+                for g in read_column(blob, col, les[name])
+            ]
+            assert got == cols[name]
+        t = pq.read_table(io.BytesIO(blob))
+        assert t.column("k").to_pylist() == cols["k"]
+        # truncating a chunk header fails loudly (the page walk's
+        # range check fires first — DBPSInvalidInputError family)
+        from databatchprotectionservice_spark.core.errors import (
+            DBPSInvalidInputError,
+        )
+
+        bad = blob[: col0["data_page_offset"] + 4]
+        with pytest.raises(DBPSInvalidInputError):
+            read_column(bad, col0, les["k"])
