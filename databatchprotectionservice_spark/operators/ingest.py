@@ -5091,8 +5091,9 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
     Each (o_orderstatus, okey-range shard) group of ``orders`` is
     written as a parquet file by ``core/parquetwrite.py`` —
     okey-sorted, 64-row pages inside 256-row ROW GROUPS, OffsetIndex
-    + ColumnIndex emitted per group, shards rotating all FIVE page
-    codecs (incl. the r14 LZ4_RAW) and both data-page versions.  The
+    + ColumnIndex emitted per group, shards rotating all SIX page
+    codecs (incl. the r14 LZ4_RAW and hadoop-framed LZ4) and both
+    data-page versions.  The
     SAME executor then answers a selective okey-range predicate (the
     shard's 40th-60th percentile keys) the way a 100 TB scan planner
     would, at BOTH planning levels: first drop whole ROW GROUPS whose
@@ -5148,8 +5149,8 @@ def parquet_page_prune_real(spark, sf_dir) -> DataFrame:
         pdf = pdf.sort_values("okey")
         shard_id = int(pdf["shard_id"].iloc[0])
         codec = [
-            "UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW",
-        ][shard_id % 5]
+            "UNCOMPRESSED", "SNAPPY", "GZIP", "ZSTD", "LZ4_RAW", "LZ4",
+        ][shard_id % 6]
         dpv = 2 if shard_id % 3 == 0 else 1
         okeys = [int(v) for v in pdf["okey"]]
         ckeys = [int(v) for v in pdf["ckey"]]
