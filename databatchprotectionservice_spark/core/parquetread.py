@@ -339,6 +339,22 @@ def _delta_bp_decode(raw: bytes, pos: int, bits: int) -> tuple:
         raise ParquetReadError(
             f"delta header: block {block} / miniblocks {minis}"
         )
+    # allocation bounds: the header's varints are attacker-controlled.
+    # Real writers use block sizes 128..4096, so 65536 is already far
+    # past any legitimate file; and a valid stream carrying ``total``
+    # values MUST contain ceil((total-1)/block) block records of at
+    # least (1 + minis) bytes each — a total above that byte-implied
+    # bound cannot decode and only fuels a w=0 append bomb.
+    if block > 65536 or minis > 512:
+        raise ParquetReadError(
+            f"delta header: block {block} / miniblocks {minis} over "
+            "the sanity bound"
+        )
+    if total > 1 + block * (1 + (len(raw) - pos) // (1 + minis)):
+        raise ParquetReadError(
+            f"delta header: {total} values cannot fit the remaining "
+            f"{len(raw) - pos} bytes"
+        )
     per_mini = block // minis
     if per_mini % 32:
         raise ParquetReadError(

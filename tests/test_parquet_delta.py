@@ -253,3 +253,85 @@ def test_lz4_hadoop_spark_interop(spark, tmp_path):
     for rg in meta["row_groups"]:
         got += read_column(sblob, rg["columns"][0], les["k"])
     assert got == list(range(1500))
+
+
+def test_delta_and_bloom_fuzz_domain_errors_only():
+    """Byte-mutation fuzz over the r14 decoders: every outcome is a
+    clean decode or the codec's own domain error — never an escape
+    (IndexError, struct.error, OverflowError, MemoryError) and never
+    an allocation bomb (the header sanity bounds)."""
+    import random as _random
+
+    from databatchprotectionservice_spark.core.errors import (
+        DBPSInvalidInputError,
+    )
+    from databatchprotectionservice_spark.core.parquetmeta import (
+        parse_bloom_filter,
+    )
+    from databatchprotectionservice_spark.core.parquetread import (
+        _delta_ba_decode,
+        _delta_len_ba_decode,
+        _inflate,
+    )
+    from databatchprotectionservice_spark.core.types import (
+        CompressionCodec,
+    )
+
+    rng = _random.Random(99)
+    delta_seed = _delta_bp_encode(list(range(0, 600, 7)), 64)
+    bloom_col, bloom_blob = None, None
+    cols = {"k": list(range(300))}
+    bloom_blob = write_parquet(
+        cols, {"k": "INT64"}, bloom_filter_columns=["k"]
+    )
+    bloom_col = parse_footer(bloom_blob)["row_groups"][0]["columns"][0]
+    lz4_page = write_parquet(cols, {"k": "INT64"}, codec="LZ4")
+
+    def mutate(raw: bytes) -> bytes:
+        b = bytearray(raw)
+        for _ in range(rng.randint(1, 6)):
+            op = rng.randrange(3)
+            if op == 0 and b:
+                b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+            elif op == 1 and len(b) > 4:
+                del b[rng.randrange(len(b))]
+            else:
+                b.insert(
+                    rng.randrange(len(b) + 1), rng.randrange(256)
+                )
+        return bytes(b)
+
+    for _ in range(400):
+        m = mutate(delta_seed)
+        try:
+            _delta_bp_decode(m, 0, 64)
+            _delta_len_ba_decode(m, 0, 50)
+            _delta_ba_decode(m, 0, 50)
+        except DBPSInvalidInputError:
+            pass
+    for _ in range(200):
+        m = mutate(bloom_blob)
+        try:
+            parse_bloom_filter(m, bloom_col)
+        except DBPSInvalidInputError:
+            pass
+        try:
+            _inflate(mutate(lz4_page[:256]), CompressionCodec.LZ4, 2400)
+        except DBPSInvalidInputError:
+            pass
+    # pure-garbage battery
+    for _ in range(200):
+        g = bytes(rng.randrange(256) for _ in range(rng.randint(0, 96)))
+        for fn in (
+            lambda: _delta_bp_decode(g, 0, 64),
+            lambda: _delta_len_ba_decode(g, 0, 10),
+            lambda: _delta_ba_decode(g, 0, 10),
+            lambda: _inflate(g, CompressionCodec.LZ4, 100),
+            lambda: parse_bloom_filter(
+                g, {"bloom_filter_offset": 0, "bloom_filter_length": None}
+            ),
+        ):
+            try:
+                fn()
+            except DBPSInvalidInputError:
+                pass
