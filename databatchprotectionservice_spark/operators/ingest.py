@@ -6133,3 +6133,227 @@ def parquet_bloom_prune_real(spark, sf_dir) -> DataFrame:
         )
         .orderBy("st")
     )
+
+
+# ---------------------------------------------------------------------------
+# r14 staged: ORC stripe VALUE decode under the oracle gate
+# ---------------------------------------------------------------------------
+
+OV_SHARD = 4096
+
+#: per-shard facts the oracle restates from ``orders`` directly; the
+#: decode itself is gated in-UDF (our values == pyarrow's ORC reader
+#: == the arithmetic reconstruction, and the dictionary-encoding
+#: steering actually took).
+ORC_VALUES_ORACLE = f"""
+        WITH e AS (
+            SELECT o_orderkey AS okey,
+                   o_orderkey // {OV_SHARD} AS shard_id
+            FROM orders
+            WHERE o_orderkey IS NOT NULL AND o_orderkey >= 0
+        ), r AS (
+            SELECT shard_id, shard_id % 10 AS combo, okey,
+                   (okey % 1000000000) * 2654435761 % 2147483647
+                       AS rnd,
+                   CASE WHEN okey % 97 = 0
+                        THEN 1000000000000 + okey
+                        ELSE okey % 100 END AS patch,
+                   CASE WHEN okey % 7 = 0 THEN NULL
+                        ELSE 2 + length(CAST(okey AS VARCHAR))
+                        END AS notelen,
+                   CASE WHEN okey % 3 = 0 THEN 1 ELSE 0 END AS flg
+            FROM e
+        ), sh AS (
+            SELECT combo, shard_id,
+                   count(*) AS n_rows,
+                   sum(okey) AS sum_okey,
+                   sum(rnd) AS sum_rnd,
+                   sum(patch) AS sum_patch,
+                   sum(CASE WHEN notelen IS NULL THEN 1 ELSE 0 END)
+                       AS n_null_note,
+                   sum(COALESCE(notelen, 0)) AS sum_note_len,
+                   sum(flg) AS n_flag
+            FROM r GROUP BY 1, 2
+        )
+        SELECT combo,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(sum(n_rows) AS BIGINT) AS n_rows,
+               CAST(sum(sum_okey) AS BIGINT) AS sum_okey,
+               CAST(sum(sum_rnd) AS BIGINT) AS sum_rnd,
+               CAST(sum(sum_patch) AS BIGINT) AS sum_patch,
+               CAST(sum(n_null_note) AS BIGINT) AS n_null_note,
+               CAST(sum(sum_note_len) AS BIGINT) AS sum_note_len,
+               CAST(sum(n_flag) AS BIGINT) AS n_flag
+        FROM sh GROUP BY combo ORDER BY combo
+"""
+
+_OV_ROW_SCHEMA = T.StructType(
+    [
+        T.StructField("combo", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("sum_okey", T.LongType()),
+        T.StructField("sum_rnd", T.LongType()),
+        T.StructField("sum_patch", T.LongType()),
+        T.StructField("n_null_note", T.LongType()),
+        T.StructField("sum_note_len", T.LongType()),
+        T.StructField("n_flag", T.LongType()),
+    ]
+)
+
+
+def ingest_orc_values_real(spark, sf_dir) -> DataFrame:
+    """ORC stripe VALUE decode with no black box (r14 — the read half
+    ``core/orcread.py`` under the driver gate, completing the
+    metadata-only ``ingest_orc_shards``).
+
+    Each okey-range shard of ``orders`` derives six columns whose
+    shapes steer every RLEv2 sub-encoding (sorted okey -> DELTA, a
+    Knuth-mix rnd -> DIRECT, mostly-small-with-outliers -> a
+    PATCHED_BASE candidate, a 19-value category string, a nullable
+    note, a bool), writes them as a REAL ORC file with pyarrow (the
+    independent producer; codec rotating NONE/ZLIB/SNAPPY/LZ4/ZSTD by
+    shard, dictionary encoding forced on odd shards and off on even),
+    and OUR from-scratch reader decodes every stream back: stripe
+    footers on the miniproto runtime, byte-RLE present bitmaps,
+    RLEv2 runs, dictionary/direct strings, IEEE doubles.  Drift
+    asserts: our decode equals pyarrow's own ORC read-back AND the
+    arithmetic reconstruction column-for-column; odd shards really
+    carry DICTIONARY_V2 for the category column and even shards
+    DIRECT_V2.  The DuckDB oracle restates every aggregate from
+    ``orders`` directly.
+
+    100 TB: one shuffle on shard_id; shard count grows with the data;
+    per-shard decode cost is O(rows) with fixed-size stream state.
+    """
+    import io
+
+    import pyarrow as pa_
+    from pyarrow import orc as pa_orc
+
+    from ..core.orcread import (
+        E_DICTIONARY_V2,
+        E_DIRECT_V2,
+        parse_stripe_footer,
+        read_orc_columns,
+    )
+    from ..core.orcmeta import parse_orc_meta
+
+    prep(spark)
+    d = (
+        load_spread(spark, sf_dir, "orders")
+        .where(
+            F.col("o_orderkey").isNotNull()
+            & (F.col("o_orderkey") >= 0)
+        )
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.expr(f"o_orderkey div {OV_SHARD}").alias("shard_id"),
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "shard_id")
+    )
+
+    def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("okey")
+        shard_id = int(pdf["shard_id"].iloc[0])
+        codec = ["uncompressed", "zlib", "snappy", "lz4", "zstd"][
+            shard_id % 5
+        ]
+        use_dict = shard_id % 2 == 1
+        okeys = [int(v) for v in pdf["okey"]]
+        rnds = [
+            (k % 1_000_000_000) * 2654435761 % 2147483647
+            for k in okeys
+        ]
+        patches = [
+            1_000_000_000_000 + k if k % 97 == 0 else k % 100
+            for k in okeys
+        ]
+        cats = [f"c{k % 19}" for k in okeys]
+        notes = [
+            None if k % 7 == 0 else f"n-{k}" for k in okeys
+        ]
+        prices = [k * 0.25 for k in okeys]
+        flags = [k % 3 == 0 for k in okeys]
+        t = pa_.table(
+            {
+                "okey": pa_.array(okeys, pa_.int64()),
+                "rnd": pa_.array(rnds, pa_.int64()),
+                "patch": pa_.array(patches, pa_.int64()),
+                "cat": pa_.array(cats, pa_.string()),
+                "note": pa_.array(notes, pa_.string()),
+                "price": pa_.array(prices, pa_.float64()),
+                "flag": pa_.array(flags, pa_.bool_()),
+            }
+        )
+        buf = io.BytesIO()
+        pa_orc.write_table(
+            t,
+            buf,
+            compression=codec,
+            dictionary_key_size_threshold=0.9 if use_dict else 0.0,
+        )
+        blob = buf.getvalue()
+
+        got = read_orc_columns(blob)
+        back = pa_orc.ORCFile(io.BytesIO(blob)).read()
+        for name in t.column_names:
+            ours = got[name]
+            if ours != back.column(name).to_pylist():
+                raise ValueError(
+                    f"shard {shard_id}: {name} disagrees with "
+                    "pyarrow's read-back"
+                )
+            if ours != t.column(name).to_pylist():
+                raise ValueError(
+                    f"shard {shard_id}: {name} drifted from the "
+                    "reconstruction"
+                )
+        # the dictionary steering really took (cat is column id of
+        # 'cat' in the pre-order type tree)
+        meta = parse_orc_meta(blob)
+        meta["compression_id"] = {
+            "NONE": 0, "ZLIB": 1, "SNAPPY": 2, "LZ4": 4, "ZSTD": 5,
+        }[meta["compression"]]
+        root = meta["types"][0]
+        cat_id = root["subtypes"][root["field_names"].index("cat")]
+        want_enc = E_DICTIONARY_V2 if use_dict else E_DIRECT_V2
+        for stripe in meta["stripes"]:
+            sf = parse_stripe_footer(blob, meta, stripe)
+            if sf["encodings"][cat_id]["kind"] != want_enc:
+                raise ValueError(
+                    f"shard {shard_id}: cat encoding "
+                    f"{sf['encodings'][cat_id]['kind']} != {want_enc}"
+                )
+        return pd.DataFrame(
+            {
+                "combo": pd.Series([shard_id % 10], dtype="int64"),
+                "n_rows": pd.Series([len(okeys)], dtype="int64"),
+                "sum_okey": pd.Series([sum(okeys)], dtype="int64"),
+                "sum_rnd": pd.Series([sum(rnds)], dtype="int64"),
+                "sum_patch": pd.Series([sum(patches)], dtype="int64"),
+                "n_null_note": pd.Series(
+                    [sum(1 for v in notes if v is None)], dtype="int64"
+                ),
+                "sum_note_len": pd.Series(
+                    [sum(len(v) for v in notes if v is not None)],
+                    dtype="int64",
+                ),
+                "n_flag": pd.Series([sum(flags)], dtype="int64"),
+            }
+        )
+
+    shards = d.groupBy("shard_id").applyInPandas(_shard, _OV_ROW_SCHEMA)
+    return (
+        shards.groupBy("combo")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+            F.sum("n_rows").cast("bigint").alias("n_rows"),
+            F.sum("sum_okey").cast("bigint").alias("sum_okey"),
+            F.sum("sum_rnd").cast("bigint").alias("sum_rnd"),
+            F.sum("sum_patch").cast("bigint").alias("sum_patch"),
+            F.sum("n_null_note").cast("bigint").alias("n_null_note"),
+            F.sum("sum_note_len").cast("bigint").alias("sum_note_len"),
+            F.sum("n_flag").cast("bigint").alias("n_flag"),
+        )
+        .orderBy("combo")
+    )

@@ -82,6 +82,13 @@ def staged_manifest():
             ingest.parquet_bloom_prune_real,
             ingest.PARQUET_BLOOM_PRUNE_ORACLE,
         ),
+        # r14: ORC stripe VALUE decode (core/orcread.py — RLEv2 all
+        # four sub-encodings, dict/direct strings, present weaving)
+        # with pyarrow as producer and in-UDF cross-referee.
+        "ingest_orc_values_real": (
+            ingest.ingest_orc_values_real,
+            ingest.ORC_VALUES_ORACLE,
+        ),
     }
 
 

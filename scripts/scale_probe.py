@@ -163,6 +163,9 @@ QUERIES = [
     # r14 staged: SBBF row-group pruning (orders-driven; per shard the
     # filter build is O(rows), each probe O(groups) filter checks)
     "parquet_bloom_prune_real",
+    # r14 staged: ORC stripe value decode (orders-driven; per-shard
+    # decode is O(rows) over fixed-size stream state)
+    "ingest_orc_values_real",
 ]
 
 

@@ -146,3 +146,45 @@ def test_orc_fuzz_domain_errors_only():
             read_orc_columns(bytes(b))
         except DBPSInvalidInputError:
             pass
+
+
+@pytest.mark.parametrize("codec", ["zlib", "zstd"])
+def test_orc_dictionary_v2_decode(codec):
+    """pyarrow's writer defaults dictionary OFF
+    (dictionary_key_size_threshold=0.0) — force it on so
+    DICTIONARY_V2 (sorted dictionary + index run) is pinned, nulls
+    included."""
+    from databatchprotectionservice_spark.core.orcread import (
+        E_DICTIONARY_V2,
+        parse_stripe_footer,
+    )
+    from databatchprotectionservice_spark.core.orcmeta import (
+        parse_orc_meta,
+    )
+
+    t = pa.table(
+        {
+            "s": [f"cat-{i % 23}" for i in range(8000)],
+            "snul": [
+                None if i % 5 == 0 else f"v{i % 7}" for i in range(8000)
+            ],
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(
+        t,
+        buf,
+        compression=codec,
+        dictionary_key_size_threshold=0.9,
+        stripe_size=64 * 1024,
+    )
+    blob = buf.getvalue()
+    meta = parse_orc_meta(blob)
+    meta["compression_id"] = {"ZLIB": 1, "ZSTD": 5}[meta["compression"]]
+    sf = parse_stripe_footer(blob, meta, meta["stripes"][0])
+    assert any(
+        e["kind"] == E_DICTIONARY_V2 for e in sf["encodings"]
+    ), sf["encodings"]  # the steering worked
+    got = read_orc_columns(blob)
+    for name in t.column_names:
+        assert got[name] == t.column(name).to_pylist(), (codec, name)

@@ -970,3 +970,22 @@ def test_parquet_bloom_prune_one_shard_shuffle(spark, sf_dir):
     assert n_hash == 2, plan
     for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
         assert bad not in plan, bad
+
+
+def test_orc_values_one_shard_shuffle(spark, sf_dir):
+    """ingest_orc_values_real (r14 staged): one shard_id exchange
+    into grouped pandas plus the tiny per-combo aggregate; no joins,
+    no windows — the ORC write + from-scratch decode live inside the
+    UDF."""
+    from databatchprotectionservice_spark.operators.ingest import (
+        ingest_orc_values_real,
+    )
+
+    plan = _plan(ingest_orc_values_real(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    n_hash = sum(
+        1 for ln in plan.splitlines() if "Exchange hashpartitioning" in ln
+    )
+    assert n_hash == 2, plan
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "Window"):
+        assert bad not in plan, bad
