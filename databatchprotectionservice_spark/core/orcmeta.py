@@ -133,6 +133,9 @@ ORC_TYPE = _message(
         _field("kind", 1, _F.TYPE_UINT64),
         _field("subtypes", 2, _F.TYPE_UINT64, repeated=True),
         _field("fieldNames", 3, _F.TYPE_STRING, repeated=True),
+        _field("maximumLength", 4, _F.TYPE_UINT64),
+        _field("precision", 5, _F.TYPE_UINT64),
+        _field("scale", 6, _F.TYPE_UINT64),
     ],
 )
 FOOTER = _message(
@@ -284,6 +287,10 @@ def parse_orc_meta(data: bytes) -> dict:
                 "field_names": [
                     _s(n, "field name") for n in t.fieldNames
                 ],
+                # DECIMAL parameters (Type fids 5/6) — 0/absent for
+                # every other kind
+                "precision": _u(t.precision, "precision"),
+                "scale": _u(t.scale, "scale"),
             }
         )
     if not types:

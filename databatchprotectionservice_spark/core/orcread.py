@@ -28,9 +28,11 @@ dropped them.  Compressed stream regions inflate through
 ``orcmeta.decompress_region`` (NONE/ZLIB/SNAPPY/LZ4/ZSTD — LZO stays
 the documented seam).  The unit suite pins decoded values against
 pyarrow's ORC writer with data shapes steering every RLEv2
-sub-encoding, every codec, and null patterns.  Nested types
-(LIST/MAP/STRUCT/UNION), TIMESTAMP and DECIMAL remain named seams of
-this first read slice.
+sub-encoding, every codec, and null patterns.  TIMESTAMP (base-2015
+seconds + trailing-zero-packed nanos) and DECIMAL (unbounded zigzag
+varint unscaled + per-value scale) decode too.  Nested types
+(LIST/MAP/STRUCT/UNION) remain named seams of this first read
+slice.
 """
 
 from __future__ import annotations
@@ -274,8 +276,13 @@ def _rlev2_all(data: bytes, n: int, signed: bool) -> list:
 
 _SUPPORTED = {
     "BOOLEAN", "BYTE", "SHORT", "INT", "LONG", "FLOAT", "DOUBLE",
-    "STRING", "BINARY", "DATE", "VARCHAR", "CHAR",
+    "STRING", "BINARY", "DATE", "VARCHAR", "CHAR", "TIMESTAMP",
+    "DECIMAL",
 }
+
+#: seconds between the unix epoch and ORC's timestamp base
+#: (2015-01-01 00:00:00 UTC)
+_ORC_TS_BASE = 1420070400
 
 
 def parse_stripe_footer(data: bytes, meta: dict, stripe: dict) -> dict:
@@ -371,6 +378,64 @@ def read_stripe_column(
     if kind == "BYTE":
         raw = byte_rle_decode(dat or b"", n_present)
         vals = [b - 256 if b >= 128 else b for b in raw]
+        return _weave(vals, present)
+    if kind == "TIMESTAMP":
+        # DATA: signed RLEv2 seconds from the 2015-01-01 base;
+        # SECONDARY: nanos with trailing zeros stripped — low 3 bits
+        # z restore 10^(z+1) when nonzero (the reference decoder's
+        # loop runs z+1 times; pinned against real streams: 1000ns ->
+        # (1, z=2), 100000ns -> (1, z=4)).  Pre-1970 stamps diverge
+        # by writer: the C++ library truncates seconds toward zero
+        # and stores NEGATIVE nanos (two's complement in the
+        # otherwise-unsigned stream), the Java library floors via a
+        # positive-nanos + reader-side seconds-minus-one convention —
+        # both decode here (sign-reinterpret, then adjust only for
+        # the positive-nanos case)
+        import datetime as _dt
+
+        secs = _rlev2_all(dat or b"", n_present, signed=True)
+        sec_raw = _stream(data, meta, sf, column, K_SECONDARY)
+        if sec_raw is None:
+            raise OrcReadError("TIMESTAMP without a SECONDARY stream")
+        nanos_enc = _rlev2_all(sec_raw, n_present, signed=False)
+        vals = []
+        for s, ne in zip(secs, nanos_enc):
+            if ne >= 1 << 63:  # C++ negative-nanos convention
+                ne -= 1 << 64
+            z = ne & 7
+            nanos = ne >> 3
+            if z:
+                nanos *= 10 ** (z + 1)
+            if nanos > 0 and s + _ORC_TS_BASE < 0:
+                s -= 1  # Java truncation convention
+            epoch_ns = (s + _ORC_TS_BASE) * 1_000_000_000 + nanos
+            us, rem = divmod(epoch_ns, 1000)
+            if rem:
+                raise OrcReadError(
+                    "sub-microsecond ORC timestamp is a named seam "
+                    "(python datetime is us-bounded)"
+                )
+            vals.append(
+                _dt.datetime(1970, 1, 1)
+                + _dt.timedelta(microseconds=us)
+            )
+        return _weave(vals, present)
+    if kind == "DECIMAL":
+        # DATA: unbounded zigzag varints of the unscaled value;
+        # SECONDARY: signed RLEv2 per-value scales (writers emit the
+        # declared scale for every row)
+        import decimal as _decimal
+
+        cur = _ByteCursor(dat or b"")
+        unscaled = [cur.svarint() for _ in range(n_present)]
+        sec_raw = _stream(data, meta, sf, column, K_SECONDARY)
+        if sec_raw is None:
+            raise OrcReadError("DECIMAL without a SECONDARY stream")
+        scales = _rlev2_all(sec_raw, n_present, signed=True)
+        vals = [
+            _decimal.Decimal(u).scaleb(-s)
+            for u, s in zip(unscaled, scales)
+        ]
         return _weave(vals, present)
     if kind in ("SHORT", "INT", "LONG", "DATE"):
         if enc not in (E_DIRECT, E_DIRECT_V2):

@@ -77,11 +77,8 @@ def test_orc_column_projection_and_unknown():
 
 
 def test_orc_unsupported_types_are_named_seams():
-    t = pa.table({"ts": pa.array([1, 2], pa.timestamp("us"))})
-    buf = io.BytesIO()
-    orc.write_table(t, buf, compression="zlib")
-    with pytest.raises(OrcReadError, match="seam"):
-        read_orc_columns(buf.getvalue())
+    # nested kinds stay the named seam (TIMESTAMP/DECIMAL decode
+    # since the second r14 slice)
     t2 = pa.table({"l": pa.array([[1], [2, 3]], pa.list_(pa.int64()))})
     buf2 = io.BytesIO()
     orc.write_table(t2, buf2, compression="zlib")
@@ -187,4 +184,47 @@ def test_orc_dictionary_v2_decode(codec):
     ), sf["encodings"]  # the steering worked
     got = read_orc_columns(blob)
     for name in t.column_names:
+        assert got[name] == t.column(name).to_pylist(), (codec, name)
+
+
+@pytest.mark.parametrize("codec", ["uncompressed", "zstd"])
+def test_orc_timestamp_and_decimal_decode(codec):
+    """TIMESTAMP (base-2015 seconds + trailing-zero-packed nanos,
+    BOTH pre-1970 conventions: the C++ writer's negative-nanos
+    two's complement and the Java floor-plus-adjust) and DECIMAL
+    (unbounded zigzag varint unscaled + per-value scale)."""
+    import decimal
+
+    ts = [
+        1577836800000000,
+        None,
+        1600000000123456,
+        100,
+        -5000000,
+        -1420070400000001,  # pre-1970 with sub-second part
+        -5500000,
+        1,
+        -1,
+    ]
+    dec = [
+        decimal.Decimal("123.45"),
+        None,
+        decimal.Decimal("-9999.99"),
+        decimal.Decimal("0.01"),
+        decimal.Decimal("0.00"),
+        decimal.Decimal("31415926.53"),
+        decimal.Decimal("-0.07"),
+        decimal.Decimal("7"),
+        decimal.Decimal("-7"),
+    ]
+    t = pa.table(
+        {
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "dec": pa.array(dec, pa.decimal128(12, 2)),
+        }
+    )
+    buf = io.BytesIO()
+    orc.write_table(t, buf, compression=codec)
+    got = read_orc_columns(buf.getvalue())
+    for name in ("ts", "dec"):
         assert got[name] == t.column(name).to_pylist(), (codec, name)
