@@ -93,7 +93,15 @@ def test_hand_assembled_tail():
     assert got["num_rows"] == 0
     assert got["compression"] == "NONE"
     assert got["types"] == [
-        {"kind": "STRUCT", "subtypes": [], "field_names": []}
+        {
+            "kind": "STRUCT",
+            "subtypes": [],
+            "field_names": [],
+            # DECIMAL parameters surfaced since the r14 value-decode
+            # slice (0 for every other kind)
+            "precision": 0,
+            "scale": 0,
+        }
     ]
 
 
