@@ -20,10 +20,11 @@ ranking structure is what downstream sampling/curation consumes.
 
 100 TB shape: the edge list shuffles once per iteration on the join key
 (src), the contribution aggregate is map-side combinable on dst, and
-each round's result is eagerly ``localCheckpoint``-ed so the logical
-plan stays flat across iterations (the PLANS.md iterative-lineage
-hazard: per-round analysis otherwise re-walks a plan that grows with
-every iteration).
+the FIXED iteration count keeps the whole run one lazy ~25-operator
+plan — no per-round materialization jobs (the PLANS.md
+iterative-lineage hazard only bites unbounded loops whose plan doubles
+per round, like the CC propagation, which keeps its eager
+localCheckpoints).
 """
 
 from __future__ import annotations
@@ -51,14 +52,21 @@ _PURCHASE_EDGES_CTE = """
 def _purchase_edges(spark, sf_dir):
     """(pairs, edges) of the bidirected customer-supplier purchase
     graph — the single implementation of the 2*c / 2*s+1 encoding
-    shared by pagerank and BFS (edges eagerly checkpointed: both
-    callers iterate over them)."""
+    shared by pagerank, BFS and triangles.
+
+    r15: ``pairs`` (not ``edges``) is the materialization point — every
+    caller re-reads the pair set several times (seeds + edges in BFS,
+    degree guard + both self-join sides in triangles, degree + rank flow
+    in PageRank), while ``edges`` is just a map-only double projection
+    of pairs (union of two selects, no shuffle), so checkpointing pairs
+    halves the stored rows and the old eager edges job disappears."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     pairs = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     fwd = pairs.select(
         (2 * F.col("c")).alias("src"), (2 * F.col("s") + 1).alias("dst")
@@ -66,7 +74,7 @@ def _purchase_edges(spark, sf_dir):
     rev = pairs.select(
         (2 * F.col("s") + 1).alias("src"), (2 * F.col("c")).alias("dst")
     )
-    edges = fwd.unionByName(rev).localCheckpoint(eager=True)
+    edges = fwd.unionByName(rev)
     return pairs, edges
 
 PR_ITERATIONS = 5
@@ -131,14 +139,24 @@ def pagerank_top_nodes(spark, sf_dir):
       contributions = edges ⋈ ranks (on src) -> r div outdeg
       new rank      = teleport + 85% of the dst-summed contributions
 
-    with ranks eagerly checkpointed per round (flat logical plan)."""
+    as ONE lazy five-round unrolled plan (r15: the per-round eager
+    localCheckpoints were pure job overhead at this FIXED depth — each
+    round's output feeds exactly the next round, nothing is reused, and
+    a 5-round join+agg chain is a ~25-operator plan, far below the
+    iterative-lineage hazard that motivated flattening in the unbounded
+    CC loop; one action now runs the whole fixed point and AQE plans
+    each round's join from runtime sizes)."""
     prep(spark)
     pairs, edges = _purchase_edges(spark, sf_dir)
-    nodes = edges.select(F.col("src").alias("v")).distinct()
+    # deg's src set IS the node set (bidirected construction: every
+    # node has outdegree > 0), so rank init folds out of deg and the
+    # old separate nodes-distinct shuffle is gone
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "src").localCheckpoint(eager=True)
+    ed = edges.join(deg, "src")
 
-    ranks = nodes.select("v", F.lit(_R0).cast("bigint").alias("r"))
+    ranks = deg.select(
+        F.col("src").alias("v"), F.lit(_R0).cast("bigint").alias("r")
+    )
     for _ in range(PR_ITERATIONS):
         # the bidirected construction guarantees indeg = outdeg > 0 for
         # every node, so the contribution aggregate's dst set IS the
@@ -154,7 +172,6 @@ def pagerank_top_nodes(spark, sf_dir):
                 .alias("r")
             )
             .select(F.col("dst").alias("v"), "r")
-            .localCheckpoint(eager=True)
         )
     return (
         ranks.orderBy(F.desc("r"), F.asc("v"))
@@ -231,8 +248,9 @@ def bfs_purchase_distance(spark, sf_dir):
 
     100 TB shape: per round, one join of edges to the reached set on
     src (broadcastable while the frontier is small — THE BFS win over
-    dense methods) and one map-side-combinable min aggregate; lineage
-    is flattened per round with eager localCheckpoint.  The union
+    dense methods) and one map-side-combinable min aggregate; the
+    4-round expansion is one lazy plan (exchange reuse deduplicates
+    the per-round aggregate consumed by both join and union).  The union
     carries the full reached set each round for oracle identity; a
     production BFS would propagate only the improved-distance DELTA,
     an optimization that changes no result."""
@@ -244,27 +262,23 @@ def bfs_purchase_distance(spark, sf_dir):
         .distinct()
         .select("v", F.lit(0).cast("bigint").alias("d"))
     )
-    cached = []
     for _ in range(BFS_ROUNDS):
         expanded = (
             edges.join(dist, edges.src == dist.v)
             .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
         )
-        # persist, don't eagerly checkpoint: each round's dist feeds the
-        # next round's join AND the union, so the cache deduplicates
-        # work, but materialization is deferred to ONE final checkpoint
-        # (4 rounds of join-union-agg is a shallow plan; the per-round
-        # eager job was pure overhead at this depth)
+        # r15: no persist, no checkpoint — each round's dist feeds the
+        # next round's join AND the union, but both consumers sit above
+        # the SAME round-k aggregate subtree, so physical-plan exchange
+        # reuse (ReusedExchange, on by default) deduplicates the work
+        # without any materialization job; the whole 4-round expansion
+        # is ONE lazy action (the old persist+final-checkpoint shape
+        # paid a materialization job plus cache churn per call)
         dist = (
             dist.unionByName(expanded)
             .groupBy("v")
             .agg(F.min("d").alias("d"))
-            .persist()
         )
-        cached.append(dist)
-    dist = dist.localCheckpoint(eager=True)
-    for d in cached:
-        d.unpersist()
     return dist.select(
         F.when(F.col("v") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
@@ -405,12 +419,16 @@ def triangle_suppliers(spark, sf_dir):
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # r15: lazy — oriented is consumed three times (e1/e2/closing) but
+    # it is a pair of broadcast-sized joins over the checkpointed co
+    # leaf; the deg aggregate below it is deduplicated by exchange
+    # reuse, so the old eager checkpoint bought nothing but a job
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a"))
         .alias("deg_dst"),
-    ).localCheckpoint(eager=True)
+    )
 
     e1 = oriented.select(
         F.col("src").alias("a"), F.col("dst").alias("b"),
