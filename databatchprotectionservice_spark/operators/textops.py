@@ -1114,21 +1114,26 @@ def text_bpe_train(spark, sf_dir):
     100 TB shape: per round, the only exchange is the pair-count
     aggregate (combiner-friendly: pairs per partition collapse before
     the shuffle); the rewrite is a map-only scan; the driver sees ONE
-    row per round.  Five rounds = five scans — a production trainer
-    amortizes them by caching the rewritten corpus per round, which
-    this does — each round's rewrite is persisted and materialized BY
-    the corpus-length aggregate (one action doing both), so a round
-    costs two jobs, not three.  The replace-over-cache lineage is five
-    frames deep at most, far below where checkpoint flattening pays.
+    row per round.  r15: round r's corpus length is an ``observe()``
+    metric on the rewritten frame, resolved for free by round r+1's
+    pair-count action (which must scan every rewritten row anyway to
+    aggregate), so a round costs ONE job — the old separate
+    cache-materializing length aggregate is gone and only the final
+    round pays a dedicated length job (nothing scans its rewrite
+    otherwise).  The rewrite stays persisted so each round's single
+    scan starts from the previous round's cached text.
 
     The oracle unrolls the identical five rounds as chained CTEs, so
     training — not just tokenization — holds to the full hash gate."""
+    from pyspark.sql import Observation
+
     prep(spark)
     df = load_spread(spark, sf_dir, "documents").select(
         F.col("text").alias("t")
     )
     rows = []
     cached = []  # rounds' rewrites, unpersisted on exit
+    pending = None  # previous round's corpus-length Observation
     for r in range(BPE_MERGES):
         ph = BPE_PLACEHOLDERS[r]
         pairs = (
@@ -1146,6 +1151,11 @@ def text_bpe_train(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("c"))
         )
         best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
+        if pending is not None:
+            # this collect scanned every row of the previous round's
+            # rewrite, so its observed length metric is now final
+            rows[-1] = rows[-1][:3] + (int(pending.get["n"]),)
+            pending = None
         if not best:
             # degenerate corpus (every text below 2 chars): the oracle
             # still emits one row per remaining round — its bN scalar
@@ -1158,20 +1168,27 @@ def text_bpe_train(spark, sf_dir):
         pair, c = best[0]["pair"], int(best[0]["c"])
         # literal-safe: the corpus-derived pair goes through F.lit, not
         # SQL-string interpolation (a quote/backslash in the winning
-        # bigram would break or rewrite an interpolated expression).
-        # cache + length-agg in ONE action: the aggregate materializes
-        # the rewritten corpus for the next round's pair count, so each
-        # round is two jobs (pairs, rewrite+len) instead of three
-        # (the old eager localCheckpoint was a jobs-only materializer;
-        # a 5-deep replace-over-cache lineage is trivially shallow)
-        df = df.select(
-            F.replace(F.col("t"), F.lit(pair), F.lit(ph)).alias("t")
-        ).persist()
+        # bigram would break or rewrite an interpolated expression)
+        obs = Observation()
+        df = (
+            df.select(
+                F.replace(F.col("t"), F.lit(pair), F.lit(ph)).alias("t")
+            )
+            .observe(obs, F.sum(F.length("t")).cast("bigint").alias("n"))
+            .persist()
+        )
         cached.append(df)
+        rows.append((r + 1, pair, c, None))
+        pending = obs
+    if pending is not None:
+        # the last round's rewrite has no later scan to piggyback on:
+        # one dedicated length aggregate materializes it and fires the
+        # observation (read the aggregate, not the metric — same value,
+        # no wait-for-listener race)
         corpus_len = df.agg(
             F.sum(F.length("t")).cast("bigint").alias("n")
         ).collect()[0]["n"]
-        rows.append((r + 1, pair, c, int(corpus_len)))
+        rows[-1] = rows[-1][:3] + (int(corpus_len),)
     for d in cached:
         d.unpersist()
     return spark.createDataFrame(
