@@ -391,9 +391,18 @@ def triangle_suppliers(spark, sf_dir):
             "scale mitigation)"
         )
 
-    p2 = pairs.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
+    # explicit width for the wedge stage: the pair self-join's INPUT
+    # bytes are tiny but its output is sum-of-degree^2 rows, so AQE's
+    # size-based coalescing (session default, r15) would serialize the
+    # join + partial-count onto one task; REPARTITION_BY_NUM exchanges
+    # are never coalesced, and both sides sharing key+width means the
+    # join adds no further exchange (measured 12.0 s -> 3.5 s at sf0.1
+    # under the coalescing default)
+    width = spark.sparkContext.defaultParallelism
+    pairs_w = pairs.repartition(width, "c")
+    p2 = pairs_w.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
     co = (
-        pairs.join(p2, (F.col("c") == F.col("c2")) & (F.col("s") < F.col("s2")))
+        pairs_w.join(p2, (F.col("c") == F.col("c2")) & (F.col("s") < F.col("s2")))
         .groupBy(F.col("s").alias("a"), F.col("s2").alias("b"))
         .agg(F.count(F.lit(1)).alias("shared"))
         .filter(F.col("shared") >= TRI_MIN_SHARED)

@@ -48,6 +48,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # r15 audit: size-based coalescing (parallelismFirst=false +
+        # advisory target) was measured with a corrected interleaved
+        # A/B (scripts/ab_conf.py: cache cleared between sides, order
+        # alternated per rep) and came out NEUTRAL at sf0.1 (0.99-1.02x
+        # over 16 queries) — the dramatic first-pass "wins" were one
+        # side riding the other's internal .cache().  Keeping Spark's
+        # parallelism-first default; on a production cluster with
+        # GB-TB shuffles set advisoryPartitionSizeInBytes=64m..256m
+        # per the tuning guide (extra_conf / spark-defaults).
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
