@@ -95,19 +95,42 @@ def _prune_streaming_listener_buses(spark) -> None:
     +1 per ``availableNow`` run, observed to ~60 across a full bench
     pass, each one offered every Spark event thereafter (the r13 TWS
     trio drift's only in-session accumulator; thread censuses were
-    flat).  This engine registers no user StreamingQueryListeners, so
-    forwarding buses beyond the root's deliver to nobody; pruning them
-    is behavior-neutral and bounds the bus population at one."""
+    flat).  A bus that forwards to nobody delivers every Spark event
+    to dead weight; pruning those is behavior-neutral and bounds the
+    bus population.  r16 (ADVICE r15): only buses that VERIFIABLY
+    carry zero attached StreamingQueryListeners are detached — the old
+    keep-``buses[0]``-by-position rule would have silently detached a
+    user listener registered on a later clone's bus.  One idle bus is
+    always kept so the root session's manager stays wired."""
     try:
         lb = spark._jsc.sc().listenerBus()
         it = lb.listeners().iterator()
-        buses = []
+        idle_buses = []
         while it.hasNext():
             listener = it.next()
             name = listener.getClass().getName()
-            if name.endswith("StreamingQueryListenerBus"):
-                buses.append(listener)
-        for listener in buses[1:]:
+            if not name.endswith("StreamingQueryListenerBus"):
+                continue
+            try:
+                # ListenerBus.listeners() — the forwarding bus's OWN
+                # attached listeners.  Each cloned session's bus carries
+                # exactly one Spark-internal UI status listener; any
+                # OTHER attached class is a user listener and the bus
+                # must survive.
+                kids = listener.listeners().iterator()
+                idle = True
+                while kids.hasNext():
+                    kname = kids.next().getClass().getName()
+                    if not kname.startswith(
+                        "org.apache.spark.sql.streaming.ui."
+                    ):
+                        idle = False
+                        break
+            except Exception:  # noqa: BLE001 - can't verify -> keep
+                idle = False
+            if idle:
+                idle_buses.append(listener)
+        for listener in idle_buses[1:]:
             lb.removeListener(listener)
     except Exception:  # noqa: BLE001 - hygiene must never fail the run
         pass
@@ -481,13 +504,26 @@ def streaming_profile_tws(spark, sf_dir):
 
     prep(spark)
     ensure_protobuf(spark)
-    e = load_events(spark, sf_dir).select(
-        "user_id",
-        "event_type",
-        # decimal cast BEFORE the stream so half-up rounding matches
-        # the oracle; exact int64 cents from there on
-        (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
-        F.expr(f"(unix_micros(ts) div {_WEEK_US}) % 2").alias("bucket"),
+    e = (
+        load_events(spark, sf_dir)
+        .select(
+            "user_id",
+            "event_type",
+            # decimal cast BEFORE the stream so half-up rounding matches
+            # the oracle; exact int64 cents from there on
+            (F.col("value").cast(DEC) * 100).cast("long").alias("cents"),
+            F.expr(f"(unix_micros(ts) div {_WEEK_US}) % 2").alias("bucket"),
+        )
+        # r16 (guide §2.3): pre-aggregate each micro-batch to one row
+        # per (user, type) JVM-side — counts and cent sums are additive,
+        # so the processor's carried state is provably unchanged while
+        # the staging write and the Python boundary shrink from the
+        # corpus to users x types rows per batch
+        .groupBy("user_id", "bucket", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("cents").alias("cents"),
+        )
     )
     stage_dir = scratch_path("dbps_tws_profile_")
     # one file per bucket: a two-batch availableNow run (two, not
@@ -503,7 +539,7 @@ def streaming_profile_tws(spark, sf_dir):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
-            .select("user_id", "event_type", "cents")
+            .select("user_id", "event_type", "cnt", "cents")
         )
         profiles = user_profile_stream_tws(stream)
         name = f"streaming_profile_tws_{time.time_ns()}"
@@ -1107,18 +1143,50 @@ def streaming_hll_tws(spark, sf_dir):
     scales to any key cardinality because the state size is constant
     per key — the property running ``count(DISTINCT)`` per batch
     lacks.
+
+    r16 (guide §2.3/§8 — aggregate before the expensive boundary):
+    each staged micro-batch is PRE-REDUCED to its (event_type, hll
+    bucket) -> max rank register rows JVM-side (built-in ``md5`` +
+    ``conv``, bit-identical to the processor's old per-row Python
+    hashing), because ``max`` is associative — the carried MapState
+    after both batches is provably unchanged.  The staging write and
+    the Python boundary now move at most ``keys x 2^p`` rows per
+    batch instead of the corpus, and the processor's per-event Python
+    md5 loop is gone.
     """
     from ..plans.registry import load_events, remove_path, scratch_path
-    from ..streaming.pipeline import hll_distinct_stream_tws
+    from ..streaming.pipeline import _HLL_W_BITS, hll_distinct_stream_tws
     from ..vendor import ensure_protobuf
 
     prep(spark)
     ensure_protobuf(spark)
     week_us = 7 * 86400 * 1_000_000
-    e = load_events(spark, sf_dir).select(
-        "event_type",
-        "user_id",
-        F.expr(f"(unix_micros(ts) div {week_us}) % 2").alias("bucket"),
+    w_mod = 1 << _HLL_W_BITS
+    rank_expr = (
+        f"CASE WHEN h % {w_mod} = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS + 1} - length(bin(h % {w_mod})) END"
+    )
+    e = (
+        load_events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.expr(f"(unix_micros(ts) div {week_us}) % 2").alias("bucket"),
+            # the same 60-bit md5-prefix hash as the Python processor
+            # used per row (and as the oracle restates): built-in md5 +
+            # conv keep it JVM-side
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.expr(f"h div {w_mod}").alias("hb"),
+            F.expr(rank_expr).cast("long").alias("r"),
+        )
+        .groupBy("event_type", "bucket", "hb")
+        .agg(F.max("r").alias("r"))
     )
     stage_dir = scratch_path("dbps_tws_hll_")
     e.repartition(1).write.mode("overwrite").partitionBy("bucket").parquet(
@@ -1130,7 +1198,7 @@ def streaming_hll_tws(spark, sf_dir):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
-            .select("event_type", "user_id")
+            .select("event_type", "hb", "r")
         )
         sketches = hll_distinct_stream_tws(stream)
         name = f"streaming_hll_tws_{time.time_ns()}"
@@ -1227,19 +1295,58 @@ def streaming_cms_tws(spark, sf_dir):
     twin this closes the sketch family in BOTH execution models:
     batch (CMS heavy-hitters, HLL distinct) and incremental streaming
     state, each gated against the same arithmetic restatement.
+
+    r16 (guide §2.3/§8 — aggregate before the expensive boundary):
+    each staged micro-batch is PRE-SUMMED to its (event_type, row,
+    col) -> count cell deltas JVM-side (built-in ``md5`` + ``conv``,
+    bit-identical to the processor's old four-hashes-per-event Python
+    loop), because addition is associative — the carried cells after
+    both batches are provably unchanged.  The per-batch min user_id
+    (the deterministic probe candidate) rides along as ``bmin``.  The
+    staging write and the Python boundary now move at most
+    ``keys x D x W`` rows per batch instead of ``corpus x D``.
     """
     from ..plans.registry import load_events, remove_path, scratch_path
-    from ..streaming.pipeline import cms_stream_tws
+    from ..streaming.pipeline import CMS_TWS_D, CMS_TWS_W, cms_stream_tws
     from ..vendor import ensure_protobuf
 
     prep(spark)
     ensure_protobuf(spark)
     week_us = 7 * 86400 * 1_000_000
-    e = load_events(spark, sf_dir).select(
+    base = load_events(spark, sf_dir).select(
         "event_type",
         "user_id",
         F.expr(f"(unix_micros(ts) div {week_us}) % 2").alias("bucket"),
     )
+    # the same salted md5-prefix column hash the Python processor used
+    # per (row, event) — JVM-side, then map-side-combinable counts
+    col_expr = (
+        "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
+        "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+        f"% {CMS_TWS_W}"
+    )
+    cells = (
+        base.select(
+            "event_type",
+            "bucket",
+            "user_id",
+            F.explode(
+                F.array(*[F.lit(r) for r in range(CMS_TWS_D)])
+            ).alias("r"),
+        )
+        .select(
+            "event_type",
+            "bucket",
+            F.col("r").cast("long").alias("r"),
+            F.expr(col_expr).alias("col"),
+        )
+        .groupBy("event_type", "bucket", "r", "col")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bmin = base.groupBy("event_type", "bucket").agg(
+        F.min("user_id").alias("bmin")
+    )
+    e = cells.join(bmin, ["event_type", "bucket"])
     stage_dir = scratch_path("dbps_tws_cms_")
     e.repartition(1).write.mode("overwrite").partitionBy("bucket").parquet(
         stage_dir
@@ -1250,7 +1357,7 @@ def streaming_cms_tws(spark, sf_dir):
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
-            .select("event_type", "user_id")
+            .select("event_type", "r", "col", "cnt", "bmin")
         )
         sketches = cms_stream_tws(stream)
         name = f"streaming_cms_tws_{time.time_ns()}"

@@ -205,9 +205,15 @@ def sessionize_stream(
 ) -> DataFrame:
     """Custom stateful operator: per-user session windows with a gap
     timeout — the shape Spark's built-in aggregations can't express
-    (session identity depends on the previous row's time)."""
+    (session identity depends on the previous row's time).
+
+    The explicit two-column select matters (guide §4.1): the grouped-
+    map function is opaque to the optimizer, so without it EVERY event
+    column — including payload strings — would cross the Arrow
+    boundary; the sessionizer only reads ``ts``."""
     return (
-        stream_df.withWatermark("ts", watermark_delay)
+        stream_df.select("user_id", "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .applyInPandasWithState(
             make_sessionizer(gap_seconds),
@@ -334,7 +340,10 @@ def sessionize_stream_tws(
             pass
 
     return (
-        stream_df.withWatermark("ts", watermark_delay)
+        # only (user_id, ts) cross the Python boundary — the processor
+        # is opaque to column pruning (guide §4.1)
+        stream_df.select("user_id", "ts")
+        .withWatermark("ts", watermark_delay)
         .groupBy("user_id")
         .transformWithStateInPandas(
             SessionProcessor(),
@@ -521,9 +530,14 @@ def user_profile_stream_tws(stream_df: DataFrame) -> DataFrame:
     the shape a 100 TB continuous-ingest profile job has, where the
     per-user map is far too hot to recompute from scratch per batch.
 
-    Expects columns ``user_id``, ``event_type``, ``cents`` (int64 —
-    computed JVM-side via a decimal cast so half-up rounding matches
-    the SQL oracle exactly)."""
+    Expects rows PRE-AGGREGATED per (user, type) within each
+    micro-batch (r16, guide §2.3: both merges below are additive, so
+    reducing JVM-side before the stateful operator cannot change the
+    carried state and cuts the Python-boundary rows from the corpus
+    size to users x types): columns ``user_id``, ``event_type``,
+    ``cnt`` (the type's event count in the batch) and ``cents``
+    (int64 cent sum — the per-event decimal cast happens JVM-side so
+    half-up rounding matches the SQL oracle exactly)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -545,9 +559,13 @@ def user_profile_stream_tws(stream_df: DataFrame) -> DataFrame:
             if not parts:
                 return
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
-            n = len(pdf)
-            if n == 0:
+            if len(pdf) == 0:
                 return
+            # r16: rows arrive PRE-AGGREGATED per (user, type) — cnt /
+            # cents are the micro-batch's per-type event count and cent
+            # sum (both additive, so reducing JVM-side before the
+            # stateful operator cannot change the carried state)
+            n = int(pdf["cnt"].sum())
             cents = int(pdf["cents"].sum())
             carried = self._totals.get()
             n_events, sum_cents, n_batches = carried if carried else (0, 0, 0)
@@ -564,7 +582,7 @@ def user_profile_stream_tws(stream_df: DataFrame) -> DataFrame:
                 etype: cnt
                 for (etype,), (cnt,) in self._type_counts.iterator()
             }
-            for etype, cnt in pdf["event_type"].value_counts().items():
+            for etype, cnt in zip(pdf["event_type"], pdf["cnt"]):
                 counts[etype] = counts.get(etype, 0) + int(cnt)
                 self._type_counts.updateValue((etype,), (counts[etype],))
             # list state: one element per batch seen
@@ -765,30 +783,41 @@ def hll_distinct_stream_tws(stream_df: DataFrame) -> DataFrame:
     batch boundaries cannot change the final state — the mergeability
     property that makes HLL THE streaming distinct sketch).
 
-    Per batch the processor hashes the batch's user_ids (the same
-    60-bit md5-prefix construction as the batch sketch, so the SQL
-    oracle restates the registers arithmetically), folds them into
-    the carried map via one iterator read + updateValue on CHANGED
-    buckets only, and re-emits the integer-exact harmonic denominator
-    ``s_total`` (each register contributes ``2^(55 - rank)``; empty
-    buckets ``2^55``) in Update mode.
+    r16: the input stream carries PRE-REDUCED registers, not raw
+    events — the caller folds each micro-batch's user_ids down to
+    (hll bucket -> max rank) rows JVM-side before the stateful
+    operator (the same 60-bit md5-prefix construction, computed with
+    built-in ``md5``/``conv``, so the SQL oracle still restates the
+    registers arithmetically).  ``max`` is associative, so reducing
+    within the batch first cannot change the carried state; it cuts
+    the rows crossing the Python boundary per batch from the corpus
+    size to at most 2^p per key, and turns the per-row Python md5
+    loop this processor used to run into a few-hundred-row merge.
+    The processor folds the batch's registers into the carried map
+    via one iterator read + updateValue on CHANGED buckets only, and
+    re-emits the integer-exact harmonic denominator ``s_total`` (each
+    register contributes ``2^(55 - rank)``; empty buckets ``2^55``)
+    in Update mode.
 
-    Expects columns ``event_type``, ``user_id``."""
-    import hashlib
-
+    Expects columns ``event_type``, ``hb`` (hll bucket), ``r`` (max
+    rank of the bucket within the micro-batch)."""
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
 
-    w_mod = 1 << _HLL_W_BITS
-
     class HllProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._regs = handle.getMapState(
-                "regs", "bucket long", "r long"
+            # r16: the register bank is a SINGLE fixed-width array in
+            # one ValueState (rank 0 = empty bucket) instead of a
+            # MapState entry per bucket: the sketch is constant-size
+            # by construction, so one get + one update per batch
+            # replaces a per-register updateValue round-trip to the
+            # state server (the MapState iterator/updateValue protocol
+            # paths stay exercised by the profile processor)
+            self._regs = handle.getValueState(
+                "regs", "regs array<bigint>, n_batches long"
             )
-            self._meta = handle.getValueState("meta", "n_batches long")
 
         def handleInputRows(self, key, rows, timerValues):
             (event_type,) = key
@@ -798,36 +827,26 @@ def hll_distinct_stream_tws(stream_df: DataFrame) -> DataFrame:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
             if len(pdf) == 0:
                 return
-            regs = {b: r for (b,), (r,) in self._regs.iterator()}
-            changed = set()
-            for uid in pdf["user_id"]:
-                h = int(
-                    hashlib.md5(str(int(uid)).encode()).hexdigest()[:15],
-                    16,
-                )
-                bucket = h >> _HLL_W_BITS
-                w = h & (w_mod - 1)
-                rank = (
-                    _HLL_W_BITS + 1
-                    if w == 0
-                    else _HLL_W_BITS + 1 - w.bit_length()
-                )
-                if rank > regs.get(bucket, 0):
+            carried = self._regs.get()
+            if carried is None:
+                regs, n_batches = [0] * HLL_TWS_M, 0
+            else:
+                regs, n_batches = list(carried[0]), carried[1]
+            for bucket, rank in zip(pdf["hb"], pdf["r"]):
+                bucket, rank = int(bucket), int(rank)
+                if rank > regs[bucket]:
                     regs[bucket] = rank
-                    changed.add(bucket)
-            for bucket in changed:
-                self._regs.updateValue((bucket,), (regs[bucket],))
-            carried = self._meta.get()
-            n_batches = (carried[0] if carried else 0) + 1
-            self._meta.update((n_batches,))
+            n_batches += 1
+            self._regs.update((regs, n_batches))
+            n_regs = sum(1 for r in regs if r)
             s_total = sum(
-                1 << (_HLL_W_BITS + 1 - r) for r in regs.values()
-            ) + (HLL_TWS_M - len(regs)) * (1 << (_HLL_W_BITS + 1))
+                1 << (_HLL_W_BITS + 1 - r) for r in regs if r
+            ) + (HLL_TWS_M - n_regs) * (1 << (_HLL_W_BITS + 1))
             yield pd.DataFrame(
                 {
                     "event_type": [event_type],
                     "n_batches": [n_batches],
-                    "n_regs": [len(regs)],
+                    "n_regs": [n_regs],
                     "s_total": [s_total],
                 }
             )
@@ -871,15 +890,26 @@ def cms_stream_tws(stream_df: DataFrame) -> DataFrame:
     ELEMENTWISE SUM across micro-batches (addition is the merge, the
     property that makes CMS the streaming frequency sketch).
 
-    Per batch the processor folds the batch's user_ids through the
-    four salted md5-prefix hashes (SQL-restatable construction),
+    r16: the input stream carries PRE-SUMMED cell deltas, not raw
+    events — the caller folds each micro-batch's user_ids through
+    the four salted md5-prefix hashes JVM-side (built-in
+    ``md5``/``conv``, the same SQL-restatable construction) and
+    groups them to (row, col) -> count rows before the stateful
+    operator.  Addition is associative, so summing within the batch
+    first cannot change the carried cells; it cuts the rows crossing
+    the Python boundary per batch from ``corpus x D`` to at most
+    ``D x W`` per key, and removes the per-row Python md5 loop this
+    processor used to run (four hashes per event).  The processor
     adds the deltas onto the carried cells, tracks the smallest
-    user_id seen (the deterministic probe), and re-emits the sketch
-    facts plus the probe's point estimate ``min over rows of its
-    cell`` — the CMS upper-bound estimate, integer-exact in both
-    engines.
+    user_id seen (the deterministic probe, via the pre-computed
+    per-batch ``bmin``), and re-emits the sketch facts plus the
+    probe's point estimate ``min over rows of its cell`` — the CMS
+    upper-bound estimate, integer-exact in both engines.
 
-    Expects columns ``event_type``, ``user_id``."""
+    Expects columns ``event_type``, ``r`` (sketch row), ``col``
+    (sketch column), ``cnt`` (events hashing to that cell within the
+    micro-batch), ``bmin`` (min user_id of the key's events in the
+    micro-batch, constant across the key's rows)."""
     import hashlib
 
     from pyspark.sql.streaming.stateful_processor import (
@@ -895,9 +925,15 @@ def cms_stream_tws(stream_df: DataFrame) -> DataFrame:
 
     class CmsProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
-            self._cells = handle.getMapState("cells", "cell long", "c long")
-            self._meta = handle.getValueState(
-                "meta", "n_batches long, probe long"
+            # r16: the D x W counter bank is a SINGLE fixed-width array
+            # in one ValueState (0 = never-touched cell) instead of a
+            # MapState entry per cell: the sketch is constant-size by
+            # construction, so one get + one update per batch replaces
+            # ~D*W updateValue round-trips to the state server (the
+            # MapState protocol paths stay exercised by the profile
+            # processor)
+            self._state = handle.getValueState(
+                "cells", "cells array<bigint>, n_batches long, probe long"
             )
 
         def handleInputRows(self, key, rows, timerValues):
@@ -908,37 +944,30 @@ def cms_stream_tws(stream_df: DataFrame) -> DataFrame:
             pdf = parts[0] if len(parts) == 1 else pd.concat(parts)
             if len(pdf) == 0:
                 return
-            cells = {c: v for (c,), (v,) in self._cells.iterator()}
-            deltas: dict[int, int] = {}
-            batch_min = None
-            for uid in pdf["user_id"]:
-                uid = int(uid)
-                if batch_min is None or uid < batch_min:
-                    batch_min = uid
-                for r in range(CMS_TWS_D):
-                    c = r * CMS_TWS_W + _cell(r, uid)
-                    deltas[c] = deltas.get(c, 0) + 1
-            for c, d in deltas.items():
-                cells[c] = cells.get(c, 0) + d
-                self._cells.updateValue((c,), (cells[c],))
-            carried = self._meta.get()
-            n_batches = (carried[0] if carried else 0) + 1
-            probe = (
-                batch_min
-                if carried is None or carried[1] > batch_min
-                else carried[1]
-            )
-            self._meta.update((n_batches, probe))
+            carried = self._state.get()
+            if carried is None:
+                cells = [0] * (CMS_TWS_D * CMS_TWS_W)
+                n_batches, probe = 0, None
+            else:
+                cells, n_batches, probe = (
+                    list(carried[0]), carried[1], carried[2]
+                )
+            batch_min = int(pdf["bmin"].min())
+            for r, col, cnt in zip(pdf["r"], pdf["col"], pdf["cnt"]):
+                cells[int(r) * CMS_TWS_W + int(col)] += int(cnt)
+            n_batches += 1
+            probe = batch_min if probe is None or probe > batch_min else probe
+            self._state.update((cells, n_batches, probe))
             est = min(
-                cells.get(r * CMS_TWS_W + _cell(r, probe), 0)
+                cells[r * CMS_TWS_W + _cell(r, probe)]
                 for r in range(CMS_TWS_D)
             )
             yield pd.DataFrame(
                 {
                     "event_type": [event_type],
                     "n_batches": [n_batches],
-                    "n_cells": [len(cells)],
-                    "total": [sum(cells.values())],
+                    "n_cells": [sum(1 for c in cells if c)],
+                    "total": [sum(cells)],
                     "probe_uid": [probe],
                     "probe_est": [est],
                 }

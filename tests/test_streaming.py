@@ -447,14 +447,18 @@ def test_profile_tws_state_accumulates_across_batches(spark, tmp_path):
 
     ensure_protobuf(spark)
     base = tmp_path / "staged"
-    # batch files written one per subdir-free file via coalesce(1)
+    # batch files written one per subdir-free file via coalesce(1);
+    # rows are PRE-AGGREGATED per (user, type) — the r16 processor
+    # contract (cnt = events of the type in the batch, cents = their
+    # cent sum): batch A carries user1 {a:1/100, b:1/200} + user2
+    # {a:1/50}, batch B user1 {b:2/30, c:1/30}
     pd1 = pd.DataFrame(
         {"user_id": [1, 1, 2], "event_type": ["a", "b", "a"],
-         "cents": [100, 200, 50]}
+         "cnt": [1, 1, 1], "cents": [100, 200, 50]}
     )
     pd2 = pd.DataFrame(
-        {"user_id": [1, 1, 1], "event_type": ["b", "b", "c"],
-         "cents": [10, 20, 30]}
+        {"user_id": [1, 1], "event_type": ["b", "c"],
+         "cnt": [2, 1], "cents": [30, 30]}
     )
     for i, pdf in enumerate((pd1, pd2)):
         spark.createDataFrame(pdf).coalesce(1).write.parquet(
@@ -641,6 +645,155 @@ def test_scd2_feed_memo_is_value_identical_and_key_guarded(spark, sf_dir):
     warm = streamops.streaming_scd2_tws(spark, sf_dir)
     assert streamops._SCD2_FEED_MEMO[key] == staged  # hit, not re-staged
     assert sorted(map(tuple, warm.collect())) == cold_rows
+
+
+def test_hll_cms_jvm_prereduce_matches_python_hashing(spark):
+    """r16 pins: the JVM-side register/cell pre-reduction that now feeds
+    the streaming HLL/CMS processors (built-in ``md5`` + ``conv``) is
+    BIT-IDENTICAL to the per-row Python hashing the processors used to
+    run — the associative-merge restructure must not move a single
+    register or cell."""
+    import hashlib
+
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        CMS_TWS_D,
+        CMS_TWS_W,
+        HLL_TWS_M,
+        _HLL_W_BITS,
+    )
+
+    uids = [0, 1, 7, 42, 999, 123456789, 2**40 + 5]
+    df = spark.createDataFrame([(u,) for u in uids], "user_id long")
+    w_mod = 1 << _HLL_W_BITS
+    rank_expr = (
+        f"CASE WHEN h % {w_mod} = 0 THEN {_HLL_W_BITS + 1} "
+        f"ELSE {_HLL_W_BITS + 1} - length(bin(h % {w_mod})) END"
+    )
+    got = (
+        df.select(
+            "user_id",
+            F.expr(
+                "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 15),"
+                " 16, 10) AS BIGINT)"
+            ).alias("h"),
+        )
+        .select(
+            "user_id",
+            F.expr(f"h div {w_mod}").alias("hb"),
+            F.expr(rank_expr).cast("long").alias("r"),
+        )
+        .collect()
+    )
+    for row in got:
+        h = int(hashlib.md5(str(row["user_id"]).encode()).hexdigest()[:15], 16)
+        w = h & (w_mod - 1)
+        rank = _HLL_W_BITS + 1 if w == 0 else _HLL_W_BITS + 1 - w.bit_length()
+        assert row["hb"] == h >> _HLL_W_BITS
+        assert row["hb"] < HLL_TWS_M
+        assert row["r"] == rank
+    # CMS: four salted column hashes per uid
+    rows = (
+        df.select(
+            "user_id",
+            F.explode(
+                F.array(*[F.lit(r) for r in range(CMS_TWS_D)])
+            ).alias("r"),
+        )
+        .select(
+            "user_id",
+            "r",
+            F.expr(
+                "CAST(conv(substring(md5(concat(CAST(r AS STRING), ':', "
+                "CAST(user_id AS STRING))), 1, 15), 16, 10) AS BIGINT) "
+                f"% {CMS_TWS_W}"
+            ).alias("col"),
+        )
+        .collect()
+    )
+    for row in rows:
+        h = int(
+            hashlib.md5(f"{row['r']}:{row['user_id']}".encode()).hexdigest()[
+                :15
+            ],
+            16,
+        )
+        assert row["col"] == h % CMS_TWS_W
+
+
+def test_hll_tws_state_merges_prereduced_batches(spark, tmp_path):
+    """r16 pins the restructured HLL processor: two micro-batches of
+    PRE-REDUCED (hb -> max rank) rows must merge by max into the carried
+    ValueState register bank, and the second emission must equal the
+    registers of the union of both batches."""
+    import glob as g
+    import shutil
+
+    import pandas as pd
+
+    from databatchprotectionservice_spark.streaming.pipeline import (
+        HLL_TWS_M,
+        _HLL_W_BITS,
+        hll_distinct_stream_tws,
+    )
+    from databatchprotectionservice_spark.vendor import ensure_protobuf
+
+    ensure_protobuf(spark)
+    base = tmp_path / "staged"
+    # batch A: buckets {1: r2, 3: r5}; batch B: {1: r4 (beats), 3: r1
+    # (loses), 7: r3 (new)} -> final {1: 4, 3: 5, 7: 3}
+    pd1 = pd.DataFrame({"event_type": ["x", "x"], "hb": [1, 3], "r": [2, 5]})
+    pd2 = pd.DataFrame(
+        {"event_type": ["x", "x", "x"], "hb": [1, 3, 7], "r": [4, 1, 3]}
+    )
+    for i, pdf in enumerate((pd1, pd2)):
+        spark.createDataFrame(pdf).coalesce(1).write.parquet(
+            str(base / f"f{i}")
+        )
+    outdir = tmp_path / "stream"
+    outdir.mkdir()
+    for i in range(2):
+        (part,) = g.glob(str(base / f"f{i}" / "part-*.parquet"))
+        shutil.copy(part, outdir / f"{i:02d}.parquet")
+    schema = spark.read.parquet(str(outdir)).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(outdir))
+    )
+    sketches = hll_distinct_stream_tws(stream)
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    spark.conf.set(
+        provider_key,
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        q = (
+            sketches.writeStream.format("memory")
+            .queryName("tws_hll_crafted")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        try:
+            q.awaitTermination(300)
+        finally:
+            q.stop()
+    finally:
+        spark.conf.unset(provider_key)
+    rows = {
+        r["n_batches"]: r for r in spark.table("tws_hll_crafted").collect()
+    }
+    final = rows[max(rows)]
+    # expected from the merged registers {1: 4, 3: 5, 7: 3}
+    exp_regs = {1: 4, 3: 5, 7: 3}
+    exp_total = sum(
+        1 << (_HLL_W_BITS + 1 - r) for r in exp_regs.values()
+    ) + (HLL_TWS_M - len(exp_regs)) * (1 << (_HLL_W_BITS + 1))
+    assert final["n_regs"] == 3
+    assert final["s_total"] == exp_total
+    # batch order is mtime-driven; whichever came first saw 2 registers
+    assert rows[1]["n_regs"] in (2, 3)
 
 
 def test_listener_bus_population_bounded(spark, sf_dir):
