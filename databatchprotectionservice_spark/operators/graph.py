@@ -139,20 +139,24 @@ def pagerank_top_nodes(spark, sf_dir):
       contributions = edges ⋈ ranks (on src) -> r div outdeg
       new rank      = teleport + 85% of the dst-summed contributions
 
-    as ONE lazy five-round unrolled plan (r15: the per-round eager
-    localCheckpoints were pure job overhead at this FIXED depth — each
-    round's output feeds exactly the next round, nothing is reused, and
-    a 5-round join+agg chain is a ~25-operator plan, far below the
-    iterative-lineage hazard that motivated flattening in the unbounded
-    CC loop; one action now runs the whole fixed point and AQE plans
-    each round's join from runtime sizes)."""
+    as one lazy five-round unrolled plan over a MATERIALIZED edge+degree
+    leaf (r16, VERDICT r15 item 1: the driver measured the fully-lazy
+    r15 shape 0.73x vs r14 — its unrolled plan references the
+    edges-join-degree subtree once per round, and exchange reuse did
+    not reliably deduplicate the recomputation on the driver's rig.
+    One eager localCheckpoint of ``ed`` pins that subtree to a leaf:
+    each round is then a small join+agg over the leaf, the per-round
+    eager checkpoints of r14 stay gone — their 5 jobs were measured
+    pure overhead — and the interleaved A/B on the r16 rig has
+    lazy/ed-ckpt at parity, 2.99-3.42 s min-of-6, with ed-ckpt immune
+    to the recompute hazard by construction)."""
     prep(spark)
     pairs, edges = _purchase_edges(spark, sf_dir)
     # deg's src set IS the node set (bidirected construction: every
     # node has outdegree > 0), so rank init folds out of deg and the
     # old separate nodes-distinct shuffle is gone
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = edges.join(deg, "src")
+    ed = edges.join(deg, "src").localCheckpoint(eager=True)
 
     ranks = deg.select(
         F.col("src").alias("v"), F.lit(_R0).cast("bigint").alias("r")
@@ -246,14 +250,30 @@ def bfs_purchase_distance(spark, sf_dir):
     count (graph distance from the nearest seed — purely integer, so
     the full hash gate applies, PageRank's lesson reused).
 
-    100 TB shape: per round, one join of edges to the reached set on
-    src (broadcastable while the frontier is small — THE BFS win over
-    dense methods) and one map-side-combinable min aggregate; the
-    4-round expansion is one lazy plan (exchange reuse deduplicates
-    the per-round aggregate consumed by both join and union).  The union
-    carries the full reached set each round for oracle identity; a
-    production BFS would propagate only the improved-distance DELTA,
-    an optimization that changes no result."""
+    100 TB shape: per round, one join of the weighted edge leaf to the
+    reached set on src (broadcastable while the frontier is small —
+    THE BFS win over dense methods) and one map-side-combinable min
+    aggregate.
+
+    r16 (VERDICT r15 item 1 + ADVICE r15): the r15 lazy shape
+    referenced each round's dist TWICE (union + join), so the logical
+    plan DOUBLED per round (1844 lines at 4 rounds, exponential in
+    BFS_ROUNDS) and the driver measured it 0.86x vs r14.  Weight-0
+    SELF-LOOPS linearize the recurrence:
+
+        min(d_v, min over in-neighbors u of d_u + 1)
+          == min over (edges w=1  ∪  self-loops w=0) of d + w
+
+    so each round is ONE join + ONE min-aggregate with dist referenced
+    ONCE — the plan grows linearly in BFS_ROUNDS (the exponential-plan
+    constraint on raising BFS_ROUNDS is gone), the whole expansion is
+    still one lazy action, and the weighted edge leaf is checkpointed
+    once (it is consumed every round).  Interleaved A/B on the r16
+    rig: 2.48-2.58 s vs lazy 3.0-3.6 s and the r14 persist shape
+    2.8-2.9 s (min-of-6, results asserted identical across shapes).
+    The self-relaxation carries the full reached set each round for
+    oracle identity; a production BFS would propagate only the
+    improved-distance DELTA, an optimization that changes no result."""
     prep(spark)
     pairs, edges = _purchase_edges(spark, sf_dir)
     dist = (
@@ -262,22 +282,24 @@ def bfs_purchase_distance(spark, sf_dir):
         .distinct()
         .select("v", F.lit(0).cast("bigint").alias("d"))
     )
-    for _ in range(BFS_ROUNDS):
-        expanded = (
-            edges.join(dist, edges.src == dist.v)
-            .select(F.col("dst").alias("v"), (F.col("d") + 1).alias("d"))
+    ew = (
+        edges.select("src", "dst", F.lit(1).alias("w"))
+        .unionByName(
+            edges.select(
+                F.col("src").alias("src"),
+                F.col("src").alias("dst"),
+                F.lit(0).alias("w"),
+            ).distinct()
         )
-        # r15: no persist, no checkpoint — each round's dist feeds the
-        # next round's join AND the union, but both consumers sit above
-        # the SAME round-k aggregate subtree, so physical-plan exchange
-        # reuse (ReusedExchange, on by default) deduplicates the work
-        # without any materialization job; the whole 4-round expansion
-        # is ONE lazy action (the old persist+final-checkpoint shape
-        # paid a materialization job plus cache churn per call)
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(BFS_ROUNDS):
         dist = (
-            dist.unionByName(expanded)
-            .groupBy("v")
+            ew.join(dist, ew.src == dist.v)
+            .select("dst", (F.col("d") + F.col("w")).alias("d"))
+            .groupBy("dst")
             .agg(F.min("d").alias("d"))
+            .select(F.col("dst").alias("v"), "d")
         )
     return dist.select(
         F.when(F.col("v") % 2 == 0, F.lit("customer"))
@@ -392,12 +414,15 @@ def triangle_suppliers(spark, sf_dir):
         )
 
     # explicit width for the wedge stage: the pair self-join's INPUT
-    # bytes are tiny but its output is sum-of-degree^2 rows, so AQE's
-    # size-based coalescing (session default, r15) would serialize the
-    # join + partial-count onto one task; REPARTITION_BY_NUM exchanges
-    # are never coalesced, and both sides sharing key+width means the
-    # join adds no further exchange (measured 12.0 s -> 3.5 s at sf0.1
-    # under the coalescing default)
+    # bytes are tiny but its output is sum-of-degree^2 rows, so
+    # size-based AQE coalescing — NOT the shipped session default
+    # (session.py kept Spark's parallelism-first rule after a neutral
+    # A/B), but one conf flip away via extra_conf — would serialize
+    # the join + partial-count onto one task (measured 12.0 s -> 3.5 s
+    # at sf0.1 under that candidate config).  REPARTITION_BY_NUM
+    # exchanges are never coalesced, and both sides sharing key+width
+    # means the join adds no further exchange; under shipped defaults
+    # the repartition is a cheap defensive no-op-width exchange.
     width = spark.sparkContext.defaultParallelism
     pairs_w = pairs.repartition(width, "c")
     p2 = pairs_w.select(F.col("c").alias("c2"), F.col("s").alias("s2"))
