@@ -834,65 +834,97 @@ def connected_components(
                 columns=["doc_id", "cluster_rep"],
             ).astype("int64")
             return spark.createDataFrame(out)
-    # Iterative lineage MUST be truncated, not just cached: caching
-    # keeps the full logical plan (the cache is only a physical-plan
-    # match), so each round's analysis/optimization re-walks a plan that
-    # doubles per iteration — measured 8.5 -> 9.8 -> 12.8 -> 48.8 s per
-    # round on a 1.8k-edge set before this change, pure driver-side
-    # planning. An EAGER localCheckpoint materializes the round's
-    # labels and resets the plan to a leaf: per-round cost becomes flat
-    # (~0.5 s at sf0.1). At cluster scale swap ``localCheckpoint`` (fast
-    # executor-local storage, not resilient to executor loss) for
-    # ``checkpoint`` into the reliable checkpoint dir — same lineage
-    # semantics, durable blocks.
+    # r16 round shape (guide §2.4 remove shuffles / §2.6 size to the
+    # work, replacing the r15 checkpoint+count rounds that the driver
+    # measured ANTI-scaling 0.51 at sf0.1 — per-round fixed cost, not
+    # data, dominated):
+    #
+    # * weight-free SELF-LOOPS (v, v) ride in the edge leaf, so the
+    #   round is ONE join + ONE min-aggregate — min over
+    #   neighbors ∪ self IS least(own, neighbor-min), and the old
+    #   left-join that re-attached the node's own rep disappears.
+    # * the edge set is materialized ONCE, hash-partitioned on the
+    #   probe key ``dst`` at a width derived from the EDGE COUNT (one
+    #   partition per ~64k edges, capped at the session parallelism —
+    #   scale-adaptive, not a local[32] constant): every round's join
+    #   then reuses the leaf's partitioning and only the label side
+    #   (component-count rows) shuffles.
+    # * convergence rides the SAME action that materializes the round
+    #   (persist + one sum(rep) aggregate): reps are per-node
+    #   monotonically non-increasing, so the sum is strictly decreasing
+    #   until the fixed point — sum unchanged <=> labels unchanged.
+    #   One job per round, down from the r15 checkpoint job + count
+    #   job.  The decimal cast keeps huge id sums exact.
+    #
+    # Iterative lineage still must not DOUBLE (the r7 lesson: a
+    # self-referencing round re-walks a plan that doubles per
+    # iteration); with labels referenced ONCE per round the plan grows
+    # linearly, and a lineage-truncating localCheckpoint every 8
+    # rounds bounds analysis cost for deep (long-path) graphs.  At
+    # cluster scale swap ``localCheckpoint`` for ``checkpoint`` into
+    # the reliable checkpoint dir — same semantics, durable blocks.
     und = und.localCheckpoint(eager=True)
-    labels = (
-        und.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("rep", F.col("node"))
+    n_edges = und.count()
+    width = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_edges // 65_536 + 1),
     )
-    changed = 1
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    edges_self = (
+        und.unionByName(
+            nodes.select(
+                F.col("node").alias("src"), F.col("node").alias("dst")
+            )
+        )
+        .repartition(width, "dst")
+        .localCheckpoint(eager=True)
+    )
+    labels = edges_self.filter(F.col("src") == F.col("dst")).select(
+        F.col("src").alias("node"), F.col("src").alias("rep")
+    )
+    prev_sum = None
+    converged = False
+    cached = []
     # Min-label propagation converges in O(component diameter) rounds.
     # LSH near-dup graphs are overwhelmingly dense star/clique-ish
     # clusters (tiny diameter), but chained near-duplicates CAN form a
-    # long path; if one exceeds the round cap we now RAISE rather than
+    # long path; if one exceeds the round cap we RAISE rather than
     # silently return a partial clustering (the pre-r7 code returned
     # whatever 20 rounds produced — a correctness bug found in the r7
     # self-review). A diameter > 64 component means the corpus needs
     # the O(log n) large-star/small-star CC algorithm — fail loudly and
     # say so instead of emitting wrong clusters.
-    for _ in range(64):
-        neighbor_min = (
-            und.join(labels, und.dst == labels.node)
+    for rnd in range(64):
+        labels = (
+            edges_self.join(labels, edges_self.dst == labels.node)
             .groupBy("src")
-            .agg(F.min("rep").alias("nrep"))
-        )
-        # the convergence flag rides along with the label update — no
-        # extra old-vs-new join, one action per round (the eager
-        # checkpoint IS the materialization)
-        merged = F.least(F.col("rep"), F.coalesce(F.col("nrep"), F.col("rep")))
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                merged.alias("new_rep"),
-                (merged < F.col("rep")).alias("changed"),
-            )
-        ).localCheckpoint(eager=True)
-        changed = new_labels.filter("changed").count()
-        labels = new_labels.select("node", F.col("new_rep").alias("rep"))
-        if changed == 0:
+            .agg(F.min("rep").alias("rep"))
+            .select(F.col("src").alias("node"), "rep")
+        ).persist()
+        cached.append(labels)
+        cur_sum = labels.agg(
+            F.sum(F.col("rep").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+        if prev_sum is not None and cur_sum == prev_sum:
+            converged = True
             break
-    if changed != 0:
+        prev_sum = cur_sum
+        if rnd % 8 == 7:
+            # truncate the linearly-growing lineage for deep graphs
+            labels = labels.localCheckpoint(eager=True)
+    if not converged:
         raise RuntimeError(
             "connected_components: min-label propagation did not "
             "converge within 64 rounds (a component's diameter exceeds "
             "the cap) — refusing to return a partial clustering; use "
             "the large-star/small-star formulation for such graphs"
         )
-    return labels.select(
+    out = labels.select(
         F.col("node").alias("doc_id"), F.col("rep").alias("cluster_rep")
-    )
+    ).localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
+    return out
 
 
 @register(

@@ -285,11 +285,15 @@ def text_tfidf_top_terms(spark, sf_dir):
             F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), 0)
         ).alias("term"),
     )
-    tok.cache()  # consumed by both tf and df aggregations
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tok.groupBy("term").agg(
-        F.countDistinct("doc_id").alias("df")
-    )
+    # r16 (guide §2.3): tf holds exactly one row per DISTINCT
+    # (doc, term), so the document frequency is a plain count over tf —
+    # the old countDistinct(doc_id) over the raw token explode re-ran
+    # the corpus-wide expand+dedup a second time for the same answer.
+    # tf (distinct pairs, far smaller than the token stream) is the
+    # frame both consumers share, so IT is what gets cached.
+    tf.cache()
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     # corpus size rides the plan as a broadcast 1-row aggregate (the
     # `tot` convention): a driver-side d.count() would schedule an
     # extra full scan before the main job
@@ -297,7 +301,11 @@ def text_tfidf_top_terms(spark, sf_dir):
         F.count(F.lit(1)).cast("double").alias("n_docs")
     )
     scored = (
-        tf.join(F.broadcast(df), "term")
+        # the doc_id output bound applies BEFORE the join and the
+        # window sort (df/n_docs stay corpus-wide above, so values are
+        # unchanged) — the window ranks only the emitted docs' terms
+        tf.filter(F.col("doc_id") < TFIDF_DOC_LIMIT)
+        .join(F.broadcast(df), "term")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
@@ -309,10 +317,7 @@ def text_tfidf_top_terms(spark, sf_dir):
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
-        .filter(
-            (F.col("rk") <= TFIDF_TOP_K)
-            & (F.col("doc_id") < TFIDF_DOC_LIMIT)
-        )
+        .filter(F.col("rk") <= TFIDF_TOP_K)
         .select(
             "doc_id",
             "term",
@@ -1123,6 +1128,17 @@ def text_bpe_train(spark, sf_dir):
     otherwise).  The rewrite stays persisted so each round's single
     scan starts from the previous round's cached text.
 
+    Deployment caveat (ADVICE r15): ``observe()`` metrics ride Spark
+    accumulators, whose transformation-side semantics are AT LEAST
+    ONCE — task retries, stage resubmission after fetch failures, or
+    speculative duplicates can double-count rows on a multi-executor
+    cluster.  On such deployments (or whenever ``spark.speculation``
+    is enabled) prefer the pre-r15 dedicated length aggregate
+    (``df.agg(sum(length(t)))`` per round — exactly-once, one extra
+    job per round); the observe() shortcut is exact on this
+    single-process bench rig, where no fetch failure or speculation
+    path exists.
+
     The oracle unrolls the identical five rounds as chained CTEs, so
     training — not just tokenization — holds to the full hash gate."""
     from pyspark.sql import Observation
@@ -1153,8 +1169,15 @@ def text_bpe_train(spark, sf_dir):
         best = pairs.orderBy(F.desc("c"), F.asc("pair")).limit(1).collect()
         if pending is not None:
             # this collect scanned every row of the previous round's
-            # rewrite, so its observed length metric is now final
-            rows[-1] = rows[-1][:3] + (int(pending.get["n"]),)
+            # rewrite, so its observed length metric is now final.
+            # INVARIANT: the pair-count action above must FULLY scan
+            # the observed frame (it aggregates over every rewritten
+            # row) — a future limit/filter short-circuit would make
+            # Observation.get block forever.  The observed sum is NULL
+            # on an empty rewritten corpus -> NULL corpus_len, the
+            # same shape as the degenerate-round rows below.
+            n = pending.get["n"]
+            rows[-1] = rows[-1][:3] + (None if n is None else int(n),)
             pending = None
         if not best:
             # degenerate corpus (every text below 2 chars): the oracle
