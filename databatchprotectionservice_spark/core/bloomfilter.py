@@ -191,6 +191,12 @@ class SplitBlockBloomFilter:
         return all(self._lanes[base + i] & b for i, b in enumerate(bits))
 
     def insert(self, value, ptype: str) -> None:
+        # parquet-mr/arrow writers SKIP NaN when populating blooms
+        # (NaN equality probes are meaningless and the bit pattern is
+        # not canonical); mirror that, like the min/max stats' NaN
+        # exclusion, so filters built here agree with other writers'
+        if ptype in ("FLOAT", "DOUBLE") and float(value) != float(value):
+            return
         self.insert_hash(xxh64(plain_bytes(value, ptype)))
 
     def might_contain(self, value, ptype: str) -> bool:

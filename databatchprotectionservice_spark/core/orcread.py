@@ -160,7 +160,7 @@ class _ByteCursor:
         self.pos += n
         return out
 
-    def uvarint(self) -> int:
+    def uvarint(self, max_bits: int = 64) -> int:
         v, shift = 0, 0
         while True:
             b = self.u8()
@@ -168,11 +168,11 @@ class _ByteCursor:
             if not b & 0x80:
                 return v
             shift += 7
-            if shift > 63:
-                raise OrcReadError("varint over 64 bits")
+            if shift > max_bits - 1:
+                raise OrcReadError(f"varint over {max_bits} bits")
 
-    def svarint(self) -> int:
-        u = self.uvarint()
+    def svarint(self, max_bits: int = 64) -> int:
+        u = self.uvarint(max_bits)
         return (u >> 1) ^ -(u & 1)
 
     def unpack_be(self, count: int, width: int) -> list:
@@ -360,6 +360,23 @@ def read_stripe_column(
             f"column {column} requested"
         )
     enc = sf["encodings"][column]["kind"]
+    # refuse-don't-misdecode: column encodings DIRECT(0)/DICTIONARY(1)
+    # mean RLE **version 1** integer streams for every kind that carries
+    # one (ints, dates, timestamp seconds/nanos, decimal scales, string
+    # lengths, dictionary indexes).  This reader implements RLEv2 only;
+    # running an RLEv1 stream through it would produce silently wrong
+    # values, so such files are rejected loudly.  BOOLEAN/BYTE (byte
+    # RLE, identical in both versions) and FLOAT/DOUBLE (raw IEEE, no
+    # integer RLE) are unaffected by the column-encoding version.
+    if kind not in ("BOOLEAN", "BYTE", "FLOAT", "DOUBLE") and enc in (
+        E_DIRECT,
+        E_DICTIONARY,
+    ):
+        raise OrcReadError(
+            f"column {column} ({kind}) uses RLEv1 encoding {enc} "
+            "(DIRECT/DICTIONARY v1): unsupported — this reader decodes "
+            "RLEv2 only and refuses rather than misdecode"
+        )
     present_raw = _stream(data, meta, sf, column, K_PRESENT)
     present = None
     n_present = n
@@ -427,7 +444,11 @@ def read_stripe_column(
         import decimal as _decimal
 
         cur = _ByteCursor(dat or b"")
-        unscaled = [cur.svarint() for _ in range(n_present)]
+        # the spec says UNBOUNDED varints here: decimal(38) unscaled
+        # values need up to 127 bits + zigzag, far over the 64-bit cap
+        # the integer-RLE paths enforce — 200 bits admits every legal
+        # decimal(38) while still refusing runaway/corrupt streams
+        unscaled = [cur.svarint(max_bits=200) for _ in range(n_present)]
         sec_raw = _stream(data, meta, sf, column, K_SECONDARY)
         if sec_raw is None:
             raise OrcReadError("DECIMAL without a SECONDARY stream")
@@ -438,7 +459,7 @@ def read_stripe_column(
         ]
         return _weave(vals, present)
     if kind in ("SHORT", "INT", "LONG", "DATE"):
-        if enc not in (E_DIRECT, E_DIRECT_V2):
+        if enc != E_DIRECT_V2:  # RLEv1 DIRECT already refused above
             raise OrcReadError(f"int column encoding {enc} unsupported")
         vals = _rlev2_all(dat or b"", n_present, signed=True)
         if kind == "DATE":

@@ -79,7 +79,10 @@ def main() -> None:
         ta += a
         tb += b
         print(f"{n:42s} A {a:6.3f}  B {b:6.3f}  ({b / a:5.2f}x)", flush=True)
-    print(f"{'TOTAL':42s} A {ta:6.3f}  B {tb:6.3f}  ({tb / ta:5.2f}x)")
+    if ta > 0:
+        print(f"{'TOTAL':42s} A {ta:6.3f}  B {tb:6.3f}  ({tb / ta:5.2f}x)")
+    else:
+        print("TOTAL: no requested query resolved", file=sys.stderr)
 
 
 if __name__ == "__main__":

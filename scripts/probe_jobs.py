@@ -18,11 +18,15 @@ sys.path.insert(0, REPO)
 
 
 def main() -> None:
-    names = [a for a in sys.argv[1:] if not a.startswith("--")]
+    args = sys.argv[1:]
     runs = 2
-    if "--runs" in sys.argv:
-        runs = int(sys.argv[sys.argv.index("--runs") + 1])
-        names = [n for n in names if n != str(runs)]
+    if "--runs" in args:
+        i = args.index("--runs")
+        runs = int(args[i + 1])
+        # slice by index (not by value) so a query literally named like
+        # the runs count is never stripped
+        args = args[:i] + args[i + 2 :]
+    names = [a for a in args if not a.startswith("--")]
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -32,7 +36,6 @@ def main() -> None:
     spark = get_spark(app_name="dbps-probe-jobs")
     qs = entrymod.queries()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
-    tracker = spark.sparkContext.statusTracker()
 
     for name in names:
         fn = qs.get(name)
@@ -43,7 +46,6 @@ def main() -> None:
         best = None
         jobs = None
         for _ in range(runs):
-            j0 = len(tracker.getJobIdsForGroup(None))
             # job ids are global; count via allJobs
             ids0 = spark.sparkContext._jsc.sc().statusTracker().getJobIdsForGroup(None)
             n0 = len(list(ids0))

@@ -62,9 +62,10 @@ def main() -> None:
         df.collect()
         warm = time.time() - t0
         if explain:
-            os.makedirs(os.path.join(REPO, "plans", "r15"), exist_ok=True)
+            pdir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "r16")
+            os.makedirs(os.path.join(REPO, "plans", pdir), exist_ok=True)
             with open(
-                os.path.join(REPO, "plans", "r15", f"{name}_current.txt"), "w"
+                os.path.join(REPO, "plans", pdir, f"{name}_current.txt"), "w"
             ) as f:
                 f.write(fn(spark, sf_dir)._jdf.queryExecution().explainString(
                     spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
