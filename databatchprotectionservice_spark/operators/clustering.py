@@ -41,7 +41,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..plans.registry import load_spread, prep, register, table_path
+from ..plans.registry import load_spread, local_frame, prep, register, table_path
 
 K = 8
 ITERS = 2  # centroid updates (the IVF_ITERS precedent); a final assignment pass follows
@@ -230,7 +230,10 @@ def _assign(q, cents):
 
 
 def _cent_df(spark, cents):
-    return spark.createDataFrame(
+    # Arrow/pandas local frame: the K x (1+DIM) centroid table crosses
+    # into the plan as a LocalTableScan, not a parallelize job
+    return local_frame(
+        spark,
         [(cid, cents[cid]) for cid in sorted(cents)],
         "cid bigint, c array<bigint>",
     )

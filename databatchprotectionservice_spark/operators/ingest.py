@@ -51,7 +51,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load_spread, prep, register, table_path
+from ..plans.registry import load_spread, local_frame, prep, register, table_path
 
 # ---------------------------------------------------------------------------
 # WARC -> HTTP -> HTML -> URL chain
@@ -1769,9 +1769,8 @@ def _txnlog_per_source(spark, snap, candidates=None) -> DataFrame:
         rows = [(k, *v) for k, v in sorted(per_source.items())]
     else:
         rows = [(k, v[0], v[1]) for k, v in sorted(per_source.items())]
-    return spark.createDataFrame(
-        rows, T.StructType(fields)
-    ).orderBy("source")
+    # Arrow/pandas local frame: no parallelize job for metadata rows
+    return local_frame(spark, rows, T.StructType(fields)).orderBy("source")
 
 
 @register("txnlog_snapshot_scan", oracle=TXNLOG_SNAPSHOT_ORACLE)
@@ -2498,7 +2497,8 @@ def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
             if bloom.might_contain_int64(p):
                 candidates.append((source, shard_id, p))
 
-    cand_df = spark.createDataFrame(
+    cand_df = local_frame(
+        spark,
         candidates or [("", -1, -1)],
         T.StructType(
             [
@@ -2538,7 +2538,8 @@ def txnlog_bloom_point_lookup(spark, sf_dir) -> DataFrame:
         (source, n_live[source], hit_by_source.get(source, 0))
         for source in sorted(n_live)
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         T.StructType(
             [
@@ -4964,7 +4965,8 @@ def txnlog_compaction(spark, sf_dir) -> DataFrame:
         )
         for source in sorted(per)
     ]
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         T.StructType(
             [

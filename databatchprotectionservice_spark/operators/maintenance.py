@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ..plans.registry import load, prep, register, remove_path, scratch_path
+from ..plans.registry import load, local_frame, prep, register, remove_path, scratch_path
 from ..sources.compaction import compact
 
 COMPACT_TARGET_BYTES = 256 * 1024  # small target => several files even at sf0.01
@@ -69,7 +69,8 @@ def compact_documents_roundtrip(spark, sf_dir):
     finally:
         remove_path(spark, in_dir)
         remove_path(spark, out_dir)
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         stats,
         "source string, n_docs bigint, total_bytes bigint, "
         "min_md5 string, max_md5 string",
@@ -106,7 +107,8 @@ def _roundtrip_stats(spark, back):
         )
         .collect()
     )
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         stats,
         "source string, n_docs bigint, sum_doc_ids bigint, n_langs bigint, "
         "min_md5 string, max_md5 string",

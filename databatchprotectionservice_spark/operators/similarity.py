@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.window import Window
 
 from .relational import round_ieee
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import load, load_spread, local_frame, prep, register
 
 N_QUERIES = 5
 TOP_K = 3
@@ -558,8 +558,10 @@ def similarity_ivf_topk(spark, sf_dir):
         d = ((centroids - x) ** 2).sum(axis=1)
         for c in np.argsort(d, kind="stable")[:IVF_PROBES]:
             probe_rows.append((q.vec_id, q.embedding, q.nrm, int(c)))
-    probes = spark.createDataFrame(
-        probe_rows, "query_id long, qe array<float>, qnorm double, cluster int"
+    probes = local_frame(
+        spark,
+        probe_rows,
+        "query_id long, qe array<float>, qnorm double, cluster int",
     )
     scored = (
         assigned.filter(F.col("nrm") > 0)
@@ -1063,7 +1065,8 @@ def similarity_pq_topk(spark, sf_dir):
 
     adc = _adc_udf(luts)  # shared ADC kernel (same as IVFPQ)
 
-    probes_df = spark.createDataFrame(
+    probes_df = local_frame(
+        spark,
         [(int(q), int(n)) for q, n in sorted(pnorms.items())],
         "query_id long, pnorm long",
     )
@@ -1478,8 +1481,8 @@ def similarity_ivfpq_topk(spark, sf_dir):
         for c in np.argsort(dc, kind="stable")[:IVF_PROBES]:
             probe_pairs.append((qid, int(c), pn))
 
-    probes_df = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster int, pnorm long"
+    probes_df = local_frame(
+        spark, probe_pairs, "query_id long, cluster int, pnorm long"
     )
     adc = _adc_udf(luts)
     scored = (
@@ -1756,8 +1759,8 @@ def similarity_ivfpq_residual_topk(spark, sf_dir):
             qcdot = int(coarse[int(c)] @ pv)  # centroid half
             probe_pairs.append((qid, int(c), pn, qcdot))
 
-    probes_df = spark.createDataFrame(
-        probe_pairs, "query_id long, cluster int, pnorm long, qcdot long"
+    probes_df = local_frame(
+        spark, probe_pairs, "query_id long, cluster int, pnorm long, qcdot long"
     )
     adc = _adc_udf(luts)
     scored = (

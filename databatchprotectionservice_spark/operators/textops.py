@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .relational import round_ieee, round_ieee_sql
-from ..plans.registry import load_spread, prep, register
+from ..plans.registry import load_spread, local_frame, prep, register
 
 # language marker words (scored by whole-word regex match count). The
 # synthetic corpus is vocabulary-uniform, so the interesting property is
@@ -1214,7 +1214,8 @@ def text_bpe_train(spark, sf_dir):
         rows[-1] = rows[-1][:3] + (int(corpus_len),)
     for d in cached:
         d.unpersist()
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         rows,
         "merge_round int, pair string, n_occurrences long, "
         "corpus_len_after long",

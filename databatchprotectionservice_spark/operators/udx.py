@@ -21,7 +21,7 @@ import pandas as pd
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..plans.registry import load, load_spread, prep, register
+from ..plans.registry import load, load_spread, local_frame, prep, register
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +329,6 @@ def observed_training_filter(spark, sf_dir):
             f"({got['rows_kept']}, {got['chars_kept']}), aggregate "
             f"({want_rows}, {want_chars})"
         )
-    return spark.createDataFrame(
-        rows, "source string, n_kept bigint, chars_kept bigint"
+    return local_frame(
+        spark, rows, "source string, n_kept bigint, chars_kept bigint"
     )
