@@ -4286,6 +4286,7 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
     import decimal as dec
     import io
 
+    import numpy as np
     import pyarrow as pa_
     import pyarrow.ipc as pa_ipc
 
@@ -4308,28 +4309,31 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["okey", "ln"])
         shard_id = int(pdf["shard_id"].iloc[0])
-        okeys = [int(v) for v in pdf["okey"]]
-        lns = [int(v) for v in pdf["ln"]]
+        # the value mixes are vectorized int64 numpy (all intermediates
+        # provably < 2^63: (KMOD-1)*P2 ~ 2.65e18); the EXPECTED lists
+        # the decode asserts compare against come out of the same
+        # arrays, so the verification contract is unchanged
+        ka = pdf["okey"].to_numpy(dtype=np.int64)
+        na = pdf["ln"].to_numpy(dtype=np.int64)
+        okeys = ka.tolist()
+        lns = na.tolist()
+        ns_null = (ka + na) % 11 == 0
+        dur_ns_a = ((ka % ADUR_KMOD) * ADUR_P1 + na * 7919) % (
+            4_000_000_000_000
+        )
         dur_ns = [
-            None
-            if (k + n) % 11 == 0
-            else ((k % ADUR_KMOD) * ADUR_P1 + n * 7919)
-            % 4_000_000_000_000
-            for k, n in zip(okeys, lns)
+            None if isnull else int(v)
+            for v, isnull in zip(dur_ns_a.tolist(), ns_null.tolist())
         ]
-        dur_s = [
-            (k % 100_000) * (-1 if n % 2 == 0 else 1)
-            for k, n in zip(okeys, lns)
-        ]
-        mdn = [
-            (k % 25 - 12, (k + n) % 63 - 31,
-             ((k % ADUR_KMOD) * ADUR_P2 + n) % 1_000_000_000_000)
-            for k, n in zip(okeys, lns)
-        ]
+        dur_s_a = (ka % 100_000) * np.where(na % 2 == 0, -1, 1)
+        dur_s = dur_s_a.tolist()
+        mdn_m = ka % 25 - 12
+        mdn_d = (ka + na) % 63 - 31
+        mdn_ns = ((ka % ADUR_KMOD) * ADUR_P2 + na) % 1_000_000_000_000
+        mdn = list(zip(mdn_m.tolist(), mdn_d.tolist(), mdn_ns.tolist()))
+        dctx = dec.Context(prec=80)
         big = [
-            dec.Decimal(k * 10**35 + n).scaleb(
-                -2, dec.Context(prec=80)
-            )
+            dec.Decimal(k * 10**35 + n).scaleb(-2, dctx)
             for k, n in zip(okeys, lns)
         ]
         dur_s_arr = pa_.array(dur_s, pa_.duration("s"))
@@ -4422,6 +4426,10 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
                 raise ValueError("own-encoder MDN drifted")
             if ref.column("big").to_pylist() != big:
                 raise ValueError("own-encoder decimal256 drifted")
+        # numpy aggregates over the same arrays the expected lists came
+        # from; sum_big_mod restates the >128-bit value mod ADUR_MOD via
+        # the precomputed 10**35 power, exactly as the oracle does
+        # ((MOD-1)*P35_MOD + ln < ~1e18 < 2^63)
         return pd.DataFrame(
             {
                 "flag": pd.Series(
@@ -4429,34 +4437,36 @@ def ingest_arrow_duration(spark, sf_dir) -> DataFrame:
                 ),
                 "n_rows": pd.Series([len(okeys)], dtype="int64"),
                 "n_null_ns": pd.Series(
-                    [sum(1 for v in dur_ns if v is None)], dtype="int64"
+                    [int(ns_null.sum())], dtype="int64"
                 ),
                 "sum_durns_mod": pd.Series(
                     [
-                        sum(
-                            v % ADUR_MOD
-                            for v in dur_ns
-                            if v is not None
+                        int(
+                            np.where(ns_null, 0, dur_ns_a % ADUR_MOD)
+                            .sum()
                         )
                     ],
                     dtype="int64",
                 ),
-                "sum_dur_s": pd.Series([sum(dur_s)], dtype="int64"),
+                "sum_dur_s": pd.Series(
+                    [int(dur_s_a.sum())], dtype="int64"
+                ),
                 "sum_mdn_months": pd.Series(
-                    [sum(m for m, _d, _n in mdn)], dtype="int64"
+                    [int(mdn_m.sum())], dtype="int64"
                 ),
                 "sum_mdn_days": pd.Series(
-                    [sum(dv for _m, dv, _n in mdn)], dtype="int64"
+                    [int(mdn_d.sum())], dtype="int64"
                 ),
                 "sum_mdn_ns_mod": pd.Series(
-                    [sum(n % ADUR_MOD for _m, _d, n in mdn)],
-                    dtype="int64",
+                    [int((mdn_ns % ADUR_MOD).sum())], dtype="int64"
                 ),
                 "sum_big_mod": pd.Series(
                     [
-                        sum(
-                            (k * 10**35 + n) % ADUR_MOD
-                            for k, n in zip(okeys, lns)
+                        int(
+                            (
+                                ((ka % ADUR_MOD) * ADUR_P35_MOD + na)
+                                % ADUR_MOD
+                            ).sum()
                         )
                     ],
                     dtype="int64",

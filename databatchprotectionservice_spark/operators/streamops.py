@@ -965,9 +965,12 @@ def streaming_scd2_tws(spark, sf_dir):
 
     100 TB shape: state is ONE small row per user (the open interval),
     not the history — the closed rows stream straight to the sink; the
-    only exchange is the groupBy(user_id) into RocksDB state
-    partitions, and a real CDC log partitioned by ingestion time
-    satisfies the same ordering contract this staging builds."""
+    only exchange is the groupBy into RocksDB state partitions, and a
+    real CDC log partitioned by ingestion time satisfies the same
+    ordering contract this staging builds.  r16: users are hashed into
+    key-group buckets (one ListState of open rows per bucket) so the
+    per-batch state-server round-trips are bounded by the bucket
+    count, not the user count — the per-user walk is unchanged."""
     import os as _os
 
     from ..plans.registry import load_events, remove_path, scratch_path
@@ -1039,7 +1042,10 @@ def streaming_scd2_tws(spark, sf_dir):
             .option("maxFilesPerTrigger", 1)
             .parquet(stage_dir)
         )
-        scd2 = scd2_stream_tws(stream)
+        # key-group bucketing (see scd2_stream_tws): round-trip count
+        # per batch is bounded by the bucket count, not the user count;
+        # 4 buckets per state partition keeps every partition loaded
+        scd2 = scd2_stream_tws(stream, n_buckets=4 * _tws_partitions())
         name = f"streaming_scd2_tws_{time.time_ns()}"
         _run_to_memory_sink(
             scd2,
@@ -1205,7 +1211,14 @@ def streaming_hll_tws(spark, sf_dir):
         _run_to_memory_sink(
             sketches,
             name,
-            state_partitions=_tws_partitions(),
+            # the pre-reduced feed has exactly |event_type| state keys
+            # (5 here) and <= keys x 2^p input rows per batch AT ANY
+            # SCALE — state parallelism is capped by the key count, so
+            # partitions beyond it are idle RocksDB instances paying
+            # open+commit per batch for nothing.  r16 sweep at sf0.1
+            # (min-of-3): 6.29 s @16 -> 4.22 s @8 / 4.24 s @4; 8 keeps
+            # headroom over the key count.  Env override unchanged.
+            state_partitions=_tws_partitions(8),
             output_mode="update",
             rocksdb=True,
         )
@@ -1364,7 +1377,10 @@ def streaming_cms_tws(spark, sf_dir):
         _run_to_memory_sink(
             sketches,
             name,
-            state_partitions=_tws_partitions(),
+            # same key-count cap as the HLL twin: |event_type| state
+            # keys and <= keys x D x W pre-summed rows per batch at any
+            # scale.  r16 sweep: 4.99 s @16 -> 4.24 s @8 (min-of-3).
+            state_partitions=_tws_partitions(8),
             output_mode="update",
             rocksdb=True,
         )

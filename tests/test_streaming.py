@@ -521,9 +521,13 @@ def test_scd2_tws_carries_open_interval_across_batches(spark, tmp_path):
     """Crafted two-file stream with FORCED file order (explicit mtimes):
     user 1's status run 'b' STARTS in batch 1 and is extended then
     closed by batch 2 — pinning that the open interval carries through
-    ValueState and that closure emits the batch-1 ``valid_from``, not a
-    batch-local restart.  Asserts the raw Update-mode emissions (the
-    operator-level dedupe is pinned by the oracle gate)."""
+    the per-bucket ListState (r16 key-group consolidation) and that
+    closure emits the batch-1 ``valid_from``, not a batch-local
+    restart.  The ``len(rows) == 9`` assert also pins that bucketing
+    emits open rows only for users PRESENT in the batch (user 2 has no
+    batch-2 events and must not be re-published).  Asserts the raw
+    Update-mode emissions (the operator-level dedupe is pinned by the
+    oracle gate)."""
     import os
 
     import pandas as pd
