@@ -317,8 +317,11 @@ def kmeans_embedding_clusters(spark, sf_dir):
         F.min("vec_id").alias("mv"),
         F.sum("dist").alias("inertia"),
     )
+    # stats aggregates to <= K rows but its post-agg size estimate is
+    # unknown to the planner; the hint turns the final left join into
+    # a BroadcastHashJoin (2 Exchange + 3 Sort fewer, r16 plan diff)
     return (
-        cents.join(stats, "cid", "left")
+        cents.join(F.broadcast(stats), "cid", "left")
         .select(
             F.col("cid").alias("cluster_id"),
             F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias(

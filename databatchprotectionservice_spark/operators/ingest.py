@@ -1557,6 +1557,12 @@ def ingest_arrow_stream(spark, sf_dir) -> DataFrame:
 #: can restate the REPLAYED snapshot from the data: every 7th shard
 #: (``shard_id % 7 == 3``) is removed by later commits, and the scan
 #: predicate is ``doc_id BETWEEN 50 AND 260``.
+#: shards per _txnlog_build applyInPandas group (r16): bounds per-call
+#: memory at TXNLOG_BUILD_BAND x SHARD_DOCS docs while cutting the
+#: per-group Arrow scaffold ~band-fold; group count stays
+#: proportional-to-data
+TXNLOG_BUILD_BAND = 64
+
 TXNLOG_REMOVE_MOD = 7
 TXNLOG_REMOVE_REM = 3
 TXNLOG_PRUNE_LO = 50
@@ -1637,60 +1643,71 @@ def _txnlog_build(spark, sf_dir):
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
-        # explicit exchange width: per-shard Python codec work
+        # r16: shards are BANDED into applyInPandas groups — the
+        # SHARD_DOCS-doc shard is the log's file granularity, but one
+        # pandas call per shard paid ~15 ms of Arrow/group scaffold per
+        # handful of rows (1348 groups at sf0.1; the WRITE_SHARD_DOCS
+        # comment below measured the same effect).
+        # A band builds its shards' files in one call; group count and
+        # per-group memory (TXNLOG_BUILD_BAND x SHARD_DOCS docs) stay
+        # proportional-to-data but small-constant at any scale, and the
+        # emitted per-shard stats rows are IDENTICAL.
+        .withColumn(
+            "band", F.expr(f"(doc_id div {SHARD_DOCS}) div {TXNLOG_BUILD_BAND}")
+        )
+        # explicit exchange width: per-band Python codec work
         # dominates at gate scale, and AQE's size-based coalescing
         # would fold this tiny shuffle onto one task (SCALE.md:
         # 'AQE coalescing vs Python-heavy applyInPandas')
         .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
+            spark.sparkContext.defaultParallelism, "source", "band"
         )
     )
 
     def _build(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
-        t = pa_.table(
-            {
-                "doc_id": pa_.array(
-                    [int(i) for i in pdf["doc_id"]], pa_.int64()
-                ),
-                "text": pa_.array(
-                    [None if v is None else str(v) for v in pdf["text"]],
-                    pa_.string(),
-                ),
-            }
-        )
-        buf = io.BytesIO()
-        pq_.write_table(t, buf)
-        data = buf.getvalue()
-        # the add-action stats are only trusted because the REAL file
-        # bytes agree: our footer walk must see the same row count
-        if parse_footer(data)["num_rows"] != len(pdf):
-            raise ValueError("shard file footer disagrees with group")
-        bloom = SplitBlockBloom(64)
-        for i in pdf["doc_id"]:
-            bloom.insert_int64(int(i))
+        out: list[tuple] = []
+        # shard_id = doc_id div SHARD_DOCS is monotone in doc_id, so
+        # every per-shard slice of the doc_id-sorted band is sorted
+        for shard_id, g in pdf.groupby("shard_id", sort=True):
+            ids = g["doc_id"].to_numpy(dtype="int64")
+            t = pa_.table(
+                {
+                    "doc_id": pa_.array(ids, pa_.int64()),
+                    "text": pa_.array(g["text"].tolist(), pa_.string()),
+                }
+            )
+            buf = io.BytesIO()
+            pq_.write_table(t, buf)
+            data = buf.getvalue()
+            # the add-action stats are only trusted because the REAL
+            # file bytes agree: our footer walk must see the same rows
+            if parse_footer(data)["num_rows"] != len(g):
+                raise ValueError("shard file footer disagrees with group")
+            bloom = SplitBlockBloom(64)
+            for i in ids.tolist():
+                bloom.insert_int64(i)
+            out.append(
+                (
+                    g["source"].iloc[0],
+                    int(shard_id),
+                    len(data),
+                    len(g),
+                    int(ids[0]),
+                    int(ids[-1]),
+                    bloom.to_bytes(),
+                )
+            )
         return pd.DataFrame(
-            {
-                "source": pd.Series(
-                    [pdf["source"].iloc[0]], dtype="object"
-                ),
-                "shard_id": pd.Series(
-                    [int(pdf["shard_id"].iloc[0])], dtype="int64"
-                ),
-                "size": pd.Series([len(data)], dtype="int64"),
-                "num_records": pd.Series([len(pdf)], dtype="int64"),
-                "min_id": pd.Series(
-                    [int(pdf["doc_id"].min())], dtype="int64"
-                ),
-                "max_id": pd.Series(
-                    [int(pdf["doc_id"].max())], dtype="int64"
-                ),
-                "sbbf": pd.Series([bloom.to_bytes()], dtype="object"),
-            }
+            out,
+            columns=[
+                "source", "shard_id", "size", "num_records",
+                "min_id", "max_id", "sbbf",
+            ],
         )
 
     stats = (
-        d.groupBy("source", "shard_id")
+        d.groupBy("source", "band")
         .applyInPandas(_build, _TXNLOG_STATS_SCHEMA)
         .collect()  # bounded: file-level metadata, rows/SHARD_DOCS entries
     )
