@@ -53,6 +53,44 @@ from pyspark.sql import types as T
 
 from ..plans.registry import load_spread, local_frame, prep, register, table_path
 
+#: shards per applyInPandas call for the shard-walker queries (r16).
+#: One pandas call per SHARD_DOCS-doc shard paid ~15 ms of Arrow/group
+#: scaffold for a handful of rows (1568 (source, shard) groups at
+#: sf0.1 — ~20 s of CPU for well under 1 s of codec work; the
+#: WRITE_SHARD_DOCS comment measured the same effect).  Banding runs
+#: each per-shard function unchanged over SHARD_BAND shards per call:
+#: group count stays proportional to data, per-call memory is bounded
+#: by SHARD_BAND x SHARD_DOCS docs, and the emitted rows are IDENTICAL
+#: to per-shard grouping.
+SHARD_BAND = 64
+
+
+def _banded_shards(spark, d, shard_fn, schema):
+    """``d.groupBy("source", "shard_id").applyInPandas(shard_fn,
+    schema)`` with the per-group scaffold amortized over SHARD_BAND
+    shards per call (see SHARD_BAND).  ``d`` must carry ``source`` and
+    ``shard_id``; ``shard_fn`` receives exactly the per-shard frame it
+    received before (minus nothing — the band column is dropped) and
+    its outputs are concatenated.  The explicit exchange width is kept:
+    per-shard Python codec work dominates at gate scale, and AQE's
+    size-based coalescing would fold this tiny shuffle onto one task
+    (SCALE.md: 'AQE coalescing vs Python-heavy applyInPandas')."""
+    dd = d.withColumn(
+        "_band", F.expr(f"shard_id div {SHARD_BAND}")
+    ).repartition(
+        spark.sparkContext.defaultParallelism, "source", "_band"
+    )
+
+    def _run(pdf: pd.DataFrame) -> pd.DataFrame:
+        outs = [
+            shard_fn(g.drop(columns="_band"))
+            for _, g in pdf.groupby("shard_id", sort=True)
+        ]
+        return pd.concat(outs, ignore_index=True)
+
+    return dd.groupBy("source", "_band").applyInPandas(_run, schema)
+
+
 # ---------------------------------------------------------------------------
 # WARC -> HTTP -> HTML -> URL chain
 # ---------------------------------------------------------------------------
@@ -363,13 +401,6 @@ def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
         .withColumn(
             "shard_id", F.expr(f"doc_id div {SHARD_DOCS}")
         )
-        # explicit exchange width: per-shard Python codec work
-        # dominates at gate scale, and AQE's size-based coalescing
-        # would fold this tiny shuffle onto one task (SCALE.md:
-        # 'AQE coalescing vs Python-heavy applyInPandas')
-        .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
-        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -422,9 +453,7 @@ def ingest_webdataset_tar(spark, sf_dir) -> DataFrame:
             }
         )
 
-    shards = d.groupBy("source", "shard_id").applyInPandas(
-        _shard, _SHARD_ROW_SCHEMA
-    )
+    shards = _banded_shards(spark, d, _shard, _SHARD_ROW_SCHEMA)
     return (
         shards.groupBy("source")
         .agg(
@@ -529,13 +558,6 @@ def ingest_avro_blocks(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "lang")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
-        # explicit exchange width: per-shard Python codec work
-        # dominates at gate scale, and AQE's size-based coalescing
-        # would fold this tiny shuffle onto one task (SCALE.md:
-        # 'AQE coalescing vs Python-heavy applyInPandas')
-        .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
-        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -593,9 +615,7 @@ def ingest_avro_blocks(spark, sf_dir) -> DataFrame:
             }
         )
 
-    shards = d.groupBy("source", "shard_id").applyInPandas(
-        _shard, _AVRO_ROW_SCHEMA
-    )
+    shards = _banded_shards(spark, d, _shard, _AVRO_ROW_SCHEMA)
     return (
         shards.groupBy("source")
         .agg(
@@ -682,13 +702,6 @@ def ingest_tfrecord_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
-        # explicit exchange width: per-shard Python codec work
-        # dominates at gate scale, and AQE's size-based coalescing
-        # would fold this tiny shuffle onto one task (SCALE.md:
-        # 'AQE coalescing vs Python-heavy applyInPandas')
-        .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
-        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -716,9 +729,7 @@ def ingest_tfrecord_shards(spark, sf_dir) -> DataFrame:
             }
         )
 
-    shards = d.groupBy("source", "shard_id").applyInPandas(
-        _shard, _TFRECORD_ROW_SCHEMA
-    )
+    shards = _banded_shards(spark, d, _shard, _TFRECORD_ROW_SCHEMA)
     return (
         shards.groupBy("source")
         .agg(
@@ -1024,13 +1035,6 @@ def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text", "n_chars")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
-        # explicit exchange width: per-shard Python codec work
-        # dominates at gate scale, and AQE's size-based coalescing
-        # would fold this tiny shuffle onto one task (SCALE.md:
-        # 'AQE coalescing vs Python-heavy applyInPandas')
-        .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
-        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1085,9 +1089,7 @@ def ingest_tfexample_shards(spark, sf_dir) -> DataFrame:
             }
         )
 
-    shards = d.groupBy("source", "shard_id").applyInPandas(
-        _shard, _TFEXAMPLE_ROW_SCHEMA
-    )
+    shards = _banded_shards(spark, d, _shard, _TFEXAMPLE_ROW_SCHEMA)
     return (
         shards.groupBy("source")
         .agg(
@@ -1181,13 +1183,6 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
         load_spread(spark, sf_dir, "documents")
         .select("doc_id", "source", "text")
         .withColumn("shard_id", F.expr(f"doc_id div {SHARD_DOCS}"))
-        # explicit exchange width: per-shard Python codec work
-        # dominates at gate scale, and AQE's size-based coalescing
-        # would fold this tiny shuffle onto one task (SCALE.md:
-        # 'AQE coalescing vs Python-heavy applyInPandas')
-        .repartition(
-            spark.sparkContext.defaultParallelism, "source", "shard_id"
-        )
     )
 
     def _shard(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -1249,9 +1244,7 @@ def ingest_orc_shards(spark, sf_dir) -> DataFrame:
             }
         )
 
-    shards = d.groupBy("source", "shard_id").applyInPandas(
-        _shard, _ORC_ROW_SCHEMA
-    )
+    shards = _banded_shards(spark, d, _shard, _ORC_ROW_SCHEMA)
     return (
         shards.groupBy("source")
         .agg(
