@@ -696,7 +696,11 @@ def test_scd2_tws_single_state_exchange_update_mode(spark, tmp_path):
     n_ex = sum(1 for ln in plan.splitlines() if "Exchange" in ln)
     assert n_ex == 1, plan
     assert "REQUIRED_BY_STATEFUL_OPERATOR" in plan
-    assert "hashpartitioning(user_id" in plan
+    # r16: the state key is the user's key-group bucket
+    # (pmod(xxhash64(user_id), n_buckets)) — round-trips bounded by the
+    # bucket count; still exactly one stateful exchange
+    assert "hashpartitioning(kb" in plan, plan
+    assert "xxhash64(user_id" in plan, plan
 
 
 def test_ivfpq_residual_same_scale_shape_as_flat(spark, sf_dir):
